@@ -11,19 +11,32 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Parallelism from SPARK_GRAFT_CPUS (driver contract), validated. */
+  def cpus: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    raw.toIntOption.filter(_ > 0).getOrElse {
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CPUS must be a positive integer, got '$raw'")
+    }
+  }
+
   /** Build a local session sized from SPARK_GRAFT_CPUS (driver contract). */
   def local(appName: String = "graft"): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val n = cpus
     val spark = SparkSession
       .builder()
-      .master(s"local[$cpus]")
+      .master(s"local[$n]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
+    if (spark.sparkContext.master != s"local[$n]")
+      System.err.println(
+        s"[graft] WARNING: reusing pre-existing session with master " +
+          s"${spark.sparkContext.master}; local[$n] request ignored")
     configure(spark)
-    spark
   }
 
   /** Apply graft's runtime confs to an existing session (idempotent).
@@ -34,7 +47,7 @@ object GraftSession {
   def configure(spark: SparkSession): SparkSession = {
     // /root/testdata/*/events.parquet stores INT64 TIMESTAMP(NANOS) which
     // Spark cannot read natively (PARQUET_TYPE_ILLEGAL); read as long and
-    // convert in Tables.events.
+    // convert in sources.Tables.events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Adaptive execution: runtime coalescing of shuffle partitions and
     // skew-join splitting — essential at 100 TB where static partition

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.pipeline.Medallion.moneySum
+
+/** Relational analytics over the star schema: joins, window functions,
+  * pivot/unpivot, set ops, series generation — the generic operator surface
+  * from SURVEY §2.3–§2.7 exercised on the driver tables.
+  *
+  * Scale posture: dimension tables (region/nation/customer/part/supplier)
+  * are broadcast explicitly; fact-fact joins pre-aggregate the many side
+  * first; exact decimal sums keep results partitioning-independent.
+  */
+object Analytics {
+
+  /** Exact product of two money columns' discount expression, decimal-exact. */
+  private def discPrice = col("l_extendedprice").cast("decimal(18,2)") *
+    (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+
+  /** TPC-H Q1-style pricing summary: single scan, hash agg on 2 low-card keys. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Revenue rollup across the full dimension chain. Dims are broadcast —
+    * no shuffle of the lineitem fact except the final small agg.
+    */
+  def revenueByRegion(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val custRegion = broadcast(
+      customer.select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name")))
+    lineitem.select(col("l_orderkey"), discPrice.as("disc_price"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(sum(col("disc_price")).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** Top-k customers by revenue; deterministic tiebreak on custkey. */
+  def topCustomers(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                   k: Int): DataFrame =
+    lineitem.select(col("l_orderkey"), discPrice.as("disc_price"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("disc_price")).cast("double").as("revenue"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("custkey"))
+      .limit(k)
+
+  /** Running per-user spend: cumulative exact sum, explicit ROWS frame +
+    * unique tiebreaker (event_id) so the result is order-deterministic.
+    */
+  def runningSpend(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("event_ts_us"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("run_spend"))
+  }
+
+  /** Rank parts by price within brand (dense_rank + row_number). */
+  def partPriceRank(part: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    part.select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+      dense_rank().over(w).as("price_rank"),
+      row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3).drop("rn")
+  }
+
+  /** Symmetric difference of two key sets (the dbt_utils equality-test idiom,
+    * macros/generic_tests/equality.sql:143-159).
+    */
+  def statusCustkeyDiff(orders: DataFrame): DataFrame = {
+    val open = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val done = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey")).distinct()
+    open.except(done).unionAll(done.except(open))
+  }
+
+  /** Pivot events: one column of exact spend per event type, per user. */
+  def eventPivot(events: DataFrame, types: Seq[String]): DataFrame =
+    events.groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(sum(col("value").cast("decimal(18,2)")))
+      .select(col("user_id") +: types.map(t => col(t).cast("double").as(t)): _*)
+
+  /** Unpivot (melt) lineitem measures into (metric, val) rows. */
+  def lineitemUnpivot(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      expr("stack(2, 'quantity', l_quantity, 'extendedprice', l_extendedprice) AS (metric, val)"))
+
+  /** Dense minute spine (date_spine idiom, macros/sql/date_spine.sql): every
+    * minute between the first and last sales bucket, zero-filled. The spine
+    * is generated distributedly (sequence + explode), not on the driver.
+    */
+  def minuteSpine(events: DataFrame): DataFrame = {
+    val fct = graft.pipeline.Medallion.salesMinute(events)
+    val bounds = fct.agg(min(col("minute_bucket_us")), max(col("minute_bucket_us"))).head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val spine = fct.sparkSession.range(1)
+      .select(explode(sequence(lit(lo), lit(hi), lit(60L * 1000000L))).as("minute_bucket_us"))
+      .repartition(col("minute_bucket_us"))
+    spine.join(fct, Seq("minute_bucket_us"), "left")
+      .select(col("minute_bucket_us"),
+        coalesce(col("gmv"), lit(0.0)).as("gmv"),
+        coalesce(col("paid_orders"), lit(0L)).as("paid_orders"))
+  }
+
+  /** Surrogate keys: sha2-of-coordinates (silver_payments.py:53-54) + md5
+    * (dbt generate_surrogate_key).
+    */
+  def hashKeys(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      sha2(concat_ws(":", col("event_type"), col("user_id"), col("event_id")), 256).as("event_key"),
+      md5(concat_ws("-", col("user_id"), col("event_id"))).as("surrogate"))
+
+  /** Histogram of customer balances (width_bucket idiom,
+    * macros/sql/width_bucket.sql) with explicit, engine-portable arithmetic.
+    */
+  def acctbalHistogram(customer: DataFrame): DataFrame =
+    customer.select(
+        least(greatest((floor(col("c_acctbal") / 500.0) + 1).cast("bigint"), lit(1L)), lit(20L))
+          .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+}

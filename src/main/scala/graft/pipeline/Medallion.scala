@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's medallion transforms (bronze → silver → gold), re-expressed
+  * as pure DataFrame → DataFrame functions over the driver's event stream
+  * table. Citations are into /root/reference.
+  *
+  * Money/metric sums are computed in DECIMAL(18,2) and cast back to double so
+  * results are bit-stable regardless of partitioning / aggregation order —
+  * a correctness property at any scale and the contract the DuckDB oracle
+  * checks (SURVEY §7 risk 2).
+  */
+object Medallion {
+
+  /** Exact (order-independent) sum of a double money column → double. */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Bronze envelope projection (bronze_orders_raw.py:45-53): cast key to
+    * string, carry payload opaquely, stamp event-time columns.
+    */
+  def bronzeProject(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      col("user_id").cast("string").as("raw_key"),
+      col("props").as("raw_value"),
+      col("event_type").as("topic"),
+      col("event_ts_us"),
+      col("event_date"))
+
+  /** Latest-wins dedup (silver_orders.py:47-50): one row per
+    * (user_id, event_type), the most recent by event time, event_id as the
+    * deterministic tiebreaker.
+    */
+  def dedupLatest(events: DataFrame): DataFrame =
+    graft.lake.Upsert.latestWins(events,
+      keys = Seq("user_id", "event_type"),
+      ordering = Seq("event_ts_us", "event_id"))
+
+  /** Permissive JSON parse of the props payload (silver_orders.py:52-67):
+    * missing/corrupt fields → null, never an error.
+    */
+  def parseProps(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").as("k"))
+
+  /** Per-order payment aggregates (silver_enrich.py:25-30): pre-aggregate the
+    * many side BEFORE the join — halves the shuffled bytes and keeps the
+    * join build side small.
+    */
+  def paymentAgg(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_orderkey").as("order_id"))
+      .agg(moneySum(col("l_extendedprice")).as("paid_amount"))
+
+  /** Enrichment join (silver_enrich.py:32-44): orders LEFT JOIN payment
+    * aggregates, `fully_paid` = paid >= total. The aggregate side is
+    * key-distinct so the join is 1:1; Catalyst broadcasts it when small.
+    */
+  def enrich(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("user_id"),
+        col("o_totalprice").as("total_amount"),
+        col("o_orderstatus").as("order_status"),
+        col("o_orderdate"))
+      .join(paymentAgg(lineitem), Seq("order_id"), "left")
+      .withColumn("paid_amount", coalesce(col("paid_amount"), lit(0.0)))
+      .withColumn("fully_paid", col("paid_amount") >= col("total_amount"))
+
+  /** Trino-view flavor of the enrichment (trino_bootstrap_views.py:54-72):
+    * status + event_date, no user column.
+    */
+  def enrichView(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    enrich(orders, lineitem).select(
+      col("order_id"), col("order_status"), col("total_amount"),
+      col("paid_amount"), col("fully_paid"),
+      to_date(col("o_orderdate")).as("event_date"))
+
+  /** gold.fct_sales_minute (fct_sales_minute.sql:29-41): minute-bucketed GMV
+    * over paid events. Bucket exposed as epoch-µs long (cross-engine stable).
+    */
+  def salesMinute(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase" && col("event_ts_us").isNotNull)
+      .groupBy(unix_micros(date_trunc("minute", col("event_ts"))).as("minute_bucket_us"))
+      .agg(moneySum(col("value")).as("gmv"),
+           count(lit(1)).as("paid_orders"))
+
+  /** Incremental lookback variant (fct_sales_minute.sql:35-40): only re-aggregate
+    * events within `lookback` of the newest event. The cutoff is a scalar
+    * aggregate — one cheap pre-pass, then a pushed-down range filter.
+    */
+  def salesMinuteIncremental(events: DataFrame, lookbackUs: Long): DataFrame = {
+    val cutoff = events.agg(max(col("event_ts_us")) - lookbackUs).head.getLong(0)
+    salesMinute(events.filter(col("event_ts_us") >= cutoff))
+  }
+
+  /** vw_sales_last_60min (vw_sales_last_60min.sql:1-6), window relative to the
+    * newest bucket so results are deterministic on a fixed dataset.
+    */
+  def salesLastNMinutes(events: DataFrame, minutes: Int): DataFrame = {
+    val fct = salesMinute(events)
+    val maxBucket = fct.agg(max(col("minute_bucket_us"))).head.getLong(0)
+    fct.filter(col("minute_bucket_us") >= maxBucket - minutes.toLong * 60L * 1000000L)
+  }
+
+  /** Top-k minutes by GMV (README.md:160-162), bucket as the unique tiebreak. */
+  def topMinutes(events: DataFrame, k: Int): DataFrame =
+    salesMinute(events).orderBy(col("gmv").desc, col("minute_bucket_us")).limit(k)
+
+  /** Freshness / sanity aggregates (README.md:214-221). */
+  def freshness(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(max(col("event_ts_us")).as("max_ts_us"), count(lit(1)).as("n"))
+}

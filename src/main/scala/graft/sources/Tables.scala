@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * One method per table; `events` normalizes the nanosecond timestamp the
+  * way every downstream operator expects. All readers are plain
+  * `spark.read.parquet` scans so Catalyst pushdown/pruning applies — callers
+  * should `.select`/`.filter` immediately and let the scan prune.
+  */
+object Tables {
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark only
+    * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (a long of nanos
+    * since epoch). We derive:
+    *   - `event_ts_us` long  — epoch microseconds (floor), the canonical
+    *     cross-engine time representation (DuckDB truncates ns→µs on read,
+    *     so `epoch_us(ts)` there equals `ts div 1000` here);
+    *   - `event_ts` timestamp — µs-precision timestamp for window/date ops;
+    *   - `event_date` date.
+    * Raw nanos are kept as `ts` for ordering fidelity.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("event_ts_us", expr("ts div 1000"))
+      .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("event_date", to_date(expr("timestamp_micros(ts div 1000)")))
+  }
+}

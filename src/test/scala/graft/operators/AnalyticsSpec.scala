@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Relational-operator checks on the sf0.001 star schema. */
+class AnalyticsSpec extends SparkSpec {
+
+  test("pricingSummary groups to the 6 flag/status combinations") {
+    val p = Analytics.pricingSummary(Tables.lineitem(spark, sfDir))
+    assert(p.count() <= 9 && p.count() >= 1)
+    assert(p.filter(col("sum_qty") <= 0 || col("count_order") <= 0).count() == 0)
+  }
+
+  test("revenueByRegion covers every region and totals match ungrouped sum") {
+    val r = Analytics.revenueByRegion(
+      Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir))
+    assert(r.count() == 5)
+    val total = r.agg(sum("n_items")).head.getLong(0)
+    assert(total == Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("revenueByRegion plan broadcasts the dimension side") {
+    val r = Analytics.revenueByRegion(
+      Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("topCustomers is deterministic and ordered") {
+    val t = Analytics.topCustomers(Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir), 10).collect()
+    assert(t.length == 10)
+    val rev = t.map(_.getAs[Double]("revenue"))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("runningSpend is monotone within a user") {
+    val rs = Analytics.runningSpend(Tables.events(spark, sfDir))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_ts_us", "event_id")
+    val bad = rs.withColumn("prev", lag("run_spend", 1).over(w))
+      .filter(col("prev").isNotNull && col("run_spend") < col("prev"))
+    assert(bad.count() == 0)
+  }
+
+  test("statusCustkeyDiff is the symmetric difference") {
+    val d = Analytics.statusCustkeyDiff(Tables.orders(spark, sfDir))
+    val o = Tables.orders(spark, sfDir)
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fin = o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(d.collect().map(_.getLong(0)).toSet == ((open diff fin) union (fin diff open)))
+  }
+
+  test("eventPivot row per user, pivoted columns named by type") {
+    val ev = Tables.events(spark, sfDir)
+    val p = Analytics.eventPivot(ev, Seq("click", "error", "purchase", "signup", "view"))
+    assert(p.columns.toSeq == Seq("user_id", "click", "error", "purchase", "signup", "view"))
+    assert(p.count() == ev.select("user_id").distinct().count())
+  }
+
+  test("lineitemUnpivot doubles the row count") {
+    val li = Tables.lineitem(spark, sfDir)
+    assert(Analytics.lineitemUnpivot(li).count() == 2 * li.count())
+  }
+
+  test("minuteSpine is dense: one row per minute, no gaps") {
+    val s = Analytics.minuteSpine(Tables.events(spark, sfDir))
+    val n = s.count()
+    val bounds = s.agg(min("minute_bucket_us"), max("minute_bucket_us")).head
+    assert(n == (bounds.getLong(1) - bounds.getLong(0)) / 60000000L + 1)
+  }
+
+  test("acctbalHistogram buckets are within [1,20] and count all customers") {
+    val h = Analytics.acctbalHistogram(Tables.customer(spark, sfDir))
+    assert(h.filter(col("bucket") < 1 || col("bucket") > 20).count() == 0)
+    assert(h.agg(sum("n")).head.getLong(0) == Tables.customer(spark, sfDir).count())
+  }
+}

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the medallion transforms on the sf0.001 tables. */
+class MedallionSpec extends SparkSpec {
+
+  private lazy val events = Tables.events(spark, sfDir)
+
+  test("bronzeProject keeps one row per event with the envelope columns") {
+    val b = Medallion.bronzeProject(events)
+    assert(b.columns.toSeq == Seq("event_id", "raw_key", "raw_value", "topic",
+      "event_ts_us", "event_date"))
+    assert(b.count() == events.count())
+  }
+
+  test("dedupLatest keeps exactly one row per (user, type), the newest") {
+    val d = Medallion.dedupLatest(events)
+    assert(d.groupBy("user_id", "event_type").count().filter(col("count") > 1).count() == 0)
+    val manual = events.groupBy("user_id", "event_type")
+      .agg(max("event_ts_us").as("m")).count()
+    assert(d.count() == manual)
+  }
+
+  test("parseProps extracts k and tolerates malformed JSON") {
+    import spark.implicits._
+    val bad = Seq((1L, """{"k": 7}"""), (2L, "not json"), (3L, """{"other": 1}"""))
+      .toDF("event_id", "props")
+    val parsed = Medallion.parseProps(bad).collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(parsed == Map(1L -> Some(7), 2L -> None, 3L -> None))
+  }
+
+  test("enrich: fully_paid means paid_amount >= total_amount, nulls → 0.0") {
+    val e = Medallion.enrich(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+    assert(e.filter(col("paid_amount").isNull).count() == 0)
+    assert(e.filter(col("fully_paid") =!=
+      (col("paid_amount") >= col("total_amount"))).count() == 0)
+  }
+
+  test("salesMinute sums only purchases, exactly") {
+    val fct = Medallion.salesMinute(events)
+    val gmvTotal = fct.agg(sum("gmv")).head.getDouble(0)
+    val direct = events.filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
+    assert(math.abs(gmvTotal - direct) < 1e-6)
+    assert(fct.agg(sum("paid_orders")).head.getLong(0) ==
+      events.filter(col("event_type") === "purchase").count())
+  }
+
+  test("incremental lookback only rebuilds buckets inside the window") {
+    val incr = Medallion.salesMinuteIncremental(events, 7200000000L)
+    val cutoff = events.agg(max("event_ts_us")).head.getLong(0) - 7200000000L
+    assert(incr.filter(col("minute_bucket_us") < cutoff - 60000000L).count() == 0)
+  }
+
+  test("salesLastNMinutes is bounded by the newest bucket") {
+    val last = Medallion.salesLastNMinutes(events, 60)
+    val hi = Medallion.salesMinute(events).agg(max("minute_bucket_us")).head.getLong(0)
+    assert(last.filter(col("minute_bucket_us") < hi - 3600000000L).count() == 0)
+    assert(last.count() >= 1)
+  }
+
+  test("topMinutes returns k rows in gmv-desc order") {
+    val top = Medallion.topMinutes(events, 5).collect()
+    assert(top.length == 5)
+    val gmvs = top.map(_.getAs[Double]("gmv"))
+    assert(gmvs.zip(gmvs.tail).forall { case (a, b) => a >= b })
+  }
+}
