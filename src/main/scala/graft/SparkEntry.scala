@@ -6,6 +6,8 @@ import graft.sources.Tables
 import graft.pipeline.Medallion
 import graft.operators.Analytics
 import graft.lake.Upsert
+import graft.text.{TextDedup, TextStats}
+import graft.ml.Similarity
 
 /** Driver contract — every implemented operator from SURVEY.md §2 appears in
   * `queries`, with a DuckDB-equivalent in `oracleSql` where SQL-expressible.
@@ -77,6 +79,24 @@ object SparkEntry {
     "q21_minute_spine" -> ((s, d) => Analytics.minuteSpine(Tables.events(s, d))),
     "q22_hash_keys" -> ((s, d) => Analytics.hashKeys(Tables.events(s, d))),
     "q23_acctbal_histogram" -> ((s, d) => Analytics.acctbalHistogram(Tables.customer(s, d))),
+    // ---- LLM-data-pipeline operators over documents/embeddings ----
+    "q24_neardup_pairs" -> ((s, d) =>
+      TextDedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text")),
+    "q25_ann_topk" -> ((s, d) => {
+      val em = Tables.embeddings(s, d)
+      Similarity.annTopK(em.filter(col("vec_id") >= 10), em.filter(col("vec_id") < 10), 5)
+    }),
+    "q26_text_stats" -> ((s, d) => TextStats.corpusStats(Tables.documents(s, d))),
+    "q27_doc_dedup" -> ((s, d) =>
+      TextDedup.exactDedupSummary(Tables.documents(s, d), "doc_id", "text")),
+    "q28_item_grain" -> ((s, d) => Analytics.itemGrain(Tables.lineitem(s, d))),
+    "q29_simhash" -> ((s, d) =>
+      TextDedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+    "q30_doc_quality" -> ((s, d) =>
+      TextStats.docQuality(
+        Tables.documents(s, d).filter(col("text").contains("spark")))),
+    "q31_fingerprint" -> ((s, d) =>
+      TextDedup.fingerprint(Tables.documents(s, d), "doc_id", "text")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -226,5 +246,77 @@ object SparkEntry {
     "q23_acctbal_histogram" ->
       """SELECT LEAST(GREATEST(CAST(FLOOR(c_acctbal / 500.0) AS BIGINT) + 1, 1), 20) AS bucket,
          COUNT(*) AS n FROM customer GROUP BY 1""",
+    // q24: the oracle is the exact all-pairs shingle-Jaccard (feasible at
+    // sf0.01); the Spark side must find every pair >= threshold via
+    // MinHash/LSH candidates + exact verify (recall checked by this gate).
+    "q24_neardup_pairs" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM docs, UNNEST(range(1, len(w) - 1)) t(i)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+         FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE i / (sa.n + sb.n - i) >= 0.8""",
+    // q25: cosine folded left-to-right in DOUBLE in both engines → scores
+    // are bit-identical, so rank and cosine both hash-match.
+    "q25_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         s AS (SELECT query_id, neighbor_id,
+                 list_reduce(list_transform(list_zip(qe, ce),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+                 / (sqrt(list_reduce(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
+                  * sqrt(list_reduce(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))) AS cosine
+               FROM q, c)
+         SELECT query_id, neighbor_id, rank, cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM s) WHERE rank <= 5""",
+    "q26_text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(n_chars) AS BIGINT) / NULLIF(COUNT(*), 0) AS avg_chars,
+         MAX(n_chars) AS max_chars
+         FROM documents GROUP BY lang, source""",
+    "q27_doc_dedup" ->
+      """SELECT md5(lower(trim(text))) AS content_hash, MIN(doc_id) AS keeper_id,
+         COUNT(*) AS n_copies FROM documents GROUP BY 1""",
+    "q28_item_grain" ->
+      """SELECT l_partkey AS product_id,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         COUNT(*) AS n_items
+         FROM lineitem GROUP BY 1""",
+    // q29/q31: token hash = 60-bit md5 prefix — identical in both engines.
+    "q29_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+         bits AS (SELECT doc_id, b, SUM(2 * ((h >> b) & 1) - 1) AS s
+                  FROM h, UNNEST(range(0, 60)) t(b) GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id""",
+    "q30_doc_quality" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE text LIKE '%spark%'),
+         m AS (SELECT doc_id, len(w) AS n_tokens,
+                 len(list_distinct(w)) AS n_distinct_tokens,
+                 len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS stop_cnt
+               FROM d)
+         SELECT doc_id, n_tokens, n_distinct_tokens,
+           n_distinct_tokens / n_tokens AS lexical_diversity,
+           stop_cnt / n_tokens AS stopword_ratio,
+           CASE WHEN stop_cnt / n_tokens >= 0.01 THEN 'en' ELSE 'und' END AS lang_pred,
+           (n_tokens >= 20 AND n_distinct_tokens / n_tokens >= 0.2) AS keep
+         FROM m""",
+    "q31_fingerprint" ->
+      """SELECT doc_id,
+         CAST(SUM(((CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % 1000000000000037)
+                   * i) % 1000000000000037) % 1000000000000037 AS BIGINT) AS fp
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              UNNEST(range(1, len(w) + 1)) t(i)
+         GROUP BY doc_id""",
   )
 }

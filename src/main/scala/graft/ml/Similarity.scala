@@ -1,0 +1,147 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over embedding columns (`array<float>`): exact cosine
+  * top-k (the correctness baseline) and sign-LSH bucketed variants (the
+  * scale path for corpus-sized candidate sets).
+  *
+  * Numeric contract: dot products and norms are folded left-to-right in
+  * DOUBLE over exactly-converted floats, so the scores are bit-identical
+  * across engines/partitionings (the DuckDB oracle reproduces them with
+  * `list_reduce` in the same order).
+  *
+  * Scale posture:
+  *  - `annTopK` broadcasts the (small) query set — a BroadcastNestedLoopJoin
+  *    over the corpus, i.e. one corpus scan, no shuffle of the corpus, no
+  *    CartesianProduct (plan-asserted in SimilaritySpec);
+  *  - top-k extraction is two-stage (salted partial top-k, then final) so a
+  *    handful of query keys never funnels the whole corpus through a
+  *    handful of reducers;
+  *  - `annTopKLsh`/`cosineDupPairsLsh` bucket by random-hyperplane sign
+  *    signatures — candidate generation is an equi-join on the bucket key,
+  *    never all-pairs.
+  */
+object Similarity {
+
+  /** Left-to-right double fold of Σ f(a_i, b_i) — deterministic. */
+  private def foldSum(products: Column): Column =
+    aggregate(products, lit(0.0), (acc, v) => acc + v)
+
+  /** Dot product of two float-array columns in double precision. */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** L2 norm in double precision. */
+  def l2Norm(a: Column): Column =
+    sqrt(foldSum(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  /** Cosine similarity, bit-stable (see object doc). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Deterministic two-stage top-k per key: a salted partial top-k bounds
+    * the rows any single reducer sees, then the final per-key top-k runs on
+    * ≤ saltBuckets·k rows per key. Result is identical to a single global
+    * window (ordering must end in a unique tiebreaker).
+    */
+  def topKPerKey(df: DataFrame, key: Column, ordering: Seq[Column], k: Int,
+                 saltCol: Column, saltBuckets: Int = 64): DataFrame = {
+    val partial = Window.partitionBy(key, pmod(saltCol, lit(saltBuckets)))
+      .orderBy(ordering: _*)
+    val fin = Window.partitionBy(key).orderBy(ordering: _*)
+    df.withColumn("__prank", row_number().over(partial))
+      .filter(col("__prank") <= k).drop("__prank")
+      .withColumn("rank", row_number().over(fin))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors by cosine (tiebreak: neighbor id asc). The query set must be
+    * broadcast-small; the corpus streams through once.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("__q")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c"))
+      .join(q)
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__q"), col("__c")).as("cosine"))
+    topKPerKey(scored, col("query_id"),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * plane `p`, dimension `d`, derived from xxhash64 — no RNG state, so
+    * signatures are reproducible across runs/engines.
+    */
+  private def hyperplaneAt(p: Column, d: Column): Column =
+    pmod(xxhash64(lit("graft-hp"), p, d), lit(2000003L)).cast("double") / 1000001.5 - 1.0
+
+  /** Sign-LSH bucket id: `planes` bits, bit p = sign of <v, hp_p>. Vectors
+    * within a small angle land in the same bucket with high probability.
+    */
+  def signBucket(v: Column, planes: Int): Column =
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
+      val proj = foldSum(transform(v,
+        (x, d) => x.cast("double") * hyperplaneAt(p, d)))
+      acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+    })
+
+  /** Approximate ANN: candidates share at least one of `tables` sign-LSH
+    * buckets (independent hyperplane sets), then exact cosine ranks them.
+    * Recall < 1 by construction — this is the 100 TB path where the
+    * broadcast-queries exact scan is too slow; `annTopK` is the oracle.
+    */
+  def annTopKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+                 planes: Int = 12, tables: Int = 4,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    def bucketed(df: DataFrame, id: String, emb: String) =
+      df.select(col(idCol).as(id), col(embCol).as(emb),
+          explode(sequence(lit(0), lit(tables - 1))).as("t"))
+        .select(col(id), col(emb),
+          struct(col("t"), signBucketForTable(col(emb), planes, col("t")).as("b")).as("bk"))
+    val q = bucketed(queries, "query_id", "__q")
+    val c = bucketed(corpus, "neighbor_id", "__c")
+    val cand = q.join(c, q("bk") === c("bk"))
+      .select(col("query_id"), col("neighbor_id"), col("__q"), col("__c"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      cosine(col("__q"), col("__c")).as("cosine"))
+    topKPerKey(scored, col("query_id"),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Sign bucket with the hyperplane family salted by an LSH table index. */
+  private def signBucketForTable(v: Column, planes: Int, table: Column): Column =
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
+      val proj = foldSum(transform(v, (x, d) =>
+        x.cast("double") *
+          (pmod(xxhash64(lit("graft-hp"), table, p, d), lit(2000003L)).cast("double") / 1000001.5 - 1.0)))
+      acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+    })
+
+  /** Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold),
+    * LSH-bucketed candidate generation + exact cosine verify. Precision is
+    * exact; recall is governed by (planes, tables).
+    */
+  def cosineDupPairsLsh(vectors: DataFrame, threshold: Double,
+                        planes: Int = 8, tables: Int = 6,
+                        idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bucketed = vectors.select(col(idCol).as("id"), col(embCol).as("emb"),
+        explode(sequence(lit(0), lit(tables - 1))).as("t"))
+      .select(col("id"), col("emb"),
+        struct(col("t"), signBucketForTable(col("emb"), planes, col("t")).as("b")).as("bk"))
+    val cand = bucketed.alias("a")
+      .join(bucketed.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.emb").as("ea"), col("b.emb").as("eb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -126,6 +126,25 @@ object Analytics {
         coalesce(col("paid_orders"), lit(0L)).as("paid_orders"))
   }
 
+  /** Item-grain roundtrip (P2/F-array): rebuild the per-order
+    * `items array<struct<product_id,qty,price>>` shape the reference keeps
+    * intact through silver (silver_orders.py:60, routes.py:192-195), then
+    * `explode` back to item grain and aggregate per product — the two array
+    * operators any item-level query needs.
+    */
+  def itemGrain(lineitem: DataFrame): DataFrame = {
+    val orders = lineitem.groupBy(col("l_orderkey").as("order_id"))
+      .agg(collect_list(struct(
+        col("l_partkey").as("product_id"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price"))).as("items"))
+    orders.select(col("order_id"), explode(col("items")).as("item"))
+      .groupBy(col("item.product_id").as("product_id"))
+      .agg(moneySum(col("item.qty")).as("total_qty"),
+           moneySum(col("item.price")).as("total_price"),
+           count(lit(1)).as("n_items"))
+  }
+
   /** Surrogate keys: sha2-of-coordinates (silver_payments.py:53-54) + md5
     * (dbt generate_surrogate_key).
     */

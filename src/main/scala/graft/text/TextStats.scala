@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis: token counting, language-ID heuristic, quality
+  * scoring, and per-(lang, source) rollups — everything a training-data
+  * pipeline computes per document before filtering/sampling.
+  *
+  * All metrics are row-local built-in expressions (one corpus scan, no
+  * shuffle except the final rollup aggregate) and arithmetic is exact-int
+  * or single-division double, so results are partitioning-independent and
+  * reproducible in the DuckDB oracle.
+  */
+object TextStats {
+
+  /** Tiny deterministic English stopword set for the heuristics below. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  def tokenCount(text: Column): Column = size(TextDedup.tokens(text))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(TextDedup.tokens(text)))
+
+  /** Fraction of token instances that are stopwords (0 when empty). */
+  def stopwordRatio(text: Column): Column = {
+    val w = TextDedup.tokens(text)
+    size(filter(w, t => t.isin(Stopwords: _*))) / size(w)
+  }
+
+  /** n-gram-free language-ID heuristic: classify as English iff the
+    * stopword ratio clears a floor. (A real model would score character
+    * n-grams per language; the contract here is the operator shape — a
+    * row-local classifier column — not lexicographic accuracy.)
+    */
+  def langId(text: Column, floor: Double = 0.01): Column =
+    when(stopwordRatio(text) >= floor, lit("en")).otherwise(lit("und"))
+
+  /** Per-document quality metrics: token count, lexical diversity
+    * (distinct/total), stopword ratio, predicted language, and a keep flag
+    * (length + diversity gates — the standard pre-training corpus filter).
+    */
+  def docQuality(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      tokenCount(t).as("n_tokens"),
+      distinctTokenCount(t).as("n_distinct_tokens"),
+      (distinctTokenCount(t) / tokenCount(t)).as("lexical_diversity"),
+      stopwordRatio(t).as("stopword_ratio"),
+      langId(t).as("lang_pred"),
+      (tokenCount(t) >= 20 && (distinctTokenCount(t) / tokenCount(t)) >= 0.2)
+        .as("keep"))
+  }
+
+  /** Corpus rollup per (lang, source): doc/token/char totals and the mean
+    * document length. `safe_divide` semantics (null on zero denominator)
+    * via nullif, mirroring dbt_utils.safe_divide.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")) / nullif(count(lit(1)), lit(0))).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"))
+}

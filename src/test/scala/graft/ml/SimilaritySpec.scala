@@ -1,0 +1,88 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity checks: exact vs LSH agreement on planted duplicates,
+  * and plan assertions for the scale posture.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private def planted = {
+    import spark.implicits._
+    // 100 pseudo-random 8-dim vectors + an exact duplicate of vec 0 as id 100.
+    val base = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }
+    (base :+ ((100L, base.head._2))).toDF("vec_id", "embedding")
+  }
+
+  test("annTopK: planted exact duplicate is rank 1 with cosine 1") {
+    val r = Similarity.annTopK(
+      planted.filter(col("vec_id") > 0), planted.filter(col("vec_id") === 0), k = 3)
+      .collect()
+    assert(r.head.getAs[Long]("neighbor_id") == 100L)
+    assert(math.abs(r.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("annTopK matches a single-window top-k (two-stage salting is exact)") {
+    val em = Tables.embeddings(spark, sfDir)
+    val queries = em.filter(col("vec_id") < 5)
+    val corpus = em.filter(col("vec_id") >= 5)
+    val twoStage = Similarity.annTopK(corpus, queries, 4)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val single = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(q)
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qe"), col("ce")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 4)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(twoStage == single)
+  }
+
+  test("annTopK plan: broadcast, no CartesianProduct, no shuffle of the corpus scan") {
+    val em = Tables.embeddings(spark, sfDir)
+    val plan = Similarity.annTopK(em.filter(col("vec_id") >= 10),
+      em.filter(col("vec_id") < 10), 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected broadcast NLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
+  test("annTopKLsh finds the planted duplicate and is a subset-ranking of exact") {
+    val queries = planted.filter(col("vec_id") === 0)
+    val corpus = planted.filter(col("vec_id") > 0)
+    val approx = Similarity.annTopKLsh(corpus, queries, k = 3)
+    val top = approx.filter(col("rank") === 1).collect()
+    assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == 100L,
+      "identical vector must share every sign-LSH bucket and rank first")
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
+  test("cosineDupPairsLsh: planted identical pair surfaces; precision exact") {
+    val pairs = Similarity.cosineDupPairsLsh(planted, threshold = 0.95)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 100L)), s"planted dup missing from $got")
+    assert(pairs.filter(col("cosine") < 0.95).count() == 0)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
+  test("cosine is bit-stable and symmetric") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("b"), col("a")).as("ba")).head
+    assert(r.getDouble(0) == r.getDouble(1))
+    assert(math.abs(r.getDouble(0) - 10.0 / 14.0) < 1e-12)
+  }
+}
