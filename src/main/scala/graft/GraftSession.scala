@@ -55,6 +55,16 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // InferFiltersFromGenerate turns every explode(arr) into a pushable
+    // `size(arr) > 0` predicate. When `arr` is an expensive computed array
+    // (hashed shingles: per-token xxhash64 + n-gram transform), pushdown
+    // substitutes the WHOLE expression into a Filter at the scan — before
+    // any repartition — re-running the quadratic interpreted lambda once
+    // per row on a single input split. Our explodes are always over
+    // computed arrays, never over prunable source columns, so the rule
+    // only ever costs us; drop it.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -30,24 +30,35 @@ object Analytics {
         (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
 
-  /** Revenue rollup across the full dimension chain. Dims are broadcast —
-    * no shuffle of the lineitem fact except the final small agg.
+  /** Revenue rollup across the full dimension chain, sized for 100×:
+    * only the genuinely tiny dims (region ⋈ nation, ≤ a few hundred rows)
+    * are broadcast; customer is a normal shuffle join that AQE may
+    * broadcast when it happens to be small. The fact side is pre-aggregated
+    * at every step (per order, then per customer) so each join and shuffle
+    * moves the minimum number of rows — decimal partial sums keep the
+    * roll-up exact under any grouping order.
     */
   def revenueByRegion(region: DataFrame, nation: DataFrame, customer: DataFrame,
                       orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val custRegion = broadcast(
-      customer.select(col("c_custkey"), col("c_nationkey"))
-        .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-        .select(col("c_custkey"), col("r_name")))
-    lineitem.select(col("l_orderkey"), discPrice.as("disc_price"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(custRegion, col("o_custkey") === col("c_custkey"))
+    val natRegion = broadcast(
+      nation.select(col("n_nationkey"), col("n_regionkey"))
+        .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("r_name")))
+    val perOrder = lineitem.select(col("l_orderkey"), discPrice.as("disc_price"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("disc_price")).as("order_rev"), count(lit(1)).as("order_items"))
+    val perCust = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("order_rev")).as("cust_rev"), sum(col("order_items")).as("cust_items"))
+    perCust
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(natRegion, col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("r_name").as("region"))
-      .agg(sum(col("disc_price")).cast("double").as("revenue"),
-           count(lit(1)).as("n_items"))
+      .agg(sum(col("cust_rev")).cast("double").as("revenue"),
+           sum(col("cust_items")).as("n_items"))
   }
 
   /** Top-k customers by revenue; deterministic tiebreak on custkey. */
@@ -58,7 +69,10 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("disc_price")).cast("double").as("revenue"))
-      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+      // customer is NOT hinted broadcast (it grows with the data); the
+      // aggregate side is already one row per customer, so this is a
+      // balanced shuffle join — AQE may still broadcast it when small.
+      .join(customer.select(col("c_custkey"), col("c_name")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey").as("custkey"), col("c_name").as("name"), col("revenue"))
       .orderBy(col("revenue").desc, col("custkey"))
@@ -86,16 +100,27 @@ object Analytics {
       .filter(col("rn") <= 3).drop("rn")
   }
 
-  /** Symmetric difference of two key sets (the dbt_utils equality-test idiom,
-    * macros/generic_tests/equality.sql:143-159).
+  /** Generic symmetric difference (the dbt_utils equality-test idiom,
+    * macros/generic_tests/equality.sql:143-159). Fine for test-sized
+    * relations; for the key-partition use case prefer the single-pass
+    * conditional-agg plan in [[statusCustkeyDiff]].
     */
-  def statusCustkeyDiff(orders: DataFrame): DataFrame = {
-    val open = orders.filter(col("o_orderstatus") === "O")
-      .select(col("o_custkey").as("custkey")).distinct()
-    val done = orders.filter(col("o_orderstatus") === "F")
-      .select(col("o_custkey").as("custkey")).distinct()
-    open.except(done).unionAll(done.except(open))
-  }
+  def symmetricDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.except(b).unionAll(b.except(a))
+
+  /** Customers in exactly one of {open, finalized}: a single-pass
+    * conditional aggregation + XOR filter — one orders scan and one
+    * shuffle, vs. the 4-scan/4-shuffle EXCEPT formulation it replaces
+    * (same rows, since the symmetric difference of the two distinct key
+    * sets is exactly the keys present with one status but not the other).
+    */
+  def statusCustkeyDiff(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderstatus").isin("O", "F"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderstatus") === "O").as("has_open"),
+           max(col("o_orderstatus") === "F").as("has_final"))
+      .filter(col("has_open") =!= col("has_final"))
+      .select(col("custkey"))
 
   /** Pivot events: one column of exact spend per event type, per user. */
   def eventPivot(events: DataFrame, types: Seq[String]): DataFrame =

@@ -22,8 +22,18 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  /** documents/embeddings ship as ONE small parquet file per scale factor,
+    * i.e. one input split — which would serialize the CPU-heavy per-row
+    * operators (shingling, 64×minhash, cosine) onto a single core. Spread
+    * the rows across the cluster once on read; results are partitioning-
+    * independent by construction. At production scale the reader's input
+    * splits already provide this parallelism and the repartition is a
+    * cheap no-op relative to the per-document compute.
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
 
   /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark only
     * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (a long of nanos

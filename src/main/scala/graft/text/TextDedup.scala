@@ -39,21 +39,65 @@ object TextDedup {
     array_distinct(when(size(w) >= n, grams).otherwise(array().cast("array<string>")))
   }
 
-  /** MinHash signature: numHashes permutation-minimums, hash family
-    * h_j(s) = xxhash64(s, j). Row-local, no shuffle.
+  /** n-gram hashes over an ALREADY-MATERIALIZED token-hash array column.
+    *
+    * The token-hash array must be a real projected column, not a nested
+    * expression: Spark evaluates higher-order lambdas interpreted (no
+    * whole-stage codegen, no common-subexpression elimination), so a
+    * non-trivial expression referenced inside the lambda is re-computed on
+    * EVERY element access — nesting `transform(tokens, hash)` here made the
+    * pipeline quadratic in document length. Stage the arrays through
+    * `select`s instead (see [[shingleHashedDocs]]).
     */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleSet, s => xxhash64(s, j))))
+  def shingleHashesFromTokenHashes(tokenHashes: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(tokenHashes) - (n - 1)),
+      i => xxhash64((0 until n).map(j => element_at(tokenHashes, i + j)): _*))
+    array_distinct(
+      when(size(tokenHashes) >= n, grams).otherwise(array().cast("array<long>")))
+  }
 
-  /** LSH band keys: the signature is cut into numBands runs of rowsPerBand
-    * values; each run is hashed to one 64-bit bucket key. Two documents
-    * collide on a band iff their signatures agree on that whole run.
+  /** (id, sh) with sh = distinct hashed n-gram shingles — each token
+    * xxhash64'd once, each n-gram combining the n token hashes; no string
+    * concatenation, and all downstream ops (minhash, intersect/union) work
+    * on longs. Set-equivalent to [[shingles]] (64-bit collisions are
+    * negligible at any corpus size that fits a cluster) at a fraction of
+    * the cost. Intermediate arrays are staged as projected columns — see
+    * [[shingleHashesFromTokenHashes]] for why that matters.
     */
-  def bandKeys(signature: Column, numBands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(numBands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))).as("h")))
+  def shingleHashedDocs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        transform(tokens(col(textCol)), t => xxhash64(t)).as("__hw"))
+      .select(col("id"), shingleHashesFromTokenHashes(col("__hw"), n).as("sh"))
+
+  /** MinHash LSH band keys, relational formulation: explode shingles, then
+    * compute all numBands·rowsPerBand permutation minimums in a single
+    * codegen'd, map-side-combinable hash aggregation — min over the
+    * seed-salted hash family h_j(s) = xxhash64(s, j) — and fold each
+    * band's run of minimums into one 64-bit bucket key.
+    *
+    * This shape scales: one narrow explode (rows = Σ shingles), one
+    * groupBy(id) with partial aggregation, no interpreted higher-order
+    * lambdas in the hot path, full 64-bit hash domain (no saturation at
+    * corpus scale). Output: (id, bk struct<band:int, h:long>), numBands
+    * rows per document.
+    */
+  def minhashBands(shingleSets: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val nHashes = numBands * rowsPerBand
+    val mins: Seq[Column] = (0 until nHashes).map { j =>
+      min(xxhash64(col("s"), lit(j))).as(s"m$j")
+    }
+    shingleSets
+      .select(col("id"), explode(col("sh")).as("s"))
+      .groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), explode(array((0 until numBands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+            .map(j => col(s"m$j")): _*).as("h"))
+      }: _*)).as("bk"))
+  }
 
   /** Near-duplicate pairs (doc_a < doc_b) with exact shingle-set Jaccard >=
     * threshold, found via MinHash/LSH candidate generation + exact verify.
@@ -67,16 +111,19 @@ object TextDedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numBands: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol).cast("long").as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val banded = sh.select(col("id"),
-      explode(bandKeys(minhashSignature(col("sh"), numBands * rowsPerBand),
-        numBands, rowsPerBand)).as("bk"))
-    val cand = banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    val sh = shingleHashedDocs(docs, idCol, textCol, shingleN)
+    val banded = minhashBands(sh, numBands, rowsPerBand)
+    // Candidate pairs per bucket via groupBy + in-bucket expansion — one
+    // pass over the banded rows (a self-join would compute the whole
+    // minhash pipeline twice). Buckets are tiny by construction (band
+    // collisions ≈ near-dup groups); exact-dup explosions should be
+    // removed upstream with dropDuplicateContent first.
+    val cand = banded.groupBy(col("bk")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     cand
       .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

@@ -32,6 +32,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("q14/q15: customer is never hint-broadcast (only tiny dims are)") {
+    // With auto-broadcast disabled, only the explicit region/nation hint
+    // may broadcast; the customer join must degrade to a shuffle join —
+    // the plan shape that survives a 100× customer table.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val r14 = Analytics.revenueByRegion(
+        Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
+        Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+        Tables.lineitem(spark, sfDir)).queryExecution.executedPlan.toString
+      assert(r14.contains("BroadcastHashJoin"), s"dims not broadcast:\n$r14")
+      assert(r14.contains("SortMergeJoin") || r14.contains("ShuffledHashJoin"),
+        s"customer join should shuffle when broadcast is off:\n$r14")
+      val r15 = Analytics.topCustomers(Tables.customer(spark, sfDir),
+        Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir), 10)
+        .queryExecution.executedPlan.toString
+      assert(!r15.contains("BroadcastHashJoin"),
+        s"q15 has no tiny dim — nothing should broadcast when auto is off:\n$r15")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("statusCustkeyDiff single-pass plan equals the EXCEPT formulation") {
+    val o = Tables.orders(spark, sfDir)
+    val fast = Analytics.statusCustkeyDiff(o).collect().map(_.getLong(0)).toSet
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val fin = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val viaExcept = Analytics.symmetricDiff(open, fin)
+      .collect().map(_.getLong(0)).toSet
+    assert(fast == viaExcept)
+  }
+
   test("topCustomers is deterministic and ordered") {
     val t = Analytics.topCustomers(Tables.customer(spark, sfDir),
       Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir), 10).collect()
