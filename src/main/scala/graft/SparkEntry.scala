@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.pipeline.Medallion
-import graft.operators.Analytics
+import graft.operators.{Analytics, Relations}
 import graft.lake.Upsert
 import graft.text.{TextDedup, TextStats}
 import graft.ml.Similarity
@@ -97,6 +97,34 @@ object SparkEntry {
         Tables.documents(s, d).filter(col("text").contains("spark")))),
     "q31_fingerprint" -> ((s, d) =>
       TextDedup.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+    // ---- relation utilities, scalars, quality (SURVEY U1/O3/F-string/F-math/A5/W4) ----
+    "q32_union_relations" -> ((s, d) => Relations.unionRelations(Seq(
+      "orders" -> Tables.orders(s, d).select(
+        col("o_orderkey").as("order_id"), col("o_totalprice").as("amount"),
+        col("o_orderstatus").as("status")),
+      "lineitem" -> Tables.lineitem(s, d).select(
+        col("l_orderkey").as("order_id"), col("l_extendedprice").as("amount"),
+        col("l_linenumber").as("line_no"))))),
+    "q33_url_parse" -> ((s, d) => {
+      val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id"), lit("?lang="), col("lang"))
+      Tables.documents(s, d).select(col("doc_id"), url.as("url"),
+        Relations.urlHost(url).as("host"), Relations.urlPath(url).as("path"),
+        Relations.urlParameter(url, "lang").as("lang_param"))
+    }),
+    "q34_haversine" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      n.select(col("n_nationkey"),
+        round(Relations.haversineKm(
+          col("n_nationkey") * 7 - 84, col("n_nationkey") * 13 - 150,
+          col("n_regionkey") * 30 - 60, col("n_regionkey") * 40 - 100), 3).as("km"))
+    }),
+    "q35_pagination" -> ((s, d) => Relations.paginate(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Seq(col("o_orderkey")), 100, 20)),
+    "q36_minute_gaps" -> ((s, d) => Analytics.minuteGaps(Tables.events(s, d))),
+    "q37_quality_report" -> ((s, d) =>
+      graft.quality.Checks.qualityReport(Tables.events(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -318,5 +346,47 @@ object SparkEntry {
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               UNNEST(range(1, len(w) + 1)) t(i)
          GROUP BY doc_id""",
+    "q32_union_relations" ->
+      """SELECT o_orderkey AS order_id, o_totalprice AS amount,
+         o_orderstatus AS status, CAST(NULL AS INTEGER) AS line_no,
+         'orders' AS _source_relation FROM orders
+         UNION ALL
+         SELECT l_orderkey, l_extendedprice, CAST(NULL AS VARCHAR),
+         l_linenumber, 'lineitem' FROM lineitem""",
+    "q33_url_parse" ->
+      """SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || doc_id || '?lang=' || lang AS url,
+         source || '.example.com' AS host,
+         '/docs/' || doc_id AS path,
+         lang AS lang_param
+         FROM documents""",
+    "q34_haversine" ->
+      """SELECT n_nationkey,
+         round(2 * 6371.0 * asin(sqrt(
+           power(sin(radians((n_regionkey * 30 - 60) - (n_nationkey * 7 - 84)) / 2), 2) +
+           cos(radians(n_nationkey * 7 - 84)) * cos(radians(n_regionkey * 30 - 60)) *
+           power(sin(radians((n_regionkey * 40 - 100) - (n_nationkey * 13 - 150)) / 2), 2))), 3) AS km
+         FROM nation""",
+    "q35_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_orderkey OFFSET 100 LIMIT 20""",
+    "q36_minute_gaps" ->
+      """WITH fct AS (
+           SELECT epoch_us(date_trunc('minute', ts)) AS minute_bucket_us
+           FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1),
+         seq AS (SELECT minute_bucket_us,
+                   lead(minute_bucket_us) OVER (ORDER BY minute_bucket_us) AS next_bucket
+                 FROM fct)
+         SELECT minute_bucket_us, next_bucket,
+           CAST((next_bucket - minute_bucket_us) / 60000000 AS BIGINT) AS gap_minutes
+         FROM seq
+         WHERE next_bucket IS NOT NULL AND next_bucket != minute_bucket_us + 60000000""",
+    "q37_quality_report" ->
+      """SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+         COUNT(*) - COUNT(DISTINCT event_id) AS dup_event_ids,
+         CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_values,
+         COUNT(DISTINCT event_type) AS n_event_types
+         FROM events""",
   )
 }

@@ -179,6 +179,24 @@ object Analytics {
       sha2(concat_ws(":", col("event_type"), col("user_id"), col("event_id")), 256).as("event_key"),
       md5(concat_ws("-", col("user_id"), col("event_id"))).as("surrogate"))
 
+  /** Minute buckets followed by a gap (lead-based range check, the
+    * mutually_exclusive_ranges/sequential_values window idiom — W4). The
+    * input is the already-aggregated gold fact, so the single global
+    * window is over a bounded, small relation.
+    */
+  def minuteGaps(events: DataFrame): DataFrame = {
+    val fct = graft.pipeline.Medallion.salesMinute(events)
+    val w = Window.orderBy(col("minute_bucket_us"))
+    fct
+      .select(col("minute_bucket_us"),
+        lead(col("minute_bucket_us"), 1).over(w).as("next_bucket"))
+      .filter(col("next_bucket").isNotNull &&
+        col("next_bucket") =!= col("minute_bucket_us") + 60000000L)
+      .select(col("minute_bucket_us"), col("next_bucket"),
+        ((col("next_bucket") - col("minute_bucket_us")) / 60000000L)
+          .cast("long").as("gap_minutes"))
+  }
+
   /** Histogram of customer balances (width_bucket idiom,
     * macros/sql/width_bucket.sql) with explicit, engine-portable arithmetic.
     */

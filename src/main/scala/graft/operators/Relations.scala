@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relation-level utilities and the remaining dbt_utils scalar surface:
+  * union_relations, pagination, safe_divide, URL parsing, haversine.
+  */
+object Relations {
+
+  /** dbt_utils `union_relations` (macros/sql/union.sql:5-128): UNION ALL
+    * over the column SUPERSET — each relation contributes its own columns,
+    * missing ones are null-filled with the type from whichever relation
+    * defines them, and a `_source_relation` lineage column records
+    * provenance. Column order follows first appearance across inputs.
+    */
+  def unionRelations(relations: Seq[(String, DataFrame)]): DataFrame = {
+    require(relations.nonEmpty, "unionRelations of nothing")
+    val superset: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      relations.flatMap { case (_, df) => df.schema.map(f => f.name -> f.dataType) }
+        .foldLeft(Vector.empty[(String, org.apache.spark.sql.types.DataType)]) {
+          case (acc, (n, t)) => if (acc.exists(_._1 == n)) acc else acc :+ (n -> t)
+        }
+    relations.map { case (name, df) =>
+      val present = df.columns.toSet
+      df.select(superset.map { case (n, t) =>
+        if (present(n)) col(n) else lit(null).cast(t).as(n)
+      } :+ lit(name).as("_source_relation"): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Keyset-free pagination (services/catalog/app/api/products.py:20-34):
+    * a total order (tiebroken by the caller's sort columns) + offset/limit.
+    * Spark plans this as a global sort + skip — fine for page-sized
+    * offsets; deep pagination should switch to a keyset predicate.
+    */
+  def paginate(df: DataFrame, sortCols: Seq[Column], offset: Int, limit: Int): DataFrame =
+    df.orderBy(sortCols: _*).offset(offset).limit(limit)
+
+  /** dbt_utils `safe_divide`: null (not an error) on zero/null denominator. */
+  def safeDivide(num: Column, den: Column): Column = num / nullif(den, lit(0))
+
+  /** dbt_utils URL helpers (macros/web/get_url_host.sql:5-27 etc.) via
+    * Spark's codegen'd parse_url.
+    */
+  def urlHost(url: Column): Column = parse_url(url, lit("HOST"))
+  def urlPath(url: Column): Column = parse_url(url, lit("PATH"))
+  def urlParameter(url: Column, name: String): Column =
+    parse_url(url, lit("QUERY"), lit(name))
+
+  /** dbt_utils `haversine_distance` (macros/sql/haversine_distance.sql:17-29),
+    * great-circle km from degree coordinates — all codegen'd built-ins.
+    */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * 6371.0) * asin(sqrt(a))
+  }
+}

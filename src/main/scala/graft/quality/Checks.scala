@@ -1,0 +1,119 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable data-quality combinators — the dbt generic-test surface
+  * (models/gold/schema.yml:4-20 and the dbt_packages/dbt_utils
+  * generic_tests macros) as `DataFrame => Either[String, Unit]`: Left carries a
+  * violation description with counts, Right means the contract holds.
+  *
+  * Every check is a single aggregate or windowed scan — no collects of row
+  * sets, so they run at table scale as cheaply as the queries they guard.
+  */
+object Checks {
+
+  private def violation(df: DataFrame, what: String): Either[String, Unit] = {
+    val n = df.limit(1000000).count()
+    if (n == 0) Right(()) else Left(s"$what: $n violating row(s)")
+  }
+
+  /** dbt `not_null`. */
+  def notNull(df: DataFrame, column: String): Either[String, Unit] =
+    violation(df.filter(col(column).isNull), s"not_null($column)")
+
+  /** dbt `unique` / dbt_utils `unique_combination_of_columns`. */
+  def unique(df: DataFrame, columns: String*): Either[String, Unit] =
+    violation(
+      df.groupBy(columns.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1),
+      s"unique(${columns.mkString(",")})")
+
+  /** dbt `accepted_values`. */
+  def acceptedValues(df: DataFrame, column: String,
+                     values: Seq[String]): Either[String, Unit] =
+    violation(df.filter(!col(column).isin(values: _*) || col(column).isNull),
+      s"accepted_values($column)")
+
+  /** dbt_utils `not_empty_string`. */
+  def notEmptyString(df: DataFrame, column: String): Either[String, Unit] =
+    violation(df.filter(trim(col(column)) === ""), s"not_empty_string($column)")
+
+  /** dbt `relationships` / dbt_utils `relationships_where`: every child key
+    * resolves in the parent (left-anti must be empty).
+    */
+  def relationships(child: DataFrame, childKey: String,
+                    parent: DataFrame, parentKey: String): Either[String, Unit] =
+    violation(
+      child.filter(col(childKey).isNotNull)
+        .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti"),
+      s"relationships($childKey -> $parentKey)")
+
+  /** dbt_utils `equal_rowcount`. */
+  def equalRowcount(a: DataFrame, b: DataFrame): Either[String, Unit] = {
+    val (na, nb) = (a.count(), b.count())
+    if (na == nb) Right(()) else Left(s"equal_rowcount: $na vs $nb")
+  }
+
+  /** dbt_utils `not_null_proportion`: at least `atLeast` of rows non-null. */
+  def notNullProportion(df: DataFrame, column: String,
+                        atLeast: Double): Either[String, Unit] = {
+    val r = df.agg(
+      (count(col(column)) / count(lit(1))).as("p")).head
+    val p = if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+    if (p >= atLeast) Right(())
+    else Left(f"not_null_proportion($column): $p%.4f < $atLeast%.4f")
+  }
+
+  /** dbt_utils `recency`: newest `tsCol` within `maxAgeUs` of `nowUs`. */
+  def recency(df: DataFrame, tsCol: String, maxAgeUs: Long,
+              nowUs: Long): Either[String, Unit] = {
+    val r = df.agg(max(col(tsCol))).head
+    if (r.isNullAt(0)) Left(s"recency($tsCol): relation is empty")
+    else {
+      val age = nowUs - r.getLong(0)
+      if (age <= maxAgeUs) Right(())
+      else Left(s"recency($tsCol): stale by ${age - maxAgeUs} us")
+    }
+  }
+
+  /** dbt_utils `sequential_values` (lag-based, W3): within each partition,
+    * ordered `column` advances by exactly `step`.
+    */
+  def sequentialValues(df: DataFrame, column: String, step: Long,
+                       partitionBy: Seq[String] = Nil): Either[String, Unit] = {
+    val w = (if (partitionBy.isEmpty) Window.partitionBy(lit(1))
+             else Window.partitionBy(partitionBy.map(col): _*))
+      .orderBy(col(column))
+    violation(
+      df.withColumn("__prev", lag(col(column), 1).over(w))
+        .filter(col("__prev").isNotNull && col(column) =!= col("__prev") + step),
+      s"sequential_values($column, $step)")
+  }
+
+  /** dbt_utils `mutually_exclusive_ranges` (lead-based, W4): [lower, upper)
+    * ranges within a partition must not overlap (next lower >= this upper).
+    */
+  def mutuallyExclusiveRanges(df: DataFrame, lower: String, upper: String,
+                              partitionBy: Seq[String] = Nil): Either[String, Unit] = {
+    val w = (if (partitionBy.isEmpty) Window.partitionBy(lit(1))
+             else Window.partitionBy(partitionBy.map(col): _*))
+      .orderBy(col(lower), col(upper))
+    violation(
+      df.withColumn("__next_lower", lead(col(lower), 1).over(w))
+        .filter(col("__next_lower").isNotNull && col("__next_lower") < col(upper)),
+      s"mutually_exclusive_ranges($lower, $upper)")
+  }
+
+  /** One-scan quality rollup over the event stream — the aggregate form of
+    * the row-level checks, cheap enough to run on every batch.
+    */
+  def qualityReport(events: DataFrame): DataFrame =
+    events.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user_id"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_event_ids"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("negative_values"),
+      countDistinct(col("event_type")).as("n_event_types"))
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unionRelations null-fills the column superset and stamps lineage") {
+    val a = Seq((1L, "x")).toDF("id", "only_a")
+    val b = Seq((2L, 3.5)).toDF("id", "only_b")
+    val u = Relations.unionRelations(Seq("a" -> a, "b" -> b))
+    assert(u.columns.toSeq == Seq("id", "only_a", "only_b", "_source_relation"))
+    val rows = u.orderBy("id").collect()
+    assert(rows(0).getString(1) == "x" && rows(0).isNullAt(2)
+      && rows(0).getString(3) == "a")
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 3.5
+      && rows(1).getString(3) == "b")
+  }
+
+  test("paginate returns the requested stable page") {
+    val df = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    val page = Relations.paginate(df, Seq(col("id")), 10, 5).collect()
+    assert(page.map(_.getLong(0)).toSeq == Seq(11L, 12L, 13L, 14L, 15L))
+  }
+
+  test("safeDivide yields null on zero denominator, not an error") {
+    val r = Seq((10.0, 2.0), (1.0, 0.0)).toDF("a", "b")
+      .select(Relations.safeDivide(col("a"), col("b")).as("q")).collect()
+    assert(r(0).getDouble(0) == 5.0 && r(1).isNullAt(0))
+  }
+
+  test("url helpers parse host/path/parameter") {
+    val r = Seq("https://shop.example.com/p/42?ref=mail&x=1").toDF("u")
+      .select(Relations.urlHost(col("u")), Relations.urlPath(col("u")),
+        Relations.urlParameter(col("u"), "ref")).head
+    assert(r.getString(0) == "shop.example.com")
+    assert(r.getString(1) == "/p/42")
+    assert(r.getString(2) == "mail")
+  }
+
+  test("haversineKm matches a known great-circle distance") {
+    // Paris (48.8566, 2.3522) to Berlin (52.52, 13.405) ≈ 877-878 km
+    val km = Seq((48.8566, 2.3522, 52.52, 13.405)).toDF("la1", "lo1", "la2", "lo2")
+      .select(Relations.haversineKm(col("la1"), col("lo1"), col("la2"), col("lo2")))
+      .head.getDouble(0)
+    assert(math.abs(km - 877.5) < 2.0, s"got $km")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.quality
+
+import graft.SparkSpec
+import graft.pipeline.Medallion
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Quality combinators: each check passes on conforming data, fails with a
+  * counted violation on planted bad rows, and the suite guards the gold
+  * output the way dbt schema tests guard the reference's.
+  */
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gold fct_sales_minute satisfies the reference's schema tests") {
+    val fct = Medallion.salesMinute(Tables.events(spark, sfDir))
+    assert(Checks.notNull(fct, "minute_bucket_us").isRight)
+    assert(Checks.notNull(fct, "gmv").isRight)
+    assert(Checks.unique(fct, "minute_bucket_us").isRight)
+    assert(Checks.notNullProportion(fct, "paid_orders", 1.0).isRight)
+  }
+
+  test("unique and notNull flag planted duplicates and nulls with counts") {
+    val df = Seq((1, "a"), (1, "b"), (2, null)).toDF("k", "v")
+    assert(Checks.unique(df, "k").swap.exists(_.contains("1 violating")))
+    assert(Checks.notNull(df, "v").swap.exists(_.contains("1 violating")))
+    assert(Checks.unique(df, "k", "v").isRight)
+  }
+
+  test("acceptedValues / notEmptyString") {
+    val df = Seq("click", "view", " ", "weird").toDF("t")
+    assert(Checks.acceptedValues(df, "t", Seq("click", "view")).swap
+      .exists(_.contains("2 violating")))
+    assert(Checks.notEmptyString(df, "t").swap.exists(_.contains("1 violating")))
+  }
+
+  test("relationships: every event user resolves against its user set; orphan flagged") {
+    val ev = Tables.events(spark, sfDir)
+    val users = ev.select(col("user_id")).distinct()
+    assert(Checks.relationships(ev, "user_id", users, "user_id").isRight)
+    val orphan = Seq(999999L).toDF("user_id")
+    assert(Checks.relationships(orphan, "user_id", users, "user_id").isLeft)
+  }
+
+  test("equalRowcount and recency") {
+    val ev = Tables.events(spark, sfDir)
+    assert(Checks.equalRowcount(ev, ev).isRight)
+    assert(Checks.equalRowcount(ev, ev.limit(5)).isLeft)
+    val maxTs = ev.agg(max(col("event_ts_us"))).head.getLong(0)
+    assert(Checks.recency(ev, "event_ts_us", 1000L, maxTs).isRight)
+    assert(Checks.recency(ev, "event_ts_us", 999L, maxTs + 2000L).isLeft)
+  }
+
+  test("sequentialValues (lag, W3) on a dense and a gapped series") {
+    val dense = (0L until 10L).map(i => (i * 60, "x")).toDF("t", "p")
+    assert(Checks.sequentialValues(dense, "t", 60).isRight)
+    val gapped = Seq((0L, "x"), (60L, "x"), (180L, "x")).toDF("t", "p")
+    assert(Checks.sequentialValues(gapped, "t", 60).swap
+      .exists(_.contains("1 violating")))
+  }
+
+  test("mutuallyExclusiveRanges (lead, W4) detects the overlap") {
+    val ok = Seq((0, 10), (10, 20), (25, 30)).toDF("lo", "hi")
+    assert(Checks.mutuallyExclusiveRanges(ok, "lo", "hi").isRight)
+    val bad = Seq((0, 10), (5, 20)).toDF("lo", "hi")
+    assert(Checks.mutuallyExclusiveRanges(bad, "lo", "hi").swap
+      .exists(_.contains("1 violating")))
+  }
+
+  test("qualityReport counts rows/nulls/dups/negatives in one scan") {
+    val r = Checks.qualityReport(Tables.events(spark, sfDir)).head
+    assert(r.getAs[Long]("n_rows") > 0)
+    assert(r.getAs[Long]("dup_event_ids") == 0L)
+    assert(r.getAs[Long]("n_event_types") == 5L)
+  }
+}
