@@ -1,23 +1,37 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
-  * Each query is forced with a count() (no collect of full results).
+  *
+  * Forcing: every result column is consumed via xxhash64-of-struct folded
+  * with bit_xor — a count() would let Catalyst prune projection-only
+  * queries down to a scan-count and under-measure them. Failures are
+  * reported in a `failed` array (their timings are excluded from the
+  * total) so a broken query can't masquerade as a fast one.
   */
 object Bench {
 
   /** Headline set — the queries that exercise the scan/shuffle/join paths
-    * that dominate at scale. Brute-force O(n²) variants are excluded here
-    * (their LSH-bucketed versions are the scale path).
+    * that dominate at scale.
     */
   val headline: Seq[String] = Seq(
     "q01_bronze_project", "q02_dedup_latest", "q04_user_spend", "q05_enrich",
     "q07_fct_sales_minute", "q10_upsert_idempotent", "q13_pricing_summary",
     "q14_revenue_by_region", "q15_top_customers", "q16_running_spend",
     "q19_event_pivot", "q21_minute_spine", "q22_hash_keys",
+    "q24_neardup_pairs", "q25_ann_topk", "q27_doc_dedup", "q28_item_grain",
   )
+
+  /** Evaluate every column of every row (no collect of the result set). */
+  private def force(df: DataFrame): Unit = {
+    val hashed = df.select(
+      xxhash64(struct(df.columns.map(col).toSeq: _*)).as("__h"))
+    hashed.agg(expr("bit_xor(__h)")).head
+    ()
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,14 +44,19 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { force(qs(name)(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qjson = results.collect { case (k, v, true) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

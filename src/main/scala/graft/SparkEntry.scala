@@ -140,8 +140,10 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY user_id, event_type
              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1""",
+    // TRY_CAST: Spark's permissive from_json nulls malformed/non-int
+    // payloads; a plain CAST oracle would error where Spark yields null.
     "q03_parse_props" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events""",
+      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events""",
     "q04_user_spend" ->
       """SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS paid_amount,
          MAX(epoch_us(ts)) AS last_purchase_us, COUNT(*) AS n_purchases
@@ -183,9 +185,22 @@ object SparkEntry {
            FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1)
          SELECT * FROM fct
          WHERE minute_bucket_us >= (SELECT MAX(minute_bucket_us) - 3600000000 FROM fct)""",
+    // The oracle mirrors the merge semantics structurally (latest-wins
+    // window over the source, anti-join against the target) rather than
+    // relying on event_id uniqueness in the testdata.
     "q10_upsert_idempotent" ->
-      """SELECT event_id, epoch_us(ts) AS event_ts_us, value FROM events
-         WHERE event_id % 3 = 0 OR event_id % 2 = 0""",
+      """WITH target AS (
+           SELECT event_id, epoch_us(ts) AS event_ts_us, value FROM events
+           WHERE event_id % 3 = 0),
+         src AS (
+           SELECT event_id, event_ts_us, value FROM (
+             SELECT event_id, epoch_us(ts) AS event_ts_us, value,
+               row_number() OVER (PARTITION BY event_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1)
+         SELECT * FROM target WHERE event_id NOT IN (SELECT event_id FROM src)
+         UNION ALL SELECT * FROM src""",
     "q11_freshness" ->
       """SELECT event_type, MAX(epoch_us(ts)) AS max_ts_us, COUNT(*) AS n
          FROM events GROUP BY event_type""",

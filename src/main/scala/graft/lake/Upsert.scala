@@ -51,22 +51,51 @@ object Upsert {
       .drop(precedence)
   }
 
-  /** Durable upsert into a Parquet directory with an atomic swap: write the
-    * merged result to `<path>.__tmp`, then move it over `path`. Readers see
-    * either the old or the new table, never a partial write. On a real
-    * cluster the same pattern works against an object store via a rename-
-    * capable committer or a metastore location flip.
+  /** Durable upsert into a Parquet directory, crash-safe at every step:
+    *
+    *  1. write the merged result to `<path>.__tmp`;
+    *  2. rename the live table aside (`path` → `<path>.__old`);
+    *  3. ATOMIC_MOVE `__tmp` → `path`;
+    *  4. delete `__old`.
+    *
+    * A crash between any two steps leaves a state [[recover]] can heal:
+    * the live table is never deleted before its replacement is in place
+    * (the delete-then-move it replaces lost the table permanently on a
+    * crash in the gap). On a real cluster the same pattern is a metastore
+    * location flip or a rename-capable committer against the object store.
     */
   def mergeIntoPath(spark: org.apache.spark.sql.SparkSession, path: String,
                     source: DataFrame, keys: Seq[String], ordering: Seq[String]): Unit = {
+    recover(path)
     val p = Paths.get(path)
     val merged =
       if (Files.exists(p)) merge(spark.read.parquet(path), source, keys, ordering)
       else latestWins(source, keys, ordering)
-    val tmp = path + ".__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    deleteRecursively(p)
-    Files.move(Paths.get(tmp), p, StandardCopyOption.ATOMIC_MOVE)
+    val tmp = Paths.get(path + ".__tmp")
+    val old = Paths.get(path + ".__old")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (Files.exists(p)) Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  /** Heal a table directory after a crashed [[mergeIntoPath]]:
+    *  - `path` present → any `__tmp`/`__old` leftovers are stale; drop them;
+    *  - `path` absent but `__old` present (crash between steps 2 and 3) →
+    *    restore `__old` as the live table, drop a possibly-partial `__tmp`;
+    *  - only `__tmp` present → a first-write crash mid-write; drop it
+    *    (the write never committed).
+    * Idempotent; callers that read outside mergeIntoPath should run it
+    * first if a crash may have intervened.
+    */
+  def recover(path: String): Unit = {
+    val p = Paths.get(path)
+    val tmp = Paths.get(path + ".__tmp")
+    val old = Paths.get(path + ".__old")
+    if (!Files.exists(p) && Files.exists(old))
+      Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(tmp)
+    deleteRecursively(old)
   }
 
   private def deleteRecursively(p: Path): Unit =

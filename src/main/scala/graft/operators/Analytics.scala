@@ -141,6 +141,8 @@ object Analytics {
   def minuteSpine(events: DataFrame): DataFrame = {
     val fct = graft.pipeline.Medallion.salesMinute(events)
     val bounds = fct.agg(min(col("minute_bucket_us")), max(col("minute_bucket_us"))).head
+    if (bounds.isNullAt(0))
+      return fct.select(col("minute_bucket_us"), col("gmv"), col("paid_orders")).limit(0)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val spine = fct.sparkSession.range(1)
       .select(explode(sequence(lit(lo), lit(hi), lit(60L * 1000000L))).as("minute_bucket_us"))

@@ -94,8 +94,9 @@ object Medallion {
     * aggregate — one cheap pre-pass, then a pushed-down range filter.
     */
   def salesMinuteIncremental(events: DataFrame, lookbackUs: Long): DataFrame = {
-    val cutoff = events.agg(max(col("event_ts_us")) - lookbackUs).head.getLong(0)
-    salesMinute(events.filter(col("event_ts_us") >= cutoff))
+    val row = events.agg(max(col("event_ts_us")) - lookbackUs).head
+    if (row.isNullAt(0)) salesMinute(events).limit(0)
+    else salesMinute(events.filter(col("event_ts_us") >= row.getLong(0)))
   }
 
   /** vw_sales_last_60min (vw_sales_last_60min.sql:1-6), window relative to the
@@ -103,8 +104,10 @@ object Medallion {
     */
   def salesLastNMinutes(events: DataFrame, minutes: Int): DataFrame = {
     val fct = salesMinute(events)
-    val maxBucket = fct.agg(max(col("minute_bucket_us"))).head.getLong(0)
-    fct.filter(col("minute_bucket_us") >= maxBucket - minutes.toLong * 60L * 1000000L)
+    val row = fct.agg(max(col("minute_bucket_us"))).head
+    if (row.isNullAt(0)) fct.limit(0)
+    else fct.filter(
+      col("minute_bucket_us") >= row.getLong(0) - minutes.toLong * 60L * 1000000L)
   }
 
   /** Top-k minutes by GMV (README.md:160-162), bucket as the unique tiebreak. */
