@@ -125,6 +125,15 @@ object SparkEntry {
     "q36_minute_gaps" -> ((s, d) => Analytics.minuteGaps(Tables.events(s, d))),
     "q37_quality_report" -> ((s, d) =>
       graft.quality.Checks.qualityReport(Tables.events(s, d))),
+    // S7: view registration + the SQL entry point — the Trino
+    // CREATE OR REPLACE VIEW flavor (trino_bootstrap_views.py:54-72)
+    // consumed through spark.sql.
+    "q38_enrich_via_view" -> ((s, d) => {
+      Medallion.enrichView(Tables.orders(s, d), Tables.lineitem(s, d))
+        .createOrReplaceTempView("order_payments_enriched")
+      s.sql("""SELECT order_id, order_status, total_amount, paid_amount, event_date
+               FROM order_payments_enriched WHERE fully_paid""")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -403,5 +412,14 @@ object SparkEntry {
          CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_values,
          COUNT(DISTINCT event_type) AS n_event_types
          FROM events""",
+    "q38_enrich_via_view" ->
+      """SELECT o.o_orderkey AS order_id, o.o_orderstatus AS order_status,
+         o.o_totalprice AS total_amount,
+         CAST(COALESCE(p.paid_amount, 0.0) AS DOUBLE) AS paid_amount,
+         CAST(o.o_orderdate AS DATE) AS event_date
+         FROM orders o LEFT JOIN (
+           SELECT l_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS paid_amount
+           FROM lineitem GROUP BY l_orderkey) p ON p.l_orderkey = o.o_orderkey
+         WHERE COALESCE(p.paid_amount, 0.0) >= o.o_totalprice""",
   )
 }

@@ -40,6 +40,17 @@ object Relations {
   /** dbt_utils `safe_divide`: null (not an error) on zero/null denominator. */
   def safeDivide(num: Column, den: Column): Column = num / nullif(den, lit(0))
 
+  /** dbt_utils `safe_add` / `safe_subtract`: null-as-zero element
+    * arithmetic that still yields null when EVERY operand is null.
+    */
+  def safeAdd(cols: Column*): Column =
+    when(cols.map(_.isNull).reduce(_ && _), lit(null))
+      .otherwise(cols.map(coalesce(_, lit(0))).reduce(_ + _))
+
+  def safeSubtract(a: Column, b: Column): Column =
+    when(a.isNull && b.isNull, lit(null))
+      .otherwise(coalesce(a, lit(0)) - coalesce(b, lit(0)))
+
   /** dbt_utils URL helpers (macros/web/get_url_host.sql:5-27 etc.) via
     * Spark's codegen'd parse_url.
     */

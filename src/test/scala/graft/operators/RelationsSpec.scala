@@ -39,6 +39,17 @@ class RelationsSpec extends SparkSpec {
     assert(r.getString(2) == "mail")
   }
 
+  test("safeAdd/safeSubtract treat nulls as zero unless all-null") {
+    val r = Seq((Some(1.0), Some(2.0)), (None, Some(3.0)),
+      (None: Option[Double], None: Option[Double]))
+      .toDF("a", "b")
+      .select(Relations.safeAdd(col("a"), col("b")).as("s"),
+        Relations.safeSubtract(col("a"), col("b")).as("d")).collect()
+    assert(r(0).getDouble(0) == 3.0 && r(0).getDouble(1) == -1.0)
+    assert(r(1).getDouble(0) == 3.0 && r(1).getDouble(1) == -3.0)
+    assert(r(2).isNullAt(0) && r(2).isNullAt(1))
+  }
+
   test("haversineKm matches a known great-circle distance") {
     // Paris (48.8566, 2.3522) to Berlin (52.52, 13.405) ≈ 877-878 km
     val km = Seq((48.8566, 2.3522, 52.52, 13.405)).toDF("la1", "lo1", "la2", "lo2")
