@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.lake.Upsert
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Streaming continuations of the medallion: bronze stream → silver merge
+  * via foreachBatch (the streaming face of the reference's 5-minute batch
+  * MERGE jobs), and a watermarked streaming gold aggregate (the
+  * Structured-Streaming-native alternative to the 2 h lookback — SURVEY
+  * §2.9 "optional watermark path").
+  */
+object SilverStream {
+
+  /** Bronze stream → idempotent silver upsert, one [[Upsert.mergeIntoPath]]
+    * per micro-batch. Exactly-once lands on the idempotence of the merge:
+    * a replayed micro-batch (failure/restart) rewrites the same keys with
+    * the same rows. This is the streaming twin of silver_orders.py:72-79.
+    */
+  def mergeStream(bronze: DataFrame, path: String, checkpoint: String,
+                  keys: Seq[String], ordering: Seq[String],
+                  trigger: Trigger = BronzeIngest.DefaultTrigger): StreamingQuery =
+    bronze.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Upsert.mergeIntoPath(batch.sparkSession, path, batch, keys, ordering)
+      }
+      .start()
+
+  /** Watermarked streaming gold: per-minute GMV over paid events with a
+    * 2-hour late-data horizon — events later than the watermark are
+    * dropped, within it they update their bucket, mirroring the batch
+    * incremental's 2 h lookback contract (fct_sales_minute.sql:35-40).
+    * Append mode: a bucket emits once its window is older than the
+    * watermark, i.e. results are final.
+    */
+  def goldSalesMinuteStream(events: DataFrame,
+                            lateness: String = "2 hours"): DataFrame =
+    events
+      .filter(col("event_type") === "purchase" && col("event_ts").isNotNull)
+      .withWatermark("event_ts", lateness)
+      .groupBy(window(col("event_ts"), "1 minute").as("w"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("gmv"),
+           count(lit(1)).as("paid_orders"))
+      .select(unix_micros(col("w.start")).as("minute_bucket_us"),
+        col("gmv"), col("paid_orders"))
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pipeline.Medallion
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, user_id: Long, event_type: String,
+              value: Double, event_ts: Timestamp, event_ts_us: Long)
+
+/** Streaming silver merge (foreachBatch) and watermarked gold: replayed
+  * batches stay idempotent; late data updates within the horizon and is
+  * dropped beyond it.
+  */
+class SilverStreamSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, v: Double, ts: String): Ev = {
+    val T = Timestamp.valueOf(ts)
+    Ev(id, id % 5, t, v, T, T.getTime * 1000L)
+  }
+
+  test("foreachBatch silver merge is idempotent across replayed batches") {
+    val dir = Files.createTempDirectory("graft-silver").toString
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = SilverStream.mergeStream(input.toDF(), s"$dir/t", s"$dir/ckpt",
+      keys = Seq("event_id"), ordering = Seq("event_ts_us", "event_id"),
+      trigger = Trigger.ProcessingTime(0))
+    val batch1 = Seq(
+      ev(1, "purchase", 10.0, "2024-01-01 01:00:00"),
+      ev(2, "purchase", 20.0, "2024-01-01 01:01:00"))
+    input.addData(batch1)
+    q.processAllAvailable()
+    // replay batch1 (duplicate delivery) + a newer version of key 2
+    input.addData(batch1 :+ ev(2, "purchase", 25.0, "2024-01-01 01:05:00"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$dir/t").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+    assert(rows == Map(1L -> 10.0, 2L -> 25.0),
+      s"latest-wins merge violated: $rows")
+  }
+
+  test("watermarked gold emits final minute buckets; too-late events are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val gold = SilverStream.goldSalesMinuteStream(input.toDF(), lateness = "2 hours")
+    val q = gold.writeStream.format("memory").queryName("gold_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(Seq(
+      ev(1, "purchase", 10.0, "2024-01-01 01:00:10"),
+      ev(2, "purchase", 5.0, "2024-01-01 01:00:40"),
+      ev(3, "purchase", 7.0, "2024-01-01 02:30:00")))
+    q.processAllAvailable()
+    // 1h-late event: inside the 2h horizon → must still count.
+    // 6h-late event: beyond the watermark → dropped.
+    input.addData(Seq(
+      ev(4, "purchase", 3.0, "2024-01-01 01:30:00"),
+      ev(5, "purchase", 99.0, "2023-12-31 20:00:00"),
+      // advance event time far enough to close every window above
+      ev(6, "purchase", 1.0, "2024-01-01 09:00:00")))
+    q.processAllAvailable()
+    input.addData(Seq(ev(7, "purchase", 1.0, "2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("gold_stream").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+    assert(out(us("2024-01-01 01:00:00")) == 15.0)
+    assert(out(us("2024-01-01 01:30:00")) == 3.0, "1h-late event must land")
+    assert(!out.contains(us("2023-12-31 20:00:00")), "6h-late event must drop")
+    assert(out(us("2024-01-01 02:30:00")) == 7.0)
+  }
+
+  test("watermarked gold agrees with the batch gold on on-time data") {
+    import spark.implicits._
+    val evs = Seq(
+      ev(1, "purchase", 10.0, "2024-01-01 01:00:10"),
+      ev(2, "purchase", 5.0, "2024-01-01 01:00:40"),
+      ev(3, "view", 3.0, "2024-01-01 01:00:50"),
+      ev(4, "purchase", 7.0, "2024-01-01 02:30:00"))
+    val batch = Medallion.salesMinute(evs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = SilverStream.goldSalesMinuteStream(input.toDF())
+      .writeStream.format("memory").queryName("gold_parity")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(evs)
+    q.processAllAvailable()
+    input.addData(Seq(ev(9, "purchase", 1.0, "2024-01-02 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("gold_parity")
+      .filter(col("minute_bucket_us") < Timestamp.valueOf("2024-01-02 00:00:00").getTime * 1000L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(stream == batch, s"stream $stream vs batch $batch")
+  }
+}
