@@ -124,6 +124,54 @@ object Similarity {
       acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
     })
 
+  /** Deterministic pseudo-random centroid component for the IVF index:
+    * cell `c`, dimension `d` — hash-derived, so the "index" needs no
+    * training pass and assignments are reproducible across runs.
+    */
+  private def centroidAt(c: Column, d: Column): Column =
+    pmod(xxhash64(lit("graft-ivf"), c, d), lit(2000003L)).cast("double") / 1000001.5 - 1.0
+
+  /** Dot-product score of a vector against centroid cell `c`. */
+  private def cellScore(v: Column, c: Column): Column =
+    foldSum(transform(v, (x, d) => x.cast("double") * centroidAt(c, d)))
+
+  /** Score every (row, cell) pair and keep the caller's top-`keep` cells
+    * per row — keep=1 assigns corpus vectors, keep=nProbe routes queries.
+    */
+  private def topCells(df: DataFrame, id: String, emb: String,
+                       nCells: Int, keep: Int): DataFrame =
+    topKPerKey(
+      df.select(col(id), col(emb),
+          explode(sequence(lit(0), lit(nCells - 1))).as("cell"))
+        .select(col(id), col(emb), col("cell"),
+          cellScore(col(emb), col("cell")).as("__cs")),
+      col(id), Seq(col("__cs").desc, col("cell").asc), keep, col("cell"))
+      .drop("__cs", "rank")
+
+  /** IVF-flavored ANN: corpus vectors live in their best centroid cell,
+    * queries probe their `nProbe` best cells, and exact cosine ranks the
+    * candidates — the inverted-file counterpart to [[annTopKLsh]].
+    * Candidate generation is an equi-join on the cell id (never
+    * all-pairs); recall grows with nProbe and is 1 for exact duplicates
+    * (identical vectors share the same best cell).
+    */
+  def annTopKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nCells: Int = 16, nProbe: Int = 4,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val corpusCells = topCells(
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c")),
+      "neighbor_id", "__c", nCells, keep = 1)
+    val queryCells = topCells(
+      queries.select(col(idCol).as("query_id"), col(embCol).as("__q")),
+      "query_id", "__q", nCells, keep = nProbe)
+    val scored = queryCells.join(corpusCells, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__q"), col("__c")).as("cosine"))
+    topKPerKey(scored, col("query_id"),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold),
     * LSH-bucketed candidate generation + exact cosine verify. Precision is
     * exact; recall is governed by (planes, tables).

@@ -75,6 +75,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("annTopKIvf finds the planted duplicate; candidates come from probed cells only") {
+    val queries = planted.filter(col("vec_id") === 0)
+    val corpus = planted.filter(col("vec_id") > 0)
+    val approx = Similarity.annTopKIvf(corpus, queries, k = 3, nCells = 8, nProbe = 3)
+    val top = approx.filter(col("rank") === 1).collect()
+    assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == 100L,
+      "identical vector shares the best cell and must rank first")
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    // higher probe count can only widen the candidate set
+    val wide = Similarity.annTopKIvf(corpus, queries, k = 3, nCells = 8, nProbe = 8)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val exact = Similarity.annTopK(corpus, queries, k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(wide == exact, "probing every cell must equal the exact top-k")
+  }
+
   test("cosine is bit-stable and symmetric") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
