@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regressions: the properties that keep these queries viable
+  * at 100 TB — predicate pushdown to the parquet scan, column pruning,
+  * and whole-stage codegen on the relational hot paths.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def scanLine(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("FileScan")).mkString("\n")
+
+  test("q04-shaped filter pushes to the scan; only needed columns are read") {
+    val q = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(sum(col("value")))
+    val scan = scanLine(q)
+    assert(scan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<user_id:bigint,event_type:string,value:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("q13 pricing summary reads exactly its 5 columns") {
+    val scan = scanLine(Analytics.pricingSummary(Tables.lineitem(spark, sfDir)))
+    assert(!scan.contains("l_orderkey") && !scan.contains("l_shipdate"),
+      s"unneeded columns read:\n$scan")
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus")
+      .foreach(c => assert(scan.contains(c), s"$c missing from scan:\n$scan"))
+  }
+
+  test("relational hot paths run inside whole-stage codegen") {
+    val df = Analytics.pricingSummary(Tables.lineitem(spark, sfDir))
+    df.collect() // AQE only materializes codegen stages in the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen stages print as WholeStageCodegen nodes or `*(n)` prefixes
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"no codegen span:\n$plan")
+  }
+}
