@@ -72,30 +72,25 @@ object TextDedup {
         transform(tokens(col(textCol)), t => xxhash64(t)).as("__hw"))
       .select(col("id"), shingleHashesFromTokenHashes(col("__hw"), n).as("sh"))
 
-  /** MinHash LSH band keys, relational formulation: explode shingles, then
-    * compute all numBands·rowsPerBand permutation minimums in a single
-    * codegen'd, map-side-combinable hash aggregation — min over the
-    * seed-salted hash family h_j(s) = xxhash64(s, j) — and fold each
-    * band's run of minimums into one 64-bit bucket key.
+  /** MinHash LSH band keys via the native [[graft.functions.MinHashSignature]]
+    * expression: the whole signature is one row-local pass over the hashed
+    * shingle array inside whole-stage codegen, then each band's run of
+    * minimums folds into one 64-bit bucket key.
     *
-    * This shape scales: one narrow explode (rows = Σ shingles), one
-    * groupBy(id) with partial aggregation, no interpreted higher-order
-    * lambdas in the hot path, full 64-bit hash domain (no saturation at
-    * corpus scale). Output: (id, bk struct<band:int, h:long>), numBands
-    * rows per document.
+    * This is a pure map stage — NO exchange. (The relational alternative,
+    * explode + 64 min() agg columns, shuffles the entire exploded shingle
+    * stream; at corpus scale that shuffle dominates the operator.)
+    * Output: (id, bk struct<band:int, h:long>), numBands rows per doc.
     */
   def minhashBands(shingleSets: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
     val nHashes = numBands * rowsPerBand
-    val mins: Seq[Column] = (0 until nHashes).map { j =>
-      min(xxhash64(col("s"), lit(j))).as(s"m$j")
-    }
+    graft.functions.MinHashSignature.register(shingleSets.sparkSession)
     shingleSets
-      .select(col("id"), explode(col("sh")).as("s"))
-      .groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        graft.functions.MinHashSignature.minhashSignature(col("sh"), nHashes).as("sig"))
       .select(col("id"), explode(array((0 until numBands).map { bnd =>
         struct(lit(bnd).as("band"),
-          xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-            .map(j => col(s"m$j")): _*).as("h"))
+          xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("h"))
       }: _*)).as("bk"))
   }
 
@@ -111,7 +106,12 @@ object TextDedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numBands: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.8): DataFrame = {
-    val sh = shingleHashedDocs(docs, idCol, textCol, shingleN)
+    // Short documents (< n tokens) have no shingles; exclude them with a
+    // cheap SOURCE-column predicate. (A filter on the computed shingle
+    // array would be alias-substituted by predicate pushdown and re-run
+    // the whole pipeline at the scan.)
+    val sh = shingleHashedDocs(
+      docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol, shingleN)
     val banded = minhashBands(sh, numBands, rowsPerBand)
     // Candidate pairs per bucket via groupBy + in-bucket expansion — one
     // pass over the banded rows (a self-join would compute the whole
