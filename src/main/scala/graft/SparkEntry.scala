@@ -134,6 +134,10 @@ object SparkEntry {
       s.sql("""SELECT order_id, order_status, total_amount, paid_amount, event_date
                FROM order_payments_enriched WHERE fully_paid""")
     }),
+    "q39_revenue_rollup" -> ((s, d) =>
+      Analytics.revenueRollup(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q40_event_reach" -> ((s, d) => Analytics.eventReach(Tables.events(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -421,5 +425,19 @@ object SparkEntry {
            SELECT l_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS paid_amount
            FROM lineitem GROUP BY l_orderkey) p ON p.l_orderkey = o.o_orderkey
          WHERE COALESCE(p.paid_amount, 0.0) >= o.o_totalprice""",
+    "q39_revenue_rollup" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM region r
+         JOIN nation n ON n.n_regionkey = r.r_regionkey
+         JOIN customer c ON c.c_nationkey = n.n_nationkey
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         GROUP BY ROLLUP (r.r_name, n.n_name)""",
+    "q40_event_reach" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY event_type""",
   )
 }

@@ -61,6 +61,42 @@ object Analytics {
            sum(col("cust_items")).as("n_items"))
   }
 
+  /** Hierarchical revenue rollup (GROUPING SETS family): per (region,
+    * nation), per region subtotal, and grand total in one pass — same
+    * pre-aggregated join chain as [[revenueByRegion]], so the rollup adds
+    * no extra scan or shuffle beyond the final grouping.
+    */
+  def revenueRollup(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val natRegion = broadcast(
+      nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name")))
+    val perOrder = lineitem.select(col("l_orderkey"), discPrice.as("disc_price"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("disc_price")).as("order_rev"), count(lit(1)).as("order_items"))
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("order_rev")).as("cust_rev"), sum(col("order_items")).as("cust_items"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(natRegion, col("c_nationkey") === col("n_nationkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("cust_rev"), col("cust_items"))
+      .rollup(col("region"), col("nation"))
+      .agg(sum(col("cust_rev")).cast("double").as("revenue"),
+           sum(col("cust_items")).as("n_items"))
+  }
+
+  /** Distinct aggregation: reach and volume per event type. */
+  def eventReach(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"),
+           moneySum(col("value")).as("total_value"))
+
   /** Top-k customers by revenue; deterministic tiebreak on custkey. */
   def topCustomers(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
                    k: Int): DataFrame =

@@ -40,6 +40,26 @@ object Relations {
   /** dbt_utils `safe_divide`: null (not an error) on zero/null denominator. */
   def safeDivide(num: Column, den: Column): Column = num / nullif(den, lit(0))
 
+  /** Skew-safe inner equi-join: the skewed fact side gets a deterministic
+    * per-row salt (hash of the whole row), the small side is replicated
+    * `saltFactor` ways, and the join key becomes (key, salt) — one hot key
+    * spreads over `saltFactor` reducers instead of melting one executor.
+    *
+    * AQE's skew-join splitting is the first line of defense (enabled in
+    * GraftSession); explicit salting is for the case AQE can't fix —
+    * a single key too large for any one task even after partition splits.
+    * Result rows are exactly those of the plain inner join.
+    */
+  def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(struct(skewed.columns.map(col).toSeq: _*)), lit(saltFactor))
+        .cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** dbt_utils `safe_add` / `safe_subtract`: null-as-zero element
     * arithmetic that still yields null when EVERY operand is null.
     */

@@ -39,6 +39,19 @@ class RelationsSpec extends SparkSpec {
     assert(r.getString(2) == "mail")
   }
 
+  test("saltedJoin equals the plain join on skewed data") {
+    // 1000 rows of one hot key + a tail, joined to a small dim
+    val skewed = ((1 to 1000).map(i => (7L, i.toLong)) ++
+      (1 to 50).map(i => (i.toLong % 5, i.toLong))).toDF("k", "payload")
+    val dim = (0L to 9L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val plain = skewed.join(dim, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = Relations.saltedJoin(skewed, dim, "k", saltFactor = 8)
+      .select("k", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+  }
+
   test("safeAdd/safeSubtract treat nulls as zero unless all-null") {
     val r = Seq((Some(1.0), Some(2.0)), (None, Some(3.0)),
       (None: Option[Double], None: Option[Double]))
