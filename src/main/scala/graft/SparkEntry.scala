@@ -81,9 +81,9 @@ object SparkEntry {
     "q23_acctbal_histogram" -> ((s, d) => Analytics.acctbalHistogram(Tables.customer(s, d))),
     // ---- LLM-data-pipeline operators over documents/embeddings ----
     "q24_neardup_pairs" -> ((s, d) =>
-      TextDedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text")),
+      TextDedup.nearDupPairs(Tables.documentsSpread(s, d), "doc_id", "text")),
     "q25_ann_topk" -> ((s, d) => {
-      val em = Tables.embeddings(s, d)
+      val em = Tables.embeddingsSpread(s, d)
       Similarity.annTopK(em.filter(col("vec_id") >= 10), em.filter(col("vec_id") < 10), 5)
     }),
     "q26_text_stats" -> ((s, d) => TextStats.corpusStats(Tables.documents(s, d))),
@@ -91,12 +91,12 @@ object SparkEntry {
       TextDedup.exactDedupSummary(Tables.documents(s, d), "doc_id", "text")),
     "q28_item_grain" -> ((s, d) => Analytics.itemGrain(Tables.lineitem(s, d))),
     "q29_simhash" -> ((s, d) =>
-      TextDedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+      TextDedup.simhash(Tables.documentsSpread(s, d), "doc_id", "text")),
     "q30_doc_quality" -> ((s, d) =>
       TextStats.docQuality(
-        Tables.documents(s, d).filter(col("text").contains("spark")))),
+        Tables.documentsSpread(s, d).filter(col("text").contains("spark")))),
     "q31_fingerprint" -> ((s, d) =>
-      TextDedup.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+      TextDedup.fingerprint(Tables.documentsSpread(s, d), "doc_id", "text")),
     // ---- relation utilities, scalars, quality (SURVEY U1/O3/F-string/F-math/A5/W4) ----
     "q32_union_relations" -> ((s, d) => Relations.unionRelations(Seq(
       "orders" -> Tables.orders(s, d).select(
@@ -138,6 +138,8 @@ object SparkEntry {
       Analytics.revenueRollup(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q40_event_reach" -> ((s, d) => Analytics.eventReach(Tables.events(s, d))),
+    "q41_column_values" -> ((s, d) =>
+      Analytics.columnValues(Tables.documents(s, d), "source", 20)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -439,5 +441,8 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY event_type""",
+    "q41_column_values" ->
+      """SELECT source, COUNT(*) AS n FROM documents
+         GROUP BY source ORDER BY n DESC, source LIMIT 20""",
   )
 }

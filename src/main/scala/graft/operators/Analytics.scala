@@ -90,6 +90,15 @@ object Analytics {
            sum(col("cust_items")).as("n_items"))
   }
 
+  /** Frequency-ordered value list (dbt_utils get_column_values,
+    * macros/sql/get_column_values.sql:5-65): distinct values of a column
+    * ordered by occurrence count desc, capped.
+    */
+  def columnValues(df: DataFrame, column: String, maxRecords: Int): DataFrame =
+    df.groupBy(col(column)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(column))
+      .limit(maxRecords)
+
   /** Distinct aggregation: reach and volume per event type. */
   def eventReach(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))

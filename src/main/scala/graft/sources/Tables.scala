@@ -22,18 +22,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
   /** documents/embeddings ship as ONE small parquet file per scale factor,
     * i.e. one input split — which would serialize the CPU-heavy per-row
-    * operators (shingling, 64×minhash, cosine) onto a single core. Spread
-    * the rows across the cluster once on read; results are partitioning-
-    * independent by construction. At production scale the reader's input
-    * splits already provide this parallelism and the repartition is a
-    * cheap no-op relative to the per-document compute.
+    * operators (shingling, minhash, simhash, cosine) onto a single core.
+    * The *Spread variants redistribute rows once on read for those
+    * operators; cheap scans/aggregations should use the plain readers
+    * (a blanket repartition is a full shuffle of the corpus — never free
+    * at production scale, where input splits already give parallelism).
+    * Results are partitioning-independent either way.
     */
-  def documents(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+  def embeddingsSpread(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism)
 
   /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark only
     * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (a long of nanos
