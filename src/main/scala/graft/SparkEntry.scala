@@ -140,6 +140,8 @@ object SparkEntry {
     "q40_event_reach" -> ((s, d) => Analytics.eventReach(Tables.events(s, d))),
     "q41_column_values" -> ((s, d) =>
       Analytics.columnValues(Tables.documents(s, d), "source", 20)),
+    "q42_embedding_dup_pairs" -> ((s, d) =>
+      Similarity.cosineDupPairsBucketed(Tables.embeddingsSpread(s, d), 0.3)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -444,5 +446,31 @@ object SparkEntry {
     "q41_column_values" ->
       """SELECT source, COUNT(*) AS n FROM documents
          GROUP BY source ORDER BY n DESC, source LIMIT 20""",
+    // q42: the oracle rebuilds the SAME sign-LSH buckets (md5-derived
+    // hyperplanes, left-to-right double folds) and the same bit-stable
+    // cosines — the bucketed near-dup join is gated end-to-end.
+    "q42_embedding_dup_pairs" ->
+      """WITH b AS (
+           SELECT vec_id, embedding, t.t,
+             (SELECT SUM(CASE WHEN (
+                 list_reduce(list_transform(embedding, (x, d) ->
+                   CAST(x AS DOUBLE) * ((CAST(('0x' || substr(md5('hp-' || t.t || '-' || p.p || '-' || (d-1)), 1, 15)) AS BIGINT) % 2000003) / 1000001.5 - 1.0)),
+                   (a, v) -> a + v)) > 0 THEN (1 << p.p) ELSE 0 END)
+              FROM UNNEST(range(0, 4)) p(p)) AS bucket
+           FROM embeddings, UNNEST(range(0, 3)) t(t)
+         ),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+             a.embedding AS ea, b2.embedding AS eb
+           FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         )
+         SELECT id_a, id_b,
+           list_reduce(list_transform(list_zip(ea, eb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+           / (sqrt(list_reduce(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
+            * sqrt(list_reduce(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))) AS cosine
+         FROM cand
+         WHERE list_reduce(list_transform(list_zip(ea, eb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+           / (sqrt(list_reduce(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
+            * sqrt(list_reduce(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))) >= 0.3""",
   )
 }

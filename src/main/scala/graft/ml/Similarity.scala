@@ -172,6 +172,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** md5-derived hyperplane component — reproducible in ANY engine
+    * (DuckDB: `('0x'||substr(md5('hp-t-p-d'),1,15))::BIGINT`), which lets
+    * an external oracle rebuild the exact same buckets. Precomputed on the
+    * driver: the plane set is tiny (tables×planes×dims doubles) and lands
+    * in the plan as constant arrays — zero per-row hashing.
+    */
+  private def oracleHyperplane(t: Int, p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"hp-$t-$p-$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 2000003L).toDouble / 1000001.5 - 1.0
+  }
+
+  /** Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold)
+    * with FULLY DETERMINISTIC sign-LSH bucketing: candidates share a
+    * bucket in at least one of `tables` plane sets, then exact bit-stable
+    * cosine filters them. Both the buckets and the scores are
+    * reproducible in the DuckDB oracle (q42), so this operator is
+    * correctness-gated end-to-end — semantics are "bucketed near-dup
+    * join", the honest contract at corpus scale (an exact cosine≥τ join
+    * is all-pairs by definition).
+    */
+  def cosineDupPairsBucketed(vectors: DataFrame, threshold: Double,
+                             planes: Int = 4, tables: Int = 3, dims: Int = 64,
+                             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bucketed = (0 until tables).map { t =>
+      val bucket = (0 until planes).map { p =>
+        val hps = array((0 until dims).map(d => lit(oracleHyperplane(t, p, d))): _*)
+        val proj = foldSum(zip_with(col(embCol), hps, (x, h) => x.cast("double") * h))
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      vectors.select(col(idCol).as("id"), lit(t).as("t"), bucket.as("bucket"))
+    }.reduce(_.unionByName(_))
+    val cand = bucketed.alias("a")
+      .join(bucketed.alias("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val emb = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
+    cand
+      .join(emb.select(col("id").as("id_a"), col("emb").as("ea")), Seq("id_a"))
+      .join(emb.select(col("id").as("id_b"), col("emb").as("eb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold),
     * LSH-bucketed candidate generation + exact cosine verify. Precision is
     * exact; recall is governed by (planes, tables).

@@ -92,6 +92,16 @@ class SimilaritySpec extends SparkSpec {
     assert(wide == exact, "probing every cell must equal the exact top-k")
   }
 
+  test("cosineDupPairsBucketed: identical vectors always pair; no cartesian") {
+    val pairs = Similarity.cosineDupPairsBucketed(planted, threshold = 0.95, dims = 8)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 100L)),
+      s"identical vectors share every bucket — missing from $got")
+    assert(pairs.filter(col("cosine") < 0.95).count() == 0)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
   test("cosine is bit-stable and symmetric") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
