@@ -38,8 +38,22 @@ object Similarity {
   def l2Norm(a: Column): Column =
     sqrt(foldSum(transform(a, x => x.cast("double") * x.cast("double"))))
 
-  /** Cosine similarity, bit-stable (see object doc). */
+  /** Cosine similarity, bit-stable (see object doc). Pure-HOF version —
+    * works on any numeric arrays with no session setup; the operators
+    * below use the native [[graft.functions.CosineSimilarity]] expression
+    * (identical values, fused codegen'd loop) via [[nativeCosine]].
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Register-and-use the native cosine expression for float-array
+    * columns — bit-identical to [[cosine]] (proved in SimilaritySpec),
+    * ~an order of magnitude faster on the pairwise verify hot path.
+    */
+  private def nativeCosine(spark: org.apache.spark.sql.SparkSession)(
+      a: Column, b: Column): Column = {
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.CosineSimilarity.cosine(a, b)
+  }
 
   /** Deterministic two-stage top-k per key: a salted partial top-k bounds
     * the rows any single reducer sees, then the final per-key top-k runs on
@@ -67,7 +81,7 @@ object Similarity {
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c"))
       .join(q)
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__q"), col("__c")).as("cosine"))
+        nativeCosine(corpus.sparkSession)(col("__q"), col("__c")).as("cosine"))
     topKPerKey(scored, col("query_id"),
       Seq(col("cosine").desc, col("neighbor_id").asc), k, col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
@@ -109,7 +123,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("__q"), col("__c"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand.select(col("query_id"), col("neighbor_id"),
-      cosine(col("__q"), col("__c")).as("cosine"))
+      nativeCosine(corpus.sparkSession)(col("__q"), col("__c")).as("cosine"))
     topKPerKey(scored, col("query_id"),
       Seq(col("cosine").desc, col("neighbor_id").asc), k, col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
@@ -166,7 +180,7 @@ object Similarity {
       "query_id", "__q", nCells, keep = nProbe)
     val scored = queryCells.join(corpusCells, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__q"), col("__c")).as("cosine"))
+        nativeCosine(corpus.sparkSession)(col("__q"), col("__c")).as("cosine"))
     topKPerKey(scored, col("query_id"),
       Seq(col("cosine").desc, col("neighbor_id").asc), k, col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
@@ -215,7 +229,8 @@ object Similarity {
     cand
       .join(emb.select(col("id").as("id_a"), col("emb").as("ea")), Seq("id_a"))
       .join(emb.select(col("id").as("id_b"), col("emb").as("eb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        nativeCosine(vectors.sparkSession)(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -236,7 +251,8 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.emb").as("ea"), col("b.emb").as("eb"))
       .distinct()
-    cand.select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cosine"))
+    cand.select(col("id_a"), col("id_b"),
+        nativeCosine(vectors.sparkSession)(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

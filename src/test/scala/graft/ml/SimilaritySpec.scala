@@ -102,6 +102,19 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("native CosineSimilarity expression is bit-identical to the HOF fold") {
+    graft.functions.CosineSimilarity.register(spark)
+    val em = Tables.embeddings(spark, sfDir)
+    val a = em.select(col("embedding").as("ea"),
+      element_at(col("embedding"), 1).as("x"))
+    val pairs = a.crossJoin(broadcast(em.limit(3).select(col("embedding").as("eb"))))
+    val diff = pairs.select(
+      Similarity.cosine(col("ea"), col("eb")).as("hof"),
+      graft.functions.CosineSimilarity.cosine(col("ea"), col("eb")).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(diff.count() == 0, "native and HOF cosine must agree bit-for-bit")
+  }
+
   test("cosine is bit-stable and symmetric") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
