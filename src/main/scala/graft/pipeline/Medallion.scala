@@ -103,11 +103,17 @@ object Medallion {
     * newest bucket so results are deterministic on a fixed dataset.
     */
   def salesLastNMinutes(events: DataFrame, minutes: Int): DataFrame = {
-    val fct = salesMinute(events)
-    val row = fct.agg(max(col("minute_bucket_us"))).head
-    if (row.isNullAt(0)) fct.limit(0)
-    else fct.filter(
-      col("minute_bucket_us") >= row.getLong(0) - minutes.toLong * 60L * 1000000L)
+    // The newest-bucket cutoff comes from a global window over the
+    // ALREADY-AGGREGATED fact (bounded rows) — one events scan total,
+    // no driver-side scalar collect, empty input yields empty output.
+    val w = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    salesMinute(events)
+      .withColumn("__mx", max(col("minute_bucket_us")).over(w))
+      .filter(col("minute_bucket_us") >=
+        col("__mx") - minutes.toLong * 60L * 1000000L)
+      .drop("__mx")
   }
 
   /** Top-k minutes by GMV (README.md:160-162), bucket as the unique tiebreak. */
