@@ -33,6 +33,26 @@ class PlanSpec extends SparkSpec {
       .foreach(c => assert(scan.contains(c), s"$c missing from scan:\n$scan"))
   }
 
+  test("q18 single-pass plan: one orders scan, one shuffle") {
+    val df = Analytics.statusCustkeyDiff(Tables.orders(spark, sfDir))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("FileScan")) == 1,
+      s"expected exactly one scan:\n$plan")
+    assert(plan.split("\n").count(_.contains("Exchange")) == 1,
+      s"expected exactly one shuffle:\n$plan")
+  }
+
+  test("Upsert.merge plan: one shuffle (union + single precedence window)") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_ts_us"), col("value"))
+    val m = graft.lake.Upsert.merge(
+      ev.filter(col("event_id") % 3 === 0), ev.filter(col("event_id") % 2 === 0),
+      Seq("event_id"), Seq("event_ts_us", "event_id"))
+    val plan = m.queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("Exchange")) == 1,
+      s"merge must shuffle exactly once:\n$plan")
+  }
+
   test("relational hot paths run inside whole-stage codegen") {
     val df = Analytics.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // AQE only materializes codegen stages in the final plan
