@@ -373,8 +373,8 @@ object SparkEntry {
          FROM m""",
     "q31_fingerprint" ->
       """SELECT doc_id,
-         CAST(SUM(((CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % 1000000000000037)
-                   * i) % 1000000000000037) % 1000000000000037 AS BIGINT) AS fp
+         CAST(SUM((CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % 1000000007)
+                  * i) % 1000000007 AS BIGINT) AS fp
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
               UNNEST(range(1, len(w) + 1)) t(i)
          GROUP BY doc_id""",

@@ -87,22 +87,12 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * plane `p`, dimension `d`, derived from xxhash64 — no RNG state, so
-    * signatures are reproducible across runs/engines.
-    */
-  private def hyperplaneAt(p: Column, d: Column): Column =
-    pmod(xxhash64(lit("graft-hp"), p, d), lit(2000003L)).cast("double") / 1000001.5 - 1.0
-
   /** Sign-LSH bucket id: `planes` bits, bit p = sign of <v, hp_p>. Vectors
     * within a small angle land in the same bucket with high probability.
+    * (Table-0 instance of [[signBucketForTable]] — single hashing formula.)
     */
   def signBucket(v: Column, planes: Int): Column =
-    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
-      val proj = foldSum(transform(v,
-        (x, d) => x.cast("double") * hyperplaneAt(p, d)))
-      acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-    })
+    signBucketForTable(v, planes, lit(0))
 
   /** Approximate ANN: candidates share at least one of `tables` sign-LSH
     * buckets (independent hyperplane sets), then exact cosine ranks them.
@@ -211,19 +201,32 @@ object Similarity {
   def cosineDupPairsBucketed(vectors: DataFrame, threshold: Double,
                              planes: Int = 4, tables: Int = 3, dims: Int = 64,
                              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val bucketed = (0 until tables).map { t =>
+    // Fail loudly on a dims mismatch: zip_with null-pads a shorter plane
+    // array, which would silently send EVERY vector to bucket 0 — an
+    // all-pairs join. One row is inspected at build time.
+    vectors.select(size(col(embCol))).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == dims,
+        s"cosineDupPairsBucketed: dims=$dims but embeddings have ${r.getInt(0)}")
+    }
+    // ONE corpus scan: every table's bucket is computed in a single
+    // projection and exploded; pairs come from groupBy(bucket) in-bucket
+    // expansion (a self-join would recompute the bucketing pipeline twice).
+    val tableBuckets = array((0 until tables).map { t =>
       val bucket = (0 until planes).map { p =>
         val hps = array((0 until dims).map(d => lit(oracleHyperplane(t, p, d))): _*)
         val proj = foldSum(zip_with(col(embCol), hps, (x, h) => x.cast("double") * h))
         when(proj > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-      vectors.select(col(idCol).as("id"), lit(t).as("t"), bucket.as("bucket"))
-    }.reduce(_.unionByName(_))
-    val cand = bucketed.alias("a")
-      .join(bucketed.alias("b"),
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      struct(lit(t).as("t"), bucket.as("bucket"))
+    }: _*)
+    val cand = vectors
+      .select(col(idCol).as("id"), explode(tableBuckets).as("tb"))
+      .groupBy(col("tb")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     val emb = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
     cand

@@ -127,8 +127,11 @@ object Analytics {
     * unique tiebreaker (event_id) so the result is order-deterministic.
     */
   def runningSpend(events: DataFrame): DataFrame = {
+    // asc_nulls_last: Spark's default window ordering is NULLS FIRST but
+    // DuckDB's is NULLS LAST — a null-ts purchase would diverge the
+    // cumulative sums cross-engine without the explicit null placement.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("event_ts_us"), col("event_id"))
+      .orderBy(col("event_ts_us").asc_nulls_last, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("event_ts_us"),

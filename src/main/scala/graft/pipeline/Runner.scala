@@ -29,12 +29,18 @@ object Runner {
     Catalog.writePartitionedTable(spark, bronze, "bronze_raw.events_raw",
       s"$baseDir/bronze/events_raw", "event_date")
 
-    // silver: one row per event_id, latest delivery wins
-    val silverSrc = spark.table("bronze_raw.events_raw")
-      .select(col("event_id"), col("raw_key").cast("bigint").as("user_id"),
-        col("topic").as("event_type"), col("event_ts_us"), col("event_date"))
-      .join(events.select(col("event_id"), col("value"), col("event_ts")),
-        Seq("event_id"))
+    // silver: one row per event_id, latest delivery wins. Dedup the event
+    // side FIRST and use bronze only as a landed-set gate (semi-join) —
+    // joining raw bronze to raw events on event_id would cross-multiply
+    // duplicate deliveries and could stitch fields from different
+    // deliveries into a row that never existed.
+    val eventsLatest = Upsert.latestWins(
+      events.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("event_ts"), col("event_ts_us"), col("event_date")),
+      keys = Seq("event_id"), ordering = Seq("event_ts_us", "event_id"))
+    val silverSrc = eventsLatest.join(
+      spark.table("bronze_raw.events_raw").select(col("event_id")),
+      Seq("event_id"), "left_semi")
     Upsert.mergeIntoPath(spark, s"$baseDir/silver/events_clean", silverSrc,
       keys = Seq("event_id"), ordering = Seq("event_ts_us", "event_id"))
     val silver = spark.read.parquet(s"$baseDir/silver/events_clean")

@@ -30,10 +30,13 @@ object Checks {
         .filter(col("n") > 1),
       s"unique(${columns.mkString(",")})")
 
-  /** dbt `accepted_values`. */
+  /** dbt `accepted_values`: NULLs pass (matching dbt's `NOT IN` compile —
+    * null handling is [[notNull]]'s job).
+    */
   def acceptedValues(df: DataFrame, column: String,
                      values: Seq[String]): Either[String, Unit] =
-    violation(df.filter(!col(column).isin(values: _*) || col(column).isNull),
+    violation(
+      df.filter(col(column).isNotNull && !col(column).isin(values: _*)),
       s"accepted_values($column)")
 
   /** dbt_utils `not_empty_string`. */

@@ -109,9 +109,13 @@ object TextDedup {
     // Short documents (< n tokens) have no shingles; exclude them with a
     // cheap SOURCE-column predicate. (A filter on the computed shingle
     // array would be alias-substituted by predicate pushdown and re-run
-    // the whole pipeline at the scan.)
+    // the whole pipeline at the scan.) The shingle table feeds the
+    // banding stage AND both verify joins — persist it so the dominant
+    // per-row work runs once, not three times (Spark's ContextCleaner
+    // drops the cached blocks once the result is unreferenced).
     val sh = shingleHashedDocs(
       docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = minhashBands(sh, numBands, rowsPerBand)
     // Candidate pairs per bucket via groupBy + in-bucket expansion — one
     // pass over the banded rows (a self-join would compute the whole
@@ -182,17 +186,22 @@ object TextDedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
-  /** Positional polynomial fingerprint mod a prime near 1e15 (rolling-hash
+  /** Positional polynomial fingerprint mod a prime near 1e9 (rolling-hash
     * family): fp = Σ_i (h(w_i) mod M) · i mod M, i 1-based. Order-sensitive
     * (token swaps change it) yet computed with a commutative sum, so it is
-    * partitioning-independent; every intermediate fits a signed long.
+    * partitioning-independent.
+    *
+    * Overflow bounds hold for ANY document an array can hold: h mod M
+    * < 2^30, position i ≤ Int.MaxValue < 2^31, so each term < 2^61; the
+    * fold reduces mod M at every step, keeping the accumulator < 2^30 + 2^61.
+    * (An earlier 1e15 modulus overflowed signed longs past ~9k tokens.)
     */
-  val FingerprintMod: Long = 1000000000000037L
+  val FingerprintMod: Long = 1000000007L
 
   def fingerprintCol(text: Column, m: Long = FingerprintMod): Column = {
     val terms = transform(tokens(text),
-      (tok, i) => pmod(tokenHash60(tok), lit(m)) * (i.cast("long") + 1L) % lit(m))
-    pmod(aggregate(terms, lit(0L), (acc, v) => acc + v), lit(m))
+      (tok, i) => pmod(tokenHash60(tok), lit(m)) * (i.cast("long") + 1L))
+    aggregate(terms, lit(0L), (acc, v) => pmod(acc + v, lit(m)))
   }
 
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
