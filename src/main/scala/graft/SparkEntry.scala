@@ -202,13 +202,17 @@ object SparkEntry {
            FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1)
          SELECT * FROM fct
          WHERE minute_bucket_us >= (SELECT MAX(minute_bucket_us) - 3600000000 FROM fct)""",
-    // The oracle mirrors the merge semantics structurally (latest-wins
-    // window over the source, anti-join against the target) rather than
-    // relying on event_id uniqueness in the testdata.
+    // The oracle mirrors the merge semantics structurally — latest-wins
+    // window over BOTH sides (merge collapses duplicate-keyed targets
+    // too) and an anti-join — rather than relying on event_id uniqueness.
     "q10_upsert_idempotent" ->
       """WITH target AS (
-           SELECT event_id, epoch_us(ts) AS event_ts_us, value FROM events
-           WHERE event_id % 3 = 0),
+           SELECT event_id, event_ts_us, value FROM (
+             SELECT event_id, epoch_us(ts) AS event_ts_us, value,
+               row_number() OVER (PARTITION BY event_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             FROM events WHERE event_id % 3 = 0)
+           WHERE rn = 1),
          src AS (
            SELECT event_id, event_ts_us, value FROM (
              SELECT event_id, epoch_us(ts) AS event_ts_us, value,

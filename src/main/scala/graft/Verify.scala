@@ -18,13 +18,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // Drop any previous run's output for this query — a stale result
-        // must not masquerade as this run's answer.
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) {
-          dir.listFiles().foreach(_.delete())
-          dir.delete()
+        // Drop any previous/partial output for this query recursively
+        // (a failed write can leave a _temporary subtree) — a stale or
+        // partial result must not masquerade as this run's answer.
+        def rmRf(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmRf)
+          f.delete(); ()
         }
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) rmRf(dir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -37,10 +37,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
           s"cosine_similarity expects (array<float>, array<float>), got $other")
     }
 
+  // Ragged inputs yield NULL, matching the HOF fold and the DuckDB
+  // oracle (both null-pad via zip, and a null product nulls the sum) —
+  // a silently-truncated prefix score must never pass a threshold.
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -62,14 +66,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $x = (double) $a.getFloat($i);
-          double $y = (double) $b.getFloat($i);
-          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = (double) $a.getFloat($i);
+            double $y = (double) $b.getFloat($i);
+            $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 }

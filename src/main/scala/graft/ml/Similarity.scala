@@ -87,12 +87,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Sign-LSH bucket id: `planes` bits, bit p = sign of <v, hp_p>. Vectors
-    * within a small angle land in the same bucket with high probability.
-    * (Table-0 instance of [[signBucketForTable]] — single hashing formula.)
+  /** One row of one vector column is inspected at build time: a dims
+    * mismatch would null-pad `zip_with` against the literal plane arrays
+    * and silently send every vector to bucket/score 0 — fail loudly
+    * instead.
     */
-  def signBucket(v: Column, planes: Int): Column =
-    signBucketForTable(v, planes, lit(0))
+  private def requireDims(vectors: DataFrame, embCol: String, dims: Int,
+                          op: String): Unit =
+    vectors.select(size(col(embCol))).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == dims,
+        s"$op: dims=$dims but embeddings have ${r.getInt(0)}")
+    }
+
+  /** Sign-LSH bucket id for hyperplane table `t`: `planes` bits, bit p =
+    * sign of <v, hp_{t,p}>. Hyperplanes are driver-precomputed literal
+    * arrays ([[oracleHyperplane]]) — hash-derived values inside HOF
+    * lambdas would re-evaluate per row per element on the interpreted
+    * evaluator.
+    */
+  def signBucket(v: Column, planes: Int, dims: Int, table: Int = 0): Column =
+    (0 until planes).map { p =>
+      val hps = array((0 until dims).map(d => lit(oracleHyperplane(table, p, d))): _*)
+      val proj = foldSum(zip_with(v, hps, (x, h) => x.cast("double") * h))
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Approximate ANN: candidates share at least one of `tables` sign-LSH
     * buckets (independent hyperplane sets), then exact cosine ranks them.
@@ -100,13 +118,14 @@ object Similarity {
     * broadcast-queries exact scan is too slow; `annTopK` is the oracle.
     */
   def annTopKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
-                 planes: Int = 12, tables: Int = 4,
+                 planes: Int = 12, tables: Int = 4, dims: Int = 64,
                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    requireDims(corpus, embCol, dims, "annTopKLsh")
     def bucketed(df: DataFrame, id: String, emb: String) =
       df.select(col(idCol).as(id), col(embCol).as(emb),
-          explode(sequence(lit(0), lit(tables - 1))).as("t"))
-        .select(col(id), col(emb),
-          struct(col("t"), signBucketForTable(col(emb), planes, col("t")).as("b")).as("bk"))
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("t"), signBucket(col(embCol), planes, dims, t).as("b"))
+        }: _*)).as("bk"))
     val q = bucketed(queries, "query_id", "__q")
     val c = bucketed(corpus, "neighbor_id", "__c")
     val cand = q.join(c, q("bk") === c("bk"))
@@ -119,38 +138,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Sign bucket with the hyperplane family salted by an LSH table index. */
-  private def signBucketForTable(v: Column, planes: Int, table: Column): Column =
-    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
-      val proj = foldSum(transform(v, (x, d) =>
-        x.cast("double") *
-          (pmod(xxhash64(lit("graft-hp"), table, p, d), lit(2000003L)).cast("double") / 1000001.5 - 1.0)))
-      acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-    })
-
-  /** Deterministic pseudo-random centroid component for the IVF index:
-    * cell `c`, dimension `d` — hash-derived, so the "index" needs no
-    * training pass and assignments are reproducible across runs.
+  /** Deterministic IVF centroid component — same md5-literal scheme as
+    * the hyperplanes, distinct namespace.
     */
-  private def centroidAt(c: Column, d: Column): Column =
-    pmod(xxhash64(lit("graft-ivf"), c, d), lit(2000003L)).cast("double") / 1000001.5 - 1.0
-
-  /** Dot-product score of a vector against centroid cell `c`. */
-  private def cellScore(v: Column, c: Column): Column =
-    foldSum(transform(v, (x, d) => x.cast("double") * centroidAt(c, d)))
+  private def ivfCentroid(c: Int, d: Int): Double = hashUnit(s"ivf-$c-$d")
 
   /** Score every (row, cell) pair and keep the caller's top-`keep` cells
     * per row — keep=1 assigns corpus vectors, keep=nProbe routes queries.
+    * All cell scores come from ONE projection over literal centroid
+    * arrays (single scan, no per-row hashing).
     */
   private def topCells(df: DataFrame, id: String, emb: String,
-                       nCells: Int, keep: Int): DataFrame =
+                       nCells: Int, dims: Int, keep: Int): DataFrame = {
+    val cellScores = array((0 until nCells).map { c =>
+      val cen = array((0 until dims).map(d => lit(ivfCentroid(c, d))): _*)
+      struct(lit(c).as("cell"),
+        foldSum(zip_with(col(emb), cen, (x, h) => x.cast("double") * h)).as("__cs"))
+    }: _*)
     topKPerKey(
-      df.select(col(id), col(emb),
-          explode(sequence(lit(0), lit(nCells - 1))).as("cell"))
-        .select(col(id), col(emb), col("cell"),
-          cellScore(col(emb), col("cell")).as("__cs")),
+      df.select(col(id), col(emb), explode(cellScores).as("cs"))
+        .select(col(id), col(emb), col("cs.cell").as("cell"), col("cs.__cs").as("__cs")),
       col(id), Seq(col("__cs").desc, col("cell").asc), keep, col("cell"))
       .drop("__cs", "rank")
+  }
 
   /** IVF-flavored ANN: corpus vectors live in their best centroid cell,
     * queries probe their `nProbe` best cells, and exact cosine ranks the
@@ -160,14 +170,15 @@ object Similarity {
     * (identical vectors share the same best cell).
     */
   def annTopKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
-                 nCells: Int = 16, nProbe: Int = 4,
+                 nCells: Int = 16, nProbe: Int = 4, dims: Int = 64,
                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    requireDims(corpus, embCol, dims, "annTopKIvf")
     val corpusCells = topCells(
       corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c")),
-      "neighbor_id", "__c", nCells, keep = 1)
+      "neighbor_id", "__c", nCells, dims, keep = 1)
     val queryCells = topCells(
       queries.select(col(idCol).as("query_id"), col(embCol).as("__q")),
-      "query_id", "__q", nCells, keep = nProbe)
+      "query_id", "__q", nCells, dims, keep = nProbe)
     val scored = queryCells.join(corpusCells, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
         nativeCosine(corpus.sparkSession)(col("__q"), col("__c")).as("cosine"))
@@ -176,18 +187,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** md5-derived hyperplane component — reproducible in ANY engine
-    * (DuckDB: `('0x'||substr(md5('hp-t-p-d'),1,15))::BIGINT`), which lets
-    * an external oracle rebuild the exact same buckets. Precomputed on the
-    * driver: the plane set is tiny (tables×planes×dims doubles) and lands
-    * in the plan as constant arrays — zero per-row hashing.
+  /** md5-derived unit value in [-1, 1) — reproducible in ANY engine
+    * (DuckDB: `('0x'||substr(md5(seed),1,15))::BIGINT`), which lets an
+    * external oracle rebuild the exact same planes/centroids. Always
+    * precomputed on the driver: the plane set is tiny and lands in the
+    * plan as constant arrays — zero per-row hashing.
     */
-  private def oracleHyperplane(t: Int, p: Int, d: Int): Double = {
+  private def hashUnit(seed: String): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"hp-$t-$p-$d".getBytes("UTF-8"))
+    val hex = md.digest(seed.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 15)
     (java.lang.Long.parseLong(hex, 16) % 2000003L).toDouble / 1000001.5 - 1.0
   }
+
+  /** Hyperplane component for table t / plane p / dim d (q42 oracle
+    * rebuilds exactly this seed string).
+    */
+  private def oracleHyperplane(t: Int, p: Int, d: Int): Double =
+    hashUnit(s"hp-$t-$p-$d")
 
   /** Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold)
     * with FULLY DETERMINISTIC sign-LSH bucketing: candidates share a
@@ -242,19 +259,26 @@ object Similarity {
     * exact; recall is governed by (planes, tables).
     */
   def cosineDupPairsLsh(vectors: DataFrame, threshold: Double,
-                        planes: Int = 8, tables: Int = 6,
+                        planes: Int = 8, tables: Int = 6, dims: Int = 64,
                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val bucketed = vectors.select(col(idCol).as("id"), col(embCol).as("emb"),
-        explode(sequence(lit(0), lit(tables - 1))).as("t"))
-      .select(col("id"), col("emb"),
-        struct(col("t"), signBucketForTable(col("emb"), planes, col("t")).as("b")).as("bk"))
-    val cand = bucketed.alias("a")
-      .join(bucketed.alias("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.emb").as("ea"), col("b.emb").as("eb"))
+    requireDims(vectors, embCol, dims, "cosineDupPairsLsh")
+    val bucketed = vectors.select(col(idCol).as("id"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"), signBucket(col(embCol), planes, dims, t).as("b"))
+      }: _*)).as("bk"))
+    val cand = bucketed
+      .groupBy(col("bk")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    cand.select(col("id_a"), col("id_b"),
+    val emb = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
+    cand
+      .join(emb.select(col("id").as("id_a"), col("emb").as("ea")), Seq("id_a"))
+      .join(emb.select(col("id").as("id_b"), col("emb").as("eb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         nativeCosine(vectors.sparkSession)(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

@@ -35,7 +35,9 @@ object Multimodal {
   def repartitionByPayload(df: DataFrame, targetBytesPerPartition: Long): DataFrame = {
     val total = df.agg(sum(length(col("bytes")))).head
     val totalBytes = if (total.isNullAt(0)) 0L else total.getLong(0)
-    val parts = math.max(1, math.min(200000, totalBytes / math.max(1, targetBytesPerPartition))).toInt
+    val target = math.max(1L, targetBytesPerPartition)
+    val parts = math.max(1L,
+      math.min(200000L, (totalBytes + target - 1) / target)).toInt
     df.repartition(parts)
   }
 

@@ -58,7 +58,7 @@ class SimilaritySpec extends SparkSpec {
   test("annTopKLsh finds the planted duplicate and is a subset-ranking of exact") {
     val queries = planted.filter(col("vec_id") === 0)
     val corpus = planted.filter(col("vec_id") > 0)
-    val approx = Similarity.annTopKLsh(corpus, queries, k = 3)
+    val approx = Similarity.annTopKLsh(corpus, queries, k = 3, dims = 8)
     val top = approx.filter(col("rank") === 1).collect()
     assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == 100L,
       "identical vector must share every sign-LSH bucket and rank first")
@@ -67,7 +67,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("cosineDupPairsLsh: planted identical pair surfaces; precision exact") {
-    val pairs = Similarity.cosineDupPairsLsh(planted, threshold = 0.95)
+    val pairs = Similarity.cosineDupPairsLsh(planted, threshold = 0.95, dims = 8)
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((0L, 100L)), s"planted dup missing from $got")
     assert(pairs.filter(col("cosine") < 0.95).count() == 0)
@@ -78,14 +78,14 @@ class SimilaritySpec extends SparkSpec {
   test("annTopKIvf finds the planted duplicate; candidates come from probed cells only") {
     val queries = planted.filter(col("vec_id") === 0)
     val corpus = planted.filter(col("vec_id") > 0)
-    val approx = Similarity.annTopKIvf(corpus, queries, k = 3, nCells = 8, nProbe = 3)
+    val approx = Similarity.annTopKIvf(corpus, queries, k = 3, nCells = 8, nProbe = 3, dims = 8)
     val top = approx.filter(col("rank") === 1).collect()
     assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == 100L,
       "identical vector shares the best cell and must rank first")
     val plan = approx.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
     // higher probe count can only widen the candidate set
-    val wide = Similarity.annTopKIvf(corpus, queries, k = 3, nCells = 8, nProbe = 8)
+    val wide = Similarity.annTopKIvf(corpus, queries, k = 3, nCells = 8, nProbe = 8, dims = 8)
       .collect().map(_.getAs[Long]("neighbor_id")).toSet
     val exact = Similarity.annTopK(corpus, queries, k = 3)
       .collect().map(_.getAs[Long]("neighbor_id")).toSet
