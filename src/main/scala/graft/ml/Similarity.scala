@@ -95,6 +95,7 @@ object Similarity {
   private def requireDims(vectors: DataFrame, embCol: String, dims: Int,
                           op: String): Unit =
     vectors.select(size(col(embCol))).limit(1).collect().foreach { r =>
+      require(!r.isNullAt(0), s"$op: sampled row has a null $embCol")
       require(r.getInt(0) == dims,
         s"$op: dims=$dims but embeddings have ${r.getInt(0)}")
     }
@@ -120,7 +121,8 @@ object Similarity {
   def annTopKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
                  planes: Int = 12, tables: Int = 4, dims: Int = 64,
                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    requireDims(corpus, embCol, dims, "annTopKLsh")
+    requireDims(corpus, embCol, dims, "annTopKLsh corpus")
+    requireDims(queries, embCol, dims, "annTopKLsh queries")
     def bucketed(df: DataFrame, id: String, emb: String) =
       df.select(col(idCol).as(id), col(embCol).as(emb),
         explode(array((0 until tables).map { t =>
@@ -172,7 +174,8 @@ object Similarity {
   def annTopKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
                  nCells: Int = 16, nProbe: Int = 4, dims: Int = 64,
                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    requireDims(corpus, embCol, dims, "annTopKIvf")
+    requireDims(corpus, embCol, dims, "annTopKIvf corpus")
+    requireDims(queries, embCol, dims, "annTopKIvf queries")
     val corpusCells = topCells(
       corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c")),
       "neighbor_id", "__c", nCells, dims, keep = 1)
@@ -215,36 +218,32 @@ object Similarity {
     * join", the honest contract at corpus scale (an exact cosine≥τ join
     * is all-pairs by definition).
     */
+  /** Bucket every vector into all `tables` sign-LSH buckets (one scan,
+    * literal planes) and stream the in-bucket candidate pairs through a
+    * self-equi-join on the bucket key. With literal planes the bucketing
+    * is trivially cheap to compute on both join sides; a
+    * collect_list-per-bucket expansion would instead materialize O(m²)
+    * pairs of a hot bucket inside a single row.
+    */
+  private def bucketCandidatePairs(vectors: DataFrame, planes: Int,
+                                   tables: Int, dims: Int,
+                                   idCol: String, embCol: String): DataFrame = {
+    val bucketed = vectors.select(col(idCol).as("id"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"), signBucket(col(embCol), planes, dims, t).as("b"))
+      }: _*)).as("bk"))
+    bucketed.alias("a")
+      .join(bucketed.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   def cosineDupPairsBucketed(vectors: DataFrame, threshold: Double,
                              planes: Int = 4, tables: Int = 3, dims: Int = 64,
                              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    // Fail loudly on a dims mismatch: zip_with null-pads a shorter plane
-    // array, which would silently send EVERY vector to bucket 0 — an
-    // all-pairs join. One row is inspected at build time.
-    vectors.select(size(col(embCol))).limit(1).collect().foreach { r =>
-      require(r.getInt(0) == dims,
-        s"cosineDupPairsBucketed: dims=$dims but embeddings have ${r.getInt(0)}")
-    }
-    // ONE corpus scan: every table's bucket is computed in a single
-    // projection and exploded; pairs come from groupBy(bucket) in-bucket
-    // expansion (a self-join would recompute the bucketing pipeline twice).
-    val tableBuckets = array((0 until tables).map { t =>
-      val bucket = (0 until planes).map { p =>
-        val hps = array((0 until dims).map(d => lit(oracleHyperplane(t, p, d))): _*)
-        val proj = foldSum(zip_with(col(embCol), hps, (x, h) => x.cast("double") * h))
-        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bucket.as("bucket"))
-    }: _*)
-    val cand = vectors
-      .select(col(idCol).as("id"), explode(tableBuckets).as("tb"))
-      .groupBy(col("tb")).agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), a =>
-        transform(filter(col("ids"), b => b > a),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    requireDims(vectors, embCol, dims, "cosineDupPairsBucketed")
+    val cand = bucketCandidatePairs(vectors, planes, tables, dims, idCol, embCol)
     val emb = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
     cand
       .join(emb.select(col("id").as("id_a"), col("emb").as("ea")), Seq("id_a"))
@@ -262,18 +261,7 @@ object Similarity {
                         planes: Int = 8, tables: Int = 6, dims: Int = 64,
                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     requireDims(vectors, embCol, dims, "cosineDupPairsLsh")
-    val bucketed = vectors.select(col(idCol).as("id"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"), signBucket(col(embCol), planes, dims, t).as("b"))
-      }: _*)).as("bk"))
-    val cand = bucketed
-      .groupBy(col("bk")).agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), a =>
-        transform(filter(col("ids"), b => b > a),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val cand = bucketCandidatePairs(vectors, planes, tables, dims, idCol, embCol)
     val emb = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
     cand
       .join(emb.select(col("id").as("id_a"), col("emb").as("ea")), Seq("id_a"))

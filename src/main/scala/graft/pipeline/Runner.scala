@@ -1,55 +1,54 @@
 package graft.pipeline
 
-import graft.lake.{Catalog, Upsert}
+import graft.lake.Upsert
 import graft.quality.Checks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One-call medallion pipeline over the event stream table — the
   * operational composition SURVEY §3 maps out (BronzeIngest → SilverJobs →
-  * GoldBuild, orchestration as function composition, not Airflow):
+  * GoldBuild, orchestration as function composition, not Airflow). Every
+  * layer is a crash-safe idempotent merge, so a rerun — and a rerun after
+  * a mid-pipeline crash — is a no-op:
   *
-  *  1. bronze: envelope projection, written partitioned by event_date and
-  *     registered in the catalog;
-  *  2. silver: latest-wins dedup by event_id, durably merged (idempotent,
-  *     crash-safe swap);
+  *  1. bronze: idempotent raw landing — deliveries keyed by their full
+  *     identity (event_id, event_ts_us, value), so distinct deliveries
+  *     accumulate and exact replays collapse (exactly-once landing);
+  *  2. silver: latest-wins by event_id over bronze (payload and event_id
+  *     break timestamp ties deterministically);
   *  3. gold: minute-bucketed sales fact, merged by bucket;
   *  4. quality gate: the reference's dbt schema tests on the gold output.
-  *
-  * Rerunning is a no-op by construction (every layer is an idempotent
-  * merge) — the property the reference gets from Delta MERGE + dedup.
   */
 object Runner {
 
-  case class GoldResult(gold: DataFrame, qualityFailures: Seq[String])
+  /** `gold` is read fresh from `goldPath`; NOTE a subsequent run() swaps
+    * the directory under any still-lazy reader, so materialize (or
+    * re-read from `goldPath`) before rerunning.
+    */
+  case class GoldResult(gold: DataFrame, goldPath: String,
+                        qualityFailures: Seq[String])
 
   def run(spark: SparkSession, events: DataFrame, baseDir: String): GoldResult = {
-    // bronze: raw capture, partitioned for day-range pruning
-    val bronze = Medallion.bronzeProject(events)
-    Catalog.writePartitionedTable(spark, bronze, "bronze_raw.events_raw",
-      s"$baseDir/bronze/events_raw", "event_date")
-
-    // silver: one row per event_id, latest delivery wins. Dedup the event
-    // side FIRST and use bronze only as a landed-set gate (semi-join) —
-    // joining raw bronze to raw events on event_id would cross-multiply
-    // duplicate deliveries and could stitch fields from different
-    // deliveries into a row that never existed.
-    val eventsLatest = Upsert.latestWins(
+    // bronze: raw capture, accumulated across runs, crash-safe
+    val bronzePath = s"$baseDir/bronze/events_raw"
+    Upsert.mergeIntoPath(spark, bronzePath,
       events.select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("event_ts"), col("event_ts_us"), col("event_date")),
-      keys = Seq("event_id"), ordering = Seq("event_ts_us", "event_id"))
-    val silverSrc = eventsLatest.join(
-      spark.table("bronze_raw.events_raw").select(col("event_id")),
-      Seq("event_id"), "left_semi")
-    Upsert.mergeIntoPath(spark, s"$baseDir/silver/events_clean", silverSrc,
-      keys = Seq("event_id"), ordering = Seq("event_ts_us", "event_id"))
-    val silver = spark.read.parquet(s"$baseDir/silver/events_clean")
+      keys = Seq("event_id", "event_ts_us", "value"),
+      ordering = Seq("event_ts_us"))
+
+    // silver: one row per event_id, latest delivery wins; value is the
+    // deterministic tiebreaker for equal-timestamp deliveries
+    val silverPath = s"$baseDir/silver/events_clean"
+    Upsert.mergeIntoPath(spark, silverPath, spark.read.parquet(bronzePath),
+      keys = Seq("event_id"), ordering = Seq("event_ts_us", "value"))
 
     // gold: incremental minute fact, merged on the bucket key
-    val fct = Medallion.salesMinute(silver)
-    Upsert.mergeIntoPath(spark, s"$baseDir/gold/fct_sales_minute", fct,
+    val goldPath = s"$baseDir/gold/fct_sales_minute"
+    val fct = Medallion.salesMinute(spark.read.parquet(silverPath))
+    Upsert.mergeIntoPath(spark, goldPath, fct,
       keys = Seq("minute_bucket_us"), ordering = Seq("minute_bucket_us"))
-    val gold = spark.read.parquet(s"$baseDir/gold/fct_sales_minute")
+    val gold = spark.read.parquet(goldPath)
 
     // the reference's schema tests (models/gold/schema.yml:4-20)
     val failures = Seq(
@@ -58,6 +57,6 @@ object Runner {
       Checks.notNull(gold, "gmv"),
       Checks.notNull(gold, "paid_orders"))
       .collect { case Left(err) => err }
-    GoldResult(gold, failures)
+    GoldResult(gold, goldPath, failures)
   }
 }

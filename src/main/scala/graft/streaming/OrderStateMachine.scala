@@ -57,9 +57,18 @@ object OrderStateMachine {
   }
 
   /** Streaming state machine: one state per order_id, change records out.
-    * ProcessingTimeTimeout reaps abandoned orders (no events for
-    * `timeoutMs`) so state size tracks ACTIVE orders, not order history —
-    * the property that keeps this runnable forever at production rates.
+    * ProcessingTimeTimeout reaps inactive orders (no ACCEPTED transition
+    * for `timeoutMs`) so state size tracks active orders, not order
+    * history — the property that keeps this runnable forever.
+    *
+    * Bounded-state tradeoff, stated explicitly: replay idempotence only
+    * holds while the order's state lives. A replay arriving AFTER the
+    * state was reaped restarts the machine and re-emits its transitions —
+    * size `timeoutMs` beyond the upstream's maximum replay horizon
+    * (exactly the contract of the reference consumers' TTL'd dedup cache,
+    * notifications consumer.py:13-16). Unknown event types never create
+    * state, and replays don't re-arm the timer, so junk keys and hot
+    * replay loops cannot grow or pin the store.
     */
   def run(events: Dataset[OrderEvent],
           timeoutMs: Long = 24L * 3600 * 1000): Dataset[StatusChange] = {
@@ -78,10 +87,18 @@ object OrderStateMachine {
             gs.remove()
             Iterator.empty
           } else {
+            val prior = gs.getOption
             val (next, changes) =
-              transition(gs.getOption.getOrElse(OrderState(0, 0L)), batch, orderId)
-            gs.update(next)
-            if (timeoutMs > 0) gs.setTimeoutDuration(timeoutMs)
+              transition(prior.getOrElse(OrderState(0, 0L)), batch, orderId)
+            if (prior.isEmpty && next.stage == 0) {
+              // only unknown/ignored events for an unseen order: no state
+            } else {
+              gs.update(next)
+              // arm/re-arm only on progress — pure replays must not keep
+              // a finished order alive forever
+              if (timeoutMs > 0 && (changes.nonEmpty || prior.isEmpty))
+                gs.setTimeoutDuration(timeoutMs)
+            }
             changes.iterator
           }
       }

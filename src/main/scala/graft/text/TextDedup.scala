@@ -117,17 +117,17 @@ object TextDedup {
       docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = minhashBands(sh, numBands, rowsPerBand)
-    // Candidate pairs per bucket via groupBy + in-bucket expansion — one
-    // pass over the banded rows (a self-join would compute the whole
-    // minhash pipeline twice). Buckets are tiny by construction (band
-    // collisions ≈ near-dup groups); exact-dup explosions should be
-    // removed upstream with dropDuplicateContent first.
-    val cand = banded.groupBy(col("bk")).agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), a =>
-        transform(filter(col("ids"), b => b > a),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    // Candidate pairs stream through a self-equi-join on the band key —
+    // a hot bucket (mass exact-dups) yields many JOIN rows but never a
+    // single giant in-row array (the collect_list-per-bucket alternative
+    // materializes O(m²) pairs inside one row). The join's two banded
+    // sides recompute only explode+band-hash over the PERSISTED shingle
+    // table, which is cheap; still, dedup exact duplicates upstream with
+    // dropDuplicateContent to keep hot buckets small.
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     cand
       .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
