@@ -11,6 +11,11 @@ object Verify {
       if (args.length > 2) args(2).split(",").toSet else Set.empty
     val spark = GraftSession.local("graft-verify")
     new java.io.File(outDir).mkdirs()
+    if (only.nonEmpty)
+      System.err.println(
+        s"[verify] selective run (${only.mkString(",")}): other query dirs in " +
+        s"$outDir are STALE leftovers from prior runs — oracle_check without " +
+        "an explicit query list would validate them against current SQL.")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

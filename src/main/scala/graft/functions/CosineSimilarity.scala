@@ -24,6 +24,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
+  // Ragged (same-nullability) inputs still yield NULL, so the declared
+  // nullability must be unconditional — otherwise with non-nullable input
+  // arrays nullSafeCodeGen takes its non-nullable branch (the generated
+  // `isNull = true` assignment would not compile) and the optimizer
+  // folds IsNull to false, silently dropping the ragged-input guard.
+  override def nullable: Boolean = true
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)

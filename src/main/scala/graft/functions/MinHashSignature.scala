@@ -116,9 +116,19 @@ object MinHashSignature {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName,
-      exprs => MinHashSignature(exprs(0),
-        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          .asInstanceOf[Number].intValue),
+      exprs => {
+        // numHashes shapes the expression itself (loop bound, output
+        // length), so it must be plan-time constant: reject columns /
+        // non-foldable args with a clear error instead of a raw CCE/NPE.
+        require(exprs.length == 2,
+          s"$FunctionName expects (array<bigint>, numHashes), got ${exprs.length} args")
+        require(exprs(1).foldable,
+          s"$FunctionName: numHashes must be a literal, got ${exprs(1).sql}")
+        val n = exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        require(n != null && n.isInstanceOf[Number],
+          s"$FunctionName: numHashes must be a non-null integer literal")
+        MinHashSignature(exprs(0), n.asInstanceOf[Number].intValue)
+      },
       "built-in")
 
   /** Column-level entry point; caller must [[register]] first (done by

@@ -23,8 +23,11 @@ object Relations {
         }
     relations.map { case (name, df) =>
       val present = df.columns.toSet
+      // Cast PRESENT columns to the superset type too (dbt_utils casts
+      // every contribution) — otherwise two inputs sharing a name with
+      // different types would fall back to Union's implicit coercion.
       df.select(superset.map { case (n, t) =>
-        if (present(n)) col(n) else lit(null).cast(t).as(n)
+        if (present(n)) col(n).cast(t).as(n) else lit(null).cast(t).as(n)
       } :+ lit(name).as("_source_relation"): _*)
     }.reduce(_.unionByName(_))
   }

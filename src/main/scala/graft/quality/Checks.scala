@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Checks {
 
+  private val CountCap = 1000000L
+
   private def violation(df: DataFrame, what: String): Either[String, Unit] = {
-    val n = df.limit(1000000).count()
-    if (n == 0) Right(()) else Left(s"$what: $n violating row(s)")
+    // limit() bounds the scan: a check's verdict needs "zero or not", not
+    // an exact count of a billion violations. Report the cap honestly.
+    val n = df.limit(CountCap.toInt).count()
+    if (n == 0) Right(())
+    else if (n >= CountCap) Left(s"$what: >= $CountCap violating row(s) (count capped)")
+    else Left(s"$what: $n violating row(s)")
   }
 
   /** dbt `not_null`. */
@@ -107,6 +113,38 @@ object Checks {
       df.withColumn("__next_lower", lead(col(lower), 1).over(w))
         .filter(col("__next_lower").isNotNull && col("__next_lower") < col(upper)),
       s"mutually_exclusive_ranges($lower, $upper)")
+  }
+
+  /** dbt_utils `at_least_one`
+    * (dbt_packages/dbt_utils/macros/generic_tests/at_least_one.sql:5-48):
+    * at least one non-null `column` — globally, or within EVERY group when
+    * `groupBy` is given (a group existing but all-null on `column` fails;
+    * matches the macro's `having count(column) = 0` over pruned rows).
+    */
+  def atLeastOne(df: DataFrame, column: String,
+                 groupBy: Seq[String] = Nil): Either[String, Unit] =
+    if (groupBy.isEmpty) {
+      // Macro prunes with `where column is not null limit 1` — one
+      // short-circuiting existence probe, not a full-table count.
+      if (df.filter(col(column).isNotNull).limit(1).count() == 1L) Right(())
+      else Left(s"at_least_one($column): no non-null values")
+    } else
+      violation(
+        df.groupBy(groupBy.map(col): _*).agg(count(col(column)).as("n"))
+          .filter(col("n") === 0),
+        s"at_least_one($column group by ${groupBy.mkString(",")})")
+
+  /** dbt_utils `cardinality_equality` (cardinality_equality.sql:5-53):
+    * the multiset of values in `model.column` equals that of `to.field` —
+    * symmetric EXCEPT of the two (value, count) relations must be empty.
+    */
+  def cardinalityEquality(model: DataFrame, column: String,
+                          to: DataFrame, field: String): Either[String, Unit] = {
+    val a = model.groupBy(col(column).as("v")).agg(count(lit(1)).as("num_rows"))
+    val b = to.groupBy(col(field).as("v")).agg(count(lit(1)).as("num_rows"))
+    violation(
+      a.exceptAll(b).unionAll(b.exceptAll(a)),
+      s"cardinality_equality($column vs $field)")
   }
 
   /** One-scan quality rollup over the event stream — the aggregate form of

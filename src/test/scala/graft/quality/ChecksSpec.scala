@@ -67,6 +67,28 @@ class ChecksSpec extends SparkSpec {
       .exists(_.contains("1 violating")))
   }
 
+  test("atLeastOne: global probe and per-group variant") {
+    val df = Seq(("a", Some(1)), ("a", None), ("b", None)).toDF("g", "v")
+    assert(Checks.atLeastOne(df, "v").isRight)
+    assert(Checks.atLeastOne(df.filter(col("v").isNull), "v").swap
+      .exists(_.contains("no non-null")))
+    // group "b" exists but is all-null on v → per-group check fails.
+    assert(Checks.atLeastOne(df, "v", Seq("g")).swap
+      .exists(_.contains("1 violating")))
+    assert(Checks.atLeastOne(df.filter(col("g") === "a"), "v", Seq("g")).isRight)
+  }
+
+  test("cardinalityEquality: multiset match, mismatch counted both ways") {
+    val a = Seq("x", "x", "y").toDF("c")
+    val b = Seq("y", "x", "x").toDF("d")
+    assert(Checks.cardinalityEquality(a, "c", b, "d").isRight)
+    // b2 has x twice vs thrice and an extra z → (x,3),(x,2),(z,1) diffs.
+    val a2 = Seq("x", "x", "x").toDF("c")
+    val b2 = Seq("x", "x", "z").toDF("d")
+    assert(Checks.cardinalityEquality(a2, "c", b2, "d").swap
+      .exists(_.contains("3 violating")))
+  }
+
   test("qualityReport counts rows/nulls/dups/negatives in one scan") {
     val r = Checks.qualityReport(Tables.events(spark, sfDir)).head
     assert(r.getAs[Long]("n_rows") > 0)
