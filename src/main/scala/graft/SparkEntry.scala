@@ -142,6 +142,46 @@ object SparkEntry {
       Analytics.columnValues(Tables.documents(s, d), "source", 20)),
     "q42_embedding_dup_pairs" -> ((s, d) =>
       Similarity.cosineDupPairsBucketed(Tables.embeddingsSpread(s, d), 0.3)),
+    // ---- the REAL silver parses, oracle-gated end-to-end (P2, S4/W1,
+    // F-json): bronze is synthesized deterministically from TPC-H columns
+    // (BronzeFixtures), so DuckDB can reconstruct the expected flattened
+    // output directly — proving dedup + permissive nested parse lossless.
+    "q43_silver_orders_parse" -> ((s, d) => {
+      val parsed = pipeline.OrderEvents.parse(
+        pipeline.BronzeFixtures.ordersBronze(Tables.orders(s, d), Tables.lineitem(s, d)))
+      parsed.select(
+        col("topic"),
+        col("partition").as("kafka_partition"),
+        col("offset").as("kafka_offset"),
+        unix_micros(col("kafka_timestamp").cast("timestamp")).as("kafka_ts_us"),
+        col("event_type"), col("order_id"), col("user_id"),
+        size(col("items")).as("n_items"),
+        col("currency"), col("total_amount"), col("status"),
+        col("event_time"), col("event_id"), col("ingest_ts"),
+        unix_micros(col("event_ts").cast("timestamp")).as("event_ts_us"),
+        col("event_date"))
+    }),
+    "q44_silver_items_exploded" -> ((s, d) =>
+      pipeline.OrderEvents.parse(
+        pipeline.BronzeFixtures.ordersBronze(Tables.orders(s, d), Tables.lineitem(s, d)))
+        .select(col("order_id"), posexplode(col("items")))
+        .select(col("order_id"), col("pos"),
+          col("col.product_id").as("product_id"),
+          col("col.qty").as("qty"),
+          col("col.price").as("price"))),
+    "q45_silver_payments_parse" -> ((s, d) => {
+      val parsed = pipeline.PaymentEvents.parse(
+        pipeline.BronzeFixtures.paymentsBronze(Tables.orders(s, d)))
+      parsed.select(
+        col("partition").as("kafka_partition"),
+        col("offset").as("kafka_offset"),
+        unix_micros(col("kafka_timestamp").cast("timestamp")).as("kafka_ts_us"),
+        col("order_id"), col("amount"), col("currency"), col("status"),
+        col("method"), col("event_time"), col("ingest_ts"),
+        col("event_id"), col("payment_id"),
+        unix_micros(col("event_ts").cast("timestamp")).as("event_ts_us"),
+        col("event_date"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -476,5 +516,70 @@ object SparkEntry {
          WHERE list_reduce(list_transform(list_zip(ea, eb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
            / (sqrt(list_reduce(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
             * sqrt(list_reduce(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))) >= 0.3""",
+    // q43-q45: the oracle reconstructs the silver output STRAIGHT from the
+    // base columns (no JSON in DuckDB) — equality proves the Spark-side
+    // build→dedup→parse→flatten round trip loses nothing. `dead` marks rows
+    // whose only surviving payload is malformed (nulled by permissive
+    // parse); orderkey%13 rows are superseded by the newer UPDATED dup.
+    "q43_silver_orders_parse" ->
+      """WITH li AS (SELECT l_orderkey, CAST(COUNT(*) AS INTEGER) AS n
+                     FROM lineitem GROUP BY 1),
+         b AS (SELECT o.*, li.n, (o_orderkey % 13 = 0) AS upd,
+                 (o_orderkey % 97 = 0 AND o_orderkey % 13 != 0) AS dead
+               FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey)
+         SELECT 'orders.created' AS topic,
+           CAST(o_orderkey % 8 AS INTEGER) AS kafka_partition,
+           o_orderkey AS kafka_offset,
+           epoch_us(o_orderdate) + CASE WHEN upd THEN 3600000000 ELSE 0 END AS kafka_ts_us,
+           CASE WHEN dead THEN NULL ELSE 'order.created' END AS event_type,
+           CASE WHEN dead THEN NULL ELSE CAST(o_orderkey AS VARCHAR) END AS order_id,
+           CASE WHEN dead THEN NULL ELSE 'u' || CAST(o_custkey AS VARCHAR) END AS user_id,
+           CASE WHEN dead THEN NULL ELSE n END AS n_items,
+           CASE WHEN dead THEN NULL ELSE 'USD' END AS currency,
+           CASE WHEN dead THEN NULL ELSE o_totalprice END AS total_amount,
+           CASE WHEN dead THEN NULL WHEN upd THEN 'UPDATED' ELSE o_orderstatus END AS status,
+           CASE WHEN dead THEN NULL ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS event_time,
+           CASE WHEN dead THEN NULL ELSE md5('oe-' || CAST(o_orderkey AS VARCHAR)) END AS event_id,
+           CASE WHEN dead THEN NULL ELSE '2026-01-01 00:00:00' END AS ingest_ts,
+           CASE WHEN dead THEN NULL ELSE epoch_us(o_orderdate) END AS event_ts_us,
+           CASE WHEN dead THEN NULL ELSE CAST(o_orderdate AS DATE) END AS event_date
+         FROM b""",
+    // q44: array order is (product_id, qty, price) lexicographic — ties are
+    // bit-identical structs, so pos assignment among ties cannot change the
+    // row multiset the driver hashes.
+    "q44_silver_items_exploded" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
+         CAST(row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_partkey, l_quantity, l_extendedprice) - 1 AS INTEGER) AS pos,
+         CAST(l_partkey AS INTEGER) AS product_id,
+         CAST(l_quantity AS INTEGER) AS qty,
+         l_extendedprice AS price
+         FROM lineitem
+         WHERE l_orderkey % 97 != 0 OR l_orderkey % 13 = 0""",
+    "q45_silver_payments_parse" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           (o_orderkey % 13 = 0) AS upd,
+           (o_orderkey % 97 = 0 AND o_orderkey % 13 != 0) AS dead,
+           sha256('payments.captured:' || CAST(o_orderkey % 4 AS VARCHAR)
+             || ':' || CAST(o_orderkey AS VARCHAR)) AS coord_id
+         FROM orders)
+         SELECT CAST(o_orderkey % 4 AS INTEGER) AS kafka_partition,
+           o_orderkey AS kafka_offset,
+           epoch_us(o_orderdate) + CASE WHEN upd THEN 3600000000 ELSE 0 END AS kafka_ts_us,
+           CASE WHEN dead THEN NULL ELSE CAST(o_orderkey AS VARCHAR) END AS order_id,
+           CASE WHEN dead THEN NULL WHEN upd THEN (cents + 500) / 100.0
+                ELSE cents / 100.0 END AS amount,
+           CASE WHEN dead THEN NULL ELSE 'USD' END AS currency,
+           CASE WHEN dead THEN NULL WHEN upd THEN 'payment.refunded'
+                ELSE 'payment.captured' END AS status,
+           CAST(NULL AS VARCHAR) AS method,
+           CAST(NULL AS VARCHAR) AS event_time,
+           CAST(NULL AS VARCHAR) AS ingest_ts,
+           coord_id AS event_id,
+           coord_id AS payment_id,
+           epoch_us(o_orderdate) + CASE WHEN upd THEN 3600000000 ELSE 0 END AS event_ts_us,
+           CAST(o_orderdate AS DATE) AS event_date
+         FROM b""",
   )
 }
