@@ -23,22 +23,37 @@ object Bench {
     "q14_revenue_by_region", "q15_top_customers", "q16_running_spend",
     "q19_event_pivot", "q21_minute_spine", "q22_hash_keys",
     "q24_neardup_pairs", "q25_ann_topk", "q27_doc_dedup", "q28_item_grain",
+    "q38_enrich_via_view", "q39_revenue_rollup", "q40_event_reach",
+    "q41_column_values", "q42_embedding_dup_pairs",
+    "q43_silver_orders_parse", "q44_silver_items_exploded",
+    "q45_silver_payments_parse",
   )
 
-  /** Evaluate every column of every row (no collect of the result set). */
-  private def force(df: DataFrame): Unit = {
+  /** Evaluate every column of every row (no collect of the result set);
+    * returns the execution so callers can inspect the final AQE plan.
+    */
+  private def force(df: DataFrame): org.apache.spark.sql.execution.QueryExecution = {
     val hashed = df.select(
       xxhash64(struct(df.columns.map(col).toSeq: _*)).as("__h"))
-    hashed.agg(expr("bit_xor(__h)")).head
-    ()
+      .agg(expr("bit_xor(__h)"))
+    hashed.head
+    hashed.queryExecution
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Dev iteration aids (driver passes neither): args = query-name filter;
+    // SPARK_GRAFT_BENCH_N = timed runs per query (min taken, default 2);
+    // SPARK_GRAFT_BENCH_EXPLAIN=1 prints each query's executed AQE plan.
+    val only: Set[String] = args.toSet
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_N").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(2)
+    val explain = sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN").contains("1")
     val spark = GraftSession.local("graft-bench")
     val qs = SparkEntry.queries
-    val names = headline.filter(qs.contains) ++
-      qs.keys.filterNot(headline.contains).toSeq.sorted
+    val names = (headline.filter(qs.contains) ++
+      qs.keys.filterNot(headline.contains).toSeq.sorted)
+      .filter(n => only.isEmpty || only(n))
     // Steady-state measurement: run every query once on the smoke scale
     // factor first so plan analysis, codegen compilation, and JIT happen
     // before the clock starts — a long-lived session is the deployment
@@ -62,10 +77,13 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val (d1, ok1) = timed()
-      val (d2, ok2) = timed()
-      val successes = Seq((d1, ok1), (d2, ok2)).collect { case (d, true) => d }
-      if (successes.isEmpty) (name, d1, false)
+      val attempts = Seq.fill(runs)(timed())
+      if (explain)
+        try System.err.println(s"==== $name executed plan ====\n" +
+          force(qs(name)(spark, sfDir)).executedPlan.toString)
+        catch { case _: Throwable => () }
+      val successes = attempts.collect { case (d, true) => d }
+      if (successes.isEmpty) (name, attempts.head._1, false)
       else (name, successes.min, true)
     }
     val qjson = results.collect { case (k, v, true) => "\"" + k + f"\":$v%.3f" }
