@@ -219,11 +219,12 @@ object Similarity {
     * is all-pairs by definition).
     */
   /** Bucket every vector into all `tables` sign-LSH buckets (one scan,
-    * literal planes) and stream the in-bucket candidate pairs through a
-    * self-equi-join on the bucket key. With literal planes the bucketing
-    * is trivially cheap to compute on both join sides; a
-    * collect_list-per-bucket expansion would instead materialize O(m²)
-    * pairs of a hot bucket inside a single row.
+    * literal planes) and stream the in-bucket candidate pairs through
+    * [[graft.operators.CandidatePairs.inBucketPairs]] — an equi-join on
+    * the bucket key with a hot-bucket triangle split, so a degenerate
+    * bucket (mass identical vectors) spreads its quadratic pair output
+    * over many tasks instead of one reducer. A collect_list-per-bucket
+    * expansion would instead materialize O(m²) pairs inside a single row.
     */
   private def bucketCandidatePairs(vectors: DataFrame, planes: Int,
                                    tables: Int, dims: Int,
@@ -232,11 +233,7 @@ object Similarity {
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("t"), signBucket(col(embCol), planes, dims, t).as("b"))
       }: _*)).as("bk"))
-    bucketed.alias("a")
-      .join(bucketed.alias("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    graft.operators.CandidatePairs.inBucketPairs(bucketed)
   }
 
   def cosineDupPairsBucketed(vectors: DataFrame, threshold: Double,

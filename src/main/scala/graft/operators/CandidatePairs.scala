@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** In-bucket candidate-pair generation with a hot-bucket guard.
+  *
+  * LSH candidate stages (MinHash bands, sign-LSH buckets, IVF cells) all
+  * end the same way: a self-equi-join on the bucket key emitting every
+  * unordered member pair. A bucket of m members yields m(m-1)/2 pairs —
+  * and because an equi-join routes one key to ONE task, a degenerate
+  * bucket (mass near-identical content) concentrates quadratic work on a
+  * single reducer. Re-hashing with extra planes/bands cannot fix the
+  * worst case: identical members re-hash into the same bucket forever.
+  *
+  * The guard is a triangle decomposition instead: members of a bucket
+  * larger than `cap` are salted into g = ceil(m/cap) groups, and the
+  * bucket's pairs are produced across g(g+1)/2 independent join cells
+  * (p, q), p <= q — each cell joins ~cap × cap members on its own
+  * reducer. Total work is unchanged (the pair set IS quadratic in m; that
+  * is the operator's output), but per-task input is bounded by ~2·cap
+  * rows, so the job scales out instead of melting one executor. Buckets
+  * within `cap` take g = 1 and degenerate to the plain self-join cell
+  * (0, 0).
+  *
+  * Pair coverage: a member with salt s plays the row role in cells
+  * (s, q) for q in [s, g-1] and the column role in cells (p, s) for p in
+  * [0, s]. An unordered pair with salts (s_i, s_j), s_i < s_j, meets
+  * exactly once — in cell (s_i, s_j), row role i, column role j; equal
+  * salts meet in the diagonal cell (s, s), deduplicated by id order.
+  */
+object CandidatePairs {
+
+  /** Salted (row-role, col-role) cell expansion, shared with the spec so
+    * the per-cell load bound is directly assertable. Input must have
+    * columns (id, bk); outputs have (bk, id, __p, __q) with one row per
+    * (member, cell). The salted table is persisted — both roles and the
+    * size lookup scan it, and the upstream bucketing (sign projections,
+    * band hashing) is the expensive part of the stage.
+    */
+  private[graft] def roleSides(bucketed: DataFrame, cap: Int): (DataFrame, DataFrame) = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val sizes = bucketed.groupBy(col("bk")).agg(count(lit(1)).as("__m"))
+    // The size lookup is an equi-join on the same key the candidate join
+    // uses — co-partitioned, map-side-combinable agg, no new skew.
+    val salted = bucketed.join(sizes, "bk")
+      .withColumn("__g", ceil(col("__m") / cap).cast("int"))
+      .withColumn("__s", pmod(xxhash64(col("id")), col("__g")).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowRole = salted.select(col("bk"), col("id"), col("__s").as("__p"),
+      explode(sequence(col("__s"), col("__g") - 1)).as("__q"))
+    val colRole = salted.select(col("bk"), col("id"),
+      explode(sequence(lit(0), col("__s"))).as("__p"), col("__s").as("__q"))
+    (rowRole, colRole)
+  }
+
+  /** Distinct unordered in-bucket pairs (id_a < id_b) of an (id, bk)
+    * table. Identical to the plain `a.bk = b.bk && a.id < b.id` self-join
+    * (property-tested in CandidatePairsSpec), with per-task input bounded
+    * by ~2·`cap` bucket members regardless of bucket skew.
+    */
+  def inBucketPairs(bucketed: DataFrame, cap: Int = 2048): DataFrame = {
+    val (a, b) = roleSides(bucketed, cap)
+    a.join(b.withColumnRenamed("id", "__idb"), Seq("bk", "__p", "__q"))
+      .filter(col("__p") =!= col("__q") || col("id") < col("__idb"))
+      .select(least(col("id"), col("__idb")).as("id_a"),
+              greatest(col("id"), col("__idb")).as("id_b"))
+      .distinct()
+  }
+}

@@ -117,18 +117,15 @@ object TextDedup {
       docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = minhashBands(sh, numBands, rowsPerBand)
-    // Candidate pairs stream through a self-equi-join on the band key —
-    // a hot bucket (mass exact-dups) yields many JOIN rows but never a
-    // single giant in-row array (the collect_list-per-bucket alternative
-    // materializes O(m²) pairs inside one row). The join's two banded
-    // sides recompute only explode+band-hash over the PERSISTED shingle
-    // table, which is cheap; still, dedup exact duplicates upstream with
-    // dropDuplicateContent to keep hot buckets small.
-    val cand = banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+    // Candidate pairs stream through an equi-join on the band key with a
+    // hot-bucket triangle split (CandidatePairs): a degenerate band bucket
+    // (mass exact-dups) spreads its quadratic pair output across many
+    // tasks instead of one reducer, and never materializes a giant in-row
+    // array (the collect_list-per-bucket alternative holds O(m²) pairs in
+    // one row). Dedup exact duplicates upstream with dropDuplicateContent
+    // where the clique output itself isn't wanted.
+    val cand = graft.operators.CandidatePairs.inBucketPairs(banded)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     cand
       .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The hot-bucket guard: inBucketPairs must equal the plain self-join on
+  * any input, and bound per-cell (= per-task) load on degenerate buckets
+  * that re-hashing can never split (identical members).
+  */
+class CandidatePairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plainPairs(bucketed: org.apache.spark.sql.DataFrame) =
+    bucketed.alias("a")
+      .join(bucketed.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+  test("equivalent to the plain self-join on mixed bucket sizes") {
+    // 3 buckets: tiny (3), medium (40), and one member in two buckets.
+    val rows =
+      (1L to 3L).map(i => (i, 100)) ++
+      (10L to 49L).map(i => (i, 200)) ++
+      Seq((1L, 200))
+    val bucketed = rows.toDF("id", "bk")
+    val expected = plainPairs(bucketed).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = CandidatePairs.inBucketPairs(bucketed, cap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // sanity: C(3,2) + C(41,2) pairs, and the medium bucket really was
+    // split (g = ceil(41/8) = 6 > 1)
+    assert(expected.size == 3 + (41 * 40) / 2)
+  }
+
+  test("planted identical members: exact clique output, bounded per-cell load") {
+    // 2000 members of ONE bucket — the degenerate case extra planes/bands
+    // cannot split. cap=100 → g=20 → 210 cells.
+    val n = 2000
+    val cap = 100
+    val bucketed = (1L to n.toLong).toDF("id").withColumn("bk", lit(42))
+    val pairs = CandidatePairs.inBucketPairs(bucketed, cap)
+    assert(pairs.count() == n.toLong * (n - 1) / 2) // complete, no dup, no miss
+    // Per-cell load: no (bk, p, q) cell sees more input rows than ~2x the
+    // hash-salt expectation (cap per role side).
+    val (a, b) = CandidatePairs.roleSides(bucketed, cap)
+    val maxCell = a.unionByName(b).groupBy(col("bk"), col("__p"), col("__q"))
+      .agg(count(lit(1)).as("rows")).agg(max(col("rows"))).head.getLong(0)
+    assert(maxCell <= 4L * cap, s"hot cell has $maxCell rows (cap=$cap)")
+  }
+
+  test("well-sized buckets degenerate to the single (0,0) cell") {
+    val bucketed = (1L to 50L).toDF("id").withColumn("bk", lit(7))
+    val (a, b) = CandidatePairs.roleSides(bucketed, cap = 2048)
+    assert(a.select(col("__p"), col("__q")).distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((0, 0)))
+    assert(b.count() == 50)
+    assert(CandidatePairs.inBucketPairs(bucketed).count() == (50 * 49) / 2)
+  }
+
+  test("no CartesianProduct in the guarded candidate plan") {
+    val bucketed = (1L to 100L).toDF("id").withColumn("bk", pmod(col("id"), lit(5)))
+    val plan = CandidatePairs.inBucketPairs(bucketed, cap = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
