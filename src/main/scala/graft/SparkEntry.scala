@@ -182,7 +182,39 @@ object SparkEntry {
         unix_micros(col("event_ts").cast("timestamp")).as("event_ts_us"),
         col("event_date"))
     }),
+    // P8 ILIKE parity (products.py:28-29): the term is deliberately
+    // upper-cased — a case-SENSITIVE contains would match nothing on the
+    // lowercase corpus, so this gate distinguishes ILIKE from LIKE.
+    "q46_ilike_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(Relations.ilikeContains(col("text"), "SPARK"))
+        .select(col("doc_id"), col("lang"), col("source"))),
+    // S6/DDL + partition pruning, correctness-gated: write events
+    // partitioned by event_date via the catalog, read back through
+    // spark.table, and aggregate ONE day — the scan must prune to a single
+    // partition directory (PartitionFilters asserted in PlanSpec).
+    "q47_partitioned_day_scan" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"), col("value"), col("event_date"))
+      val loc = s"/tmp/graft_q47/${new java.io.File(d).getName}"
+      lake.Catalog.writePartitionedTable(s, ev, "graft_q47_events", loc, "event_date")
+      partitionedDayScan(s)
+    }),
   )
+
+  /** The read side of q47, factored so PlanSpec can assert the pruned
+    * scan shape on the exact gated plan. Newest-day cutoff is a scalar
+    * pre-pass (the salesMinuteIncremental pattern); the main scan then
+    * carries a partition-column equality predicate.
+    */
+  def partitionedDayScan(s: SparkSession): DataFrame = {
+    val t = s.table("graft_q47_events")
+    val maxDate = t.agg(max(col("event_date"))).head.getDate(0)
+    t.filter(col("event_date") === lit(maxDate))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           Medallion.moneySum(col("value")).as("total_value"))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -581,5 +613,13 @@ object SparkEntry {
            epoch_us(o_orderdate) + CASE WHEN upd THEN 3600000000 ELSE 0 END AS event_ts_us,
            CAST(o_orderdate AS DATE) AS event_date
          FROM b""",
+    "q46_ilike_filter" ->
+      """SELECT doc_id, lang, source FROM documents WHERE text ILIKE '%SPARK%'""",
+    "q47_partitioned_day_scan" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events
+         WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+         GROUP BY event_type""",
   )
 }

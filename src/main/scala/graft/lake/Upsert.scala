@@ -40,13 +40,29 @@ object Upsert {
     * dominates at 100 TB batch sizes. A duplicate-keyed target also
     * collapses to one row, which is the MERGE contract (targets are
     * key-unique).
+    *
+    * Schema drift is tolerated in both directions, matching the
+    * reference's evolution posture (silver_orders.py:83 overwriteSchema
+    * and dbt_project.yml:13 `on_schema_change: sync_all_columns`): the
+    * merged schema is the COLUMN UNION — a column new in the source is
+    * added with nulls on surviving target rows, a column the source
+    * dropped survives with nulls on inserted/updated source rows. Key and
+    * ordering columns must exist on both sides (an absent key would make
+    * the merge meaningless; require'd loudly).
     */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
             ordering: Seq[String]): DataFrame = {
+    (keys ++ ordering).foreach { c =>
+      require(target.columns.contains(c) && source.columns.contains(c),
+        s"merge: key/ordering column '$c' must exist on both sides " +
+          s"(target: ${target.columns.mkString(",")}; " +
+          s"source: ${source.columns.mkString(",")})")
+    }
     val precedence = "__graft_prec"
     latestWins(
       target.withColumn(precedence, lit(0))
-        .unionByName(source.withColumn(precedence, lit(1))),
+        .unionByName(source.withColumn(precedence, lit(1)),
+          allowMissingColumns = true),
       keys, precedence +: ordering)
       .drop(precedence)
   }

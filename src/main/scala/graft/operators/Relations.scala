@@ -40,6 +40,13 @@ object Relations {
   def paginate(df: DataFrame, sortCols: Seq[Column], offset: Int, limit: Int): DataFrame =
     df.orderBy(sortCols: _*).offset(offset).limit(limit)
 
+  /** Case-insensitive contains — the reference's `ILIKE '%term%'` filter
+    * (services/catalog/app/api/products.py:28-29). `lower` on both sides
+    * keeps the predicate codegen'd and sargable enough to push to the scan.
+    */
+  def ilikeContains(c: Column, term: String): Column =
+    lower(c).contains(term.toLowerCase(java.util.Locale.ROOT))
+
   /** dbt_utils `safe_divide`: null (not an error) on zero/null denominator. */
   def safeDivide(num: Column, den: Column): Column = num / nullif(den, lit(0))
 

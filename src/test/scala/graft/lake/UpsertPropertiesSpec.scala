@@ -61,6 +61,47 @@ class UpsertPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: source with an added column null-fills old rows; dropped column survives") {
+    for (i <- 22 until 26) {
+      val (t, s0) = sample(i)
+      val s = s0.withColumn("extra", col("p") * 2)
+      val m = Upsert.merge(t, s, Seq("k"), Seq("ver", "p"))
+      assert(m.columns.toSet == Set("k", "ver", "p", "extra"))
+      val rows = m.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+         if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      val bestOf = (xs: Set[(Long, Long, Long)]) =>
+        xs.groupBy(_._1).map { case (k, g) => k -> g.maxBy(x => (x._2, x._3)) }
+      val (bt, bs) = (bestOf(canon(t)), bestOf(canon(s0)))
+      val expected = (bt.map { case (k, r) => k -> ((r._1, r._2, r._3, None: Option[Long])) } ++
+        bs.map { case (k, r) => k -> ((r._1, r._2, r._3, Some(r._3 * 2))) }).values.toSet
+      assert(rows == expected, s"sample $i evolved-merge mismatch")
+      // The reverse direction: a source MISSING a target column keeps the
+      // column; every key the source touches now carries null there, and
+      // source-absent keys keep their previous value.
+      val m2 = Upsert.merge(m, s0, Seq("k"), Seq("ver", "p"))
+      assert(m2.columns.toSet == Set("k", "ver", "p", "extra"))
+      val rows2 = m2.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+         if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      val sourceKeys = canon(s0).map(_._1)
+      val expected2 = rows.map {
+        case (k, _, _, _) if sourceKeys(k) =>
+          val b = bs(k); (k, b._2, b._3, None: Option[Long])
+        case keep => keep
+      }
+      assert(rows2 == expected2, s"sample $i reverse-evolution mismatch")
+    }
+  }
+
+  test("merge rejects a key/ordering column absent from one side") {
+    val (t, s) = sample(30)
+    val err = intercept[IllegalArgumentException] {
+      Upsert.merge(t, s.drop("ver"), Seq("k"), Seq("ver", "p"))
+    }
+    assert(err.getMessage.contains("ver"))
+  }
+
   test("two-stage salted topKPerKey equals the single-window top-k") {
     for (i <- 18 until 22) {
       val df = rowsGen(Gen.Parameters.default, Seed(i.toLong)).get

@@ -53,6 +53,20 @@ class PlanSpec extends SparkSpec {
       s"merge must shuffle exactly once:\n$plan")
   }
 
+  test("q47 day scan prunes to one partition (non-empty PartitionFilters)") {
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_id"), col("event_type"), col("value"), col("event_date"))
+    graft.lake.Catalog.writePartitionedTable(
+      spark, ev, "graft_q47_events", "/tmp/graft_q47/planspec", "event_date")
+    val plan = graft.SparkEntry.partitionedDayScan(spark)
+      .queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(_.contains("FileScan"))
+    // the main (filtered) scan must carry a real partition predicate
+    assert(scans.exists(s => """PartitionFilters: \[[^\]]""".r.findFirstIn(s).isDefined
+        && s.contains("event_date")),
+      s"no pruned scan found:\n$plan")
+  }
+
   test("relational hot paths run inside whole-stage codegen") {
     val df = Analytics.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // AQE only materializes codegen stages in the final plan
