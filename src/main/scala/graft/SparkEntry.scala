@@ -200,6 +200,13 @@ object SparkEntry {
       lake.Catalog.writePartitionedTable(s, ev, "graft_q47_events", loc, "event_date")
       partitionedDayScan(s)
     }),
+    // Token counting both ways (LLM corpus budgeting): whitespace tokens
+    // and BPE-ish subword segments per document, one scan, row-local.
+    "q48_token_counts" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("ws_tokens"),
+        TextStats.subwordCount(col("text")).as("subword_tokens"))),
   )
 
   /** The read side of q47, factored so PlanSpec can assert the pruned
@@ -621,5 +628,10 @@ object SparkEntry {
          FROM events
          WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
          GROUP BY event_type""",
+    "q48_token_counts" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS subword_tokens
+         FROM documents""",
   )
 }

@@ -28,6 +28,17 @@ object TextStats {
     size(filter(w, t => t.isin(Stopwords: _*))) / size(w)
   }
 
+  /** BPE-ish subword pre-tokenization: alphabetic runs, digit runs, and
+    * single punctuation marks — the segmentation GPT-style BPE vocabularies
+    * assume before merges, which makes its count the standard cheap proxy
+    * for "LLM tokens" in corpus budgeting. The alternatives are disjoint
+    * character classes, so Java regex (Spark) and RE2 (DuckDB) agree.
+    */
+  val SubwordPattern: String = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(SubwordPattern), lit(0)))
+
   /** n-gram-free language-ID heuristic: classify as English iff the
     * stopword ratio clears a floor. (A real model would score character
     * n-grams per language; the contract here is the operator shape — a
