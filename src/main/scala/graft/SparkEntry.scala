@@ -207,6 +207,13 @@ object SparkEntry {
         col("doc_id"),
         TextStats.tokenCount(col("text")).as("ws_tokens"),
         TextStats.subwordCount(col("text")).as("subword_tokens"))),
+    // n-gram language-ID (char-trigram profile scoring) — one scan,
+    // row-local; scores are exact int/int double division in both engines.
+    "q49_lang_id_ngram" -> ((s, d) =>
+      Tables.documentsSpread(s, d).filter(length(col("text")) >= 3).select(
+        col("doc_id"),
+        TextStats.trigramEnScore(col("text")).as("en_score"),
+        TextStats.langIdNgram(col("text")).as("lang_pred"))),
   )
 
   /** The read side of q47, factored so PlanSpec can assert the pruned
@@ -633,5 +640,17 @@ object SparkEntry {
          CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS subword_tokens
          FROM documents""",
+    "q49_lang_id_ngram" ->
+      """WITH t AS (SELECT doc_id,
+             list_transform(range(1, len(text) - 1), i -> substr(text, i, 3)) AS tg
+           FROM documents WHERE len(text) >= 3),
+         m AS (SELECT doc_id, len(tg) AS total,
+             len(list_filter(tg, x -> list_contains(
+               ['the','he ',' th','and','nd ',' an','ing','ng ',' in','ion',
+                'on ',' of','of ',' to','to ','ed ','er ',' co','ent',' re'], x))) AS hits
+           FROM t)
+         SELECT doc_id, hits / total AS en_score,
+           CASE WHEN hits / total >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred
+         FROM m""",
   )
 }

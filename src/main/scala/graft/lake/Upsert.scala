@@ -51,7 +51,25 @@ object Upsert {
     * the merge meaningless; require'd loudly).
     */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
-            ordering: Seq[String]): DataFrame = {
+            ordering: Seq[String]): DataFrame =
+    mergeImpl(target, source, keys, ordering, orderingFirst = false)
+
+  /** Ordering-first merge: keep the row with the greatest `ordering` per
+    * key across target AND source together; the source wins only ties.
+    * Unlike [[merge]] (Delta MERGE: a matched target row is replaced by
+    * the source row unconditionally), this is the conditional-update
+    * idiom (`whenMatched AND source.ts > target.ts`) — the semantics
+    * streaming ingestion dedup needs: the final table is a pure function
+    * of the delivered record set, independent of how micro-batches slice
+    * it, so a stale duplicate delivered in a LATER batch can never
+    * regress the table.
+    */
+  def mergeLatest(target: DataFrame, source: DataFrame, keys: Seq[String],
+                  ordering: Seq[String]): DataFrame =
+    mergeImpl(target, source, keys, ordering, orderingFirst = true)
+
+  private def mergeImpl(target: DataFrame, source: DataFrame, keys: Seq[String],
+                        ordering: Seq[String], orderingFirst: Boolean): DataFrame = {
     (keys ++ ordering).foreach { c =>
       require(target.columns.contains(c) && source.columns.contains(c),
         s"merge: key/ordering column '$c' must exist on both sides " +
@@ -59,11 +77,13 @@ object Upsert {
           s"source: ${source.columns.mkString(",")})")
     }
     val precedence = "__graft_prec"
+    val ord = if (orderingFirst) ordering :+ precedence
+              else precedence +: ordering
     latestWins(
       target.withColumn(precedence, lit(0))
         .unionByName(source.withColumn(precedence, lit(1)),
           allowMissingColumns = true),
-      keys, precedence +: ordering)
+      keys, ord)
       .drop(precedence)
   }
 
@@ -81,11 +101,13 @@ object Upsert {
     * location flip or a rename-capable committer against the object store.
     */
   def mergeIntoPath(spark: org.apache.spark.sql.SparkSession, path: String,
-                    source: DataFrame, keys: Seq[String], ordering: Seq[String]): Unit = {
+                    source: DataFrame, keys: Seq[String], ordering: Seq[String],
+                    orderingFirst: Boolean = false): Unit = {
     recover(path)
     val p = Paths.get(path)
     val merged =
-      if (Files.exists(p)) merge(spark.read.parquet(path), source, keys, ordering)
+      if (Files.exists(p))
+        mergeImpl(spark.read.parquet(path), source, keys, ordering, orderingFirst)
       else latestWins(source, keys, ordering)
     val tmp = Paths.get(path + ".__tmp")
     val old = Paths.get(path + ".__old")

@@ -17,6 +17,13 @@ object SilverStream {
     * per micro-batch. Exactly-once lands on the idempotence of the merge:
     * a replayed micro-batch (failure/restart) rewrites the same keys with
     * the same rows. This is the streaming twin of silver_orders.py:72-79.
+    *
+    * The merge is ORDERING-FIRST ([[Upsert.mergeLatest]] semantics): the
+    * table keeps the greatest-`ordering` row per key across all batches,
+    * so the result is a pure function of the delivered record set —
+    * independent of micro-batch slicing, and a stale duplicate arriving
+    * in a later batch can never regress a key (SilverStreamSpec proves
+    * stream ≡ batch on the q43 fixture topic under shuffled delivery).
     */
   def mergeStream(bronze: DataFrame, path: String, checkpoint: String,
                   keys: Seq[String], ordering: Seq[String],
@@ -26,7 +33,8 @@ object SilverStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Upsert.mergeIntoPath(batch.sparkSession, path, batch, keys, ordering)
+        Upsert.mergeIntoPath(batch.sparkSession, path, batch, keys, ordering,
+          orderingFirst = true)
       }
       .start()
 

@@ -40,12 +40,41 @@ object TextStats {
     size(regexp_extract_all(text, lit(SubwordPattern), lit(0)))
 
   /** n-gram-free language-ID heuristic: classify as English iff the
-    * stopword ratio clears a floor. (A real model would score character
-    * n-grams per language; the contract here is the operator shape — a
-    * row-local classifier column — not lexicographic accuracy.)
+    * stopword ratio clears a floor. (The n-gram variant below is the
+    * fuller classifier; this one survives as the cheaper word-level
+    * filter q30 gates.)
     */
   def langId(text: Column, floor: Double = 0.01): Column =
     when(stopwordRatio(text) >= floor, lit("en")).otherwise(lit("und"))
+
+  /** Character-trigram English profile — the classic n-gram language-ID
+    * signal (Cavnar & Trenkle's top-k profile idea reduced to a literal
+    * top set both engines share verbatim, so scores are reproducible in
+    * the DuckDB oracle).
+    */
+  val EnTrigramProfile: Seq[String] = Seq(
+    "the", "he ", " th", "and", "nd ", " an", "ing", "ng ", " in", "ion",
+    "on ", " of", "of ", " to", "to ", "ed ", "er ", " co", "ent", " re")
+
+  /** Fraction of the document's character-trigram instances found in the
+    * English profile — row-local, exact int/int double division (bit-equal
+    * across engines). Null for texts shorter than one trigram; guard the
+    * sequence bound too (Spark's sequence(1, n) DESCENDS for n < 1).
+    */
+  def trigramEnScore(text: Column): Column = {
+    val tg = transform(sequence(lit(1), length(text) - 2),
+      i => text.substr(i, lit(3)))
+    when(length(text) >= 3,
+      size(filter(tg, t => t.isin(EnTrigramProfile: _*))) /
+        nullif(size(tg), lit(0)))
+  }
+
+  /** n-gram language-ID: English iff the trigram-profile score clears the
+    * floor — the per-language-profile generalization is one map over more
+    * profile columns.
+    */
+  def langIdNgram(text: Column, floor: Double = 0.05): Column =
+    when(trigramEnScore(text) >= floor, lit("en")).otherwise(lit("und"))
 
   /** Per-document quality metrics: token count, lexical diversity
     * (distinct/total), stopword ratio, predicted language, and a keep flag

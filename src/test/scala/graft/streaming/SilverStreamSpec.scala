@@ -12,6 +12,10 @@ import java.sql.Timestamp
 case class Ev(event_id: Long, user_id: Long, event_type: String,
               value: Double, event_ts: Timestamp, event_ts_us: Long)
 
+case class FixtureBronze(topic: String, partition: Int, offset: Long,
+                         kafka_timestamp: java.time.LocalDateTime,
+                         raw_value: String)
+
 /** Streaming silver merge (foreachBatch) and watermarked gold: replayed
   * batches stay idempotent; late data updates within the horizon and is
   * dropped beyond it.
@@ -44,6 +48,35 @@ class SilverStreamSpec extends SparkSpec {
       .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
     assert(rows == Map(1L -> 10.0, 2L -> 25.0),
       s"latest-wins merge violated: $rows")
+  }
+
+  test("fixture topic streamed through mergeStream + parse equals the batch silver parse") {
+    // The q43 bronze fixture (planted stale dups, newer UPDATED dups,
+    // malformed payloads) delivered as THREE out-of-order micro-batches
+    // through the foreachBatch durable merge, then batch-parsed — must
+    // equal OrderEvents.parse over the whole topic in one go. This is the
+    // reference deployment shape: streaming ingest+merge, batch silver.
+    val dir = Files.createTempDirectory("graft-silver-fixture").toString
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bronze = graft.pipeline.BronzeFixtures.ordersBronze(
+      graft.sources.Tables.orders(spark, sfDir),
+      graft.sources.Tables.lineitem(spark, sfDir))
+    val rows = bronze.as[FixtureBronze].collect()
+    // deterministic shuffle so coordinates' dup deliveries straddle batches
+    val mixed = rows.sortBy(r => (r.offset * 2654435761L + r.kafka_timestamp.getHour) % 997)
+    val chunks = mixed.grouped(math.max(1, mixed.length / 3 + 1)).toSeq
+    val input = MemoryStream[FixtureBronze]
+    val q = SilverStream.mergeStream(input.toDF(), s"$dir/t", s"$dir/ckpt",
+      keys = Seq("topic", "partition", "offset"), ordering = Seq("kafka_timestamp"),
+      trigger = Trigger.ProcessingTime(0))
+    chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = graft.pipeline.OrderEvents.parse(spark.read.parquet(s"$dir/t"))
+    val batch = graft.pipeline.OrderEvents.parse(bronze)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed-merge silver disagrees with the batch parse")
   }
 
   test("watermarked gold emits final minute buckets; too-late events are dropped") {
