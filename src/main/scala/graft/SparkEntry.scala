@@ -214,6 +214,11 @@ object SparkEntry {
         col("doc_id"),
         TextStats.trigramEnScore(col("text")).as("en_score"),
         TextStats.langIdNgram(col("text")).as("lang_pred"))),
+    // SimHash as a full dedup operator: banded candidates (exact recall
+    // for hamming <= bands-1 by pigeonhole) + bit_count verify; the
+    // oracle is the all-pairs hamming join, so recall is gate-checked.
+    "q50_simhash_neardup" -> ((s, d) =>
+      TextDedup.simhashNearDupPairs(Tables.documentsSpread(s, d), "doc_id", "text")),
   )
 
   /** The read side of q47, factored so PlanSpec can assert the pruned
@@ -652,5 +657,20 @@ object SparkEntry {
          SELECT doc_id, hits / total AS en_score,
            CASE WHEN hits / total >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred
          FROM m""",
+    // q50: oracle recomputes the q29 simhash then does the exact ALL-PAIRS
+    // hamming join — the banded Spark side must reach recall 1 on it
+    // (guaranteed for hamming <= 3 with 4 bands), and does.
+    "q50_simhash_neardup" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+         bits AS (SELECT doc_id, b, SUM(2 * ((h >> b) & 1) - 1) AS s
+                  FROM h, UNNEST(range(0, 60)) t(b) GROUP BY 1, 2),
+         sh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
   )
 }

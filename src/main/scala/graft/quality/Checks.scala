@@ -87,13 +87,33 @@ object Checks {
     }
   }
 
+  /** Without a partition spec these checks run a GLOBAL window — all rows
+    * through one task. That is the correct plan for the bounded inputs
+    * they're meant for (aggregated facts, reference tables), and a silent
+    * melt for a raw 100 TB table — so the global path counts the input
+    * first and fails loudly over this bound instead of hanging a reducer.
+    * The count is one extra columnar scan of a small input; callers with
+    * genuinely large data must pass `partitionBy`.
+    */
+  val MaxGlobalWindowRows: Long = 10000000L
+
+  private def windowOrFail(df: DataFrame, partitionBy: Seq[String],
+                           what: String): org.apache.spark.sql.expressions.WindowSpec =
+    if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
+    else {
+      val n = df.limit((MaxGlobalWindowRows + 1).toInt).count()
+      require(n <= MaxGlobalWindowRows,
+        s"$what: input exceeds $MaxGlobalWindowRows rows with no partitionBy — " +
+          "a global window would single-task it; pass partitionBy")
+      Window.partitionBy(lit(1))
+    }
+
   /** dbt_utils `sequential_values` (lag-based, W3): within each partition,
     * ordered `column` advances by exactly `step`.
     */
   def sequentialValues(df: DataFrame, column: String, step: Long,
                        partitionBy: Seq[String] = Nil): Either[String, Unit] = {
-    val w = (if (partitionBy.isEmpty) Window.partitionBy(lit(1))
-             else Window.partitionBy(partitionBy.map(col): _*))
+    val w = windowOrFail(df, partitionBy, s"sequential_values($column)")
       .orderBy(col(column))
     violation(
       df.withColumn("__prev", lag(col(column), 1).over(w))
@@ -106,8 +126,7 @@ object Checks {
     */
   def mutuallyExclusiveRanges(df: DataFrame, lower: String, upper: String,
                               partitionBy: Seq[String] = Nil): Either[String, Unit] = {
-    val w = (if (partitionBy.isEmpty) Window.partitionBy(lit(1))
-             else Window.partitionBy(partitionBy.map(col): _*))
+    val w = windowOrFail(df, partitionBy, s"mutually_exclusive_ranges($lower, $upper)")
       .orderBy(col(lower), col(upper))
     violation(
       df.withColumn("__next_lower", lead(col(lower), 1).over(w))

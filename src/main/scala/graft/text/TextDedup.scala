@@ -183,6 +183,39 @@ object TextDedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: band-bucketed candidate generation +
+    * exact Hamming verify, completing SimHash as a dedup operator (q29
+    * gates only the fingerprint). With `bands` equal-width bands over the
+    * fingerprint, any pair within Hamming distance `bands - 1` leaves at
+    * least one band untouched (pigeonhole), so candidate recall is EXACT
+    * for `maxHamming <= bands - 1` — the q50 oracle (all-pairs at test
+    * scale) checks precisely that. Candidates route through
+    * [[graft.operators.CandidatePairs]], so a degenerate band bucket
+    * (mass identical fingerprints) is triangle-split, never one reducer.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          bands: Int = 4, bits: Int = 60,
+                          maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits not divisible by bands=$bands")
+    require(maxHamming <= bands - 1,
+      s"recall is only exact for maxHamming <= ${bands - 1} with $bands bands")
+    val width = bits / bands
+    val sh = simhash(docs, idCol, textCol, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = sh.select(col("doc_id").as("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("v"))
+      }: _*)).as("bk"))
+    graft.operators.CandidatePairs.inBucketPairs(bucketed)
+      .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Positional polynomial fingerprint mod a prime near 1e9 (rolling-hash
     * family): fp = Σ_i (h(w_i) mod M) · i mod M, i 1-based. Order-sensitive
     * (token swaps change it) yet computed with a commutative sum, so it is
