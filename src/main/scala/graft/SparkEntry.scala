@@ -219,6 +219,40 @@ object SparkEntry {
     // oracle is the all-pairs hamming join, so recall is gate-checked.
     "q50_simhash_neardup" -> ((s, d) =>
       TextDedup.simhashNearDupPairs(Tables.documentsSpread(s, d), "doc_id", "text")),
+    // IVF ANN, oracle-gated end-to-end: centroids are md5-derived literals
+    // (the q42 scheme), so DuckDB reproduces cell assignment, nProbe
+    // routing, and the final cosine ranking bit-for-bit.
+    "q51_ann_ivf" -> ((s, d) => {
+      val em = Tables.embeddingsSpread(s, d)
+      Similarity.annTopKIvf(em.filter(col("vec_id") >= 10),
+        em.filter(col("vec_id") < 10), 5)
+    }),
+    // Sign-LSH ANN, oracle-gated the same way (buckets + candidates +
+    // ranking reproduced in DuckDB) — with q25/q51 this hash-gates every
+    // ANN path: exact, IVF, and LSH.
+    "q52_ann_lsh" -> ((s, d) => {
+      val em = Tables.embeddingsSpread(s, d)
+      Similarity.annTopKLsh(em.filter(col("vec_id") >= 10),
+        em.filter(col("vec_id") < 10), 5, planes = 6, tables = 3)
+    }),
+    // Multimodal frame-sampling grain, oracle-gated: document text rides
+    // as the opaque binary payload (ASCII corpus → byte slice ≡ char
+    // substr), Multimodal.sampleFrames slices it into 4 frames, and the
+    // oracle reproduces the slice arithmetic with integer division. The
+    // codec stays a stub; the GRAIN (one row per sampled frame with exact
+    // boundaries) is the contract this gate locks.
+    "q53_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documentsSpread(s, d).select(
+        col("doc_id"), col("text")).as[(Long, String)].map { case (id, t) =>
+        graft.multimodal.Multimodal.MediaRow(id, "video",
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          width = 0, height = 0, sample_rate = 0, duration_ms = 0, format = "txt")
+      }
+      graft.multimodal.Multimodal.sampleFrames(media, 4)
+        .select(col("media_id"), col("frame_idx"),
+          col("frame_bytes").cast("string").as("frame_text"))
+    }),
   )
 
   /** The read side of q47, factored so PlanSpec can assert the pruned
@@ -672,5 +706,68 @@ object SparkEntry {
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    // q51: the oracle rebuilds the SAME md5-derived IVF centroids and the
+    // left-to-right double dots, assigns corpus vectors to their argmax
+    // cell (tiebreak cell asc), probes each query's top-4 cells, and ranks
+    // candidates by the bit-stable cosine — the full IVF path hash-gated.
+    "q51_ann_ivf" ->
+      """WITH scored AS (
+           SELECT vec_id, embedding, c.c AS cell,
+             list_reduce(list_transform(embedding, (x, i) ->
+               CAST(x AS DOUBLE) * ((CAST(('0x' || substr(md5('ivf-' || c.c || '-' || (i-1)), 1, 15)) AS BIGINT) % 2000003) / 1000001.5 - 1.0)),
+               (a, v) -> a + v) AS s
+           FROM embeddings, UNNEST(range(0, 16)) c(c)),
+         corpus AS (
+           SELECT vec_id AS neighbor_id, embedding AS ce, cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+             FROM scored WHERE vec_id >= 10) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, embedding AS qe, cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+             FROM scored WHERE vec_id < 10) WHERE rn <= 4),
+         sc AS (
+           SELECT query_id, neighbor_id,
+             list_reduce(list_transform(list_zip(qe, ce), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+             / (sqrt(list_reduce(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
+              * sqrt(list_reduce(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))) AS cosine
+           FROM probes q JOIN corpus co ON q.cell = co.cell)
+         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM sc)
+         WHERE rank <= 5""",
+    // q52: q42's hyperplane-bucket scheme applied to the ANN query/corpus
+    // split — candidates share at least one of 3 tables' 6-plane buckets.
+    "q52_ann_lsh" ->
+      """WITH b AS (
+           SELECT vec_id, embedding, t.t,
+             (SELECT SUM(CASE WHEN (
+                 list_reduce(list_transform(embedding, (x, d) ->
+                   CAST(x AS DOUBLE) * ((CAST(('0x' || substr(md5('hp-' || t.t || '-' || p.p || '-' || (d-1)), 1, 15)) AS BIGINT) % 2000003) / 1000001.5 - 1.0)),
+                   (a, v) -> a + v)) > 0 THEN (1 << p.p) ELSE 0 END)
+              FROM UNNEST(range(0, 6)) p(p)) AS bucket
+           FROM embeddings, UNNEST(range(0, 3)) t(t)),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qe, c.embedding AS ce
+           FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+           WHERE q.vec_id < 10 AND c.vec_id >= 10),
+         sc AS (
+           SELECT query_id, neighbor_id,
+             list_reduce(list_transform(list_zip(qe, ce), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+             / (sqrt(list_reduce(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
+              * sqrt(list_reduce(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))) AS cosine
+           FROM cand)
+         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM sc)
+         WHERE rank <= 5""",
+    // q53: frame boundaries are pure integer arithmetic (f*L/4 floor
+    // division), so DuckDB reproduces the byte slices with substr.
+    "q53_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents)
+         SELECT doc_id AS media_id, CAST(f.f AS INTEGER) AS frame_idx,
+           substr(text, CAST((f.f * L) // 4 AS INTEGER) + 1,
+             CAST(((f.f + 1) * L) // 4 AS INTEGER) - CAST((f.f * L) // 4 AS INTEGER)) AS frame_text
+         FROM d, UNNEST(range(0, 4)) f(f)""",
   )
 }
