@@ -14,8 +14,8 @@ object Verify {
     if (only.nonEmpty)
       System.err.println(
         s"[verify] selective run (${only.mkString(",")}): other query dirs in " +
-        s"$outDir are STALE leftovers from prior runs — oracle_check without " +
-        "an explicit query list would validate them against current SQL.")
+        s"$outDir are STALE leftovers from prior runs — oracle_check honors " +
+        "the manifest written by this run and skips them.")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -49,6 +49,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of the queries THIS run attempted — lets oracle_check skip
+    // stale sibling dirs from earlier selective runs automatically.
+    val ran = SparkEntry.queries.keys
+      .filter(n => only.isEmpty || only(n)).toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/verify_manifest.json"),
+      ran.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -41,6 +41,18 @@ def main():
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # A selective Verify run writes a manifest of the queries it actually
+    # produced; without an explicit CLI list, restrict to it so stale
+    # parquet from earlier runs is never validated against current SQL.
+    manifest_path = f"{outdir}/verify_manifest.json"
+    if not only and os.path.exists(manifest_path):
+        ran = set(json.load(open(manifest_path)))
+        skipped = sorted(set(oracle) - ran)
+        if skipped:
+            print(f"NOTE: {len(skipped)} queries not in this run's manifest "
+                  f"(stale/absent), skipping: {', '.join(skipped[:6])}"
+                  + (" ..." if len(skipped) > 6 else ""))
+        only = ran
     failures = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
