@@ -236,28 +236,15 @@ object Similarity {
     graft.operators.CandidatePairs.inBucketPairs(bucketed)
   }
 
+  /** Precision is exact (every candidate gets a true cosine); recall is
+    * governed by (planes, tables) — raise tables for higher recall at
+    * proportionally more candidate-join work. The q42 oracle rebuilds the
+    * default parameters' buckets exactly, gating this end-to-end.
+    */
   def cosineDupPairsBucketed(vectors: DataFrame, threshold: Double,
                              planes: Int = 4, tables: Int = 3, dims: Int = 64,
                              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     requireDims(vectors, embCol, dims, "cosineDupPairsBucketed")
-    val cand = bucketCandidatePairs(vectors, planes, tables, dims, idCol, embCol)
-    val emb = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
-    cand
-      .join(emb.select(col("id").as("id_a"), col("emb").as("ea")), Seq("id_a"))
-      .join(emb.select(col("id").as("id_b"), col("emb").as("eb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        nativeCosine(vectors.sparkSession)(col("ea"), col("eb")).as("cosine"))
-      .filter(col("cosine") >= threshold)
-  }
-
-  /** Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold),
-    * LSH-bucketed candidate generation + exact cosine verify. Precision is
-    * exact; recall is governed by (planes, tables).
-    */
-  def cosineDupPairsLsh(vectors: DataFrame, threshold: Double,
-                        planes: Int = 8, tables: Int = 6, dims: Int = 64,
-                        idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    requireDims(vectors, embCol, dims, "cosineDupPairsLsh")
     val cand = bucketCandidatePairs(vectors, planes, tables, dims, idCol, embCol)
     val emb = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
     cand

@@ -66,8 +66,9 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
-  test("cosineDupPairsLsh: planted identical pair surfaces; precision exact") {
-    val pairs = Similarity.cosineDupPairsLsh(planted, threshold = 0.95, dims = 8)
+  test("cosineDupPairsBucketed at high-recall params: planted pair surfaces; precision exact") {
+    val pairs = Similarity.cosineDupPairsBucketed(planted, threshold = 0.95,
+      planes = 8, tables = 6, dims = 8)
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((0L, 100L)), s"planted dup missing from $got")
     assert(pairs.filter(col("cosine") < 0.95).count() == 0)
