@@ -24,14 +24,35 @@ import org.apache.spark.sql.functions._
   */
 object BronzeFixtures {
 
-  private def envelope(topic: String, partitions: Int): Seq[Column] = Seq(
-    lit(topic).as("topic"),
-    (col("o_orderkey") % partitions).cast("int").as("partition"),
-    col("o_orderkey").as("offset"))
-
   private val malformed = col("o_orderkey") % 97 === 0
   private val updated = col("o_orderkey") % 13 === 0
   private val stale = col("o_orderkey") % 10 === 0
+
+  /** One pass over the base rows: each row emits its original delivery
+    * plus its planted duplicates as an exploded variant array — the base
+    * (and its expensive per-order items aggregation) is computed ONCE,
+    * not once per union branch.
+    */
+  private def deliver(base: DataFrame, topic: String, partitions: Int,
+                      original: Column, staleDup: Column,
+                      updatedDup: Column): DataFrame =
+    base.select(
+      lit(topic).as("topic"),
+      (col("o_orderkey") % partitions).cast("int").as("partition"),
+      col("o_orderkey").as("offset"),
+      explode(filter(array(
+        struct(col("o_orderdate").as("kafka_timestamp"),
+          original.as("raw_value")),
+        when(stale, struct(
+          (col("o_orderdate") - expr("INTERVAL 1 HOUR")).as("kafka_timestamp"),
+          staleDup.as("raw_value"))),
+        when(updated, struct(
+          (col("o_orderdate") + expr("INTERVAL 1 HOUR")).as("kafka_timestamp"),
+          updatedDup.as("raw_value")))),
+        v => v.isNotNull)).as("d"))
+      .select(col("topic"), col("partition"), col("offset"),
+        col("d.kafka_timestamp").as("kafka_timestamp"),
+        col("d.raw_value").as("raw_value"))
 
   /** orders.created bronze: the 12-field order.created payload, with the
     * per-order `items array<struct>` built from lineitem (sorted by the
@@ -60,18 +81,11 @@ object BronzeFixtures {
       md5(concat(lit("oe-"), col("o_orderkey").cast("string"))).as("event_id"),
       lit("2026-01-01 00:00:00").as("ingest_ts")))
 
-    val env = envelope("orders.created", 8)
-    val original = base.select(env ++ Seq(
-      col("o_orderdate").as("kafka_timestamp"),
-      when(malformed, lit("{malformed")).otherwise(payload(col("o_orderstatus")))
-        .as("raw_value")): _*)
-    val staleDup = base.filter(stale).select(env ++ Seq(
-      (col("o_orderdate") - expr("INTERVAL 1 HOUR")).as("kafka_timestamp"),
-      lit("{stale corrupt").as("raw_value")): _*)
-    val updatedDup = base.filter(updated).select(env ++ Seq(
-      (col("o_orderdate") + expr("INTERVAL 1 HOUR")).as("kafka_timestamp"),
-      payload(lit("UPDATED")).as("raw_value")): _*)
-    original.unionByName(staleDup).unionByName(updatedDup)
+    deliver(base, "orders.created", 8,
+      original = when(malformed, lit("{malformed"))
+        .otherwise(payload(col("o_orderstatus"))),
+      staleDup = lit("{stale corrupt"),
+      updatedDup = payload(lit("UPDATED")))
   }
 
   /** payments bronze: the 5-field payment payload of silver_payments.py:11-17.
@@ -89,17 +103,10 @@ object BronzeFixtures {
       concat(lit("u"), col("o_custkey").cast("string"), lit("@example.com"))
         .as("user_email")))
 
-    val env = envelope("payments.captured", 4)
-    val original = orders.select(env ++ Seq(
-      col("o_orderdate").as("kafka_timestamp"),
-      when(malformed, lit("{malformed"))
-        .otherwise(payload(lit("payment.captured"), cents)).as("raw_value")): _*)
-    val staleDup = orders.filter(stale).select(env ++ Seq(
-      (col("o_orderdate") - expr("INTERVAL 1 HOUR")).as("kafka_timestamp"),
-      lit("{stale corrupt").as("raw_value")): _*)
-    val updatedDup = orders.filter(updated).select(env ++ Seq(
-      (col("o_orderdate") + expr("INTERVAL 1 HOUR")).as("kafka_timestamp"),
-      payload(lit("payment.refunded"), cents + 500).as("raw_value")): _*)
-    original.unionByName(staleDup).unionByName(updatedDup)
+    deliver(orders, "payments.captured", 4,
+      original = when(malformed, lit("{malformed"))
+        .otherwise(payload(lit("payment.captured"), cents)),
+      staleDup = lit("{stale corrupt"),
+      updatedDup = payload(lit("payment.refunded"), cents + 500))
   }
 }
