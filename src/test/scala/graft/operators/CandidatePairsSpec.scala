@@ -58,6 +58,27 @@ class CandidatePairsSpec extends SparkSpec {
     assert(CandidatePairs.inBucketPairs(bucketed).count() == (50 * 49) / 2)
   }
 
+  test("property: equals the plain self-join on random (id, bucket) tables") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(120,
+      Gen.zip(Gen.chooseNum(0L, 60L), Gen.chooseNum(0, 5)))
+    for (i <- 0 until 4) {
+      // distinct (id, bk) rows — a member sits in a bucket at most once,
+      // matching how every caller produces the table (explode of distinct
+      // band/table structs)
+      val rows = gen(Gen.Parameters.default, Seed(i.toLong)).get.distinct
+      val bucketed = rows.toDF("id", "bk")
+      for (cap <- Seq(1, 7, 2048)) {
+        val expected = plainPairs(bucketed).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = CandidatePairs.inBucketPairs(bucketed, cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == expected, s"seed $i cap $cap mismatch")
+      }
+    }
+  }
+
   test("no CartesianProduct in the guarded candidate plan") {
     val bucketed = (1L to 100L).toDF("id").withColumn("bk", pmod(col("id"), lit(5)))
     val plan = CandidatePairs.inBucketPairs(bucketed, cap = 10)
