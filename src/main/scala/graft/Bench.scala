@@ -68,21 +68,24 @@ object Bench {
     // occasional multi-second pauses; min-of-2 reports the query's actual
     // steady-state cost instead of whichever run a pause happened to hit.
     val results = names.map { name =>
-      def timed(): (Double, Boolean) = {
+      // timed() keeps the QueryExecution of a successful run so explain
+      // can print the final AQE plan WITHOUT a redundant extra execution.
+      def timed(): (Double, Option[org.apache.spark.sql.execution.QueryExecution]) = {
         val t0 = System.nanoTime()
-        val ok =
-          try { force(qs(name)(spark, sfDir)); true }
+        val qe =
+          try Some(force(qs(name)(spark, sfDir)))
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e"); false
+            System.err.println(s"[bench] $name failed: $e"); None
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        ((System.nanoTime() - t0) / 1e9, qe)
       }
       val attempts = Seq.fill(runs)(timed())
-      if (explain)
-        try System.err.println(s"==== $name executed plan ====\n" +
-          force(qs(name)(spark, sfDir)).executedPlan.toString)
-        catch { case _: Throwable => () }
-      val successes = attempts.collect { case (d, true) => d }
+      if (explain) attempts.flatMap(_._2).lastOption match {
+        case Some(qe) => System.err.println(
+          s"==== $name executed plan ====\n" + qe.executedPlan.toString)
+        case None => System.err.println(s"==== $name: no successful run to explain")
+      }
+      val successes = attempts.collect { case (d, Some(_)) => d }
       if (successes.isEmpty) (name, attempts.head._1, false)
       else (name, successes.min, true)
     }

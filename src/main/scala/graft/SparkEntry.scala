@@ -243,8 +243,14 @@ object SparkEntry {
     // boundaries) is the contract this gate locks.
     "q53_frame_sample" -> ((s, d) => {
       import s.implicits._
-      val media = Tables.documentsSpread(s, d).select(
-        col("doc_id"), col("text")).as[(Long, String)].map { case (id, t) =>
+      // Guard the byte-slice ≡ char-substr equivalence EXPLICITLY rather
+      // than relying on the current corpus: only ASCII docs (octet length
+      // = char length) with at least one byte per frame qualify — both
+      // filters mirrored in the oracle.
+      val media = Tables.documentsSpread(s, d)
+        .filter(length(col("text")) >= 4 &&
+          octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, t) =>
         graft.multimodal.Multimodal.MediaRow(id, "video",
           t.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           width = 0, height = 0, sample_rate = 0, duration_ms = 0, format = "txt")
@@ -764,7 +770,9 @@ object SparkEntry {
     // q53: frame boundaries are pure integer arithmetic (f*L/4 floor
     // division), so DuckDB reproduces the byte slices with substr.
     "q53_frame_sample" ->
-      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents)
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents
+                    WHERE len(text) >= 4
+                      AND octet_length(CAST(text AS BLOB)) = len(text))
          SELECT doc_id AS media_id, CAST(f.f AS INTEGER) AS frame_idx,
            substr(text, CAST((f.f * L) // 4 AS INTEGER) + 1,
              CAST(((f.f + 1) * L) // 4 AS INTEGER) - CAST((f.f * L) // 4 AS INTEGER)) AS frame_text

@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   *  - top-k extraction is two-stage (salted partial top-k, then final) so a
   *    handful of query keys never funnels the whole corpus through a
   *    handful of reducers;
-  *  - `annTopKLsh`/`cosineDupPairsLsh` bucket by random-hyperplane sign
-  *    signatures — candidate generation is an equi-join on the bucket key,
-  *    never all-pairs.
+  *  - `annTopKLsh`/`cosineDupPairsBucketed` bucket by random-hyperplane
+  *    sign signatures — candidate generation is an equi-join on the bucket
+  *    key, never all-pairs.
   */
 object Similarity {
 

@@ -16,16 +16,26 @@ object Relations {
     */
   def unionRelations(relations: Seq[(String, DataFrame)]): DataFrame = {
     require(relations.nonEmpty, "unionRelations of nothing")
+    // The pinned type for each column is the WIDENED common type across
+    // every relation that defines it (dbt_utils casts each contribution to
+    // the superset type) — first-seen-wins would narrow, e.g. INT before
+    // BIGINT would overflow the wider side's values under ANSI.
+    def wider(a: org.apache.spark.sql.types.DataType,
+              b: org.apache.spark.sql.types.DataType) =
+      org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findWiderTypeForTwo(a, b)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unionRelations: no common type for $a and $b"))
     val superset: Seq[(String, org.apache.spark.sql.types.DataType)] =
       relations.flatMap { case (_, df) => df.schema.map(f => f.name -> f.dataType) }
         .foldLeft(Vector.empty[(String, org.apache.spark.sql.types.DataType)]) {
-          case (acc, (n, t)) => if (acc.exists(_._1 == n)) acc else acc :+ (n -> t)
+          case (acc, (n, t)) => acc.indexWhere(_._1 == n) match {
+            case -1 => acc :+ (n -> t)
+            case i  => acc.updated(i, n -> wider(acc(i)._2, t))
+          }
         }
     relations.map { case (name, df) =>
       val present = df.columns.toSet
-      // Cast PRESENT columns to the superset type too (dbt_utils casts
-      // every contribution) — otherwise two inputs sharing a name with
-      // different types would fall back to Union's implicit coercion.
       df.select(superset.map { case (n, t) =>
         if (present(n)) col(n).cast(t).as(n) else lit(null).cast(t).as(n)
       } :+ lit(name).as("_source_relation"): _*)

@@ -18,6 +18,15 @@ class RelationsSpec extends SparkSpec {
       && rows(1).getString(3) == "b")
   }
 
+  test("unionRelations widens a shared column to the common type (INT+BIGINT -> BIGINT)") {
+    val a = Seq(1).toDF("x")                       // IntegerType, first seen
+    val b = Seq(3000000000L).toDF("x")             // BigintType, wider
+    val u = Relations.unionRelations(Seq("a" -> a, "b" -> b))
+    assert(u.schema("x").dataType == org.apache.spark.sql.types.LongType,
+      s"expected widened bigint, got ${u.schema("x").dataType}")
+    assert(u.select(sum(col("x"))).head.getLong(0) == 3000000001L)
+  }
+
   test("paginate returns the requested stable page") {
     val df = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "v")
     val page = Relations.paginate(df, Seq(col("id")), 10, 5).collect()

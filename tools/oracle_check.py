@@ -52,6 +52,12 @@ def main():
             print(f"NOTE: {len(skipped)} queries not in this run's manifest "
                   f"(stale/absent), skipping: {', '.join(skipped[:6])}"
                   + (" ..." if len(skipped) > 6 else ""))
+        if not ran:
+            # An empty manifest (selective run matching nothing) must not
+            # fall through to "validate everything" — there is nothing
+            # from this run to check.
+            print("NOTE: manifest is empty; nothing to validate")
+            sys.exit(0)
         only = ran
     failures = 0
     for name, sql in sorted(oracle.items()):
