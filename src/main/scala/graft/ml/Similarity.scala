@@ -105,6 +105,11 @@ object Similarity {
     * arrays ([[oracleHyperplane]]) — hash-derived values inside HOF
     * lambdas would re-evaluate per row per element on the interpreted
     * evaluator.
+    *
+    * This HOF form is the readable reference implementation; the hot
+    * paths use the native [[graft.functions.SignLshBuckets]] expression
+    * (bit-identical buckets, proved in SignLshBucketsSpec, fused codegen
+    * loop instead of tables × planes interpreted folds per row).
     */
   def signBucket(v: Column, planes: Int, dims: Int, table: Int = 0): Column =
     (0 until planes).map { p =>
@@ -112,6 +117,22 @@ object Similarity {
       val proj = foldSum(zip_with(v, hps, (x, h) => x.cast("double") * h))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** (idAlias [, embAlias], bk struct<t,b>) rows via the native
+    * expression — one fused map-stage pass computing every table's
+    * bucket, then posexplode into per-table rows.
+    */
+  private def nativeBuckets(vectors: DataFrame, planes: Int, tables: Int,
+                            dims: Int, idCol: String, embCol: String,
+                            idAlias: String, embAlias: Option[String]): DataFrame = {
+    graft.functions.SignLshBuckets.register(vectors.sparkSession)
+    val carried = Seq(col(idCol).as(idAlias)) ++ embAlias.map(a => col(embCol).as(a))
+    vectors
+      .select(carried :+ posexplode(graft.functions.SignLshBuckets.buckets(
+        col(embCol), tables, planes, dims)): _*)
+      .select(Seq(col(idAlias)) ++ embAlias.map(col(_)) :+
+        struct(col("pos").as("t"), col("col").as("b")).as("bk"): _*)
+  }
 
   /** Approximate ANN: candidates share at least one of `tables` sign-LSH
     * buckets (independent hyperplane sets), then exact cosine ranks them.
@@ -124,10 +145,7 @@ object Similarity {
     requireDims(corpus, embCol, dims, "annTopKLsh corpus")
     requireDims(queries, embCol, dims, "annTopKLsh queries")
     def bucketed(df: DataFrame, id: String, emb: String) =
-      df.select(col(idCol).as(id), col(embCol).as(emb),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("t"), signBucket(col(embCol), planes, dims, t).as("b"))
-        }: _*)).as("bk"))
+      nativeBuckets(df, planes, tables, dims, idCol, embCol, id, Some(emb))
     val q = bucketed(queries, "query_id", "__q")
     val c = bucketed(corpus, "neighbor_id", "__c")
     val cand = q.join(c, q("bk") === c("bk"))
@@ -228,13 +246,9 @@ object Similarity {
     */
   private def bucketCandidatePairs(vectors: DataFrame, planes: Int,
                                    tables: Int, dims: Int,
-                                   idCol: String, embCol: String): DataFrame = {
-    val bucketed = vectors.select(col(idCol).as("id"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"), signBucket(col(embCol), planes, dims, t).as("b"))
-      }: _*)).as("bk"))
-    graft.operators.CandidatePairs.inBucketPairs(bucketed)
-  }
+                                   idCol: String, embCol: String): DataFrame =
+    graft.operators.CandidatePairs.inBucketPairs(
+      nativeBuckets(vectors, planes, tables, dims, idCol, embCol, "id", None))
 
   /** Precision is exact (every candidate gets a true cosine); recall is
     * governed by (planes, tables) — raise tables for higher recall at
