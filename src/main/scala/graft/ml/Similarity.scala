@@ -158,26 +158,19 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Deterministic IVF centroid component — same md5-literal scheme as
-    * the hyperplanes, distinct namespace.
-    */
-  private def ivfCentroid(c: Int, d: Int): Double = hashUnit(s"ivf-$c-$d")
-
   /** Score every (row, cell) pair and keep the caller's top-`keep` cells
     * per row — keep=1 assigns corpus vectors, keep=nProbe routes queries.
-    * All cell scores come from ONE projection over literal centroid
-    * arrays (single scan, no per-row hashing).
+    * Cell dots come from the native [[graft.functions.IvfCellDots]]
+    * expression (one fused codegen pass over plan-time centroids,
+    * bit-identical to the HOF fold and the q51 oracle).
     */
   private def topCells(df: DataFrame, id: String, emb: String,
                        nCells: Int, dims: Int, keep: Int): DataFrame = {
-    val cellScores = array((0 until nCells).map { c =>
-      val cen = array((0 until dims).map(d => lit(ivfCentroid(c, d))): _*)
-      struct(lit(c).as("cell"),
-        foldSum(zip_with(col(emb), cen, (x, h) => x.cast("double") * h)).as("__cs"))
-    }: _*)
+    graft.functions.IvfCellDots.register(df.sparkSession)
     topKPerKey(
-      df.select(col(id), col(emb), explode(cellScores).as("cs"))
-        .select(col(id), col(emb), col("cs.cell").as("cell"), col("cs.__cs").as("__cs")),
+      df.select(col(id), col(emb),
+          posexplode(graft.functions.IvfCellDots.cellDots(col(emb), nCells, dims)))
+        .select(col(id), col(emb), col("pos").as("cell"), col("col").as("__cs")),
       col(id), Seq(col("__cs").desc, col("cell").asc), keep, col("cell"))
       .drop("__cs", "rank")
   }
