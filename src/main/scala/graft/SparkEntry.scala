@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.pipeline.Medallion
-import graft.operators.{Analytics, Relations}
+import graft.operators.{Analytics, Relations, Temporal}
+import graft.ml.Sampling
 import graft.lake.Upsert
 import graft.text.{TextDedup, TextStats}
 import graft.ml.Similarity
@@ -259,6 +260,90 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx"),
           col("frame_bytes").cast("string").as("frame_text"))
     }),
+    // ---- round 5: temporal, sampling, packing, clustering operators ----
+    // Backward as-of join: most recent click at or before each purchase,
+    // per user. Spark side is the union+window single-shuffle form
+    // (Temporal.asofJoin); the oracle is the quadratic inequality-join
+    // formulation, feasible at sf0.01 — equality proves the window form
+    // implements true as-of semantics. Null user_ids are filtered on both
+    // sides (window partitioning would group them; joins drop them).
+    "q54_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_ts_us").as("purchase_ts_us"),
+          col("event_id").as("purchase_id")).distinct()
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_ts_us").as("click_ts_us"),
+          col("event_id").as("click_id")).distinct()
+      Temporal.asofJoin(purchases, clicks, Seq("user_id"),
+          "purchase_ts_us", "click_ts_us", Seq("click_id"),
+          Seq("click_id", "click_ts_us"))
+        .withColumn("us_since_click",
+          col("purchase_ts_us") - col("click_ts_us"))
+    }),
+    // Range join on overlapping price bands — bucketed equi-join, never a
+    // nested-loop theta join (PlanSpec asserts the plan shape).
+    "q55_range_join_bands" -> ((s, d) => {
+      val bands = s.createDataFrame(Seq(
+        (1, 0.0, 50000.0), (2, 25000.0, 100000.0),
+        (3, 75000.0, 200000.0), (4, 150000.0, 600000.0)))
+        .toDF("band_id", "lo", "hi")
+      Relations.rangeJoinBucketed(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", bands, "lo", "hi", 25000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_orders"),
+             Medallion.moneySum(col("o_totalprice")).as("total_amount"))
+    }),
+    // Gap-based sessionization (30 min) over the raw event stream.
+    "q56_sessionize" -> ((s, d) =>
+      Temporal.sessionize(
+        Tables.events(s, d).select(col("user_id"), col("event_id"),
+          col("event_ts_us")),
+        Seq("user_id"), "event_ts_us", Seq("event_id"), 1800000000L)),
+    // Deterministic train/validation/test split by salted md5 of doc_id —
+    // stable under reruns and appends, reproduced exactly by the oracle.
+    "q57_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(Tables.documents(s, d).select(col("doc_id")),
+        col("doc_id"), "split-",
+        Seq("train" -> 80, "validation" -> 10, "test" -> 10))),
+    // Deterministic stratified sample: 5 docs per (lang, source) stratum
+    // by salted-hash rank.
+    "q58_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(
+        Tables.documents(s, d).select(col("lang"), col("source"), col("doc_id")),
+        Seq("lang", "source"), col("doc_id"), 5, "strat-")),
+    // Concat-then-chunk sequence packing: per-source token streams cut into
+    // 2048-token sequences; offsets are exact integer window arithmetic.
+    "q59_sequence_pack" -> ((s, d) =>
+      Sampling.packSequences(
+        Tables.documents(s, d).select(col("source"), col("doc_id"),
+          TextStats.tokenCount(col("text")).as("n_tokens")),
+        Seq("source"), Seq("doc_id"), "n_tokens", 2048)),
+    // Near-dup pairs → dedup GROUPS: connected components over the q50
+    // simhash pair graph (min-label propagation); the oracle walks the
+    // same graph with a recursive CTE. component_id = min doc_id in the
+    // component, the canonical keeper.
+    "q60_dup_components" -> ((s, d) => {
+      val pairs = TextDedup.simhashNearDupPairs(
+        Tables.documentsSpread(s, d), "doc_id", "text")
+      graft.graphs.ConnectedComponents.run(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("node").as("doc_id"), col("component").as("component_id"))
+    }),
+    // Mixture re-weighting: keep 80% of English docs, 50% of the rest,
+    // decided by salted hash — the dataset-mixing primitive.
+    "q61_mixture_sample" -> ((s, d) =>
+      Sampling.mixtureSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), "mix-", Seq("en" -> 80), 50)),
+    // Exact discrete percentiles per event_type — integer position
+    // arithmetic so both engines pick the same sorted row.
+    "q62_group_percentiles" -> ((s, d) =>
+      Analytics.groupPercentilesDisc(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"), col("value"), col("event_id")),
+        Seq("event_type"), "value", Seq("event_id"), Seq(25, 50, 90))),
   )
 
   /** The read side of q47, factored so PlanSpec can assert the pruned
@@ -777,5 +862,120 @@ object SparkEntry {
            substr(text, CAST((f.f * L) // 4 AS INTEGER) + 1,
              CAST(((f.f + 1) * L) // 4 AS INTEGER) - CAST((f.f * L) // 4 AS INTEGER)) AS frame_text
          FROM d, UNNEST(range(0, 4)) f(f)""",
+    // q54: the oracle is the textbook inequality-join as-of formulation
+    // (greatest click at or before each purchase, id-tiebroken) — feasible
+    // at sf0.01; the Spark side must reproduce it from the single-shuffle
+    // union+window plan.
+    "q54_asof_join" ->
+      """WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) AS purchase_ts_us,
+               event_id AS purchase_id
+             FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         c AS (SELECT DISTINCT user_id, epoch_us(ts) AS click_ts_us,
+               event_id AS click_id
+             FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         j AS (SELECT p.user_id, p.purchase_ts_us, p.purchase_id,
+                 c.click_id, c.click_ts_us,
+                 row_number() OVER (
+                   PARTITION BY p.user_id, p.purchase_ts_us, p.purchase_id
+                   ORDER BY c.click_ts_us DESC, c.click_id DESC) AS rn
+               FROM p LEFT JOIN c ON c.user_id = p.user_id
+                 AND c.click_ts_us <= p.purchase_ts_us)
+         SELECT user_id, purchase_ts_us, purchase_id, click_id, click_ts_us,
+           purchase_ts_us - click_ts_us AS us_since_click
+         FROM j WHERE rn = 1""",
+    "q55_range_join_bands" ->
+      """SELECT b.band_id, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+         FROM orders o JOIN (VALUES
+           (1, CAST(0 AS DOUBLE), CAST(50000 AS DOUBLE)),
+           (2, CAST(25000 AS DOUBLE), CAST(100000 AS DOUBLE)),
+           (3, CAST(75000 AS DOUBLE), CAST(200000 AS DOUBLE)),
+           (4, CAST(150000 AS DOUBLE), CAST(600000 AS DOUBLE))) b(band_id, lo, hi)
+           ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+         GROUP BY b.band_id""",
+    "q56_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS event_ts_us FROM events),
+         l AS (SELECT *, lag(event_ts_us) OVER (
+                 PARTITION BY user_id ORDER BY event_ts_us, event_id) AS prev_us
+               FROM e)
+         SELECT user_id, event_id, event_ts_us,
+           CAST(SUM(CASE WHEN prev_us IS NULL
+                          OR event_ts_us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY event_ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         FROM l""",
+    "q57_hash_split" ->
+      """SELECT doc_id, b AS split_bucket,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+              ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+               FROM documents)""",
+    "q58_stratified_sample" ->
+      """SELECT lang, source, doc_id, CAST(sample_rank AS INTEGER) AS sample_rank
+         FROM (SELECT lang, source, doc_id,
+                 row_number() OVER (PARTITION BY lang, source
+                   ORDER BY CAST(('0x' || substr(md5('strat-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                            doc_id) AS sample_rank
+               FROM documents)
+         WHERE sample_rank <= 5""",
+    "q59_sequence_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+             FROM documents),
+         o AS (SELECT *, CAST(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS pack_offset
+               FROM t)
+         SELECT source, doc_id, n_tokens, pack_offset,
+           pack_offset // 2048 AS seq_idx, pack_offset % 2048 AS seq_offset
+         FROM o""",
+    // q60: recomputes the q50 simhash pair graph, then walks it with a
+    // recursive CTE — MIN(label) over reachability ≡ min-label-propagation
+    // fixpoint.
+    "q60_dup_components" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+         bits AS (SELECT doc_id, b, SUM(2 * ((h >> b) & 1) - 1) AS s
+                  FROM h, UNNEST(range(0, 60)) t(b) GROUP BY 1, 2),
+         sh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+         pairs AS (SELECT x.doc_id AS pa, y.doc_id AS pb
+                   FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+                   WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+         e AS (SELECT pa AS src, pb AS dst FROM pairs
+               UNION ALL SELECT pb, pa FROM pairs),
+         n AS (SELECT DISTINCT src AS node FROM e),
+         reach(node, lab) AS (
+           SELECT node, node FROM n
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node)
+         SELECT node AS doc_id, MIN(lab) AS component_id
+         FROM reach GROUP BY node""",
+    "q61_mixture_sample" ->
+      """SELECT doc_id, lang, rate_pct FROM (
+           SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 80 ELSE 50 END AS rate_pct,
+             CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+           FROM documents)
+         WHERE b < rate_pct""",
+    // q62: position = (n*p + 99) // 100 — exact integer ceil(n*p/100), no
+    // float multiply that could land either side of an integer boundary.
+    "q62_group_percentiles" ->
+      """WITH e AS (SELECT event_type, value, event_id FROM events
+                    WHERE value IS NOT NULL),
+         r AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+               FROM e)
+         SELECT event_type,
+           MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN value END) AS p25,
+           MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+           MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90
+         FROM r GROUP BY event_type""",
   )
 }

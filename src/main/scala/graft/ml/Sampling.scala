@@ -1,0 +1,108 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / packing for training-data curation.
+  *
+  * Everything here is driven by a salted md5 of a stable row id — never
+  * `rand()` — so results are reproducible run-over-run, independent of
+  * partitioning, and bit-identical in any engine that has md5 (the DuckDB
+  * oracle reproduces every operator below). All operators are row-local or
+  * single-shuffle; nothing funnels through the driver.
+  */
+object Sampling {
+
+  /** Salted 60-bit md5 hash reduced mod `m` — uniform-enough buckets with a
+    * cross-engine recipe: Spark `conv(substring(md5(s),1,15),16,10)` equals
+    * DuckDB `('0x' || substr(md5(s),1,15))::BIGINT` (TextDedup.tokenHash60
+    * uses the same contract).
+    */
+  def hash60(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  def hashBucket(id: Column, salt: String, m: Int): Column = {
+    require(m > 0, "hashBucket modulus must be positive")
+    pmod(hash60(id, salt), lit(m.toLong))
+  }
+
+  /** Deterministic train/validation/test split: every row lands in exactly
+    * one named split by its id's hash bucket (percents must sum to 100).
+    * Membership is a pure function of the id — stable under reruns,
+    * repartitioning, and incremental appends (a new row never moves an old
+    * one), which is the property that keeps eval sets uncontaminated.
+    * Adds `split_bucket` (0–99) and `split`.
+    */
+  def hashSplit(df: DataFrame, id: Column, salt: String,
+                splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percents must sum to 100: $splits")
+    val b = hashBucket(id, salt, 100)
+    val cuts = splits.scanLeft(0)(_ + _._2).tail
+    val expr = splits.zip(cuts).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), cut), rest) => when(b < cut, name).otherwise(rest)
+    }
+    df.withColumn("split_bucket", b).withColumn("split", expr)
+  }
+
+  /** Deterministic stratified sample: the `n` rows of each stratum with the
+    * smallest salted hash (id tiebreak), ranked 1..n as `sample_rank`.
+    * Hash-ordering makes the sample uniform within the stratum yet stable
+    * across runs. One shuffle on the strata; rank is a per-stratum window.
+    * For strata too hot for one task, pre-aggregate with the salted
+    * two-stage top-k idiom (Similarity.annTopK) — at dimension-like strata
+    * cardinalities the plain window is the right plan.
+    */
+  def stratifiedSample(df: DataFrame, strata: Seq[String], id: Column,
+                       n: Int, salt: String): DataFrame = {
+    require(strata.nonEmpty, "stratifiedSample needs stratum columns")
+    require(n > 0, "stratifiedSample n must be positive")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(hash60(id, salt).asc, id.asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
+  /** Mixture re-weighting: keep each row with its stratum's percent
+    * (unknown strata get `defaultPct`), decided by the id's hash bucket.
+    * This is the dataset-mixing primitive (e.g. downsample crawl, keep all
+    * curated) — row-local, no shuffle, deterministic. Adds `rate_pct`;
+    * returns only kept rows.
+    */
+  def mixtureSample(df: DataFrame, stratum: Column, id: Column, salt: String,
+                    pctByStratum: Seq[(String, Int)], defaultPct: Int): DataFrame = {
+    require((defaultPct +: pctByStratum.map(_._2)).forall(p => p >= 0 && p <= 100),
+      "percents must be within [0, 100]")
+    val rate = pctByStratum.foldRight(lit(defaultPct)) {
+      case ((name, pct), rest) => when(stratum === name, pct).otherwise(rest)
+    }
+    df.withColumn("rate_pct", rate)
+      .filter(hashBucket(id, salt, 100) < col("rate_pct"))
+  }
+
+  /** Concat-then-chunk sequence packing (the GPT-style pretraining layout):
+    * documents are laid head-to-tail per group in `orderCols` order, and
+    * each document is tagged with the fixed-size sequence its first token
+    * lands in. Adds:
+    *   - `pack_offset`: the document's start position in the group's token
+    *     stream (exclusive running sum of `tokenCol`);
+    *   - `seq_idx` = pack_offset div budget, `seq_offset` = pack_offset mod
+    *     budget — all exact integer arithmetic.
+    * One shuffle on the group; the running sum is a per-group window. Use
+    * groups (shard/source) to bound per-task stream length at corpus scale.
+    */
+  def packSequences(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                    tokenCol: String, budget: Int): DataFrame = {
+    require(groupCols.nonEmpty, "packSequences needs grouping columns")
+    require(budget > 0, "packSequences budget must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("pack_offset",
+        sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("seq_idx", expr(s"pack_offset div $budget"))
+      .withColumn("seq_offset", pmod(col("pack_offset"), lit(budget.toLong)))
+  }
+}

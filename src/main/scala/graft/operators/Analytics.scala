@@ -247,6 +247,36 @@ object Analytics {
           .cast("long").as("gap_minutes"))
   }
 
+  /** Exact discrete percentiles per group: for each percent p, the value at
+    * 1-based sorted position ceil(n·p/100), computed with pure integer
+    * arithmetic `(n·p + 99) div 100` so every engine lands on the same row
+    * (float multiplication like `0.9·n` rounds differently near integer
+    * boundaries). The row-number window and the final aggregation share the
+    * group keys, so the whole thing is ONE shuffle: exchange → sort →
+    * window → partial-free hash agg on the same partitioning.
+    *
+    * `tie` must totally order rows within (keys, value); rows with equal
+    * values yield the same output whichever gets the picked position.
+    * Null values must be pre-filtered (engines disagree on null sort order).
+    */
+  def groupPercentilesDisc(df: DataFrame, keys: Seq[String], valueCol: String,
+                           tie: Seq[String], percents: Seq[Int]): DataFrame = {
+    require(keys.nonEmpty, "groupPercentilesDisc needs group keys")
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be within [1, 100]: $percents")
+    val wp = Window.partitionBy(keys.map(col): _*)
+    val wo = wp.orderBy(col(valueCol).asc +: tie.map(col(_).asc): _*)
+    df.withColumn("__rn", row_number().over(wo))
+      .withColumn("__n", count(lit(1)).over(wp))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(when(col("__rn") === expr(s"(__n * ${percents.head} + 99) div 100"),
+          col(valueCol))).as(s"p${percents.head}"),
+        percents.tail.map(p =>
+          max(when(col("__rn") === expr(s"(__n * $p + 99) div 100"),
+            col(valueCol))).as(s"p$p")): _*)
+  }
+
   /** Histogram of customer balances (width_bucket idiom,
     * macros/sql/width_bucket.sql) with explicit, engine-portable arithmetic.
     */

@@ -80,6 +80,32 @@ object Relations {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Range (interval) join without a theta join: `fact.valueCol` against
+    * `[lo, hi)` ranges. Spark plans `v >= lo AND v < hi` as a broadcast
+    * nested loop — O(|fact|·|ranges|) comparisons, a non-starter when the
+    * range table outgrows a few hundred rows. Instead each range is
+    * replicated into every fixed-width bucket it covers and the fact row
+    * equi-joins on its single bucket `floor(v / w)`, then the exact
+    * predicate filters within the bucket. Each matching (row, range) pair
+    * appears exactly once (a value has one bucket; covered buckets are
+    * distinct), so no dedup pass is needed.
+    *
+    * Choose `bucketWidth` near the typical range width so replication stays
+    * O(1–100) per range; the join is a plain (broadcastable) equi-join and
+    * survives any fact-side scale.
+    */
+  def rangeJoinBucketed(fact: DataFrame, valueCol: String, ranges: DataFrame,
+                        lo: String, hi: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val rb = ranges.withColumn("__b",
+      explode(sequence(floor(col(lo) / bucketWidth),
+                       floor(col(hi) / bucketWidth))))
+    fact.withColumn("__b", floor(col(valueCol) / bucketWidth))
+      .join(rb, Seq("__b"))
+      .where(col(valueCol) >= col(lo) && col(valueCol) < col(hi))
+      .drop("__b")
+  }
+
   /** dbt_utils `safe_add` / `safe_subtract`: null-as-zero element
     * arithmetic that still yields null when EVERY operand is null.
     */

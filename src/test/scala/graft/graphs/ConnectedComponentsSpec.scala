@@ -1,0 +1,46 @@
+package graft.graphs
+
+import graft.SparkSpec
+
+import scala.util.Random
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  /** Union-find reference: component id = min node id (union by min). */
+  private def reference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)], maxRounds: Int = 50): Map[Long, Long] = {
+    val s = spark; import s.implicits._
+    ConnectedComponents.run(edges.toDF("src", "dst"), maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("components match a union-find reference on random graphs") {
+    for (seed <- Seq(1, 7, 23)) {
+      val rnd = new Random(seed)
+      val edges = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      assert(run(edges) == reference(edges), s"seed $seed")
+    }
+  }
+
+  test("a chain collapses to the min label (diameter-bound rounds)") {
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    assert(run(chain) == (0L to 10L).map(_ -> 0L).toMap)
+  }
+
+  test("failing to converge within maxRounds fails loudly") {
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException](run(chain, maxRounds = 2))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def ids(n: Int) = {
+    val s = spark; import s.implicits._
+    (0L until n.toLong).toDF("id")
+  }
+
+  test("hashSplit puts every row in exactly one split, consistent with its bucket") {
+    val out = Sampling.hashSplit(ids(1000), col("id"), "s-",
+        Seq("train" -> 80, "validation" -> 10, "test" -> 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 1000)
+    out.foreach { case (_, b, s) =>
+      assert(b >= 0 && b < 100)
+      val expected = if (b < 80) "train" else if (b < 90) "validation" else "test"
+      assert(s == expected)
+    }
+    // buckets are uniform-ish: the 80% split holds within wide tolerance
+    val train = out.count(_._3 == "train")
+    assert(train > 700 && train < 900, s"train split off: $train/1000")
+  }
+
+  test("hashSplit membership is a pure function of the id (append-stable)") {
+    def splitOf(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashSplit(df, col("id"), "s-", Seq("a" -> 50, "b" -> 50))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val full = splitOf(ids(500))
+    val subset = splitOf(ids(500).filter(col("id") % 3 === 0))
+    subset.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("stratifiedSample caps each stratum at n with contiguous ranks, deterministically") {
+    val s = spark; import s.implicits._
+    val df = (0L until 300L).map(i => (i, (i % 3).toString)).toDF("id", "stratum")
+    def run() = Sampling.stratifiedSample(df, Seq("stratum"), col("id"), 7, "x-")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+    val out = run()
+    assert(out == run(), "stratified sample must be deterministic")
+    val byStratum = out.groupBy(_._1)
+    assert(byStratum.keySet == Set("0", "1", "2"))
+    byStratum.values.foreach { rows =>
+      assert(rows.size == 7)
+      assert(rows.map(_._3) == (1 to 7).toSet)
+    }
+  }
+
+  test("mixtureSample keeps exactly the rows whose hash bucket clears the stratum rate") {
+    val s = spark; import s.implicits._
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = Sampling.mixtureSample(df, col("lang"), col("id"), "m-",
+        Seq("en" -> 75), 25)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    kept.foreach { case (_, lang, rate) =>
+      assert(rate == (if (lang == "en") 75 else 25))
+    }
+    val expected = df
+      .withColumn("rate_pct",
+        when(col("lang") === "en", 75).otherwise(25))
+      .filter(Sampling.hashBucket(col("id"), "m-", 100) < col("rate_pct"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(kept == expected)
+    // rates actually bite: en keeps more than de, neither keeps everything
+    val en = kept.count(_._2 == "en"); val de = kept.count(_._2 == "de")
+    assert(en > de && en < 200 && de > 0)
+  }
+
+  test("packSequences lays documents head-to-tail with exact integer sequence math") {
+    val s = spark; import s.implicits._
+    val df = (0L until 100L).map(i => ("g" + (i % 2), i, 100 + (i % 7).toInt))
+      .toDF("grp", "id", "tok")
+    val out = Sampling.packSequences(df, Seq("grp"), Seq("id"), "tok", 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      var offset = 0L
+      sorted.foreach { case (_, _, tok, packOffset, seqIdx, seqOffset) =>
+        assert(packOffset == offset, "offsets must be the exclusive running sum")
+        assert(seqIdx == offset / 256 && seqOffset == offset % 256)
+        offset += tok
+      }
+    }
+  }
+}

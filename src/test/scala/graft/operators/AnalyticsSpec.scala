@@ -112,6 +112,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(n == (bounds.getLong(1) - bounds.getLong(0)) / 60000000L + 1)
   }
 
+  test("groupPercentilesDisc picks the exact sorted element per group, one shuffle") {
+    val s = spark; import s.implicits._
+    val df = ((1 to 10).map(i => ("a", i.toDouble, i.toLong)) ++
+      (1 to 4).map(i => ("b", i * 10.0, i.toLong))).toDF("g", "v", "tie")
+    val q = Analytics.groupPercentilesDisc(df, Seq("g"), "v", Seq("tie"), Seq(25, 50, 90))
+    val out = q.collect().map(r =>
+      r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // n=10: positions ceil(2.5)=3, ceil(5)=5, ceil(9)=9; n=4: 1, 2, 4
+    assert(out == Map("a" -> ((3.0, 5.0, 9.0)), "b" -> ((10.0, 20.0, 40.0))))
+    // fresh (un-executed) query: an executed AQE plan string repeats the
+    // Exchange line in its == Initial Plan == section
+    val plan = Analytics.groupPercentilesDisc(df, Seq("g"), "v", Seq("tie"), Seq(25, 50, 90))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("Exchange")) == 1,
+      s"percentiles must shuffle exactly once:\n$plan")
+  }
+
   test("acctbalHistogram buckets are within [1,20] and count all customers") {
     val h = Analytics.acctbalHistogram(Tables.customer(spark, sfDir))
     assert(h.filter(col("bucket") < 1 || col("bucket") > 20).count() == 0)

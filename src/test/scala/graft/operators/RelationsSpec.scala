@@ -72,6 +72,26 @@ class RelationsSpec extends SparkSpec {
     assert(r(2).isNullAt(0) && r(2).isNullAt(1))
   }
 
+  test("rangeJoinBucketed ≡ the theta join, planned as an equi-join") {
+    val rnd = new scala.util.Random(7)
+    val facts = Seq.tabulate(500)(i => (i.toLong, rnd.nextDouble() * 1000 - 100))
+    val ranges = Seq((1, -50.0, 100.0), (2, 80.0, 90.0),
+      (3, 200.0, 1000.0), (4, 850.0, 2000.0))
+    val joined = Relations.rangeJoinBucketed(
+      facts.toDF("id", "v"), "v", ranges.toDF("rid", "lo", "hi"),
+      "lo", "hi", 75.0)
+    val got = joined.select("id", "rid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expected = (for {
+      (id, v) <- facts; (rid, lo, hi) <- ranges if v >= lo && v < hi
+    } yield (id, rid)).toSet
+    assert(got == expected)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"range join must not plan as a nested loop:\n$plan")
+  }
+
   test("haversineKm matches a known great-circle distance") {
     // Paris (48.8566, 2.3522) to Berlin (52.52, 13.405) ≈ 877-878 km
     val km = Seq((48.8566, 2.3522, 52.52, 13.405)).toDF("la1", "lo1", "la2", "lo2")

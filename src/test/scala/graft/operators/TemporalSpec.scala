@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class TemporalSpec extends SparkSpec {
+
+  test("asofJoin matches the naive inequality-join reference on random data") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(42)
+    val left = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong, rnd.nextInt(100)))
+    val got = Temporal.asofJoin(
+        left.toDF("k", "lts", "lid"), right.toDF("k", "rts", "rid", "payload"),
+        Seq("k"), "lts", "rts", Seq("rid"), Seq("rid", "rts", "payload"))
+      .select("k", "lts", "lid", "rid", "rts", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+    val expected = left.map { case (k, lts, lid) =>
+      val best = right.filter(t => t._1 == k && t._2 <= lts)
+        .sortBy(t => (t._2, t._3)).lastOption
+      (k, lts, lid, best.map(_._3: Any), best.map(_._2: Any), best.map(_._4: Any))
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("asofJoin includes a right row at exactly the left ts; greatest id wins ties") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L, 100L), (1L, 9L, 101L)).toDF("k", "lts", "lid")
+    val r = Seq((1L, 10L, 1L), (1L, 10L, 2L)).toDF("k", "rts", "rid")
+    val out = Temporal.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("rid"), Seq("rid"))
+      .collect().map(x => x.getLong(2) -> Option(x.get(3))).toMap
+    assert(out == Map(100L -> Some(2L), 101L -> None))
+  }
+
+  test("asofJoin plans as exactly one shuffle") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("k", "lts", "lid")
+    val r = Seq((1L, 5L, 1L)).toDF("k", "rts", "rid")
+    val plan = Temporal.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("rid"), Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("Exchange")) == 1,
+      s"asofJoin must shuffle exactly once:\n$plan")
+  }
+
+  test("sessionize splits on gap > threshold (a gap of exactly the threshold does not)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 1010L), (1L, 4L, 2011L),
+      (2L, 5L, 0L)).toDF("user_id", "event_id", "ts")
+    val out = Temporal.sessionize(df, Seq("user_id"), "ts", Seq("event_id"), 1000L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // 10→1010 is exactly the 1000 gap (same session); 1010→2011 is 1001 (new)
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionize plans as exactly one shuffle (lag + running sum share the sort)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 1L, 0L)).toDF("user_id", "event_id", "ts")
+    val plan = Temporal.sessionize(df, Seq("user_id"), "ts", Seq("event_id"), 1000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("Exchange")) == 1,
+      s"sessionize must shuffle exactly once:\n$plan")
+  }
+}
