@@ -338,12 +338,14 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         col("lang"), col("doc_id"), "mix-", Seq("en" -> 80), 50)),
     // Exact discrete percentiles per event_type — integer position
-    // arithmetic so both engines pick the same sorted row.
+    // arithmetic so both engines pick the same sorted row; the Spark plan
+    // is the two-pass bucketed histogram (no per-group single-task sort),
+    // the oracle the straightforward row_number formulation.
     "q62_group_percentiles" -> ((s, d) =>
       Analytics.groupPercentilesDisc(
         Tables.events(s, d).filter(col("value").isNotNull)
-          .select(col("event_type"), col("value"), col("event_id")),
-        Seq("event_type"), "value", Seq("event_id"), Seq(25, 50, 90))),
+          .select(col("event_type"), col("value")),
+        Seq("event_type"), "value", Seq(25, 50, 90))),
   )
 
   /** The read side of q47, factored so PlanSpec can assert the pruned

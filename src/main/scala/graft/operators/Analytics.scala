@@ -251,30 +251,84 @@ object Analytics {
     * 1-based sorted position ceil(n·p/100), computed with pure integer
     * arithmetic `(n·p + 99) div 100` so every engine lands on the same row
     * (float multiplication like `0.9·n` rounds differently near integer
-    * boundaries). The row-number window and the final aggregation share the
-    * group keys, so the whole thing is ONE shuffle: exchange → sort →
-    * window → partial-free hash agg on the same partitioning.
+    * boundaries).
     *
-    * `tie` must totally order rows within (keys, value); rows with equal
-    * values yield the same output whichever gets the picked position.
-    * Null values must be pre-filtered (engines disagree on null sort order).
+    * The plan is a two-pass bucketed histogram, NOT a per-group sort: a
+    * `row_number` window partitioned by the group keys would funnel every
+    * group through one task's sort — a multi-TB external sort per group at
+    * 100× scale when the keys are low-cardinality. Instead:
+    *   1. per-group bounds and row counts (parallel hash agg);
+    *   2. per-(group, equal-width-bucket) occupancy counts (parallel hash
+    *      agg) and a cumulative window over the ≤ `buckets` histogram rows
+    *      per group locate the bucket holding each target position;
+    *   3. only rows landing in a located bucket are revisited, collapsed to
+    *      per-distinct-value counts (parallel agg), and a cumulative window
+    *      over those distinct values picks the value whose rank interval
+    *      contains the remaining within-bucket rank.
+    * Every window input is pre-aggregated and range-bounded (≤ `buckets`
+    * histogram rows, or the distinct values of a 1/`buckets` slice of a
+    * group's value range), never the raw rows of a whole group — the
+    * property AnalyticsSpec asserts on the plan. Bucketing arithmetic is
+    * internal routing only; the returned percentile is an exact input value,
+    * so float rounding in the bucket id can never change the result.
+    *
+    * Rows with equal values are interchangeable at any picked position, so
+    * no tiebreaker is needed for determinism. Null values must be
+    * pre-filtered (engines disagree on null sort order).
     */
   def groupPercentilesDisc(df: DataFrame, keys: Seq[String], valueCol: String,
-                           tie: Seq[String], percents: Seq[Int]): DataFrame = {
+                           percents: Seq[Int], buckets: Int = 1024): DataFrame = {
     require(keys.nonEmpty, "groupPercentilesDisc needs group keys")
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be within [1, 100]: $percents")
-    val wp = Window.partitionBy(keys.map(col): _*)
-    val wo = wp.orderBy(col(valueCol).asc +: tie.map(col(_).asc): _*)
-    df.withColumn("__rn", row_number().over(wo))
-      .withColumn("__n", count(lit(1)).over(wp))
-      .groupBy(keys.map(col): _*)
-      .agg(
-        max(when(col("__rn") === expr(s"(__n * ${percents.head} + 99) div 100"),
-          col(valueCol))).as(s"p${percents.head}"),
-        percents.tail.map(p =>
-          max(when(col("__rn") === expr(s"(__n * $p + 99) div 100"),
-            col(valueCol))).as(s"p$p")): _*)
+    require(percents.distinct.size == percents.size,
+      s"duplicate percents would emit duplicate output columns: $percents")
+    require(buckets >= 2, s"groupPercentilesDisc needs >= 2 buckets: $buckets")
+    val k = keys.map(col)
+
+    val stats = df.groupBy(k: _*).agg(
+      min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"),
+      count(lit(1)).as("__n"))
+
+    // Equal-width bucket within the group's [mn, mx]; a degenerate
+    // single-value group collapses to bucket 0.
+    val width = (col("__mx").cast("double") - col("__mn").cast("double")) /
+      lit(buckets.toDouble)
+    val bucket = when(col("__mx") === col("__mn"), lit(0L)).otherwise(
+      least(floor((col(valueCol).cast("double") - col("__mn").cast("double")) / width),
+        lit(buckets - 1L)))
+    val withB = df.select(k :+ col(valueCol): _*).join(stats, keys)
+      .withColumn("__b", bucket)
+
+    val hist = withB.groupBy(k :+ col("__b"): _*).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(k: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wCum))
+
+    // Target position per (group, percent); its bucket is the first with
+    // cum ≥ t, and t − cum_prev ranks what's still needed inside it.
+    val targets = stats.select(k :+ col("__n") :+
+        explode(array(percents.map(lit(_)): _*)).as("__p"): _*)
+      .withColumn("__t", expr("(__n * __p + 99) div 100"))
+    val located = targets.join(cum, keys)
+      .where(col("__t") > col("__cum") - col("__c") && col("__t") <= col("__cum"))
+      .select(k :+ col("__p") :+ col("__b") :+
+        (col("__t") - (col("__cum") - col("__c"))).as("__r"): _*)
+
+    val tb = located.select(k :+ col("__b"): _*).distinct()
+    val inBucket = withB.join(tb, keys :+ "__b")
+      .groupBy(k :+ col("__b") :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("__vc"))
+    val wVal = Window.partitionBy(k :+ col("__b"): _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = inBucket.withColumn("__vcum", sum(col("__vc")).over(wVal))
+    val picked = located.join(ranked, keys :+ "__b")
+      .where(col("__r") > col("__vcum") - col("__vc") && col("__r") <= col("__vcum"))
+
+    picked.groupBy(k: _*).agg(
+      max(when(col("__p") === percents.head, col(valueCol))).as(s"p${percents.head}"),
+      percents.tail.map(p =>
+        max(when(col("__p") === p, col(valueCol))).as(s"p$p")): _*)
   }
 
   /** Histogram of customer balances (width_bucket idiom,

@@ -112,21 +112,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(n == (bounds.getLong(1) - bounds.getLong(0)) / 60000000L + 1)
   }
 
-  test("groupPercentilesDisc picks the exact sorted element per group, one shuffle") {
+  test("groupPercentilesDisc picks the exact sorted element per group") {
     val s = spark; import s.implicits._
-    val df = ((1 to 10).map(i => ("a", i.toDouble, i.toLong)) ++
-      (1 to 4).map(i => ("b", i * 10.0, i.toLong))).toDF("g", "v", "tie")
-    val q = Analytics.groupPercentilesDisc(df, Seq("g"), "v", Seq("tie"), Seq(25, 50, 90))
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      (1 to 4).map(i => ("b", i * 10.0))).toDF("g", "v")
+    val q = Analytics.groupPercentilesDisc(df, Seq("g"), "v", Seq(25, 50, 90))
     val out = q.collect().map(r =>
       r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     // n=10: positions ceil(2.5)=3, ceil(5)=5, ceil(9)=9; n=4: 1, 2, 4
     assert(out == Map("a" -> ((3.0, 5.0, 9.0)), "b" -> ((10.0, 20.0, 40.0))))
-    // fresh (un-executed) query: an executed AQE plan string repeats the
-    // Exchange line in its == Initial Plan == section
-    val plan = Analytics.groupPercentilesDisc(df, Seq("g"), "v", Seq("tie"), Seq(25, 50, 90))
-      .queryExecution.executedPlan.toString
-    assert(plan.split("\n").count(_.contains("Exchange")) == 1,
-      s"percentiles must shuffle exactly once:\n$plan")
+  }
+
+  test("groupPercentilesDisc handles duplicates, degenerate and tiny buckets") {
+    val s = spark; import s.implicits._
+    // duplicates straddling positions; a single-value group; a group
+    // smaller than the bucket count
+    val df = (Seq.fill(7)(("dup", 1.0)) ++ Seq.fill(3)(("dup", 2.0)) ++
+      Seq.fill(5)(("const", 42.0)) ++ Seq(("tiny", 5.0), ("tiny", 7.0)))
+      .toDF("g", "v")
+    val out = Analytics.groupPercentilesDisc(df, Seq("g"), "v", Seq(50, 100),
+        buckets = 4)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // dup n=10: p50 → pos 5 → 1.0, p100 → pos 10 → 2.0
+    assert(out == Map("dup" -> ((1.0, 2.0)), "const" -> ((42.0, 42.0)),
+      "tiny" -> ((5.0, 7.0))))
+  }
+
+  test("groupPercentilesDisc never sorts a whole group in one task") {
+    val s = spark; import s.implicits._
+    val df = (1 to 100).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val q = Analytics.groupPercentilesDisc(df, Seq("g"), "v", Seq(50))
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = q.queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, s"expected histogram windows in:\n$lp")
+    // every window must consume a pre-aggregated (bounded) input, never the
+    // raw rows of a group — the single-task-sort-per-group plan the 100 TB
+    // posture forbids
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window over non-aggregated input (single-task per-group sort):\n$lp")
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.groupPercentilesDisc(df, Seq("g"), "v", Seq(50, 50))
+    }
   }
 
   test("acctbalHistogram buckets are within [1,20] and count all customers") {
