@@ -39,6 +39,9 @@ object Sampling {
                 splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum == 100,
       s"split percents must sum to 100: $splits")
+    require(splits.forall(_._2 > 0),
+      s"split percents must be positive (negative values make the cut " +
+        s"points non-monotonic and silently misassign rows): $splits")
     val b = hashBucket(id, salt, 100)
     val cuts = splits.scanLeft(0)(_ + _._2).tail
     val expr = splits.zip(cuts).init.foldRight(lit(splits.last._1)) {

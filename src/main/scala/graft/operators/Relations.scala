@@ -92,14 +92,26 @@ object Relations {
     *
     * Choose `bucketWidth` near the typical range width so replication stays
     * O(1–100) per range; the join is a plain (broadcastable) equi-join and
-    * survives any fact-side scale.
+    * survives any fact-side scale. A range spanning more than
+    * `maxBucketsPerRange` buckets fails fast with a clear message instead
+    * of materializing an enormous per-row replication array (Spark's
+    * `sequence` errors past 2^31 elements, and executor memory dies well
+    * before) — widen `bucketWidth` or split the range.
     */
   def rangeJoinBucketed(fact: DataFrame, valueCol: String, ranges: DataFrame,
-                        lo: String, hi: String, bucketWidth: Double): DataFrame = {
+                        lo: String, hi: String, bucketWidth: Double,
+                        maxBucketsPerRange: Int = 100000): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val rb = ranges.withColumn("__b",
-      explode(sequence(floor(col(lo) / bucketWidth),
-                       floor(col(hi) / bucketWidth))))
+    require(maxBucketsPerRange > 0, "maxBucketsPerRange must be positive")
+    val loB = floor(col(lo) / bucketWidth)
+    val hiBRaw = floor(col(hi) / bucketWidth)
+    val hiB = when(hiBRaw - loB >= lit(maxBucketsPerRange.toLong),
+      raise_error(format_string(
+        s"rangeJoinBucketed: range [%s, %s) spans %s buckets of width " +
+          s"$bucketWidth (max $maxBucketsPerRange) — widen bucketWidth " +
+          "or split the range",
+        col(lo), col(hi), hiBRaw - loB + lit(1L)))).otherwise(hiBRaw)
+    val rb = ranges.withColumn("__b", explode(sequence(loB, hiB)))
     fact.withColumn("__b", floor(col(valueCol) / bucketWidth))
       .join(rb, Seq("__b"))
       .where(col(valueCol) >= col(lo) && col(valueCol) < col(hi))

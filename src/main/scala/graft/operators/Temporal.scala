@@ -31,7 +31,10 @@ object Temporal {
     * order regardless of how many left rows it serves.
     *
     * Caveat: window partitioning groups NULL keys together (SQL joins drop
-    * them) — pre-filter null keys if join semantics are wanted.
+    * them) — pre-filter null keys if join semantics are wanted. Right rows
+    * with a NULL timestamp are dropped here (they sort first under the
+    * ascending window order and would otherwise become match candidates,
+    * where the SQL inequality formulation excludes them).
     *
     * Determinism: `rightTie` must totally order right rows within
     * `(keys, rightTs)`; left-row order within a tie never matters (left
@@ -52,7 +55,7 @@ object Temporal {
     val tieNames = rightTie.map(n => s"__tie_$n")
     val leftOnly = left.columns.toSeq.filterNot(keys.contains)
 
-    val rightSide = right.select(
+    val rightSide = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
             struct(rightPayload.map(col): _*).as("__r")) ++

@@ -25,6 +25,12 @@ class SamplingSpec extends SparkSpec {
     assert(train > 700 && train < 900, s"train split off: $train/1000")
   }
 
+  test("hashSplit rejects non-positive percents even when they sum to 100") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids(10), col("id"), "s-", Seq("a" -> -10, "b" -> 110))
+    }
+  }
+
   test("hashSplit membership is a pure function of the id (append-stable)") {
     def splitOf(df: org.apache.spark.sql.DataFrame) =
       Sampling.hashSplit(df, col("id"), "s-", Seq("a" -> 50, "b" -> 50))

@@ -92,6 +92,18 @@ class RelationsSpec extends SparkSpec {
       s"range join must not plan as a nested loop:\n$plan")
   }
 
+  test("rangeJoinBucketed fails fast on a range spanning too many buckets") {
+    val facts = Seq((1L, 5.0)).toDF("id", "v")
+    val ranges = Seq((1, 0.0, 1e9)).toDF("rid", "lo", "hi")
+    val e = intercept[Exception] {
+      Relations.rangeJoinBucketed(facts, "v", ranges, "lo", "hi", 1.0,
+        maxBucketsPerRange = 1000).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("widen bucketWidth")), s"got: $e")
+  }
+
   test("haversineKm matches a known great-circle distance") {
     // Paris (48.8566, 2.3522) to Berlin (52.52, 13.405) ≈ 877-878 km
     val km = Seq((48.8566, 2.3522, 52.52, 13.405)).toDF("la1", "lo1", "la2", "lo2")

@@ -37,6 +37,17 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map(100L -> Some(2L), 101L -> None))
   }
 
+  test("asofJoin drops null-timestamp right rows (SQL as-of semantics)") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("k", "lts", "lid")
+    val r = Seq((1L, Some(5L), 1L), (1L, None, 2L)).toDF("k", "rts", "rid")
+    val out = Temporal.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("rid"), Seq("rid"))
+      .collect().map(x => x.getLong(2) -> Option(x.get(3))).toMap
+    // the null-ts row must never be a candidate, even though it would sort
+    // first (ascending, nulls first) and id 2 would win the tiebreak
+    assert(out == Map(100L -> Some(1L)))
+  }
+
   test("asofJoin plans as exactly one shuffle") {
     val s = spark; import s.implicits._
     val l = Seq((1L, 10L, 100L)).toDF("k", "lts", "lid")
