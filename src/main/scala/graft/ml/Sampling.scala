@@ -53,18 +53,32 @@ object Sampling {
   /** Deterministic stratified sample: the `n` rows of each stratum with the
     * smallest salted hash (id tiebreak), ranked 1..n as `sample_rank`.
     * Hash-ordering makes the sample uniform within the stratum yet stable
-    * across runs. One shuffle on the strata; rank is a per-stratum window.
-    * For strata too hot for one task, pre-aggregate with the salted
-    * two-stage top-k idiom (Similarity.annTopK) — at dimension-like strata
-    * cardinalities the plain window is the right plan.
+    * across runs.
+    *
+    * The hot-stratum guard is structural, not advisory: a single window
+    * partitioned by the strata would funnel each stratum through ONE
+    * task's sort — fatal when a stratum holds a large fraction of a 100 TB
+    * corpus. Instead the salted two-stage top-k idiom (same as
+    * Similarity.topKPerKey): a partial window over (strata, hash-salt
+    * bucket) keeps each bucket's top n, then the final per-stratum window
+    * ranks at most `saltBuckets · n` survivors — per-task input is bounded
+    * by construction, and the result is identical to the single-window
+    * form because every stratum-wide top-n row is also in its own salt
+    * bucket's top n.
     */
   def stratifiedSample(df: DataFrame, strata: Seq[String], id: Column,
-                       n: Int, salt: String): DataFrame = {
+                       n: Int, salt: String, saltBuckets: Int = 64): DataFrame = {
     require(strata.nonEmpty, "stratifiedSample needs stratum columns")
     require(n > 0, "stratifiedSample n must be positive")
-    val w = Window.partitionBy(strata.map(col): _*)
-      .orderBy(hash60(id, salt).asc, id.asc)
-    df.withColumn("sample_rank", row_number().over(w))
+    require(saltBuckets > 0, "stratifiedSample saltBuckets must be positive")
+    val h = hash60(id, salt)
+    val partial = Window
+      .partitionBy(strata.map(col) :+ pmod(h, lit(saltBuckets.toLong)): _*)
+      .orderBy(h.asc, id.asc)
+    val fin = Window.partitionBy(strata.map(col): _*).orderBy(h.asc, id.asc)
+    df.withColumn("__prank", row_number().over(partial))
+      .filter(col("__prank") <= n).drop("__prank")
+      .withColumn("sample_rank", row_number().over(fin))
       .filter(col("sample_rank") <= n)
   }
 

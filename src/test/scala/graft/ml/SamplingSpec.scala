@@ -55,6 +55,38 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample bounds per-task input on a hot stratum (two-stage top-k)") {
+    val s = spark; import s.implicits._
+    // one hot stratum with 100k rows next to a tiny one
+    val df = ((0L until 100000L).map(i => (i, "hot")) ++
+      (0L until 20L).map(i => (100000L + i, "cold"))).toDF("id", "stratum")
+    val n = 5; val buckets = 8
+    val sampled = Sampling.stratifiedSample(df, Seq("stratum"), col("id"), n,
+      "hot-", saltBuckets = buckets)
+    // identical to the naive single-window formulation
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+      .orderBy(Sampling.hash60(col("id"), "hot-").asc, col("id").asc)
+    val naive = df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(sampled.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet == naive)
+    // the final ranking window consumes at most saltBuckets·n rows per
+    // stratum, never the raw stratum
+    val partialOnly = df.withColumn("__prank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stratum"),
+            pmod(Sampling.hash60(col("id"), "hot-"), lit(buckets.toLong)))
+          .orderBy(Sampling.hash60(col("id"), "hot-").asc, col("id").asc)))
+      .filter(col("__prank") <= n)
+    val perStratum = partialOnly.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum("hot") <= buckets.toLong * n)
+    assert(sampled.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Window")) >= 2,
+      "expected the two-stage (partial + final) window plan")
+  }
+
   test("mixtureSample keeps exactly the rows whose hash bucket clears the stratum rate") {
     val s = spark; import s.implicits._
     val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
