@@ -337,6 +337,14 @@ object SparkEntry {
       Sampling.mixtureSample(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         col("lang"), col("doc_id"), "mix-", Seq("en" -> 80), 50)),
+    // Session-grain rollup: the query every analytics user writes right
+    // after sessionizing. Shares the sessionization's single shuffle (the
+    // rollup keys extend the window partition keys).
+    "q64_session_rollup" -> ((s, d) =>
+      Temporal.sessionizeAgg(
+        Tables.events(s, d).select(col("user_id"), col("event_id"),
+          col("event_ts_us")),
+        Seq("user_id"), "event_ts_us", Seq("event_id"), 1800000000L)),
     // Exact discrete percentiles per event_type — integer position
     // arithmetic so both engines pick the same sorted row; the Spark plan
     // is the two-pass bucketed histogram (no per-group single-task sort),
@@ -964,6 +972,24 @@ object SparkEntry {
              CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
            FROM documents)
          WHERE b < rate_pct""",
+    "q64_session_rollup" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS event_ts_us FROM events),
+         l AS (SELECT *, lag(event_ts_us) OVER (
+                 PARTITION BY user_id ORDER BY event_ts_us, event_id) AS prev_us
+               FROM e),
+         sess AS (SELECT user_id, event_id, event_ts_us,
+                CAST(SUM(CASE WHEN prev_us IS NULL
+                               OR event_ts_us - prev_us > 1800000000
+                              THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY event_ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM l)
+         SELECT user_id, session_seq,
+           MIN(event_ts_us) AS session_start,
+           MAX(event_ts_us) AS session_end,
+           MAX(event_ts_us) - MIN(event_ts_us) AS session_duration,
+           COUNT(*) AS n_events
+         FROM sess GROUP BY user_id, session_seq""",
     // q62: position = (n*p + 99) // 100 — exact integer ceil(n*p/100), no
     // float multiply that could land either side of an integer boundary.
     "q62_group_percentiles" ->

@@ -103,4 +103,22 @@ object Temporal {
       .withColumn("session_seq", sum(col("__new")).over(wRun))
       .drop("__new")
   }
+
+  /** Session-grain rollup over [[sessionize]]'s output: one row per
+    * (keys…, session_seq) with `session_start`/`session_end` (min/max of
+    * `tsCol`, same units), `session_duration` (their difference), and
+    * `n_events`. The groupBy keys extend the window's partition keys, so
+    * hash-partitioning on `keys` already co-locates every session's rows —
+    * Spark plans the rollup WITHOUT a second exchange: the whole operator
+    * stays the sessionization's single shuffle (TemporalSpec asserts it).
+    */
+  def sessionizeAgg(df: DataFrame, keys: Seq[String], tsCol: String,
+                    tieCols: Seq[String], gap: Long): DataFrame =
+    sessionize(df, keys, tsCol, tieCols, gap)
+      .groupBy(keys.map(col) :+ col("session_seq"): _*)
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        (max(col(tsCol)) - min(col(tsCol))).as("session_duration"),
+        count(lit(1)).as("n_events"))
 }

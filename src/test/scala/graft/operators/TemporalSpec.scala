@@ -76,4 +76,23 @@ class TemporalSpec extends SparkSpec {
     assert(plan.split("\n").count(_.contains("Exchange")) == 1,
       s"sessionize must shuffle exactly once:\n$plan")
   }
+
+  test("sessionizeAgg rolls sessions up without a second shuffle") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 2000L), (2L, 4L, 5L))
+      .toDF("user_id", "event_id", "ts")
+    val out = Temporal.sessionizeAgg(df, Seq("user_id"), "ts", Seq("event_id"), 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map(
+      (1L, 1L) -> ((0L, 10L, 10L, 2L)),
+      (1L, 2L) -> ((2000L, 2000L, 0L, 1L)),
+      (2L, 1L) -> ((5L, 5L, 0L, 1L))))
+    val plan = Temporal.sessionizeAgg(df, Seq("user_id"), "ts", Seq("event_id"), 1000L)
+      .queryExecution.executedPlan.toString
+    // the rollup keys extend the window partition keys, so the groupBy
+    // reuses the sessionization exchange
+    assert(plan.split("\n").count(_.contains("Exchange")) == 1,
+      s"sessionizeAgg must reuse the sessionize shuffle:\n$plan")
+  }
 }
