@@ -337,6 +337,33 @@ object SparkEntry {
       Sampling.mixtureSample(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         col("lang"), col("doc_id"), "mix-", Seq("en" -> 80), 50)),
+    // REAL image decode, oracle-gated end-to-end: deterministic
+    // checkerboard PNGs are encoded per doc_id (javax.imageio), decoded
+    // back pixel-by-pixel, and the exact dimensions + per-channel sums
+    // must equal the closed-form arithmetic DuckDB computes from doc_id
+    // alone — a hash mismatch means the codec round-trip touched a pixel.
+    "q63_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = (8 + (id % 40).toInt, 8 + (id % 23).toInt)
+        graft.multimodal.Multimodal.MediaRow(id, "image",
+          graft.multimodal.Multimodal.checkerboardPng(id, w, h), w, h,
+          sample_rate = 0, duration_ms = 0, format = "png")
+      }
+      graft.multimodal.Multimodal.decodeImageMeta(media).toDF()
+    }),
+    // REAL WAV decode (javax.sound.sampled), same contract: header fields
+    // and the exact 16-bit sample sum reproduced arithmetically in DuckDB.
+    "q65_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val samples = 64 + (id % 64).toInt
+        graft.multimodal.Multimodal.MediaRow(id, "audio",
+          graft.multimodal.Multimodal.toneWav(id), 0, 0, sample_rate = 8000,
+          duration_ms = samples * 1000 / 8000, format = "wav")
+      }
+      graft.multimodal.Multimodal.decodeWavMeta(media).toDF()
+    }),
     // Session-grain rollup: the query every analytics user writes right
     // after sessionizing. Shares the sessionization's single shuffle (the
     // rollup keys extend the window partition keys).
@@ -972,6 +999,33 @@ object SparkEntry {
              CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
            FROM documents)
          WHERE b < rate_pct""",
+    // q63: the oracle knows only the generation parameters — dims from
+    // doc_id, two checkerboard colors from modular products, and the count
+    // of (x+y)-even cells (w·h + (w%2)·(h%2)) // 2 — and must match what
+    // the real PNG encode/decode round-trip produced pixel-exactly.
+    "q63_image_decode" ->
+      """WITH p AS (SELECT doc_id,
+             8 + doc_id % 40 AS w, 8 + doc_id % 23 AS h,
+             (doc_id*7) % 256 AS r1, (doc_id*11) % 256 AS g1, (doc_id*13) % 256 AS b1,
+             (doc_id*17) % 256 AS r2, (doc_id*19) % 256 AS g2, (doc_id*23) % 256 AS b2
+           FROM documents),
+         q AS (SELECT *, w*h AS np, (w*h + (w%2)*(h%2)) // 2 AS ne FROM p)
+         SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height, np AS n_pixels,
+           ne*r1 + (np-ne)*r2 AS sum_r,
+           ne*g1 + (np-ne)*g2 AS sum_g,
+           ne*b1 + (np-ne)*b2 AS sum_b
+         FROM q""",
+    // q65: WAV fixture is 64 + (doc_id % 64) samples of
+    // ((doc_id·31 + i·7) % 2003) − 1001 at 8 kHz; the decode must
+    // reproduce the header and the exact sample sum.
+    "q65_audio_decode" ->
+      """WITH p AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+         s AS (SELECT doc_id, n, ((doc_id*31 + t.i*7) % 2003) - 1001 AS smp
+               FROM p, UNNEST(range(0, n)) t(i))
+         SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+           n AS n_frames, CAST(SUM(smp) AS BIGINT) AS sum_samples
+         FROM s GROUP BY doc_id, n""",
     "q64_session_rollup" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS event_ts_us FROM events),
          l AS (SELECT *, lag(event_ts_us) OVER (

@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,11 +15,12 @@ import org.apache.spark.sql.functions._
   * (`Dataset.mapPartitions` gives the same batch shape: an iterator of
   * rows per partition, vectorizable inside the lambda).
   *
-  * The codec calls themselves are STUBS — no image/audio libraries ship in
-  * this environment — implemented as deterministic byte-derived fakes and
-  * marked as such. Everything around them is real and tested: the schema,
-  * the binary-aware partitioning, the batch iteration shape, and the
-  * feature join-back.
+  * Image (PNG/JPEG/BMP via `javax.imageio`) and audio (WAV via
+  * `javax.sound.sampled`) decode are REAL — both codecs ship in the JDK,
+  * zero extra jars. Only video demux ([[sampleFrames]]) remains a marked
+  * STUB (no container/codec library in the JDK): it slices the payload
+  * into deterministic chunks so the output GRAIN — one row per sampled
+  * frame with exact boundaries — stays real and oracle-gated (q53).
   */
 object Multimodal {
 
@@ -27,6 +33,19 @@ object Multimodal {
 
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                            features: Array[Float])
+
+  /** Decoded image facts: dimensions plus exact per-channel pixel sums —
+    * integer-exact, so an oracle that knows how a fixture image was
+    * generated can reproduce every column without a codec.
+    */
+  case class ImageMeta(media_id: Long, width: Int, height: Int,
+                       n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Decoded audio facts: container header (rate, frame count) plus the
+    * exact sum of 16-bit samples — same oracle-reproducibility contract.
+    */
+  case class AudioMeta(media_id: Long, sample_rate: Int, n_frames: Long,
+                       sum_samples: Long)
 
   /** Binary tables need byte-aware partitioning: a parquet split sized for
     * row counts puts gigabytes of payload in one task. Repartition to a
@@ -41,10 +60,144 @@ object Multimodal {
     df.repartition(parts)
   }
 
-  /** STUB decode: a real pipeline calls the image/audio codec here (the
-    * bytes → pixels/samples step). Deterministic fake: features derived
-    * from a rolling hash of the payload so tests can assert exact values
-    * and reruns are reproducible.
+  // ---- image codec (javax.imageio — real decode, JDK-only) ----
+
+  /** Decode any ImageIO-supported payload (PNG/JPEG/BMP/GIF) and fold the
+    * pixels once. `setUseCache(false)` keeps ImageIO off temp files — the
+    * payload is already in memory.
+    */
+  private[multimodal] def imageStats(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    ImageIO.setUseCache(false)
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth, img.getHeight, sr, sg, sb)
+  }
+
+  /** Partition-batched image decode: real pixels, exact channel sums. */
+  def decodeImageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { r =>
+      val (w, h, sr, sg, sb) = imageStats(r.bytes)
+      ImageMeta(r.media_id, w, h, w.toLong * h, sr, sg, sb)
+    })
+  }
+
+  /** Real resize: decode, rescale through Graphics2D, re-encode as PNG. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { r =>
+      ImageIO.setUseCache(false)
+      val src = ImageIO.read(new ByteArrayInputStream(r.bytes))
+      require(src != null, s"media_id=${r.media_id}: undecodable image payload")
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", bos)
+      r.copy(bytes = bos.toByteArray, width = w, height = h, format = "png")
+    })
+  }
+
+  /** Deterministic two-color checkerboard PNG (fixtures + oracle gates):
+    * pixel (x,y) gets color1 when (x+y) is even, else color2, with both
+    * colors derived from `id` by modular arithmetic an engine without a
+    * codec can reproduce — see the q63 oracle.
+    */
+  def checkerboardPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad image dims ${w}x$h")
+    ImageIO.setUseCache(false)
+    def m(k: Long) = ((id * k) % 256).toInt
+    val c1 = (m(7) << 16) | (m(11) << 8) | m(13)
+    val c2 = (m(17) << 16) | (m(19) << 8) | m(23)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (((x + y) & 1) == 0) c1 else c2)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ---- audio codec (javax.sound.sampled — real decode, JDK-only) ----
+
+  /** Encode 16-bit mono little-endian PCM samples as a WAV container. */
+  def pcm16Wav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Deterministic WAV fixture for `id`: 64 + (id mod 64) samples at 8 kHz,
+    * sample i = ((id·31 + i·7) mod 2003) − 1001 — closed-form arithmetic
+    * the q65 oracle reproduces without an audio library.
+    */
+  def toneWav(id: Long): Array[Byte] = {
+    val n = 64 + (id % 64).toInt
+    pcm16Wav(Array.tabulate(n)(i =>
+      (((id * 31 + i * 7) % 2003) - 1001).toShort), 8000)
+  }
+
+  private[multimodal] def wavStats(bytes: Array[Byte]): (Int, Long, Long) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian,
+        s"expected 16-bit mono little-endian PCM, got $fmt")
+      val frames = ais.getFrameLength
+      val data = ais.readAllBytes()
+      var sum = 0L
+      var i = 0
+      while (i + 1 < data.length) {
+        sum += ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+        i += 2
+      }
+      (fmt.getSampleRate.toInt, frames, sum)
+    } finally ais.close()
+  }
+
+  /** Partition-batched WAV decode: real header + exact sample sum. */
+  def decodeWavMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.map { r =>
+      val (rate, frames, s) = wavStats(r.bytes)
+      AudioMeta(r.media_id, rate, frames, s)
+    })
+  }
+
+  // ---- features / frames ----
+
+  /** STUB features for payloads with no JDK codec (video): a rolling hash
+    * of the bytes, deterministic so tests can assert exact values.
     */
   private[multimodal] def stubDecodeFeatures(bytes: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
@@ -61,35 +214,36 @@ object Multimodal {
   }
 
   /** Partition-batched featurization: one pass over each partition's rows,
-    * codec invoked per payload inside the batch (the vectorization point),
-    * typed output ready to join back or feed the ANN operators.
+    * codec invoked per payload inside the batch (the vectorization point).
+    * Image and audio features come from REAL decode (dimensions and
+    * channel/sample statistics); video falls back to the labeled stub.
+    * Output is padded/truncated to `dims`.
     */
   def featurize(media: Dataset[MediaRow], dims: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
+        val raw: Array[Float] = r.kind match {
+          case "image" =>
+            val (w, h, sr, sg, sb) = imageStats(r.bytes)
+            val np = (w.toLong * h).toFloat
+            Array(w.toFloat, h.toFloat, sr / np, sg / np, sb / np)
+          case "audio" =>
+            val (rate, frames, s) = wavStats(r.bytes)
+            Array(rate.toFloat, frames.toFloat,
+              if (frames == 0) 0f else (s.toDouble / frames).toFloat)
+          case _ => stubDecodeFeatures(r.bytes, dims)
+        }
         MediaFeatures(r.media_id, r.kind, r.bytes.length,
-          stubDecodeFeatures(r.bytes, dims))
+          java.util.Arrays.copyOf(raw, dims))
       }
     }
   }
 
-  /** STUB resize: real impl decodes, scales, re-encodes. The fake keeps
-    * the contract visible: output metadata reflects the requested size,
-    * payload is a deterministic function of (input payload, w, h).
-    */
-  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
-    import media.sparkSession.implicits._
-    media.filter(_.kind == "image").mapPartitions(_.map { r =>
-      val scaled = r.bytes.take(math.max(1, math.min(r.bytes.length, w * h)))
-      r.copy(bytes = scaled, width = w, height = h)
-    })
-  }
-
-  /** STUB frame sampling: real impl demuxes video and decodes every k-th
-    * frame; the fake slices the payload into `count` deterministic chunks
-    * with frame indices — the output grain (one row per sampled frame) is
-    * the real contract.
+  /** STUB frame sampling (video demux has no JDK codec): the payload is
+    * sliced into `count` deterministic chunks with frame indices — the
+    * output grain (one row per sampled frame with exact integer
+    * boundaries) is the real contract, oracle-gated by q53.
     */
   def sampleFrames(media: Dataset[MediaRow], count: Int): DataFrame = {
     import media.sparkSession.implicits._
@@ -103,15 +257,28 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes")
   }
 
-  /** Deterministic synthetic media fixture (tests/demos). */
+  /** Deterministic synthetic media fixture (tests/demos): REAL payloads for
+    * image (checkerboard PNG) and audio (PCM WAV); stub bytes for video.
+    */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { id =>
-      val kind = Seq("image", "audio", "video")((id % 3).toInt)
-      val bytes = Array.tabulate[Byte](64 + (id % 64).toInt)(i => ((id * 131 + i * 7) % 251).toByte)
-      MediaRow(id, kind, bytes, width = 64, height = 48,
-        sample_rate = if (kind == "audio") 16000 else 0,
-        duration_ms = if (kind == "image") 0 else 1000, format = "stub")
+      (id % 3).toInt match {
+        case 0 =>
+          val (w, h) = (8 + (id % 16).toInt, 6 + (id % 9).toInt)
+          MediaRow(id, "image", checkerboardPng(id, w, h), w, h,
+            sample_rate = 0, duration_ms = 0, format = "png")
+        case 1 =>
+          val bytes = toneWav(id)
+          val samples = 64 + (id % 64).toInt
+          MediaRow(id, "audio", bytes, 0, 0, sample_rate = 8000,
+            duration_ms = samples * 1000 / 8000, format = "wav")
+        case _ =>
+          val bytes = Array.tabulate[Byte](64 + (id % 64).toInt)(
+            i => ((id * 131 + i * 7) % 251).toByte)
+          MediaRow(id, "video", bytes, width = 0, height = 0,
+            sample_rate = 0, duration_ms = 1000, format = "stub")
+      }
     }
   }
 }
