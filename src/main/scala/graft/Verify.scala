@@ -33,6 +33,9 @@ object Verify {
         val dir = new java.io.File(s"$outDir/$name")
         if (dir.exists()) rmRf(dir)
       }
+      // Release persisted intermediates between queries — the CacheManager
+      // otherwise holds every operator's cached plan for the whole run.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
