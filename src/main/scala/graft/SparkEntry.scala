@@ -337,6 +337,29 @@ object SparkEntry {
       Sampling.mixtureSample(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         col("lang"), col("doc_id"), "mix-", Seq("en" -> 80), 50)),
+    // Test-set decontamination: every 5th doc plays the eval set; corpus
+    // docs are scored by distinct 3-gram shingles shared with ANY probe
+    // doc. The near-dups planted in the corpus guarantee real overlap.
+    "q66_decontaminate" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d)
+      TextDedup.contaminationScores(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+    }),
+    // PII scrubbing: deterministic emails/IPs/long numbers are planted
+    // per doc_id, then redacted; the oracle plants and redacts with the
+    // same patterns (RE2 ≡ Java regex for these character classes).
+    "q67_pii_redact" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextStats.redactPii(concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 acct "),
+          (col("doc_id") * 137L + 12345678L).cast("string"))).as("clean"))),
+    // Corpus heavy hitters: the 50 trigrams in the most documents —
+    // the boilerplate/template detection signal.
+    "q68_top_ngrams" -> ((s, d) =>
+      TextStats.topNgrams(Tables.documentsSpread(s, d), "text", 3, 50)),
     // REAL image decode, oracle-gated end-to-end: deterministic
     // checkerboard PNGs are encoded per doc_id (javax.imageio), decoded
     // back pixel-by-pixel, and the exact dimensions + per-channel sums
@@ -999,6 +1022,41 @@ object SparkEntry {
              CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
            FROM documents)
          WHERE b < rate_pct""",
+    // q66: string shingle sets are set-equivalent to the Spark side's
+    // xxhash64'd shingles (q24 relies on the same equivalence); docs with
+    // fewer than 3 tokens keep a 0-shingle row on both sides.
+    "q66_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM docs, UNNEST(range(1, len(w) - 1)) t(i)),
+         sizes AS (SELECT d.doc_id, COALESCE(c.n, 0) AS n
+                   FROM docs d LEFT JOIN
+                     (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id) c
+                     USING (doc_id)
+                   WHERE d.doc_id % 5 != 0),
+         pset AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0),
+         shared AS (SELECT doc_id, COUNT(*) AS n_shared
+                    FROM sh JOIN pset USING (s)
+                    WHERE doc_id % 5 != 0 GROUP BY doc_id)
+         SELECT z.doc_id, CAST(z.n AS INTEGER) AS n_shingles,
+           COALESCE(h.n_shared, 0) AS n_shared
+         FROM sizes z LEFT JOIN shared h USING (doc_id)""",
+    "q67_pii_redact" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.7 acct ' || CAST(doc_id * 137 + 12345678 AS VARCHAR),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+             '[0-9]{8,}', '<NUM>', 'g') AS clean
+         FROM documents""",
+    "q68_top_ngrams" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM docs, UNNEST(range(1, len(w) - 1)) t(i))
+         SELECT s AS ngram, COUNT(*) AS n_docs FROM sh GROUP BY s
+         ORDER BY n_docs DESC, ngram LIMIT 50""",
     // q63: the oracle knows only the generation parameters — dims from
     // doc_id, two checkerboard colors from modular products, and the count
     // of (x+y)-even cells (w·h + (w%2)·(h%2)) // 2 — and must match what

@@ -135,6 +135,40 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Test-set decontamination — the pretraining hygiene step: score every
+    * corpus document by how many of its distinct n-gram shingles also
+    * appear ANYWHERE in the probe set (eval/benchmark documents), so the
+    * pipeline can drop or flag training docs that would leak test data.
+    *
+    * Returns one row per corpus document: (doc_id, n_shingles, n_shared);
+    * callers threshold on the count or the ratio. Shingles are the same
+    * xxhash64'd word n-grams as the near-dup path (set-equivalent to
+    * string shingles; the q66 oracle recomputes the counts from string
+    * sets).
+    *
+    * Scale posture: the probe side collapses to DISTINCT shingle hashes —
+    * at eval-set sizes that's broadcast-small (AQE decides; no hint, the
+    * operator also serves corpus-vs-corpus overlap where the probe is
+    * big). The corpus side is the same map-only codegen'd shingle pass as
+    * near-dup, exploded once; the overlap is a plain equi-join on the
+    * shingle hash and a map-side-combinable count. A shingle shared by
+    * many corpus docs fans out to those docs' rows only — never a pair
+    * blowup, because the probe side is distinct.
+    */
+  def contaminationScores(corpus: DataFrame, probe: DataFrame, idCol: String,
+                          textCol: String, shingleN: Int = 3): DataFrame = {
+    val corpusSh = shingleHashedDocs(corpus, idCol, textCol, shingleN)
+    val probeSh = shingleHashedDocs(probe, idCol, textCol, shingleN)
+      .select(explode(col("sh")).as("h")).distinct()
+    val shared = corpusSh.select(col("id").as("doc_id"), explode(col("sh")).as("h"))
+      .join(probeSh, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    corpusSh.select(col("id").as("doc_id"), size(col("sh")).as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
   /** Exact content dedup summary: one row per normalized-content hash with
     * the surviving (minimum) id and the duplicate count.
     */

@@ -94,6 +94,48 @@ object TextStats {
         .as("keep"))
   }
 
+  /** PII redaction patterns: deliberately simple alternation-free character
+    * classes so Java regex (Spark) and RE2 (DuckDB) match identically —
+    * the cross-engine contract matters more than recall here; production
+    * recall comes from adding patterns, not from engine-specific syntax.
+    * Order matters: emails first (their local part would otherwise lose
+    * digit runs to the number pass).
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val LongNumberPattern: String = "[0-9]{8,}"
+
+  /** Redact emails, IPv4 addresses, and 8+-digit runs (phone/account/SSN
+    * shaped) to typed placeholder tags — the scrubbing pass a training
+    * pipeline runs before anything else sees the text. Row-local,
+    * codegen'd `regexp_replace` chain; global replacement in both engines
+    * (DuckDB needs the 'g' flag — see the q67 oracle).
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, LongNumberPattern, "<NUM>")
+  }
+
+  /** Corpus-level heavy hitters: the `k` word n-grams appearing in the
+    * most documents (document frequency — each document counts a distinct
+    * n-gram once), tiebroken lexicographically. The boilerplate-detection
+    * signal: n-grams near the top with df ≈ corpus size are templates or
+    * injected junk.
+    *
+    * Scale posture: the exploded distinct-shingle stream feeds a
+    * map-side-combinable count; the global top-k is TakeOrdered (a
+    * per-partition heap + driver merge of k rows), never a global sort
+    * materialization.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n > 0 && k > 0, s"topNgrams needs positive n/k, got n=$n k=$k")
+    docs.select(explode(TextDedup.shingles(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** Corpus rollup per (lang, source): doc/token/char totals and the mean
     * document length. `safe_divide` semantics (null on zero denominator)
     * via nullif, mirroring dbt_utils.safe_divide.

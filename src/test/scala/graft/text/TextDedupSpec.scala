@@ -42,6 +42,30 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
   }
 
+  test("contaminationScores counts exactly the shingles shared with the probe set") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 4 trigram shingles
+      (2L, "totally disjoint words nothing here"),
+      (3L, "xx yy")).toDF("doc_id", "text") // < 3 tokens → 0 shingles
+    val probe = Seq(
+      (100L, "beta gamma delta epsilon other tail")).toDF("doc_id", "text")
+    val out = TextDedup.contaminationScores(corpus, probe, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // doc 1 shares "beta gamma delta" and "gamma delta epsilon"
+    assert(out == Map(1L -> ((4, 2L)), 2L -> ((3, 0L)), 3L -> ((0, 0L))))
+  }
+
+  test("contaminationScores plan joins on shingle hash, never all-pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = TextDedup.contaminationScores(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"all-pairs join in plan:\n$plan")
+  }
+
   test("exact dedup keeps the min-id copy of normalized-identical texts") {
     val kept = TextDedup.dropDuplicateContent(syntheticDocs, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet

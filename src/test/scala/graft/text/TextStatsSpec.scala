@@ -1,0 +1,42 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit checks for the text operators whose main gates are the oracle
+  * queries (q26/q30/q48/q49/q67/q68) — planted cases the oracle's
+  * generated corpus can't exercise directly.
+  */
+class TextStatsSpec extends SparkSpec {
+
+  test("redactPii scrubs emails, IPv4s and long digit runs, leaves the rest") {
+    val s = spark; import s.implicits._
+    val out = Seq(
+      "write to john.doe+x@sub.example.org today",
+      "server 192.168.100.3 answered",
+      "card 1234567890123456 and acct 87654321",
+      "short 1234567 stays; so does v1.2.3.x",
+      "mixed a@b.io at 10.0.0.1 num 999999999")
+      .toDF("text").select(TextStats.redactPii(col("text")).as("t"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "write to <EMAIL> today")
+    assert(out(1) == "server <IP> answered")
+    assert(out(2) == "card <NUM> and acct <NUM>")
+    assert(out(3) == "short 1234567 stays; so does v1.2.3.x")
+    assert(out(4) == "mixed <EMAIL> at <IP> num <NUM>")
+  }
+
+  test("topNgrams ranks by document frequency with lexicographic tiebreak") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // "a b c", "b c d"
+      (2L, "a b c"),     // "a b c"
+      (3L, "a b c a b c"), // distinct within doc: "a b c","b c a","c a b"
+      (4L, "z z z")).toDF("doc_id", "text")
+    val got = TextStats.topNgrams(docs, "text", 3, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "a b c" in docs 1,2,3 = 3; everything else in exactly 1 doc —
+    // ties broken lexicographically ("b c a" < "b c d" < "c a b" < "z z z")
+    assert(got == Seq(("a b c", 3L), ("b c a", 1L), ("b c d", 1L)))
+  }
+}
