@@ -40,4 +40,28 @@ object Catalog {
     spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$location'")
     spark.sql(s"MSCK REPAIR TABLE $name")
   }
+
+  /** Write `df` as a BUCKETED managed table: rows are hash-distributed
+    * into `buckets` files per partition by `bucketCol` and sorted within
+    * each bucket. Two tables bucketed the same way join WITHOUT any
+    * exchange — the physical plan reads co-located buckets directly
+    * (CatalogSpec asserts the exchange-free join). This is the 100 TB
+    * lever for fact-to-fact joins that recur on the same key (orders ⋈
+    * order_events, corpus ⋈ dedup-verdicts): the shuffle is paid ONCE at
+    * write time instead of on every query.
+    *
+    * Bucket counts must MATCH across join sides (Spark 4 can coalesce
+    * mismatched counts when one divides the other, but identical counts
+    * are the portable contract).
+    */
+  def writeBucketedTable(spark: SparkSession, df: DataFrame, name: String,
+                         bucketCol: String, buckets: Int): Unit = {
+    require(buckets > 0, s"bucket count must be positive: $buckets")
+    name.split('.').dropRight(1).foreach(ensureSchema(spark, _))
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(name)
+  }
 }

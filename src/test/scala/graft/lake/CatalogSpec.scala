@@ -39,6 +39,35 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE bronze_raw.events_ext")
   }
 
+  test("bucketed tables join without any exchange (co-located join)") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lineitem = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    Catalog.writeBucketedTable(spark, orders, "bronze_raw.orders_b",
+      "o_orderkey", 8)
+    Catalog.writeBucketedTable(spark,
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "bronze_raw.lineitem_b", "o_orderkey", 8)
+    // broadcast off: the join must be co-located via bucket layout, not
+    // saved by a broadcast of the small test data
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bronze_raw.orders_b")
+        .join(spark.table("bronze_raw.lineitem_b"), "o_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(j.count() == orders.join(lineitem,
+        orders("o_orderkey") === lineitem("l_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE bronze_raw.orders_b")
+      spark.sql("DROP TABLE bronze_raw.lineitem_b")
+    }
+  }
+
   test("mergeIntoPath survives a crash between rename-aside and swap") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-crash").toString

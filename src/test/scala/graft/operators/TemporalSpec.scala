@@ -77,6 +77,34 @@ class TemporalSpec extends SparkSpec {
       s"sessionize must shuffle exactly once:\n$plan")
   }
 
+  test("sessionizeAgg matches Spark's native session_window rollup") {
+    val s = spark; import s.implicits._
+    // ts values are multiples of 7 and the gap (1000) is not, so no event
+    // pair sits exactly on the gap boundary — the one place the two APIs
+    // differ by design (sessionize keeps `diff == gap` together;
+    // session_window splits there).
+    val rnd = new Random(5)
+    val rows = for (u <- 1L to 5L) yield {
+      var t = 0L
+      (1 to 200).map { i =>
+        t += 7L * (1 + rnd.nextInt(300)); (u, u * 1000 + i, t)
+      }
+    }
+    val df = rows.flatten.toDF("user_id", "event_id", "ts")
+    val ours = Temporal.sessionizeAgg(df, Seq("user_id"), "ts", Seq("event_id"), 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5)))
+      .toSet
+    val native = df
+      .groupBy(col("user_id"),
+        session_window(timestamp_micros(col("ts")), "0.001 seconds"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(ours == native,
+      "gap sessionization must agree with Spark's native session_window")
+  }
+
   test("sessionizeAgg rolls sessions up without a second shuffle") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 2000L), (2L, 4L, 5L))
