@@ -360,6 +360,11 @@ object SparkEntry {
     // the boilerplate/template detection signal.
     "q68_top_ngrams" -> ((s, d) =>
       TextStats.topNgrams(Tables.documentsSpread(s, d), "text", 3, 50)),
+    // BM25 topical retrieval over the corpus; float tree mirrored exactly
+    // in the oracle, score rounded to 3 decimals to absorb libm ln ULPs.
+    "q69_bm25_topk" -> ((s, d) =>
+      TextStats.bm25TopK(Tables.documentsSpread(s, d), "doc_id", "text",
+        Seq("spark", "data", "pipeline"), 20)),
     // REAL image decode, oracle-gated end-to-end: deterministic
     // checkerboard PNGs are encoded per doc_id (javax.imageio), decoded
     // back pixel-by-pixel, and the exact dimensions + per-channel sums
@@ -1057,6 +1062,33 @@ object SparkEntry {
                 FROM docs, UNNEST(range(1, len(w) - 1)) t(i))
          SELECT s AS ngram, COUNT(*) AS n_docs FROM sh GROUP BY s
          ORDER BY n_docs DESC, ngram LIMIT 50""",
+    // q69: N and avgdl are scalar subqueries over the same corpus; the
+    // contribution expression is the same IEEE tree as the Spark side,
+    // per-term sums are added in literal query order, round(_,3) absorbs
+    // ln() ULP differences.
+    "q69_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         base AS (SELECT doc_id, len(w) AS dl, w FROM d),
+         g AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM base),
+         tf AS (SELECT doc_id, dl, t.term, COUNT(*) AS tf
+                FROM base, UNNEST(w) t(term)
+                WHERE t.term IN ('spark', 'data', 'pipeline')
+                GROUP BY doc_id, dl, t.term),
+         dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         c AS (SELECT doc_id, term,
+                 ln(1.0 + (CAST((SELECT n FROM g) AS DOUBLE) - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl /
+                       (SELECT CAST(tot AS DOUBLE) / n FROM g))) AS c
+               FROM tf JOIN dfx USING (term)),
+         s AS (SELECT doc_id,
+                 SUM(CASE WHEN term = 'spark' THEN c END) AS c1,
+                 SUM(CASE WHEN term = 'data' THEN c END) AS c2,
+                 SUM(CASE WHEN term = 'pipeline' THEN c END) AS c3
+               FROM c GROUP BY doc_id)
+         SELECT doc_id,
+           round(COALESCE(c1, 0) + COALESCE(c2, 0) + COALESCE(c3, 0), 3) AS score
+         FROM s ORDER BY score DESC, doc_id LIMIT 20""",
     // q63: the oracle knows only the generation parameters — dims from
     // doc_id, two checkerboard colors from modular products, and the count
     // of (x+y)-even cells (w·h + (w%2)·(h%2)) // 2 — and must match what

@@ -136,6 +136,61 @@ object TextStats {
       .limit(k)
   }
 
+  /** BM25 top-k retrieval for a literal query over the corpus — the IR
+    * scoring primitive a curation pipeline uses to pull topical subsets
+    * ("find the docs most about X") without an embedding model.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·|d|/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (Lucene's non-negative
+    * form).
+    *
+    * Scale posture: the exploded token stream is filtered to the query
+    * terms BEFORE any shuffle (a handful of terms survive per doc); df is
+    * a ≤|terms|-row table broadcast explicitly (bounded by the query, not
+    * the data); per-doc aggregation is map-side combinable; the top-k is
+    * TakeOrdered. Corpus-level N/avgdl are one scalar aggregate.
+    *
+    * Cross-engine determinism: every float expression is a fixed tree
+    * over identical operands (integer tf/df/dl, one scalar division for
+    * avgdl), per-doc term contributions are summed as per-term columns in
+    * literal query order (never a data-ordered float fold), and the final
+    * score is `round(_, 3)` to absorb libm `ln` ULP differences — the q69
+    * oracle mirrors the same tree in DuckDB.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct.size == queryTerms.size,
+      s"query terms must be non-empty and distinct: $queryTerms")
+    require(k > 0, "k must be positive")
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextDedup.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), col("__w"), size(col("__w")).as("dl"))
+    val g = base.agg(count(lit(1)), sum(col("dl"))).head
+    val n = g.getLong(0)
+    require(n > 0, "bm25TopK over an empty corpus")
+    val avgdl = g.getLong(1).toDouble / n
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("__w")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfT), Seq("term"))
+      .withColumn("__c",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+    val termCols = queryTerms.map(t =>
+      sum(when(col("term") === t, col("__c"))).as(s"__c_$t"))
+    contrib.groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+      .select(col("doc_id"),
+        round(queryTerms.map(t => coalesce(col(s"__c_$t"), lit(0.0)))
+          .reduce(_ + _), 3).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus rollup per (lang, source): doc/token/char totals and the mean
     * document length. `safe_divide` semantics (null on zero denominator)
     * via nullif, mirroring dbt_utils.safe_divide.

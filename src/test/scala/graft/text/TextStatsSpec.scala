@@ -26,6 +26,28 @@ class TextStatsSpec extends SparkSpec {
     assert(out(4) == "mixed <EMAIL> at <IP> num <NUM>")
   }
 
+  test("bm25TopK matches a hand-computed reference on a tiny corpus") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "spark spark data"),
+      (2L, "data lake and more words here"),
+      (3L, "nothing relevant at all")).toDF("doc_id", "text")
+    val got = TextStats.bm25TopK(docs, "doc_id", "text", Seq("spark", "data"), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // reference: N=3, avgdl=(3+6+4)/3; df(spark)=1, df(data)=2
+    val n = 3.0; val avgdl = 13.0 / 3
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def c(tf: Double, df: Double, dl: Double) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Map(
+      1L -> r3(c(2, 1, 3) + c(1, 2, 3)),
+      2L -> r3(c(1, 2, 6)))
+    assert(got.length == 2, s"doc 3 has no query term: $got")
+    got.foreach { case (id, sc) => assert(sc == exp(id), s"doc $id: $sc vs ${exp(id)}") }
+    assert(got.head._1 == 1L, "doc 1 (two terms, one twice, shorter) must rank first")
+  }
+
   test("topNgrams ranks by document frequency with lexicographic tiebreak") {
     val s = spark; import s.implicits._
     val docs = Seq(
