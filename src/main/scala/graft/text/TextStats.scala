@@ -191,6 +191,37 @@ object TextStats {
       .limit(k)
   }
 
+  /** Sliding-window token chunking: split each document into windows of
+    * `chunk` tokens overlapping by `overlap` — the standard preparation
+    * for embedding/context-window-bounded consumers. Start positions are
+    * 1, 1+step, … while start ≤ max(1, |d| − overlap) (step = chunk −
+    * overlap), so the final window is never fully contained in its
+    * predecessor and short documents yield exactly one chunk.
+    *
+    * Row-local: one array build + one explode per document, all codegen'd
+    * built-ins — chunking 100 TB is a map-only pass. Output: (doc_id,
+    * chunk_idx, chunk_start [1-based], n_chunk_tokens, chunk_text).
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunk: Int, overlap: Int): DataFrame = {
+    require(chunk > 0, s"chunk must be positive: $chunk")
+    require(overlap >= 0 && overlap < chunk,
+      s"overlap must be in [0, chunk): $overlap vs $chunk")
+    val step = chunk - overlap
+    docs.select(col(idCol).as("doc_id"), TextDedup.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), col("__w"), size(col("__w")).as("__n"))
+      .select(col("doc_id"), col("__w"), col("__n"),
+        explode(sequence(lit(1), greatest(lit(1), col("__n") - overlap),
+          lit(step))).as("chunk_start"))
+      .select(
+        col("doc_id"),
+        expr(s"(chunk_start - 1) div $step").as("chunk_idx"),
+        col("chunk_start"),
+        least(lit(chunk), col("__n") - col("chunk_start") + 1).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__w"), col("chunk_start"), lit(chunk)))
+          .as("chunk_text"))
+  }
+
   /** Corpus rollup per (lang, source): doc/token/char totals and the mean
     * document length. `safe_divide` semantics (null on zero denominator)
     * via nullif, mirroring dbt_utils.safe_divide.
