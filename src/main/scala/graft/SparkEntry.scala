@@ -409,6 +409,13 @@ object SparkEntry {
         Tables.events(s, d).filter(col("value").isNotNull)
           .select(col("event_type"), col("value")),
         Seq("event_type"), "value", Seq(25, 50, 90))),
+    // Exact n-gram Jaccard near-dup — the signature-free flavor: posting
+    // co-occurrence counts give |A∩B| with no arrays on pair rows; exact
+    // at the low threshold (0.5) where the q24 LSH banding would lose
+    // recall. 2-gram shingles to differentiate from q24's 3-grams.
+    "q70_jaccard_neardup" -> ((s, d) =>
+      TextDedup.jaccardNearDupPairs(Tables.documentsSpread(s, d),
+        "doc_id", "text", shingleN = 2, threshold = 0.5)),
   )
 
   /** The read side of q47, factored so PlanSpec can assert the pruned
@@ -1149,5 +1156,23 @@ object SparkEntry {
            MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
            MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90
          FROM r GROUP BY event_type""",
+    // q70: exact Jaccard from posting-list co-occurrence — the oracle is
+    // the textbook inverted-index formulation over STRING 2-gram shingles
+    // (set-equivalent to the engine's hashed shingles); i/(na+nb-i) is
+    // one exact IEEE divide on both engines, so jaccard hash-matches.
+    "q70_jaccard_neardup" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                       WHERE len(string_split(text, ' ')) >= 2),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+                FROM docs, UNNEST(range(1, len(w))) t(i)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_shared,
+           n_shared / (sa.n + sb.n - n_shared) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.5""",
   )
 }

@@ -59,12 +59,31 @@ object CandidatePairs {
     * (property-tested in CandidatePairsSpec), with per-task input bounded
     * by ~2·`cap` bucket members regardless of bucket skew.
     */
-  def inBucketPairs(bucketed: DataFrame, cap: Int = 2048): DataFrame = {
+  def inBucketPairs(bucketed: DataFrame, cap: Int = 2048): DataFrame =
+    rawPairs(bucketed, cap).distinct()
+
+  /** In-bucket pairs WITH bucket multiplicity: (id_a, id_b, n_shared)
+    * where n_shared = number of buckets both members share. Because an
+    * unordered pair meets exactly once per bucket (see the cell-coverage
+    * argument above), the per-pair row count IS the co-occurrence count —
+    * which makes this the candidate+intersection stage of posting-list
+    * set similarity: with bk = set-element hash, n_shared = |A ∩ B| and
+    * Jaccard follows from the per-member set sizes alone, no array
+    * materialization on the pair. The count agg is map-side combinable,
+    * so the quadratic pair stream collapses before the final shuffle.
+    */
+  def inBucketPairCounts(bucketed: DataFrame, cap: Int = 2048): DataFrame =
+    rawPairs(bucketed, cap)
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+
+  /** One row per (unordered pair, shared bucket) — exactly one cell emits
+    * a given pair for a given bucket.
+    */
+  private def rawPairs(bucketed: DataFrame, cap: Int): DataFrame = {
     val (a, b) = roleSides(bucketed, cap)
     a.join(b.withColumnRenamed("id", "__idb"), Seq("bk", "__p", "__q"))
       .filter(col("__p") =!= col("__q") || col("id") < col("__idb"))
       .select(least(col("id"), col("__idb")).as("id_a"),
               greatest(col("id"), col("__idb")).as("id_b"))
-      .distinct()
   }
 }

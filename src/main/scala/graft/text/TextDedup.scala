@@ -135,6 +135,59 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard near-duplicate pairs — the signature-free dedup
+    * flavor: no MinHash, no banding, no candidate/verify split. The
+    * shingle table is exploded into a posting list (shingle-hash → doc)
+    * and every pair's intersection size is COUNTED from posting
+    * co-occurrence ([[graft.operators.CandidatePairs.inBucketPairCounts]]);
+    * Jaccard then follows from |A∩B| and the per-doc set sizes —
+    * `i / (|A| + |B| - i)` — so no shingle array ever rides on a pair row.
+    *
+    * Versus [[nearDupPairs]] (MinHash+LSH): this is exact at ANY
+    * threshold (LSH banding tuned for J≥0.8 misses low-J pairs), at the
+    * cost of work proportional to Σ df(s)² over shingle document
+    * frequencies. The hot-bucket triangle split bounds any single task at
+    * ~2·cap posting rows, so a boilerplate shingle shared by a million
+    * docs scales out instead of melting one reducer — but its total pair
+    * stream is still quadratic, which is why corpora with heavy
+    * boilerplate should set `maxDf`: shingles in more than maxDf docs are
+    * dropped from the posting list (they carry no discriminating signal;
+    * the resulting Jaccard is then a documented lower bound, as the
+    * dropped shingles still count in |A|+|B|). maxDf=None is exact and is
+    * what the q70 oracle replays.
+    *
+    * Output: (doc_a, doc_b, n_shared, jaccard), doc_a < doc_b,
+    * jaccard >= threshold. Division is exact IEEE double on both engines,
+    * so the DuckDB oracle reproduces the scores bit-for-bit.
+    */
+  def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 2, threshold: Double = 0.5,
+                          maxDf: Option[Int] = None, cap: Int = 2048): DataFrame = {
+    val sh = shingleHashedDocs(
+      docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Set sizes are row-local (size of the distinct-shingle array) — no
+    // aggregation; the join back onto pairs moves one int per doc.
+    val sizes = sh.select(col("id"), size(col("sh")).as("__n"))
+    val posting = {
+      val p = sh.select(col("id"), explode(col("sh")).as("bk"))
+      maxDf.fold(p) { d =>
+        require(d >= 1, s"maxDf must be >= 1, got $d")
+        // DF filter = one map-side-combinable count on the posting key +
+        // a semi join that is co-partitioned with the pair join's key.
+        p.join(p.groupBy(col("bk")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= d).select("bk"), Seq("bk"), "left_semi")
+      }
+    }
+    graft.operators.CandidatePairs.inBucketPairCounts(posting, cap)
+      .join(sizes.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("n_shared"),
+        (col("n_shared") / (col("__na") + col("__nb") - col("n_shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Test-set decontamination — the pretraining hygiene step: score every
     * corpus document by how many of its distinct n-gram shingles also
     * appear ANYWHERE in the probe set (eval/benchmark documents), so the

@@ -66,6 +66,60 @@ class TextDedupSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), s"all-pairs join in plan:\n$plan")
   }
 
+  test("jaccardNearDupPairs: count formula equals array-based exact Jaccard") {
+    // Ground truth via the materialized-array form over the same hashed
+    // shingle sets — the operator must reproduce it pair-for-pair at a
+    // threshold (0.3) low enough to exercise non-dup scores too.
+    val docs = syntheticDocs
+    val sh = TextDedup.shingleHashedDocs(
+      docs.filter(size(split(col("text"), " ")) >= 2), "doc_id", "text", 2)
+    val a = sh.select(col("id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("doc_b"), col("sh").as("sh_b"))
+    val expected = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_shared"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val got = TextDedup.jaccardNearDupPairs(docs, "doc_id", "text",
+      shingleN = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // planted near-dup (1,2) and the case/whitespace-variant pair (3,4) —
+    // shingling is NOT normalized, so (3,4) scores high but below 1.0
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L) &&
+      got.exists(p => p._1 == 3L && p._2 == 4L && p._4 < 1.0))
+  }
+
+  test("jaccardNearDupPairs: maxDf drops ubiquitous shingles, lower-bounds J") {
+    val s = spark; import s.implicits._
+    // "x y" appears in all three docs (df=3); with maxDf=2 it leaves the
+    // posting list, so doc1-doc2's intersection loses one shingle while
+    // their set sizes keep it — a strict lower bound, never an overcount.
+    val docs = Seq(
+      (1L, "x y a b c d"), (2L, "x y a b c e"), (3L, "x y q r s t"))
+      .toDF("doc_id", "text")
+    def j(maxDf: Option[Int]) = TextDedup.jaccardNearDupPairs(
+        docs, "doc_id", "text", shingleN = 2, threshold = 0.01, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val exact = j(None); val capped = j(Some(2))
+    assert(exact((1L, 2L)) == 4.0 / 6.0 && capped((1L, 2L)) == 3.0 / 7.0)
+    assert(capped.forall { case (k, v) => v <= exact(k) })
+    // pairs related ONLY through the dropped shingle disappear entirely
+    assert(exact.contains((1L, 3L)) && !capped.contains((1L, 3L)))
+  }
+
+  test("jaccardNearDupPairs plan: posting equi-join, no CartesianProduct") {
+    val plan = TextDedup.jaccardNearDupPairs(
+        Tables.documents(spark, sfDir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"all-pairs join in plan:\n$plan")
+  }
+
   test("exact dedup keeps the min-id copy of normalized-identical texts") {
     val kept = TextDedup.dropDuplicateContent(syntheticDocs, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
