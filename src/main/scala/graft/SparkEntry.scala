@@ -416,6 +416,18 @@ object SparkEntry {
     "q70_jaccard_neardup" -> ((s, d) =>
       TextDedup.jaccardNearDupPairs(Tables.documentsSpread(s, d),
         "doc_id", "text", shingleN = 2, threshold = 0.5)),
+    // k-means over embeddings, centroids = vec_id < 8 (model state,
+    // driver-collected into plan literals). Assignment is a ZERO-shuffle
+    // map stage; the update step's sufficient statistics are exact
+    // fixed-point sums, so both gates hash-match the oracle.
+    "q71_kmeans_assign" -> ((s, d) =>
+      Similarity.kmeansAssign(Tables.embeddingsSpread(s, d),
+        Similarity.centroidsOf(
+          Tables.embeddings(s, d).filter(col("vec_id") < 8)))),
+    "q72_kmeans_update" -> ((s, d) =>
+      Similarity.kmeansUpdateSums(Tables.embeddingsSpread(s, d),
+        Similarity.centroidsOf(
+          Tables.embeddings(s, d).filter(col("vec_id") < 8)))),
   )
 
   /** The read side of q47, factored so PlanSpec can assert the pruned
@@ -1174,5 +1186,40 @@ object SparkEntry {
          FROM inter
          JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.5""",
+    // q71/q72: cosine is the q25 bit-stable fold; assignment ties break
+    // on smallest centroid id in both engines (greatest-struct on
+    // (cosine, -id) ≡ row_number ORDER BY cosine DESC, cid ASC).
+    "q71_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         s AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_transform(list_zip(e.embedding, c.ce),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+                 / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
+                  * sqrt(list_reduce(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))) AS cosine
+               FROM embeddings e, c)
+         SELECT vec_id, cid AS centroid_id, cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cosine DESC, cid) AS rn FROM s) WHERE rn = 1""",
+    // q72: fixed-point member sums per (centroid, dim) — floor to long is
+    // tie-free and long sums are order-independent, so the hash matches
+    // under any Spark partitioning.
+    "q72_kmeans_update" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         s AS (SELECT e.vec_id, c.cid, e.embedding,
+                 list_reduce(list_transform(list_zip(e.embedding, c.ce),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+                 / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
+                  * sqrt(list_reduce(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))) AS cosine
+               FROM embeddings e, c),
+         a AS (SELECT vec_id, cid AS centroid_id, embedding FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, cid) AS rn FROM s) WHERE rn = 1),
+         d AS (SELECT centroid_id, CAST(t.i AS INTEGER) AS pos,
+                 embedding[t.i + 1] AS v
+               FROM a, UNNEST(range(0, len(embedding))) t(i))
+         SELECT centroid_id, pos,
+           CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS dim_sum_fp,
+           COUNT(*) AS n
+         FROM d GROUP BY centroid_id, pos""",
   )
 }

@@ -201,6 +201,103 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Collect a (small) centroid table to the driver in deterministic id
+    * order — model state for [[kmeansAssign]]/[[kmeansUpdateSums]]. This
+    * is the legitimate driver-side collect: k centroids are the MODEL,
+    * not the data (classic distributed k-means ships centroids to every
+    * task each iteration; here they land in the plan as literal arrays).
+    */
+  def centroidsOf(centroids: DataFrame, idCol: String = "vec_id",
+                  embCol: String = "embedding",
+                  maxK: Int = 4096): Seq[(Long, Array[Float])] = {
+    val rows = centroids.select(col(idCol).cast("long"), col(embCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    require(rows.nonEmpty, "centroidsOf: empty centroid set")
+    require(rows.size <= maxK,
+      s"centroidsOf: ${rows.size} centroids exceed maxK=$maxK — " +
+        "centroids are driver-side model state and must stay small")
+    rows
+  }
+
+  /** Hard cluster assignment against literal centroids — the k-means
+    * assignment step. Pure MAP stage: each row computes k native-codegen
+    * cosines and takes the row-local argmax via struct `greatest`
+    * (tiebreak: smallest centroid id), so the plan has ZERO exchanges and
+    * scales with corpus size alone (SimilaritySpec asserts the no-shuffle
+    * plan). Scores are the bit-stable cosine contract, so the q71 oracle
+    * reproduces assignment AND score exactly.
+    */
+  def kmeansAssign(vectors: DataFrame, centroids: Seq[(Long, Array[Float])],
+                   idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame =
+    assignWithEmb(vectors, centroids, idCol, embCol)
+      .select(col("vec_id"), col("centroid_id"), col("cosine"))
+
+  /** (vec_id, centroid_id, cosine, __e) with the embedding carried so the
+    * update step can reuse the assignment's map stage without a re-scan
+    * or a self-join.
+    */
+  private def assignWithEmb(vectors: DataFrame,
+                            centroids: Seq[(Long, Array[Float])],
+                            idCol: String, embCol: String): DataFrame = {
+    require(centroids.nonEmpty, "kmeansAssign: empty centroid set")
+    val dims = centroids.head._2.length
+    require(centroids.forall(_._2.length == dims),
+      s"kmeansAssign: centroids must all have $dims dims")
+    requireDims(vectors, embCol, dims, "kmeansAssign")
+    graft.functions.CosineSimilarity.register(vectors.sparkSession)
+    // argmax(cosine) with min-id tiebreak = max of (cosine, -id) structs;
+    // struct comparison is lexicographic, so equal scores fall through to
+    // the negated id. greatest() needs >= 2 args — pad a copy for k=1.
+    val scored = centroids.map { case (cid, vec) =>
+      struct(
+        graft.functions.CosineSimilarity.cosine(
+          col(embCol), typedLit(vec)).as("c"),
+        lit(-cid).as("negid"))
+    }
+    val best = greatest((if (scored.size == 1) scored ++ scored else scored): _*)
+    vectors.select(col(idCol).cast("long").as("vec_id"), col(embCol).as("__e"),
+        best.as("__best"))
+      .select(col("vec_id"), (-col("__best.negid")).as("centroid_id"),
+        col("__best.c").as("cosine"), col("__e"))
+  }
+
+  /** The k-means UPDATE step's sufficient statistics, exact and
+    * cross-engine deterministic: per (centroid, dimension), the count and
+    * the fixed-point sum Σ floor(v · 2^quantBits) of member values. New
+    * means are dim_sum_fp / n / 2^quantBits downstream.
+    *
+    * Why fixed-point: float sums depend on aggregation order, so a
+    * partitioning-dependent double mean could never hash-match an
+    * oracle. floor() to a long is tie-free (unlike decimal HALF_UP
+    * rounding, which can land on exact .5 boundaries for dyadic floats)
+    * and long sums are exact and commutative; at quantBits=20 the
+    * per-dimension mean error is < 1e-6 — far below float32 resolution
+    * for unit-scale embeddings.
+    *
+    * Plan shape: one map stage (assignment + posexplode) into ONE
+    * map-side-combinable shuffle on (centroid_id, pos) — the textbook
+    * distributed k-means iteration, n·d rows combined to k·d partials
+    * per task before the exchange. ANSI mode fails loudly on long
+    * overflow (possible past ~2^43 unit-scale rows per cell at the
+    * default quantization — rescale quantBits down for that regime).
+    */
+  def kmeansUpdateSums(vectors: DataFrame,
+                       centroids: Seq[(Long, Array[Float])],
+                       quantBits: Int = 20, idCol: String = "vec_id",
+                       embCol: String = "embedding"): DataFrame = {
+    require(quantBits >= 0 && quantBits <= 40,
+      s"kmeansUpdateSums: quantBits must be in [0, 40], got $quantBits")
+    val scale = (1L << quantBits).toDouble // exact power-of-two scaling
+    assignWithEmb(vectors, centroids, idCol, embCol)
+      .select(col("centroid_id"), posexplode(col("__e")).as(Seq("pos", "__v")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(sum(floor(col("__v").cast("double") * scale)).as("dim_sum_fp"),
+           count(lit(1)).as("n"))
+  }
+
   /** md5-derived unit value in [-1, 1) — reproducible in ANY engine
     * (DuckDB: `('0x'||substr(md5(seed),1,15))::BIGINT`), which lets an
     * external oracle rebuild the exact same planes/centroids. Always

@@ -103,6 +103,66 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("kmeansAssign equals brute-force nearest-centroid (annTopK k=1)") {
+    val em = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.centroidsOf(em.filter(col("vec_id") < 8))
+    val got = Similarity.kmeansAssign(em, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // annTopK over the centroid table as corpus: same scores, same
+    // min-id tiebreak — an independent formulation of the same argmax.
+    val expected = Similarity.annTopK(em.filter(col("vec_id") < 8), em, 1)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+  }
+
+  test("kmeansAssign plan is a pure map stage: zero exchanges") {
+    val em = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.centroidsOf(em.filter(col("vec_id") < 8))
+    val plan = Similarity.kmeansAssign(em, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+
+  test("kmeansUpdateSums: exact fixed-point sums on a handcrafted cluster") {
+    val s = spark; import s.implicits._
+    // two centroids on the axes; v1/v2 land on c0, v3 on c1
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+    val vecs = Seq(
+      (10L, Array(0.5f, 0.25f)), (11L, Array(2f, 0.75f)), (12L, Array(0.1f, 3f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansUpdateSums(vecs, cents, quantBits = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // quantBits=2 → floor(4v): c0 dims = (floor(2)+floor(8), floor(1)+floor(3))
+    assert(out == Map(
+      (0L, 0) -> ((10L, 2L)), (0L, 1) -> ((4L, 2L)),
+      (1L, 0) -> ((0L, 1L)), (1L, 1) -> ((12L, 1L))))
+  }
+
+  test("kmeansUpdateSums plan: exactly one exchange (the stats shuffle)") {
+    val em = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.centroidsOf(em.filter(col("vec_id") < 8))
+    val plan = Similarity.kmeansUpdateSums(em, cents)
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("kmeans guards: empty/oversized/mismatched centroids fail loudly") {
+    val s = spark; import s.implicits._
+    val vecs = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansAssign(vecs, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansAssign(vecs, Seq((0L, Array(1f, 0f, 0f))))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.centroidsOf(vecs, maxK = 0)
+    }
+  }
+
   test("native CosineSimilarity expression is bit-identical to the HOF fold") {
     graft.functions.CosineSimilarity.register(spark)
     val em = Tables.embeddings(spark, sfDir)
