@@ -428,6 +428,14 @@ object SparkEntry {
       Similarity.kmeansUpdateSums(Tables.embeddingsSpread(s, d),
         Similarity.centroidsOf(
           Tables.embeddings(s, d).filter(col("vec_id") < 8)))),
+    // int8 vector compression: every (vec, dim) code + midpoint-dequant
+    // error pinned by the oracle — row-local fixed-order IEEE arithmetic.
+    "q73_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddingsSpread(s, d))),
+    // RANGE window frame (value-based, peers included) — the frame family
+    // ROWS-based q16 doesn't exercise; decimal-exact trailing 30-day sum.
+    "q74_trailing_spend" -> ((s, d) =>
+      Analytics.trailingSpend(Tables.orders(s, d), 30)),
   )
 
   /** The read side of q47, factored so PlanSpec can assert the pruned
@@ -1221,5 +1229,29 @@ object SparkEntry {
            CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS dim_sum_fp,
            COUNT(*) AS n
          FROM d GROUP BY centroid_id, pos""",
+    // q73: identical op order to the Spark side — clamp, (x-lo)/(hi-lo)
+    // *256 floor-capped, midpoint dequant — each step one IEEE double op.
+    "q73_quantize_int8" ->
+      """WITH d AS (SELECT vec_id, CAST(t.i AS INTEGER) AS pos,
+                      CAST(embedding[t.i + 1] AS DOUBLE) AS v
+                    FROM embeddings, UNNEST(range(0, len(embedding))) t(i)),
+         c AS (SELECT vec_id, pos, v,
+                 CAST(LEAST(FLOOR((LEAST(GREATEST(v, -1.0), 1.0) - -1.0)
+                   / 2.0 * 256.0), 255) AS INTEGER) AS code
+               FROM d)
+         SELECT vec_id, pos, code,
+           ABS(v - (-1.0 + (code + 0.5) * 2.0 / 256.0)) AS err
+         FROM c""",
+    // q74: RANGE frame over integer epoch-days; frames include ORDER BY
+    // peers, so same-day orders agree and no tiebreaker is needed.
+    "q74_trailing_spend" ->
+      """SELECT o_orderkey, o_custkey,
+           epoch_us(o_orderdate) // 86400000000 AS order_day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch_us(o_orderdate) // 86400000000
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_spend
+         FROM orders""",
   )
 }

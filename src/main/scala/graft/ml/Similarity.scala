@@ -298,6 +298,36 @@ object Similarity {
            count(lit(1)).as("n"))
   }
 
+  /** Uniform int8 scalar quantization of an embedding column — the
+    * vector-compression step a 100 TB ANN corpus needs (4× smaller than
+    * float32 before any index structure). Row-local, zero shuffles; every
+    * arithmetic step is a single IEEE double op written in a fixed order,
+    * so codes AND reconstruction errors are bit-reproducible in the
+    * oracle (q73 pins every (vec, dim, code, err) tuple).
+    *
+    * Scheme: clamp to [lo, hi], code = min(floor((v-lo)/(hi-lo)·256),
+    * 255) — 256 uniform cells with hi folded into the top cell; dequant
+    * is the cell midpoint, so |err| ≤ (hi-lo)/512 + clamping loss.
+    * Output one row per (vec_id, pos): exploded rather than an
+    * array<int> column because the correctness gate hashes scalar cells.
+    */
+  def quantizeInt8(vectors: DataFrame, lo: Double = -1.0, hi: Double = 1.0,
+                   idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    require(hi > lo, s"quantizeInt8: need hi > lo, got [$lo, $hi]")
+    val clamped = least(greatest(col("__v").cast("double"), lit(lo)), lit(hi))
+    vectors
+      .select(col(idCol).cast("long").as("vec_id"),
+        posexplode(col(embCol)).as(Seq("pos", "__v")))
+      .select(col("vec_id"), col("pos"), col("__v"),
+        least(floor((clamped - lit(lo)) / lit(hi - lo) * lit(256.0)), lit(255L))
+          .cast("int").as("code"))
+      .select(col("vec_id"), col("pos"), col("code"),
+        abs(col("__v").cast("double") -
+          (lit(lo) + (col("code") + lit(0.5)) * lit(hi - lo) / lit(256.0)))
+          .as("err"))
+  }
+
   /** md5-derived unit value in [-1, 1) — reproducible in ANY engine
     * (DuckDB: `('0x'||substr(md5(seed),1,15))::BIGINT`), which lets an
     * external oracle rebuild the exact same planes/centroids. Always

@@ -139,6 +139,32 @@ object Analytics {
   }
 
   /** Rank parts by price within brand (dense_rank + row_number). */
+  /** Trailing `days`-day spend per customer order — a RANGE window frame
+    * (value-based, `[day-days, day]` inclusive), the frame family the
+    * ROWS-based running/lag/lead windows don't cover. RANGE frames
+    * include ORDER-BY peers by definition, so same-day orders all see the
+    * same trailing sum and no tiebreaker is needed for determinism; the
+    * decimal sum keeps it exact under any partitioning. One shuffle on
+    * the partition key, like every window — scale posture is the same as
+    * q16's running sum.
+    */
+  def trailingSpend(orders: DataFrame, days: Int): DataFrame = {
+    require(days >= 1, s"trailingSpend: days must be >= 1, got $days")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_day"))
+      .rangeBetween(-days, 0)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        // parquet stores TIMESTAMP_NTZ; the UTC session makes the cast a
+        // pure reinterpretation, matching DuckDB's naive epoch_us
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("order_day"),
+        col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_custkey"), col("order_day"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("trailing_spend"))
+  }
+
   def partPriceRank(part: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("p_retailprice").desc, col("p_partkey"))

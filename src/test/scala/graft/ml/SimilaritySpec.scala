@@ -163,6 +163,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8: edge codes, clamping, and midpoint error bound") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (1L, Array(-1f, 1f, 0f, -2f, 2f, 0.999f, -0.999f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs)
+      .collect().map(r => r.getInt(1) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    // lo → 0, hi folds into the top cell (255), out-of-range clamps
+    assert(out(0)._1 == 0 && out(1)._1 == 255)
+    assert(out(3)._1 == 0 && out(4)._1 == 255) // clamped to [lo, hi]
+    assert(out(7)._1 == 160) // (0.25+1)/2*256 = 160.0 exactly
+    // in-range dims obey the midpoint bound of (hi-lo)/512
+    Seq(0, 1, 2, 5, 6, 7).foreach { d =>
+      assert(out(d)._2 <= 2.0 / 512 + 1e-12, s"dim $d err ${out(d)._2}")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.quantizeInt8(vecs, lo = 1.0, hi = 1.0)
+    }
+  }
+
+  test("quantizeInt8 plan is map-only: zero exchanges") {
+    val plan = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
+  }
+
   test("native CosineSimilarity expression is bit-identical to the HOF fold") {
     graft.functions.CosineSimilarity.register(spark)
     val em = Tables.embeddings(spark, sfDir)

@@ -158,6 +158,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("trailingSpend: RANGE frame includes same-day peers, excludes past-horizon") {
+    val s = spark; import s.implicits._
+    val orders = Seq(
+      // cust 1: two same-day orders (peers), one 30 days later (inside),
+      // one 31 days after THAT (outside its window)
+      (1L, 1L, "O", 10.0, "2024-01-01 00:00:00"),
+      (2L, 1L, "O", 5.0, "2024-01-01 12:00:00"), // same epoch-day as #1
+      (3L, 1L, "O", 7.0, "2024-01-31 00:00:00"), // day 30 after day 0
+      (4L, 1L, "O", 2.0, "2024-03-02 00:00:00"), // 31 days after #3
+      (5L, 2L, "O", 9.0, "2024-01-15 00:00:00"))
+      .map { case (k, c, st, p, d) =>
+        (k, c, st, p, java.time.LocalDateTime.parse(d.replace(" ", "T")))
+      }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+    val out = Analytics.trailingSpend(orders, 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // RANGE peers: orders 1 and 2 share a day, both see 10+5
+    assert(out == Map(1L -> 15.0, 2L -> 15.0, 3L -> 22.0, 4L -> 2.0, 5L -> 9.0),
+      s"got $out")
+  }
+
   test("acctbalHistogram buckets are within [1,20] and count all customers") {
     val h = Analytics.acctbalHistogram(Tables.customer(spark, sfDir))
     assert(h.filter(col("bucket") < 1 || col("bucket") > 20).count() == 0)
