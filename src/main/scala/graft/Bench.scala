@@ -29,7 +29,9 @@ object Bench {
     "q45_silver_payments_parse", "q50_simhash_neardup", "q51_ann_ivf",
     "q52_ann_lsh", "q54_asof_join", "q56_sessionize", "q59_sequence_pack",
     "q60_dup_components", "q62_group_percentiles", "q63_image_decode",
-    "q64_session_rollup",
+    "q64_session_rollup", "q66_decontaminate", "q68_top_ngrams",
+    "q69_bm25_topk", "q70_jaccard_neardup", "q71_kmeans_assign",
+    "q72_kmeans_update", "q73_quantize_int8", "q74_trailing_spend",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

@@ -268,13 +268,7 @@ object SparkEntry {
     // implements true as-of semantics. Null user_ids are filtered on both
     // sides (window partitioning would group them; joins drop them).
     "q54_asof_join" -> ((s, d) => {
-      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_ts_us").as("purchase_ts_us"),
-          col("event_id").as("purchase_id")).distinct()
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_ts_us").as("click_ts_us"),
-          col("event_id").as("click_id")).distinct()
+      val (purchases, clicks) = asofFixture(s, d)
       Temporal.asofJoin(purchases, clicks, Seq("user_id"),
           "purchase_ts_us", "click_ts_us", Seq("click_id"),
           Seq("click_id", "click_ts_us"))
@@ -436,7 +430,46 @@ object SparkEntry {
     // ROWS-based q16 doesn't exercise; decimal-exact trailing 30-day sum.
     "q74_trailing_spend" -> ((s, d) =>
       Analytics.trailingSpend(Tables.orders(s, d), 30)),
+    // Same exact-Jaccard contract as q70 through the OTHER textbook plan:
+    // prefix-filtered AllPairs candidates + exact verify. Same oracle SQL
+    // — two independent formulations gated against one truth.
+    "q77_jaccard_prefix" -> ((s, d) =>
+      TextDedup.jaccardNearDupPairsPrefix(Tables.documentsSpread(s, d),
+        "doc_id", "text", shingleN = 2, threshold = 0.5)),
+    // As-of join, remaining merge_asof directions over the q54 fixture:
+    // forward (next click at/after each purchase) and nearest (closer of
+    // the two, backward on exact-distance ties).
+    "q75_asof_forward" -> ((s, d) => {
+      val (purchases, clicks) = asofFixture(s, d)
+      Temporal.asofJoin(purchases, clicks, Seq("user_id"),
+          "purchase_ts_us", "click_ts_us", Seq("click_id"),
+          Seq("click_id", "click_ts_us"), direction = "forward")
+        .withColumn("us_until_click",
+          col("click_ts_us") - col("purchase_ts_us"))
+    }),
+    "q76_asof_nearest" -> ((s, d) => {
+      val (purchases, clicks) = asofFixture(s, d)
+      Temporal.asofJoin(purchases, clicks, Seq("user_id"),
+          "purchase_ts_us", "click_ts_us", Seq("click_id"),
+          Seq("click_id", "click_ts_us"), direction = "nearest")
+        .withColumn("us_to_click",
+          col("click_ts_us") - col("purchase_ts_us"))
+    }),
   )
+
+  /** q54/q75/q76 share this purchases/clicks pair (distinct per-type event
+    * projections with null users dropped — see q54's comment).
+    */
+  private def asofFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_ts_us").as("purchase_ts_us"),
+        col("event_id").as("purchase_id")).distinct()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_ts_us").as("click_ts_us"),
+        col("event_id").as("click_id")).distinct()
+    (purchases, clicks)
+  }
 
   /** The read side of q47, factored so PlanSpec can assert the pruned
     * scan shape on the exact gated plan. Newest-day cutoff is a scalar
@@ -455,6 +488,24 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared by q70 (count-based) and q77 (prefix-filtered) — one truth,
+    * two independent Spark formulations.
+    */
+  private val jaccardPairsOracle: String =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                     WHERE len(string_split(text, ' ')) >= 2),
+       sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+              FROM docs, UNNEST(range(1, len(w))) t(i)),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT doc_a, doc_b, n_shared,
+         n_shared / (sa.n + sb.n - n_shared) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.5"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_bronze_project" ->
       """SELECT event_id, CAST(user_id AS VARCHAR) AS raw_key, props AS raw_value,
@@ -1180,20 +1231,10 @@ object SparkEntry {
     // the textbook inverted-index formulation over STRING 2-gram shingles
     // (set-equivalent to the engine's hashed shingles); i/(na+nb-i) is
     // one exact IEEE divide on both engines, so jaccard hash-matches.
-    "q70_jaccard_neardup" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-                       WHERE len(string_split(text, ' ')) >= 2),
-         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
-                FROM docs, UNNEST(range(1, len(w))) t(i)),
-         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-         SELECT doc_a, doc_b, n_shared,
-           n_shared / (sa.n + sb.n - n_shared) AS jaccard
-         FROM inter
-         JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-         WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.5""",
+    "q70_jaccard_neardup" -> jaccardPairsOracle,
+    // q77: SAME oracle — the prefix-filtered AllPairs plan must produce
+    // the identical exact result.
+    "q77_jaccard_prefix" -> jaccardPairsOracle,
     // q71/q72: cosine is the q25 bit-stable fold; assignment ties break
     // on smallest centroid id in both engines (greatest-struct on
     // (cosine, -id) ≡ row_number ORDER BY cosine DESC, cid ASC).
@@ -1253,5 +1294,66 @@ object SparkEntry {
              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS trailing_spend
          FROM orders""",
+    // q75: q54 mirrored — >= predicate, ASC ordering = smallest
+    // (ts, click_id) at-or-after each purchase.
+    "q75_asof_forward" ->
+      """WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) AS purchase_ts_us,
+               event_id AS purchase_id
+             FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         c AS (SELECT DISTINCT user_id, epoch_us(ts) AS click_ts_us,
+               event_id AS click_id
+             FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         j AS (SELECT p.user_id, p.purchase_ts_us, p.purchase_id,
+                 c.click_id, c.click_ts_us,
+                 row_number() OVER (
+                   PARTITION BY p.user_id, p.purchase_ts_us, p.purchase_id
+                   ORDER BY c.click_ts_us ASC, c.click_id ASC) AS rn
+               FROM p LEFT JOIN c ON c.user_id = p.user_id
+                 AND c.click_ts_us >= p.purchase_ts_us)
+         SELECT user_id, purchase_ts_us, purchase_id, click_id, click_ts_us,
+           click_ts_us - purchase_ts_us AS us_until_click
+         FROM j WHERE rn = 1""",
+    // q76: the backward and forward rn=1 candidates computed separately,
+    // then the closer one wins — backward on exact-distance ties, the
+    // same rule the Spark operator applies.
+    "q76_asof_nearest" ->
+      """WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) AS purchase_ts_us,
+               event_id AS purchase_id
+             FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         c AS (SELECT DISTINCT user_id, epoch_us(ts) AS click_ts_us,
+               event_id AS click_id
+             FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         jb AS (SELECT * FROM (
+                 SELECT p.user_id, p.purchase_ts_us, p.purchase_id,
+                   c.click_id AS b_id, c.click_ts_us AS b_ts,
+                   row_number() OVER (
+                     PARTITION BY p.user_id, p.purchase_ts_us, p.purchase_id
+                     ORDER BY c.click_ts_us DESC, c.click_id DESC) AS rn
+                 FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.click_ts_us <= p.purchase_ts_us) WHERE rn = 1),
+         jf AS (SELECT * FROM (
+                 SELECT p.user_id, p.purchase_ts_us, p.purchase_id,
+                   c.click_id AS f_id, c.click_ts_us AS f_ts,
+                   row_number() OVER (
+                     PARTITION BY p.user_id, p.purchase_ts_us, p.purchase_id
+                     ORDER BY c.click_ts_us ASC, c.click_id ASC) AS rn
+                 FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.click_ts_us >= p.purchase_ts_us) WHERE rn = 1),
+         m AS (SELECT p.user_id, p.purchase_ts_us, p.purchase_id,
+                 jb.b_id, jb.b_ts, jf.f_id, jf.f_ts
+               FROM p
+               LEFT JOIN jb USING (user_id, purchase_ts_us, purchase_id)
+               LEFT JOIN jf USING (user_id, purchase_ts_us, purchase_id))
+         SELECT user_id, purchase_ts_us, purchase_id,
+           CASE WHEN f_ts IS NULL THEN b_id WHEN b_ts IS NULL THEN f_id
+                WHEN purchase_ts_us - b_ts <= f_ts - purchase_ts_us
+                THEN b_id ELSE f_id END AS click_id,
+           CASE WHEN f_ts IS NULL THEN b_ts WHEN b_ts IS NULL THEN f_ts
+                WHEN purchase_ts_us - b_ts <= f_ts - purchase_ts_us
+                THEN b_ts ELSE f_ts END AS click_ts_us,
+           CASE WHEN f_ts IS NULL THEN b_ts WHEN b_ts IS NULL THEN f_ts
+                WHEN purchase_ts_us - b_ts <= f_ts - purchase_ts_us
+                THEN b_ts ELSE f_ts END - purchase_ts_us AS us_to_click
+         FROM m""",
   )
 }

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Time-ordered operators Spark lacks as built-ins: backward as-of join and
   * gap-based sessionization. Both are expressed as ONE shuffle on the join /
@@ -13,9 +13,16 @@ import org.apache.spark.sql.types.StructType
   */
 object Temporal {
 
-  /** Backward as-of join: for every left row, attach the right row with the
-    * greatest `(rightTs, rightTie…)` among rows of the same key with
-    * `rightTs <= leftTs` (nulls when no such row).
+  /** As-of join, all three merge_asof directions. For every left row,
+    * attach (nulls when no candidate exists):
+    *  - `backward` (default): the right row with the greatest
+    *    `(rightTs, rightTie…)` among same-key rows with `rightTs <= leftTs`;
+    *  - `forward`: the right row with the SMALLEST `(rightTs, rightTie…)`
+    *    among same-key rows with `rightTs >= leftTs`;
+    *  - `nearest`: whichever of those two candidates is closer in ts;
+    *    exact-distance ties (including rightTs == leftTs) take the
+    *    backward row. Requires a ts type whose `-` yields an ordered
+    *    value (numeric or timestamp).
     *
     * Implementation is the union-then-window idiom: tag both sides, union on
     * a common schema, sort each key partition once by `(ts, side, tie…)`
@@ -42,23 +49,31 @@ object Temporal {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightTie: Seq[String],
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String],
+               direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     require(rightPayload.nonEmpty, "asofJoin with no payload columns")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asofJoin: direction must be backward|forward|nearest, got $direction")
     val clash = rightPayload.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"asofJoin payload collides with left columns: $clash")
     require(left.schema(leftTs).dataType == right.schema(rightTs).dataType,
       s"asofJoin ts types differ: ${left.schema(leftTs).dataType} vs " +
         s"${right.schema(rightTs).dataType}")
 
-    val payloadType = StructType(rightPayload.map(right.schema(_)))
+    // The matched row's ts rides in the struct (field __mts) so `nearest`
+    // can compare distances without a second payload path.
+    val payloadType = StructType(
+      StructField("__mts", right.schema(rightTs).dataType) +:
+        rightPayload.map(right.schema(_)))
     val tieNames = rightTie.map(n => s"__tie_$n")
     val leftOnly = left.columns.toSeq.filterNot(keys.contains)
 
     val rightSide = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
-            struct(rightPayload.map(col): _*).as("__r")) ++
+            struct(col(rightTs).as("__mts") +: rightPayload.map(col): _*)
+              .as("__r")) ++
         rightTie.zip(tieNames).map { case (n, a) => col(n).as(a) } ++
         leftOnly.map(n => lit(null).cast(left.schema(n).dataType).as(n)): _*)
     val leftSide = left.select(
@@ -69,11 +84,40 @@ object Temporal {
           lit(null).cast(right.schema(n).dataType).as(a) } ++
         leftOnly.map(col): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc +: col("__side").asc +: tieNames.map(col(_).asc): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightSide.unionByName(leftSide)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    // backward: ascending scan, running last right row ≤ current ts.
+    // forward: the mirror — DESCENDING ts (ties DESCENDING too), so the
+    // running last non-null is the MINIMAL (ts, tie…) right row ≥ current.
+    // __side stays ascending in both: right rows sort before left rows at
+    // equal ts, which is what makes both bounds inclusive.
+    def running(ord: Seq[Column]) =
+      last(col("__r"), ignoreNulls = true).over(
+        Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val backOrd = col("__ts").asc +: col("__side").asc +:
+      tieNames.map(col(_).asc)
+    val fwdOrd = col("__ts").desc +: col("__side").asc +:
+      tieNames.map(col(_).desc)
+
+    val unioned = rightSide.unionByName(leftSide)
+    val matched = direction match {
+      case "backward" => unioned.withColumn("__m", running(backOrd))
+      case "forward"  => unioned.withColumn("__m", running(fwdOrd))
+      case "nearest" =>
+        // Both directions from ONE exchange (same partition keys — Spark
+        // plans a second in-partition sort, not a second shuffle; spec-
+        // asserted), then the closer match wins; exact-distance ties
+        // prefer the backward row.
+        unioned
+          .withColumn("__mb", running(backOrd))
+          .withColumn("__mf", running(fwdOrd))
+          .withColumn("__m",
+            when(col("__mf").isNull, col("__mb"))
+              .when(col("__mb").isNull, col("__mf"))
+              .when(col("__ts") - col("__mb.__mts") <=
+                col("__mf.__mts") - col("__ts"), col("__mb"))
+              .otherwise(col("__mf")))
+    }
+    matched
       .filter(col("__side") === 1)
       .select(left.columns.map(col).toSeq ++
         rightPayload.map(n => col("__m").getField(n).as(n)): _*)

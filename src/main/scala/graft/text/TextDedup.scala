@@ -188,6 +188,64 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW'07; public literature):
+    * order every doc's shingles by ascending global document frequency
+    * (rarest first, ties on the hash), keep only the first
+    * `|A| - ceil(t·|A|) + 1` as the doc's prefix, and generate candidates
+    * ONLY from prefix co-occurrence. Theorem: two sets with J ≥ t must
+    * share at least one element within both prefixes under the same
+    * global order — so verifying candidates with exact intersection
+    * counts loses nothing, and the output is identical to
+    * [[jaccardNearDupPairs]] (spec-asserted; q77 gates it on the same
+    * oracle SQL as q70).
+    *
+    * Scale crossover vs the count-based form: candidate volume is
+    * Σ prefix-df² over the RARE end of the shingle distribution instead
+    * of Σ df² over all of it — on Zipfian real-text corpora at high
+    * thresholds that is orders of magnitude smaller; on adversarially
+    * uniform corpora (every pair co-occurring) both are output-bound and
+    * the simpler count form wins by constants. Costs one extra shuffle
+    * (the per-doc rank window) + the per-candidate array verify.
+    */
+  def jaccardNearDupPairsPrefix(docs: DataFrame, idCol: String,
+                                textCol: String, shingleN: Int = 2,
+                                threshold: Double = 0.5,
+                                cap: Int = 2048): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"jaccardNearDupPairsPrefix: threshold in (0,1], got $threshold")
+    val sh = shingleHashedDocs(
+      docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = sh.select(col("id"), size(col("sh")).as("__n"),
+      explode(col("sh")).as("bk"))
+    val dfCounts = posting.groupBy(col("bk")).agg(count(lit(1)).as("__df"))
+    // Prefix length uses a t nudged DOWN one ppb: a float ceil landing one
+    // ULP above the exact product would SHORTEN the prefix and break the
+    // filter's guarantee; a hair-longer prefix only adds candidates.
+    val prefixLen = col("__n") -
+      ceil(lit(threshold - 1e-9) * col("__n")) + lit(1)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__df").asc, col("bk").asc)
+    val prefix = posting.join(dfCounts, Seq("bk"))
+      .withColumn("__rk", row_number().over(rankW))
+      .filter(col("__rk") <= prefixLen)
+      .select(col("id"), col("bk"))
+    val cand = graft.operators.CandidatePairs.inBucketPairs(prefix, cap)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    cand
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a"),
+        size(col("sh")).cast("long").as("__na")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b"),
+        size(col("sh")).cast("long").as("__nb")), Seq("doc_b"))
+      // same long-division expression as the count-based form, so the
+      // jaccard doubles are bit-identical to q70's oracle
+      .select(col("doc_a"), col("doc_b"), inter.as("n_shared"),
+        (inter / (col("__na") + col("__nb") - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Test-set decontamination — the pretraining hygiene step: score every
     * corpus document by how many of its distinct n-gram shingles also
     * appear ANYWHERE in the probe set (eval/benchmark documents), so the

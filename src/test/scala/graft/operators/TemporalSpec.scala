@@ -58,6 +58,52 @@ class TemporalSpec extends SparkSpec {
       s"asofJoin must shuffle exactly once:\n$plan")
   }
 
+  test("asofJoin forward/nearest match the naive references on random data") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(77)
+    val left = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    def run(direction: String) = Temporal.asofJoin(
+        left.toDF("k", "lts", "lid"), right.toDF("k", "rts", "rid"),
+        Seq("k"), "lts", "rts", Seq("rid"), Seq("rid", "rts"),
+        direction = direction)
+      .collect().map(r => r.getLong(2) ->
+        ((Option(r.get(3)), Option(r.get(4))))).toMap
+    def back(k: Long, lts: Long) = right
+      .filter(t => t._1 == k && t._2 <= lts).sortBy(t => (t._2, t._3)).lastOption
+    def fwd(k: Long, lts: Long) = right
+      .filter(t => t._1 == k && t._2 >= lts).sortBy(t => (t._2, t._3)).headOption
+    val gotF = run("forward")
+    val expF = left.map { case (k, lts, lid) =>
+      val m = fwd(k, lts); lid -> ((m.map(_._3: Any), m.map(_._2: Any)))
+    }.toMap
+    assert(gotF == expF)
+    val gotN = run("nearest")
+    val expN = left.map { case (k, lts, lid) =>
+      val b = back(k, lts); val f = fwd(k, lts)
+      val m = (b, f) match {
+        case (Some(bb), Some(ff)) =>
+          if (lts - bb._2 <= ff._2 - lts) Some(bb) else Some(ff)
+        case (bb, ff) => bb.orElse(ff)
+      }
+      lid -> ((m.map(_._3: Any), m.map(_._2: Any)))
+    }.toMap
+    assert(gotN == expN)
+  }
+
+  test("asofJoin nearest: both direction passes share one exchange") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("k", "lts", "lid")
+    val r = Seq((1L, 5L, 1L)).toDF("k", "rts", "rid")
+    val plan = Temporal.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("rid"),
+        Seq("rid"), direction = "nearest")
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("sessionize splits on gap > threshold (a gap of exactly the threshold does not)") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 1010L), (1L, 4L, 2011L),

@@ -112,6 +112,30 @@ class TextDedupSpec extends SparkSpec {
     assert(exact.contains((1L, 3L)) && !capped.contains((1L, 3L)))
   }
 
+  test("prefix-filtered AllPairs equals the count-based exact form") {
+    // Independent formulations, same exact contract — on the synthetic
+    // docs AND at a threshold low enough that prefixes get long.
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+      val a = norm(TextDedup.jaccardNearDupPairs(
+        syntheticDocs, "doc_id", "text", shingleN = 2, threshold = t))
+      val b = norm(TextDedup.jaccardNearDupPairsPrefix(
+        syntheticDocs, "doc_id", "text", shingleN = 2, threshold = t))
+      assert(a == b, s"t=$t: count-based $a != prefix $b")
+    }
+  }
+
+  test("prefix-filtered plan: equi-join candidates, no CartesianProduct") {
+    val plan = TextDedup.jaccardNearDupPairsPrefix(
+        Tables.documents(spark, sfDir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"all-pairs join in plan:\n$plan")
+  }
+
   test("jaccardNearDupPairs plan: posting equi-join, no CartesianProduct") {
     val plan = TextDedup.jaccardNearDupPairs(
         Tables.documents(spark, sfDir), "doc_id", "text")
