@@ -32,6 +32,7 @@ object Bench {
     "q64_session_rollup", "q66_decontaminate", "q68_top_ngrams",
     "q69_bm25_topk", "q70_jaccard_neardup", "q71_kmeans_assign",
     "q72_kmeans_update", "q73_quantize_int8", "q74_trailing_spend",
+    "q75_asof_forward", "q76_asof_nearest", "q77_jaccard_prefix",
   )
 
   /** Evaluate every column of every row (no collect of the result set);
