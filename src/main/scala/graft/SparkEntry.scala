@@ -436,6 +436,16 @@ object SparkEntry {
     "q77_jaccard_prefix" -> ((s, d) =>
       TextDedup.jaccardNearDupPairsPrefix(Tables.documentsSpread(s, d),
         "doc_id", "text", shingleN = 2, threshold = 0.5)),
+    // Canonical normalization (lower/punct-strip/collapse) + md5 content
+    // key — the pass exact dedup groups on; row-local, zero shuffles.
+    "q78_normalize" -> ((s, d) =>
+      TextStats.normalizedDocs(Tables.documentsSpread(s, d), "doc_id", "text")),
+    // Morton (Z-order) clustering key over two dimension columns — pure
+    // long bit-interleave, one shared expression tree with the oracle.
+    "q79_zorder_key" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        graft.lake.Layout.mortonKey(pmod(col("c_custkey"), lit(65536L)),
+          pmod(col("c_nationkey"), lit(65536L)), 16).as("zkey"))),
     // As-of join, remaining merge_asof directions over the q54 fixture:
     // forward (next click at/after each purchase) and nearest (closer of
     // the two, backward on exact-distance ties).
@@ -1235,6 +1245,25 @@ object SparkEntry {
     // q77: SAME oracle — the prefix-filtered AllPairs plan must produce
     // the identical exact result.
     "q77_jaccard_prefix" -> jaccardPairsOracle,
+    // q78: same alternation-free character-class regex in both engines;
+    // DuckDB needs the 'g' flag for global replacement.
+    "q78_normalize" ->
+      """WITH n AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS norm_text
+           FROM documents)
+         SELECT doc_id, norm_text, md5(norm_text) AS norm_hash,
+           CAST(CASE WHEN norm_text = '' THEN 0
+                ELSE len(string_split(norm_text, ' ')) END AS INTEGER)
+             AS n_tokens
+         FROM n""",
+    // q79: the bit-interleave expression is GENERATED from the same
+    // helper as the Spark column — one source of truth for the gate.
+    "q79_zorder_key" ->
+      s"""SELECT c_custkey, c_nationkey,
+         ${graft.lake.Layout.mortonOracleSql(
+        "c_custkey % 65536", "c_nationkey % 65536", 16)} AS zkey
+         FROM customer""",
     // q71/q72: cosine is the q25 bit-stable fold; assignment ties break
     // on smallest centroid id in both engines (greatest-struct on
     // (cosine, -id) ≡ row_number ORDER BY cosine DESC, cid ASC).

@@ -1,0 +1,66 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for write-side clustering: Morton (Z-order)
+  * interleaving of two dimension keys plus the range-partitioned sorted
+  * writer that uses it.
+  *
+  * Why: parquet data skipping prunes row groups by per-column min/max. A
+  * table sorted by ONE column skips perfectly on that column and not at
+  * all on a second; interleaving the bits of two keys gives a single sort
+  * order whose contiguous runs are small rectangles in (x, y) space, so
+  * BOTH columns' min/max ranges stay narrow per file and selective filters
+  * on either dimension prune files. This is the open-literature Z-order
+  * curve (the technique behind Delta/Iceberg `OPTIMIZE ZORDER BY`),
+  * re-expressed as plain Spark: a row-local key expression +
+  * `repartitionByRange` + `sortWithinPartitions`.
+  */
+object Layout {
+
+  /** Morton key: interleave the low `bits` bits of two NON-NEGATIVE longs
+    * (x in even positions, y in odd). Pure long arithmetic — shifts,
+    * masks, adds — identical in any engine; [[mortonOracleSql]] emits the
+    * same expression tree as SQL so the q79 oracle reproduces the key
+    * bit-for-bit. Callers clamp/fold their keys into [0, 2^bits) first
+    * (e.g. `pmod`); bits ≤ 31 keeps the result well inside a long.
+    */
+  def mortonKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"mortonKey: bits in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** The same interleave as [[mortonKey]], rendered as engine-neutral SQL
+    * over expressions `x` and `y` — single source of truth for the gate.
+    */
+  def mortonOracleSql(x: String, y: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"mortonOracleSql: bits in [1,31]")
+    (0 until bits).map { i =>
+      s"((($x) >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"((($y) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+  }
+
+  /** Z-order clustered write: global range partitioning on the Morton key
+    * (a sampled range exchange — one shuffle), in-partition sort, then
+    * one parquet file per partition. `numFiles` is the target layout
+    * granularity; at production scale pick it from table size / desired
+    * file size. The key is computed from `xCol`/`yCol` folded into
+    * [0, 2^bits) via pmod, ordered but NOT persisted into the data.
+    */
+  def zorderWrite(df: DataFrame, path: String, xCol: String, yCol: String,
+                  bits: Int, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"zorderWrite: numFiles >= 1, got $numFiles")
+    val m = lit(1L << bits)
+    df.withColumn("__zkey",
+        mortonKey(pmod(col(xCol), m), pmod(col(yCol), m), bits))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+}

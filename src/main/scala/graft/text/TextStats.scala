@@ -117,6 +117,32 @@ object TextStats {
     regexp_replace(noIp, LongNumberPattern, "<NUM>")
   }
 
+  /** Canonical text normalization — the pass that runs BEFORE exact dedup
+    * so trivially-variant copies (case, punctuation, whitespace) collapse
+    * to one canonical form: lowercase, any run of non-[a-z0-9] characters
+    * → one space, edges trimmed. Alternation-free character-class regex
+    * (Java ∩ RE2, like the PII patterns) so both engines normalize
+    * identically; ASCII-only lowering matters here because the corpus
+    * contract is ASCII word streams — locale-sensitive lowering (e.g.
+    * Turkish İ) is deliberately out of scope for the cross-engine gate.
+    * Row-local and codegen'd; zero shuffles.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** (doc_id, norm_text, norm_hash, n_tokens) — the normalized corpus
+    * plus the md5 content key exact dedup groups on downstream.
+    */
+  def normalizedDocs(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val norm = normalizeText(col(textCol))
+    docs.select(col(idCol).as("doc_id"), norm.as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        md5(col("norm_text")).as("norm_hash"),
+        when(col("norm_text") === "", lit(0))
+          .otherwise(size(split(col("norm_text"), " "))).as("n_tokens"))
+  }
+
   /** Corpus-level heavy hitters: the `k` word n-grams appearing in the
     * most documents (document frequency — each document counts a distinct
     * n-gram once), tiebroken lexicographically. The boilerplate-detection

@@ -48,6 +48,29 @@ class TextStatsSpec extends SparkSpec {
     assert(got.head._1 == 1L, "doc 1 (two terms, one twice, shorter) must rank first")
   }
 
+  test("normalizedDocs collapses case/punct/whitespace variants to one hash") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "Hello,  World! 42"),
+      (2L, "hello world 42"),
+      (3L, "HELLO---world...42"),
+      (4L, "something else"),
+      (5L, "!!!")).toDF("doc_id", "text")
+    val out = TextStats.normalizedDocs(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3))))
+      .toMap
+    assert(out(1)._1 == "hello world 42" && out(1)._3 == 3)
+    // all three variants share one canonical form and content key
+    assert(Set(1L, 2L, 3L).map(out(_)._2).size == 1)
+    assert(out(4)._2 != out(1)._2)
+    assert(out(5) == (("", md5Hex(""), 0)))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("topNgrams ranks by document frequency with lexicographic tiebreak") {
     val s = spark; import s.implicits._
     val docs = Seq(
