@@ -109,9 +109,21 @@ object Upsert {
       if (Files.exists(p))
         mergeImpl(spark.read.parquet(path), source, keys, ordering, orderingFirst)
       else latestWins(source, keys, ordering)
+    atomicSwapWrite(path)(tmp =>
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp))
+  }
+
+  /** The crash-safe table swap shared by the merge and by lake
+    * maintenance ([[Layout.compact]]): materialize the replacement at
+    * `__tmp` FIRST, then two atomic renames — the live table is never
+    * gone before its replacement exists, and [[recover]] heals every
+    * intermediate state.
+    */
+  private[lake] def atomicSwapWrite(path: String)(write: String => Unit): Unit = {
+    val p = Paths.get(path)
     val tmp = Paths.get(path + ".__tmp")
     val old = Paths.get(path + ".__old")
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    write(tmp.toString)
     if (Files.exists(p)) Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)

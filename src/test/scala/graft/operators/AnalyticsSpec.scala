@@ -158,6 +158,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sketch family: HLL distinct and approx percentile bounded by exact") {
+    // Sketches are estimation contracts, not value contracts — no DuckDB
+    // hash gate is possible by design (different sketch impls), so the
+    // gate is the error bound against the exact operators.
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d_exact"),
+        expr("percentile(value, 0.5)").as("p50_exact"))
+    val approx = ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("d_approx"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"))
+    val joined = exact.join(approx, Seq("event_type")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (d, da) = (r.getAs[Long]("d_exact"), r.getAs[Long]("d_approx"))
+      assert(math.abs(da - d) <= math.max(1, (3 * 0.05 * d).toLong),
+        s"${r.get(0)}: HLL estimate $da vs exact $d outside 3*rsd")
+      val (p, pa) = (r.getAs[Double]("p50_exact"), r.getAs[Double]("p50_approx"))
+      assert(math.abs(pa - p) <= math.abs(p) * 0.05 + 1e-9,
+        s"${r.get(0)}: approx p50 $pa vs exact $p")
+    }
+  }
+
   test("trailingSpend: RANGE frame includes same-day peers, excludes past-horizon") {
     val s = spark; import s.implicits._
     val orders = Seq(

@@ -113,6 +113,34 @@ class StreamJoinsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L), s"dedup violated: ${got.toSeq}")
   }
 
+  test("stream-static enrichment: streaming side joins a static dim, stream equals batch") {
+    // The streaming face of the silver enrich (J1): a static dimension
+    // needs no watermark and no state — each micro-batch joins the
+    // current dim snapshot. Delivered over two batches, result must
+    // equal the one-shot batch join.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("order_id", "tier")
+    val in = MemoryStream[OrderEvt]
+    val name = s"ss_${System.nanoTime()}"
+    val q = in.toDF().join(dim, Seq("order_id"), "left")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val evs = Seq(
+      OrderEvt(1, ts("2024-01-01 10:00:00"), "created"),
+      OrderEvt(2, ts("2024-01-01 10:01:00"), "created"),
+      OrderEvt(3, ts("2024-01-01 10:02:00"), "created"))
+    try {
+      in.addData(evs.take(1)); q.processAllAvailable()
+      in.addData(evs.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getAs[Long]("order_id") -> Option(r.getAs[String]("tier"))).toMap
+    val batch = evs.toDF().join(dim, Seq("order_id"), "left").collect()
+      .map(r => r.getAs[Long]("order_id") -> Option(r.getAs[String]("tier"))).toMap
+    assert(got == batch &&
+      got == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+  }
+
   test("dedupStream requires keys; state horizon documented by eviction") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
