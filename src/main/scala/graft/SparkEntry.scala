@@ -436,6 +436,14 @@ object SparkEntry {
     "q77_jaccard_prefix" -> ((s, d) =>
       TextDedup.jaccardNearDupPairsPrefix(Tables.documentsSpread(s, d),
         "doc_id", "text", shingleN = 2, threshold = 0.5)),
+    // FULL OUTER join with genuine left-only/right-only/matched classes;
+    // right side pre-aggregated before the exchange.
+    "q80_full_outer" -> ((s, d) =>
+      Analytics.customerOrderFullJoin(Tables.customer(s, d),
+        Tables.orders(s, d))),
+    // CUBE grouping sets + grouping_id, one shuffle for all four sets.
+    "q81_status_cube" -> ((s, d) =>
+      Analytics.orderStatusCube(Tables.orders(s, d))),
     // Canonical normalization (lower/punct-strip/collapse) + md5 content
     // key — the pass exact dedup groups on; row-local, zero shuffles.
     "q78_normalize" -> ((s, d) =>
@@ -1245,6 +1253,24 @@ object SparkEntry {
     // q77: SAME oracle — the prefix-filtered AllPairs plan must produce
     // the identical exact result.
     "q77_jaccard_prefix" -> jaccardPairsOracle,
+    "q80_full_outer" ->
+      """WITH l AS (SELECT c_custkey, c_name FROM customer
+                    WHERE c_custkey % 3 <> 0),
+         r AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_spend
+               FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey)
+         SELECT l.c_custkey, l.c_name, r.o_custkey, r.n_orders, r.total_spend
+         FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey""",
+    // q81: GROUPING() bitmask uses the same first-arg-highest-bit
+    // convention in both engines.
+    "q81_status_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_spend
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     // q78: same alternation-free character-class regex in both engines;
     // DuckDB needs the 'g' flag for global replacement.
     "q78_normalize" ->

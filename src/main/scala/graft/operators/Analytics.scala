@@ -139,6 +139,36 @@ object Analytics {
   }
 
   /** Rank parts by price within brand (dense_rank + row_number). */
+  /** FULL OUTER equi-join with all three match classes exercised: the
+    * sides deliberately part-overlap (customers ∉ 3ℤ vs order rollups for
+    * even custkeys), so matched rows, left-only customers and right-only
+    * rollups all appear. The right side pre-aggregates before the join —
+    * the many side never crosses the exchange at fact grain.
+    */
+  def customerOrderFullJoin(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val left = customer.filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_name"))
+    val right = orders.filter(col("o_custkey") % 2 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).cast("double").as("total_spend"))
+    left.join(right, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_custkey"),
+        col("n_orders"), col("total_spend"))
+  }
+
+  /** CUBE over (status, priority): all four grouping sets in one pass —
+    * Spark expands the sets map-side and shares one shuffle. grouping_id
+    * disambiguates subtotal NULLs from (absent here) data NULLs with the
+    * same first-column-highest-bit convention both engines use.
+    */
+  def orderStatusCube(orders: DataFrame): DataFrame =
+    orders.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).cast("double").as("total_spend"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("n_orders"), col("total_spend"))
+
   /** Trailing `days`-day spend per customer order — a RANGE window frame
     * (value-based, `[day-days, day]` inclusive), the frame family the
     * ROWS-based running/lag/lead windows don't cover. RANGE frames

@@ -158,6 +158,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("customerOrderFullJoin produces matched, left-only and right-only rows") {
+    val out = Analytics.customerOrderFullJoin(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir))
+    assert(out.filter(col("c_custkey").isNotNull && col("o_custkey").isNotNull)
+      .count() > 0, "no matched rows")
+    assert(out.filter(col("o_custkey").isNull).count() > 0, "no left-only rows")
+    assert(out.filter(col("c_custkey").isNull).count() > 0, "no right-only rows")
+  }
+
+  test("orderStatusCube: four grouping sets, gid flags the subtotal NULLs") {
+    val out = Analytics.orderStatusCube(Tables.orders(spark, sfDir)).collect()
+    val gids = out.map(_.getAs[Long]("gid")).toSet
+    assert(gids == Set(0L, 1L, 2L, 3L))
+    out.foreach { r =>
+      val (st, pr, gid) = (r.get(0), r.get(1), r.getAs[Long]("gid"))
+      assert((st == null) == ((gid & 2L) != 0), s"gid bit 1 vs status: $r")
+      assert((pr == null) == ((gid & 1L) != 0), s"gid bit 0 vs priority: $r")
+    }
+    // grand total row counts everything
+    val total = out.filter(_.getAs[Long]("gid") == 3L).map(_.getAs[Long]("n_orders")).sum
+    assert(total == Tables.orders(spark, sfDir).count())
+  }
+
   test("sketch family: HLL distinct and approx percentile bounded by exact") {
     // Sketches are estimation contracts, not value contracts — no DuckDB
     // hash gate is possible by design (different sketch impls), so the
