@@ -436,6 +436,18 @@ object SparkEntry {
     "q77_jaccard_prefix" -> ((s, d) =>
       TextDedup.jaccardNearDupPairsPrefix(Tables.documentsSpread(s, d),
         "doc_id", "text", shingleN = 2, threshold = 0.5)),
+    // Product quantization: per-(vec, subspace) codes against md5-derived
+    // codebooks (q42/q51 scheme) — map-only coding pass, every code and
+    // squared-L2 distance reproduced in DuckDB.
+    "q82_pq_codes" -> ((s, d) =>
+      Similarity.pqCodes(Tables.embeddingsSpread(s, d))),
+    // ADC retrieval over PQ codes: corpus = codes only, queries carry
+    // their distance tables; ordered fold keeps adist bit-stable.
+    "q83_pq_adc_topk" -> ((s, d) => {
+      val em = Tables.embeddingsSpread(s, d)
+      Similarity.pqAdcTopK(em.filter(col("vec_id") >= 10),
+        em.filter(col("vec_id") < 10), 5)
+    }),
     // FULL OUTER join with genuine left-only/right-only/matched classes;
     // right side pre-aggregated before the exchange.
     "q80_full_outer" -> ((s, d) =>
@@ -1253,6 +1265,48 @@ object SparkEntry {
     // q77: SAME oracle — the prefix-filtered AllPairs plan must produce
     // the identical exact result.
     "q77_jaccard_prefix" -> jaccardPairsOracle,
+    // q82/q83: PQ codebook component (m,k,d) = md5-unit('pq-m-k-d') — the
+    // q51 recipe; squared-L2 per subspace is a left-to-right fold of
+    // singly-rounded (x-c)*(x-c) terms, so dist/code/adist all hash-match.
+    "q82_pq_codes" ->
+      """WITH d AS (SELECT vec_id, m.m AS m, k.k AS k,
+             list_reduce(list_transform(range(0, 8), d ->
+               (CAST(embedding[m.m * 8 + d + 1] AS DOUBLE)
+                 - ((CAST(('0x' || substr(md5('pq-' || m.m || '-' || k.k || '-' || d), 1, 15)) AS BIGINT) % 2000003) / 1000001.5 - 1.0))
+               * (CAST(embedding[m.m * 8 + d + 1] AS DOUBLE)
+                 - ((CAST(('0x' || substr(md5('pq-' || m.m || '-' || k.k || '-' || d), 1, 15)) AS BIGINT) % 2000003) / 1000001.5 - 1.0))),
+               (a, v) -> a + v) AS dist
+           FROM embeddings, UNNEST(range(0, 8)) m(m), UNNEST(range(0, 8)) k(k))
+         SELECT vec_id, CAST(m AS INTEGER) AS m, CAST(k AS INTEGER) AS code, dist
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                 ORDER BY dist, k) AS rn FROM d)
+         WHERE rn = 1""",
+    "q83_pq_adc_topk" ->
+      """WITH d AS (SELECT vec_id, m.m AS m, k.k AS k,
+             list_reduce(list_transform(range(0, 8), d ->
+               (CAST(embedding[m.m * 8 + d + 1] AS DOUBLE)
+                 - ((CAST(('0x' || substr(md5('pq-' || m.m || '-' || k.k || '-' || d), 1, 15)) AS BIGINT) % 2000003) / 1000001.5 - 1.0))
+               * (CAST(embedding[m.m * 8 + d + 1] AS DOUBLE)
+                 - ((CAST(('0x' || substr(md5('pq-' || m.m || '-' || k.k || '-' || d), 1, 15)) AS BIGINT) % 2000003) / 1000001.5 - 1.0))),
+               (a, v) -> a + v) AS dist
+           FROM embeddings, UNNEST(range(0, 8)) m(m), UNNEST(range(0, 8)) k(k)),
+         best AS (SELECT vec_id, m, k AS code FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY dist, k) AS rn FROM d) WHERE rn = 1),
+         codes AS (SELECT vec_id AS neighbor_id, list(code ORDER BY m) AS cs
+                   FROM best WHERE vec_id >= 10 GROUP BY vec_id),
+         lut AS (SELECT vec_id AS query_id, list(dl ORDER BY m) AS ls FROM (
+                   SELECT vec_id, m, list(dist ORDER BY k) AS dl
+                   FROM d WHERE vec_id < 10 GROUP BY vec_id, m)
+                 GROUP BY vec_id),
+         sc AS (SELECT query_id, neighbor_id,
+                  list_reduce(list_transform(range(0, 8),
+                    i -> ls[i + 1][cs[i + 1] + 1]), (a, v) -> a + v) AS adist
+                FROM lut, codes)
+         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adist
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adist, neighbor_id) AS rank FROM sc)
+         WHERE rank <= 5""",
     "q80_full_outer" ->
       """WITH l AS (SELECT c_custkey, c_name FROM customer
                     WHERE c_custkey % 3 <> 0),

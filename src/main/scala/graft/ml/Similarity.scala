@@ -298,6 +298,93 @@ object Similarity {
            count(lit(1)).as("n"))
   }
 
+  /** Product quantization (Jégou et al., PAMI 2011 — public literature):
+    * split each `dims`-dim vector into `m` subvectors of `dims/m`
+    * components; each subvector is coded as the index of its nearest
+    * (squared-L2) sub-centroid from a per-subspace codebook of `k`
+    * entries. Storage drops from dims·4 bytes to m·log2(k) bits per
+    * vector (64× here) — the compression layer under billion-vector ANN.
+    *
+    * Codebooks are md5-derived literals (the q42/q51 scheme) so the
+    * DuckDB oracle rebuilds every centroid component and reproduces
+    * codes AND distances bit-for-bit: per (subspace, code, dim) the
+    * component is `hashUnit("pq-$m-$k-$d")`, distances are left-to-right
+    * double folds, argmin ties take the smallest code. Real systems
+    * train codebooks with k-means — [[kmeansUpdateSums]] is that path;
+    * the deterministic codebook keeps the GATE engine-independent.
+    */
+  private def pqDist(emb: Column, m: Int, k: Int, sub: Int): Column =
+    (0 until sub).map { d =>
+      val x = element_at(emb, m * sub + d + 1).cast("double") -
+        lit(hashUnit(s"pq-$m-$k-$d"))
+      x * x
+    }.reduce(_ + _)
+
+  /** Per-subspace argmin as a (dist, code) struct — `array_min` over
+    * structs is lexicographic, so equal distances fall to the smaller
+    * code, mirroring the oracle's `ORDER BY dist, k`.
+    */
+  private def pqBest(emb: Column, m: Int, nCodes: Int, sub: Int): Column =
+    array_min(array((0 until nCodes).map(k =>
+      struct(pqDist(emb, m, k, sub).as("d"), lit(k).as("k"))): _*))
+
+  /** Exploded PQ coding: one row per (vec_id, subspace) with the chosen
+    * code and its squared-L2 distance. Pure map stage, zero exchanges
+    * (spec-asserted) — the coding pass streams the corpus once.
+    */
+  def pqCodes(vectors: DataFrame, numSubspaces: Int = 8, numCodes: Int = 8,
+              dims: Int = 64, idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame = {
+    require(dims % numSubspaces == 0,
+      s"pqCodes: dims=$dims must divide into $numSubspaces subspaces")
+    requireDims(vectors, embCol, dims, "pqCodes")
+    val sub = dims / numSubspaces
+    vectors.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(array((0 until numSubspaces).map(m =>
+          pqBest(col(embCol), m, numCodes, sub)): _*)).as(Seq("m", "__b")))
+      .select(col("vec_id"), col("m"), col("__b.k").as("code"),
+        col("__b.d").as("dist"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the corpus is only
+    * its codes; each query computes its exact per-(subspace, code)
+    * distance table row-locally, the tables broadcast with the query
+    * set, and a corpus row's approximate distance is the ordered fold
+    * Σ_m lut[m][code_m] — one corpus scan, no shuffle of the corpus, and
+    * the same two-stage salted top-k as every ANN path here. Exact on
+    * codebook centroids; approximation error is the quantization
+    * residual (recall tracked against exact cosine in SimilaritySpec).
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+                numSubspaces: Int = 8, numCodes: Int = 8, dims: Int = 64,
+                idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    require(dims % numSubspaces == 0,
+      s"pqAdcTopK: dims=$dims must divide into $numSubspaces subspaces")
+    requireDims(queries, embCol, dims, "pqAdcTopK queries")
+    val sub = dims / numSubspaces
+    requireDims(corpus, embCol, dims, "pqAdcTopK corpus")
+    // codes assembled row-locally in subspace order — no exploded
+    // round-trip, no shuffle; the coding scan IS the corpus scan.
+    val codes = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      array((0 until numSubspaces).map(m =>
+        pqBest(col(embCol), m, numCodes, sub).getField("k")): _*).as("__codes"))
+    val lut = array((0 until numSubspaces).map(m =>
+      array((0 until numCodes).map(k =>
+        pqDist(col(embCol), m, k, sub)): _*)): _*)
+    val q = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      lut.as("__lut")))
+    val scored = codes.join(q)
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(
+          zip_with(col("__codes"), col("__lut"),
+            (c, l) => element_at(l, c + lit(1))),
+          lit(0.0), (acc, v) => acc + v).as("adist"))
+    topKPerKey(scored, col("query_id"),
+      Seq(col("adist").asc, col("neighbor_id").asc), topK, col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+  }
+
   /** Uniform int8 scalar quantization of an embedding column — the
     * vector-compression step a 100 TB ANN corpus needs (4× smaller than
     * float32 before any index structure). Row-local, zero shuffles; every

@@ -163,6 +163,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqCodes: one code per (vec, subspace), in range, map-only plan") {
+    val em = Tables.embeddings(spark, sfDir)
+    val out = Similarity.pqCodes(em)
+    val n = em.count()
+    assert(out.count() == n * 8)
+    assert(out.filter(col("code") < 0 || col("code") >= 8 ||
+      col("m") < 0 || col("m") >= 8 || col("dist") < 0).count() == 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PQ coding must not shuffle:\n$plan")
+  }
+
+  test("pqAdcTopK: self-match is the per-query minimum; corpus never shuffles") {
+    val em = Tables.embeddings(spark, sfDir)
+    // queries are ALSO corpus members: their codes match themselves, so
+    // the self row's adist is the attainable minimum (argmin per
+    // subspace) — it must sit at the top rank's distance.
+    val out = Similarity.pqAdcTopK(em, em.filter(col("vec_id") < 5), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    (0L until 5L).foreach { q =>
+      val rows = out.filter(_._1 == q)
+      val self = rows.find(_._2 == q)
+      assert(self.isDefined, s"query $q: self row missing from top-5")
+      val best = rows.minBy(_._3)._4
+      assert(self.get._4 == best, s"query $q: self adist ${self.get._4} != top $best")
+    }
+    val plan = Similarity.pqAdcTopK(em, em.filter(col("vec_id") < 5), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"expected broadcast scan:\n$plan")
+  }
+
   test("quantizeInt8: edge codes, clamping, and midpoint error bound") {
     val s = spark; import s.implicits._
     val vecs = Seq(
