@@ -436,6 +436,15 @@ object SparkEntry {
     "q77_jaccard_prefix" -> ((s, d) =>
       TextDedup.jaccardNearDupPairsPrefix(Tables.documentsSpread(s, d),
         "doc_id", "text", shingleN = 2, threshold = 0.5)),
+    // LM-flavored quality score: corpus-unigram log-probs, fixed-point
+    // per-token quantization so the per-doc sum is exact long math.
+    "q84_unigram_logprob" -> ((s, d) =>
+      TextStats.unigramLogProb(Tables.documentsSpread(s, d), "doc_id", "text")),
+    // Gopher-style repetition rule: share of n-gram occurrences claimed
+    // by the most frequent 2-gram; exact integer counts gate the ratio.
+    "q85_repetition" -> ((s, d) =>
+      TextStats.repetitionScore(Tables.documentsSpread(s, d), "doc_id",
+        "text", 2)),
     // Product quantization: per-(vec, subspace) codes against md5-derived
     // codebooks (q42/q51 scheme) — map-only coding pass, every code and
     // squared-L2 distance reproduced in DuckDB.
@@ -1265,6 +1274,32 @@ object SparkEntry {
     // q77: SAME oracle — the prefix-filtered AllPairs plan must produce
     // the identical exact result.
     "q77_jaccard_prefix" -> jaccardPairsOracle,
+    // q84: ln() ULP differences are absorbed by the 1e-6 fixed-point
+    // floor (a boundary hit needs the product within ~1 ULP of an
+    // integer); sums are exact longs after that.
+    "q84_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, u.w FROM (
+             SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             UNNEST(ws) u(w)),
+         g AS (SELECT COUNT(*) AS total FROM t),
+         c AS (SELECT w, COUNT(*) AS n_w FROM t GROUP BY w)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(ln(CAST(n_w AS DOUBLE)
+             / (SELECT CAST(total AS DOUBLE) FROM g)) * 1000000.0)
+             AS BIGINT)) AS BIGINT) AS logprob_fp,
+           (CAST(SUM(CAST(FLOOR(ln(CAST(n_w AS DOUBLE)
+             / (SELECT CAST(total AS DOUBLE) FROM g)) * 1000000.0)
+             AS BIGINT)) AS BIGINT) / 1000000.0) / COUNT(*) AS avg_logprob
+         FROM t JOIN c USING (w) GROUP BY doc_id""",
+    "q85_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+         gr AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g, COUNT(*) AS c
+                FROM d, UNNEST(range(1, len(w))) t(i) GROUP BY doc_id, g)
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(MAX(c) AS BIGINT) AS top_count,
+           MAX(c) / CAST(SUM(c) AS BIGINT) AS rep_ratio
+         FROM gr GROUP BY doc_id""",
     // q82/q83: PQ codebook component (m,k,d) = md5-unit('pq-m-k-d') — the
     // q51 recipe; squared-L2 per subspace is a left-to-right fold of
     // singly-rounded (x-c)*(x-c) terms, so dist/code/adist all hash-match.

@@ -117,6 +117,66 @@ object TextStats {
     regexp_replace(noIp, LongNumberPattern, "<NUM>")
   }
 
+  /** Corpus-unigram log-probability scoring — the LM-flavored quality
+    * signal (docs of improbable tokens are noise/garble; the cheap stand-
+    * in for a real LM perplexity filter). Per doc: Σ ln(count(w)/N) over
+    * its tokens, where counts come from the corpus itself.
+    *
+    * Determinism: a double Σ over a join is aggregation-order-dependent,
+    * so each token's contribution is quantized ONCE to fixed-point
+    * (`floor(ln(p)·10⁶)` as a long) and the per-doc sum is exact long
+    * arithmetic — commutative, partitioning-independent, reproduced
+    * exactly by DuckDB. The derived `avg_logprob` divides two exact
+    * values, one IEEE op.
+    *
+    * Scale: token explode → count join on the token (the count side is
+    * corpus-vocabulary-sized, broadcast-friendly; no hint so AQE decides)
+    * → per-doc sum; all aggs map-side combinable.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextDedup.tokens(col(textCol))).as("w"))
+    val g = toks.agg(count(lit(1))).head
+    val total = g.getLong(0)
+    require(total > 0, "unigramLogProb over an empty corpus")
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    toks.join(counts, Seq("w"))
+      .select(col("doc_id"),
+        floor(log(col("n_w").cast("double") / lit(total.toDouble)) *
+          lit(1000000.0)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__c")).as("logprob_fp"))
+      .select(col("doc_id"), col("n_tokens"), col("logprob_fp"),
+        ((col("logprob_fp") / lit(1000000.0)) / col("n_tokens"))
+          .as("avg_logprob"))
+  }
+
+  /** Repeated-n-gram ratio — the repetition rule from the public Gopher/
+    * MassiveText filtering recipe: the fraction of a doc's n-gram
+    * occurrences claimed by its single most-frequent n-gram. Template
+    * spam and looping generations score high; natural text stays low.
+    * Counts are over the n-gram MULTISET (no distinct), so exact integer
+    * arithmetic gates the ratio; only the max COUNT is emitted (never
+    * which gram), so max-ties cost nothing.
+    */
+  def repetitionScore(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    require(n > 0, s"repetitionScore needs positive n, got $n")
+    val w = TextDedup.tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
+    docs.select(col(idCol).as("doc_id"),
+        explode(when(size(w) >= n, grams)
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_grams"), col("top_count"),
+        (col("top_count") / col("n_grams")).as("rep_ratio"))
+  }
+
   /** Canonical text normalization — the pass that runs BEFORE exact dedup
     * so trivially-variant copies (case, punctuation, whitespace) collapse
     * to one canonical form: lowercase, any run of non-[a-z0-9] characters

@@ -48,6 +48,37 @@ class TextStatsSpec extends SparkSpec {
     assert(got.head._1 == 1L, "doc 1 (two terms, one twice, shorter) must rank first")
   }
 
+  test("unigramLogProb: rare-token docs score lower; fixed-point sums exact") {
+    val s = spark; import s.implicits._
+    // corpus of 8 tokens total: "a" x4, "b" x2, "rare" x1, "other" x1
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "b b"), (3L, "rare"), (4L, "other"))
+      .toDF("doc_id", "text")
+    val out = TextStats.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def fp(p: Double) = math.floor(math.log(p) * 1e6).toLong
+    assert(out(1) == ((4L, 4 * fp(4.0 / 8), (4 * fp(4.0 / 8) / 1e6) / 4)))
+    assert(out(3)._2 == fp(1.0 / 8))
+    // common-token doc scores higher (closer to 0) than rare-token doc
+    assert(out(1)._3 > out(3)._3)
+  }
+
+  test("repetitionScore: looping text scores near 1, diverse text near 1/n") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"), // 4 bigrams, all "spam spam"
+      (2L, "a b c d e"),                // 4 distinct bigrams
+      (3L, "x"))                        // too short: no bigrams
+      .toDF("doc_id", "text")
+    val out = TextStats.repetitionScore(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1) == ((4L, 4L, 1.0)))
+    assert(out(2) == ((4L, 1L, 0.25)))
+    assert(!out.contains(3L))
+  }
+
   test("normalizedDocs collapses case/punct/whitespace variants to one hash") {
     val s = spark; import s.implicits._
     val docs = Seq(
