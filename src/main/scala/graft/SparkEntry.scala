@@ -436,6 +436,14 @@ object SparkEntry {
     "q77_jaccard_prefix" -> ((s, d) =>
       TextDedup.jaccardNearDupPairsPrefix(Tables.documentsSpread(s, d),
         "doc_id", "text", shingleN = 2, threshold = 0.5)),
+    // Ordered conversion funnel (view → click → purchase, 24 h horizon)
+    // — exact epoch-µs chain of groupBy-min stages.
+    "q86_funnel" -> ((s, d) =>
+      Analytics.funnelCounts(Tables.events(s, d),
+        Seq("view", "click", "purchase"), 86400000000L)),
+    // Weekly cohort retention triangle — integer week arithmetic.
+    "q87_cohort_retention" -> ((s, d) =>
+      Analytics.cohortRetention(Tables.events(s, d))),
     // LM-flavored quality score: corpus-unigram log-probs, fixed-point
     // per-token quantization so the per-doc sum is exact long math.
     "q84_unigram_logprob" -> ((s, d) =>
@@ -1274,6 +1282,32 @@ object SparkEntry {
     // q77: SAME oracle — the prefix-filtered AllPairs plan must produce
     // the identical exact result.
     "q77_jaccard_prefix" -> jaccardPairsOracle,
+    "q86_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+                    WHERE user_id IS NOT NULL),
+         s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, s1.t1, MIN(e.t) AS tt FROM e
+                JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.t >= s1.t1
+                  AND e.t <= s1.t1 + 86400000000
+                GROUP BY e.user_id, s1.t1),
+         s3 AS (SELECT e.user_id, s2.t1, MIN(e.t) AS tt FROM e
+                JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.t >= s2.tt
+                  AND e.t <= s2.t1 + 86400000000
+                GROUP BY e.user_id, s2.t1)
+         SELECT CAST(1 AS INTEGER) AS stage_idx, 'view' AS stage,
+                COUNT(*) AS n_users FROM s1
+         UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+         UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3""",
+    "q87_cohort_retention" ->
+      """WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+                    FROM events WHERE user_id IS NOT NULL),
+         c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id)
+         SELECT cohort_wk, wk - cohort_wk AS weeks_since,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM w JOIN c USING (user_id) GROUP BY 1, 2""",
     // q84: ln() ULP differences are absorbed by the 1e-6 fixed-point
     // floor (a boundary hit needs the product within ~1 ULP of an
     // integer); sums are exact longs after that.

@@ -139,6 +139,58 @@ object Analytics {
   }
 
   /** Rank parts by price within brand (dense_rank + row_number). */
+  /** Ordered conversion funnel: per user, stage k counts only if an
+    * event of stage k's type occurs AT OR AFTER the user's stage-(k−1)
+    * time, and within `horizonUs` of the stage-1 anchor. Each stage is a
+    * groupBy-min chained through an equi-join on the user — exact
+    * epoch-µs long arithmetic throughout, so the funnel is
+    * hash-reproducible. Null users are dropped (join semantics).
+    *
+    * Scale: per-stage aggregates are map-side combinable and the join
+    * key is the user everywhere, so AQE can chain the stages over
+    * co-partitioned exchanges; nothing is ever collected per user beyond
+    * one (t1, t) pair.
+    */
+  def funnelCounts(events: DataFrame, stages: Seq[String],
+                   horizonUs: Long): DataFrame = {
+    require(stages.size >= 2, s"funnelCounts needs >= 2 stages, got $stages")
+    require(stages.distinct.size == stages.size, "funnel stages must differ")
+    require(horizonUs > 0, "funnelCounts horizon must be positive")
+    val e = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_ts_us"))
+    val first = e.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("event_ts_us")).as("t1"))
+      .withColumn("__t", col("t1"))
+    val chain = stages.tail.scanLeft(first) { (prev, st) =>
+      e.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("t1"), col("__t")), Seq("user_id"))
+        .filter(col("event_ts_us") >= col("__t") &&
+          col("event_ts_us") <= col("t1") + lit(horizonUs))
+        .groupBy(col("user_id"), col("t1"))
+        .agg(min(col("event_ts_us")).as("__t"))
+    }
+    stages.zip(chain).zipWithIndex.map { case ((st, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Weekly cohort retention: users grouped by their first-activity
+    * epoch-week; for every (cohort week, weeks since) the distinct users
+    * still active. Pure integer week arithmetic on epoch-µs — the
+    * standard product-analytics triangle, hash-stable by construction.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val w = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("event_ts_us div 604800000000").as("wk"))
+    val cohort = w.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    w.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** FULL OUTER equi-join with all three match classes exercised: the
     * sides deliberately part-overlap (customers ∉ 3ℤ vs order rollups for
     * even custkeys), so matched rows, left-only customers and right-only

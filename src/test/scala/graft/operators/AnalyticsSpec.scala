@@ -158,6 +158,44 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("funnelCounts: order and horizon are enforced per user") {
+    val s = spark; import s.implicits._
+    val h = 1000L
+    val ev = Seq(
+      // user 1: full ordered funnel inside the horizon
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // user 2: only click is BEFORE the first view — stage 2 must not
+      // count it (the purchase can then never qualify either)
+      (2L, "click", 50L), (2L, "view", 100L), (2L, "purchase", 120L),
+      // user 3: click outside the stage-1 horizon
+      (3L, "view", 100L), (3L, "click", 1200L),
+      // user 4: purchase before click — stages 1-2 only
+      (4L, "view", 10L), (4L, "purchase", 20L), (4L, "click", 30L),
+      // null user: ignored entirely
+      (-1L, "view", 5L))
+      .map { case (u, t, ts) => (if (u < 0) None else Some(u), t, ts) }
+      .toDF("user_id", "event_type", "event_ts_us")
+    val out = Analytics.funnelCounts(ev, Seq("view", "click", "purchase"), h)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // views: users 1,2,3,4; clicks after view in horizon: 1,4 (2 has no
+    // click >= its view, 3 is out of horizon); purchases after that: 1
+    assert(out == Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L), s"$out")
+  }
+
+  test("cohortRetention: first-activity week anchors the triangle") {
+    val s = spark; import s.implicits._
+    val wk = 604800000000L
+    val ev = Seq(
+      (1L, 0L), (1L, wk), (1L, 2 * wk),      // cohort 0, weeks 0,1,2
+      (2L, 0L), (2L, 2 * wk),                // cohort 0, weeks 0,2
+      (3L, wk), (3L, wk + 1))                // cohort 1, week 0 (twice)
+      .toDF("user_id", "event_ts_us")
+    val out = Analytics.cohortRetention(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 2L, (1L, 0L) -> 1L), s"$out")
+  }
+
   test("customerOrderFullJoin produces matched, left-only and right-only rows") {
     val out = Analytics.customerOrderFullJoin(
       Tables.customer(spark, sfDir), Tables.orders(spark, sfDir))
