@@ -34,7 +34,8 @@ object Bench {
     "q72_kmeans_update", "q73_quantize_int8", "q74_trailing_spend",
     "q75_asof_forward", "q76_asof_nearest", "q77_jaccard_prefix",
     "q78_normalize", "q79_zorder_key", "q80_full_outer", "q81_status_cube",
-    "q82_pq_codes", "q83_pq_adc_topk",
+    "q82_pq_codes", "q83_pq_adc_topk", "q84_unigram_logprob",
+    "q85_repetition", "q86_funnel", "q87_cohort_retention",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

@@ -436,6 +436,12 @@ object SparkEntry {
     "q77_jaccard_prefix" -> ((s, d) =>
       TextDedup.jaccardNearDupPairsPrefix(Tables.documentsSpread(s, d),
         "doc_id", "text", shingleN = 2, threshold = 0.5)),
+    // Hopping 10-min/5-min GMV windows — each event in 2 windows.
+    "q88_hopping_gmv" -> ((s, d) =>
+      Medallion.salesHopping(Tables.events(s, d))),
+    // ntile / percent_rank / cume_dist per market segment.
+    "q89_value_tiles" -> ((s, d) =>
+      Analytics.customerValueTiles(Tables.customer(s, d))),
     // Ordered conversion funnel (view → click → purchase, 24 h horizon)
     // — exact epoch-µs chain of groupBy-min stages.
     "q86_funnel" -> ((s, d) =>
@@ -1282,6 +1288,25 @@ object SparkEntry {
     // q77: SAME oracle — the prefix-filtered AllPairs plan must produce
     // the identical exact result.
     "q77_jaccard_prefix" -> jaccardPairsOracle,
+    // q88: the two epoch-aligned window starts per event regenerated
+    // arithmetically; money sum is the q07 recipe.
+    "q88_hopping_gmv" ->
+      """WITH p AS (SELECT epoch_us(ts) AS t, value FROM events
+                    WHERE event_type = 'purchase' AND ts IS NOT NULL),
+         w AS (SELECT (t // 300000000 - o.o) * 300000000 AS ws, value
+               FROM p, UNNEST([0, 1]) o(o))
+         SELECT ws AS window_start_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+           COUNT(*) AS paid_orders
+         FROM w GROUP BY ws""",
+    "q89_value_tiles" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal DESC, c_custkey)""",
     "q86_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
                     WHERE user_id IS NOT NULL),

@@ -139,6 +139,22 @@ object Analytics {
   }
 
   /** Rank parts by price within brand (dense_rank + row_number). */
+  /** Distribution windows per market segment: ntile deciles,
+    * percent_rank and cume_dist over (acctbal desc, custkey) — the
+    * ranking-function family q16/q17's sum/row_number windows don't
+    * cover. The unique tiebreaker makes ntile's split deterministic;
+    * percent_rank/cume_dist are exact integer ratios. Partitioned by
+    * segment — never a global single-task sort.
+    */
+  def customerValueTiles(customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      ntile(10).over(w).as("decile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
   /** Ordered conversion funnel: per user, stage k counts only if an
     * event of stage k's type occurs AT OR AFTER the user's stage-(k−1)
     * time, and within `horizonUs` of the stage-1 anchor. Each stage is a

@@ -89,6 +89,22 @@ object Medallion {
       .agg(moneySum(col("value")).as("gmv"),
            count(lit(1)).as("paid_orders"))
 
+  /** Hopping-window (sliding) GMV: 10-minute windows every 5 minutes —
+    * each event lands in length/slide = 2 overlapping windows. Spark's
+    * `window()` expands the assignments map-side (epoch-aligned starts),
+    * so the plan is still one map-side-combinable shuffle; the oracle
+    * regenerates the same two window starts per event arithmetically
+    * (`(t div slide − o)·slide`, o ∈ {0, 1}).
+    */
+  def salesHopping(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase" && col("event_ts_us").isNotNull)
+      .groupBy(window(col("event_ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(moneySum(col("value")).as("gmv"),
+           count(lit(1)).as("paid_orders"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("gmv"), col("paid_orders"))
+
   /** Incremental lookback variant (fct_sales_minute.sql:35-40): only re-aggregate
     * events within `lookback` of the newest event. The cutoff is a scalar
     * aggregate — one cheap pre-pass, then a pushed-down range filter.

@@ -158,6 +158,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("customerValueTiles: deciles balanced within 1, ranks in [0,1]") {
+    val out = Analytics.customerValueTiles(Tables.customer(spark, sfDir))
+    assert(out.filter(col("pct_rank") < 0 || col("pct_rank") > 1 ||
+      col("cume") <= 0 || col("cume") > 1 ||
+      col("decile") < 1 || col("decile") > 10).count() == 0)
+    val sizes = out.groupBy(col("c_mktsegment"), col("decile")).count()
+      .groupBy(col("c_mktsegment"))
+      .agg((max(col("count")) - min(col("count"))).as("spread"))
+      .filter(col("spread") > 1).count()
+    assert(sizes == 0, "ntile split unbalanced beyond 1")
+  }
+
+  test("salesHopping assigns every purchase to exactly two windows") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase" &&
+      col("event_ts_us").isNotNull).count()
+    val windowed = graft.pipeline.Medallion.salesHopping(ev)
+      .agg(sum(col("paid_orders"))).head.getLong(0)
+    assert(windowed == 2 * purchases, s"$windowed vs 2x$purchases")
+  }
+
   test("funnelCounts: order and horizon are enforced per user") {
     val s = spark; import s.implicits._
     val h = 1000L
