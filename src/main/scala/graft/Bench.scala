@@ -46,7 +46,7 @@ object Bench {
     val hashed = df.select(
       xxhash64(struct(df.columns.map(col).toSeq: _*)).as("__h"))
       .agg(expr("bit_xor(__h)"))
-    hashed.head
+    hashed.head()
     hashed.queryExecution
   }
 

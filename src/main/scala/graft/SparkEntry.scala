@@ -531,7 +531,7 @@ object SparkEntry {
     */
   def partitionedDayScan(s: SparkSession): DataFrame = {
     val t = s.table("graft_q47_events")
-    val maxDate = t.agg(max(col("event_date"))).head.getDate(0)
+    val maxDate = t.agg(max(col("event_date"))).head().getDate(0)
     t.filter(col("event_date") === lit(maxDate))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),

@@ -52,7 +52,7 @@ object Multimodal {
     * target payload volume per partition before the decode pass.
     */
   def repartitionByPayload(df: DataFrame, targetBytesPerPartition: Long): DataFrame = {
-    val total = df.agg(sum(length(col("bytes")))).head
+    val total = df.agg(sum(length(col("bytes")))).head()
     val totalBytes = if (total.isNullAt(0)) 0L else total.getLong(0)
     val target = math.max(1L, targetBytesPerPartition)
     val parts = math.max(1L,

@@ -312,7 +312,7 @@ object Analytics {
     */
   def minuteSpine(events: DataFrame): DataFrame = {
     val fct = graft.pipeline.Medallion.salesMinute(events)
-    val bounds = fct.agg(min(col("minute_bucket_us")), max(col("minute_bucket_us"))).head
+    val bounds = fct.agg(min(col("minute_bucket_us")), max(col("minute_bucket_us"))).head()
     if (bounds.isNullAt(0))
       return fct.select(col("minute_bucket_us"), col("gmv"), col("paid_orders")).limit(0)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))

@@ -110,7 +110,7 @@ object Medallion {
     * aggregate — one cheap pre-pass, then a pushed-down range filter.
     */
   def salesMinuteIncremental(events: DataFrame, lookbackUs: Long): DataFrame = {
-    val row = events.agg(max(col("event_ts_us")) - lookbackUs).head
+    val row = events.agg(max(col("event_ts_us")) - lookbackUs).head()
     if (row.isNullAt(0)) salesMinute(events).limit(0)
     else salesMinute(events.filter(col("event_ts_us") >= row.getLong(0)))
   }

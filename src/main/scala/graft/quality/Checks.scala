@@ -69,7 +69,7 @@ object Checks {
   def notNullProportion(df: DataFrame, column: String,
                         atLeast: Double): Either[String, Unit] = {
     val r = df.agg(
-      (count(col(column)) / count(lit(1))).as("p")).head
+      (count(col(column)) / count(lit(1))).as("p")).head()
     val p = if (r.isNullAt(0)) 1.0 else r.getDouble(0)
     if (p >= atLeast) Right(())
     else Left(f"not_null_proportion($column): $p%.4f < $atLeast%.4f")
@@ -78,7 +78,7 @@ object Checks {
   /** dbt_utils `recency`: newest `tsCol` within `maxAgeUs` of `nowUs`. */
   def recency(df: DataFrame, tsCol: String, maxAgeUs: Long,
               nowUs: Long): Either[String, Unit] = {
-    val r = df.agg(max(col(tsCol))).head
+    val r = df.agg(max(col(tsCol))).head()
     if (r.isNullAt(0)) Left(s"recency($tsCol): relation is empty")
     else {
       val age = nowUs - r.getLong(0)

@@ -137,7 +137,7 @@ object TextStats {
                      textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextDedup.tokens(col(textCol))).as("w"))
-    val g = toks.agg(count(lit(1))).head
+    val g = toks.agg(count(lit(1))).head()
     val total = g.getLong(0)
     require(total > 0, "unigramLogProb over an empty corpus")
     val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
@@ -252,7 +252,7 @@ object TextStats {
     val base = docs.select(col(idCol).as("doc_id"),
         TextDedup.tokens(col(textCol)).as("__w"))
       .select(col("doc_id"), col("__w"), size(col("__w")).as("dl"))
-    val g = base.agg(count(lit(1)), sum(col("dl"))).head
+    val g = base.agg(count(lit(1)), sum(col("dl"))).head()
     val n = g.getLong(0)
     require(n > 0, "bm25TopK over an empty corpus")
     val avgdl = g.getLong(1).toDouble / n
