@@ -436,6 +436,21 @@ object SparkEntry {
     "q77_jaccard_prefix" -> ((s, d) =>
       TextDedup.jaccardNearDupPairsPrefix(Tables.documentsSpread(s, d),
         "doc_id", "text", shingleN = 2, threshold = 0.5)),
+    // Tokenizer-training vocab: counts >= 3, ids by (count desc, token).
+    "q90_vocab_build" -> ((s, d) =>
+      TextStats.buildVocab(Tables.documentsSpread(s, d), "text", 3)),
+    // Positional window family: first/last/nth over the full frame.
+    "q91_value_bounds" -> ((s, d) =>
+      Analytics.userValueBounds(Tables.events(s, d))),
+    // Dense minute × event-type reporting grid with zero-fill.
+    "q92_dense_grid" -> ((s, d) =>
+      Analytics.denseEventGrid(Tables.events(s, d), eventTypes)),
+    // Interpolated percentiles (percentile_cont companion to q62).
+    "q93_percentiles_cont" -> ((s, d) =>
+      Analytics.groupPercentilesCont(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"), col("value"), col("event_id")),
+        Seq("event_type"), "value", "event_id", Seq(25, 50, 90))),
     // Hopping 10-min/5-min GMV windows — each event in 2 windows.
     "q88_hopping_gmv" -> ((s, d) =>
       Medallion.salesHopping(Tables.events(s, d))),
@@ -1288,6 +1303,68 @@ object SparkEntry {
     // q77: SAME oracle — the prefix-filtered AllPairs plan must produce
     // the identical exact result.
     "q77_jaccard_prefix" -> jaccardPairsOracle,
+    "q90_vocab_build" ->
+      """WITH t AS (SELECT u.w FROM (
+             SELECT string_split(text, ' ') AS ws FROM documents),
+             UNNEST(ws) u(w)),
+         c AS (SELECT w AS token, COUNT(*) AS n FROM t GROUP BY w
+               HAVING COUNT(*) >= 3)
+         SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER)
+           AS token_id, token, n
+         FROM c""",
+    "q91_value_bounds" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS event_ts_us,
+           first_value(value) OVER w AS first_value,
+           last_value(value) OVER w AS last_value,
+           nth_value(value, 2) OVER w AS second_value
+         FROM events
+         WHERE event_type = 'purchase' AND user_id IS NOT NULL
+           AND value IS NOT NULL
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q92_dense_grid" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events
+                    WHERE ts IS NOT NULL),
+         lim AS (SELECT MIN((t // 60000000) * 60000000) AS lo,
+                        MAX((t // 60000000) * 60000000) AS hi FROM e),
+         spine AS (SELECT UNNEST(range(lo, hi + 60000000, 60000000))
+                     AS minute_us FROM lim),
+         types AS (SELECT UNNEST(['click','error','purchase','signup','view'])
+                     AS event_type),
+         actual AS (SELECT (t // 60000000) * 60000000 AS minute_us,
+                      event_type, COUNT(*) AS n
+                    FROM e GROUP BY 1, 2)
+         SELECT s.minute_us, ty.event_type, COALESCE(a.n, 0) AS n_events
+         FROM spine s CROSS JOIN types ty
+         LEFT JOIN actual a ON a.minute_us = s.minute_us
+           AND a.event_type = ty.event_type""",
+    // q93: 0-based target t = p*(n-1): lo row t//100 (+1 for row_number),
+    // interpolation lo + (rem/100)*(hi-lo) — same exact-int split and
+    // fixed-order double ops on both sides.
+    "q93_percentiles_cont" ->
+      """WITH e AS (SELECT event_type, value, event_id FROM events
+                    WHERE value IS NOT NULL),
+         r AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+               FROM e),
+         g AS (SELECT event_type,
+                 MAX(CASE WHEN rn = (25 * (n-1)) // 100 + 1 THEN value END) AS lo25,
+                 MAX(CASE WHEN rn = LEAST((25 * (n-1)) // 100 + 2, n) THEN value END) AS hi25,
+                 MAX((25 * (n-1)) % 100) AS rem25,
+                 MAX(CASE WHEN rn = (50 * (n-1)) // 100 + 1 THEN value END) AS lo50,
+                 MAX(CASE WHEN rn = LEAST((50 * (n-1)) // 100 + 2, n) THEN value END) AS hi50,
+                 MAX((50 * (n-1)) % 100) AS rem50,
+                 MAX(CASE WHEN rn = (90 * (n-1)) // 100 + 1 THEN value END) AS lo90,
+                 MAX(CASE WHEN rn = LEAST((90 * (n-1)) // 100 + 2, n) THEN value END) AS hi90,
+                 MAX((90 * (n-1)) % 100) AS rem90
+               FROM r GROUP BY event_type)
+         SELECT event_type,
+           lo25 + (rem25 / 100.0) * (hi25 - lo25) AS p25,
+           lo50 + (rem50 / 100.0) * (hi50 - lo50) AS p50,
+           lo90 + (rem90 / 100.0) * (hi90 - lo90) AS p90
+         FROM g""",
     // q88: the two epoch-aligned window starts per event regenerated
     // arithmetically; money sum is the q07 recipe.
     "q88_hopping_gmv" ->

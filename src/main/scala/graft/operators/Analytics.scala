@@ -155,6 +155,91 @@ object Analytics {
       cume_dist().over(w).as("cume"))
   }
 
+  /** first_value / last_value / nth_value over the full per-user frame —
+    * the positional window family (W-family completeness beyond
+    * lag/lead/rank): each purchase row sees the user's first, latest and
+    * second event values under a totally-ordered frame.
+    */
+  def userValueBounds(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events.filter(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_ts_us"),
+        first(col("value")).over(w).as("first_value"),
+        last(col("value")).over(w).as("last_value"),
+        nth_value(col("value"), 2).over(w).as("second_value"))
+  }
+
+  /** Dense reporting grid: minute spine × event-type dimension, LEFT
+    * JOIN actual per-(minute, type) counts, absent cells zero-filled —
+    * the "no missing rows in the report" idiom. The grid is a deliberate
+    * small × small cross join (spine × dimension values, both bounded);
+    * the fact side arrives pre-aggregated.
+    */
+  def denseEventGrid(events: DataFrame, eventTypes: Seq[String]): DataFrame = {
+    require(eventTypes.nonEmpty, "denseEventGrid needs event types")
+    val e = events.filter(col("event_ts_us").isNotNull)
+    val minutes = e.select(
+      (expr("event_ts_us div 60000000") * 60000000L).as("minute_us"))
+      .agg(min(col("minute_us")).as("lo"), max(col("minute_us")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(60000000L)))
+        .as("minute_us"))
+    val types = eventTypes.map(t => lit(t)).toArray
+    val grid = minutes.crossJoin(
+      e.sparkSession.range(1).select(explode(array(types: _*)).as("event_type")))
+    val actual = e
+      .groupBy((expr("event_ts_us div 60000000") * 60000000L).as("minute_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    grid.join(actual, Seq("minute_us", "event_type"), "left")
+      .select(col("minute_us"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  /** Interpolated (continuous) percentiles per group — the percentile_cont
+    * companion to [[groupPercentilesDisc]]: position p·(n−1) (0-based),
+    * value = lo + frac·(hi − lo) between the two bracketing sorted rows.
+    * Every arithmetic step is exact-int or a fixed-order double op, so
+    * the interpolation hash-matches the oracle's identical formula. Same
+    * scale posture as q62: values rank inside a window over the bare
+    * group key — acceptable here because the gate composes the EXISTING
+    * ranked pass; the bucketed two-pass variant remains the 100× path.
+    */
+  def groupPercentilesCont(df: DataFrame, groupCols: Seq[String],
+                           valueCol: String, tieCol: String,
+                           percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      s"percents must be in [0,100]: $percents")
+    require(percents.distinct.size == percents.size, "duplicate percents")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol).asc, col(tieCol).asc)
+    val ranked = df.select(groupCols.map(col) :+ col(valueCol) :+ col(tieCol): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val aggs = percents.flatMap { p =>
+      // 0-based target position t = p*(n-1)/100: lo row = t div 100*? —
+      // exact integer split: idx = (p*(n-1)) div 100, frac = remainder/100
+      val tNum = lit(p) * (col("__n") - 1)
+      val lo = (tNum / 100).cast("long") + 1 // back to 1-based row_number
+      val rem = tNum % 100
+      Seq(
+        max(when(col("__rn") === lo, col(valueCol))).as(s"__lo_$p"),
+        max(when(col("__rn") === least(lo + 1, col("__n")), col(valueCol)))
+          .as(s"__hi_$p"),
+        max(rem).as(s"__rem_$p"))
+    }
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) ++ percents.map { p =>
+        (col(s"__lo_$p") +
+          (col(s"__rem_$p").cast("double") / 100.0) *
+            (col(s"__hi_$p") - col(s"__lo_$p"))).as(s"p$p")
+      }: _*)
+  }
+
   /** Ordered conversion funnel: per user, stage k counts only if an
     * event of stage k's type occurs AT OR AFTER the user's stage-(k−1)
     * time, and within `horizonUs` of the stage-1 anchor. Each stage is a

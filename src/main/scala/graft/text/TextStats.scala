@@ -152,6 +152,25 @@ object TextStats {
           .as("avg_logprob"))
   }
 
+  /** Frequency-ordered vocabulary build — the tokenizer-training
+    * front-end: corpus token counts filtered to `minCount`, ids assigned
+    * by (count desc, token asc) so the mapping is total-ordered and
+    * reproducible. The id assignment is a global row_number — correct
+    * because a VOCABULARY is bounded (minCount caps it far below corpus
+    * size); the heavy part, counting, is a map-side-combinable shuffle.
+    */
+  def buildVocab(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"buildVocab: minCount >= 1, got $minCount")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    counts.withColumn("token_id",
+      row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
+      .select(col("token_id"), col("token"), col("n"))
+  }
+
   /** Repeated-n-gram ratio — the repetition rule from the public Gopher/
     * MassiveText filtering recipe: the fraction of a doc's n-gram
     * occurrences claimed by its single most-frequent n-gram. Template

@@ -158,6 +158,55 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("groupPercentilesCont matches Spark's native percentile interpolation") {
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val got = Analytics.groupPercentilesCont(
+        ev, Seq("event_type"), "value", "event_id", Seq(25, 50, 90))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val native = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == native.keySet)
+    got.foreach { case (k, (a, b, c)) =>
+      val (na, nb, nc) = native(k)
+      assert(math.abs(a - na) < 1e-9 && math.abs(b - nb) < 1e-9 &&
+        math.abs(c - nc) < 1e-9, s"$k: ($a,$b,$c) vs ($na,$nb,$nc)")
+    }
+  }
+
+  test("denseEventGrid zero-fills absent cells over the full spine") {
+    val s = spark; import s.implicits._
+    val m = 60000000L
+    val ev = Seq((1L, "a", 0L), (2L, "a", 2 * m), (3L, "b", 2 * m + 5))
+      .toDF("event_id", "event_type", "event_ts_us")
+    val out = Analytics.denseEventGrid(ev, Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // spine: minutes 0,1,2 × types a,b = 6 cells
+    assert(out.size == 6)
+    assert(out((0L, "a")) == 1 && out((0L, "b")) == 0 &&
+      out((m, "a")) == 0 && out((m, "b")) == 0 &&
+      out((2 * m, "a")) == 1 && out((2 * m, "b")) == 1)
+  }
+
+  test("userValueBounds: first/last/second values under the total order") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      (1L, 10L, "purchase", 5.0, 100L), (2L, 10L, "purchase", 7.0, 200L),
+      (3L, 10L, "purchase", 9.0, 300L), (4L, 20L, "purchase", 1.0, 50L))
+      .toDF("event_id", "user_id", "event_type", "value", "event_ts_us")
+    val out = Analytics.userValueBounds(ev)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(4), Option(r.get(5))))).toMap
+    assert(out(1L) == ((5.0, 9.0, Some(7.0))))
+    assert(out(3L) == ((5.0, 9.0, Some(7.0))))
+    assert(out(4L) == ((1.0, 1.0, None))) // single row: no second value
+  }
+
   test("customerValueTiles: deciles balanced within 1, ranks in [0,1]") {
     val out = Analytics.customerValueTiles(Tables.customer(spark, sfDir))
     assert(out.filter(col("pct_rank") < 0 || col("pct_rank") > 1 ||

@@ -48,6 +48,14 @@ class TextStatsSpec extends SparkSpec {
     assert(got.head._1 == 1L, "doc 1 (two terms, one twice, shorter) must rank first")
   }
 
+  test("buildVocab: ids by count desc then token, minCount filters") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "b a a c a b x")).toDF("doc_id", "text")
+    val out = TextStats.buildVocab(docs, "text", 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "a", 3L), (2, "b", 2L)))
+  }
+
   test("unigramLogProb: rare-token docs score lower; fixed-point sums exact") {
     val s = spark; import s.implicits._
     // corpus of 8 tokens total: "a" x4, "b" x2, "rare" x1, "other" x1
