@@ -36,7 +36,8 @@ object Bench {
     "q78_normalize", "q79_zorder_key", "q80_full_outer", "q81_status_cube",
     "q82_pq_codes", "q83_pq_adc_topk", "q84_unigram_logprob",
     "q85_repetition", "q86_funnel", "q87_cohort_retention",
-    "q88_hopping_gmv", "q89_value_tiles",
+    "q88_hopping_gmv", "q89_value_tiles", "q90_vocab_build",
+    "q91_value_bounds", "q92_dense_grid", "q93_percentiles_cont",
   )
 
   /** Evaluate every column of every row (no collect of the result set);
