@@ -111,7 +111,11 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"failed":$failed,"sf":"$sfDir"}""")
+    // Key order is deliberate: the driver archives only the TAIL of the
+    // output, and with 90+ queries the line overflows that buffer — the
+    // headline metric/value/sf go LAST so they always survive truncation
+    // (BENCH_r07's total was cut off the front under the old order).
+    println(f"""{"queries":$qjson,"failed":$failed,"metric":"total","unit":"sec","sf":"$sfDir","value":$total%.3f}""")
     spark.stop()
   }
 }

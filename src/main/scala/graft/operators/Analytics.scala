@@ -172,6 +172,19 @@ object Analytics {
         nth_value(col("value"), 2).over(w).as("second_value"))
   }
 
+  /** SQL text for floor-division of long expression `c` by positive
+    * literal `b` — matches DuckDB's `//` (and Python's `//`): Spark's
+    * `div` truncates toward zero, so a negative dividend (a pre-1970
+    * epoch value) must be adjusted down one whenever the remainder is
+    * nonzero-negative. Pure long arithmetic — no double rounding hazard —
+    * and ANSI-safe (no overflow for any long when b > 1; Spark's `%`
+    * takes the dividend's sign, so the remainder test is exact).
+    */
+  private[graft] def floorDivSql(c: String, b: Long): String = {
+    require(b > 1, s"floorDivSql: positive divisor > 1 required, got $b")
+    s"(($c) div $b - (CASE WHEN ($c) % $b < 0 THEN 1 ELSE 0 END))"
+  }
+
   /** Dense reporting grid: minute spine × event-type dimension, LEFT
     * JOIN actual per-(minute, type) counts, absent cells zero-filled —
     * the "no missing rows in the report" idiom. The grid is a deliberate
@@ -182,15 +195,15 @@ object Analytics {
     require(eventTypes.nonEmpty, "denseEventGrid needs event types")
     val e = events.filter(col("event_ts_us").isNotNull)
     val minutes = e.select(
-      (expr("event_ts_us div 60000000") * 60000000L).as("minute_us"))
+      (expr(floorDivSql("event_ts_us", 60000000L)) * 60000000L).as("minute_us"))
       .agg(min(col("minute_us")).as("lo"), max(col("minute_us")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), lit(60000000L)))
         .as("minute_us"))
-    val types = eventTypes.map(t => lit(t)).toArray
+    val types = eventTypes.map(t => lit(t))
     val grid = minutes.crossJoin(
       e.sparkSession.range(1).select(explode(array(types: _*)).as("event_type")))
     val actual = e
-      .groupBy((expr("event_ts_us div 60000000") * 60000000L).as("minute_us"),
+      .groupBy((expr(floorDivSql("event_ts_us", 60000000L)) * 60000000L).as("minute_us"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
     grid.join(actual, Seq("minute_us", "event_type"), "left")
@@ -279,13 +292,15 @@ object Analytics {
 
   /** Weekly cohort retention: users grouped by their first-activity
     * epoch-week; for every (cohort week, weeks since) the distinct users
-    * still active. Pure integer week arithmetic on epoch-µs — the
-    * standard product-analytics triangle, hash-stable by construction.
+    * still active. Pure integer week arithmetic on epoch-µs (floor
+    * division, so pre-1970 timestamps bucket identically to DuckDB's
+    * `//`) — the standard product-analytics triangle, hash-stable by
+    * construction.
     */
   def cohortRetention(events: DataFrame): DataFrame = {
     val w = events.filter(col("user_id").isNotNull)
       .select(col("user_id"),
-        expr("event_ts_us div 604800000000").as("wk"))
+        expr(floorDivSql("event_ts_us", 604800000000L)).as("wk"))
     val cohort = w.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
     w.join(cohort, Seq("user_id"))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("weeks_since"))
@@ -340,7 +355,8 @@ object Analytics {
       .select(col("o_orderkey"), col("o_custkey"),
         // parquet stores TIMESTAMP_NTZ; the UTC session makes the cast a
         // pure reinterpretation, matching DuckDB's naive epoch_us
-        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        expr(floorDivSql(
+          "unix_micros(cast(o_orderdate as timestamp))", 86400000000L))
           .as("order_day"),
         col("o_totalprice"))
       .select(col("o_orderkey"), col("o_custkey"), col("order_day"),

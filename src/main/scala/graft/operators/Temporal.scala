@@ -41,7 +41,10 @@ object Temporal {
     * them) — pre-filter null keys if join semantics are wanted. Right rows
     * with a NULL timestamp are dropped here (they sort first under the
     * ascending window order and would otherwise become match candidates,
-    * where the SQL inequality formulation excludes them).
+    * where the SQL inequality formulation excludes them). Left rows with a
+    * NULL timestamp get NULL matches in every direction (both scan orders
+    * put nulls first, so their preceding frame holds no right row) — the
+    * same result as SQL's always-false NULL comparisons.
     *
     * Determinism: `rightTie` must totally order right rows within
     * `(keys, rightTs)`; left-row order within a tie never matters (left
@@ -95,7 +98,14 @@ object Temporal {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val backOrd = col("__ts").asc +: col("__side").asc +:
       tieNames.map(col(_).asc)
-    val fwdOrd = col("__ts").desc +: col("__side").asc +:
+    // __ts must be desc_nulls_FIRST: Spark's plain desc is NULLS LAST, which
+    // would sort a null-ts LEFT row after every right row, handing it the
+    // minimal right row as a spurious match — SQL's >=/<= comparisons are
+    // false on NULL, so a null-ts left row must match nothing. With nulls
+    // first it sees only other null-__r rows in its frame ⇒ null match.
+    // (Right-side null-ts rows are filtered above; tie columns keep plain
+    // desc = nulls last, the exact mirror of backOrd's asc = nulls first.)
+    val fwdOrd = col("__ts").desc_nulls_first +: col("__side").asc +:
       tieNames.map(col(_).desc)
 
     val unioned = rightSide.unionByName(leftSide)

@@ -111,8 +111,13 @@ object TextDedup {
     // array would be alias-substituted by predicate pushdown and re-run
     // the whole pipeline at the scan.) The shingle table feeds the
     // banding stage AND both verify joins — persist it so the dominant
-    // per-row work runs once, not three times (Spark's ContextCleaner
-    // drops the cached blocks once the result is unreferenced).
+    // per-row work runs once, not three times. Lifecycle caveat: a
+    // Dataset persist registers in the session CacheManager and lives
+    // until an explicit unpersist or session end (memory blocks spill to
+    // disk under pressure, but the entry is NOT dropped when the returned
+    // plan is garbage-collected) — sessions running many dedup flavors
+    // over one corpus should build the shingle table once and pass it to
+    // the jaccard* overloads below rather than stacking copies.
     val sh = shingleHashedDocs(
       docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -159,13 +164,27 @@ object TextDedup {
     * Output: (doc_a, doc_b, n_shared, jaccard), doc_a < doc_b,
     * jaccard >= threshold. Division is exact IEEE double on both engines,
     * so the DuckDB oracle reproduces the scores bit-for-bit.
+    *
+    * "Exact" is conditional on shingle hashing: n_shared counts 64-bit
+    * xxhash64'd shingles, so an intra- or cross-doc hash collision would
+    * shift a count where a string-shingle oracle would not. Collision
+    * odds are ~m²/2⁶⁵ per doc pair (negligible at any corpus that fits a
+    * cluster) but nonzero — the same caveat as [[shingleHashedDocs]].
+    *
+    * `shingles`: pass a pre-built [[shingleHashedDocs]] table (id, sh) to
+    * share one persisted copy across several dedup flavors — the caller
+    * then owns its persistence/unpersist. When None, the table is built
+    * here and persisted for this plan's internal reuse (it stays in the
+    * session CacheManager until unpersist/session end — see
+    * [[nearDupPairs]]'s lifecycle note).
     */
   def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 2, threshold: Double = 0.5,
-                          maxDf: Option[Int] = None, cap: Int = 2048): DataFrame = {
-    val sh = shingleHashedDocs(
+                          maxDf: Option[Int] = None, cap: Int = 2048,
+                          shingles: Option[DataFrame] = None): DataFrame = {
+    val sh = shingles.getOrElse(shingleHashedDocs(
       docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Set sizes are row-local (size of the distinct-shingle array) — no
     // aggregation; the join back onto pairs moves one int per doc.
     val sizes = sh.select(col("id"), size(col("sh")).as("__n"))
@@ -207,16 +226,21 @@ object TextDedup {
     * uniform corpora (every pair co-occurring) both are output-bound and
     * the simpler count form wins by constants. Costs one extra shuffle
     * (the per-doc rank window) + the per-candidate array verify.
+    *
+    * Shares [[jaccardNearDupPairs]]'s hashed-shingle exactness caveat and
+    * its `shingles` pass-in contract (one persisted table across flavors;
+    * caller owns the lifecycle when provided).
     */
   def jaccardNearDupPairsPrefix(docs: DataFrame, idCol: String,
                                 textCol: String, shingleN: Int = 2,
                                 threshold: Double = 0.5,
-                                cap: Int = 2048): DataFrame = {
+                                cap: Int = 2048,
+                                shingles: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"jaccardNearDupPairsPrefix: threshold in (0,1], got $threshold")
-    val sh = shingleHashedDocs(
+    val sh = shingles.getOrElse(shingleHashedDocs(
       docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val posting = sh.select(col("id"), size(col("sh")).as("__n"),
       explode(col("sh")).as("bk"))
     val dfCounts = posting.groupBy(col("bk")).agg(count(lit(1)).as("__df"))

@@ -40,10 +40,10 @@ class IvfCellDotsSpec extends SparkSpec {
     val expr = IvfCellDots(BoundReference(0, ArrayType(FloatType), nullable = true), 6, dims)
     val v = vec(5L)
     val interpreted = expr.nullSafeEval(new GenericArrayData(v.map(x => x: Any)))
-      .asInstanceOf[ArrayData].toDoubleArray.toSeq
+      .asInstanceOf[ArrayData].toDoubleArray().toSeq
     IvfCellDots.register(spark)
     val viaDf = Seq(Tuple1(v)).toDF("v")
-      .select(IvfCellDots.cellDots(col("v"), 6, dims)).head
+      .select(IvfCellDots.cellDots(col("v"), 6, dims)).head()
       .getAs[scala.collection.Seq[Double]](0).toSeq
     assert(interpreted == viaDf)
     assert(expr.nullSafeEval(new GenericArrayData(Array[Any](1.0f))) == null)

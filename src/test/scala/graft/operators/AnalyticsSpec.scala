@@ -193,6 +193,24 @@ class AnalyticsSpec extends SparkSpec {
       out((2 * m, "a")) == 1 && out((2 * m, "b")) == 1)
   }
 
+  test("minute/week bucketing floors pre-1970 timestamps (DuckDB // semantics)") {
+    val s = spark; import s.implicits._
+    val m = 60000000L
+    // -1 µs is in minute -1 under floor division; truncating div would put
+    // it in minute 0 and diverge from the DuckDB oracle's `//`.
+    val ev = Seq((1L, "a", -1L), (2L, "a", 0L))
+      .toDF("event_id", "event_type", "event_ts_us")
+    val grid = Analytics.denseEventGrid(ev, Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(grid == Map(-m -> 1L, 0L -> 1L), s"$grid")
+    val wk = 604800000000L
+    val coh = Analytics.cohortRetention(
+        Seq((1L, -1L), (1L, 0L)).toDF("user_id", "event_ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // first activity is week -1; the week-0 event is weeks_since = 1
+    assert(coh == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L), s"$coh")
+  }
+
   test("userValueBounds: first/last/second values under the total order") {
     val s = spark; import s.implicits._
     val ev = Seq(

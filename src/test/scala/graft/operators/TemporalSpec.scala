@@ -48,6 +48,23 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map(100L -> Some(1L)))
   }
 
+  test("asofJoin gives null-timestamp LEFT rows null matches in every direction") {
+    val s = spark; import s.implicits._
+    // SQL's >=/<= comparisons are false on NULL, so a null-ts left row
+    // must match nothing. Regression (ADVICE r7): plain desc in the
+    // forward scan is NULLS LAST, which sorted the null-ts left row after
+    // every right row and handed it the minimal right row.
+    val l = Seq((1L, Some(10L), 100L), (1L, None, 101L)).toDF("k", "lts", "lid")
+    val r = Seq((1L, 5L, 1L), (1L, 20L, 2L)).toDF("k", "rts", "rid")
+    for ((dir, expect100) <- Seq("backward" -> 1L, "forward" -> 2L, "nearest" -> 1L)) {
+      val out = Temporal.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("rid"),
+          Seq("rid"), direction = dir)
+        .collect().map(x => x.getLong(2) -> Option(x.get(3))).toMap
+      assert(out == Map(100L -> Some(expect100), 101L -> None),
+        s"direction=$dir got $out")
+    }
+  }
+
   test("asofJoin plans as exactly one shuffle") {
     val s = spark; import s.implicits._
     val l = Seq((1L, 10L, 100L)).toDF("k", "lts", "lid")
