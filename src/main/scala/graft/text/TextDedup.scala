@@ -405,4 +405,74 @@ object TextDedup {
 
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), fingerprintCol(col(textCol)).as("fp"))
+
+  /** End-to-end near-dup REMOVAL — the step every dedup pipeline actually
+    * ships: near-dup pairs ([[simhashNearDupPairs]]) → connected
+    * components ([[graft.graphs.ConnectedComponents]]) → keep ONE
+    * canonical document per cluster (the minimum doc id, i.e. the
+    * component label) plus every document in no cluster at all. Returns
+    * the SURVIVING docs with their original columns.
+    *
+    * Anti-join shape: components yields (node, component); the losers are
+    * exactly the nodes whose label differs from themselves, and the
+    * survivors are `docs LEFT ANTI losers` — the full corpus never joins
+    * against anything bigger than the near-dup node set (a tiny fraction
+    * of the corpus by construction). At 100 TB the anti join shuffles on
+    * the doc id like any equi-join; the loser side is small enough to
+    * broadcast in real corpora.
+    */
+  def keepCanonical(docs: DataFrame, idCol: String, textCol: String,
+                    bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val pairs = simhashNearDupPairs(docs, idCol, textCol,
+      bands = bands, maxHamming = maxHamming)
+    val comps = graft.graphs.ConnectedComponents.run(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val losers = comps.filter(col("node") =!= col("component"))
+      .select(col("node").as("__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** Paragraph-level dedup (C4/RefinedWeb-style): split every document
+    * into consecutive `chunkTokens`-word chunks (the "paragraphs" of a
+    * flat word-stream corpus), drop every chunk whose exact text already
+    * appeared EARLIER in the corpus — first occurrence by (doc_id,
+    * chunk order) survives, corpus-wide — and reassemble each document
+    * from its surviving chunks in order. Documents whose every chunk was
+    * boilerplate come back with empty text, preserving corpus row count
+    * (callers filter on n_kept if they want drops).
+    *
+    * Output: (doc_id, clean_text, n_chunks, n_kept).
+    *
+    * Scale posture: chunking is row-local ([[graft.text.TextStats
+    * .chunkTokens]] with zero overlap); keep-first is one window over the
+    * chunk text — a hash shuffle on the chunk string, the same shape as
+    * exact content dedup (a degenerate boilerplate chunk concentrates its
+    * copies on one reducer ONLY to rank them; the payload is (id, idx),
+    * not the text body). Reassembly is a map-side-combinable
+    * collect+sort of the few surviving (idx, chunk) structs per doc.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 10): DataFrame = {
+    require(chunkWords > 0, s"chunkDedup: chunkWords must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_text"))
+      .orderBy(col("doc_id").asc, col("chunk_start").asc)
+    val kept = TextStats.chunkTokens(docs, idCol, textCol, chunkWords, 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_start"), col("chunk_text")))),
+            s => s.getField("chunk_text")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).as("doc_id"),
+        ceil(size(tokens(col(textCol))).cast("double") / chunkWords)
+          .cast("long").as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_chunks"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }
