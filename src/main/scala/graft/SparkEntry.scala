@@ -29,17 +29,35 @@ object SparkEntry {
     * the real-pipeline shape (shingling is a materialized intermediate
     * every dedup flavor reads) and it keeps the session CacheManager at
     * ONE copy of the corpus shingles instead of one per flavor.
+    *
+    * The memo stores the PLAN; the persist is (re-)registered on every
+    * call. Harnesses (Bench) call `spark.catalog.clearCache()` between
+    * queries, which evicts the cached blocks behind our back — in round 8
+    * the memo handed back the evicted plan forever and q77 silently
+    * recomputed the shingle pass three times per run (4.3 → 8.9 s).
+    * `persist()` on an already-persisted Dataset is a no-op, so the
+    * steady-state check costs nothing. The plan is built UNPERSISTED and
+    * raced through `putIfAbsent` so a losing builder never strands an
+    * orphaned corpus-sized entry in the session CacheManager; only the
+    * map's winning entry is ever persisted. Entries whose session has
+    * stopped are dropped on the way in, bounding the map in a long-lived
+    * process that cycles sessions.
     */
   private val jaccardShingleCache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
-  private def jaccardShingles(s: SparkSession, d: String): DataFrame =
-    jaccardShingleCache.getOrElseUpdate((s, d), {
+  private def jaccardShingles(s: SparkSession, d: String): DataFrame = {
+    jaccardShingleCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val df = jaccardShingleCache.get((s, d)).getOrElse {
       val docs = Tables.documentsSpread(s, d)
-      TextDedup.shingleHashedDocs(
+      val built = TextDedup.shingleHashedDocs(
         docs.filter(size(TextDedup.tokens(col("text"))) >= 2),
         "doc_id", "text", n = 2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+      jaccardShingleCache.putIfAbsent((s, d), built).getOrElse(built)
+    }
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -542,6 +560,35 @@ object SparkEntry {
         .withColumn("us_to_click",
           col("click_ts_us") - col("purchase_ts_us"))
     }),
+    // Fixed-point integer PageRank over the item co-occurrence graph
+    // (parts sharing an order link both ways) — 3 damped hops, all long
+    // arithmetic, so the oracle unrolls the iterations as CTEs and
+    // replays them bit-for-bit (values non-negative: Spark truncating
+    // `div` ≡ DuckDB flooring `//`).
+    "q94_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.graphs.PageRank.run(edges, iterations = 3)
+    }),
+    // End-to-end near-dup REMOVAL: simhash pairs → connected components →
+    // keep the min-id doc per cluster. Oracle composes the q50 pair graph
+    // with the q60 recursive-CTE reachability, then anti-joins the losers.
+    "q95_keep_canonical" -> ((s, d) =>
+      TextDedup.keepCanonical(Tables.documentsSpread(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // Sliding-window token chunking (8-token windows, 3-token overlap) —
+    // boundaries, sizes and text all integer/slice arithmetic DuckDB
+    // reproduces exactly.
+    "q96_chunk_tokens" -> ((s, d) =>
+      TextStats.chunkTokens(Tables.documentsSpread(s, d), "doc_id", "text",
+        8, 3)),
+    // Paragraph/chunk dedup (C4-style): corpus-wide keep-first on exact
+    // chunk text, then per-doc reassembly of the survivors in order.
+    "q97_chunk_dedup" -> ((s, d) =>
+      TextDedup.chunkDedup(Tables.documentsSpread(s, d), "doc_id", "text")),
   )
 
   /** q54/q75/q76 share this purchases/clicks pair (distinct per-type event
@@ -1654,5 +1701,105 @@ object SparkEntry {
                 WHEN purchase_ts_us - b_ts <= f_ts - purchase_ts_us
                 THEN b_ts ELSE f_ts END - purchase_ts_us AS us_to_click
          FROM m""",
+    // q94: the 3 damped hops unrolled as CTEs — pure integer arithmetic
+    // (base = 15·1e12/100; contrib = rank // outdeg; next = base +
+    // 85·Σcontrib // 100), non-negative throughout, so DuckDB's flooring
+    // `//` replays Spark's truncating `div` exactly. LEFT JOIN keeps
+    // sink-only/source-only nodes at the base rank.
+    "q94_pagerank" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_fp FROM n),
+         r1 AS (SELECT n.node,
+                  CAST(150000000000 + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS rank_fp
+                FROM n LEFT JOIN (
+                  SELECT e.dst AS node, SUM(r.rank_fp // d.deg) AS s
+                  FROM r0 r JOIN e ON e.src = r.node JOIN deg d ON d.src = e.src
+                  GROUP BY e.dst) m USING (node)),
+         r2 AS (SELECT n.node,
+                  CAST(150000000000 + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS rank_fp
+                FROM n LEFT JOIN (
+                  SELECT e.dst AS node, SUM(r.rank_fp // d.deg) AS s
+                  FROM r1 r JOIN e ON e.src = r.node JOIN deg d ON d.src = e.src
+                  GROUP BY e.dst) m USING (node)),
+         r3 AS (SELECT n.node,
+                  CAST(150000000000 + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS rank_fp
+                FROM n LEFT JOIN (
+                  SELECT e.dst AS node, SUM(r.rank_fp // d.deg) AS s
+                  FROM r2 r JOIN e ON e.src = r.node JOIN deg d ON d.src = e.src
+                  GROUP BY e.dst) m USING (node))
+         SELECT node, rank_fp FROM r3""",
+    // q95: q50's simhash pair graph + q60's recursive-CTE reachability,
+    // composed: losers = nodes whose component label differs from
+    // themselves; survivors = documents anti-joined against the losers.
+    "q95_keep_canonical" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+         bits AS (SELECT doc_id, b, SUM(2 * ((h >> b) & 1) - 1) AS s
+                  FROM h, UNNEST(range(0, 60)) t(b) GROUP BY 1, 2),
+         sh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+         pairs AS (SELECT x.doc_id AS pa, y.doc_id AS pb
+                   FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+                   WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+         e AS (SELECT pa AS src, pb AS dst FROM pairs
+               UNION ALL SELECT pb, pa FROM pairs),
+         n AS (SELECT DISTINCT src AS node FROM e),
+         reach(node, lab) AS (
+           SELECT node, node FROM n
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node),
+         comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+         losers AS (SELECT node FROM comp WHERE node <> component)
+         SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         LEFT JOIN losers l ON d.doc_id = l.node
+         WHERE l.node IS NULL""",
+    // q96: window starts are 1, 1+step, … while start <= max(1, n−overlap)
+    // (step = chunk − overlap = 5); DuckDB's exclusive range() gets +1 on
+    // the stop, list slice w[a:b] is inclusive like Spark's slice(w, a, 8).
+    "q96_chunk_tokens" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, w, len(w) AS n FROM docs),
+         c AS (SELECT doc_id, w, n,
+                 unnest(range(1, greatest(1, n - 3) + 1, 5)) AS chunk_start
+               FROM s)
+         SELECT doc_id,
+           CAST((chunk_start - 1) // 5 AS BIGINT) AS chunk_idx,
+           CAST(chunk_start AS INTEGER) AS chunk_start,
+           CAST(LEAST(8, n - chunk_start + 1) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(w[chunk_start:chunk_start + 7], ' ') AS chunk_text
+         FROM c""",
+    // q97: 10-token zero-overlap chunks; corpus-wide keep-first by
+    // (doc_id, chunk_start) over exact chunk text; reassembly =
+    // string_agg ordered by chunk_start (unique per doc, deterministic);
+    // docs whose every chunk was seen earlier come back empty with
+    // n_kept = 0, preserving corpus row count.
+    "q97_chunk_dedup" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, w, len(w) AS n FROM docs),
+         c AS (SELECT doc_id, n,
+                 unnest(range(1, greatest(1, n) + 1, 10)) AS cs,
+                 w FROM s),
+         ch AS (SELECT doc_id, n, cs,
+                  array_to_string(w[cs:cs + 9], ' ') AS chunk_text
+                FROM c),
+         k AS (SELECT doc_id, cs, chunk_text,
+                 row_number() OVER (PARTITION BY chunk_text
+                   ORDER BY doc_id, cs) AS rn
+               FROM ch),
+         kept AS (SELECT doc_id,
+                    string_agg(chunk_text, ' ' ORDER BY cs) AS clean_text,
+                    COUNT(*) AS n_kept
+                  FROM k WHERE rn = 1 GROUP BY doc_id)
+         SELECT s.doc_id, COALESCE(kept.clean_text, '') AS clean_text,
+           CAST(ceil(n / 10.0) AS BIGINT) AS n_chunks,
+           COALESCE(kept.n_kept, 0) AS n_kept
+         FROM s LEFT JOIN kept USING (doc_id)""",
   )
 }

@@ -41,13 +41,28 @@ object PageRank {
     * upstream for undirected graphs); duplicate edges are collapsed.
     * Returns (node, rank_fp) for every node that appears as a source or
     * destination, rank_fp the fixed-point long rank after `iterations`
-    * damped hops from a uniform `scale` start.
+    * damped hops from a uniform `scale` start. The returned DataFrame is
+    * MATERIALIZED (checkpointed) before returning — an iterative operator
+    * is always consumed, and materializing here lets the persisted edge
+    * list be released instead of leaking into the caller's session.
+    *
+    * Fault posture: by default each iteration truncates lineage with
+    * `localCheckpoint` — blocks live only on executors, so losing an
+    * executor mid-run kills the job (acceptable for a bounded handful of
+    * iterations re-run from scratch). Pass `reliable = true` to write
+    * each round to the cluster checkpoint dir instead (requires
+    * `spark.sparkContext.setCheckpointDir`), trading per-round I/O for
+    * executor-loss recovery — the same knob, same reasoning, as
+    * [[ConnectedComponents.run]].
     */
   def run(edges: DataFrame, iterations: Int = 3,
-          scale: Long = 1000000000000L): DataFrame = {
+          scale: Long = 1000000000000L, reliable: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"PageRank: iterations in [1, 20], got $iterations")
     require(scale >= 1000L, s"PageRank: scale >= 1000, got $scale")
+    if (reliable) require(
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true needs spark.sparkContext.setCheckpointDir(...) first")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -65,12 +80,20 @@ object PageRank {
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
       // LEFT join keeps sink-only / source-only nodes alive at the base
       // rank (they receive no mass but stay rankable).
-      rank = nodes.join(contribs, Seq("node"), "left")
+      val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (base + expr("(85 * coalesce(__in, CAST(0 AS BIGINT))) div 100"))
             .as("rank_fp"))
-        .localCheckpoint(eager = false)
+      // Lazy checkpoints keep the loop at zero jobs; the single action
+      // below materializes every round's boundary in one pass.
+      rank = if (reliable) next.checkpoint(eager = false)
+             else next.localCheckpoint(eager = false)
     }
+    // Materialize the final (and, through the lazy chain, every
+    // intermediate) checkpoint so the plan no longer references `e`,
+    // then release the edge cache.
+    rank.count()
+    e.unpersist(blocking = false)
     rank
   }
 }

@@ -445,11 +445,15 @@ object TextDedup {
     *
     * Scale posture: chunking is row-local ([[graft.text.TextStats
     * .chunkTokens]] with zero overlap); keep-first is one window over the
-    * chunk text — a hash shuffle on the chunk string, the same shape as
-    * exact content dedup (a degenerate boilerplate chunk concentrates its
-    * copies on one reducer ONLY to rank them; the payload is (id, idx),
-    * not the text body). Reassembly is a map-side-combinable
-    * collect+sort of the few surviving (idx, chunk) structs per doc.
+    * chunk text — a hash shuffle keyed on the chunk STRING, which rides
+    * every shuffled row (it is both the partition key and the payload the
+    * reassembly needs), so a degenerate boilerplate chunk concentrates
+    * its full text copies on one reducer. That is the same shape — and
+    * the same skew exposure — as exact content dedup on raw text; chunks
+    * are bounded at `chunkWords` tokens, which caps the per-row payload
+    * in a way whole-document dedup can't. Reassembly is a
+    * map-side-combinable collect+sort of the few surviving (idx, chunk)
+    * structs per doc.
     */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  chunkWords: Int = 10): DataFrame = {

@@ -179,4 +179,65 @@ class TextDedupSpec extends SparkSpec {
     assert(rows(0) == Set("a b c", "b c d"))
     assert(rows(1) == Set.empty)
   }
+
+  test("keepCanonical keeps exactly corpus − (cluster members except min id)") {
+    val s = spark; import s.implicits._
+    // Planted clusters {1,2}, {3,4,6} (identical text ⇒ hamming 0),
+    // 5 unique; expected survivors: min of each cluster + the singleton.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog again today", "en"),
+      (3L, "completely different text about spark shuffles and partitions now", "en"),
+      (4L, "completely different text about spark shuffles and partitions now", "de"),
+      (6L, "completely different text about spark shuffles and partitions now", "fr"),
+      (5L, "unrelated fifth document with its own entirely disjoint tokens", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val out = TextDedup.keepCanonical(docs, "doc_id", "text")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang"),
+      "survivors must keep the original columns")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L))
+  }
+
+  test("keepCanonical with no near-dups is the identity") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+    ).toDF("doc_id", "text")
+    assert(TextDedup.keepCanonical(docs, "doc_id", "text").count() == 2)
+  }
+
+  test("chunkDedup drops repeated chunks corpus-wide, keep-first by (doc, order)") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a1 a2 a3 b1 b2 b3"),   // defines chunks A, B
+      (2L, "a1 a2 a3 c1 c2 c3"),   // A already seen → keeps only C
+      (3L, "a1 a2 a3 b1 b2 b3"),   // nothing left → empty, row preserved
+      (4L, "z1 z2 z3 a1 a2 a3"),   // fresh Z kept, trailing A dropped
+      (5L, "d1 d2 d3 d1 d2 d3"),   // self-repeat: first copy survives
+    ).toDF("doc_id", "text")
+    val out = TextDedup.chunkDedup(docs, "doc_id", "text", chunkWords = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("a1 a2 a3 b1 b2 b3", 2L, 2L)))
+    assert(out(2L) == (("c1 c2 c3", 2L, 1L)))
+    assert(out(3L) == (("", 2L, 0L)))
+    assert(out(4L) == (("z1 z2 z3", 2L, 1L)))
+    assert(out(5L) == (("d1 d2 d3", 2L, 1L)))
+    intercept[IllegalArgumentException](
+      TextDedup.chunkDedup(docs, "doc_id", "text", chunkWords = 0))
+  }
+
+  test("chunkDedup reassembles surviving chunks in document order") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "m1 m2 m3"),
+      (2L, "x1 x2 x3 m1 m2 m3 y1 y2 y3"), // middle chunk dropped, x/y order kept
+    ).toDF("doc_id", "text")
+    val out = TextDedup.chunkDedup(docs, "doc_id", "text", chunkWords = 3)
+      .filter(col("doc_id") === 2L).collect()(0)
+    assert(out.getString(1) == "x1 x2 x3 y1 y2 y3")
+    assert(out.getLong(2) == 3L && out.getLong(3) == 2L)
+  }
 }

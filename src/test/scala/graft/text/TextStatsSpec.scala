@@ -123,4 +123,39 @@ class TextStatsSpec extends SparkSpec {
     // ties broken lexicographically ("b c a" < "b c d" < "c a b" < "z z z")
     assert(got == Seq(("a b c", 3L), ("b c a", 1L), ("b c d", 1L)))
   }
+
+  test("chunkTokens: overlapping windows with exact boundaries and sizes") {
+    val s = spark; import s.implicits._
+    // 11 tokens, chunk=5, overlap=2 → step=3, starts while ≤ 11−2: 1, 4, 7
+    val docs = Seq((1L, "a b c d e f g h i j k")).toDF("doc_id", "text")
+    val got = TextStats.chunkTokens(docs, "doc_id", "text", 5, 2)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0L, 1, 5, "a b c d e"),
+      (1L, 4, 5, "d e f g h"),
+      (2L, 7, 5, "g h i j k")))
+  }
+
+  test("chunkTokens: every token lands in some chunk; last window never redundant") {
+    val s = spark; import s.implicits._
+    // 10 tokens, chunk=5, overlap=2 → starts 1, 4, 7; final chunk is 4 tokens
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val got = TextStats.chunkTokens(docs, "doc_id", "text", 5, 2)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(got.last == ((7, 4, "g h i j")))
+    assert(got.flatMap(_._3.split(" ")).toSet == "abcdefghij".map(_.toString).toSet)
+  }
+
+  test("chunkTokens: short docs yield exactly one chunk; bad params fail loudly") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val got = TextStats.chunkTokens(docs, "doc_id", "text", 5, 2).collect()
+    assert(got.length == 1 && got(0).getInt(3) == 2 && got(0).getString(4) == "x y")
+    intercept[IllegalArgumentException](
+      TextStats.chunkTokens(docs, "doc_id", "text", 0, 0))
+    intercept[IllegalArgumentException](
+      TextStats.chunkTokens(docs, "doc_id", "text", 5, 5))
+  }
 }
