@@ -38,6 +38,8 @@ object Bench {
     "q85_repetition", "q86_funnel", "q87_cohort_retention",
     "q88_hopping_gmv", "q89_value_tiles", "q90_vocab_build",
     "q91_value_bounds", "q92_dense_grid", "q93_percentiles_cont",
+    "q94_pagerank", "q95_keep_canonical", "q96_chunk_tokens",
+    "q97_chunk_dedup",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

@@ -25,15 +25,17 @@ import org.apache.spark.sql.functions._
   * `scale` (1e9 clears a trillion nodes). ANSI mode makes any breach
   * loud rather than silent.
   *
-  * Scale posture: each iteration is ONE map-side-combinable shuffle
-  * (groupBy dst of (long, long) messages) plus an equi-join of the rank
-  * table against the edge list on `src`. The edge list is persisted once
-  * and reused every round; the iteration count is FIXED (the operator is
-  * a k-hop centrality score, not a fixpoint — near-dup/recommender use
-  * sites want a handful of hops), so the driver loop is bounded and each
-  * round's plan is small. Nodes with no outgoing edges contribute
-  * nothing (standard dangling-mass drop; total mass declines, rankings
-  * unaffected for comparison use).
+  * Scale posture: the degrees are folded into a contribution-ready
+  * adjacency (src, dst, deg) ONCE, hash-partitioned on `src` and
+  * persisted — each iteration then costs one equi-join of the (node-
+  * sized) rank table against that layout plus ONE map-side-combinable
+  * shuffle (groupBy dst of (long, long) messages), with no per-round
+  * degree recompute or node-set rebuild. The iteration count is FIXED
+  * (the operator is a k-hop centrality score, not a fixpoint — near-
+  * dup/recommender use sites want a handful of hops), so the driver
+  * loop is bounded and each round's plan is small. Nodes with no
+  * outgoing edges contribute nothing (standard dangling-mass drop;
+  * total mass declines, rankings unaffected for comparison use).
   */
 object PageRank {
 
@@ -63,18 +65,29 @@ object PageRank {
     if (reliable) require(
       edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable=true needs spark.sparkContext.setCheckpointDir(...) first")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Contribution-ready adjacency, built ONCE with a single exchange:
+    // hash(src) already clusters (src, dst), so the dedup aggregate adds
+    // no second shuffle, and the out-degree is a window count within the
+    // same layout instead of a groupBy + self-join. The loop then only
+    // ever touches these two cached tables — no per-iteration degree
+    // recompute or node-set rebuild.
+    val adj = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .withColumn("__deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .persist(lvl)
+    val nodes = adj.select(col("src").as("node"))
+      .union(adj.select(col("dst").as("node"))).distinct()
+      .persist(lvl)
+    adj.count(); nodes.count()
     val base = lit(15L * scale / 100L)
     var rank = nodes.select(col("node"), lit(scale).as("rank_fp"))
     for (_ <- 1 to iterations) {
       val contribs = rank
-        .join(e, rank("node") === e("src"))
-        .join(outDeg, Seq("src"))
+        .join(adj, rank("node") === adj("src"))
         .select(col("dst").as("node"),
           expr("rank_fp div __deg").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
@@ -90,10 +103,11 @@ object PageRank {
              else next.localCheckpoint(eager = false)
     }
     // Materialize the final (and, through the lazy chain, every
-    // intermediate) checkpoint so the plan no longer references `e`,
-    // then release the edge cache.
+    // intermediate) checkpoint so the plan no longer references the
+    // cached tables, then release them.
     rank.count()
-    e.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     rank
   }
 }
