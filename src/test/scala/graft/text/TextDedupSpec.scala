@@ -229,6 +229,18 @@ class TextDedupSpec extends SparkSpec {
       TextDedup.chunkDedup(docs, "doc_id", "text", chunkWords = 0))
   }
 
+  test("keepCanonical and chunkDedup plans stay candidate-bounded (no all-pairs)") {
+    val docs = Tables.documents(spark, sfDir)
+    val p1 = TextDedup.keepCanonical(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoop"),
+      s"all-pairs join in keepCanonical plan:\n$p1")
+    val p2 = TextDedup.chunkDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoop"),
+      s"all-pairs join in chunkDedup plan:\n$p2")
+  }
+
   test("chunkDedup reassembles surviving chunks in document order") {
     val s = spark; import s.implicits._
     val docs = Seq(
