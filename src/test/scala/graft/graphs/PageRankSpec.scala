@@ -64,6 +64,18 @@ class PageRankSpec extends SparkSpec {
     assert(r2 == reference(Set((1L, 2L)), 2))
   }
 
+  test("ranks are partitioning-independent: exact long equality under any layout") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val base = edges.toDF("src", "dst")
+    val expected = reference(edges.toSet, 3)
+    for (df <- Seq(base.repartition(7), base.repartition(1), base.coalesce(2)))
+      assert(PageRank.run(df, 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+  }
+
   test("iteration and scale bounds fail loudly") {
     val s = spark; import s.implicits._
     val e = Seq((1L, 2L)).toDF("src", "dst")

@@ -229,6 +229,22 @@ class TextDedupSpec extends SparkSpec {
       TextDedup.chunkDedup(docs, "doc_id", "text", chunkWords = 0))
   }
 
+  test("chunkDedup output is partitioning-independent (keep-first is a total order)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(rnd.nextInt(12) + 1)(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    def result(df: org.apache.spark.sql.DataFrame) =
+      TextDedup.chunkDedup(df, "doc_id", "text", chunkWords = 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val expected = result(docs)
+    assert(result(docs.repartition(7)) == expected)
+    assert(result(docs.repartition(1)) == expected)
+  }
+
   test("keepCanonical and chunkDedup plans stay candidate-bounded (no all-pairs)") {
     val docs = Tables.documents(spark, sfDir)
     val p1 = TextDedup.keepCanonical(docs, "doc_id", "text")
