@@ -39,7 +39,7 @@ object Bench {
     "q88_hopping_gmv", "q89_value_tiles", "q90_vocab_build",
     "q91_value_bounds", "q92_dense_grid", "q93_percentiles_cont",
     "q94_pagerank", "q95_keep_canonical", "q96_chunk_tokens",
-    "q97_chunk_dedup",
+    "q97_chunk_dedup", "q98_token_budget",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

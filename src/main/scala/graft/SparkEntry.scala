@@ -589,6 +589,16 @@ object SparkEntry {
     // chunk text, then per-doc reassembly of the survivors in order.
     "q97_chunk_dedup" -> ((s, d) =>
       TextDedup.chunkDedup(Tables.documentsSpread(s, d), "doc_id", "text")),
+    // Token-budget sampling: per-lang 2000-token budgets filled in
+    // salted-hash order — the token-budgeted mixture primitive; the
+    // oracle replays the prefix-sum cut with one window.
+    "q98_token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          TextStats.tokenCount(col("text")).as("n_tokens")),
+        Seq("lang"), col("doc_id"), "n_tokens", 2000L, "bud-")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("budget_used"))),
   )
 
   /** q54/q75/q76 share this purchases/clicks pair (distinct per-type event
@@ -1801,5 +1811,21 @@ object SparkEntry {
            CAST(ceil(n / 10.0) AS BIGINT) AS n_chunks,
            COALESCE(kept.n_kept, 0) AS n_kept
          FROM s LEFT JOIN kept USING (doc_id)""",
+    // q98: the oracle's single window IS the semantic definition (maximal
+    // hash-order prefix with inclusive token cumsum <= budget); the Spark
+    // side computes the same sum as a two-stage distributed prefix scan,
+    // identical by associativity.
+    "q98_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(('0x' || substr(md5('bud-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM documents),
+         c AS (SELECT doc_id, lang, n_tokens,
+             SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY lang
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS budget_used
+           FROM t)
+         SELECT doc_id, lang, n_tokens, CAST(budget_used AS BIGINT) AS budget_used
+         FROM c WHERE budget_used <= 2000""",
   )
 }

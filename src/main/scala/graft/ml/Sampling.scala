@@ -99,6 +99,59 @@ object Sampling {
       .filter(hashBucket(id, salt, 100) < col("rate_pct"))
   }
 
+  /** Token-budget sampling: per group, keep documents in salted-hash order
+    * (id tiebreak) while the group's running token total stays within
+    * `budget` — the primitive behind token-budgeted dataset mixtures
+    * ("200 B tokens of crawl, 30 B of code"), where doc-count caps are the
+    * wrong unit. The kept set is the maximal hash-order PREFIX whose
+    * inclusive token sum is ≤ budget (token counts must be ≥ 0, or the
+    * running sum is non-monotone and the prefix property breaks). Adds
+    * `budget_used` (the inclusive running total at the row); selection is
+    * a pure function of (id, salt, tokenCol), reproducible cross-engine.
+    *
+    * Scale posture — distributed prefix sum, never one sort task per
+    * group: a single `Window.partitionBy(group).orderBy(hash)` would
+    * funnel each group (a 100 TB mixture has FEW groups, each huge)
+    * through one task. Instead the hash space is cut into `rangeBuckets`
+    * hash-RANGE buckets — `h div width`, which unlike `h mod m` is
+    * order-aligned (h₁ < h₂ ⇒ bucket₁ ≤ bucket₂), so global hash order is
+    * (bucket, h) — then: (1) a local cumsum within each (group, bucket);
+    * (2) an exclusive scan over the per-bucket totals (≤ rangeBuckets tiny
+    * rows per group); (3) a broadcastable join adds each bucket's offset
+    * back. Per-task sort input is ~1/rangeBuckets of the group, and the
+    * result is identical to the single-window form by the associativity of
+    * the prefix sum.
+    */
+  def tokenBudgetSample(df: DataFrame, groupCols: Seq[String], id: Column,
+                        tokenCol: String, budget: Long, salt: String,
+                        rangeBuckets: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty, "tokenBudgetSample needs grouping columns")
+    require(budget >= 0, s"tokenBudgetSample budget must be >= 0: $budget")
+    require(rangeBuckets > 0,
+      s"tokenBudgetSample rangeBuckets must be positive: $rangeBuckets")
+    val width = (1L << 60) / rangeBuckets + 1 // h in [0, 2^60): order-aligned cut
+    val local = Window
+      .partitionBy((groupCols.map(col) :+ col("__rb")): _*)
+      .orderBy(col("__h").asc, id.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = df
+      .withColumn("__h", hash60(id, salt))
+      .withColumn("__rb", expr(s"__h div $width"))
+      .withColumn("__lcum", sum(col(tokenCol).cast("long")).over(local))
+    val scan = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__rb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = staged
+      .groupBy((groupCols.map(col) :+ col("__rb")): _*)
+      .agg(sum(col(tokenCol).cast("long")).as("__btot"))
+      .withColumn("__off", coalesce(sum(col("__btot")).over(scan), lit(0L)))
+      .select((groupCols.map(col) :+ col("__rb") :+ col("__off")): _*)
+    staged.join(broadcast(offsets), groupCols :+ "__rb")
+      .withColumn("budget_used", col("__lcum") + col("__off"))
+      .filter(col("budget_used") <= budget)
+      .drop("__h", "__rb", "__lcum", "__off")
+  }
+
   /** Concat-then-chunk sequence packing (the GPT-style pretraining layout):
     * documents are laid head-to-tail per group in `orderCols` order, and
     * each document is tagged with the fixed-size sequence its first token

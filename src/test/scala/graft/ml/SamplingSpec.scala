@@ -108,6 +108,45 @@ class SamplingSpec extends SparkSpec {
     assert(en > de && en < 200 && de > 0)
   }
 
+  test("tokenBudgetSample keeps the maximal hash-order prefix within each budget") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0L until 200L).map(i => ("g" + (i % 3), i, rnd.nextInt(40) + 1))
+      .toDF("grp", "id", "tok")
+    // Driver-side replay of the contract: sort by (hash60, id) per group,
+    // inclusive prefix sum over EVERY row, keep rows whose sum <= budget
+    // (the cumsum keeps growing past dropped rows — prefix semantics, not
+    // skip-and-continue packing).
+    val hashes = df.select(col("grp"), col("id"), col("tok"),
+        Sampling.hash60(col("id"), "b-").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val expected = hashes.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(r => (r._4, r._2)).flatMap { case (g, id, tok, _) =>
+        run += tok
+        if (run <= 500L) Some((g, id, run)) else None
+      }
+    }.toSet
+    val got = Sampling.tokenBudgetSample(df, Seq("grp"), col("id"), "tok",
+        500L, "b-")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
+  test("tokenBudgetSample: two-stage scan ≡ single bucket; partitioning-independent") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(9)
+    val df = (0L until 300L).map(i => ("g" + (i % 2), i, rnd.nextInt(25) + 1))
+      .toDF("grp", "id", "tok")
+    def keySet(d: org.apache.spark.sql.DataFrame, buckets: Int) =
+      Sampling.tokenBudgetSample(d, Seq("grp"), col("id"), "tok", 700L, "b-",
+          rangeBuckets = buckets)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val one = keySet(df, 1)
+    assert(keySet(df, 64) == one, "bucketed scan must equal the serial scan")
+    assert(keySet(df.repartition(7), 64) == one)
+  }
+
   test("packSequences lays documents head-to-tail with exact integer sequence math") {
     val s = spark; import s.implicits._
     val df = (0L until 100L).map(i => ("g" + (i % 2), i, 100 + (i % 7).toInt))
