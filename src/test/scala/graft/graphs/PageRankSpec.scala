@@ -84,6 +84,12 @@ class PageRankSpec extends SparkSpec {
     intercept[IllegalArgumentException](PageRank.run(e, scale = 999L))
   }
 
+  test("empty edge list yields an empty rank table, not a failure") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.run(empty, 3).count() == 0L)
+  }
+
   test("reliable checkpoint mode matches, and demands a checkpoint dir") {
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       intercept[IllegalArgumentException](run(fourNode, 2, reliable = true))

@@ -147,6 +147,25 @@ class SamplingSpec extends SparkSpec {
     assert(keySet(df.repartition(7), 64) == one)
   }
 
+  test("tokenBudgetSample edges: zero budget keeps the zero-token hash prefix; negative budget rejected") {
+    val s = spark; import s.implicits._
+    val df = Seq(("g", 1L, 0), ("g", 2L, 5), ("g", 3L, 0)).toDF("grp", "id", "tok")
+    // Prefix semantics: with budget 0, exactly the zero-token rows that
+    // hash BEFORE the first positive-token row survive (a zero-token row
+    // after the overflow inherits the overflowed cumsum and drops).
+    val order = df.select(col("id"), col("tok"),
+        Sampling.hash60(col("id"), "z-").as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(r => (r._3, r._1))
+    val expected = order.takeWhile(_._2 == 0).map(_._1).toSet
+    val kept = Sampling.tokenBudgetSample(df, Seq("grp"), col("id"), "tok",
+        0L, "z-")
+      .collect().map(_.getLong(1)).toSet
+    assert(kept == expected)
+    intercept[IllegalArgumentException](
+      Sampling.tokenBudgetSample(df, Seq("grp"), col("id"), "tok", -1L, "z-"))
+  }
+
   test("packSequences lays documents head-to-tail with exact integer sequence math") {
     val s = spark; import s.implicits._
     val df = (0L until 100L).map(i => ("g" + (i % 2), i, 100 + (i % 7).toInt))
