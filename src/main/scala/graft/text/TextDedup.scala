@@ -422,11 +422,15 @@ object TextDedup {
     * broadcast in real corpora.
     */
   def keepCanonical(docs: DataFrame, idCol: String, textCol: String,
-                    bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    val pairs = simhashNearDupPairs(docs, idCol, textCol,
-      bands = bands, maxHamming = maxHamming)
+                    bands: Int = 4, maxHamming: Int = 3,
+                    pairs: Option[DataFrame] = None): DataFrame = {
+    // `pairs` lets a pipeline hand in an already-materialized (doc_a,
+    // doc_b) near-dup graph (the shared-intermediate shape: one pair
+    // table, many consumers) instead of recomputing the simhash pass.
+    val p = pairs.getOrElse(simhashNearDupPairs(docs, idCol, textCol,
+      bands = bands, maxHamming = maxHamming))
     val comps = graft.graphs.ConnectedComponents.run(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val losers = comps.filter(col("node") =!= col("component"))
       .select(col("node").as("__loser"))
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
