@@ -617,6 +617,54 @@ object SparkEntry {
         Seq("lang"), col("doc_id"), "n_tokens", 2000L, "bud-")
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("budget_used"))),
+    // SCD Type 2 history over the per-user event-type change stream —
+    // dbt-snapshot `check` semantics: consecutive-duplicate collapse,
+    // [from, to) intervals, one current row per key. One shuffle; the
+    // oracle replays the lag/lead/row_number triple on the same
+    // (ts, event_id) order.
+    "q99_scd2_history" -> ((s, d) =>
+      graft.lake.Scd2.history(
+        Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"), col("event_ts_us"),
+            col("event_id")),
+        Seq("user_id"), Seq("event_type"), "event_ts_us", "event_id")
+        .select(col("user_id"), col("event_type"), col("valid_from_us"),
+          col("valid_to_us"), col("version"), col("is_current"))),
+    // HyperLogLog distinct customers per order status (p = 5 → 32
+    // registers; n/m ≈ 45, comfortably in the raw-estimator regime).
+    // Registers and the fixed-point estimate are pure integer arithmetic
+    // the oracle replays bit-for-bit.
+    "q100_hll_distinct" -> ((s, d) =>
+      graft.ml.Sketches.hllDistinct(Tables.orders(s, d),
+        Seq("o_orderstatus"), col("o_custkey"), 5)),
+    // Degree-ordered triangle counts on the item co-occurrence graph
+    // (q94's edge list) — top 100 triangle-heavy parts, unique tiebreak.
+    "q101_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.graphs.Triangles.topTriangleNodes(edges, 100)
+    }),
+    // Count-min heavy hitters over the corpus BIGRAM stream (916
+    // distinct bigrams vs d = 4 × w = 256 counters — real collision
+    // pressure, the estimates genuinely sketch): top 100 by estimate.
+    "q102_cms_topk" -> ((s, d) =>
+      graft.ml.Sketches.cmsTopK(
+        Tables.documentsSpread(s, d).select(
+          explode(TextDedup.shinglesAll(col("text"), 2)).as("token")),
+        "token", 4, 256, 100)),
+    // Z-tile data-skipping manifest for lineitem clustered on
+    // (l_partkey, l_suppkey) folded to 8 bits each (key ranges at test
+    // sf are ≤ 2 000/100 — 8-bit folding is what spreads tiles; the fold
+    // width is a layout knob, not semantics): per-tile row count and
+    // both dimension ranges — narrow rectangles are what make
+    // either-column pruning work; the oracle re-derives the Morton key
+    // from the shared expression template.
+    "q103_zorder_manifest" -> ((s, d) =>
+      graft.lake.Layout.tileManifest(Tables.lineitem(s, d),
+        "l_partkey", "l_suppkey", 8, 8)),
   )
 
   /** q54/q75/q76 share this purchases/clicks pair (distinct per-type event
@@ -1845,5 +1893,109 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, lang, n_tokens, CAST(budget_used AS BIGINT) AS budget_used
          FROM c WHERE budget_used <= 2000""",
+    // q99: change-detect lag, then lead/row_number over the surviving
+    // change rows — same (ts, event_id) order everywhere; DuckDB
+    // row_number is BIGINT, Spark's is INT, hence the cast.
+    "q99_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+                    FROM events WHERE user_id IS NOT NULL),
+         o AS (SELECT user_id, event_type, ts_us, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS prev
+               FROM e),
+         ch AS (SELECT user_id, event_type, ts_us, event_id FROM o
+                WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) AS valid_to_us,
+           CAST(row_number() OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) AS INTEGER) AS version,
+           (lead(ts_us) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) IS NULL) AS is_current
+         FROM ch""",
+    // q100: HLL registers = (h & 31, max rho), rho = 56 − bitlen(h >> 5)
+    // via the shared minimal-binary-string idiom (ltrim ∘ bin); estimate
+    // = fixed-point alpha·m²/Z with Z scaled by 2^40 — all integers, so
+    // `//` replays Spark's `div`. 785051302232064 = (7213·32³ //
+    // 330790) · 2^40 = alpha_fp · 2^40.
+    "q100_hll_distinct" ->
+      """WITH h AS (SELECT o_orderstatus,
+             CAST(('0x' || substr(md5('hll-' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM orders),
+         r AS (SELECT o_orderstatus, h & 31 AS bucket,
+                 MAX(56 - length(ltrim(bin(h >> 5), '0'))) AS max_rho
+               FROM h GROUP BY 1, 2),
+         g AS (SELECT o_orderstatus,
+                 SUM(CAST(1099511627776 AS BIGINT) >> max_rho) AS present_sum,
+                 COUNT(*) AS present
+               FROM r GROUP BY 1)
+         SELECT o_orderstatus,
+           CAST(785051302232064 //
+             greatest(present_sum + (32 - present) * 1099511627776, 1)
+             AS BIGINT) AS est_distinct
+         FROM g""",
+    // q101: degree-ordered wedge join (orient each undirected edge from
+    // lower to higher (deg, node); every triangle appears as exactly one
+    // rank-ordered wedge plus its closing oriented edge).
+    "q101_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         und AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                   greatest(a.l_partkey, b.l_partkey) AS v
+                 FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT node, COUNT(*) AS deg FROM
+                   (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+                 GROUP BY 1),
+         adj AS (SELECT
+                   CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+                        THEN und.u ELSE und.v END AS a,
+                   CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+                        THEN und.v ELSE und.u END AS b,
+                   CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+                        THEN dv.deg ELSE du.deg END AS db
+                 FROM und
+                 JOIN deg du ON du.node = und.u
+                 JOIN deg dv ON dv.node = und.v),
+         wed AS (SELECT e1.a, e1.b, e2.b AS c FROM adj e1 JOIN adj e2
+                   ON e1.a = e2.a AND (e1.db, e1.b) < (e2.db, e2.b)),
+         tri AS (SELECT w.a, w.b, w.c FROM wed w
+                 JOIN adj e3 ON e3.a = w.b AND e3.b = w.c),
+         cnt AS (SELECT node, COUNT(*) AS n_triangles FROM
+                   (SELECT unnest([a, b, c]) AS node FROM tri)
+                 GROUP BY 1)
+         SELECT node, n_triangles FROM cnt
+         ORDER BY n_triangles DESC, node LIMIT 100""",
+    // q102: count-min cells are (row i, md5('cms-i-' || bigram) & 255)
+    // per bigram OCCURRENCE; estimates take min over the 4 rows for each
+    // distinct bigram; top-k by (est desc, token).
+    "q102_cms_topk" ->
+      """WITH docs AS (SELECT string_split(text, ' ') AS w FROM documents),
+         tok AS (SELECT w[i] || ' ' || w[i+1] AS token
+                 FROM docs, UNNEST(range(1, len(w))) t(i)),
+         cells AS (SELECT token, t.i AS hash_row,
+                     CAST(('0x' || substr(md5('cms-' || CAST(t.i AS VARCHAR) || '-' || token), 1, 15)) AS BIGINT) & 255 AS bucket
+                   FROM tok, UNNEST(range(0, 4)) t(i)),
+         sk AS (SELECT hash_row, bucket, COUNT(*) AS cnt
+                FROM cells GROUP BY 1, 2),
+         est AS (SELECT token, MIN(cnt) AS est_count
+                 FROM (SELECT DISTINCT token, hash_row, bucket FROM cells) c
+                 JOIN sk USING (hash_row, bucket)
+                 GROUP BY token)
+         SELECT token, est_count FROM est
+         ORDER BY est_count DESC, token LIMIT 100""",
+    // q103: Morton key from the shared expression template
+    // (Layout.mortonOracleSql — single source of truth with the Spark
+    // side), tile = top 8 of 16 key bits, stats per tile.
+    "q103_zorder_manifest" ->
+      s"""WITH z AS (SELECT
+             ${graft.lake.Layout.mortonOracleSql(
+               "l_partkey % 256", "l_suppkey % 256", 8)} AS zkey,
+             l_partkey % 256 AS x, l_suppkey % 256 AS y
+           FROM lineitem)
+         SELECT zkey // 256 AS tile, COUNT(*) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+         FROM z GROUP BY 1""",
   )
 }

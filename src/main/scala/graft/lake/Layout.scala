@@ -64,6 +64,69 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Z-tile stats manifest — the data-skipping index a lake keeps beside
+    * a Z-ordered table (Delta's per-file stats, re-expressed over Morton
+    * tiles). `tileBits` top bits of the 2·`bits`-wide Morton key name the
+    * tile (= the contiguous key range one layout file covers); per tile
+    * the manifest records row count and min/max of BOTH dimension keys.
+    * Because the Morton curve keeps each contiguous run a small (x, y)
+    * rectangle, both ranges stay narrow — which is exactly what makes a
+    * selective filter on EITHER column prune tiles ([[skippingRead]]
+    * consumes the same stats at file grain).
+    *
+    * One map-side-combinable groupBy on a row-local key; the manifest is
+    * ≤ 2^tileBits rows regardless of table size — the fixed-size summary
+    * shape, same as a sketch.
+    */
+  def tileManifest(df: DataFrame, xCol: String, yCol: String,
+                   bits: Int, tileBits: Int): DataFrame = {
+    require(tileBits >= 1 && tileBits <= 2 * bits,
+      s"tileManifest: tileBits in [1, ${2 * bits}], got $tileBits")
+    val m = lit(1L << bits)
+    val x = pmod(col(xCol), m)
+    val y = pmod(col(yCol), m)
+    df.select(mortonKey(x, y, bits).as("__zkey"), x.as("__x"), y.as("__y"))
+      .groupBy(expr(s"__zkey div ${1L << (2 * bits - tileBits)}").as("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+  }
+
+  /** Per-file min/max stats of `statsCols` for a written parquet table —
+    * the manifest [[skippingRead]] prunes against. One scan, one tiny
+    * groupBy keyed on file name (one row per file).
+    */
+  def fileManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                   statsCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        statsCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+
+  /** Read `path` with file-level data skipping on `keyCol` ∈ [lo, hi]:
+    * consult the manifest, open only files whose [min, max] overlaps the
+    * predicate, then apply the exact filter to the survivors. The
+    * manifest pass reads ONLY the stats column (column-pruned scan); the
+    * collected file list is one row per file — bounded by layout
+    * granularity, not data size (the same driver-side footprint as
+    * Spark's own file listing). On a [[zorderWrite]] layout a selective
+    * range on either Z dimension opens a small fraction of files — the
+    * read-side payoff of the write-side clustering (spec-asserted:
+    * equals the full scan, touches fewer files).
+    */
+  def skippingRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                   keyCol: String, lo: Long, hi: Long): DataFrame = {
+    val files = fileManifest(spark, path, Seq(keyCol))
+      .filter(col(s"min_$keyCol") <= lit(hi) && col(s"max_$keyCol") >= lit(lo))
+      .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
+    if (files.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.parquet(files: _*)
+        .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+  }
+
   /** Small-file compaction — the lake maintenance pass every streaming
     * append sink eventually needs (a 10 s trigger writes ~8 640
     * files/day/partition; scan cost and namenode/listing pressure grow

@@ -1,0 +1,174 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch operators — the fixed-memory summaries a 100 TB
+  * pipeline keeps instead of exact state: HyperLogLog registers for
+  * distinct counts (reference counts distincts exactly in gold marts,
+  * e.g. `/root/reference/analytics/dbt/ecom_analytics/models/marts/
+  * fct_sales_minute.sql`; at petabyte grain the sketch replaces the
+  * exact `COUNT(DISTINCT)`), and a count-min sketch for frequency /
+  * heavy-hitter estimates over unbounded token streams.
+  *
+  * Both sketches here are DETERMINISTIC variants: every hash is an
+  * md5-derived 60-bit integer (the repo-wide cross-engine recipe, see
+  * [[graft.ml.Sampling.tokenBudgetSample]]) and every estimator is pure
+  * integer arithmetic, so a DuckDB oracle replays register tables,
+  * counters and estimates bit-for-bit. Production HLL implementations
+  * use float harmonic means; a float fold over registers would be
+  * partition-order-dependent in the last ULP, so the estimator below
+  * fixes the fraction 2^-M as the integer `2^40 >> M` and the bias
+  * constant alpha_m = 0.7213/(1 + 1.079/m) as the integer ratio
+  * `7213·m³ div (10000·m + 10790)` — same estimate in any engine, on
+  * any partitioning, at a precision far below the sketch's own ±1.04/√m
+  * standard error.
+  *
+  * Why these are the scale path: registers/counters are FIXED SIZE
+  * (m rows per group; d·w rows total), merge by element-wise max/sum —
+  * so shards sketch independently and a tiny final reduce combines
+  * them, the exact shape `sbt`-tested in SketchesSpec (merge ≡ whole-
+  * corpus sketch). No shuffle ever carries more than the sketch.
+  */
+object Sketches {
+
+  /** 60-bit non-negative hash of `c` (15 md5 hex chars), salted.
+    * DuckDB replays it as `('0x' || substr(md5(salt || c), 1, 15))::BIGINT`.
+    */
+  private def hash60(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** HLL register table: one row per (group, bucket) with the max rank
+    * rho = leading-zeros-of-suffix + 1. `p` register-index bits (m = 2^p
+    * registers); the remaining 60−p hash bits feed rho, so rho ∈
+    * [1, 61−p]. Registers are the MERGEABLE form — union register tables
+    * and take `max(max_rho)` per bucket ([[hllMerge]]) to sketch a union
+    * of shards without touching rows again.
+    *
+    * Cross-engine: bit-length via `length(ltrim(bin(suffix), '0'))` —
+    * both engines render minimal binary strings (Spark `bin(0)` = "0",
+    * DuckDB `bin(0)` = "0"; ltrim maps both to "", giving rho = 61−p for
+    * the all-zero suffix, the textbook convention).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                   p: Int, salt: String = "hll-"): DataFrame = {
+    require(p >= 4 && p <= 11,
+      s"hllRegisters: p in [4, 11] (m = 16..2048; p > 11 overflows the " +
+        s"fixed-point estimator's long numerator), got $p")
+    val m = 1L << p
+    val h = hash60(valueCol, salt)
+    df.select(groupCols.map(col) :+ h.as("__h"): _*)
+      .withColumn("bucket", col("__h").bitwiseAND(lit(m - 1L)))
+      .withColumn("__suffix", shiftright(col("__h"), p))
+      .withColumn("__rho",
+        lit(61 - p) - length(expr("trim(LEADING '0' FROM bin(__suffix))")))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("__rho")).cast("int").as("max_rho"))
+  }
+
+  /** Merge two register tables over the same (groupCols, p): element-wise
+    * max. The 100 TB contract: sketch shards independently, merge the
+    * m-row summaries.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("max_rho")).cast("int").as("max_rho"))
+
+  /** Raw-HLL estimate from a register table: one BIGINT per group.
+    *
+    *   Z_fp  = Σ_present (2^40 >> max_rho) + (m − present)·2^40
+    *   est   = (alpha_fp · 2^40) div max(Z_fp, 1)
+    *   alpha_fp = 7213·m³ div (10000·m + 10790)
+    *
+    * All longs: Z_fp ≤ m·2^40 ≤ 2^51, alpha_fp·2^40 ≤ 3.4e18 at p = 11.
+    * This is the RAW estimator (no small-range linear-counting switch):
+    * callers should size p so n ≳ 3·m, where its relative error is the
+    * standard 1.04/√m (±2.3% at p = 11). Empty groups never appear
+    * (no rows → no registers); a group with rows always has ≥ 1 register.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  p: Int): DataFrame = {
+    require(p >= 4 && p <= 11, s"hllEstimate: p in [4, 11], got $p")
+    val m = 1L << p
+    val alphaFp = 7213L * m * m * m / (10000L * m + 10790L)
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(expr(s"shiftright(CAST(${1L << 40} AS BIGINT), max_rho)"))
+          .as("__present_sum"),
+        count(lit(1)).as("__present"))
+      .withColumn("__z_fp",
+        col("__present_sum") + (lit(m) - col("__present")) * lit(1L << 40))
+      .select(groupCols.map(col) :+
+        expr(s"CAST(${alphaFp * (1L << 40)} AS BIGINT) div " +
+          s"greatest(__z_fp, CAST(1 AS BIGINT))").as("est_distinct"): _*)
+  }
+
+  /** Registers + estimate in one call — the `approx_count_distinct`
+    * drop-in with a replayable oracle.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                  p: Int, salt: String = "hll-"): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol, p, salt), groupCols, p)
+
+  /** Count-min sketch over a token column: d independent hash rows × w
+    * counters (w a power of two), counting total occurrences. The sketch
+    * is d·w rows no matter the corpus — THE fixed-memory frequency
+    * summary — and merges across shards by cell-wise `sum` (same
+    * (hash_row, bucket) grid, checked in SketchesSpec).
+    *
+    * Scale posture: one map-side-combinable groupBy on (hash_row,
+    * bucket); the exploded token stream never carries more than a long
+    * pair per row.
+    */
+  def cmsSketch(tokens: DataFrame, tokenCol: String, d: Int, w: Int,
+                salt: String = "cms-"): DataFrame = {
+    require(d >= 1 && d <= 8, s"cmsSketch: d in [1, 8], got $d")
+    require(w >= 2 && (w & (w - 1)) == 0, s"cmsSketch: w a power of two, got $w")
+    tokens
+      .select(posexplode(array((0 until d).map(i =>
+        hash60(col(tokenCol), s"$salt$i-").bitwiseAND(lit(w - 1L))): _*))
+        .as(Seq("hash_row", "bucket")))
+      .groupBy(col("hash_row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `candidates` (distinct values of `tokenCol`)
+    * against a sketch: est(t) = min over the d rows of the counter at
+    * t's bucket — the classic one-sided estimator (est ≥ true count,
+    * overshoot bounded by colliding mass). The sketch side is tiny
+    * (d·w rows) and broadcast; candidates never shuffle.
+    */
+  def cmsEstimates(sketch: DataFrame, candidates: DataFrame, tokenCol: String,
+                   d: Int, w: Int, salt: String = "cms-"): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 2 && (w & (w - 1)) == 0,
+      s"cmsEstimates: d in [1, 8], w a power of two, got d=$d w=$w")
+    candidates
+      .select(col(tokenCol), posexplode(array((0 until d).map(i =>
+        hash60(col(tokenCol), s"$salt$i-").bitwiseAND(lit(w - 1L))): _*))
+        .as(Seq("hash_row", "bucket")))
+      .join(broadcast(sketch), Seq("hash_row", "bucket"))
+      .groupBy(col(tokenCol))
+      .agg(min(col("cnt")).as("est_count"))
+  }
+
+  /** Heavy hitters: sketch a token-occurrence stream (one row per
+    * occurrence — build it with [[graft.text.TextDedup.shinglesAll]] for
+    * n-grams), estimate every distinct token, keep the top `k` by
+    * (est desc, token) — TakeOrdered (per-partition heap + driver merge
+    * of k rows), never a global sort. In a streaming deployment the
+    * candidate set is the keys seen in the current window; the sketch
+    * itself never grows.
+    */
+  def cmsTopK(tokens: DataFrame, tokenCol: String, d: Int, w: Int,
+              k: Int, salt: String = "cms-"): DataFrame = {
+    require(k >= 1, s"cmsTopK: k >= 1, got $k")
+    val sketch = cmsSketch(tokens, tokenCol, d, w, salt)
+    cmsEstimates(sketch, tokens.select(col(tokenCol)).distinct(),
+        tokenCol, d, w, salt)
+      .orderBy(col("est_count").desc, col(tokenCol).asc)
+      .limit(k)
+  }
+}

@@ -31,12 +31,19 @@ object TextDedup {
   /** Distinct word n-gram shingles, 1-based window over the token array —
     * the standard near-dup unit (shingle → minhash → band → bucket join).
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(shinglesAll(text, n))
+
+  /** Every n-gram OCCURRENCE (no per-doc dedup) — [[shingles]] dedups for
+    * set-similarity; frequency operators (count-min sketching, term
+    * counting) need the multiset.
+    */
+  def shinglesAll(text: Column, n: Int): Column = {
     val w = tokens(text)
     val grams = transform(
       sequence(lit(1), size(w) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
-    array_distinct(when(size(w) >= n, grams).otherwise(array().cast("array<string>")))
+    when(size(w) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
   /** n-gram hashes over an ALREADY-MATERIALIZED token-hash array column.

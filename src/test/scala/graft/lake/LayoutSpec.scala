@@ -89,4 +89,43 @@ class LayoutSpec extends SparkSpec {
     assert(avgX <= 40 && avgY <= 40,
       s"bounding boxes too wide for z-clustering: avgX=$avgX avgY=$avgY")
   }
+
+  test("tileManifest: every tile is a small rectangle on BOTH dims") {
+    val s = spark; import s.implicits._
+    val rows = for (x <- 0 until 256; y <- 0 until 256 by 4) yield (x.toLong, y.toLong)
+    // tile = top 8 of 16 Morton bits = high nibble of x × high nibble of
+    // y — each tile's x and y ranges are ≤ 16 wide BY CONSTRUCTION; the
+    // manifest must observe exactly that (the pruning guarantee).
+    val m = Layout.tileManifest(rows.toDF("x", "y"), "x", "y", 8, 8).collect()
+    assert(m.length == 256, s"16x16 tiles expected, got ${m.length}")
+    assert(m.forall(r => r.getLong(3) - r.getLong(2) <= 15 &&
+      r.getLong(5) - r.getLong(4) <= 15),
+      "tile bounding box wider than the tile's Morton rectangle")
+    assert(m.map(_.getLong(1)).sum == rows.length, "manifest row counts must total the table")
+    intercept[IllegalArgumentException] {
+      Layout.tileManifest(rows.toDF("x", "y"), "x", "y", 8, 17)
+    }
+  }
+
+  test("skippingRead: equals the full-scan filter while opening fewer files") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-skip").toString + "/t"
+    val rows = scala.util.Random.shuffle(
+      for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+    Layout.zorderWrite(rows.toDF("x", "y"), dir, "x", "y", bits = 6, numFiles = 16)
+    val full = spark.read.parquet(dir)
+    val nFiles = full.inputFiles.length
+    assert(nFiles >= 8)
+    val pruned = Layout.skippingRead(spark, dir, "x", lo = 3L, hi = 6L)
+    val expected = full.filter(col("x") >= 3 && col("x") <= 6)
+      .select(col("x"), col("y")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pruned.select(col("x"), col("y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, "skipping read changed the answer")
+    assert(pruned.inputFiles.length < nFiles,
+      s"no files pruned: ${pruned.inputFiles.length} of $nFiles opened")
+    // empty selectivity window outside the domain: zero files, empty result
+    val none = Layout.skippingRead(spark, dir, "x", lo = 1000L, hi = 2000L)
+    assert(none.count() == 0)
+  }
 }

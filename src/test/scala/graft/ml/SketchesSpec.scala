@@ -1,0 +1,134 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** HLL + count-min sketch contracts: estimator accuracy in the designed
+  * regime, exact invariance to duplication and partitioning, and the
+  * shard-merge property that makes both sketches the 100 TB shape.
+  */
+class SketchesSpec extends SparkSpec {
+
+  // ---- HyperLogLog ----
+
+  test("HLL estimate lands within the sketch's error regime (p=8, ±6.5% σ)") {
+    val s = spark; import s.implicits._
+    val df = (0 until 5000).map(i => ("g", i)).toDF("grp", "v")
+    val est = Sketches.hllDistinct(df, Seq("grp"), col("v"), 8)
+      .collect().head.getLong(1)
+    // Deterministic hashes → this is a FIXED number; 3σ band asserted.
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.20, s"estimate $est vs 5000")
+  }
+
+  test("HLL is a function of the DISTINCT set: duplication changes nothing") {
+    val s = spark; import s.implicits._
+    val once = (0 until 2000).map(i => ("g", i)).toDF("grp", "v")
+    val thrice = (0 until 3).flatMap(_ => (0 until 2000).map(i => ("g", i)))
+      .toDF("grp", "v")
+    val a = Sketches.hllDistinct(once, Seq("grp"), col("v"), 6).collect().head.getLong(1)
+    val b = Sketches.hllDistinct(thrice, Seq("grp"), col("v"), 6).collect().head.getLong(1)
+    assert(a == b)
+  }
+
+  test("HLL registers merge by max: shard sketches == whole-corpus sketch") {
+    val s = spark; import s.implicits._
+    val whole = (0 until 4000).map(i => ("g", i)).toDF("grp", "v")
+    val half1 = (0 until 2500).map(i => ("g", i)).toDF("grp", "v")
+    val half2 = (1500 until 4000).map(i => ("g", i)).toDF("grp", "v")
+    val merged = Sketches.hllMerge(
+        Sketches.hllRegisters(half1, Seq("grp"), col("v"), 7),
+        Sketches.hllRegisters(half2, Seq("grp"), col("v"), 7), Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Sketches.hllRegisters(whole, Seq("grp"), col("v"), 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(merged == direct, "merge(max) must equal the whole-corpus registers")
+  }
+
+  test("HLL register table shape: ≤ m buckets, rho within [1, 61-p]") {
+    val s = spark; import s.implicits._
+    val df = (0 until 3000).map(i => (i % 2, i)).toDF("grp", "v")
+    val regs = Sketches.hllRegisters(df, Seq("grp"), col("v"), 5).collect()
+    val perGroup = regs.groupBy(_.getInt(0)).view.mapValues(_.length)
+    assert(perGroup.values.forall(_ <= 32))
+    assert(regs.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 32))
+    assert(regs.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 56))
+    intercept[IllegalArgumentException] {
+      Sketches.hllRegisters(df, Seq("grp"), col("v"), 12)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.hllRegisters(df, Seq("grp"), col("v"), 3)
+    }
+  }
+
+  test("HLL estimate is partitioning-independent (exact, not approximate)") {
+    val s = spark; import s.implicits._
+    val df = (0 until 3000).map(i => ("g", i)).toDF("grp", "v")
+    val a = Sketches.hllDistinct(df, Seq("grp"), col("v"), 8).collect().head.getLong(1)
+    val b = Sketches.hllDistinct(df.repartition(13), Seq("grp"), col("v"), 8)
+      .collect().head.getLong(1)
+    assert(a == b)
+  }
+
+  // ---- Count-min ----
+
+  /** Planted corpus: one hot token, one warm, 200 singleton fillers. */
+  private def plantedTokens = {
+    val s = spark; import s.implicits._
+    (Seq.fill(500)("hot") ++ Seq.fill(50)("warm") ++
+      (0 until 200).map(i => s"rare$i")).toDF("token")
+  }
+
+  test("CMS one-sided guarantee: estimate >= true count for EVERY token") {
+    val toks = plantedTokens
+    val truth = toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+    val est = Sketches.cmsEstimates(
+      Sketches.cmsSketch(toks, "token", 4, 64), toks.distinct(), "token", 4, 64)
+    val underestimates = est.join(truth, "token")
+      .filter(col("est_count") < col("true_cnt")).count()
+    assert(underestimates == 0, "count-min must never undercount")
+  }
+
+  test("CMS with ample width is exact; collisions only ever inflate") {
+    val toks = plantedTokens
+    val truth = toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+    val est = Sketches.cmsEstimates(
+      Sketches.cmsSketch(toks, "token", 4, 4096), toks.distinct(), "token", 4, 4096)
+    val wrong = est.join(truth, "token")
+      .filter(col("est_count") =!= col("true_cnt")).count()
+    assert(wrong == 0, "251 tokens vs 4x4096 cells: no collisions expected")
+  }
+
+  test("CMS sketches merge by cell-wise sum: shards == whole corpus") {
+    val s = spark; import s.implicits._
+    val half1 = (Seq.fill(250)("hot") ++ (0 until 100).map(i => s"rare$i")).toDF("token")
+    val half2 = (Seq.fill(250)("hot") ++ Seq.fill(50)("warm") ++
+      (100 until 200).map(i => s"rare$i")).toDF("token")
+    val merged = Sketches.cmsSketch(half1, "token", 4, 64)
+      .unionByName(Sketches.cmsSketch(half2, "token", 4, 64))
+      .groupBy(col("hash_row"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Sketches.cmsSketch(plantedTokens, "token", 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == direct)
+  }
+
+  test("CMS top-k surfaces the heavy hitters in order, k-limited") {
+    val top = Sketches.cmsTopK(plantedTokens, "token", 4, 64, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top.length == 2)
+    assert(top.head._1 == "hot" && top.head._2 >= 500L)
+    assert(top(1)._1 == "warm" && top(1)._2 >= 50L)
+    intercept[IllegalArgumentException] {
+      Sketches.cmsTopK(plantedTokens, "token", 4, 63, 2) // w not a power of 2
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmsTopK(plantedTokens, "token", 0, 64, 2)
+    }
+  }
+
+  test("CMS sketch size is fixed at d x w regardless of corpus size") {
+    val s = spark; import s.implicits._
+    val big = (0 until 20000).map(i => s"t${i % 700}").toDF("token")
+    assert(Sketches.cmsSketch(big, "token", 4, 64).count() <= 4L * 64)
+  }
+}
