@@ -39,7 +39,9 @@ object Bench {
     "q88_hopping_gmv", "q89_value_tiles", "q90_vocab_build",
     "q91_value_bounds", "q92_dense_grid", "q93_percentiles_cont",
     "q94_pagerank", "q95_keep_canonical", "q96_chunk_tokens",
-    "q97_chunk_dedup", "q98_token_budget",
+    "q97_chunk_dedup", "q98_token_budget", "q99_scd2_history",
+    "q100_hll_distinct", "q101_triangles", "q102_cms_topk",
+    "q103_zorder_manifest", "q104_scd2_asof", "q105_fuzzy_pairs",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

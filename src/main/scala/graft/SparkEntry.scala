@@ -623,11 +623,7 @@ object SparkEntry {
     // oracle replays the lag/lead/row_number triple on the same
     // (ts, event_id) order.
     "q99_scd2_history" -> ((s, d) =>
-      graft.lake.Scd2.history(
-        Tables.events(s, d).filter(col("user_id").isNotNull)
-          .select(col("user_id"), col("event_type"), col("event_ts_us"),
-            col("event_id")),
-        Seq("user_id"), Seq("event_type"), "event_ts_us", "event_id")
+      scd2EventHistory(s, d)
         .select(col("user_id"), col("event_type"), col("valid_from_us"),
           col("valid_to_us"), col("version"), col("is_current"))),
     // HyperLogLog distinct customers per order status (p = 5 → 32
@@ -665,7 +661,34 @@ object SparkEntry {
     "q103_zorder_manifest" -> ((s, d) =>
       graft.lake.Layout.tileManifest(Tables.lineitem(s, d),
         "l_partkey", "l_suppkey", 8, 8)),
+    // As-of dimension lookup against the q99 SCD2 history: each purchase
+    // joins the state version covering its timestamp (half-open
+    // intervals make the match unique even on tie-timestamp versions).
+    "q104_scd2_asof" -> ((s, d) =>
+      graft.lake.Scd2.asOfLookup(
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+          .select(col("event_id"), col("user_id"), col("event_ts_us")),
+        scd2EventHistory(s, d), Seq("user_id"), "event_ts_us")
+        .select(col("event_id"), col("user_id"), col("event_ts_us"),
+          col("event_type"), col("version"))),
+    // SymSpell fuzzy matching on customer names: deletion-neighborhood
+    // blocking is COMPLETE for d ≤ 1, so the oracle is the brute-force
+    // distance matrix itself — the gate proves no candidate is missed.
+    "q105_fuzzy_pairs" -> ((s, d) =>
+      graft.text.Fuzzy.editDistancePairs(Tables.customer(s, d),
+        "c_custkey", "c_name")),
   )
+
+  /** q99/q104 share the SCD2 history of each user's event-type state
+    * (the dimension table the as-of lookup joins against).
+    */
+  private def scd2EventHistory(s: SparkSession, d: String): DataFrame =
+    graft.lake.Scd2.history(
+      Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("event_ts_us"),
+          col("event_id")),
+      Seq("user_id"), Seq("event_type"), "event_ts_us", "event_id")
 
   /** q54/q75/q76 share this purchases/clicks pair (distinct per-type event
     * projections with null users dropped — see q54's comment).
@@ -1997,5 +2020,41 @@ object SparkEntry {
            MIN(x) AS min_x, MAX(x) AS max_x,
            MIN(y) AS min_y, MAX(y) AS max_y
          FROM z GROUP BY 1""",
+    // q104: q99's history CTEs + interval-containment join — half-open
+    // [from, to) keeps the covering version unique.
+    "q104_scd2_asof" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+                    FROM events WHERE user_id IS NOT NULL),
+         o AS (SELECT user_id, event_type, ts_us, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS prev
+               FROM e),
+         ch AS (SELECT user_id, event_type, ts_us, event_id FROM o
+                WHERE prev IS NULL OR prev <> event_type),
+         v AS (SELECT user_id, event_type,
+                 ts_us AS valid_from_us,
+                 lead(ts_us) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS valid_to_us,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS INTEGER) AS version
+               FROM ch),
+         f AS (SELECT event_id, user_id, epoch_us(ts) AS event_ts_us
+               FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+         SELECT f.event_id, f.user_id, f.event_ts_us,
+           v.event_type, v.version
+         FROM f LEFT JOIN v ON v.user_id = f.user_id
+           AND f.event_ts_us >= v.valid_from_us
+           AND (v.valid_to_us IS NULL OR f.event_ts_us < v.valid_to_us)""",
+    // q105: the oracle is the full O(n²) distance matrix — deliberately
+    // NOT the deletion-variant join, so a hash-match certifies the
+    // SymSpell blocking is complete for d ≤ 1 (missed pair = missing
+    // row = hash mismatch).
+    "q105_fuzzy_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer)
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+         FROM c a JOIN c b ON a.id < b.id
+         WHERE levenshtein(a.s, b.s) <= 1""",
   )
 }

@@ -1,6 +1,7 @@
 package graft.graphs
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Triangle counting over an undirected graph — the local-clustering
@@ -22,9 +23,19 @@ import org.apache.spark.sql.functions._
   * of degree d only points at neighbors of rank ≥ its own, and at most
   * √E nodes have degree ≥ √E) — so the wedge join Σ outdeg² stays
   * polynomial even when a celebrity node has a million neighbors, the
-  * exact skew that kills the naive three-way self-join. All three
-  * passes are equi-joins (spec asserts no CartesianProduct); per-node
-  * counts are a map-side-combinable explode + groupBy.
+  * exact skew that kills the naive three-way self-join. All joins are
+  * equi-joins (spec asserts no CartesianProduct).
+  *
+  * Plan shape (the [[PageRank]] adjacency idiom): symmetrize, then
+  * `repartition(src)` so the dedup `distinct` RIDES the layout (hash
+  * clustering on `src` satisfies the distinct's clustered distribution —
+  * no second exchange) and the src-degree is a window count in place;
+  * one more exchange on `dst` window-counts the other endpoint's degree
+  * (symmetric graph: in-degree ≡ degree). Orientation is then a
+  * row-local FILTER — each undirected edge survives exactly once, no
+  * dedup join, no degree-table joins. The oriented adjacency feeds the
+  * wedge self-join (both sides need the same `a`-hash exchange, which
+  * Spark's ReusedExchange dedups) and the closing-edge join.
   */
 object Triangles {
 
@@ -35,36 +46,28 @@ object Triangles {
     * zero-filled variant.
     */
   def nodeTriangles(edges: DataFrame): DataFrame = {
-    // Undirected canonical form: (u < v), deduped.
-    val und = edges
-      .select(least(col("src"), col("dst")).cast("long").as("u"),
-        greatest(col("src"), col("dst")).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+    // Symmetrized multigraph → dedup + both endpoint degrees in exactly
+    // two exchanges, zero joins.
+    val dir = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .distinct()
-    val deg = und.select(col("u").as("node"))
-      .unionAll(und.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // Orient u—v from lower (deg, node) to higher; carry the head's rank
-    // so the wedge join can order its two heads without re-joining deg.
-    val adj = und
-      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
-      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
-      .select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("u"))
-          .otherwise(col("v")).as("a"),
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("b"),
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("dv"))
-          .otherwise(col("du")).as("db"))
+      .withColumn("du", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .repartition(col("dst"))
+      .withColumn("dv", count(lit(1)).over(Window.partitionBy(col("dst"))))
+    // Keep only the low-rank → high-rank orientation: each undirected
+    // edge appears in `dir` once per direction, so the filter IS the
+    // orientation step and the dedup at once.
+    val adj = dir
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("src") < col("dst")))
+      .select(col("src").as("a"), col("dst").as("b"), col("dv").as("db"))
     // Wedges b ← a → c with rank(b) < rank(c); close with oriented b → c.
     // Column names disjoint across the two sides — the self-join is on
     // plain distinct attributes, no dataset-id disambiguation in play.
-    val e1 = adj.select(col("a"), col("b"), col("db"))
     val e2 = adj.select(col("a").as("a2"), col("b").as("c"), col("db").as("dc"))
-    val wedges = e1.join(e2,
+    val wedges = adj.join(e2,
       col("a") === col("a2") &&
         (col("db") < col("dc") ||
           (col("db") === col("dc") && col("b") < col("c"))))
