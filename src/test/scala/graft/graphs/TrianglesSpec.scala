@@ -85,8 +85,10 @@ class TrianglesSpec extends SparkSpec {
   test("plan contract: equi-joins only, no CartesianProduct") {
     val s = spark; import s.implicits._
     val g = (0 until 40).map(i => ((i * 7L) % 13, (i * 11L) % 13))
-    val plan = Triangles.nodeTriangles(g.toDF("src", "dst"))
-      .queryExecution.executedPlan.toString
+    // The un-checkpointed composition (nodeTriangles returns a
+    // materialized localCheckpoint whose plan is an opaque scan).
+    val (_, _, out) = Triangles.trianglesPlan(g.toDF("src", "dst"))
+    val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"all-pairs join in triangle plan:\n$plan")
   }
