@@ -678,6 +678,23 @@ object SparkEntry {
     "q105_fuzzy_pairs" -> ((s, d) =>
       graft.text.Fuzzy.editDistancePairs(Tables.customer(s, d),
         "c_custkey", "c_name")),
+    // Bloom filter build over F-order customers (16384 bits / 4 hashes),
+    // probed by every customer, with ground truth alongside — false
+    // positives are deterministic (md5 bit positions) so the oracle
+    // replays hits AND misses; the spec pins the no-false-negative law.
+    "q106_bloom_filter" -> ((s, d) => {
+      val fkeys = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val words = graft.ml.Sketches.bloomWords(fkeys, col("o_custkey"), 16384, 4)
+      graft.ml.Sketches.bloomProbe(words,
+          Tables.customer(s, d).select(col("c_custkey")),
+          col("c_custkey"), 16384, 4)
+        .withColumnRenamed("value", "c_custkey")
+        .join(fkeys.distinct().withColumnRenamed("o_custkey", "c_custkey")
+          .withColumn("__act", lit(true)), Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("bloom_hit"),
+          coalesce(col("__act"), lit(false)).as("actual"))
+    }),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2056,5 +2073,27 @@ object SparkEntry {
            CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
          FROM c a JOIN c b ON a.id < b.id
          WHERE levenshtein(a.s, b.s) <= 1""",
+    // q106: bloom bitmap as 32-bit words (non-negative shifts in both
+    // engines), bit positions md5('bloom-i-' || key) & 16383; probe =
+    // all 4 bits set, absent words count unset.
+    "q106_bloom_filter" ->
+      """WITH fk AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderstatus = 'F'),
+         pos AS (SELECT o_custkey,
+                   CAST(('0x' || substr(md5('bloom-' || CAST(t.i AS VARCHAR) || '-' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) & 16383 AS p
+                 FROM fk, UNNEST(range(0, 4)) t(i)),
+         words AS (SELECT p >> 5 AS word_idx,
+                     bit_or(CAST(1 AS BIGINT) << CAST(p & 31 AS INTEGER)) AS word
+                   FROM pos GROUP BY 1),
+         cpos AS (SELECT c_custkey,
+                    CAST(('0x' || substr(md5('bloom-' || CAST(t.i AS VARCHAR) || '-' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) & 16383 AS p
+                  FROM customer, UNNEST(range(0, 4)) t(i)),
+         hits AS (SELECT c_custkey,
+                    MIN(COALESCE((w.word >> CAST(p & 31 AS INTEGER)) & 1, 0)) AS allset
+                  FROM cpos LEFT JOIN words w ON w.word_idx = p >> 5
+                  GROUP BY 1)
+         SELECT h.c_custkey, (h.allset = 1) AS bloom_hit,
+           (f.o_custkey IS NOT NULL) AS actual
+         FROM hits h LEFT JOIN fk f ON f.o_custkey = h.c_custkey""",
   )
 }

@@ -154,6 +154,59 @@ object Sketches {
       .agg(min(col("cnt")).as("est_count"))
   }
 
+  /** Bloom filter as a distributed bitmap: `mBits` bits stored as
+    * 32-bit words in an (word_idx, word) table of mBits/32 rows — the
+    * join-pruning primitive (build over the dimension's join keys, probe
+    * the fact side BEFORE its shuffle; Spark's own runtime row-level
+    * filtering does exactly this internally). 32-bit words in a long
+    * keep every shift/or in non-negative territory — identical
+    * two's-complement-free arithmetic in any engine.
+    *
+    * Mergeable like the other sketches: bit_or word tables of shards
+    * ([[bloomMerge]]) — union build sets without re-reading them.
+    */
+  def bloomWords(df: DataFrame, valueCol: Column, mBits: Int, k: Int,
+                 salt: String = "bloom-"): DataFrame = {
+    require(mBits >= 32 && (mBits & (mBits - 1)) == 0,
+      s"bloomWords: mBits a power of two >= 32, got $mBits")
+    require(k >= 1 && k <= 8, s"bloomWords: k in [1, 8], got $k")
+    df.select(explode(array((0 until k).map(i =>
+        hash60(valueCol, s"$salt$i-").bitwiseAND(lit(mBits - 1L))): _*))
+        .as("__p"))
+      .groupBy(shiftright(col("__p"), 5).as("word_idx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST((__p & 31) AS INT)))")
+        .as("word"))
+  }
+
+  /** Merge bloom word tables (same mBits/k/salt): bit_or per word. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("word_idx"))
+      .agg(expr("bit_or(word)").as("word"))
+
+  /** Probe: one row per DISTINCT candidate value with `bloom_hit` =
+    * every one of its k bits set (no false negatives; false positives
+    * at the standard (1−e^(−kn/m))^k rate, deterministic here because
+    * the hashes are). The word table is tiny (mBits/32 rows) and
+    * broadcast — probing never shuffles the candidate side, which is
+    * the entire point of bloom-pruning a fact table before its join
+    * exchange.
+    */
+  def bloomProbe(words: DataFrame, candidates: DataFrame, valueCol: Column,
+                 mBits: Int, k: Int, salt: String = "bloom-"): DataFrame = {
+    require(mBits >= 32 && (mBits & (mBits - 1)) == 0 && k >= 1 && k <= 8,
+      s"bloomProbe: mBits a power of two >= 32, k in [1, 8], got m=$mBits k=$k")
+    candidates
+      .select(valueCol.as("value"), explode(array((0 until k).map(i =>
+        hash60(valueCol, s"$salt$i-").bitwiseAND(lit(mBits - 1L))): _*))
+        .as("__p"))
+      .join(broadcast(words),
+        shiftright(col("__p"), 5) === words("word_idx"), "left")
+      .groupBy(col("value"))
+      .agg((min(coalesce(
+        expr("shiftright(word, CAST((__p & 31) AS INT)) & 1"), lit(0L))) === 1L)
+        .as("bloom_hit"))
+  }
+
   /** Heavy hitters: sketch a token-occurrence stream (one row per
     * occurrence — build it with [[graft.text.TextDedup.shinglesAll]] for
     * n-grams), estimate every distinct token, keep the top `k` by

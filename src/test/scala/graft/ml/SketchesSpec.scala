@@ -131,4 +131,58 @@ class SketchesSpec extends SparkSpec {
     val big = (0 until 20000).map(i => s"t${i % 700}").toDF("token")
     assert(Sketches.cmsSketch(big, "token", 4, 64).count() <= 4L * 64)
   }
+
+  // ---- Bloom filter ----
+
+  private def probeSet(built: Seq[Long], probe: Seq[Long],
+                       mBits: Int = 4096, k: Int = 4): Map[Long, Boolean] = {
+    val s = spark; import s.implicits._
+    val words = Sketches.bloomWords(built.toDF("v"), col("v"), mBits, k)
+    Sketches.bloomProbe(words, probe.toDF("v"), col("v"), mBits, k)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+  }
+
+  test("bloom: NO false negatives, and false positives stay near theory") {
+    val built = (0L until 300L).toSeq
+    val hits = probeSet(built, 0L until 5000L)
+    assert(built.forall(hits(_)), "a member probed negative")
+    // (1 - e^(-kn/m))^k with n=300, m=4096, k=4 → ~0.6%; allow 4x slack
+    // (deterministic hashes: this is a FIXED count, the band documents it).
+    val fp = (300L until 5000L).count(hits(_))
+    assert(fp <= 4700 * 0.025, s"$fp false positives of 4700 non-members")
+  }
+
+  test("bloom: word table is fixed-size, absent words mean miss") {
+    val s = spark; import s.implicits._
+    val words = Sketches.bloomWords(Seq(1L).toDF("v"), col("v"), 4096, 4)
+    assert(words.count() <= 4) // 4 hashes set at most 4 words of 128
+    // probing an empty bloom: everything misses (left join finds no word)
+    val empty = Sketches.bloomWords(Seq.empty[Long].toDF("v"), col("v"), 4096, 4)
+    val misses = Sketches.bloomProbe(empty, (0L until 50L).toDF("v"), col("v"), 4096, 4)
+    assert(misses.filter(col("bloom_hit")).count() == 0)
+  }
+
+  test("bloom: shard merge (bit_or) equals the whole-set bloom exactly") {
+    val s = spark; import s.implicits._
+    val a = (0L until 200L).toSeq
+    val b = (150L until 400L).toSeq
+    val merged = Sketches.bloomMerge(
+        Sketches.bloomWords(a.toDF("v"), col("v"), 2048, 4),
+        Sketches.bloomWords(b.toDF("v"), col("v"), 2048, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = Sketches.bloomWords((a ++ b).distinct.toDF("v"), col("v"), 2048, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == whole)
+  }
+
+  test("bloom: parameter validation") {
+    val s = spark; import s.implicits._
+    val df = Seq(1L).toDF("v")
+    intercept[IllegalArgumentException] {
+      Sketches.bloomWords(df, col("v"), 1000, 4) // not a power of two
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomProbe(df, df, col("v"), 4096, 9)
+    }
+  }
 }
