@@ -695,6 +695,16 @@ object SparkEntry {
         .select(col("c_custkey"), col("bloom_hit"),
           coalesce(col("__act"), lit(false)).as("actual"))
     }),
+    // Sequential Poisson (Ohlsson) weighted sampling: 20 docs per lang,
+    // inclusion ∝ n_chars, priority = h div weight — integer order
+    // statistics the oracle replays exactly.
+    "q107_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        Seq("lang"), col("doc_id"), "n_chars", 20, "wtd-")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("priority"), col("rank"))),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2095,5 +2105,18 @@ object SparkEntry {
          SELECT h.c_custkey, (h.allset = 1) AS bloom_hit,
            (f.o_custkey IS NOT NULL) AS actual
          FROM hits h LEFT JOIN fk f ON f.o_custkey = h.c_custkey""",
+    // q107: priority = hash div weight; the two-stage salted top-k is
+    // identical to this single window by construction.
+    "q107_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5('wtd-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               // greatest(CAST(n_chars AS BIGINT), 1) AS priority
+           FROM documents),
+         r AS (SELECT doc_id, lang, n_chars, priority,
+                 CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY priority, doc_id) AS INTEGER) AS rank
+               FROM t)
+         SELECT doc_id, lang, n_chars, priority, rank
+         FROM r WHERE rank <= 20""",
   )
 }

@@ -116,15 +116,30 @@ object Layout {
     * equals the full scan, touches fewer files).
     */
   def skippingRead(spark: org.apache.spark.sql.SparkSession, path: String,
-                   keyCol: String, lo: Long, hi: Long): DataFrame = {
-    val files = fileManifest(spark, path, Seq(keyCol))
-      .filter(col(s"min_$keyCol") <= lit(hi) && col(s"max_$keyCol") >= lit(lo))
+                   keyCol: String, lo: Long, hi: Long): DataFrame =
+    skippingRead(spark, path, Seq((keyCol, lo, hi)))
+
+  /** Multi-predicate variant: prune by EVERY `(col, lo, hi)` range at
+    * once. On a Z-ordered layout this is where the clustering pays
+    * twice — a 2-D box predicate intersects both per-file ranges, so the
+    * surviving file set is roughly the PRODUCT of the two selectivities
+    * (spec-asserted: the 2-D box opens fewer files than either 1-D
+    * range alone).
+    */
+  def skippingRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                   preds: Seq[(String, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "skippingRead: at least one (col, lo, hi) predicate")
+    val overlap = preds.map { case (c, lo, hi) =>
+      col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo) }.reduce(_ && _)
+    val files = fileManifest(spark, path, preds.map(_._1).distinct)
+      .filter(overlap)
       .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
     if (files.isEmpty)
       spark.read.parquet(path).filter(lit(false))
     else
-      spark.read.parquet(files: _*)
-        .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+      spark.read.parquet(files: _*).filter(residual)
   }
 
   /** Small-file compaction — the lake maintenance pass every streaming

@@ -152,6 +152,36 @@ object Sampling {
       .drop("__h", "__rb", "__lcum", "__off")
   }
 
+  /** Deterministic weighted sampling without replacement — sequential
+    * Poisson sampling (Ohlsson): per group keep the `k` rows with the
+    * smallest priority q = u / w, u uniform. Here u is the salted 60-bit
+    * hash and the priority is the integer `h div max(w, 1)` — order-
+    * equivalent to u/w at weight resolution, reproducible run-over-run
+    * and engine-over-engine (the oracle replays priorities AND ranks).
+    * Heavier rows draw stochastically smaller priorities, so inclusion
+    * probability grows ∝ weight — the mixture-reweighting primitive when
+    * the unit is rows, not tokens ([[tokenBudgetSample]] is the
+    * token-unit sibling).
+    *
+    * Scale posture: the per-group top-k goes through
+    * [[Similarity.topKPerKey]] — a salted partial top-k bounds any
+    * single reducer at saltBuckets·k rows, so a giant group never
+    * funnels through one task. Adds `priority` and `rank` (1..k).
+    */
+  def weightedSample(df: DataFrame, groupCols: Seq[String], id: Column,
+                     weightCol: String, k: Int, salt: String): DataFrame = {
+    require(groupCols.nonEmpty, "weightedSample needs grouping columns")
+    require(k >= 1, s"weightedSample k must be >= 1: $k")
+    val staged = df
+      .withColumn("__h", hash60(id, salt))
+      .withColumn("priority",
+        expr(s"__h div greatest(CAST($weightCol AS BIGINT), CAST(1 AS BIGINT))"))
+    Similarity.topKPerKey(staged,
+        struct(groupCols.map(col): _*),
+        Seq(col("priority").asc, id.asc), k, col("__h"))
+      .drop("__h")
+  }
+
   /** Concat-then-chunk sequence packing (the GPT-style pretraining layout):
     * documents are laid head-to-tail per group in `orderCols` order, and
     * each document is tagged with the fixed-size sequence its first token

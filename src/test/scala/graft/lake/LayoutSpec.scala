@@ -127,5 +127,18 @@ class LayoutSpec extends SparkSpec {
     // empty selectivity window outside the domain: zero files, empty result
     val none = Layout.skippingRead(spark, dir, "x", lo = 1000L, hi = 2000L)
     assert(none.count() == 0)
+    // the Z-order payoff: a 2-D box prunes at least as hard as either
+    // 1-D range, and strictly harder than the whole table
+    val xOnly = Layout.skippingRead(spark, dir, Seq(("x", 3L, 6L)))
+    val yOnly = Layout.skippingRead(spark, dir, Seq(("y", 40L, 44L)))
+    val box = Layout.skippingRead(spark, dir, Seq(("x", 3L, 6L), ("y", 40L, 44L)))
+    assert(box.inputFiles.length <= math.min(xOnly.inputFiles.length,
+      yOnly.inputFiles.length))
+    assert(box.inputFiles.length < nFiles)
+    val boxExpected = full
+      .filter(col("x").between(3, 6) && col("y").between(40, 44))
+      .select(col("x"), col("y")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(box.select(col("x"), col("y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == boxExpected)
   }
 }

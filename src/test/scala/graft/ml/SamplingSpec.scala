@@ -183,4 +183,55 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("weightedSample: priorities replay driver-side; ranks contiguous; k respected") {
+    val s = spark; import s.implicits._
+    val rows = (0 until 300).map(i => (i.toLong, s"g${i % 3}", (i % 7 + 1) * 10L))
+    val df = rows.toDF("id", "grp", "w")
+    val got = Sampling.weightedSample(df, Seq("grp"), col("id"), "w", 5, "ws-")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("grp"),
+        r.getAs[Long]("priority"), r.getAs[Int]("rank")))
+    // driver-side replay of priority = h div w and the per-group order
+    def h60(sfx: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws-$sfx".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val expect = rows.map { case (id, g, w) => (id, g, h60(id.toString) / w) }
+      .groupBy(_._2).flatMap { case (g, rs) =>
+        rs.sortBy(r => (r._3, r._1)).take(5).zipWithIndex
+          .map { case ((id, _, p), i) => (id, g, p, i + 1) }
+      }.toSet
+    assert(got.toSet == expect)
+    assert(got.count(_._2 == "g0") == 5)
+  }
+
+  test("weightedSample: inclusion tracks weight (heavy rows dominate across many groups)") {
+    val s = spark; import s.implicits._
+    // 200 groups, each with one weight-1000 row and nine weight-1 rows:
+    // the heavy row should win the k=1 slot in the overwhelming majority.
+    val rows = for (g <- 0 until 200; i <- 0 until 10)
+      yield (g * 10L + i, s"g$g", if (i == 0) 1000L else 1L)
+    val winners = Sampling.weightedSample(rows.toDF("id", "grp", "w"),
+        Seq("grp"), col("id"), "w", 1, "ws2-")
+      .collect().map(r => r.getAs[Long]("id"))
+    val heavyWins = winners.count(_ % 10 == 0)
+    assert(heavyWins >= 180, s"heavy row won only $heavyWins of 200 groups")
+  }
+
+  test("weightedSample: partitioning-independent and validates inputs") {
+    val s = spark; import s.implicits._
+    val df = (0 until 100).map(i => (i.toLong, "g", i % 9 + 1L)).toDF("id", "grp", "w")
+    val a = Sampling.weightedSample(df, Seq("grp"), col("id"), "w", 7, "x-")
+      .collect().map(_.toSeq).toSet
+    val b = Sampling.weightedSample(df.repartition(13), Seq("grp"), col("id"), "w", 7, "x-")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, Seq("grp"), col("id"), "w", 0, "x-")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, Seq.empty, col("id"), "w", 1, "x-")
+    }
+  }
 }
