@@ -42,7 +42,7 @@ object Bench {
     "q97_chunk_dedup", "q98_token_budget", "q99_scd2_history",
     "q100_hll_distinct", "q101_triangles", "q102_cms_topk",
     "q103_zorder_manifest", "q104_scd2_asof", "q105_fuzzy_pairs",
-    "q106_bloom_filter", "q107_weighted_sample",
+    "q106_bloom_filter", "q107_weighted_sample", "q108_embedding_canonical",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

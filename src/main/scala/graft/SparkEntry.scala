@@ -705,6 +705,13 @@ object SparkEntry {
         Seq("lang"), col("doc_id"), "n_chars", 20, "wtd-")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("priority"), col("rank"))),
+    // End-to-end embedding near-dup REMOVAL: q42's cosine pair graph →
+    // connected components → keep the min-id vector per cluster (the
+    // vector-space q95). Oracle composes the q42 bucket/cosine CTEs with
+    // the q60 recursive-CTE reachability.
+    "q108_embedding_canonical" -> ((s, d) =>
+      Similarity.keepCanonical(Tables.embeddingsSpread(s, d), 0.3)
+        .select(col("vec_id"), col("label"))),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2118,5 +2125,40 @@ object SparkEntry {
                FROM t)
          SELECT doc_id, lang, n_chars, priority, rank
          FROM r WHERE rank <= 20""",
+    // q108: q42's pair CTEs (same buckets, same cosine tree, threshold
+    // 0.3) + the q60/q95 recursive reachability, anti-joined.
+    "q108_embedding_canonical" ->
+      """WITH RECURSIVE b AS (
+           SELECT vec_id, embedding, t.t,
+             (SELECT SUM(CASE WHEN (
+                 list_reduce(list_transform(embedding, (x, d) ->
+                   CAST(x AS DOUBLE) * ((CAST(('0x' || substr(md5('hp-' || t.t || '-' || p.p || '-' || (d-1)), 1, 15)) AS BIGINT) % 2000003) / 1000001.5 - 1.0)),
+                   (a, v) -> a + v)) > 0 THEN (1 << p.p) ELSE 0 END)
+              FROM UNNEST(range(0, 4)) p(p)) AS bucket
+           FROM embeddings, UNNEST(range(0, 3)) t(t)
+         ),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+             a.embedding AS ea, b2.embedding AS eb
+           FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         ),
+         pairs AS (
+           SELECT id_a, id_b FROM cand
+           WHERE list_reduce(list_transform(list_zip(ea, eb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+             / (sqrt(list_reduce(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
+              * sqrt(list_reduce(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))) >= 0.3
+         ),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+         n AS (SELECT DISTINCT src AS node FROM e),
+         reach(node, lab) AS (
+           SELECT node, node FROM n
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node),
+         comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+         losers AS (SELECT node FROM comp WHERE node <> component)
+         SELECT em.vec_id, em.label FROM embeddings em
+         LEFT JOIN losers l ON em.vec_id = l.node
+         WHERE l.node IS NULL""",
   )
 }

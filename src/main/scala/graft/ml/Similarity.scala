@@ -475,4 +475,23 @@ object Similarity {
         nativeCosine(vectors.sparkSession)(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** End-to-end embedding near-dup REMOVAL — the vector-space sibling of
+    * [[graft.text.TextDedup.keepCanonical]]: cosine dup pairs →
+    * connected components → LEFT ANTI on the losers (nodes ≠ their
+    * component label), keeping the min-id vector of every duplicate
+    * cluster. `pairs` accepts an already-materialized pair graph (the
+    * shared-intermediate shape); the corpus only ever joins the loser
+    * set, which is at most the duplicate count.
+    */
+  def keepCanonical(vectors: DataFrame, threshold: Double,
+                    idCol: String = "vec_id",
+                    pairs: Option[DataFrame] = None): DataFrame = {
+    val p = pairs.getOrElse(cosineDupPairsBucketed(vectors, threshold))
+    val comps = graft.graphs.ConnectedComponents.run(
+      p.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val losers = comps.filter(col("node") =!= col("component"))
+      .select(col("node").as("__loser"))
+    vectors.join(losers, vectors(idCol) === col("__loser"), "left_anti")
+  }
 }

@@ -66,6 +66,41 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("keepCanonical: min-id survivor per planted cluster, identity on dup-free input") {
+    import spark.implicits._
+    // three exact-dup clusters {0,100,101}, {1,102}, {2,103} + 97 singletons
+    val base = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }
+    val dups = Seq((100L, base(0)._2), (101L, base(0)._2),
+      (102L, base(1)._2), (103L, base(2)._2))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineDupPairsBucketed(df, threshold = 0.999,
+      planes = 8, tables = 6, dims = 8)
+    val kept = Similarity.keepCanonical(df, 0.999, pairs = Some(pairs))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // reference: driver-side union-find over the SAME pair graph (the
+    // sin fixture has incidental near-dups at this threshold, so the
+    // expected survivor set is derived, not assumed)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val allIds = (base ++ dups).map(_._1).toSet
+    val expectSurvivors = allIds.filter(id => find(id) == id)
+    assert(kept == expectSurvivors,
+      s"survivors != union-find minima: extra=${kept -- expectSurvivors} missing=${expectSurvivors -- kept}")
+    // the planted exact dups are always losers; their minima survive
+    assert(!kept.exists(Set(100L, 101L, 102L, 103L)), s"planted losers survived")
+    assert(Set(0L, 1L, 2L).subsetOf(kept), "cluster minima must survive")
+  }
+
   test("cosineDupPairsBucketed at high-recall params: planted pair surfaces; precision exact") {
     val pairs = Similarity.cosineDupPairsBucketed(planted, threshold = 0.95,
       planes = 8, tables = 6, dims = 8)
