@@ -712,6 +712,21 @@ object SparkEntry {
     "q108_embedding_canonical" -> ((s, d) =>
       Similarity.keepCanonical(Tables.embeddingsSpread(s, d), 0.3)
         .select(col("vec_id"), col("label"))),
+    // Incremental SCD2 maintenance gated by its defining invariant:
+    // history(events < Jan 16) + applyChanges(events ≥ Jan 16) must
+    // equal history(all events) — the oracle IS q99's full rebuild.
+    "q109_scd2_increment" -> ((s, d) => {
+      val cutoff = 1705363200000000L // 2024-01-16 00:00 UTC, mid-corpus
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("event_ts_us"),
+          col("event_id"))
+      val h1 = graft.lake.Scd2.history(ev.filter(col("event_ts_us") < cutoff),
+        Seq("user_id"), Seq("event_type"), "event_ts_us", "event_id")
+      graft.lake.Scd2.applyChanges(h1, ev.filter(col("event_ts_us") >= cutoff),
+        Seq("user_id"), Seq("event_type"), "event_ts_us", "event_id")
+        .select(col("user_id"), col("event_type"), col("valid_from_us"),
+          col("valid_to_us"), col("version"), col("is_current"))
+    }),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2160,5 +2175,26 @@ object SparkEntry {
          SELECT em.vec_id, em.label FROM embeddings em
          LEFT JOIN losers l ON em.vec_id = l.node
          WHERE l.node IS NULL""",
+    // q109: the oracle is q99's FULL-STREAM rebuild — the Spark side
+    // computes the same table incrementally (history before the cutoff,
+    // applyChanges after), so a hash-match proves incremental ≡ batch.
+    "q109_scd2_increment" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+                    FROM events WHERE user_id IS NOT NULL),
+         o AS (SELECT user_id, event_type, ts_us, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS prev
+               FROM e),
+         ch AS (SELECT user_id, event_type, ts_us, event_id FROM o
+                WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) AS valid_to_us,
+           CAST(row_number() OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) AS INTEGER) AS version,
+           (lead(ts_us) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) IS NULL) AS is_current
+         FROM ch""",
   )
 }

@@ -70,6 +70,48 @@ object Scd2 {
           col("version"), col("is_current")): _*)
   }
 
+  /** Incremental SCD2 maintenance — the nightly job: fold a NEW batch of
+    * change events into an existing history without rebuilding it.
+    * Assumes append-only arrival (every new change's (ts, tie) sorts
+    * after the affected key's current `valid_from_us` — the streaming-
+    * ingest contract).
+    *
+    * Mechanics: only keys present in `changes` are touched. Each such
+    * key's CURRENT row is replayed as a seed pseudo-change (tie = −1 so
+    * it sorts first at its own timestamp) in front of the key's new
+    * events, the same [[history]] pass rebuilds that key's tail, and
+    * versions are renumbered by the key's previous current version.
+    * Closed rows and untouched keys pass through byte-identical.
+    *
+    * Cost ∝ |changes| + |affected current rows| — NOT |history|: the
+    * window pass runs only over the mini-streams, the pass-through is a
+    * filter + anti-join. The invariant (spec- AND oracle-gated, q109):
+    * applyChanges(history(events < T), events ≥ T) ≡ history(all
+    * events), for any cutoff T.
+    */
+  def applyChanges(history: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                   trackCols: Seq[String], tsCol: String, tieCol: String): DataFrame = {
+    val cur = history.filter(col("is_current"))
+    val affected = changes.select(keyCols.map(col): _*).distinct()
+    val curAffected = cur.join(affected, keyCols)
+    val offsets = curAffected
+      .select(keyCols.map(col) :+ col("version").as("__off"): _*)
+    val seed = curAffected.select((keyCols ++ trackCols).map(col) :+
+      col("valid_from_us").as(tsCol) :+ lit(-1L).as(tieCol): _*)
+    val mini = seed.unionByName(
+      changes.select((keyCols ++ trackCols).map(col) :+ col(tsCol) :+
+        col(tieCol): _*))
+    val rebuilt = this.history(mini, keyCols, trackCols, tsCol, tieCol)
+      .join(offsets, keyCols, "left")
+      .withColumn("version",
+        (col("version") + coalesce(col("__off"), lit(1)) - 1).cast("int"))
+      .drop("__off")
+    val untouchedCurrent = cur.join(affected, keyCols, "left_anti")
+    history.filter(!col("is_current"))
+      .unionByName(untouchedCurrent)
+      .unionByName(rebuilt)
+  }
+
   /** AS-OF dimension lookup against an SCD2 history: each fact row joins
     * the version whose [valid_from_us, valid_to_us) interval contains its
     * timestamp. A plain range predicate on the equi-joined key — at most

@@ -96,6 +96,43 @@ class Scd2Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("applyChanges: incremental ≡ full rebuild at EVERY cutoff") {
+    val s = spark; import s.implicits._
+    val df = stream.toDF("k", "attr", "ts", "id")
+    val full = Scd2.history(df, Seq("k"), Seq("attr"), "ts", "id")
+      .collect().map(_.toSeq).toSet
+    // cutoffs: before everything, mid-version, on a change boundary,
+    // between keys' activity, after everything
+    for (cutoff <- Seq(0L, 15L, 30L, 45L, 100L)) {
+      val h1 = Scd2.history(df.filter(col("ts") < cutoff),
+        Seq("k"), Seq("attr"), "ts", "id")
+      val got = Scd2.applyChanges(h1, df.filter(col("ts") >= cutoff),
+          Seq("k"), Seq("attr"), "ts", "id")
+        .collect().map(_.toSeq).toSet
+      assert(got == full, s"cutoff=$cutoff: incremental diverged from rebuild")
+    }
+  }
+
+  test("applyChanges: same-value batch collapses; new keys start at version 1; untouched keys byte-identical") {
+    val s = spark; import s.implicits._
+    val day1 = Seq((1L, "A", 10L, 1L), (1L, "B", 20L, 2L),
+      (7L, "Z", 15L, 3L)).toDF("k", "attr", "ts", "id")
+    val h1 = Scd2.history(day1, Seq("k"), Seq("attr"), "ts", "id")
+    // key 1: same value B again (must collapse, stay version 2, keep
+    // valid_from 20); key 9: brand new
+    val day2 = Seq((1L, "B", 30L, 4L), (9L, "N", 35L, 5L))
+      .toDF("k", "attr", "ts", "id")
+    val got = Scd2.applyChanges(h1, day2, Seq("k"), Seq("attr"), "ts", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4),
+        r.getBoolean(5))).toSet
+    assert(got == Set(
+      (1L, "A", 10L, 20L, 1, false),
+      (1L, "B", 20L, -1L, 2, true),  // collapsed: valid_from unchanged
+      (7L, "Z", 15L, -1L, 1, true),  // untouched key passes through
+      (9L, "N", 35L, -1L, 1, true))) // new key starts at version 1
+  }
+
   test("partitioning-independence: same history under any input layout") {
     val s = spark; import s.implicits._
     val df = stream.toDF("k", "attr", "ts", "id")
