@@ -66,6 +66,17 @@ object SparkEntry {
         "doc_id", "text", n = 2)
     }
 
+  /** The posting-list co-occurrence pair counts over [[jaccardShingles]]
+    * — q70 scores it as Jaccard, q110 as containment. Materialized once
+    * (same eviction-proof persist discipline); the expensive posting
+    * self-join never runs twice.
+    */
+  private val jaccardPairCountsCache = new PlanCache
+  private def jaccardPairCounts(s: SparkSession, d: String): DataFrame =
+    cachedPlan(jaccardPairCountsCache, s, d) {
+      TextDedup.shinglePairCounts(jaccardShingles(s, d))
+    }
+
   /** Same sharing shape for the simhash near-dup pair graph: q50 reports
     * it, q60 groups it, q95 removes against it — in a real pipeline the
     * pair graph is materialized once and every downstream consumer reads
@@ -462,7 +473,8 @@ object SparkEntry {
     "q70_jaccard_neardup" -> ((s, d) =>
       TextDedup.jaccardNearDupPairs(Tables.documentsSpread(s, d),
         "doc_id", "text", shingleN = 2, threshold = 0.5,
-        shingles = Some(jaccardShingles(s, d)))),
+        shingles = Some(jaccardShingles(s, d)),
+        pairCounts = Some(jaccardPairCounts(s, d)))),
     // k-means over embeddings, centroids = vec_id < 8 (model state,
     // driver-collected into plan literals). Assignment is a ZERO-shuffle
     // map stage; the update step's sufficient statistics are exact
@@ -727,6 +739,14 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("valid_from_us"),
           col("valid_to_us"), col("version"), col("is_current"))
     }),
+    // Asymmetric containment pairs (quote/subset detection): same
+    // posting-list machinery and shared shingle table as q70/q77, score
+    // = n_shared / min(|A|, |B|) — fourth consumer of the shared cache.
+    "q110_containment" -> ((s, d) =>
+      TextDedup.containmentPairs(Tables.documentsSpread(s, d),
+        "doc_id", "text", shingleN = 2, threshold = 0.8,
+        shingles = Some(jaccardShingles(s, d)),
+        pairCounts = Some(jaccardPairCounts(s, d)))),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2196,5 +2216,21 @@ object SparkEntry {
            (lead(ts_us) OVER (PARTITION BY user_id
              ORDER BY ts_us, event_id) IS NULL) AS is_current
          FROM ch""",
+    // q110: q70's intersection CTEs with the containment score
+    // (n_shared / min set size) at threshold 0.8.
+    "q110_containment" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                       WHERE len(string_split(text, ' ')) >= 2),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+                FROM docs, UNNEST(range(1, len(w))) t(i)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_shared,
+           n_shared / least(sa.n, sb.n) AS containment
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_shared / least(sa.n, sb.n) >= 0.8""",
   )
 }

@@ -188,13 +188,30 @@ object TextDedup {
   def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 2, threshold: Double = 0.5,
                           maxDf: Option[Int] = None, cap: Int = 2048,
-                          shingles: Option[DataFrame] = None): DataFrame = {
+                          shingles: Option[DataFrame] = None,
+                          pairCounts: Option[DataFrame] = None): DataFrame = {
     val sh = shingles.getOrElse(shingleHashedDocs(
       docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Set sizes are row-local (size of the distinct-shingle array) — no
     // aggregation; the join back onto pairs moves one int per doc.
     val sizes = sh.select(col("id"), size(col("sh")).as("__n"))
+    pairCounts.getOrElse(shinglePairCounts(sh, maxDf, cap))
+      .join(sizes.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("n_shared"),
+        (col("n_shared") / (col("__na") + col("__nb") - col("n_shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The posting-list co-occurrence count table (id_a, id_b, n_shared)
+    * over a [[shingleHashedDocs]] table — THE shared intermediate of
+    * every intersection-based set-similarity score (Jaccard q70,
+    * containment q110): materialize once, score many ways.
+    */
+  def shinglePairCounts(sh: DataFrame, maxDf: Option[Int] = None,
+                        cap: Int = 2048): DataFrame = {
     val posting = {
       val p = sh.select(col("id"), explode(col("sh")).as("bk"))
       maxDf.fold(p) { d =>
@@ -206,12 +223,35 @@ object TextDedup {
       }
     }
     graft.operators.CandidatePairs.inBucketPairCounts(posting, cap)
+  }
+
+  /** Exact n-gram CONTAINMENT pairs — the asymmetric near-dup signal
+    * Jaccard misses when sizes differ wildly: a short document quoted
+    * wholesale inside a long one scores J = |A|/|B| ≈ 0 but containment
+    * C = |A∩B|/min(|A|,|B|) ≈ 1 (the RefinedWeb/quote-detection
+    * criterion, symmetrized by the min). Same posting-list pipeline,
+    * candidate volume, and hashed-shingle caveat as
+    * [[jaccardNearDupPairs]]; accepts the same shared `shingles` table.
+    *
+    * Output: (doc_a, doc_b, n_shared, containment), doc_a < doc_b,
+    * containment >= threshold; one exact IEEE division per pair, oracle-
+    * reproducible.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 2, threshold: Double = 0.9,
+                       maxDf: Option[Int] = None, cap: Int = 2048,
+                       shingles: Option[DataFrame] = None,
+                       pairCounts: Option[DataFrame] = None): DataFrame = {
+    val sh = shingles.getOrElse(shingleHashedDocs(
+      docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = sh.select(col("id"), size(col("sh")).as("__n"))
+    pairCounts.getOrElse(shinglePairCounts(sh, maxDf, cap))
       .join(sizes.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("n_shared"),
-        (col("n_shared") / (col("__na") + col("__nb") - col("n_shared")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        (col("n_shared") / least(col("__na"), col("__nb"))).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING — the

@@ -257,6 +257,25 @@ class TextDedupSpec extends SparkSpec {
       s"all-pairs join in chunkDedup plan:\n$p2")
   }
 
+  test("containmentPairs: full quote scores 1.0 where jaccard stays low") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 30).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long),
+      (3L, "totally disjoint content with other words here")).toDF("doc_id", "text")
+    val cont = TextDedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    // doc 1's five bigrams all appear in doc 2 → containment = 1.0
+    assert(cont == Set((1L, 2L, 1.0)), s"got $cont")
+    // the same pair is INVISIBLE to jaccard at any similar threshold:
+    // J = 5 shared / (5 + 36 − 5) ≈ 0.14
+    val jac = TextDedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        shingleN = 2, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, "jaccard should miss the asymmetric quote pair")
+  }
+
   test("chunkDedup reassembles surviving chunks in document order") {
     val s = spark; import s.implicits._
     val docs = Seq(
