@@ -43,7 +43,7 @@ object Bench {
     "q100_hll_distinct", "q101_triangles", "q102_cms_topk",
     "q103_zorder_manifest", "q104_scd2_asof", "q105_fuzzy_pairs",
     "q106_bloom_filter", "q107_weighted_sample", "q108_embedding_canonical",
-    "q109_scd2_increment", "q110_containment",
+    "q109_scd2_increment", "q110_containment", "q111_hist_quantiles",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

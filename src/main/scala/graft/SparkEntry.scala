@@ -747,6 +747,17 @@ object SparkEntry {
         "doc_id", "text", shingleN = 2, threshold = 0.8,
         shingles = Some(jaccardShingles(s, d)),
         pairCounts = Some(jaccardPairCounts(s, d)))),
+    // Histogram-sketch quantiles (the sketch family's quantile member):
+    // p50/p95 account-balance bins per market segment from a 64-bin
+    // mergeable sketch — floor(×100) cents keep every step integer
+    // (floor on a double is tie-free, the q23 recipe).
+    "q111_hist_quantiles" -> ((s, d) => {
+      val cents = floor(col("c_acctbal") * lit(100.0)).cast("long")
+      val sk = graft.ml.Sketches.histSketch(Tables.customer(s, d),
+        Seq("c_mktsegment"), cents, -100000L, 1000000L, 64)
+      graft.ml.Sketches.histQuantiles(sk, Seq("c_mktsegment"),
+        -100000L, 1000000L, 64, Seq(500, 950))
+    }),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2232,5 +2243,28 @@ object SparkEntry {
          FROM inter
          JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          WHERE n_shared / least(sa.n, sb.n) >= 0.8""",
+    // q111: 64 equal-width bins over cents ∈ [-100000, 1000000), edge
+    // clamp; quantile bin = first with cumsum ≥ ceil(q·N/1000); bin
+    // bounds re-derived with the same integer division.
+    "q111_hist_quantiles" ->
+      """WITH v AS (SELECT c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+         b AS (SELECT c_mktsegment,
+             LEAST(GREATEST(((cents + 100000) * 64) // 1100000, 0), 63) AS bin
+           FROM v),
+         sk AS (SELECT c_mktsegment, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         c AS (SELECT c_mktsegment, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY c_mktsegment) AS n
+           FROM sk),
+         sel AS (SELECT c_mktsegment, t.q AS q_permille, MIN(bin) AS bin
+                 FROM c, (VALUES (500), (950)) t(q)
+                 WHERE cum >= (n * t.q + 999) // 1000
+                 GROUP BY 1, 2)
+         SELECT c_mktsegment, CAST(q_permille AS INTEGER) AS q_permille,
+           CAST(bin AS BIGINT) AS bin,
+           CAST(-100000 + (bin * 1100000) // 64 AS BIGINT) AS bin_lo,
+           CAST(-100000 + ((bin + 1) * 1100000) // 64 AS BIGINT) AS bin_hi
+         FROM sel""",
   )
 }

@@ -207,6 +207,77 @@ object Sketches {
         .as("bloom_hit"))
   }
 
+  /** Fixed-bin histogram sketch — the quantile member of the sketch
+    * family (distinct = HLL, frequency = count-min, membership = bloom).
+    * `bins` equal-width buckets over the LONG range [lo, hi); values
+    * outside clamp into the edge bins (standard histogram-sketch
+    * convention — the tails stay visible without unbounded range). One
+    * map-side-combinable groupBy; ≤ bins rows per group regardless of
+    * data size; shards merge by per-bin count sum ([[histMerge]]).
+    *
+    * All arithmetic is integer (`(v − lo) · bins div (hi − lo)`), so the
+    * oracle replays bins, counts and quantiles exactly — unlike
+    * KLL/t-digest, whose float merge order would be partitioning-
+    * dependent. The price is fixed resolution: quantile error ≤ one bin
+    * width, chosen up front.
+    */
+  def histSketch(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                 lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= (1 << 20), s"histSketch: bins in [2, 2^20], got $bins")
+    require(lo < hi, s"histSketch: lo < hi, got [$lo, $hi)")
+    // Overflow contract (ANSI makes a breach loud): (v − lo) · bins must
+    // fit a long — at bins ≤ 2^20 that allows value ranges up to ~2^43.
+    df.select(groupCols.map(col) :+
+        ((valueCol.cast("long") - lit(lo)) * lit(bins.toLong)).as("__num"): _*)
+      .withColumn("bin", least(greatest(
+        expr(s"__num div ${hi - lo}L"), lit(0L)), lit(bins - 1L)))
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histogram sketches over the same (groupCols, lo, hi, bins):
+    * per-bin count sum.
+    */
+  def histMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantiles from a histogram sketch: for each permille q in `qs`, the
+    * first bin whose cumulative count reaches rank = ceil(q·N/1000) —
+    * i.e. the bin CONTAINING the exact q-quantile, with its [bin_lo,
+    * bin_hi) value bounds. Integer ranks, shared per-group cumsum sort;
+    * group cardinality is sketch-sized (≤ bins rows), so the windows are
+    * trivial at any corpus scale.
+    */
+  def histQuantiles(sketch: DataFrame, groupCols: Seq[String],
+                    lo: Long, hi: Long, bins: Int, qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 1000),
+      s"histQuantiles: permilles in [1, 1000], got $qs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("bin").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val cum = sketch
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__n", sum(col("cnt")).over(wAll))
+    qs.map { q =>
+      cum
+        .filter(col("__cum") >= expr(s"(__n * ${q}L + 999) div 1000"))
+        .groupBy(groupCols.map(col): _*)
+        .agg(min(col("bin")).as("bin"))
+        .withColumn("q_permille", lit(q))
+    }.reduce(_ unionByName _)
+      .withColumn("bin_lo",
+        lit(lo) + expr(s"bin * ${hi - lo}L div ${bins}L"))
+      .withColumn("bin_hi",
+        lit(lo) + expr(s"(bin + 1) * ${hi - lo}L div ${bins}L"))
+      .select(groupCols.map(col) ++ Seq(col("q_permille"), col("bin"),
+        col("bin_lo"), col("bin_hi")): _*)
+  }
+
   /** Heavy hitters: sketch a token-occurrence stream (one row per
     * occurrence — build it with [[graft.text.TextDedup.shinglesAll]] for
     * n-grams), estimate every distinct token, keep the top `k` by

@@ -175,6 +175,48 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("histogram sketch: clamped edges, fixed size, merge == whole") {
+    val s = spark; import s.implicits._
+    val vals = Seq(-500L, 0L, 1L, 99L, 100L, 250L, 999L, 1000L, 5000L)
+      .map(("g", _))
+    val df = vals.toDF("grp", "v")
+    // 10 bins over [0, 1000): -500 clamps to bin 0, >= 1000 to bin 9
+    val sk = Sketches.histSketch(df, Seq("grp"), col("v"), 0L, 1000L, 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(sk(0L) == 4)  // -500, 0, 1, 99
+    assert(sk(1L) == 1 && sk(2L) == 1)  // 100; 250
+    assert(sk(9L) == 3)  // 999, 1000 (clamp), 5000 (clamp)
+    assert(sk.keys.forall(b => b >= 0 && b <= 9))
+    val half1 = vals.take(4).toDF("grp", "v")
+    val half2 = vals.drop(4).toDF("grp", "v")
+    val merged = Sketches.histMerge(
+        Sketches.histSketch(half1, Seq("grp"), col("v"), 0L, 1000L, 10),
+        Sketches.histSketch(half2, Seq("grp"), col("v"), 0L, 1000L, 10), Seq("grp"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == sk)
+  }
+
+  test("histogram quantiles: the selected bin contains the exact quantile") {
+    val s = spark; import s.implicits._
+    val data = (1 to 1000).map(i => ("g", (i * i % 7919).toLong))
+    val df = data.toDF("grp", "v")
+    val sk = Sketches.histSketch(df, Seq("grp"), col("v"), 0L, 8000L, 32)
+    val qs = Sketches.histQuantiles(sk, Seq("grp"), 0L, 8000L, 32, Seq(500, 950, 1000))
+      .collect().map(r => r.getInt(1) -> (r.getLong(3), r.getLong(4))).toMap
+    val sorted = data.map(_._2).sorted
+    for ((q, (blo, bhi)) <- qs) {
+      val exact = sorted((sorted.size * q + 999) / 1000 - 1)
+      assert(blo <= exact && exact < bhi,
+        s"p$q: exact $exact outside selected bin [$blo, $bhi)")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.histQuantiles(sk, Seq("grp"), 0L, 8000L, 32, Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.histSketch(df, Seq("grp"), col("v"), 10L, 10L, 8)
+    }
+  }
+
   test("bloom: parameter validation") {
     val s = spark; import s.implicits._
     val df = Seq(1L).toDF("v")
