@@ -207,6 +207,34 @@ object Sketches {
         .as("bloom_hit"))
   }
 
+  /** Row-local bloom PRUNE — the shape that actually cuts a 100 TB
+    * join: fold the word table into ONE map row, broadcast it, and
+    * filter the fact side in place. Unlike [[bloomProbe]] (which builds
+    * a per-distinct-value verdict table through an aggregation
+    * exchange), the fact table here never shuffles at all — its rows
+    * pass or die inside the scan stage, BEFORE the join exchange the
+    * filter exists to shrink (spec asserts zero hash exchanges in the
+    * plan). No false negatives, so the downstream exact join sees every
+    * true match; false positives just ride along and fall out there.
+    */
+  def bloomPrune(words: DataFrame, df: DataFrame, valueCol: Column,
+                 mBits: Int, k: Int, salt: String = "bloom-"): DataFrame = {
+    require(mBits >= 32 && (mBits & (mBits - 1)) == 0 && k >= 1 && k <= 8,
+      s"bloomPrune: mBits a power of two >= 32, k in [1, 8], got m=$mBits k=$k")
+    val bitmap = words.agg(map_from_entries(
+      collect_list(struct(col("word_idx"), col("word")))).as("__bloom"))
+    df
+      .withColumn("__ps", array((0 until k).map(i =>
+        hash60(valueCol, s"$salt$i-").bitwiseAND(lit(mBits - 1L))): _*))
+      .crossJoin(broadcast(bitmap))
+      // try_element_at: a word with no set bits is absent from the map —
+      // that's a miss, not an error (ANSI element_at would throw).
+      .filter(expr("forall(__ps, p -> (shiftright(coalesce(" +
+        "try_element_at(__bloom, p div 32), CAST(0 AS BIGINT)), " +
+        "CAST(p % 32 AS INT)) & 1) = 1)"))
+      .drop("__ps", "__bloom")
+  }
+
   /** Fixed-bin histogram sketch — the quantile member of the sketch
     * family (distinct = HLL, frequency = count-min, membership = bloom).
     * `bins` equal-width buckets over the LONG range [lo, hi); values

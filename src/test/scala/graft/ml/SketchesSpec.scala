@@ -217,6 +217,37 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrune: agrees with the verdict probe; fact side never hash-shuffles") {
+    val s = spark; import s.implicits._
+    val built = (0L until 300L).toSeq
+    val words = Sketches.bloomWords(built.toDF("v"), col("v"), 4096, 4)
+    val facts = (0L until 3000L).map(i => (i, s"payload$i")).toDF("v", "payload")
+    val pruned = Sketches.bloomPrune(words, facts, col("v"), 4096, 4)
+    val survivors = pruned.collect().map(_.getLong(0)).toSet
+    // exactly the verdict-probe hit set (same bits, two formulations)
+    val verdicts = Sketches.bloomProbe(words, facts.select(col("v")), col("v"), 4096, 4)
+      .filter(col("bloom_hit")).collect().map(_.getLong(0)).toSet
+    assert(survivors == verdicts)
+    assert(built.toSet.subsetOf(survivors), "a true member was pruned")
+    assert(pruned.columns.toSeq == Seq("v", "payload"), "helper columns must not leak")
+    // the word-table BUILD owns its groupBy exchange; pruning must add
+    // ZERO beyond it — the fact side never hash-shuffles. Fresh
+    // (unexecuted) plans: an executed AQE plan string repeats stages.
+    val plan = Sketches.bloomPrune(words, facts, col("v"), 4096, 4)
+      .queryExecution.executedPlan.toString
+    val pruneEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val buildEx = "Exchange hashpartitioning".r.findAllIn(
+      Sketches.bloomWords(built.toDF("v"), col("v"), 4096, 4)
+        .queryExecution.executedPlan.toString).length
+    assert(pruneEx == buildEx,
+      s"bloom prune added ${pruneEx - buildEx} hash exchange(s) over the sketch build:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"bitmap must arrive by broadcast:\n$plan")
+    // empty bloom prunes everything
+    val empty = Sketches.bloomWords(Seq.empty[Long].toDF("v"), col("v"), 4096, 4)
+    assert(Sketches.bloomPrune(empty, facts, col("v"), 4096, 4).count() == 0)
+  }
+
   test("bloom: parameter validation") {
     val s = spark; import s.implicits._
     val df = Seq(1L).toDF("v")
