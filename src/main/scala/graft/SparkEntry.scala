@@ -1998,16 +1998,24 @@ object SparkEntry {
          FROM c WHERE budget_used <= 2000""",
     // q99: change-detect lag, then lead/row_number over the surviving
     // change rows — same (ts, event_id) order everywhere; DuckDB
-    // row_number is BIGINT, Spark's is INT, hence the cast.
+    // row_number is BIGINT, Spark's is INT, hence the cast. The change
+    // predicate mirrors Spark's null-safe struct compare exactly:
+    // rn = 1 opens version 1 unconditionally (lag-at-start is a NULL
+    // struct, never <=> a real row), and IS DISTINCT FROM makes
+    // null→value / value→null changes without dropping null-valued rows
+    // (plain `<>` would). Test events carry no null event_type today, so
+    // the hash is unchanged — but the oracle no longer depends on that.
     "q99_scd2_history" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
                     FROM events WHERE user_id IS NOT NULL),
          o AS (SELECT user_id, event_type, ts_us, event_id,
                  lag(event_type) OVER (PARTITION BY user_id
-                   ORDER BY ts_us, event_id) AS prev
+                   ORDER BY ts_us, event_id) AS prev,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS rn
                FROM e),
          ch AS (SELECT user_id, event_type, ts_us, event_id FROM o
-                WHERE prev IS NULL OR prev <> event_type)
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
          SELECT user_id, event_type,
            ts_us AS valid_from_us,
            lead(ts_us) OVER (PARTITION BY user_id
@@ -2107,10 +2115,12 @@ object SparkEntry {
                     FROM events WHERE user_id IS NOT NULL),
          o AS (SELECT user_id, event_type, ts_us, event_id,
                  lag(event_type) OVER (PARTITION BY user_id
-                   ORDER BY ts_us, event_id) AS prev
+                   ORDER BY ts_us, event_id) AS prev,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS rn
                FROM e),
          ch AS (SELECT user_id, event_type, ts_us, event_id FROM o
-                WHERE prev IS NULL OR prev <> event_type),
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
          v AS (SELECT user_id, event_type,
                  ts_us AS valid_from_us,
                  lead(ts_us) OVER (PARTITION BY user_id
@@ -2214,10 +2224,12 @@ object SparkEntry {
                     FROM events WHERE user_id IS NOT NULL),
          o AS (SELECT user_id, event_type, ts_us, event_id,
                  lag(event_type) OVER (PARTITION BY user_id
-                   ORDER BY ts_us, event_id) AS prev
+                   ORDER BY ts_us, event_id) AS prev,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS rn
                FROM e),
          ch AS (SELECT user_id, event_type, ts_us, event_id FROM o
-                WHERE prev IS NULL OR prev <> event_type)
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
          SELECT user_id, event_type,
            ts_us AS valid_from_us,
            lead(ts_us) OVER (PARTITION BY user_id

@@ -7,8 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional 3rd arg: comma-separated query names (dev iteration aid).
+    // Surrounding [brackets] are tolerated — the docs render the arg as
+    // [q24,q25] and a literal paste of that must select q24 and q25, not
+    // silently match nothing.
     val only: Set[String] =
-      if (args.length > 2) args(2).split(",").toSet else Set.empty
+      if (args.length > 2)
+        args(2).stripPrefix("[").stripSuffix("]").split(",").toSet
+      else Set.empty
     val spark = GraftSession.local("graft-verify")
     new java.io.File(outDir).mkdirs()
     if (only.nonEmpty)

@@ -277,6 +277,14 @@ object Sketches {
     * bin_hi) value bounds. Integer ranks, shared per-group cumsum sort;
     * group cardinality is sketch-sized (≤ bins rows), so the windows are
     * trivial at any corpus scale.
+    *
+    * One pass for ALL requested quantiles: the first bin reaching rank r
+    * is exactly the bin with cum ≥ r AND cum − cnt < r (the previous
+    * cumulative hadn't reached it; sketch rows all have cnt > 0), so an
+    * explode of the q list plus that row-local predicate selects every
+    * quantile bin without re-evaluating the upstream plan per q — the
+    * per-q filter/groupBy/union of the original formulation recomputed
+    * the sketch (scan + both window passes) once per requested quantile.
     */
   def histQuantiles(sketch: DataFrame, groupCols: Seq[String],
                     lo: Long, hi: Long, bins: Int, qs: Seq[Int]): DataFrame = {
@@ -288,16 +296,14 @@ object Sketches {
         org.apache.spark.sql.expressions.Window.currentRow)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
-    val cum = sketch
+    sketch
       .withColumn("__cum", sum(col("cnt")).over(w))
       .withColumn("__n", sum(col("cnt")).over(wAll))
-    qs.map { q =>
-      cum
-        .filter(col("__cum") >= expr(s"(__n * ${q}L + 999) div 1000"))
-        .groupBy(groupCols.map(col): _*)
-        .agg(min(col("bin")).as("bin"))
-        .withColumn("q_permille", lit(q))
-    }.reduce(_ unionByName _)
+      .withColumn("q_permille",
+        explode(array(qs.map(q => lit(q)): _*)))
+      .withColumn("__rank", expr("(__n * q_permille + 999) div 1000"))
+      .filter(col("__cum") >= col("__rank") &&
+        col("__cum") - col("cnt") < col("__rank"))
       .withColumn("bin_lo",
         lit(lo) + expr(s"bin * ${hi - lo}L div ${bins}L"))
       .withColumn("bin_hi",
