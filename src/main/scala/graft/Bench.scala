@@ -84,7 +84,24 @@ object Bench {
     // Two timed executions per query, min taken: the host is a VM with
     // occasional multi-second pauses; min-of-2 reports the query's actual
     // steady-state cost instead of whichever run a pause happened to hit.
-    val results = names.map { name =>
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+    // Render the cumulative results as the contract's JSON line. Key order
+    // is deliberate: the driver archives only the TAIL (last ~2000 chars)
+    // of the output, and with 90+ queries the line overflows that buffer —
+    // the headline metric/value/sf go LAST so they always survive
+    // truncation (BENCH_r07's total was cut off the front under the old
+    // order). `partial=true` tags interim lines so a truncated run is
+    // visibly not a full suite.
+    def render(partial: Boolean): String = {
+      val qjson = results.collect { case (k, v, true) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = results.collect { case (_, v, true) => v }.sum
+      val tag = if (partial) "\"partial\":true," else ""
+      f"""{"queries":$qjson,"failed":$failed,$tag"metric":"total","unit":"sec","sf":"$sfDir","value":$total%.3f}"""
+    }
+    names.foreach { name =>
       // timed() keeps the QueryExecution of a successful run so explain
       // can print the final AQE plan WITHOUT a redundant extra execution.
       def timed(): (Double, Option[org.apache.spark.sql.execution.QueryExecution]) = {
@@ -109,19 +126,19 @@ object Bench {
       // in the CacheManager, which holds them forever in a long-lived
       // session — exactly the accumulation a bench session exhibits.
       spark.catalog.clearCache()
-      if (successes.isEmpty) (name, attempts.head._1, false)
-      else (name, successes.min, true)
+      results += (if (successes.isEmpty) (name, attempts.head._1, false)
+                  else (name, successes.min, true))
+      // Crash/timeout insurance: emit the cumulative line after EVERY
+      // query. BENCH_r09 was killed at the driver's timeout before the
+      // end-of-run print, so the round recorded zero numbers — with
+      // interim emission the tail always ends with a parseable line
+      // covering everything measured so far. Stdout is flushed because
+      // a SIGKILL won't.
+      println(render(partial = true))
+      System.out.flush()
     }
-    val qjson = results.collect { case (k, v, true) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    // Key order is deliberate: the driver archives only the TAIL of the
-    // output, and with 90+ queries the line overflows that buffer — the
-    // headline metric/value/sf go LAST so they always survive truncation
-    // (BENCH_r07's total was cut off the front under the old order).
-    println(f"""{"queries":$qjson,"failed":$failed,"metric":"total","unit":"sec","sf":"$sfDir","value":$total%.3f}""")
+    println(render(partial = false))
+    System.out.flush()
     spark.stop()
   }
 }
