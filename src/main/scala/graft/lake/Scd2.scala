@@ -91,21 +91,49 @@ object Scd2 {
     */
   def applyChanges(history: DataFrame, changes: DataFrame, keyCols: Seq[String],
                    trackCols: Seq[String], tsCol: String, tieCol: String): DataFrame = {
+    // The seed pseudo-change sorts first at its timestamp via tie = −1L,
+    // so the append-only contract is ENFORCED, not just documented: the
+    // tie column must be a non-negative long (a non-long type would also
+    // silently widen the union), and any change sorting before its key's
+    // current valid_from_us aborts the job instead of corrupting the
+    // rebuilt history. Both guards are row-local expressions inside
+    // passes the operator already makes — no extra action, no extra
+    // exchange.
+    require(changes.schema(tieCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"Scd2.applyChanges: tie column '$tieCol' must be LongType (the " +
+        "seed row's -1L tiebreaker unions with it); got " +
+        s"${changes.schema(tieCol).dataType.simpleString}")
+    val guarded = changes.withColumn(tieCol,
+      when(col(tieCol) < 0, raise_error(format_string(
+        s"Scd2.applyChanges: tie column '$tieCol' must be non-negative " +
+          "(-1 is reserved for the current-row seed); got %s", col(tieCol))))
+        .otherwise(col(tieCol)))
     val cur = history.filter(col("is_current"))
     val affected = changes.select(keyCols.map(col): _*).distinct()
     val curAffected = cur.join(affected, keyCols)
-    val offsets = curAffected
-      .select(keyCols.map(col) :+ col("version").as("__off"): _*)
+    val offsets = curAffected.select(keyCols.map(col) :+
+      col("version").as("__off") :+ col("valid_from_us").as("__seed_ts"): _*)
     val seed = curAffected.select((keyCols ++ trackCols).map(col) :+
       col("valid_from_us").as(tsCol) :+ lit(-1L).as(tieCol): _*)
     val mini = seed.unionByName(
-      changes.select((keyCols ++ trackCols).map(col) :+ col(tsCol) :+
+      guarded.select((keyCols ++ trackCols).map(col) :+ col(tsCol) :+
         col(tieCol): _*))
+    // A late event (ts before the key's current valid_from_us) would win
+    // the rebuilt key's first version; the offsets join the operator
+    // already performs carries the seed timestamp, so the violation is a
+    // row-local check on the rebuilt rows (null __seed_ts = brand-new
+    // key, nothing to violate).
     val rebuilt = this.history(mini, keyCols, trackCols, tsCol, tieCol)
       .join(offsets, keyCols, "left")
       .withColumn("version",
-        (col("version") + coalesce(col("__off"), lit(1)) - 1).cast("int"))
-      .drop("__off")
+        when(col("valid_from_us") < col("__seed_ts"), raise_error(
+          format_string("Scd2.applyChanges: append-only contract " +
+            "violated - change at ts=%s sorts before the key's current " +
+            "valid_from_us=%s", col("valid_from_us"), col("__seed_ts"))))
+          .otherwise((col("version") + coalesce(col("__off"), lit(1)) - 1))
+          .cast("int"))
+      .drop("__off", "__seed_ts")
     val untouchedCurrent = cur.join(affected, keyCols, "left_anti")
     history.filter(!col("is_current"))
       .unionByName(untouchedCurrent)

@@ -180,7 +180,11 @@ object TextDedup {
     *
     * `shingles`: pass a pre-built [[shingleHashedDocs]] table (id, sh) to
     * share one persisted copy across several dedup flavors — the caller
-    * then owns its persistence/unpersist. When None, the table is built
+    * then owns its persistence/unpersist AND the build-time knobs: the
+    * internal build pre-filters docs shorter than shingleN tokens, so a
+    * supplied table must have applied the same filter (and `pairCounts`,
+    * when supplied, similarly bakes in its own maxDf/cap — non-default
+    * values alongside it are rejected). When None, the table is built
     * here and persisted for this plan's internal reuse (it stays in the
     * session CacheManager until unpersist/session end — see
     * [[nearDupPairs]]'s lifecycle note).
@@ -190,6 +194,14 @@ object TextDedup {
                           maxDf: Option[Int] = None, cap: Int = 2048,
                           shingles: Option[DataFrame] = None,
                           pairCounts: Option[DataFrame] = None): DataFrame = {
+    // maxDf/cap parameterize the pair-count build ONLY — a caller handing
+    // in a pre-built pairCounts owns those knobs (they were fixed when it
+    // was built), so non-default values alongside pairCounts are a
+    // contradiction we refuse rather than silently ignore.
+    require(pairCounts.isEmpty || (maxDf.isEmpty && cap == 2048),
+      "jaccardNearDupPairs: maxDf/cap only apply when pairCounts is " +
+        "built internally - they were fixed when the supplied pairCounts " +
+        "was created (build it via shinglePairCounts(sh, maxDf, cap))")
     val sh = shingles.getOrElse(shingleHashedDocs(
       docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -242,6 +254,12 @@ object TextDedup {
                        maxDf: Option[Int] = None, cap: Int = 2048,
                        shingles: Option[DataFrame] = None,
                        pairCounts: Option[DataFrame] = None): DataFrame = {
+    // Same knob-ownership contract as [[jaccardNearDupPairs]]: a supplied
+    // pairCounts already baked in its maxDf/cap.
+    require(pairCounts.isEmpty || (maxDf.isEmpty && cap == 2048),
+      "containmentPairs: maxDf/cap only apply when pairCounts is built " +
+        "internally - they were fixed when the supplied pairCounts was " +
+        "created (build it via shinglePairCounts(sh, maxDf, cap))")
     val sh = shingles.getOrElse(shingleHashedDocs(
       docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

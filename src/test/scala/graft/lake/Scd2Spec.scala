@@ -133,6 +133,36 @@ class Scd2Spec extends SparkSpec {
       (9L, "N", 35L, -1L, 1, true))) // new key starts at version 1
   }
 
+  test("applyChanges: append-only contract is enforced, not just documented") {
+    val s = spark; import s.implicits._
+    val day1 = Seq((1L, "A", 10L, 1L), (1L, "B", 20L, 2L))
+      .toDF("k", "attr", "ts", "id")
+    val h1 = Scd2.history(day1, Seq("k"), Seq("attr"), "ts", "id")
+    // late event: ts before key 1's current valid_from_us (20) aborts
+    val late = Seq((1L, "C", 15L, 3L)).toDF("k", "attr", "ts", "id")
+    val eLate = intercept[Exception] {
+      Scd2.applyChanges(h1, late, Seq("k"), Seq("attr"), "ts", "id").collect()
+    }
+    assert(eLate.getMessage.contains("append-only") ||
+      Option(eLate.getCause).exists(_.getMessage.contains("append-only")))
+    // negative tie: collides with the seed's reserved -1L slot
+    val negTie = Seq((1L, "C", 30L, -5L)).toDF("k", "attr", "ts", "id")
+    val eTie = intercept[Exception] {
+      Scd2.applyChanges(h1, negTie, Seq("k"), Seq("attr"), "ts", "id").collect()
+    }
+    assert(eTie.getMessage.contains("non-negative") ||
+      Option(eTie.getCause).exists(_.getMessage.contains("non-negative")))
+    // non-long tie column: rejected statically (the seed unions a -1L)
+    val intTie = Seq((1L, "C", 30L, 3)).toDF("k", "attr", "ts", "id")
+    intercept[IllegalArgumentException] {
+      Scd2.applyChanges(h1, intTie, Seq("k"), Seq("attr"), "ts", "id")
+    }
+    // a conforming batch on the SAME inputs still goes through unchanged
+    val ok = Seq((1L, "C", 30L, 3L)).toDF("k", "attr", "ts", "id")
+    assert(Scd2.applyChanges(h1, ok, Seq("k"), Seq("attr"), "ts", "id")
+      .filter(col("is_current")).count() == 1)
+  }
+
   test("partitioning-independence: same history under any input layout") {
     val s = spark; import s.implicits._
     val df = stream.toDF("k", "attr", "ts", "id")

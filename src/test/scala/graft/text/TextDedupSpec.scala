@@ -276,6 +276,25 @@ class TextDedupSpec extends SparkSpec {
     assert(jac.isEmpty, "jaccard should miss the asymmetric quote pair")
   }
 
+  test("supplied pairCounts rejects non-default maxDf/cap (knobs baked at build)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val sh = TextDedup.shingleHashedDocs(docs, "doc_id", "text", 2)
+    val pc = TextDedup.shinglePairCounts(sh, maxDf = Some(5), cap = 64)
+    // the pre-built table with ITS knobs is fine…
+    assert(TextDedup.jaccardNearDupPairs(docs, "doc_id", "text", shingleN = 2,
+      threshold = 0.1, shingles = Some(sh), pairCounts = Some(pc)).count() >= 1)
+    // …but restating knobs alongside it is a contradiction, refused
+    intercept[IllegalArgumentException] {
+      TextDedup.jaccardNearDupPairs(docs, "doc_id", "text", shingleN = 2,
+        maxDf = Some(3), shingles = Some(sh), pairCounts = Some(pc))
+    }
+    intercept[IllegalArgumentException] {
+      TextDedup.containmentPairs(docs, "doc_id", "text", shingleN = 2,
+        cap = 64, shingles = Some(sh), pairCounts = Some(pc))
+    }
+  }
+
   test("chunkDedup reassembles surviving chunks in document order") {
     val s = spark; import s.implicits._
     val docs = Seq(
