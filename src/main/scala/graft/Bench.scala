@@ -44,6 +44,9 @@ object Bench {
     "q103_zorder_manifest", "q104_scd2_asof", "q105_fuzzy_pairs",
     "q106_bloom_filter", "q107_weighted_sample", "q108_embedding_canonical",
     "q109_scd2_increment", "q110_containment", "q111_hist_quantiles",
+    "q112_event_transitions", "q113_group_zscore", "q114_ffill_resample",
+    "q115_label_centroids", "q116_bigram_logprob", "q117_touch_attribution",
+    "q118_component_sizes",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

@@ -89,6 +89,32 @@ object SparkEntry {
         "doc_id", "text")
     }
 
+  /** The q50 simhash pair graph rebuilt in SQL, through the q60 recursive
+    * min-label reachability — shared CTE prefix of every oracle that
+    * consumes components (q60 labels them, q118 histograms their sizes).
+    * Ends after the `reach` CTE; append either a final SELECT or further
+    * CTEs (`, name AS (…)`).
+    */
+  private val simhashComponentsCte: String =
+    """WITH RECURSIVE tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+         bits AS (SELECT doc_id, b, SUM(2 * ((h >> b) & 1) - 1) AS s
+                  FROM h, UNNEST(range(0, 60)) t(b) GROUP BY 1, 2),
+         sh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+         pairs AS (SELECT x.doc_id AS pa, y.doc_id AS pb
+                   FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+                   WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+         e AS (SELECT pa AS src, pb AS dst FROM pairs
+               UNION ALL SELECT pb, pa FROM pairs),
+         n AS (SELECT DISTINCT src AS node FROM e),
+         reach(node, lab) AS (
+           SELECT node, node FROM n
+           UNION
+           SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node)"""
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     GraftSession.configure(spark)
@@ -758,6 +784,56 @@ object SparkEntry {
       graft.ml.Sketches.histQuantiles(sk, Seq("c_mktsegment"),
         -100000L, 1000000L, 64, Seq(500, 950))
     }),
+    // First-order Markov transition matrix of each user's event stream:
+    // count, origin outflow, and probability per (from, to) transition.
+    // One lead window + one map-side-combinable agg; the normalizer
+    // window runs over the |states|² matrix, never the stream.
+    "q112_event_transitions" -> ((s, d) =>
+      Analytics.eventTransitions(Tables.events(s, d))),
+    // Per-type z-score outliers (|z| ≥ 2): exact decimal sums of
+    // milli-quantized values, pinned-order double mean/var/σ/z — no
+    // per-group sort, model-sized stats joined back.
+    "q113_group_zscore" -> ((s, d) =>
+      Analytics.groupZScores(
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), "value", Seq("event_id"), 2.0)),
+    // Hour-grain resample with forward fill: last observation per
+    // (user, hour) carried across gap hours — two exchanges, gap rows
+    // generated map-side from the lead-to-next-observation explode.
+    "q114_ffill_resample" -> ((s, d) =>
+      Temporal.resampleFfill(
+        Tables.events(s, d)
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(col("user_id"), col("event_ts_us"), col("event_id"),
+            col("value")),
+        Seq("user_id"), "event_ts_us", Seq("event_id"), "value",
+        3600000000L)),
+    // Mean-pooled embedding per label (class centroids): q72's exact
+    // fixed-point sum recipe keyed by a data column — one narrow-row
+    // shuffle, model-sized output.
+    "q115_label_centroids" -> ((s, d) =>
+      Similarity.groupMeanPool(Tables.embeddingsSpread(s, d), "label")),
+    // Add-one-smoothed bigram LM scored over its own corpus — the
+    // sequence-aware quality score q84's unigram model cannot see; same
+    // floor(log·10⁶) fixed-point contract.
+    "q116_bigram_logprob" -> ((s, d) =>
+      TextStats.bigramLogProb(Tables.documentsSpread(s, d), "doc_id",
+        "text")),
+    // Windowed first/last-touch attribution (3-day window): min/max of
+    // the staged touch struct over a RANGE frame — single shuffle, no
+    // self-join, nulls when no in-window touch.
+    "q117_touch_attribution" -> ((s, d) =>
+      Temporal.touchAttribution(Tables.events(s, d), "user_id",
+        "event_ts_us", "event_id", "event_type", Seq("click", "view"),
+        "purchase", 259200000000L)),
+    // Near-dup cluster size histogram over the q50 simhash pair graph —
+    // the dedup QA readout (2-clusters vs template blobs); two
+    // model-sized aggs on top of the q60 component fixpoint.
+    "q118_component_sizes" -> ((s, d) =>
+      graft.graphs.ConnectedComponents.sizeHistogram(
+        simhashPairs(s, d)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -1390,27 +1466,9 @@ object SparkEntry {
     // q60: recomputes the q50 simhash pair graph, then walks it with a
     // recursive CTE — MIN(label) over reachability ≡ min-label-propagation
     // fixpoint.
-    "q60_dup_components" ->
-      """WITH RECURSIVE tok AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
-         bits AS (SELECT doc_id, b, SUM(2 * ((h >> b) & 1) - 1) AS s
-                  FROM h, UNNEST(range(0, 60)) t(b) GROUP BY 1, 2),
-         sh AS (SELECT doc_id,
-             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-           FROM bits GROUP BY doc_id),
-         pairs AS (SELECT x.doc_id AS pa, y.doc_id AS pb
-                   FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-                   WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
-         e AS (SELECT pa AS src, pb AS dst FROM pairs
-               UNION ALL SELECT pb, pa FROM pairs),
-         n AS (SELECT DISTINCT src AS node FROM e),
-         reach(node, lab) AS (
-           SELECT node, node FROM n
-           UNION
-           SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node)
+    "q60_dup_components" -> (simhashComponentsCte + """
          SELECT node AS doc_id, MIN(lab) AS component_id
-         FROM reach GROUP BY node""",
+         FROM reach GROUP BY node"""),
     "q61_mixture_sample" ->
       """SELECT doc_id, lang, rate_pct FROM (
            SELECT doc_id, lang,
@@ -2278,5 +2336,130 @@ object SparkEntry {
            CAST(-100000 + (bin * 1100000) // 64 AS BIGINT) AS bin_lo,
            CAST(-100000 + ((bin + 1) * 1100000) // 64 AS BIGINT) AS bin_hi
          FROM sel""",
+    // q112: lead over the same (ts, event_id) per-user order as q99; the
+    // outflow normalizer re-derives from the matrix itself, and p is one
+    // long/long→double division — bit-reproducible.
+    "q112_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+                    FROM events WHERE user_id IS NOT NULL),
+         o AS (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS to_type
+               FROM e),
+         c AS (SELECT from_type, to_type, COUNT(*) AS n FROM o
+               WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+           CAST(n AS DOUBLE) /
+             CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+         FROM c""",
+    // q113: identical pinned double-op order as the Spark side — exact
+    // HUGEINT sums of milli-quantized longs mirror Spark's DECIMAL(38,0)
+    // sums (both exact, both cast to the same double), then
+    // mean = Σq/n, var = (n·Σq² − Σq²)/(n·(n−1)), z = (q − mean)/√var.
+    "q113_group_zscore" ->
+      """WITH v AS (SELECT event_type, event_id, value,
+                      CAST(FLOOR(value * 1000.0) AS BIGINT) AS q
+                    FROM events WHERE value IS NOT NULL),
+         st AS (SELECT event_type, COUNT(*) AS n, SUM(q) AS sx,
+                  SUM(q * q) AS sxx
+                FROM v GROUP BY 1 HAVING COUNT(*) >= 2),
+         sd AS (SELECT event_type,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var
+                FROM st),
+         z AS (SELECT v.event_type, v.event_id, v.value,
+                 (CAST(v.q AS DOUBLE) - mean) / sqrt(var) AS z
+               FROM v JOIN sd USING (event_type) WHERE var > 0.0)
+         SELECT event_type, event_id, value, z FROM z WHERE abs(z) >= 2.0""",
+    // q114: last-in-bucket by (ts, event_id) DESC ≡ Spark's max-of-struct;
+    // range(bkt, nxt) generates the observed bucket plus its gap tail
+    // (range excludes the upper bound = the next observed bucket).
+    "q114_ffill_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+                    FROM events
+                    WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         b AS (SELECT user_id, ts_us // 3600000000 AS bkt, ts_us, event_id,
+                 value FROM e),
+         o AS (SELECT user_id, bkt, value FROM (
+                 SELECT user_id, bkt, value,
+                   row_number() OVER (PARTITION BY user_id, bkt
+                     ORDER BY ts_us DESC, event_id DESC) AS rn
+                 FROM b) WHERE rn = 1),
+         nx AS (SELECT user_id, bkt, value,
+                  lead(bkt) OVER (PARTITION BY user_id ORDER BY bkt) AS nxt
+                FROM o)
+         SELECT user_id, CAST(t.i AS BIGINT) AS bucket, value,
+           (t.i = bkt) AS observed
+         FROM nx, UNNEST(range(bkt, COALESCE(nxt, bkt + 1))) t(i)""",
+    // q115: q72's d-CTE over the whole table keyed by label; sums of
+    // singly-floored fixed-point terms, mean with pinned op order.
+    "q115_label_centroids" ->
+      """WITH d AS (SELECT label, CAST(t.i AS INTEGER) AS pos,
+                      CAST(embedding[t.i + 1] AS DOUBLE) AS v
+                    FROM embeddings, UNNEST(range(0, len(embedding))) t(i)
+                    WHERE label IS NOT NULL),
+         s AS (SELECT label, pos,
+                 CAST(SUM(CAST(FLOOR(v * 1048576.0) AS BIGINT)) AS BIGINT)
+                   AS dim_sum_fp,
+                 COUNT(*) AS n
+               FROM d GROUP BY 1, 2)
+         SELECT label, pos, dim_sum_fp, n,
+           (CAST(dim_sum_fp AS DOUBLE) / 1048576.0) / CAST(n AS DOUBLE)
+             AS dim_mean
+         FROM s""",
+    // q116: q84's floor(ln·10⁶) contract over bigrams; w1-prefix counts
+    // and the vocabulary scalar mirror the Spark side's two count tables
+    // and driver-collected V.
+    "q116_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+               FROM w, UNNEST(range(1, len(ws))) t(i)),
+         cb AS (SELECT w1, w2, COUNT(*) AS nbi FROM b GROUP BY 1, 2),
+         cu AS (SELECT w1, COUNT(*) AS nuni FROM b GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT u.w) AS vs FROM
+                 (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents) u),
+         s AS (SELECT b.doc_id,
+                 FLOOR(ln((CAST(nbi AS DOUBLE) + 1.0) /
+                   (CAST(nuni AS DOUBLE) +
+                     (SELECT CAST(vs AS DOUBLE) FROM v))) * 1000000.0) AS c
+               FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1))
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(c AS BIGINT)) AS BIGINT) AS logprob_fp,
+           (CAST(SUM(CAST(c AS BIGINT)) AS BIGINT) / 1000000.0) / COUNT(*)
+             AS avg_logprob
+         FROM s GROUP BY doc_id""",
+    // q117: the struct min/max over a RANGE frame replays Spark's staged
+    // touch struct exactly — named-struct comparison is field-order
+    // lexicographic on (ts, id, tp) in both engines, value-based frames
+    // include equal-ts peers regardless of row order, and NULL stages
+    // (non-touch rows) are invisible to min/max.
+    "q117_touch_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+                    FROM events WHERE user_id IS NOT NULL),
+         s AS (SELECT *, CASE WHEN event_type IN ('click', 'view')
+                 THEN {'ts': ts_us, 'id': event_id, 'tp': event_type}
+                 END AS touch
+               FROM e),
+         w AS (SELECT user_id, event_id, event_type, ts_us,
+                 min(touch) OVER win AS f, max(touch) OVER win AS l
+               FROM s
+               WINDOW win AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id AS conversion_id, ts_us AS conversion_ts_us,
+           f.id AS first_touch_id, f.tp AS first_touch_type,
+           ts_us - f.ts AS first_gap_us,
+           l.id AS last_touch_id, l.tp AS last_touch_type,
+           ts_us - l.ts AS last_gap_us
+         FROM w WHERE event_type = 'purchase'""",
+    // q118: the q60 reachability labeled, then sized, then histogrammed.
+    "q118_component_sizes" -> (simhashComponentsCte + """,
+         comp AS (SELECT node, MIN(lab) AS component_id
+                  FROM reach GROUP BY node),
+         cs AS (SELECT component_id, COUNT(*) AS size FROM comp GROUP BY 1)
+         SELECT size, COUNT(*) AS n_components FROM cs GROUP BY size"""),
   )
 }

@@ -121,4 +121,18 @@ object ConnectedComponents {
     adj.unpersist(blocking = false)
     labels.toDF("node", "component")
   }
+
+  /** Component-size histogram — the dedup QA readout over [[run]]:
+    * `(size, n_components)` for every observed cluster size. After a
+    * near-dup pass this is the first thing an operator looks at (how much
+    * mass sits in 2-clusters vs one giant template blob — a heavy tail
+    * means the threshold or the boilerplate filter needs attention).
+    * Two model-sized map-side-combinable aggs on top of the component
+    * labels; the fixpoint dominates, these rounds are free.
+    */
+  def sizeHistogram(edges: DataFrame, maxRounds: Int = 50,
+                    reliable: Boolean = false): DataFrame =
+    run(edges, maxRounds, reliable)
+      .groupBy(col("component")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
 }

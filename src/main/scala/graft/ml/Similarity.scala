@@ -298,6 +298,34 @@ object Similarity {
            count(lit(1)).as("n"))
   }
 
+  /** Grouped mean-pooling of embedding vectors — one mean vector per key
+    * (class centroids for probing/reweighting, chunk→document pooling,
+    * cluster summaries). [[kmeansUpdateSums]]'s exact-sum recipe with the
+    * grouping key supplied by the DATA instead of a centroid assignment:
+    * each component quantized ONCE to `floor(v·2^quantBits)` (exact
+    * integer-valued doubles — their sum is exact and order-independent
+    * below 2⁵³), then `mean = (Σ/2^q)/n` with pinned operation order so
+    * the oracle replays it bit-for-bit.
+    *
+    * Scale posture: posexplode is map-side; the (key, pos) agg is ONE
+    * map-side-combinable shuffle of dims·rows narrow rows; output is
+    * model-sized (|keys|·dims). No collect, no array on any shuffled row.
+    */
+  def groupMeanPool(vectors: DataFrame, keyCol: String,
+                    embCol: String = "embedding",
+                    quantBits: Int = 20): DataFrame = {
+    require(quantBits >= 0 && quantBits <= 40,
+      s"groupMeanPool: quantBits must be in [0, 40], got $quantBits")
+    val scale = (1L << quantBits).toDouble
+    vectors.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), posexplode(col(embCol)).as(Seq("pos", "__v")))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(sum(floor(col("__v").cast("double") * scale)).as("dim_sum_fp"),
+           count(lit(1)).as("n"))
+      .withColumn("dim_mean",
+        (col("dim_sum_fp") / scale) / col("n").cast("double"))
+  }
+
   /** Product quantization (Jégou et al., PAMI 2011 — public literature):
     * split each `dims`-dim vector into `m` subvectors of `dims/m`
     * components; each subvector is coded as the index of its nearest

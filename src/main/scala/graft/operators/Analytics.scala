@@ -564,4 +564,80 @@ object Analytics {
         least(greatest((floor(col("c_acctbal") / 500.0) + 1).cast("bigint"), lit(1L)), lit(20L))
           .as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** First-order Markov transition matrix of the event stream — the
+    * sequence-model companion of [[funnelCounts]] (which fixes ONE stage
+    * order; the transition matrix measures all of them). Per key, events
+    * ordered by (ts, tie) yield (state, next-state) bigrams; output is
+    * one row per observed transition with its count, the origin state's
+    * total outflow, and the transition probability.
+    *
+    * Scale posture: one exchange for the per-key lead window, one
+    * map-side-combinable agg on (from, to); the outflow normalizer is a
+    * window over the transition MATRIX (|states|² rows, model-sized —
+    * never the event stream), so the second pass is free at any corpus
+    * scale. `p` is one long/long IEEE division, oracle-reproducible.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_ts_us").asc, col("event_id").asc)
+    val wFrom = Window.partitionBy(col("from_type"))
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_ts_us"),
+        col("event_id"))
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(wFrom))
+      .withColumn("p",
+        col("n").cast("double") / col("n_from").cast("double"))
+  }
+
+  /** Per-group z-score outliers — anomaly detection with exact,
+    * order-independent sufficient statistics: values quantized once to
+    * milli-unit longs (`floor(x·1000)`, the repo's fixed-point recipe),
+    * Σq and Σq² summed as DECIMAL(38,0) (exact at any row count, where a
+    * long Σq² would overflow ~2⁶³ and a double sum would be
+    * order-dependent), then mean/variance/σ/z computed in doubles with a
+    * PINNED operation order so DuckDB replays them bit-for-bit:
+    *   mean = Σq/n,  var = (n·Σq² − Σq·Σq)/(n·(n−1)),  z = (q − mean)/√var.
+    * √ is IEEE-correctly-rounded (hardware, not libm) — no rounding guard
+    * needed, unlike trig/log.
+    *
+    * Scale posture: the stats agg is map-side combinable on the group
+    * key; the join back is group-cardinality-sized (broadcast at any
+    * realistic group count); the filter is row-local. No window, no
+    * per-group sort. Groups with < 2 rows or zero variance drop out
+    * (z undefined).
+    */
+  def groupZScores(df: DataFrame, keys: Seq[String], valueCol: String,
+                   idCols: Seq[String], zMin: Double): DataFrame = {
+    require(keys.nonEmpty && idCols.nonEmpty,
+      "groupZScores needs group keys and id columns")
+    require(zMin >= 0, s"groupZScores zMin must be >= 0, got $zMin")
+    val q = floor(col(valueCol) * 1000.0).cast("long")
+    val qd = q.cast("decimal(38,0)")
+    val stats = df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(qd).as("__sx"),
+        sum((q * q).cast("decimal(38,0)")).as("__sxx"))
+      .filter(col("__n") >= 2)
+      .withColumn("__mean",
+        col("__sx").cast("double") / col("__n").cast("double"))
+      .withColumn("__var",
+        (col("__n").cast("double") * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double")) /
+          (col("__n").cast("double") *
+            (col("__n").cast("double") - 1.0)))
+      .filter(col("__var") > 0.0)
+      .withColumn("__sd", sqrt(col("__var")))
+      .select(keys.map(col) :+ col("__mean") :+ col("__sd"): _*)
+    df.filter(col(valueCol).isNotNull)
+      .join(stats, keys)
+      .withColumn("z",
+        (q.cast("double") - col("__mean")) / col("__sd"))
+      .filter(abs(col("z")) >= zMin)
+      .select((keys ++ idCols).map(col) :+ col(valueCol) :+ col("z"): _*)
+  }
 }

@@ -175,4 +175,100 @@ object Temporal {
         max(col(tsCol)).as("session_end"),
         (max(col(tsCol)) - min(col(tsCol))).as("session_duration"),
         count(lit(1)).as("n_events"))
+
+  /** Fixed-grain resample with forward fill — the time-series
+    * regularization pass (the reference's per-minute fact rollup
+    * `/root/reference/analytics/models/marts/fct_sales_by_minute.sql`
+    * aggregates only OBSERVED minutes; training pipelines and gap-aware
+    * reporting need the dense grid with the last observation carried
+    * forward).
+    *
+    * Per key: buckets from the key's first to its last observation at
+    * `grainUs`, each carrying the LAST observed value at-or-before the
+    * bucket's end — `(bucket, value, observed)` where `observed` marks
+    * buckets with at least one real observation. Last-in-bucket is
+    * decided by `(tsCol, tieCols…)` so equal-timestamp observations
+    * resolve identically on any engine.
+    *
+    * Scale posture: two exchanges, no join, no materialized spine — one
+    * hash on (keys, bucket) for the in-bucket reduce (map-side
+    * combinable max-of-struct), one on keys for a single `lead` window;
+    * gap buckets are then GENERATED map-side by exploding each observed
+    * bucket forward to its successor, so the carried value is the fill
+    * (no spine join, no ignore-nulls pass) and a gap row never rides a
+    * shuffle as input. Per-key output is bounded by the key's observed
+    * span over the grain, not the corpus.
+    *
+    * Bucketing uses integer `div` (ts non-negative by the epoch-µs
+    * contract): a double division would lose unit precision at 2024
+    * epoch-µs magnitudes (ulp ≈ 0.25 at 1.7e15) and misplace boundary
+    * observations.
+    */
+  def resampleFfill(df: DataFrame, keys: Seq[String], tsCol: String,
+                    tieCols: Seq[String], valueCol: String,
+                    grainUs: Long): DataFrame = {
+    require(keys.nonEmpty, "resampleFfill needs at least one key column")
+    require(grainUs > 0, s"resampleFfill grain must be positive, got $grainUs")
+    // Last observation per (key, bucket): lexicographic max of the
+    // (ts, ties…, value) struct — map-side combinable, no window needed.
+    val ord = struct((col(tsCol) +: tieCols.map(col)) :+
+      col(valueCol).as("__v"): _*)
+    val perBucket = df
+      .withColumn("__b", expr(s"`$tsCol` div ${grainUs}L"))
+      .groupBy(keys.map(col) :+ col("__b"): _*)
+      .agg(max(ord).as("__last"))
+      .select(keys.map(col) :+ col("__b") :+
+        col("__last.__v").as("__obs"): _*)
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("__b").asc)
+    perBucket
+      .withColumn("__next", lead(col("__b"), 1).over(wOrd))
+      .select(keys.map(col) :+ col("__b") :+ col("__obs") :+
+        explode(sequence(col("__b"),
+          coalesce(col("__next") - 1, col("__b")))).as("bucket"): _*)
+      .select(keys.map(col) :+ col("bucket") :+
+        col("__obs").as("value") :+
+        (col("bucket") === col("__b")).as("observed"): _*)
+  }
+
+  /** Windowed first/last-touch attribution — for every conversion event,
+    * the earliest and latest touch-type event of the same key inside the
+    * trailing attribution window `[conv_ts − windowUs, conv_ts]`
+    * (marketing attribution; the reference's order state machine tracks
+    * the conversion side only).
+    *
+    * Single-shuffle formulation (the as-of/sessionize family's move): one
+    * unioned event stream per key, touches staged as a nullable
+    * `(ts, tie…, type)` struct, and `min`/`max` of that struct over a
+    * RANGE frame of `windowUs` preceding — value-based, so equal-ts peers
+    * are in-frame regardless of row order, and null stages (non-touch
+    * rows) are ignored by min/max. Conversions with no in-window touch
+    * keep nulls. No self-join, no per-conversion probe: one exchange on
+    * the key, one sort, both extremes from the same frame.
+    */
+  def touchAttribution(events: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, typeCol: String,
+                       touchTypes: Seq[String], convType: String,
+                       windowUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchAttribution needs touch types")
+    require(windowUs > 0, s"attribution window must be positive, got $windowUs")
+    val touch = when(col(typeCol).isin(touchTypes: _*),
+      struct(col(tsCol).as("ts"), col(tieCol).as("id"),
+        col(typeCol).as("tp")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+      .rangeBetween(-windowUs, 0)
+    events
+      .filter(col(keyCol).isNotNull)
+      .withColumn("__touch", touch)
+      .withColumn("__first", min(col("__touch")).over(w))
+      .withColumn("__last", max(col("__touch")).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(keyCol), col(tieCol).as("conversion_id"),
+        col(tsCol).as("conversion_ts_us"),
+        col("__first.id").as("first_touch_id"),
+        col("__first.tp").as("first_touch_type"),
+        (col(tsCol) - col("__first.ts")).as("first_gap_us"),
+        col("__last.id").as("last_touch_id"),
+        col("__last.tp").as("last_touch_type"),
+        (col(tsCol) - col("__last.ts")).as("last_gap_us"))
+  }
 }

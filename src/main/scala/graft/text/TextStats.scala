@@ -152,6 +152,57 @@ object TextStats {
           .as("avg_logprob"))
   }
 
+  /** Per-document average bigram log-probability — [[unigramLogProb]]'s
+    * sequence-aware sibling: an add-one-smoothed bigram language model
+    * fit on the corpus itself, scoring every document by the mean log of
+    * `p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V)` over its bigram occurrences
+    * (V = corpus unigram vocabulary; c(w₁·) = occurrences of w₁ as a
+    * bigram prefix). Low scores flag token sequences the corpus finds
+    * improbable — gibberish and boilerplate that unigram frequency
+    * (q84) cannot see because it ignores order.
+    *
+    * Cross-engine: same `floor(log(p)·10⁶)` fixed-point contract as
+    * [[unigramLogProb]] — each term quantized once, summed as exact
+    * integer-valued doubles. Bigrams are built map-side from the staged
+    * token array (no window, no per-doc sort); the two count tables are
+    * vocabulary-sized, map-side-combinable aggs, and V is the one
+    * driver-collected scalar (model state, the q84 convention).
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    // Stage the token array as a projected column: HOF lambdas re-evaluate
+    // referenced EXPRESSIONS per element, so `transform` must see a bound
+    // column, not a fresh split(text).
+    val staged = docs.select(col(idCol).as("doc_id"),
+      TextDedup.tokens(col(textCol)).as("__w"))
+    val grams = transform(sequence(lit(1), size(col("__w")) - 1),
+      i => struct(element_at(col("__w"), i).as("w1"),
+        element_at(col("__w"), i + 1).as("w2")))
+    // size < 2 guard BEFORE sequence(): sequence(1, 0) yields the
+    // DESCENDING [1, 0], not an empty list.
+    val bi = staged.select(col("doc_id"),
+        explode(when(size(col("__w")) >= 2, grams)
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val v = docs.select(explode(TextDedup.tokens(col(textCol))).as("w"))
+      .agg(count_distinct(col("w"))).head().getLong(0)
+    require(v > 0, "bigramLogProb over an empty corpus")
+    val cbi = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__nbi"))
+    val cuni = bi.groupBy(col("w1")).agg(count(lit(1)).as("__nuni"))
+    bi.join(cbi, Seq("w1", "w2")).join(cuni, Seq("w1"))
+      .select(col("doc_id"),
+        floor(log((col("__nbi").cast("double") + 1.0) /
+          (col("__nuni").cast("double") + lit(v.toDouble))) *
+          lit(1000000.0)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__c")).as("logprob_fp"))
+      .select(col("doc_id"), col("n_bigrams"), col("logprob_fp"),
+        ((col("logprob_fp") / lit(1000000.0)) / col("n_bigrams"))
+          .as("avg_logprob"))
+  }
+
   /** Frequency-ordered vocabulary build — the tokenizer-training
     * front-end: corpus token counts filtered to `minCount`, ids assigned
     * by (count desc, token asc) so the mapping is total-ordered and

@@ -59,4 +59,12 @@ class ConnectedComponentsSpec extends SparkSpec {
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("sizeHistogram: one 3-cluster and two 2-clusters") {
+    val s = spark; import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L)).toDF("src", "dst")
+    val got = ConnectedComponents.sizeHistogram(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 2L -> 2L))
+  }
 }

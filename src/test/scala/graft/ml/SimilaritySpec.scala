@@ -278,4 +278,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(0) == r.getDouble(1))
     assert(math.abs(r.getDouble(0) - 10.0 / 14.0) < 1e-12)
   }
+
+  test("groupMeanPool: exact per-dim means keyed by the data; null keys dropped") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Some(1), Array(1.0f, 2.0f)), (Some(1), Array(3.0f, 4.0f)),
+      (Some(2), Array(-1.5f, 0.25f)),
+      (Option.empty[Int], Array(9.0f, 9.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.groupMeanPool(df, "label")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // components are exactly representable → quantization is lossless
+    assert(got == Map(
+      (1, 0) -> ((4L * 1048576, 2L, 2.0)),
+      (1, 1) -> ((6L * 1048576, 2L, 3.0)),
+      (2, 0) -> ((-3L * 1048576 / 2, 1L, -1.5)),
+      (2, 1) -> ((1048576L / 4, 1L, 0.25))), s"got $got")
+    // single shuffle: posexplode is map-side, the (key, pos) agg is the
+    // only exchange
+    val plan = Similarity.groupMeanPool(df, "label")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("Exchange")) == 1,
+      s"groupMeanPool must be one narrow-row shuffle:\n$plan")
+  }
 }

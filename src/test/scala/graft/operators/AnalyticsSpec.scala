@@ -357,4 +357,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(h.filter(col("bucket") < 1 || col("bucket") > 20).count() == 0)
     assert(h.agg(sum("n")).head.getLong(0) == Tables.customer(spark, sfDir).count())
   }
+
+  test("eventTransitions: per-user bigram counts, outflow, probability") {
+    val s = spark; import s.implicits._
+    // user 1: A→B→A; user 2: B→B; null user dropped
+    val df = Seq(
+      (Some(1L), "A", 1L, 1L), (Some(1L), "B", 2L, 2L), (Some(1L), "A", 3L, 3L),
+      (Some(2L), "B", 5L, 4L), (Some(2L), "B", 6L, 5L),
+      (None, "A", 7L, 6L))
+      .toDF("user_id", "event_type", "event_ts_us", "event_id")
+    val got = Analytics.eventTransitions(df).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      ("A", "B") -> ((1L, 1L, 1.0)),
+      ("B", "A") -> ((1L, 2L, 0.5)),
+      ("B", "B") -> ((1L, 2L, 0.5))))
+    // probabilities out of each origin sum to 1
+    val sums = Analytics.eventTransitions(df)
+      .groupBy(col("from_type")).agg(sum(col("p")).as("sp"))
+      .collect().map(_.getDouble(1))
+    assert(sums.forall(x => math.abs(x - 1.0) < 1e-12))
+  }
+
+  test("groupZScores: hand-computed z, degenerate groups dropped") {
+    val s = spark; import s.implicits._
+    // group "a": nine 0.0 and one 100.0 → only the 100 has |z| >= 2
+    // group "b": constant → zero variance, dropped
+    // group "c": single row, dropped; null value ignored
+    val rows = (1L to 9L).map(i => ("a", i, 0.0)) ++ Seq(("a", 10L, 100.0),
+      ("b", 11L, 5.0), ("b", 12L, 5.0), ("c", 13L, 3.0))
+    val df = rows.toDF("g", "id", "value")
+      .unionByName(Seq(("a", 14L, Option.empty[Double])).toDF("g", "id", "value"))
+    val got = Analytics.groupZScores(df, Seq("g"), "value", Seq("id"), 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    // replicate the pinned double recipe: q = floor(v·1000)
+    val sx = 100000.0; val sxx = 1e10; val n = 10.0
+    val mean = sx / n
+    val vr = (n * sxx - sx * sx) / (n * (n - 1.0))
+    val zExp = (100000.0 - mean) / math.sqrt(vr)
+    assert(got.toSeq == Seq(("a", 10L, zExp)), s"got ${got.toSeq}")
+    // zMin = 0 returns every well-defined row (10 in group a; b, c dropped)
+    assert(Analytics.groupZScores(df, Seq("g"), "value", Seq("id"), 0.0)
+      .count() == 10)
+  }
 }

@@ -186,4 +186,78 @@ class TemporalSpec extends SparkSpec {
     assert(plan.split("\n").count(_.contains("Exchange")) == 1,
       s"sessionizeAgg must reuse the sessionize shuffle:\n$plan")
   }
+
+  test("resampleFfill: gaps carry the last observation; bucket edges are exact") {
+    val s = spark; import s.implicits._
+    // user 1: buckets 10 and 13 observed → 11, 12 filled from bucket 10;
+    // two observations in bucket 10 → (ts, id)-max wins; an observation
+    // exactly ON the bucket edge (ts = 13·100) belongs to bucket 13.
+    val df = Seq(
+      (1L, 1005L, 1L, 5.0), (1L, 1060L, 2L, 7.0), (1L, 1300L, 3L, 9.0),
+      (2L, 400L, 4L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Temporal.resampleFfill(df, Seq("user_id"), "ts",
+        Seq("event_id"), "value", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(got == Set(
+      (1L, 10L, 7.0, true),   // in-bucket last = (1060, id 2)
+      (1L, 11L, 7.0, false),  // gap: carried forward
+      (1L, 12L, 7.0, false),
+      (1L, 13L, 9.0, true),   // edge observation opens its own bucket
+      (2L, 4L, 1.0, true)))
+    // epoch-µs magnitude: integer div must keep adjacent µs in adjacent
+    // buckets where a double division's ulp (≈0.25 at 1.7e15) would not
+    val big = Seq((1L, 1704067199999999L, 1L, 1.0),
+      (1L, 1704067200000000L, 2L, 2.0)).toDF("user_id", "ts", "event_id", "value")
+    val buckets = Temporal.resampleFfill(big, Seq("user_id"), "ts",
+        Seq("event_id"), "value", 1000000L)
+      .filter(col("observed")).collect().map(_.getLong(1)).toSet
+    assert(buckets == Set(1704067199L, 1704067200L))
+  }
+
+  test("resampleFfill: two exchanges, no join; partitioning-independent") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 1005L, 1L, 5.0), (1L, 1300L, 3L, 9.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Temporal.resampleFfill(df, Seq("user_id"), "ts",
+      Seq("event_id"), "value", 100L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("Exchange")) == 2,
+      s"resampleFfill = one (key,bucket) agg + one key window:\n$plan")
+    assert(!plan.contains("Join"), s"gap generation must not join:\n$plan")
+    val a = out.collect().map(_.toSeq).toSet
+    val b = Temporal.resampleFfill(df.repartition(5), Seq("user_id"), "ts",
+      Seq("event_id"), "value", 100L).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("touchAttribution: window bounds, no-touch nulls, first≠last") {
+    val s = spark; import s.implicits._
+    // conversion at ts 1000, window 500 → touches in [500, 1000]:
+    //   ts 400 excluded (too old), ts 500 included (inclusive lower edge),
+    //   ts 900 included, ts 1000 included (same-µs peer, RANGE frame)
+    val df = Seq(
+      (1L, 400L, 1L, "click"), (1L, 500L, 2L, "view"),
+      (1L, 900L, 3L, "click"), (1L, 1000L, 4L, "view"),
+      (1L, 1000L, 5L, "purchase"),
+      (2L, 100L, 6L, "purchase"), // no touch at all → nulls
+      (3L, 700L, 7L, "click"), (3L, 710L, 8L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.touchAttribution(df, "user_id", "ts", "event_id",
+        "event_type", Seq("click", "view"), "purchase", 500L)
+      .collect().map(r => (r.getLong(0),
+        (if (r.isNullAt(3)) -1L else r.getLong(3)),
+        (if (r.isNullAt(6)) -1L else r.getLong(6)))).toSet
+    assert(got == Set(
+      (1L, 2L, 4L),   // first = view@500 (edge in), last = view@1000 (peer)
+      (2L, -1L, -1L), // no in-window touch
+      (3L, 7L, 7L)))  // single touch: first == last
+    val plan = Temporal.touchAttribution(df, "user_id", "ts", "event_id",
+        "event_type", Seq("click", "view"), "purchase", 500L)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("Exchange")) == 1 &&
+      !plan.contains("Join"),
+      s"attribution must be one key shuffle, no self-join:\n$plan")
+  }
 }

@@ -158,4 +158,22 @@ class TextStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextStats.chunkTokens(docs, "doc_id", "text", 5, 5))
   }
+
+  test("bigramLogProb: add-one model matches hand math; <2-token docs absent") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // V = |{a,b,c,x}| = 4; c(a·) = 3; c(ab) = 2, c(ac) = 1
+    val ab = math.floor(math.log(3.0 / 7.0) * 1e6).toLong
+    val ac = math.floor(math.log(2.0 / 7.0) * 1e6).toLong
+    assert(got == Map(
+      1L -> ((1L, ab, (ab / 1e6) / 1L)),
+      2L -> ((1L, ab, (ab / 1e6) / 1L)),
+      3L -> ((1L, ac, (ac / 1e6) / 1L))), s"got $got")
+    // a higher-probability continuation scores higher
+    assert(got(1L)._3 > got(3L)._3)
+  }
 }
