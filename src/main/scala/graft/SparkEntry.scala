@@ -834,6 +834,24 @@ object SparkEntry {
       graft.graphs.ConnectedComponents.sizeHistogram(
         simhashPairs(s, d)
           .select(col("doc_a").as("src"), col("doc_b").as("dst")))),
+    // Trailing-7-day rolling distinct users per epoch-day via HLL
+    // register re-aggregation — sketches built once per day, merged
+    // sketch-side; raw events are scanned exactly once.
+    "q119_rolling_distinct" -> ((s, d) =>
+      graft.ml.Sketches.hllRolling(
+        Tables.events(s, d).filter(col("user_id").isNotNull),
+        expr("event_ts_us div 86400000000"), col("user_id"), 7, 5)),
+    // MAD robust outliers (k=3): exact milli-long order statistics
+    // through the q62 bucketed-percentile machinery, twice.
+    "q120_mad_outliers" -> ((s, d) =>
+      Analytics.madOutliers(
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), "value", Seq("event_id"), 3.0)),
+    // Session-level PMI of event-type co-occurrence (30-min gap
+    // sessions): the association matrix over session-distinct type sets.
+    "q121_session_pmi" -> ((s, d) =>
+      Analytics.sessionPmi(Tables.events(s, d), 1800000000L)),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2461,5 +2479,87 @@ object SparkEntry {
                   FROM reach GROUP BY node),
          cs AS (SELECT component_id, COUNT(*) AS size FROM comp GROUP BY 1)
          SELECT size, COUNT(*) AS n_components FROM cs GROUP BY size"""),
+    // q119: q100's register/estimator integer replay with a day
+    // dimension; each register row contributes to its 7 trailing target
+    // days (range excludes the bound → exactly window targets), targets
+    // restricted to observed days.
+    "q119_rolling_distinct" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS period, user_id
+                    FROM events WHERE user_id IS NOT NULL),
+         h AS (SELECT period,
+                 CAST(('0x' || substr(md5('hll-' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM e),
+         r AS (SELECT period, h & 31 AS bucket,
+                 MAX(56 - length(ltrim(bin(h >> 5), '0'))) AS max_rho
+               FROM h GROUP BY 1, 2),
+         c AS (SELECT CAST(t.i AS BIGINT) AS period, bucket,
+                 MAX(max_rho) AS max_rho
+               FROM r, UNNEST(range(period, period + 7)) t(i) GROUP BY 1, 2),
+         k AS (SELECT c.period, c.bucket, c.max_rho FROM c
+               JOIN (SELECT DISTINCT period FROM r) d USING (period)),
+         g AS (SELECT period,
+                 SUM(CAST(1099511627776 AS BIGINT) >> max_rho) AS present_sum,
+                 COUNT(*) AS present
+               FROM k GROUP BY 1)
+         SELECT period,
+           CAST(785051302232064 //
+             greatest(present_sum + (32 - present) * 1099511627776, 1)
+             AS BIGINT) AS est_distinct
+         FROM g""",
+    // q120: both medians replayed by row_number at the q62 position
+    // convention t = (n·50 + 99) // 100 (lower median); duplicate values
+    // make the picked VALUE deterministic regardless of tie order.
+    "q120_mad_outliers" ->
+      """WITH v AS (SELECT event_type, event_id, value,
+                      CAST(FLOOR(value * 1000.0) AS BIGINT) AS q
+                    FROM events WHERE value IS NOT NULL),
+         m AS (SELECT event_type, q AS med FROM (
+                 SELECT event_type, q,
+                   row_number() OVER (PARTITION BY event_type ORDER BY q) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+                 FROM v) WHERE rn = (n * 50 + 99) // 100),
+         d AS (SELECT v.event_type, v.event_id, v.value,
+                 abs(v.q - m.med) AS dev_fp
+               FROM v JOIN m USING (event_type)),
+         md AS (SELECT event_type, dev_fp AS mad_fp FROM (
+                 SELECT event_type, dev_fp,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY dev_fp) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+                 FROM d) WHERE rn = (n * 50 + 99) // 100)
+         SELECT d.event_type, d.event_id, d.value, d.dev_fp, md.mad_fp
+         FROM d JOIN md USING (event_type)
+         WHERE CAST(d.dev_fp AS DOUBLE) > 3.0 * CAST(md.mad_fp AS DOUBLE)""",
+    // q121: q56's session derivation, session-distinct type sets, pair
+    // counts vs marginals; ln through the floor(·10⁶) fixed-point gate.
+    "q121_session_pmi" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+                    FROM events WHERE user_id IS NOT NULL),
+         l AS (SELECT *, lag(ts_us) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+               FROM e),
+         s AS (SELECT user_id, event_type,
+                 SUM(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+               FROM l),
+         st AS (SELECT DISTINCT user_id, session_seq, event_type FROM s),
+         ns AS (SELECT COUNT(*) AS n FROM
+                  (SELECT DISTINCT user_id, session_seq FROM st)),
+         sg AS (SELECT event_type, COUNT(*) AS n_a FROM st GROUP BY 1),
+         pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  COUNT(*) AS n_ab
+                FROM st a JOIN st b ON a.user_id = b.user_id
+                  AND a.session_seq = b.session_seq
+                  AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+         SELECT type_a, type_b, n_ab, sa.n_a, sb.n_a AS n_b,
+           CAST(FLOOR(ln((CAST(n_ab AS DOUBLE) *
+               (SELECT CAST(n AS DOUBLE) FROM ns)) /
+             (CAST(sa.n_a AS DOUBLE) * CAST(sb.n_a AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS pmi_fp
+         FROM pr JOIN sg sa ON sa.event_type = type_a
+           JOIN sg sb ON sb.event_type = type_b""",
   )
 }

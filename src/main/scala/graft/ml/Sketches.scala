@@ -106,6 +106,43 @@ object Sketches {
           s"greatest(__z_fp, CAST(1 AS BIGINT))").as("est_distinct"): _*)
   }
 
+  /** Trailing-window rolling distinct — the DAU→WAU/MAU metric family,
+    * and the reason mergeable sketches exist: registers are built ONCE
+    * per period, then every period's trailing estimate re-aggregates the
+    * m-row summaries instead of re-scanning `window` periods of raw data.
+    *
+    * Mechanics: per-period registers ([[hllRegisters]] keyed by
+    * `periodCol`, an integral period index such as epoch-days), each
+    * register row exploded map-side to the `window` target periods it
+    * contributes to, max-merged per (target, bucket) — [[hllMerge]]'s
+    * element-wise max expressed as one agg — and estimated. Targets are
+    * restricted to OBSERVED periods (broadcast semi join against the
+    * period list): a period with no activity has no row, the same
+    * "empty groups never appear" contract as [[hllEstimate]].
+    *
+    * Scale posture: raw data is touched once (the register agg); the
+    * explode multiplies only the sketch table (≤ periods·m rows) by
+    * `window`, and everything downstream is sketch-sized. At 100 TB the
+    * alternative — `window` overlapping distinct-counts — re-shuffles
+    * the fact table `window` times; this re-shuffles ~nothing.
+    */
+  def hllRolling(df: DataFrame, periodCol: Column, valueCol: Column,
+                 window: Int, p: Int, salt: String = "hll-"): DataFrame = {
+    require(window >= 1, s"hllRolling: window >= 1, got $window")
+    val regs = hllRegisters(df.select(periodCol.as("period"),
+      valueCol.as("__v")), Seq("period"), col("__v"), p, salt)
+    val periods = regs.select(col("period")).distinct()
+    val merged = regs
+      .withColumn("__target", explode(sequence(col("period"),
+        col("period") + (window - 1))))
+      .groupBy(col("__target"), col("bucket"))
+      .agg(max(col("max_rho")).cast("int").as("max_rho"))
+      .join(periods.withColumnRenamed("period", "__target"),
+        Seq("__target"), "left_semi")
+      .withColumnRenamed("__target", "period")
+    hllEstimate(merged, Seq("period"), p)
+  }
+
   /** Registers + estimate in one call — the `approx_count_distinct`
     * drop-in with a replayable oracle.
     */

@@ -611,6 +611,91 @@ object Analytics {
     * per-group sort. Groups with < 2 rows or zero variance drop out
     * (z undefined).
     */
+  /** Median-absolute-deviation outliers — [[groupZScores]]'s ROBUST
+    * sibling: mean/σ are themselves dragged by the outliers they're
+    * meant to find, medians are not (50% breakdown point vs 0%). Per
+    * group: med = median(q), mad = median(|q − med|), flag rows with
+    * |q − med| > k·mad. Values quantized once to milli-unit longs so
+    * both medians are EXACT order statistics (the repo's fixed-point
+    * recipe) and the DuckDB oracle replays them by row_number.
+    *
+    * Both medians run through [[groupPercentilesDisc]]'s two-pass
+    * bucketed histogram — no per-group single-task sort at any group
+    * size; the two median tables are group-cardinality-sized and
+    * broadcast back. Same position convention as q62
+    * (`t = ceil(n·50/100)`, the lower median), so the oracle formula is
+    * the one already proven there. A group that is > 50% one value has
+    * mad = 0 — then ANY deviation > 0 is flagged (textbook MAD
+    * behavior; `k` only matters for spread groups).
+    */
+  def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+                  idCols: Seq[String], k: Double): DataFrame = {
+    require(keys.nonEmpty && idCols.nonEmpty,
+      "madOutliers needs group keys and id columns")
+    require(k >= 0, s"madOutliers k must be >= 0, got $k")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select((keys ++ idCols).map(col) :+ col(valueCol) :+
+        floor(col(valueCol) * 1000.0).cast("long").as("__q"): _*)
+    val med = groupPercentilesDisc(base.select(keys.map(col) :+ col("__q"): _*),
+        keys, "__q", Seq(50))
+      .select(keys.map(col) :+ col("p50").as("__med"): _*)
+    val dev = base.join(med, keys)
+      .withColumn("dev_fp", abs(col("__q") - col("__med")))
+    val mad = groupPercentilesDisc(
+        dev.select(keys.map(col) :+ col("dev_fp"): _*), keys, "dev_fp", Seq(50))
+      .select(keys.map(col) :+ col("p50").as("mad_fp"): _*)
+    dev.join(mad, keys)
+      .filter(col("dev_fp").cast("double") > lit(k) * col("mad_fp").cast("double"))
+      .select((keys ++ idCols).map(col) :+ col(valueCol) :+
+        col("dev_fp") :+ col("mad_fp"): _*)
+  }
+
+  /** Pointwise mutual information of event-type co-occurrence within
+    * sessions — the association matrix behind "users who X in a session
+    * also Y": PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) over session-distinct
+    * type sets, positive when types co-occur beyond independence.
+    * Sessions come from [[graft.operators.Temporal.sessionize]] (gap
+    * rule); the session count N is the one driver-collected scalar
+    * (model state, the q84/q116 convention).
+    *
+    * Scale posture: sessionization is one key shuffle; the
+    * session-distinct projection and the pair self-join are both keyed
+    * by (user, session) — co-partitioned, and pair expansion per session
+    * is bounded by |types|²/2 (types is a small closed set). The count
+    * tables and output are |types|-sized. Fixed-point
+    * `floor(ln·10⁶)` keeps the scores hash-stable cross-engine.
+    */
+  def sessionPmi(events: DataFrame, gapUs: Long): DataFrame = {
+    val sess = graft.operators.Temporal.sessionize(
+      events.filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("event_ts_us")),
+      Seq("user_id"), "event_ts_us", Seq("event_id"), gapUs)
+    val st = sess.select(col("user_id"), col("session_seq"),
+      col("event_type")).distinct()
+    val nSessions = st.select(col("user_id"), col("session_seq"))
+      .distinct().count()
+    require(nSessions > 0, "sessionPmi over an empty event stream")
+    val single = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_a"))
+    val pairs = st.as("a").join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_seq") === col("b.session_seq") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(single.select(col("event_type").as("type_a"), col("n_a")),
+        Seq("type_a"))
+      .join(single.select(col("event_type").as("type_b"),
+        col("n_a").as("n_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        floor(log((col("n_ab").cast("double") * lit(nSessions.toDouble)) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))) *
+          lit(1000000.0)).as("pmi_fp"))
+  }
+
   def groupZScores(df: DataFrame, keys: Seq[String], valueCol: String,
                    idCols: Seq[String], zMin: Double): DataFrame = {
     require(keys.nonEmpty && idCols.nonEmpty,

@@ -258,4 +258,30 @@ class SketchesSpec extends SparkSpec {
       Sketches.bloomProbe(df, df, col("v"), 4096, 9)
     }
   }
+
+  test("hllRolling: window=1 equals per-period hllDistinct; windows carry forward") {
+    val s = spark; import s.implicits._
+    // users 1-40 active on day 0; 41-60 on day 2; nothing on day 1
+    val df = ((1L to 40L).map(u => (0L, u)) ++ (41L to 60L).map(u => (2L, u)))
+      .toDF("day", "uid")
+    val w1 = Sketches.hllRolling(df, col("day"), col("uid"), 1, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val per = Sketches.hllDistinct(df, Seq("day"), col("uid"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 == per, "window=1 must degenerate to the per-period sketch")
+    // window=3: day 2 sees day 0's users (within trailing 3 days) →
+    // its registers are the union merge; day 1 has no row (unobserved)
+    val w3 = Sketches.hllRolling(df, col("day"), col("uid"), 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w3.keySet == Set(0L, 2L), "only observed periods appear")
+    assert(w3(0L) == per(0L), "day 0 trailing window contains only day 0")
+    val union = Sketches.hllDistinct(df.select(lit(9L).as("day"), col("uid")),
+      Seq("day"), col("uid"), 4).collect()(0).getLong(1)
+    assert(w3(2L) == union, "day 2 trailing-3 must equal the 2-day union sketch")
+    // p = 4 keeps n = 60 in the raw estimator's n ≳ 3·m regime
+    assert(math.abs(w3(2L) - 60.0) / 60.0 < 0.5)
+    intercept[IllegalArgumentException] {
+      Sketches.hllRolling(df, col("day"), col("uid"), 0, 4)
+    }
+  }
 }

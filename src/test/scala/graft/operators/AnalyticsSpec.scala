@@ -380,6 +380,57 @@ class AnalyticsSpec extends SparkSpec {
     assert(sums.forall(x => math.abs(x - 1.0) < 1e-12))
   }
 
+  test("madOutliers: robust where the mean is dragged; exact median replay") {
+    val s = spark; import s.implicits._
+    // group "a": values 1..9 plus a 1000 outlier. med(q) = 5000 (lower
+    // median of 10), deviations {1000·|i−5|} ∪ {995000} → mad = 2000.
+    // Only the outlier exceeds 3·mad. A z-score on the same data is
+    // dragged: σ ≈ 315 → z(1000) ≈ 2.85 but z(9) ≈ −0.3 — both ends
+    // survive under MAD's tighter spread too; the point is med/mad are
+    // outlier-insensitive (breakdown), asserted by the exact values.
+    val df = ((1L to 9L).map(i => ("a", i, i.toDouble)) :+ ("a", 10L, 1000.0))
+      .toDF("g", "id", "value")
+    val got = Analytics.madOutliers(df, Seq("g"), "value", Seq("id"), 3.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq((10L, 1000.0, 995000L, 2000L)), s"got ${got.toSeq}")
+    // constant group: mad = 0, no deviation > 0 → nothing flagged
+    val const = Seq(("c", 1L, 5.0), ("c", 2L, 5.0)).toDF("g", "id", "value")
+    assert(Analytics.madOutliers(const, Seq("g"), "value", Seq("id"), 3.0)
+      .count() == 0)
+    // >50% one value: mad = 0 → EVERY other value flagged at any k
+    val half = Seq(("h", 1L, 5.0), ("h", 2L, 5.0), ("h", 3L, 5.0),
+      ("h", 4L, 7.0)).toDF("g", "id", "value")
+    assert(Analytics.madOutliers(half, Seq("g"), "value", Seq("id"), 100.0)
+      .collect().map(_.getLong(1)).toSeq == Seq(4L))
+  }
+
+  test("sessionPmi: hand-computed association on a three-session stream") {
+    val s = spark; import s.implicits._
+    // gap 100 → sessions: u1[s1]: {A,B}, u1[s2]: {A}, u2[s1]: {A,B}
+    // N = 3, n_A = 3, n_B = 2, n_AB = 2
+    val df = Seq(
+      (1L, 1L, "A", 0L), (1L, 2L, "B", 10L),   // u1 session 1
+      (1L, 3L, "A", 500L),                     // u1 session 2
+      (2L, 4L, "A", 0L), (2L, 5L, "B", 50L))   // u2 session 1
+      .toDF("user_id", "event_id", "event_type", "event_ts_us")
+    val got = Analytics.sessionPmi(df, 100L).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ("A", "B", 2L, 3L, 2L))
+    assert(r.getLong(5) ==
+      math.floor(math.log(2.0 * 3.0 / (3.0 * 2.0)) * 1e6).toLong) // ln 1 = 0
+    // independent types in every session → PMI 0; co-occurring beyond
+    // independence → positive
+    val pos = Seq((1L, 1L, "X", 0L), (1L, 2L, "Y", 1L),
+      (2L, 3L, "X", 0L), (2L, 4L, "Y", 1L))
+      .toDF("user_id", "event_id", "event_type", "event_ts_us")
+    val p = Analytics.sessionPmi(pos, 100L).collect()(0)
+    assert(p.getLong(5) == math.floor(math.log(2.0 * 2.0 / (2.0 * 2.0)) * 1e6)
+      .toLong)
+  }
+
   test("groupZScores: hand-computed z, degenerate groups dropped") {
     val s = spark; import s.implicits._
     // group "a": nine 0.0 and one 100.0 → only the 100 has |z| >= 2
