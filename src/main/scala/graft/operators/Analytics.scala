@@ -633,14 +633,21 @@ object Analytics {
     require(keys.nonEmpty && idCols.nonEmpty,
       "madOutliers needs group keys and id columns")
     require(k >= 0, s"madOutliers k must be >= 0, got $k")
+    // base feeds the median build AND the deviation pass; dev feeds the
+    // MAD build AND the final flag join — persist both so the quantized
+    // projection (and the source scan under it) runs once, not four
+    // times. Per-call persists (not memos): they re-register on every
+    // invocation, so Bench's between-query clearCache can't strand them.
     val base = df.filter(col(valueCol).isNotNull)
       .select((keys ++ idCols).map(col) :+ col(valueCol) :+
         floor(col(valueCol) * 1000.0).cast("long").as("__q"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val med = groupPercentilesDisc(base.select(keys.map(col) :+ col("__q"): _*),
         keys, "__q", Seq(50))
       .select(keys.map(col) :+ col("p50").as("__med"): _*)
     val dev = base.join(med, keys)
       .withColumn("dev_fp", abs(col("__q") - col("__med")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = groupPercentilesDisc(
         dev.select(keys.map(col) :+ col("dev_fp"): _*), keys, "dev_fp", Seq(50))
       .select(keys.map(col) :+ col("p50").as("mad_fp"): _*)
