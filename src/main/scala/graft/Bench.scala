@@ -47,7 +47,7 @@ object Bench {
     "q112_event_transitions", "q113_group_zscore", "q114_ffill_resample",
     "q115_label_centroids", "q116_bigram_logprob", "q117_touch_attribution",
     "q118_component_sizes", "q119_rolling_distinct", "q120_mad_outliers",
-    "q121_session_pmi",
+    "q121_session_pmi", "q122_session_paths", "q123_incremental_dedup",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

@@ -852,6 +852,21 @@ object SparkEntry {
     // sessions): the association matrix over session-distinct type sets.
     "q121_session_pmi" -> ((s, d) =>
       Analytics.sessionPmi(Tables.events(s, d), 1800000000L)),
+    // Top-25 session type-paths (funnel discovery): gap-sessions render
+    // as a>b>c ordered by (ts, event_id); TakeOrdered top-k, path as the
+    // unique tiebreaker.
+    "q122_session_paths" -> ((s, d) =>
+      Analytics.sessionPaths(Tables.events(s, d), 1800000000L, 25)),
+    // Incremental near-dup: docs with doc_id % 10 = 0 play the nightly
+    // fresh batch against the rest of the corpus — old-old pairs are
+    // never generated; q24's banding/verify contract otherwise.
+    "q123_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documentsSpread(s, d)
+      TextDedup.incrementalNearDupPairs(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text")
+    }),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2561,5 +2576,42 @@ object SparkEntry {
              * 1000000.0) AS BIGINT) AS pmi_fp
          FROM pr JOIN sg sa ON sa.event_type = type_a
            JOIN sg sb ON sb.event_type = type_b""",
+    // q122: q56's session derivation + ordered string_agg; top-25 by
+    // (count desc, path) — the path is its own unique tiebreaker.
+    "q122_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+                    FROM events WHERE user_id IS NOT NULL),
+         l AS (SELECT *, lag(ts_us) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+               FROM e),
+         s AS (SELECT user_id, event_type, ts_us, event_id,
+                 SUM(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+               FROM l),
+         p AS (SELECT user_id, session_seq,
+                 string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+               FROM s GROUP BY 1, 2),
+         c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1)
+         SELECT path, n_sessions FROM c
+         ORDER BY n_sessions DESC, path LIMIT 25""",
+    // q123: q24's exact string-shingle Jaccard oracle restricted to
+    // pairs touching the fresh batch (doc_id % 10 = 0), with the origin
+    // flags the Spark side carries.
+    "q123_incremental_dedup" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM docs, UNNEST(range(1, len(w) - 1)) t(i)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard,
+           (doc_a % 10 = 0) AS a_new, (doc_b % 10 = 0) AS b_new
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE i / (sa.n + sb.n - i) >= 0.8
+           AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""",
   )
 }

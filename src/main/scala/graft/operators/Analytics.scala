@@ -703,6 +703,38 @@ object Analytics {
           lit(1000000.0)).as("pmi_fp"))
   }
 
+  /** Top-k session paths — the type-sequence readout behind funnel
+    * DISCOVERY (funnelCounts measures one declared order;
+    * this surfaces which orders actually happen): each gap-session's
+    * events ordered by (ts, tie) render as `a>b>c`, counted, top-k by
+    * (count desc, path) with the path itself as the unique tiebreaker.
+    *
+    * Scale posture: sessionization + the per-session collect share the
+    * (user) partitioning; the per-session array is bounded by session
+    * length (gap rule), sorted/rendered row-locally from the STAGED
+    * aggregate column; path counts are map-side combinable and top-k is
+    * TakeOrdered (per-partition heap + driver merge of k rows — never a
+    * global sort).
+    */
+  def sessionPaths(events: DataFrame, gapUs: Long, k: Int): DataFrame = {
+    require(k >= 1, s"sessionPaths k must be >= 1, got $k")
+    val sess = graft.operators.Temporal.sessionize(
+      events.filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("event_ts_us")),
+      Seq("user_id"), "event_ts_us", Seq("event_id"), gapUs)
+    sess
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(collect_list(struct(col("event_ts_us").as("ts"),
+        col("event_id").as("id"), col("event_type").as("tp"))).as("__evs"))
+      .select(array_join(
+        transform(array_sort(col("__evs")), x => x.getField("tp")), ">")
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   def groupZScores(df: DataFrame, keys: Seq[String], valueCol: String,
                    idCols: Seq[String], zMin: Double): DataFrame = {
     require(keys.nonEmpty && idCols.nonEmpty,

@@ -147,6 +147,65 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup — the nightly-ingest shape of [[nearDupPairs]]:
+    * score ONLY pairs involving at least one document from the fresh
+    * batch; the existing corpus is never compared against itself. The
+    * band join puts the fresh batch's band keys on one side and the
+    * whole collection's on the other, so old–old pairs are never
+    * GENERATED (not generated-then-filtered): candidate volume is
+    * ∝ |fresh bands| × bucket occupancy, and a nightly batch against a
+    * billion-doc corpus costs the batch's share, not the corpus
+    * quadratic. In production the corpus-side signatures are the stored
+    * per-doc state; here they're rebuilt per call (signatures must share
+    * one hash space, which they do by construction).
+    *
+    * Output: (doc_a, doc_b, jaccard, a_new, b_new), doc_a < doc_b,
+    * jaccard ≥ threshold, at least one of the flags true. Same
+    * recall/verify contract as [[nearDupPairs]] (banding tuned for the
+    * threshold; exact Jaccard verify on candidates only). The asymmetric
+    * band join has no triangle cap — the fresh batch is small by
+    * contract (the ANN query-side convention); a degenerate bucket
+    * relies on AQE skew splitting.
+    */
+  def incrementalNearDupPairs(corpus: DataFrame, fresh: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleN: Int = 3, numBands: Int = 16,
+                              rowsPerBand: Int = 4,
+                              threshold: Double = 0.8): DataFrame = {
+    val all = corpus
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__t"),
+        lit(false).as("__new"))
+      .unionByName(fresh.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("__t"), lit(true).as("__new")))
+    val flags = all.select(col("id"), col("__new"))
+    val sh = shingleHashedDocs(
+      all.filter(size(tokens(col("__t"))) >= shingleN), "id", "__t", shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = minhashBands(sh, numBands, rowsPerBand)
+    val newBanded = banded
+      .join(flags.filter(col("__new")).select(col("id")), Seq("id"),
+        "left_semi")
+    val cand = banded.select(col("id").as("id_all"), col("bk"))
+      .join(newBanded.select(col("id").as("id_new"), col("bk")), Seq("bk"))
+      .filter(col("id_all") =!= col("id_new"))
+      .select(least(col("id_all"), col("id_new")).as("doc_a"),
+        greatest(col("id_all"), col("id_new")).as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .join(flags.select(col("id").as("doc_a"), col("__new").as("a_new")),
+        Seq("doc_a"))
+      .join(flags.select(col("id").as("doc_b"), col("__new").as("b_new")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("a_new"),
+        col("b_new"))
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs — the signature-free dedup
     * flavor: no MinHash, no banding, no candidate/verify split. The
     * shingle table is exploded into a posting list (shingle-hash → doc)

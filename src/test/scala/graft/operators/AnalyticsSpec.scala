@@ -405,6 +405,25 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq == Seq(4L))
   }
 
+  test("sessionPaths: ordered rendering, counts, top-k tiebreak") {
+    val s = spark; import s.implicits._
+    // u1 s1: A>B, u1 s2: A>B, u2 s1: B>A, u3 s1: C — order within the
+    // session comes from (ts, event_id), including a same-ts tie
+    val df = Seq(
+      (1L, 1L, "A", 0L), (1L, 2L, "B", 10L),
+      (1L, 3L, "A", 500L), (1L, 4L, "B", 505L),
+      (2L, 5L, "B", 0L), (2L, 6L, "A", 0L), // same ts: id 5 before id 6
+      (3L, 7L, "C", 0L))
+      .toDF("user_id", "event_id", "event_type", "event_ts_us")
+    val got = Analytics.sessionPaths(df, 100L, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("A>B", 2L), ("B>A", 1L), ("C", 1L)),
+      s"got $got") // count desc, then path asc breaks the 1-1 tie
+    // k truncates
+    assert(Analytics.sessionPaths(df, 100L, 1)
+      .collect().map(_.getString(0)).toSeq == Seq("A>B"))
+  }
+
   test("sessionPmi: hand-computed association on a three-session stream") {
     val s = spark; import s.implicits._
     // gap 100 → sessions: u1[s1]: {A,B}, u1[s2]: {A}, u2[s1]: {A,B}

@@ -276,6 +276,32 @@ class TextDedupSpec extends SparkSpec {
     assert(jac.isEmpty, "jaccard should miss the asymmetric quote pair")
   }
 
+  test("incrementalNearDupPairs: old-old pairs never appear; flags are correct") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "one two three four five six seven eight nine"
+    val corpus = Seq((1L, text), (2L, text), (5L, other)).toDF("doc_id", "text")
+    val fresh = Seq((10L, text), (11L, text), (20L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.incrementalNearDupPairs(corpus, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3),
+        r.getBoolean(4))).toSet
+    // (1,2) is a perfect old-old dup — MUST NOT be generated; every pair
+    // touching 10/11 appears with the right flags, including new-new
+    assert(got == Set(
+      (1L, 10L, false, true), (1L, 11L, false, true),
+      (2L, 10L, false, true), (2L, 11L, false, true),
+      (10L, 11L, true, true)), s"got $got")
+    // matches the full-corpus pass restricted to fresh-touching pairs
+    val full = TextDedup.nearDupPairs(corpus.unionByName(fresh), "doc_id", "text")
+      .filter(col("doc_a") >= 10L || col("doc_b") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)) == full)
+    val plan = TextDedup.incrementalNearDupPairs(corpus, fresh, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"banded join only:\n$plan")
+  }
+
   test("supplied pairCounts rejects non-default maxDf/cap (knobs baked at build)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
