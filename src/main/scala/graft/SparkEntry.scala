@@ -89,6 +89,60 @@ object SparkEntry {
         "doc_id", "text")
     }
 
+  /** The q124 BPE oracle, GENERATED per merge stage (the mortonOracleSql
+    * convention: one template, unrolled): each stage counts adjacent
+    * symbol pairs weighted by word frequency, picks the (count desc, l,
+    * r) winner, and applies it with the greedy-left semantics expressed
+    * in windows — a maximal run of consecutive match positions (possible
+    * only when l = r) merges at ODD in-run ranks, which is exactly the
+    * leftmost-first scan; the merged symbol replaces the chosen
+    * position, the following position is consumed.
+    */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val stages = (1 to numMerges).map { n =>
+      val in = s"s${n - 1}"
+      s"""p$n AS (SELECT sym[i] AS l, sym[i + 1] AS r, SUM(f) AS cnt
+              FROM $in, UNNEST(range(1, len(sym))) t(i) GROUP BY 1, 2),
+         m$n AS (SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM p$n
+                 ORDER BY cnt DESC, l, r LIMIT 1),
+         e$n AS (SELECT w, f, CAST(t.i AS INTEGER) AS pos,
+                   sym[CAST(t.i AS INTEGER)] AS s
+                 FROM $in, UNNEST(range(1, len(sym) + 1)) t(i)),
+         c$n AS (SELECT *, lead(s) OVER (PARTITION BY w ORDER BY pos) AS ns
+                 FROM e$n),
+         d$n AS (SELECT *, COALESCE(s = (SELECT l FROM m$n)
+                   AND ns = (SELECT r FROM m$n), false) AS cand FROM c$n),
+         i$n AS (SELECT *, CASE WHEN cand THEN pos - row_number()
+                   OVER (PARTITION BY w, cand ORDER BY pos) END AS isl
+                 FROM d$n),
+         j$n AS (SELECT *, CASE WHEN cand THEN row_number()
+                   OVER (PARTITION BY w, isl ORDER BY pos) END AS rk
+                 FROM i$n),
+         k$n AS (SELECT *, COALESCE(cand AND rk % 2 = 1, false) AS chosen
+                 FROM j$n),
+         g$n AS (SELECT *, COALESCE(lag(chosen)
+                   OVER (PARTITION BY w ORDER BY pos), false) AS consumed
+                 FROM k$n),
+         s$n AS (SELECT w, f,
+                   list(CASE WHEN chosen THEN s || ns ELSE s END
+                     ORDER BY pos) AS sym
+                 FROM g$n WHERE NOT consumed GROUP BY w, f)"""
+    }.mkString(",\n         ")
+    val finals = (1 to numMerges).map { n =>
+      val head = if (n == 1) s"SELECT CAST($n AS INTEGER) AS step, "
+                 else s"UNION ALL SELECT CAST($n AS INTEGER), "
+      head + s"l AS merge_left, r AS merge_right, l || r AS merged, " +
+        s"cnt AS pair_count FROM m$n"
+    }.mkString("\n         ")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         w0 AS (SELECT w, COUNT(*) AS f FROM tok WHERE length(w) > 0
+                GROUP BY w),
+         s0 AS (SELECT w, f, list_transform(generate_series(1, length(w)),
+                  i -> substr(w, i, 1)) AS sym FROM w0),
+         $stages
+         $finals"""
+  }
+
   /** The q50 simhash pair graph rebuilt in SQL, through the q60 recursive
     * min-label reachability — shared CTE prefix of every oracle that
     * consumes components (q60 labels them, q118 histograms their sizes).
@@ -867,6 +921,11 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(10)) === 0),
         "doc_id", "text")
     }),
+    // BPE merge training, 3 steps: character symbols over the word-freq
+    // table, greedy-left merges; oracle = the same greedy semantics
+    // unrolled per stage (run-parity windows).
+    "q124_bpe_merges" -> ((s, d) =>
+      TextStats.bpeTrain(Tables.documentsSpread(s, d), "text", 3)),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2613,5 +2672,8 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          WHERE i / (sa.n + sb.n - i) >= 0.8
            AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""",
+    // q124: generated unrolled replay of the greedy-left BPE trainer —
+    // see bpeOracleSql.
+    "q124_bpe_merges" -> bpeOracleSql(3),
   )
 }

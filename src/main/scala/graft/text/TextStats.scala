@@ -203,6 +203,89 @@ object TextStats {
           .as("avg_logprob"))
   }
 
+  /** Byte-pair-encoding merge training — the tokenizer-training core
+    * (Sennrich et al., ACL 2016; public literature): start from
+    * character symbols over the word-frequency table, repeatedly count
+    * adjacent symbol pairs (weighted by word frequency), merge the most
+    * frequent pair corpus-wide, and repeat. Returns one row per merge
+    * step: (step, merge_left, merge_right, merged, pair_count) — the
+    * ordered merge list IS the trained tokenizer state.
+    *
+    * Determinism: the winning pair is (count desc, left asc, right asc);
+    * merge application is the standard greedy-left scan (overlapping
+    * runs like `aaa` under an (a,a) merge collapse leftmost-first),
+    * implemented as a row-local `aggregate` fold over the symbol array —
+    * zero shuffles per application. The DuckDB oracle replays the SAME
+    * greedy semantics with windows: a run of consecutive match positions
+    * merges at odd in-run ranks (runs longer than 1 only exist when
+    * left = right), which is provably the greedy-left result.
+    *
+    * Scale posture: the word-frequency table (vocabulary-sized, NOT
+    * corpus-sized) is the only distributed state; each iteration is one
+    * map-side-combinable pair-count agg + a 1-row TakeOrdered collect
+    * (the merge is model state, the q84 convention) + a row-local
+    * re-fold. Cost per merge ∝ vocabulary, independent of corpus row
+    * count after the initial word count.
+    *
+    * Contract: symbols are the corpus's ASCII word characters
+    * (`[A-Za-z0-9_']`-ish); a winning pair with a single-quote would
+    * break neither side (column literals, not SQL interpolation), but
+    * non-space-delimited scripts are out of scope (the corpus contract,
+    * as in [[normalizeText]]).
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"bpeTrain: numMerges >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val words = docs
+      .select(explode(TextDedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    // Character split: substring in a HOF lambda over a STAGED scalar
+    // column (re-evaluating a plain column per element is free; the trap
+    // is computed expressions).
+    var sym = words
+      .withColumn("sym", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .select(col("w"), col("f"), col("sym"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to numMerges) {
+      val pairs = sym
+        .select(col("f"), explode(when(size(col("sym")) >= 2, expr(
+          """transform(sequence(1, size(sym) - 1),
+               i -> struct(element_at(sym, i) AS l,
+                           element_at(sym, i + 1) AS r))"""))
+          .otherwise(expr("CAST(array() AS array<struct<l:string,r:string>>)")))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((step, l, r, cnt))
+        val applied = sym
+          .withColumn("sym", aggregate(col("sym"),
+            expr("CAST(array() AS array<string>)"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        applied.count() // materialize before unpersisting the parent
+        sym.unpersist(blocking = false)
+        sym = applied
+      }
+    }
+    sym.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq
+      .map { case (s, l, r, c) => (s, l, r, l + r, c) }
+      .toDF("step", "merge_left", "merge_right", "merged", "pair_count")
+  }
+
   /** Frequency-ordered vocabulary build — the tokenizer-training
     * front-end: corpus token counts filtered to `minCount`, ids assigned
     * by (count desc, token asc) so the mapping is total-ordered and

@@ -159,6 +159,40 @@ class TextStatsSpec extends SparkSpec {
       TextStats.chunkTokens(docs, "doc_id", "text", 5, 5))
   }
 
+  test("bpeTrain: the classic low/newest/widest merges, in order") {
+    val s = spark; import s.implicits._
+    // Sennrich's textbook corpus: es(9) then est(9, tie broken l-asc
+    // against nothing) then lo(7, tie (l,o) vs (o,w) broken on left)
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+    val got = TextStats.bpeTrain(docs, "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L)), s"got $got")
+  }
+
+  test("bpeTrain: greedy-left on overlapping runs; exhaustion stops early") {
+    val s = spark; import s.implicits._
+    // 'aaaa' x2: (a,a) appears 3x per word = 6; greedy-left collapses to
+    // [aa, aa], then (aa, aa) = 2; then one symbol per word - no pairs,
+    // training stops at 2 merges even though 3 were requested
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val got = TextStats.bpeTrain(docs, "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((1, "aa", 6L), (2, "aaaa", 2L)), s"got $got")
+    intercept[IllegalArgumentException](TextStats.bpeTrain(docs, "text", 0))
+    // partitioning independence: merges are corpus-global
+    val spread = Seq((1L, "aaaa"), (2L, "aaaa")).toDF("doc_id", "text")
+      .repartition(7)
+    val g2 = TextStats.bpeTrain(spread, "text", 2)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSeq
+    assert(g2 == got)
+  }
+
   test("bigramLogProb: add-one model matches hand math; <2-token docs absent") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
