@@ -926,6 +926,13 @@ object SparkEntry {
     // unrolled per stage (run-parity windows).
     "q124_bpe_merges" -> ((s, d) =>
       TextStats.bpeTrain(Tables.documentsSpread(s, d), "text", 3)),
+    // Distribution drift: event-type mix of the first 15 days vs the
+    // rest — per-category smoothed KL terms (their sum is the
+    // divergence); the drift monitor a production pipeline runs daily.
+    "q125_category_drift" -> ((s, d) =>
+      Analytics.categoryDrift(
+        Tables.events(s, d).select(col("event_type"), col("event_ts_us")),
+        "event_type", expr("event_ts_us div 86400000000") < 19738L)),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2675,5 +2682,27 @@ object SparkEntry {
     // q124: generated unrolled replay of the greedy-left BPE trainer —
     // see bpeOracleSql.
     "q124_bpe_merges" -> bpeOracleSql(3),
+    // q125: same pinned double pipeline — counts are exact longs, p/q
+    // derive once each, ln through the floor(·10⁹) gate.
+    "q125_category_drift" ->
+      """WITH c AS (SELECT event_type,
+             SUM(CASE WHEN epoch_us(ts) // 86400000000 < 19738
+                      THEN 1 ELSE 0 END) AS n_p,
+             SUM(CASE WHEN epoch_us(ts) // 86400000000 < 19738
+                      THEN 0 ELSE 1 END) AS n_q
+           FROM events GROUP BY 1),
+         t AS (SELECT event_type, CAST(n_p AS BIGINT) AS n_p,
+                 CAST(n_q AS BIGINT) AS n_q,
+                 CAST(SUM(n_p) OVER () AS DOUBLE) AS np,
+                 CAST(SUM(n_q) OVER () AS DOUBLE) AS nq,
+                 CAST(COUNT(*) OVER () AS DOUBLE) AS v
+               FROM c)
+         SELECT event_type, n_p, n_q,
+           CAST(FLOOR(
+             ((CAST(n_p AS DOUBLE) + 1.0) / (np + v)) *
+             ln(((CAST(n_p AS DOUBLE) + 1.0) / (np + v)) /
+                ((CAST(n_q AS DOUBLE) + 1.0) / (nq + v))) *
+             1000000000.0) AS BIGINT) AS kl_fp
+         FROM t""",
   )
 }

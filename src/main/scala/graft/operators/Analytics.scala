@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.pipeline.Medallion.moneySum
@@ -701,6 +701,38 @@ object Analytics {
         floor(log((col("n_ab").cast("double") * lit(nSessions.toDouble)) /
           (col("n_a").cast("double") * col("n_b").cast("double"))) *
           lit(1000000.0)).as("pmi_fp"))
+  }
+
+  /** Categorical distribution drift — add-one-smoothed KL divergence
+    * between two slices of one stream (time windows, A/B arms, data
+    * sources): per category x, p(x) and q(x) are Laplace-smoothed over
+    * the UNION category set and the row's KL term is p·ln(p/q); the sum
+    * of `kl_fp` over the output is the (fixed-point) divergence, kept
+    * per-category so the drift REPORT shows which categories moved.
+    *
+    * Scale posture: one map-side-combinable conditional-count agg over
+    * the stream; the totals come from a global window over the
+    * category-cardinality table (model-sized — never the stream), so the
+    * whole operator is one shuffle plus sketch-sized arithmetic. All
+    * doubles derive from exact longs with pinned op order; ln goes
+    * through the `floor(·10⁹)` fixed-point gate (the q84 family).
+    */
+  def categoryDrift(df: DataFrame, catCol: String, pSide: Column): DataFrame = {
+    val counts = df
+      .groupBy(col(catCol))
+      .agg(sum(when(pSide, 1L).otherwise(0L)).as("n_p"),
+        sum(when(pSide, 0L).otherwise(1L)).as("n_q"))
+    val wAll = Window.partitionBy()
+    val withTotals = counts
+      .withColumn("__np", sum(col("n_p")).over(wAll))
+      .withColumn("__nq", sum(col("n_q")).over(wAll))
+      .withColumn("__v", count(lit(1)).over(wAll))
+    val p = (col("n_p").cast("double") + 1.0) /
+      (col("__np").cast("double") + col("__v").cast("double"))
+    val q = (col("n_q").cast("double") + 1.0) /
+      (col("__nq").cast("double") + col("__v").cast("double"))
+    withTotals.select(col(catCol), col("n_p"), col("n_q"),
+      floor(p * log(p / q) * lit(1000000000.0)).as("kl_fp"))
   }
 
   /** Top-k session paths — the type-sequence readout behind funnel

@@ -405,6 +405,28 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq == Seq(4L))
   }
 
+  test("categoryDrift: hand-computed smoothed KL terms; identity gives zero") {
+    val s = spark; import s.implicits._
+    // P side: a,a,a,b ; Q side: a,b,b,b → symmetric drift
+    val df = Seq(("a", true), ("a", true), ("a", true), ("b", true),
+      ("a", false), ("b", false), ("b", false), ("b", false))
+      .toDF("cat", "is_p")
+    val got = Analytics.categoryDrift(df, "cat", col("is_p"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    def term(np: Long, nq: Long): Long = {
+      val p = (np + 1.0) / (4.0 + 2.0); val q = (nq + 1.0) / (4.0 + 2.0)
+      math.floor(p * math.log(p / q) * 1e9).toLong
+    }
+    assert(got == Map("a" -> ((3L, 1L, term(3, 1))),
+      "b" -> ((1L, 3L, term(1, 3)))), s"got $got")
+    // identical slices → every term is exactly floor(0) = 0
+    val same = Seq(("x", true), ("x", false), ("y", true), ("y", false))
+      .toDF("cat", "is_p")
+    assert(Analytics.categoryDrift(same, "cat", col("is_p"))
+      .filter(col("kl_fp") =!= 0L).count() == 0)
+  }
+
   test("sessionPaths: ordered rendering, counts, top-k tiebreak") {
     val s = spark; import s.implicits._
     // u1 s1: A>B, u1 s2: A>B, u2 s1: B>A, u3 s1: C — order within the
