@@ -48,7 +48,8 @@ object Bench {
     "q115_label_centroids", "q116_bigram_logprob", "q117_touch_attribution",
     "q118_component_sizes", "q119_rolling_distinct", "q120_mad_outliers",
     "q121_session_pmi", "q122_session_paths", "q123_incremental_dedup",
-    "q124_bpe_merges", "q125_category_drift",
+    "q124_bpe_merges", "q125_category_drift", "q126_bpe_vocab",
+    "q127_asof_tolerance",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

@@ -98,7 +98,8 @@ object SparkEntry {
     * leftmost-first scan; the merged symbol replaces the chosen
     * position, the following position is consumed.
     */
-  private def bpeOracleSql(numMerges: Int): String = {
+  private def bpeOracleSql(numMerges: Int,
+                           finalOverride: Option[String] = None): String = {
     val stages = (1 to numMerges).map { n =>
       val in = s"s${n - 1}"
       s"""p$n AS (SELECT sym[i] AS l, sym[i + 1] AS r, SUM(f) AS cnt
@@ -128,12 +129,13 @@ object SparkEntry {
                      ORDER BY pos) AS sym
                  FROM g$n WHERE NOT consumed GROUP BY w, f)"""
     }.mkString(",\n         ")
-    val finals = (1 to numMerges).map { n =>
-      val head = if (n == 1) s"SELECT CAST($n AS INTEGER) AS step, "
-                 else s"UNION ALL SELECT CAST($n AS INTEGER), "
-      head + s"l AS merge_left, r AS merge_right, l || r AS merged, " +
-        s"cnt AS pair_count FROM m$n"
-    }.mkString("\n         ")
+    val finals = finalOverride.getOrElse(
+      (1 to numMerges).map { n =>
+        val head = if (n == 1) s"SELECT CAST($n AS INTEGER) AS step, "
+                   else s"UNION ALL SELECT CAST($n AS INTEGER), "
+        head + s"l AS merge_left, r AS merge_right, l || r AS merged, " +
+          s"cnt AS pair_count FROM m$n"
+      }.mkString("\n         "))
     s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          w0 AS (SELECT w, COUNT(*) AS f FROM tok WHERE length(w) > 0
                 GROUP BY w),
@@ -933,6 +935,21 @@ object SparkEntry {
       Analytics.categoryDrift(
         Tables.events(s, d).select(col("event_type"), col("event_ts_us")),
         "event_type", expr("event_ts_us div 86400000000") < 19738L)),
+    // The trained BPE tokenizer APPLIED: subword vocabulary with corpus
+    // frequencies after the q124 merges.
+    "q126_bpe_vocab" -> ((s, d) =>
+      TextStats.bpeVocab(Tables.documentsSpread(s, d), "text", 3)),
+    // As-of with tolerance (pandas merge_asof semantics): the q54
+    // backward lookup, but a click more than 1 hour before its purchase
+    // is no match at all.
+    "q127_asof_tolerance" -> ((s, d) => {
+      val (purchases, clicks) = asofFixture(s, d)
+      Temporal.asofJoin(purchases, clicks, Seq("user_id"),
+          "purchase_ts_us", "click_ts_us", Seq("click_id"),
+          Seq("click_id", "click_ts_us"), tolerance = Some(3600000000L))
+        .withColumn("us_since_click",
+          col("purchase_ts_us") - col("click_ts_us"))
+    }),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2682,6 +2699,33 @@ object SparkEntry {
     // q124: generated unrolled replay of the greedy-left BPE trainer —
     // see bpeOracleSql.
     "q124_bpe_merges" -> bpeOracleSql(3),
+    // q126: the same generated stages, final symbol table exploded into
+    // frequency-weighted subword counts.
+    "q126_bpe_vocab" -> bpeOracleSql(3, Some(
+      """, x AS (SELECT unnest(sym) AS symbol, f FROM s3)
+         SELECT symbol, CAST(SUM(f) AS BIGINT) AS n_occurrences
+         FROM x GROUP BY symbol""")),
+    // q127: q54's oracle with the backward window bounded at 1 hour —
+    // for backward as-of, older candidates are farther, so bounding the
+    // join IS the drop-beyond-tolerance semantics.
+    "q127_asof_tolerance" ->
+      """WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) AS purchase_ts_us,
+               event_id AS purchase_id
+             FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         c AS (SELECT DISTINCT user_id, epoch_us(ts) AS click_ts_us,
+               event_id AS click_id
+             FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         j AS (SELECT p.user_id, p.purchase_ts_us, p.purchase_id,
+                 c.click_id, c.click_ts_us,
+                 row_number() OVER (
+                   PARTITION BY p.user_id, p.purchase_ts_us, p.purchase_id
+                   ORDER BY c.click_ts_us DESC, c.click_id DESC) AS rn
+               FROM p LEFT JOIN c ON c.user_id = p.user_id
+                 AND c.click_ts_us <= p.purchase_ts_us
+                 AND c.click_ts_us >= p.purchase_ts_us - 3600000000)
+         SELECT user_id, purchase_ts_us, purchase_id, click_id, click_ts_us,
+           purchase_ts_us - click_ts_us AS us_since_click
+         FROM j WHERE rn = 1""",
     // q125: same pinned double pipeline — counts are exact longs, p/q
     // derive once each, ln through the floor(·10⁹) gate.
     "q125_category_drift" ->

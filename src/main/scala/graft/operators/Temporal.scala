@@ -53,7 +53,10 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightTie: Seq[String],
                rightPayload: Seq[String],
-               direction: String = "backward"): DataFrame = {
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
+    require(tolerance.forall(_ >= 0),
+      s"asofJoin: tolerance must be >= 0, got $tolerance")
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     require(rightPayload.nonEmpty, "asofJoin with no payload columns")
     require(Set("backward", "forward", "nearest")(direction),
@@ -127,7 +130,15 @@ object Temporal {
                 col("__mf.__mts") - col("__ts"), col("__mb"))
               .otherwise(col("__mf")))
     }
-    matched
+    // Tolerance (pandas merge_asof semantics): a match farther than
+    // `tolerance` time units is no match at all. Row-local null-out of
+    // the carried struct — |Δ| covers all three directions, and a null
+    // match stays null (null comparison → null → otherwise-null).
+    val bounded = tolerance.fold(matched) { tol =>
+      matched.withColumn("__m",
+        when(abs(col("__ts") - col("__m.__mts")) <= tol, col("__m")))
+    }
+    bounded
       .filter(col("__side") === 1)
       .select(left.columns.map(col).toSeq ++
         rightPayload.map(n => col("__m").getField(n).as(n)): _*)

@@ -234,8 +234,40 @@ object TextStats {
     * as in [[normalizeText]]).
     */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    require(numMerges >= 1, s"bpeTrain: numMerges >= 1, got $numMerges")
     val spark = docs.sparkSession
+    val (merges, sym) = bpeLoop(docs, textCol, numMerges)
+    sym.unpersist(blocking = false)
+    import spark.implicits._
+    merges
+      .map { case (s, l, r, c) => (s, l, r, l + r, c) }
+      .toDF("step", "merge_left", "merge_right", "merged", "pair_count")
+  }
+
+  /** The trained tokenizer APPLIED — [[bpeTrain]]'s inference half: run
+    * the same merge loop, then count every surviving symbol weighted by
+    * word frequency. Output (symbol, n_occurrences) IS the subword
+    * vocabulary with corpus frequencies — what a tokenizer ships with
+    * alongside the merge list. Same scale posture as the trainer plus
+    * one vocabulary-sized explode/agg.
+    */
+  def bpeVocab(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val (_, sym) = bpeLoop(docs, textCol, numMerges)
+    val out = sym
+      .select(col("f"), explode(col("sym")).as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("f")).as("n_occurrences"))
+    // Materialization note: the count runs off the persisted final symbol
+    // table; unpersist after the caller's action would be ideal, but the
+    // table is vocabulary-sized — the same lifecycle note as the shingle
+    // caches applies (session owner clears caches between pipelines).
+    out
+  }
+
+  /** Shared BPE merge loop: returns the ordered merges and the FINAL
+    * persisted symbol table (w, f, sym). Callers own the unpersist.
+    */
+  private def bpeLoop(docs: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(numMerges >= 1, s"bpeTrain: numMerges >= 1, got $numMerges")
     import org.apache.spark.storage.StorageLevel
     val words = docs
       .select(explode(TextDedup.tokens(col(textCol))).as("w"))
@@ -279,11 +311,7 @@ object TextStats {
         sym = applied
       }
     }
-    sym.unpersist(blocking = false)
-    import spark.implicits._
-    merges.toSeq
-      .map { case (s, l, r, c) => (s, l, r, l + r, c) }
-      .toDF("step", "merge_left", "merge_right", "merged", "pair_count")
+    (merges.toSeq, sym)
   }
 
   /** Frequency-ordered vocabulary build — the tokenizer-training

@@ -187,6 +187,29 @@ class TemporalSpec extends SparkSpec {
       s"sessionizeAgg must reuse the sessionize shuffle:\n$plan")
   }
 
+  test("asofJoin tolerance: beyond-window matches become nulls, all directions") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 1000L, 10L), (1L, 5000L, 11L))
+      .toDF("k", "lts", "lid")
+    val right = Seq((1L, 900L, 20L), (1L, 5600L, 21L))
+      .toDF("k", "rts", "rid")
+    def run(dir: String, tol: Option[Long]) =
+      Temporal.asofJoin(left, right, Seq("k"), "lts", "rts", Seq("rid"),
+          Seq("rid"), dir, tol)
+        .collect().map(r => r.getLong(2) ->
+          (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // backward: lts 1000 ← rts 900 (gap 100); lts 5000 ← rts 900 (gap 4100)
+    assert(run("backward", None) == Map(10L -> 20L, 11L -> 20L))
+    assert(run("backward", Some(500L)) == Map(10L -> 20L, 11L -> -1L))
+    // forward: lts 5000 → 5600 (gap 600) survives tol 600, dies at 599
+    assert(run("forward", Some(600L)) == Map(10L -> -1L, 11L -> 21L))
+    assert(run("forward", Some(599L)) == Map(10L -> -1L, 11L -> -1L))
+    // nearest: lts 5000 nearest is 5600 (600) vs 900 (4100) → tolerance
+    // applies to the CHOSEN match, no fallback to the farther side
+    assert(run("nearest", Some(500L)) == Map(10L -> 20L, 11L -> -1L))
+    intercept[IllegalArgumentException](run("backward", Some(-1L)))
+  }
+
   test("resampleFfill: gaps carry the last observation; bucket edges are exact") {
     val s = spark; import s.implicits._
     // user 1: buckets 10 and 13 observed → 11, 12 filled from bucket 10;

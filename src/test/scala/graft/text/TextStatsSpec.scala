@@ -175,6 +175,19 @@ class TextStatsSpec extends SparkSpec {
       (3, "l", "o", "lo", 7L)), s"got $got")
   }
 
+  test("bpeVocab: subword frequencies after the classic merges") {
+    val s = spark; import s.implicits._
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+    val got = TextStats.bpeVocab(docs, "text", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // after es, est, lo: low=[lo,w]·5, lower=[lo,w,e,r]·2,
+    // newest=[n,e,w,est]·6, widest=[w,i,d,est]·3
+    assert(got == Map("lo" -> 7L, "w" -> 16L, "e" -> 8L, "r" -> 2L,
+      "n" -> 6L, "est" -> 9L, "i" -> 3L, "d" -> 3L), s"got $got")
+  }
+
   test("bpeTrain: greedy-left on overlapping runs; exhaustion stops early") {
     val s = spark; import s.implicits._
     // 'aaaa' x2: (a,a) appears 3x per word = 6; greedy-left collapses to
