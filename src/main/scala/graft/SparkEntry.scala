@@ -2478,7 +2478,7 @@ object SparkEntry {
                       CAST(FLOOR(value * 1000.0) AS BIGINT) AS q
                     FROM events WHERE value IS NOT NULL),
          st AS (SELECT event_type, COUNT(*) AS n, SUM(q) AS sx,
-                  SUM(q * q) AS sxx
+                  SUM(CAST(q AS HUGEINT) * q) AS sxx
                 FROM v GROUP BY 1 HAVING COUNT(*) >= 2),
          sd AS (SELECT event_type,
                   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,

@@ -104,10 +104,15 @@ object Scd2 {
       s"Scd2.applyChanges: tie column '$tieCol' must be LongType (the " +
         "seed row's -1L tiebreaker unions with it); got " +
         s"${changes.schema(tieCol).dataType.simpleString}")
+    // isNull is checked explicitly: `null < 0` is null → otherwise-branch,
+    // and a null tie sorts BEFORE the -1L seed under the window's
+    // nulls-first asc order — the exact silent corruption this guard exists
+    // to prevent.
     val guarded = changes.withColumn(tieCol,
-      when(col(tieCol) < 0, raise_error(format_string(
-        s"Scd2.applyChanges: tie column '$tieCol' must be non-negative " +
-          "(-1 is reserved for the current-row seed); got %s", col(tieCol))))
+      when(col(tieCol).isNull || col(tieCol) < 0, raise_error(format_string(
+        s"Scd2.applyChanges: tie column '$tieCol' must be a non-negative " +
+          "non-null long (-1 is reserved for the current-row seed); got %s",
+        col(tieCol))))
         .otherwise(col(tieCol)))
     val cur = history.filter(col("is_current"))
     val affected = changes.select(keyCols.map(col): _*).distinct()

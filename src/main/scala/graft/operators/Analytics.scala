@@ -678,8 +678,12 @@ object Analytics {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("event_ts_us")),
       Seq("user_id"), "event_ts_us", Seq("event_id"), gapUs)
+    // st feeds the driver session count, BOTH self-join sides, and the
+    // marginal table — per-call persist (the madOutliers convention) so
+    // the sessionize shuffle runs once, not four times.
     val st = sess.select(col("user_id"), col("session_seq"),
       col("event_type")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSessions = st.select(col("user_id"), col("session_seq"))
       .distinct().count()
     require(nSessions > 0, "sessionPmi over an empty event stream")
@@ -777,7 +781,10 @@ object Analytics {
     val stats = df.filter(col(valueCol).isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"), sum(qd).as("__sx"),
-        sum((q * q).cast("decimal(38,0)")).as("__sxx"))
+        // qd·qd, NOT (q·q).cast: the long·long product overflows at
+        // |value| ≳ 3e6 (q ~ 2^31 squares past 2^63) — decimal×decimal
+        // is exact to 38 digits, which covers any physical value range.
+        sum(qd * qd).as("__sxx"))
       .filter(col("__n") >= 2)
       .withColumn("__mean",
         col("__sx").cast("double") / col("__n").cast("double"))

@@ -157,6 +157,16 @@ class Scd2Spec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Scd2.applyChanges(h1, intTie, Seq("k"), Seq("attr"), "ts", "id")
     }
+    // NULL tie: sorts before the -1L seed under nulls-first — must abort,
+    // not silently steal the seed's slot (null < 0 is null, so the guard
+    // checks isNull explicitly)
+    val nullTie = Seq((1L, "C", 30L, Option.empty[Long]))
+      .toDF("k", "attr", "ts", "id")
+    val eNull = intercept[Exception] {
+      Scd2.applyChanges(h1, nullTie, Seq("k"), Seq("attr"), "ts", "id").collect()
+    }
+    assert(eNull.getMessage.contains("non-null") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("non-null")))
     // a conforming batch on the SAME inputs still goes through unchanged
     val ok = Seq((1L, "C", 30L, 3L)).toDF("k", "attr", "ts", "id")
     assert(Scd2.applyChanges(h1, ok, Seq("k"), Seq("attr"), "ts", "id")
