@@ -67,6 +67,23 @@ class PlanSpec extends SparkSpec {
       s"no pruned scan found:\n$plan")
   }
 
+  test("round-10 operators prune their event scans to the used columns") {
+    // transitions touch (user_id, event_type, ts/event_id); value/props
+    // must not be read
+    val t = Analytics.eventTransitions(Tables.events(spark, sfDir))
+    val tScan = scanLine(t)
+    assert(!tScan.contains("props") && !tScan.contains("value:"),
+      s"transitions read unused columns:\n$tScan")
+    // z-scores touch (event_type, event_id, value); props must not be read
+    val z = Analytics.groupZScores(
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), col("event_id"), col("value")),
+      Seq("event_type"), "value", Seq("event_id"), 2.0)
+    val zScan = scanLine(z)
+    assert(!zScan.contains("props") && !zScan.contains("user_id"),
+      s"z-scores read unused columns:\n$zScan")
+  }
+
   test("relational hot paths run inside whole-stage codegen") {
     val df = Analytics.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // AQE only materializes codegen stages in the final plan
