@@ -125,12 +125,19 @@ object Sketches {
     * `window`, and everything downstream is sketch-sized. At 100 TB the
     * alternative — `window` overlapping distinct-counts — re-shuffles
     * the fact table `window` times; this re-shuffles ~nothing.
+    *
+    * "Touched once" is guaranteed, not hoped for: `regs` feeds both the
+    * merge branch and the observed-periods semi-join build side, so it
+    * is persisted for the call (exchange reuse alone would break if AQE
+    * replans one branch). Sketch-sized (≤ periods·2^p rows) — the usual
+    * per-call lifecycle: the session owner's `clearCache()` releases it.
     */
   def hllRolling(df: DataFrame, periodCol: Column, valueCol: Column,
                  window: Int, p: Int, salt: String = "hll-"): DataFrame = {
     require(window >= 1, s"hllRolling: window >= 1, got $window")
     val regs = hllRegisters(df.select(periodCol.as("period"),
       valueCol.as("__v")), Seq("period"), col("__v"), p, salt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val periods = regs.select(col("period")).distinct()
     val merged = regs
       .withColumn("__target", explode(sequence(col("period"),

@@ -627,9 +627,20 @@ object Analytics {
     * the one already proven there. A group that is > 50% one value has
     * mad = 0 — then ANY deviation > 0 is flagged (textbook MAD
     * behavior; `k` only matters for spread groups).
+    *
+    * CACHE LIFECYCLE (public contract): the default (`eager = false`)
+    * returns a lazy plan over two per-call MEMORY_AND_DISK persists that
+    * this method cannot release (the plan references them until the
+    * caller materializes it) — the session owner clears them via
+    * `spark.catalog.clearCache()` between pipelines. A long-lived
+    * session calling this repeatedly should pass `eager = true`: the
+    * (outlier-sized) result is persisted and materialized HERE, both
+    * intermediates are unpersisted before returning, and the caller owns
+    * exactly one handle — `result.unpersist()` when done.
     */
   def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
-                  idCols: Seq[String], k: Double): DataFrame = {
+                  idCols: Seq[String], k: Double,
+                  eager: Boolean = false): DataFrame = {
     require(keys.nonEmpty && idCols.nonEmpty,
       "madOutliers needs group keys and id columns")
     require(k >= 0, s"madOutliers k must be >= 0, got $k")
@@ -651,10 +662,18 @@ object Analytics {
     val mad = groupPercentilesDisc(
         dev.select(keys.map(col) :+ col("dev_fp"): _*), keys, "dev_fp", Seq(50))
       .select(keys.map(col) :+ col("p50").as("mad_fp"): _*)
-    dev.join(mad, keys)
+    val out = dev.join(mad, keys)
       .filter(col("dev_fp").cast("double") > lit(k) * col("mad_fp").cast("double"))
       .select((keys ++ idCols).map(col) :+ col(valueCol) :+
         col("dev_fp") :+ col("mad_fp"): _*)
+    if (!eager) out
+    else {
+      val pinned = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned.count() // materialize so the intermediates can be dropped
+      dev.unpersist(blocking = false)
+      base.unpersist(blocking = false)
+      pinned
+    }
   }
 
   /** Pointwise mutual information of event-type co-occurrence within
@@ -671,8 +690,15 @@ object Analytics {
     * is bounded by |types|²/2 (types is a small closed set). The count
     * tables and output are |types|-sized. Fixed-point
     * `floor(ln·10⁶)` keeps the scores hash-stable cross-engine.
+    *
+    * CACHE LIFECYCLE (public contract): same as [[madOutliers]] — the
+    * default leaves one per-call persist for the session owner's
+    * `clearCache()`; `eager = true` materializes the (|types|²-sized)
+    * result here, releases the intermediate, and hands the caller the
+    * one persisted handle to `unpersist()`.
     */
-  def sessionPmi(events: DataFrame, gapUs: Long): DataFrame = {
+  def sessionPmi(events: DataFrame, gapUs: Long,
+                 eager: Boolean = false): DataFrame = {
     val sess = graft.operators.Temporal.sessionize(
       events.filter(col("user_id").isNotNull)
         .select(col("user_id"), col("event_id"), col("event_type"),
@@ -695,7 +721,7 @@ object Analytics {
       .groupBy(col("a.event_type").as("type_a"),
         col("b.event_type").as("type_b"))
       .agg(count(lit(1)).as("n_ab"))
-    pairs
+    val out = pairs
       .join(single.select(col("event_type").as("type_a"), col("n_a")),
         Seq("type_a"))
       .join(single.select(col("event_type").as("type_b"),
@@ -705,6 +731,13 @@ object Analytics {
         floor(log((col("n_ab").cast("double") * lit(nSessions.toDouble)) /
           (col("n_a").cast("double") * col("n_b").cast("double"))) *
           lit(1000000.0)).as("pmi_fp"))
+    if (!eager) out
+    else {
+      val pinned = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned.count()
+      st.unpersist(blocking = false)
+      pinned
+    }
   }
 
   /** Categorical distribution drift — add-one-smoothed KL divergence

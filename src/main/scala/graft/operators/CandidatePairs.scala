@@ -76,6 +76,44 @@ object CandidatePairs {
     rawPairs(bucketed, cap)
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
 
+  /** Bipartite in-bucket pairs — the incremental-ingest / query-vs-corpus
+    * shape: every (big-side member, small-side member) pair sharing a
+    * bucket, with the BIG side salted so a hot bucket's pairs spread
+    * across g = ceil(m/cap) independent join cells instead of one
+    * reducer. Each big row keeps its single salt cell; each small row is
+    * replicated to all g of its bucket's cells — a (big, small) pair
+    * therefore meets exactly ONCE (in the big member's cell), per-task
+    * big-side input is bounded by ~cap members, and coverage is exact —
+    * no recall loss, unlike occupancy-capped bucket dropping. Small-side
+    * replication cost is |small rows in the bucket| × g, bounded by
+    * contract (the small side is a nightly batch / query set). Buckets
+    * with no big-side member yield no pairs and are dropped by the size
+    * join. Output: one row per (id_big, id_small, shared bucket) —
+    * callers wanting distinct pairs apply their own `.distinct()`.
+    */
+  def crossBucketPairs(big: DataFrame, small: DataFrame,
+                       cap: Int = 2048): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    // sizes feeds BOTH the big-side salting and the small-side cell
+    // expansion — persisted so the bucket-count agg over the big table
+    // runs once even if AQE replans one branch (bucket-cardinality-sized;
+    // the usual per-call lifecycle, released by the session owner's
+    // clearCache).
+    val sizes = big.groupBy(col("bk")).agg(count(lit(1)).as("__m"))
+      .withColumn("__g", ceil(col("__m") / cap).cast("int"))
+      .select(col("bk"), col("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val saltedBig = big.join(sizes, "bk")
+      .select(col("bk"),
+        pmod(xxhash64(col("id")), col("__g")).cast("int").as("__s"),
+        col("id").as("id_big"))
+    val cellsSmall = small.join(sizes, "bk")
+      .select(col("bk"), explode(sequence(lit(0), col("__g") - 1)).as("__s"),
+        col("id").as("id_small"))
+    saltedBig.join(cellsSmall, Seq("bk", "__s"))
+      .select(col("id_big"), col("id_small"))
+  }
+
   /** One row per (unordered pair, shared bucket) — exactly one cell emits
     * a given pair for a given bucket.
     */

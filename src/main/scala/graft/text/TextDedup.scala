@@ -163,15 +163,28 @@ object TextDedup {
     * jaccard ≥ threshold, at least one of the flags true. Same
     * recall/verify contract as [[nearDupPairs]] (banding tuned for the
     * threshold; exact Jaccard verify on candidates only). The asymmetric
-    * band join has no triangle cap — the fresh batch is small by
-    * contract (the ANN query-side convention); a degenerate bucket
-    * relies on AQE skew splitting.
+    * band join runs through
+    * [[graft.operators.CandidatePairs.crossBucketPairs]]: the corpus side
+    * of a hot bucket is salted into ceil(m/`cap`) cells and the fresh
+    * side replicated across them, so a degenerate bucket (mass
+    * exact-dups in the stored corpus) bounds per-task corpus input at
+    * ~cap rows with EXACT pair coverage — total candidate volume is
+    * still ∝ |fresh bands| × bucket occupancy (that is the operator's
+    * output), but no single reducer melts.
+    *
+    * CACHE LIFECYCLE: same note as [[nearDupPairs]] — the combined
+    * corpus+fresh shingle table is persisted per call and stays in the
+    * session CacheManager until `clearCache()`/session end; a nightly
+    * pipeline should hold the corpus shingle table as stored state and
+    * rebuild only the fresh share (here both are rebuilt per call, the
+    * sandbox stand-in for stored per-doc signatures).
     */
   def incrementalNearDupPairs(corpus: DataFrame, fresh: DataFrame,
                               idCol: String, textCol: String,
                               shingleN: Int = 3, numBands: Int = 16,
                               rowsPerBand: Int = 4,
-                              threshold: Double = 0.8): DataFrame = {
+                              threshold: Double = 0.8,
+                              cap: Int = 2048): DataFrame = {
     val all = corpus
       .select(col(idCol).cast("long").as("id"), col(textCol).as("__t"),
         lit(false).as("__new"))
@@ -185,11 +198,12 @@ object TextDedup {
     val newBanded = banded
       .join(flags.filter(col("__new")).select(col("id")), Seq("id"),
         "left_semi")
-    val cand = banded.select(col("id").as("id_all"), col("bk"))
-      .join(newBanded.select(col("id").as("id_new"), col("bk")), Seq("bk"))
-      .filter(col("id_all") =!= col("id_new"))
-      .select(least(col("id_all"), col("id_new")).as("doc_a"),
-        greatest(col("id_all"), col("id_new")).as("doc_b"))
+    val cand = graft.operators.CandidatePairs.crossBucketPairs(
+        banded.select(col("id"), col("bk")),
+        newBanded.select(col("id"), col("bk")), cap)
+      .filter(col("id_big") =!= col("id_small"))
+      .select(least(col("id_big"), col("id_small")).as("doc_a"),
+        greatest(col("id_big"), col("id_small")).as("doc_b"))
       .distinct()
     cand
       .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

@@ -282,7 +282,9 @@ object TextStats {
       .select(col("w"), col("f"), col("sym"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (step <- 1 to numMerges) {
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
       val pairs = sym
         .select(col("f"), explode(when(size(col("sym")) >= 2, expr(
           """transform(sequence(1, size(sym) - 1),
@@ -309,7 +311,13 @@ object TextStats {
         applied.count() // materialize before unpersisting the parent
         sym.unpersist(blocking = false)
         sym = applied
+      } else {
+        // No pair left anywhere (every word is a single symbol): the pair
+        // table stays empty forever, so stop — running the residual steps
+        // would re-aggregate the whole symbol table for nothing.
+        exhausted = true
       }
+      step += 1
     }
     (merges.toSeq, sym)
   }

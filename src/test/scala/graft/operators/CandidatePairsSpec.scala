@@ -85,4 +85,48 @@ class CandidatePairsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  private def plainCross(big: org.apache.spark.sql.DataFrame,
+                         small: org.apache.spark.sql.DataFrame) =
+    big.alias("a").join(small.alias("b"), col("a.bk") === col("b.bk"))
+      .select(col("a.id").as("id_big"), col("b.id").as("id_small"))
+
+  test("crossBucketPairs: equals the plain bipartite join, each pair once per shared bucket") {
+    // big: hot bucket 200 (40 members) + tiny bucket 100; small overlaps
+    // both, plus a small-only bucket 300 (must yield nothing) and one
+    // member sharing TWO buckets with a big member (multiplicity 2).
+    val big = ((1L to 3L).map(i => (i, 100)) ++
+      (10L to 49L).map(i => (i, 200)) ++ Seq((1L, 200))).toDF("id", "bk")
+    val small = Seq((70L, 100), (70L, 200), (71L, 200), (72L, 300))
+      .toDF("id", "bk")
+    val expected = plainCross(big, small).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val got = CandidatePairs.crossBucketPairs(big, small, cap = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(got == expected)
+    // doc 1 shares buckets 100 AND 200 with small doc 70 → multiplicity 2
+    assert(got((1L, 70L)) == 2)
+    // the hot bucket really was split: g = ceil(41/8) = 6 cells
+  }
+
+  test("crossBucketPairs: hot big-side bucket bounds per-cell big input at cap") {
+    val n = 2000
+    val cap = 100
+    val big = (1L to n.toLong).toDF("id").withColumn("bk", lit(42))
+    val small = (9001L to 9005L).toDF("id").withColumn("bk", lit(42))
+    val pairs = CandidatePairs.crossBucketPairs(big, small, cap)
+    assert(pairs.count() == n.toLong * 5) // complete bipartite, exactly once
+    // per-(bk, salt-cell) big-side input is hash-balanced around cap
+    val sizes = big.groupBy(col("bk")).agg(count(lit(1)).as("__m"))
+      .withColumn("__g", ceil(col("__m") / cap).cast("int"))
+    val maxCell = big.join(sizes, "bk")
+      .select(col("bk"), pmod(xxhash64(col("id")), col("__g")).as("__s"))
+      .groupBy(col("bk"), col("__s")).agg(count(lit(1)).as("rows"))
+      .agg(max(col("rows"))).head.getLong(0)
+    assert(maxCell <= 2L * cap, s"hot cell has $maxCell big rows (cap=$cap)")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
