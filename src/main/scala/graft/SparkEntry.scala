@@ -682,7 +682,11 @@ object SparkEntry {
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      graft.graphs.PageRank.run(edges, iterations = 3)
+      // scale pinned to the value the oracle CTEs unroll with (the
+      // library default is auto-derived from node count and would drift
+      // if the item graph ever outgrew the 1e12-safe bound).
+      graft.graphs.PageRank.run(edges, iterations = 3,
+        scale = 1000000000000L)
     }),
     // End-to-end near-dup REMOVAL: simhash pairs → connected components →
     // keep the min-id doc per cluster. Oracle composes the q50 pair graph

@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
   * far below any ranking-relevant difference.
   *
   * Overflow: Σ ranks ≤ nodes · scale (mass only shrinks: damping takes
-  * 15% per hop, dangling mass vanishes), so `85 · sum` stays under
-  * Long.Max for ≲ 10⁵ nodes at 1e12 — at larger graphs pass a smaller
-  * `scale` (1e9 clears a trillion nodes). ANSI mode makes any breach
-  * loud rather than silent.
+  * 15% per hop, dangling mass vanishes), so the worst single-node inflow
+  * is the whole mass and `85 · Σ contribs` must stay under Long.Max —
+  * i.e. nodes · scale ≲ Long.Max/100. The DEFAULT therefore derives the
+  * scale from the materialized node count: `min(1e12, Long.Max/100/n)`,
+  * which equals the historical 1e12 for every graph under ~9.2·10⁴
+  * nodes and degrades precision (never safety) down to the 1e6 floor at
+  * ~9.2·10¹⁰ nodes. An EXPLICIT scale is validated against the same
+  * bound up front — the job fails with the sizing formula in the
+  * message instead of an ANSI overflow mid-iteration.
   *
   * Scale posture: the degrees are folded into a contribution-ready
   * adjacency (src, dst, deg) ONCE, hash-partitioned on `src` and
@@ -43,7 +48,11 @@ object PageRank {
     * upstream for undirected graphs); duplicate edges are collapsed.
     * Returns (node, rank_fp) for every node that appears as a source or
     * destination, rank_fp the fixed-point long rank after `iterations`
-    * damped hops from a uniform `scale` start. The returned DataFrame is
+    * damped hops from a uniform `scale` start. `scale = 0` (the default)
+    * means AUTO: derived overflow-safe from the node count (see the
+    * object doc); pass an explicit value when a downstream consumer —
+    * such as a replaying oracle — pins the fixed-point base.
+    * The returned DataFrame is
     * MATERIALIZED (checkpointed) before returning — an iterative operator
     * is always consumed, and materializing here lets the persisted edge
     * list be released instead of leaking into the caller's session.
@@ -58,10 +67,11 @@ object PageRank {
     * [[ConnectedComponents.run]].
     */
   def run(edges: DataFrame, iterations: Int = 3,
-          scale: Long = 1000000000000L, reliable: Boolean = false): DataFrame = {
+          scale: Long = 0L, reliable: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"PageRank: iterations in [1, 20], got $iterations")
-    require(scale >= 1000L, s"PageRank: scale >= 1000, got $scale")
+    require(scale == 0L || scale >= 1000L,
+      s"PageRank: scale >= 1000 (or 0 for auto), got $scale")
     if (reliable) require(
       edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable=true needs spark.sparkContext.setCheckpointDir(...) first")
@@ -82,9 +92,22 @@ object PageRank {
     val nodes = adj.select(col("src").as("node"))
       .union(adj.select(col("dst").as("node"))).distinct()
       .persist(lvl)
-    adj.count(); nodes.count()
-    val base = lit(15L * scale / 100L)
-    var rank = nodes.select(col("node"), lit(scale).as("rank_fp"))
+    adj.count()
+    val n = nodes.count()
+    // Safe-scale bound: worst-case single-node inflow is the entire
+    // starting mass n·s, and the hot expression is `85 * inflow` — keep
+    // n·s ≤ Long.Max/100 (margin over 85). The auto default takes the
+    // largest safe scale capped at the historical 1e12, so small graphs
+    // are bit-identical to the old fixed default; an explicit scale past
+    // the bound fails HERE with the sizing formula, not mid-iteration
+    // with an ANSI overflow.
+    val safeCap = Long.MaxValue / 100L / math.max(n, 1L)
+    val s = if (scale != 0L) scale else math.max(1000000L, math.min(1000000000000L, safeCap))
+    require(s <= safeCap,
+      s"PageRank: scale $s overflows at $n nodes — need nodes*scale <= " +
+        s"Long.Max/100; pass scale <= $safeCap")
+    val base = lit(15L * s / 100L)
+    var rank = nodes.select(col("node"), lit(s).as("rank_fp"))
     for (_ <- 1 to iterations) {
       val contribs = rank
         .join(adj, rank("node") === adj("src"))

@@ -84,6 +84,28 @@ class PageRankSpec extends SparkSpec {
     intercept[IllegalArgumentException](PageRank.run(e, scale = 999L))
   }
 
+  test("million-node star: auto scale clears the overflow the old 1e12 default hit") {
+    import org.apache.spark.sql.functions._
+    val n = 1000000L // leaves, all pointing at node 0 — worst-case mass concentration
+    val edges = spark.range(1L, n + 1L)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+    // The historical fixed default is overflow-unsafe here: 85·(n·1e12)
+    // exceeds Long.Max. The up-front bound check rejects it with the
+    // sizing formula instead of an ANSI overflow mid-iteration.
+    val ex = intercept[IllegalArgumentException](
+      PageRank.run(edges, iterations = 1, scale = 1000000000000L))
+    assert(ex.getMessage.contains("overflows"))
+    // Auto scale: s = Long.Max/100/(n+1), capped at 1e12 — closed-form
+    // star ranks after one hop, exact long equality.
+    val s = Long.MaxValue / 100L / (n + 1L)
+    val r = PageRank.run(edges, iterations = 1)
+      .filter(col("node").isin(0L, 1L)).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val base = 15L * s / 100L
+    assert(r(0L) == base + 85L * (n * s) / 100L) // center: whole mass inflow
+    assert(r(1L) == base)                        // leaf: no inflow
+  }
+
   test("empty edge list yields an empty rank table, not a failure") {
     val s = spark; import s.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
