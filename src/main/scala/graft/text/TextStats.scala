@@ -135,8 +135,14 @@ object TextStats {
     */
   def unigramLogProb(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
+    // Tokenize ONCE: the token table feeds the total-count action, the
+    // vocabulary count agg, and the scoring join — persisted so the
+    // source scan + regex tokenization run once, not three times (the
+    // usual per-call lifecycle: the session owner's clearCache releases
+    // it).
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextDedup.tokens(col(textCol))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val g = toks.agg(count(lit(1))).head()
     val total = g.getLong(0)
     require(total > 0, "unigramLogProb over an empty corpus")
@@ -172,9 +178,14 @@ object TextStats {
                     textCol: String): DataFrame = {
     // Stage the token array as a projected column: HOF lambdas re-evaluate
     // referenced EXPRESSIONS per element, so `transform` must see a bound
-    // column, not a fresh split(text).
+    // column, not a fresh split(text). PERSISTED — the staged arrays feed
+    // the vocabulary action, both count aggs, and the scoring join, so
+    // the corpus is scanned and tokenized exactly once per call (the
+    // per-call cache lifecycle: released by the session owner's
+    // clearCache).
     val staged = docs.select(col(idCol).as("doc_id"),
       TextDedup.tokens(col(textCol)).as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = transform(sequence(lit(1), size(col("__w")) - 1),
       i => struct(element_at(col("__w"), i).as("w1"),
         element_at(col("__w"), i + 1).as("w2")))
@@ -185,7 +196,9 @@ object TextStats {
           .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
           .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val v = docs.select(explode(TextDedup.tokens(col(textCol))).as("w"))
+    // Vocabulary size off the SAME staged arrays (a second raw-corpus
+    // scan was the operator's dominant redundant cost).
+    val v = staged.select(explode(col("__w")).as("w"))
       .agg(count_distinct(col("w"))).head().getLong(0)
     require(v > 0, "bigramLogProb over an empty corpus")
     val cbi = bi.groupBy(col("w1"), col("w2"))

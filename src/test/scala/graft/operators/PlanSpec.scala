@@ -84,6 +84,31 @@ class PlanSpec extends SparkSpec {
       s"z-scores read unused columns:\n$zScan")
   }
 
+  test("LM scoring tokenizes the corpus once: final plan reads the staged cache, no re-scan") {
+    // bigramLogProb's vocabulary action populates the staged token cache;
+    // the returned scoring plan (both count aggs + the join) must then
+    // read ONLY that cache — zero file scans of the documents table.
+    // Every FileScan line in the plan text sits INSIDE an
+    // InMemoryRelation description (the cache's recorded build plan); a
+    // scan outside one would be a real re-read. Each description carries
+    // exactly one documents scan, so the counts must match — and the
+    // scoring plan must actually go through the cache.
+    def cacheOnlyScans(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val lines = plan.split("\n")
+      assert(plan.contains("InMemoryTableScan"), s"$what not cached:\n$plan")
+      assert(lines.count(_.contains("FileScan")) ==
+          lines.count(_.contains("InMemoryRelation")),
+        s"$what re-scans the corpus outside the staged cache:\n$plan")
+    }
+    val docs = Tables.documents(spark, sfDir)
+    cacheOnlyScans(graft.text.TextStats.bigramLogProb(docs, "doc_id", "text"),
+      "bigram scoring")
+    cacheOnlyScans(graft.text.TextStats.unigramLogProb(docs, "doc_id", "text"),
+      "unigram scoring")
+    spark.catalog.clearCache()
+  }
+
   test("relational hot paths run inside whole-stage codegen") {
     val df = Analytics.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // AQE only materializes codegen stages in the final plan
