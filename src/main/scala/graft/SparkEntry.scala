@@ -954,6 +954,26 @@ object SparkEntry {
         .withColumn("us_since_click",
           col("purchase_ts_us") - col("click_ts_us"))
     }),
+    // Snapshot-versioned lake: two MERGE commits into a fresh versioned
+    // table (q10's batches), then TIME TRAVEL — the output is v1 and v2
+    // read back via readAt, each tagged with its version. Gates both the
+    // merge-as-snapshot semantics and the log/manifest read path; the
+    // oracle replays the two latest-wins merge states directly.
+    "q128_snapshot_history" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft-q128")
+        .toString + "/tbl"
+      graft.lake.Snapshots.mergeIntoSnapshot(s, root,
+        ev.filter(col("event_id") % 3 === 0),
+        Seq("event_id"), Seq("event_ts_us", "event_id"))
+      graft.lake.Snapshots.mergeIntoSnapshot(s, root,
+        ev.filter(col("event_id") % 2 === 0),
+        Seq("event_id"), Seq("event_ts_us", "event_id"))
+      graft.lake.Snapshots.readAt(s, root, 1L).withColumn("version", lit(1L))
+        .unionByName(
+          graft.lake.Snapshots.readAt(s, root, 2L).withColumn("version", lit(2L)))
+    }),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2730,6 +2750,31 @@ object SparkEntry {
          SELECT user_id, purchase_ts_us, purchase_id, click_id, click_ts_us,
            purchase_ts_us - click_ts_us AS us_since_click
          FROM j WHERE rn = 1""",
+    // q128: the two committed snapshot states replayed relationally —
+    // v1 = latest-wins dedup of batch 1 (first merge into an empty
+    // table), v2 = q10's MERGE of batch 2 into v1 (source precedence:
+    // NOT IN + UNION ALL). Time travel must return exactly these.
+    "q128_snapshot_history" ->
+      """WITH b1 AS (
+           SELECT event_id, event_ts_us, value FROM (
+             SELECT event_id, epoch_us(ts) AS event_ts_us, value,
+               row_number() OVER (PARTITION BY event_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             FROM events WHERE event_id % 3 = 0)
+           WHERE rn = 1),
+         b2 AS (
+           SELECT event_id, event_ts_us, value FROM (
+             SELECT event_id, epoch_us(ts) AS event_ts_us, value,
+               row_number() OVER (PARTITION BY event_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1),
+         v2 AS (
+           SELECT * FROM b1 WHERE event_id NOT IN (SELECT event_id FROM b2)
+           UNION ALL SELECT * FROM b2)
+         SELECT event_id, event_ts_us, value, CAST(1 AS BIGINT) AS version FROM b1
+         UNION ALL
+         SELECT event_id, event_ts_us, value, CAST(2 AS BIGINT) AS version FROM v2""",
     // q125: same pinned double pipeline — counts are exact longs, p/q
     // derive once each, ln through the floor(·10⁹) gate.
     "q125_category_drift" ->

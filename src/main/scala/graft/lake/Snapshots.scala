@@ -1,0 +1,258 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot-versioned table storage — the transaction-log half of the
+  * Delta emulation ([[Upsert]] provides MERGE semantics; this provides
+  * snapshot isolation, time travel, and VACUUM; reference:
+  * analytics/spark/conf/spark-defaults.conf:5-10 stores every table in
+  * Delta, README.md:295 recommends OPTIMIZE/VACUUM maintenance).
+  *
+  * Layout (all under the table root):
+  * {{{
+  *   _log/v00000000000000000001.manifest   one per committed version
+  *   d00000000000000000001/                immutable data dir per commit
+  * }}}
+  * A manifest is a text file: a format tag line, a `kind` line
+  * (`rewrite` | `append`), then one table-relative parquet path per
+  * line. THE LOG IS THE SOURCE OF TRUTH: the current version is the
+  * highest manifest present, and the manifest's atomic rename into
+  * `_log/` is the commit point — there is no mutable pointer file to
+  * get out of sync. A data dir with no manifest is an invisible orphan
+  * (a crashed commit) that [[recover]] deletes.
+  *
+  * Isolation: data dirs are never renamed or rewritten after commit, so
+  * a reader that resolved its file list (every [[read]]/[[readAt]] call
+  * does, eagerly) keeps a consistent snapshot while any number of later
+  * commits land — the property the in-place [[Upsert.atomicSwapWrite]]
+  * cannot give a concurrent reader mid-swap. Old snapshots stay
+  * readable until [[vacuum]] reclaims them.
+  *
+  * Commit granularity: a `rewrite` commit references only its own dir
+  * (MERGE, compaction); an `append` commit references the parent
+  * version's files PLUS its own dir, so appending N rows costs N rows
+  * of I/O and a manifest — never a table rewrite (the Bronze ingest
+  * cadence). Appended files must be schema-compatible with the parent
+  * (the Delta append contract; a widening change goes through a
+  * rewrite).
+  *
+  * Writer concurrency: single writer per table, the reference's
+  * orchestration posture (one Airflow DAG owns each table). Multi-writer
+  * needs a CAS/lock on the version allocation — out of scope here, as
+  * is multi-table transactionality. At cluster scale the same design
+  * runs against an object store with a rename-capable committer; every
+  * driver-side structure (manifest, file list) is one row per FILE,
+  * bounded by layout granularity, not data size.
+  */
+object Snapshots {
+
+  private val FormatTag = "graft-snapshot-v1"
+
+  private def logDir(root: String): Path = Paths.get(root, "_log")
+  private def dataDirName(v: Long): String = f"d$v%020d"
+  private def manifestName(v: Long): String = f"v$v%020d.manifest"
+  private def versionOf(manifest: String): Long =
+    manifest.stripPrefix("v").stripSuffix(".manifest").toLong
+
+  /** Highest committed version, 0 if the table does not exist yet. */
+  def currentVersion(root: String): Long = {
+    val log = logDir(root)
+    if (!Files.isDirectory(log)) 0L
+    else {
+      val s = Files.list(log)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(versionOf).foldLeft(0L)(math.max)
+      finally s.close()
+    }
+  }
+
+  /** All committed versions, ascending — the `DESCRIBE HISTORY` analog. */
+  def versions(root: String): Seq[Long] = {
+    val log = logDir(root)
+    if (!Files.isDirectory(log)) Seq.empty
+    else {
+      val s = Files.list(log)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(versionOf).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Table-relative parquet paths a version resolves to. */
+  private def manifestFiles(root: String, version: Long): Seq[String] = {
+    val m = logDir(root).resolve(manifestName(version))
+    require(Files.exists(m),
+      s"Snapshots: version $version of $root does not exist (vacuumed or never committed)")
+    val lines = Files.readAllLines(m).asScala.toSeq
+    require(lines.headOption.contains(FormatTag),
+      s"Snapshots: $m is not a $FormatTag manifest")
+    lines.drop(2).filter(_.nonEmpty)
+  }
+
+  /** Read the table AT `version` — time travel. The file list resolves
+    * HERE, eagerly, so the returned frame is a pinned snapshot: later
+    * commits (which only ever add new dirs) cannot change what it reads,
+    * and only [[vacuum]] can invalidate it.
+    */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val files = manifestFiles(root, version).map(f => Paths.get(root, f).toString)
+    if (files.isEmpty) throw new IllegalArgumentException(
+      s"Snapshots: version $version of $root has an empty manifest")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Read the current snapshot (the highest committed version). */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readAt(spark, root, currentVersion(root))
+
+  /** Commit a full-table REWRITE as the next version: `write` receives a
+    * fresh staging dir; on return the dir is renamed into place and the
+    * manifest rename commits it. Returns the new version. A crash at any
+    * step leaves either a `.__tmp` staging leftover or an unreferenced
+    * data dir — both invisible to readers and healed by [[recover]].
+    */
+  def commitRewrite(root: String)(write: String => Unit): Long =
+    commit(root, parentFiles = Seq.empty, kind = "rewrite")(write)
+
+  /** Commit an APPEND as the next version: the new manifest references
+    * the parent version's files plus whatever `write` produced — no
+    * existing data is copied or rewritten. Appended files must be
+    * schema-compatible with the parent snapshot.
+    */
+  def commitAppend(root: String)(write: String => Unit): Long = {
+    val parent = currentVersion(root)
+    val files = if (parent == 0L) Seq.empty else manifestFiles(root, parent)
+    commit(root, parentFiles = files, kind = "append")(write)
+  }
+
+  private def commit(root: String, parentFiles: Seq[String], kind: String)
+                    (write: String => Unit): Long = {
+    Files.createDirectories(logDir(root))
+    val v = currentVersion(root) + 1L
+    val dataName = dataDirName(v)
+    val staging = Paths.get(root, dataName + ".__tmp")
+    val dataDir = Paths.get(root, dataName)
+    deleteRecursively(staging) // stale leftover from a crashed attempt
+    deleteRecursively(dataDir) // unreferenced orphan (crash after dir rename)
+    write(staging.toString)
+    Files.move(staging, dataDir, StandardCopyOption.ATOMIC_MOVE)
+    val own = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted.map(f => s"$dataName/$f")
+      finally s.close()
+    }
+    require(own.nonEmpty || parentFiles.nonEmpty,
+      s"Snapshots: commit produced no parquet files at $dataDir")
+    val body = (Seq(FormatTag, s"kind=$kind") ++ parentFiles ++ own)
+      .mkString("", "\n", "\n")
+    val mTmp = logDir(root).resolve(manifestName(v) + ".__tmp")
+    Files.write(mTmp, body.getBytes("UTF-8"))
+    // THE commit point: an atomic rename into the log makes v current.
+    Files.move(mTmp, logDir(root).resolve(manifestName(v)),
+      StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** MERGE into a versioned table — [[Upsert.mergeIntoPath]]'s semantics
+    * (latest-wins dedup, union-schema evolution, idempotent re-delivery)
+    * committed as a rewrite snapshot instead of an in-place swap, so
+    * concurrent readers keep their pinned version and the pre-merge
+    * state stays time-travelable. Returns the committed version.
+    */
+  def mergeIntoSnapshot(spark: SparkSession, root: String, source: DataFrame,
+                        keys: Seq[String], ordering: Seq[String],
+                        orderingFirst: Boolean = false): Long = {
+    recover(root)
+    val cur = currentVersion(root)
+    val merged =
+      if (cur == 0L) Upsert.latestWins(source, keys, ordering)
+      else if (orderingFirst)
+        Upsert.mergeLatest(readAt(spark, root, cur), source, keys, ordering)
+      else Upsert.merge(readAt(spark, root, cur), source, keys, ordering)
+    commitRewrite(root)(tmp =>
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp))
+  }
+
+  /** Small-file compaction as a snapshot commit — [[Layout.compact]]'s
+    * maintenance pass, composed with versioning: the compacted layout is
+    * a NEW version with identical rows, and every pre-compaction version
+    * remains readable until vacuumed (the OPTIMIZE-then-time-travel
+    * behavior the reference's Delta stack has).
+    */
+  def compactSnapshot(spark: SparkSession, root: String,
+                      targetRowsPerFile: Long): Long = {
+    require(targetRowsPerFile >= 1,
+      s"compactSnapshot: targetRowsPerFile >= 1, got $targetRowsPerFile")
+    recover(root)
+    val df = read(spark, root)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    commitRewrite(root)(tmp =>
+      df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp))
+  }
+
+  /** Reclaim storage: keep the newest `keepLast` versions' manifests,
+    * delete older manifests and every data dir no surviving manifest
+    * references (append chains keep shared ancestors alive). Time
+    * travel past the horizon is gone afterward — the VACUUM trade,
+    * applied to manifests instead of Delta's retention window.
+    */
+  def vacuum(root: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"vacuum: keepLast >= 1, got $keepLast")
+    val all = versions(root)
+    val dropped = all.dropRight(keepLast)
+    val kept = all.takeRight(keepLast)
+    val referenced = kept.flatMap(v => manifestFiles(root, v))
+      .map(_.split('/').head).toSet
+    dropped.foreach { v =>
+      Files.deleteIfExists(logDir(root).resolve(manifestName(v)))
+      val d = Paths.get(root, dataDirName(v))
+      if (!referenced.contains(dataDirName(v))) deleteRecursively(d)
+    }
+  }
+
+  /** Heal after a crashed commit: delete `.__tmp` staging leftovers
+    * (data dirs and manifests) and data dirs newer than the current
+    * version that no manifest references. Idempotent; single-writer
+    * contract — run it where [[Upsert.recover]] would be run.
+    */
+  def recover(root: String): Unit = {
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) return
+    val cur = currentVersion(root)
+    val entries = {
+      val s = Files.list(rootP)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    entries.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".__tmp")) deleteRecursively(p)
+      else if (n.startsWith("d") && n.length == 21 && n.drop(1).forall(_.isDigit)
+          && n.drop(1).toLong > cur)
+        deleteRecursively(p)
+    }
+    val log = logDir(root)
+    if (Files.isDirectory(log)) {
+      val s = Files.list(log)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".__tmp"))
+        .toSeq.foreach(deleteRecursively)
+      finally s.close()
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+}

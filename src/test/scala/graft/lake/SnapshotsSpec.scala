@@ -1,0 +1,161 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Snapshot log contracts: pinned readers survive concurrent commits,
+  * time travel replays history, appends share parent files, compaction
+  * composes with versioning, vacuum reclaims, crashes heal.
+  */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-snap").toString + "/tbl"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("pinned reader keeps its snapshot while a merge commits underneath") {
+    val root = freshRoot()
+    Snapshots.mergeIntoSnapshot(spark, root,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ts"),
+      Seq("k"), Seq("ts", "k"))
+    val pinned = Snapshots.read(spark, root) // file list resolved NOW
+    // a second merge rewrites the table as v2; v1's dir is untouched
+    Snapshots.mergeIntoSnapshot(spark, root,
+      Seq((2L, "B", 2L), (3L, "c", 2L)).toDF("k", "v", "ts"),
+      Seq("k"), Seq("ts", "k"))
+    assert(rows(pinned) == Set((1L, "a"), (2L, "b")),
+      "reader pinned before the merge must still see the pre-merge rows")
+    assert(rows(Snapshots.read(spark, root)) ==
+      Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("time travel: readAt replays every committed state; history lists versions") {
+    val root = freshRoot()
+    val v1 = Snapshots.mergeIntoSnapshot(spark, root,
+      Seq((1L, "a", 1L)).toDF("k", "v", "ts"), Seq("k"), Seq("ts", "k"))
+    val v2 = Snapshots.mergeIntoSnapshot(spark, root,
+      Seq((1L, "A", 2L), (2L, "b", 2L)).toDF("k", "v", "ts"),
+      Seq("k"), Seq("ts", "k"))
+    assert((v1, v2) == (1L, 2L))
+    assert(Snapshots.versions(root) == Seq(1L, 2L))
+    assert(rows(Snapshots.readAt(spark, root, 1L)) == Set((1L, "a")))
+    assert(rows(Snapshots.readAt(spark, root, 2L)) == Set((1L, "A"), (2L, "b")))
+    intercept[IllegalArgumentException](Snapshots.readAt(spark, root, 3L))
+  }
+
+  test("append commit shares the parent's physical files instead of copying") {
+    val root = freshRoot()
+    Snapshots.commitRewrite(root)(tmp =>
+      Seq((1L, "a")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((2L, "b")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    assert(rows(Snapshots.read(spark, root)) == Set((1L, "a"), (2L, "b")))
+    // v2's manifest must reference v1's data dir — shared, not copied
+    val m2 = Files.readAllLines(
+      Paths.get(root, "_log", f"v${2L}%020d.manifest"))
+    assert(m2.asScala.exists(_.startsWith(f"d${1L}%020d/")), m2.toString)
+    assert(m2.asScala.exists(_.startsWith(f"d${2L}%020d/")), m2.toString)
+    // and v1 alone still reads the original single row
+    assert(rows(Snapshots.readAt(spark, root, 1L)) == Set((1L, "a")))
+  }
+
+  test("compaction is a new version with identical rows; pre-compaction stays readable") {
+    val root = freshRoot()
+    Snapshots.commitRewrite(root)(tmp =>
+      spark.range(0L, 1000L).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v"))
+        .repartition(8).write.parquet(tmp))
+    val before = rows(Snapshots.read(spark, root))
+    val v2 = Snapshots.compactSnapshot(spark, root, targetRowsPerFile = 1000L)
+    assert(v2 == 2L)
+    assert(rows(Snapshots.read(spark, root)) == before)
+    assert(rows(Snapshots.readAt(spark, root, 1L)) == before)
+    // compacted layout really has fewer files
+    def nFiles(v: Long) = Files.readAllLines(
+      Paths.get(root, "_log", f"v$v%020d.manifest")).size - 2
+    assert(nFiles(2L) < nFiles(1L))
+  }
+
+  test("idempotent re-delivery: merging the same batch twice is a no-op state") {
+    val root = freshRoot()
+    val batch = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ts")
+    Snapshots.mergeIntoSnapshot(spark, root, batch, Seq("k"), Seq("ts", "k"))
+    Snapshots.mergeIntoSnapshot(spark, root, batch, Seq("k"), Seq("ts", "k"))
+    assert(rows(Snapshots.read(spark, root)) == Set((1L, "a"), (2L, "b")))
+    assert(Snapshots.currentVersion(root) == 2L) // two commits, same state
+  }
+
+  test("vacuum drops old versions and their unshared dirs; the horizon is gone") {
+    val root = freshRoot()
+    Snapshots.commitRewrite(root)(tmp =>
+      Seq((1L, "a")).toDF("k", "v").write.parquet(tmp))
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((2L, "b")).toDF("k", "v").write.parquet(tmp))
+    Snapshots.commitRewrite(root)(tmp =>
+      Seq((9L, "z")).toDF("k", "v").write.parquet(tmp))
+    Snapshots.vacuum(root, keepLast = 1)
+    assert(Snapshots.versions(root) == Seq(3L))
+    assert(rows(Snapshots.read(spark, root)) == Set((9L, "z")))
+    intercept[IllegalArgumentException](Snapshots.readAt(spark, root, 2L))
+    // v1/v2 dirs are unreferenced by v3 (a rewrite) → physically gone
+    assert(!Files.exists(Paths.get(root, f"d${1L}%020d")))
+    assert(!Files.exists(Paths.get(root, f"d${2L}%020d")))
+  }
+
+  test("vacuum keeps a shared ancestor dir alive while an append references it") {
+    val root = freshRoot()
+    Snapshots.commitRewrite(root)(tmp =>
+      Seq((1L, "a")).toDF("k", "v").write.parquet(tmp))
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((2L, "b")).toDF("k", "v").write.parquet(tmp))
+    Snapshots.vacuum(root, keepLast = 1) // keeps v2, which references d1
+    assert(Snapshots.versions(root) == Seq(2L))
+    assert(Files.exists(Paths.get(root, f"d${1L}%020d")),
+      "shared ancestor dir must survive vacuum")
+    assert(rows(Snapshots.read(spark, root)) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("crash healing: an unreferenced data dir is invisible and recover deletes it") {
+    val root = freshRoot()
+    Snapshots.commitRewrite(root)(tmp =>
+      Seq((1L, "a")).toDF("k", "v").write.parquet(tmp))
+    // simulate a crash AFTER the data-dir rename, BEFORE the manifest:
+    // a complete orphan dir one version ahead
+    val orphan = Paths.get(root, f"d${2L}%020d")
+    Seq((9L, "junk")).toDF("k", "v").write.parquet(orphan.toString)
+    assert(Snapshots.currentVersion(root) == 1L) // log rules: orphan invisible
+    assert(rows(Snapshots.read(spark, root)) == Set((1L, "a")))
+    Snapshots.recover(root)
+    assert(!Files.exists(orphan))
+    // and the next commit lands cleanly as v2
+    Snapshots.commitRewrite(root)(tmp =>
+      Seq((2L, "b")).toDF("k", "v").write.parquet(tmp))
+    assert(rows(Snapshots.read(spark, root)) == Set((2L, "b")))
+  }
+
+  test("crash healing: a staging .__tmp leftover never blocks the next commit") {
+    val root = freshRoot()
+    Snapshots.commitRewrite(root)(tmp =>
+      Seq((1L, "a", 1L)).toDF("k", "v", "ts").write.parquet(tmp))
+    val staging = Paths.get(root, f"d${2L}%020d.__tmp")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("partial"), "x".getBytes)
+    Snapshots.mergeIntoSnapshot(spark, root,
+      Seq((2L, "b", 1L)).toDF("k", "v", "ts"), Seq("k"), Seq("ts", "k"))
+    assert(rows(Snapshots.read(spark, root)) == Set((1L, "a"), (2L, "b")))
+    assert(!Files.exists(staging))
+  }
+
+  private implicit class JListOps[A](l: java.util.List[A]) {
+    def asScala: Seq[A] = {
+      import scala.jdk.CollectionConverters._
+      l.iterator().asScala.toSeq
+    }
+  }
+}
