@@ -103,14 +103,32 @@ object Upsert {
   def mergeIntoPath(spark: org.apache.spark.sql.SparkSession, path: String,
                     source: DataFrame, keys: Seq[String], ordering: Seq[String],
                     orderingFirst: Boolean = false): Unit = {
+    mergeIntoPathGated(spark, path, source, keys, ordering, orderingFirst)(_ => Nil)
+    ()
+  }
+
+  /** [[mergeIntoPath]] with a pre-commit QUALITY GATE: `gate` sees the
+    * MERGED CANDIDATE (not yet written); a non-empty failure list vetoes
+    * the swap, so a rejected batch leaves the live table byte-for-byte
+    * unmodified — the write-audit-publish pattern, with the audit before
+    * the publish instead of dbt's test-after-build. Returns the gate's
+    * failures (empty = committed).
+    */
+  def mergeIntoPathGated(spark: org.apache.spark.sql.SparkSession, path: String,
+                         source: DataFrame, keys: Seq[String],
+                         ordering: Seq[String], orderingFirst: Boolean = false)
+                        (gate: DataFrame => Seq[String]): Seq[String] = {
     recover(path)
     val p = Paths.get(path)
     val merged =
       if (Files.exists(p))
         mergeImpl(spark.read.parquet(path), source, keys, ordering, orderingFirst)
       else latestWins(source, keys, ordering)
-    atomicSwapWrite(path)(tmp =>
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp))
+    val failures = gate(merged)
+    if (failures.isEmpty)
+      atomicSwapWrite(path)(tmp =>
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp))
+    failures
   }
 
   /** The crash-safe table swap shared by the merge and by lake
