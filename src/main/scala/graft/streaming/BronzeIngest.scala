@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
 
 /** Kafka-shaped record: the 7 columns Spark's kafka source exposes.
   * Locally (no kafka connector jar) tests feed these through
@@ -24,6 +25,79 @@ case class KafkaRecord(key: Array[Byte], value: Array[Byte], topic: String,
   * SURVEY §2.9), which BronzeIngestSpec replays end-to-end.
   */
 object BronzeIngest {
+
+  /** The pinned 7-column source envelope — exactly the shape Spark's
+    * kafka source emits and [[KafkaRecord]] encodes. Every selectable
+    * source below resolves to THIS schema (spec-asserted against the
+    * [[KafkaRecord]] encoder), which is what makes the broker a
+    * config-time choice: everything downstream of [[source]] sees one
+    * shape regardless of transport.
+    */
+  val EnvelopeSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType, nullable = false)))
+
+  /** Name/type equality, nullability- and metadata-insensitive — the
+    * transports legitimately disagree on nullability (the case-class
+    * encoder marks primitives non-null, parquet marks everything
+    * nullable) while the downstream contract cares only about shape.
+    */
+  def matchesEnvelope(s: StructType): Boolean = {
+    def norm(t: StructType) = t.fields.map(f => (f.name, f.dataType)).toSeq
+    norm(s) == norm(EnvelopeSchema)
+  }
+
+  /** Config-keyed streaming source selector — the deployment seam:
+    * switching a pipeline from the test harness to a real broker is a
+    * CONFIG change (`graft.stream.source = kafka` plus broker options),
+    * never a code change.
+    *
+    *  - `kafka`: `readStream.format("kafka")` with the reference's
+    *    options (bronze_orders_raw.py:37-43 — `kafka.bootstrap.servers`,
+    *    `subscribe`, `startingOffsets`, `failOnDataLoss`) forwarded from
+    *    `conf`, projected onto the pinned envelope. Requires the
+    *    spark-sql-kafka connector jar on the cluster classpath; this
+    *    sandbox has none (SURVEY header), so here the branch fails at
+    *    source resolution — the spec pins THAT failure mode so the seam
+    *    stays honest.
+    *  - `files`: file-streaming envelope parquet from
+    *    `graft.stream.path` — the replayable integration stand-in.
+    *  - `memory`: the caller's `MemoryStream`-backed frame (typed
+    *    construction can't be config-built), schema-checked against the
+    *    pin.
+    */
+  def source(spark: SparkSession, conf: Map[String, String],
+             memoryInput: Option[DataFrame] = None): DataFrame =
+    conf.getOrElse("graft.stream.source", "memory") match {
+      case "kafka" =>
+        Seq("kafka.bootstrap.servers", "subscribe").foreach(k =>
+          require(conf.contains(k), s"kafka source needs conf '$k'"))
+        val passThrough = conf.filter { case (k, _) =>
+          k.startsWith("kafka.") || k == "subscribe" ||
+            k == "startingOffsets" || k == "failOnDataLoss" }
+        spark.readStream.format("kafka").options(passThrough).load()
+          .select(EnvelopeSchema.fieldNames.map(col).toIndexedSeq: _*)
+      case "files" =>
+        require(conf.contains("graft.stream.path"),
+          "files source needs conf 'graft.stream.path'")
+        spark.readStream.schema(EnvelopeSchema)
+          .parquet(conf("graft.stream.path"))
+      case "memory" =>
+        val in = memoryInput.getOrElse(throw new IllegalArgumentException(
+          "memory source needs the caller's MemoryStream frame"))
+        require(matchesEnvelope(in.schema),
+          s"memory source schema ${in.schema.simpleString} != pinned " +
+            s"envelope ${EnvelopeSchema.simpleString}")
+        in
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft.stream.source '$other' (expected kafka | files | memory)")
+    }
 
   /** P1 envelope projection (bronze_orders_raw.py:45-53): binary key/value
     * cast to string, kafka metadata carried, ingest stamped. `clock`

@@ -128,4 +128,56 @@ class BronzeIngestSpec extends SparkSpec {
       .select(col("total_amount")).head.isNullAt(0))
     assert(silver.filter(col("order_id").isNull).count() == 1)
   }
+
+  test("source selector: every transport resolves to the pinned envelope schema") {
+    import spark.implicits._
+    // the pin IS the KafkaRecord encoder's shape — one contract, asserted
+    assert(org.apache.spark.sql.Encoders.product[KafkaRecord].schema ==
+      BronzeIngest.EnvelopeSchema)
+    // memory: the caller's MemoryStream frame, schema-checked
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[KafkaRecord]
+    val fromMem = BronzeIngest.source(spark,
+      Map("graft.stream.source" -> "memory"), Some(mem.toDF()))
+    assert(BronzeIngest.matchesEnvelope(fromMem.schema))
+    // a non-envelope memory frame is rejected loudly
+    intercept[IllegalArgumentException](BronzeIngest.source(spark,
+      Map("graft.stream.source" -> "memory"),
+      Some(Seq((1, "x")).toDF("a", "b"))))
+    // files: envelope parquet dir streams back with the same schema
+    val dir = Files.createTempDirectory("graft-seam").toString + "/envelope"
+    kafkaRecords(Seq(
+        (order(1, 10.0, "2024-01-01 01:00:00"), ts("2024-01-01 01:00:01"))))
+      .toDF().write.parquet(dir)
+    val fromFiles = BronzeIngest.source(spark,
+      Map("graft.stream.source" -> "files", "graft.stream.path" -> dir))
+    assert(fromFiles.isStreaming)
+    assert(BronzeIngest.matchesEnvelope(fromFiles.schema))
+    // and the bronze projection downstream is transport-independent
+    // (name/type shape; nullability legitimately differs per transport)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(BronzeIngest.bronzeProject(fromMem, clock = fixedClock)) ==
+      shape(BronzeIngest.bronzeProject(fromFiles, clock = fixedClock)))
+  }
+
+  test("source selector: kafka branch is config-complete and blocked only by the missing jar") {
+    // option validation fires before source resolution
+    intercept[IllegalArgumentException](BronzeIngest.source(spark,
+      Map("graft.stream.source" -> "kafka")))
+    // with full broker config the ONLY local failure is the absent
+    // spark-sql-kafka connector (the documented environment limit) —
+    // not a bug in the seam. On a cluster with the jar this `load()`
+    // succeeds and the selector projects the same pinned envelope.
+    val ex = intercept[Exception](BronzeIngest.source(spark, Map(
+      "graft.stream.source" -> "kafka",
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "orders.events",
+      "startingOffsets" -> "earliest",
+      "failOnDataLoss" -> "false")))
+    assert(ex.getMessage.toLowerCase.contains("kafka"), ex.getMessage)
+    // unknown transports are rejected with the valid set
+    intercept[IllegalArgumentException](BronzeIngest.source(spark,
+      Map("graft.stream.source" -> "pulsar")))
+  }
 }
