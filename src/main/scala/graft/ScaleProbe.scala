@@ -1,0 +1,96 @@
+package graft
+
+import graft.sources.ScaledFixtures
+import graft.text.TextDedup
+import org.apache.spark.sql.DataFrame
+
+import java.nio.file.Files
+
+/** Scale-stress measurement main — wall-clock growth of the four
+  * dedup/similarity/graph-family headliners on synthetic corpus growth
+  * (disjoint-universe copies; [[ScaledFixtures]]). Prints ONE JSON line:
+  * per-operator seconds at each k plus the fitted exponent
+  * `ln(t_kmax / t_k1) / ln(kmax)` — 1.0 is perfectly linear scaling,
+  * 2.0 quadratic. min-of-2 per point with a warmup at the smallest k,
+  * the Bench discipline (this host has multi-second VM pauses).
+  *
+  * Exponents are REPORTED, not asserted: ScaleSpec owns the
+  * deterministic invariants (per-cell caps, exact ×k output laws, plan
+  * shapes); this main owns the timing evidence recorded in BENCH_NOTES.
+  * Caveat for reading results at small corpora: per-query constant
+  * costs (planning, task launch) deflate exponents; the candidate-count
+  * laws in ScaleSpec are the load-bearing linearity proof.
+  */
+object ScaleProbe {
+
+  private def time(body: => Long): (Double, Long) = {
+    var best = Double.MaxValue
+    var rows = 0L
+    for (_ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      rows = body
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    (best, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val ks = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 5, 20)
+    val spark = GraftSession.local("graft-scale-probe")
+    val tmp = Files.createTempDirectory("graft-probe").toString
+
+    val ops: Seq[(String, Int => DataFrame)] = Seq(
+      "neardup_lsh" -> { k =>
+        TextDedup.nearDupPairs(
+          ScaledFixtures.scaledDocs(spark, sfDir, k, s"$tmp/docs$k"),
+          "doc_id", "text")
+      },
+      "jaccard_prefix" -> { k =>
+        TextDedup.jaccardNearDupPairsPrefix(
+          ScaledFixtures.scaledDocs(spark, sfDir, k, s"$tmp/docs$k"),
+          "doc_id", "text", shingleN = 2, threshold = 0.5)
+      },
+      "fuzzy_pairs" -> { k =>
+        graft.text.Fuzzy.editDistancePairs(
+          ScaledFixtures.scaledNames(spark, sfDir, k, s"$tmp/names$k"),
+          "c_custkey", "c_name")
+      },
+      "embedding_canonical" -> { k =>
+        // threshold 0.8, not q108's 0.3: at d=64 random cross-copy
+        // cosines are N(0, 1/8), so 0.3 admits ~0.8% of the k²·n²/2
+        // cross pairs and the whole scaled corpus collapses into one
+        // cluster — a property of the synthetic growth model, not the
+        // operator. At 0.8 cross-copy edges are ~impossible and the
+        // per-copy dup structure is what scales.
+        graft.ml.Similarity.keepCanonical(
+          ScaledFixtures.scaledEmbeddings(spark, sfDir, k, s"$tmp/emb$k"), 0.8)
+      })
+
+    val results = ops.map { case (name, build) =>
+      // warmup at the smallest k (JIT + codegen), then timed points
+      build(ks.head).count()
+      spark.catalog.clearCache()
+      val points = ks.map { k =>
+        val (sec, rows) = time {
+          val n = build(k).count()
+          spark.catalog.clearCache()
+          n
+        }
+        (k, sec, rows)
+      }
+      val exp = math.log(points.last._2 / points.head._2) /
+        math.log(ks.last.toDouble / ks.head)
+      (name, points, exp)
+    }
+
+    val json = results.map { case (name, points, exp) =>
+      val pts = points.map { case (k, s, rows) =>
+        s""""k$k":{"sec":${f"$s%.3f"},"rows":$rows}""" }.mkString(",")
+      s""""$name":{$pts,"exponent":${f"$exp%.2f"}}"""
+    }.mkString("{", ",", s""","ks":[${ks.mkString(",")}],"sf":"$sfDir"}""")
+    // println is the contract (Bench-style single JSON line)
+    println(json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.ScaledFixtures
+import graft.text.TextDedup
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Measured scale-stress for the dedup/similarity family — converting
+  * the 100 TB posture from plan-shape claims into evidence on 10–20×
+  * synthetic corpus growth (disjoint-universe copies, so a well-behaved
+  * operator's work and output must grow ~linearly; see
+  * [[ScaledFixtures]] for the growth model):
+  *
+  *  1. hot-bucket guard under a planted mega-cluster on the REAL
+  *     minhash banding (not a synthetic bucket table): per-cell load
+  *     bounded, clique output complete;
+  *  2. candidate volume and verified output growth laws: exact
+  *     operators scale exactly ×k, the LSH operator within tolerance;
+  *  3. no plan degradation at 20×: no CartesianProduct, no global sort
+  *     in any of the four family plans.
+  *
+  * Wall-clock exponents live in [[graft.ScaleProbe]] (a main, reported
+  * not asserted — this host's multi-second VM pauses would make timing
+  * assertions flaky) and are recorded in BENCH_NOTES.
+  */
+class ScaleSpec extends SparkSpec {
+
+  private lazy val tmpBase = Files.createTempDirectory("graft-scale").toString
+
+  private def docsAt(k: Int) =
+    ScaledFixtures.scaledDocs(spark, sfDir, k, s"$tmpBase/docs$k")
+
+  private def bandedOf(docs: org.apache.spark.sql.DataFrame) = {
+    val sh = TextDedup.shingleHashedDocs(
+      docs.filter(size(TextDedup.tokens(col("text"))) >= 3),
+      "doc_id", "text", 3)
+    TextDedup.minhashBands(sh, 16, 4)
+  }
+
+  test("mega-cluster on real banding: per-cell load bounded, clique complete") {
+    val m = 800
+    val startId = 900000000L
+    val docs = docsAt(10)
+      .unionByName(ScaledFixtures.megaClusterDocs(spark, m, startId))
+    val banded = bandedOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cap = 256
+    // the guard's contract on the real distribution: no (bucket, cell)
+    // sees more than ~2·cap members per role side
+    val (a, b) = CandidatePairs.roleSides(banded.select(col("id"), col("bk")), cap)
+    val maxCell = a.unionByName(b).groupBy(col("bk"), col("__p"), col("__q"))
+      .agg(count(lit(1)).as("rows")).agg(max(col("rows"))).head.getLong(0)
+    assert(maxCell <= 4L * cap,
+      s"hot cell has $maxCell rows (cap=$cap) — guard failed on real banding")
+    // identical members bucket together in EVERY band; the guard must
+    // still emit the complete C(m,2) clique exactly once
+    val megaPairs = CandidatePairs.inBucketPairs(
+      banded.filter(col("id") >= startId), cap).count()
+    assert(megaPairs == m.toLong * (m - 1) / 2,
+      s"expected ${m.toLong * (m - 1) / 2} clique pairs, got $megaPairs")
+    banded.unpersist(blocking = false)
+    spark.catalog.clearCache()
+  }
+
+  test("growth laws: exact operators scale exactly x4; LSH within tolerance") {
+    val k = 4
+    val d1 = docsAt(1); val d4 = docsAt(k)
+    // candidate volume (the work proxy): ~linear, never quadratic
+    val c1 = CandidatePairs.inBucketPairs(bandedOf(d1)).count()
+    val c4 = CandidatePairs.inBucketPairs(bandedOf(d4)).count()
+    assert(c4 <= k * c1 * 1.3 + 50,
+      s"candidate volume superlinear: c1=$c1, c$k=$c4")
+    assert(c4 >= k * c1 * 0.7 - 50,
+      s"candidate volume collapsed: c1=$c1, c$k=$c4")
+    // exact prefix-filter Jaccard: per-copy pair sets are isomorphic,
+    // so output is exactly k·base
+    val p1 = TextDedup.jaccardNearDupPairsPrefix(d1, "doc_id", "text",
+      shingleN = 2, threshold = 0.5).count()
+    val p4 = TextDedup.jaccardNearDupPairsPrefix(d4, "doc_id", "text",
+      shingleN = 2, threshold = 0.5).count()
+    assert(p4 == k * p1, s"exact jaccard: expected ${k * p1}, got $p4 (p1=$p1)")
+    // exact fuzzy join (deletion blocking is complete at d<=1; the
+    // >=2-edit copy tag forbids cross-copy matches)
+    val n1 = ScaledFixtures.scaledNames(spark, sfDir, 1, s"$tmpBase/names1")
+    val n4 = ScaledFixtures.scaledNames(spark, sfDir, k, s"$tmpBase/names$k")
+    val f1 = graft.text.Fuzzy.editDistancePairs(n1, "c_custkey", "c_name").count()
+    val f4 = graft.text.Fuzzy.editDistancePairs(n4, "c_custkey", "c_name").count()
+    assert(f4 == k * f1, s"fuzzy: expected ${k * f1}, got $f4 (f1=$f1)")
+    // MinHash LSH: true pairs are k·base by construction; recall is
+    // probabilistic per copy's hash universe, so allow a small miss/FP
+    // band around exact
+    val o1 = TextDedup.nearDupPairs(d1, "doc_id", "text").count()
+    val o4 = TextDedup.nearDupPairs(d4, "doc_id", "text").count()
+    assert(math.abs(o4 - k * o1) <= math.max(4L, (k * o1) / 10),
+      s"lsh near-dup: expected ~${k * o1}, got $o4 (o1=$o1)")
+    spark.catalog.clearCache()
+  }
+
+  test("no plan degradation at 20x: no cartesian product, no global sort") {
+    val d20 = docsAt(20)
+    val e20 = ScaledFixtures.scaledEmbeddings(spark, sfDir, 20, s"$tmpBase/emb20")
+    val n20 = ScaledFixtures.scaledNames(spark, sfDir, 20, s"$tmpBase/names20")
+    val plans = Seq(
+      "minhash-lsh" -> TextDedup.nearDupPairs(d20, "doc_id", "text"),
+      "prefix-jaccard" -> TextDedup.jaccardNearDupPairsPrefix(
+        d20, "doc_id", "text", shingleN = 2, threshold = 0.5),
+      "fuzzy" -> graft.text.Fuzzy.editDistancePairs(n20, "c_custkey", "c_name"),
+      "embedding-canonical" -> graft.ml.Similarity.keepCanonical(e20, 0.3))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degraded to CartesianProduct at 20x:\n$plan")
+      assert(!plan.contains("rangepartitioning"),
+        s"$name introduced a global sort at 20x:\n$plan")
+    }
+    spark.catalog.clearCache()
+  }
+}
