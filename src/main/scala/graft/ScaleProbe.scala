@@ -65,6 +65,15 @@ object ScaleProbe {
         // per-copy dup structure is what scales.
         graft.ml.Similarity.keepCanonical(
           ScaledFixtures.scaledEmbeddings(spark, sfDir, k, s"$tmp/emb$k"), 0.8)
+      },
+      "triangles" -> { k =>
+        graft.graphs.Triangles.nodeTriangles(
+          ScaledFixtures.scaledEdges(spark, sfDir, k, s"$tmp/edges$k"))
+      },
+      "pagerank" -> { k =>
+        graft.graphs.PageRank.run(
+          ScaledFixtures.scaledEdges(spark, sfDir, k, s"$tmp/edges$k"),
+          iterations = 3)
       })
 
     val results = ops.map { case (name, build) =>

@@ -93,6 +93,31 @@ object ScaledFixtures {
     spark.read.parquet(out)
   }
 
+  /** k disjoint copies of the item co-occurrence edge list (q94/q101's
+    * graph: parts sharing an order, both directions), node ids offset
+    * by 10⁷ per copy — k independent components with identical
+    * structure, so triangle counts and fixed-point PageRank mass must
+    * scale exactly ×k. The base edge list is built once and the copies
+    * are written to `out`.
+    */
+  def scaledEdges(spark: SparkSession, dir: String, k: Int,
+                  out: String): DataFrame = {
+    require(k >= 1, s"scaledEdges: k >= 1, got $k")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val base = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    (0 until k).map { cp =>
+      base.select((col("src") + lit(cp * 10000000L)).as("src"),
+        (col("dst") + lit(cp * 10000000L)).as("dst"))
+    }.reduce(_.unionByName(_))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    spark.read.parquet(out)
+  }
+
   /** k disjoint-universe copies of customer names for the fuzzy join
     * (ids offset, names suffixed with the ≥2-edit copy tag).
     */

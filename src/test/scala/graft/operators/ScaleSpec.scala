@@ -98,6 +98,32 @@ class ScaleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("graph growth laws: triangles and PageRank mass scale exactly xk on disjoint copies") {
+    val k = 4
+    val e1 = ScaledFixtures.scaledEdges(spark, sfDir, 1, s"$tmpBase/edges1")
+    val e4 = ScaledFixtures.scaledEdges(spark, sfDir, k, s"$tmpBase/edges$k")
+    // triangles: per-copy structure is identical and components are
+    // disjoint, so both the node count and the total participation sum
+    // scale exactly xk
+    val t1 = graft.graphs.Triangles.nodeTriangles(e1)
+      .agg(count(lit(1)), sum(col("n_triangles"))).head()
+    val t4 = graft.graphs.Triangles.nodeTriangles(e4)
+      .agg(count(lit(1)), sum(col("n_triangles"))).head()
+    assert(t4.getLong(0) == k * t1.getLong(0), s"triangle nodes: $t1 vs $t4")
+    assert(t4.getLong(1) == k * t1.getLong(1), s"triangle sum: $t1 vs $t4")
+    // PageRank: the integer fixed point is structure-determined, so with
+    // the scale pinned each copy reproduces the base ranks exactly —
+    // total mass and max rank are invariant per copy
+    val s = 1000000000L
+    val r1 = graft.graphs.PageRank.run(e1, iterations = 3, scale = s)
+      .agg(sum(col("rank_fp")), max(col("rank_fp"))).head()
+    val r4 = graft.graphs.PageRank.run(e4, iterations = 3, scale = s)
+      .agg(sum(col("rank_fp")), max(col("rank_fp"))).head()
+    assert(r4.getLong(0) == k * r1.getLong(0), s"rank mass: $r1 vs $r4")
+    assert(r4.getLong(1) == r1.getLong(1), s"max rank: $r1 vs $r4")
+    spark.catalog.clearCache()
+  }
+
   test("no plan degradation at 20x: no cartesian product, no global sort") {
     val d20 = docsAt(20)
     val e20 = ScaledFixtures.scaledEmbeddings(spark, sfDir, 20, s"$tmpBase/emb20")
