@@ -49,7 +49,7 @@ object Bench {
     "q118_component_sizes", "q119_rolling_distinct", "q120_mad_outliers",
     "q121_session_pmi", "q122_session_paths", "q123_incremental_dedup",
     "q124_bpe_merges", "q125_category_drift", "q126_bpe_vocab",
-    "q127_asof_tolerance",
+    "q127_asof_tolerance", "q128_snapshot_history", "q129_snapshot_append",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

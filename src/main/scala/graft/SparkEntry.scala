@@ -974,6 +974,24 @@ object SparkEntry {
         .unionByName(
           graft.lake.Snapshots.readAt(s, root, 2L).withColumn("version", lit(2L)))
     }),
+    // Snapshot APPEND commits — the Bronze-cadence path: two append
+    // commits into a fresh versioned table, current read = the union of
+    // both batches via the manifest's shared file list (the second
+    // commit references the first's physical files; nothing is copied
+    // or rewritten). Gates the file-sharing manifest read end-to-end.
+    "q129_snapshot_append" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft-q129")
+        .toString + "/tbl"
+      graft.lake.Snapshots.commitAppend(root)(tmp =>
+        ev.filter(col("event_id") % 3 === 0)
+          .write.mode("overwrite").parquet(tmp))
+      graft.lake.Snapshots.commitAppend(root)(tmp =>
+        ev.filter(col("event_id") % 3 === 1)
+          .write.mode("overwrite").parquet(tmp))
+      graft.lake.Snapshots.read(s, root)
+    }),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2775,6 +2793,14 @@ object SparkEntry {
          SELECT event_id, event_ts_us, value, CAST(1 AS BIGINT) AS version FROM b1
          UNION ALL
          SELECT event_id, event_ts_us, value, CAST(2 AS BIGINT) AS version FROM v2""",
+    // q129: append commits never dedup or rewrite — the current read is
+    // the plain union of the two delivered batches.
+    "q129_snapshot_append" ->
+      """SELECT event_id, epoch_us(ts) AS event_ts_us, value
+         FROM events WHERE event_id % 3 = 0
+         UNION ALL
+         SELECT event_id, epoch_us(ts) AS event_ts_us, value
+         FROM events WHERE event_id % 3 = 1""",
     // q125: same pinned double pipeline — counts are exact longs, p/q
     // derive once each, ln through the floor(·10⁹) gate.
     "q125_category_drift" ->
