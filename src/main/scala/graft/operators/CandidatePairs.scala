@@ -94,20 +94,30 @@ object CandidatePairs {
   def crossBucketPairs(big: DataFrame, small: DataFrame,
                        cap: Int = 2048): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
+    // Only buckets with a member on BOTH sides can emit a pair, so the
+    // big side is pre-restricted to the small side's bucket keys (a
+    // broadcast-friendly semi join — the small side is a batch/query
+    // set by contract). The bucket-count agg and the salting then run
+    // over the relevant slice, not the whole corpus band table — this
+    // is what keeps the guarded join at the plain asymmetric join's
+    // cost when no bucket is hot.
+    val bigR = big.join(broadcast(small.select(col("bk"))),
+      Seq("bk"), "left_semi")
     // sizes feeds BOTH the big-side salting and the small-side cell
-    // expansion — persisted so the bucket-count agg over the big table
-    // runs once even if AQE replans one branch (bucket-cardinality-sized;
-    // the usual per-call lifecycle, released by the session owner's
-    // clearCache).
-    val sizes = big.groupBy(col("bk")).agg(count(lit(1)).as("__m"))
+    // expansion — persisted so the count agg runs once even if AQE
+    // replans one branch, and BROADCAST into both joins: it is bounded
+    // by the small side's bucket cardinality (the same contract that
+    // makes the semi build broadcastable), so the big side reaches the
+    // final cell join without an intermediate shuffle.
+    val sizes = bigR.groupBy(col("bk")).agg(count(lit(1)).as("__m"))
       .withColumn("__g", ceil(col("__m") / cap).cast("int"))
       .select(col("bk"), col("__g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val saltedBig = big.join(sizes, "bk")
+    val saltedBig = bigR.join(broadcast(sizes), "bk")
       .select(col("bk"),
         pmod(xxhash64(col("id")), col("__g")).cast("int").as("__s"),
         col("id").as("id_big"))
-    val cellsSmall = small.join(sizes, "bk")
+    val cellsSmall = small.join(broadcast(sizes), "bk")
       .select(col("bk"), explode(sequence(lit(0), col("__g") - 1)).as("__s"),
         col("id").as("id_small"))
     saltedBig.join(cellsSmall, Seq("bk", "__s"))

@@ -162,15 +162,19 @@ object TextDedup {
     * Output: (doc_a, doc_b, jaccard, a_new, b_new), doc_a < doc_b,
     * jaccard ≥ threshold, at least one of the flags true. Same
     * recall/verify contract as [[nearDupPairs]] (banding tuned for the
-    * threshold; exact Jaccard verify on candidates only). The asymmetric
-    * band join runs through
-    * [[graft.operators.CandidatePairs.crossBucketPairs]]: the corpus side
-    * of a hot bucket is salted into ceil(m/`cap`) cells and the fresh
-    * side replicated across them, so a degenerate bucket (mass
-    * exact-dups in the stored corpus) bounds per-task corpus input at
-    * ~cap rows with EXACT pair coverage — total candidate volume is
-    * still ∝ |fresh bands| × bucket occupancy (that is the operator's
-    * output), but no single reducer melts.
+    * threshold; exact Jaccard verify on candidates only).
+    *
+    * Hot-bucket posture: by default (`cap = None`) the asymmetric band
+    * join is one plain equi-join and AQE skew splitting bounds per-TASK
+    * load — the fresh batch is small by contract, and the guard's extra
+    * stages (size agg, salting, broadcasts) would roughly double the
+    * query's fixed cost at modest corpora for protection the common
+    * case doesn't need. Against a HOSTILE corpus (mass exact-dups
+    * concentrating one bucket), pass `cap = Some(n)`: the join runs
+    * through [[graft.operators.CandidatePairs.crossBucketPairs]], which
+    * salts the corpus side of a hot bucket into ceil(m/n) cells with
+    * EXACT pair coverage — bounded per-task input, identical output
+    * (spec-asserted equivalence).
     *
     * CACHE LIFECYCLE: same note as [[nearDupPairs]] — the combined
     * corpus+fresh shingle table is persisted per call and stays in the
@@ -184,7 +188,7 @@ object TextDedup {
                               shingleN: Int = 3, numBands: Int = 16,
                               rowsPerBand: Int = 4,
                               threshold: Double = 0.8,
-                              cap: Int = 2048): DataFrame = {
+                              cap: Option[Int] = None): DataFrame = {
     val all = corpus
       .select(col(idCol).cast("long").as("id"), col(textCol).as("__t"),
         lit(false).as("__new"))
@@ -194,16 +198,32 @@ object TextDedup {
     val sh = shingleHashedDocs(
       all.filter(size(tokens(col("__t"))) >= shingleN), "id", "__t", shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = minhashBands(sh, numBands, rowsPerBand)
+    // Under the guard, banded feeds four consumers (corpus side twice —
+    // size agg + salting — and the fresh side twice); persist it there
+    // so the minhash signature pass runs once (numBands rows/doc; same
+    // lifecycle note as sh). The default path keeps the two-consumer
+    // plan unpersisted.
+    val banded0 = minhashBands(sh, numBands, rowsPerBand)
+    val banded = cap.fold(banded0)(_ => banded0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val newBanded = banded
       .join(flags.filter(col("__new")).select(col("id")), Seq("id"),
         "left_semi")
-    val cand = graft.operators.CandidatePairs.crossBucketPairs(
-        banded.select(col("id"), col("bk")),
-        newBanded.select(col("id"), col("bk")), cap)
-      .filter(col("id_big") =!= col("id_small"))
-      .select(least(col("id_big"), col("id_small")).as("doc_a"),
-        greatest(col("id_big"), col("id_small")).as("doc_b"))
+    val rawCand = cap match {
+      case Some(c) =>
+        graft.operators.CandidatePairs.crossBucketPairs(
+            banded.select(col("id"), col("bk")),
+            newBanded.select(col("id"), col("bk")), c)
+          .select(col("id_big").as("id_all"), col("id_small").as("id_new"))
+      case None =>
+        banded.select(col("id").as("id_all"), col("bk"))
+          .join(newBanded.select(col("id").as("id_new"), col("bk")), Seq("bk"))
+          .select(col("id_all"), col("id_new"))
+    }
+    val cand = rawCand
+      .filter(col("id_all") =!= col("id_new"))
+      .select(least(col("id_all"), col("id_new")).as("doc_a"),
+        greatest(col("id_all"), col("id_new")).as("doc_b"))
       .distinct()
     cand
       .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

@@ -300,6 +300,18 @@ class TextDedupSpec extends SparkSpec {
     val plan = TextDedup.incrementalNearDupPairs(corpus, fresh, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"banded join only:\n$plan")
+    // the opt-in hot-bucket guard (hostile-corpus posture) is output-
+    // equivalent to the default plain join — including with a planted
+    // mega-bucket far past the cap
+    val hostile = corpus.unionByName(
+      spark.range(100L, 400L).selectExpr("id AS doc_id",
+        s"'$text' AS text"))
+    def pairs(cap: Option[Int]) =
+      TextDedup.incrementalNearDupPairs(hostile, fresh, "doc_id", "text",
+          cap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Some(16)) == pairs(None))
+    spark.catalog.clearCache()
   }
 
   test("supplied pairCounts rejects non-default maxDf/cap (knobs baked at build)") {
