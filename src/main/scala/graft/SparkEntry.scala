@@ -992,6 +992,16 @@ object SparkEntry {
           .write.mode("overwrite").parquet(tmp))
       graft.lake.Snapshots.read(s, root)
     }),
+    // N-gram novelty: fraction of each doc's distinct 3-shingles with
+    // corpus df = 1 — the uniqueness signal curation ranks by (inverse
+    // of boilerplate). Hashed shingles; df structure equals string
+    // shingles up to 64-bit collisions (q70's caveat).
+    "q130_ngram_novelty" -> ((s, d) =>
+      TextStats.ngramNovelty(Tables.documentsSpread(s, d), "doc_id", "text", 3)),
+    // Token rarity: mean IDF of each doc's token occurrences (q84's
+    // fixed-point ln recipe with df in place of term frequency).
+    "q131_token_rarity" -> ((s, d) =>
+      TextStats.tokenRarity(Tables.documentsSpread(s, d), "doc_id", "text")),
   )
 
   /** q99/q104 share the SCD2 history of each user's event-type state
@@ -2801,6 +2811,34 @@ object SparkEntry {
          UNION ALL
          SELECT event_id, epoch_us(ts) AS event_ts_us, value
          FROM events WHERE event_id % 3 = 1""",
+    // q130: q24's distinct string-shingle CTE → global df → per-doc
+    // novel (df=1) share, floor-quantized single division.
+    "q130_ngram_novelty" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM docs, UNNEST(range(1, len(w) - 1)) t(i)),
+         dfc AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+         SELECT doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(FLOOR(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000.0 / COUNT(*)) AS BIGINT) AS novelty_fp
+         FROM sh JOIN dfc USING (s) GROUP BY doc_id""",
+    // q131: q84's floor(ln·10⁶) recipe over IDF terms — df = docs
+    // containing the token, N = corpus doc count.
+    "q131_token_rarity" ->
+      """WITH t AS (SELECT doc_id, u.w FROM (
+             SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             UNNEST(ws) u(w) WHERE u.w <> ''),
+         n AS (SELECT COUNT(*) AS nd FROM documents),
+         c AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY w)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(ln((SELECT CAST(nd AS DOUBLE) FROM n)
+             / CAST(df AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS rarity_fp,
+           (CAST(SUM(CAST(FLOOR(ln((SELECT CAST(nd AS DOUBLE) FROM n)
+             / CAST(df AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
+             / 1000000.0) / COUNT(*) AS avg_rarity
+         FROM t JOIN c USING (w) GROUP BY doc_id""",
     // q125: same pinned double pipeline — counts are exact longs, p/q
     // derive once each, ln through the floor(·10⁹) gate.
     "q125_category_drift" ->

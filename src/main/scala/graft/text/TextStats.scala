@@ -133,6 +133,74 @@ object TextStats {
     * corpus-vocabulary-sized, broadcast-friendly; no hint so AQE decides)
     * → per-doc sum; all aggs map-side combinable.
     */
+  /** Per-document n-gram NOVELTY — the uniqueness signal curation
+    * pipelines rank by: the fraction of a doc's distinct shingles that
+    * appear NOWHERE else in the corpus (document frequency 1). Template
+    * text and boilerplate score near 0, original content near 1 —
+    * the complement of what near-dup removal measures, useful for
+    * up-weighting rare content after dedup.
+    *
+    * Shingles are the 64-bit hashed n-grams of
+    * [[TextDedup.shingleHashedDocs]]; df equality structure matches
+    * string shingles up to 64-bit collisions (the q70 caveat —
+    * negligible at any corpus that fits a cluster), so the DuckDB
+    * oracle replays with string shingles directly. `novelty_fp` =
+    * floor(10⁶·n_novel/n_shingles) — single division, floor-quantized,
+    * hash-stable.
+    *
+    * Scale posture: one shingle explode → map-side-combinable df count
+    * → count-distinct-sized join back → per-doc agg. No windows, no
+    * sorts; the df table is vocabulary-sized. Docs shorter than n
+    * tokens have no shingles and drop out (novelty undefined).
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val sh = TextDedup.shingleHashedDocs(
+      docs.filter(size(TextDedup.tokens(col(textCol))) >= n),
+      idCol, textCol, n)
+    val posting = sh.select(col("id").as("doc_id"), explode(col("sh")).as("s"))
+    val dfc = posting.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    posting.join(dfc, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        floor(col("n_novel") * lit(1000000.0) / col("n_shingles"))
+          .cast("long").as("novelty_fp"))
+  }
+
+  /** Per-document token RARITY — mean inverse document frequency of the
+    * doc's token occurrences: rare-vocabulary documents (technical,
+    * long-tail topics) score high, stopword-heavy boilerplate low. The
+    * q84 fixed-point recipe exactly: each occurrence contributes
+    * floor(ln(N/df)·10⁶) (N = corpus doc count, df = docs containing
+    * the token), summed as exact integer-valued doubles, divided once.
+    *
+    * Scale posture: token explode → distinct (doc, token) →
+    * map-side-combinable df count → join back on the token (vocabulary
+    * -sized side) → per-doc agg; N is the one driver-collected scalar
+    * (model state, the q84 convention).
+    */
+  def tokenRarity(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val nDocs = docs.count()
+    require(nDocs > 0, "tokenRarity over an empty corpus")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextDedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val dfc = toks.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("__df"))
+    toks.join(dfc, Seq("w"))
+      .select(col("doc_id"),
+        floor(log(lit(nDocs.toDouble) / col("__df").cast("double")) *
+          lit(1000000.0)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__c")).as("rarity_fp"))
+      .select(col("doc_id"), col("n_tokens"), col("rarity_fp"),
+        ((col("rarity_fp") / lit(1000000.0)) / col("n_tokens"))
+          .as("avg_rarity"))
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
     // Tokenize ONCE: the token table feeds the total-count action, the

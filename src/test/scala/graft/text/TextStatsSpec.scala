@@ -223,4 +223,31 @@ class TextStatsSpec extends SparkSpec {
     // a higher-probability continuation scores higher
     assert(got(1L)._3 > got(3L)._3)
   }
+
+  test("ngramNovelty: hand-computed df=1 shares; short docs drop out") {
+    val s = spark; import s.implicits._
+    // 2-shingles: doc1 {ab, bc}, doc2 {ab, bx}, doc3 {q} (1 token → out)
+    val docs = Seq((1L, "a b c"), (2L, "a b x"), (3L, "q"))
+      .toDF("doc_id", "text")
+    val got = TextStats.ngramNovelty(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // "a b" has df 2; "b c" and "b x" are novel
+    assert(got == Map(
+      1L -> ((2L, 1L, 500000L)),
+      2L -> ((2L, 1L, 500000L))), s"got $got")
+  }
+
+  test("tokenRarity: mean IDF matches hand math; ubiquitous tokens score zero") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the the"))
+      .toDF("doc_id", "text")
+    val got = TextStats.tokenRarity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // N=3; df(the)=3 → ln(1)=0; df(cat)=df(dog)=1 → ln(3)
+    val ln3 = math.floor(math.log(3.0) * 1e6).toLong
+    assert(got == Map(
+      1L -> ((2L, ln3)), 2L -> ((2L, ln3)), 3L -> ((2L, 0L))), s"got $got")
+  }
 }
