@@ -40,21 +40,29 @@ object ScaleProbe {
     val spark = GraftSession.local("graft-scale-probe")
     val tmp = Files.createTempDirectory("graft-probe").toString
 
+    // Materialize EVERY fixture before any clock starts: the builders
+    // union/repartition/write parquet (Θ(k) with a big constant), and
+    // timing that would pollute the operator exponents the probe exists
+    // to measure. Timed runs read the pre-written parquet only.
+    val docs = ks.map(k => k ->
+      ScaledFixtures.scaledDocs(spark, sfDir, k, s"$tmp/docs$k")).toMap
+    val names = ks.map(k => k ->
+      ScaledFixtures.scaledNames(spark, sfDir, k, s"$tmp/names$k")).toMap
+    val embs = ks.map(k => k ->
+      ScaledFixtures.scaledEmbeddings(spark, sfDir, k, s"$tmp/emb$k")).toMap
+    val edges = ks.map(k => k ->
+      ScaledFixtures.scaledEdges(spark, sfDir, k, s"$tmp/edges$k")).toMap
+
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "neardup_lsh" -> { k =>
-        TextDedup.nearDupPairs(
-          ScaledFixtures.scaledDocs(spark, sfDir, k, s"$tmp/docs$k"),
-          "doc_id", "text")
+        TextDedup.nearDupPairs(docs(k), "doc_id", "text")
       },
       "jaccard_prefix" -> { k =>
-        TextDedup.jaccardNearDupPairsPrefix(
-          ScaledFixtures.scaledDocs(spark, sfDir, k, s"$tmp/docs$k"),
+        TextDedup.jaccardNearDupPairsPrefix(docs(k),
           "doc_id", "text", shingleN = 2, threshold = 0.5)
       },
       "fuzzy_pairs" -> { k =>
-        graft.text.Fuzzy.editDistancePairs(
-          ScaledFixtures.scaledNames(spark, sfDir, k, s"$tmp/names$k"),
-          "c_custkey", "c_name")
+        graft.text.Fuzzy.editDistancePairs(names(k), "c_custkey", "c_name")
       },
       "embedding_canonical" -> { k =>
         // threshold 0.8, not q108's 0.3: at d=64 random cross-copy
@@ -63,17 +71,13 @@ object ScaleProbe {
         // cluster — a property of the synthetic growth model, not the
         // operator. At 0.8 cross-copy edges are ~impossible and the
         // per-copy dup structure is what scales.
-        graft.ml.Similarity.keepCanonical(
-          ScaledFixtures.scaledEmbeddings(spark, sfDir, k, s"$tmp/emb$k"), 0.8)
+        graft.ml.Similarity.keepCanonical(embs(k), 0.8)
       },
       "triangles" -> { k =>
-        graft.graphs.Triangles.nodeTriangles(
-          ScaledFixtures.scaledEdges(spark, sfDir, k, s"$tmp/edges$k"))
+        graft.graphs.Triangles.nodeTriangles(edges(k))
       },
       "pagerank" -> { k =>
-        graft.graphs.PageRank.run(
-          ScaledFixtures.scaledEdges(spark, sfDir, k, s"$tmp/edges$k"),
-          iterations = 3)
+        graft.graphs.PageRank.run(edges(k), iterations = 3)
       })
 
     val results = ops.map { case (name, build) =>

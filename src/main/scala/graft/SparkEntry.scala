@@ -962,8 +962,7 @@ object SparkEntry {
     "q128_snapshot_history" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("event_ts_us"), col("value"))
-      val root = java.nio.file.Files.createTempDirectory("graft-q128")
-        .toString + "/tbl"
+      val root = freshScratch("q128")
       graft.lake.Snapshots.mergeIntoSnapshot(s, root,
         ev.filter(col("event_id") % 3 === 0),
         Seq("event_id"), Seq("event_ts_us", "event_id"))
@@ -982,8 +981,7 @@ object SparkEntry {
     "q129_snapshot_append" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("event_ts_us"), col("value"))
-      val root = java.nio.file.Files.createTempDirectory("graft-q129")
-        .toString + "/tbl"
+      val root = freshScratch("q129")
       graft.lake.Snapshots.commitAppend(root)(tmp =>
         ev.filter(col("event_id") % 3 === 0)
           .write.mode("overwrite").parquet(tmp))
@@ -1003,6 +1001,19 @@ object SparkEntry {
     "q131_token_rarity" -> ((s, d) =>
       TextStats.tokenRarity(Tables.documentsSpread(s, d), "doc_id", "text")),
   )
+
+  /** Fixed per-query scratch dir for the lake queries (q128/q129),
+    * wiped before each use: Bench/Verify invoke a builder several times
+    * per session, and fresh createTempDirectory trees would accumulate
+    * unbounded /tmp disk across runs — one bounded tree per query
+    * instead.
+    */
+  private def freshScratch(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_scratch_$name")
+    graft.lake.Upsert.deleteRecursively(p)
+    s"$p/tbl"
+  }
 
   /** q99/q104 share the SCD2 history of each user's event-type state
     * (the dimension table the as-of lookup joins against).

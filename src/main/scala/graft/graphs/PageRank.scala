@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   * i.e. nodes · scale ≲ Long.Max/100. The DEFAULT therefore derives the
   * scale from the materialized node count: `min(1e12, Long.Max/100/n)`,
   * which equals the historical 1e12 for every graph under ~9.2·10⁴
-  * nodes and degrades precision (never safety) down to the 1e6 floor at
-  * ~9.2·10¹⁰ nodes. An EXPLICIT scale is validated against the same
-  * bound up front — the job fails with the sizing formula in the
-  * message instead of an ANSI overflow mid-iteration.
+  * nodes and degrades precision (never safety) as graphs grow. Below
+  * the 1e6 precision floor (≳9.2·10¹⁰ nodes) auto REFUSES with the
+  * sizing formula rather than silently ranking at garbage precision —
+  * past that point the fixed-point formulation needs 128-bit
+  * accumulation, not a smaller scale. An EXPLICIT scale is validated
+  * against the same bound up front — the job fails with the formula in
+  * the message instead of an ANSI overflow mid-iteration.
   *
   * Scale posture: the degrees are folded into a contribution-ready
   * adjacency (src, dst, deg) ONCE, hash-partitioned on `src` and

@@ -219,15 +219,20 @@ object Snapshots {
     }
   }
 
-  /** Heal after a crashed commit: delete `.__tmp` staging leftovers
-    * (data dirs and manifests) and data dirs newer than the current
-    * version that no manifest references. Idempotent; single-writer
-    * contract — run it where [[Upsert.recover]] would be run.
+  /** Heal after a crashed commit OR a crashed [[vacuum]]: delete
+    * `.__tmp` staging leftovers (data dirs and manifests) and every
+    * data dir that NO surviving manifest references — that covers both
+    * the crashed-commit orphan (dir renamed, manifest never landed) and
+    * the crashed-vacuum leftover (manifest deleted, dir delete never
+    * ran), which a version-ordered rule would strand forever.
+    * Idempotent; single-writer contract — run it where
+    * [[Upsert.recover]] would be run.
     */
   def recover(root: String): Unit = {
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) return
-    val cur = currentVersion(root)
+    val referenced = versions(root)
+      .flatMap(v => manifestFiles(root, v)).map(_.split('/').head).toSet
     val entries = {
       val s = Files.list(rootP)
       try s.iterator().asScala.toSeq finally s.close()
@@ -236,7 +241,7 @@ object Snapshots {
       val n = p.getFileName.toString
       if (n.endsWith(".__tmp")) deleteRecursively(p)
       else if (n.startsWith("d") && n.length == 21 && n.drop(1).forall(_.isDigit)
-          && n.drop(1).toLong > cur)
+          && !referenced.contains(n))
         deleteRecursively(p)
     }
     val log = logDir(root)
@@ -248,11 +253,5 @@ object Snapshots {
     }
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-      finally s.close()
-    }
+  private def deleteRecursively(p: Path): Unit = Upsert.deleteRecursively(p)
 }

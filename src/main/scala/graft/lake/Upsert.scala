@@ -121,14 +121,21 @@ object Upsert {
     recover(path)
     val p = Paths.get(path)
     val merged =
-      if (Files.exists(p))
+      (if (Files.exists(p))
         mergeImpl(spark.read.parquet(path), source, keys, ordering, orderingFirst)
-      else latestWins(source, keys, ordering)
-    val failures = gate(merged)
-    if (failures.isEmpty)
-      atomicSwapWrite(path)(tmp =>
-        merged.write.mode(SaveMode.Overwrite).parquet(tmp))
-    failures
+      else latestWins(source, keys, ordering))
+      // The candidate is audited (each gate check is its own action) and
+      // then written — persist it for the call so the merge computes
+      // once, not once per check plus once for the write, and so the
+      // gate provably audits the exact rows that get published.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val failures = gate(merged)
+      if (failures.isEmpty)
+        atomicSwapWrite(path)(tmp =>
+          merged.write.mode(SaveMode.Overwrite).parquet(tmp))
+      failures
+    } finally merged.unpersist(blocking = false)
   }
 
   /** The crash-safe table swap shared by the merge and by lake
@@ -166,7 +173,7 @@ object Upsert {
     deleteRecursively(old)
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))

@@ -44,10 +44,13 @@ object Runner {
   /** Per-stage operational record: attempts actually used (1 = first try
     * succeeded), wall-clock across all attempts, whether that breached
     * the stage SLA (surfaced, never aborting — the Airflow sla-miss
-    * contract), and the terminal error if the stage exhausted retries.
+    * contract), and the terminal error if the stage exhausted retries
+    * (`cause` carries the actual Throwable for rethrow/debugging,
+    * `error` its display string).
     */
   case class StageReport(stage: String, attempts: Int, durationMs: Long,
-                         slaBreached: Boolean, error: Option[String])
+                         slaBreached: Boolean, error: Option[String],
+                         cause: Option[Throwable] = None)
 
   /** Managed-run outcome: stage reports in execution order; `result` is
     * the committed gold on success; `abortedAt` names the stage that
@@ -62,7 +65,9 @@ object Runner {
     * `retries` re-attempts after the first try, sleeping
     * `backoffMs · 2^(attempt-1)` between tries (`sleep` injectable so
     * specs don't wait). Returns the stage report and the body's value if
-    * any attempt succeeded.
+    * any attempt succeeded. The terminal Throwable (if every attempt
+    * failed) is retained so [[run]] can rethrow WITH the original as
+    * cause — a stringified report is no substitute for the stack trace.
     */
   private[pipeline] def withRetry[A](stage: String, retries: Int,
                                      backoffMs: Long, slaMs: Long,
@@ -72,19 +77,21 @@ object Runner {
     val start = System.nanoTime()
     var attempt = 0
     var out: Option[A] = None
-    var err: Option[String] = None
+    var err: Option[Throwable] = None
     while (out.isEmpty && attempt <= retries) {
       attempt += 1
       try { out = Some(body); err = None }
       catch {
         case NonFatal(e) =>
-          err = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          err = Some(e)
           if (attempt <= retries)
             sleep(backoffMs * (1L << math.min(attempt - 1, 30)))
       }
     }
     val ms = (System.nanoTime() - start) / 1000000L
-    (StageReport(stage, attempt, ms, ms > slaMs, err), out)
+    (StageReport(stage, attempt, ms, ms > slaMs,
+      err.map(e => s"${e.getClass.getSimpleName}: ${e.getMessage}"),
+      err), out)
   }
 
   /** The dbt schema tests (models/gold/schema.yml:4-20), applied to a
@@ -99,9 +106,16 @@ object Runner {
 
   def run(spark: SparkSession, events: DataFrame, baseDir: String): GoldResult = {
     val m = runManaged(spark, events, baseDir, retries = 0, gateAborts = false)
-    m.result.getOrElse(throw new IllegalStateException(
-      s"Runner.run failed at ${m.abortedAt.getOrElse("?")}: " +
-        m.stages.flatMap(_.error).mkString("; ")))
+    m.result.getOrElse {
+      // rethrow the ORIGINAL failure when there is one, so callers keep
+      // the exception type and stack trace the unmanaged path had
+      m.stages.reverse.flatMap(_.cause).headOption match {
+        case Some(e) => throw e
+        case None => throw new IllegalStateException(
+          s"Runner.run failed at ${m.abortedAt.getOrElse("?")}: " +
+            m.stages.flatMap(_.error).mkString("; "))
+      }
+    }
   }
 
   /** Hardened pipeline run. `retries`/`backoffMs` govern every stage;

@@ -139,6 +139,22 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows(Snapshots.read(spark, root)) == Set((2L, "b")))
   }
 
+  test("crash healing: a vacuum crash between manifest and dir delete is reclaimed") {
+    val root = freshRoot()
+    Snapshots.commitRewrite(root)(tmp =>
+      Seq((1L, "a")).toDF("k", "v").write.parquet(tmp))
+    Snapshots.commitRewrite(root)(tmp =>
+      Seq((2L, "b")).toDF("k", "v").write.parquet(tmp))
+    // simulate vacuum(keepLast=1) crashing AFTER the manifest delete,
+    // BEFORE the data-dir delete: v1's manifest gone, d1 stranded
+    Files.delete(Paths.get(root, "_log", f"v${1L}%020d.manifest"))
+    assert(Files.exists(Paths.get(root, f"d${1L}%020d")))
+    Snapshots.recover(root)
+    assert(!Files.exists(Paths.get(root, f"d${1L}%020d")),
+      "recover must reclaim a data dir no surviving manifest references")
+    assert(rows(Snapshots.read(spark, root)) == Set((2L, "b")))
+  }
+
   test("crash healing: a staging .__tmp leftover never blocks the next commit") {
     val root = freshRoot()
     Snapshots.commitRewrite(root)(tmp =>
