@@ -1000,6 +1000,11 @@ object SparkEntry {
     // fixed-point ln recipe with df in place of term frequency).
     "q131_token_rarity" -> ((s, d) =>
       TextStats.tokenRarity(Tables.documentsSpread(s, d), "doc_id", "text")),
+    // Curation funnel: cumulative survivor counts through exact dedup →
+    // language → min-length, all from one pass (dataset-card report).
+    "q132_curation_funnel" -> ((s, d) =>
+      TextStats.curationFunnel(Tables.documentsSpread(s, d), "doc_id",
+        "text", "lang", "en", 40)),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129),
@@ -2850,6 +2855,20 @@ object SparkEntry {
              / CAST(df AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
              / 1000000.0) / COUNT(*) AS avg_rarity
          FROM t JOIN c USING (w) GROUP BY doc_id""",
+    // q132: q27's md5 keeper convention, cumulative predicates replayed
+    // stage by stage.
+    "q132_curation_funnel" ->
+      """WITH f AS (SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS nt,
+             doc_id = MIN(doc_id) OVER (
+               PARTITION BY md5(lower(trim(text)))) AS keep
+           FROM documents)
+         SELECT '00_start' AS stage, COUNT(*) AS n_docs FROM f
+         UNION ALL SELECT '10_exact_dedup', COUNT(*) FROM f WHERE keep
+         UNION ALL SELECT '20_lang', COUNT(*) FROM f
+           WHERE keep AND lang = 'en'
+         UNION ALL SELECT '30_min_tokens', COUNT(*) FROM f
+           WHERE keep AND lang = 'en' AND nt >= 40""",
     // q125: same pinned double pipeline — counts are exact longs, p/q
     // derive once each, ln through the floor(·10⁹) gate.
     "q125_category_drift" ->

@@ -38,6 +38,31 @@ object SilverStream {
       }
       .start()
 
+  /** [[mergeStream]] into a SNAPSHOT-VERSIONED table
+    * ([[graft.lake.Snapshots]]): each micro-batch commits one new
+    * version via the ordering-first merge, so concurrent readers keep
+    * their pinned snapshot while the stream lands (the isolation the
+    * in-place swap cannot give) and every micro-batch boundary is time
+    * travelable. Exactly-once lands on the SAME idempotence contract as
+    * [[mergeStream]] — a replayed micro-batch commits a version with
+    * identical content (the table state is a pure function of the
+    * delivered record set), so the extra replay version is
+    * content-equal, never wrong; vacuum trims the history.
+    */
+  def mergeStreamSnapshots(bronze: DataFrame, root: String, checkpoint: String,
+                           keys: Seq[String], ordering: Seq[String],
+                           trigger: Trigger = BronzeIngest.DefaultTrigger): StreamingQuery =
+    bronze.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.lake.Snapshots.mergeIntoSnapshot(batch.sparkSession, root,
+          batch, keys, ordering, orderingFirst = true)
+        ()
+      }
+      .start()
+
   /** Watermarked streaming gold: per-minute GMV over paid events with a
     * 2-hour late-data horizon — events later than the watermark are
     * dropped, within it they update their bucket, mirroring the batch

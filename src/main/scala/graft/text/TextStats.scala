@@ -169,6 +169,42 @@ object TextStats {
           .cast("long").as("novelty_fp"))
   }
 
+  /** Curation FUNNEL — the per-stage retention report every dataset
+    * card publishes: how many documents survive each cumulative filter
+    * of the standard pipeline (start → exact dedup → language →
+    * minimum length). Stage names are ordinal-prefixed so the report
+    * sorts in pipeline order.
+    *
+    * Exact dedup keeps the min-id doc per content hash
+    * (`md5(lower(trim(text)))` — q27's keeper convention). All four
+    * counts come from ONE pass: a partition-only window flags keepers,
+    * then a single aggregation evaluates every cumulative predicate —
+    * no per-stage rescan, no join. At 100 TB this is one shuffle on
+    * the content hash plus a map-side-combinable agg.
+    */
+  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+                     langCol: String, lang: String,
+                     minTokens: Int): DataFrame = {
+    require(minTokens >= 1, s"curationFunnel: minTokens >= 1, got $minTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(lower(trim(col("__t")))))
+    val flagged = docs
+      .select(col(idCol).as("__id"), col(textCol).as("__t"),
+        col(langCol).as("__l"))
+      .withColumn("__keep", col("__id") === min(col("__id")).over(w))
+    flagged.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__keep") && col("__l") === lang, 1L).otherwise(0L))
+          .as("n2"),
+        sum(when(col("__keep") && col("__l") === lang &&
+          size(TextDedup.tokens(col("__t"))) >= minTokens, 1L).otherwise(0L))
+          .as("n3"))
+      .select(expr(
+        "stack(4, '00_start', n0, '10_exact_dedup', n1, " +
+          "'20_lang', n2, '30_min_tokens', n3) AS (stage, n_docs)"))
+  }
+
   /** Per-document token RARITY — mean inverse document frequency of the
     * doc's token occurrences: rare-vocabulary documents (technical,
     * long-tail topics) score high, stopword-heavy boilerplate low. The

@@ -250,4 +250,18 @@ class TextStatsSpec extends SparkSpec {
     assert(got == Map(
       1L -> ((2L, ln3)), 2L -> ((2L, ln3)), 3L -> ((2L, 0L))), s"got $got")
   }
+
+  test("curationFunnel: hand-computed cumulative survivor counts") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "one two three", "en"),  // keeper, en, 3 tokens → survives all
+      (2L, "one two three", "en"),  // exact dup of 1 → dropped at dedup
+      (3L, "uno dos tres", "es"),   // keeper, wrong lang
+      (4L, "short", "en"))          // keeper, en, 1 token < 2
+      .toDF("doc_id", "text", "lang")
+    val got = TextStats.curationFunnel(docs, "doc_id", "text", "lang", "en", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("00_start" -> 4L, "10_exact_dedup" -> 3L,
+      "20_lang" -> 2L, "30_min_tokens" -> 1L), s"got $got")
+  }
 }
