@@ -1005,6 +1005,26 @@ object SparkEntry {
     "q132_curation_funnel" -> ((s, d) =>
       TextStats.curationFunnel(Tables.documentsSpread(s, d), "doc_id",
         "text", "lang", "en", 40)),
+    // Snapshot change-data-feed: two rewrite commits whose states
+    // overlap (v1 = %3 keys, v2 = %2 keys with doubled values), then
+    // diff(v1, v2) classifies every key as insert (%2 not %3), delete
+    // (%3 not %2) or update (%6 with value ≠ 0) with before/after
+    // images — the Delta CDF analog, derived after the fact.
+    "q133_snapshot_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"))
+      val root = freshScratch("q133")
+      graft.lake.Snapshots.commitRewrite(root)(tmp =>
+        graft.lake.Upsert.latestWins(ev.filter(col("event_id") % 3 === 0),
+            Seq("event_id"), Seq("event_ts_us", "event_id"))
+          .write.mode("overwrite").parquet(tmp))
+      graft.lake.Snapshots.commitRewrite(root)(tmp =>
+        graft.lake.Upsert.latestWins(ev.filter(col("event_id") % 2 === 0),
+            Seq("event_id"), Seq("event_ts_us", "event_id"))
+          .withColumn("value", col("value") * 2)
+          .write.mode("overwrite").parquet(tmp))
+      graft.lake.Snapshots.diff(s, root, 1L, 2L, Seq("event_id"))
+    }),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129),
@@ -2855,6 +2875,35 @@ object SparkEntry {
              / CAST(df AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
              / 1000000.0) / COUNT(*) AS avg_rarity
          FROM t JOIN c USING (w) GROUP BY doc_id""",
+    // q133: both snapshot states replayed, FULL OUTER JOIN on the key,
+    // row-local null-safe classification (IS DISTINCT FROM).
+    "q133_snapshot_diff" ->
+      """WITH b1 AS (
+           SELECT event_id, event_ts_us, value FROM (
+             SELECT event_id, epoch_us(ts) AS event_ts_us, value,
+               row_number() OVER (PARTITION BY event_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             FROM events WHERE event_id % 3 = 0)
+           WHERE rn = 1),
+         b2 AS (
+           SELECT event_id, event_ts_us, value * 2 AS value FROM (
+             SELECT event_id, epoch_us(ts) AS event_ts_us, value,
+               row_number() OVER (PARTITION BY event_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             FROM events WHERE event_id % 2 = 0)
+           WHERE rn = 1),
+         j AS (
+           SELECT CASE WHEN a.event_id IS NULL THEN 'insert'
+                       WHEN b.event_id IS NULL THEN 'delete'
+                       WHEN (a.event_ts_us IS DISTINCT FROM b.event_ts_us)
+                         OR (a.value IS DISTINCT FROM b.value)
+                       THEN 'update' END AS change_type,
+             COALESCE(b.event_id, a.event_id) AS event_id,
+             a.event_ts_us AS old_event_ts_us,
+             b.event_ts_us AS new_event_ts_us,
+             a.value AS old_value, b.value AS new_value
+           FROM b1 a FULL OUTER JOIN b2 b ON a.event_id = b.event_id)
+         SELECT * FROM j WHERE change_type IS NOT NULL""",
     // q132: q27's md5 keeper convention, cumulative predicates replayed
     // stage by stage.
     "q132_curation_funnel" ->

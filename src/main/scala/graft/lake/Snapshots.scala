@@ -1,6 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
@@ -197,6 +198,50 @@ object Snapshots {
     val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     commitRewrite(root)(tmp =>
       df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp))
+  }
+
+  /** Change-data-feed between two committed versions — the Delta CDF
+    * analog, derivable from any pair of snapshots after the fact (no
+    * write-path capture needed at rewrite granularity): one row per key
+    * whose state changed from `fromVersion` to `toVersion`, classified
+    * `insert` (key only in `to`), `delete` (only in `from`) or `update`
+    * (in both, any non-key column differing null-safely), with the full
+    * before/after column images (`old_*` / `new_*`). Unchanged keys are
+    * absent. Both snapshots must be key-unique on `keys` (the MERGE
+    * table contract) and share a column set.
+    *
+    * Scale posture: ONE full-outer shuffle join on the key — the
+    * minimum any snapshot comparison can do — with every classification
+    * predicate row-local (IS DISTINCT FROM, codegen'd).
+    */
+  def diff(spark: SparkSession, root: String, fromVersion: Long,
+           toVersion: Long, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "Snapshots.diff: at least one key column")
+    val a = readAt(spark, root, fromVersion)
+    val b = readAt(spark, root, toVersion)
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"Snapshots.diff: column sets differ (${a.columns.mkString(",")} vs " +
+        s"${b.columns.mkString(",")}) — diff a schema change via readAt directly")
+    val vals = a.columns.filterNot(keys.contains).toSeq
+    val aa = a.select(a.columns.map(c => col(c).as(s"__a_$c")).toIndexedSeq: _*)
+    val bb = b.select(b.columns.map(c => col(c).as(s"__b_$c")).toIndexedSeq: _*)
+    val cond = keys.map(k => aa(s"__a_$k") === bb(s"__b_$k")).reduce(_ && _)
+    val joined = aa.join(bb, cond, "full_outer")
+    val inA = keys.map(k => col(s"__a_$k").isNotNull).reduce(_ && _)
+    val inB = keys.map(k => col(s"__b_$k").isNotNull).reduce(_ && _)
+    val changed = vals.map(c =>
+      not(col(s"__a_$c") <=> col(s"__b_$c"))).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    joined
+      .withColumn("change_type",
+        when(!inA, lit("insert"))
+          .when(!inB, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(col("change_type") +:
+        keys.map(k => coalesce(col(s"__b_$k"), col(s"__a_$k")).as(k)) ++:
+        vals.flatMap(c => Seq(col(s"__a_$c").as(s"old_$c"),
+          col(s"__b_$c").as(s"new_$c"))): _*)
   }
 
   /** Reclaim storage: keep the newest `keepLast` versions' manifests,

@@ -91,6 +91,31 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.currentVersion(root) == 2L) // two commits, same state
   }
 
+  test("diff: insert/delete/update classification with null-safe column compare") {
+    val root = freshRoot()
+    // v1: keys 1..4; v2: 1 unchanged, 2 value-changed, 3 null→value
+    // (must classify update, not unchanged), 4 deleted, 5 inserted
+    Snapshots.commitRewrite(root)(tmp =>
+      Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))
+        .toDF("k", "v").write.parquet(tmp))
+    Snapshots.commitRewrite(root)(tmp =>
+      Seq((1L, Some("a")), (2L, Some("B")), (3L, Some("c")), (5L, Some("e")))
+        .toDF("k", "v").write.parquet(tmp))
+    val got = Snapshots.diff(spark, root, 1L, 2L, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(got == Set(
+      ("update", 2L, Some("b"), Some("B")),
+      ("update", 3L, None, Some("c")),
+      ("delete", 4L, Some("d"), None),
+      ("insert", 5L, None, Some("e"))), s"got $got")
+    // mismatched column sets refuse loudly
+    Snapshots.commitRewrite(root)(tmp =>
+      Seq((1L, "a", 9L)).toDF("k", "v", "extra").write.parquet(tmp))
+    intercept[IllegalArgumentException](
+      Snapshots.diff(spark, root, 2L, 3L, Seq("k")))
+  }
+
   test("vacuum drops old versions and their unshared dirs; the horizon is gone") {
     val root = freshRoot()
     Snapshots.commitRewrite(root)(tmp =>
