@@ -51,7 +51,7 @@ object Bench {
     "q124_bpe_merges", "q125_category_drift", "q126_bpe_vocab",
     "q127_asof_tolerance", "q128_snapshot_history", "q129_snapshot_append",
     "q130_ngram_novelty", "q131_token_rarity", "q132_curation_funnel",
-    "q133_snapshot_diff",
+    "q133_snapshot_diff", "q134_semdedup",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

@@ -1025,6 +1025,14 @@ object SparkEntry {
           .write.mode("overwrite").parquet(tmp))
       graft.lake.Snapshots.diff(s, root, 1L, 2L, Seq("event_id"))
     }),
+    // SemDeDup (cluster-then-dedup): q71's centroid assignment, then
+    // within-cluster pairwise cosine — drop any vector 0.3-close to a
+    // smaller-id cluster-mate. Cross-cluster pairs are never compared
+    // (the technique's trade); survivors (vec_id, centroid_id).
+    "q134_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddingsSpread(s, d),
+        Similarity.centroidsOf(
+          Tables.embeddings(s, d).filter(col("vec_id") < 8)), 0.3)),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129),
@@ -2875,6 +2883,31 @@ object SparkEntry {
              / CAST(df AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
              / 1000000.0) / COUNT(*) AS avg_rarity
          FROM t JOIN c USING (w) GROUP BY doc_id""",
+    // q134: q71's assignment CTE (cosine tree + min-cid tiebreak), then
+    // within-cluster pairs via the same q25 cosine fold; losers = larger
+    // id of any >= 0.3 pair.
+    "q134_semdedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         s AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_transform(list_zip(e.embedding, c.ce),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+                 / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
+                  * sqrt(list_reduce(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))) AS cosine
+               FROM embeddings e, c),
+         asg AS (SELECT vec_id, cid FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cosine DESC, cid) AS rn FROM s) WHERE rn = 1),
+         p AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+               FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+               JOIN embeddings ea ON ea.vec_id = a.vec_id
+               JOIN embeddings eb ON eb.vec_id = b.vec_id
+               WHERE list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+                 / (sqrt(list_reduce(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
+                  * sqrt(list_reduce(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)))
+                 >= 0.3)
+         SELECT vec_id, cid AS centroid_id FROM asg
+         WHERE vec_id NOT IN (SELECT idb FROM p)""",
     // q133: both snapshot states replayed, FULL OUTER JOIN on the key,
     // row-local null-safe classification (IS DISTINCT FROM).
     "q133_snapshot_diff" ->

@@ -522,4 +522,58 @@ object Similarity {
       .select(col("node").as("__loser"))
     vectors.join(losers, vectors(idCol) === col("__loser"), "left_anti")
   }
+
+  /** SemDeDup-style semantic dedup (cluster-then-dedup; Abbas et al.
+    * 2023, public literature): assign every vector to its nearest
+    * centroid ([[kmeansAssign]] — cosine, min-id tiebreak), then within
+    * each cluster drop any vector that is `threshold`-close to a
+    * SMALLER-id cluster-mate. Returns the survivors (id, centroid_id).
+    *
+    * Versus [[keepCanonical]] (all-pairs truth via LSH + connected
+    * components): this trades cross-cluster recall for never comparing
+    * outside a cluster — the curation-scale shape, where k is sized so
+    * clusters stay small and the per-cluster quadratic is the budget.
+    * The keep rule is pairwise, not transitive closure; on a chain
+    * a < b < c with (a,b) and (b,c) close but (a,c) not, both b and c
+    * drop — same removals as CC on that graph, without an iterative
+    * fixpoint.
+    *
+    * Scale posture: assignment is the zero-exchange broadcast map
+    * stage; the within-cluster pair join is a plain equi-join on the
+    * centroid id by default (clusters are SIZED small by k — the
+    * technique's own contract — and AQE skew splitting bounds per-task
+    * load), with `cap = Some(n)` routing it through the
+    * [[graft.operators.CandidatePairs]] hot-bucket guard for corpora
+    * whose cluster sizes can't be trusted (the q123 trade: the guard's
+    * extra stages cost fixed time, so it is opt-in). Losers are at most
+    * the duplicate count and anti-join back.
+    */
+  def semDedup(vectors: DataFrame, centroids: Seq[(Long, Array[Float])],
+               threshold: Double, idCol: String = "vec_id",
+               embCol: String = "embedding",
+               cap: Option[Int] = None): DataFrame = {
+    // The assignment feeds the bucket-size agg, the salting, and the
+    // final anti-join — persisted per call so the k-cosine argmax map
+    // stage runs once, not once per consumer (n×2 rows; the usual
+    // per-call lifecycle, released by the session owner's clearCache).
+    val asg = kmeansAssign(vectors, centroids, idCol, embCol)
+      .select(col("vec_id"), col("centroid_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb = vectors.select(col(idCol).cast("long").as("vec_id"),
+      col(embCol).as("__e"))
+    val pairs = cap match {
+      case Some(c) => graft.operators.CandidatePairs.inBucketPairs(
+        asg.select(col("vec_id").as("id"), col("centroid_id").as("bk")), c)
+      case None => asg.as("a").join(asg.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    }
+    val losers = pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("__e").as("__ea")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("__e").as("__eb")), "id_b")
+      .filter(cosine(col("__ea"), col("__eb")) >= threshold)
+      .select(col("id_b").as("__loser")).distinct()
+    asg.join(losers, asg("vec_id") === col("__loser"), "left_anti")
+  }
 }

@@ -302,4 +302,37 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.split("\n").count(_.contains("Exchange")) == 1,
       s"groupMeanPool must be one narrow-row shuffle:\n$plan")
   }
+
+  test("semDedup: within-cluster dups drop to min id; cross-cluster dups survive") {
+    val s = spark; import s.implicits._
+    // two orthogonal centroids; each cluster holds one planted identical
+    // pair — the larger id of each pair must drop, the min survive
+    val cents = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+    val vecs = Seq(
+      (10L, Array(0.9f, 0.1f, 0f, 0f)),
+      (11L, Array(0.9f, 0.1f, 0f, 0f)),   // dup of 10, same cluster → drops
+      (20L, Array(0.1f, 0.9f, 0f, 0f)),
+      (21L, Array(0.1f, 0.9f, 0f, 0f)))   // dup of 20, same cluster → drops
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(vecs, cents, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (20L, 2L)), s"got $got")
+    // identical vectors in DIFFERENT clusters both survive (never compared)
+    val split = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(split, cents, threshold = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    val plan = Similarity.semDedup(vecs, cents, 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the opt-in hot-bucket guard is output-equivalent to the default
+    // plain within-cluster join
+    val capped = Similarity.semDedup(vecs, cents, 0.99, cap = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == got, s"capped path diverged: $capped vs $got")
+    spark.catalog.clearCache()
+  }
 }
