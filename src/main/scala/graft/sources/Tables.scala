@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
