@@ -89,6 +89,21 @@ object SparkEntry {
         "doc_id", "text")
     }
 
+  /** The parsed silver orders table shared by q43 (flat projection) and
+    * q44 (item-grain explode) — in a real pipeline silver is
+    * materialized once and every downstream consumer reads it; here the
+    * bronze-fixture assembly + window dedup + from_json parse run once
+    * per (session, sf). Same eviction-proof persist discipline as
+    * [[jaccardShingles]].
+    */
+  private val silverOrdersCache = new PlanCache
+  private def silverOrdersParsed(s: SparkSession, d: String): DataFrame =
+    cachedPlan(silverOrdersCache, s, d) {
+      pipeline.OrderEvents.parse(
+        pipeline.BronzeFixtures.ordersBronze(Tables.orders(s, d),
+          Tables.lineitem(s, d)))
+    }
+
   /** The q124 BPE oracle, GENERATED per merge stage (the mortonOracleSql
     * convention: one template, unrolled): each stage counts adjacent
     * symbol pairs weighted by word frequency, picks the (count desc, l,
@@ -295,8 +310,7 @@ object SparkEntry {
     // (BronzeFixtures), so DuckDB can reconstruct the expected flattened
     // output directly — proving dedup + permissive nested parse lossless.
     "q43_silver_orders_parse" -> ((s, d) => {
-      val parsed = pipeline.OrderEvents.parse(
-        pipeline.BronzeFixtures.ordersBronze(Tables.orders(s, d), Tables.lineitem(s, d)))
+      val parsed = silverOrdersParsed(s, d)
       parsed.select(
         col("topic"),
         col("partition").as("kafka_partition"),
@@ -310,8 +324,7 @@ object SparkEntry {
         col("event_date"))
     }),
     "q44_silver_items_exploded" -> ((s, d) =>
-      pipeline.OrderEvents.parse(
-        pipeline.BronzeFixtures.ordersBronze(Tables.orders(s, d), Tables.lineitem(s, d)))
+      silverOrdersParsed(s, d)
         .select(col("order_id"), posexplode(col("items")))
         .select(col("order_id"), col("pos"),
           col("col.product_id").as("product_id"),
