@@ -89,20 +89,18 @@ object SparkEntry {
         "doc_id", "text")
     }
 
-  /** The parsed silver orders table shared by q43 (flat projection) and
-    * q44 (item-grain explode) — in a real pipeline silver is
-    * materialized once and every downstream consumer reads it; here the
-    * bronze-fixture assembly + window dedup + from_json parse run once
-    * per (session, sf). Same eviction-proof persist discipline as
-    * [[jaccardShingles]].
+  /** q43/q44 each build the parsed silver orders table directly — NOT
+    * through the memo above. Unlike jaccardShingles (referenced 3× in
+    * one plan), each of these plans consumes the parse exactly once, and
+    * both harnesses clearCache between queries, so a memoized persist
+    * would never be shared across queries; its only effect would be
+    * min-of-N's second run timing a cache hit instead of the parse —
+    * masking parse regressions (tried and reverted in round 11).
     */
-  private val silverOrdersCache = new PlanCache
   private def silverOrdersParsed(s: SparkSession, d: String): DataFrame =
-    cachedPlan(silverOrdersCache, s, d) {
-      pipeline.OrderEvents.parse(
-        pipeline.BronzeFixtures.ordersBronze(Tables.orders(s, d),
-          Tables.lineitem(s, d)))
-    }
+    pipeline.OrderEvents.parse(
+      pipeline.BronzeFixtures.ordersBronze(Tables.orders(s, d),
+        Tables.lineitem(s, d)))
 
   /** The q124 BPE oracle, GENERATED per merge stage (the mortonOracleSql
     * convention: one template, unrolled): each stage counts adjacent

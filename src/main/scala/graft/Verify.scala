@@ -21,8 +21,19 @@ object Verify {
         s"[verify] selective run (${only.mkString(",")}): other query dirs in " +
         s"$outDir are STALE leftovers from prior runs — oracle_check honors " +
         "the manifest written by this run and skips them.")
+    // A selector matches its full query name or the `qNN` shorthand
+    // (`q24` → `q24_neardup_pairs`) — exact-only matching silently
+    // selected NOTHING for a pasted short name.
+    def selected(name: String): Boolean =
+      only.isEmpty || only(name) ||
+        only.exists(o => name.startsWith(o + "_"))
+    val unmatched = only.filterNot(o =>
+      SparkEntry.queries.keys.exists(n => n == o || n.startsWith(o + "_")))
+    if (unmatched.nonEmpty)
+      System.err.println(
+        s"[verify] WARNING: selectors match no query: ${unmatched.mkString(",")}")
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => selected(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -59,8 +70,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Manifest of the queries THIS run attempted — lets oracle_check skip
     // stale sibling dirs from earlier selective runs automatically.
-    val ran = SparkEntry.queries.keys
-      .filter(n => only.isEmpty || only(n)).toSeq.sorted
+    val ran = SparkEntry.queries.keys.filter(selected).toSeq.sorted
     Files.writeString(Paths.get(s"$outDir/verify_manifest.json"),
       ran.map(q).mkString("[", ",", "]"))
     spark.stop()

@@ -223,12 +223,19 @@ object Snapshots {
       s"Snapshots.diff: column sets differ (${a.columns.mkString(",")} vs " +
         s"${b.columns.mkString(",")}) — diff a schema change via readAt directly")
     val vals = a.columns.filterNot(keys.contains).toSeq
-    val aa = a.select(a.columns.map(c => col(c).as(s"__a_$c")).toIndexedSeq: _*)
-    val bb = b.select(b.columns.map(c => col(c).as(s"__b_$c")).toIndexedSeq: _*)
-    val cond = keys.map(k => aa(s"__a_$k") === bb(s"__b_$k")).reduce(_ && _)
+    // Side presence comes from an explicit marker, NOT from key
+    // null-ness: a null-keyed row present only in `from` would otherwise
+    // read as "insert" (all join-side columns are null after a full
+    // outer miss, keys included). The join itself is null-SAFE so
+    // null-keyed rows pair up instead of cross-emitting.
+    val aa = a.select(a.columns.map(c => col(c).as(s"__a_$c")).toIndexedSeq
+      :+ lit(true).as("__a_present"): _*)
+    val bb = b.select(b.columns.map(c => col(c).as(s"__b_$c")).toIndexedSeq
+      :+ lit(true).as("__b_present"): _*)
+    val cond = keys.map(k => aa(s"__a_$k") <=> bb(s"__b_$k")).reduce(_ && _)
     val joined = aa.join(bb, cond, "full_outer")
-    val inA = keys.map(k => col(s"__a_$k").isNotNull).reduce(_ && _)
-    val inB = keys.map(k => col(s"__b_$k").isNotNull).reduce(_ && _)
+    val inA = col("__a_present").isNotNull
+    val inB = col("__b_present").isNotNull
     val changed = vals.map(c =>
       not(col(s"__a_$c") <=> col(s"__b_$c"))).reduceOption(_ || _)
       .getOrElse(lit(false))

@@ -116,6 +116,40 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.diff(spark, root, 2L, 3L, Seq("k")))
   }
 
+  test("diff: a null-keyed row classifies by PRESENCE, not key null-ness") {
+    val root = freshRoot()
+    def df(rows: Seq[(Option[Long], String)]) = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (k, v) => Row(k.map(Long.box).orNull, v) }),
+        StructType(Seq(StructField("k", LongType), StructField("v", StringType))))
+    }
+    // v1 has a null-keyed row; v2 does not → that row is a DELETE (the
+    // presence-marker contract; key-null inference would invert it to
+    // an insert). The null keys in both versions pair null-safely.
+    Snapshots.commitRewrite(root)(tmp =>
+      df(Seq(Some(1L) -> "a", None -> "x")).write.parquet(tmp))
+    Snapshots.commitRewrite(root)(tmp =>
+      df(Seq(Some(1L) -> "a", Some(2L) -> "b")).write.parquet(tmp))
+    val got = Snapshots.diff(spark, root, 1L, 2L, Seq("k"))
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)).map(_.toString).getOrElse("null"),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(got == Set(
+      ("delete", "null", Some("x"), None),
+      ("insert", "2", None, Some("b"))), s"got $got")
+    // and a null-keyed row present in BOTH versions with a changed value
+    // is an update, not an insert/delete pair
+    Snapshots.commitRewrite(root)(tmp =>
+      df(Seq(Some(1L) -> "a", None -> "y")).write.parquet(tmp))
+    val got2 = Snapshots.diff(spark, root, 1L, 3L, Seq("k"))
+      .collect().map(r => (r.getString(0),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(got2 == Set(("update", Some("x"), Some("y"))), s"got $got2")
+  }
+
   test("vacuum drops old versions and their unshared dirs; the horizon is gone") {
     val root = freshRoot()
     Snapshots.commitRewrite(root)(tmp =>
