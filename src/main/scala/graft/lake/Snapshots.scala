@@ -200,6 +200,23 @@ object Snapshots {
       df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp))
   }
 
+  /** OPTIMIZE ZORDER as a snapshot commit — the Delta
+    * `OPTIMIZE … ZORDER BY (x, y)` maintenance pass (reference
+    * README.md:295) composed with versioning: the current snapshot is
+    * rewritten Z-clustered ([[Layout.zorderWrite]] — Morton-keyed range
+    * partitioning, so selective 2-D reads open a small fraction of
+    * files via [[Layout.skippingRead]]) as a NEW version with identical
+    * rows; every pre-optimize version stays time-travelable until
+    * vacuumed. Returns the committed version.
+    */
+  def optimizeSnapshot(spark: SparkSession, root: String, xCol: String,
+                       yCol: String, bits: Int, numFiles: Int): Long = {
+    recover(root)
+    val df = read(spark, root)
+    commitRewrite(root)(tmp =>
+      Layout.zorderWrite(df, tmp, xCol, yCol, bits, numFiles))
+  }
+
   /** Change-data-feed between two committed versions — the Delta CDF
     * analog, derivable from any pair of snapshots after the fact (no
     * write-path capture needed at rewrite granularity): one row per key

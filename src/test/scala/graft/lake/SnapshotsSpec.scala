@@ -82,6 +82,30 @@ class SnapshotsSpec extends SparkSpec {
     assert(nFiles(2L) < nFiles(1L))
   }
 
+  test("optimizeSnapshot: Z-clustered rewrite keeps rows, history, and skips files") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.{col, pmod}
+    Snapshots.commitRewrite(root)(tmp =>
+      spark.range(0L, 4096L)
+        .select(col("id").as("k"), col("id").as("v"),
+          pmod(col("id") * 37L, org.apache.spark.sql.functions.lit(64L)).as("x"),
+          pmod(col("id") * 101L, org.apache.spark.sql.functions.lit(64L)).as("y"))
+        .repartition(8).write.parquet(tmp))
+    val before = Snapshots.read(spark, root).collect().map(_.toString).sorted.toSeq
+    val v2 = Snapshots.optimizeSnapshot(spark, root, "x", "y", bits = 6, numFiles = 8)
+    assert(v2 == 2L)
+    assert(Snapshots.read(spark, root).collect().map(_.toString).sorted.toSeq
+      == before, "optimize must not change rows")
+    assert(Snapshots.readAt(spark, root, 1L).collect().length == 4096,
+      "pre-optimize version must stay readable")
+    // the clustered layout actually skips: a selective x-range opens
+    // fewer files than the table has
+    val dataDir = java.nio.file.Paths.get(root, f"d${2L}%020d").toString
+    val opened = Layout.fileManifest(spark, dataDir, Seq("x"))
+      .filter(col("min_x") <= 8L && col("max_x") >= 0L).count()
+    assert(opened < 8, s"no skipping benefit: $opened of 8 files overlap x<=8")
+  }
+
   test("idempotent re-delivery: merging the same batch twice is a no-op state") {
     val root = freshRoot()
     val batch = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ts")
