@@ -200,6 +200,49 @@ object Snapshots {
       df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp))
   }
 
+  /** Delta `DELETE FROM t WHERE …` as a snapshot commit: the current
+    * snapshot minus the matching rows becomes the next version; the
+    * removed rows stay time-travelable (and visible as `delete` rows in
+    * [[diff]]) until vacuumed. Returns the committed version.
+    * Rewrite granularity, like every commit here — at Delta's
+    * file-level granularity only touched files rewrite; the semantics
+    * are identical.
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column): Long = {
+    recover(root)
+    val kept = read(spark, root).filter(!coalesce(predicate, lit(false)))
+    commitRewrite(root)(tmp =>
+      kept.write.mode(SaveMode.Overwrite).parquet(tmp))
+  }
+
+  /** Delta `UPDATE t SET col = expr WHERE …` as a snapshot commit:
+    * matching rows get each `set` column replaced, all other rows and
+    * columns carry unchanged; [[diff]] shows exactly the updated keys.
+    * Returns the committed version.
+    */
+  def updateWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(set.nonEmpty, "updateWhere: at least one column to set")
+    recover(root)
+    val cur = read(spark, root)
+    set.keys.foreach(c => require(cur.columns.contains(c),
+      s"updateWhere: column '$c' not in table (${cur.columns.mkString(",")})"))
+    // SQL UPDATE semantics: the predicate AND every SET expression
+    // evaluate against the ORIGINAL row — stage them all before any
+    // column is replaced, so one SET can't observe another's result.
+    val staged = set.toSeq.foldLeft(
+        cur.withColumn("__p", coalesce(predicate, lit(false)))) {
+      case (df, (c, e)) => df.withColumn(s"__set_$c", e)
+    }
+    val updated = set.keys.foldLeft(staged) { (df, c) =>
+      df.withColumn(c, when(col("__p"), col(s"__set_$c")).otherwise(col(c)))
+    }.drop("__p" +: set.keys.map(c => s"__set_$c").toSeq: _*)
+    commitRewrite(root)(tmp =>
+      updated.write.mode(SaveMode.Overwrite).parquet(tmp))
+  }
+
   /** OPTIMIZE ZORDER as a snapshot commit — the Delta
     * `OPTIMIZE … ZORDER BY (x, y)` maintenance pass (reference
     * README.md:295) composed with versioning: the current snapshot is

@@ -140,6 +140,45 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.diff(spark, root, 2L, 3L, Seq("k")))
   }
 
+  test("deleteWhere/updateWhere: SQL semantics, versioned, visible in the CDF") {
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val root = freshRoot()
+    Snapshots.commitRewrite(root)(tmp =>
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").write.parquet(tmp))
+    // DELETE WHERE k = 2: row gone now, still in v1, classified delete
+    val v2 = Snapshots.deleteWhere(spark, root, col("k") === 2L)
+    assert(rows(Snapshots.read(spark, root)) == Set((1L, "a"), (3L, "c")))
+    assert(rows(Snapshots.readAt(spark, root, 1L)).size == 3)
+    val d = Snapshots.diff(spark, root, 1L, v2, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(d == Set(("delete", 2L)), s"got $d")
+    // UPDATE SET v = concat(v, v) WHERE k = 1: the SET sees the ORIGINAL
+    // row; swap-style double-set proves staging (v := x, x-col absent
+    // here so use two sets over one row instead)
+    val v3 = Snapshots.updateWhere(spark, root, col("k") === 1L,
+      Map("v" -> concat(col("v"), col("v"))))
+    assert(rows(Snapshots.read(spark, root)) == Set((1L, "aa"), (3L, "c")))
+    val u = Snapshots.diff(spark, root, v2, v3, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSet
+    assert(u == Set(("update", 1L, "a", "aa")), s"got $u")
+    // a predicate referencing a SET column still sees original values:
+    // UPDATE SET v='hit' WHERE v='aa' must not cascade into rows whose
+    // v BECOMES 'aa'... (none here) and must not re-read its own write
+    Snapshots.updateWhere(spark, root, col("v") === "aa",
+      Map("v" -> lit("hit")))
+    assert(rows(Snapshots.read(spark, root)) == Set((1L, "hit"), (3L, "c")))
+    // null-predicate rows (three-valued logic) are NOT deleted/updated
+    val root2 = freshRoot()
+    Snapshots.commitRewrite(root2)(tmp =>
+      Seq((Some(1L), "a"), (None, "n")).map { case (k, v) => (k, v) }
+        .toDF("k", "v").write.parquet(tmp))
+    Snapshots.deleteWhere(spark, root2, col("k") > 0L) // null > 0 → null → keep
+    val left = Snapshots.read(spark, root2).collect()
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse("null")).toSet
+    assert(left == Set("null"), s"got $left")
+  }
+
   test("diff: a null-keyed row classifies by PRESENCE, not key null-ness") {
     val root = freshRoot()
     def df(rows: Seq[(Option[Long], String)]) = {
