@@ -1044,6 +1044,40 @@ object SparkEntry {
       Similarity.semDedup(Tables.embeddingsSpread(s, d),
         Similarity.centroidsOf(
           Tables.embeddings(s, d).filter(col("vec_id") < 8)), 0.3)),
+    // Snapshot DML: DELETE WHERE then UPDATE WHERE on a versioned
+    // table, current read gated relationally — delete keeps
+    // null-evaluating rows (three-valued logic), update doubles
+    // purchase values against the ORIGINAL row.
+    "q135_snapshot_dml" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("event_ts_us"),
+          col("value"))
+      val root = freshScratch("q135")
+      graft.lake.Snapshots.commitRewrite(root)(tmp =>
+        graft.lake.Upsert.latestWins(ev.filter(col("event_id") % 3 === 0),
+            Seq("event_id"), Seq("event_ts_us", "event_id"))
+          .write.mode("overwrite").parquet(tmp))
+      graft.lake.Snapshots.deleteWhere(s, root, col("value") < 50.0)
+      graft.lake.Snapshots.updateWhere(s, root,
+        col("event_type") === "purchase",
+        Map("value" -> col("value") * 2))
+      graft.lake.Snapshots.read(s, root)
+    }),
+    // OPTIMIZE ZORDER row-preservation: the Z-clustered rewrite commit
+    // must carry exactly the pre-optimize rows (hash-matched).
+    "q136_snapshot_optimize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_ts_us"))
+        .filter(col("user_id").isNotNull)
+      val root = freshScratch("q136")
+      graft.lake.Snapshots.commitRewrite(root)(tmp =>
+        graft.lake.Upsert.latestWins(ev, Seq("event_id"),
+            Seq("event_ts_us", "event_id"))
+          .write.mode("overwrite").parquet(tmp))
+      graft.lake.Snapshots.optimizeSnapshot(s, root, "event_id", "user_id",
+        bits = 10, numFiles = 8)
+      graft.lake.Snapshots.read(s, root)
+    }),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129),
@@ -2919,6 +2953,31 @@ object SparkEntry {
                  >= 0.3)
          SELECT vec_id, cid AS centroid_id FROM asg
          WHERE vec_id NOT IN (SELECT idb FROM p)""",
+    // q135: the dedup state with DELETE (NOT COALESCE(pred, FALSE) —
+    // null-evaluating rows survive) then UPDATE (CASE against the
+    // original value) replayed relationally.
+    "q135_snapshot_dml" ->
+      """WITH b AS (
+           SELECT event_id, event_type, event_ts_us, value FROM (
+             SELECT event_id, event_type, epoch_us(ts) AS event_ts_us, value,
+               row_number() OVER (PARTITION BY event_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             FROM events WHERE event_id % 3 = 0)
+           WHERE rn = 1),
+         kept AS (SELECT * FROM b WHERE NOT COALESCE(value < 50.0, FALSE))
+         SELECT event_id, event_type, event_ts_us,
+           CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END
+             AS value
+         FROM kept""",
+    // q136: rows must survive the Z-clustered rewrite bit-for-bit — the
+    // oracle is the pre-optimize state itself.
+    "q136_snapshot_optimize" ->
+      """SELECT event_id, user_id, event_ts_us FROM (
+           SELECT event_id, user_id, epoch_us(ts) AS event_ts_us,
+             row_number() OVER (PARTITION BY event_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events WHERE user_id IS NOT NULL)
+         WHERE rn = 1""",
     // q133: both snapshot states replayed, FULL OUTER JOIN on the key,
     // row-local null-safe classification (IS DISTINCT FROM).
     "q133_snapshot_diff" ->
