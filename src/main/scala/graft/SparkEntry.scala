@@ -1047,7 +1047,12 @@ object SparkEntry {
     // Snapshot DML: DELETE WHERE then UPDATE WHERE on a versioned
     // table, current read gated relationally — delete keeps
     // null-evaluating rows (three-valued logic), update doubles
-    // purchase values against the ORIGINAL row.
+    // purchase values against the ORIGINAL row. Dedup tiebreak note
+    // (applies to q128/q133/q136 too): event_id is UNIQUE in the driver
+    // fixture (verified 10000/10000), so the latest-wins window is an
+    // idempotence formality with one row per partition — if a future
+    // fixture ever carried duplicate (event_id, ts) rows, the ordering
+    // would need a payload tiebreaker on BOTH engines (the q02 rule).
     "q135_snapshot_dml" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("event_ts_us"),
@@ -1080,11 +1085,11 @@ object SparkEntry {
     }),
   )
 
-  /** Fixed per-query scratch dir for the lake queries (q128/q129),
-    * wiped before each use: Bench/Verify invoke a builder several times
-    * per session, and fresh createTempDirectory trees would accumulate
-    * unbounded /tmp disk across runs — one bounded tree per query
-    * instead.
+  /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
+    * q135/q136), wiped before each use: Bench/Verify invoke a builder
+    * several times per session, and fresh createTempDirectory trees
+    * would accumulate unbounded /tmp disk across runs — one bounded
+    * tree per query instead.
     */
   private def freshScratch(name: String): String = {
     val p = java.nio.file.Paths.get(

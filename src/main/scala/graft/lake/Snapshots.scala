@@ -229,6 +229,13 @@ object Snapshots {
     val cur = read(spark, root)
     set.keys.foreach(c => require(cur.columns.contains(c),
       s"updateWhere: column '$c' not in table (${cur.columns.mkString(",")})"))
+    // The staging columns below would silently REPLACE (and then drop) a
+    // real table column with one of these names — refuse loudly instead.
+    val reserved = "__p" +: set.keys.map(c => s"__set_$c").toSeq
+    val clash = cur.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"updateWhere: table columns ${clash.mkString(",")} collide with " +
+        "internal staging names (__p / __set_<col>) — rename them first")
     // SQL UPDATE semantics: the predicate AND every SET expression
     // evaluate against the ORIGINAL row — stage them all before any
     // column is replaced, so one SET can't observe another's result.

@@ -152,9 +152,7 @@ class SnapshotsSpec extends SparkSpec {
     val d = Snapshots.diff(spark, root, 1L, v2, Seq("k"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(d == Set(("delete", 2L)), s"got $d")
-    // UPDATE SET v = concat(v, v) WHERE k = 1: the SET sees the ORIGINAL
-    // row; swap-style double-set proves staging (v := x, x-col absent
-    // here so use two sets over one row instead)
+    // UPDATE SET v = concat(v, v) WHERE k = 1: the SET sees the ORIGINAL row
     val v3 = Snapshots.updateWhere(spark, root, col("k") === 1L,
       Map("v" -> concat(col("v"), col("v"))))
     assert(rows(Snapshots.read(spark, root)) == Set((1L, "aa"), (3L, "c")))
@@ -168,10 +166,27 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.updateWhere(spark, root, col("v") === "aa",
       Map("v" -> lit("hit")))
     assert(rows(Snapshots.read(spark, root)) == Set((1L, "hit"), (3L, "c")))
+    // a SWAP update (SET a=b, b=a) proves every SET reads the ORIGINAL
+    // row — a sequential-withColumn refactor would yield (b, b)
+    val rootSwap = freshRoot()
+    Snapshots.commitRewrite(rootSwap)(tmp =>
+      Seq((1L, "left", "right")).toDF("k", "a", "b").write.parquet(tmp))
+    Snapshots.updateWhere(spark, rootSwap, lit(true),
+      Map("a" -> col("b"), "b" -> col("a")))
+    val swapped = Snapshots.read(spark, rootSwap)
+      .select(col("a"), col("b")).head
+    assert((swapped.getString(0), swapped.getString(1)) == ("right", "left"),
+      "multi-SET must stage originals: a swap came out wrong")
+    // a real column colliding with a staging name refuses loudly
+    val rootClash = freshRoot()
+    Snapshots.commitRewrite(rootClash)(tmp =>
+      Seq((1L, "x", "y")).toDF("k", "v", "__p").write.parquet(tmp))
+    intercept[IllegalArgumentException](
+      Snapshots.updateWhere(spark, rootClash, lit(true), Map("v" -> lit("z"))))
     // null-predicate rows (three-valued logic) are NOT deleted/updated
     val root2 = freshRoot()
     Snapshots.commitRewrite(root2)(tmp =>
-      Seq((Some(1L), "a"), (None, "n")).map { case (k, v) => (k, v) }
+      Seq((Some(1L), "a"), (None, "n"))
         .toDF("k", "v").write.parquet(tmp))
     Snapshots.deleteWhere(spark, root2, col("k") > 0L) // null > 0 → null → keep
     val left = Snapshots.read(spark, root2).collect()
