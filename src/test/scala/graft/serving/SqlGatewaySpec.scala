@@ -11,7 +11,9 @@ import java.sql.DriverManager
   */
 class SqlGatewaySpec extends SparkSpec {
 
-  private val port = 10917
+  // PID-derived port: a fixed one could collide with a stale server or
+  // another suite run on the host and flake the whole test gate
+  private val port = 10900 + (ProcessHandle.current().pid() % 80L).toInt
 
   test("JDBC client queries the served medallion catalog end-to-end") {
     SqlGateway.registerViews(spark, sfDir)
