@@ -1083,6 +1083,12 @@ object SparkEntry {
         bits = 10, numFiles = 8)
       graft.lake.Snapshots.read(s, root)
     }),
+    // Duplicated-span detection (exact-substring dedup at shingle
+    // granularity, Lee et al. 2022): positions whose trigram shingle
+    // occurs >1 time corpus-wide, merged into maximal per-doc spans —
+    // the partial-overlap complement of whole-document dedup.
+    "q137_dup_spans" -> ((s, d) =>
+      TextDedup.dupSpans(Tables.documentsSpread(s, d), "doc_id", "text", 3)),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
@@ -3048,5 +3054,23 @@ object SparkEntry {
                 ((CAST(n_q AS DOUBLE) + 1.0) / (nq + v))) *
              1000000000.0) AS BIGINT) AS kl_fp
          FROM t""",
+    // q137: positional string trigrams (df structure equals the hashed
+    // shingles up to 64-bit collisions — q70's caveat), df>1 positions,
+    // gaps-and-islands per doc.
+    "q137_dup_spans" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+         g AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+               FROM docs, UNNEST(range(1, len(w) - 1)) t(i)),
+         dfc AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) > 1),
+         dup AS (SELECT doc_id, pos FROM g JOIN dfc USING (s)),
+         isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM dup)
+         SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 2 AS span_end,
+           COUNT(*) AS n_grams,
+           MAX(pos) + 2 - MIN(pos) + 1 AS span_tokens
+         FROM isl GROUP BY doc_id, grp""",
   )
 }

@@ -333,6 +333,34 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("dupSpans merges consecutive duplicated positions into maximal spans") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),                 // shares "a b c","b c d" with doc 2
+      (2L, "x a b c d y"),
+      (3L, "p q r p q r p q r"),           // self-repetition: all 7 trigrams dup
+      (4L, "u1 u2 u3 u4 u5 u6"),           // fully unique → no rows
+      (5L, "a b c k l m n o b c d"),       // two islands: pos 1 and pos 9
+    ).toDF("doc_id", "text")
+    val got = TextDedup.dupSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 1L, 4L, 2L, 4L),   // positions 1,2 → tokens 1..4
+      (2L, 2L, 5L, 2L, 4L),   // positions 2,3 → tokens 2..5
+      (3L, 1L, 9L, 7L, 9L),   // every position duplicated → whole doc
+      (5L, 1L, 3L, 1L, 3L),   // "a b c" at pos 1
+      (5L, 9L, 11L, 1L, 3L),  // "b c d" at pos 9 — separate island
+    ), s"got $got")
+  }
+
+  test("dupSpans plan: posting equi-join + per-doc window, no CartesianProduct") {
+    val plan = TextDedup.dupSpans(Tables.documents(spark, sfDir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"pair blowup in plan:\n$plan")
+  }
+
   test("chunkDedup reassembles surviving chunks in document order") {
     val s = spark; import s.implicits._
     val docs = Seq(
