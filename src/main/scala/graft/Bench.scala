@@ -52,7 +52,7 @@ object Bench {
     "q127_asof_tolerance", "q128_snapshot_history", "q129_snapshot_append",
     "q130_ngram_novelty", "q131_token_rarity", "q132_curation_funnel",
     "q133_snapshot_diff", "q134_semdedup", "q135_snapshot_dml",
-    "q136_snapshot_optimize", "q137_dup_spans",
+    "q136_snapshot_optimize", "q137_dup_spans", "q138_quality_classifier",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

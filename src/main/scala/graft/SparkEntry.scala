@@ -1089,6 +1089,13 @@ object SparkEntry {
     // the partial-overlap complement of whole-document dedup.
     "q137_dup_spans" -> ((s, d) =>
       TextDedup.dupSpans(Tables.documentsSpread(s, d), "doc_id", "text", 3)),
+    // Hashed linear classifier inference (fastText shape): unigram +
+    // bigram occurrences hashed into 2^16 buckets, md5-derived
+    // placeholder weights on the broadcast side, exact fixed-point
+    // per-doc sums. The plumbing a real trained quality filter uses.
+    "q138_quality_classifier" -> ((s, d) =>
+      TextStats.hashedLinearScore(Tables.documentsSpread(s, d),
+        "doc_id", "text")),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
@@ -3072,5 +3079,28 @@ object SparkEntry {
            COUNT(*) AS n_grams,
            MAX(pos) + 2 - MIN(pos) + 1 AS span_tokens
          FROM isl GROUP BY doc_id, grp""",
+    // q138: unigram + bigram occurrences, md5₆₀ bucket hash mod 2^16,
+    // weight_fp(b) = md5₆₀('w-'||b) mod 2000001 − 10⁶, exact long sums.
+    "q138_quality_classifier" ->
+      """WITH f AS (
+           SELECT doc_id, u.w AS f FROM (
+             SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             UNNEST(ws) u(w) WHERE u.w <> ''
+           UNION ALL
+           SELECT doc_id, w[i] || ' ' || w[i+1] FROM (
+             SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             UNNEST(range(1, len(w))) t(i)),
+         b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 65536 AS bkt
+               FROM f),
+         wt AS (SELECT i AS bkt,
+                 CAST(('0x' || substr(md5('w-' || CAST(i AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2000001 - 1000000 AS wf
+                FROM generate_series(0, 65535) s(i))
+         SELECT doc_id, COUNT(*) AS n_features,
+           CAST(SUM(wf) AS BIGINT) AS score_fp,
+           (CAST(SUM(wf) AS BIGINT) / 1000000.0) / COUNT(*) AS avg_score,
+           CAST(SUM(wf) AS BIGINT) > 0 AS keep
+         FROM b JOIN wt USING (bkt) GROUP BY doc_id""",
   )
 }

@@ -217,6 +217,58 @@ object TextStats {
     * -sized side) → per-doc agg; N is the one driver-collected scalar
     * (model state, the q84 convention).
     */
+  /** Hashed-linear-classifier INFERENCE — the fastText-shaped quality
+    * filter (Joulin et al. 2017, "Bag of Tricks for Efficient Text
+    * Classification"): features are all unigram + word-bigram
+    * OCCURRENCES, hashed into `buckets` buckets, and the document score
+    * is the mean of the bucket weights — the standard cheap quality
+    * classifier pipelines run corpus-wide before sampling.
+    *
+    * The model here is a deterministic placeholder (weight_fp(b) =
+    * md5₆₀("w-"||b) mod 2000001 − 10⁶, i.e. uniform in [−1, 1] at 10⁻⁶
+    * resolution) so the DuckDB oracle reproduces it bit-for-bit; a real
+    * deployment swaps in trained weights — the PLUMBING is the point:
+    * the model is a `buckets`-row table on the broadcast side of the
+    * feature join, the corpus never shuffles, and the per-doc sum is
+    * one map-side-combinable aggregation of exact longs (commutative,
+    * partitioning-independent — the q84 fixed-point discipline).
+    *
+    * Output: (doc_id, n_features, score_fp, avg_score, keep) with
+    * avg_score = (score_fp/10⁶)/n_features and keep = score_fp > 0.
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 65536): DataFrame = {
+    require(buckets >= 1, s"hashedLinearScore: buckets >= 1, got $buckets")
+    val spark = docs.sparkSession
+    val weights = broadcast(spark.range(buckets.toLong)
+      .select(col("id").as("__b"),
+        (pmod(TextDedup.tokenHash60(concat(lit("w-"), col("id"))),
+          lit(2000001L)) - 1000000L).as("__w")))
+    // Token array staged as a projected column before the bigram
+    // transform references it (HOF lambdas re-evaluate unstaged
+    // expressions PER ELEMENT — the shingleHashesFromTokenHashes rule).
+    val feats = docs
+      .select(col(idCol).as("doc_id"),
+        TextDedup.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        explode(concat(col("__w"),
+          when(size(col("__w")) >= 2,
+            transform(sequence(lit(1), size(col("__w")) - 1),
+              i => concat_ws(" ", element_at(col("__w"), i),
+                element_at(col("__w"), i + 1))))
+            .otherwise(array().cast("array<string>")))).as("__f"))
+      .filter(length(col("__f")) > 0)
+      .select(col("doc_id"),
+        pmod(TextDedup.tokenHash60(col("__f")), lit(buckets.toLong)).as("__b"))
+    feats.join(weights, Seq("__b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"), sum(col("__w")).as("score_fp"))
+      .select(col("doc_id"), col("n_features"), col("score_fp"),
+        ((col("score_fp") / lit(1000000.0)) / col("n_features"))
+          .as("avg_score"),
+        (col("score_fp") > 0).as("keep"))
+  }
+
   def tokenRarity(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
     val nDocs = docs.count()

@@ -48,6 +48,26 @@ class TextStatsSpec extends SparkSpec {
     assert(got.head._1 == 1L, "doc 1 (two terms, one twice, shorter) must rank first")
   }
 
+  test("hashedLinearScore: unigram+bigram features, md5-derived weights exact") {
+    val s = spark; import s.implicits._
+    def md5_60(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def weight(b: Long): Long = md5_60(s"w-$b") % 2000001L - 1000000L
+    def bucket(f: String): Long = md5_60(f) % 65536L
+    val docs = Seq((1L, "x y"), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextStats.hashedLinearScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    // doc 1: features x, y, "x y"; doc 2: just the unigram
+    val s1 = Seq("x", "y", "x y").map(f => weight(bucket(f))).sum
+    val s2 = weight(bucket("solo"))
+    assert(got(1L) == ((3L, s1, s1 > 0)), s"got ${got(1L)} want (3,$s1)")
+    assert(got(2L) == ((1L, s2, s2 > 0)), s"got ${got(2L)} want (1,$s2)")
+  }
+
   test("buildVocab: ids by count desc then token, minCount filters") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "b a a c a b x")).toDF("doc_id", "text")
