@@ -1096,6 +1096,12 @@ object SparkEntry {
     "q138_quality_classifier" -> ((s, d) =>
       TextStats.hashedLinearScore(Tables.documentsSpread(s, d),
         "doc_id", "text")),
+    // Frequent-chunk boilerplate removal (CCNet/C4 line filter): chunks
+    // appearing in >= 3 distinct docs are dropped EVERYWHERE (unlike
+    // q97's keep-first), docs reassembled from the survivors.
+    "q139_drop_boilerplate" -> ((s, d) =>
+      TextDedup.dropBoilerplate(Tables.documentsSpread(s, d),
+        "doc_id", "text", chunkWords = 10, minDocs = 3)),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
@@ -3102,5 +3108,29 @@ object SparkEntry {
            (CAST(SUM(wf) AS BIGINT) / 1000000.0) / COUNT(*) AS avg_score,
            CAST(SUM(wf) AS BIGINT) > 0 AS keep
          FROM b JOIN wt USING (bkt) GROUP BY doc_id""",
+    // q139: q97's chunk replication with the keep rule swapped — a chunk
+    // survives iff its distinct-doc frequency stays under 3.
+    "q139_drop_boilerplate" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, w, len(w) AS n FROM docs),
+         c AS (SELECT doc_id, n,
+                 unnest(range(1, greatest(1, n) + 1, 10)) AS cs,
+                 w FROM s),
+         ch AS (SELECT doc_id, n, cs,
+                  array_to_string(w[cs:cs + 9], ' ') AS chunk_text
+                FROM c),
+         hot AS (SELECT chunk_text FROM (
+                   SELECT chunk_text, COUNT(DISTINCT doc_id) AS nd
+                   FROM ch GROUP BY chunk_text)
+                 WHERE nd >= 3),
+         kept AS (SELECT doc_id,
+                    string_agg(chunk_text, ' ' ORDER BY cs) AS clean_text,
+                    COUNT(*) AS n_kept
+                  FROM ch WHERE chunk_text NOT IN (SELECT chunk_text FROM hot)
+                  GROUP BY doc_id)
+         SELECT s.doc_id, COALESCE(kept.clean_text, '') AS clean_text,
+           CAST(ceil(n / 10.0) AS BIGINT) AS n_chunks,
+           COALESCE(kept.n_kept, 0) AS n_kept
+         FROM s LEFT JOIN kept USING (doc_id)""",
   )
 }

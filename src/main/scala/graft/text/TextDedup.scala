@@ -678,6 +678,50 @@ object TextDedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** BOILERPLATE removal by document frequency (the CCNet/C4 "frequent
+    * line" filter): drop every chunk whose exact text appears in at
+    * least `minDocs` DISTINCT documents — ALL its occurrences, first
+    * included, which is what separates boilerplate removal from
+    * [[chunkDedup]]'s keep-first dedup (nav bars and cookie banners are
+    * noise in every copy, not content in their first). Documents
+    * reassemble from surviving chunks in order; rows whose every chunk
+    * was boilerplate come back with empty text (corpus row count
+    * preserved, callers filter on n_kept).
+    *
+    * Output: (doc_id, clean_text, n_chunks, n_kept) — [[chunkDedup]]'s
+    * contract.
+    *
+    * Scale posture: chunking is row-local; the frequency pass is one
+    * distinct on (chunk, doc) + a map-side-combinable count, and the
+    * removal list (chunks clearing `minDocs`) is by construction the
+    * corpus's REPEATED tail — small, broadcast-friendly, anti-joined
+    * against the chunk stream. Reassembly as in [[chunkDedup]].
+    */
+  def dropBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                      chunkWords: Int = 10, minDocs: Int = 3): DataFrame = {
+    require(chunkWords > 0, s"dropBoilerplate: chunkWords must be positive")
+    require(minDocs >= 2, s"dropBoilerplate: minDocs must be >= 2, got $minDocs")
+    val chunks = TextStats.chunkTokens(docs, idCol, textCol, chunkWords, 0)
+    val boiler = chunks.select(col("chunk_text"), col("doc_id")).distinct()
+      .groupBy(col("chunk_text")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs).select(col("chunk_text"))
+    val kept = chunks.join(boiler, Seq("chunk_text"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_start"), col("chunk_text")))),
+            s => s.getField("chunk_text")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).as("doc_id"),
+        ceil(size(tokens(col(textCol))).cast("double") / chunkWords)
+          .cast("long").as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_chunks"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  chunkWords: Int = 10): DataFrame = {
     require(chunkWords > 0, s"chunkDedup: chunkWords must be positive")

@@ -372,4 +372,27 @@ class TextDedupSpec extends SparkSpec {
     assert(out.getString(1) == "x1 x2 x3 y1 y2 y3")
     assert(out.getLong(2) == 3L && out.getLong(3) == 2L)
   }
+
+  test("dropBoilerplate removes EVERY occurrence past the doc-frequency bar") {
+    val s = spark; import s.implicits._
+    // "b1 b2 b3" is in 3 docs → boilerplate (all copies go, unlike
+    // chunkDedup which keeps the first); "m1 m2 m3" in only 2 → stays.
+    val docs = Seq(
+      (1L, "b1 b2 b3 u1 u2 u3"),
+      (2L, "b1 b2 b3 m1 m2 m3"),
+      (3L, "v1 v2 v3 b1 b2 b3"),
+      (4L, "m1 m2 m3"),
+      (5L, "b1 b2 b3"), // all chunks boilerplate → empty text, n_kept 0
+    ).toDF("doc_id", "text")
+    val got = TextDedup.dropBoilerplate(docs, "doc_id", "text",
+        chunkWords = 3, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "u1 u2 u3", 2L, 1L),
+      (2L, "m1 m2 m3", 2L, 1L),
+      (3L, "v1 v2 v3", 2L, 1L),
+      (4L, "m1 m2 m3", 1L, 1L),
+      (5L, "", 1L, 0L)), s"got $got")
+  }
 }
