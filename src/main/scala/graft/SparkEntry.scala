@@ -1102,6 +1102,15 @@ object SparkEntry {
     "q139_drop_boilerplate" -> ((s, d) =>
       TextDedup.dropBoilerplate(Tables.documentsSpread(s, d),
         "doc_id", "text", chunkWords = 10, minDocs = 3)),
+    // Exact phrase search via the positional inverted index: each join
+    // side is the postings filtered to one token, position-adjacency
+    // semi joins — the probe moves df(word)-sized slices, never the
+    // corpus.
+    "q140_phrase_search" -> ((s, d) =>
+      TextStats.phraseSearch(
+        TextStats.positionalPostings(Tables.documentsSpread(s, d),
+          "doc_id", "text"),
+        Seq("data", "table", "scan"))),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
@@ -3132,5 +3141,14 @@ object SparkEntry {
            CAST(ceil(n / 10.0) AS BIGINT) AS n_chunks,
            COALESCE(kept.n_kept, 0) AS n_kept
          FROM s LEFT JOIN kept USING (doc_id)""",
+    // q140: an independent formulation of the same truth — positional
+    // trigram equality instead of the postings adjacency join.
+    "q140_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+         g AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+               FROM d, UNNEST(range(1, len(w) - 1)) t(i))
+         SELECT doc_id, pos FROM g WHERE s = 'data table scan'""",
   )
 }

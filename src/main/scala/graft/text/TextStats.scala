@@ -666,6 +666,46 @@ object TextStats {
           .as("chunk_text"))
   }
 
+  /** Positional inverted index: one posting row per token OCCURRENCE —
+    * (token, doc_id, pos) with pos 1-based. The materialized search
+    * index shape: built once, probed by many [[phraseSearch]] queries
+    * without re-scanning the corpus. In production this is written out
+    * partitioned/bucketed BY TOKEN so a query's probe reads only its
+    * tokens' buckets.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextDedup.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), posexplode(col("__w")))
+      .select(col("col").as("token"), col("doc_id"),
+        (col("pos") + 1L).cast("long").as("pos"))
+      .filter(length(col("token")) > 0)
+
+  /** Exact PHRASE query over [[positionalPostings]]: a match is an
+    * anchor position where token_i sits at pos+i for every phrase word —
+    * the classic position-adjacency probe. One row per match (doc_id,
+    * pos of the first word).
+    *
+    * Scale posture: each join side is the postings filtered to ONE
+    * token (pushdown reaches the index scan), so the m-way join moves
+    * only the phrase words' postings — never the corpus; joins are
+    * equi-joins on (doc_id, pos) and the non-anchor sides are
+    * df(word)-sized, broadcast-friendly. Semi joins keep the output at
+    * anchor grain with no duplicate blowup on repeated words.
+    */
+  def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    require(phrase.forall(_.nonEmpty), "phraseSearch: empty phrase word")
+    val anchor = postings.filter(col("token") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.tail.foldLeft(anchor) { case (acc, (w, i)) =>
+      val next = postings.filter(col("token") === w)
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+      acc.join(next, Seq("doc_id", "pos"), "left_semi")
+    }
+  }
+
   /** Corpus rollup per (lang, source): doc/token/char totals and the mean
     * document length. `safe_divide` semantics (null on zero denominator)
     * via nullif, mirroring dbt_utils.safe_divide.

@@ -68,6 +68,28 @@ class TextStatsSpec extends SparkSpec {
     assert(got(2L) == ((1L, s2, s2 > 0)), s"got ${got(2L)} want (1,$s2)")
   }
 
+  test("phraseSearch: adjacency matches only, boundaries and repeats exact") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a data table scan b"),     // match at pos 2
+      (2L, "data table x scan"),       // gap → no match
+      (3L, "data table scan"),         // whole doc, pos 1
+      (4L, "x y data table scan"),     // at doc end, pos 3
+      (5L, "table scan data"),         // wrong order
+    ).toDF("doc_id", "text")
+    val idx = TextStats.positionalPostings(docs, "doc_id", "text")
+    val got = TextStats.phraseSearch(idx, Seq("data", "table", "scan"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 1L), (4L, 3L)), s"got $got")
+    // repeated-word phrase: overlapping anchors both match
+    val rep = TextStats.phraseSearch(
+      TextStats.positionalPostings(Seq((9L, "x x x")).toDF("doc_id", "text"),
+        "doc_id", "text"),
+      Seq("x", "x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rep == Set((9L, 1L), (9L, 2L)), s"got $rep")
+  }
+
   test("buildVocab: ids by count desc then token, minCount filters") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "b a a c a b x")).toDF("doc_id", "text")
