@@ -53,7 +53,7 @@ object Bench {
     "q130_ngram_novelty", "q131_token_rarity", "q132_curation_funnel",
     "q133_snapshot_diff", "q134_semdedup", "q135_snapshot_dml",
     "q136_snapshot_optimize", "q137_dup_spans", "q138_quality_classifier",
-    "q139_drop_boilerplate", "q140_phrase_search",
+    "q139_drop_boilerplate", "q140_phrase_search", "q141_source_report",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

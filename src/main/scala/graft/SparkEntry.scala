@@ -1111,6 +1111,11 @@ object SparkEntry {
         TextStats.positionalPostings(Tables.documentsSpread(s, d),
           "doc_id", "text"),
         Seq("data", "table", "scan"))),
+    // Per-source curation report: corpus-wide exact-dup keeper window,
+    // then doc/dup/lang/token rollups per source — the domain-level
+    // prune list web curation ranks by.
+    "q141_source_report" -> ((s, d) =>
+      TextStats.sourceReport(Tables.documentsSpread(s, d))),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
@@ -3150,5 +3155,20 @@ object SparkEntry {
                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
                FROM d, UNNEST(range(1, len(w) - 1)) t(i))
          SELECT doc_id, pos FROM g WHERE s = 'data table scan'""",
+    // q141: q132's keeper window, rolled up per source.
+    "q141_source_report" ->
+      """WITH f AS (SELECT source, lang,
+             len(string_split(text, ' ')) AS nt,
+             doc_id = MIN(doc_id) OVER (
+               PARTITION BY md5(lower(trim(text)))) AS keep
+           FROM documents)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(FLOOR(CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000.0 / COUNT(*)) AS BIGINT) AS dup_rate_fp,
+           CAST(SUM(nt) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+         FROM f GROUP BY source""",
   )
 }

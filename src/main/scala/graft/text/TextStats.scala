@@ -706,6 +706,40 @@ object TextStats {
     }
   }
 
+  /** Per-SOURCE curation report — the domain-level view web pipelines
+    * (C4, RefinedWeb) rank and prune by: document/duplicate/language
+    * counts, token mass, and the duplication rate per source. Exact-dup
+    * flags come from the corpus-WIDE q27 keeper window (a source's dup
+    * rate counts its copies of anything, wherever the original lives),
+    * then one aggregation per source.
+    *
+    * dup_rate_fp = floor(10⁶·n_dup/n_docs); avg_tokens is one IEEE
+    * division of two exact longs — both cross-engine stable.
+    *
+    * Scale posture: one content-hash shuffle (the dedup window) + one
+    * map-side-combinable rollup on the low-cardinality source key.
+    */
+  def sourceReport(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", langCol: String = "lang",
+                   sourceCol: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(lower(trim(col("__t")))))
+    docs.select(col(idCol).as("__id"), col(textCol).as("__t"),
+        col(langCol).as("__l"), col(sourceCol).as("source"))
+      .withColumn("__keep", col("__id") === min(col("__id")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("__l") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(size(TextDedup.tokens(col("__t"))).cast("long"))
+          .as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("n_dup"), col("n_en"),
+        col("total_tokens"),
+        floor(col("n_dup") * lit(1000000.0) / col("n_docs")).cast("long")
+          .as("dup_rate_fp"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avg_tokens"))
+  }
+
   /** Corpus rollup per (lang, source): doc/token/char totals and the mean
     * document length. `safe_divide` semantics (null on zero denominator)
     * via nullif, mirroring dbt_utils.safe_divide.

@@ -90,6 +90,21 @@ class TextStatsSpec extends SparkSpec {
     assert(rep == Set((9L, 1L), (9L, 2L)), s"got $rep")
   }
 
+  test("sourceReport: corpus-wide dup flags rolled up per source") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "web"),   // keeper
+      (2L, "alpha beta gamma", "en", "web"),   // dup of 1, same source
+      (3L, "alpha beta gamma", "de", "books"), // dup of 1, OTHER source
+      (4L, "one two", "en", "books"),          // unique
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextStats.sourceReport(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(got("web") == ((2L, 1L, 2L, 6L, 500000L, 3.0)), s"${got("web")}")
+    assert(got("books") == ((2L, 1L, 1L, 5L, 500000L, 2.5)), s"${got("books")}")
+  }
+
   test("buildVocab: ids by count desc then token, minCount filters") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "b a a c a b x")).toDF("doc_id", "text")
