@@ -54,6 +54,7 @@ object Bench {
     "q133_snapshot_diff", "q134_semdedup", "q135_snapshot_dml",
     "q136_snapshot_optimize", "q137_dup_spans", "q138_quality_classifier",
     "q139_drop_boilerplate", "q140_phrase_search", "q141_source_report",
+    "q142_basket_lift",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

@@ -1116,6 +1116,11 @@ object SparkEntry {
     // prune list web curation ranks by.
     "q141_source_report" -> ((s, d) =>
       TextStats.sourceReport(Tables.documentsSpread(s, d))),
+    // Market-basket lift over order line items: pair support bounded by
+    // per-order item count², Apriori support bar >= 2, fixed-point lift.
+    "q142_basket_lift" -> ((s, d) =>
+      Analytics.basketLift(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+        minSupport = 2, eager = true)),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
@@ -3170,5 +3175,20 @@ object SparkEntry {
              * 1000000.0 / COUNT(*)) AS BIGINT) AS dup_rate_fp,
            CAST(SUM(nt) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
          FROM f GROUP BY source""",
+    // q142: distinct baskets, co-partitioned pair self-join, marginals,
+    // lift through the single-division floor gate (long products stay
+    // exact in doubles at these magnitudes).
+    "q142_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+         n AS (SELECT COUNT(DISTINCT bk) AS nb FROM b),
+         m AS (SELECT it, COUNT(*) AS cnt FROM b GROUP BY it),
+         p AS (SELECT a.it AS item_a, x.it AS item_b, COUNT(*) AS n_ab
+               FROM b a JOIN b x ON a.bk = x.bk AND a.it < x.it
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         SELECT item_a, item_b, n_ab, ma.cnt AS n_a, mb.cnt AS n_b,
+           CAST(FLOOR(CAST(n_ab AS DOUBLE) * (SELECT CAST(nb AS DOUBLE) FROM n)
+             * 1000000.0 / (CAST(ma.cnt AS DOUBLE) * CAST(mb.cnt AS DOUBLE)))
+             AS BIGINT) AS lift_fp
+         FROM p JOIN m ma ON ma.it = item_a JOIN m mb ON mb.it = item_b""",
   )
 }

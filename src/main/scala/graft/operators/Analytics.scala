@@ -740,6 +740,58 @@ object Analytics {
     }
   }
 
+  /** Market-basket affinity — pair support and LIFT over item baskets
+    * (the association-rule readout behind "bought together"): for items
+    * a < b co-present in a basket, lift = P(a,b)/(P(a)·P(b)) =
+    * n_ab·N/(n_a·n_b); pairs below `minSupport` baskets are pruned (the
+    * Apriori support bar, which also bounds output size).
+    *
+    * lift_fp = floor(10⁶·lift): every input is an exact long and the
+    * division happens once — partitioning-independent, oracle-exact.
+    *
+    * Scale posture: the pair self-join is co-partitioned on the basket
+    * key and its expansion is bounded by per-basket distinct-item
+    * count² (the q121 shape) — never corpus×corpus; marginals are one
+    * map-side-combinable count; the support filter prunes BEFORE the
+    * marginal joins. `eager` mirrors [[sessionPmi]]'s cache contract:
+    * the distinct basket table feeds the scalar count and both join
+    * sides, so it persists per call; eager=true materializes the result
+    * and releases it.
+    */
+  def basketLift(items: DataFrame, basketCol: String, itemCol: String,
+                 minSupport: Long = 2, eager: Boolean = false): DataFrame = {
+    require(minSupport >= 1, s"basketLift: minSupport >= 1, got $minSupport")
+    val b = items.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBaskets = b.select(col("__b")).distinct().count()
+    require(nBaskets > 0, "basketLift over an empty basket table")
+    val marg = b.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val pairs = b.as("a").join(b.as("x"),
+        col("a.__b") === col("x.__b") && col("a.__i") < col("x.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("x.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val out = pairs
+      .join(marg.select(col("__i").as("item_a"), col("__n").as("n_a")),
+        Seq("item_a"))
+      .join(marg.select(col("__i").as("item_b"), col("__n").as("n_b")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        floor(col("n_ab").cast("double") * lit(nBaskets.toDouble) *
+          lit(1000000.0) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .cast("long").as("lift_fp"))
+    if (!eager) out
+    else {
+      val pinned = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned.count()
+      b.unpersist(blocking = false)
+      pinned
+    }
+  }
+
   /** Categorical distribution drift — add-one-smoothed KL divergence
     * between two slices of one stream (time windows, A/B arms, data
     * sources): per category x, p(x) and q(x) are Laplace-smoothed over

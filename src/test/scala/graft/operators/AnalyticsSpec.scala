@@ -493,4 +493,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.groupZScores(df, Seq("g"), "value", Seq("id"), 0.0)
       .count() == 10)
   }
+
+  test("basketLift: hand-computed lift, support bar, duplicate lines collapse") {
+    val s = spark; import s.implicits._
+    // baskets: {p,q} ×2, {p,q,r}, {r} → N=4; pq in 3, pr/qr in 1
+    val items = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L), (2L, 20L), // duplicate line — distinct collapses
+      (3L, 10L), (3L, 20L), (3L, 30L),
+      (4L, 30L)).toDF("o", "p")
+    val got = Analytics.basketLift(items, "o", "p", minSupport = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // lift(10,20) = (3·4)/(3·3) = 4/3 → 1333333; pairs with r fail support
+    assert(got == Set((10L, 20L, 3L, 3L, 3L,
+      math.floor(3.0 * 4.0 * 1e6 / 9.0).toLong)), s"got $got")
+  }
 }
