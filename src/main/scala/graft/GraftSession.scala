@@ -45,9 +45,11 @@ object GraftSession {
     * runtime-settable SQL confs, not static Spark confs.
     */
   def configure(spark: SparkSession): SparkSession = {
-    // /root/testdata/*/events.parquet stores INT64 TIMESTAMP(NANOS) which
-    // Spark cannot read natively (PARQUET_TYPE_ILLEGAL); read as long and
-    // convert in sources.Tables.events.
+    // Older testdata generations store events.ts as INT64 TIMESTAMP(NANOS),
+    // which Spark cannot read natively (PARQUET_TYPE_ILLEGAL); with this
+    // conf it reads as a long of nanos and sources.Tables.events converts.
+    // Newer generations ship plain timestamp[us], where the conf is inert
+    // (Tables.events branches on the read schema either way).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Adaptive execution: runtime coalescing of shuffle partitions and
     // skew-join splitting — essential at 100 TB where static partition

@@ -39,21 +39,32 @@ object Tables {
   def embeddingsSpread(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism)
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark only
-    * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (a long of nanos
-    * since epoch). We derive:
-    *   - `event_ts_us` long  — epoch microseconds (floor), the canonical
-    *     cross-engine time representation (DuckDB truncates ns→µs on read,
-    *     so `epoch_us(ts)` there equals `ts div 1000` here);
+  /** events.parquet's `ts` physical type varies by driver generation:
+    * rounds ≤ 11 shipped INT64 TIMESTAMP(NANOS) (readable only via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, as a long of nanos),
+    * round 12 ships plain timestamp[us] (TIMESTAMP_NTZ). Branch on the
+    * read schema and normalize to the same derived columns either way:
+    *   - `event_ts_us` long  — epoch microseconds, the canonical
+    *     cross-engine time representation (equals DuckDB's
+    *     `epoch_us(ts)` for both layouts: ns floor-divides, µs is
+    *     identity with the UTC session zone);
     *   - `event_ts` timestamp — µs-precision timestamp for window/date ops;
     *   - `event_date` date.
-    * Raw nanos are kept as `ts` for ordering fidelity.
+    * Raw `ts` is kept as read.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("event_ts_us", expr("ts div 1000"))
-      .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
-      .withColumn("event_date", to_date(expr("timestamp_micros(ts div 1000)")))
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // INT64 nanos layout
+        raw.withColumn("event_ts_us", expr("ts div 1000"))
+          .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("event_date",
+            to_date(expr("timestamp_micros(ts div 1000)")))
+      case _ => // timestamp[us] layout (NTZ wall clock = UTC instant)
+        raw.withColumn("event_ts", col("ts").cast("timestamp"))
+          .withColumn("event_ts_us", unix_micros(col("event_ts")))
+          .withColumn("event_date", to_date(col("event_ts")))
+    }
   }
 }
