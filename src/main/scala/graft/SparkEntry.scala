@@ -7,7 +7,7 @@ import graft.pipeline.Medallion
 import graft.operators.{Analytics, Relations, Temporal}
 import graft.ml.Sampling
 import graft.lake.Upsert
-import graft.text.{TextDedup, TextStats}
+import graft.text.{SparseSim, TextDedup, TextStats}
 import graft.ml.Similarity
 
 /** Driver contract — every implemented operator from SURVEY.md §2 appears in
@@ -1121,6 +1121,25 @@ object SparkEntry {
     "q142_basket_lift" -> ((s, d) =>
       Analytics.basketLift(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
         minSupport = 2, eager = true)),
+    // TF-IDF cosine pairs: ltc weighting, exact fixed-point long dots via
+    // the guarded posting-list pair join — topical similarity, vs the
+    // copy-detection Jaccard family.
+    "q143_tfidf_cosine" -> ((s, d) =>
+      SparseSim.tfidfCosinePairs(Tables.documentsSpread(s, d), "doc_id", "text")),
+    // Source-pair shingle overlap matrix: the dataset-card cross-source
+    // duplication report (exact intersection / Jaccard / overlap coeff).
+    "q144_source_overlap" -> ((s, d) =>
+      SparseSim.sourceOverlap(Tables.documentsSpread(s, d), "source", "text")),
+    // JL random projection: md5-derived Rademacher signs, quantize-once
+    // fixed-point components — one row-local map stage, zero exchanges.
+    "q145_random_projection" -> ((s, d) =>
+      Similarity.randomProjection(Tables.embeddingsSpread(s, d))),
+    // Prototypicality pruning: drop each cluster's most-prototypical 50%
+    // (cosine-to-centroid rank), keep the hard tail.
+    "q146_prototype_prune" -> ((s, d) =>
+      Similarity.prototypePrune(Tables.embeddingsSpread(s, d),
+        Similarity.centroidsOf(
+          Tables.embeddings(s, d).filter(col("vec_id") < 8)))),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
@@ -3190,5 +3209,85 @@ object SparkEntry {
              * 1000000.0 / (CAST(ma.cnt AS DOUBLE) * CAST(mb.cnt AS DOUBLE)))
              AS BIGINT) AS lift_fp
          FROM p JOIN m ma ON ma.it = item_a JOIN m mb ON mb.it = item_b""",
+    // q143: ltc TF-IDF weights over 3-gram occurrence terms, quantized
+    // once (floor(w·10³) longs), exact long pair dots and norms, one
+    // IEEE division per pair — idf=0 terms dropped on both sides
+    // (weight exactly 0).
+    "q143_tfidf_cosine" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+         g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+               FROM d, UNNEST(range(1, len(w) - 1)) t(i)),
+         tf AS (SELECT doc_id, s AS w, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+         n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+         dfx AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         wt AS (SELECT doc_id, tf.w,
+                  CAST(FLOOR((1.0 + ln(CAST(tf AS DOUBLE)))
+                    * ln((SELECT CAST(nd AS DOUBLE) FROM n) / CAST(df AS DOUBLE))
+                    * 1000.0) AS BIGINT) AS wq
+                FROM tf JOIN dfx ON tf.w = dfx.w
+                WHERE df < (SELECT nd FROM n)),
+         nm AS (SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS nq
+                FROM wt GROUP BY doc_id),
+         dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  COUNT(*) AS n_shared, CAST(SUM(a.wq * b.wq) AS BIGINT) AS dot
+                FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_shared, dot,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE))
+             * sqrt(CAST(nb.nq AS DOUBLE))) AS cosine
+         FROM dt JOIN nm na ON na.doc_id = doc_a
+                 JOIN nm nb ON nb.doc_id = doc_b
+         WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE))
+             * sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3""",
+    // q144: distinct (source, 3-gram) postings, per-shingle pair fanout
+    // bounded by the source dimension's cardinality, exact set algebra.
+    "q144_source_overlap" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+         ss AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM d, UNNEST(range(1, len(w) - 1)) t(i)),
+         sz AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY source),
+         it AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+                FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+                GROUP BY 1, 2)
+         SELECT src_a, src_b, n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           n_shared / (sa.n_sh + sb.n_sh - n_shared) AS jaccard,
+           n_shared / least(sa.n_sh, sb.n_sh) AS overlap
+         FROM it JOIN sz sa ON sa.source = src_a
+                 JOIN sz sb ON sb.source = src_b""",
+    // q145: the md5 sign matrix rebuilt cell-by-cell (the hashUnit /
+    // hash60 parity contract), inputs quantized once to 2^20 fixed
+    // point, exact long sums.
+    "q145_random_projection" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
+           FROM embeddings),
+         s AS (SELECT k, j,
+                 CASE WHEN ('0x' || substr(md5('rp-' || k || '-' || j), 1, 15))::BIGINT
+                        % 2 = 0 THEN 1 ELSE -1 END AS sgn
+               FROM range(0, 16) t(k), range(0, 64) u(j))
+         SELECT vec_id, k AS proj_dim,
+           CAST(SUM(sgn * vq[j + 1]) AS BIGINT) AS comp_fp
+         FROM v, s GROUP BY 1, 2""",
+    // q146: q71's assignment CTE, then most-prototypical-first rank per
+    // cluster and the integer-division cut (rank > cnt·50 div 100).
+    "q146_prototype_prune" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         s AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_transform(list_zip(e.embedding, c.ce),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+                 / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
+                  * sqrt(list_reduce(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))) AS cosine
+               FROM embeddings e, c),
+         asg AS (SELECT vec_id, cid AS centroid_id, cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cosine DESC, cid) AS rn FROM s) WHERE rn = 1),
+         r AS (SELECT *, row_number() OVER (PARTITION BY centroid_id
+                 ORDER BY cosine DESC, vec_id) AS proto_rank,
+                 COUNT(*) OVER (PARTITION BY centroid_id) AS cnt
+               FROM asg)
+         SELECT vec_id, centroid_id, cosine, proto_rank FROM r
+         WHERE proto_rank > cnt * 50 // 100""",
   )
 }

@@ -576,4 +576,92 @@ object Similarity {
       .select(col("id_b").as("__loser")).distinct()
     asg.join(losers, asg("vec_id") === col("__loser"), "left_anti")
   }
+
+  /** md5-derived Rademacher sign for one projection-matrix cell —
+    * deterministic, data-independent, and rebuildable by any engine with
+    * md5 (DuckDB: `('0x'||substr(md5(seed),1,15))::BIGINT % 2`), the same
+    * parity contract as [[hashUnit]] / Sampling.hash60.
+    */
+  private def hashSign(seed: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(seed.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2L == 0L) 1L else -1L
+  }
+
+  /** Johnson–Lindenstrauss random projection with a Rademacher (±1) sign
+    * matrix (Achlioptas 2003: database-friendly random projections —
+    * sign entries preserve inner products in expectation with the same
+    * JL guarantee as Gaussians, at integer cost). The d-dim float
+    * embedding becomes an `outDims`-dim EXACT fixed-point vector:
+    * component k = Σ_j sign(k,j) · floor(v_j · 2^quantBits).
+    *
+    * Why this shape at 100 TB: the projection is the shuffle-byte
+    * reducer for everything pairwise downstream — ANN candidate
+    * generation, near-dup verify, clustering — cutting d=64 floats to
+    * e.g. 16 longs moves every subsequent exchange's payload down ~4×
+    * while keeping distances JL-faithful. The operator itself is one
+    * row-local map stage: ZERO exchanges, no UDFs, the sign matrix is
+    * md5-derived model state folded into the plan as literal arrays
+    * (and rebuilt bit-for-bit by the q145 oracle), and quantize-once
+    * long arithmetic makes every component exact and
+    * partition-order-independent (the q72 fixed-point contract).
+    *
+    * Output: (vec_id, proj_dim, comp_fp) — one row per projected
+    * component, comp_fp at `quantBits` fractional bits.
+    */
+  def randomProjection(vectors: DataFrame, outDims: Int = 16, dims: Int = 64,
+                       quantBits: Int = 20, salt: String = "rp",
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding"): DataFrame = {
+    require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+    require(quantBits >= 0 && quantBits <= 30,
+      s"quantBits must be in [0, 30], got $quantBits")
+    requireDims(vectors, embCol, dims, "randomProjection")
+    val scale = math.pow(2.0, quantBits)
+    val vq = vectors.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(embCol), x => floor(x.cast("double") * lit(scale)))
+        .as("__vq"))
+    val comps = (0 until outDims).map { k =>
+      val signs = (0 until dims).map(j => hashSign(s"$salt-$k-$j")).toArray
+      struct(lit(k).as("proj_dim"),
+        aggregate(zip_with(col("__vq"), typedLit(signs), (v, s) => v * s),
+          lit(0L), (acc, x) => acc + x).as("comp_fp"))
+    }
+    vq.select(col("vec_id"), explode(array(comps: _*)).as("__c"))
+      .select(col("vec_id"), col("__c.proj_dim").as("proj_dim"),
+        col("__c.comp_fp").as("comp_fp"))
+  }
+
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws": keep the HARD examples): assign each vector to its
+    * nearest centroid, rank cluster members most-prototypical-first
+    * (cosine to centroid DESC, id tiebreak), and DROP the top `dropPct`
+    * percent of every cluster — the redundant easy core — keeping the
+    * informative tail. The SemDeDup sibling for data pruning by example
+    * difficulty rather than pairwise duplication.
+    *
+    * The cut is integer arithmetic (`rank > cnt·dropPct div 100`) so
+    * both engines agree exactly; cosine is the bit-stable double of
+    * [[kmeansAssign]]. Plan shape: the assignment map stage plus ONE
+    * window exchange on centroid_id — per-task input is bounded by the
+    * largest cluster (k is a model knob: size clusters so corpus/k fits
+    * a task, or pre-split hot clusters with the q58 salting idiom if
+    * the assignment is adversarially skewed).
+    *
+    * Output: kept rows (vec_id, centroid_id, cosine, proto_rank).
+    */
+  def prototypePrune(vectors: DataFrame, centroids: Seq[(Long, Array[Float])],
+                     dropPct: Int = 50, idCol: String = "vec_id",
+                     embCol: String = "embedding"): DataFrame = {
+    require(dropPct >= 0 && dropPct < 100,
+      s"dropPct must be in [0, 100), got $dropPct")
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    kmeansAssign(vectors, centroids, idCol, embCol)
+      .withColumn("proto_rank", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("centroid_id"))))
+      .filter(col("proto_rank") > expr(s"__cnt * $dropPct div 100"))
+      .select(col("vec_id"), col("centroid_id"), col("cosine"), col("proto_rank"))
+  }
 }

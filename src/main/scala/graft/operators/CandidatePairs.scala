@@ -33,10 +33,11 @@ object CandidatePairs {
 
   /** Salted (row-role, col-role) cell expansion, shared with the spec so
     * the per-cell load bound is directly assertable. Input must have
-    * columns (id, bk); outputs have (bk, id, __p, __q) with one row per
-    * (member, cell). The salted table is persisted — both roles and the
-    * size lookup scan it, and the upstream bucketing (sign projections,
-    * band hashing) is the expensive part of the stage.
+    * columns (id, bk) plus any payload columns (e.g. a per-member weight),
+    * which ride along unchanged; outputs have (bk, id, payload..., __p,
+    * __q) with one row per (member, cell). The salted table is persisted —
+    * both roles and the size lookup scan it, and the upstream bucketing
+    * (sign projections, band hashing) is the expensive part of the stage.
     */
   private[graft] def roleSides(bucketed: DataFrame, cap: Int): (DataFrame, DataFrame) = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
@@ -47,10 +48,13 @@ object CandidatePairs {
       .withColumn("__g", ceil(col("__m") / cap).cast("int"))
       .withColumn("__s", pmod(xxhash64(col("id")), col("__g")).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rowRole = salted.select(col("bk"), col("id"), col("__s").as("__p"),
-      explode(sequence(col("__s"), col("__g") - 1)).as("__q"))
-    val colRole = salted.select(col("bk"), col("id"),
-      explode(sequence(lit(0), col("__s"))).as("__p"), col("__s").as("__q"))
+    val payload = bucketed.columns.filterNot(Set("bk", "id")).map(col).toSeq
+    val rowRole = salted.select(Seq(col("bk"), col("id")) ++ payload ++ Seq(
+      col("__s").as("__p"),
+      explode(sequence(col("__s"), col("__g") - 1)).as("__q")): _*)
+    val colRole = salted.select(Seq(col("bk"), col("id")) ++ payload ++ Seq(
+      explode(sequence(lit(0), col("__s"))).as("__p"),
+      col("__s").as("__q")): _*)
     (rowRole, colRole)
   }
 
@@ -75,6 +79,33 @@ object CandidatePairs {
   def inBucketPairCounts(bucketed: DataFrame, cap: Int = 2048): DataFrame =
     rawPairs(bucketed, cap)
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+
+  /** Weighted sibling of [[inBucketPairCounts]] — the posting-list DOT
+    * PRODUCT stage of sparse-vector similarity (TF-IDF cosine, BM25-style
+    * scoring between documents): input rows are (id, bk, __w) with bk =
+    * term and __w = the member's fixed-point weight on that term; output
+    * is (id_a, id_b, n_shared, dot) with dot = Σ w_a·w_b over shared
+    * buckets. The per-(pair, bucket) product is computed BEFORE the pair
+    * is canonically ordered — multiplication is commutative, so weight
+    * alignment survives the least/greatest swap — and the sum agg is
+    * map-side combinable, so the quadratic pair stream collapses before
+    * the final shuffle exactly as in the unweighted count. Weights must
+    * be pre-quantized longs (the cross-engine fixed-point contract: a
+    * long sum is exact and partition-order-independent where a double
+    * sum is neither).
+    */
+  def inBucketPairDots(bucketed: DataFrame, cap: Int = 2048): DataFrame = {
+    val (a, b) = roleSides(bucketed.select(col("id"), col("bk"), col("__w")), cap)
+    a.join(
+        b.withColumnRenamed("id", "__idb").withColumnRenamed("__w", "__wb"),
+        Seq("bk", "__p", "__q"))
+      .filter(col("__p") =!= col("__q") || col("id") < col("__idb"))
+      .select(least(col("id"), col("__idb")).as("id_a"),
+              greatest(col("id"), col("__idb")).as("id_b"),
+              (col("__w") * col("__wb")).as("__prod"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("__prod")).as("dot"))
+  }
 
   /** Bipartite in-bucket pairs — the incremental-ingest / query-vs-corpus
     * shape: every (big-side member, small-side member) pair sharing a

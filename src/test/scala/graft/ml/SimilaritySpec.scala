@@ -335,4 +335,80 @@ class SimilaritySpec extends SparkSpec {
     assert(capped == got, s"capped path diverged: $capped vs $got")
     spark.catalog.clearCache()
   }
+
+  test("randomProjection: signs match the SQL md5 convention; components exact") {
+    val s = spark; import s.implicits._
+    // Unit vectors read the sign matrix straight off the output:
+    // rp(e_j)[k] = sign(k, j) · floor(1 · 2^20) = ±1048576.
+    val units = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(units, outDims = 2, dims = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got.size == 4)
+    // Independent derivation through Spark SQL's conv/md5 — the exact
+    // expression the DuckDB oracle uses (hash60 parity contract).
+    val sqlSigns = spark.range(1).select(
+      (0 until 2).flatMap { k =>
+        (0 until 2).map { j =>
+          (conv(substring(md5(lit(s"rp-$k-$j")), 1, 15), 16, 10)
+            .cast("long") % 2).as(s"s$k$j")
+        }
+      }: _*).head()
+    for (k <- 0 until 2; j <- 0 until 2) {
+      val sign = if (sqlSigns.getLong(k * 2 + j) == 0L) 1L else -1L
+      assert(got((j.toLong, k)) == sign * 1048576L, s"k=$k j=$j")
+    }
+    // Exact fixed-point on a mixed vector: floor quantization then the
+    // signed sum, replayed by hand.
+    val v = Array(0.5f, -0.25f)
+    val mixed = Seq((7L, v)).toDF("vec_id", "embedding")
+    val comp = Similarity.randomProjection(mixed, outDims = 2, dims = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    val vq = v.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+    for (k <- 0 until 2) {
+      val s = (0 until 2).map { j =>
+        (if (sqlSigns.getLong(k * 2 + j) == 0L) 1L else -1L) * vq(j)
+      }.sum
+      assert(comp(k) == s, s"k=$k")
+    }
+  }
+
+  test("randomProjection plan is map-only: zero exchanges") {
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val plan = Similarity.randomProjection(vecs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("prototypePrune: rank cut keeps the hard tail, integer-division law") {
+    val s = spark; import s.implicits._
+    // One dominant centroid; cosines strictly ordered by construction.
+    val cents = Seq((0L, Array(1f, 0f, 0f, 0f)))
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),     // cos 1.0    rank 1 (dropped)
+      (2L, Array(1f, 0.5f, 0f, 0f)),   // rank 2 (dropped)
+      (3L, Array(1f, 1f, 0f, 0f)),     // rank 3 (kept)
+      (4L, Array(1f, 2f, 0f, 0f)),     // rank 4 (kept)
+      (5L, Array(0f, 1f, 0f, 0f)))     // cos 0.0    rank 5 (kept)
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.prototypePrune(vecs, cents, dropPct = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    // cnt=5, drop = 5*40 div 100 = 2 → ranks 3..5 survive
+    assert(kept == Map(3L -> 3, 4L -> 4, 5L -> 5))
+    // dropPct = 0 keeps everything with ranks intact
+    assert(Similarity.prototypePrune(vecs, cents, dropPct = 0).count() == 5)
+    // per-cluster law on real embeddings: kept = cnt - cnt·50 div 100
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val cents8 = Similarity.centroidsOf(emb.filter(col("vec_id") < 8))
+    val sizes = Similarity.kmeansAssign(emb, cents8)
+      .groupBy("centroid_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val keptSizes = Similarity.prototypePrune(emb, cents8)
+      .groupBy("centroid_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    sizes.foreach { case (cid, cnt) =>
+      val expectKept = cnt - cnt * 50 / 100
+      assert(keptSizes.getOrElse(cid, 0L) == expectKept, s"cid=$cid cnt=$cnt")
+    }
+  }
 }

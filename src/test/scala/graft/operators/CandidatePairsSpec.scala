@@ -79,6 +79,29 @@ class CandidatePairsSpec extends SparkSpec {
     }
   }
 
+  test("inBucketPairDots: equals the plain weighted self-join, hot bucket included") {
+    // Mixed sizes + a hot bucket at cap=8; deterministic weights from ids.
+    val rows = ((1L to 3L).map(i => (i, 100)) ++
+      (10L to 49L).map(i => (i, 200)) ++ Seq((1L, 200), (2L, 300)))
+      .map { case (i, b) => (i, b, i * 7 - 3 + b % 11) } // per-(id,bk) weights, some negative
+    val bucketed = rows.toDF("id", "bk", "__w")
+    val expected = bucketed.alias("a")
+      .join(bucketed.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("a.__w") * col("b.__w")).as("dot"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val got = CandidatePairs.inBucketPairDots(bucketed, cap = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // doc 1 shares buckets 100 and 200 with docs 2..3? (1,2) share only
+    // bucket 100; sanity: the hot bucket's pairs all present
+    assert(got.size == expected.size && got.nonEmpty)
+  }
+
   test("no CartesianProduct in the guarded candidate plan") {
     val bucketed = (1L to 100L).toDF("id").withColumn("bk", pmod(col("id"), lit(5)))
     val plan = CandidatePairs.inBucketPairs(bucketed, cap = 10)
