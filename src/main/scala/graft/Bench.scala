@@ -55,7 +55,8 @@ object Bench {
     "q136_snapshot_optimize", "q137_dup_spans", "q138_quality_classifier",
     "q139_drop_boilerplate", "q140_phrase_search", "q141_source_report",
     "q142_basket_lift", "q143_tfidf_cosine", "q144_source_overlap",
-    "q145_random_projection", "q146_prototype_prune",
+    "q145_random_projection", "q146_prototype_prune", "q147_label_prop",
+    "q148_dsir_weights", "q149_mmr_select", "q150_rfm_segments",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

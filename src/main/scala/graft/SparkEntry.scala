@@ -102,6 +102,80 @@ object SparkEntry {
       pipeline.BronzeFixtures.ordersBronze(Tables.orders(s, d),
         Tables.lineitem(s, d)))
 
+  /** The q147 label-propagation oracle, generated per round (the
+    * bpeOracleSql convention): each round counts in-neighbor labels and
+    * takes the (count desc, label asc) plurality winner per node —
+    * exactly the operator's max-of-(count, −label)-struct vote.
+    */
+  private def labelPropOracle(rounds: Int): String = {
+    val b = new StringBuilder(
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         l0 AS (SELECT node, node AS lab FROM nodes)""")
+    for (i <- 1 to rounds) {
+      b.append(s""",
+         m$i AS (SELECT e.dst AS node, l.lab, COUNT(*) AS c
+                 FROM e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+         w$i AS (SELECT node, lab, row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, lab) AS rn FROM m$i),
+         l$i AS (SELECT n.node, COALESCE(w.lab, p.lab) AS lab FROM nodes n
+                 LEFT JOIN (SELECT node, lab FROM w$i WHERE rn = 1) w
+                   ON w.node = n.node
+                 JOIN l${i - 1} p ON p.node = n.node)""")
+    }
+    b.append(s"\n         SELECT node, lab AS label FROM l$rounds")
+    b.toString
+  }
+
+  /** The bit-stable cosine between two DuckDB list expressions — the
+    * exact q25/q71 formula, parameterized for generated oracles.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+      / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))
+       * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))))"""
+
+  /** The q149 MMR oracle, one generated stage per selection step: stage i
+    * cross-joins the candidates (picked ids excluded) against the i−1
+    * single-row picks, takes MAX(cosine) as the diversity penalty, and
+    * re-picks by (0.5·rel − 0.5·pen desc, vec_id) — the operator's
+    * greatest-of-cosines + TakeOrdered. (Scalar-subquery GREATEST forms
+    * of the same stages plan catastrophically in DuckDB — the join+MAX
+    * shape is equivalent and linear.)
+    */
+  private def mmrOracleSql(k: Int): String = {
+    val b = new StringBuilder(
+      s"""WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         rel AS MATERIALIZED (SELECT vec_id, embedding AS emb,
+                   ${cosSql("embedding", "(SELECT qe FROM q)")} AS rel
+                 FROM embeddings WHERE vec_id > 0),
+         s1 AS (SELECT vec_id, emb, rel, CAST(NULL AS DOUBLE) AS pen,
+                  0.5 * rel AS mmr
+                FROM rel ORDER BY 0.5 * rel DESC, vec_id LIMIT 1)""")
+    for (i <- 2 to k) {
+      val sel = (1 until i).map(j => s"SELECT vec_id, emb FROM s$j")
+        .mkString(" UNION ALL ")
+      b.append(s""",
+         p$i AS (SELECT r.vec_id, MAX(${cosSql("r.emb", "s.emb")}) AS pen
+                 FROM rel r, ($sel) s
+                 WHERE r.vec_id NOT IN (SELECT vec_id FROM ($sel))
+                 GROUP BY r.vec_id),
+         s$i AS (SELECT r.vec_id, r.emb, r.rel, p.pen,
+                   0.5 * r.rel - 0.5 * p.pen AS mmr
+                 FROM p$i p JOIN rel r ON r.vec_id = p.vec_id
+                 ORDER BY 0.5 * r.rel - 0.5 * p.pen DESC, r.vec_id LIMIT 1)""")
+    }
+    b.append("\n         " + (1 to k).map { i =>
+      val head = if (i == 1) s"SELECT CAST($i AS INTEGER) AS rank, "
+                 else s"UNION ALL SELECT CAST($i AS INTEGER), "
+      head + s"vec_id, rel AS relevance, pen AS penalty, mmr FROM s$i"
+    }.mkString("\n         "))
+    b.toString
+  }
+
   /** The q124 BPE oracle, GENERATED per merge stage (the mortonOracleSql
     * convention: one template, unrolled): each stage counts adjacent
     * symbol pairs weighted by word frequency, picks the (count desc, l,
@@ -1140,6 +1214,33 @@ object SparkEntry {
       Similarity.prototypePrune(Tables.embeddingsSpread(s, d),
         Similarity.centroidsOf(
           Tables.embeddings(s, d).filter(col("vec_id") < 8)))),
+    // 4-round synchronous label propagation over the item co-occurrence
+    // graph (deterministic plurality vote, min-label ties).
+    "q147_label_prop" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      // item label table is dimension-sized → broadcast rounds
+      graft.graphs.LabelProp.run(edges, rounds = 4, broadcastLabels = true)
+    }),
+    // DSIR hashed-unigram importance weights: target = English docs,
+    // add-half-smoothed log-ratio per md5 bucket, exact fixed-point sums.
+    "q148_dsir_weights" -> ((s, d) =>
+      Sampling.dsirWeights(Tables.documentsSpread(s, d), "doc_id", "text",
+        col("lang") === "en")),
+    // MMR diverse top-8 against the vec_id=0 query vector, λ=0.5.
+    "q149_mmr_select" -> ((s, d) => {
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.mmrSelect(
+        Tables.embeddingsSpread(s, d).filter(col("vec_id") > 0), q, k = 8)
+    }),
+    // RFM quintile segmentation of the customer base from orders.
+    "q150_rfm_segments" -> ((s, d) =>
+      Analytics.rfmSegments(Tables.orders(s, d), "o_custkey", "o_orderdate",
+        "o_totalprice")),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
@@ -3289,5 +3390,54 @@ object SparkEntry {
                FROM asg)
          SELECT vec_id, centroid_id, cosine, proto_rank FROM r
          WHERE proto_rank > cnt * 50 // 100""",
+    // q147: generated per-round plurality-vote CTEs (see labelPropOracle).
+    "q147_label_prop" -> labelPropOracle(4),
+    // q148: md5 bucket replay (hash60 contract), smoothed log-ratio
+    // weights quantized once, q84-style exact per-doc sums.
+    "q148_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+             ('0x' || substr(md5('dsir' || u.w), 1, 15))::BIGINT % 1024 AS b
+           FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(ws) u(w)),
+         bc AS (SELECT b, COUNT(*) AS cr,
+                  SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+                FROM t GROUP BY b),
+         tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr,
+                   CAST(SUM(ct) AS BIGINT) AS tt FROM bc),
+         wt AS (SELECT b, CAST(FLOOR(ln(
+                  ((CAST(ct AS DOUBLE) + 0.5)
+                    / ((SELECT CAST(tt AS DOUBLE) FROM tot) + 512.0))
+                  / ((CAST(cr AS DOUBLE) + 0.5)
+                    / ((SELECT CAST(tr AS DOUBLE) FROM tot) + 512.0)))
+                  * 1000000.0) AS BIGINT) AS w
+                FROM bc)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(w) AS BIGINT) AS dsir_fp,
+           (CAST(SUM(w) AS BIGINT) / 1000000.0) / COUNT(*) AS avg_dsir
+         FROM t JOIN wt USING (b) GROUP BY doc_id""",
+    // q149: generated per-step argmax CTEs (see mmrOracleSql).
+    "q149_mmr_select" -> mmrOracleSql(8),
+    // q150: customer-grain rollup, three unique-tiebreak rank windows,
+    // integer-division quintile cut replayed with //.
+    "q150_rfm_segments" ->
+      """WITH c AS (SELECT CAST(o_custkey AS BIGINT) AS custkey,
+             MAX(epoch_us(o_orderdate)) AS recency_us,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+           FROM orders GROUP BY 1),
+         r AS (SELECT *,
+             row_number() OVER (ORDER BY recency_us, custkey) AS rr,
+             row_number() OVER (ORDER BY frequency, custkey) AS rf,
+             row_number() OVER (ORDER BY monetary, custkey) AS rm,
+             COUNT(*) OVER () AS n
+           FROM c)
+         SELECT custkey, recency_us, frequency, monetary,
+           ((rr - 1) * 5) // n + 1 AS r_score,
+           ((rf - 1) * 5) // n + 1 AS f_score,
+           ((rm - 1) * 5) // n + 1 AS m_score,
+           CAST(((rr - 1) * 5) // n + 1 AS VARCHAR)
+             || CAST(((rf - 1) * 5) // n + 1 AS VARCHAR)
+             || CAST(((rm - 1) * 5) // n + 1 AS VARCHAR) AS segment
+         FROM r""",
   )
 }

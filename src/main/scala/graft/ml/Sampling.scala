@@ -205,4 +205,65 @@ object Sampling {
       .withColumn("seq_idx", expr(s"pack_offset div $budget"))
       .withColumn("seq_offset", pmod(col("pack_offset"), lit(budget.toLong)))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much its HASHED unigram profile looks like a target slice of
+    * the corpus rather than the raw distribution. Each token hashes into
+    * one of `buckets` md5 buckets (the [[hashBucket]] cross-engine
+    * recipe); the per-bucket weight is the add-half-smoothed log-ratio
+    *   w(b) = ln( ((ct+0.5)/(Tt+B/2)) / ((cr+0.5)/(Tr+B/2)) )
+    * (ct/cr = target/raw occurrences of bucket b, Tt/Tr the totals), and
+    * a document's score is the sum of its token occurrences' bucket
+    * weights — the paper's log importance weight under a hashed n-gram
+    * bag model. Documents scoring high are the ones importance
+    * resampling keeps (feed `dsir_fp` to [[weightedSample]] /
+    * [[Similarity.topKPerKey]] downstream).
+    *
+    * Cross-engine: each bucket weight is quantized ONCE to
+    * floor(w·10⁶) — a long — so per-document sums are exact,
+    * commutative, and partitioning-independent (the q84 contract); the
+    * division sequence inside ln is written identically in the oracle.
+    *
+    * Scale posture: one token-bucket explode feeds a B-row
+    * map-side-combinable conditional count; totals come from a window
+    * over the BUCKET table (B rows, never the corpus); the scoring join
+    * broadcasts the B-row weight table back onto the token stream. Two
+    * corpus-sized stages total — the explode and the per-doc sum — both
+    * combiner-friendly.
+    *
+    * Output: (doc_id, n_tokens, dsir_fp, avg_dsir).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 1024,
+                  salt: String = "dsir"): DataFrame = {
+    require(buckets >= 2, s"dsirWeights buckets must be >= 2, got $buckets")
+    // Tokenize once; the token table feeds the bucket counts and the
+    // per-doc scoring sum (per-call persist lifecycle).
+    val toks = docs.select(col(idCol).as("doc_id"),
+        targetPred.as("__t"),
+        explode(graft.text.TextDedup.tokens(col(textCol))).as("w"))
+      .select(col("doc_id"), col("__t"),
+        hashBucket(col("w"), salt, buckets).as("__b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byBucket = toks.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
+    val tot = Window.partitionBy(lit(1))
+    val wts = byBucket
+      .withColumn("__tr", sum(col("__cr")).over(tot))
+      .withColumn("__tt", sum(col("__ct")).over(tot))
+      .select(col("__b"),
+        floor(log(((col("__ct").cast("double") + lit(0.5))
+            / (col("__tt").cast("double") + lit(buckets * 0.5)))
+          / ((col("__cr").cast("double") + lit(0.5))
+            / (col("__tr").cast("double") + lit(buckets * 0.5))))
+          * lit(1000000.0)).as("__w"))
+    toks.join(broadcast(wts), Seq("__b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("dsir_fp"))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_fp"),
+        ((col("dsir_fp") / lit(1000000.0)) / col("n_tokens"))
+          .as("avg_dsir"))
+  }
 }

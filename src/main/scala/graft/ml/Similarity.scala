@@ -633,6 +633,80 @@ object Similarity {
         col("__c.comp_fp").as("comp_fp"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick `k` results that are relevant to the query AND
+    * diverse among themselves — step t takes the candidate maximizing
+    *   mmr(d) = λ·cos(q, d) − (1−λ)·max_{s∈S} cos(d, s)
+    * over the already-selected set S (the first pick has no penalty
+    * term). The de-duplicated retrieval shape RAG rerankers and
+    * eval-set builders want where plain top-k returns k near-copies.
+    *
+    * Determinism: relevance and penalty are the bit-stable cosine folds,
+    * λ-blend is one multiply/subtract in a fixed order, and every argmax
+    * breaks ties by min id — so the selection sequence is exactly
+    * replayable (the q149 oracle unrolls the k steps).
+    *
+    * Scale posture: k driver-loop steps; each step is ONE map stage over
+    * the candidate set — relevance is computed once and carried, the
+    * penalty folds over the ≤ k selected vectors shipped as plan
+    * literals (model state, the centroid convention), and the argmax is
+    * a TakeOrdered(1). Nothing pairwise ever shuffles; cost is
+    * O(k · n · d) work in k bounded jobs.
+    *
+    * Output: (rank, vec_id, relevance, penalty, mmr) in selection order,
+    * penalty null on the first pick.
+    */
+  def mmrSelect(corpus: DataFrame, query: Array[Float], k: Int,
+                lambda: Double = 0.5, idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"mmrSelect: k in [1, 1000], got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrSelect: lambda in [0, 1], got $lambda")
+    val spark = corpus.sparkSession
+    // Relevance computed ONCE and persisted: every step re-scans this
+    // (id, emb, rel) table, not the source (per-call cache lifecycle).
+    val scored = corpus.select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).as("__e"),
+        nativeCosine(spark)(col(embCol), typedLit(query)).as("relevance"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val selected = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Array[Float], (Double, Option[Double], Double))]
+    for (step <- 1 to k) {
+      val remaining = selected.map(_._1) match {
+        case ids if ids.isEmpty => scored
+        case ids => scored.filter(!col("vec_id").isInCollection(ids))
+      }
+      val pen = if (selected.isEmpty) lit(null).cast("double")
+      else {
+        val cosines = selected.toSeq.map(s =>
+          nativeCosine(spark)(col("__e"), typedLit(s._2)))
+        // greatest() needs >= 2 args — pad a copy for a 1-element set
+        greatest((if (cosines.size == 1) cosines ++ cosines else cosines): _*)
+      }
+      val mmr = if (selected.isEmpty) lit(lambda) * col("relevance")
+                else lit(lambda) * col("relevance") - lit(1.0 - lambda) * col("__pen")
+      val top = remaining
+        .withColumn("__pen", pen)
+        .withColumn("__mmr", mmr)
+        .orderBy(col("__mmr").desc, col("vec_id"))
+        .select(col("vec_id"), col("__e"), col("relevance"), col("__pen"),
+          col("__mmr"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"mmrSelect: corpus exhausted at step $step (need k=$k)")
+      val r = top.head
+      selected += ((r.getLong(0), r.getSeq[Float](1).toArray,
+        (r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getDouble(4))))
+    }
+    scored.unpersist(blocking = false)
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, _, (rel, p, mmrScore)), i) => (i + 1, id, rel, p, mmrScore) }
+      .toDF("rank", "vec_id", "relevance", "penalty", "mmr")
+  }
+
   /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws": keep the HARD examples): assign each vector to its
     * nearest centroid, rank cluster members most-prototypical-first

@@ -888,4 +888,49 @@ object Analytics {
       .filter(abs(col("z")) >= zMin)
       .select((keys ++ idCols).map(col) :+ col(valueCol) :+ col("z"): _*)
   }
+
+  /** RFM customer segmentation (Hughes 1994; the classic CRM cut): per
+    * customer, Recency (latest order, epoch-µs), Frequency (order
+    * count), Monetary (DECIMAL-exact spend), each ranked into `nBuckets`
+    * equal-count scores 1..nBuckets (n = best: most recent / most
+    * frequent / highest spend), plus the concatenated segment code
+    * ("555" = champions).
+    *
+    * Determinism: every rank orders by (metric, custkey) — a unique
+    * tiebreaker, the standing top-k rule — and the bucket cut is pure
+    * integer arithmetic ((rank−1)·nBuckets div count + 1), so both
+    * engines agree exactly even on tied metrics. Monetary sums go
+    * through DECIMAL(18,2) (bit-stable under any partitioning).
+    *
+    * Scale posture: one aggregation to the CUSTOMER grain, then three
+    * global rank windows over that dimension-sized table — fine wherever
+    * the customer dimension fits a sort (every warehouse); for a
+    * billion-customer table swap row_number for the q62 bucketed
+    * order-statistics machinery. The `count(*) over ()` denominator is a
+    * single scalar window over the same sorted runs.
+    */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+                  amountCol: String, nBuckets: Int = 5): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 100,
+      s"rfmSegments: nBuckets in [2, 100], got $nBuckets")
+    val byCust = orders.groupBy(col(custCol).cast("long").as("custkey"))
+      .agg(max(unix_micros(col(dateCol).cast("timestamp"))).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast("decimal(18,2)")).cast("double").as("monetary"))
+    val wR = Window.orderBy(col("recency_us").asc, col("custkey").asc)
+    val wF = Window.orderBy(col("frequency").asc, col("custkey").asc)
+    val wM = Window.orderBy(col("monetary").asc, col("custkey").asc)
+    byCust
+      .withColumn("__rr", row_number().over(wR).cast("long"))
+      .withColumn("__rf", row_number().over(wF).cast("long"))
+      .withColumn("__rm", row_number().over(wM).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .select(col("custkey"), col("recency_us"), col("frequency"), col("monetary"),
+        expr(s"((__rr - 1) * $nBuckets) div __n + 1").as("r_score"),
+        expr(s"((__rf - 1) * $nBuckets) div __n + 1").as("f_score"),
+        expr(s"((__rm - 1) * $nBuckets) div __n + 1").as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
 }

@@ -234,4 +234,49 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedSample(df, Seq.empty, col("id"), "w", 1, "x-")
     }
   }
+
+  test("dsirWeights: hand-computed log-ratio on known buckets") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "en", "aa aa"), (2L, "en", "bb"), (3L, "de", "aa cc"))
+      .toDF("doc_id", "lang", "text")
+    val b = 8
+    // resolve each token's bucket with the same md5 recipe
+    val bucketOf = Seq("aa", "bb", "cc").toDF("w")
+      .select(col("w"), Sampling.hashBucket(col("w"), "dsir-spec", b).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = b, salt = "dsir-spec")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // token stream: aa aa (en), bb (en), aa cc (de) → per-bucket counts
+    val all = Seq("aa" -> true, "aa" -> true, "bb" -> true,
+      "aa" -> false, "cc" -> false)
+    val cr = all.groupBy(t => bucketOf(t._1)).view.mapValues(_.size.toLong).toMap
+    val ct = all.filter(_._2).groupBy(t => bucketOf(t._1))
+      .view.mapValues(_.size.toLong).toMap
+    val (tr, tt) = (5.0, 3.0)
+    def w(tok: String): Long = {
+      val bk = bucketOf(tok)
+      val ratio = ((ct.getOrElse(bk, 0L) + 0.5) / (tt + b * 0.5)) /
+        ((cr(bk) + 0.5) / (tr + b * 0.5))
+      math.floor(math.log(ratio) * 1000000.0).toLong
+    }
+    val exp1 = w("aa") + w("aa")
+    assert(got(1L) == ((2L, exp1, exp1 / 1000000.0 / 2)))
+    assert(got(2L)._2 == w("bb"))
+    assert(got(3L)._2 == w("aa") + w("cc"))
+  }
+
+  test("dsirWeights: all-target predicate gives identically zero weights") {
+    val s = spark; import s.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(50)
+    val got = Sampling.dsirWeights(docs, "doc_id", "text", lit(true))
+      .collect()
+    assert(got.nonEmpty)
+    // ct = cr and Tt = Tr bucket-for-bucket → every ratio is exactly 1,
+    // ln → 0, floor → 0
+    assert(got.forall(_.getLong(2) == 0L))
+    spark.catalog.clearCache()
+  }
 }

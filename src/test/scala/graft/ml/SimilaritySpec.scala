@@ -380,6 +380,40 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("mmrSelect: diversity beats a redundant near-dup; λ=1 degenerates to top-k") {
+    val s = spark; import s.implicits._
+    // query deliberately OFF every corpus direction: if the query were
+    // colinear with the top pick, every candidate's penalty would equal
+    // its relevance and all MMR scores degenerate to exactly 0
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),   // rel ≈ .994
+      (2L, Array(0.9f, 0.11f, 0f, 0f)),  // near-dup of 1 (cos ≈ .99995)
+      (3L, Array(0.6f, -0.6f, 0f, 0f)),  // diverse, rel ≈ .707
+      (4L, Array(0f, 1f, 0f, 0f)))       // orthogonal to the query
+      .toDF("vec_id", "embedding")
+    val q = Array(1f, 0f, 0f, 0f)
+    val order = Similarity.mmrSelect(corpus, q, k = 3, lambda = 0.5)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    // 1 first (max rel); then 3 (2's penalty vs 1 crushes it); then 2
+    // (−0.004 still beats 4's −0.055)
+    assert(order == Seq(1L, 3L, 2L), s"order=$order")
+    val first = Similarity.mmrSelect(corpus, q, k = 1, lambda = 0.5).head()
+    assert(first.isNullAt(3), "first pick has no penalty")
+    assert(first.getDouble(4) == 0.5 * first.getDouble(2))
+    // λ=1: pure relevance ranking with id tiebreaks
+    val rel = Similarity.mmrSelect(corpus, q, k = 4, lambda = 1.0)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    val expected = corpus.select(col("vec_id"),
+        Similarity.cosine(col("embedding"), typedLit(q)).as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rel == expected, s"λ=1 selection $rel != relevance order $expected")
+    // corpus smaller than k refuses loudly
+    intercept[IllegalArgumentException](
+      Similarity.mmrSelect(corpus, q, k = 5))
+    spark.catalog.clearCache()
+  }
+
   test("prototypePrune: rank cut keeps the hard tail, integer-division law") {
     val s = spark; import s.implicits._
     // One dominant centroid; cosines strictly ordered by construction.

@@ -509,4 +509,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Set((10L, 20L, 3L, 3L, 3L,
       math.floor(3.0 * 4.0 * 1e6 / 9.0).toLong)), s"got $got")
   }
+
+  test("rfmSegments: hand-computed quintiles with unique-tiebreak ranks") {
+    val s = spark; import s.implicits._
+    // 5 customers, one order each except cust 1 (two orders): strictly
+    // ordered metrics → each lands in its own quintile; monetary tie
+    // between 4 and 5 resolves by custkey.
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val orders = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 100.0),
+      (1L, ts("2024-01-20 00:00:00"), 50.0),
+      (2L, ts("2024-01-02 00:00:00"), 400.0),
+      (3L, ts("2024-01-03 00:00:00"), 300.0),
+      (4L, ts("2024-01-04 00:00:00"), 200.0),
+      (5L, ts("2024-01-05 00:00:00"), 200.0))
+      .toDF("cust", "dt", "amt")
+    val got = Analytics.rfmSegments(orders, "cust", "dt", "amt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toMap
+    // recency asc: 2,3,4,5,1 → r_scores 1,2,3,4,5 (cust1 most recent)
+    // frequency asc: (1-each: 2,3,4,5 by custkey), then cust1 → f: cust1=5
+    // monetary asc: 1(150),4(200),5(200 ties, custkey),3(300),2(400)
+    assert(got(1L)._4 == 5 && got(2L)._4 == 1 && got(1L)._7.startsWith("55"))
+    assert(got(1L)._5 == 5) // only multi-order customer tops frequency
+    assert(Seq(got(2L)._5, got(3L)._5, got(4L)._5, got(5L)._5).sorted ==
+      Seq(1L, 2L, 3L, 4L)) // custkey tiebreak on all-tied frequency
+    assert(got(1L)._6 == 1 && got(4L)._6 == 2 && got(5L)._6 == 3 &&
+      got(3L)._6 == 4 && got(2L)._6 == 5)
+    assert(got(1L)._3 == 150.0 && got(1L)._2 == 2)
+    assert(got(2L)._7 == "115") // oldest order, one order, highest spend
+  }
 }
