@@ -1241,6 +1241,11 @@ object SparkEntry {
     "q150_rfm_segments" -> ((s, d) =>
       Analytics.rfmSegments(Tables.orders(s, d), "o_custkey", "o_orderdate",
         "o_totalprice")),
+    // Tokenizer-aware per-doc token counts: the q124 BPE merges applied,
+    // each word occurrence charged its subword count.
+    "q151_bpe_token_counts" -> ((s, d) =>
+      TextStats.bpeTokenCounts(Tables.documentsSpread(s, d), "doc_id",
+        "text", 3)),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
@@ -3439,5 +3444,14 @@ object SparkEntry {
              || CAST(((rf - 1) * 5) // n + 1 AS VARCHAR)
              || CAST(((rm - 1) * 5) // n + 1 AS VARCHAR) AS segment
          FROM r""",
+    // q151: the q124 generated merge stages, final symbol lengths joined
+    // back onto the per-document word stream.
+    "q151_bpe_token_counts" -> bpeOracleSql(3, Some(
+      """, dt AS (SELECT doc_id, u.w FROM (
+             SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             UNNEST(ws) u(w) WHERE length(u.w) > 0)
+         SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(len(sym)) AS BIGINT) AS n_bpe_tokens
+         FROM dt JOIN s3 ON s3.w = dt.w GROUP BY doc_id""")),
   )
 }

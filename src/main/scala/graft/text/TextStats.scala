@@ -431,6 +431,36 @@ object TextStats {
     out
   }
 
+  /** Per-document token counts under the TRAINED tokenizer —
+    * [[bpeVocab]]'s document-grain sibling and the number that actually
+    * prices a document into a training run: context-window budgeting,
+    * token-budget mixing (q98) and billing all count TOKENIZER tokens,
+    * which whitespace counts (q48) systematically underestimate for
+    * morphology-rich or noisy text. Runs the shared merge loop, then
+    * charges each word occurrence its final symbol-array length.
+    *
+    * Scale posture: the per-word subword lengths are a VOCABULARY-sized
+    * table (broadcast-friendly build side), so the document pass is one
+    * explode + broadcast join + map-side-combinable agg; the merge loop
+    * cost is [[bpeTrain]]'s (per merge ∝ vocabulary, independent of
+    * corpus rows). Same final-symbol-table cache lifecycle note as
+    * [[bpeVocab]].
+    *
+    * Output: (doc_id, n_words, n_bpe_tokens) — empty-token docs carry no
+    * words and drop out, the q48 convention.
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     numMerges: Int): DataFrame = {
+    val (_, sym) = bpeLoop(docs, textCol, numMerges)
+    val lens = sym.select(col("w"), size(col("sym")).cast("long").as("__n"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextDedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(lens), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_bpe_tokens"))
+  }
+
   /** Shared BPE merge loop: returns the ordered merges and the FINAL
     * persisted symbol table (w, f, sym). Callers own the unpersist.
     */

@@ -321,4 +321,32 @@ class TextStatsSpec extends SparkSpec {
     assert(got == Map("00_start" -> 4L, "10_exact_dedup" -> 3L,
       "20_lang" -> 2L, "30_min_tokens" -> 1L), s"got $got")
   }
+
+  test("bpeTokenCounts: hand-traced merge charges each word its subword count") {
+    val s2 = spark; import s2.implicits._
+    // word freqs: ab×3, cd×1 → the single merge is (a,b) (count 3), so
+    // "ab" becomes ONE symbol and "cd" stays two.
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextStats.bpeTokenCounts(docs, "doc_id", "text", numMerges = 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((3L, 4L)), 2L -> ((1L, 1L))), s"got $got")
+    spark.catalog.clearCache()
+  }
+
+  test("bpeTokenCounts: bounded by chars, at least the word count") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(40)
+    val rows = TextStats.bpeTokenCounts(docs, "doc_id", "text", numMerges = 2)
+      .join(docs.selectExpr("doc_id",
+        "size(filter(split(text, ' '), w -> length(w) > 0)) AS nw",
+        "length(replace(text, ' ', '')) AS nc"), Seq("doc_id"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, nBpe) = (r.getLong(1), r.getLong(2))
+      assert(nBpe >= nWords && nBpe <= r.getAs[Int]("nc").toLong,
+        s"doc ${r.getLong(0)}: words=$nWords bpe=$nBpe chars=${r.getAs[Int]("nc")}")
+      assert(nWords == r.getAs[Int]("nw").toLong)
+    }
+    spark.catalog.clearCache()
+  }
 }
