@@ -124,6 +124,40 @@ class ScaleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("tfidf cosine growth law: candidate pair keys scale exactly x4 on disjoint copies") {
+    val k = 4
+    val d1 = docsAt(1); val d4 = docsAt(k)
+    // Suffixed tokens make cross-copy 3-grams impossible, and with idf=0
+    // terms dropped every surviving weight is > 0, so threshold 0 emits
+    // exactly the candidate pair set — which must be per-copy isomorphic.
+    // (Thresholded SCORES legitimately drift with k: idf = ln(kN/df)
+    // re-weights every term, so the law is on pair keys, not scores.)
+    val t1 = graft.text.SparseSim.tfidfCosinePairs(d1, "doc_id", "text",
+      threshold = 0.0).count()
+    val t4 = graft.text.SparseSim.tfidfCosinePairs(d4, "doc_id", "text",
+      threshold = 0.0).count()
+    assert(t4 == k * t1, s"tfidf pairs: expected ${k * t1}, got $t4 (t1=$t1)")
+    spark.catalog.clearCache()
+  }
+
+  test("label propagation growth law: copies converge to offset-replicated labels") {
+    val k = 3
+    val e1 = ScaledFixtures.scaledEdges(spark, sfDir, 1, s"$tmpBase/lp-edges1")
+    val ek = ScaledFixtures.scaledEdges(spark, sfDir, k, s"$tmpBase/lp-edges$k")
+    val base = graft.graphs.LabelProp.run(e1, rounds = 3, broadcastLabels = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val grown = graft.graphs.LabelProp.run(ek, rounds = 3, broadcastLabels = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(grown.length == k * base.size)
+    // votes never cross disjoint components, so copy cp's labels are the
+    // base labels shifted by its id offset — bit-for-bit
+    grown.foreach { case (node, lab) =>
+      val off = (node / 10000000L) * 10000000L
+      assert(lab == base(node - off) + off, s"node $node lab $lab off $off")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("no plan degradation at 20x: no cartesian product, no global sort") {
     val d20 = docsAt(20)
     val e20 = ScaledFixtures.scaledEmbeddings(spark, sfDir, 20, s"$tmpBase/emb20")
@@ -133,7 +167,9 @@ class ScaleSpec extends SparkSpec {
       "prefix-jaccard" -> TextDedup.jaccardNearDupPairsPrefix(
         d20, "doc_id", "text", shingleN = 2, threshold = 0.5),
       "fuzzy" -> graft.text.Fuzzy.editDistancePairs(n20, "c_custkey", "c_name"),
-      "embedding-canonical" -> graft.ml.Similarity.keepCanonical(e20, 0.3))
+      "embedding-canonical" -> graft.ml.Similarity.keepCanonical(e20, 0.3),
+      "tfidf-cosine" -> graft.text.SparseSim.tfidfCosinePairs(
+        d20, "doc_id", "text"))
     plans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
