@@ -1246,6 +1246,14 @@ object SparkEntry {
     "q151_bpe_token_counts" -> ((s, d) =>
       TextStats.bpeTokenCounts(Tables.documentsSpread(s, d), "doc_id",
         "text", 3)),
+    // Quality-policy canonical selection over the shared simhash pair
+    // graph: keep each cluster's LONGEST member (token count, min-id
+    // ties) instead of q95's min id.
+    "q152_quality_canonical" -> ((s, d) =>
+      TextDedup.keepCanonicalBy(Tables.documentsSpread(s, d), "doc_id",
+          size(TextDedup.tokens(col("text"))).cast("long"),
+          pairs = simhashPairs(s, d))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
@@ -3453,5 +3461,20 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_words,
            CAST(SUM(len(sym)) AS BIGINT) AS n_bpe_tokens
          FROM dt JOIN s3 ON s3.w = dt.w GROUP BY doc_id""")),
+    // q152: the q95 component CTEs, winner re-picked by (token count
+    // desc, node asc) instead of min id.
+    "q152_quality_canonical" -> (simhashComponentsCte + """,
+         comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+         sc AS (SELECT c.node, c.component,
+                  len(string_split(d.text, ' ')) AS s
+                FROM comp c JOIN documents d ON d.doc_id = c.node),
+         win AS (SELECT component, node FROM (
+             SELECT *, row_number() OVER (PARTITION BY component
+               ORDER BY s DESC, node) AS rn FROM sc) WHERE rn = 1),
+         losers AS (SELECT node FROM comp
+                    WHERE node NOT IN (SELECT node FROM win))
+         SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         LEFT JOIN losers l ON d.doc_id = l.node
+         WHERE l.node IS NULL"""),
   )
 }

@@ -594,6 +594,36 @@ object TextDedup {
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
   }
 
+  /** [[keepCanonical]] with an explicit QUALITY policy: per near-dup
+    * cluster keep the member maximizing `score` (min id on ties), not
+    * the min id — the curation-grade choice (RefinedWeb keeps the
+    * longest/cleanest copy; min-id is only canonical-by-accident).
+    * `score` is any deterministic numeric column over `docs` (token
+    * count, q30 quality, a q138 classifier margin).
+    *
+    * Plan shape: the component fixpoint runs on the PAIR GRAPH only (the
+    * [[keepCanonical]] argument); scores join onto the component node
+    * set — near-dup-sized, not corpus-sized; the per-cluster argmax is
+    * one map-side-combinable max-of-struct agg; survivors come back via
+    * LEFT ANTI on the loser ids.
+    */
+  def keepCanonicalBy(docs: DataFrame, idCol: String, score: Column,
+                      pairs: DataFrame): DataFrame = {
+    val comps = graft.graphs.ConnectedComponents.run(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val scored = comps.join(
+      docs.select(col(idCol).cast("long").as("node"), score.as("__s")),
+      Seq("node"))
+    // argmax(score, min id): max of (score, -node) structs — lexicographic
+    val winners = scored.groupBy(col("component"))
+      .agg(max(struct(col("__s").as("s"), (-col("node")).as("nn"))).as("__b"))
+      .select((-col("__b.nn")).as("node"))
+    val losers = comps.select(col("node"))
+      .join(winners, Seq("node"), "left_anti")
+      .select(col("node").as("__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Paragraph-level dedup (C4/RefinedWeb-style): split every document
     * into consecutive `chunkTokens`-word chunks (the "paragraphs" of a
     * flat word-stream corpus), drop every chunk whose exact text already

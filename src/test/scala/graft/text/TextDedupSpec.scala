@@ -395,4 +395,23 @@ class TextDedupSpec extends SparkSpec {
       (4L, "m1 m2 m3", 1L, 1L),
       (5L, "", 1L, 0L)), s"got $got")
   }
+
+  test("keepCanonicalBy: quality winner per cluster, min-id ties, singletons kept") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b c d"), (3L, "a b c"), // cluster, 2 longest
+      (5L, "x y"), (6L, "x y"),                    // cluster, tied → 5
+      (9L, "solo doc")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = TextDedup.keepCanonicalBy(docs, "doc_id",
+        size(TextDedup.tokens(col("text"))).cast("long"), pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 5L, 9L), s"kept $kept")
+    // same graph under the min-id policy keeps 1 — the policies differ
+    // exactly on the quality pick
+    val minId = TextDedup.keepCanonical(docs, "doc_id", "text",
+        pairs = Some(pairs))
+      .collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 5L, 9L), s"minId $minId")
+  }
 }
