@@ -78,6 +78,13 @@ object ScaleProbe {
       },
       "pagerank" -> { k =>
         graft.graphs.PageRank.run(edges(k), iterations = 3)
+      },
+      "tfidf_cosine" -> { k =>
+        graft.text.SparseSim.tfidfCosinePairs(docs(k), "doc_id", "text")
+      },
+      "label_prop" -> { k =>
+        graft.graphs.LabelProp.run(edges(k), rounds = 3,
+          broadcastLabels = true)
       })
 
     val results = ops.map { case (name, build) =>
