@@ -57,7 +57,7 @@ object Bench {
     "q142_basket_lift", "q143_tfidf_cosine", "q144_source_overlap",
     "q145_random_projection", "q146_prototype_prune", "q147_label_prop",
     "q148_dsir_weights", "q149_mmr_select", "q150_rfm_segments",
-    "q151_bpe_token_counts", "q152_quality_canonical",
+    "q151_bpe_token_counts", "q152_quality_canonical", "q153_cdc_chunks",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

@@ -1254,6 +1254,10 @@ object SparkEntry {
           size(TextDedup.tokens(col("text"))).cast("long"),
           pairs = simhashPairs(s, d))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // Content-defined chunking: md5 rolling boundaries (expected chunk
+    // ~8 tokens), shift-stable chunk hashes for downstream dedup.
+    "q153_cdc_chunks" -> ((s, d) =>
+      TextStats.cdcChunks(Tables.documentsSpread(s, d), "doc_id", "text")),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
@@ -3476,5 +3480,30 @@ object SparkEntry {
          SELECT d.doc_id, d.lang, d.n_chars FROM documents d
          LEFT JOIN losers l ON d.doc_id = l.node
          WHERE l.node IS NULL"""),
+    // q153: boundary = md5-hash60(3-gram at i) % 8 = 0 for i in [2, t-2]
+    // (the hash60 parity recipe), chunk bounds from the starts list,
+    // text/hash replayed per chunk.
+    "q153_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         b AS (SELECT doc_id, w, len(w) AS t FROM d),
+         bp AS (SELECT doc_id, w, t,
+             list_prepend(CAST(1 AS BIGINT), CASE WHEN t >= 4 THEN
+               list_filter(range(2, t - 1), i ->
+                 ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                   % 8 = 0)
+               ELSE CAST([] AS BIGINT[]) END) AS s
+           FROM b),
+         c AS (SELECT doc_id, w, t, s, CAST(u.j AS INTEGER) AS chunk_idx
+               FROM bp, UNNEST(range(1, len(s) + 1)) u(j)),
+         r AS (SELECT doc_id, chunk_idx, s[chunk_idx] AS chunk_start,
+                 CASE WHEN chunk_idx < len(s) THEN s[chunk_idx + 1] - 1
+                      ELSE t END AS e,
+                 w FROM c)
+         SELECT doc_id, chunk_idx, chunk_start,
+           e - chunk_start + 1 AS n_chunk_tokens,
+           array_to_string(w[chunk_start:e], ' ') AS chunk_text,
+           ('0x' || substr(md5(array_to_string(w[chunk_start:e], ' ')), 1, 15))::BIGINT
+             AS chunk_hash
+         FROM r""",
   )
 }

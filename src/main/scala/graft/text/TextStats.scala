@@ -696,6 +696,62 @@ object TextStats {
           .as("chunk_text"))
   }
 
+  /** Content-defined chunking (the rolling-boundary CDC family of
+    * LBFS/restic/borg, on token streams): a chunk boundary opens before
+    * token i wherever the n-gram starting at i hashes to
+    * 0 mod `divisor` — so boundaries are a pure function of LOCAL
+    * content, and an insertion early in a document shifts only the
+    * chunks it touches (fixed-size chunking [[chunkTokens]] re-frames
+    * everything downstream, breaking chunk-hash dedup). Expected chunk
+    * length ≈ `divisor` tokens.
+    *
+    * Fully ROW-LOCAL: boundary detection, chunk bounds, text and hash
+    * are array expressions inside one map stage — zero exchanges,
+    * codegen'd built-ins, the [[chunkTokens]] posture. The md5-derived
+    * boundary hash and the chunk hash both use the cross-engine hash60
+    * recipe, so the q153 oracle replays every boundary bit-for-bit.
+    *
+    * Output: (doc_id, chunk_idx [1-based], chunk_start [1-based token],
+    * n_chunk_tokens, chunk_text, chunk_hash) — chunk_hash is the
+    * dedup key downstream (CDC's whole point: stable under shifts).
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                ngramN: Int = 3, divisor: Int = 8): DataFrame = {
+    require(ngramN >= 1, s"cdcChunks ngramN must be >= 1: $ngramN")
+    require(divisor >= 2, s"cdcChunks divisor must be >= 2: $divisor")
+    val staged = docs
+      .select(col(idCol).as("doc_id"), TextDedup.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), col("__w"), size(col("__w")).as("__t"))
+    // Chunk starts: position 1 plus every boundary position in
+    // [2, T-n+1] whose n-gram hash divides. The sequence() is guarded
+    // (sequence(2, 0) would be DESCENDING, the bigramLogProb lesson).
+    val starts = concat(
+      array(lit(1)),
+      when(col("__t") >= ngramN + 1,
+        filter(sequence(lit(2), col("__t") - (ngramN - 1)),
+          i => conv(substring(md5(
+              concat_ws(" ", slice(col("__w"), i, lit(ngramN)))), 1, 15),
+            16, 10).cast("long") % divisor === 0))
+        .otherwise(array().cast("array<int>")))
+    staged
+      .select(col("doc_id"), col("__w"), col("__t"), starts.as("__s"))
+      .select(col("doc_id"), col("__w"), col("__t"), col("__s"),
+        posexplode(col("__s")))
+      .select(col("doc_id"),
+        (col("pos") + 1).as("chunk_idx"),
+        col("col").as("chunk_start"),
+        when(col("pos") + 2 <= size(col("__s")),
+          element_at(col("__s"), (col("pos") + 2).cast("int")) - 1)
+          .otherwise(col("__t")).as("__end"),
+        col("__w"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        (col("__end") - col("chunk_start") + 1).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__w"), col("chunk_start"),
+          col("__end") - col("chunk_start") + 1)).as("chunk_text"))
+      .withColumn("chunk_hash",
+        conv(substring(md5(col("chunk_text")), 1, 15), 16, 10).cast("long"))
+  }
+
   /** Positional inverted index: one posting row per token OCCURRENCE —
     * (token, doc_id, pos) with pos 1-based. The materialized search
     * index shape: built once, probed by many [[phraseSearch]] queries

@@ -322,6 +322,60 @@ class TextStatsSpec extends SparkSpec {
       "20_lang" -> 2L, "30_min_tokens" -> 1L), s"got $got")
   }
 
+  test("cdcChunks: lossless reconstruction, boundary-rule completeness") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(60)
+    val chunks = TextStats.cdcChunks(docs, "doc_id", "text")
+    // (1) chunks reassemble the document exactly, in chunk_idx order
+    val rebuilt = chunks
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("chunk_idx"),
+        col("chunk_text")))).getField("chunk_text")).as("rebuilt"))
+    val mismatch = docs.select(col("doc_id"), col("text"))
+      .join(rebuilt, "doc_id")
+      .filter(col("text") =!= col("rebuilt")).count()
+    assert(mismatch == 0)
+    // (2) interior chunk starts are EXACTLY the divides-by-8 positions,
+    // recomputed independently (explode positions, test each)
+    val expected = docs.select(col("doc_id"), TextDedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("t"))
+      .select(col("doc_id"), col("w"), col("t"),
+        explode(sequence(lit(2), greatest(lit(1), col("t") - 2))).as("i"))
+      .filter(col("i") >= 2 && col("i") <= col("t") - 2)
+      .filter(conv(substring(md5(concat_ws(" ",
+        slice(col("w"), col("i"), lit(3)))), 1, 15), 16, 10)
+        .cast("long") % 8 === 0)
+      .select(col("doc_id"), col("i").as("chunk_start"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val gotStarts = chunks.filter(col("chunk_idx") >= 2)
+      .select(col("doc_id"), col("chunk_start"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotStarts == expected,
+      s"extra=${gotStarts -- expected} missing=${expected -- gotStarts}")
+  }
+
+  test("cdcChunks: chunk hashes are shift-stable past the first boundary") {
+    val s2 = spark; import s2.implicits._
+    // pick a real doc with at least 3 chunks, then prepend one token
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .orderBy("doc_id").limit(30)
+    val counts = TextStats.cdcChunks(base, "doc_id", "text")
+      .groupBy("doc_id").count().filter(col("count") >= 3)
+      .orderBy("doc_id").limit(1).collect()
+    assert(counts.nonEmpty, "fixture has no multi-chunk doc")
+    val id = counts.head.getLong(0)
+    val text = base.filter(col("doc_id") === id).head.getAs[String]("text")
+    val both = Seq((1L, text), (2L, "SHIFTED " + text)).toDF("doc_id", "text")
+    val ch = TextStats.cdcChunks(both, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(5)))
+    val origHashes = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val shiftHashes = ch.filter(_._1 == 2L).map(_._3).toSet
+    // every original chunk except (possibly) the first must reappear
+    // verbatim in the shifted document — the CDC contract fixed-size
+    // chunking cannot give
+    origHashes.drop(1).foreach(h =>
+      assert(shiftHashes.contains(h), s"chunk hash $h lost after shift"))
+  }
+
   test("bpeTokenCounts: hand-traced merge charges each word its subword count") {
     val s2 = spark; import s2.implicits._
     // word freqs: ab×3, cd×1 → the single merge is (a,b) (count 3), so
