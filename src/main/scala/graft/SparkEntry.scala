@@ -1181,9 +1181,13 @@ object SparkEntry {
     // semi joins — the probe moves df(word)-sized slices, never the
     // corpus.
     "q140_phrase_search" -> ((s, d) =>
+      // the postings index is read once PER PHRASE WORD inside one plan
+      // (the jaccardShingles 3x-in-one-plan rule) — persist per call so
+      // the tokenize+posexplode pass runs once, not three times
       TextStats.phraseSearch(
         TextStats.positionalPostings(Tables.documentsSpread(s, d),
-          "doc_id", "text"),
+            "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         Seq("data", "table", "scan"))),
     // Per-source curation report: corpus-wide exact-dup keeper window,
     // then doc/dup/lang/token rollups per source — the domain-level

@@ -671,6 +671,9 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val selected = scala.collection.mutable
       .ArrayBuffer.empty[(Long, Array[Float], (Double, Option[Double], Double))]
+    // try/finally: the k-exhaustion require (and any collect failure)
+    // must not strand the persisted relevance table in the CacheManager.
+    try {
     for (step <- 1 to k) {
       val remaining = selected.map(_._1) match {
         case ids if ids.isEmpty => scored
@@ -700,7 +703,7 @@ object Similarity {
           if (r.isNullAt(3)) None else Some(r.getDouble(3)),
           r.getDouble(4))))
     }
-    scored.unpersist(blocking = false)
+    } finally scored.unpersist(blocking = false)
     import spark.implicits._
     selected.toSeq.zipWithIndex
       .map { case ((id, _, (rel, p, mmrScore)), i) => (i + 1, id, rel, p, mmrScore) }

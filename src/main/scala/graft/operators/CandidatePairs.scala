@@ -64,7 +64,7 @@ object CandidatePairs {
     * by ~2·`cap` bucket members regardless of bucket skew.
     */
   def inBucketPairs(bucketed: DataFrame, cap: Int = 2048): DataFrame =
-    rawPairs(bucketed, cap).distinct()
+    rawPairs(bucketed.select(col("id"), col("bk")), cap).distinct()
 
   /** In-bucket pairs WITH bucket multiplicity: (id_a, id_b, n_shared)
     * where n_shared = number of buckets both members share. Because an
@@ -77,7 +77,7 @@ object CandidatePairs {
     * so the quadratic pair stream collapses before the final shuffle.
     */
   def inBucketPairCounts(bucketed: DataFrame, cap: Int = 2048): DataFrame =
-    rawPairs(bucketed, cap)
+    rawPairs(bucketed.select(col("id"), col("bk")), cap)
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
 
   /** Weighted sibling of [[inBucketPairCounts]] — the posting-list DOT
@@ -92,20 +92,14 @@ object CandidatePairs {
     * the final shuffle exactly as in the unweighted count. Weights must
     * be pre-quantized longs (the cross-engine fixed-point contract: a
     * long sum is exact and partition-order-independent where a double
-    * sum is neither).
+    * sum is neither). Shares [[rawPairs]]' cell-coverage logic — the
+    * weighted and unweighted paths cannot diverge.
     */
-  def inBucketPairDots(bucketed: DataFrame, cap: Int = 2048): DataFrame = {
-    val (a, b) = roleSides(bucketed.select(col("id"), col("bk"), col("__w")), cap)
-    a.join(
-        b.withColumnRenamed("id", "__idb").withColumnRenamed("__w", "__wb"),
-        Seq("bk", "__p", "__q"))
-      .filter(col("__p") =!= col("__q") || col("id") < col("__idb"))
-      .select(least(col("id"), col("__idb")).as("id_a"),
-              greatest(col("id"), col("__idb")).as("id_b"),
-              (col("__w") * col("__wb")).as("__prod"))
+  def inBucketPairDots(bucketed: DataFrame, cap: Int = 2048): DataFrame =
+    rawPairs(bucketed.select(col("id"), col("bk"), col("__w")), cap)
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"), sum(col("__prod")).as("dot"))
-  }
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("__w") * col("__wb")).as("dot"))
 
   /** Bipartite in-bucket pairs — the incremental-ingest / query-vs-corpus
     * shape: every (big-side member, small-side member) pair sharing a
@@ -156,13 +150,23 @@ object CandidatePairs {
   }
 
   /** One row per (unordered pair, shared bucket) — exactly one cell emits
-    * a given pair for a given bucket.
+    * a given pair for a given bucket. Payload columns on the input ride
+    * through as (`p`, `__pb`) for the pair's two members in UNSPECIFIED
+    * member order (the canonical id_a/id_b ordering is applied to ids
+    * only) — callers must combine payloads commutatively (products,
+    * sums), which is what every weighted consumer needs.
     */
   private def rawPairs(bucketed: DataFrame, cap: Int): DataFrame = {
+    val payload = bucketed.columns.filterNot(Set("bk", "id")).toSeq
     val (a, b) = roleSides(bucketed, cap)
-    a.join(b.withColumnRenamed("id", "__idb"), Seq("bk", "__p", "__q"))
+    val bRen = payload.foldLeft(b.withColumnRenamed("id", "__idb")) {
+      (df, p) => df.withColumnRenamed(p, s"__${p.stripPrefix("__")}b")
+    }
+    a.join(bRen, Seq("bk", "__p", "__q"))
       .filter(col("__p") =!= col("__q") || col("id") < col("__idb"))
-      .select(least(col("id"), col("__idb")).as("id_a"),
-              greatest(col("id"), col("__idb")).as("id_b"))
+      .select(Seq(least(col("id"), col("__idb")).as("id_a"),
+              greatest(col("id"), col("__idb")).as("id_b")) ++
+        payload.flatMap(p =>
+          Seq(col(p), col(s"__${p.stripPrefix("__")}b"))): _*)
   }
 }
