@@ -176,6 +176,33 @@ object SparkEntry {
     b.toString
   }
 
+  /** The q153 CDC chunk table in SQL — boundary rule, bounds, text and
+    * hash — ending in a `chunks` CTE; q153 selects it, q154 rolls a
+    * keep-first dedup over it.
+    */
+  private val cdcChunksCte: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         b AS (SELECT doc_id, w, len(w) AS t FROM d),
+         bp AS (SELECT doc_id, w, t,
+             list_prepend(CAST(1 AS BIGINT), CASE WHEN t >= 4 THEN
+               list_filter(range(2, t - 1), i ->
+                 ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                   % 8 = 0)
+               ELSE CAST([] AS BIGINT[]) END) AS s
+           FROM b),
+         c AS (SELECT doc_id, w, t, s, CAST(u.j AS INTEGER) AS chunk_idx
+               FROM bp, UNNEST(range(1, len(s) + 1)) u(j)),
+         r AS (SELECT doc_id, chunk_idx, s[chunk_idx] AS chunk_start,
+                 CASE WHEN chunk_idx < len(s) THEN s[chunk_idx + 1] - 1
+                      ELSE t END AS e,
+                 w FROM c),
+         chunks AS (SELECT doc_id, chunk_idx, chunk_start,
+                 e - chunk_start + 1 AS n_chunk_tokens,
+                 array_to_string(w[chunk_start:e], ' ') AS chunk_text,
+                 ('0x' || substr(md5(array_to_string(w[chunk_start:e], ' ')), 1, 15))::BIGINT
+                   AS chunk_hash
+               FROM r)"""
+
   /** The q124 BPE oracle, GENERATED per merge stage (the mortonOracleSql
     * convention: one template, unrolled): each stage counts adjacent
     * symbol pairs weighted by word frequency, picks the (count desc, l,
@@ -1262,6 +1289,21 @@ object SparkEntry {
     // ~8 tokens), shift-stable chunk hashes for downstream dedup.
     "q153_cdc_chunks" -> ((s, d) =>
       TextStats.cdcChunks(Tables.documentsSpread(s, d), "doc_id", "text")),
+    // CDC dedup report: corpus keep-first on chunk hashes, per-doc
+    // duplicated-token mass.
+    "q154_cdc_dedup" -> ((s, d) =>
+      TextStats.cdcDedupReport(Tables.documentsSpread(s, d), "doc_id", "text")),
+    // Zipf exponent per source: exact fixed-point OLS on the log-log
+    // rank/frequency line (corpus health check).
+    "q155_zipf_slope" -> ((s, d) =>
+      TextStats.zipfSlope(Tables.documentsSpread(s, d), "source", "text")),
+    // Daily trend slopes (cents/day) per event type via the same exact
+    // OLS primitive.
+    "q156_trend_slopes" -> ((s, d) =>
+      Analytics.trendSlopes(
+        Tables.events(s, d).select(col("event_type"), col("event_ts_us"),
+          col("value")),
+        "event_type", "event_ts_us", "value")),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
@@ -3487,27 +3529,71 @@ object SparkEntry {
     // q153: boundary = md5-hash60(3-gram at i) % 8 = 0 for i in [2, t-2]
     // (the hash60 parity recipe), chunk bounds from the starts list,
     // text/hash replayed per chunk.
-    "q153_cdc_chunks" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         b AS (SELECT doc_id, w, len(w) AS t FROM d),
-         bp AS (SELECT doc_id, w, t,
-             list_prepend(CAST(1 AS BIGINT), CASE WHEN t >= 4 THEN
-               list_filter(range(2, t - 1), i ->
-                 ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
-                   % 8 = 0)
-               ELSE CAST([] AS BIGINT[]) END) AS s
-           FROM b),
-         c AS (SELECT doc_id, w, t, s, CAST(u.j AS INTEGER) AS chunk_idx
-               FROM bp, UNNEST(range(1, len(s) + 1)) u(j)),
-         r AS (SELECT doc_id, chunk_idx, s[chunk_idx] AS chunk_start,
-                 CASE WHEN chunk_idx < len(s) THEN s[chunk_idx + 1] - 1
-                      ELSE t END AS e,
-                 w FROM c)
-         SELECT doc_id, chunk_idx, chunk_start,
-           e - chunk_start + 1 AS n_chunk_tokens,
-           array_to_string(w[chunk_start:e], ' ') AS chunk_text,
-           ('0x' || substr(md5(array_to_string(w[chunk_start:e], ' ')), 1, 15))::BIGINT
-             AS chunk_hash
-         FROM r""",
+    "q153_cdc_chunks" -> (cdcChunksCte + """
+         SELECT doc_id, chunk_idx, chunk_start, n_chunk_tokens,
+           chunk_text, chunk_hash
+         FROM chunks"""),
+    // q154: the q153 chunk CTEs through a corpus-wide keep-first window
+    // on the chunk hash, rolled up per document.
+    "q154_cdc_dedup" -> (cdcChunksCte + """,
+         kf AS (SELECT doc_id, chunk_idx, n_chunk_tokens,
+                  row_number() OVER (PARTITION BY chunk_hash
+                    ORDER BY doc_id, chunk_idx) AS rn
+                FROM chunks)
+         SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_chunk_tokens ELSE 0 END) AS BIGINT)
+             AS n_dup_tokens,
+           (CAST(SUM(CASE WHEN rn > 1 THEN n_chunk_tokens ELSE 0 END) AS BIGINT)
+             * 1000000) // CAST(SUM(n_chunk_tokens) AS BIGINT)
+             AS dup_token_frac_fp
+         FROM kf GROUP BY doc_id"""),
+    // q155: per-source Zipf exponent — ranked token frequencies, both
+    // axes fixed-point ln, exact HUGEINT OLS sums mirroring olsFit's
+    // decimal sums (identical integers → identical doubles).
+    "q155_zipf_slope" ->
+      """WITH tf AS (SELECT source, u.w, COUNT(*) AS f FROM (
+             SELECT source, string_split(text, ' ') AS ws FROM documents),
+             UNNEST(ws) u(w) GROUP BY 1, 2),
+         p AS (SELECT source,
+                 CAST(FLOOR(ln(CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY f DESC, w) AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+                 CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+               FROM tf),
+         st AS (SELECT source, COUNT(*) AS n,
+                  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx
+                FROM p GROUP BY 1 HAVING COUNT(*) >= 2),
+         sl AS (SELECT source, n, sx, sy,
+                  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS slope
+                FROM st WHERE CAST(n AS HUGEINT) * sxx - sx * sx <> 0)
+         SELECT source, n AS n_types, slope,
+           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             AS intercept
+         FROM sl""",
+    // q156: daily DECIMAL-exact cent totals per event type, same exact
+    // OLS replay — slope is cents/day.
+    "q156_trend_slopes" ->
+      """WITH dly AS (SELECT event_type AS series,
+             epoch_us(ts) // 86400000000 AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         st AS (SELECT series, COUNT(*) AS n,
+                  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx
+                FROM dly GROUP BY 1 HAVING COUNT(*) >= 2),
+         sl AS (SELECT series, n, sx, sy,
+                  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS slope
+                FROM st WHERE CAST(n AS HUGEINT) * sxx - sx * sx <> 0)
+         SELECT series, n AS n_days, slope,
+           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             AS intercept
+         FROM sl""",
   )
 }

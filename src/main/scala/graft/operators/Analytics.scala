@@ -889,6 +889,66 @@ object Analytics {
       .select((keys ++ idCols).map(col) :+ col(valueCol) :+ col("z"): _*)
   }
 
+  /** Exact ordinary-least-squares fit per group over FIXED-POINT
+    * coordinates: input rows carry long columns `xFpCol`/`yFpCol`
+    * (caller quantizes once — the q72/q84 contract), and the slope /
+    * intercept come out of the closed form
+    *   β = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),  α = (Σy − β·Σx) / n
+    * with every sum accumulated in DECIMAL(38,0) — long·long products
+    * overflow 2⁶³ at ~10⁷-scale fixed-point coordinates (the
+    * groupZScores lesson), decimal sums are exact to 38 digits and
+    * partition-order-independent. The final divisions are IEEE doubles
+    * both engines compute identically from exact integer inputs.
+    *
+    * One map-side-combinable aggregation per group — the regression
+    * itself never shuffles more than 5 partials per task. Groups with
+    * fewer than 2 points or zero x-variance are dropped (no slope
+    * exists).
+    *
+    * Output: group cols + (n, slope, intercept) with slope/intercept in
+    * y-fp units per x-fp unit (caller rescales).
+    */
+  def olsFit(df: DataFrame, keys: Seq[String], xFpCol: String,
+             yFpCol: String): DataFrame = {
+    require(keys.nonEmpty, "olsFit needs group keys")
+    val x = col(xFpCol).cast("decimal(38,0)")
+    val y = col(yFpCol).cast("decimal(38,0)")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+      .filter(col("n") >= 2)
+      .withColumn("__den",
+        col("n").cast("decimal(38,0)") * col("__sxx") - col("__sx") * col("__sx"))
+      .filter(col("__den") =!= lit(0).cast("decimal(38,0)"))
+      .withColumn("slope",
+        (col("n").cast("decimal(38,0)") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double") / col("__den").cast("double"))
+      .withColumn("intercept",
+        (col("__sy").cast("double") - col("slope") * col("__sx").cast("double"))
+          / col("n").cast("double"))
+      .select(keys.map(col) ++ Seq(col("n"), col("slope"), col("intercept")): _*)
+  }
+
+  /** Per-series daily trend slopes over an event stream — "is this
+    * metric growing, and how fast": daily totals (DECIMAL-exact cents)
+    * per series, then [[olsFit]]'s exact OLS of cents against the epoch
+    * day. Slope is cents/day — the drift detector a metrics pipeline
+    * alerts on, as a closed-form aggregation instead of a model server.
+    *
+    * Output: (series, n_days, slope, intercept).
+    */
+  def trendSlopes(events: DataFrame, seriesCol: String, tsUsCol: String,
+                  valueCol: String): DataFrame = {
+    val daily = events
+      .filter(col(valueCol).isNotNull && col(tsUsCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        expr(s"$tsUsCol div 86400000000").as("x_fp"))
+      .agg((sum(col(valueCol).cast("decimal(18,2)")) * lit(100))
+        .cast("long").as("y_fp"))
+    olsFit(daily, Seq("series"), "x_fp", "y_fp")
+      .withColumnRenamed("n", "n_days")
+  }
+
   /** RFM customer segmentation (Hughes 1994; the classic CRM cut): per
     * customer, Recency (latest order, epoch-µs), Frequency (order
     * count), Monetary (DECIMAL-exact spend), each ranked into `nBuckets`

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-corpus analysis: token counting, language-ID heuristic, quality
@@ -750,6 +751,67 @@ object TextStats {
           col("__end") - col("chunk_start") + 1)).as("chunk_text"))
       .withColumn("chunk_hash",
         conv(substring(md5(col("chunk_text")), 1, 15), 16, 10).cast("long"))
+  }
+
+  /** Zipf-law exponent per corpus slice — the dataset-card health check
+    * (natural text runs slope ≈ −1 on the log-log rank/frequency line;
+    * templated or machine-generated slices bend it): token frequencies
+    * ranked per source with the unique (freq desc, token) tiebreak,
+    * both axes quantized once to fixed-point ln values, and the line
+    * fitted with [[graft.operators.Analytics.olsFit]]'s exact
+    * decimal-sum OLS. The fp scales cancel in the slope (d ln f /
+    * d ln r), so the output is directly the Zipf exponent.
+    *
+    * One token-count aggregation + a vocabulary-sized rank window per
+    * source + the 5-partial OLS agg — nothing corpus-sized past the
+    * first shuffle.
+    *
+    * Output: (source, n_types, slope, intercept).
+    */
+  def zipfSlope(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(srcCol).as("source"),
+        explode(TextDedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("source")).orderBy(col("f").desc, col("w"))
+    val pts = tf.withColumn("r", row_number().over(w))
+      .select(col("source"),
+        floor(log(col("r").cast("double")) * lit(1000000.0)).as("x_fp"),
+        floor(log(col("f").cast("double")) * lit(1000000.0)).as("y_fp"))
+    graft.operators.Analytics.olsFit(pts, Seq("source"), "x_fp", "y_fp")
+      .withColumnRenamed("n", "n_types")
+  }
+
+  /** CDC's payoff — the corpus-level duplicate-content report over
+    * [[cdcChunks]]: a chunk OCCURRENCE is duplicated when the same
+    * chunk hash appeared earlier in the corpus (first occurrence by
+    * (doc_id, chunk_idx) owns the content, the q97 keep-first
+    * convention), and each document reports how much of its token mass
+    * is duplicated. Because CDC boundaries are shift-stable, this
+    * catches shared passages that fixed-size chunking misses when
+    * documents frame them at different offsets.
+    *
+    * Output: (doc_id, n_chunks, n_dup_chunks, n_tokens, n_dup_tokens,
+    * dup_token_frac_fp = n_dup_tokens·10⁶ div n_tokens — exact integer
+    * arithmetic, the standing fixed-point contract).
+    *
+    * Scale posture: one keep-first window keyed on the chunk hash (the
+    * q97 skew exposure, bounded by CDC's ~divisor-token chunks), then a
+    * map-side-combinable per-doc rollup.
+    */
+  def cdcDedupReport(docs: DataFrame, idCol: String, textCol: String,
+                     ngramN: Int = 3, divisor: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    cdcChunks(docs, idCol, textCol, ngramN, divisor)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("n_chunk_tokens").cast("long")).as("n_tokens"),
+        sum(when(col("__rn") > 1, col("n_chunk_tokens").cast("long"))
+          .otherwise(0L)).as("n_dup_tokens"))
+      .withColumn("dup_token_frac_fp",
+        expr("(n_dup_tokens * 1000000) div n_tokens"))
   }
 
   /** Positional inverted index: one posting row per token OCCURRENCE —

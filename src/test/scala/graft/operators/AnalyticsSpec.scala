@@ -510,6 +510,53 @@ class AnalyticsSpec extends SparkSpec {
       math.floor(3.0 * 4.0 * 1e6 / 9.0).toLong)), s"got $got")
   }
 
+  test("olsFit: exact closed form on a perfect line; degenerate groups dropped") {
+    val s = spark; import s.implicits._
+    val pts = Seq(
+      ("a", 0L, 1L), ("a", 1L, 3L), ("a", 2L, 5L),   // y = 2x + 1 exactly
+      ("b", 5L, 7L),                                  // single point → dropped
+      ("c", 4L, 9L), ("c", 4L, 11L))                  // zero x-variance → dropped
+      .toDF("g", "x_fp", "y_fp")
+    val got = Analytics.olsFit(pts, Seq("g"), "x_fp", "y_fp")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set("a"))
+    // integer closed form divides exactly → doubles are exact
+    assert(got("a") == ((3L, 2.0, 1.0)))
+  }
+
+  test("olsFit matches a driver-side reference on noisy integer points") {
+    val s = spark; import s.implicits._
+    val raw = (0 until 40).map(i =>
+      ("g", i.toLong, (3 * i + 7 + (i * i * 31 % 11) - 5).toLong))
+    val got = Analytics.olsFit(raw.toDF("g", "x_fp", "y_fp"),
+      Seq("g"), "x_fp", "y_fp").head()
+    val n = BigInt(raw.size)
+    val sx = raw.map(p => BigInt(p._2)).sum
+    val sy = raw.map(p => BigInt(p._3)).sum
+    val sxy = raw.map(p => BigInt(p._2) * BigInt(p._3)).sum
+    val sxx = raw.map(p => BigInt(p._2) * BigInt(p._2)).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+    assert(got.getDouble(2) == slope && got.getDouble(3) == intercept)
+  }
+
+  test("trendSlopes: perfect daily line gives the exact cents/day slope") {
+    val s = spark; import s.implicits._
+    val day = 86400000000L
+    val events = Seq(
+      ("purchase", 0L * day + 5L, 0.40), ("purchase", 0L * day + 9L, 0.60),
+      ("purchase", 1L * day + 1L, 2.00),
+      ("purchase", 2L * day + 3L, 3.00),
+      ("click", 1L * day, 1.00)) // single day → dropped
+      .toDF("event_type", "event_ts_us", "value")
+    val got = Analytics.trendSlopes(events, "event_type", "event_ts_us", "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // daily cents: (0,100), (1,200), (2,300) → slope 100 cents/day, α=100
+    assert(got == Map("purchase" -> ((3L, 100.0, 100.0))))
+  }
+
   test("rfmSegments: hand-computed quintiles with unique-tiebreak ranks") {
     val s = spark; import s.implicits._
     // 5 customers, one order each except cust 1 (two orders): strictly

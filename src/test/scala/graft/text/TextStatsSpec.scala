@@ -376,6 +376,48 @@ class TextStatsSpec extends SparkSpec {
       assert(shiftHashes.contains(h), s"chunk hash $h lost after shift"))
   }
 
+  test("cdcDedupReport: identical later doc is fully duplicated; unique doc clean") {
+    val s2 = spark; import s2.implicits._
+    val text = graft.sources.Tables.documents(spark, sfDir)
+      .orderBy("doc_id").limit(1).head.getAs[String]("text")
+    val docs = Seq((1L, text), (2L, text), (3L, "totally novel content here"))
+      .toDF("doc_id", "text")
+    val got = TextStats.cdcDedupReport(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val (n1, d1, t1, dt1, f1) = got(1L)
+    val (n2, d2, t2, dt2, f2) = got(2L)
+    // doc 2's chunks are bit-identical to doc 1's (same text, same
+    // boundaries) → every one is a later duplicate
+    assert(n1 == n2 && t1 == t2)
+    assert(d1 == 0L && dt1 == 0L && f1 == 0L)
+    assert(d2 == n2 && dt2 == t2 && f2 == 1000000L)
+    assert(got(3L)._2 == 0L && got(3L)._5 == 0L)
+  }
+
+  test("zipfSlope: matches the exact integer closed form on a hand corpus") {
+    val s2 = spark; import s2.implicits._
+    // one source, freqs: a×4, b×2, c×1 → ranks 1,2,3
+    val docs = Seq((1L, "s1", "a a b c"), (2L, "s1", "a a b"))
+      .toDF("doc_id", "source", "text")
+    val got = TextStats.zipfSlope(docs, "source", "text").head()
+    def fp(v: Double) = math.floor(math.log(v) * 1000000.0).toLong
+    val pts = Seq((fp(1), fp(4)), (fp(2), fp(2)), (fp(3), fp(1)))
+    val n = BigInt(3)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(got.getAs[String]("source") == "s1")
+    assert(got.getAs[Long]("n_types") == 3L)
+    assert(got.getAs[Double]("slope") == slope)
+    // a halved-frequency-per-rank corpus is Zipf-ish: slope near -1
+    // (3-point least squares on {4,2,1} lands at ≈ -1.23)
+    assert(slope < -0.8 && slope > -1.4, s"slope=$slope")
+  }
+
   test("bpeTokenCounts: hand-traced merge charges each word its subword count") {
     val s2 = spark; import s2.implicits._
     // word freqs: ab×3, cd×1 → the single merge is (a,b) (count 3), so
