@@ -59,6 +59,7 @@ object Bench {
     "q148_dsir_weights", "q149_mmr_select", "q150_rfm_segments",
     "q151_bpe_token_counts", "q152_quality_canonical", "q153_cdc_chunks",
     "q154_cdc_dedup", "q155_zipf_slope", "q156_trend_slopes",
+    "q157_davies_bouldin", "q158_split_leakage",
   )
 
   /** Evaluate every column of every row (no collect of the result set);

@@ -1304,6 +1304,21 @@ object SparkEntry {
         Tables.events(s, d).select(col("event_type"), col("event_ts_us"),
           col("value")),
         "event_type", "event_ts_us", "value")),
+    // Davies–Bouldin clustering quality over the q71 assignment:
+    // fixed-point scatters, bit-stable centroid separations.
+    "q157_davies_bouldin" -> ((s, d) =>
+      Similarity.daviesBouldin(Tables.embeddingsSpread(s, d),
+        Similarity.centroidsOf(
+          Tables.embeddings(s, d).filter(col("vec_id") < 8)))),
+    // Split-leakage audit: near-dup pairs crossing the q57 hash-split
+    // boundaries — off-diagonal rows are eval contamination.
+    "q158_split_leakage" -> ((s, d) => {
+      val splits = Sampling.hashSplit(
+          Tables.documents(s, d).select(col("doc_id")), col("doc_id"),
+          "split-", Seq("train" -> 80, "validation" -> 10, "test" -> 10))
+        .select(col("doc_id").as("id"), col("split"))
+      Sampling.splitLeakage(simhashPairs(s, d), splits)
+    }),
   )
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
@@ -3595,5 +3610,46 @@ object SparkEntry {
            (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
              AS intercept
          FROM sl""",
+    // q157: q71's assignment, per-cluster fixed-point scatter, k²
+    // centroid separations via the same cosine fold, max DB ratio.
+    "q157_davies_bouldin" ->
+      (s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         s AS (SELECT e.vec_id, c.cid,
+                 ${cosSql("e.embedding", "c.ce")} AS cosine
+               FROM embeddings e, c),
+         asg AS (SELECT vec_id, cid AS centroid_id, cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cosine DESC, cid) AS rn FROM s) WHERE rn = 1),
+         sc AS (SELECT centroid_id, COUNT(*) AS n_members,
+                  CAST(SUM(CAST(FLOOR((1.0 - cosine) * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS sq
+                FROM asg GROUP BY 1),
+         scd AS (SELECT centroid_id, n_members,
+                   CAST(sq AS DOUBLE) / CAST(n_members AS DOUBLE) AS scatter
+                 FROM sc),
+         sep AS (SELECT a.cid AS ci, b.cid AS cj,
+                   1.0 - ${cosSql("a.ce", "b.ce")} AS d
+                 FROM c a JOIN c b ON a.cid <> b.cid)
+         SELECT i.centroid_id, i.n_members, i.scatter,
+           MAX((i.scatter + j.scatter) / sep.d) AS r_db
+         FROM scd i JOIN sep ON sep.ci = i.centroid_id
+              JOIN scd j ON j.centroid_id = sep.cj
+         GROUP BY 1, 2, 3"""),
+    // q158: the q50 simhash pair graph joined onto the q57 md5 splits;
+    // unordered split combination via least/greatest, leaks flagged.
+    "q158_split_leakage" -> (simhashComponentsCte + """,
+         sp AS (SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+                 FROM documents)),
+         lk AS (SELECT least(sa.split, sb.split) AS split_a,
+                  greatest(sa.split, sb.split) AS split_b
+                FROM pairs p JOIN sp sa ON sa.doc_id = p.pa
+                     JOIN sp sb ON sb.doc_id = p.pb)
+         SELECT split_a, split_b, COUNT(*) AS n_pairs,
+           split_a <> split_b AS leaked
+         FROM lk GROUP BY 1, 2"""),
   )
 }

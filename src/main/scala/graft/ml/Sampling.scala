@@ -206,6 +206,34 @@ object Sampling {
       .withColumn("seq_offset", pmod(col("pack_offset"), lit(budget.toLong)))
   }
 
+  /** Split-leakage audit — the eval-hygiene check that makes
+    * [[hashSplit]] trustworthy: exact splitting keeps a document on one
+    * side, but its NEAR-DUPLICATES can land on the other, quietly
+    * putting "test" content in the training set. Given a near-dup pair
+    * graph (any of the TextDedup flavors) and a (id, split) assignment,
+    * count pairs per unordered split combination — off-diagonal rows
+    * ARE the leaks; `leaked = split_a <> split_b` flags them for a
+    * gate.
+    *
+    * Two dimension-cheap joins (the split table rides the pair ids) and
+    * one map-side-combinable count — the audit costs a fraction of the
+    * dedup pass that produced the pairs.
+    *
+    * Output: (split_a, split_b, n_pairs, leaked), split_a <= split_b.
+    */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame): DataFrame = {
+    val s = splits.select(col("id").cast("long").as("__id"),
+      col("split").as("__sp"))
+    pairs
+      .join(s.select(col("__id").as("doc_a"), col("__sp").as("__sa")), Seq("doc_a"))
+      .join(s.select(col("__id").as("doc_b"), col("__sp").as("__sb")), Seq("doc_b"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document
     * by how much its HASHED unigram profile looks like a target slice of

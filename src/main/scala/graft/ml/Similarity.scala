@@ -710,6 +710,69 @@ object Similarity {
       .toDF("rank", "vec_id", "relevance", "penalty", "mmr")
   }
 
+  /** Davies–Bouldin clustering quality (Davies & Bouldin 1979) in cosine
+    * distance — the "are these clusters any good" number a curation
+    * pipeline checks before trusting SemDeDup/prototype pruning built on
+    * the same assignment: per cluster the mean distance of members to
+    * their centroid (scatter, lower = tighter), and the DB ratio
+    * R_i = max_{j≠i} (s_i + s_j) / d(c_i, c_j) (lower = better
+    * separated).
+    *
+    * Determinism: per-member distances quantized ONCE to
+    * floor((1−cos)·10⁶) longs, so scatters are exact integer sums over
+    * any partitioning; centroid separations are the bit-stable cosine on
+    * k² literal pairs; every later double op is order-fixed. The k×k
+    * ratio stage is a deliberate bounded cross of two k-row tables (the
+    * q92 convention — centroids are model state, k ≤ maxK).
+    *
+    * Output: (centroid_id, n_members, scatter, r_db).
+    */
+  def daviesBouldin(vectors: DataFrame, centroids: Seq[(Long, Array[Float])],
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    require(centroids.size >= 2, "daviesBouldin needs >= 2 centroids")
+    val spark = vectors.sparkSession
+    val scatter = kmeansAssign(vectors, centroids, idCol, embCol)
+      .select(col("centroid_id"),
+        floor((lit(1.0) - col("cosine")) * lit(1000000.0)).as("__q"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("__q")).as("__sq"))
+      .select(col("centroid_id"), col("n_members"),
+        (col("__sq").cast("double") / col("n_members").cast("double"))
+          .as("scatter"))
+    // centroid-pair separations: k² literal rows, exact same cosine fold
+    import spark.implicits._
+    val seps = centroids.flatMap { case (i, vi) =>
+      centroids.collect { case (j, vj) if j != i =>
+        (i, j, 1.0 - foldCosine(vi, vj))
+      }
+    }.toDF("__ci", "__cj", "__d")
+    scatter.as("a")
+      .join(broadcast(seps), col("a.centroid_id") === col("__ci"))
+      .join(broadcast(scatter.as("b")
+          .select(col("centroid_id").as("__cjb"), col("scatter").as("__sb"))),
+        col("__cj") === col("__cjb"))
+      .groupBy(col("a.centroid_id").as("centroid_id"),
+        col("a.n_members").as("n_members"), col("a.scatter").as("scatter"))
+      .agg(max((col("a.scatter") + col("__sb")) / col("__d")).as("r_db"))
+  }
+
+  /** Driver-side cosine with the EXACT operator fold order (left-to-right
+    * double accumulation) — model-state separations must match what the
+    * oracle's list_reduce computes.
+    */
+  private def foldCosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws": keep the HARD examples): assign each vector to its
     * nearest centroid, rank cluster members most-prototypical-first

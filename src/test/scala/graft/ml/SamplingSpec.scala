@@ -235,6 +235,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("splitLeakage: cross-split pairs flagged, within-split pairs clean") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val splits = Seq(
+      (1L, "train"), (2L, "train"),      // within
+      (3L, "train"), (4L, "test"),       // leak
+      (5L, "test"), (6L, "train"),       // leak, reversed order
+      (7L, "validation"), (8L, "validation"))
+      .toDF("id", "split")
+    val got = Sampling.splitLeakage(pairs, splits)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      ("train", "train") -> ((1L, false)),
+      ("test", "train") -> ((2L, true)),
+      ("validation", "validation") -> ((1L, false))))
+  }
+
   test("dsirWeights: hand-computed log-ratio on known buckets") {
     val s = spark; import s.implicits._
     val docs = Seq(

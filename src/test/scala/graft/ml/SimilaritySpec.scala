@@ -414,6 +414,31 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("daviesBouldin: hand-computed scatters and ratios on orthogonal clusters") {
+    val s = spark; import s.implicits._
+    val cents = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+    val vecs = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),   // cos 1 to c1 → dist 0
+      (11L, Array(1f, 1f, 0f, 0f)),   // cos √½ to both → c1 by min-cid tie
+      (20L, Array(0f, 1f, 0f, 0f)))   // cos 1 to c2 → dist 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.daviesBouldin(vecs, cents)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // vec 11's dist fp, with the operator's exact expression shape:
+    // cos = dot / (||a||·||c||) = 1 / (√2·√1)
+    val q11 = math.floor(
+      (1.0 - 1.0 / (math.sqrt(2.0) * math.sqrt(1.0))) * 1000000.0)
+    val s1 = (0.0 + q11) / 2.0 // cluster 1: members 10, 11
+    val s2 = 0.0
+    val d12 = 1.0 // orthogonal centroids
+    assert(got(1L) == ((2L, s1, (s1 + s2) / d12)))
+    assert(got(2L) == ((1L, s2, (s2 + s1) / d12)))
+    intercept[IllegalArgumentException](
+      Similarity.daviesBouldin(vecs, cents.take(1)))
+    spark.catalog.clearCache()
+  }
+
   test("prototypePrune: rank cut keeps the hard tail, integer-division law") {
     val s = spark; import s.implicits._
     // One dominant centroid; cosines strictly ordered by construction.
