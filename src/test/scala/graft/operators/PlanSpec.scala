@@ -109,6 +109,27 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("round-12 operators prune their document scans to the used columns") {
+    val docs = Tables.documents(spark, sfDir)
+    // tfidf pairs touch only (doc_id, text)
+    val tfidf = scanLine(graft.text.SparseSim.tfidfCosinePairs(
+      docs, "doc_id", "text", threshold = 0.5))
+    assert(tfidf.contains("doc_id") && tfidf.contains("text"), tfidf)
+    assert(!tfidf.contains("lang") && !tfidf.contains("source")
+      && !tfidf.contains("n_chars"), s"documents scan over-reads:\n$tfidf")
+    // dsir touches (doc_id, lang, text) but never source/n_chars
+    val dsir = scanLine(graft.ml.Sampling.dsirWeights(
+      docs, "doc_id", "text", col("lang") === "en"))
+    assert(!dsir.contains("source") && !dsir.contains("n_chars"),
+      s"dsir scan over-reads:\n$dsir")
+    // CDC chunking is one map stage over (doc_id, text): zero exchanges
+    val cdc = graft.text.TextStats.cdcChunks(docs, "doc_id", "text")
+    val cdcPlan = cdc.queryExecution.executedPlan.toString
+    assert(!cdcPlan.contains("Exchange"), s"cdcChunks shuffled:\n$cdcPlan")
+    assert(!scanLine(cdc).contains("lang"), s"cdc scan over-reads:\n${scanLine(cdc)}")
+    spark.catalog.clearCache()
+  }
+
   test("relational hot paths run inside whole-stage codegen") {
     val df = Analytics.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // AQE only materializes codegen stages in the final plan
