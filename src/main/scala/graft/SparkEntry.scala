@@ -129,6 +129,29 @@ object SparkEntry {
     b.toString
   }
 
+  /** q162's generated k-core oracle: one degree-filter CTE pair per
+    * peeling round over the same co-occurrence edge set as q147. Round 1
+    * filters raw in-degrees; round i ≥ 2 recounts within the previous
+    * survivor set (the operator's exact loop).
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val b = new StringBuilder(
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         a1 AS (SELECT dst AS node, COUNT(*) AS deg FROM e
+                GROUP BY 1 HAVING COUNT(*) >= $k)""")
+    for (i <- 2 to rounds) {
+      b.append(s""",
+         a$i AS (SELECT e.dst AS node, COUNT(*) AS deg FROM e
+                 JOIN a${i - 1} s ON s.node = e.src
+                 JOIN a${i - 1} t ON t.node = e.dst
+                 GROUP BY 1 HAVING COUNT(*) >= $k)""")
+    }
+    b.append(s"\n         SELECT node, deg AS core_deg FROM a$rounds")
+    b.toString
+  }
+
   /** The bit-stable cosine between two DuckDB list expressions — the
     * exact q25/q71 formula, parameterized for generated oracles.
     */
@@ -1319,7 +1342,65 @@ object SparkEntry {
         .select(col("doc_id").as("id"), col("split"))
       Sampling.splitLeakage(simhashPairs(s, d), splits)
     }),
+    // Metric co-movement: exact Pearson r between every event-type pair's
+    // daily cent totals (fixed-point sums; sqrt/div are IEEE-identical).
+    "q159_metric_corr" -> ((s, d) =>
+      Analytics.corrPairs(dailyCents(s, d), "day", "series", "y_fp")),
+    // Trailing dyadic EWMA (α=½, 16 lags) over the same daily series —
+    // exact long smoothing on the per-series day spine.
+    "q160_ewma_smooth" -> ((s, d) =>
+      Temporal.ewmaTrailing(dailyCents(s, d), Seq("series"), "day", "y_fp")),
+    // Column profile report over a type-normalized orders projection —
+    // the deequ/dbt-docs summary in one aggregation pass.
+    "q161_profile_report" -> ((s, d) =>
+      graft.quality.Checks.profile(
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("price_cents"),
+          col("o_orderdate").cast("date").cast("string").as("order_date")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "price_cents", "order_date"))),
+    // 80-core of the item co-occurrence graph: 6 peeling rounds (monotone,
+    // converged at every shipped scale — extra rounds are no-ops).
+    "q162_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      // active set is part-dimension-sized → broadcast the semi-joins
+      graft.graphs.KCore.run(edges, k = 80, rounds = 6,
+        broadcastActive = true)
+    }),
+    // Hybrid retrieval: BM25 top-50 ∪ dense-cosine top-50, fused by
+    // reciprocal rank (exact integer terms), top-20 out.
+    "q163_rrf_fusion" -> ((s, d) => {
+      val bm = TextStats.bm25TopK(Tables.documentsSpread(s, d), "doc_id",
+          "text", Seq("spark", "data", "pipeline"), 50)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id").as("id"), col("rank"))
+      val em = Tables.embeddingsSpread(s, d)
+      val ann = Similarity.annTopK(em.filter(col("vec_id") > 0),
+          em.filter(col("vec_id") === 0), 50)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      graft.ml.Retrieval.rrfFuse(Seq(bm, ann), "id", 20)
+    }),
   )
+
+  /** q156/q159/q160 share the daily DECIMAL-exact cent totals per event
+    * type — the canonical long-form metric panel.
+    */
+  private def dailyCents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull && col("event_ts_us").isNotNull)
+      .groupBy(col("event_type").as("series"),
+        expr("event_ts_us div 86400000000").as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+        .cast("long").as("y_fp"))
 
   /** Fixed per-query scratch dir for the lake queries (q128/q129/q133/
     * q135/q136), wiped before each use: Bench/Verify invoke a builder
@@ -3651,5 +3732,108 @@ object SparkEntry {
          SELECT split_a, split_b, COUNT(*) AS n_pairs,
            split_a <> split_b AS leaked
          FROM lk GROUP BY 1, 2"""),
+    // q159: q156's daily cent panel self-joined on day, exact HUGEINT
+    // Pearson sums, r from the identical integer→double closed form.
+    "q159_metric_corr" ->
+      """WITH dly AS (SELECT event_type AS series,
+             epoch_us(ts) // 86400000000 AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         pr AS (SELECT a.series AS sa, b.series AS sb,
+                  CAST(a.y AS HUGEINT) AS ya, CAST(b.y AS HUGEINT) AS yb
+                FROM dly a JOIN dly b ON a.x = b.x AND a.series < b.series),
+         st AS (SELECT sa, sb, COUNT(*) AS n, SUM(ya) AS sx, SUM(yb) AS sy,
+                  SUM(ya * yb) AS sxy, SUM(ya * ya) AS sxx,
+                  SUM(yb * yb) AS syy
+                FROM pr GROUP BY 1, 2),
+         v AS (SELECT sa, sb, n, sx, sy, sxy,
+                 CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+                 CAST(n AS HUGEINT) * syy - sy * sy AS vy
+               FROM st)
+         SELECT sa AS series_a, sb AS series_b, n AS n_obs,
+           CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) AS r
+         FROM v WHERE vx > 0 AND vy > 0""",
+    // q160: each daily row contributes to its 16 forward anchors with
+    // dyadic weight 2^(15-gap); spine left join, absent days are zero.
+    "q160_ewma_smooth" ->
+      """WITH dly AS (SELECT event_type AS series,
+             epoch_us(ts) // 86400000000 AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         bnd AS (SELECT series, MIN(x) AS mn, MAX(x) AS mx
+                 FROM dly GROUP BY 1),
+         sp AS (SELECT series, UNNEST(generate_series(mn, mx)) AS day
+                FROM bnd),
+         ctr AS (SELECT series, x + j AS day,
+                   SUM(y * (CAST(1 AS BIGINT) << CAST(15 - j AS INTEGER)))
+                     AS s
+                 FROM dly, generate_series(0, 15) t(j) GROUP BY 1, 2)
+         SELECT sp.series, sp.day, CAST(COALESCE(ctr.s, 0) AS BIGINT) AS ewma_fp
+         FROM sp LEFT JOIN ctr
+           ON ctr.series = sp.series AND ctr.day = sp.day""",
+    // q161: one UNION ALL branch per profiled column over the same
+    // type-normalized orders projection; typed min/max rendered last.
+    "q161_profile_report" -> {
+      val branches = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "price_cents", "order_date").map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           COUNT(DISTINCT $c) AS n_distinct,
+           CAST(MIN($c) AS VARCHAR) AS min_value,
+           CAST(MAX($c) AS VARCHAR) AS max_value FROM p"""
+      }
+      """WITH p AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
+           FROM orders)
+         """ + branches.mkString("\n         UNION ALL ")
+    },
+    // q162: generated per-round degree-filter CTEs — the exact peel loop.
+    "q162_kcore" -> kcoreOracle(80, 6),
+    // q163: q69's BM25 tree (top-50) + q25's cosine ranking (top-50 from
+    // the vec_id=0 probe), reciprocal ranks as exact 2^30 div terms.
+    "q163_rrf_fusion" ->
+      (s"""WITH db AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         base AS (SELECT doc_id, len(w) AS dl, w FROM db),
+         g AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM base),
+         tf AS (SELECT doc_id, dl, t.term, COUNT(*) AS tf
+                FROM base, UNNEST(w) t(term)
+                WHERE t.term IN ('spark', 'data', 'pipeline')
+                GROUP BY doc_id, dl, t.term),
+         dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         c AS (SELECT doc_id, term,
+                 ln(1.0 + (CAST((SELECT n FROM g) AS DOUBLE) - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl /
+                       (SELECT CAST(tot AS DOUBLE) / n FROM g))) AS c
+               FROM tf JOIN dfx USING (term)),
+         sc AS (SELECT doc_id,
+                 SUM(CASE WHEN term = 'spark' THEN c END) AS c1,
+                 SUM(CASE WHEN term = 'data' THEN c END) AS c2,
+                 SUM(CASE WHEN term = 'pipeline' THEN c END) AS c3
+               FROM c GROUP BY doc_id),
+         bmr AS (SELECT id, rank FROM (
+                   SELECT doc_id AS id, row_number() OVER (ORDER BY
+                       round(COALESCE(c1, 0) + COALESCE(c2, 0) + COALESCE(c3, 0), 3)
+                         DESC, doc_id) AS rank
+                   FROM sc) WHERE rank <= 50),
+         annq AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         annc AS (SELECT vec_id AS id,
+                    ${cosSql("embedding", "(SELECT qe FROM annq)")} AS cosine
+                  FROM embeddings WHERE vec_id > 0),
+         annr AS (SELECT id, rank FROM (
+                    SELECT id, row_number() OVER (ORDER BY cosine DESC, id)
+                      AS rank FROM annc) WHERE rank <= 50),
+         u AS (SELECT id, 1073741824 // (60 + rank) AS s FROM bmr
+               UNION ALL SELECT id, 1073741824 // (60 + rank) FROM annr)
+         SELECT id, COUNT(*) AS n_lists, CAST(SUM(s) AS BIGINT) AS rrf_score_fp
+         FROM u GROUP BY id
+         ORDER BY rrf_score_fp DESC, id LIMIT 20"""),
   )
 }

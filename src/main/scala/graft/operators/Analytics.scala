@@ -993,4 +993,60 @@ object Analytics {
         concat(col("r_score").cast("string"), col("f_score").cast("string"),
           col("m_score").cast("string")))
   }
+
+  /** Exact Pearson correlation between every pair of series in a long-form
+    * metric table — "which daily metrics move together", the co-movement
+    * matrix behind anomaly triage dashboards. Input rows are
+    * (obs, series, yFp) with `yFpCol` a caller-quantized long (the
+    * [[olsFit]] fixed-point contract); series are paired on shared
+    * observations (pairwise-complete, the standard treatment of missing
+    * points) via a self-join on `obsCol`, then each pair's five sums
+    * accumulate in DECIMAL(38,0) — exact and partition-order-independent —
+    * and r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) comes out
+    * of IEEE doubles both engines compute identically from the same
+    * integers (division, multiply and sqrt are all correctly rounded).
+    *
+    * Scale: pairing happens INSIDE each observation's collected series
+    * array (series count is panel-bounded — dozens, not data-sized), so
+    * the input is scanned ONCE and shuffled once by observation; a
+    * self-join formulation would evaluate the upstream panel twice (Spark
+    * does not dedupe repeated subplans) and scan the fact table twice at
+    * 100 TB. The ×|series|²/2 pair fanout is map-side, feeding one
+    * map-side-combinable agg. Pairs with zero variance on either side
+    * are dropped (r undefined).
+    *
+    * Output: (series_a, series_b, n_obs, r) with series_a < series_b.
+    */
+  def corrPairs(df: DataFrame, obsCol: String, seriesCol: String,
+                yFpCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val byObs = df
+      .select(col(obsCol).as("__obs"), col(seriesCol).as("__s"),
+        col(yFpCol).cast("long").as("__y"))
+      .groupBy(col("__obs"))
+      .agg(collect_list(struct(col("__s"), col("__y"))).as("__arr"))
+    byObs
+      .select(explode(col("__arr")).as("__a"), col("__arr"))
+      .select(col("__a"), explode(col("__arr")).as("__b"))
+      .filter(col("__a.__s") < col("__b.__s"))
+      .select(col("__a.__s").as("series_a"), col("__b.__s").as("series_b"),
+        col("__a.__y").cast(dec).as("__ya"),
+        col("__b.__y").cast(dec).as("__yb"))
+      .groupBy(col("series_a"), col("series_b"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("__ya")).as("__sx"), sum(col("__yb")).as("__sy"),
+        sum(col("__ya") * col("__yb")).as("__sxy"),
+        sum(col("__ya") * col("__ya")).as("__sxx"),
+        sum(col("__yb") * col("__yb")).as("__syy"))
+      .withColumn("__vx",
+        col("n_obs").cast(dec) * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy",
+        col("n_obs").cast(dec) * col("__syy") - col("__sy") * col("__sy"))
+      .filter(col("__vx") > 0 && col("__vy") > 0)
+      .withColumn("r",
+        (col("n_obs").cast(dec) * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double")
+          / (sqrt(col("__vx").cast("double")) * sqrt(col("__vy").cast("double"))))
+      .select(col("series_a"), col("series_b"), col("n_obs"), col("r"))
+  }
 }

@@ -282,4 +282,52 @@ object Temporal {
         col("__last.tp").as("last_touch_type"),
         (col(tsCol) - col("__last.ts")).as("last_gap_us"))
   }
+
+  /** Trailing EWMA over a regularly-indexed series (daily metric smoothing)
+    * with DYADIC weights, so the smoothed value is an exact long:
+    * for each index t on the per-key spine [min..max],
+    *   ewma_fp(t) = Σ_{j=0..H−1}  y_fp(t−j) · 2^(H−1−j)
+    * i.e. the α=½ exponential window truncated at `horizon` lags, scaled by
+    * 2^H (the caller divides, or compares fp values directly — trend/alert
+    * thresholds scale the same way). Missing indices contribute zero, the
+    * standard treatment for absent buckets in a metric store. Powers of two
+    * make every term exact in long arithmetic: no float accumulation order
+    * to pin, any partitioning gives the same bits.
+    *
+    * Shape (scale posture): each input row EXPLODES into its `horizon`
+    * forward contributions map-side — a bounded ×H fanout, NOT a range
+    * join (Spark plans inequality joins as broadcast nested loops) — then
+    * ONE map-side-combinable sum per (key, index) and a join onto the
+    * per-key spine. Spine rows are one per index per key; contributions
+    * landing past a key's max index are dropped by the join.
+    *
+    * Requires `horizon` ≤ 32 and |y_fp| < 2^(62−horizon) for overflow-free
+    * longs (ANSI mode makes violations loud, not silent).
+    *
+    * Output: keys + (idxCol, ewma_fp).
+    */
+  def ewmaTrailing(df: DataFrame, keys: Seq[String], idxCol: String,
+                   yFpCol: String, horizon: Int = 16): DataFrame = {
+    require(keys.nonEmpty, "ewmaTrailing needs series keys")
+    require(horizon >= 1 && horizon <= 32,
+      s"horizon must be in [1,32], got $horizon")
+    val kc = keys.map(col)
+    val contrib = df
+      .select(kc :+ col(idxCol).cast("long").as("__i")
+        :+ col(yFpCol).cast("long").as("__y"): _*)
+      .withColumn("__j", explode(sequence(lit(0), lit(horizon - 1))))
+      .select(kc :+ (col("__i") + col("__j")).as(idxCol)
+        :+ expr(s"__y * shiftleft(CAST(1 AS BIGINT), ${horizon - 1} - __j)")
+          .as("__w"): _*)
+      .groupBy(kc :+ col(idxCol): _*)
+      .agg(sum(col("__w")).as("__s"))
+    val spine = df
+      .groupBy(kc: _*)
+      .agg(min(col(idxCol).cast("long")).as("__mn"),
+        max(col(idxCol).cast("long")).as("__mx"))
+      .select(kc :+ explode(sequence(col("__mn"), col("__mx"))).as(idxCol): _*)
+    spine.join(contrib, keys :+ idxCol, "left")
+      .select(kc :+ col(idxCol)
+        :+ coalesce(col("__s"), lit(0L)).as("ewma_fp"): _*)
+  }
 }

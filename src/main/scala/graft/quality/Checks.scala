@@ -176,4 +176,42 @@ object Checks {
       (count(lit(1)) - countDistinct(col("event_id"))).as("dup_event_ids"),
       sum(when(col("value") < 0, 1L).otherwise(0L)).as("negative_values"),
       countDistinct(col("event_type")).as("n_event_types"))
+
+  /** Column profile report — the deequ/dbt-docs table summary as ONE
+    * aggregation pass: for each named column, row count, null count, exact
+    * distinct count, and min/max rendered as strings (cast AFTER the typed
+    * min/max, so numerics order numerically, not lexically). The wide
+    * single-row aggregate is then unpivoted with `stack` into one row per
+    * column — profile output is column-count-sized, never data-sized.
+    *
+    * Exact multi-column COUNT(DISTINCT) plans as Spark's expand (×|cols|
+    * input duplication before the partial aggs) — the honest price of
+    * exact profiling, paid in one scan; a 100 TB profile would swap in
+    * approx_count_distinct per column, everything else unchanged. Callers
+    * normalize exotic types to long/string/decimal projections first so
+    * the string rendering is engine-portable.
+    *
+    * Output: (column_name, n_rows, n_nulls, n_distinct, min_value,
+    * max_value), one row per requested column.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', __nulls_$c, __dist_$c, __min_$c, __max_$c")
+      .mkString(", ")
+    one.select(col("__n"),
+        expr(s"stack(${cols.size}, $stackArgs)")
+          .as(Seq("column_name", "n_nulls", "n_distinct",
+            "min_value", "max_value")))
+      .select(col("column_name"), col("__n").as("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
 }

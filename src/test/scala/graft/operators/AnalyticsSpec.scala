@@ -557,6 +557,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Map("purchase" -> ((3L, 100.0, 100.0))))
   }
 
+  test("corrPairs: perfect ±1 correlations, zero-variance pairs dropped") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("up", 0L, 1L), ("up", 1L, 2L), ("up", 2L, 3L),
+      ("dn", 0L, 9L), ("dn", 1L, 6L), ("dn", 2L, 3L),
+      ("fl", 0L, 5L), ("fl", 1L, 5L), ("fl", 2L, 5L))
+      .toDF("series", "day", "y_fp")
+    val got = Analytics.corrPairs(df, "day", "series", "y_fp")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // (dn,up) anticorrelated; every pair with "fl" is dropped. The exact
+    // closed form is -18/(√54·√6): compare with the operator's own
+    // expression shape (√54·√6 is one ulp off 18 in doubles).
+    val want = -18.0 / (math.sqrt(54.0) * math.sqrt(6.0))
+    assert(got.keySet == Set(("dn", "up")))
+    assert(got(("dn", "up"))._1 == 3L)
+    assert(got(("dn", "up"))._2 == want && math.abs(want + 1.0) < 1e-12)
+  }
+
+  test("corrPairs matches a BigInt driver-side reference on noisy series") {
+    val s = spark; import s.implicits._
+    val xs = (0 until 30).map(i => i.toLong -> ((i * i * 13 % 97) + 3).toLong)
+    val ys = (0 until 30).map(i => i.toLong -> ((i * 29 % 83) - 7).toLong)
+    val df = (xs.map { case (d, v) => ("mx", d, v) } ++
+      ys.map { case (d, v) => ("my", d, v) }).toDF("series", "day", "y_fp")
+    val r = Analytics.corrPairs(df, "day", "series", "y_fp").head()
+    val n = BigInt(30)
+    val sx = xs.map(p => BigInt(p._2)).sum
+    val sy = ys.map(p => BigInt(p._2)).sum
+    val sxy = xs.zip(ys).map { case ((_, a), (_, b)) => BigInt(a) * b }.sum
+    val sxx = xs.map(p => BigInt(p._2) * p._2).sum
+    val syy = ys.map(p => BigInt(p._2) * p._2).sum
+    val want = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("mx", "my", 30L)))
+    assert(r.getDouble(3) == want)
+  }
+
   test("rfmSegments: hand-computed quintiles with unique-tiebreak ranks") {
     val s = spark; import s.implicits._
     // 5 customers, one order each except cust 1 (two orders): strictly

@@ -283,4 +283,37 @@ class TemporalSpec extends SparkSpec {
       !plan.contains("Join"),
       s"attribution must be one key shuffle, no self-join:\n$plan")
   }
+
+  test("ewmaTrailing: exact dyadic weights over a gappy series") {
+    val s = spark; import s.implicits._
+    // series "a": days 0, 1, 3 (day 2 missing) with H=4 → weights 8,4,2,1
+    val df = Seq(("a", 0L, 10L), ("a", 1L, 20L), ("a", 3L, 40L))
+      .toDF("series", "day", "y_fp")
+    val got = Temporal.ewmaTrailing(df, Seq("series"), "day", "y_fp",
+        horizon = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // day0: 10·8                         = 80
+    // day1: 20·8 + 10·4                  = 200
+    // day2: (spine fills)  20·4 + 10·2   = 100
+    // day3: 40·8 + 20·2 + 10·1           = 370
+    assert(got == Map(0L -> 80L, 1L -> 200L, 2L -> 100L, 3L -> 370L))
+  }
+
+  test("ewmaTrailing matches a driver-side reference per key on a dense panel") {
+    val s = spark; import s.implicits._
+    val rows = for (k <- Seq("x", "y"); d <- 0L until 40L)
+      yield (k, d, (d * 37 % 101 + (if (k == "x") 7 else 0)))
+    val got = Temporal.ewmaTrailing(rows.toDF("series", "day", "y_fp"),
+        Seq("series"), "day", "y_fp")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byKey = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.map(r => r._2 -> r._3).toMap
+    }
+    for (k <- Seq("x", "y"); t <- 0L until 40L) {
+      val want = (0 until 16).map(j =>
+        byKey(k).getOrElse(t - j, 0L) * (1L << (15 - j))).sum
+      assert(got((k, t)) == want, s"($k, $t)")
+    }
+    assert(got.size == 80)
+  }
 }

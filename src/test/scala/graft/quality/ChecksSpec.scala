@@ -95,4 +95,17 @@ class ChecksSpec extends SparkSpec {
     assert(r.getAs[Long]("dup_event_ids") == 0L)
     assert(r.getAs[Long]("n_event_types") == 5L)
   }
+
+  test("profile: per-column nulls/distinct/min/max, typed ordering") {
+    val df = Seq(
+      (Some(10L), Some("b")), (Some(2L), None),
+      (Some(10L), Some("a")), (None, Some("a")))
+      .toDF("k", "s")
+    val got = Checks.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    // numeric min/max order numerically (2 < 10), then render as strings
+    assert(got("k") == ((4L, 1L, 2L, "2", "10")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+  }
 }
