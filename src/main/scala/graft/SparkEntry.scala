@@ -152,6 +152,50 @@ object SparkEntry {
     b.toString
   }
 
+  /** q165's generated oracle: per-source HLL registers over 3-gram
+    * shingles, the q100 estimator replay, then register-max union and
+    * inclusion–exclusion per source pair — the operator's exact integer
+    * pipeline with the same alpha/m literals.
+    */
+  private def hllOverlapOracle(p: Int): String = {
+    val m = 1L << p
+    val alphaFp = 7213L * m * m * m / (10000L * m + 10790L)
+    val num = alphaFp * (1L << 40)
+    val pow40 = 1L << 40
+    s"""WITH docs AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         shg AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM docs, UNNEST(range(1, len(w) - 1)) t(i)),
+         h AS (SELECT source, CAST(('0x' || substr(md5('hll-' || s), 1, 15)) AS BIGINT) AS h FROM shg),
+         r AS (SELECT source, h & ${m - 1} AS bucket,
+                 MAX(${61 - p} - length(ltrim(bin(h >> $p), '0'))) AS max_rho
+               FROM h GROUP BY 1, 2),
+         g AS (SELECT source, SUM(CAST($pow40 AS BIGINT) >> max_rho) AS ps,
+                 COUNT(*) AS pr FROM r GROUP BY 1),
+         est AS (SELECT source,
+                   CAST($num // greatest(ps + ($m - pr) * $pow40, 1) AS BIGINT) AS e
+                 FROM g),
+         pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     a.e AS est_a, b.e AS est_b
+                   FROM est a JOIN est b ON a.source < b.source),
+         ur AS (SELECT p.source_a, p.source_b, r.bucket, r.max_rho
+                FROM pairs p JOIN r ON r.source = p.source_a
+                UNION ALL
+                SELECT p.source_a, p.source_b, r.bucket, r.max_rho
+                FROM pairs p JOIN r ON r.source = p.source_b),
+         um AS (SELECT source_a, source_b, bucket, MAX(max_rho) AS max_rho
+                FROM ur GROUP BY 1, 2, 3),
+         ug AS (SELECT source_a, source_b,
+                  SUM(CAST($pow40 AS BIGINT) >> max_rho) AS ps, COUNT(*) AS pr
+                FROM um GROUP BY 1, 2),
+         ue AS (SELECT source_a, source_b,
+                  CAST($num // greatest(ps + ($m - pr) * $pow40, 1) AS BIGINT)
+                    AS est_union
+                FROM ug)
+         SELECT p.source_a, p.source_b, p.est_a, p.est_b, ue.est_union,
+           greatest(p.est_a + p.est_b - ue.est_union, 0) AS est_overlap
+         FROM pairs p JOIN ue USING (source_a, source_b)"""
+  }
+
   /** The bit-stable cosine between two DuckDB list expressions — the
     * exact q25/q71 formula, parameterized for generated oracles.
     */
@@ -1389,6 +1433,23 @@ object SparkEntry {
         .select(col("neighbor_id").as("id"), col("rank"))
       graft.ml.Retrieval.rrfFuse(Seq(bm, ann), "id", 20)
     }),
+    // Hard-negative mining: for each anchor in the vec_id<16 batch, the 5
+    // most-similar corpus vectors with a DIFFERENT label.
+    "q164_hard_negatives" -> ((s, d) => {
+      val em = Tables.embeddingsSpread(s, d)
+      Similarity.hardNegatives(em, Tables.embeddings(s, d)
+        .filter(col("vec_id") < 16), k = 5)
+    }),
+    // Pairwise source vocabulary overlap via HLL inclusion-exclusion over
+    // 3-gram shingles (p=8: ~1.3k distinct shingles/source ≳ 3·256).
+    "q165_source_vocab_overlap" -> ((s, d) =>
+      graft.ml.Sketches.hllOverlapPairs(
+        Tables.documentsSpread(s, d).select(col("source"),
+          explode(TextDedup.shingles(col("text"), 3)).as("__sh")),
+        "source", col("__sh"), p = 8)),
+    // Temperature-α=1/2 mixture weights per source (ppm sampling shares).
+    "q166_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureWeights(Tables.documents(s, d), "source")),
   )
 
   /** q156/q159/q160 share the daily DECIMAL-exact cent totals per event
@@ -3835,5 +3896,32 @@ object SparkEntry {
          SELECT id, COUNT(*) AS n_lists, CAST(SUM(s) AS BIGINT) AS rrf_score_fp
          FROM u GROUP BY id
          ORDER BY rrf_score_fp DESC, id LIMIT 20"""),
+    // q164: brute-force different-label cosine ranking per anchor — the
+    // mining batch is vec_id<16, self-pairs excluded by id.
+    "q164_hard_negatives" ->
+      (s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS qe, label AS ql
+              FROM embeddings WHERE vec_id < 16),
+         c AS (SELECT vec_id AS negative_id, embedding AS ce, label AS cl
+               FROM embeddings),
+         sc AS (SELECT anchor_id, negative_id,
+                  ${cosSql("qe", "ce")} AS cosine
+                FROM a JOIN c ON anchor_id <> negative_id AND ql <> cl)
+         SELECT anchor_id, negative_id, rank, cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY anchor_id
+             ORDER BY cosine DESC, negative_id) AS rank FROM sc)
+         WHERE rank <= 5"""),
+    // q165: generated register/estimator replay + pairwise union.
+    "q165_source_vocab_overlap" -> hllOverlapOracle(8),
+    // q166: sqrt-count quantized once to 2^20 fixed point, exact long
+    // normalizer, ppm integer division.
+    "q166_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         q AS (SELECT source, n_docs,
+                 CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1048576.0) AS BIGINT) AS qv
+               FROM c)
+         SELECT source, n_docs,
+           CAST((qv * CAST(1000000 AS BIGINT))
+             // (SELECT CAST(SUM(qv) AS BIGINT) FROM q) AS BIGINT) AS weight_fp
+         FROM q""",
   )
 }

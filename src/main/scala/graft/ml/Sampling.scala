@@ -294,4 +294,34 @@ object Sampling {
         ((col("dsir_fp") / lit(1000000.0)) / col("n_tokens"))
           .as("avg_dsir"))
   }
+
+  /** Temperature-scaled mixture weights (the multilingual-LLM rebalancer,
+    * XLM / mT5 style): sampling weight w_s ∝ c_s^α flattens the source
+    * distribution so head sources stop drowning the tail. α is fixed at
+    * ½ — the exact-arithmetic point of the usual 0.3–0.7 range, because
+    * √ of an integer is an IEEE correctly-rounded double both engines
+    * produce identically, where a general pow() is not.
+    *
+    * Determinism: each √count is quantized ONCE to 2^20 fixed point
+    * (floor of an exact-scaled double — the q72/q84 contract), the
+    * normalizer is an exact long sum over the |sources|-row table (a
+    * single window, never the corpus), and the weight is integer
+    * parts-per-million: w_fp = q_s · 10⁶ div Σq. The corpus is touched
+    * once by the count aggregation; everything downstream is
+    * dimension-sized.
+    *
+    * Output: (source, n_docs, weight_fp) — Σ weight_fp ≤ 10⁶ (floor
+    * rounding), each weight the ppm sampling share for that source.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__q",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1048576.0))
+          .cast("long"))
+    counts
+      .withColumn("__tot", sum(col("__q")).over(Window.partitionBy(lit(1))))
+      .select(col("source"), col("n_docs"),
+        expr("(__q * CAST(1000000 AS BIGINT)) div __tot").as("weight_fp"))
+  }
 }

@@ -87,6 +87,38 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch-negatives
+    * upgrade every embedding-model recipe ships): for each ANCHOR vector,
+    * the k most-similar corpus vectors with a DIFFERENT label — maximally
+    * confusing negatives, which train better than random ones.
+    *
+    * Same contract as [[annTopK]]: anchors are a training BATCH
+    * (broadcast-small — that is the real mining shape, a batch against the
+    * corpus, never corpus×corpus); the corpus streams through once;
+    * ranking is exact bit-stable cosine with (cosine desc, id asc) order
+    * and the salted two-stage top-k. Self-pairs are excluded by id and
+    * same-label pairs by the label predicate, both in the broadcast join
+    * condition — pruned pairs never reach the dot product.
+    *
+    * Output: (anchor_id, negative_id, rank, cosine).
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val a = broadcast(anchors.select(col(idCol).as("anchor_id"),
+      col(embCol).as("__q"), col(labelCol).as("__ql")))
+    val scored = corpus
+      .select(col(idCol).as("negative_id"), col(embCol).as("__c"),
+        col(labelCol).as("__cl"))
+      .join(a, col("anchor_id") =!= col("negative_id") &&
+        col("__ql") =!= col("__cl"))
+      .select(col("anchor_id"), col("negative_id"),
+        nativeCosine(corpus.sparkSession)(col("__q"), col("__c")).as("cosine"))
+    topKPerKey(scored, col("anchor_id"),
+      Seq(col("cosine").desc, col("negative_id").asc), k, col("negative_id"))
+      .select(col("anchor_id"), col("negative_id"), col("rank"), col("cosine"))
+  }
+
   /** One row of one vector column is inspected at build time: a dims
     * mismatch would null-pad `zip_with` against the literal plane arrays
     * and silently send every vector to bucket/score 0 — fail loudly

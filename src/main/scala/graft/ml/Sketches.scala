@@ -157,6 +157,59 @@ object Sketches {
                   p: Int, salt: String = "hll-"): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, valueCol, p, salt), groupCols, p)
 
+  /** Pairwise sketch-based overlap between groups — "how much vocabulary
+    * do these two sources share", the dataset-card dedup-pressure signal,
+    * via inclusion–exclusion over HLL unions:
+    *   |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B),
+    * where est(A ∪ B) comes from the element-wise max of the two register
+    * tables ([[hllMerge]]) — no row of raw data is ever revisited.
+    *
+    * Scale posture: the raw data is scanned ONCE into per-group registers
+    * (persisted for the call — sketch-sized, ≤ |groups|·2^p rows); all
+    * pairing happens on sketches, so the pair stage costs |groups|²·2^p
+    * register rows, independent of corpus size. The group-pair spine is a
+    * deliberate bounded |groups|² product of the per-group estimates (the
+    * q92 bounded-grid pattern). Inclusion–exclusion over raw estimates can
+    * go slightly negative — clamped at 0 (the estimator contract: size p
+    * so n ≳ 3·2^p per group).
+    *
+    * The register table is persisted for the call (it feeds the per-group
+    * estimates and both sides of the pair merge; without the persist, any
+    * replan re-scans raw data once per branch) and is sketch-sized — the
+    * [[hllRolling]] per-call lifecycle: the session owner's `clearCache()`
+    * releases it.
+    *
+    * Output: (source_a, source_b, est_a, est_b, est_union, est_overlap)
+    * with source_a < source_b.
+    */
+  def hllOverlapPairs(df: DataFrame, groupCol: String, valueCol: Column,
+                      p: Int, salt: String = "hll-"): DataFrame = {
+    val regs = hllRegisters(df, Seq(groupCol), valueCol, p, salt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = hllEstimate(regs, Seq(groupCol), p)
+    val pairs = est
+      .select(col(groupCol).as("source_a"), col("est_distinct").as("est_a"))
+      .join(est.select(col(groupCol).as("source_b"),
+        col("est_distinct").as("est_b")), col("source_a") < col("source_b"))
+    val keyA = pairs.select(col("source_a"), col("source_b"))
+    val union = regs.join(keyA, col(groupCol) === col("source_a"))
+      .select(col("source_a"), col("source_b"), col("bucket"), col("max_rho"))
+      .unionByName(regs.join(keyA, col(groupCol) === col("source_b"))
+        .select(col("source_a"), col("source_b"), col("bucket"),
+          col("max_rho")))
+      .groupBy(col("source_a"), col("source_b"), col("bucket"))
+      .agg(max(col("max_rho")).cast("int").as("max_rho"))
+    val out = pairs
+      .join(hllEstimate(union, Seq("source_a", "source_b"), p)
+        .withColumnRenamed("est_distinct", "est_union"),
+        Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_overlap"))
+    out
+  }
+
   /** Count-min sketch over a token column: d independent hash rows × w
     * counters (w a power of two), counting total occurrences. The sketch
     * is d·w rows no matter the corpus — THE fixed-memory frequency

@@ -298,4 +298,16 @@ class SamplingSpec extends SparkSpec {
     assert(got.forall(_.getLong(2) == 0L))
     spark.catalog.clearCache()
   }
+
+  test("temperatureWeights: exact ppm shares for perfect-square counts") {
+    val s = spark; import s.implicits._
+    // counts 100 and 400: sqrt exact -> q = 10*2^20 and 20*2^20
+    val df = ((0 until 100).map(i => ("small", i)) ++
+      (0 until 400).map(i => ("big", i))).toDF("src", "i")
+    val got = Sampling.temperatureWeights(df, "src")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("small") == ((100L, 333333L)))  // 10/30 ppm floor
+    assert(got("big") == ((400L, 666666L)))    // 20/30 ppm floor
+  }
+
 }

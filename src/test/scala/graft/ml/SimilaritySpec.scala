@@ -470,4 +470,22 @@ class SimilaritySpec extends SparkSpec {
       assert(keptSizes.getOrElse(cid, 0L) == expectKept, s"cid=$cid cnt=$cnt")
     }
   }
+
+  test("hardNegatives: same-label and self pairs excluded, exact ranks") {
+    val s = spark; import s.implicits._
+    // 1-D "embeddings": cosine is sign(x*q) — anchors get ranked by sign
+    // only, so use 2-D vectors with distinct angles instead.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),   // anchor, label 0
+      (1L, Seq(1.0f, 0.1f), 0),   // same label -> excluded
+      (2L, Seq(1.0f, 0.2f), 1),   // nearest cross-label
+      (3L, Seq(0.0f, 1.0f), 1),   // orthogonal
+      (4L, Seq(-1.0f, 0.0f), 2))  // opposite
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(rows,
+        rows.filter(col("vec_id") === 0L), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq.sortBy(_._3) == Seq((0L, 2L, 1), (0L, 3L, 2)))
+  }
+
 }

@@ -284,4 +284,28 @@ class SketchesSpec extends SparkSpec {
       Sketches.hllRolling(df, col("day"), col("uid"), 0, 4)
     }
   }
+
+  test("hllOverlapPairs: identical sets give union==parts, overlap==est") {
+    val s = spark; import s.implicits._
+    val vals = (0 until 600).map(i => s"tok$i")
+    val df = (vals.map(("a", _)) ++ vals.map(("b", _))).toDF("src", "v")
+    val r = Sketches.hllOverlapPairs(df, "src", col("v"), p = 7).head()
+    val (ea, eb, eu, eo) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(ea == eb && eu == ea && eo == ea)  // same registers everywhere
+    // raw HLL at p=7 on 600 distinct: within ~3 sigma of truth
+    assert(math.abs(ea - 600) < 600 * 0.30, s"est=$ea")
+    spark.catalog.clearCache()
+  }
+
+  test("hllOverlapPairs: disjoint sets estimate near-zero overlap") {
+    val s = spark; import s.implicits._
+    val df = ((0 until 800).map(i => ("a", s"left$i")) ++
+      (0 until 800).map(i => ("b", s"right$i"))).toDF("src", "v")
+    val r = Sketches.hllOverlapPairs(df, "src", col("v"), p = 7).head()
+    val (ea, eb, eu, eo) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(eu > ea && eu > eb)           // union strictly bigger
+    assert(eo < 800 * 0.25, s"overlap=$eo") // sketch noise only
+    spark.catalog.clearCache()
+  }
+
 }
