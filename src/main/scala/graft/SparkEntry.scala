@@ -1450,7 +1450,32 @@ object SparkEntry {
     // Temperature-α=1/2 mixture weights per source (ppm sampling shares).
     "q166_temperature_mix" -> ((s, d) =>
       Sampling.temperatureWeights(Tables.documents(s, d), "source")),
+    // Precision/recall/F1 sweep of the q138 classifier against the
+    // lang=='en' label at six literal score cuts (exact ppm ratios).
+    "q167_pr_sweep" -> ((s, d) =>
+      graft.ml.Eval.thresholdSweep(
+        q138Scored(s, d), "score_fp", col("__en"),
+        Seq(-8000000L, -4000000L, -2000000L, 0L, 2000000L, 4000000L))),
+    // Cohen's kappa between the q49 trigram lang-id and the lang column —
+    // chance-corrected agreement from exact confusion counts.
+    "q168_langid_kappa" -> ((s, d) =>
+      graft.ml.Eval.cohensKappa(
+        Tables.documentsSpread(s, d).filter(length(col("text")) >= 3),
+        col("lang"), TextStats.langIdNgram(col("text")))),
+    // Reliability diagram of the q138 score vs lang=='en': exact decile
+    // cut on (score, doc_id), per-bin positive rate.
+    "q169_calibration" -> ((s, d) =>
+      graft.ml.Eval.calibrationBins(q138Scored(s, d), "score_fp", "doc_id",
+        col("__en"))),
   )
+
+  /** q167/q169 share the q138 hashed-linear scores joined with the
+    * lang=='en' evaluation label.
+    */
+  private def q138Scored(s: SparkSession, d: String): DataFrame =
+    TextStats.hashedLinearScore(Tables.documentsSpread(s, d), "doc_id", "text")
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"), (col("lang") === "en").as("__en")), Seq("doc_id"))
 
   /** q156/q159/q160 share the daily DECIMAL-exact cent totals per event
     * type — the canonical long-form metric panel.
@@ -3923,5 +3948,93 @@ object SparkEntry {
            CAST((qv * CAST(1000000 AS BIGINT))
              // (SELECT CAST(SUM(qv) AS BIGINT) FROM q) AS BIGINT) AS weight_fp
          FROM q""",
+    // q167: q138's score replay joined with the lang label, threshold
+    // spine unnested, exact ppm precision/recall/F1 (NULL on 0/0).
+    "q167_pr_sweep" -> (q138ScoredCte + """,
+         th AS (SELECT CAST(UNNEST([-8000000, -4000000, -2000000, 0,
+                  2000000, 4000000]) AS BIGINT) AS threshold),
+         cc AS (SELECT t.threshold,
+                  CAST(SUM(CASE WHEN score_fp >= t.threshold AND l THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                  CAST(SUM(CASE WHEN score_fp >= t.threshold AND NOT l THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                  CAST(SUM(CASE WHEN score_fp < t.threshold AND l THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                  CAST(SUM(CASE WHEN score_fp < t.threshold AND NOT l THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                FROM lab, th t GROUP BY 1)
+         SELECT threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END AS precision_fp,
+           CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) END AS recall_fp,
+           CASE WHEN 2 * tp + fp + fn > 0
+             THEN (2 * tp * 1000000) // (2 * tp + fp + fn) END AS f1_fp
+         FROM cc"""),
+    // q168: q49's trigram lang-id replay → confusion counts with
+    // window marginals → exact HUGEINT kappa closed form.
+    "q168_langid_kappa" ->
+      """WITH t AS (SELECT doc_id,
+             list_transform(range(1, len(text) - 1), i -> substr(text, i, 3)) AS tg
+           FROM documents WHERE len(text) >= 3),
+         m AS (SELECT doc_id, len(tg) AS total,
+             len(list_filter(tg, x -> list_contains(
+               ['the','he ',' th','and','nd ',' an','ing','ng ',' in','ion',
+                'on ',' of','of ',' to','to ','ed ','er ',' co','ent',' re'], x))) AS hits
+           FROM t),
+         pred AS (SELECT doc_id,
+                    CASE WHEN hits / total >= 0.05 THEN 'en' ELSE 'und' END AS p
+                  FROM m),
+         j AS (SELECT d.lang AS tt, pr.p FROM documents d
+               JOIN pred pr USING (doc_id)),
+         conf AS (SELECT tt, p, COUNT(*) AS n FROM j GROUP BY 1, 2),
+         marg AS (SELECT tt, p, n, SUM(n) OVER (PARTITION BY tt) AS r,
+                    SUM(n) OVER (PARTITION BY p) AS c FROM conf),
+         agg AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN tt = p THEN n ELSE 0 END) AS BIGINT) AS n_agree,
+                   SUM(CASE WHEN tt = p THEN CAST(r AS HUGEINT) * c
+                     ELSE 0 END) AS src
+                 FROM marg)
+         SELECT n_rows, n_agree,
+           (n_agree * 1000000) // n_rows AS po_fp,
+           CAST((src * 1000000) // (CAST(n_rows AS HUGEINT) * n_rows)
+             AS BIGINT) AS pe_fp,
+           CAST(CAST(n_rows AS HUGEINT) * n_agree - src AS DOUBLE)
+             / CAST(CAST(n_rows AS HUGEINT) * n_rows - src AS DOUBLE) AS kappa
+         FROM agg""",
+    // q169: same scored CTE, global (score, doc_id) rank, exact decile
+    // cut, floor-division bin means (scores go negative — `//` floors).
+    "q169_calibration" -> (q138ScoredCte + """,
+         rk AS (SELECT score_fp, l,
+                  row_number() OVER (ORDER BY score_fp, doc_id) AS rk,
+                  COUNT(*) OVER () AS nn
+                FROM lab),
+         bb AS (SELECT ((rk - 1) * 10) // nn + 1 AS bin, score_fp, l FROM rk)
+         SELECT bin, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           (CAST(SUM(score_fp) AS BIGINT)
+             - ((CAST(SUM(score_fp) AS BIGINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
+             // COUNT(*) AS mean_score_fp,
+           (CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // COUNT(*) AS pos_rate_fp
+         FROM bb GROUP BY 1"""),
   )
+
+  /** The q138 hashed-linear score replay joined with the lang=='en'
+    * label — shared head of the q167/q169 oracles.
+    */
+  private val q138ScoredCte: String =
+    """WITH f AS (
+           SELECT doc_id, u.w AS f FROM (
+             SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             UNNEST(ws) u(w) WHERE u.w <> ''
+           UNION ALL
+           SELECT doc_id, w[i] || ' ' || w[i+1] FROM (
+             SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             UNNEST(range(1, len(w))) t(i)),
+         b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 65536 AS bkt
+               FROM f),
+         wt AS (SELECT i AS bkt,
+                 CAST(('0x' || substr(md5('w-' || CAST(i AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2000001 - 1000000 AS wf
+                FROM generate_series(0, 65535) s(i)),
+         sc AS (SELECT doc_id, CAST(SUM(wf) AS BIGINT) AS score_fp
+                FROM b JOIN wt USING (bkt) GROUP BY doc_id),
+         lab AS (SELECT s.doc_id, s.score_fp, d.lang = 'en' AS l
+                 FROM sc s JOIN documents d USING (doc_id))"""
 }

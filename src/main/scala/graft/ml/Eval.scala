@@ -1,0 +1,133 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation aggregates — the quality-model QA suite a
+  * curation pipeline runs before trusting a filter: threshold sweeps
+  * (where do I cut?), chance-corrected agreement (is the cheap heuristic
+  * as good as the labels?), and calibration (do scores MEAN anything?).
+  * Every metric is computed from exact integer confusion counts, so the
+  * numbers are bit-identical under any partitioning.
+  */
+object Eval {
+
+  /** Precision/recall/F1 at each literal threshold: predict positive when
+    * `scoreCol >= t`. Confusion counts are exact longs; the ratios are
+    * integer parts-per-million (tp·10⁶ div …) — no float in the pipeline.
+    * F1 folds to 2·tp·10⁶ div (2·tp + fp + fn), the same rational.
+    *
+    * Scale posture: each row fans out to |thresholds| (literal-bounded,
+    * a dozen cuts — never data-sized) counting rows map-side, and the
+    * reduction is one map-side-combinable agg over |thresholds| groups.
+    * Thresholds with no positive predictions keep precision NULL (0/0).
+    *
+    * Output: (threshold, tp, fp, fn, tn, precision_fp, recall_fp, f1_fp).
+    */
+  def thresholdSweep(df: DataFrame, scoreCol: String, labelCol: Column,
+                     thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.distinct.size == thresholds.size,
+      s"thresholdSweep needs distinct thresholds, got $thresholds")
+    val M = 1000000L
+    df.select(col(scoreCol).cast("long").as("__s"), labelCol.as("__l"))
+      .withColumn("threshold", explode(array(thresholds.map(lit): _*)))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("__s") >= col("threshold") && col("__l"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__s") >= col("threshold") && !col("__l"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__s") < col("threshold") && col("__l"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("__s") < col("threshold") && !col("__l"), 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          expr(s"(tp * CAST($M AS BIGINT)) div (tp + fp)")).as("precision_fp"),
+        when(col("tp") + col("fn") > 0,
+          expr(s"(tp * CAST($M AS BIGINT)) div (tp + fn)")).as("recall_fp"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr(s"(2 * tp * CAST($M AS BIGINT)) div (2 * tp + fp + fn)"))
+          .as("f1_fp"))
+  }
+
+  /** Cohen's kappa (1960) between two categorical columns — agreement
+    * corrected for chance, the "is my cheap language-ID actually better
+    * than guessing the majority class" check. From exact counts:
+    *   κ = (N·Σᵢ nᵢᵢ − Σᵢ rᵢ·cᵢ) / (N² − Σᵢ rᵢ·cᵢ)
+    * with rᵢ/cᵢ the per-class marginals — both numerator and denominator
+    * are exact DECIMAL(38,0) integers (N² overflows longs at ~3·10⁹
+    * rows), and the final division is the one IEEE op, identical in both
+    * engines from identical integers.
+    *
+    * Scale posture: one pass to the |classes|²-bounded confusion table,
+    * everything after is confusion-table-sized. Output is ONE row:
+    * (n_rows, n_agree, po_fp, pe_fp, kappa).
+    */
+  def cohensKappa(df: DataFrame, truthCol: Column, predCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val M = 1000000L
+    val conf = df.select(truthCol.as("__t"), predCol.as("__p"))
+      .groupBy(col("__t"), col("__p")).agg(count(lit(1)).as("__n"))
+    conf
+      .withColumn("__r", sum(col("__n")).over(Window.partitionBy(col("__t"))))
+      .withColumn("__c", sum(col("__n")).over(Window.partitionBy(col("__p"))))
+      .agg(
+        sum(col("__n")).as("n_rows"),
+        sum(when(col("__t") === col("__p"), col("__n")).otherwise(0L))
+          .as("n_agree"),
+        // Σ rᵢ·cᵢ counts each diagonal cell's product once: the (t,p)
+        // cell carries r_t·c_p only when t == p.
+        sum(when(col("__t") === col("__p"),
+          col("__r").cast(dec) * col("__c").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__src"))
+      .select(
+        col("n_rows"), col("n_agree"),
+        expr(s"(n_agree * CAST($M AS BIGINT)) div n_rows").as("po_fp"),
+        // integral `div` on decimals: exact floor (operands non-negative),
+        // never a rounded fractional-scale decimal division
+        expr(s"CAST((__src * $M) div " +
+          "(CAST(n_rows AS DECIMAL(38,0)) * n_rows) AS BIGINT)").as("pe_fp"),
+        (col("n_rows").cast(dec) * col("n_agree") - col("__src")).cast("double")
+          ./(((col("n_rows").cast(dec) * col("n_rows")) - col("__src"))
+            .cast("double")).as("kappa"))
+  }
+
+  /** Calibration by score decile: rank rows by (score, id) — the unique
+    * tiebreak every rank in this library carries — cut into `bins` exact
+    * integer-division quantile bins, and report each bin's size, positive
+    * count, mean score and positive rate (both ppm fixed point). A
+    * monotone pos_rate over bins is what "higher score = better" actually
+    * claims; this is the reliability diagram as a table.
+    *
+    * The global rank is ONE sort-exchange of (score, id, label) triples —
+    * rank-based calibration is inherently a global order; at 100 TB the
+    * histogram-sketch quantile cut ([[Sketches.histQuantiles]]) is the
+    * approximate alternative, this is the exact one.
+    *
+    * Output: (bin, n, n_pos, mean_score_fp, pos_rate_fp).
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, idCol: String,
+                      labelCol: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationBins: bins >= 2, got $bins")
+    val M = 1000000L
+    val w = Window.orderBy(col("__s").asc, col("__id").asc)
+    df.select(col(scoreCol).cast("long").as("__s"), col(idCol).as("__id"),
+        labelCol.as("__l"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("bin", expr(s"((__rk - 1) * $bins) div __n + 1"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s")).as("__ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        // Scores can be negative: Spark's `div` truncates toward zero but
+        // DuckDB's `//` floors, so build floor division from pmod (the
+        // remainder is non-negative, making the subtraction an exact
+        // multiple) — tie-free and engine-identical.
+        expr("(__ssum - pmod(__ssum, n)) div n").as("mean_score_fp"),
+        expr(s"(n_pos * CAST($M AS BIGINT)) div n").as("pos_rate_fp"))
+  }
+}

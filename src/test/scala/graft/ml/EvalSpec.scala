@@ -1,0 +1,59 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EvalSpec extends SparkSpec {
+
+  test("thresholdSweep: hand confusion counts and exact ppm ratios") {
+    val s = spark; import s.implicits._
+    // scores 1..4, positives at 3 and 4
+    val df = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("score_fp", "lab")
+    val got = Eval.thresholdSweep(df, "score_fp", col("lab"), Seq(3L, 10L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    // t=3: tp=2 fp=0 fn=0 tn=2 → precision/recall 10^6
+    assert(got(3L) == ((2L, 0L, 0L, 2L, 1000000L, 1000000L)))
+    // t=10: nothing predicted positive → precision NULL, recall 0
+    assert(got(10L) == ((0L, 0L, 2L, 2L, -1L, 0L)))
+  }
+
+  test("cohensKappa: the textbook 2x2 example gives kappa = 0.4") {
+    val s = spark; import s.implicits._
+    // counts: (y,y)=20 (y,n)=5 (n,y)=10 (n,n)=15 → po=0.7 pe=0.5 κ=0.4
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Eval.cohensKappa(rows.toDF("t", "p"), col("t"), col("p")).head()
+    assert(r.getLong(0) == 50L && r.getLong(1) == 35L)
+    assert(r.getLong(2) == 700000L && r.getLong(3) == 500000L)
+    // (50·35 − 1250) / (2500 − 1250) = 500/1250 = 0.4 exactly in doubles
+    assert(r.getDouble(4) == 0.4)
+  }
+
+  test("cohensKappa: perfect agreement is 1, zero-information is <= 0") {
+    val s = spark; import s.implicits._
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("t", "p")
+    assert(Eval.cohensKappa(perfect, col("t"), col("p")).head().getDouble(4) == 1.0)
+    // predictor always says "a": agreement equals chance on this split
+    val const = Seq(("a", "a"), ("b", "a")).toDF("t", "p")
+    assert(Eval.cohensKappa(const, col("t"), col("p")).head().getDouble(4) <= 0.0)
+  }
+
+  test("calibrationBins: exact cut, floor means on negative scores") {
+    val s = spark; import s.implicits._
+    // 6 rows, 2 bins: lower half scores {-7,-7,-6}, upper {1,2,3}
+    val df = Seq((-7L, 1L, false), (-7L, 2L, false), (-6L, 3L, true),
+      (1L, 4L, true), (2L, 5L, true), (3L, 6L, true))
+      .toDF("score_fp", "id", "lab")
+    val got = Eval.calibrationBins(df, "score_fp", "id", col("lab"), bins = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // bin 1 mean: floor(-20/3) = -7 (floor, not truncation toward zero)
+    assert(got(1L) == ((3L, 1L, -7L, 333333L)))
+    assert(got(2L) == ((3L, 3L, 2L, 1000000L)))
+  }
+}
