@@ -1467,6 +1467,38 @@ object SparkEntry {
     "q169_calibration" -> ((s, d) =>
       graft.ml.Eval.calibrationBins(q138Scored(s, d), "score_fp", "doc_id",
         col("__en"))),
+    // Join-key skew profile of events.user_id (nulls folded to -1 so the
+    // tiebreak never compares NULL orderings across engines).
+    "q170_skew_profile" -> ((s, d) =>
+      Analytics.keySkewProfile(
+        Tables.events(s, d).select(coalesce(col("user_id"), lit(-1L)).as("uid")),
+        "uid", 10)),
+    // Per-nation Gini concentration of customer order spend.
+    "q171_spend_gini" -> ((s, d) => {
+      val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * lit(100))
+          .cast("long").as("cents"))
+      val df = spend.join(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      Analytics.giniByGroup(df, "c_nationkey", "c_custkey", "cents")
+    }),
+    // Shannon entropy of the source mix per language (corpus diversity).
+    "q172_source_entropy" -> ((s, d) =>
+      Sampling.mixtureEntropy(Tables.documents(s, d), "lang", "source")),
+    // 3-round multi-source BFS hops from the l_partkey%97==0 seed parts
+    // over the co-occurrence graph.
+    "q173_bfs_hops" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      val seeds = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 97 === 0)
+        .select(col("l_partkey").as("node")).distinct()
+      graft.graphs.Bfs.run(edges, seeds, rounds = 3)
+    }),
   )
 
   /** q167/q169 share the q138 hashed-linear scores joined with the
@@ -4012,7 +4044,86 @@ object SparkEntry {
            (CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
              // COUNT(*) AS pos_rate_fp
          FROM bb GROUP BY 1"""),
+    // q170: per-key counts, 1-row totals, top-10 by (count desc, key),
+    // exact ppm shares and multiple-of-mean.
+    "q170_skew_profile" ->
+      """WITH c AS (SELECT COALESCE(user_id, -1) AS key, COUNT(*) AS n_rows
+                FROM events GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot, COUNT(*) AS nk
+               FROM c),
+         top AS (SELECT key, n_rows, rank FROM (
+                   SELECT key, n_rows, row_number() OVER (
+                     ORDER BY n_rows DESC, key) AS rank FROM c)
+                 WHERE rank <= 10)
+         SELECT key, n_rows, rank,
+           (n_rows * 1000000) // tot AS share_fp,
+           (CAST(SUM(n_rows) OVER (ORDER BY rank) AS BIGINT) * 1000000) // tot
+             AS cum_share_fp,
+           (n_rows * nk * 1000000) // tot AS x_mean_fp
+         FROM top, t""",
+    // q171: per-customer DECIMAL cents, per-nation ascending (cents, id)
+    // rank, exact HUGEINT Gini closed form in ppm.
+    "q171_spend_gini" ->
+      """WITH sp AS (SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+           FROM orders GROUP BY 1),
+         j AS (SELECT c.c_nationkey AS g, c.c_custkey AS id, sp.cents
+               FROM sp JOIN customer c ON c.c_custkey = sp.o_custkey
+               WHERE sp.cents >= 0),
+         r AS (SELECT g, cents, row_number() OVER (PARTITION BY g
+                 ORDER BY cents, id) AS rk FROM j),
+         a AS (SELECT g, COUNT(*) AS n_members,
+                 CAST(SUM(cents) AS BIGINT) AS total_cents,
+                 SUM(CAST(rk AS HUGEINT) * cents) AS rx
+               FROM r GROUP BY 1)
+         SELECT g AS "group", n_members, total_cents,
+           CAST(((2 * rx - (CAST(n_members AS HUGEINT) + 1) * total_cents)
+             * 1000000) // (CAST(n_members AS HUGEINT) * total_cents)
+             AS BIGINT) AS gini_fp
+         FROM a WHERE total_cents > 0""",
+    // q172: per-(lang, source) counts, c·ln(c) quantized once per group,
+    // integer floor division — the q84 fixed-point ln contract.
+    "q172_source_entropy" ->
+      """WITH c AS (SELECT lang AS key, source, COUNT(*) AS c
+                FROM documents GROUP BY 1, 2),
+         t AS (SELECT key, c,
+                 CAST(FLOOR(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS t
+               FROM c),
+         a AS (SELECT key, CAST(SUM(c) AS BIGINT) AS n_rows,
+                 COUNT(*) AS n_groups, CAST(SUM(t) AS BIGINT) AS s
+               FROM t GROUP BY 1)
+         SELECT key, n_rows, n_groups,
+           CAST(FLOOR(ln(CAST(n_rows AS DOUBLE)) * 1000000.0) AS BIGINT)
+             - (s // n_rows) AS entropy_fp
+         FROM a""",
+    // q173: generated frontier/min-merge CTEs per round.
+    "q173_bfs_hops" -> bfsOracle(3),
   )
+
+  /** q173's generated BFS oracle: one frontier-expansion + min-merge CTE
+    * pair per round — the operator's exact loop.
+    */
+  private def bfsOracle(rounds: Int): String = {
+    val b = new StringBuilder(
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         d0 AS (SELECT DISTINCT l_partkey AS node, 0 AS hops FROM lineitem
+                WHERE l_partkey % 97 = 0)""")
+    for (i <- 1 to rounds) {
+      b.append(s""",
+         d$i AS (SELECT node, MIN(hops) AS hops FROM (
+                   SELECT node, hops FROM d${i - 1}
+                   UNION ALL
+                   SELECT e.dst AS node, f.hops + 1 AS hops
+                   FROM d${i - 1} f JOIN e ON f.node = e.src
+                   WHERE f.hops = ${i - 1}) GROUP BY 1)""")
+    }
+    b.append(s"\n         SELECT node, CAST(hops AS BIGINT) AS hops FROM d$rounds")
+    b.toString
+  }
 
   /** The q138 hashed-linear score replay joined with the lang=='en'
     * label — shared head of the q167/q169 oracles.

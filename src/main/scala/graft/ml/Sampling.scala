@@ -324,4 +324,33 @@ object Sampling {
       .select(col("source"), col("n_docs"),
         expr("(__q * CAST(1000000 AS BIGINT)) div __tot").as("weight_fp"))
   }
+
+  /** Shannon entropy of the group-size mix per key — the dataset-card
+    * "how diverse is this slice" number (entropy 0 = one group dominates
+    * completely; ln(k) = perfectly even over k groups):
+    *   H = ln N − (Σ_g c_g·ln c_g) / N.
+    *
+    * Determinism: each group's c·ln(c) term is quantized ONCE to 10⁻⁶
+    * fixed point (the q84 log-prob contract — libm ln may differ by an
+    * ulp between engines, but the floor of the scaled term is tie-free in
+    * practice and any partitioning sums the same longs), the Σ/N division
+    * is integer floor on non-negative operands, and ln(N) is quantized
+    * the same way.
+    *
+    * Scale posture: one map-side-combinable count per (key, group), one
+    * per-key reduction over group rows. Output: (key, n_rows, n_groups,
+    * entropy_fp) — entropy in nats × 10⁶.
+    */
+  def mixtureEntropy(df: DataFrame, keyCol: String, groupCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("key"), col("__c"),
+        floor(col("__c").cast("double") * log(col("__c").cast("double"))
+          * lit(1000000.0)).cast("long").as("__t"))
+      .groupBy(col("key"))
+      .agg(sum(col("__c")).as("n_rows"), count(lit(1)).as("n_groups"),
+        sum(col("__t")).as("__s"))
+      .select(col("key"), col("n_rows"), col("n_groups"),
+        (floor(log(col("n_rows").cast("double")) * lit(1000000.0))
+          .cast("long") - expr("__s div n_rows")).as("entropy_fp"))
 }

@@ -1049,4 +1049,80 @@ object Analytics {
           / (sqrt(col("__vx").cast("double")) * sqrt(col("__vy").cast("double"))))
       .select(col("series_a"), col("series_b"), col("n_obs"), col("r"))
   }
+
+  /** Join-key skew profile — the "why is task 1477 still running"
+    * diagnostic, as a first-class operator: the k heaviest keys of a
+    * column with their row share and multiple-of-mean, exact ppm. A key
+    * at 100× the mean is the one you salt.
+    *
+    * One map-side-combinable count per key into a persisted key table
+    * (distinct-key-sized; referenced by both the 1-row totals aggregate
+    * and the top-k — without the persist each branch re-scans the data;
+    * per-call lifecycle, the session owner's `clearCache()` releases it),
+    * then TakeOrdered for the top-k and a broadcast of the single totals
+    * row. No global window ever touches the full key table — a
+    * partitionBy(lit(1)) window there would single-thread billions of
+    * keys. Cumulative share is over the top-k rows only (rank order).
+    *
+    * Output: (key, n_rows, rank, share_fp, cum_share_fp, x_mean_fp) —
+    * share in ppm, x_mean_fp = how many ×10⁶-ths of the mean key size.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"keySkewProfile: k >= 1, got $k")
+    val M = 1000000L
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.agg(sum(col("n_rows")).as("__tot"),
+      count(lit(1)).as("__nk"))
+    val top = counts
+      .orderBy(col("n_rows").desc, col("key").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_rows").desc, col("key").asc)).cast("long"))
+      .join(broadcast(totals))
+    top
+      .withColumn("__cum", sum(col("n_rows")).over(
+        Window.orderBy(col("rank").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("key"), col("n_rows"), col("rank"),
+        expr(s"(n_rows * CAST($M AS BIGINT)) div __tot").as("share_fp"),
+        expr(s"(__cum * CAST($M AS BIGINT)) div __tot").as("cum_share_fp"),
+        expr(s"(n_rows * __nk * CAST($M AS BIGINT)) div __tot").as("x_mean_fp"))
+  }
+
+  /** Gini concentration coefficient per group — "is revenue coming from
+    * everyone or from three whales", exact from integer cents:
+    *   G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx),   x sorted ascending,
+    * with the rank ordered by (value, id) — the unique tiebreak — and
+    * every product in DECIMAL(38,0) (rank·cents overflows longs at
+    * ~10⁹ members × $10⁷). The single division is ppm integer floor.
+    *
+    * One exchange to rank within each group, one map-side-combinable
+    * agg. Members with zero or positive cents only (Gini is defined for
+    * non-negative distributions; negative rows are dropped loudly via
+    * the returned n).
+    *
+    * Output: (group, n_members, total_cents, gini_fp).
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, idCol: String,
+                  centsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__x").asc, col("__id").asc)
+    df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        col(centsCol).cast("long").as("__x"))
+      .filter(col("__x") >= 0)
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .groupBy(col("__g").as("group"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__x")).as("total_cents"),
+        sum(col("__rk").cast(dec) * col("__x").cast(dec)).as("__rx"))
+      .filter(col("total_cents") > 0)
+      .select(col("group"), col("n_members"), col("total_cents"),
+        expr("CAST(((2 * __rx - (CAST(n_members AS DECIMAL(38,0)) + 1) " +
+          "* total_cents) * 1000000) div " +
+          "(CAST(n_members AS DECIMAL(38,0)) * total_cents) AS BIGINT)")
+          .as("gini_fp"))
+  }
 }

@@ -310,4 +310,17 @@ class SamplingSpec extends SparkSpec {
     assert(got("big") == ((400L, 666666L)))    // 20/30 ppm floor
   }
 
+
+  test("mixtureEntropy: uniform mix gives ln(k), single group gives 0") {
+    val s = spark; import s.implicits._
+    val df = Seq(("en", "s1"), ("en", "s2"),            // uniform over 2
+      ("de", "s1"), ("de", "s1"), ("de", "s1"), ("de", "s1")) // single
+      .toDF("lang", "source")
+    val got = Sampling.mixtureEntropy(df, "lang", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("en") == ((2L, 2L, 693147L)))  // floor(ln(2)·10^6)
+    assert(got("de") == ((4L, 1L, 0L)))
+  }
+
 }

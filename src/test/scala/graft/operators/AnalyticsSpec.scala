@@ -626,4 +626,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(1L)._3 == 150.0 && got(1L)._2 == 2)
     assert(got(2L)._7 == "115") // oldest order, one order, highest spend
   }
+
+  test("keySkewProfile: shares, cumulative shares and x-mean are exact ppm") {
+    val s = spark; import s.implicits._
+    // key a: 6 rows, b: 3, c: 1 → total 10, 3 keys, mean 10/3
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val got = Analytics.keySkewProfile(df, "k", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      ("a", 6L, 1L, 600000L, 600000L, 1800000L),   // 6/10, 6·3/10 of mean
+      ("b", 3L, 2L, 300000L, 900000L, 900000L)))
+    spark.catalog.clearCache()
+  }
+
+  test("giniByGroup: hand Gini values, equal distribution is zero") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("g1", 1L, 0L), ("g1", 2L, 0L), ("g1", 3L, 10L),  // G = 2/3
+      ("g2", 4L, 5L), ("g2", 5L, 5L), ("g2", 6L, 5L),   // equal → 0
+      ("g3", 7L, -4L), ("g3", 8L, 6L))                  // negative dropped
+      .toDF("g", "id", "cents")
+    val got = Analytics.giniByGroup(df, "g", "id", "cents")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("g1") == ((3L, 10L, 666666L)))
+    assert(got("g2") == ((3L, 15L, 0L)))
+    assert(got("g3") == ((1L, 6L, 0L)))  // single member → G = 0
+  }
+
 }
