@@ -1499,6 +1499,34 @@ object SparkEntry {
         .select(col("l_partkey").as("node")).distinct()
       graft.graphs.Bfs.run(edges, seeds, rounds = 3)
     }),
+    // Winnowing (MOSS) positional fingerprints: 3-gram hashes, window 4,
+    // rightmost-min selection, distinct (pos, hash) pairs.
+    "q174_winnow_fingerprints" -> ((s, d) =>
+      TextDedup.winnowFingerprints(Tables.documentsSpread(s, d), "doc_id",
+        "text")),
+    // Time-weighted average event value per user (TWAP): value holds
+    // until the user's next event, cents·µs in DECIMAL(38,0).
+    "q175_time_weighted" -> ((s, d) =>
+      Temporal.timeWeightedAvg(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("user_id"), col("event_id"), col("event_ts_us"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+          .filter(col("user_id").isNotNull),
+        Seq("user_id"), "event_ts_us", "event_id", "cents")),
+    // Daily OHLC bars of purchase values per event type.
+    "q176_ohlc_bars" -> ((s, d) =>
+      Analytics.ohlcBars(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"), col("event_ts_us"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents")),
+        Seq("event_type"), "event_ts_us", "event_id", "cents",
+        86400000000L)),
+    // Exact covariance matrix of the embedding dimensions (PCA's
+    // distributed half) — one corpus scan, marker-row marginals.
+    "q177_embedding_cov" -> ((s, d) =>
+      Similarity.covarianceMatrix(Tables.embeddingsSpread(s, d))),
   )
 
   /** q167/q169 share the q138 hashed-linear scores joined with the
@@ -4100,6 +4128,88 @@ object SparkEntry {
          FROM a""",
     // q173: generated frontier/min-merge CTEs per round.
     "q173_bfs_hops" -> bfsOracle(3),
+    // q174: 3-gram md5 hashes, window-4 rightmost-min selection replayed
+    // with list ops, distinct (pos, hash) pairs.
+    "q174_winnow_fingerprints" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+         g AS (SELECT doc_id, list_transform(range(1, len(wd) - 1),
+                 i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]) AS gr
+               FROM t),
+         h AS (SELECT doc_id,
+                 list_transform(gr, s ->
+                   CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs,
+                 len(gr) AS n
+               FROM g WHERE len(gr) >= 1),
+         sel AS (SELECT doc_id, CASE WHEN n >= 4 THEN
+                   list_transform(range(1, n - 2), i ->
+                     {'pos': i + 4 - list_position(list_reverse(hs[i:i+3]),
+                        list_min(hs[i:i+3])),
+                      'fp': list_min(hs[i:i+3])})
+                 ELSE [{'pos': 1 + n - list_position(list_reverse(hs),
+                          list_min(hs)),
+                        'fp': list_min(hs)}] END AS fps
+                 FROM h)
+         SELECT DISTINCT doc_id, CAST(f.pos AS BIGINT) AS pos,
+           f.fp AS fp_hash
+         FROM sel, UNNEST(fps) u(f)""",
+    // q175: lead() over (ts, event_id), cents·µs in HUGEINT, truncating
+    // division (both engines truncate toward zero).
+    "q175_time_weighted" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         l AS (SELECT user_id, cents, ts,
+                 lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nxt
+               FROM e),
+         i AS (SELECT user_id, cents, nxt - ts AS dur FROM l
+               WHERE nxt IS NOT NULL),
+         a AS (SELECT user_id, COUNT(*) AS n_intervals,
+                 CAST(SUM(dur) AS BIGINT) AS total_us,
+                 SUM(CAST(cents AS HUGEINT) * dur) AS cd
+               FROM i GROUP BY 1)
+         SELECT user_id, n_intervals, total_us,
+           CAST(cd // CAST(total_us AS HUGEINT) AS BIGINT) AS twa_cents
+         FROM a WHERE total_us > 0""",
+    // q176: min/max-of-(ts,id) open/close via ranked windows, exact cents.
+    "q176_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         b AS (SELECT event_type, ts // 86400000000 AS bucket, ts,
+                 event_id, cents FROM e),
+         agg AS (SELECT event_type, bucket, MAX(cents) AS high_cents,
+                   MIN(cents) AS low_cents, COUNT(*) AS n_events
+                 FROM b GROUP BY 1, 2),
+         o AS (SELECT event_type, bucket, cents AS open_cents FROM (
+                 SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                   ORDER BY ts, event_id) AS rn FROM b) WHERE rn = 1),
+         c AS (SELECT event_type, bucket, cents AS close_cents FROM (
+                 SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                   ORDER BY ts DESC, event_id DESC) AS rn FROM b) WHERE rn = 1)
+         SELECT a.event_type, a.bucket, o.open_cents, a.high_cents,
+           a.low_cents, c.close_cents, a.n_events
+         FROM agg a JOIN o USING (event_type, bucket)
+              JOIN c USING (event_type, bucket)""",
+    // q177: 2^20-quantized components, lockstep UNNEST positions, exact
+    // HUGEINT pair/marginal sums, identical integer→double division tree.
+    "q177_embedding_cov" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+           FROM embeddings),
+         u AS (SELECT vec_id, UNNEST(q) AS x,
+                 UNNEST(range(1, len(q) + 1)) AS i FROM v),
+         p AS (SELECT a.i AS di, b.i AS dj, COUNT(*) AS n,
+                 SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy
+               FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+               GROUP BY 1, 2),
+         dm AS (SELECT i, SUM(CAST(x AS HUGEINT)) AS sx FROM u GROUP BY 1)
+         SELECT CAST(p.di AS BIGINT) AS dim_i, CAST(p.dj AS BIGINT) AS dim_j,
+           p.n AS n,
+           CAST(CAST(p.n AS HUGEINT) * p.sxy - da.sx * db.sx AS DOUBLE)
+             / CAST(CAST(p.n AS HUGEINT) * p.n AS DOUBLE)
+             / 1099511627776.0 AS cov
+         FROM p JOIN dm da ON da.i = p.di JOIN dm db ON db.i = p.dj""",
   )
 
   /** q173's generated BFS oracle: one frontier-expansion + min-merge CTE

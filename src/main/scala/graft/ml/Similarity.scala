@@ -119,6 +119,68 @@ object Similarity {
       .select(col("anchor_id"), col("negative_id"), col("rank"), col("cosine"))
   }
 
+  /** Exact population covariance matrix of the embedding dimensions — the
+    * distributed half of PCA/whitening (the d×d eigensolve that follows is
+    * driver-side linear algebra over this output, which is dims²-sized,
+    * not data-sized):
+    *   cov(i,j) = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ) / n²   (upper triangle i ≤ j).
+    *
+    * Determinism: components quantize ONCE to 2^qBits fixed point, pair
+    * products are exact longs summed in DECIMAL(38,0), and the final
+    * divisions (by n² and by the 2^2q scale) are IEEE ops both engines
+    * compute identically from identical integers.
+    *
+    * Scale posture: ONE corpus scan — every vector emits its d(d+1)/2
+    * upper-triangle products PLUS d marker rows (j = −1) carrying the
+    * per-dimension sums, so pair sums and dimension sums come out of the
+    * same map-side-combinable aggregation (a second aggregation branch
+    * would re-scan the corpus; Spark does not dedupe repeated subplans).
+    * The aggregate is dims²-sized and persisted for the call (it feeds
+    * the pair rows and both marginal joins; per-call lifecycle, the
+    * session owner's `clearCache()` releases it); marginals broadcast.
+    *
+    * Output: (dim_i, dim_j, n, cov) with 1-based dims, i ≤ j, cov in
+    * original (unquantized) units².
+    */
+  def covarianceMatrix(vectors: DataFrame, embCol: String = "embedding",
+                       qBits: Int = 20): DataFrame = {
+    require(qBits >= 1 && qBits <= 25,
+      s"covarianceMatrix: qBits in [1, 25], got $qBits")
+    val dec = "decimal(38,0)"
+    val scale = math.pow(2, qBits)
+    val q = vectors
+      .select(transform(col(embCol),
+        x => floor(x.cast("double") * lit(scale)).cast("long")).as("__q"))
+      .select(col("__q"), size(col("__q")).as("__d"))
+    val pairRows = q.select(explode(concat(
+        flatten(transform(sequence(lit(1), col("__d")), i =>
+          transform(sequence(i, col("__d")), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(col("__q"), i) * element_at(col("__q"), j))
+                .as("v"))))),
+        transform(sequence(lit(1), col("__d")), i =>
+          struct(i.as("i"), lit(-1).as("j"),
+            element_at(col("__q"), i).as("v"))))).as("__p"))
+      .select(col("__p.i").as("__i"), col("__p.j").as("__j"),
+        col("__p.v").as("__v"))
+    val agg = pairRows.groupBy(col("__i"), col("__j"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__v").cast(dec)).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dims = agg.filter(col("__j") === -1)
+      .select(col("__i").as("__dk"), col("__s").as("__dsum"))
+    agg.filter(col("__j") =!= -1)
+      .join(broadcast(dims.withColumnRenamed("__dk", "__i")
+        .withColumnRenamed("__dsum", "__si")), Seq("__i"))
+      .join(broadcast(dims.withColumnRenamed("__dk", "__j")
+        .withColumnRenamed("__dsum", "__sj")), Seq("__j"))
+      .select(col("__i").cast("long").as("dim_i"),
+        col("__j").cast("long").as("dim_j"), col("__cnt").as("n"),
+        ((col("__cnt").cast(dec) * col("__s") - col("__si") * col("__sj"))
+          .cast("double")
+          / (col("__cnt").cast(dec) * col("__cnt")).cast("double")
+          / lit(math.pow(2, 2 * qBits))).as("cov"))
+  }
+
   /** One row of one vector column is inspected at build time: a dims
     * mismatch would null-pad `zip_with` against the literal plane arrays
     * and silently send every vector to bucket/score 0 — fail loudly

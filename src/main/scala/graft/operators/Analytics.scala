@@ -1125,4 +1125,34 @@ object Analytics {
           "(CAST(n_members AS DECIMAL(38,0)) * total_cents) AS BIGINT)")
           .as("gini_fp"))
   }
+
+  /** OHLC bars — open/high/low/close + volume per (key, time bucket), the
+    * candlestick aggregation every metrics/trading surface draws. Open and
+    * close ride the min/max-of-struct idiom over (ts, tie, cents): struct
+    * comparison is lexicographic and (ts, tie) is unique, so first/last
+    * are deterministic under any partitioning — never a window sort.
+    * ONE map-side-combinable aggregation; cents are exact longs.
+    *
+    * Output: (keys…, bucket, open_cents, high_cents, low_cents,
+    * close_cents, n_events).
+    */
+  def ohlcBars(df: DataFrame, keys: Seq[String], tsUsCol: String,
+               tieCol: String, centsCol: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"ohlcBars: bucketUs > 0, got $bucketUs")
+    val kc = keys.map(col)
+    df.select(kc :+ col(tsUsCol).cast("long").as("__ts")
+        :+ col(tieCol).as("__tie") :+ col(centsCol).cast("long").as("__c"): _*)
+      .withColumn("bucket", expr(s"__ts div $bucketUs"))
+      .groupBy(kc :+ col("bucket"): _*)
+      .agg(
+        min(struct(col("__ts"), col("__tie"), col("__c"))).as("__first"),
+        max(struct(col("__ts"), col("__tie"), col("__c"))).as("__last"),
+        max(col("__c")).as("high_cents"),
+        min(col("__c")).as("low_cents"),
+        count(lit(1)).as("n_events"))
+      .select(kc ++ Seq(col("bucket"),
+        col("__first.__c").as("open_cents"), col("high_cents"),
+        col("low_cents"), col("__last.__c").as("close_cents"),
+        col("n_events")): _*)
+  }
 }

@@ -330,4 +330,43 @@ object Temporal {
       .select(kc :+ col(idxCol)
         :+ coalesce(col("__s"), lit(0L)).as("ewma_fp"): _*)
   }
+
+  /** Time-weighted average value per key — the TWAP/duration-weighted
+    * metric ("average price while it was in effect", "mean fleet size"):
+    * each observation holds from its timestamp until the NEXT observation
+    * of the same key, and the average weights values by held microseconds:
+    *   twa = Σ centsᵢ·durᵢ / Σ durᵢ.
+    * The key's last observation has no observed duration and is excluded
+    * (its value never demonstrably held) — n_intervals counts the closed
+    * intervals that did.
+    *
+    * Exact: durations are epoch-µs longs, cents·µs products accumulate in
+    * DECIMAL(38,0) (a $10⁴ value held for a year is ~3·10¹⁹ — past signed
+    * longs), and the final division is integer floor on non-negative
+    * sums, yielding cents. One exchange + per-partition sort for the
+    * `lead` (ordered by (ts, tie) — the unique-tiebreak contract), one
+    * map-side-combinable agg.
+    *
+    * Output: (keys…, n_intervals, total_us, twa_cents).
+    */
+  def timeWeightedAvg(df: DataFrame, keys: Seq[String], tsUsCol: String,
+                      tieCol: String, centsCol: String): DataFrame = {
+    require(keys.nonEmpty, "timeWeightedAvg needs keys")
+    val dec = "decimal(38,0)"
+    df.select(keys.map(col) :+ col(tsUsCol).cast("long").as("__ts")
+        :+ col(tieCol).as("__tie") :+ col(centsCol).cast("long").as("__c"): _*)
+      .withColumn("__next", lead(col("__ts"), 1).over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__ts").asc, col("__tie").asc)))
+      .filter(col("__next").isNotNull)
+      .withColumn("__dur", col("__next") - col("__ts"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dur")).as("total_us"),
+        sum(col("__c").cast(dec) * col("__dur").cast(dec)).as("__cd"))
+      .filter(col("total_us") > 0)
+      .select(keys.map(col) ++ Seq(col("n_intervals"), col("total_us"),
+        expr("CAST(__cd div CAST(total_us AS DECIMAL(38,0)) AS BIGINT)")
+          .as("twa_cents")): _*)
+  }
 }

@@ -564,6 +564,57 @@ object TextDedup {
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), fingerprintCol(col(textCol)).as("fp"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): from the k-gram hash sequence, each window of
+    * `w` consecutive hashes contributes its minimum (RIGHTMOST minimal on
+    * ties, the paper's robust-winnowing choice), deduped as (position,
+    * hash) pairs. Guarantees: any shared run of w + k − 1 tokens between
+    * two documents shares at least one fingerprint, and at least one
+    * fingerprint survives per window span — the positional partial-overlap
+    * detector whole-document hashing ([[fingerprint]]) cannot give.
+    *
+    * Entirely row-local (one map pass, no exchange): grams and their
+    * hashes are STAGED as projected array columns before any lambda
+    * touches them (the [[shingleHashesFromTokenHashes]] rule — only the
+    * lambda element is computed per element), and each window does O(w)
+    * work over the staged hash array. Documents with fewer than w k-grams
+    * fall back to one whole-array window (so every non-empty gram
+    * sequence yields ≥ 1 fingerprint).
+    *
+    * Output: (doc_id, pos [1-based gram index], fp_hash), distinct.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"winnowFingerprints: k >= 1, got $k")
+    require(w >= 2, s"winnowFingerprints: w >= 2, got $w")
+    val windowSel = transform(
+      sequence(lit(1L), col("__n") - (w - 1L)),
+      i => {
+        val sub = slice(col("__h"), i.cast("int"), lit(w))
+        val m = array_min(sub)
+        struct((i + w - array_position(reverse(sub), m)).as("pos"),
+          m.as("fp_hash"))
+      })
+    val wholeSel = {
+      val m = array_min(col("__h"))
+      array(struct(
+        (lit(1L) + col("__n") - array_position(reverse(col("__h")), m))
+          .as("pos"),
+        m.as("fp_hash")))
+    }
+    docs
+      .select(col(idCol).as("doc_id"), shinglesAll(col(textCol), k).as("__g"))
+      .select(col("doc_id"),
+        transform(col("__g"), g => tokenHash60(g)).as("__h"))
+      .select(col("doc_id"), col("__h"), size(col("__h")).cast("long").as("__n"))
+      .filter(col("__n") >= 1)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          when(col("__n") >= w, windowSel).otherwise(wholeSel))).as("__f"))
+      .select(col("doc_id"), col("__f.pos").as("pos"),
+        col("__f.fp_hash").as("fp_hash"))
+  }
+
   /** End-to-end near-dup REMOVAL — the step every dedup pipeline actually
     * ships: near-dup pairs ([[simhashNearDupPairs]]) → connected
     * components ([[graft.graphs.ConnectedComponents]]) → keep ONE

@@ -488,4 +488,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq.sortBy(_._3) == Seq((0L, 2L, 1), (0L, 3L, 2)))
   }
 
+
+  test("covarianceMatrix: exact closed form on integer vectors") {
+    val s = spark; import s.implicits._
+    val rows = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(5.0f, 6.0f))
+      .toDF("embedding")
+    val got = Similarity.covarianceMatrix(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // population covariances all 24/9 = 8/3 on these lines
+    val tp = BigInt(1) << 40
+    def want(sxy: BigInt, si: BigInt, sj: BigInt): Double =
+      ((BigInt(3) * sxy * tp - si * sj * tp).toDouble / BigInt(9).toDouble) / tp.toDouble
+    assert(got.keySet == Set((1L, 1L), (1L, 2L), (2L, 2L)))
+    assert(got((1L, 1L)) == ((3L, want(35, 9, 9))))
+    assert(got((1L, 2L)) == ((3L, want(44, 9, 12))))
+    assert(got((2L, 2L)) == ((3L, want(56, 12, 12))))
+    assert(math.abs(got((1L, 1L))._2 - 8.0 / 3.0) < 1e-9)
+    spark.catalog.clearCache()
+  }
+
 }

@@ -655,4 +655,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("g3") == ((1L, 6L, 0L)))  // single member → G = 0
   }
 
+
+  test("ohlcBars: open/close by (ts,id), same-ts tie resolved by id") {
+    val s = spark; import s.implicits._
+    val day = 86400000000L
+    val df = Seq(
+      ("a", 1L, 5L, 10L), ("a", 2L, 5L, 30L),       // same ts: id orders
+      ("a", 3L, 99L, 7L), ("a", 4L, day + 1, 500L)) // second bucket
+      .toDF("k", "id", "ts", "cents")
+    val got = Analytics.ohlcBars(df, Seq("k"), "ts", "id", "cents", day)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got(("a", 0L)) == ((10L, 30L, 7L, 7L, 3L)))
+    assert(got(("a", 1L)) == ((500L, 500L, 500L, 500L, 1L)))
+  }
+
 }

@@ -316,4 +316,21 @@ class TemporalSpec extends SparkSpec {
     }
     assert(got.size == 80)
   }
+
+  test("timeWeightedAvg: held durations weight the mean; last state open") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, 10L, 0L, 100L),   // holds 10us at 100c
+      (1L, 11L, 10L, 200L),  // holds 20us at 200c
+      (1L, 12L, 30L, 999L),  // open-ended -> excluded
+      (2L, 20L, 5L, 50L))    // single state -> no interval -> dropped
+      .toDF("user_id", "event_id", "event_ts_us", "cents")
+    val got = Temporal.timeWeightedAvg(df, Seq("user_id"), "event_ts_us",
+        "event_id", "cents")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // (100·10 + 200·20) / 30 = 5000/30 = 166 (floor)
+    assert(got == Map(1L -> ((2L, 30L, 166L))))
+  }
+
 }

@@ -414,4 +414,63 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(minId == Set(1L, 5L, 9L), s"minId $minId")
   }
+
+  /** JVM replica of tokenHash60 for driver-side winnowing reference. */
+  private def refHash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("winnowFingerprints matches a driver-side reference; density holds") {
+    val s = spark; import s.implicits._
+    val words = (0 until 40).map(i => s"w${i * 7 % 13}")
+    val text = words.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextDedup.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // reference: k=3 grams, w=4 windows, rightmost min per window
+    val grams = words.sliding(3).map(_.mkString(" ")).toVector
+    val hs = grams.map(refHash60)
+    val want = (0 to hs.size - 4).map { i0 =>
+      val sub = hs.slice(i0, i0 + 4)
+      val m = sub.min
+      val pos = i0 + sub.lastIndexOf(m) + 1 // 1-based gram index
+      (pos.toLong, m)
+    }.toSet
+    assert(got == want)
+    // density: every window of 4 grams contains a selected position
+    (0 to hs.size - 4).foreach { i0 =>
+      assert(got.exists { case (p, _) => p >= i0 + 1 && p <= i0 + 4 },
+        s"window at $i0 uncovered")
+    }
+  }
+
+  test("winnowFingerprints: short docs fall back to one whole-array window") {
+    val s = spark; import s.implicits._
+    // 5 tokens -> 3 grams < w=4 -> exactly one (rightmost-min) fingerprint
+    val docs = Seq((1L, "a b c d e"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextDedup.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.count(_._1 == 1L) == 1)
+    assert(!got.exists(_._1 == 2L)) // 2 tokens -> no 3-grams at all
+    val grams = Seq("a b c", "b c d", "c d e").map(refHash60)
+    val m = grams.min
+    assert(got.find(_._1 == 1L).get ==
+      ((1L, (grams.lastIndexOf(m) + 1).toLong, m)))
+  }
+
+  test("winnowing guarantee: docs sharing w+k-1 tokens share a fingerprint") {
+    val s = spark; import s.implicits._
+    val shared = "s1 s2 s3 s4 s5 s6" // w+k-1 = 6 shared tokens
+    val docs = Seq(
+      (1L, s"p1 p2 p3 p4 $shared q1 q2"),
+      (2L, s"r1 $shared t1 t2 t3")).toDF("doc_id", "text")
+    val fp = TextDedup.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val common = fp.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(fp.filter(_._1 == 2L).map(_._2).toSet)
+    assert(common.nonEmpty)
+  }
+
 }
