@@ -1527,6 +1527,43 @@ object SparkEntry {
     // distributed half) — one corpus scan, marker-row marginals.
     "q177_embedding_cov" -> ((s, d) =>
       Similarity.covarianceMatrix(Tables.embeddingsSpread(s, d))),
+    // Winsorized event-value stats per type: clip at the exact [p5, p95]
+    // discrete percentiles, robust sums/means in cents.
+    "q178_winsorized_stats" -> ((s, d) =>
+      Analytics.winsorizedStats(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents")),
+        Seq("event_type"), "cents", 5, 95)),
+    // Two-proportion z-test between md5 hash-split variants; conversion =
+    // heavy purchaser (>= 14 purchase events — every user purchases at
+    // least once in this stream, so plain "any purchase" has zero pooled
+    // variance and no testable pairs).
+    "q179_ab_test" -> ((s, d) => {
+      val users = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+      val variants = Sampling.hashSplit(users, col("user_id"), "ab-",
+        Seq("A" -> 34, "B" -> 33, "C" -> 33))
+      val conv = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("__np"))
+        .filter(col("__np") >= 14)
+        .select(col("user_id")).withColumn("__conv", lit(true))
+      graft.ml.Eval.abTest(
+        variants.join(conv, Seq("user_id"), "left")
+          .select(col("split"),
+            coalesce(col("__conv"), lit(false)).as("converted")),
+        col("split"), col("converted"))
+    }),
+    // Hour-of-week seasonality heatmap with exact ppm index.
+    "q180_seasonality" -> ((s, d) =>
+      Analytics.seasonalityProfile(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_ts_us"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents")),
+        "event_ts_us", "cents")),
   )
 
   /** q167/q169 share the q138 hashed-linear scores joined with the
@@ -4210,6 +4247,85 @@ object SparkEntry {
              / CAST(CAST(p.n AS HUGEINT) * p.n AS DOUBLE)
              / 1099511627776.0 AS cov
          FROM p JOIN dm da ON da.i = p.di JOIN dm db ON db.i = p.dj""",
+    // q178: the q62 discrete-percentile rank replay gives the cut values;
+    // clip, count clips, exact cent sums, truncating mean.
+    "q178_winsorized_stats" ->
+      """WITH e AS (SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         r AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY cents, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+               FROM e),
+         c AS (SELECT event_type,
+                 MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS lo,
+                 MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS hi
+               FROM r GROUP BY 1),
+         j AS (SELECT e.event_type,
+                 CASE WHEN cents < lo THEN lo WHEN cents > hi THEN hi
+                   ELSE cents END AS w,
+                 cents < lo AS bl, cents > hi AS bh
+               FROM e JOIN c USING (event_type))
+         SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN bl THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_clipped,
+           CAST(SUM(CASE WHEN bh THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_clipped,
+           CAST(SUM(w) AS BIGINT) AS win_sum_cents,
+           CAST(SUM(w) AS BIGINT) // COUNT(*) AS win_mean_cents
+         FROM j GROUP BY 1""",
+    // q179: q57-style md5 split replay, distinct purchase converters,
+    // identical IEEE z tree over exact counts, HUGEINT ppm lift.
+    "q179_ab_test" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+                WHERE user_id IS NOT NULL),
+         sp AS (SELECT user_id,
+                  CASE WHEN b < 34 THEN 'A' WHEN b < 67 THEN 'B'
+                    ELSE 'C' END AS v
+                FROM (SELECT user_id,
+                        CAST(('0x' || substr(md5('ab-' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+                      FROM u)),
+         cv AS (SELECT user_id FROM (
+                  SELECT user_id, COUNT(*) AS np FROM events
+                  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                  GROUP BY 1) WHERE np >= 14),
+         j AS (SELECT sp.v, cv.user_id IS NOT NULL AS c
+               FROM sp LEFT JOIN cv USING (user_id)),
+         per AS (SELECT v, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS conv
+                 FROM j GROUP BY 1),
+         pr AS (SELECT a.v AS variant_a, a.n AS n_a, a.conv AS conv_a,
+                  b.v AS variant_b, b.n AS n_b, b.conv AS conv_b
+                FROM per a JOIN per b ON a.v < b.v
+                WHERE a.n > 0 AND b.n > 0),
+         x AS (SELECT *, CAST(conv_a AS DOUBLE) / n_a AS p1,
+                 CAST(conv_b AS DOUBLE) / n_b AS p2,
+                 CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp
+               FROM pr),
+         y AS (SELECT *, pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b) AS se2
+               FROM x)
+         SELECT variant_a, variant_b, n_a, conv_a, n_b, conv_b,
+           CASE WHEN conv_a > 0 THEN
+             CAST(((CAST(conv_b AS HUGEINT) * n_a - CAST(conv_a AS HUGEINT) * n_b)
+               * 1000000) // (CAST(conv_a AS HUGEINT) * n_b) AS BIGINT) END
+             AS lift_fp,
+           (p2 - p1) / sqrt(se2) AS z
+         FROM y WHERE se2 > 0""",
+    // q180: 168-cell hour-of-week rollup, exact DECIMAL ppm index.
+    "q180_seasonality" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+         cell AS (SELECT (ts // 86400000000 + 3) % 7 AS dow,
+                    (ts // 3600000000) % 24 AS hour,
+                    COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+                  FROM e GROUP BY 1, 2),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                 CAST(SUM(sum_cents) AS BIGINT) AS tsum FROM cell)
+         SELECT dow, hour, n, sum_cents,
+           sum_cents // n AS mean_cents,
+           CAST((CAST(sum_cents AS HUGEINT) * tn * 1000000)
+             // (CAST(n AS HUGEINT) * tsum) AS BIGINT) AS index_fp
+         FROM cell, t""",
   )
 
   /** q173's generated BFS oracle: one frontier-expansion + min-merge CTE

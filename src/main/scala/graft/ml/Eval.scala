@@ -94,6 +94,56 @@ object Eval {
             .cast("double")).as("kappa"))
   }
 
+  /** Two-proportion z-test between every variant pair — the experiment
+    * readout ("did B convert better than A, and is it noise"): per pair,
+    *   z = (p₂ − p₁) / √(p̂(1−p̂)(1/n₁ + 1/n₂)),  p̂ pooled,
+    * plus the relative lift in exact ppm. The per-variant reduction is
+    * ONE map-side-combinable count pass; pairing happens on the
+    * |variants|-row aggregate. The z expression is a fixed IEEE tree over
+    * exact integer counts (every division/sqrt correctly rounded, so both
+    * engines emit identical bits); lift is an exact DECIMAL(38,0)
+    * cross-product in ppm, no float ratio.
+    *
+    * Pairs where either side has zero exposures or zero pooled variance
+    * are dropped (the test is undefined). lift_fp is NULL when the
+    * baseline converted nobody.
+    *
+    * Output: (variant_a, variant_b, n_a, conv_a, n_b, conv_b, lift_fp, z)
+    * with variant_a < variant_b.
+    */
+  def abTest(df: DataFrame, variantCol: Column, convCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    // variants-sized and referenced by BOTH pair sides — persisted so the
+    // data is scanned once (per-call lifecycle: session clearCache()).
+    val per = df.select(variantCol.as("__v"), convCol.as("__c"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__c"), 1L).otherwise(0L)).as("conv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = per.select(col("__v").as("variant_a"), col("n").as("n_a"),
+      col("conv").as("conv_a"))
+    val b = per.select(col("__v").as("variant_b"), col("n").as("n_b"),
+      col("conv").as("conv_b"))
+    a.join(b, col("variant_a") < col("variant_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("__p1", col("conv_a").cast("double") / col("n_a"))
+      .withColumn("__p2", col("conv_b").cast("double") / col("n_b"))
+      .withColumn("__pp",
+        (col("conv_a") + col("conv_b")).cast("double")
+          / (col("n_a") + col("n_b")))
+      .withColumn("__se2",
+        col("__pp") * (lit(1.0) - col("__pp"))
+          * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      .filter(col("__se2") > 0.0)
+      .select(col("variant_a"), col("variant_b"), col("n_a"), col("conv_a"),
+        col("n_b"), col("conv_b"),
+        when(col("conv_a") > 0,
+          expr(s"CAST(((CAST(conv_b AS $dec) * n_a - CAST(conv_a AS $dec) * n_b)" +
+            s" * 1000000) div (CAST(conv_a AS $dec) * n_b) AS BIGINT)"))
+          .as("lift_fp"),
+        ((col("__p2") - col("__p1")) / sqrt(col("__se2"))).as("z"))
+  }
+
   /** Calibration by score decile: rank rows by (score, id) — the unique
     * tiebreak every rank in this library carries — cut into `bins` exact
     * integer-division quantile bins, and report each bin's size, positive

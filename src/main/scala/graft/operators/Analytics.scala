@@ -1155,4 +1155,73 @@ object Analytics {
         col("low_cents"), col("__last.__c").as("close_cents"),
         col("n_events")): _*)
   }
+
+  /** Winsorized statistics per group — outlier-robust sums/means by
+    * clipping to the exact [pLo, pHi] discrete percentiles (the standard
+    * pre-aggregation treatment when a fat tail would swamp the mean).
+    * Cuts come from [[groupPercentilesDisc]] (histogram-staged, never a
+    * whole-group sort in one task) and clipping is one broadcast join of
+    * the group-sized cut table plus one map-side-combinable aggregation.
+    * Two passes over the data by NATURE (the cut must exist before any
+    * row can clip) — that is the honest minimum, not plan debt.
+    *
+    * Values are caller-quantized longs (cents), so the winsorized sum is
+    * exact and the mean is a truncating integer division — identical in
+    * both engines for either sign.
+    *
+    * Output: (keys…, n, n_lo_clipped, n_hi_clipped, win_sum_cents,
+    * win_mean_cents).
+    */
+  def winsorizedStats(df: DataFrame, keys: Seq[String], centsCol: String,
+                      pLo: Int, pHi: Int): DataFrame = {
+    require(1 <= pLo && pLo < pHi && pHi <= 100,
+      s"winsorizedStats needs 1 <= pLo < pHi <= 100, got [$pLo, $pHi]")
+    val cuts = groupPercentilesDisc(df, keys, centsCol, Seq(pLo, pHi))
+      .select(keys.map(col) :+ col(s"p$pLo").as("__lo")
+        :+ col(s"p$pHi").as("__hi"): _*)
+    df.join(broadcast(cuts), keys)
+      .select(keys.map(col)
+        :+ least(greatest(col(centsCol).cast("long"), col("__lo")), col("__hi"))
+          .as("__w")
+        :+ (col(centsCol) < col("__lo")).as("__bl")
+        :+ (col(centsCol) > col("__hi")).as("__bh"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__bl"), 1L).otherwise(0L)).as("n_lo_clipped"),
+        sum(when(col("__bh"), 1L).otherwise(0L)).as("n_hi_clipped"),
+        sum(col("__w")).as("win_sum_cents"))
+      .select(keys.map(col) ++ Seq(col("n"), col("n_lo_clipped"),
+        col("n_hi_clipped"), col("win_sum_cents"),
+        expr("win_sum_cents div n").as("win_mean_cents")): _*)
+  }
+
+  /** Hour-of-week seasonality profile — the 168-cell heatmap behind
+    * "when do our users actually buy": per (day-of-week, hour) cell the
+    * event count, exact cent total, truncating mean, and a ppm
+    * seasonality index (cell mean ÷ overall mean, computed as one exact
+    * DECIMAL(38,0) cross-product so no float ratio ever forms).
+    *
+    * One map-side-combinable aggregation to the 168-row cell table; the
+    * overall totals ride a single window over those 168 rows (bounded by
+    * the calendar, not the data). dow is 0=Monday (epoch day 0 was a
+    * Thursday → (day + 3) % 7).
+    *
+    * Output: (dow, hour, n, sum_cents, mean_cents, index_fp).
+    */
+  def seasonalityProfile(df: DataFrame, tsUsCol: String,
+                         centsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(col(tsUsCol).cast("long").as("__ts"),
+        col(centsCol).cast("long").as("__c"))
+      .select(expr("(__ts div 86400000000 + 3) % 7").as("dow"),
+        expr("(__ts div 3600000000) % 24").as("hour"), col("__c"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("sum_cents"))
+      .withColumn("__tn", sum(col("n")).over(Window.partitionBy(lit(1))))
+      .withColumn("__ts", sum(col("sum_cents")).over(Window.partitionBy(lit(1))))
+      .select(col("dow"), col("hour"), col("n"), col("sum_cents"),
+        expr("sum_cents div n").as("mean_cents"),
+        expr(s"CAST((CAST(sum_cents AS $dec) * __tn * 1000000) div " +
+          s"(CAST(n AS $dec) * __ts) AS BIGINT)").as("index_fp"))
+  }
 }

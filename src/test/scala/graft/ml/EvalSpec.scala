@@ -56,4 +56,25 @@ class EvalSpec extends SparkSpec {
     assert(got(1L) == ((3L, 1L, -7L, 333333L)))
     assert(got(2L) == ((3L, 3L, 2L, 1000000L)))
   }
+
+  test("abTest: z and ppm lift from exact counts; degenerate pairs dropped") {
+    val s = spark; import s.implicits._
+    val rows = Seq.fill(10)(("A", true)) ++ Seq.fill(90)(("A", false)) ++
+      Seq.fill(20)(("B", true)) ++ Seq.fill(80)(("B", false)) ++
+      Seq.fill(5)(("C", false)) // C: zero conversions
+    val got = Eval.abTest(rows.toDF("v", "c"), col("v"), col("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = got(("A", "B"))
+    assert((ab.getLong(2), ab.getLong(3), ab.getLong(4), ab.getLong(5)) ==
+      ((100L, 10L, 100L, 20L)))
+    assert(ab.getLong(6) == 1000000L) // +100% lift
+    val p1 = 10.0 / 100; val p2 = 20.0 / 100; val pp = 30.0 / 200
+    val z = (p2 - p1) / math.sqrt(pp * (1.0 - pp) * (1.0 / 100 + 1.0 / 100))
+    assert(ab.getDouble(7) == z)
+    // (A,C) and (B,C): C has zero conv — pair still tested (se2 > 0 since
+    // pooled p from the other side), lift vs A is -100%
+    assert(got(("A", "C")).getLong(6) == -1000000L)
+    spark.catalog.clearCache()
+  }
+
 }

@@ -671,4 +671,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("a", 1L)) == ((500L, 500L, 500L, 500L, 1L)))
   }
 
+
+  test("winsorizedStats: clips at exact discrete percentiles") {
+    val s = spark; import s.implicits._
+    // group g: values 1..100 -> p5 = 5, p95 = 95 (discrete, ceil rank)
+    val df = (1 to 100).map(i => ("g", i.toLong)).toDF("k", "cents")
+    val r = Analytics.winsorizedStats(df, Seq("k"), "cents", 5, 95).head()
+    // clipped below: 1..4 -> 4 rows; above: 96..100 -> 5 rows
+    // win sum = 5*4 + (5..95 sum) + 95*5 = 20 + 4550 + 475
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((100L, 4L, 5L, 5045L, 50L)))
+  }
+
+  test("seasonalityProfile: cells, means and ppm index on a hand stream") {
+    val s = spark; import s.implicits._
+    val hour = 3600000000L
+    val day = 24 * hour
+    // epoch day 0 = Thursday = dow 3; two events Thu 00h, one Thu 01h
+    val df = Seq((0L * hour + 5, 100L), (0L * hour + 9, 300L),
+      (1L * hour + 1, 100L), (7L * day + 2, 500L)) // +7d -> same dow 3, 00h
+      .toDF("ts", "cents")
+    val got = Analytics.seasonalityProfile(df, "ts", "cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // cell (3,0): n=3 sum=900 mean=300; overall 4 rows 1000c
+    // index = 900*4*1e6 / (3*1000) = 1200000
+    assert(got((3L, 0L)) == ((3L, 900L, 300L, 1200000L)))
+    assert(got((3L, 1L)) == ((1L, 100L, 100L, 400000L)))
+  }
+
 }
