@@ -1564,6 +1564,31 @@ object SparkEntry {
             (col("value").cast("decimal(18,2)") * 100).cast("long")
               .as("cents")),
         "event_ts_us", "cents")),
+    // Per-document character entropy (gibberish/quality signal) — the
+    // q172 fixed-point entropy over exploded characters.
+    "q181_char_entropy" -> ((s, d) =>
+      Sampling.mixtureEntropy(
+        Tables.documentsSpread(s, d).select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+            .as("ch")),
+        "doc_id", "ch")),
+    // Quantile normalization of the q138 score across sources — every
+    // source's score distribution mapped onto the pooled one.
+    "q182_quantile_norm" -> ((s, d) => {
+      val scored = TextStats.hashedLinearScore(
+          Tables.documentsSpread(s, d), "doc_id", "text")
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      Sampling.quantileNormalize(scored, "source", "doc_id", "score_fp")
+    }),
+    // Rendezvous-hash shard resize report (8 → 12 shards over the user
+    // key space): minimal-movement consistent hashing, quantified.
+    "q183_shard_moves" -> ((s, d) =>
+      graft.lake.Layout.rendezvousMoves(
+        Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id")).distinct(),
+        "user_id", fromShards = 8, toShards = 12)),
   )
 
   /** q167/q169 share the q138 hashed-linear scores joined with the
@@ -4326,6 +4351,57 @@ object SparkEntry {
            CAST((CAST(sum_cents AS HUGEINT) * tn * 1000000)
              // (CAST(n AS HUGEINT) * tsum) AS BIGINT) AS index_fp
          FROM cell, t""",
+    // q181: q172's fixed-point entropy replay over per-char rows
+    // (substr is character-based in both engines).
+    "q181_char_entropy" ->
+      """WITH cs AS (SELECT doc_id, list_transform(range(1, len(text) + 1),
+                 i -> substr(text, i, 1)) AS cl
+               FROM documents),
+         ch AS (SELECT doc_id, u.c AS ch FROM cs, UNNEST(cl) u(c)),
+         c AS (SELECT doc_id AS key, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+         t AS (SELECT key, c,
+                 CAST(FLOOR(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS t
+               FROM c),
+         a AS (SELECT key, CAST(SUM(c) AS BIGINT) AS n_rows,
+                 COUNT(*) AS n_groups, CAST(SUM(t) AS BIGINT) AS s
+               FROM t GROUP BY 1)
+         SELECT key, n_rows, n_groups,
+           CAST(FLOOR(ln(CAST(n_rows AS DOUBLE)) * 1000000.0) AS BIGINT)
+             - (s // n_rows) AS entropy_fp
+         FROM a""",
+    // q182: q138 scores + source, global and per-source ranks with the
+    // unique tiebreaks, ceil rank remap, rank-lookup self-join.
+    "q182_quantile_norm" -> (q138ScoredCte + """,
+         ss AS (SELECT s.doc_id, s.score_fp, d.source
+                FROM sc s JOIN documents d USING (doc_id)),
+         rk AS (SELECT source, doc_id, score_fp,
+                  row_number() OVER (ORDER BY score_fp, source, doc_id) AS g,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY score_fp, doc_id) AS r,
+                  COUNT(*) OVER (PARTITION BY source) AS n,
+                  COUNT(*) OVER () AS nn
+                FROM ss),
+         lk AS (SELECT g AS t, score_fp AS norm_fp FROM rk)
+         SELECT rk.source, rk.doc_id AS id, rk.score_fp, lk.norm_fp
+         FROM rk JOIN lk ON lk.t = (rk.r * rk.nn + rk.n - 1) // rk.n"""),
+    // q183: rendezvous argmax via max-of-struct (deterministic shard
+    // ties), resize movement grouped from the key assignment table.
+    "q183_shard_moves" ->
+      """WITH u AS (SELECT DISTINCT user_id AS k FROM events
+                WHERE user_id IS NOT NULL),
+         e AS (SELECT k, s,
+                 CAST(('0x' || substr(md5('shard-' || CAST(s AS VARCHAR) || '-' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM u, generate_series(0, 11) t(s)),
+         a AS (SELECT k,
+                 MAX(CASE WHEN s < 8 THEN {'h': h, 's': s} END) AS f,
+                 MAX({'h': h, 's': s}) AS tt
+               FROM e GROUP BY 1)
+         SELECT shard_from, shard_to, COUNT(*) AS n_keys,
+           shard_from <> shard_to AS moved
+         FROM (SELECT CAST(f.s AS BIGINT) AS shard_from,
+                 CAST(tt.s AS BIGINT) AS shard_to FROM a)
+         GROUP BY 1, 2""",
   )
 
   /** q173's generated BFS oracle: one frontier-expansion + min-merge CTE

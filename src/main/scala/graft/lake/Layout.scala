@@ -164,4 +164,43 @@ object Layout {
     Upsert.atomicSwapWrite(path)(tmp =>
       df.repartition(files).write.mode("overwrite").parquet(tmp))
   }
+
+  /** Rendezvous (highest-random-weight, Thaler & Ravishankar 1998) shard
+    * resize report: every key's shard is argmax over shards of
+    * md5(salt·shard·key), so growing `fromShards → toShards` moves ONLY
+    * the keys whose new winner is one of the added shards — the minimal
+    * (m−n)/m movement consistent hashing promises, quantified before a
+    * resize is executed.
+    *
+    * One pass: each key fans out to max(from, to) hash rows map-side
+    * (shard counts are small literals), ONE aggregation takes both
+    * argmaxes via the max-of-(hash, shard) struct idiom (deterministic
+    * ties by shard), and the report groups the key-sized assignment table.
+    * `keys` should be distinct (assignment is per key, not per row).
+    *
+    * Output: (shard_from, shard_to, n_keys, moved).
+    */
+  def rendezvousMoves(keys: DataFrame, keyCol: String, fromShards: Int,
+                      toShards: Int, salt: String = "shard-"): DataFrame = {
+    require(fromShards >= 1 && toShards >= 1,
+      s"rendezvousMoves: positive shard counts, got $fromShards/$toShards")
+    val mx = math.max(fromShards, toShards)
+    keys
+      .select(col(keyCol).as("__k"))
+      .withColumn("__s", explode(sequence(lit(0), lit(mx - 1))))
+      .withColumn("__h",
+        conv(substring(md5(concat(lit(salt), col("__s").cast("string"),
+          lit("-"), col("__k").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .groupBy(col("__k"))
+      .agg(
+        max(when(col("__s") < fromShards, struct(col("__h"), col("__s"))))
+          .as("__f"),
+        max(when(col("__s") < toShards, struct(col("__h"), col("__s"))))
+          .as("__t"))
+      .groupBy(col("__f.__s").cast("long").as("shard_from"),
+        col("__t.__s").cast("long").as("shard_to"))
+      .agg(count(lit(1)).as("n_keys"))
+      .withColumn("moved", col("shard_from") =!= col("shard_to"))
+  }
 }

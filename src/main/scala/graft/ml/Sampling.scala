@@ -353,4 +353,48 @@ object Sampling {
       .select(col("key"), col("n_rows"), col("n_groups"),
         (floor(log(col("n_rows").cast("double")) * lit(1000000.0))
           .cast("long") - expr("__s div n_rows")).as("entropy_fp"))
+
+  /** Quantile normalization of a score across sources — batch-effect
+    * correction before a single global threshold: each row's score is
+    * replaced by the GLOBAL score at the same quantile its rank occupies
+    * within its source, so every source's distribution maps onto the
+    * pooled one (the microarray-normalization idea applied to
+    * heterogeneous quality scorers).
+    *
+    * Exact: within-source rank r of n maps to global target rank
+    * ⌈r·N/n⌉ = (r·N + n − 1) div n (positive integer arithmetic), and the
+    * normalized value is the global (score, source, id)-ranked value at
+    * that rank — every rank carries the unique tiebreak.
+    *
+    * Shape: the ranked table is built ONCE (one global sort-exchange —
+    * rank normalization is inherently a global order, the
+    * [[graft.ml.Eval.calibrationBins]] trade; histogram-sketch cuts are
+    * the approximate 100 TB alternative) and persisted, because it is
+    * both the row set and the rank-lookup side of the final equi-join
+    * (per-call lifecycle: session `clearCache()` releases it).
+    *
+    * Output: (source, id, score_fp, norm_fp).
+    */
+  def quantileNormalize(df: DataFrame, srcCol: String, idCol: String,
+                        scoreFpCol: String): DataFrame = {
+    val ranked = df
+      .select(col(srcCol).as("source"), col(idCol).as("id"),
+        col(scoreFpCol).cast("long").as("score_fp"))
+      .withColumn("__g", row_number().over(
+        Window.orderBy(col("score_fp").asc, col("source").asc,
+          col("id").asc)).cast("long"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("score_fp").asc,
+          col("id").asc)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("__nn", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lookup = ranked.select(col("__g").as("__t"),
+      col("score_fp").as("norm_fp"))
+    ranked
+      .withColumn("__t", expr("(__r * __nn + __n - 1) div __n"))
+      .join(lookup, Seq("__t"))
+      .select(col("source"), col("id"), col("score_fp"), col("norm_fp"))
+  }
 }

@@ -141,4 +141,24 @@ class LayoutSpec extends SparkSpec {
     assert(box.select(col("x"), col("y")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == boxExpected)
   }
+
+  test("rendezvousMoves: growth moves keys only INTO the added shards") {
+    val s = spark; import s.implicits._
+    val keys = (1L to 400L).toDF("k")
+    val rep = graft.lake.Layout.rendezvousMoves(keys, "k", 8, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rep.map(_._3).sum == 400L)
+    // HRW minimal movement: a key moves only if one of the NEW shards
+    // (8..11) wins; no key may move between surviving shards
+    rep.filter(_._4).foreach { case (f, t, _, _) =>
+      assert(t >= 8L && t < 12L && f < 8L, s"illegal move $f -> $t")
+    }
+    assert(rep.exists(_._4) && rep.exists(!_._4))
+    // same shard count -> nothing moves
+    val same = graft.lake.Layout.rendezvousMoves(keys, "k", 8, 8)
+      .collect().map(r => r.getBoolean(3))
+    assert(same.forall(_ == false))
+  }
+
 }

@@ -323,4 +323,20 @@ class SamplingSpec extends SparkSpec {
     assert(got("de") == ((4L, 1L, 0L)))
   }
 
+
+  test("quantileNormalize: ceil rank remap onto the pooled distribution") {
+    val s = spark; import s.implicits._
+    val df = (Seq(("A", 1L, 1L), ("A", 2L, 2L), ("A", 3L, 3L)) ++
+      Seq(10L, 20L, 30L, 40L, 50L, 60L).zipWithIndex.map { case (v, i) =>
+        ("B", 10L + i, v) }).toDF("src", "id", "score_fp")
+    val got = Sampling.quantileNormalize(df, "src", "id", "score_fp")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // N=9; A (n=3): ranks 1,2,3 -> global targets 3,6,9 -> values 3,30,60
+    assert(got(("A", 1L)) == 3L && got(("A", 2L)) == 30L && got(("A", 3L)) == 60L)
+    // B (n=6): targets ceil(r*9/6) = 2,3,5,6,8,9 -> 2,3,20,30,50,60
+    assert(Seq(10L, 11L, 12L, 13L, 14L, 15L).map(i => got(("B", i))) ==
+      Seq(2L, 3L, 20L, 30L, 50L, 60L))
+    spark.catalog.clearCache()
+  }
+
 }
