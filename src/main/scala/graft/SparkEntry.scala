@@ -1589,6 +1589,28 @@ object SparkEntry {
         Tables.events(s, d).filter(col("user_id").isNotNull)
           .select(col("user_id")).distinct(),
         "user_id", fromShards = 8, toShards = 12)),
+    // Sorted-neighborhood dedup blocking: lexicographic rank, window-3
+    // forward pairs, exact shingle-Jaccard verification.
+    "q184_sorted_neighbors" -> ((s, d) =>
+      TextDedup.sortedNeighborPairs(Tables.documentsSpread(s, d), "doc_id",
+        "text")),
+    // Linear interpolation of per-user daily spend gaps (user_id < 30
+    // keeps the panel small and genuinely gappy).
+    "q185_linear_interp" -> ((s, d) =>
+      Temporal.interpolateLinear(
+        Tables.events(s, d)
+          .filter(col("value").isNotNull && col("user_id").isNotNull &&
+            col("user_id") < 30)
+          .groupBy(col("user_id"),
+            expr("event_ts_us div 86400000000").as("day"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * lit(100))
+            .cast("long").as("y_fp")),
+        Seq("user_id"), "day", "y_fp")),
+    // Leave-one-out target encoding of source against the lang=='en'
+    // label (prior m=10) — leakage-safe categorical features.
+    "q186_target_encode" -> ((s, d) =>
+      graft.ml.Eval.targetEncodeLoo(Tables.documents(s, d), col("source"),
+        col("doc_id"), col("lang") === "en")),
   )
 
   /** q167/q169 share the q138 hashed-linear scores joined with the
@@ -4402,6 +4424,70 @@ object SparkEntry {
          FROM (SELECT CAST(f.s AS BIGINT) AS shard_from,
                  CAST(tt.s AS BIGINT) AS shard_to FROM a)
          GROUP BY 1, 2""",
+    // q184: lexicographic rank, forward window-3 range join, exact
+    // distinct-shingle Jaccard in ppm.
+    "q184_sorted_neighbors" ->
+      """WITH t0 AS (SELECT doc_id, text,
+             row_number() OVER (ORDER BY text, doc_id) AS rk
+           FROM documents),
+         wd AS (SELECT doc_id, rk, string_split(text, ' ') AS wd FROM t0),
+         sh AS (SELECT doc_id, rk,
+                 list_distinct(list_transform(range(1, len(wd) - 1),
+                   i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])) AS s
+               FROM wd),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 b.rk - a.rk AS gap, a.s AS sa, b.s AS sb
+               FROM sh a JOIN sh b ON b.rk > a.rk AND b.rk <= a.rk + 3),
+         q AS (SELECT doc_a, doc_b, gap,
+                 len(list_intersect(sa, sb)) AS ix,
+                 len(list_distinct(list_concat(sa, sb))) AS un
+               FROM p)
+         SELECT doc_a, doc_b, gap,
+           (CAST(ix AS BIGINT) * 1000000) // un AS jaccard_fp
+         FROM q WHERE un > 0""",
+    // q185: per-user daily panel, spine left join, IGNORE NULLS
+    // last/next-known windows, exact integer interpolation line.
+    "q185_linear_interp" ->
+      """WITH dly AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+           FROM events
+           WHERE value IS NOT NULL AND user_id IS NOT NULL AND user_id < 30
+           GROUP BY 1, 2),
+         bnd AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+                 FROM dly GROUP BY 1),
+         sp AS (SELECT user_id, UNNEST(generate_series(mn, mx)) AS day
+                FROM bnd),
+         j AS (SELECT sp.user_id, sp.day, dly.y FROM sp
+               LEFT JOIN dly ON dly.user_id = sp.user_id AND dly.day = sp.day),
+         wnd AS (SELECT user_id, day, y,
+                  last_value(CASE WHEN y IS NOT NULL
+                      THEN {'t': day, 'y': y} END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+                  first_value(CASE WHEN y IS NOT NULL
+                      THEN {'t': day, 'y': y} END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+                FROM j)
+         SELECT user_id, day,
+           CASE WHEN y IS NOT NULL THEN y
+             ELSE (p.y * (n.t - day) + n.y * (day - p.t)) // (n.t - p.t)
+           END AS y_fp,
+           y IS NULL AS interpolated
+         FROM wnd WHERE p IS NOT NULL AND n IS NOT NULL""",
+    // q186: category counts + 1-row global rate, exact LOO formula.
+    "q186_target_encode" ->
+      """WITH b AS (SELECT source AS category, doc_id AS id,
+             lang = 'en' AS label FROM documents),
+         c AS (SELECT category, COUNT(*) AS ng,
+                 CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS cg
+               FROM b GROUP BY 1),
+         g AS (SELECT (CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1000000) // COUNT(*) AS rate FROM b)
+         SELECT b.id, b.category, b.label,
+           ((cg - (CASE WHEN label THEN 1 ELSE 0 END)) * 1000000
+             + 10 * rate) // (ng - 1 + 10) AS enc_fp
+         FROM b JOIN c USING (category), g""",
   )
 
   /** q173's generated BFS oracle: one frontier-expansion + min-merge CTE

@@ -94,6 +94,42 @@ object Eval {
             .cast("double")).as("kappa"))
   }
 
+  /** Leave-one-out target encoding with a global prior — the
+    * feature-engineering workhorse for high-cardinality categoricals,
+    * built leakage-safe (each row's own label is subtracted from its
+    * category's count, so the encoding never sees the row it describes):
+    *   enc_fp = ((c_g − xᵢ)·10⁶ + m·rate_fp) div (n_g − 1 + m)
+    * where rate_fp is the global positive rate in ppm and `priorM` is the
+    * smoothing pseudo-count pulling rare categories toward it. The
+    * formula IS the contract — every term exact integer, identical bits
+    * under any partitioning or engine.
+    *
+    * Two passes by nature (category counts must exist before any row can
+    * encode): one map-side-combinable count pass to the category-sized
+    * stats table (broadcast back), one map pass to encode. The global
+    * rate rides a 1-row broadcast the same way.
+    *
+    * Output: (id, category, label, enc_fp).
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: Column, idCol: Column,
+                      labelCol: Column, priorM: Int = 10): DataFrame = {
+    require(priorM >= 1, s"targetEncodeLoo: priorM >= 1, got $priorM")
+    val M = 1000000L
+    val base = df.select(catCol.as("category"), idCol.as("id"),
+      labelCol.as("label"))
+    val cats = base.groupBy(col("category"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("__cg"))
+    val global = base.agg(count(lit(1)).as("__nt"),
+      sum(when(col("label"), 1L).otherwise(0L)).as("__ct"))
+      .select(expr(s"(__ct * CAST($M AS BIGINT)) div __nt").as("__rate"))
+    base.join(broadcast(cats), Seq("category")).join(broadcast(global))
+      .select(col("id"), col("category"), col("label"),
+        expr(s"((__cg - (CASE WHEN label THEN 1 ELSE 0 END)) * " +
+          s"CAST($M AS BIGINT) + $priorM * __rate) div " +
+          s"(__ng - 1 + $priorM)").as("enc_fp"))
+  }
+
   /** Two-proportion z-test between every variant pair — the experiment
     * readout ("did B convert better than A, and is it noise"): per pair,
     *   z = (p₂ − p₁) / √(p̂(1−p̂)(1/n₁ + 1/n₂)),  p̂ pooled,

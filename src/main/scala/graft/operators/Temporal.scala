@@ -331,6 +331,48 @@ object Temporal {
         :+ coalesce(col("__s"), lit(0L)).as("ewma_fp"): _*)
   }
 
+  /** Linear interpolation of missing indices on a per-key spine — the
+    * gap-filling companion of [[resampleFfill]] (which repeats the last
+    * value; this draws the line between the surrounding observations):
+    * for a missing index t between known (t₀,y₀) and (t₁,y₁),
+    *   y = (y₀·(t₁−t) + y₁·(t−t₀)) div (t₁−t₀)
+    * — exact integer arithmetic on fixed-point values (truncating
+    * division, identical in both engines for either sign). Spine edges
+    * with no observation on one side are dropped (no line exists).
+    *
+    * Shape: the per-key spine left-joins the observations, then ONE
+    * exchange+sort serves both the backward last-known and forward
+    * next-known windows (same partitioning, opposite frames). Output:
+    * (keys…, idxCol, y_fp, interpolated).
+    */
+  def interpolateLinear(df: DataFrame, keys: Seq[String], idxCol: String,
+                        yFpCol: String): DataFrame = {
+    require(keys.nonEmpty, "interpolateLinear needs series keys")
+    val kc = keys.map(col)
+    val base = df.select(kc :+ col(idxCol).cast("long").as(idxCol)
+      :+ col(yFpCol).cast("long").as("__y"): _*)
+    val spine = base.groupBy(kc: _*)
+      .agg(min(col(idxCol)).as("__mn"), max(col(idxCol)).as("__mx"))
+      .select(kc :+ explode(sequence(col("__mn"), col("__mx"))).as(idxCol): _*)
+    val joined = spine.join(base, keys :+ idxCol, "left")
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
+    val wPrev = part.orderBy(col(idxCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = part.orderBy(col(idxCol).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val known = when(col("__y").isNotNull,
+      struct(col(idxCol).as("t"), col("__y").as("y")))
+    joined
+      .withColumn("__p", last(known, ignoreNulls = true).over(wPrev))
+      .withColumn("__n", first(known, ignoreNulls = true).over(wNext))
+      .filter(col("__p").isNotNull && col("__n").isNotNull)
+      .select(kc ++ Seq(col(idxCol),
+        when(col("__y").isNotNull, col("__y")).otherwise(
+          expr(s"(__p.y * (__n.t - $idxCol) + __n.y * ($idxCol - __p.t))" +
+            " div (__n.t - __p.t)")).as("y_fp"),
+        col("__y").isNull.as("interpolated")): _*)
+  }
+
   /** Time-weighted average value per key — the TWAP/duration-weighted
     * metric ("average price while it was in effect", "mean fleet size"):
     * each observation holds from its timestamp until the NEXT observation

@@ -77,4 +77,21 @@ class EvalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+
+  test("targetEncodeLoo: leakage-safe formula, prior pull on rare cats") {
+    val s = spark; import s.implicits._
+    // cat "big": 4 rows, 2 positive; cat "tiny": 1 row, positive
+    val df = Seq(("big", 1L, true), ("big", 2L, true), ("big", 3L, false),
+      ("big", 4L, false), ("tiny", 5L, true)).toDF("c", "id", "l")
+    val got = Eval.targetEncodeLoo(df, col("c"), col("id"), col("l"),
+        priorM = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val rate = 3L * 1000000L / 5L // 600000
+    // big positives: (2-1)*1e6 + 2*rate over 4-1+2 = 2200000/5
+    assert(got(1L) == (1000000L + 2 * rate) / 5)
+    assert(got(3L) == (2000000L + 2 * rate) / 5)
+    // tiny: own label removed entirely -> pure prior (0 + 2*rate)/2
+    assert(got(5L) == rate)
+  }
+
 }

@@ -333,4 +333,29 @@ class TemporalSpec extends SparkSpec {
     assert(got == Map(1L -> ((2L, 30L, 166L))))
   }
 
+
+  test("interpolateLinear: exact line through gaps, edges intact") {
+    val s = spark; import s.implicits._
+    // days 0, 3 known (100 -> 400): days 1, 2 interpolate to 200, 300;
+    // second key has a single point (its spine is itself)
+    val df = Seq(("a", 0L, 100L), ("a", 3L, 400L), ("b", 7L, 50L))
+      .toDF("k", "day", "y_fp")
+    val got = Temporal.interpolateLinear(df, Seq("k"), "day", "y_fp")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      ("a", 0L) -> ((100L, false)), ("a", 1L) -> ((200L, true)),
+      ("a", 2L) -> ((300L, true)), ("a", 3L) -> ((400L, false)),
+      ("b", 7L) -> ((50L, false))))
+  }
+
+  test("interpolateLinear: non-divisible gaps truncate deterministically") {
+    val s = spark; import s.implicits._
+    // 0 -> 10 over 3 days: day1 = (10*2+... (0*2 + 10*1)/3 = 3, day2 = 6
+    val df = Seq(("a", 0L, 0L), ("a", 3L, 10L)).toDF("k", "day", "y_fp")
+    val got = Temporal.interpolateLinear(df, Seq("k"), "day", "y_fp")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 3L, 2L -> 6L, 3L -> 10L))
+  }
+
 }

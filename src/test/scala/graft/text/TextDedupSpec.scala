@@ -473,4 +473,27 @@ class TextDedupSpec extends SparkSpec {
     assert(common.nonEmpty)
   }
 
+
+  test("sortedNeighborPairs: window bound, exact jaccard, adjacency") {
+    val s = spark; import s.implicits._
+    // lexicographic order: a..., b..., c..., d... — near-dups adjacent
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "zeta eta theta iota"),
+      (4L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val got = TextDedup.sortedNeighborPairs(docs, "doc_id", "text", w = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // sort: 1, 2, 3, 4 (doc_id tiebreak on identical texts 3/4)
+    // pairs: (1,2) g1, (1,3) g2, (2,3) g1, (2,4) g2, (3,4) g1
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // doc1/doc2 share "alpha beta gamma" of 2 distinct 3-grams each:
+    // |∩|=1, |∪|=3 → 333333; identical docs → 10^6
+    assert(got((1L, 2L)) == ((1L, 333333L)))
+    assert(got((3L, 4L)) == ((1L, 1000000L)))
+    assert(got((1L, 3L))._2 == 0L)
+    spark.catalog.clearCache()
+  }
+
 }
