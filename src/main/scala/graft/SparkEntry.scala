@@ -1611,7 +1611,27 @@ object SparkEntry {
     "q186_target_encode" -> ((s, d) =>
       graft.ml.Eval.targetEncodeLoo(Tables.documents(s, d), col("source"),
         col("doc_id"), col("lang") === "en")),
+    // LSH tuning table: expected band-blocking recall over the corpus's
+    // own exact near-dup pairs at five (bands, rows) grid points.
+    "q187_lsh_tuning" -> ((s, d) =>
+      TextDedup.lshTuningTable(
+        TextDedup.jaccardNearDupPairs(Tables.documentsSpread(s, d),
+          "doc_id", "text", shingleN = 2, threshold = 0.5,
+          shingles = Some(jaccardShingles(s, d)),
+          pairCounts = Some(jaccardPairCounts(s, d))),
+        "jaccard", lshGrid)),
+    // Chi-squared independence of language vs source (corpus balance).
+    "q188_chi_squared" -> ((s, d) =>
+      graft.ml.Eval.chiSquared(Tables.documents(s, d), col("lang"),
+        col("source"))),
+    // Wilson confidence bands around each source's English rate.
+    "q189_wilson_bounds" -> ((s, d) =>
+      graft.ml.Eval.wilsonBounds(Tables.documents(s, d), col("source"),
+        col("lang") === "en")),
   )
+
+  private val lshGrid: Seq[(Int, Int)] =
+    Seq((4, 16), (8, 8), (16, 4), (32, 2), (64, 1))
 
   /** q167/q169 share the q138 hashed-linear scores joined with the
     * lang=='en' evaluation label.
@@ -4488,6 +4508,52 @@ object SparkEntry {
            ((cg - (CASE WHEN label THEN 1 ELSE 0 END)) * 1000000
              + 10 * rate) // (ng - 1 + 10) AS enc_fp
          FROM b JOIN c USING (category), g""",
+    // q187: generated S-curve grid over the q70 pair CTE.
+    "q187_lsh_tuning" -> lshTuningOracle(lshGrid),
+    // q188: dense marginal-cross grid (observed-zero cells contribute
+    // r·c/N), num² in doubles, per-cell term quantized once.
+    "q188_chi_squared" ->
+      """WITH conf AS (SELECT lang AS a, source AS b, COUNT(*) AS n
+                FROM documents GROUP BY 1, 2),
+         ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM conf GROUP BY 1),
+         cb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM conf GROUP BY 1),
+         dense AS (SELECT g.a, g.b, g.r, g.c, COALESCE(conf.n, 0) AS n
+                   FROM (SELECT ra.a, ra.r, cb.b, cb.c
+                         FROM ra CROSS JOIN cb) g
+                   LEFT JOIN conf ON conf.a = g.a AND conf.b = g.b),
+         m AS (SELECT a, b, n, r, c, SUM(n) OVER () AS t FROM dense),
+         x AS (SELECT a, b, n,
+                 CAST(CAST(n AS HUGEINT) * t - CAST(r AS HUGEINT) * c
+                   AS DOUBLE) AS num,
+                 CAST(CAST(t AS HUGEINT) * r * c AS DOUBLE) AS den
+               FROM m),
+         y AS (SELECT a, b, n,
+                 CAST(FLOOR(num * num / den * 1000000.0) AS BIGINT) AS term
+               FROM x)
+         SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_cells,
+           (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+           CAST(SUM(term) AS BIGINT) AS chi2_fp
+         FROM y""",
+    // q189: the identical Wilson IEEE tree (z spelled as 1.96 * 1.96 so
+    // both engines bake the same double product).
+    "q189_wilson_bounds" ->
+      """WITH g AS (SELECT source AS "group", COUNT(*) AS n,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS positives
+           FROM documents GROUP BY 1),
+         x AS (SELECT *, CAST(positives AS DOUBLE) / n AS p,
+                 1.0 + (1.96 * 1.96) / n AS den,
+                 CAST(positives AS DOUBLE) / n
+                   + (1.96 * 1.96) / (2.0 * n) AS ctr,
+                 1.96 * sqrt(CAST(positives AS DOUBLE) / n
+                     * (1.0 - CAST(positives AS DOUBLE) / n) / n
+                   + (1.96 * 1.96) / (4.0 * n * n)) AS rad
+               FROM g)
+         SELECT "group", n, positives,
+           (positives * 1000000) // n AS rate_fp,
+           (ctr - rad) / den AS wilson_lo,
+           (ctr + rad) / den AS wilson_hi
+         FROM x""",
   )
 
   /** q173's generated BFS oracle: one frontier-expansion + min-merge CTE
@@ -4511,6 +4577,27 @@ object SparkEntry {
     }
     b.append(s"\n         SELECT node, CAST(hops AS BIGINT) AS hops FROM d$rounds")
     b.toString
+  }
+
+  /** q187's generated oracle: the q70 exact-pair query as a materialized
+    * CTE, then one branch per grid cell with the SAME left-associated
+    * multiplication chains the operator unrolls (never libm pow).
+    */
+  private def lshTuningOracle(grid: Seq[(Int, Int)]): String = {
+    def chain(e0: String, e: Int): String =
+      (1 until e).foldLeft(e0)((acc, _) => s"($acc * $e0)")
+    val cells = grid.map { case (b, r) =>
+      val p = s"(1.0 - ${chain(s"(1.0 - ${chain("jaccard", r)})", b)})"
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         CAST($r AS BIGINT) AS rows_per_band,
+         CAST(FLOOR($p * 1000000000.0) AS BIGINT) AS pfp FROM pj"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH pj AS MATERIALIZED (
+         $jaccardPairsOracle
+         ), u AS ($cells)
+         SELECT bands, rows_per_band, COUNT(*) AS n_pairs,
+           CAST(SUM(pfp) AS BIGINT) // COUNT(*) AS recall_fp
+         FROM u GROUP BY 1, 2"""
   }
 
   /** The q138 hashed-linear score replay joined with the lang=='en'

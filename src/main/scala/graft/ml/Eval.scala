@@ -94,6 +94,79 @@ object Eval {
             .cast("double")).as("kappa"))
   }
 
+  /** Pearson chi-squared test of independence between two categorical
+    * columns — "is language actually independent of source":
+    *   χ² = Σ_cells (n_ij·N − r_i·c_j)² / (N·r_i·c_j)
+    * (the (O−E)²/E form scaled by N to stay integral until the last
+    * step). Numerator and denominator are exact DECIMAL(38,0) per cell;
+    * each cell's term is quantized ONCE to 10⁻⁶ fixed point and the
+    * statistic is an exact long sum — partition-order-independent.
+    * dof = (|A|−1)·(|B|−1) from the same confusion table.
+    *
+    * One pass to the observed confusion table (persisted — it feeds both
+    * marginals and the dense grid; per-call lifecycle), then the FULL
+    * |A|·|B| grid is rebuilt from the marginal cross product so that
+    * observed-zero cells contribute their expected mass r·c/N — omitting
+    * them understates χ² exactly when dependence is strongest. Output is
+    * ONE row: (n_rows, n_cells, dof, chi2_fp).
+    */
+  def chiSquared(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val conf = df.select(aCol.as("__a"), bCol.as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ra = conf.groupBy(col("__a")).agg(sum(col("__n")).as("__r"))
+    val cb = conf.groupBy(col("__b")).agg(sum(col("__n")).as("__c"))
+    ra.join(cb)
+      .join(conf, Seq("__a", "__b"), "left")
+      .withColumn("__nn", coalesce(col("__n"), lit(0L)))
+      .withColumn("__t", sum(col("__nn")).over(Window.partitionBy(lit(1))))
+      .withColumn("__num",
+        (col("__nn").cast(dec) * col("__t") - col("__r").cast(dec) * col("__c"))
+          .cast("double"))
+      // the square happens in doubles — num² would overflow DECIMAL(38,0)
+      // past ~10¹⁹ rows·cells; double rounding is identical in both
+      // engines for the identical operand, so the term stays bit-stable
+      .withColumn("__term",
+        floor(col("__num") * col("__num")
+          / (col("__t").cast(dec) * col("__r") * col("__c")).cast("double")
+          * lit(1000000.0)).cast("long"))
+      .agg(sum(col("__nn")).as("n_rows"), count(lit(1)).as("n_cells"),
+        ((countDistinct(col("__a")) - 1) * (countDistinct(col("__b")) - 1))
+          .as("dof"),
+        sum(col("__term")).as("chi2_fp"))
+  }
+
+  /** Wilson score interval per group — the confidence band around a
+    * conversion/positive rate that stays inside [0,1] and behaves at
+    * small n (what a dashboard should draw instead of ±1.96·√(pq/n)):
+    *   centre = p + z²/2n,  rad = z·√(p(1−p)/n + z²/4n²),
+    *   [lo, hi] = (centre ∓ rad) / (1 + z²/n).
+    * A fixed IEEE tree over exact counts (z literal) — identical bits in
+    * both engines. One map-side-combinable count pass.
+    *
+    * Output: (group, n, positives, rate_fp, wilson_lo, wilson_hi).
+    */
+  def wilsonBounds(df: DataFrame, groupCol: Column, labelCol: Column,
+                   z: Double = 1.96): DataFrame = {
+    require(z > 0, s"wilsonBounds: z > 0, got $z")
+    val M = 1000000L
+    df.select(groupCol.as("group"), labelCol.as("__l"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("positives"))
+      .withColumn("__p", col("positives").cast("double") / col("n"))
+      .withColumn("__den", lit(1.0) + lit(z * z) / col("n"))
+      .withColumn("__ctr", col("__p") + lit(z * z) / (lit(2.0) * col("n")))
+      .withColumn("__rad",
+        lit(z) * sqrt(col("__p") * (lit(1.0) - col("__p")) / col("n")
+          + lit(z * z) / (lit(4.0) * col("n") * col("n"))))
+      .select(col("group"), col("n"), col("positives"),
+        expr(s"(positives * CAST($M AS BIGINT)) div n").as("rate_fp"),
+        ((col("__ctr") - col("__rad")) / col("__den")).as("wilson_lo"),
+        ((col("__ctr") + col("__rad")) / col("__den")).as("wilson_hi"))
+  }
+
   /** Leave-one-out target encoding with a global prior — the
     * feature-engineering workhorse for high-cardinality categoricals,
     * built leakage-safe (each row's own label is subtracted from its

@@ -564,6 +564,43 @@ object TextDedup {
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), fingerprintCol(col(textCol)).as("fp"))
 
+  /** LSH parameter-tuning table — "which (bands, rows) do I ship":
+    * for each literal grid point, the expected recall of a minhash-band
+    * blocking over the corpus's OWN observed near-dup pairs, via the
+    * standard S-curve P(candidate | s) = 1 − (1 − s^r)^b evaluated at
+    * each true pair's exact Jaccard. The tuning decision every dedup
+    * deployment makes, computed from data instead of folklore.
+    *
+    * Determinism: s^r and (1−s^r)^b are UNROLLED left-associated
+    * multiplication chains (never libm `pow`, whose last ulp differs
+    * between engines), each pair's P is quantized ONCE to 10⁻⁹ fixed
+    * point, and the per-cell mean is an exact long sum with truncating
+    * division. The pair table is scanned once per grid cell (grid is
+    * literal-bounded, never data-sized).
+    *
+    * Output: (bands, rows_per_band, n_pairs, recall_fp) — recall in ppb.
+    */
+  def lshTuningTable(pairs: DataFrame, jaccardCol: String,
+                     grid: Seq[(Int, Int)]): DataFrame = {
+    require(grid.nonEmpty && grid.distinct.size == grid.size,
+      s"lshTuningTable needs a distinct non-empty grid: $grid")
+    require(grid.forall { case (b, r) => b >= 1 && r >= 1 && b <= 64 && r <= 64 },
+      s"bands/rows must be in [1, 64]: $grid")
+    def chainPow(base: Column, e: Int): Column =
+      (1 until e).foldLeft(base)((acc, _) => acc * base)
+    grid.map { case (b, r) =>
+      val s = col(jaccardCol).cast("double")
+      val p = lit(1.0) - chainPow(lit(1.0) - chainPow(s, r), b)
+      pairs.select(lit(b.toLong).as("bands"),
+        lit(r.toLong).as("rows_per_band"),
+        floor(p * lit(1.0e9)).cast("long").as("__pfp"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__pfp")).as("__s"))
+      .select(col("bands"), col("rows_per_band"), col("n_pairs"),
+        expr("__s div n_pairs").as("recall_fp"))
+  }
+
   /** Sorted-neighborhood dedup blocking (Hernández & Stolfo, SIGMOD
     * 1995): sort the corpus by a proximity-preserving key (here the text
     * itself — template corpora put near-duplicates lexicographically

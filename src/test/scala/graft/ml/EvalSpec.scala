@@ -94,4 +94,37 @@ class EvalSpec extends SparkSpec {
     assert(got(5L) == rate)
   }
 
+
+  test("chiSquared: zero under independence, N*dof under perfect diag") {
+    val s = spark; import s.implicits._
+    // perfectly independent 2x2 (all cells equal)
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .flatMap(Seq.fill(5)(_))
+    val ri = Eval.chiSquared(ind.toDF("u", "v"), col("u"), col("v")).head()
+    assert((ri.getLong(0), ri.getLong(1), ri.getLong(2), ri.getLong(3)) ==
+      ((20L, 4L, 1L, 0L)))
+    // perfect diagonal 2x2: chi2 = N = 10 (phi=1, dof=1); the off-diagonal
+    // OBSERVED-ZERO cells carry half that mass - dropping them would halve it
+    val diag = Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y"))
+    val rd = Eval.chiSquared(diag.toDF("u", "v"), col("u"), col("v")).head()
+    assert(rd.getLong(1) == 4L)            // dense grid, not 2 observed cells
+    assert(rd.getLong(3) == 10L * 1000000L)
+    spark.catalog.clearCache()
+  }
+
+  test("wilsonBounds: brackets the rate, matches the closed form") {
+    val s = spark; import s.implicits._
+    val rows = Seq.fill(40)(("g", true)) ++ Seq.fill(60)(("g", false))
+    val r = Eval.wilsonBounds(rows.toDF("grp", "l"), col("grp"), col("l"))
+      .head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((100L, 40L, 400000L)))
+    val z = 1.96; val p = 0.4; val n = 100.0
+    val den = 1.0 + z * z / n
+    val ctr = p + z * z / (2.0 * n)
+    val rad = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+    assert(r.getDouble(4) == (ctr - rad) / den)
+    assert(r.getDouble(5) == (ctr + rad) / den)
+    assert(r.getDouble(4) < 0.4 && 0.4 < r.getDouble(5))
+  }
+
 }

@@ -496,4 +496,19 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+
+  test("lshTuningTable: S-curve values exact at hand grid points") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((1L, 2L, 0.5), (3L, 4L, 1.0)).toDF("a", "b", "jaccard")
+    val got = TextDedup.lshTuningTable(pairs, "jaccard",
+        Seq((1, 1), (2, 1), (1, 2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // (b=1,r=1): mean of P=s over {0.5, 1.0} = (5e8 + 1e9) div 2
+    assert(got((1L, 1L)) == (500000000L + 1000000000L) / 2)
+    // (b=2,r=1): P = 1-(1-s)^2 -> {0.75, 1.0}
+    assert(got((2L, 1L)) == (750000000L + 1000000000L) / 2)
+    // (b=1,r=2): P = s^2 -> {0.25, 1.0}
+    assert(got((1L, 2L)) == (250000000L + 1000000000L) / 2)
+  }
+
 }
