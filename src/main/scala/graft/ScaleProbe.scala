@@ -85,6 +85,15 @@ object ScaleProbe {
       "label_prop" -> { k =>
         graft.graphs.LabelProp.run(edges(k), rounds = 3,
           broadcastLabels = true)
+      },
+      "kcore" -> { k =>
+        graft.graphs.KCore.run(edges(k), k = 60, rounds = 3,
+          broadcastActive = true)
+      },
+      "bfs" -> { k =>
+        val seeds = edges(k).selectExpr("src AS node")
+          .where("node % 10000000 < 50").distinct()
+        graft.graphs.Bfs.run(edges(k), seeds, rounds = 3)
       })
 
     val results = ops.map { case (name, build) =>

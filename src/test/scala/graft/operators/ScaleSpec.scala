@@ -158,6 +158,46 @@ class ScaleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("k-core growth law: copies peel to offset-replicated cores") {
+    val k = 3
+    val e1 = ScaledFixtures.scaledEdges(spark, sfDir, 1, s"$tmpBase/kc-edges1")
+    val ek = ScaledFixtures.scaledEdges(spark, sfDir, k, s"$tmpBase/kc-edges$k")
+    val base = graft.graphs.KCore.run(e1, k = 60, rounds = 3,
+        broadcastActive = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(base.nonEmpty, "base 60-core empty — law is vacuous")
+    val grown = graft.graphs.KCore.run(ek, k = 60, rounds = 3,
+        broadcastActive = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(grown.length == k * base.size)
+    // peeling never crosses disjoint components: copy cp's core is the
+    // base core shifted by its offset, with IDENTICAL core degrees
+    grown.foreach { case (node, deg) =>
+      val off = (node / 10000000L) * 10000000L
+      assert(base(node - off) == deg, s"node $node deg $deg off $off")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("BFS growth law: replicated seeds give offset-replicated hops") {
+    val k = 3
+    val e1 = ScaledFixtures.scaledEdges(spark, sfDir, 1, s"$tmpBase/bfs-edges1")
+    val ek = ScaledFixtures.scaledEdges(spark, sfDir, k, s"$tmpBase/bfs-edges$k")
+    val s1 = e1.selectExpr("src AS node").where("node % 10000000 < 50").distinct()
+    val sk = ek.selectExpr("src AS node").where("node % 10000000 < 50").distinct()
+    val base = graft.graphs.Bfs.run(e1, s1, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(base.nonEmpty, "base reach empty — law is vacuous")
+    val grown = graft.graphs.Bfs.run(ek, sk, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(grown.length == k * base.size)
+    grown.foreach { case (node, hops) =>
+      val off = (node / 10000000L) * 10000000L
+      assert(base(node - off) == hops, s"node $node hops $hops off $off")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("no plan degradation at 20x: no cartesian product, no global sort") {
     val d20 = docsAt(20)
     val e20 = ScaledFixtures.scaledEmbeddings(spark, sfDir, 20, s"$tmpBase/emb20")
