@@ -1628,6 +1628,31 @@ object SparkEntry {
     "q189_wilson_bounds" -> ((s, d) =>
       graft.ml.Eval.wilsonBounds(Tables.documents(s, d), col("source"),
         col("lang") === "en")),
+    // REAL-decode perceptual average-hash over the q63 checkerboard
+    // PNGs: integer block-mean luma grid, 64-bit hash the oracle
+    // reproduces arithmetically from the generation formula.
+    "q190_image_ahash" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = (8 + (id % 40).toInt, 8 + (id % 23).toInt)
+        graft.multimodal.Multimodal.MediaRow(id, "image",
+          graft.multimodal.Multimodal.checkerboardPng(id, w, h), w, h, 0, 0,
+          "png")
+      }
+      graft.multimodal.Multimodal.imageAHash(media).toDF()
+    }),
+    // REAL-decode per-frame audio energy + zero crossings over the q65
+    // WAV fixtures (32-sample frames, ragged tail).
+    "q191_audio_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val samples = 64 + (id % 64).toInt
+        graft.multimodal.Multimodal.MediaRow(id, "audio",
+          graft.multimodal.Multimodal.toneWav(id), 0, 0, sample_rate = 8000,
+          duration_ms = samples * 1000 / 8000, format = "wav")
+      }
+      graft.multimodal.Multimodal.audioFrameEnergy(media).toDF()
+    }),
   )
 
   private val lshGrid: Seq[(Int, Int)] =
@@ -4554,6 +4579,54 @@ object SparkEntry {
            (ctr - rad) / den AS wilson_lo,
            (ctr + rad) / den AS wilson_hi
          FROM x""",
+    // q190: the oracle knows only the checkerboard generation params —
+    // block luma means from the closed-form even-cell count of each
+    // [x0,x1)×[y0,y1) rectangle — and must match what the real PNG
+    // decode + integer pixel loop produced bit-for-bit.
+    "q190_image_ahash" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 40 AS w, 8 + doc_id % 23 AS h,
+             ((doc_id*7) % 256 + (doc_id*11) % 256 + (doc_id*13) % 256) // 3 AS l1,
+             ((doc_id*17) % 256 + (doc_id*19) % 256 + (doc_id*23) % 256) // 3 AS l2
+           FROM documents),
+         g AS (SELECT p.*, i, j,
+                 (i * w) // 8 AS x0, ((i+1) * w) // 8 AS x1,
+                 (j * h) // 8 AS y0, ((j+1) * h) // 8 AS y1
+               FROM p, generate_series(0, 7) a(i), generate_series(0, 7) b(j)),
+         m AS (SELECT doc_id, w, h, i, j, x1 - x0 AS bw, y1 - y0 AS bh,
+                 CASE WHEN (x0 + y0) % 2 = 0 THEN (x1 - x0 + 1) // 2
+                   ELSE (x1 - x0) // 2 END AS ax, l1, l2
+               FROM g),
+         mm AS (SELECT doc_id, w, h, i, j,
+                 ax * ((bh + 1) // 2) + (bw - ax) * (bh // 2) AS ne,
+                 bw * bh AS np, l1, l2
+               FROM m),
+         mean AS (SELECT doc_id, w, h, i * 8 + j AS bit,
+                   (ne * l1 + (np - ne) * l2) // np AS bm
+                 FROM mm),
+         gm AS (SELECT doc_id, CAST(SUM(bm) AS BIGINT) // 64 AS gmean
+                FROM mean GROUP BY 1)
+         SELECT mean.doc_id AS media_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN bm > gmean THEN
+             CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+               ELSE (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) END
+             ELSE 0 END) AS BIGINT) AS ahash,
+           CAST(SUM(CASE WHEN bm > gmean THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_set_bits
+         FROM mean JOIN gm USING (doc_id) GROUP BY 1, 2, 3""",
+    // q191: sample formula replay, 32-sample frames, lead() crossings.
+    "q191_audio_frames" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+         s AS (SELECT doc_id, i, ((doc_id*31 + i*7) % 2003) - 1001 AS v
+               FROM d, generate_series(0, 127) t(i) WHERE i < n),
+         f AS (SELECT doc_id, i // 32 AS frame_idx, i % 32 AS pos, v,
+                 lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+               FROM s)
+         SELECT doc_id AS media_id, frame_idx, COUNT(*) AS n_samples,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN pos < 31 AND nv IS NOT NULL AND v * nv < 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+         FROM f GROUP BY 1, 2""",
   )
 
   /** q173's generated BFS oracle: one frontier-expansion + min-merge CTE

@@ -47,6 +47,18 @@ object Multimodal {
   case class AudioMeta(media_id: Long, sample_rate: Int, n_frames: Long,
                        sum_samples: Long)
 
+  /** 8×8 average-hash of a decoded image — integer-exact, so the bit
+    * pattern is oracle-reproducible from a fixture's generation formula.
+    */
+  case class ImageHash(media_id: Long, width: Int, height: Int,
+                       ahash: Long, n_set_bits: Long)
+
+  /** Per-frame audio features from real decode: exact energy (sum of
+    * squared 16-bit samples) and zero-crossing count.
+    */
+  case class AudioFrame(media_id: Long, frame_idx: Long, n_samples: Long,
+                        energy: Long, n_crossings: Long)
+
   /** Binary tables need byte-aware partitioning: a parquet split sized for
     * row counts puts gigabytes of payload in one task. Repartition to a
     * target payload volume per partition before the decode pass.
@@ -191,6 +203,98 @@ object Multimodal {
     media.filter(_.kind == "audio").mapPartitions(_.map { r =>
       val (rate, frames, s) = wavStats(r.bytes)
       AudioMeta(r.media_id, rate, frames, s)
+    })
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint from REAL pixel decode —
+    * the canonical cheap image near-dup signal (two images whose hashes
+    * differ in ≤ a few bits are visual duplicates): the image is reduced
+    * to an 8×8 grid of INTEGER block luma means (block (i,j) covers
+    * [i·w div 8, (i+1)·w div 8) × [j·h div 8, (j+1)·h div 8); per-pixel
+    * luma = (r+g+b) div 3; block mean = sum div npix — no float resampling,
+    * so every bit is arithmetic an engine without a codec can replay from
+    * a fixture's generation formula), and bit (i·8+j) is set when the
+    * block mean exceeds the integer mean of the 64 block means.
+    *
+    * Requires w, h ≥ 8. Partition-batched decode like the other codec
+    * passes; downstream hamming-distance bucketing rides the existing
+    * simhash machinery (the hash IS a 64-bit simhash-compatible key).
+    */
+  def imageAHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { r =>
+      ImageIO.setUseCache(false)
+      val img = ImageIO.read(new ByteArrayInputStream(r.bytes))
+      require(img != null, s"media_id=${r.media_id}: undecodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      require(w >= 8 && h >= 8, s"media_id=${r.media_id}: aHash needs >= 8x8, got ${w}x$h")
+      val means = new Array[Long](64)
+      var i = 0
+      while (i < 8) {
+        val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+        var j = 0
+        while (j < 8) {
+          val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+          var sum = 0L
+          var x = x0
+          while (x < x1) {
+            var y = y0
+            while (y < y1) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              y += 1
+            }
+            x += 1
+          }
+          means(i * 8 + j) = sum / ((x1 - x0).toLong * (y1 - y0))
+          j += 1
+        }
+        i += 1
+      }
+      val gmean = means.sum / 64
+      var hash = 0L
+      var nSet = 0L
+      var b = 0
+      while (b < 64) {
+        if (means(b) > gmean) { hash |= (1L << b); nSet += 1 }
+        b += 1
+      }
+      ImageHash(r.media_id, w, h, hash, nSet)
+    })
+  }
+
+  /** Per-frame energy + zero crossings from REAL WAV decode — the
+    * front-end features of silence trimming and voice-activity detection:
+    * frames of `frameLen` samples (last frame ragged), energy = exact
+    * Σ s², crossings = #(i) with sᵢ·sᵢ₊₁ < 0 inside the frame. All
+    * integer arithmetic, oracle-reproducible from a fixture's sample
+    * formula.
+    */
+  def audioFrameEnergy(media: Dataset[MediaRow],
+                       frameLen: Int = 32): Dataset[AudioFrame] = {
+    require(frameLen >= 2, s"audioFrameEnergy: frameLen >= 2, got $frameLen")
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.flatMap { r =>
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.bytes))
+      val samples =
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"expected 16-bit mono LE PCM, got $fmt")
+          val data = ais.readAllBytes()
+          Array.tabulate(data.length / 2)(i =>
+            ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort)
+        } finally ais.close()
+      samples.indices.grouped(frameLen).zipWithIndex.map { case (idx, f) =>
+        var energy = 0L
+        var cross = 0L
+        idx.foreach { i =>
+          energy += samples(i).toLong * samples(i)
+          if (i + 1 <= idx.last && samples(i).toLong * samples(i + 1) < 0)
+            cross += 1
+        }
+        AudioFrame(r.media_id, f.toLong, idx.size.toLong, energy, cross)
+      }
     })
   }
 

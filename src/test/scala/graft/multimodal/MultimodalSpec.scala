@@ -113,4 +113,56 @@ class MultimodalSpec extends SparkSpec {
     assert(re.rdd.getNumPartitions > 1)
     assert(re.count() == 100)
   }
+
+  test("imageAHash: real decode matches the closed-form block arithmetic") {
+    val s = spark; import s.implicits._
+    val ids = Seq(3L, 17L, 40L)
+    val media = ids.toDS().map { id =>
+      val (w, h) = (8 + (id % 40).toInt, 8 + (id % 23).toInt)
+      Multimodal.MediaRow(id, "image", Multimodal.checkerboardPng(id, w, h),
+        w, h, 0, 0, "png")
+    }
+    val got = Multimodal.imageAHash(media)
+      .collect().map(r => r.media_id -> ((r.ahash, r.n_set_bits))).toMap
+    ids.foreach { id =>
+      val (w, h) = (8 + (id % 40).toInt, 8 + (id % 23).toInt)
+      def m(k: Long) = (id * k % 256)
+      val l1 = (m(7) + m(11) + m(13)) / 3
+      val l2 = (m(17) + m(19) + m(23)) / 3
+      val means = for (i <- 0 until 8; j <- 0 until 8) yield {
+        val (x0, x1) = (i * w / 8, (i + 1) * w / 8)
+        val (y0, y1) = (j * h / 8, (j + 1) * h / 8)
+        val (bw, bh) = (x1 - x0, y1 - y0)
+        val ax = if ((x0 + y0) % 2 == 0) (bw + 1) / 2 else bw / 2
+        val ne = ax * ((bh + 1) / 2) + (bw - ax) * (bh / 2)
+        (i * 8 + j, (ne * l1 + (bw.toLong * bh - ne) * l2) / (bw.toLong * bh))
+      }
+      val gmean = means.map(_._2).sum / 64
+      val bits = means.filter(_._2 > gmean).map(_._1)
+      val hash = bits.foldLeft(0L)((a, b) => a | (1L << b))
+      assert(got(id) == ((hash, bits.size.toLong)), s"id=$id")
+    }
+  }
+
+  test("audioFrameEnergy: frames, ragged tail, crossings from the formula") {
+    val s = spark; import s.implicits._
+    val id = 9L
+    val media = Seq(id).toDS().map { i =>
+      Multimodal.MediaRow(i, "audio", Multimodal.toneWav(i), 0, 0, 8000,
+        0, "wav")
+    }
+    val got = Multimodal.audioFrameEnergy(media)
+      .collect().map(r => r.frame_idx ->
+        ((r.n_samples, r.energy, r.n_crossings))).toMap
+    val n = 64 + (id % 64).toInt
+    val v = Array.tabulate(n)(i => ((id * 31 + i * 7) % 2003 - 1001).toInt)
+    val want = v.indices.groupBy(_ / 32).map { case (f, idx) =>
+      f.toLong -> ((idx.size.toLong,
+        idx.map(i => v(i).toLong * v(i)).sum,
+        idx.count(i => i + 1 <= idx.last && v(i).toLong * v(i + 1) < 0).toLong))
+    }
+    assert(got == want)
+    assert(got.keySet == (0L until ((n + 31) / 32).toLong).toSet)
+  }
+
 }
