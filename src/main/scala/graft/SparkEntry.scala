@@ -1653,6 +1653,46 @@ object SparkEntry {
       }
       graft.multimodal.Multimodal.audioFrameEnergy(media).toDF()
     }),
+    // Perceptual exact-dup buckets: q190's hashes grouped (hamming-0
+    // image duplicates with a deterministic keeper).
+    "q192_ahash_buckets" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = (8 + (id % 40).toInt, 8 + (id % 23).toInt)
+        graft.multimodal.Multimodal.MediaRow(id, "image",
+          graft.multimodal.Multimodal.checkerboardPng(id, w, h), w, h, 0, 0,
+          "png")
+      }
+      graft.multimodal.Multimodal.imageAHash(media).toDF()
+        .groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("keeper_id"))
+    }),
+    // GROUPING SETS with the grouping_id bitmask — the explicit-subtotal
+    // surface between q39's ROLLUP and q81's CUBE.
+    "q193_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("g193_lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+          CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM g193_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          (l_returnflag), ())""")
+    }),
+    // Salted skew join: events fact × per-user split dim through the
+    // explicit (key, salt) spread — result contract IS the plain join.
+    "q194_salted_join" -> ((s, d) => {
+      val users = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+      val dim = Sampling.hashSplit(users, col("user_id"), "split-",
+          Seq("train" -> 80, "validation" -> 10, "test" -> 10))
+        .select(col("user_id"), col("split"))
+      Relations.saltedJoin(
+        Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("event_id"), col("user_id")),
+        dim, "user_id", saltFactor = 8)
+        .select(col("event_id"), col("user_id"), col("split"))
+    }),
   )
 
   private val lshGrid: Seq[(Int, Int)] =
@@ -4583,7 +4623,42 @@ object SparkEntry {
     // block luma means from the closed-form even-cell count of each
     // [x0,x1)×[y0,y1) rectangle — and must match what the real PNG
     // decode + integer pixel loop produced bit-for-bit.
-    "q190_image_ahash" ->
+    "q190_image_ahash" -> imageAHashOracle,
+    // q192: q190's arithmetic hash replay, grouped into exact-hash
+    // buckets (hamming-0 perceptual duplicates).
+    "q192_ahash_buckets" ->
+      (s"""WITH ah AS ($imageAHashOracle)
+         SELECT ahash, COUNT(*) AS n_images, MIN(media_id) AS keeper_id
+         FROM ah GROUP BY 1"""),
+    // q193: the same GROUPING SETS text runs in both engines; the
+    // grouping bitmask conventions agree (first argument = high bit).
+    "q193_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_returnflag), ())""",
+    // q194: the salted join's contract IS the plain join — the oracle
+    // never sees the salt.
+    "q194_salted_join" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+                WHERE user_id IS NOT NULL),
+         sp AS (SELECT user_id,
+                  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+                    ELSE 'test' END AS split
+                FROM (SELECT user_id,
+                        CAST(('0x' || substr(md5('split-' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+                      FROM u))
+         SELECT e.event_id, e.user_id, sp.split
+         FROM events e JOIN sp ON sp.user_id = e.user_id""",
+    // q191: sample formula replay, 32-sample frames, lead() crossings.
+    "q191_audio_frames" -> audioFramesOracle,
+  )
+
+  /** The q190/q192 arithmetic aHash replay (see the q190 comment). */
+  private val imageAHashOracle: String =
       """WITH p AS (SELECT doc_id, 8 + doc_id % 40 AS w, 8 + doc_id % 23 AS h,
              ((doc_id*7) % 256 + (doc_id*11) % 256 + (doc_id*13) % 256) // 3 AS l1,
              ((doc_id*17) % 256 + (doc_id*19) % 256 + (doc_id*23) % 256) // 3 AS l2
@@ -4613,9 +4688,10 @@ object SparkEntry {
              ELSE 0 END) AS BIGINT) AS ahash,
            CAST(SUM(CASE WHEN bm > gmean THEN 1 ELSE 0 END) AS BIGINT)
              AS n_set_bits
-         FROM mean JOIN gm USING (doc_id) GROUP BY 1, 2, 3""",
-    // q191: sample formula replay, 32-sample frames, lead() crossings.
-    "q191_audio_frames" ->
+         FROM mean JOIN gm USING (doc_id) GROUP BY 1, 2, 3"""
+
+  /** The q191 oracle: sample-formula replay, 32-sample frames. */
+  private val audioFramesOracle: String =
       """WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
          s AS (SELECT doc_id, i, ((doc_id*31 + i*7) % 2003) - 1001 AS v
                FROM d, generate_series(0, 127) t(i) WHERE i < n),
@@ -4626,8 +4702,7 @@ object SparkEntry {
            CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
            CAST(SUM(CASE WHEN pos < 31 AND nv IS NOT NULL AND v * nv < 0
              THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
-         FROM f GROUP BY 1, 2""",
-  )
+         FROM f GROUP BY 1, 2"""
 
   /** q173's generated BFS oracle: one frontier-expansion + min-merge CTE
     * pair per round — the operator's exact loop.
