@@ -1693,6 +1693,52 @@ object SparkEntry {
         dim, "user_id", saltFactor = 8)
         .select(col("event_id"), col("user_id"), col("split"))
     }),
+    // Watermark-lateness audit: arrival = event time + a deterministic
+    // md5 network delay of up to 2 h (the fixture's "what the broker
+    // saw"); running-max event time in arrival order, 1-hour watermark
+    // verdict per stream.
+    "q195_late_events" -> ((s, d) =>
+      Temporal.latenessAudit(
+        Tables.events(s, d).select(col("event_type"), col("event_id"),
+            col("event_ts_us"))
+          .withColumn("arrival_us", col("event_ts_us") +
+            conv(substring(md5(concat(lit("net-"),
+              col("event_id").cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 7200000000L),
+        "event_type", Seq("arrival_us", "event_id"), "event_ts_us",
+        thresholdUs = 3600000000L)),
+    // Star-schema referential integrity: orphan rates for all four
+    // declared FK relationships in one report.
+    "q196_fk_orphans" -> ((s, d) =>
+      graft.quality.Checks.fkOrphanReport(Seq(
+        ("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        ("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        ("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        ("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey")))),
+    // Signup→purchase conversion latency percentiles per A/B variant
+    // (exact discrete percentiles through the histogram machinery).
+    "q197_conversion_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("event_ts_us"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("event_ts_us")).as("s_ts"))
+      val p1 = ev.filter(col("event_type") === "purchase")
+        .join(s1, Seq("user_id"))
+        .filter(col("event_ts_us") >= col("s_ts"))
+        .groupBy(col("user_id"), col("s_ts"))
+        .agg(min(col("event_ts_us")).as("p_ts"))
+      val lat = p1.select(col("user_id"),
+        (col("p_ts") - col("s_ts")).as("latency_us"))
+      val split = Sampling.hashSplit(lat, col("user_id"), "ab-",
+        Seq("A" -> 34, "B" -> 33, "C" -> 33))
+      Analytics.groupPercentilesDisc(
+        split.select(col("split"), col("latency_us"), col("user_id")),
+        Seq("split"), "latency_us", Seq(50, 90))
+    }),
   )
 
   private val lshGrid: Seq[(Int, Int)] =
@@ -4653,6 +4699,72 @@ object SparkEntry {
                       FROM u))
          SELECT e.event_id, e.user_id, sp.split
          FROM events e JOIN sp ON sp.user_id = e.user_id""",
+    // q195: md5 network-delay arrival replay, running-max event time in
+    // (arrival, event_id) order per stream.
+    "q195_late_events" ->
+      """WITH e AS (SELECT event_type AS stream, event_id,
+             epoch_us(ts) AS ts,
+             epoch_us(ts) + CAST(('0x' || substr(md5('net-' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 7200000000 AS arr
+           FROM events),
+         l AS (SELECT stream,
+                 MAX(ts) OVER (PARTITION BY stream ORDER BY arr, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ts
+                   AS late
+               FROM e)
+         SELECT stream, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN late > 3600000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_late,
+           MAX(late) AS max_lateness_us,
+           (CAST(SUM(CASE WHEN late > 3600000000 THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000) // COUNT(*) AS late_fp
+         FROM l GROUP BY 1""",
+    // q196: one LEFT JOIN against distinct dimension keys per relation;
+    // NULL fact keys are rows, never orphans.
+    "q196_fk_orphans" -> {
+      val rels = Seq(
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+          "s_suppkey"))
+      rels.map { case (name, fact, fk, dim, dk) =>
+        s"""SELECT '$name' AS relation, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN f.$fk IS NOT NULL AND d.$dk IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           (CAST(SUM(CASE WHEN f.$fk IS NOT NULL AND d.$dk IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*)
+             AS orphan_fp
+         FROM $fact f LEFT JOIN (SELECT DISTINCT $dk FROM $dim) d
+           ON d.$dk = f.$fk"""
+      }.mkString("\n         UNION ALL ")
+    },
+    // q197: first signup, first subsequent purchase, md5-split variants,
+    // q62's exact discrete-percentile rank replay.
+    "q197_conversion_latency" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS s_ts FROM events
+               WHERE event_type = 'signup' AND user_id IS NOT NULL
+               GROUP BY 1),
+         p1 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_ts
+                FROM events e JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s1.s_ts
+                GROUP BY 1),
+         lat AS (SELECT p1.user_id, p1.p_ts - s1.s_ts AS latency
+                 FROM p1 JOIN s1 USING (user_id)),
+         sp AS (SELECT user_id, latency,
+                  CASE WHEN b < 34 THEN 'A' WHEN b < 67 THEN 'B'
+                    ELSE 'C' END AS split
+                FROM (SELECT user_id, latency,
+                        CAST(('0x' || substr(md5('ab-' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+                      FROM lat)),
+         r AS (SELECT split, latency,
+                 row_number() OVER (PARTITION BY split
+                   ORDER BY latency, user_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY split) AS n
+               FROM sp)
+         SELECT split,
+           MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN latency END) AS p50,
+           MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN latency END) AS p90
+         FROM r GROUP BY 1""",
     // q191: sample formula replay, 32-sample frames, lead() crossings.
     "q191_audio_frames" -> audioFramesOracle,
   )

@@ -331,6 +331,39 @@ object Temporal {
         :+ coalesce(col("__s"), lit(0L)).as("ewma_fp"): _*)
   }
 
+  /** Watermark-lateness audit over a replayed stream — "how late does
+    * this source actually deliver", the number that picks a streaming
+    * watermark delay: with events replayed in arrival order (`arrivalCol`,
+    * unique), each event's lateness is the running max event-time seen so
+    * far minus its own event-time; an event is LATE when that exceeds
+    * `thresholdUs` (it would be dropped by a watermark of that delay).
+    *
+    * One exchange + per-partition sort per stream for the running-max
+    * window, one map-side-combinable rollup. Output per stream:
+    * (stream, n_events, n_late, max_lateness_us, late_fp [ppm]).
+    */
+  def latenessAudit(df: DataFrame, streamCol: String,
+                    arrivalCols: Seq[String], tsUsCol: String,
+                    thresholdUs: Long): DataFrame = {
+    require(thresholdUs >= 0, s"latenessAudit: threshold >= 0, got $thresholdUs")
+    require(arrivalCols.nonEmpty,
+      "latenessAudit needs a (unique) arrival ordering — end it with a tiebreaker")
+    val ac = arrivalCols.indices.map(i => s"__a$i")
+    val w = Window.partitionBy(col("stream"))
+      .orderBy(ac.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(streamCol).as("stream")
+        +: col(tsUsCol).cast("long").as("__ts")
+        +: arrivalCols.zip(ac).map { case (c, a) => col(c).as(a) }: _*)
+      .withColumn("__late", max(col("__ts")).over(w) - col("__ts"))
+      .groupBy(col("stream"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__late") > thresholdUs, 1L).otherwise(0L)).as("n_late"),
+        max(col("__late")).as("max_lateness_us"))
+      .withColumn("late_fp",
+        expr("(n_late * CAST(1000000 AS BIGINT)) div n_events"))
+  }
+
   /** Linear interpolation of missing indices on a per-key spine — the
     * gap-filling companion of [[resampleFfill]] (which repeats the last
     * value; this draws the line between the surrounding observations):

@@ -177,6 +177,33 @@ object Checks {
       sum(when(col("value") < 0, 1L).otherwise(0L)).as("negative_values"),
       countDistinct(col("event_type")).as("n_event_types"))
 
+  /** Referential-integrity report — orphan rates for every declared
+    * fact→dimension relationship in one table (the star-schema health
+    * check a warehouse runs nightly): each relation is ONE scan of its
+    * fact keys left-joined against the dimension's distinct keys
+    * (broadcastable), counting rows and misses together — never a
+    * separate anti-join pass per metric. NULL fact keys count as rows
+    * but not as orphans (SQL FK semantics: NULL references nothing and
+    * violates nothing).
+    *
+    * Output: (relation, n_rows, n_orphans, orphan_fp [ppm]) per entry.
+    */
+  def fkOrphanReport(relations: Seq[(String, DataFrame, String, DataFrame,
+      String)]): DataFrame = {
+    require(relations.nonEmpty, "fkOrphanReport needs at least one relation")
+    relations.map { case (name, fact, factKey, dim, dimKey) =>
+      fact.select(col(factKey).as("__k"))
+        .join(broadcast(dim.select(col(dimKey).as("__k")).distinct()
+          .withColumn("__hit", lit(1))), Seq("__k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__k").isNotNull && col("__hit").isNull, 1L)
+            .otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"),
+          expr("(n_orphans * CAST(1000000 AS BIGINT)) div n_rows")
+            .as("orphan_fp"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Column profile report — the deequ/dbt-docs table summary as ONE
     * aggregation pass: for each named column, row count, null count, exact
     * distinct count, and min/max rendered as strings (cast AFTER the typed

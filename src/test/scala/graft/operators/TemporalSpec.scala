@@ -358,4 +358,18 @@ class TemporalSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 3L, 2L -> 6L, 3L -> 10L))
   }
 
+
+  test("latenessAudit: running-max lateness in arrival order") {
+    val s = spark; import s.implicits._
+    // arrival order: ts 100, 300, 200 (100 late), 400 -> max late 100
+    val df = Seq(("a", 1L, 100L), ("a", 2L, 300L), ("a", 3L, 200L),
+      ("a", 4L, 400L), ("b", 5L, 10L)).toDF("stream", "arr", "ts")
+    val got = Temporal.latenessAudit(df, "stream", Seq("arr"), "ts",
+        thresholdUs = 50L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((4L, 1L, 100L, 250000L)))
+    assert(got("b") == ((1L, 0L, 0L, 0L)))
+  }
+
 }

@@ -108,4 +108,16 @@ class ChecksSpec extends SparkSpec {
     assert(got("k") == ((4L, 1L, 2L, "2", "10")))
     assert(got("s") == ((4L, 1L, 2L, "a", "b")))
   }
+
+  test("fkOrphanReport: orphan counts per relation, NULL keys exempt") {
+    val s = spark; import s.implicits._
+    val fact = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Checks.fkOrphanReport(Seq(("f->d", fact, "fk", dim, "pk")))
+      .head()
+    // 4 rows, one true orphan (99); the NULL key is a row, not an orphan
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("f->d", 4L, 1L, 250000L)))
+  }
+
 }
