@@ -1739,6 +1739,67 @@ object SparkEntry {
         split.select(col("split"), col("latency_us"), col("user_id")),
         Seq("split"), "latency_us", Seq(50, 90))
     }),
+    // idf²-weighted Jaccard pairs — boilerplate shingles stop drowning
+    // the similarity signal on this templated corpus.
+    "q198_weighted_jaccard" -> ((s, d) =>
+      TextDedup.weightedJaccardPairs(Tables.documentsSpread(s, d),
+        "doc_id", "text")),
+    // Per-state next-event entropy (behavior predictability) — the q172
+    // fixed-point entropy over the q112 transition stream.
+    "q199_transition_entropy" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("event_ts_us").asc, col("event_id").asc)
+      val pairs = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("event_ts_us"),
+          col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type"))
+      Sampling.mixtureEntropy(pairs, "from_type", "to_type")
+    }),
+    // Cross-family dedup summary: one row per dedup method (exact,
+    // simhash, jaccard, containment, perceptual ahash) with pair and
+    // affected-doc counts — the dataset-card dedup-pressure table.
+    "q200_dedup_summary" -> ((s, d) => {
+      import s.implicits._
+      def pairSummary(name: String, pairs: DataFrame, a: String, b: String) =
+        pairs.select(explode(array(col(a), col(b))).as("d"))
+          .agg(count(lit(1)).as("__c"), countDistinct(col("d")).as("n_docs"))
+          .select(lit(name).as("method"), expr("__c div 2").as("n_pairs"),
+            col("n_docs"))
+      def groupSummary(name: String, groups: DataFrame, nCol: String) =
+        groups.filter(col(nCol) >= 2)
+          .agg(
+            coalesce(sum(expr(s"($nCol * ($nCol - 1)) div 2")), lit(0L))
+              .as("n_pairs"),
+            coalesce(sum(col(nCol)), lit(0L)).as("n_docs"))
+          .select(lit(name).as("method"), col("n_pairs"), col("n_docs"))
+      val docs = Tables.documentsSpread(s, d)
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = (8 + (id % 40).toInt, 8 + (id % 23).toInt)
+        graft.multimodal.Multimodal.MediaRow(id, "image",
+          graft.multimodal.Multimodal.checkerboardPng(id, w, h), w, h, 0, 0,
+          "png")
+      }
+      val ahashGroups = graft.multimodal.Multimodal.imageAHash(media).toDF()
+        .groupBy(col("ahash")).agg(count(lit(1)).as("n_images"))
+      groupSummary("exact",
+          TextDedup.exactDedupSummary(docs, "doc_id", "text"), "n_copies")
+        .unionByName(pairSummary("simhash", simhashPairs(s, d),
+          "doc_a", "doc_b"))
+        .unionByName(pairSummary("jaccard",
+          TextDedup.jaccardNearDupPairs(docs, "doc_id", "text",
+            shingleN = 2, threshold = 0.5,
+            shingles = Some(jaccardShingles(s, d)),
+            pairCounts = Some(jaccardPairCounts(s, d))), "doc_a", "doc_b"))
+        .unionByName(pairSummary("containment",
+          TextDedup.containmentPairs(docs, "doc_id", "text",
+            shingleN = 2, threshold = 0.8,
+            shingles = Some(jaccardShingles(s, d)),
+            pairCounts = Some(jaccardPairCounts(s, d))), "doc_a", "doc_b"))
+        .unionByName(groupSummary("ahash", ahashGroups, "n_images"))
+    }),
   )
 
   private val lshGrid: Seq[(Int, Int)] =
@@ -4765,6 +4826,108 @@ object SparkEntry {
            MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN latency END) AS p50,
            MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN latency END) AS p90
          FROM r GROUP BY 1""",
+    // q198: idf_fp quantized once per shingle, HUGEINT idf² sums, one
+    // IEEE division per pair.
+    "q198_weighted_jaccard" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                       WHERE len(string_split(text, ' ')) >= 2),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+                FROM docs, UNNEST(range(1, len(w))) t(i)),
+         dfx AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+         wt AS (SELECT s,
+                  CAST(FLOOR(ln(CAST((SELECT COUNT(*) FROM docs) AS DOUBLE) / df)
+                    * 1000000.0) AS BIGINT) AS idf
+                FROM dfx),
+         ps AS (SELECT sh.doc_id, sh.s, wt.idf FROM sh JOIN wt USING (s)),
+         dw AS (SELECT doc_id, CAST(SUM(idf * idf) AS BIGINT) AS w2
+                FROM ps GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS n_shared,
+                     CAST(SUM(a.idf * a.idf) AS BIGINT) AS dot
+                   FROM ps a JOIN ps b
+                     ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_shared, dot,
+           CAST(dot AS DOUBLE)
+             / CAST(da.w2 + db.w2 - dot AS DOUBLE) AS wjaccard
+         FROM inter
+         JOIN dw da ON da.doc_id = doc_a JOIN dw db ON db.doc_id = doc_b
+         WHERE CAST(dot AS DOUBLE)
+           / CAST(da.w2 + db.w2 - dot AS DOUBLE) >= 0.3""",
+    // q199: q112's lead() transition stream through the q172 entropy.
+    "q199_transition_entropy" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             event_id FROM events WHERE user_id IS NOT NULL),
+         o AS (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS to_type
+               FROM e),
+         c AS (SELECT from_type AS key, to_type, COUNT(*) AS c FROM o
+               WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT key, c,
+                 CAST(FLOOR(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS t
+               FROM c),
+         a AS (SELECT key, CAST(SUM(c) AS BIGINT) AS n_rows,
+                 COUNT(*) AS n_groups, CAST(SUM(t) AS BIGINT) AS s
+               FROM t GROUP BY 1)
+         SELECT key, n_rows, n_groups,
+           CAST(FLOOR(ln(CAST(n_rows AS DOUBLE)) * 1000000.0) AS BIGINT)
+             - (s // n_rows) AS entropy_fp
+         FROM a""",
+    // q200: one count branch per dedup family over the existing pair/
+    // group formulations (the ahash branch nests the q190 replay).
+    "q200_dedup_summary" ->
+      (s"""WITH docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                       WHERE len(string_split(text, ' ')) >= 2),
+         sh2 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s
+                FROM docs2, UNNEST(range(1, len(w))) t(i)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS ns
+                   FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE ns / (sa.n + sb.n - ns) >= 0.5),
+         cp AS (SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE ns / least(sa.n, sb.n) >= 0.8),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+         hh AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+                FROM tok),
+         bits AS (SELECT doc_id, b, SUM(2 * ((h >> b) & 1) - 1) AS s
+                  FROM hh, UNNEST(range(0, 60)) t(b) GROUP BY 1, 2),
+         shh AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                    ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id),
+         sp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM shh x JOIN shh y ON x.doc_id < y.doc_id
+                WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+         ex AS (SELECT md5(lower(trim(text))) AS ch, COUNT(*) AS n
+                FROM documents GROUP BY 1 HAVING COUNT(*) >= 2),
+         ahg AS (SELECT ahash, COUNT(*) AS n FROM ($imageAHashOracle)
+                 GROUP BY 1 HAVING COUNT(*) >= 2)
+         SELECT 'exact' AS method,
+           CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_docs FROM ex
+         UNION ALL SELECT 'simhash', (SELECT COUNT(*) FROM sp),
+           (SELECT COUNT(DISTINCT d) FROM (SELECT doc_a AS d FROM sp
+             UNION ALL SELECT doc_b FROM sp))
+         UNION ALL SELECT 'jaccard', (SELECT COUNT(*) FROM jp),
+           (SELECT COUNT(DISTINCT d) FROM (SELECT doc_a AS d FROM jp
+             UNION ALL SELECT doc_b FROM jp))
+         UNION ALL SELECT 'containment', (SELECT COUNT(*) FROM cp),
+           (SELECT COUNT(DISTINCT d) FROM (SELECT doc_a AS d FROM cp
+             UNION ALL SELECT doc_b FROM cp))
+         UNION ALL SELECT 'ahash',
+           CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT),
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM ahg"""),
     // q191: sample formula replay, 32-sample frames, lead() crossings.
     "q191_audio_frames" -> audioFramesOracle,
   )

@@ -564,6 +564,55 @@ object TextDedup {
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), fingerprintCol(col(textCol)).as("fp"))
 
+  /** idf²-weighted set similarity — the templated-corpus fix for plain
+    * Jaccard: boilerplate shingles (high document frequency) drown the
+    * signal in |A∩B|, so weight each shingle by idf² and score
+    *   wJ(A,B) = Σ_{s∈A∩B} idf(s)² / Σ_{s∈A∪B} idf(s)²
+    * (any positive weight is a valid weighted-Jaccard instance; idf² is
+    * what the posting-dot machinery computes EXACTLY: with per-posting
+    * payload idf_fp, the pair dot Σ wa·wb over shared shingles is
+    * Σ idf_fp² — integer-exact, no float fold).
+    *
+    * Determinism: idf_fp = floor(ln(N/df)·10⁶) quantized ONCE per
+    * shingle; pair dots and per-doc Σ idf_fp² are exact long sums; the
+    * one IEEE division per pair mirrors in the oracle. Scale posture is
+    * [[jaccardNearDupPairs]]'s: posting-list co-occurrence through the
+    * guarded pair join (per-task caps), never all-pairs.
+    *
+    * Output: (doc_a, doc_b, n_shared, dot, wjaccard), wjaccard ≥
+    * threshold.
+    */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 2, threshold: Double = 0.3,
+                           cap: Int = 2048): DataFrame = {
+    // The posting table feeds the df counts, the weighted join, and the
+    // corpus size — persisted for the call (the jaccardShingles shared-
+    // intermediate discipline; session clearCache() releases it).
+    val posting = shingleHashedDocs(
+      docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol,
+      shingleN)
+      .select(col("id"), explode(col("sh")).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = posting.select(col("id")).distinct().count()
+    require(n > 0, "weightedJaccardPairs over an empty corpus")
+    val idf = posting.groupBy(col("bk")).agg(count(lit(1)).as("__df"))
+      .select(col("bk"),
+        floor(log(lit(n.toDouble) / col("__df").cast("double"))
+          * lit(1000000.0)).cast("long").as("__w"))
+    val weighted = posting.join(idf, Seq("bk"))
+    val docw = weighted.groupBy(col("id"))
+      .agg(sum(col("__w") * col("__w")).as("__w2"))
+    graft.operators.CandidatePairs.inBucketPairDots(weighted, cap)
+      .join(docw.select(col("id").as("id_a"), col("__w2").as("__wa")), Seq("id_a"))
+      .join(docw.select(col("id").as("id_b"), col("__w2").as("__wb2")), Seq("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("n_shared"), col("dot"),
+        (col("dot").cast("double")
+          / (col("__wa") + col("__wb2") - col("dot")).cast("double"))
+          .as("wjaccard"))
+      .filter(col("wjaccard") >= threshold)
+  }
+
   /** LSH parameter-tuning table — "which (bands, rows) do I ship":
     * for each literal grid point, the expected recall of a minhash-band
     * blocking over the corpus's OWN observed near-dup pairs, via the

@@ -511,4 +511,27 @@ class TextDedupSpec extends SparkSpec {
     assert(got((1L, 2L)) == (250000000L + 1000000000L) / 2)
   }
 
+
+  test("weightedJaccardPairs: idf^2 weighting discounts boilerplate overlap") {
+    val s = spark; import s.implicits._
+    // Docs 1/2 share only the boilerplate prefix "the same header" that
+    // EVERY doc carries (df=4 -> low idf); docs 3/4 additionally share a
+    // rare tail. Plain Jaccard scores both pairs equally; idf^2 weighting
+    // must score (3,4) strictly higher.
+    val docs = Seq(
+      (1L, "the same header alpha beta"),
+      (2L, "the same header gamma delta"),
+      (3L, "the same header rare tail"),
+      (4L, "the same header rare tail")).toDF("doc_id", "text")
+    val got = TextDedup.weightedJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(got((3L, 4L)) == 1.0)  // identical docs -> exactly 1
+    assert(got((1L, 2L)) < got((3L, 4L)))
+    // shared-prefix-only pairs: overlap is entirely boilerplate; with the
+    // universal 2-grams at idf=0 the score collapses to ~0
+    assert(got((1L, 2L)) < 0.05, s"boilerplate pair scored ${got((1L, 2L))}")
+    spark.catalog.clearCache()
+  }
+
 }
