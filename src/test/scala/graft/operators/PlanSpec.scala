@@ -130,6 +130,50 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("second-session operators: no cartesian pairs, map-only row-local ops") {
+    val docs = Tables.documents(spark, sfDir)
+    // blocking/similarity family: equi-joins only, never CartesianProduct
+    Seq(
+      "sorted-neighbors" -> graft.text.TextDedup.sortedNeighborPairs(
+        docs, "doc_id", "text"),
+      "weighted-jaccard" -> graft.text.TextDedup.weightedJaccardPairs(
+        docs, "doc_id", "text")
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degraded to CartesianProduct:\n$plan")
+    }
+    // winnowing and CDC are the row-local fingerprint family: zero
+    // exchanges, scans pruned to (doc_id, text)
+    val win = graft.text.TextDedup.winnowFingerprints(docs, "doc_id", "text")
+    val winPlan = win.queryExecution.executedPlan.toString
+    assert(!winPlan.contains("Exchange"), s"winnowing shuffled:\n$winPlan")
+    assert(!scanLine(win).contains("lang"),
+      s"winnowing scan over-reads:\n${scanLine(win)}")
+    spark.catalog.clearCache()
+  }
+
+  test("ewma/corr panel ops scan the fact table exactly once") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type").as("series"),
+        expr("event_ts_us div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("y_fp"))
+    // corrPairs pairs inside day-grouped arrays — a self-join would show
+    // two FileScans (Spark does not dedupe repeated subplans)
+    val corr = Analytics.corrPairs(ev, "day", "series", "y_fp")
+    val corrScans = corr.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("FileScan"))
+    assert(corrScans == 1, s"corrPairs scans the facts $corrScans times")
+    val ewma = graft.operators.Temporal.ewmaTrailing(ev, Seq("series"),
+      "day", "y_fp")
+    val ewmaScans = ewma.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("FileScan"))
+    // spine + contributions both derive from the same daily aggregate;
+    // two scans of the raw facts is the honest minimum without a persist
+    assert(ewmaScans <= 2, s"ewmaTrailing scans the facts $ewmaScans times")
+    spark.catalog.clearCache()
+  }
+
   test("relational hot paths run inside whole-stage codegen") {
     val df = Analytics.pricingSummary(Tables.lineitem(spark, sfDir))
     df.collect() // AQE only materializes codegen stages in the final plan
