@@ -1740,10 +1740,11 @@ object SparkEntry {
         Seq("split"), "latency_us", Seq(50, 90))
     }),
     // idf²-weighted Jaccard pairs — boilerplate shingles stop drowning
-    // the similarity signal on this templated corpus.
+    // the similarity signal on this templated corpus. Shares the q70/q77
+    // shingle cache (one corpus tokenize across the whole family).
     "q198_weighted_jaccard" -> ((s, d) =>
       TextDedup.weightedJaccardPairs(Tables.documentsSpread(s, d),
-        "doc_id", "text")),
+        "doc_id", "text", shingles = Some(jaccardShingles(s, d)))),
     // Per-state next-event entropy (behavior predictability) — the q172
     // fixed-point entropy over the q112 transition stream.
     "q199_transition_entropy" -> ((s, d) => {

@@ -584,13 +584,16 @@ object TextDedup {
     */
   def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                            shingleN: Int = 2, threshold: Double = 0.3,
-                           cap: Int = 2048): DataFrame = {
+                           cap: Int = 2048,
+                           shingles: Option[DataFrame] = None): DataFrame = {
     // The posting table feeds the df counts, the weighted join, and the
     // corpus size — persisted for the call (the jaccardShingles shared-
-    // intermediate discipline; session clearCache() releases it).
-    val posting = shingleHashedDocs(
-      docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol,
-      shingleN)
+    // intermediate discipline; session clearCache() releases it). A
+    // caller-supplied `shingles` table (the q70/q77/q110 shared cache)
+    // saves the tokenize+shingle corpus pass entirely.
+    val posting = shingles.getOrElse(shingleHashedDocs(
+        docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol,
+        shingleN))
       .select(col("id"), explode(col("sh")).as("bk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = posting.select(col("id")).distinct().count()
