@@ -1789,6 +1789,7 @@ object SparkEntry {
           TextDedup.exactDedupSummary(docs, "doc_id", "text"), "n_copies")
         .unionByName(pairSummary("simhash", simhashPairs(s, d),
           "doc_a", "doc_b"))
+        // (rest of the union chain continues below)
         .unionByName(pairSummary("jaccard",
           TextDedup.jaccardNearDupPairs(docs, "doc_id", "text",
             shingleN = 2, threshold = 0.5,
@@ -1801,6 +1802,20 @@ object SparkEntry {
             pairCounts = Some(jaccardPairCounts(s, d))), "doc_a", "doc_b"))
         .unionByName(groupSummary("ahash", ahashGroups, "n_images"))
     }),
+    // Sketch calibration: exact distinct user-days vs the p=8 HLL
+    // estimate per event type, signed ppm error — the audit before
+    // swapping COUNT(DISTINCT) for the sketch.
+    "q201_hll_calibration" -> ((s, d) =>
+      graft.ml.Sketches.hllCalibrationReport(
+        Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("event_type"),
+            concat(col("user_id").cast("string"), lit("-"),
+              expr("event_ts_us div 86400000000").cast("string")).as("ud")),
+        "event_type", col("ud"), p = 8)),
+    // Repeat-purchase cohorts by first-order month (retention economics).
+    "q202_repeat_cohorts" -> ((s, d) =>
+      Analytics.repeatCohorts(Tables.orders(s, d), "o_custkey",
+        "o_orderdate", "o_totalprice")),
   )
 
   private val lshGrid: Seq[(Int, Int)] =
@@ -4929,6 +4944,27 @@ object SparkEntry {
          UNION ALL SELECT 'ahash',
            CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT),
            CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM ahg"""),
+    // q201: exact count + the q100-style register replay at p=8 over the
+    // same user-day values; signed ppm error (both engines truncate).
+    "q201_hll_calibration" -> hllCalibrationOracle(8),
+    // q202: per-customer first month / order count / DECIMAL cents, one
+    // cohort rollup.
+    "q202_repeat_cohorts" ->
+      """WITH pc AS (SELECT o_custkey,
+             MIN(CAST(year(CAST(o_orderdate AS DATE)) * 12
+               + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT))
+               AS cohort_month,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+           FROM orders GROUP BY 1)
+         SELECT cohort_month, COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           (CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000) // COUNT(*) AS repeat_fp,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+         FROM pc GROUP BY 1""",
     // q191: sample formula replay, 32-sample frames, lead() crossings.
     "q191_audio_frames" -> audioFramesOracle,
   )
@@ -4979,6 +5015,38 @@ object SparkEntry {
            CAST(SUM(CASE WHEN pos < 31 AND nv IS NOT NULL AND v * nv < 0
              THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
          FROM f GROUP BY 1, 2"""
+
+  /** q201's generated oracle: exact distinct + the q100/q165 register
+    * estimator replay at parameter `p` over per-type user-day values.
+    */
+  private def hllCalibrationOracle(p: Int): String = {
+    val m = 1L << p
+    val alphaFp = 7213L * m * m * m / (10000L * m + 10790L)
+    val num = alphaFp * (1L << 40)
+    val pow40 = 1L << 40
+    s"""WITH e AS (SELECT event_type,
+             CAST(user_id AS VARCHAR) || '-' ||
+               CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS ud
+           FROM events WHERE user_id IS NOT NULL),
+         ex AS (SELECT event_type AS "group",
+                  COUNT(DISTINCT ud) AS exact_distinct FROM e GROUP BY 1),
+         h AS (SELECT event_type,
+                 CAST(('0x' || substr(md5('hll-' || ud), 1, 15)) AS BIGINT) AS h
+               FROM e),
+         r AS (SELECT event_type, h & ${m - 1} AS bucket,
+                 MAX(${61 - p} - length(ltrim(bin(h >> $p), '0'))) AS max_rho
+               FROM h GROUP BY 1, 2),
+         g AS (SELECT event_type, SUM(CAST($pow40 AS BIGINT) >> max_rho) AS ps,
+                 COUNT(*) AS pr FROM r GROUP BY 1),
+         est AS (SELECT event_type AS "group",
+                   CAST($num // greatest(ps + ($m - pr) * $pow40, 1) AS BIGINT)
+                     AS est_distinct
+                 FROM g)
+         SELECT ex."group", exact_distinct, est_distinct,
+           ((est_distinct - exact_distinct) * 1000000) // exact_distinct
+             AS err_fp
+         FROM ex JOIN est USING ("group")"""
+  }
 
   /** q173's generated BFS oracle: one frontier-expansion + min-merge CTE
     * pair per round — the operator's exact loop.

@@ -157,6 +157,32 @@ object Sketches {
                   p: Int, salt: String = "hll-"): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, valueCol, p, salt), groupCols, p)
 
+  /** Sketch-calibration report — exact distinct vs the HLL estimate per
+    * group with the SIGNED ppm error: the "can I trust p=this for that
+    * column" audit a team runs once per domain before swapping
+    * `COUNT(DISTINCT)` for the sketch in production dashboards. Runs the
+    * exact count (the thing you can only afford at audit time) and
+    * [[hllDistinct]] over the same rows; both branches re-scan the input
+    * (an audit-time cost by definition — production runs only the
+    * sketch).
+    *
+    * Output: (group, exact_distinct, est_distinct, err_fp) with err_fp =
+    * (est − exact)·10⁶ div exact, truncation toward zero (both engines).
+    */
+  def hllCalibrationReport(df: DataFrame, groupCol: String, valueCol: Column,
+                           p: Int, salt: String = "hll-"): DataFrame = {
+    val exact = df.select(col(groupCol).as("group"), valueCol.as("__v"))
+      .groupBy(col("group"))
+      .agg(countDistinct(col("__v")).as("exact_distinct"))
+    val est = hllDistinct(df.select(col(groupCol), valueCol.as("__v")),
+      Seq(groupCol), col("__v"), p, salt)
+      .select(col(groupCol).as("group"), col("est_distinct"))
+    exact.join(est, Seq("group"))
+      .select(col("group"), col("exact_distinct"), col("est_distinct"),
+        expr("((est_distinct - exact_distinct) * CAST(1000000 AS BIGINT))" +
+          " div exact_distinct").as("err_fp"))
+  }
+
   /** Pairwise sketch-based overlap between groups — "how much vocabulary
     * do these two sources share", the dataset-card dedup-pressure signal,
     * via inclusion–exclusion over HLL unions:

@@ -1126,6 +1126,38 @@ object Analytics {
           .as("gini_fp"))
   }
 
+  /** Repeat-purchase cohort report — "do newer cohorts come back": per
+    * first-order month, the customer count, how many ever ordered again,
+    * the ppm repeat rate, and exact DECIMAL lifetime spend. One pass to
+    * the per-customer aggregate (first month + order count + spend), one
+    * map-side-combinable cohort rollup.
+    *
+    * Months are epoch-absolute (year·12 + month−1) so cohorts sort
+    * numerically and both engines derive the identical integer.
+    *
+    * Output: (cohort_month, n_customers, n_repeat, repeat_fp,
+    * total_cents).
+    */
+  def repeatCohorts(orders: DataFrame, custCol: String, dateCol: String,
+                    amountCol: String): DataFrame = {
+    val absMonth = (year(col(dateCol).cast("date")) * 12 +
+      month(col(dateCol).cast("date")) - 1).cast("long")
+    orders
+      .groupBy(col(custCol).as("__c"))
+      .agg(min(absMonth).as("cohort_month"),
+        count(lit(1)).as("__n"),
+        (sum(col(amountCol).cast("decimal(18,2)")) * lit(100)).cast("long")
+          .as("__cents"))
+      .groupBy(col("cohort_month"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+        sum(col("__cents")).as("total_cents"))
+      .select(col("cohort_month"), col("n_customers"), col("n_repeat"),
+        expr("(n_repeat * CAST(1000000 AS BIGINT)) div n_customers")
+          .as("repeat_fp"),
+        col("total_cents"))
+  }
+
   /** OHLC bars — open/high/low/close + volume per (key, time bucket), the
     * candlestick aggregation every metrics/trading surface draws. Open and
     * close ride the min/max-of-struct idiom over (ts, tie, cents): struct

@@ -308,4 +308,16 @@ class SketchesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+
+  test("hllCalibrationReport: exact vs estimate with signed ppm error") {
+    val s = spark; import s.implicits._
+    val df = (0 until 900).map(i => ("g", s"v$i")).toDF("grp", "v")
+    val r = Sketches.hllCalibrationReport(df, "grp", col("v"), p = 7).head()
+    val (exact, est, err) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(exact == 900L)
+    assert(math.abs(est - 900) < 900 * 0.30, s"est=$est")
+    assert(err == (est - 900) * 1000000L / 900L)
+    spark.catalog.clearCache()
+  }
+
 }

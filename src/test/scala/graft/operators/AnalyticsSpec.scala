@@ -700,4 +700,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((3L, 1L)) == ((1L, 100L, 100L, 400000L)))
   }
 
+
+  test("repeatCohorts: first-month cohorts, repeat flags, exact cents") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "2024-01-15", 10.00), (1L, "2024-03-02", 5.50),  // repeat, Jan
+      (2L, "2024-01-20", 7.25),                             // one-shot, Jan
+      (3L, "2024-02-01", 1.00), (3L, "2024-02-28", 1.00))   // repeat, Feb
+      .toDF("c", "d", "amt")
+    val got = Analytics.repeatCohorts(df, "c", "d", "amt")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val jan = 2024L * 12 + 0; val feb = jan + 1
+    assert(got(jan) == ((2L, 1L, 500000L, 2275L)))  // 1550 + 725 cents
+    assert(got(feb) == ((1L, 1L, 1000000L, 200L)))
+  }
+
 }
