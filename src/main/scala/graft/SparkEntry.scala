@@ -1816,6 +1816,26 @@ object SparkEntry {
     "q202_repeat_cohorts" -> ((s, d) =>
       Analytics.repeatCohorts(Tables.orders(s, d), "o_custkey",
         "o_orderdate", "o_totalprice")),
+    // Top-3 daily cent totals per event type WITH ties kept — the RANK
+    // surface (row_number top-k everywhere else deliberately drops ties).
+    "q203_topk_with_ties" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      dailyCents(s, d)
+        .withColumn("rnk", rank().over(Window.partitionBy(col("series"))
+          .orderBy(col("y_fp").desc)).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("series"), col("day"), col("y_fp"), col("rnk"))
+    }),
+    // Maximum drawdown of each event type's daily-cents LEVEL series:
+    // flows = day-over-day changes, so the cumulative rebuilds the level
+    // and peak−trough is the classic drawdown.
+    "q204_max_drawdown" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("series")).orderBy(col("day").asc)
+      val flows = dailyCents(s, d).withColumn("flow",
+        col("y_fp") - coalesce(lag(col("y_fp"), 1).over(w), lit(0L)))
+      Analytics.maxDrawdown(flows, Seq("series"), "day", "day", "flow")
+    }),
   )
 
   private val lshGrid: Seq[(Int, Int)] =
@@ -4965,6 +4985,45 @@ object SparkEntry {
              * 1000000) // COUNT(*) AS repeat_fp,
            CAST(SUM(cents) AS BIGINT) AS total_cents
          FROM pc GROUP BY 1""",
+    // q203: RANK keeps ties — the set of rows at rnk<=3 is deterministic
+    // without a tiebreaker.
+    "q203_topk_with_ties" ->
+      """WITH dly AS (SELECT event_type AS series,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y_fp
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2)
+         SELECT series, day, y_fp, rnk FROM (
+           SELECT series, day, y_fp,
+             CAST(rank() OVER (PARTITION BY series ORDER BY y_fp DESC)
+               AS BIGINT) AS rnk
+           FROM dly) WHERE rnk <= 3""",
+    // q204: lag-flows rebuild the level; running cum/peak windows share
+    // one sort; exact long drawdown.
+    "q204_max_drawdown" ->
+      """WITH dly AS (SELECT event_type AS series,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         f AS (SELECT series, day,
+                 y - COALESCE(lag(y) OVER (PARTITION BY series
+                   ORDER BY day), 0) AS flow
+               FROM dly),
+         c AS (SELECT series, day, flow,
+                 CAST(SUM(flow) OVER (PARTITION BY series ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+               FROM f),
+         p AS (SELECT series, flow, cum,
+                 MAX(cum) OVER (PARTITION BY series ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+               FROM c)
+         SELECT series, COUNT(*) AS n_points,
+           CAST(SUM(flow) AS BIGINT) AS final_cents,
+           MAX(peak) AS peak_cents,
+           MAX(peak - cum) AS max_drawdown_cents
+         FROM p GROUP BY 1""",
     // q191: sample formula replay, 32-sample frames, lead() crossings.
     "q191_audio_frames" -> audioFramesOracle,
   )

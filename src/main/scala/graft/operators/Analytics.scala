@@ -1158,6 +1158,36 @@ object Analytics {
         col("total_cents"))
   }
 
+  /** Maximum drawdown per series — the worst peak-to-trough fall of the
+    * cumulative total (the risk metric behind "how bad did it get"):
+    * running cumulative cents in (idx, tie) order, running peak, and the
+    * max of (peak − cumulative). Exact longs end to end; ONE
+    * exchange+sort serves all three windows (same partitioning and
+    * ordering) plus a map-side-combinable rollup.
+    *
+    * Output: (keys…, n_points, final_cents, peak_cents,
+    * max_drawdown_cents).
+    */
+  def maxDrawdown(df: DataFrame, keys: Seq[String], idxCol: String,
+                  tieCol: String, centsCol: String): DataFrame = {
+    require(keys.nonEmpty, "maxDrawdown needs series keys")
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*)
+      .orderBy(col(idxCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(kc :+ col(idxCol) :+ col(tieCol)
+        :+ col(centsCol).cast("long").as("__c"): _*)
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__peak", max(col("__cum")).over(w))
+      .groupBy(kc: _*)
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__c")).as("final_cents"),
+        max(col("__peak")).as("peak_cents"),
+        max(col("__peak") - col("__cum")).as("max_drawdown_cents"))
+      .select(kc ++ Seq(col("n_points"), col("final_cents"),
+        col("peak_cents"), col("max_drawdown_cents")): _*)
+  }
+
   /** OHLC bars — open/high/low/close + volume per (key, time bucket), the
     * candlestick aggregation every metrics/trading surface draws. Open and
     * close ride the min/max-of-struct idiom over (ts, tie, cents): struct

@@ -716,4 +716,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(feb) == ((1L, 1L, 1000000L, 200L)))
   }
 
+
+  test("maxDrawdown: hand series with a planted 40-cent fall") {
+    val s = spark; import s.implicits._
+    // flows: +100, +50, -40, +20, -10 -> cum 100,150,110,130,120
+    // peak 100,150,150,150,150 -> max drawdown 40
+    val df = Seq(("a", 1L, 100L), ("a", 2L, 50L), ("a", 3L, -40L),
+      ("a", 4L, 20L), ("a", 5L, -10L)).toDF("k", "t", "c")
+    val r = Analytics.maxDrawdown(df, Seq("k"), "t", "t", "c").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 120L, 150L, 40L)))
+  }
+
 }
