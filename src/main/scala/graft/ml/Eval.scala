@@ -22,6 +22,9 @@ object Eval {
     * a dozen cuts — never data-sized) counting rows map-side, and the
     * reduction is one map-side-combinable agg over |thresholds| groups.
     * Thresholds with no positive predictions keep precision NULL (0/0).
+    * Rows whose label is NULL are EXCLUDED up front (unlabeled rows can't
+    * land in any confusion cell), so tp+fp+fn+tn always sums to the
+    * labeled row count — never a silent partial denominator.
     *
     * Output: (threshold, tp, fp, fn, tn, precision_fp, recall_fp, f1_fp).
     */
@@ -31,6 +34,7 @@ object Eval {
       s"thresholdSweep needs distinct thresholds, got $thresholds")
     val M = 1000000L
     df.select(col(scoreCol).cast("long").as("__s"), labelCol.as("__l"))
+      .filter(col("__l").isNotNull)
       .withColumn("threshold", explode(array(thresholds.map(lit): _*)))
       .groupBy(col("threshold"))
       .agg(

@@ -1015,6 +1015,14 @@ object Analytics {
     * map-side-combinable agg. Pairs with zero variance on either side
     * are dropped (r undefined).
     *
+    * CONTRACT: input must hold at most ONE row per (obs, series) — the
+    * operator pairs raw rows, so duplicate panel rows would contribute
+    * extra pair products and silently skew every r they touch. Callers
+    * with duplicate observations must pre-aggregate to the panel grain
+    * (e.g. `groupBy(obs, series).agg(sum/avg)`) first; the operator does
+    * not do this internally because the collapse policy (sum vs mean vs
+    * last) is the caller's semantic choice, not the correlator's.
+    *
     * Output: (series_a, series_b, n_obs, r) with series_a < series_b.
     */
   def corrPairs(df: DataFrame, obsCol: String, seriesCol: String,
@@ -1172,10 +1180,13 @@ object Analytics {
                   tieCol: String, centsCol: String): DataFrame = {
     require(keys.nonEmpty, "maxDrawdown needs series keys")
     val kc = keys.map(col)
+    // Idx/tie aliased internally (as ohlcBars does): callers may pass a tie
+    // column whose NAME collides with the idx column post-join — ordering on
+    // the aliases keeps the projection unambiguous.
     val w = Window.partitionBy(kc: _*)
-      .orderBy(col(idxCol).asc, col(tieCol).asc)
+      .orderBy(col("__idx").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(kc :+ col(idxCol) :+ col(tieCol)
+    df.select(kc :+ col(idxCol).as("__idx") :+ col(tieCol).as("__tie")
         :+ col(centsCol).cast("long").as("__c"): _*)
       .withColumn("__cum", sum(col("__c")).over(w))
       .withColumn("__peak", max(col("__cum")).over(w))

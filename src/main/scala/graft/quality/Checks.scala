@@ -199,7 +199,10 @@ object Checks {
           sum(when(col("__k").isNotNull && col("__hit").isNull, 1L)
             .otherwise(0L)).as("n_orphans"))
         .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"),
-          expr("(n_orphans * CAST(1000000 AS BIGINT)) div n_rows")
+          // Empty fact → NULL rate, not an ANSI divide-by-zero abort of the
+          // whole report (CaseWhen evaluates the div branch lazily).
+          when(col("n_rows") > 0,
+            expr("(n_orphans * CAST(1000000 AS BIGINT)) div n_rows"))
             .as("orphan_fp"))
     }.reduce(_ unionByName _)
   }
@@ -223,22 +226,29 @@ object Checks {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
+    // Internal aliases are POSITIONAL (__nulls_0 …), and the per-column rows
+    // come from explode over Column-built structs — no column name is ever
+    // interpolated into generated SQL, so names with quotes/backticks or
+    // other SQL-significant characters profile fine.
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+          countDistinct(col(c)).as(s"__dist_$i"),
+          min(col(c)).cast("string").as(s"__min_$i"),
+          max(col(c)).cast("string").as(s"__max_$i"))
+      }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', __nulls_$c, __dist_$c, __min_$c, __max_$c")
-      .mkString(", ")
-    one.select(col("__n"),
-        expr(s"stack(${cols.size}, $stackArgs)")
-          .as(Seq("column_name", "n_nulls", "n_distinct",
-            "min_value", "max_value")))
-      .select(col("column_name"), col("__n").as("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_value"), col("max_value"))
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column_name"), col(s"__nulls_$i").as("n_nulls"),
+        col(s"__dist_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_value"), col(s"__max_$i").as("max_value"))
+    }
+    one.select(col("__n"), explode(array(entries: _*)).as("__e"))
+      .select(col("__e.column_name").as("column_name"),
+        col("__n").as("n_rows"), col("__e.n_nulls").as("n_nulls"),
+        col("__e.n_distinct").as("n_distinct"),
+        col("__e.min_value").as("min_value"),
+        col("__e.max_value").as("max_value"))
   }
 }
