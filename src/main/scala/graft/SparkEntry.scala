@@ -1836,6 +1836,76 @@ object SparkEntry {
         col("y_fp") - coalesce(lag(col("y_fp"), 1).over(w), lit(0L)))
       Analytics.maxDrawdown(flows, Seq("series"), "day", "day", "flow")
     }),
+    // Delta-protocol round trip: three snapshot commits (two appends,
+    // then a rewrite that retires every prior file) are synced into a
+    // public-format _delta_log, and EVERY version is read back via the
+    // Delta log alone — manifest never consulted. Gates the writer's
+    // add/remove/metaData emission and the reader's multi-commit replay
+    // (graft version g ↔ delta commit g−1).
+    "q205_delta_log_roundtrip" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"))
+      val root = freshScratch("q205")
+      graft.lake.Snapshots.commitAppend(root)(tmp =>
+        ev.filter(col("event_id") % 3 === 0)
+          .write.mode("overwrite").parquet(tmp))
+      graft.lake.Snapshots.commitAppend(root)(tmp =>
+        ev.filter(col("event_id") % 3 === 1)
+          .write.mode("overwrite").parquet(tmp))
+      graft.lake.Snapshots.commitRewrite(root)(tmp =>
+        ev.filter(col("event_id") % 2 === 0)
+          .write.mode("overwrite").parquet(tmp))
+      graft.lake.DeltaLog.sync(s, root)
+      Seq(0L, 1L, 2L).map(v =>
+        graft.lake.DeltaLog.readAt(s, root, v)
+          .withColumn("delta_version", lit(v)))
+        .reduce(_ unionByName _)
+    }),
+    // Externally-written Delta log ingest: flat parquet files plus a
+    // hand-authored checkpointless two-commit _delta_log (commitInfo/txn
+    // noise, URL-encoded path, add-then-remove) — read current state via
+    // the log replay. The ingest path a reference user switching engines
+    // needs on day one: their existing Delta tables open as-is.
+    "q206_delta_external_read" -> ((s, d) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import scala.jdk.CollectionConverters._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"))
+      val root = freshScratch("q206")
+      def flat(name: String, df: DataFrame): Unit = {
+        val tmp = root + "__stage_" + name.takeWhile(_ != '.')
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = {
+          val st = Files.list(Paths.get(tmp))
+          try st.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally st.close()
+        }
+        Files.createDirectories(Paths.get(root))
+        Files.move(part, Paths.get(root, name),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      flat("part-a.parquet", ev.filter(col("event_id") % 4 === 0))
+      flat("part b.parquet", ev.filter(col("event_id") % 4 === 1))
+      flat("part-c.parquet", ev.filter(col("event_id") % 4 === 2))
+      val schemaJson = ev.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      def commit(v: Long, lines: Seq[String]): Unit = {
+        Files.createDirectories(Paths.get(root, "_delta_log"))
+        Files.write(Paths.get(root, "_delta_log", f"$v%020d.json"),
+          lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      }
+      commit(0L, Seq(
+        """{"commitInfo":{"operation":"WRITE","engineInfo":"external"}}""",
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"ext-q206","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
+        """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+        """{"add":{"path":"part%20b.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+      commit(1L, Seq(
+        """{"txn":{"appId":"ext","version":9}}""",
+        """{"remove":{"path":"part-a.parquet","deletionTimestamp":2,"dataChange":true}}""",
+        """{"add":{"path":"part-c.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+      graft.lake.DeltaLog.read(s, root)
+    }),
   )
 
   private val lshGrid: Seq[(Int, Int)] =
@@ -5024,6 +5094,25 @@ object SparkEntry {
            MAX(peak) AS peak_cents,
            MAX(peak - cum) AS max_drawdown_cents
          FROM p GROUP BY 1""",
+    // q205: each delta version replays relationally — v0 = first append
+    // batch, v1 = both append batches, v2 = the rewrite's %2 rows.
+    "q205_delta_log_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS event_ts_us, value,
+           CAST(0 AS BIGINT) AS delta_version
+         FROM events WHERE event_id % 3 = 0
+         UNION ALL
+         SELECT event_id, epoch_us(ts) AS event_ts_us, value,
+           CAST(1 AS BIGINT) AS delta_version
+         FROM events WHERE event_id % 3 IN (0, 1)
+         UNION ALL
+         SELECT event_id, epoch_us(ts) AS event_ts_us, value,
+           CAST(2 AS BIGINT) AS delta_version
+         FROM events WHERE event_id % 2 = 0""",
+    // q206: current state after the hand-authored log = file b (%4=1,
+    // survives) plus file c (%4=2, added in commit 1); file a was removed.
+    "q206_delta_external_read" ->
+      """SELECT event_id, epoch_us(ts) AS event_ts_us, value
+         FROM events WHERE event_id % 4 IN (1, 2)""",
     // q191: sample formula replay, 32-sample frames, lead() crossings.
     "q191_audio_frames" -> audioFramesOracle,
   )

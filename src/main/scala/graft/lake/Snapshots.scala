@@ -55,6 +55,12 @@ object Snapshots {
   private def logDir(root: String): Path = Paths.get(root, "_log")
   private def dataDirName(v: Long): String = f"d$v%020d"
   private def manifestName(v: Long): String = f"v$v%020d.manifest"
+  /** Commit wall time of a version ≈ its manifest's mtime (for interop
+    * metadata like Delta's deletionTimestamp; never correctness-bearing).
+    */
+  private[lake] def commitTimeMillis(root: String, version: Long): Long =
+    Files.getLastModifiedTime(logDir(root).resolve(manifestName(version)))
+      .toMillis
   private def versionOf(manifest: String): Long =
     manifest.stripPrefix("v").stripSuffix(".manifest").toLong
 
@@ -87,7 +93,7 @@ object Snapshots {
   }
 
   /** Table-relative parquet paths a version resolves to. */
-  private def manifestFiles(root: String, version: Long): Seq[String] = {
+  private[lake] def manifestFiles(root: String, version: Long): Seq[String] = {
     val m = logDir(root).resolve(manifestName(version))
     require(Files.exists(m),
       s"Snapshots: version $version of $root does not exist (vacuumed or never committed)")

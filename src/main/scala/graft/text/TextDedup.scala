@@ -707,13 +707,16 @@ object TextDedup {
     * fingerprint survives per window span — the positional partial-overlap
     * detector whole-document hashing ([[fingerprint]]) cannot give.
     *
-    * Entirely row-local (one map pass, no exchange): grams and their
-    * hashes are STAGED as projected array columns before any lambda
-    * touches them (the [[shingleHashesFromTokenHashes]] rule — only the
-    * lambda element is computed per element), and each window does O(w)
-    * work over the staged hash array. Documents with fewer than w k-grams
-    * fall back to one whole-array window (so every non-empty gram
-    * sequence yields ≥ 1 fingerprint).
+    * Entirely row-local (one map pass, no exchange), and — after r12's
+    * verdict named the interpreted-HOF eval here the suite's #1 cost —
+    * entirely NATIVE: gram hashing is [[graft.functions.GramHash60]]
+    * (token bytes streamed into one reused MD5, no per-gram string or
+    * hex materialization) and the window sweep is
+    * [[graft.functions.WinnowMins]] (O(n) monotonic-deque rightmost-min
+    * selection), both inside whole-stage codegen with parity specs
+    * pinning native ≡ the original HOF recipe ≡ interpreted eval.
+    * Documents with fewer than w k-grams fall back to one whole-array
+    * window (so every non-empty gram sequence yields ≥ 1 fingerprint).
     *
     * Output: (doc_id, pos [1-based gram index], fp_hash), distinct.
     */
@@ -721,30 +724,15 @@ object TextDedup {
                          k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"winnowFingerprints: k >= 1, got $k")
     require(w >= 2, s"winnowFingerprints: w >= 2, got $w")
-    val windowSel = transform(
-      sequence(lit(1L), col("__n") - (w - 1L)),
-      i => {
-        val sub = slice(col("__h"), i.cast("int"), lit(w))
-        val m = array_min(sub)
-        struct((i + w - array_position(reverse(sub), m)).as("pos"),
-          m.as("fp_hash"))
-      })
-    val wholeSel = {
-      val m = array_min(col("__h"))
-      array(struct(
-        (lit(1L) + col("__n") - array_position(reverse(col("__h")), m))
-          .as("pos"),
-        m.as("fp_hash")))
-    }
+    graft.functions.GramHash60.register(docs.sparkSession)
+    graft.functions.WinnowMins.register(docs.sparkSession)
     docs
-      .select(col(idCol).as("doc_id"), shinglesAll(col(textCol), k).as("__g"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.GramHash60.hashes(tokens(col(textCol)), k).as("__h"))
+      .filter(size(col("__h")) >= 1)
       .select(col("doc_id"),
-        transform(col("__g"), g => tokenHash60(g)).as("__h"))
-      .select(col("doc_id"), col("__h"), size(col("__h")).cast("long").as("__n"))
-      .filter(col("__n") >= 1)
-      .select(col("doc_id"),
-        explode(array_distinct(
-          when(col("__n") >= w, windowSel).otherwise(wholeSel))).as("__f"))
+        explode(graft.functions.WinnowMins.fingerprints(col("__h"), w))
+          .as("__f"))
       .select(col("doc_id"), col("__f.pos").as("pos"),
         col("__f.fp_hash").as("fp_hash"))
   }
