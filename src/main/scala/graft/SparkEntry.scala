@@ -1906,6 +1906,40 @@ object SparkEntry {
         """{"add":{"path":"part-c.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
       graft.lake.DeltaLog.read(s, root)
     }),
+    // REAL video demux, oracle-gated end-to-end: deterministic raw-DIB
+    // AVI containers are assembled per doc_id (pure-JVM RIFF writer),
+    // demuxed back chunk-by-chunk, and every frame's decoded dimensions
+    // and exact per-channel pixel sums must equal the closed-form grid
+    // arithmetic DuckDB computes from doc_id alone — a hash mismatch
+    // means the container walk, the bottom-up row order, or the 4-byte
+    // stride padding touched a pixel. (MJPEG frames share the same
+    // demux path, JDK-JPEG-decoded; lossy, so spec-gated in AviSpec.)
+    "q207_video_demux" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val (w, h, n) =
+          (8 + (id % 9).toInt, 6 + (id % 7).toInt, 2 + (id % 4).toInt)
+        graft.multimodal.Multimodal.MediaRow(id, "video",
+          graft.multimodal.Avi.buildDib(id, w, h, n), w, h,
+          sample_rate = 0, duration_ms = n * 100, format = "avi")
+      }
+      graft.multimodal.Avi.decodeVideoMeta(media).toDF()
+    }),
+    // Sketch-mode column profile — q161's report with HLL estimates in
+    // place of the exact-distinct expand (the 100 TB profiler default).
+    // Same normalized orders projection as q161; the fixed-point q100
+    // estimator keeps every estimate an exact integer both engines
+    // reproduce, so the approximate report is still hash-gated.
+    "q208_profile_approx" -> ((s, d) =>
+      graft.quality.Checks.profileApprox(
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("price_cents"),
+          col("o_orderdate").cast("date").cast("string").as("order_date")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "price_cents", "order_date"))),
   )
 
   private val lshGrid: Seq[(Int, Int)] =
@@ -5113,6 +5147,67 @@ object SparkEntry {
     "q206_delta_external_read" ->
       """SELECT event_id, epoch_us(ts) AS event_ts_us, value
          FROM events WHERE event_id % 4 IN (1, 2)""",
+    // q207: the DIB fixture's per-pixel channel formula summed over the
+    // (x, y) grid per frame — pure modular arithmetic, no codec needed.
+    "q207_video_demux" ->
+      """WITH p AS (SELECT doc_id,
+             8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+             2 + doc_id % 4 AS n FROM documents),
+         g AS (SELECT doc_id, w, h, n, f.f AS f, x.x AS x, y.y AS y
+               FROM p, UNNEST(range(0, n)) f(f),
+                    UNNEST(range(0, w)) x(x), UNNEST(range(0, h)) y(y))
+         SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(n AS INTEGER) AS n_frames, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM((doc_id*7 + 3*f + 5*x + 3*y) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id*11 + 5*f + 2*x + 7*y) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id*13 + 7*f + 4*x + 1*y) % 256) AS BIGINT) AS sum_b
+         FROM g GROUP BY doc_id, f, n, w, h""",
+    // q208: q161's per-column branches with the q100 register replay at
+    // p=8 (m=256, rho = 53 − bitlen(h >> 8)) instead of COUNT(DISTINCT),
+    // plus the small-range linear-counting switch via the SAME generated
+    // integer LUT the Spark estimator embeds (no query-time libm on
+    // either engine).
+    "q208_profile_approx" -> {
+      val m = 256L
+      val alphaFp240 = (7213L * m * m * m / (10000L * m + 10790L)) * (1L << 40)
+      val lutSql = graft.ml.Sketches.linearCountLut(8).mkString("[", ", ", "]")
+      val branches = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "price_cents", "order_date").map { c =>
+        s"""SELECT '$c' AS column_name, n_rows, n_nulls,
+           CAST(CASE WHEN pr = 0 THEN 0
+             WHEN $alphaFp240 //
+                 greatest(ps + (256 - pr) * 1099511627776, 1) <= 640
+               AND pr < 256
+               THEN list_extract($lutSql, CAST(256 - pr AS INTEGER) + 1)
+             ELSE $alphaFp240 //
+               greatest(ps + (256 - pr) * 1099511627776, 1) END AS BIGINT)
+             AS est_distinct,
+           min_value, max_value
+         FROM (SELECT COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+                 CAST(MIN($c) AS VARCHAR) AS min_value,
+                 CAST(MAX($c) AS VARCHAR) AS max_value FROM p) b
+         CROSS JOIN
+           (SELECT COALESCE(SUM(CAST(1099511627776 AS BIGINT) >> max_rho), 0)
+                     AS ps,
+                   COUNT(*) AS pr
+            FROM (SELECT h & 255 AS bucket,
+                    MAX(53 - length(ltrim(bin(h >> 8), '0'))) AS max_rho
+                  FROM (SELECT CAST(('0x' || substr(md5('hll-' ||
+                          CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                        FROM p WHERE $c IS NOT NULL) hh
+                  GROUP BY 1) rr) g"""
+      }
+      """WITH p AS MATERIALIZED (SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
+           FROM orders)
+         """ + branches.mkString("\n         UNION ALL ")
+    },
     // q191: sample formula replay, 32-sample frames, lead() crossings.
     "q191_audio_frames" -> audioFramesOracle,
   )

@@ -1,7 +1,10 @@
 package graft.graphs
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Fixed-round multi-source BFS — hop distance from a seed set, the
   * "how far is every node from the catalog roots / the flagged accounts"
@@ -10,43 +13,80 @@ import org.apache.spark.sql.functions._
   * Fixed rounds, the [[LabelProp]]/[[KCore]] contract: hop r can only be
   * discovered in round r, so `rounds` bounds the radius computed; nodes
   * farther than `rounds` (or unreachable) are absent from the output.
-  * Once a round's frontier is empty every later round is a no-op.
+  * Once a round's frontier is empty every later round is a no-op (the
+  * loop exits early).
   *
-  * Scale posture: the adjacency is deduped and hash-partitioned ONCE and
-  * persisted. Each round expands only the LAST frontier (nodes first
-  * reached in the previous round) — one equi-join of the frontier against
-  * the adjacency layout plus one map-side-combinable min-merge; settled
-  * distances are never re-sent, so total join work across all rounds is
-  * one pass over the reachable edge set (the textbook message-passing
-  * BFS, not |dist| × rounds).
+  * Scale posture — the [[ConnectedComponents]] co-partitioned RDD
+  * fixpoint, for the same reason CC uses it: the adjacency is
+  * hash-partitioned ONCE and persisted, and every per-round operation is
+  * either narrow against that partitioner or a frontier-sized shuffle.
+  * Concretely, each round does (1) a NARROW join of the frontier (already
+  * on the adjacency's partitioner) with the adjacency, (2) one
+  * map-side-combined `reduceByKey` shuffle of the neighborhood messages —
+  * the only shuffle, sized by the frontier's out-edges, and (3) a NARROW
+  * `subtractByKey` against the settled-distance table. Settled distances
+  * accumulate through partitioner-aware unions (both sides share the
+  * partitioner, so the union keeps it) and are NEVER re-shuffled or
+  * re-aggregated: total shuffle work across all rounds is one pass over
+  * the reachable edge set, and per-round cost is ∝ frontier, not ∝ the
+  * settled set.
   */
 object Bfs {
 
   /** `edges`: integral `src`/`dst`, directed as stored (symmetrize
     * upstream for undirected reach); `seeds`: a `node` column, hop 0.
     * Returns (node, hops) for every node within `rounds` hops of any
-    * seed. Materialized before returning ([[PageRank.run]] lifecycle).
+    * seed. Materialized before returning ([[PageRank.run]] lifecycle);
+    * the per-round RDDs backing the result stay persisted (the session
+    * owner's `clearCache()` releases them, the [[ConnectedComponents]]
+    * lifecycle).
     */
   def run(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20,
       s"Bfs: rounds in [1, 20], got $rounds")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val adj = edges
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lvl = StorageLevel.MEMORY_AND_DISK
+
+    val ePairs = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("src"))
-      .distinct()
-      .persist(lvl)
+      .as[(Long, Long)].rdd.persist(lvl)
+    val nEdges = ePairs.count()
+    // Partition count sized to the graph (CC's ~500k adjacency entries per
+    // partition), bounded by the cluster's parallelism.
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      nEdges / 500000L + 1)).toInt
+    val part = new HashPartitioner(parts)
+    val adj = ePairs.distinct().partitionBy(part).persist(lvl)
     adj.count()
-    var dist = seeds.select(col("node").cast("long"), lit(0L).as("hops"))
-    for (i <- 1 to rounds) {
-      val frontier = dist.filter(col("hops") === (i - 1))
-      val reached = frontier.join(adj, frontier("node") === adj("src"))
-        .select(col("dst").as("node"), lit(i.toLong).as("hops"))
-      val next = dist.unionByName(reached)
-        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-      dist = next.localCheckpoint(eager = false)
+    ePairs.unpersist(blocking = false)
+
+    // Seeds: dedup through the same partitioner so dist starts (and stays)
+    // co-partitioned with the adjacency.
+    var dist: RDD[(Long, Long)] = seeds.select(col("node").cast("long"))
+      .as[Long].rdd.map(n => (n, 0L))
+      .reduceByKey(part, math.min(_: Long, _: Long)).persist(lvl)
+    var frontier = dist
+    var frontierSize = frontier.count()
+    var i = 1
+    while (i <= rounds && frontierSize > 0) {
+      // Narrow join (shared partitioner) → one neighborhood-sized shuffle
+      // (map-side-combined min) → narrow subtract of already-settled nodes.
+      val hop = i.toLong
+      val next = frontier.join(adj)
+        .map { case (_, (_, dst)) => (dst, hop) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+        .subtractByKey(dist)
+        .persist(lvl)
+      frontierSize = next.count() // the round's ONE job
+      // Partitioner-aware union: both sides on `part`, so dist keeps the
+      // partitioner without moving a byte.
+      dist = dist.union(next)
+      frontier = next
+      i += 1
     }
-    val out = dist.select(col("node"), col("hops"))
+    val out = dist.toDF("node", "hops")
     out.count()
     adj.unpersist(blocking = false)
     out

@@ -106,6 +106,65 @@ object Sketches {
           s"greatest(__z_fp, CAST(1 AS BIGINT))").as("est_distinct"): _*)
   }
 
+  /** [[hllEstimate]] with Flajolet's small-range correction — the
+    * estimator a PROFILER wants: when the raw estimate falls in the
+    * small-cardinality regime (raw ≤ 2.5·m with empty registers left),
+    * switch to linear counting est = m·ln(m/V) over the V empty
+    * registers, which is accurate down to n = 1 where raw HLL
+    * overestimates by an order of magnitude (a 3-value status column
+    * reads ~200 under raw at p = 8, 3 under this).
+    *
+    * Cross-engine hash stability without query-time libm: V only takes
+    * m+1 values, so the ln is PRECOMPUTED into an (m+1)-entry integer
+    * lookup (round(m·ln(m/V)) evaluated once at plan-build time) and
+    * embedded as an array literal — the oracle embeds the same literals,
+    * making both engines exact by construction ([[hllCalibrationReport]]'s
+    * determinism contract, extended to the corrected range).
+    */
+  def hllEstimateCorrected(registers: DataFrame, groupCols: Seq[String],
+                           p: Int): DataFrame = {
+    require(p >= 4 && p <= 11, s"hllEstimateCorrected: p in [4, 11], got $p")
+    val m = 1L << p
+    val lut = linearCountLut(p)
+    hllEstimateRaw(registers, groupCols, p)
+      .select(groupCols.map(col) :+
+        when(col("__raw") <= lit(5L * m / 2) && col("__zeros") > 0,
+          element_at(
+            array(lut.map(lit): _*), col("__zeros").cast("int") + 1))
+          .otherwise(col("__raw")).as("est_distinct"): _*)
+  }
+
+  /** The (m+1)-entry linear-counting table for [[hllEstimateCorrected]]:
+    * entry V = round(m·ln(m/V)), entry 0 unused. Public so generated
+    * oracles embed the identical literals.
+    */
+  def linearCountLut(p: Int): Seq[Long] = {
+    val m = 1L << p
+    (0L to m).map(v =>
+      if (v == 0L) 0L else math.round(m * math.log(m.toDouble / v)))
+  }
+
+  /** Shared raw-estimator agg keeping the internals ([[hllEstimate]]'s
+    * arithmetic plus the empty-register count) for correction layers.
+    */
+  private def hllEstimateRaw(registers: DataFrame, groupCols: Seq[String],
+                             p: Int): DataFrame = {
+    val m = 1L << p
+    val alphaFp = 7213L * m * m * m / (10000L * m + 10790L)
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(expr(s"shiftright(CAST(${1L << 40} AS BIGINT), max_rho)"))
+          .as("__present_sum"),
+        count(lit(1)).as("__present"))
+      .withColumn("__z_fp",
+        col("__present_sum") + (lit(m) - col("__present")) * lit(1L << 40))
+      .withColumn("__zeros", lit(m) - col("__present"))
+      .withColumn("__raw",
+        expr(s"CAST(${alphaFp * (1L << 40)} AS BIGINT) div " +
+          s"greatest(__z_fp, CAST(1 AS BIGINT))"))
+  }
+
   /** Trailing-window rolling distinct — the DAU→WAU/MAU metric family,
     * and the reason mergeable sketches exist: registers are built ONCE
     * per period, then every period's trailing estimate re-aggregates the

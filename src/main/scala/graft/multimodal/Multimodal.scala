@@ -15,12 +15,12 @@ import org.apache.spark.sql.functions._
   * (`Dataset.mapPartitions` gives the same batch shape: an iterator of
   * rows per partition, vectorizable inside the lambda).
   *
-  * Image (PNG/JPEG/BMP via `javax.imageio`) and audio (WAV via
-  * `javax.sound.sampled`) decode are REAL — both codecs ship in the JDK,
-  * zero extra jars. Only video demux ([[sampleFrames]]) remains a marked
-  * STUB (no container/codec library in the JDK): it slices the payload
-  * into deterministic chunks so the output GRAIN — one row per sampled
-  * frame with exact boundaries — stays real and oracle-gated (q53).
+  * Image (PNG/JPEG/BMP via `javax.imageio`), audio (WAV via
+  * `javax.sound.sampled`) AND video (RIFF/AVI via the pure-JVM [[Avi]]
+  * demuxer — raw-DIB frames unpacked directly, MJPEG frames through the
+  * JDK JPEG codec) decode are all REAL, zero extra jars. The byte-range
+  * chunker [[sampleFrames]] stays as the kind-agnostic grain primitive
+  * (q53); container-aware video lives in [[Avi]] (q207).
   */
 object Multimodal {
 
@@ -300,8 +300,11 @@ object Multimodal {
 
   // ---- features / frames ----
 
-  /** STUB features for payloads with no JDK codec (video): a rolling hash
-    * of the bytes, deterministic so tests can assert exact values.
+  /** Features for payloads of UNKNOWN kind (no decoder dispatch): a
+    * rolling hash of the bytes, deterministic so tests can assert exact
+    * values. Image/audio/video all have REAL decode paths; this is the
+    * honest fallback for kinds the library has never seen, never a stand-in
+    * for a missing codec.
     */
   private[multimodal] def stubDecodeFeatures(bytes: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
@@ -319,8 +322,10 @@ object Multimodal {
 
   /** Partition-batched featurization: one pass over each partition's rows,
     * codec invoked per payload inside the batch (the vectorization point).
-    * Image and audio features come from REAL decode (dimensions and
-    * channel/sample statistics); video falls back to the labeled stub.
+    * Image, audio AND video features come from REAL decode — dimensions,
+    * channel/sample statistics, and for video the [[Avi]] demuxer's
+    * stream facts (dimensions, frame count, mean encoded frame size).
+    * Unknown kinds get the labeled deterministic byte-hash fallback.
     * Output is padded/truncated to `dims`.
     */
   def featurize(media: Dataset[MediaRow], dims: Int = 16): Dataset[MediaFeatures] = {
@@ -336,6 +341,12 @@ object Multimodal {
             val (rate, frames, s) = wavStats(r.bytes)
             Array(rate.toFloat, frames.toFloat,
               if (frames == 0) 0f else (s.toDouble / frames).toFloat)
+          case "video" =>
+            val v = Avi.demux(r.bytes)
+            val n = v.frames.size
+            Array(v.width.toFloat, v.height.toFloat, n.toFloat,
+              if (n == 0) 0f
+              else (v.frames.iterator.map(_.length.toLong).sum.toDouble / n).toFloat)
           case _ => stubDecodeFeatures(r.bytes, dims)
         }
         MediaFeatures(r.media_id, r.kind, r.bytes.length,
@@ -344,10 +355,13 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling (video demux has no JDK codec): the payload is
-    * sliced into `count` deterministic chunks with frame indices — the
-    * output grain (one row per sampled frame with exact integer
-    * boundaries) is the real contract, oracle-gated by q53.
+  /** Byte-range payload chunking: the payload is sliced into `count`
+    * deterministic chunks with frame indices — the kind-agnostic GRAIN
+    * primitive (one row per chunk with exact integer boundaries),
+    * oracle-gated by q53 over text payloads. Container-aware video frame
+    * sampling is [[Avi.sampleFrames]] (real RIFF demux, q207-gated);
+    * this stays the codec-free fallback for payloads that are not a
+    * container at all.
     */
   def sampleFrames(media: Dataset[MediaRow], count: Int): DataFrame = {
     import media.sparkSession.implicits._
@@ -361,8 +375,9 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes")
   }
 
-  /** Deterministic synthetic media fixture (tests/demos): REAL payloads for
-    * image (checkerboard PNG) and audio (PCM WAV); stub bytes for video.
+  /** Deterministic synthetic media fixture (tests/demos): REAL payloads
+    * for all three kinds — checkerboard PNG, PCM WAV, and MJPEG-in-AVI
+    * video ([[Avi.buildMjpeg]]).
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
@@ -378,10 +393,10 @@ object Multimodal {
           MediaRow(id, "audio", bytes, 0, 0, sample_rate = 8000,
             duration_ms = samples * 1000 / 8000, format = "wav")
         case _ =>
-          val bytes = Array.tabulate[Byte](64 + (id % 64).toInt)(
-            i => ((id * 131 + i * 7) % 251).toByte)
-          MediaRow(id, "video", bytes, width = 0, height = 0,
-            sample_rate = 0, duration_ms = 1000, format = "stub")
+          val (w, h, frames) =
+            (8 + (id % 9).toInt, 6 + (id % 7).toInt, 2 + (id % 4).toInt)
+          MediaRow(id, "video", Avi.buildMjpeg(id, w, h, frames), w, h,
+            sample_rate = 0, duration_ms = frames * 100, format = "avi")
       }
     }
   }

@@ -251,4 +251,60 @@ object Checks {
         col("__e.min_value").as("min_value"),
         col("__e.max_value").as("max_value"))
   }
+
+  /** Sketch-mode [[profile]] — the 100 TB default: identical report shape
+    * but distincts come from the fixed-point HLL estimator
+    * ([[graft.ml.Sketches]], the q100 machinery) instead of exact
+    * COUNT(DISTINCT). Two map-side-combinable passes, neither holding
+    * per-value state: the wide single-row agg for counts/nulls/min/max
+    * (no expand — exact distinct was the reason `profile` pays one), and
+    * one explode of each row into (column, value) pairs feeding a
+    * register agg whose state is ≤ |cols|·2^p rows. Estimates use the
+    * small-range-corrected estimator
+    * ([[graft.ml.Sketches.hllEstimateCorrected]]: linear counting below
+    * 2.5·2^p, raw HLL above — so a 3-value status column reads 3, not
+    * ~200) and are deterministic integers, keeping the report
+    * hash-gateable cross-engine (q208); `profile` remains the exact/audit
+    * path (q161). Standard HLL error 1.04/√2^p in the raw range — ±6.5%
+    * at the default p=8.
+    *
+    * Same type-normalization contract as [[profile]]: callers project
+    * exotic types to long/string/decimal first, both for portable
+    * min/max rendering and because values are hashed through their
+    * string rendering.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String], p: Int = 8): DataFrame = {
+    require(cols.nonEmpty, "profileApprox needs at least one column")
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+          min(col(c)).cast("string").as(s"__min_$i"),
+          max(col(c)).cast("string").as(s"__max_$i"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column_name"), col(s"__nulls_$i").as("n_nulls"),
+        col(s"__min_$i").as("min_value"), col(s"__max_$i").as("max_value"))
+    }
+    val basic = one.select(col("__n"), explode(array(entries: _*)).as("__e"))
+      .select(col("__e.column_name").as("column_name"),
+        col("__n").as("n_rows"), col("__e.n_nulls").as("n_nulls"),
+        col("__e.min_value").as("min_value"),
+        col("__e.max_value").as("max_value"))
+    // NULLs are excluded from the sketch (COUNT DISTINCT semantics); a
+    // column with no non-null values has no registers → estimate 0.
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("__v"))): _*))
+        .as("__e"))
+      .select(col("__e.column_name").as("column_name"), col("__e.__v").as("__v"))
+      .filter(col("__v").isNotNull)
+    val est = graft.ml.Sketches.hllEstimateCorrected(
+      graft.ml.Sketches.hllRegisters(pairs, Seq("column_name"), col("__v"), p),
+      Seq("column_name"), p)
+    basic.join(broadcast(est), Seq("column_name"), "left")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("est_distinct"), lit(0L)).as("est_distinct"),
+        col("min_value"), col("max_value"))
+  }
 }

@@ -3,10 +3,10 @@ package graft.multimodal
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing AND codecs: image/audio decode are real (JDK
-  * `javax.imageio` / `javax.sound.sampled`); only video demux stays a
-  * marked stub. Round-trips are asserted against closed-form expectations
-  * — the same arithmetic the q63/q65 oracles use.
+/** Multimodal plumbing AND codecs: image/audio/video decode are all real
+  * (JDK `javax.imageio` / `javax.sound.sampled`; pure-JVM RIFF demux in
+  * [[AviSpec]]). Round-trips are asserted against closed-form
+  * expectations — the same arithmetic the q63/q65/q207 oracles use.
   */
 class MultimodalSpec extends SparkSpec {
 

@@ -120,4 +120,31 @@ class ChecksSpec extends SparkSpec {
       (("f->d", 4L, 1L, 250000L)))
   }
 
+  test("profileApprox: exact counts/min/max, sketch distinct within HLL error") {
+    val s = spark; import s.implicits._
+    // 5000 rows: id distinct 5000, id%40 distinct 40, third all-null.
+    val df = s.range(5000)
+      .select(col("id"), (col("id") % 40).as("k"),
+        lit(null).cast("long").as("z"))
+    val exact = Checks.profile(df, Seq("id", "k", "z")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val got = Checks.profileApprox(df, Seq("id", "k", "z")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    // non-distinct columns are EXACT and identical to profile()
+    assert(got("id") == ((5000L, 0L, got("id")._3, "0", "4999")))
+    assert(got("k") == ((5000L, 0L, got("k")._3, "0", "39")))
+    assert(got("z")._3 == 0L && got("z")._2 == 5000L)
+    // raw-HLL at p=8: std error 1.04/16 = 6.5%; assert 4 sigma on the
+    // large cardinality, and the small one within linear slack.
+    val relId = math.abs(got("id")._3 - exact("id")).toDouble / exact("id")
+    assert(relId < 0.26, s"id estimate off by $relId (${got("id")._3} vs 5000)")
+    assert(math.abs(got("k")._3 - exact("k")) <= 12,
+      s"k estimate ${got("k")._3} vs 40")
+    // determinism: the estimate is a fixed integer, not a sample
+    val again = Checks.profileApprox(df, Seq("id", "k", "z")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(again("id") == got("id")._3 && again("k") == got("k")._3)
+  }
+
 }
