@@ -94,6 +94,16 @@ object ScaleProbe {
         val seeds = edges(k).selectExpr("src AS node")
           .where("node % 10000000 < 50").distinct()
         graft.graphs.Bfs.run(edges(k), seeds, rounds = 3)
+      },
+      // The two heavy r12 newcomers: winnowing is row-local (expect ~1.0
+      // exponent — pure scan growth), weighted jaccard is the guarded
+      // posting-list join family (q70's class).
+      "winnow" -> { k =>
+        TextDedup.winnowFingerprints(docs(k), "doc_id", "text")
+      },
+      "weighted_jaccard" -> { k =>
+        TextDedup.weightedJaccardPairs(docs(k), "doc_id", "text",
+          shingleN = 3, threshold = 0.3)
       })
 
     val results = ops.map { case (name, build) =>

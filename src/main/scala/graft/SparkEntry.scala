@@ -1940,7 +1940,69 @@ object SparkEntry {
           col("o_orderdate").cast("date").cast("string").as("order_date")),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
           "price_cents", "order_date"))),
+    // Retrieval-eval metrics (nDCG@10 / MRR / recall / precision) over a
+    // deterministic md5-scored ranking per language with graded doc_id%7
+    // relevance — every number integer-exact through the generated
+    // discount LUT, so the whole IR report card is hash-gated.
+    "q209_ranking_metrics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("lang"), col("doc_id"))
+      val scored = docs.withColumn("__score",
+        conv(substring(md5(concat(lit("rank-"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long"))
+      val ranked = scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("__score").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), col("rank"))
+      val rels = docs.select(col("lang"), col("doc_id"),
+        when(col("doc_id") % 7 === 0, 2).when(col("doc_id") % 7 === 1, 1)
+          .otherwise(0).as("rel"))
+      graft.ml.Eval.rankingMetrics(ranked, rels, "lang", "doc_id", k = 10)
+    }),
+    // Fellegi–Sunter record linkage: customers vs a deterministically
+    // dirtied copy (every 3rd name uppercased, every 5th segment
+    // blanked), blocked on nation + name-suffix — never all-pairs. Clean
+    // pairs band 'match', dirty ones 'possible', non-pairs fall below
+    // the lower threshold and are dropped; all scores exact fixed-point
+    // sums of build-time log weights.
+    "q210_record_linkage" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val blk = concat(col("c_nationkey").cast("string"), lit("|"),
+        expr("right(c_name, 2)"))
+      val cents = (col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val a = c.select(col("c_custkey").as("id_a"), blk.as("blk"),
+        col("c_name").as("name_a"), col("c_mktsegment").as("seg_a"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+          "div 100000").as("bkt_a"),
+        cents.as("bal_a"))
+      val b = c.select((col("c_custkey") + 1000000).as("id_b"), blk.as("blk"),
+        when(col("c_custkey") % 3 === 0, upper(col("c_name")))
+          .otherwise(col("c_name")).as("name_b"),
+        when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("seg_b"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+          "div 100000").as("bkt_b"),
+        cents.as("bal_b"))
+      graft.text.Linkage.fellegiSunter(a, b, "id_a", "id_b", "blk",
+        linkageFields, lowerFp = 10L << 20, upperFp = 16L << 20)
+    }),
+    // PMI collocations: top-50 bigram phrases by the exact 2^20-scaled
+    // c_xy·N²/(B·c_x·c_y) ratio (log-free PMI ranking), minCount 5.
+    "q211_pmi_collocations" -> ((s, d) =>
+      TextStats.pmiCollocations(Tables.documentsSpread(s, d),
+        "doc_id", "text", minCount = 5, topK = 50)),
   )
+
+  /** q210's field model — shared between the Spark plan and the generated
+    * oracle so both embed identical fixed-point weights.
+    */
+  private val linkageFields = Seq(
+    graft.text.Linkage.FieldSpec("name", "name_a", "name_b", 0.95, 0.001),
+    graft.text.Linkage.FieldSpec("seg", "seg_a", "seg_b", 0.9, 0.2),
+    graft.text.Linkage.FieldSpec("bkt", "bkt_a", "bkt_b", 0.95, 0.1),
+    graft.text.Linkage.FieldSpec("bal", "bal_a", "bal_b", 0.99, 0.0001))
 
   private val lshGrid: Seq[(Int, Int)] =
     Seq((4, 16), (8, 8), (16, 4), (32, 2), (64, 1))
@@ -4356,6 +4418,111 @@ object SparkEntry {
            FROM orders)
          """ + branches.mkString("\n         UNION ALL ")
     },
+    // q209: md5 ranking + graded relevance replayed with the SAME
+    // generated discount LUT (round(2^30/log2(pos+1)) literals) —
+    // no libm at query time on either engine.
+    "q209_ranking_metrics" -> {
+      val lutSql = graft.ml.Eval.ndcgDiscountLut(10).mkString("[", ", ", "]")
+      s"""WITH docs AS (SELECT lang, doc_id FROM documents),
+         sc AS (SELECT lang, doc_id,
+             CAST(('0x' || substr(md5('rank-' || CAST(doc_id AS VARCHAR)),
+               1, 15)) AS BIGINT) AS score FROM docs),
+         rk AS (SELECT lang, doc_id, row_number() OVER (
+                  PARTITION BY lang ORDER BY score DESC, doc_id) AS rank
+                FROM sc),
+         posrel AS MATERIALIZED (SELECT lang, doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS rel
+           FROM docs WHERE doc_id % 7 IN (0, 1)),
+         topk AS (SELECT r.lang, r.rank, COALESCE(p.rel, 0) AS rel
+                  FROM rk r LEFT JOIN posrel p
+                    ON r.lang = p.lang AND r.doc_id = p.doc_id
+                  WHERE r.rank <= 10),
+         got AS (SELECT lang,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             COALESCE(MIN(CASE WHEN rel > 0 THEN rank END), 0) AS first_rel,
+             CAST(SUM(((CAST(1 AS BIGINT) << rel) - 1) *
+               list_extract($lutSql, rank)) AS BIGINT) AS dcg_fp,
+             COUNT(*) AS n_ranked
+           FROM topk GROUP BY 1),
+         ideal AS (SELECT lang,
+             CAST(SUM(((CAST(1 AS BIGINT) << rel) - 1) *
+               list_extract($lutSql, pos)) AS BIGINT) AS idcg_fp
+           FROM (SELECT lang, rel, row_number() OVER (
+                   PARTITION BY lang ORDER BY rel DESC, doc_id) AS pos
+                 FROM posrel) x
+           WHERE pos <= 10 GROUP BY 1),
+         nrel AS (SELECT lang, COUNT(*) AS n_rel FROM posrel GROUP BY 1)
+         SELECT g.lang AS lang, COALESCE(n.n_rel, 0) AS n_rel, g.hits AS hits,
+           CAST(CASE WHEN g.first_rel > 0
+             THEN 1073741824 // g.first_rel ELSE 0 END AS BIGINT) AS mrr_fp,
+           g.dcg_fp AS dcg_fp, COALESCE(i.idcg_fp, 0) AS idcg_fp,
+           CAST(CASE WHEN COALESCE(i.idcg_fp, 0) > 0
+             THEN (g.dcg_fp * 1000000) // i.idcg_fp END AS BIGINT) AS ndcg_ppm,
+           CAST(CASE WHEN COALESCE(n.n_rel, 0) > 0
+             THEN (g.hits * 1000000) // n.n_rel END AS BIGINT) AS recall_ppm,
+           CAST((g.hits * 1000000) // g.n_ranked AS BIGINT) AS precision_ppm
+         FROM got g LEFT JOIN nrel n ON g.lang = n.lang
+         LEFT JOIN ideal i ON g.lang = i.lang"""
+    },
+    // q210: the same blocked join with the SAME build-time fixed-point
+    // log weights (FieldSpec.agreeFp/disagreeFp interpolated).
+    "q210_record_linkage" -> {
+      val fs = linkageFields
+      def cmp(f: graft.text.Linkage.FieldSpec) =
+        s"CASE WHEN ${f.leftCol} = ${f.rightCol} THEN ${f.agreeFp} " +
+          s"ELSE ${f.disagreeFp} END"
+      def agr(f: graft.text.Linkage.FieldSpec) =
+        s"CASE WHEN ${f.leftCol} = ${f.rightCol} THEN 1 ELSE 0 END"
+      s"""WITH a AS (SELECT c_custkey AS id_a,
+             CAST(c_nationkey AS VARCHAR) || '|' || right(c_name, 2) AS blk,
+             c_name AS name_a, c_mktsegment AS seg_a,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+               AS bkt_a,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_a
+           FROM customer),
+         b AS (SELECT c_custkey + 1000000 AS id_b,
+             CAST(c_nationkey AS VARCHAR) || '|' || right(c_name, 2) AS blk,
+             CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END
+               AS name_b,
+             CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END
+               AS seg_b,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+               AS bkt_b,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_b
+           FROM customer),
+         p AS (SELECT id_a, id_b,
+             ${fs.map(agr).mkString(" + ")} AS n_agree,
+             ${fs.map(cmp).mkString(" + ")} AS score_fp
+           FROM a JOIN b USING (blk))
+         SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree,
+           CAST(score_fp AS BIGINT) AS score_fp,
+           CASE WHEN score_fp >= ${16L << 20} THEN 'match'
+             ELSE 'possible' END AS decision
+         FROM p WHERE score_fp >= ${10L << 20}"""
+    },
+    // q211: the same two-step HUGEINT floor-division ratio, top-50 by
+    // (pmi desc, x, y).
+    "q211_pmi_collocations" ->
+      """WITH st AS MATERIALIZED (SELECT doc_id, w, len(w) AS L
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         tot AS (SELECT CAST(SUM(L) AS BIGINT) AS n_tot,
+             CAST(SUM(greatest(L - 1, 0)) AS BIGINT) AS b_tot FROM st),
+         bi AS (SELECT w[i.i] AS x, w[i.i + 1] AS y
+                FROM st, UNNEST(range(1, L)) i(i) WHERE L >= 2),
+         cb AS (SELECT x, y, COUNT(*) AS c_xy FROM bi
+                GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         un AS MATERIALIZED (SELECT u.t AS w, COUNT(*) AS n_w
+                FROM st, UNNEST(w) u(t) GROUP BY 1),
+         j AS (SELECT x, y, c_xy, ux.n_w AS n_x, uy.n_w AS n_y,
+             CAST(((CAST(c_xy AS HUGEINT) * 1048576 * n_tot) //
+               (CAST(ux.n_w AS HUGEINT) * uy.n_w) * n_tot) // b_tot
+               AS BIGINT) AS pmi_fp
+           FROM cb CROSS JOIN tot
+           JOIN un ux ON cb.x = ux.w JOIN un uy ON cb.y = uy.w),
+         r AS (SELECT *, row_number() OVER (
+                 ORDER BY pmi_fp DESC, x, y) AS rank FROM j)
+         SELECT x, y, c_xy, n_x, n_y, pmi_fp, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 50""",
     // q162: generated per-round degree-filter CTEs — the exact peel loop.
     "q162_kcore" -> kcoreOracle(80, 6),
     // q163: q69's BM25 tree (top-50) + q25's cosine ranking (top-50 from

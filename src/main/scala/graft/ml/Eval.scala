@@ -293,4 +293,82 @@ object Eval {
         expr("(__ssum - pmod(__ssum, n)) div n").as("mean_score_fp"),
         expr(s"(n_pos * CAST($M AS BIGINT)) div n").as("pos_rate_fp"))
   }
+
+  /** The 1/log₂(pos+1) discount table for [[rankingMetrics]]: entry pos
+    * (1-based) = round(2³⁰ / log₂(pos+1)). Precomputed once at
+    * plan-build time and embedded as literals on BOTH engines (the
+    * [[graft.ml.Sketches.linearCountLut]] pattern), so nDCG needs no
+    * query-time libm and stays hash-gateable.
+    */
+  def ndcgDiscountLut(k: Int): Seq[Long] =
+    (1 to k).map(pos =>
+      math.round((1L << 30).toDouble / (math.log(pos + 1.0) / math.log(2.0))))
+
+  /** Retrieval-evaluation metrics at cutoff k — the IR QA suite behind
+    * every embedding/BM25/RRF ranking in the library: per query, hit
+    * counts, MRR, DCG/IDCG and nDCG, recall and precision. The numbers a
+    * team watches when swapping ANN indexes or fusion weights.
+    *
+    * Inputs: `ranked` (queryCol, docCol, `rank` 1-based — the system
+    * output, e.g. a top-k join's rank column) and `rels` (queryCol,
+    * docCol, `rel` integer grade ≥ 0; pairs absent = grade 0). Graded
+    * gain is 2^rel − 1; positions discount through [[ndcgDiscountLut]],
+    * so every metric is exact integer arithmetic: mrr_fp = 2³⁰ div
+    * first-relevant-rank, dcg_fp = Σ gain·lut[pos], idcg_fp the same sum
+    * over the query's grades sorted descending (docCol-tiebroken), and
+    * the ratios parts-per-million div's. Queries with no relevant docs
+    * report NULL ndcg/recall (0/0), mrr_fp 0.
+    *
+    * Scale posture: one broadcast-or-shuffle equi-join of the rank-≤-k
+    * slice against the relevance table, one map-side-combinable agg per
+    * side, one query-grain join to marry them; the ideal ranking's
+    * window sorts RELEVANT rows only (rel > 0), never the corpus.
+    *
+    * Output: (query, n_rel, hits, mrr_fp, dcg_fp, idcg_fp, ndcg_ppm,
+    * recall_ppm, precision_ppm).
+    */
+  def rankingMetrics(ranked: DataFrame, rels: DataFrame, queryCol: String,
+                     docCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"rankingMetrics: k in [1, 100], got $k")
+    val M = 1000000L
+    val lut = ndcgDiscountLut(k)
+    val lutCol = array(lut.map(lit): _*)
+    val posRels = rels.filter(col("rel") > 0)
+      .select(col(queryCol), col(docCol), col("rel").cast("long").as("rel"))
+    val topk = ranked.filter(col("rank") <= k)
+      .select(col(queryCol), col(docCol), col("rank").cast("int").as("rank"))
+      .join(posRels, Seq(queryCol, docCol), "left")
+      .na.fill(0L, Seq("rel"))
+    val got = topk.groupBy(col(queryCol)).agg(
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("hits"),
+      coalesce(min(when(col("rel") > 0, col("rank"))), lit(0))
+        .as("__first_rel"),
+      sum((expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT))") - 1) *
+        element_at(lutCol, col("rank"))).as("dcg_fp"),
+      count(lit(1)).as("__n_ranked"))
+    // Ideal ranking: the query's own grades, best first, cut at k.
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rel").desc, col(docCol).asc)
+    val ideal = posRels.withColumn("__pos", row_number().over(w))
+      .filter(col("__pos") <= k)
+      .groupBy(col(queryCol)).agg(
+        sum((expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT))") - 1) *
+          element_at(lutCol, col("__pos"))).as("idcg_fp"),
+        count(lit(1)).as("__n_topk"))
+    val nRel = posRels.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_rel"))
+    got.join(nRel.join(ideal, Seq(queryCol)), Seq(queryCol), "left")
+      .select(col(queryCol), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits"),
+        when(col("__first_rel") > 0,
+          expr(s"CAST(${1L << 30} AS BIGINT) div __first_rel"))
+          .otherwise(lit(0L)).as("mrr_fp"),
+        col("dcg_fp"), coalesce(col("idcg_fp"), lit(0L)).as("idcg_fp"),
+        when(coalesce(col("idcg_fp"), lit(0L)) > 0,
+          expr(s"(dcg_fp * CAST($M AS BIGINT)) div idcg_fp")).as("ndcg_ppm"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          expr(s"(hits * CAST($M AS BIGINT)) div n_rel")).as("recall_ppm"),
+        expr(s"(hits * CAST($M AS BIGINT)) div __n_ranked")
+          .as("precision_ppm"))
+  }
 }

@@ -373,6 +373,72 @@ object TextStats {
           .as("avg_logprob"))
   }
 
+  /** Pointwise-mutual-information collocations — the phrase-mining
+    * primitive (Church & Hanks, CL 1990) behind multi-word-expression
+    * extraction and tokenizer-vocabulary seeding: bigrams whose observed
+    * frequency most exceeds what their parts predict. PMI =
+    * log(p(xy)/(p(x)p(y))) is monotone in the integer ratio
+    * c_xy·N²/(B·c_x·c_y), so the log is never taken: the operator ranks
+    * by the exact 2²⁰-scaled ratio
+    *   pmi_fp = ((c_xy·2²⁰·N) div (c_x·c_y))·N div B
+    * computed in DECIMAL(38,0) (the cohensKappa ↔ HUGEINT mapping), with
+    * the two-step floor division replayed verbatim by the oracle.
+    *
+    * `minCount` kills the hapax-pair noise PMI is notorious for (a pair
+    * seen once between two rare words maximizes the ratio); top-k is
+    * (ratio desc, x, y)-tiebroken.
+    *
+    * Scale posture: one pass stages token arrays (persisted — they feed
+    * the bigram explode, the unigram counts and the two scalar totals);
+    * bigram/unigram counts are map-side-combinable aggs; the unigram
+    * table is vocabulary-sized and BROADCAST to both joins; totals are
+    * driver scalars (model state, the q84 convention); the final top-k
+    * is a TakeOrdered over the filtered pair table, never a global sort.
+    *
+    * Output: (x, y, c_xy, n_x, n_y, pmi_fp, rank), rank 1..topK.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"pmiCollocations: minCount >= 1, got $minCount")
+    require(topK >= 1, s"pmiCollocations: topK >= 1, got $topK")
+    val staged = docs.select(col(idCol).as("doc_id"),
+      TextDedup.tokens(col(textCol)).as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = staged.agg(
+      sum(size(col("__w")).cast("long")),
+      sum(greatest(size(col("__w")) - 1, lit(0)).cast("long"))).head()
+    val (n, b) = (totals.getLong(0), totals.getLong(1))
+    require(b > 0, "pmiCollocations: corpus has no bigrams")
+    val grams = transform(sequence(lit(1), size(col("__w")) - 1),
+      i => struct(element_at(col("__w"), i).as("w1"),
+        element_at(col("__w"), i + 1).as("w2")))
+    val bi = staged.select(
+        explode(when(size(col("__w")) >= 2, grams)
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .select(col("bg.w1").as("x"), col("bg.w2").as("y"))
+    val uni = staged.select(explode(col("__w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val pairs = bi.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .join(broadcast(uni.select(col("w").as("x"), col("n_w").as("n_x"))),
+        Seq("x"))
+      .join(broadcast(uni.select(col("w").as("y"), col("n_w").as("n_y"))),
+        Seq("y"))
+      .withColumn("pmi_fp", expr(
+        s"""CAST((CAST((CAST(c_xy AS DECIMAL(38,0)) * 1048576 * $n) div
+              (CAST(n_x AS DECIMAL(38,0)) * n_y) AS DECIMAL(38,0)) * $n)
+            div $b AS BIGINT)"""))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi_fp").desc, col("x").asc, col("y").asc)
+    pairs.orderBy(col("pmi_fp").desc, col("x").asc, col("y").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("x"), col("y"), col("c_xy"), col("n_x"), col("n_y"),
+        col("pmi_fp"), col("rank"))
+  }
+
   /** Byte-pair-encoding merge training — the tokenizer-training core
     * (Sennrich et al., ACL 2016; public literature): start from
     * character symbols over the word-frequency table, repeatedly count

@@ -127,4 +127,40 @@ class EvalSpec extends SparkSpec {
     assert(r.getDouble(4) < 0.4 && 0.4 < r.getDouble(5))
   }
 
+  test("rankingMetrics: hand-computed nDCG/MRR/recall on a tiny ranking") {
+    val s = spark; import s.implicits._
+    // query A: ranked docs 1..4; rels: doc2 grade 2, doc4 grade 1, doc9
+    // grade 1 (missed entirely). query B: no relevant docs at all.
+    val ranked = Seq(("A", 1L, 1), ("A", 2L, 2), ("A", 3L, 3), ("A", 4L, 4),
+      ("B", 1L, 1), ("B", 2L, 2)).toDF("q", "doc", "rank")
+    val rels = Seq(("A", 2L, 2), ("A", 4L, 1), ("A", 9L, 1), ("B", 5L, 0))
+      .toDF("q", "doc", "rel")
+    val lut = Eval.ndcgDiscountLut(3)
+    val r = Eval.rankingMetrics(ranked, rels, "q", "doc", k = 3)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("A")
+    assert(a.getLong(1) == 3L) // n_rel
+    assert(a.getLong(2) == 1L) // hits in top-3 (doc2; doc4 is rank 4)
+    assert(a.getLong(3) == (1L << 30) / 2) // first relevant at rank 2
+    // dcg = gain(2)*lut(2) = 3*lut(2); idcg = 3*lut(1) + 1*lut(2) + 1*lut(3)
+    assert(a.getLong(4) == 3 * lut(1))
+    assert(a.getLong(5) == 3 * lut(0) + lut(1) + lut(2))
+    assert(a.getLong(6) == a.getLong(4) * 1000000L / a.getLong(5))
+    assert(a.getLong(7) == 1000000L / 3) // recall 1/3
+    assert(a.getLong(8) == 1000000L / 3) // precision 1/3
+    val b = r("B")
+    assert(b.getLong(1) == 0L && b.getLong(2) == 0L && b.getLong(3) == 0L)
+    assert(b.isNullAt(6) && b.isNullAt(7)) // ndcg, recall are 0/0
+  }
+
+  test("rankingMetrics: perfect ranking scores ndcg_ppm = 1000000") {
+    val s = spark; import s.implicits._
+    val ranked = Seq(("q", 10L, 1), ("q", 11L, 2)).toDF("q", "doc", "rank")
+    val rels = Seq(("q", 10L, 3), ("q", 11L, 1)).toDF("q", "doc", "rel")
+    val r = Eval.rankingMetrics(ranked, rels, "q", "doc", k = 5).head()
+    assert(r.getLong(6) == 1000000L)
+    assert(r.getLong(3) == (1L << 30)) // first relevant at rank 1
+    assert(r.getLong(7) == 1000000L && r.getLong(8) == 1000000L)
+  }
+
 }

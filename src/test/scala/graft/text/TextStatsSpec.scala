@@ -445,4 +445,29 @@ class TextStatsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("pmiCollocations: exact ratio arithmetic and min-count filter") {
+    val s = spark; import s.implicits._
+    // corpus: "a b" x3, "a c" x1, "c d e" x1 → N=11 tokens, B=6 bigrams
+    // unigrams: a=4, b=3, c=2, d=1, e=1; bigrams: (a,b)=3 (a,c)=1 (c,d)=1 (d,e)=1
+    val docs = (Seq.fill(3)("a b") ++ Seq("a c", "c d e")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextStats.pmiCollocations(docs, "doc_id", "text",
+      minCount = 1, topK = 10).collect()
+    assert(out.length == 4)
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = byPair(("a", "b"))
+    assert((ab.getLong(2), ab.getLong(3), ab.getLong(4)) == ((3L, 4L, 3L)))
+    // two-step floor: t1 = (3*2^20*11) div (4*3) = 2883584; pmi =
+    // (t1*11) div 6 = 5286570
+    assert(ab.getLong(5) == (3L * 1048576 * 11 / 12) * 11 / 6)
+    // (d,e): c=1, n_d=n_e=1 → highest ratio, rank 1
+    assert(byPair(("d", "e")).getInt(6) == 1)
+    // minCount 2 keeps only (a,b)
+    val strict = TextStats.pmiCollocations(docs, "doc_id", "text",
+      minCount = 2, topK = 10).collect()
+    assert(strict.length == 1 &&
+      (strict(0).getString(0), strict(0).getString(1)) == (("a", "b")))
+    spark.catalog.clearCache()
+  }
 }
