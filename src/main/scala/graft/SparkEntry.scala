@@ -1993,6 +1993,19 @@ object SparkEntry {
     "q211_pmi_collocations" -> ((s, d) =>
       TextStats.pmiCollocations(Tables.documentsSpread(s, d),
         "doc_id", "text", minCount = 5, topK = 50)),
+    // MinHash corpus-overlap matrix — q144's sketch sibling: |sources|·64
+    // signature state instead of the posting self-join, pairwise
+    // agreement as the Jaccard estimate, every value exact cross-engine
+    // through the mod-prime permutations.
+    "q212_minhash_source_sim" -> ((s, d) =>
+      SparseSim.minhashSourceSimilarity(Tables.documentsSpread(s, d),
+        "source", "text")),
+    // Trailing 7-day z-score anomalies on daily revenue per event type:
+    // each day vs the previous week's mean/σ, the sqrt-free integer
+    // inequality — is_outlier NULL until 4 predecessors exist.
+    "q213_rolling_z_outliers" -> ((s, d) =>
+      Temporal.rollingZOutliers(dailyCents(s, d), Seq("series"), "day",
+        "y_fp", window = 7, z = 2, minPoints = 4)),
   )
 
   /** q210's field model — shared between the Spark plan and the generated
@@ -4523,6 +4536,56 @@ object SparkEntry {
                  ORDER BY pmi_fp DESC, x, y) AS rank FROM j)
          SELECT x, y, c_xy, n_x, n_y, pmi_fp, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 50""",
+    // q212: q144's shingle CTE → md5 base hashes → the SAME build-time
+    // (a_j, b_j) mod-prime permutations as 64 generated MIN columns.
+    "q212_minhash_source_sim" -> {
+      val coeffs = SparseSim.minhashCoeffs(64)
+      val p = SparseSim.MinhashPrime
+      val mins = coeffs.zipWithIndex.map { case ((a, b), j) =>
+        s"MIN(CAST((CAST(b0 AS HUGEINT) * $a + $b) % $p AS BIGINT)) AS m$j"
+      }.mkString(",\n             ")
+      val agrees = (0 until 64).map(j =>
+        s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+         ss AS (SELECT DISTINCT source,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+                FROM d, UNNEST(range(1, len(w) - 1)) t(i)),
+         hb AS (SELECT source,
+                  CAST(('0x' || substr(md5('mh-' || sh), 1, 15)) AS BIGINT)
+                    AS b0
+                FROM ss),
+         m AS (SELECT source,
+             $mins
+           FROM hb GROUP BY source)
+         SELECT x.source AS src_a, y.source AS src_b,
+           CAST($agrees AS BIGINT) AS n_agree,
+           CAST(($agrees) * 1000000 // 64 AS BIGINT) AS est_jaccard_ppm
+         FROM m x JOIN m y ON x.source < y.source"""
+    },
+    // q213: q160's dly CTE + the HUGEINT square inequality over a
+    // 7-preceding row frame.
+    "q213_rolling_z_outliers" ->
+      """WITH dly AS (SELECT event_type AS series,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y_fp
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         w AS (SELECT series, day, y_fp,
+             COUNT(y_fp) OVER win AS n_win,
+             SUM(y_fp) OVER win AS s1,
+             SUM(CAST(y_fp AS HUGEINT) * y_fp) OVER win AS s2
+           FROM dly WINDOW win AS (PARTITION BY series ORDER BY day
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT series, day, y_fp, CAST(n_win AS BIGINT) AS n_win,
+           CAST(COALESCE(s1, 0) AS BIGINT) AS win_sum,
+           CASE WHEN n_win >= 4 THEN
+             (CAST(n_win AS HUGEINT) * y_fp - s1) *
+               (CAST(n_win AS HUGEINT) * y_fp - s1)
+               > 4 * (CAST(n_win AS HUGEINT) * s2 -
+                 CAST(s1 AS HUGEINT) * s1)
+           END AS is_outlier
+         FROM w""",
     // q162: generated per-round degree-filter CTEs — the exact peel loop.
     "q162_kcore" -> kcoreOracle(80, 6),
     // q163: q69's BM25 tree (top-50) + q25's cosine ranking (top-50 from

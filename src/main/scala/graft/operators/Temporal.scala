@@ -331,6 +331,57 @@ object Temporal {
         :+ coalesce(col("__s"), lit(0L)).as("ewma_fp"): _*)
   }
 
+  /** Trailing-window z-score outlier flags — streaming-style anomaly
+    * detection on a per-series sequence: each point is compared to the
+    * mean/σ of the PREVIOUS `window` points (self excluded — including
+    * the point masks exactly the level shifts being hunted), flagged
+    * when |x − μ| > z·σ. The sqrt never happens: with trailing sums
+    * S1 = Σxᵢ, S2 = Σxᵢ² over n points, |x − S1/n| > z·σ multiplies out
+    * to the exact integer inequality
+    *   (n·x − S1)² > z²·(n·S2 − S1²)
+    * evaluated in DECIMAL(38,0) (the cohensKappa ↔ HUGEINT mapping) —
+    * no float, no tie risk beyond exact equality (strict >), identical
+    * in both engines. [[graft.operators.Analytics]]'s groupZScores/MAD
+    * flag outliers against the WHOLE group; this is the trailing-window
+    * flavor that tracks drifting baselines.
+    *
+    * One exchange + per-partition sort per series (the window), then
+    * row-local arithmetic. `idxCol` must be unique per series (the
+    * repo-wide tiebreaker contract). Points with fewer than `minPoints`
+    * predecessors report is_outlier NULL (no verdict), never false
+    * confidence.
+    *
+    * Output: (keys…, idx, y_fp, n_win, win_sum, is_outlier).
+    */
+  def rollingZOutliers(df: DataFrame, keys: Seq[String], idxCol: String,
+                       yFpCol: String, window: Int = 20, z: Int = 3,
+                       minPoints: Int = 5): DataFrame = {
+    require(keys.nonEmpty, "rollingZOutliers needs series keys")
+    require(window >= 2 && window <= 10000,
+      s"rollingZOutliers: window in [2, 10000], got $window")
+    require(z >= 1 && z <= 100, s"rollingZOutliers: z in [1, 100], got $z")
+    require(minPoints >= 2 && minPoints <= window,
+      s"rollingZOutliers: minPoints in [2, window], got $minPoints")
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("__i").asc)
+      .rowsBetween(-window, -1)
+    df.select(kc :+ col(idxCol).cast("long").as("__i")
+        :+ col(yFpCol).cast("long").as("__y"): _*)
+      .withColumn("__n", count(col("__y")).over(w))
+      .withColumn("__s1", sum(col("__y")).over(w))
+      .withColumn("__s2",
+        sum(col("__y").cast("decimal(38,0)") * col("__y")).over(w))
+      .select(kc :+ col("__i").as(idxCol) :+ col("__y").as("y_fp")
+        :+ coalesce(col("__n"), lit(0L)).as("n_win")
+        :+ coalesce(col("__s1"), lit(0L)).as("win_sum")
+        :+ when(col("__n") >= minPoints,
+            (col("__n").cast("decimal(38,0)") * col("__y") - col("__s1"))
+              * (col("__n").cast("decimal(38,0)") * col("__y") - col("__s1"))
+              > lit(z.toLong * z) * (col("__n").cast("decimal(38,0)")
+                * col("__s2") - col("__s1").cast("decimal(38,0)") * col("__s1")))
+          .as("is_outlier"): _*)
+  }
+
   /** Watermark-lateness audit over a replayed stream — "how late does
     * this source actually deliver", the number that picks a streaming
     * watermark delay: with events replayed in arrival order (`arrivalCol`,

@@ -147,4 +147,78 @@ object SparseSim {
         (col("n_shared") / (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"),
         (col("n_shared") / least(col("n_a"), col("n_b"))).as("overlap"))
   }
+
+  /** 2⁶¹−1, the Mersenne prime classic minhash permutes through. */
+  val MinhashPrime: Long = 2305843009213693951L
+
+  /** Deterministic (a_j, b_j) multiply-shift coefficients over
+    * [[MinhashPrime]] (splitmix64 mixing of the hash index) — computed
+    * once at plan build and embedded as literals on BOTH engines, the
+    * generated-LUT discipline.
+    */
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    (0 until numHashes).map { j =>
+      (java.lang.Math.floorMod(mix(2L * j + 1), MinhashPrime - 1) + 1,
+        java.lang.Math.floorMod(mix(2L * j + 2), MinhashPrime))
+    }
+  }
+
+  /** [[sourceOverlap]]'s sketch sibling — the 100 TB path: instead of the
+    * corpus-sized posting self-join, each source is summarized by an
+    * H-value minhash signature (min over a_j·h+b_j mod 2⁶¹−1 of its
+    * distinct shingle hashes — one map-side-combinable agg whose state is
+    * |sources|·H), and pairwise agreement fraction estimates shingle-set
+    * Jaccard (Broder 1997). Signatures are MERGEABLE (element-wise min),
+    * so shards sketch independently and union, the HLL-register contract.
+    *
+    * Cross-engine: shingle base hashes are md5-derived; the H
+    * permutations run in DECIMAL(38,0) mod-prime (the cohensKappa ↔
+    * HUGEINT mapping) with build-time [[minhashCoeffs]] literals, so
+    * every signature value — and therefore the estimate — is exact on
+    * both engines (q212). Standard error ≈ √(J(1−J)/H) (~6% at H = 64,
+    * J = 0.5); the estimate-vs-exact band is spec-asserted against
+    * [[sourceOverlap]].
+    *
+    * Output: (src_a, src_b, n_agree, est_jaccard_ppm) for every source
+    * pair, src_a < src_b.
+    */
+  def minhashSourceSimilarity(docs: DataFrame, srcCol: String,
+                              textCol: String, shingleN: Int = 3,
+                              numHashes: Int = 64): DataFrame = {
+    require(numHashes >= 8 && numHashes <= 256,
+      s"minhashSourceSimilarity: numHashes in [8, 256], got $numHashes")
+    val coeffs = minhashCoeffs(numHashes)
+    val ss = docs.select(col(srcCol).as("source"),
+        explode(TextDedup.shingles(col(textCol), shingleN)).as("sh"))
+      .distinct()
+      .withColumn("__b",
+        conv(substring(md5(concat(lit("mh-"), col("sh"))), 1, 15), 16, 10)
+          .cast("long"))
+    val minAggs = coeffs.zipWithIndex.map { case ((a, b), j) =>
+      min(expr(s"CAST((CAST(__b AS DECIMAL(38,0)) * $a + $b) % " +
+        s"$MinhashPrime AS BIGINT)")).as(s"__m$j")
+    }
+    val sig = ss.groupBy(col("source")).agg(minAggs.head, minAggs.tail: _*)
+      .select(col("source"),
+        array((0 until numHashes).map(j => col(s"__m$j")): _*).as("__sig"))
+    // |sources|² pair grid over the MODEL-sized signature table — joined
+    // on a constant key (BroadcastHashJoin, not a cartesian plan node).
+    val a = sig.select(lit(1).as("__k"), col("source").as("src_a"),
+      col("__sig").as("__sa"))
+    val b = sig.select(lit(1).as("__k"), col("source").as("src_b"),
+      col("__sig").as("__sb"))
+    a.join(b, Seq("__k")).filter(col("src_a") < col("src_b"))
+      .withColumn("n_agree",
+        aggregate(zip_with(col("__sa"), col("__sb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _))
+      .select(col("src_a"), col("src_b"), col("n_agree"),
+        expr(s"(n_agree * CAST(1000000 AS BIGINT)) div $numHashes")
+          .as("est_jaccard_ppm"))
+  }
 }

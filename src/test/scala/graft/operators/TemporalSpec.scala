@@ -372,4 +372,29 @@ class TemporalSpec extends SparkSpec {
     assert(got("b") == ((1L, 0L, 0L, 0L)))
   }
 
+  test("rollingZOutliers: flat series spike flagged, warmup stays NULL") {
+    val s = spark; import s.implicits._
+    // series: 10,10,10,12,10, 100(spike), 10
+    val df = Seq(10L, 10L, 10L, 12L, 10L, 100L, 10L).zipWithIndex
+      .map { case (y, i) => ("s", i.toLong, y) }
+      .toDF("series", "day", "y_fp")
+    val got = Temporal.rollingZOutliers(df, Seq("series"), "day", "y_fp",
+        window = 5, z = 2, minPoints = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getBoolean(5))))).toMap
+    // days 0-2: fewer than 3 predecessors -> NULL verdict
+    assert(got(0L)._3.isEmpty && got(1L)._3.isEmpty && got(2L)._3.isEmpty)
+    assert(got(0L)._1 == 0L && got(2L)._1 == 2L)
+    // day 3 (value 12 vs [10,10,10]): sigma 0, any deviation flags
+    assert(got(3L) == ((3L, 30L, Some(true))))
+    // day 4 (10 vs [10,10,10,12]): (4*10-42)^2=4 vs 4*(4*444-1764)=48 -> false
+    assert(got(4L) == ((4L, 42L, Some(false))))
+    // day 5 (100 vs [10,10,10,12,10]): big spike -> true
+    assert(got(5L)._3.contains(true))
+    // day 6 (10 vs window containing the spike [10,10,12,10,100]):
+    // n=5 s1=142 s2=10504: (50-142)^2=8464 vs 4*(52520-20164)=129424 -> false
+    assert(got(6L) == ((5L, 142L, Some(false))))
+  }
+
 }

@@ -116,4 +116,33 @@ class SparseSimSpec extends SparkSpec {
     // A = {p q r} (n=1), B = {p q r, q r s} (n=2), inter = 1
     assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((1L, 1L, 2L)))
   }
+
+  test("minhashSourceSimilarity: identical sources agree on every hash") {
+    val s = spark; import s.implicits._
+    val docs = Seq(("A", 0L, "x y z w v u t"), ("B", 1L, "x y z w v u t"),
+      ("C", 2L, "completely different words here now"))
+      .toDF("source", "doc_id", "text")
+    val out = SparseSim.minhashSourceSimilarity(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("A", "B")) == ((64L, 1000000L))) // identical shingle sets
+    assert(out(("A", "C"))._1 == 0L) // disjoint sets: no shared min
+    assert(out.size == 3)
+  }
+
+  test("minhashSourceSimilarity: estimate tracks exact jaccard within band") {
+    val s = spark; import s.implicits._
+    // Two sources sharing roughly half their shingles: A covers tokens
+    // 0..59, B covers 30..89 — overlapping token streams.
+    def doc(lo: Int, hi: Int) = (lo until hi).map(i => s"w$i").mkString(" ")
+    val docs = Seq(("A", 0L, doc(0, 60)), ("B", 1L, doc(30, 90)))
+      .toDF("source", "doc_id", "text")
+    val est = SparseSim.minhashSourceSimilarity(docs, "source", "text",
+      numHashes = 128).head().getLong(3) / 1e6
+    val exact = SparseSim.sourceOverlap(docs, "source", "text")
+      .head().getDouble(5)
+    // J = 28/(58+58-28) = 0.318; sd at H=128 ~ 0.04 → assert 4 sigma
+    assert(math.abs(est - exact) < 0.17, s"est $est vs exact $exact")
+    spark.catalog.clearCache()
+  }
 }
