@@ -2006,6 +2006,43 @@ object SparkEntry {
     "q213_rolling_z_outliers" -> ((s, d) =>
       Temporal.rollingZOutliers(dailyCents(s, d), Seq("series"), "day",
         "y_fp", window = 7, z = 2, minPoints = 4)),
+    // ANN index report card: rankingMetrics grades the sign-LSH index
+    // (q52's exact configuration) against brute-force top-5 truth (q25)
+    // — recall@5 / MRR / nDCG per query, the table a team reads before
+    // trusting an approximate index at 100 TB. Composes three gated
+    // operators; the oracle replays both rankings and the metric
+    // arithmetic end-to-end.
+    "q214_ann_recall" -> ((s, d) => {
+      val em = Tables.embeddingsSpread(s, d)
+      val corpus = em.filter(col("vec_id") >= 10)
+      val queries = em.filter(col("vec_id") < 10)
+      val lsh = Similarity.annTopKLsh(corpus, queries, 5, planes = 6,
+          tables = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val exact = Similarity.annTopK(corpus, queries, 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("rel"))
+      graft.ml.Eval.rankingMetrics(lsh, exact, "query_id", "neighbor_id",
+        k = 5)
+    }),
+    // k-anonymity screen on the (nation, segment, thousand-dollar
+    // balance bucket) quasi-identifier combination at k=5 — the
+    // re-identification report before a customer extract ships.
+    "q215_k_anonymity" -> ((s, d) =>
+      graft.quality.Checks.kAnonymity(
+        Tables.customer(s, d).select(col("c_nationkey"),
+          col("c_mktsegment"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+            "div 100000").as("bal_bucket")),
+        Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)),
+    // RFM customer segmentation: exact quintile cuts from the q62
+    // percentile machine, strict-> scoring, 3-digit segment labels.
+    "q216_rfm_segments" -> ((s, d) =>
+      Analytics.rfmSegments(
+        Tables.orders(s, d).select(col("o_custkey"),
+          unix_date(col("o_orderdate").cast("date")).as("order_day"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents")),
+        "o_custkey", "order_day", "cents")),
   )
 
   /** q210's field model — shared between the Spark plan and the generated
@@ -4586,6 +4623,128 @@ object SparkEntry {
                  CAST(s1 AS HUGEINT) * s1)
            END AS is_outlier
          FROM w""",
+    // q214: q52's LSH ranking + q25's exact ranking CTEs, then the q209
+    // metric replay (k=5 LUT, binary grades).
+    "q214_ann_recall" -> {
+      val lutSql = graft.ml.Eval.ndcgDiscountLut(5).mkString("[", ", ", "]")
+      s"""WITH b AS (
+           SELECT vec_id, embedding, t.t,
+             (SELECT SUM(CASE WHEN (
+                 list_reduce(list_transform(embedding, (x, d) ->
+                   CAST(x AS DOUBLE) * ((CAST(('0x' || substr(md5('hp-' || t.t || '-' || p.p || '-' || (d-1)), 1, 15)) AS BIGINT) % 2000003) / 1000001.5 - 1.0)),
+                   (a, v) -> a + v)) > 0 THEN (1 << p.p) ELSE 0 END)
+              FROM UNNEST(range(0, 6)) p(p)) AS bucket
+           FROM embeddings, UNNEST(range(0, 3)) t(t)),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qe, c.embedding AS ce
+           FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+           WHERE q.vec_id < 10 AND c.vec_id >= 10),
+         sc AS (
+           SELECT query_id, neighbor_id,
+             list_reduce(list_transform(list_zip(qe, ce), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+             / (sqrt(list_reduce(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
+              * sqrt(list_reduce(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))) AS cosine
+           FROM cand),
+         lshr AS (SELECT query_id, neighbor_id, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM sc) WHERE rank <= 5),
+         eq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         ec AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         es AS (SELECT query_id, neighbor_id,
+                 list_reduce(list_transform(list_zip(qe, ce),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+                 / (sqrt(list_reduce(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))
+                  * sqrt(list_reduce(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v))) AS cosine
+               FROM eq, ec),
+         ex AS (SELECT query_id, neighbor_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM es) WHERE rank <= 5),
+         topk AS (SELECT l.query_id, l.rank,
+             CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+           FROM lshr l LEFT JOIN ex e
+             ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id),
+         got AS (SELECT query_id,
+             CAST(SUM(rel) AS BIGINT) AS hits,
+             COALESCE(MIN(CASE WHEN rel > 0 THEN rank END), 0) AS first_rel,
+             CAST(SUM(rel * list_extract($lutSql, rank)) AS BIGINT) AS dcg_fp,
+             COUNT(*) AS n_ranked
+           FROM topk GROUP BY 1),
+         ideal AS (SELECT query_id,
+             CAST(SUM(list_extract($lutSql, pos)) AS BIGINT) AS idcg_fp
+           FROM (SELECT query_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY neighbor_id) AS pos
+                 FROM ex) x
+           WHERE pos <= 5 GROUP BY 1),
+         nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM ex GROUP BY 1)
+         SELECT g.query_id AS query_id, COALESCE(n.n_rel, 0) AS n_rel,
+           g.hits AS hits,
+           CAST(CASE WHEN g.first_rel > 0
+             THEN 1073741824 // g.first_rel ELSE 0 END AS BIGINT) AS mrr_fp,
+           g.dcg_fp AS dcg_fp, COALESCE(i.idcg_fp, 0) AS idcg_fp,
+           CAST(CASE WHEN COALESCE(i.idcg_fp, 0) > 0
+             THEN (g.dcg_fp * 1000000) // i.idcg_fp END AS BIGINT) AS ndcg_ppm,
+           CAST(CASE WHEN COALESCE(n.n_rel, 0) > 0
+             THEN (g.hits * 1000000) // n.n_rel END AS BIGINT) AS recall_ppm,
+           CAST((g.hits * 1000000) // g.n_ranked AS BIGINT) AS precision_ppm
+         FROM got g LEFT JOIN nrel n ON g.query_id = n.query_id
+         LEFT JOIN ideal i ON g.query_id = i.query_id"""
+    },
+    // q215: one group count + one rollup; NULL quasi-values group (none
+    // in this projection, but the GROUP BY semantics match regardless).
+    "q215_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+               AS bal_bucket,
+             COUNT(*) AS c
+           FROM customer GROUP BY 1, 2, 3)
+         SELECT CAST(5 AS BIGINT) AS k,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(c) AS BIGINT) AS min_group_size,
+           CAST((SUM(CASE WHEN c < 5 THEN c ELSE 0 END) * 1000000) // SUM(c)
+             AS BIGINT) AS at_risk_ppm
+         FROM g""",
+    // q216: per-customer rollup, the q62 integer-position percentile
+    // replay per metric (value at rn = (n*p+99)//100) as one-row cut
+    // CTEs, strict-> scores.
+    "q216_rfm_segments" -> {
+      def cutsCte(name: String, metric: String) =
+        s"""$name AS (SELECT
+             ${Seq(20, 40, 60, 80).map(p =>
+            s"MAX(CASE WHEN rn = (n * $p + 99) // 100 THEN v END) AS c$p")
+            .mkString(",\n             ")}
+           FROM (SELECT $metric AS v,
+                   row_number() OVER (ORDER BY $metric) AS rn,
+                   COUNT(*) OVER () AS n FROM per))"""
+      def score(metric: String, c: String) =
+        s"""(1 + ${Seq(20, 40, 60, 80).map(p =>
+          s"(CASE WHEN $metric > $c.c$p THEN 1 ELSE 0 END)")
+          .mkString(" + ")})"""
+      s"""WITH per AS MATERIALIZED (SELECT o_custkey AS cust,
+             MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+               AS recency_day,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS monetary_cents
+           FROM orders GROUP BY 1),
+         ${cutsCte("cr", "recency_day")},
+         ${cutsCte("cf", "frequency")},
+         ${cutsCte("cm", "monetary_cents")}
+         SELECT cust, CAST(recency_day AS BIGINT) AS recency_day,
+           frequency, monetary_cents,
+           CAST(${score("recency_day", "cr")} AS INTEGER) AS r_score,
+           CAST(${score("frequency", "cf")} AS INTEGER) AS f_score,
+           CAST(${score("monetary_cents", "cm")} AS INTEGER) AS m_score,
+           CAST(${score("recency_day", "cr")} AS VARCHAR) ||
+             CAST(${score("frequency", "cf")} AS VARCHAR) ||
+             CAST(${score("monetary_cents", "cm")} AS VARCHAR) AS segment
+         FROM per CROSS JOIN cr CROSS JOIN cf CROSS JOIN cm"""
+    },
     // q162: generated per-round degree-filter CTEs — the exact peel loop.
     "q162_kcore" -> kcoreOracle(80, 6),
     // q163: q69's BM25 tree (top-50) + q25's cosine ranking (top-50 from

@@ -556,6 +556,48 @@ object Analytics {
         max(when(col("__p") === p, col(valueCol))).as(s"p$p")): _*)
   }
 
+  /** RFM segmentation — the classic customer-value grid (recency /
+    * frequency / monetary, each scored 1–5 by exact quintile): per
+    * customer, last-activity day, order count and lifetime cents, then
+    * score_m = 1 + #(quintile cuts below the customer's value). Cuts are
+    * the [[groupPercentilesDisc]] discrete percentiles (the q62-gated
+    * integer-position machine — no global sort, no per-group single-task
+    * window) at 20/40/60/80, collected as 12 driver scalars (model
+    * state, the q84 convention) and compared map-side. Ties share a
+    * score by construction (strict > against the cut), so the
+    * segmentation is deterministic cross-engine with zero tiebreak
+    * columns.
+    *
+    * Output: (cust, recency_day, frequency, monetary_cents, r_score,
+    * f_score, m_score, segment) — segment the "RFM" digit string.
+    */
+  def rfmSegments(orders: DataFrame, custCol: String, dayCol: String,
+                  centsCol: String): DataFrame = {
+    val per = orders.groupBy(col(custCol).as("cust")).agg(
+      max(col(dayCol).cast("long")).as("recency_day"),
+      count(lit(1)).as("frequency"),
+      sum(col(centsCol).cast("long")).as("monetary_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def cuts(metric: String): Seq[Long] = {
+      val r = groupPercentilesDisc(
+        per.select(lit(1).as("__g"), col(metric)), Seq("__g"), metric,
+        Seq(20, 40, 60, 80)).head()
+      (1 to 4).map(i => r.getLong(i))
+    }
+    def score(metric: String, cs: Seq[Long]): Column =
+      cs.map(c => when(col(metric) > c, 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+    val (rc, fc, mc) =
+      (cuts("recency_day"), cuts("frequency"), cuts("monetary_cents"))
+    per.select(col("cust"), col("recency_day"), col("frequency"),
+        col("monetary_cents"),
+        score("recency_day", rc).as("r_score"),
+        score("frequency", fc).as("f_score"),
+        score("monetary_cents", mc).as("m_score"))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+  }
+
   /** Histogram of customer balances (width_bucket idiom,
     * macros/sql/width_bucket.sql) with explicit, engine-portable arithmetic.
     */

@@ -307,4 +307,31 @@ object Checks {
         coalesce(col("est_distinct"), lit(0L)).as("est_distinct"),
         col("min_value"), col("max_value"))
   }
+
+  /** k-anonymity report — the re-identification screen a dataset gets
+    * before leaving the building (Sweeney 2002): a row is at risk when
+    * its quasi-identifier combination (the released columns an attacker
+    * can link on) is shared by fewer than k rows. One map-side-combinable
+    * group count + one report-sized rollup; NULLs in quasi-identifiers
+    * group together (a NULL zip code still narrows the attacker's set —
+    * exempting it would understate risk).
+    *
+    * Output is ONE row: (k, n_rows, n_groups, n_violating_groups,
+    * n_rows_at_risk, min_group_size, at_risk_ppm).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    require(k >= 2, s"kAnonymity: k >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("n_rows"), count(lit(1)).as("n_groups"),
+        sum(when(col("__c") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("__c") < k, col("__c")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min(col("__c")).as("min_group_size"))
+      .select(lit(k).as("k"), col("n_rows"), col("n_groups"),
+        col("n_violating_groups"), col("n_rows_at_risk"),
+        col("min_group_size"),
+        expr("(n_rows_at_risk * CAST(1000000 AS BIGINT)) div n_rows")
+          .as("at_risk_ppm"))
+  }
 }

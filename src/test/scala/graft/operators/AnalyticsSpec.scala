@@ -728,4 +728,25 @@ class AnalyticsSpec extends SparkSpec {
       ((5L, 120L, 150L, 40L)))
   }
 
+  test("rfmSegments: quintile scores and segment labels, ties share scores") {
+    val s = spark; import s.implicits._
+    // customer c places c orders of 100 cents on day c → recency c,
+    // frequency c, monetary 100c: per-metric distinct values 1..10 (/
+    // 100..1000); quintile cuts at positions 2,4,6,8 → values 2,4,6,8;
+    // score = 1 + #(cuts strictly below value).
+    val orders = (1L to 10L).flatMap(c => Seq.fill(c.toInt)((c, c, 100L)))
+      .toDF("cust_id", "day", "cents")
+    val got = Analytics.rfmSegments(orders, "cust_id", "day", "cents")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))).toMap
+    def exp(v: Long): Int = 1 + Seq(2L, 4L, 6L, 8L).count(v > _)
+    (1L to 10L).foreach { c =>
+      val e = exp(c)
+      assert(got(c) == ((e, e, e, s"$e$e$e")), s"cust $c")
+    }
+    // monotone: most recent/frequent/valuable customer is 555
+    assert(got(10L)._4 == "555" && got(1L)._4 == "111")
+    spark.catalog.clearCache()
+  }
+
 }

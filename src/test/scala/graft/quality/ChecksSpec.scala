@@ -147,4 +147,15 @@ class ChecksSpec extends SparkSpec {
     assert(again("id") == got("id")._3 && again("k") == got("k")._3)
   }
 
+  test("kAnonymity: risk counts from exact group sizes, NULLs group") {
+    val s = spark; import s.implicits._
+    // groups: (a,1)x3, (a,2)x1, (NULL,1)x2 → k=3: two violating groups
+    val df = Seq(Some("a") -> 1, Some("a") -> 1, Some("a") -> 1,
+      Some("a") -> 2, None -> 1, None -> 1).toDF("q1", "q2")
+    val r = Checks.kAnonymity(df, Seq("q1", "q2"), k = 3).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 6L, 3L, 2L, 3L, 1L)))
+    assert(r.getLong(6) == 500000L) // 3 of 6 rows at risk
+  }
+
 }
