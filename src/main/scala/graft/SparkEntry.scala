@@ -2034,10 +2034,11 @@ object SparkEntry {
           expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
             "div 100000").as("bal_bucket")),
         Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)),
-    // RFM customer segmentation: exact quintile cuts from the q62
-    // percentile machine, strict-> scoring, 3-digit segment labels.
+    // RFM at the billion-customer shape: exact quintile CUTS from the
+    // q62 percentile machine (no global sort), strict-> scoring — the
+    // scale sibling of the rank-windowed q150 flavor.
     "q216_rfm_segments" -> ((s, d) =>
-      Analytics.rfmSegments(
+      Analytics.rfmSegmentsByCuts(
         Tables.orders(s, d).select(col("o_custkey"),
           unix_date(col("o_orderdate").cast("date")).as("order_day"),
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")

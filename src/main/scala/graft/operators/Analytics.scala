@@ -556,23 +556,23 @@ object Analytics {
         max(when(col("__p") === p, col(valueCol))).as(s"p$p")): _*)
   }
 
-  /** RFM segmentation — the classic customer-value grid (recency /
-    * frequency / monetary, each scored 1–5 by exact quintile): per
-    * customer, last-activity day, order count and lifetime cents, then
-    * score_m = 1 + #(quintile cuts below the customer's value). Cuts are
-    * the [[groupPercentilesDisc]] discrete percentiles (the q62-gated
-    * integer-position machine — no global sort, no per-group single-task
-    * window) at 20/40/60/80, collected as 12 driver scalars (model
-    * state, the q84 convention) and compared map-side. Ties share a
-    * score by construction (strict > against the cut), so the
-    * segmentation is deterministic cross-engine with zero tiebreak
-    * columns.
+  /** [[rfmSegments]]'s at-scale sibling — the swap its scaladoc
+    * promises: instead of three global rank windows over the customer
+    * dimension, quintile CUT VALUES come from [[groupPercentilesDisc]]
+    * (the q62-gated integer-position machine — bucketed order
+    * statistics, no global sort) as 12 driver scalars (model state, the
+    * q84 convention), and every customer scores map-side as
+    * 1 + #(cuts strictly below the value). Tie semantics differ from
+    * the rank flavor BY DESIGN: tied metrics share a score here (no
+    * tiebreak column needed), where ranks split them — the cut flavor
+    * is the one that stays deterministic when the sort would not fit
+    * one task.
     *
     * Output: (cust, recency_day, frequency, monetary_cents, r_score,
     * f_score, m_score, segment) — segment the "RFM" digit string.
     */
-  def rfmSegments(orders: DataFrame, custCol: String, dayCol: String,
-                  centsCol: String): DataFrame = {
+  def rfmSegmentsByCuts(orders: DataFrame, custCol: String, dayCol: String,
+                        centsCol: String): DataFrame = {
     val per = orders.groupBy(col(custCol).as("cust")).agg(
       max(col(dayCol).cast("long")).as("recency_day"),
       count(lit(1)).as("frequency"),
@@ -1008,8 +1008,9 @@ object Analytics {
     * global rank windows over that dimension-sized table — fine wherever
     * the customer dimension fits a sort (every warehouse); for a
     * billion-customer table swap row_number for the q62 bucketed
-    * order-statistics machinery. The `count(*) over ()` denominator is a
-    * single scalar window over the same sorted runs.
+    * order-statistics machinery — packaged as [[rfmSegmentsByCuts]]. The
+    * `count(*) over ()` denominator is a single scalar window over the
+    * same sorted runs.
     */
   def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
                   amountCol: String, nBuckets: Int = 5): DataFrame = {

@@ -728,7 +728,7 @@ class AnalyticsSpec extends SparkSpec {
       ((5L, 120L, 150L, 40L)))
   }
 
-  test("rfmSegments: quintile scores and segment labels, ties share scores") {
+  test("rfmSegmentsByCuts: quintile scores from cut values, ties share scores") {
     val s = spark; import s.implicits._
     // customer c places c orders of 100 cents on day c → recency c,
     // frequency c, monetary 100c: per-metric distinct values 1..10 (/
@@ -736,7 +736,7 @@ class AnalyticsSpec extends SparkSpec {
     // score = 1 + #(cuts strictly below value).
     val orders = (1L to 10L).flatMap(c => Seq.fill(c.toInt)((c, c, 100L)))
       .toDF("cust_id", "day", "cents")
-    val got = Analytics.rfmSegments(orders, "cust_id", "day", "cents")
+    val got = Analytics.rfmSegmentsByCuts(orders, "cust_id", "day", "cents")
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))).toMap
     def exp(v: Long): Int = 1 + Seq(2L, 4L, 6L, 8L).count(v > _)
