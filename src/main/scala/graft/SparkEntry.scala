@@ -2034,6 +2034,13 @@ object SparkEntry {
           expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
             "div 100000").as("bal_bucket")),
         Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)),
+    // Dedup-aware 20% test split: simhash near-dup components (the q60
+    // graph) hash-split by COMPONENT id, so near-copies never straddle
+    // the eval boundary — closing the leakage hole q158 audits.
+    "q217_leakage_safe_split" -> ((s, d) =>
+      Sampling.leakageSafeSplit(Tables.documentsSpread(s, d), "doc_id",
+        simhashPairs(s, d).select(col("doc_a").as("src"),
+          col("doc_b").as("dst")), testPct = 20)),
     // RFM at the billion-customer shape: exact quintile CUTS from the
     // q62 percentile machine (no global sort), strict-> scoring — the
     // scale sibling of the rank-windowed q150 flavor.
@@ -2723,6 +2730,17 @@ object SparkEntry {
     "q60_dup_components" -> (simhashComponentsCte + """
          SELECT node AS doc_id, MIN(lab) AS component_id
          FROM reach GROUP BY node"""),
+    // q217: the q60 component fixpoint + singleton fallback + the q61
+    // salted-hash bucket over COMPONENT id.
+    "q217_leakage_safe_split" -> (simhashComponentsCte + """,
+         comp AS (SELECT node, MIN(lab) AS cid FROM reach GROUP BY node),
+         lab AS (SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS component_id
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+         SELECT doc_id, component_id,
+           CASE WHEN CAST(('0x' || substr(md5('split-' ||
+               CAST(component_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20
+             THEN 'test' ELSE 'train' END AS split
+         FROM lab"""),
     "q61_mixture_sample" ->
       """SELECT doc_id, lang, rate_pct FROM (
            SELECT doc_id, lang,

@@ -50,6 +50,38 @@ object Sampling {
     df.withColumn("split_bucket", b).withColumn("split", expr)
   }
 
+  /** Dedup-aware train/test split — [[hashSplit]] with the leakage hole
+    * closed: hashing DOC ids lets two near-duplicates straddle the
+    * boundary (the classic eval contamination q158 audits AFTER the
+    * fact); here every document is first labeled with its near-dup
+    * cluster ([[graft.graphs.ConnectedComponents]] over the caller's
+    * candidate-pair graph, min-id label; unpaired docs are their own
+    * singleton component) and the hash is taken over the COMPONENT id —
+    * a cluster lands in exactly one split by construction, so the test
+    * set never contains a near-copy of a training document.
+    *
+    * Scale posture: the pair graph is near-dup-output-sized (far smaller
+    * than the corpus), the CC fixpoint is the co-partitioned RDD loop,
+    * and the only corpus-sized work is one left join against the
+    * node-sized component table plus the row-local hash.
+    *
+    * Output: (idCol, component_id, split) with split ∈ {test, train}.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       testPct: Int, salt: String = "split-"): DataFrame = {
+    require(testPct >= 1 && testPct <= 99,
+      s"leakageSafeSplit: testPct in [1, 99], got $testPct")
+    val comps = graft.graphs.ConnectedComponents.run(pairs)
+      .withColumnRenamed("node", idCol)
+    docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .withColumn("component_id",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .select(col(idCol), col("component_id"),
+        when(hashBucket(col("component_id"), salt, 100) < testPct,
+          lit("test")).otherwise(lit("train")).as("split"))
+  }
+
   /** Deterministic stratified sample: the `n` rows of each stratum with the
     * smallest salted hash (id tiebreak), ranked 1..n as `sample_rank`.
     * Hash-ordering makes the sample uniform within the stratum yet stable

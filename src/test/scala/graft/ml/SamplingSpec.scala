@@ -339,4 +339,27 @@ class SamplingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("leakageSafeSplit: components never straddle, singletons covered") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 20L).toDF("doc_id")
+    // clusters {1,2,3}, {10,11}; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs, testPct = 30)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out.size == 20)
+    // cluster members share component AND split
+    assert(Seq(1L, 2L, 3L).map(out(_)).distinct.size == 1)
+    assert(out(1L)._1 == 1L)
+    assert(Seq(10L, 11L).map(out(_)).distinct.size == 1)
+    assert(out(10L)._1 == 10L)
+    // singletons are their own component
+    assert(out(7L)._1 == 7L && out(15L)._1 == 15L)
+    // split is the component-id hash bucket — deterministic across runs
+    val again = Sampling.leakageSafeSplit(docs, "doc_id", pairs, 30)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1L to 20L).forall(i => again(i) == out(i)._2))
+    assert(out.values.map(_._2).toSet.subsetOf(Set("test", "train")))
+  }
+
 }
