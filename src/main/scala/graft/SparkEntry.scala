@@ -2034,6 +2034,42 @@ object SparkEntry {
           expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
             "div 100000").as("bal_bucket")),
         Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)),
+    // Grid-bucketed geo radius join: customers within 300 km of a
+    // supplier (md5-derived deterministic coordinates in the ±60° band),
+    // 3x3 neighbor-cell equi-join + exact haversine — the oracle is the
+    // quadratic formulation, so completeness of the grid is part of the
+    // gate.
+    "q218_geo_radius_join" -> ((s, d) => {
+      def coords(df: DataFrame, id: String) = df.select(col(id),
+        (conv(substring(md5(concat(lit("lat-"), col(id).cast("string"))),
+          1, 15), 16, 10).cast("long") % 120000001L / lit(1000000.0) - 60.0)
+          .as("lat"),
+        (conv(substring(md5(concat(lit("lon-"), col(id).cast("string"))),
+          1, 15), 16, 10).cast("long") % 360000001L / lit(1000000.0) - 180.0)
+          .as("lon"))
+      Relations.geoRadiusJoin(
+        coords(Tables.customer(s, d), "c_custkey"),
+        coords(Tables.supplier(s, d), "s_suppkey"),
+        "c_custkey", "s_suppkey", radiusKm = 300.0)
+    }),
+    // Top 20 three-step user paths through the event stream — the
+    // sankey readout; one window pass, TakeOrdered top-k.
+    "q219_top_paths" -> ((s, d) =>
+      Analytics.topPaths(
+        Tables.events(s, d).select(col("user_id"), col("event_ts_us"),
+          col("event_id"), col("event_type")),
+        "user_id", "event_ts_us", "event_id", "event_type",
+        len = 3, k = 20)),
+    // Cumulative distinct purchasers by day: first-seen min-agg, never a
+    // history re-scan per period.
+    "q220_running_distinct" -> ((s, d) =>
+      Analytics.runningDistinct(
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase" &&
+            col("user_id").isNotNull && col("event_ts_us").isNotNull)
+          .select(expr("event_ts_us div 86400000000").as("day"),
+            col("user_id")),
+        "day", "user_id")),
     // Dedup-aware 20% test split: simhash near-dup components (the q60
     // graph) hash-split by COMPONENT id, so near-copies never straddle
     // the eval boundary — closing the leakage hole q158 audits.
@@ -2741,6 +2777,63 @@ object SparkEntry {
                CAST(component_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20
              THEN 'test' ELSE 'train' END AS split
          FROM lab"""),
+    // q218: the quadratic ground truth — every (customer, supplier) pair
+    // with rounded haversine <= 300 over the same md5 coordinates. The
+    // Spark side must reproduce it from the grid-bucketed equi-join.
+    "q218_geo_radius_join" ->
+      """WITH c AS (SELECT c_custkey,
+             CAST(('0x' || substr(md5('lat-' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 120000001 / 1000000.0 - 60.0 AS lat,
+             CAST(('0x' || substr(md5('lon-' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 360000001 / 1000000.0 - 180.0 AS lon
+           FROM customer),
+         s AS (SELECT s_suppkey,
+             CAST(('0x' || substr(md5('lat-' || CAST(s_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 120000001 / 1000000.0 - 60.0 AS lat,
+             CAST(('0x' || substr(md5('lon-' || CAST(s_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 360000001 / 1000000.0 - 180.0 AS lon
+           FROM supplier),
+         p AS (SELECT c_custkey, s_suppkey,
+             round(2 * 6371.0 * asin(sqrt(
+               power(sin(radians(s.lat - c.lat) / 2), 2) +
+               cos(radians(c.lat)) * cos(radians(s.lat)) *
+               power(sin(radians(s.lon - c.lon) / 2), 2))), 3) AS km
+           FROM c, s)
+         SELECT c_custkey, s_suppkey, km FROM p WHERE km <= 300.0""",
+    // q219: the same lead-window path build, global (count desc, path)
+    // top-20.
+    "q219_top_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             event_type
+           FROM events WHERE user_id IS NOT NULL),
+         p AS (SELECT event_type AS s0,
+             lead(event_type, 1) OVER w AS s1,
+             lead(event_type, 2) OVER w AS s2
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts_us, event_id)),
+         cnt AS (SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path,
+             COUNT(*) AS n_paths
+           FROM p WHERE s1 IS NOT NULL AND s2 IS NOT NULL GROUP BY 1),
+         r AS (SELECT *, row_number() OVER (
+                 ORDER BY n_paths DESC, path) AS rank FROM cnt)
+         SELECT path, n_paths, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 20""",
+    // q220: first-seen day per purchaser, per-day new counts, running
+    // sum over the observed-day spine.
+    "q220_running_distinct" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
+           FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL
+             AND ts IS NOT NULL),
+         f AS (SELECT user_id, MIN(day) AS fp FROM e GROUP BY 1),
+         nn AS (SELECT fp AS day, COUNT(*) AS n_new FROM f GROUP BY 1),
+         sp AS (SELECT DISTINCT day FROM e)
+         SELECT sp.day AS day,
+           CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
+           CAST(SUM(COALESCE(nn.n_new, 0)) OVER (
+             ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS BIGINT) AS n_cum
+         FROM sp LEFT JOIN nn ON sp.day = nn.day""",
     "q61_mixture_sample" ->
       """SELECT doc_id, lang, rate_pct FROM (
            SELECT doc_id, lang,

@@ -636,6 +636,64 @@ object Analytics {
         col("n").cast("double") / col("n_from").cast("double"))
   }
 
+  /** Top event PATHS — [[eventTransitions]] extended from bigrams to
+    * `len`-step sequences: per key, consecutive state runs (ordered by
+    * ts with the unique tiebreaker, the standing rule) become
+    * "a > b > c" path strings, counted corpus-wide, top-k by (count
+    * desc, path asc). The sankey/behavior-flow readout.
+    *
+    * Scale posture: one exchange for the per-key lead window (the leads
+    * share one sorted run), one map-side-combinable path count, TakeOrdered
+    * top-k — never a global sort.
+    *
+    * Output: (path, n_paths, rank), rank 1..k.
+    */
+  def topPaths(events: DataFrame, keyCol: String, tsCol: String,
+               tieCol: String, stateCol: String, len: Int = 3,
+               k: Int = 20): DataFrame = {
+    require(len >= 2 && len <= 6, s"topPaths: len in [2, 6], got $len")
+    require(k >= 1, s"topPaths: k >= 1, got $k")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val steps = col(stateCol) +:
+      (1 until len).map(i => lead(col(stateCol), i).over(w))
+    val withSteps = events.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieCol), col(stateCol))
+      .select(steps.zipWithIndex.map { case (c, i) => c.as(s"__s$i") }: _*)
+      .filter((1 until len).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+    val counted = withSteps
+      .select(concat_ws(" > ", (0 until len).map(i => col(s"__s$i")): _*)
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+    val wr = Window.orderBy(col("n_paths").desc, col("path").asc)
+    counted.orderBy(col("n_paths").desc, col("path").asc).limit(k)
+      .withColumn("rank", row_number().over(wr).cast("int"))
+  }
+
+  /** Running distinct count per period — "cumulative unique users by
+    * day" without re-scanning history per period: each value's FIRST
+    * period comes from one map-side-combinable min-agg (never a window
+    * over the event stream), new-value counts roll up per period, and
+    * the running sum is a window over the PERIOD-sized report. Periods
+    * with activity but no new values report n_new = 0 (the period spine
+    * is the observed period set).
+    *
+    * Output: (periodCol, n_new, n_cum) for every observed period.
+    */
+  def runningDistinct(df: DataFrame, periodCol: String,
+                      valueCol: String): DataFrame = {
+    val firsts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(min(col(periodCol)).as("__fp"))
+      .groupBy(col("__fp").as("period")).agg(count(lit(1)).as("n_new"))
+    val spine = df.select(col(periodCol).as("period")).distinct()
+    val w = Window.orderBy(col("period").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(firsts, Seq("period"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_cum", sum(col("n_new")).over(w))
+      .select(col("period").as(periodCol), col("n_new"), col("n_cum"))
+  }
+
   /** Per-group z-score outliers — anomaly detection with exact,
     * order-independent sufficient statistics: values quantized once to
     * milli-unit longs (`floor(x·1000)`, the repo's fixed-point recipe),

@@ -147,4 +147,58 @@ object Relations {
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
     lit(2.0 * 6371.0) * asin(sqrt(a))
   }
+
+  /** Geo radius join — all (a, b) pairs within `radiusKm` great-circle
+    * km, via GRID BUCKETING (the standard spatial-join prestage): each
+    * point lands in a lat/lon cell sized ≥ the radius in both axes, side
+    * a fans out to its 3×3 neighborhood, and candidates meet in an
+    * EQUI-join on the cell key before the exact [[haversineKm]] filter.
+    * Complete by construction inside the latitude band: a neighbor
+    * within R differs by ≤ R/111.045 lat-degrees (≤ one lat cell) and ≤
+    * R/(111.045·cos(maxAbsLat)) lon-degrees (≤ one lon cell, since lon
+    * degrees only shrink toward the poles) — spec-asserted against the
+    * brute-force join. Rows beyond ±maxAbsLat are dropped (the lon-cell
+    * bound no longer holds there; polar work wants a different
+    * projection), the documented band contract.
+    *
+    * Scale posture: one 9× fanout on side a, one equi-shuffle, row-local
+    * trig — never a cartesian plan node; each pair meets in exactly one
+    * cell (b sits in one cell, a's neighborhood covers it once), so no
+    * dedup pass. The km output carries the q34 `round(_, 3)` libm
+    * contract.
+    *
+    * Output: (idA, idB, km).
+    */
+  def geoRadiusJoin(a: DataFrame, b: DataFrame, idA: String, idB: String,
+                    radiusKm: Double, maxAbsLat: Double = 60.0): DataFrame = {
+    require(radiusKm > 0, s"geoRadiusJoin: radiusKm > 0, got $radiusKm")
+    require(maxAbsLat > 0 && maxAbsLat <= 80,
+      s"geoRadiusJoin: maxAbsLat in (0, 80], got $maxAbsLat")
+    val latCell = radiusKm / 111.045
+    val lonCell = radiusKm / (111.045 * math.cos(math.toRadians(maxAbsLat)))
+    // Internal aliases on BOTH id columns (the maxDrawdown lesson): a
+    // self-join with idA == idB must not hit an ambiguous reference.
+    def cells(df: DataFrame, id: String, pfx: String) =
+      df.filter(abs(col("lat")) <= maxAbsLat)
+        .select(col(id).as(s"${pfx}id"), col("lat").as(s"${pfx}lat"),
+          col("lon").as(s"${pfx}lon"),
+          floor(col("lat") / latCell).cast("long").as(s"${pfx}cx"),
+          floor(col("lon") / lonCell).cast("long").as(s"${pfx}cy"))
+    val an = cells(a, idA, "__a_")
+      .withColumn("__d", explode(array(
+        (for (dx <- -1 to 1; dy <- -1 to 1)
+          yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)))
+      .select(col("__a_id"), col("__a_lat"), col("__a_lon"),
+        (col("__a_cx") + col("__d.dx")).as("cx"),
+        (col("__a_cy") + col("__d.dy")).as("cy"))
+    val bn = cells(b, idB, "__b_")
+      .select(col("__b_id"), col("__b_lat"), col("__b_lon"),
+        col("__b_cx").as("cx"), col("__b_cy").as("cy"))
+    an.join(bn, Seq("cx", "cy"))
+      .withColumn("km",
+        round(haversineKm(col("__a_lat"), col("__a_lon"), col("__b_lat"),
+          col("__b_lon")), 3))
+      .filter(col("km") <= radiusKm)
+      .select(col("__a_id").as(idA), col("__b_id").as(idB), col("km"))
+  }
 }

@@ -749,4 +749,29 @@ class AnalyticsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("topPaths: counts 3-step runs per key, ragged tails dropped") {
+    val s = spark; import s.implicits._
+    // user 1: a,b,c,d → paths a>b>c, b>c>d; user 2: a,b,c → a>b>c;
+    // user 3: x,y (too short)
+    val ev = Seq((1L, 1L, 10L, "a"), (1L, 2L, 11L, "b"), (1L, 3L, 12L, "c"),
+      (1L, 4L, 13L, "d"), (2L, 5L, 20L, "a"), (2L, 6L, 21L, "b"),
+      (2L, 7L, 22L, "c"), (3L, 8L, 30L, "x"), (3L, 9L, 31L, "y"))
+      .toDF("uid", "eid", "ts", "state")
+    val got = Analytics.topPaths(ev, "uid", "ts", "eid", "state",
+        len = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(("a > b > c", 2L, 1), ("b > c > d", 1L, 2)))
+  }
+
+  test("runningDistinct: first-seen attribution and cumulative sum") {
+    val s = spark; import s.implicits._
+    // day 1: u1,u2; day 2: u2,u3; day 3: u1 (nothing new)
+    val df = Seq((1L, "u1"), (1L, "u2"), (2L, "u2"), (2L, "u3"), (3L, "u1"))
+      .toDF("day", "user")
+    val got = Analytics.runningDistinct(df, "day", "user")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(1L -> ((2L, 2L)), 2L -> ((1L, 3L)), 3L -> ((0L, 3L))))
+  }
+
 }

@@ -111,4 +111,40 @@ class RelationsSpec extends SparkSpec {
       .head.getDouble(0)
     assert(math.abs(km - 877.5) < 2.0, s"got $km")
   }
+
+  test("geoRadiusJoin: equals brute force; no duplicate pair rows") {
+    val s = spark; import s.implicits._
+    def pts(n: Int, salt: Long) = (1L to n.toLong).map { i =>
+      val h1 = (i * 2654435761L + salt) % 120000001L
+      val h2 = (i * 40503L * 65537L + salt) % 360000001L
+      (i, h1 / 1000000.0 - 60.0, h2 / 1000000.0 - 180.0)
+    }.toDF("id", "lat", "lon")
+    val a = pts(120, 7)
+    val b = pts(80, 13)
+    val got = Relations.geoRadiusJoin(a, b, "id", "id", radiusKm = 800.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = a.as("x").join(b.as("y"),
+        round(Relations.haversineKm(
+          col("x.lat"), col("x.lon"), col("y.lat"), col("y.lon")), 3)
+          <= 800.0)
+      .filter(abs(col("x.lat")) <= 60 && abs(col("y.lat")) <= 60)
+      .select(col("x.id"), col("y.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"grid join must equal brute force " +
+      s"(got ${got.size}, brute ${brute.size})")
+    assert(got.nonEmpty, "fixture should produce at least one pair at 800 km")
+    val rows = Relations.geoRadiusJoin(a, b, "id", "id", 800.0).count()
+    assert(rows == got.size.toLong)
+  }
+
+  test("geoRadiusJoin: out-of-band points dropped, plan never cartesian") {
+    val s = spark; import s.implicits._
+    val a = Seq((1L, 75.0, 0.0), (2L, 10.0, 10.0)).toDF("id", "lat", "lon")
+    val b = Seq((3L, 75.1, 0.0), (4L, 10.1, 10.1)).toDF("id", "lat", "lon")
+    val out = Relations.geoRadiusJoin(a, b, "id", "id", 100.0)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 4L))) // the 75° pair is outside the band
+    assert(!out.queryExecution.executedPlan.toString.contains("Cartesian"),
+      "grid join must never plan a cartesian product")
+  }
 }
