@@ -2070,6 +2070,30 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // Wald SPRT over the event stream (H0: purchase rate 0.18 vs H1:
+    // 0.22, alpha .05 / beta .2): the full integer LLR trajectory with
+    // per-observation decisions — early-stopping A/B monitoring.
+    "q221_sprt_monitor" -> ((s, d) =>
+      graft.ml.Eval.sprtTest(
+        Tables.events(s, d).select(col("event_id"), col("event_type")),
+        "event_id", col("event_type") === "purchase",
+        p0 = 0.18, p1 = 0.22)),
+    // Benford first-digit audit of order totals (cents) — forensic
+    // screen with build-time expected-share literals.
+    "q222_benford_audit" -> ((s, d) =>
+      graft.quality.Checks.benfordAudit(
+        Tables.orders(s, d).select(
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents")),
+        "cents")),
+    // Exact AUC via doubled midranks: does document length rank the
+    // doc_id%3 label better than chance? One value-grain window, one
+    // scalar rollup, zero floats.
+    "q223_auc_exact" -> ((s, d) =>
+      graft.ml.Eval.aucExact(
+        Tables.documents(s, d).select(col("n_chars"),
+          (col("doc_id") % 3 === 0).as("label")),
+        "n_chars", col("label"))),
     // Dedup-aware 20% test split: simhash near-dup components (the q60
     // graph) hash-split by COMPONENT id, so near-copies never straddle
     // the eval boundary — closing the leakage hole q158 audits.
@@ -2834,6 +2858,76 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q221: the SAME four build-time constants, integer cumulative sums.
+    "q221_sprt_monitor" -> {
+      val (up, down, a, b) = graft.ml.Eval.sprtConstants(0.18, 0.22, 0.05, 0.2)
+      s"""WITH e AS (SELECT event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l
+           FROM events WHERE event_type IS NOT NULL),
+         c AS (SELECT event_id,
+             COUNT(*) OVER w AS n_seen, SUM(l) OVER w AS n_pos
+           FROM e WINDOW w AS (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, CAST(n_seen AS BIGINT) AS n_seen,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_pos * ($up) + (n_seen - n_pos) * ($down) AS BIGINT)
+             AS llr_fp,
+           CASE WHEN n_pos * ($up) + (n_seen - n_pos) * ($down) >= $a
+               THEN 'accept_h1'
+             WHEN n_pos * ($up) + (n_seen - n_pos) * ($down) <= $b
+               THEN 'accept_h0'
+             ELSE 'continue' END AS decision
+         FROM c"""
+    },
+    // q222: digit counts + the SAME expected-share literals.
+    "q222_benford_audit" -> {
+      val expPpm = graft.quality.Checks.benfordExpectedPpm
+      val expCase = (1 to 9).map(d =>
+        s"WHEN ${d} THEN ${expPpm(d)}").mkString(" ")
+      s"""WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS v FROM orders),
+         c AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+                 AS digit, COUNT(*) AS n
+               FROM v WHERE v > 0 GROUP BY 1),
+         ex AS (SELECT CAST(SUM(CASE WHEN v > 0 THEN 0 ELSE 1 END)
+                 AS BIGINT) AS n_excluded FROM v),
+         sp AS (SELECT CAST(d.d AS INTEGER) AS digit
+                FROM UNNEST(range(1, 10)) d(d)),
+         j AS (SELECT sp.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+               FROM sp LEFT JOIN c ON sp.digit = c.digit),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM j)
+         SELECT digit, n,
+           CAST(CASE WHEN n_total > 0 THEN (n * 1000000) // n_total
+             ELSE 0 END AS BIGINT) AS obs_ppm,
+           CAST(CASE digit $expCase END AS BIGINT) AS exp_ppm,
+           CAST(CASE WHEN n_total > 0 THEN (n * 1000000) // n_total
+             ELSE 0 END - CASE digit $expCase END AS BIGINT) AS dev_ppm,
+           n_total, n_excluded
+         FROM j CROSS JOIN t CROSS JOIN ex"""
+    },
+    // q223: the doubled-midrank Mann-Whitney replay in HUGEINT.
+    "q223_auc_exact" ->
+      """WITH d AS (SELECT n_chars AS s,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS l
+           FROM documents),
+         g AS (SELECT s, COUNT(*) AS cnt, SUM(l) AS pos FROM d GROUP BY 1),
+         r AS (SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS bef FROM g),
+         a AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+             SUM(CAST(pos AS HUGEINT) * (2 * bef + cnt + 1)) AS rank2
+           FROM r)
+         SELECT n_pos, n_neg,
+           CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             (rank2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000 //
+               (2 * CAST(n_pos AS HUGEINT) * n_neg) END AS BIGINT)
+             AS auc_ppm,
+           CAST(2 * (CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             (rank2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000 //
+               (2 * CAST(n_pos AS HUGEINT) * n_neg) END) - 1000000
+             AS BIGINT) AS gini_ppm
+         FROM a""",
     "q61_mixture_sample" ->
       """SELECT doc_id, lang, rate_pct FROM (
            SELECT doc_id, lang,

@@ -294,6 +294,104 @@ object Eval {
         expr(s"(n_pos * CAST($M AS BIGINT)) div n").as("pos_rate_fp"))
   }
 
+  /** Exact AUC (area under the ROC curve) from the Mann–Whitney
+    * rank-sum — the headline ranking metric [[thresholdSweep]]'s pointwise
+    * curve summarizes: the probability a random positive outscores a
+    * random negative, ties counting half. Exact integers throughout via
+    * DOUBLED midranks (a tie group spanning positions [a, b] has midrank
+    * (a+b)/2 — doubled it is the integer a+b = 2·cum_before + cnt + 1):
+    *   U·2 = Σ_pos midrank2 − n_pos·(n_pos+1)
+    *   auc_ppm = U·2·10⁶ div (2·n_pos·n_neg)
+    * so the number is bit-identical cross-engine with no float in sight.
+    *
+    * Scale posture: one map-side-combinable agg to SCORE-VALUE grain
+    * (cnt, pos_cnt per distinct score), one running window over that
+    * value-grain table (score cardinality, not row count — fixed-point
+    * model scores keep this small), one scalar rollup. NULL labels are
+    * excluded up front (the thresholdSweep contract).
+    *
+    * Output is ONE row: (n_pos, n_neg, auc_ppm, gini_ppm = 2·auc − 10⁶).
+    */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
+    val M = 1000000L
+    val byScore = df.select(col(scoreCol).cast("long").as("__s"),
+        labelCol.as("__l"))
+      .filter(col("__l").isNotNull)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("__pos"))
+    val w = Window.orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .withColumn("__mid2", lit(2L) * col("__before") + col("__cnt") + 1)
+      .agg(sum(col("__pos")).as("n_pos"),
+        sum(col("__cnt") - col("__pos")).as("n_neg"),
+        sum(col("__pos").cast("decimal(38,0)") * col("__mid2"))
+          .as("__rank2sum"))
+      .select(col("n_pos"), col("n_neg"),
+        // one-class inputs have no ROC: NULL, not an ANSI divide error
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr(s"""CAST((__rank2sum - CAST(n_pos AS DECIMAL(38,0)) *
+              (n_pos + 1)) * $M div
+            (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"""))
+          .as("auc_ppm"))
+      .withColumn("gini_ppm", lit(2L) * col("auc_ppm") - lit(M))
+  }
+
+  /** [[sprtTest]]'s four 2²⁰-fixed-point constants (per-observation
+    * increments and Wald bounds), public so generated oracles embed the
+    * identical literals.
+    */
+  def sprtConstants(p0: Double, p1: Double, alpha: Double,
+                    beta: Double): (Long, Long, Long, Long) = {
+    val S = (1L << 20).toDouble
+    (math.round(math.log(p1 / p0) * S),
+      math.round(math.log((1 - p1) / (1 - p0)) * S),
+      math.round(math.log((1 - beta) / alpha) * S),
+      math.round(math.log(beta / (1 - alpha)) * S))
+  }
+
+  /** Wald's sequential probability ratio test (SPRT, 1945) — the
+    * early-stopping A/B monitor: observing a Bernoulli stream, decide
+    * between rate p0 and rate p1 the moment the evidence clears the
+    * (α, β) error bounds instead of waiting for a fixed n. Each
+    * observation adds a CONSTANT log-likelihood increment (positive:
+    * ln(p1/p0); negative: ln((1−p1)/(1−p0))), so the whole trajectory is
+    * an integer cumulative sum of two build-time 2²⁰-fixed-point
+    * literals, compared against the literal Wald bounds
+    * ln((1−β)/α) / ln(β/(1−α)) — no float at query time, bit-identical
+    * cross-engine.
+    *
+    * Output: per observation (ordered by `ordCol`, unique),
+    * (ord, n_seen, n_pos, llr_fp, decision) with decision ∈
+    * {accept_h1, accept_h0, continue} — the full audit trajectory; the
+    * first non-continue row is the stopping point.
+    */
+  def sprtTest(df: DataFrame, ordCol: String, labelCol: Column,
+               p0: Double, p1: Double, alpha: Double = 0.05,
+               beta: Double = 0.2): DataFrame = {
+    require(0 < p0 && p0 < p1 && p1 < 1,
+      s"sprtTest: need 0 < p0 < p1 < 1, got p0=$p0 p1=$p1")
+    require(0 < alpha && alpha < 0.5 && 0 < beta && beta < 0.5,
+      s"sprtTest: alpha/beta in (0, 0.5), got $alpha/$beta")
+    val (upFp, downFp, aFp, bFp) = sprtConstants(p0, p1, alpha, beta)
+    val w = Window.orderBy(col(ordCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(ordCol), labelCol.as("__l"))
+      .filter(col("__l").isNotNull)
+      .withColumn("n_seen", count(lit(1)).over(w))
+      .withColumn("n_pos",
+        sum(when(col("__l"), 1L).otherwise(0L)).over(w))
+      .select(col(ordCol), col("n_seen"), col("n_pos"),
+        (col("n_pos") * upFp + (col("n_seen") - col("n_pos")) * downFp)
+          .as("llr_fp"))
+      .withColumn("decision",
+        when(col("llr_fp") >= aFp, "accept_h1")
+          .when(col("llr_fp") <= bFp, "accept_h0")
+          .otherwise("continue"))
+  }
+
   /** The 1/log₂(pos+1) discount table for [[rankingMetrics]]: entry pos
     * (1-based) = round(2³⁰ / log₂(pos+1)). Precomputed once at
     * plan-build time and embedded as literals on BOTH engines (the

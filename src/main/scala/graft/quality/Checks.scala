@@ -308,6 +308,60 @@ object Checks {
         col("min_value"), col("max_value"))
   }
 
+  /** Benford first-digit audit — the forensic-accounting screen for
+    * fabricated or truncated numeric columns (naturally-grown magnitudes
+    * follow P(d) = log₁₀(1 + 1/d); invented numbers don't): observed
+    * first-digit shares vs the Benford expectation, per digit. The
+    * expected shares are BUILD-TIME ppm literals (the generated-LUT
+    * discipline — no query-time log), the first digit of a positive
+    * integer is its leading decimal character (pure string arithmetic,
+    * engine-portable), and every output is an exact integer.
+    *
+    * Non-positive values are excluded (Benford is defined on positive
+    * magnitudes) but reported in the n_excluded count on every row, so a
+    * mostly-zero column can't masquerade as conforming. One
+    * map-side-combinable digit count + a 9-row report.
+    *
+    * Output: (digit, n, obs_ppm, exp_ppm, dev_ppm, n_total, n_excluded).
+    */
+  /** [[benfordAudit]]'s expected first-digit shares in ppm —
+    * round(log₁₀(1+1/d)·10⁶) per digit, public so generated oracles
+    * embed the identical literals.
+    */
+  def benfordExpectedPpm: Map[Int, Long] = (1 to 9).map(d =>
+    d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000L)).toMap
+
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val M = 1000000L
+    val expPpm = benfordExpectedPpm
+    val v = df.select(col(valueCol).cast("long").as("__v"))
+    val counted = v.filter(col("__v") > 0)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val excluded = v.agg(
+      sum(when(col("__v") > 0, 0L).otherwise(1L)).as("n_excluded")).head()
+      .getLong(0)
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val expCol = (1 to 9).foldRight(lit(0L): Column) { case (d, rest) =>
+      when(col("digit") === d, lit(expPpm(d))).otherwise(rest)
+    }
+    spine.join(counted, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_total",
+        sum(col("n")).over(Window.partitionBy(lit(1))))
+      .select(col("digit"), col("n"),
+        when(col("n_total") > 0,
+          expr(s"(n * CAST($M AS BIGINT)) div n_total")).otherwise(lit(0L))
+          .as("obs_ppm"),
+        expCol.as("exp_ppm"), col("n_total"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .withColumn("n_excluded", lit(excluded))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        col("dev_ppm"), col("n_total"), col("n_excluded"))
+  }
+
   /** k-anonymity report — the re-identification screen a dataset gets
     * before leaving the building (Sweeney 2002): a row is at risk when
     * its quasi-identifier combination (the released columns an attacker

@@ -153,6 +153,49 @@ class EvalSpec extends SparkSpec {
     assert(b.isNullAt(6) && b.isNullAt(7)) // ndcg, recall are 0/0
   }
 
+  test("aucExact: hand-computed rank-sum with ties; degenerate is NULL") {
+    val s = spark; import s.implicits._
+    // scores: pos {3, 2}, neg {2, 1} → pairs: (3>2)=1, (3>1)=1,
+    // (2=2)=0.5, (2>1)=1 → AUC = 3.5/4 = 0.875
+    val df = Seq((3L, true), (2L, true), (2L, false), (1L, false))
+      .toDF("score", "label")
+    val r = Eval.aucExact(df, "score", col("label")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getLong(2) == 875000L)
+    assert(r.getLong(3) == 750000L) // gini = 2*auc - 1
+    // perfect separation = 1.0; single-class = NULL
+    val perfect = Eval.aucExact(
+      Seq((10L, true), (1L, false)).toDF("score", "label"),
+      "score", col("label")).head()
+    assert(perfect.getLong(2) == 1000000L)
+    val oneClass = Eval.aucExact(
+      Seq((1L, true), (2L, true)).toDF("score", "label"),
+      "score", col("label")).head()
+    assert(oneClass.isNullAt(2) && oneClass.isNullAt(3))
+  }
+
+  test("sprtTest: trajectory crosses the H1 bound on an all-positive run") {
+    val s = spark; import s.implicits._
+    val (up, down, a, b) = Eval.sprtConstants(0.2, 0.8, 0.05, 0.05)
+    // all positives: llr climbs by `up` each step; crossing at
+    // ceil(a/up) observations
+    val df = (1L to 10L).map(i => (i, true)).toDF("ord", "label")
+    val rows = Eval.sprtTest(df, "ord", col("label"), 0.2, 0.8, 0.05, 0.05)
+      .collect().sortBy(_.getLong(0))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(3) == (i + 1) * up)
+      val expected = if ((i + 1) * up >= a) "accept_h1" else "continue"
+      assert(r.getString(4) == expected, s"obs ${i + 1}")
+    }
+    assert(rows.last.getString(4) == "accept_h1")
+    // all negatives: llr falls by |down| and crosses the H0 bound
+    val neg = Eval.sprtTest((1L to 10L).map(i => (i, false))
+        .toDF("ord", "label"), "ord", col("label"), 0.2, 0.8, 0.05, 0.05)
+      .collect().sortBy(_.getLong(0))
+    assert(down < 0 && b < 0)
+    assert(neg.last.getString(4) == "accept_h0")
+  }
+
   test("rankingMetrics: perfect ranking scores ndcg_ppm = 1000000") {
     val s = spark; import s.implicits._
     val ranked = Seq(("q", 10L, 1), ("q", 11L, 2)).toDF("q", "doc", "rank")

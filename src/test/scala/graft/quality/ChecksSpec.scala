@@ -147,6 +147,23 @@ class ChecksSpec extends SparkSpec {
     assert(again("id") == got("id")._3 && again("k") == got("k")._3)
   }
 
+  test("benfordAudit: digit counts, expected literals, exclusions") {
+    val s = spark; import s.implicits._
+    // values: 1xx appears 4 times, 2xx twice, 9 once; plus 0 and -5
+    // excluded
+    val df = Seq(100L, 123L, 19L, 1L, 200L, 250L, 9L, 0L, -5L).toDF("v")
+    val rows = Checks.benfordAudit(df, "v").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.size == 9)
+    assert(rows(1).getLong(1) == 4L && rows(2).getLong(1) == 2L &&
+      rows(9).getLong(1) == 1L && rows(3).getLong(1) == 0L)
+    assert(rows(1).getLong(5) == 7L) // n_total excludes non-positives
+    assert(rows(1).getLong(6) == 2L) // 0 and -5
+    assert(rows(1).getLong(2) == 4L * 1000000L / 7L) // obs ppm
+    assert(rows(1).getLong(3) == Checks.benfordExpectedPpm(1))
+    assert(rows(1).getLong(4) == rows(1).getLong(2) - rows(1).getLong(3))
+  }
+
   test("kAnonymity: risk counts from exact group sizes, NULLs group") {
     val s = spark; import s.implicits._
     // groups: (a,1)x3, (a,2)x1, (NULL,1)x2 → k=3: two violating groups
