@@ -2070,6 +2070,23 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // Functional-dependency audit: does o_custkey determine
+    // o_orderstatus? (No — the summary quantifies how badly.)
+    "q224_functional_dependency" -> ((s, d) =>
+      graft.quality.Checks.functionalDependencyReport(
+        Tables.orders(s, d), Seq("o_custkey"), "o_orderstatus")),
+    // Metadata-only COUNT(*): two snapshot commits, then the footer-sum
+    // count — gated against the real COUNT(*) over the same rows.
+    "q225_metadata_count" -> ((s, d) => {
+      val root = freshScratch("q225")
+      graft.lake.Snapshots.commitAppend(root)(tmp =>
+        Tables.events(s, d).filter(col("event_id") % 2 === 0)
+          .write.mode("overwrite").parquet(tmp))
+      graft.lake.Snapshots.commitAppend(root)(tmp =>
+        Tables.events(s, d).filter(col("event_id") % 2 === 1)
+          .write.mode("overwrite").parquet(tmp))
+      graft.lake.Snapshots.countFast(s, root).select(col("n_rows"))
+    }),
     // Wald SPRT over the event stream (H0: purchase rate 0.18 vs H1:
     // 0.22, alpha .05 / beta .2): the full integer LLR trajectory with
     // per-observation decisions — early-stopping A/B monitoring.
@@ -2858,6 +2875,24 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q224: two-level agg replay.
+    "q224_functional_dependency" ->
+      """WITH g AS (SELECT o_custkey, COUNT(*) AS n,
+             COUNT(DISTINCT o_orderstatus) AS d
+           FROM orders GROUP BY 1)
+         SELECT COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(SUM(CASE WHEN d > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_affected,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN COUNT(*) > 0 THEN
+             (SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+             END AS BIGINT) AS violation_ppm
+         FROM g""",
+    // q225: the footer sum must equal the true count of the same rows.
+    "q225_metadata_count" ->
+      "SELECT COUNT(*) AS n_rows FROM events",
     // q221: the SAME four build-time constants, integer cumulative sums.
     "q221_sprt_monitor" -> {
       val (up, down, a, b) = graft.ml.Eval.sprtConstants(0.18, 0.22, 0.05, 0.2)

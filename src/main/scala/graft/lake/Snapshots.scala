@@ -119,6 +119,46 @@ object Snapshots {
   def read(spark: SparkSession, root: String): DataFrame =
     readAt(spark, root, currentVersion(root))
 
+  /** Metadata-only COUNT(*) — the query a lakehouse answers without
+    * touching a data page: parquet FOOTERS carry exact per-row-group
+    * row counts, so the snapshot's total is the sum over its files'
+    * footer blocks. File listing and footer reads are DISTRIBUTED
+    * (one task per manifest-dir batch, Hadoop FileSystem API so the
+    * same code walks HDFS/S3); bytes read ∝ footer size, not table
+    * size — at 100 TB this is the difference between milliseconds of
+    * metadata and a full scan. q225 gates the sum against the real
+    * COUNT(*).
+    *
+    * Output is ONE row: (n_rows, n_files).
+    */
+  def countFast(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val dirs = manifestFiles(root, currentVersion(root))
+      .map(f => Paths.get(root, f).toString)
+    spark.createDataset(dirs)
+      .repartition(math.max(1, math.min(dirs.size,
+        spark.sparkContext.defaultParallelism)))
+      .flatMap { dir =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val fs = path.getFileSystem(conf)
+        fs.listStatus(path).iterator
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).toSeq
+      }
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }
+      .toDF("__n")
+      .agg(coalesce(org.apache.spark.sql.functions.sum(col("__n")), lit(0L))
+        .as("n_rows"), count(lit(1)).as("n_files"))
+  }
+
   /** Commit a full-table REWRITE as the next version: `write` receives a
     * fresh staging dir; on return the dir is renamed into place and the
     * manifest rename commits it. Returns the new version. A crash at any

@@ -308,6 +308,50 @@ object Checks {
         col("min_value"), col("max_value"))
   }
 
+  /** Functional-dependency audit — does `det → dep` actually hold (the
+    * "one name per customer id", "one currency per country" contract
+    * schemas imply but rarely enforce): determinant groups with more
+    * than one distinct dependent value are violations. Exact distinct
+    * per group (map-side combinable two-level agg), violation rows
+    * capped at `sampleViolations` for the report (violation GROUPS are
+    * counted exactly; only the listed examples are capped — a silent
+    * truncation would read as "only k bad groups").
+    *
+    * Output: one row per violating determinant group, capped:
+    * (det…, n_rows, n_distinct_dep) ordered nondeterministically —
+    * callers wanting the full set pass Int.MaxValue. Use
+    * [[functionalDependencyReport]] for the one-row summary.
+    */
+  def functionalDependencyViolations(df: DataFrame, detCols: Seq[String],
+                                     depCol: String,
+                                     sampleViolations: Int = 100): DataFrame = {
+    require(detCols.nonEmpty, "functionalDependency needs determinant cols")
+    df.groupBy(detCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(depCol)).as("n_distinct_dep"))
+      .filter(col("n_distinct_dep") > 1)
+      .limit(sampleViolations)
+  }
+
+  /** One-row summary for `det → dep`: total groups, violating groups,
+    * rows inside violating groups, and the violation rate in ppm.
+    */
+  def functionalDependencyReport(df: DataFrame, detCols: Seq[String],
+                                 depCol: String): DataFrame =
+    df.groupBy(detCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(depCol)).as("__d"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__d") > 1, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("__d") > 1, col("__n")).otherwise(0L))
+          .as("n_rows_affected"),
+        sum(col("__n")).as("n_rows"))
+      .select(col("n_groups"), col("n_violating"), col("n_rows_affected"),
+        col("n_rows"),
+        when(col("n_groups") > 0,
+          expr("(n_violating * CAST(1000000 AS BIGINT)) div n_groups"))
+          .as("violation_ppm"))
+
   /** Benford first-digit audit — the forensic-accounting screen for
     * fabricated or truncated numeric columns (naturally-grown magnitudes
     * follow P(d) = log₁₀(1 + 1/d); invented numbers don't): observed

@@ -311,4 +311,18 @@ class SnapshotsSpec extends SparkSpec {
       l.iterator().asScala.toSeq
     }
   }
+  test("countFast: footer-sum count equals the real count, zero data read") {
+    val root = freshRoot()
+    Snapshots.commitAppend(root)(tmp =>
+      spark.range(0, 1234).selectExpr("id AS k", "CAST(id AS STRING) AS v",
+        "id AS ts").write.mode("overwrite").parquet(tmp))
+    Snapshots.commitAppend(root)(tmp =>
+      spark.range(5000, 5432).selectExpr("id AS k", "CAST(id AS STRING) AS v",
+        "id AS ts").write.mode("overwrite").parquet(tmp))
+    val r = Snapshots.countFast(spark, root).head()
+    assert(r.getLong(0) == 1234L + 432L)
+    assert(r.getLong(1) >= 2L) // at least one file per commit
+    assert(r.getLong(0) == Snapshots.read(spark, root).count())
+  }
+
 }

@@ -147,6 +147,20 @@ class ChecksSpec extends SparkSpec {
     assert(again("id") == got("id")._3 && again("k") == got("k")._3)
   }
 
+  test("functionalDependency: violation groups and one-row summary") {
+    val s = spark; import s.implicits._
+    // a→x consistent; b maps to two values; c consistent
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "z"), ("c", "y"))
+      .toDF("det", "dep")
+    val viol = Checks.functionalDependencyViolations(df, Seq("det"), "dep")
+      .collect()
+    assert(viol.map(_.getString(0)).toSeq == Seq("b"))
+    assert((viol.head.getLong(1), viol.head.getLong(2)) == ((2L, 2L)))
+    val r = Checks.functionalDependencyReport(df, Seq("det"), "dep").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 1L, 2L, 5L, 333333L)))
+  }
+
   test("benfordAudit: digit counts, expected literals, exclusions") {
     val s = spark; import s.implicits._
     // values: 1xx appears 4 times, 2xx twice, 9 once; plus 0 and -5
