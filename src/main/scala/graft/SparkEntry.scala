@@ -2070,6 +2070,18 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // HyperBall 2-hop neighborhood sizes over the q173 co-occurrence
+    // graph: every node's |ball(n, 2)| estimate from one sketch pass —
+    // n BFS runs collapsed into register max-merges, each estimate an
+    // exact integer both engines reproduce.
+    "q226_hyperball" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.graphs.HyperBall.neighborhoodSizes(edges, rounds = 2)
+    }),
     // Functional-dependency audit: does o_custkey determine
     // o_orderstatus? (No — the summary quantifies how badly.)
     "q224_functional_dependency" -> ((s, d) =>
@@ -2875,6 +2887,44 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q226: generated per-round register max-merge CTEs + the corrected
+    // estimator replay at p=4 (m=16, rho = 57 − bitlen(h >> 4)).
+    "q226_hyperball" -> {
+      val m = 16L
+      val alphaFp240 = (7213L * m * m * m / (10000L * m + 10790L)) * (1L << 40)
+      val lutSql = graft.ml.Sketches.linearCountLut(4).mkString("[", ", ", "]")
+      def mergeRound(prev: String, cur: String) =
+        s"""$cur AS MATERIALIZED (SELECT node, bucket,
+             MAX(max_rho) AS max_rho FROM (
+             SELECT node, bucket, max_rho FROM $prev
+             UNION ALL
+             SELECT e.src AS node, r.bucket, r.max_rho
+             FROM e JOIN $prev r ON e.dst = r.node) u
+           GROUP BY 1, 2)"""
+      val rawEst = s"$alphaFp240 // greatest(ps + (16 - pr) * 1099511627776, 1)"
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src,
+             b.l_partkey AS dst
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey),
+         n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e
+               UNION ALL SELECT dst FROM e) x),
+         h AS (SELECT node, CAST(('0x' || substr(md5('hll-' ||
+             CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM n),
+         r0 AS MATERIALIZED (SELECT node, h & 15 AS bucket,
+             CAST(57 - length(ltrim(bin(h >> 4), '0')) AS INTEGER)
+               AS max_rho FROM h),
+         ${mergeRound("r0", "r1")},
+         ${mergeRound("r1", "r2")},
+         g AS (SELECT node,
+             SUM(CAST(1099511627776 AS BIGINT) >> max_rho) AS ps,
+             COUNT(*) AS pr
+           FROM r2 GROUP BY 1)
+         SELECT node, CAST(CASE WHEN $rawEst <= 40 AND pr < 16
+             THEN list_extract($lutSql, CAST(16 - pr AS INTEGER) + 1)
+           ELSE $rawEst END AS BIGINT) AS est_reachable
+         FROM g"""
+    },
     // q224: two-level agg replay.
     "q224_functional_dependency" ->
       """WITH g AS (SELECT o_custkey, COUNT(*) AS n,
