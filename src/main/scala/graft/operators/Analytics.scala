@@ -578,17 +578,21 @@ object Analytics {
       count(lit(1)).as("frequency"),
       sum(col(centsCol).cast("long")).as("monetary_cents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def cuts(metric: String): Seq[Long] = {
-      val r = groupPercentilesDisc(
-        per.select(lit(1).as("__g"), col(metric)), Seq("__g"), metric,
-        Seq(20, 40, 60, 80)).head()
-      (1 to 4).map(i => r.getLong(i))
-    }
+    // ONE percentile pass for all three metrics: unpivot to
+    // (metric, value) and let the q62 machine's group key do the rest —
+    // three sequential histogram plans measured 3x the fixed cost.
+    val metrics = Seq("recency_day", "frequency", "monetary_cents")
+    val long3 = per.select(explode(array(metrics.map(m =>
+        struct(lit(m).as("__m"), col(m).as("__v"))): _*)).as("__e"))
+      .select(col("__e.__m").as("__m"), col("__e.__v").as("__v"))
+    val cutRows = groupPercentilesDisc(long3, Seq("__m"), "__v",
+        Seq(20, 40, 60, 80)).collect()
+      .map(r => r.getString(0) -> (1 to 4).map(i => r.getLong(i))).toMap
     def score(metric: String, cs: Seq[Long]): Column =
       cs.map(c => when(col(metric) > c, 1).otherwise(0))
         .reduce(_ + _) + lit(1)
-    val (rc, fc, mc) =
-      (cuts("recency_day"), cuts("frequency"), cuts("monetary_cents"))
+    val (rc, fc, mc) = (cutRows("recency_day"), cutRows("frequency"),
+      cutRows("monetary_cents"))
     per.select(col("cust"), col("recency_day"), col("frequency"),
         col("monetary_cents"),
         score("recency_day", rc).as("r_score"),
