@@ -2070,6 +2070,40 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // Homoglyph-squashed exact dedup: planted Cyrillic-o evasions (the
+    // classic dedup-dodging trick) are caught by translating the
+    // build-time confusable map before hashing — pairs the raw hash
+    // would never match.
+    "q227_homoglyph_dedup" -> ((s, d) => {
+      val base = Tables.documentsSpread(s, d).select(col("doc_id"), col("text"))
+      val evaded = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          translate(col("text"), "o", "\u043e").as("text"))
+      val keyed = base.unionByName(evaded)
+        .withColumn("__k", md5(TextStats.squashHomoglyphs(col("text"))))
+      keyed.as("a").join(keyed.as("b"),
+          col("a.__k") === col("b.__k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }),
+    // Golden-record survivorship over three dirtied copies of each
+    // customer: per-field majority vote with lexicographic tiebreak —
+    // the MDM step after linkage + components.
+    "q228_golden_record" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      def variant(tag: Int, name: org.apache.spark.sql.Column,
+                  seg: org.apache.spark.sql.Column) =
+        c.select(col("c_custkey").as("component"), name.as("name"),
+          seg.as("segment"))
+      val records = variant(0, col("c_name"), col("c_mktsegment"))
+        .unionByName(variant(1,
+          when(col("c_custkey") % 3 === 0, upper(col("c_name")))
+            .otherwise(col("c_name")), col("c_mktsegment")))
+        .unionByName(variant(2, col("c_name"),
+          when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment"))))
+      graft.text.Linkage.goldenRecord(records, "component",
+        Seq("name", "segment"))
+    }),
     // HyperBall 2-hop neighborhood sizes over the q173 co-occurrence
     // graph: every node's |ball(n, 2)| estimate from one sketch pass —
     // n BFS runs collapsed into register max-merges, each estimate an
@@ -2887,6 +2921,47 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q227: the same translate map (generated from the build-time
+    // confusable strings) + md5 equality pairs.
+    "q227_homoglyph_dedup" -> {
+      val from = TextStats.homoglyphFrom
+      val to = TextStats.homoglyphTo
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         ev AS (SELECT doc_id + 1000000 AS doc_id,
+             translate(text, 'o', 'о') AS text
+           FROM base WHERE doc_id % 10 = 0),
+         corpus AS (SELECT * FROM base UNION ALL SELECT * FROM ev),
+         k AS (SELECT doc_id, md5(translate(text, '$from', '$to')) AS k
+               FROM corpus)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM k a JOIN k b ON a.k = b.k AND a.doc_id < b.doc_id"""
+    },
+    // q228: long-form value counts, (count desc, value) winner per
+    // (cluster, field), pivot back.
+    "q228_golden_record" ->
+      """WITH rec AS (
+           SELECT c_custkey AS component, c_name AS name,
+             c_mktsegment AS segment FROM customer
+           UNION ALL
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END,
+             c_mktsegment FROM customer
+           UNION ALL
+           SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END
+           FROM customer),
+         lng AS (SELECT component, f.f AS f,
+             CASE f.f WHEN 'name' THEN name ELSE segment END AS v
+           FROM rec, UNNEST(['name', 'segment']) f(f)),
+         cnt AS (SELECT component, f, v, COUNT(*) AS n FROM lng
+                 WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+         win AS (SELECT component, f, v FROM (
+             SELECT *, row_number() OVER (PARTITION BY component, f
+               ORDER BY n DESC, v) AS rn FROM cnt) x WHERE rn = 1)
+         SELECT component,
+           MAX(CASE WHEN f = 'name' THEN v END) AS name,
+           MAX(CASE WHEN f = 'segment' THEN v END) AS segment
+         FROM win GROUP BY component""",
     // q226: generated per-round register max-merge CTEs + the corrected
     // estimator replay at p=4 (m=16, rho = 57 − bitlen(h >> 4)).
     "q226_hyperball" -> {

@@ -75,4 +75,41 @@ object Linkage {
         when(col("__score") >= upperFp, lit("match"))
           .otherwise(lit("possible")).as("decision"))
   }
+
+  /** Golden-record survivorship — what an MDM pipeline does AFTER
+    * [[fellegiSunter]] + components have grouped duplicate records: per
+    * cluster, each field keeps its MAJORITY value (most frequent
+    * non-null, ties broken lexicographically — deterministic without a
+    * record-priority column). Values survive through their STRING
+    * rendering (the cross-engine profile contract; typed callers
+    * re-cast); clusters where a field is entirely NULL keep NULL.
+    *
+    * Scale posture: one explode to (cluster, field, value) long form,
+    * one map-side-combinable count, one window over the value-count
+    * grain (bounded by distinct values per field per cluster — cluster
+    * size, not corpus size), one pivot back.
+    *
+    * Output: (componentCol, fields…) — one survivor row per cluster.
+    */
+  def goldenRecord(records: DataFrame, componentCol: String,
+                   fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecord needs at least one field")
+    val long = records.select(col(componentCol).as("__c"),
+        explode(array(fields.map(f =>
+          struct(lit(f).as("__f"), col(f).cast("string").as("__v"))): _*))
+          .as("__e"))
+      .select(col("__c"), col("__e.__f").as("__f"), col("__e.__v").as("__v"))
+      .filter(col("__v").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__c"), col("__f"))
+      .orderBy(col("__n").desc, col("__v").asc)
+    val winners = long.groupBy(col("__c"), col("__f"), col("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val aggs = fields.map(f =>
+      max(when(col("__f") === f, col("__v"))).as(f))
+    winners.groupBy(col("__c").as(componentCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

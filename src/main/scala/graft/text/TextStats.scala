@@ -373,6 +373,70 @@ object TextStats {
           .as("avg_logprob"))
   }
 
+  /** Compression-ratio quality signal — the cheapest "is this text
+    * natural language or generated sludge" detector a curation pipeline
+    * runs (low ratio = highly compressible = repetitive boilerplate /
+    * template spam; the Gopher/CCNet-family heuristic): per document,
+    * DEFLATE the UTF-8 bytes at a fixed level and report
+    * compressed/original in ppm. Row-local `mapPartitions` with one
+    * reused Deflater per partition (allocation-free inner loop), no
+    * shuffle.
+    *
+    * Determinism contract: byte-identical for a given zlib
+    * implementation (level and strategy pinned) — stable within a
+    * deployment, NOT an oracle-replayable cross-engine number, so this
+    * operator is spec-pinned (the streaming-operator precedent), not
+    * hash-gated.
+    *
+    * Output: (idCol, n_bytes, n_compressed, ratio_ppm).
+    */
+  def compressionRatio(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_SPEED)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, bytes.length.toLong, n,
+            if (bytes.length == 0) 0L else n * 1000000L / bytes.length)
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_compressed", "ratio_ppm")
+  }
+
+  /** Homoglyph squashing — the dedup-evasion counter: spam and
+    * plagiarized text dodge exact/shingle dedup by swapping Latin
+    * letters for visually-identical Cyrillic/Greek codepoints. A
+    * build-time confusable map (the common Cyrillic and Greek lookalikes
+    * of Latin letters, a small curated subset of the public Unicode
+    * confusables data) is applied with `translate` — codegen'd,
+    * row-local, and replayable verbatim by any engine with Postgres
+    * `translate` semantics, so squashed-text operators stay hash-gated
+    * (q227 pipes it into exact dedup and catches planted evasions).
+    */
+  val homoglyphFrom: String =
+    // Cyrillic а е о р с х у і Ј
+    "аеорсхуіЈ" +
+      // Greek capitals Α Β Ε Η Ι Κ Μ Ν Ο Ρ Τ Υ Χ
+      "ΑΒΕΗΙΚΜΝΟΡ" +
+      "ΤΥΧ" +
+      // Greek lowercase ο ι ν
+      "οιν"
+  val homoglyphTo: String = "aeopcxyiJABEHIKMNOPTYXoiv"
+
+  def squashHomoglyphs(text: Column): Column =
+    translate(text, homoglyphFrom, homoglyphTo)
+
   /** Pointwise-mutual-information collocations — the phrase-mining
     * primitive (Church & Hanks, CL 1990) behind multi-word-expression
     * extraction and tokenizer-vocabulary seeding: bigrams whose observed

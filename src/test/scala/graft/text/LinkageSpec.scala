@@ -39,6 +39,21 @@ class LinkageSpec extends SparkSpec {
     assert(out.size == 2)
   }
 
+  test("goldenRecord: majority wins, ties break lexicographically, NULLs lose") {
+    val s = spark; import s.implicits._
+    val recs = Seq(
+      (1L, "ann", "rome"), (1L, "ann", "roma"), (1L, "ANN", "rome"),
+      (2L, "bob", null), (2L, null, null),
+      (3L, "cid", "lima"), (3L, "dan", "lima")) // name tie: cid < dan
+      .toDF("cluster", "name", "city")
+    val got = Linkage.goldenRecord(recs, "cluster", Seq("name", "city"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(got(1L) == ((Some("ann"), Some("rome"))))
+    assert(got(2L) == ((Some("bob"), None))) // all-NULL field stays NULL
+    assert(got(3L) == ((Some("cid"), Some("lima"))))
+  }
+
   test("fellegiSunter: NULL fields never agree") {
     val s = spark; import s.implicits._
     val fields = Seq(FieldSpec("v", "v_a", "v_b", 0.9, 0.1))

@@ -446,6 +446,37 @@ class TextStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("compressionRatio: repetition compresses, determinism holds") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the same phrase " * 50),
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 1000}x${i * 104729 % 997}")
+        .mkString(" ")),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextStats.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // repetitive text compresses far better than varied text
+    assert(got(1L)._3 < got(2L)._3 / 2,
+      s"repetitive ${got(1L)._3} should be << varied ${got(2L)._3}")
+    // empty doc: zlib still emits its 8-byte envelope; ratio guard -> 0
+    assert(got(3L) == ((0L, 8L, 0L)))
+    assert(got(1L)._1 == "the same phrase ".length * 50L)
+    val again = TextStats.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 3L).forall(i => again(i) == got(i)._2), "non-deterministic")
+  }
+
+  test("squashHomoglyphs: confusables fold to Latin, clean text unchanged") {
+    val s = spark; import s.implicits._
+    // "spаrk" has a Cyrillic а; "Αlpha" a Greek capital alpha
+    val df = Seq("spаrk", "Αlpha", "plain ascii").toDF("t")
+    val out = df.select(TextStats.squashHomoglyphs(col("t"))).as[String]
+      .collect()
+    assert(out.toSeq == Seq("spark", "Alpha", "plain ascii"))
+    assert(TextStats.homoglyphFrom.length == TextStats.homoglyphTo.length)
+  }
+
   test("pmiCollocations: exact ratio arithmetic and min-count filter") {
     val s = spark; import s.implicits._
     // corpus: "a b" x3, "a c" x1, "c d e" x1 → N=11 tokens, B=6 bigrams
