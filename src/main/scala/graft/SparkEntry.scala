@@ -2070,6 +2070,30 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // Mutual information lang↔source — chi2's (q171) information-
+    // theoretic sibling, observed cells only, q84 floor-log fixed point.
+    "q229_mutual_information" -> ((s, d) =>
+      graft.ml.Eval.mutualInformation(Tables.documents(s, d),
+        col("lang"), col("source"))),
+    // Welch two-sample t between purchase and view event values (cents):
+    // exact DECIMAL sufficient statistics, pinned IEEE finale.
+    "q230_welch_ttest" -> ((s, d) =>
+      graft.ml.Eval.welchTTest(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "view") &&
+            col("value").isNotNull)
+          .select(col("event_type"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents")),
+        col("event_type"), col("cents"))),
+    // Bipartite projection orders×items → weighted item-item edges
+    // (n_shared >= 2) — the co-occurrence builder behind the whole graph
+    // family, now a first-class operator with a degree-profile
+    // pre-flight.
+    "q231_bipartite_project" -> ((s, d) =>
+      graft.graphs.Projection.bipartiteProject(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minShared = 2)),
     // Homoglyph-squashed exact dedup: planted Cyrillic-o evasions (the
     // classic dedup-dodging trick) are caught by translating the
     // build-time confusable map before hashing — pairs the raw hash
@@ -2921,6 +2945,64 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q229: observed-cell MI with the floor-log quantize-once terms and
+    // the pmod floor division (signed numerator).
+    "q229_mutual_information" ->
+      """WITH conf AS (SELECT lang, source, COUNT(*) AS n
+           FROM documents GROUP BY 1, 2),
+         m AS (SELECT n,
+             SUM(n) OVER (PARTITION BY lang) AS r,
+             SUM(n) OVER (PARTITION BY source) AS c,
+             SUM(n) OVER () AS t
+           FROM conf),
+         l AS (SELECT n, t,
+             CAST(FLOOR(ln(CAST(n AS DOUBLE) * t /
+               (CAST(r AS DOUBLE) * c)) * 1000000) AS BIGINT) AS lq
+           FROM m),
+         a AS (SELECT CAST(MAX(t) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_cells,
+             CAST(SUM(n * lq) AS BIGINT) AS s
+           FROM l)
+         SELECT n_rows, n_cells,
+           (s - ((s % n_rows + n_rows) % n_rows)) // n_rows AS mi_fp
+         FROM a""",
+    // q230: identical sufficient statistics, identical pinned double
+    // chain (cast order mirrored operation by operation).
+    "q230_welch_ttest" ->
+      """WITH e AS (SELECT event_type AS g,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS q
+           FROM events
+           WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+         st AS (SELECT g, COUNT(*) AS n,
+             SUM(CAST(q AS HUGEINT)) AS s1,
+             SUM(CAST(q AS HUGEINT) * q) AS s2
+           FROM e GROUP BY 1),
+         s AS (SELECT g, CAST(n AS DOUBLE) AS n,
+             CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2
+           FROM st),
+         v AS (SELECT g, n, s1 / n AS mean,
+             (n * s2 - s1 * s1) / (n * (n - 1)) AS var
+           FROM s),
+         a AS (SELECT g, n, mean, var, var / n AS se2 FROM v
+               ORDER BY g LIMIT 1),
+         b AS (SELECT g, n, mean, var, var / n AS se2 FROM v
+               ORDER BY g DESC LIMIT 1)
+         SELECT a.g AS group_a, b.g AS group_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           a.mean AS mean_a, b.mean AS mean_b,
+           (a.mean - b.mean) / sqrt(a.se2 + b.se2) AS t_stat,
+           (a.se2 + b.se2) * (a.se2 + b.se2) /
+             (a.se2 * a.se2 / (a.n - 1) + b.se2 * b.se2 / (b.n - 1))
+             AS df_welch
+         FROM a CROSS JOIN b""",
+    // q231: the direct distinct self-join replay.
+    "q231_bipartite_project" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r
+           FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+         SELECT a.r AS src, b.r AS dst, COUNT(*) AS n_shared
+         FROM d a JOIN d b ON a.l = b.l AND a.r < b.r
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
     // q227: the same translate map (generated from the build-time
     // confusable strings) + md5 equality pairs.
     "q227_homoglyph_dedup" -> {

@@ -294,6 +294,86 @@ object Eval {
         expr(s"(n_pos * CAST($M AS BIGINT)) div n").as("pos_rate_fp"))
   }
 
+  /** Mutual information between two categorical columns —
+    * [[chiSquared]]'s information-theoretic sibling (feature selection's
+    * default relevance score): MI = Σ_cells (n_ij/N)·ln(n_ij·N/(r_i·c_j)).
+    * Zero cells contribute zero, so only OBSERVED cells are touched (no
+    * full-grid rebuild, unlike χ² where absent cells carry expected
+    * mass). Fixed-point recipe: the log factor is quantized ONCE per
+    * cell (`floor(ln(ratio)·10⁶)`, the q84 contract), multiplied by the
+    * exact integer n_ij, summed as longs, divided by N once — exact,
+    * commutative, order-independent; mi_fp ≈ MI·10⁶ in nats.
+    *
+    * One pass to the confusion table, marginals via table-sized windows,
+    * row-local term arithmetic. Output is ONE row:
+    * (n_rows, n_cells, mi_fp).
+    */
+  def mutualInformation(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val conf = df.select(aCol.as("__a"), bCol.as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+    conf
+      .withColumn("__r", sum(col("__n")).over(Window.partitionBy(col("__a"))))
+      .withColumn("__c", sum(col("__n")).over(Window.partitionBy(col("__b"))))
+      .withColumn("__t", sum(col("__n")).over(Window.partitionBy(lit(1))))
+      .withColumn("__l",
+        floor(log(col("__n").cast("double") * col("__t") /
+          (col("__r").cast("double") * col("__c"))) * lit(1000000.0))
+          .cast("long"))
+      .agg(max(col("__t")).as("n_rows"), count(lit(1)).as("n_cells"),
+        sum(col("__n") * col("__l")).as("__s"))
+      .select(col("n_rows"), col("n_cells"),
+        expr("(__s - pmod(__s, n_rows)) div n_rows").as("mi_fp"))
+  }
+
+  /** Welch's unequal-variance t-test between exactly two groups — the
+    * numeric-drift / A-B means test ([[abTest]] covers proportions):
+    * sufficient statistics (n, Σq, Σq²) accumulate exactly in
+    * DECIMAL(38,0) from caller-quantized longs, then mean/variance/t and
+    * the Welch–Satterthwaite df come out of a PINNED chain of IEEE
+    * double ops (div/mul/sub/sqrt are all correctly rounded, the
+    * groupZScores precedent) — bit-identical cross-engine from identical
+    * integers. Groups are ordered (group_a < group_b) so the t sign is
+    * deterministic.
+    *
+    * Output is ONE row: (group_a, group_b, n_a, n_b, mean_a, mean_b,
+    * t_stat, df_welch). Requires exactly two observed groups and n ≥ 2
+    * with nonzero variance on both sides.
+    */
+  def welchTTest(df: DataFrame, groupCol: Column, valueFpCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val stats = df.select(groupCol.cast("string").as("__g"),
+        valueFpCol.cast("long").as("__q"))
+      .filter(col("__g").isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__q").cast(dec)).as("__s1"),
+        sum(col("__q").cast(dec) * col("__q")).as("__s2"))
+    val two = stats.orderBy(col("__g").asc).limit(3).collect()
+    require(two.length == 2,
+      s"welchTTest needs exactly two groups, got ${two.length}")
+    def side(r: org.apache.spark.sql.Row) = {
+      val n = r.getLong(1).toDouble
+      val s1 = r.getDecimal(2).doubleValue()
+      val s2 = r.getDecimal(3).doubleValue()
+      require(n >= 2, s"welchTTest: group ${r.getString(0)} has n < 2")
+      val mean = s1 / n
+      val v = (n * s2 - s1 * s1) / (n * (n - 1))
+      (r.getString(0), n, mean, v)
+    }
+    val (ga, na, ma, va) = side(two(0))
+    val (gb, nb, mb, vb) = side(two(1))
+    require(va > 0 && vb > 0, "welchTTest: zero variance on one side")
+    val se2a = va / na
+    val se2b = vb / nb
+    val t = (ma - mb) / math.sqrt(se2a + se2b)
+    val dfW = (se2a + se2b) * (se2a + se2b) /
+      (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na.toLong, nb.toLong, ma, mb, t, dfW))
+      .toDF("group_a", "group_b", "n_a", "n_b", "mean_a", "mean_b",
+        "t_stat", "df_welch")
+  }
+
   /** Exact AUC (area under the ROC curve) from the Mann–Whitney
     * rank-sum — the headline ranking metric [[thresholdSweep]]'s pointwise
     * curve summarizes: the probability a random positive outscores a

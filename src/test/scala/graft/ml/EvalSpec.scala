@@ -153,6 +153,39 @@ class EvalSpec extends SparkSpec {
     assert(b.isNullAt(6) && b.isNullAt(7)) // ndcg, recall are 0/0
   }
 
+  test("mutualInformation: zero under independence, ln2-ish under identity") {
+    val s = spark; import s.implicits._
+    // perfectly independent 2x2: every cell n=5 → each log ratio = ln(1)=0
+    val ind = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    val r0 = Eval.mutualInformation(ind, col("a"), col("b")).head()
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) == ((20L, 4L, 0L)))
+    // identical columns, 2 balanced values → MI = ln 2 ≈ 0.693147
+    val dep = (Seq.fill(10)("x") ++ Seq.fill(10)("y")).map(v => (v, v))
+      .toDF("a", "b")
+    val r1 = Eval.mutualInformation(dep, col("a"), col("b")).head()
+    assert(math.abs(r1.getLong(2) - 693147L) <= 1, s"got ${r1.getLong(2)}")
+  }
+
+  test("welchTTest: equal groups give t=0; shifted groups match closed form") {
+    val s = spark; import s.implicits._
+    val same = (Seq.fill(5)(("a", 10L)) ++ Seq.fill(5)(("b", 10L)) ++
+      Seq(("a", 20L), ("b", 20L))).toDF("g", "q")
+    val r0 = Eval.welchTTest(same, col("g"), col("q")).head()
+    assert(r0.getDouble(6) == 0.0 && r0.getString(0) == "a")
+    // a = {0, 2} (mean 1, var 2), b = {10, 12, 14} (mean 12, var 4):
+    // t = (1-12)/sqrt(2/2 + 4/3)
+    val shifted = (Seq(("a", 0L), ("a", 2L)) ++
+      Seq(("b", 10L), ("b", 12L), ("b", 14L))).toDF("g", "q")
+    val r1 = Eval.welchTTest(shifted, col("g"), col("q")).head()
+    val expT = (1.0 - 12.0) / math.sqrt(2.0 / 2 + 4.0 / 3)
+    assert(math.abs(r1.getDouble(6) - expT) < 1e-12, s"t ${r1.getDouble(6)}")
+    assert(r1.getDouble(7) > 1.0 && r1.getDouble(7) < 4.0) // Welch df
+    intercept[IllegalArgumentException] {
+      Eval.welchTTest(Seq(("a", 1L)).toDF("g", "q"), col("g"), col("q"))
+    }
+  }
+
   test("aucExact: hand-computed rank-sum with ties; degenerate is NULL") {
     val s = spark; import s.implicits._
     // scores: pos {3, 2}, neg {2, 1} → pairs: (3>2)=1, (3>1)=1,
