@@ -2070,6 +2070,47 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // URL canonicalization dedup: three deterministic raw variants per
+    // doc (case-shifted host, utm noise, reordered params, trailing
+    // slash) collapse to one canonical form — the crawl-dedup prestage.
+    "q232_url_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val raw = docs.select(col("doc_id"), lit(0).as("variant"),
+          concat(lit("https://Example.COM/docs/"),
+            (col("doc_id") % 50).cast("string"),
+            lit("/?utm_source=mail&id="), (col("doc_id") % 7).cast("string"),
+            lit("&b=2")).as("url"))
+        .unionByName(docs.select(col("doc_id"), lit(1).as("variant"),
+          concat(lit("http://example.com/docs/"),
+            (col("doc_id") % 50).cast("string"),
+            lit("?b=2&id="), (col("doc_id") % 7).cast("string"))
+            .as("url")))
+        .unionByName(docs.select(col("doc_id"), lit(2).as("variant"),
+          concat(lit("https://EXAMPLE.com/docs/"),
+            (col("doc_id") % 50).cast("string"),
+            lit("?id="), (col("doc_id") % 7).cast("string"),
+            lit("&b=2&fbclid=xyz")).as("url")))
+      raw.select(col("doc_id"), col("variant"),
+        Relations.canonicalizeUrl(col("url")).as("canon_url"))
+    }),
+    // Kaplan-Meier churn curve: per-user activity spans, users active in
+    // the last 7 observed days are CENSORED; floor-log product terms and
+    // floor-exp survival ppm.
+    "q233_kaplan_meier" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val spans = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_ts_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(col("event_ts_us")).as("first_us"),
+          max(col("event_ts_us")).as("last_us"))
+        .withColumn("__cut",
+          max(col("last_us")).over(Window.partitionBy(lit(1))) -
+            lit(7L * 86400000000L))
+        .select(
+          expr("(last_us - first_us) div 86400000000").as("duration_days"),
+          (col("last_us") < col("__cut")).as("churned"))
+      Temporal.kaplanMeier(spans, "duration_days", col("churned"))
+    }),
     // Mutual information lang↔source — chi2's (q171) information-
     // theoretic sibling, observed cells only, q84 floor-log fixed point.
     "q229_mutual_information" -> ((s, d) =>
@@ -2945,6 +2986,80 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q232: the same regex + list-HOF canonicalization in DuckDB
+    // (list_filter/list_sort/array_to_string).
+    "q232_url_canonical" ->
+      """WITH raw AS (
+           SELECT doc_id, 0 AS variant,
+             'https://Example.COM/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+               '/?utm_source=mail&id=' || CAST(doc_id % 7 AS VARCHAR) ||
+               '&b=2' AS url
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 1,
+             'http://example.com/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+               '?b=2&id=' || CAST(doc_id % 7 AS VARCHAR)
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 2,
+             'https://EXAMPLE.com/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+               '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&b=2&fbclid=xyz'
+           FROM documents),
+         parts AS (SELECT doc_id, variant,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\?([^#]*)', 1) AS query
+           FROM raw),
+         f AS (SELECT doc_id, variant, host, rtrim(path, '/') AS path,
+             array_to_string(list_sort(list_filter(string_split(query, '&'),
+               p -> p <> '' AND NOT starts_with(p, 'utm_')
+                 AND NOT starts_with(p, 'gclid=')
+                 AND NOT starts_with(p, 'fbclid='))), '&') AS q
+           FROM parts)
+         SELECT doc_id, variant,
+           host || path || CASE WHEN q = '' THEN '' ELSE '?' || q END
+             AS canon_url
+         FROM f""",
+    // q233: duration-grain risk sets, the floor-log terms, floor-exp
+    // survival.
+    "q233_kaplan_meier" ->
+      """WITH spans AS (
+           SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+             MAX(epoch_us(ts)) AS last_us
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         lab AS (SELECT (last_us - first_us) // 86400000000 AS t,
+             last_us < (SELECT MAX(last_us) FROM spans) - 604800000000
+               AS e
+           FROM spans),
+         byt AS (SELECT t,
+             CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+           FROM lab GROUP BY 1),
+         rk AS (SELECT *,
+             CAST(SUM(n_events + n_censored) OVER () AS BIGINT) -
+               CAST(COALESCE(SUM(n_events + n_censored) OVER (
+                 ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+           FROM byt),
+         tm AS (SELECT *,
+             CASE WHEN n_events = 0 OR n_events = n_at_risk THEN 0
+               ELSE CAST(FLOOR(ln(CAST(n_at_risk - n_events AS DOUBLE) /
+                 CAST(n_at_risk AS DOUBLE)) * 1000000) AS BIGINT)
+             END AS term,
+             MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS dead
+           FROM rk),
+         cm AS (SELECT *, CAST(SUM(term) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS ls FROM tm)
+         SELECT t, n_at_risk, n_events, n_censored,
+           CASE WHEN dead = 1 THEN NULL ELSE ls END AS log_s_fp,
+           CAST(CASE WHEN dead = 1 THEN 0
+             ELSE FLOOR(exp(CAST(ls AS DOUBLE) / 1000000) * 1000000)
+             END AS BIGINT) AS survival_ppm
+         FROM cm""",
     // q229: observed-cell MI with the floor-log quantize-once terms and
     // the pmod floor division (signed numerator).
     "q229_mutual_information" ->

@@ -137,6 +137,30 @@ object Relations {
   def urlParameter(url: Column, name: String): Column =
     parse_url(url, lit("QUERY"), lit(name))
 
+  /** URL canonicalization — the crawl-dedup prestage (the same page
+    * arrives as `HTTP://Example.COM/a/`, `https://example.com/a?utm_…`,
+    * and `https://example.com/a` — raw-string dedup misses all three):
+    * lowercase the host, strip the scheme and trailing path slash, drop
+    * tracking parameters (utm_*, gclid, fbclid), and SORT the surviving
+    * query parameters so order never splits a group. Built entirely from
+    * regexp extraction + array HOFs that DuckDB replays verbatim
+    * (list_filter/list_sort/array_to_string), so canonical-URL dedup
+    * stays hash-gated (q232). Row-local and codegen-friendly; NULL in →
+    * NULL out.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val host = lower(regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1))
+    val path = regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("gclid=") &&
+        !p.startsWith("fbclid="))
+    val sortedQ = array_join(sort_array(params), "&")
+    when(u.isNull, lit(null).cast("string")).otherwise(
+      concat(host, rtrim(path, "/"),
+        when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
+  }
+
   /** dbt_utils `haversine_distance` (macros/sql/haversine_distance.sql:17-29),
     * great-circle km from degree coordinates — all codegen'd built-ins.
     */

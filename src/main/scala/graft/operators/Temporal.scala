@@ -331,6 +331,65 @@ object Temporal {
         :+ coalesce(col("__s"), lit(0L)).as("ewma_fp"): _*)
   }
 
+  /** Kaplan–Meier survival curve (1958) — retention/churn analysis with
+    * CENSORING done right: users still active at the observation cutoff
+    * are censored (they leave the risk set without counting as churn),
+    * which naive retention curves get wrong. At each distinct duration
+    * t: n_at_risk = subjects with duration ≥ t, d = events at t, and
+    * S(t) = Π (1 − d/n) over event times ≤ t.
+    *
+    * Fixed-point recipe: each factor's log is quantized once
+    * (`floor(ln((n−d)/n)·10⁶)`, the q84 contract) and the product
+    * becomes an exact integer cumulative sum `log_s_fp`;
+    * `survival_ppm = floor(exp(log_s_fp/10⁶)·10⁶)` re-exponentiates
+    * through the same floor-quantize discipline. A time where everyone
+    * remaining dies (d = n) sends survival to exactly 0 from there on
+    * (log undefined — the `__dead` flag, not a NaN).
+    *
+    * One duration-grain agg + duration-grain windows (distinct survival
+    * times, never subjects). Output per distinct duration:
+    * (t, n_at_risk, n_events, n_censored, log_s_fp, survival_ppm).
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: Column): DataFrame = {
+    val base = df.select(col(durationCol).cast("long").as("t"),
+        eventCol.cast("boolean").as("__e"))
+      .filter(col("t").isNotNull && col("t") >= 0 && col("__e").isNotNull)
+    val byT = base.groupBy(col("t")).agg(
+      sum(when(col("__e"), 1L).otherwise(0L)).as("n_events"),
+      sum(when(col("__e"), 0L).otherwise(1L)).as("n_censored"))
+    val wAll = Window.partitionBy(lit(1))
+    val wPrev = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("__tot",
+        sum(col("n_events") + col("n_censored")).over(wAll))
+      .withColumn("__before", coalesce(
+        sum(col("n_events") + col("n_censored")).over(wPrev), lit(0L)))
+      .withColumn("n_at_risk", col("__tot") - col("__before"))
+      .withColumn("__term",
+        when(col("n_events") === 0 ||
+          col("n_events") === col("n_at_risk"), lit(0L))
+          .otherwise(floor(log(
+            (col("n_at_risk") - col("n_events")).cast("double") /
+              col("n_at_risk").cast("double")) * lit(1000000.0))
+            .cast("long")))
+      .withColumn("__dead", max(
+        when(col("n_events") === col("n_at_risk"), 1).otherwise(0))
+        .over(wCum))
+      .withColumn("log_s_fp", sum(col("__term")).over(wCum))
+      .select(col("t"), col("n_at_risk"), col("n_events"),
+        col("n_censored"),
+        when(col("__dead") === 1, lit(null).cast("long"))
+          .otherwise(col("log_s_fp")).as("log_s_fp"),
+        when(col("__dead") === 1, lit(0L))
+          .otherwise(floor(exp(col("log_s_fp").cast("double") /
+            lit(1000000.0)) * lit(1000000.0)).cast("long"))
+          .as("survival_ppm"))
+  }
+
   /** Trailing-window z-score outlier flags — streaming-style anomaly
     * detection on a per-series sequence: each point is compared to the
     * mean/σ of the PREVIOUS `window` points (self excluded — including

@@ -112,6 +112,24 @@ class RelationsSpec extends SparkSpec {
     assert(math.abs(km - 877.5) < 2.0, s"got $km")
   }
 
+  test("canonicalizeUrl: variants collapse, clean URLs survive, NULL safe") {
+    val s = spark; import s.implicits._
+    val urls = Seq(
+      "https://Example.COM/a/b/?utm_source=x&id=7&b=2",
+      "http://example.com/a/b?b=2&id=7",
+      "https://EXAMPLE.com/a/b?id=7&b=2&fbclid=zz",
+      "https://example.com/a/b?id=8", // different id → different group
+      "https://example.com/plain",    // no query at all
+      null).toDF("u")
+    val out = urls.select(Relations.canonicalizeUrl(col("u"))).as[String]
+      .collect()
+    assert(out(0) == "example.com/a/b?b=2&id=7")
+    assert(out(1) == out(0) && out(2) == out(0), "variants must collapse")
+    assert(out(3) == "example.com/a/b?id=8")
+    assert(out(4) == "example.com/plain")
+    assert(out(5) == null)
+  }
+
   test("geoRadiusJoin: equals brute force; no duplicate pair rows") {
     val s = spark; import s.implicits._
     def pts(n: Int, salt: Long) = (1L to n.toLong).map { i =>

@@ -372,6 +372,26 @@ class TemporalSpec extends SparkSpec {
     assert(got("b") == ((1L, 0L, 0L, 0L)))
   }
 
+  test("kaplanMeier: textbook risk sets, censoring, and total collapse") {
+    val s = spark; import s.implicits._
+    // durations: t=1 event, t=2 censored, t=3 event, t=3 event
+    val df = Seq((1L, true), (2L, false), (3L, true), (3L, true))
+      .toDF("d", "e")
+    val got = Temporal.kaplanMeier(df, "d", col("e"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // t=1: n=4, d=1 → S = 3/4; t=2: n=3 censored only, S unchanged;
+    // t=3: n=2, d=2 → everyone dies, S = 0
+    val r1 = got(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((4L, 1L, 0L)))
+    assert(math.abs(r1.getLong(5) - 750000L) <= 2, s"S(1)=${r1.getLong(5)}")
+    val r2 = got(2L)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == ((3L, 0L, 1L)))
+    assert(r2.getLong(5) == r1.getLong(5), "censoring must not move S")
+    val r3 = got(3L)
+    assert((r3.getLong(1), r3.getLong(2)) == ((2L, 2L)))
+    assert(r3.isNullAt(4) && r3.getLong(5) == 0L)
+  }
+
   test("rollingZOutliers: flat series spike flagged, warmup stays NULL") {
     val s = spark; import s.implicits._
     // series: 10,10,10,12,10, 100(spike), 10
