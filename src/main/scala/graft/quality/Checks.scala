@@ -378,14 +378,17 @@ object Checks {
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val M = 1000000L
     val expPpm = benfordExpectedPpm
-    val v = df.select(col(valueCol).cast("long").as("__v"))
-    val counted = v.filter(col("__v") > 0)
-      .select(substring(col("__v").cast("string"), 1, 1).cast("int")
-        .as("digit"))
+    // ONE scan: non-positives land in digit bucket -1, whose count is
+    // the exclusion tally every report row carries. The ≤10-row agg is
+    // persisted because BOTH report branches read it (Spark does not
+    // dedupe repeated subplans — the corrPairs lesson); session-owner
+    // clearCache releases it.
+    val counted = df
+      .select(when(col(valueCol).cast("long") > 0,
+        substring(col(valueCol).cast("long").cast("string"), 1, 1)
+          .cast("int")).otherwise(lit(-1)).as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-    val excluded = v.agg(
-      sum(when(col("__v") > 0, 0L).otherwise(1L)).as("n_excluded")).head()
-      .getLong(0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spine = df.sparkSession.range(1, 10)
       .select(col("id").cast("int").as("digit"))
     val expCol = (1 to 9).foldRight(lit(0L): Column) { case (d, rest) =>
@@ -395,13 +398,17 @@ object Checks {
       .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("n_total",
         sum(col("n")).over(Window.partitionBy(lit(1))))
+      .crossJoin(broadcast(counted.filter(col("digit") === -1)
+        .select(col("n").as("__excl"))
+        .unionByName(df.sparkSession.range(1)
+          .select(lit(0L).as("__excl")))
+        .agg(max(col("__excl")).as("n_excluded"))))
       .select(col("digit"), col("n"),
         when(col("n_total") > 0,
           expr(s"(n * CAST($M AS BIGINT)) div n_total")).otherwise(lit(0L))
           .as("obs_ppm"),
-        expCol.as("exp_ppm"), col("n_total"))
+        expCol.as("exp_ppm"), col("n_total"), col("n_excluded"))
       .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
-      .withColumn("n_excluded", lit(excluded))
       .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
         col("dev_ppm"), col("n_total"), col("n_excluded"))
   }

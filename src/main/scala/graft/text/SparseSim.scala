@@ -207,8 +207,10 @@ object SparseSim {
     val sig = ss.groupBy(col("source")).agg(minAggs.head, minAggs.tail: _*)
       .select(col("source"),
         array((0 until numHashes).map(j => col(s"__m$j")): _*).as("__sig"))
-    // |sources|² pair grid over the MODEL-sized signature table — joined
-    // on a constant key (BroadcastHashJoin, not a cartesian plan node).
+    // |sources|² pair grid over the MODEL-sized signature table.
+    // Catalyst folds the constant key and plans a BroadcastNestedLoopJoin
+    // — deliberate and bounded (|sources| is a catalog-sized dimension),
+    // the Sketches one-row-broadcast precedent, never data-sized.
     val a = sig.select(lit(1).as("__k"), col("source").as("src_a"),
       col("__sig").as("__sa"))
     val b = sig.select(lit(1).as("__k"), col("source").as("src_b"),
