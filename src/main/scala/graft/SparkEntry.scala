@@ -2070,6 +2070,29 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // CMS join-size estimate for the events×events self-join on user_id
+    // — "will this join blow up" answered from two 4x256 summaries; the
+    // estimate is exact integer arithmetic, hash-gated.
+    "q234_cms_join_size" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"))
+      graft.ml.Sketches.cmsJoinSize(ev, "user_id", ev, "user_id",
+        d = 4, w = 256)
+    }),
+    // Incremental rollup maintenance: three event batches folded through
+    // mergeAggState must equal the one-shot groupBy — the
+    // materialized-aggregate refresh that never rescans history.
+    "q235_incremental_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"))
+      def batch(i: Int) = ev.filter(col("event_id") % 3 === i)
+      val s0 = Medallion.mergeAggState(None, batch(0),
+        Seq("event_type"), "value")
+      val s1 = Medallion.mergeAggState(Some(s0), batch(1),
+        Seq("event_type"), "value")
+      Medallion.mergeAggState(Some(s1), batch(2), Seq("event_type"), "value")
+    }),
     // URL canonicalization dedup: three deterministic raw variants per
     // doc (case-shifted host, utm noise, reordered params, trailing
     // slash) collapse to one canonical form — the crawl-dedup prestage.
@@ -2986,6 +3009,25 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q234: the q102 CMS cell replay on both (identical) sides, HUGEINT
+    // dot products, min over hash rows.
+    "q234_cms_join_size" ->
+      """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+           WHERE user_id IS NOT NULL),
+         cells AS (SELECT i.i AS hash_row,
+             CAST(('0x' || substr(md5('cms-' || i.i || '-' || v), 1, 15))
+               AS BIGINT) & 255 AS bucket,
+             COUNT(*) AS cnt
+           FROM t, UNNEST(range(0, 4)) i(i) GROUP BY 1, 2),
+         dots AS (SELECT hash_row, SUM(CAST(cnt AS HUGEINT) * cnt) AS dot
+                  FROM cells GROUP BY 1)
+         SELECT CAST(MIN(dot) AS BIGINT) AS est_join_rows FROM dots""",
+    // q235: the one-shot rollup the fold must equal.
+    "q235_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_val
+         FROM events WHERE value IS NOT NULL GROUP BY 1""",
     // q232: the same regex + list-HOF canonicalization in DuckDB
     // (list_filter/list_sort/array_to_string).
     "q232_url_canonical" ->

@@ -317,6 +317,33 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Join-cardinality estimate from two count-min sketches — the
+    * planner primitive (AMS/CMS inner product, Alon–Matias–Szegedy '96 /
+    * Cormode–Muthukrishnan '05): |A ⋈ B| on a key = Σ_k f_A(k)·f_B(k),
+    * and the per-hash-row dot product of two CMS arrays OVERESTIMATES
+    * that sum by only the colliding mass, so min over the d rows is the
+    * standard one-sided estimate. Answers "will this join blow up" (the
+    * skew-key self-join case especially) from two d·w summaries without
+    * touching either table again — sketches are mergeable across shards,
+    * so at 100 TB each side ships d·w counters, not rows.
+    *
+    * Exact integer arithmetic (counts are longs, dot products
+    * DECIMAL(38,0)), md5-derived buckets — hash-gated cross-engine
+    * (q234). Output is ONE row: (est_join_rows).
+    */
+  def cmsJoinSize(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+                  d: Int, w: Int, salt: String = "cms-"): DataFrame = {
+    val sa = cmsSketch(a.select(col(aKey).cast("string").as("__t")), "__t",
+      d, w, salt)
+    val sb = cmsSketch(b.select(col(bKey).cast("string").as("__t")), "__t",
+      d, w, salt)
+    sa.join(sb.withColumnRenamed("cnt", "cnt_b"), Seq("hash_row", "bucket"))
+      .groupBy(col("hash_row"))
+      .agg(sum(col("cnt").cast("decimal(38,0)") * col("cnt_b")).as("__dot"))
+      .agg(min(col("__dot")).as("__est"))
+      .select(expr("CAST(__est AS BIGINT)").as("est_join_rows"))
+  }
+
   /** Point estimates for `candidates` (distinct values of `tokenCol`)
     * against a sketch: est(t) = min over the d rows of the counter at
     * t's bucket — the classic one-sided estimator (est ≥ true count,

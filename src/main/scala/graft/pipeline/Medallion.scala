@@ -140,4 +140,35 @@ object Medallion {
   def freshness(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))
       .agg(max(col("event_ts_us")).as("max_ts_us"), count(lit(1)).as("n"))
+
+  /** Incremental AGGREGATE maintenance — the materialized-rollup refresh
+    * that never rescans history: the gold table keeps mergeable partial
+    * state (count + DECIMAL(18,2) sum per group), each append-only batch
+    * contributes its own map-side partials, and refresh = union + re-agg
+    * of STATE-sized rows. Folding batches through this is provably equal
+    * to the full recompute (count/sum are commutative monoids — q235
+    * gates the equality), while the full recompute re-reads every byte
+    * ever ingested. [[salesMinuteIncremental]] is the row-grain lookback
+    * flavor; this is the aggregate-state flavor a daily-revenue rollup
+    * wants.
+    *
+    * Output/state schema: (groupCols…, n_rows, sum_val DECIMAL(18,2)).
+    * Pass `state = None` for the first batch.
+    */
+  def mergeAggState(state: Option[DataFrame], batch: DataFrame,
+                    groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "mergeAggState needs group columns")
+    val part = batch
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("sum_val"))
+    state match {
+      case None => part
+      case Some(st) => st.unionByName(part)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("sum_val")).cast("decimal(18,2)").as("sum_val"))
+    }
+  }
 }

@@ -320,4 +320,23 @@ class SketchesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("cmsJoinSize: upper-bounds the exact join size, tight on few keys") {
+    val s = spark; import s.implicits._
+    // key k repeated f(k) times: f = {a:10, b:5, c:1} on side A,
+    // {a:3, b:7, d:2} on side B -> exact join = 10*3 + 5*7 = 65
+    def side(fs: Seq[(String, Int)]) =
+      fs.flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("k")
+    val a = side(Seq("a" -> 10, "b" -> 5, "c" -> 1))
+    val b = side(Seq("a" -> 3, "b" -> 7, "d" -> 2))
+    val est = Sketches.cmsJoinSize(a, "k", b, "k", d = 4, w = 256)
+      .head().getLong(0)
+    // CMS inner product is one-sided: est >= exact, and with 4 keys in
+    // 256 buckets collisions are unlikely -> equality here
+    assert(est >= 65L && est <= 80L, s"est $est vs exact 65")
+    // self-join of a: 100 + 25 + 1 = 126
+    val self = Sketches.cmsJoinSize(a, "k", a, "k", d = 4, w = 256)
+      .head().getLong(0)
+    assert(self >= 126L && self <= 150L, s"self $self vs exact 126")
+  }
+
 }

@@ -69,4 +69,22 @@ class MedallionSpec extends SparkSpec {
     val gmvs = top.map(_.getAs[Double]("gmv"))
     assert(gmvs.zip(gmvs.tail).forall { case (a, b) => a >= b })
   }
+  test("mergeAggState: batch folds equal the one-shot rollup exactly") {
+    val s2 = spark; import s2.implicits._
+    val rows = Seq(("x", 1L, "1.10"), ("x", 2L, "2.20"), ("y", 3L, "3.00"),
+      ("x", 4L, "4.40"), ("y", 5L, "0.30"), ("z", 6L, "9.99"))
+      .toDF("g", "id", "v")
+    def batch(i: Int) = rows.filter(col("id") % 2 === i)
+    val folded = Medallion.mergeAggState(
+      Some(Medallion.mergeAggState(None, batch(0), Seq("g"), "v")),
+      batch(1), Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).toPlainString))).toMap
+    val oneShot = Medallion.mergeAggState(None, rows, Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).toPlainString))).toMap
+    assert(folded == oneShot)
+    assert(folded("x") == ((3L, "7.70")) && folded("z") == ((1L, "9.99")))
+  }
+
 }
