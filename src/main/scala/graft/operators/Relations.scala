@@ -180,8 +180,10 @@ object Relations {
     * Complete by construction inside the latitude band: a neighbor
     * within R differs by ≤ R/111.045 lat-degrees (≤ one lat cell) and ≤
     * R/(111.045·cos(maxAbsLat)) lon-degrees (≤ one lon cell, since lon
-    * degrees only shrink toward the poles) — spec-asserted against the
-    * brute-force join. Rows beyond ±maxAbsLat are dropped (the lon-cell
+    * degrees only shrink toward the poles); lon cells are MODULAR so
+    * antimeridian-straddling pairs are found (−179.9° and +179.9° are
+    * 0.2° apart) — spec-asserted against the brute-force join, seam
+    * included. Rows beyond ±maxAbsLat are dropped (the lon-cell
     * bound no longer holds there; polar work wants a different
     * projection), the documented band contract.
     *
@@ -199,7 +201,16 @@ object Relations {
     require(maxAbsLat > 0 && maxAbsLat <= 80,
       s"geoRadiusJoin: maxAbsLat in (0, 80], got $maxAbsLat")
     val latCell = radiusKm / 111.045
-    val lonCell = radiusKm / (111.045 * math.cos(math.toRadians(maxAbsLat)))
+    // Longitude cells are MODULAR: the haversine treats −179.9° and
+    // +179.9° as 0.2° apart (sine periodicity), so the grid must too —
+    // without wraparound every antimeridian-straddling pair is silently
+    // missed. Cell count divides 360 exactly so cells are uniform and
+    // "within one cell width" always means "within one cell index";
+    // max(3) keeps the 3-neighborhood well-defined even for huge radii
+    // (3 cells of 120° degrade toward all-pairs, still correct).
+    val lonCellMin = radiusKm / (111.045 * math.cos(math.toRadians(maxAbsLat)))
+    val nLonCells = math.max(3L, math.floor(360.0 / lonCellMin).toLong)
+    val lonCell = 360.0 / nLonCells
     // Internal aliases on BOTH id columns (the maxDrawdown lesson): a
     // self-join with idA == idB must not hit an ambiguous reference.
     def cells(df: DataFrame, id: String, pfx: String) =
@@ -207,14 +218,15 @@ object Relations {
         .select(col(id).as(s"${pfx}id"), col("lat").as(s"${pfx}lat"),
           col("lon").as(s"${pfx}lon"),
           floor(col("lat") / latCell).cast("long").as(s"${pfx}cx"),
-          floor(col("lon") / lonCell).cast("long").as(s"${pfx}cy"))
+          pmod(floor((col("lon") + 180.0) / lonCell).cast("long"),
+            lit(nLonCells)).as(s"${pfx}cy"))
     val an = cells(a, idA, "__a_")
       .withColumn("__d", explode(array(
         (for (dx <- -1 to 1; dy <- -1 to 1)
           yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)))
       .select(col("__a_id"), col("__a_lat"), col("__a_lon"),
         (col("__a_cx") + col("__d.dx")).as("cx"),
-        (col("__a_cy") + col("__d.dy")).as("cy"))
+        pmod(col("__a_cy") + col("__d.dy"), lit(nLonCells)).as("cy"))
     val bn = cells(b, idB, "__b_")
       .select(col("__b_id"), col("__b_lat"), col("__b_lon"),
         col("__b_cx").as("cx"), col("__b_cy").as("cy"))

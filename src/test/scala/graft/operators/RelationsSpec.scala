@@ -155,6 +155,17 @@ class RelationsSpec extends SparkSpec {
     assert(rows == got.size.toLong)
   }
 
+  test("geoRadiusJoin: antimeridian-straddling pairs are found") {
+    val s = spark; import s.implicits._
+    // 0.1° apart across the ±180 seam (~11 km at lat 0); a decoy far away
+    val a = Seq((1L, 0.0, 179.95), (2L, 0.0, 0.0)).toDF("id", "lat", "lon")
+    val b = Seq((3L, 0.0, -179.95), (4L, 50.0, 90.0)).toDF("id", "lat", "lon")
+    val pairs = Relations.geoRadiusJoin(a, b, "id", "id", radiusKm = 50.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)),
+      s"seam pair must be found, got $pairs")
+  }
+
   test("geoRadiusJoin: out-of-band points dropped, plan never cartesian") {
     val s = spark; import s.implicits._
     val a = Seq((1L, 75.0, 0.0), (2L, 10.0, 10.0)).toDF("id", "lat", "lon")
