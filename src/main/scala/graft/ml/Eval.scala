@@ -443,29 +443,36 @@ object Eval {
     * ln((1−β)/α) / ln(β/(1−α)) — no float at query time, bit-identical
     * cross-engine.
     *
-    * Output: per observation (ordered by `ordCol`, unique),
-    * (ord, n_seen, n_pos, llr_fp, decision) with decision ∈
-    * {accept_h1, accept_h0, continue} — the full audit trajectory; the
-    * first non-continue row is the stopping point.
+    * Output: per observation (ordered by `ordCol`, unique within its
+    * stream), (keys…, ord, n_seen, n_pos, llr_fp, decision) with
+    * decision ∈ {accept_h1, accept_h0, continue} — the full audit
+    * trajectory; the first non-continue row is the stopping point.
+    *
+    * Scale: a trajectory is inherently sequential, so each stream is
+    * ONE sorted run — pass `keys` (experiment/variant ids) to shard
+    * across streams; an unkeyed call funnels everything through a
+    * single partition, fine only for monitor-sized streams.
     */
   def sprtTest(df: DataFrame, ordCol: String, labelCol: Column,
                p0: Double, p1: Double, alpha: Double = 0.05,
-               beta: Double = 0.2): DataFrame = {
+               beta: Double = 0.2, keys: Seq[String] = Nil): DataFrame = {
     require(0 < p0 && p0 < p1 && p1 < 1,
       s"sprtTest: need 0 < p0 < p1 < 1, got p0=$p0 p1=$p1")
     require(0 < alpha && alpha < 0.5 && 0 < beta && beta < 0.5,
       s"sprtTest: alpha/beta in (0, 0.5), got $alpha/$beta")
     val (upFp, downFp, aFp, bFp) = sprtConstants(p0, p1, alpha, beta)
-    val w = Window.orderBy(col(ordCol).asc)
+    val base = if (keys.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(keys.map(col): _*)
+    val w = base.orderBy(col(ordCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(ordCol), labelCol.as("__l"))
+    df.select(keys.map(col) :+ col(ordCol) :+ labelCol.as("__l"): _*)
       .filter(col("__l").isNotNull)
       .withColumn("n_seen", count(lit(1)).over(w))
       .withColumn("n_pos",
         sum(when(col("__l"), 1L).otherwise(0L)).over(w))
-      .select(col(ordCol), col("n_seen"), col("n_pos"),
+      .select(keys.map(col) :+ col(ordCol) :+ col("n_seen") :+ col("n_pos") :+
         (col("n_pos") * upFp + (col("n_seen") - col("n_pos")) * downFp)
-          .as("llr_fp"))
+          .as("llr_fp"): _*)
       .withColumn("decision",
         when(col("llr_fp") >= aFp, "accept_h1")
           .when(col("llr_fp") <= bFp, "accept_h0")

@@ -644,7 +644,9 @@ object Analytics {
     * `len`-step sequences: per key, consecutive state runs (ordered by
     * ts with the unique tiebreaker, the standing rule) become
     * "a > b > c" path strings, counted corpus-wide, top-k by (count
-    * desc, path asc). The sankey/behavior-flow readout.
+    * desc, path asc). The sankey/behavior-flow readout. CONTRACT: state
+    * values must not contain the " > " delimiter, or distinct paths
+    * could alias into one string.
     *
     * Scale posture: one exchange for the per-key lead window (the leads
     * share one sorted run), one map-side-combinable path count, TakeOrdered
