@@ -2070,6 +2070,18 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // Skip-gram (center, context) pairs with 1/distance decay weights —
+    // word-embedding training prep; top-100 by exact fixed-point weight.
+    "q236_skipgram_pairs" -> ((s, d) =>
+      TextStats.skipgramPairs(Tables.documentsSpread(s, d),
+        "doc_id", "text", window = 3, topK = 100)),
+    // A-Priori frequent triples over order baskets (support >= 2):
+    // closure-pruned candidate counting; the oracle is the brute-force
+    // triple join, so pruning-preserves-results is part of the gate.
+    "q237_frequent_triples" -> ((s, d) =>
+      Analytics.frequentTriples(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2)),
     // CMS join-size estimate for the events×events self-join on user_id
     // — "will this join blow up" answered from two 4x256 summaries; the
     // estimate is exact integer arithmetic, hash-gated.
@@ -3009,6 +3021,39 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q236: positional UNNEST pair build with the same 2^20/d weight
+    // literals, top-100 by (weight desc, center, context).
+    "q236_skipgram_pairs" -> {
+      val wCase = (1 to 3).map(d =>
+        s"WHEN $d THEN ${math.round((1L << 20).toDouble / d)}").mkString(" ")
+      s"""WITH st AS (SELECT string_split(text, ' ') AS w FROM documents),
+         px AS (SELECT w[i.i] AS center, w[j.j] AS context,
+             abs(j.j - i.i) AS d
+           FROM st,
+             UNNEST(range(1, len(w) + 1)) i(i),
+             UNNEST(range(1, len(w) + 1)) j(j)
+           WHERE abs(j.j - i.i) BETWEEN 1 AND 3),
+         cnt AS (SELECT center, context, COUNT(*) AS n_pairs,
+             CAST(SUM(CASE d $wCase END) AS BIGINT) AS weight_fp
+           FROM px GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (
+                 ORDER BY weight_fp DESC, center, context) AS rank
+               FROM cnt)
+         SELECT center, context, n_pairs, weight_fp,
+           CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 100"""
+    },
+    // q237: the brute-force triple formulation (closure makes the
+    // pruned plan equal).
+    "q237_frequent_triples" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+           FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+         SELECT x.it AS item_a, y.it AS item_b, z.it AS item_c,
+           COUNT(*) AS support
+         FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+           JOIN bi z ON x.bk = z.bk AND z.it > y.it
+         GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2""",
     // q234: the q102 CMS cell replay on both (identical) sides, HUGEINT
     // dot products, min over hash rows.
     "q234_cms_join_size" ->

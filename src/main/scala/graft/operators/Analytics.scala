@@ -1055,6 +1055,55 @@ object Analytics {
       .withColumnRenamed("n", "n_days")
   }
 
+  /** Frequent 3-itemsets — the A-Priori level-3 step (Agrawal & Srikant,
+    * VLDB '94; public literature) on top of the pair support the basket
+    * operators already compute: a triple can only be frequent if all
+    * three of its pairs are (downward closure), so candidate triples are
+    * generated from frequent-pair joins and only THOSE are counted —
+    * never the raw C(n,3) fanout per basket.
+    *
+    * Pipeline: distinct (basket, item) → frequent pairs (≥ minSupport,
+    * persisted — they prune three times) → in-basket frequent-pair
+    * instances → extend with a third item → closure-prune on (a,c) and
+    * (b,c) → one map-side-combinable count. Monotonicity makes the
+    * pruned count EQUAL to the brute-force triple count (the q236
+    * oracle is the brute-force formulation, so the equivalence is part
+    * of the gate).
+    *
+    * Output: (item_a, item_b, item_c, support) with a < b < c.
+    */
+  def frequentTriples(baskets: DataFrame, basketCol: String,
+                      itemCol: String, minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"frequentTriples: minSupport >= 1, got $minSupport")
+    val bi = baskets
+      .select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .filter(col("__bk").isNotNull && col("__it").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l2 = bi.as("x").join(bi.as("y"),
+        col("x.__bk") === col("y.__bk") && col("x.__it") < col("y.__it"))
+      .groupBy(col("x.__it").as("a"), col("y.__it").as("b"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minSupport)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairInB = bi.as("x").join(bi.as("y"),
+        col("x.__bk") === col("y.__bk") && col("x.__it") < col("y.__it"))
+      .select(col("x.__bk").as("__pbk"), col("x.__it").as("a"),
+        col("y.__it").as("b"))
+      .join(l2, Seq("a", "b"))
+    val triples = pairInB.join(bi.as("z"),
+        col("__pbk") === col("z.__bk") && col("z.__it") > col("b"))
+      .select(col("a"), col("b"), col("z.__it").as("c"))
+      .join(l2.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .join(l2.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    triples.select(col("a").as("item_a"), col("b").as("item_b"),
+      col("c").as("item_c"), col("support"))
+  }
+
   /** RFM customer segmentation (Hughes 1994; the classic CRM cut): per
     * customer, Recency (latest order, epoch-µs), Frequency (order
     * count), Monetary (DECIMAL-exact spend), each ranked into `nBuckets`

@@ -373,6 +373,60 @@ object TextStats {
           .as("avg_logprob"))
   }
 
+  /** Skip-gram pair extraction — the word2vec/GloVe training-data
+    * builder (Mikolov et al. 2013; public literature): for every token,
+    * its neighbors within `window` positions become (center, context)
+    * pairs weighted by the standard 1/distance decay. Weights are
+    * build-time 2²⁰ fixed-point literals per distance (window ≤ 8, so a
+    * handful of constants — the generated-LUT discipline), making every
+    * aggregate weight an exact integer.
+    *
+    * One staged-token-array pass (the bigramLogProb idiom: HOF lambdas
+    * must see a bound column), pairs built map-side from positional
+    * self-zips, one map-side-combinable count agg, TakeOrdered top-k by
+    * (weight desc, center, context). Emits DIRECTED pairs (center →
+    * context both ways), the word2vec convention.
+    *
+    * Output: (center, context, n_pairs, weight_fp, rank).
+    */
+  def skipgramPairs(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int = 3, topK: Int = 100): DataFrame = {
+    require(window >= 1 && window <= 8,
+      s"skipgramPairs: window in [1, 8], got $window")
+    require(topK >= 1, s"skipgramPairs: topK >= 1, got $topK")
+    val wFp: Map[Int, Long] = (1 to window).map(d =>
+      d -> math.round((1L << 20).toDouble / d)).toMap
+    val staged = docs.select(TextDedup.tokens(col(textCol)).as("__w"))
+    // (i, j) pairs with 1 <= |i-j| <= window, both in range, built from
+    // a flat index sequence — row-local, no shuffle until the count agg.
+    val pairs = staged.select(explode(when(size(col("__w")) >= 2,
+        flatten(transform(sequence(lit(1), size(col("__w"))), i =>
+          transform(
+            sequence(greatest(i - window, lit(1)),
+              least(i + window, size(col("__w")))),
+            j => struct(element_at(col("__w"), i).as("center"),
+              element_at(col("__w"), j).as("context"),
+              abs(j - i).as("dist"))))))
+        .otherwise(array().cast(
+          "array<struct<center:string,context:string,dist:int>>")))
+        .as("__p"))
+      .filter(col("__p.dist") >= 1)
+      .select(col("__p.center").as("center"),
+        col("__p.context").as("context"), col("__p.dist").as("__d"))
+    val wCol = (1 to window).foldRight(lit(0L): Column) { case (d, rest) =>
+      when(col("__d") === d, lit(wFp(d))).otherwise(rest)
+    }
+    val counted = pairs
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"), sum(wCol).as("weight_fp"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight_fp").desc, col("center").asc, col("context").asc)
+    counted
+      .orderBy(col("weight_fp").desc, col("center").asc, col("context").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(wRank).cast("int"))
+  }
+
   /** Compression-ratio quality signal — the cheapest "is this text
     * natural language or generated sludge" detector a curation pipeline
     * runs (low ratio = highly compressible = repetitive boilerplate /

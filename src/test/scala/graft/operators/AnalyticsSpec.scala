@@ -749,6 +749,29 @@ class AnalyticsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("frequentTriples: closure-pruned counts equal brute force") {
+    val s = spark; import s.implicits._
+    // baskets: {1,2,3} x2, {1,2,4}, {2,3,4}, {1,2,3,4}
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 4L),
+      (13L, 2L), (13L, 3L), (13L, 4L),
+      (14L, 1L), (14L, 2L), (14L, 3L), (14L, 4L))
+      .toDF("bk", "it")
+    val got = Analytics.frequentTriples(baskets, "bk", "it", minSupport = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    // (1,2,3): baskets 10,11,14 → 3; (1,2,4): 12,14 → 2; (2,3,4): 13,14 → 2
+    assert(got == Map((1L, 2L, 3L) -> 3L, (1L, 2L, 4L) -> 2L,
+      (2L, 3L, 4L) -> 2L))
+    // support 3 keeps only the heavy triple
+    val strict = Analytics.frequentTriples(baskets, "bk", "it", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(strict == Set((1L, 2L, 3L)))
+    spark.catalog.clearCache()
+  }
+
   test("topPaths: counts 3-step runs per key, ragged tails dropped") {
     val s = spark; import s.implicits._
     // user 1: a,b,c,d → paths a>b>c, b>c>d; user 2: a,b,c → a>b>c;

@@ -446,6 +446,28 @@ class TextStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("skipgramPairs: windowed pairs with exact 1/d weights") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextStats.skipgramPairs(docs, "doc_id", "text",
+        window = 2, topK = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val w1 = 1L << 20
+    val w2 = math.round((1L << 20) / 2.0)
+    // (a,b): dist1 twice (both docs) → 2*w1; (a,c): dist2 once; (b,a):
+    // mirror of (a,b); (b,c)/(c,b): dist1; (c,a): dist2
+    assert(got(("a", "b")) == ((2L, 2 * w1)))
+    assert(got(("b", "a")) == ((2L, 2 * w1)))
+    assert(got(("a", "c")) == ((1L, w2)))
+    assert(got(("b", "c")) == ((1L, w1)))
+    assert(got.size == 6)
+    // rank 1 is the heaviest pair, tiebroken lexicographically
+    val top = TextStats.skipgramPairs(docs, "doc_id", "text", 2, 50)
+      .filter(col("rank") === 1).head()
+    assert((top.getString(0), top.getString(1)) == (("a", "b")))
+  }
+
   test("compressionRatio: repetition compresses, determinism holds") {
     val s = spark; import s.implicits._
     val docs = Seq(
