@@ -2070,6 +2070,29 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // Tokenizer coverage: OOV occurrence share per source against the
+    // top-20 word vocabulary.
+    "q238_oov_rate" -> ((s, d) =>
+      TextStats.oovRate(Tables.documentsSpread(s, d), "source", "text",
+        vocabSize = 20)),
+    // l-diversity on the q215 quasi-identifiers with mktsegment as the
+    // sensitive attribute at l=3 — the leak k-anonymity alone misses.
+    "q239_l_diversity" -> ((s, d) =>
+      graft.quality.Checks.lDiversity(
+        Tables.customer(s, d).select(col("c_nationkey"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+            "div 100000").as("bal_bucket"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment", l = 3)),
+    // Watermark-delay sweep: drop rate per stream at four candidate
+    // delays from one running-max pass — the table that picks the delay.
+    "q240_lateness_sweep" -> ((s, d) =>
+      Temporal.latenessSweep(
+        Tables.events(s, d)
+          .filter(col("event_ts_us").isNotNull)
+          .select(col("event_type"), col("event_id"), col("event_ts_us")),
+        "event_type", Seq("event_id"), "event_ts_us",
+        Seq(0L, 60000000L, 600000000L, 3600000000L))),
     // Skip-gram (center, context) pairs with 1/distance decay weights —
     // word-embedding training prep; top-100 by exact fixed-point weight.
     "q236_skipgram_pairs" -> ((s, d) =>
@@ -3021,6 +3044,54 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q238: top-20 vocab by (freq desc, token), anti-membership rollup.
+    "q238_oov_rate" ->
+      """WITH t AS (SELECT source, u.w AS w
+           FROM (SELECT source, string_split(text, ' ') AS ws
+                 FROM documents) x, UNNEST(ws) u(w)),
+         v AS (SELECT w FROM (SELECT w, COUNT(*) AS n FROM t GROUP BY 1
+               ORDER BY n DESC, w LIMIT 20) y)
+         SELECT source, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN t.w IN (SELECT w FROM v) THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_oov,
+           CAST((SUM(CASE WHEN t.w IN (SELECT w FROM v) THEN 0 ELSE 1 END)
+             * 1000000) // COUNT(*) AS BIGINT) AS oov_ppm
+         FROM t GROUP BY source""",
+    // q239: two-level distinct agg, NULL counted via the max flag.
+    "q239_l_diversity" ->
+      """WITH g AS (SELECT c_nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+               AS bal_bucket,
+             COUNT(*) AS c,
+             COUNT(DISTINCT c_mktsegment) +
+               MAX(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS d
+           FROM customer GROUP BY 1, 2)
+         SELECT CAST(3 AS BIGINT) AS l, COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN d < 3 THEN c ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(d) AS BIGINT) AS min_diversity
+         FROM g""",
+    // q240: one running-max pass fanned to the four literal delays.
+    "q240_lateness_sweep" ->
+      """WITH e AS (SELECT event_type AS stream, event_id,
+             epoch_us(ts) AS ts_us
+           FROM events WHERE ts IS NOT NULL),
+         l AS (SELECT stream,
+             MAX(ts_us) OVER (PARTITION BY stream ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ts_us
+               AS late
+           FROM e),
+         x AS (SELECT stream, late, t.t AS threshold_us
+               FROM l, UNNEST([0, 60000000, 600000000, 3600000000]) t(t))
+         SELECT stream, CAST(threshold_us AS BIGINT) AS threshold_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN late > threshold_us THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_late,
+           CAST((SUM(CASE WHEN late > threshold_us THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*) AS BIGINT) AS late_fp
+         FROM x GROUP BY 1, 2""",
     // q236: positional UNNEST pair build with the same 2^20/d weight
     // literals, top-100 by (weight desc, center, context).
     "q236_skipgram_pairs" -> {

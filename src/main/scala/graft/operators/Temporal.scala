@@ -474,6 +474,40 @@ object Temporal {
         expr("(n_late * CAST(1000000 AS BIGINT)) div n_events"))
   }
 
+  /** [[latenessAudit]] swept across candidate watermark delays — the
+    * table that PICKS the delay: one row per (stream, threshold) with
+    * the drop rate that watermark would cause. Same single
+    * running-max window pass; each event's lateness fans out to the
+    * literal-bounded threshold list map-side (the thresholdSweep
+    * pattern), one combinable agg.
+    *
+    * Output: (stream, threshold_us, n_events, n_late, late_fp).
+    */
+  def latenessSweep(df: DataFrame, streamCol: String,
+                    arrivalCols: Seq[String], tsUsCol: String,
+                    thresholdsUs: Seq[Long]): DataFrame = {
+    require(thresholdsUs.nonEmpty &&
+      thresholdsUs.distinct.size == thresholdsUs.size &&
+      thresholdsUs.forall(_ >= 0),
+      s"latenessSweep needs distinct non-negative thresholds: $thresholdsUs")
+    val ac = arrivalCols.indices.map(i => s"__a$i")
+    val w = Window.partitionBy(col("stream"))
+      .orderBy(ac.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(streamCol).as("stream")
+        +: col(tsUsCol).cast("long").as("__ts")
+        +: arrivalCols.zip(ac).map { case (c, a) => col(c).as(a) }: _*)
+      .withColumn("__late", max(col("__ts")).over(w) - col("__ts"))
+      .withColumn("threshold_us",
+        explode(array(thresholdsUs.map(lit): _*)))
+      .groupBy(col("stream"), col("threshold_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__late") > col("threshold_us"), 1L).otherwise(0L))
+          .as("n_late"))
+      .withColumn("late_fp",
+        expr("(n_late * CAST(1000000 AS BIGINT)) div n_events"))
+  }
+
   /** Linear interpolation of missing indices on a per-key spine — the
     * gap-filling companion of [[resampleFfill]] (which repeats the last
     * value; this draws the line between the surrounding observations):

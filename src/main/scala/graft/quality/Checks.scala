@@ -308,6 +308,36 @@ object Checks {
         col("min_value"), col("max_value"))
   }
 
+  /** l-diversity report — [[kAnonymity]]'s necessary companion
+    * (Machanavajjhala et al. 2007): a k-anonymous group whose SENSITIVE
+    * attribute is uniform still leaks it ("all five people in this zip
+    * bucket have the same diagnosis"), so each quasi-identifier group
+    * must carry ≥ l distinct sensitive values. Two-level distinct agg +
+    * one report-sized rollup; NULL sensitive values count as a value
+    * (an attacker learns "unknown" too).
+    *
+    * Output is ONE row: (l, n_groups, n_violating_groups,
+    * n_rows_at_risk, min_diversity).
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs quasi-identifier columns")
+    require(l >= 2, s"lDiversity: l >= 2, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"),
+        // NULL as its own value without a collidable sentinel string
+        (countDistinct(col(sensitiveCol)) +
+          max(when(col(sensitiveCol).isNull, 1L).otherwise(0L))).as("__d"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__d") < l, 1L).otherwise(0L))
+          .as("n_violating_groups"),
+        sum(when(col("__d") < l, col("__c")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min(col("__d")).as("min_diversity"))
+      .select(lit(l).as("l"), col("n_groups"), col("n_violating_groups"),
+        col("n_rows_at_risk"), col("min_diversity"))
+  }
+
   /** Functional-dependency audit — does `det → dep` actually hold (the
     * "one name per customer id", "one currency per country" contract
     * schemas imply but rarely enforce): determinant groups with more

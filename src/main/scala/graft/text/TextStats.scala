@@ -373,6 +373,36 @@ object TextStats {
           .as("avg_logprob"))
   }
 
+  /** Tokenizer-coverage / OOV report — the health check run after any
+    * vocabulary decision (top-k words here; the BPE path plugs its own
+    * vocab in): share of token OCCURRENCES per source falling outside
+    * the vocabulary. A source with a high OOV rate will tokenize into
+    * byte-fallback soup and deserves re-weighting or a bigger vocab.
+    *
+    * One staged token pass (persisted — it feeds the vocab count and
+    * the coverage join), vocabulary via TakeOrdered (freq desc, token
+    * asc — deterministic ties), BROADCAST membership join, one
+    * combinable rollup.
+    *
+    * Output: (source, n_tokens, n_oov, oov_ppm).
+    */
+  def oovRate(docs: DataFrame, srcCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"oovRate: vocabSize >= 1, got $vocabSize")
+    val toks = docs.select(col(srcCol).as("source"),
+        explode(TextDedup.tokens(col(textCol))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("w").asc).limit(vocabSize)
+      .select(col("w"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        expr("(n_oov * CAST(1000000 AS BIGINT)) div n_tokens"))
+  }
+
   /** Skip-gram pair extraction — the word2vec/GloVe training-data
     * builder (Mikolov et al. 2013; public literature): for every token,
     * its neighbors within `window` positions become (center, context)

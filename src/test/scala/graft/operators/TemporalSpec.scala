@@ -372,6 +372,21 @@ class TemporalSpec extends SparkSpec {
     assert(got("b") == ((1L, 0L, 0L, 0L)))
   }
 
+  test("latenessSweep: per-threshold drop rates from one lateness pass") {
+    val s = spark; import s.implicits._
+    // arrival order 1..4 with event times 10, 30, 20, 5 (us):
+    // lateness = 0, 0, 10, 25
+    val df = Seq(("s", 1L, 10L), ("s", 2L, 30L), ("s", 3L, 20L),
+      ("s", 4L, 5L)).toDF("stream", "arr", "ts")
+    val got = Temporal.latenessSweep(df, "stream", Seq("arr"), "ts",
+        Seq(0L, 15L, 30L))
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0L) == ((4L, 2L)))  // late > 0: the 10 and 25
+    assert(got(15L) == ((4L, 1L))) // only the 25
+    assert(got(30L) == ((4L, 0L)))
+  }
+
   test("kaplanMeier: textbook risk sets, censoring, and total collapse") {
     val s = spark; import s.implicits._
     // durations: t=1 event, t=2 censored, t=3 event, t=3 event

@@ -147,6 +147,18 @@ class ChecksSpec extends SparkSpec {
     assert(again("id") == got("id")._3 && again("k") == got("k")._3)
   }
 
+  test("lDiversity: uniform sensitive groups flagged, NULL is a value") {
+    val s = spark; import s.implicits._
+    // group A: {x, x, y} div 2; group B: {z, z} div 1 (violates l=2);
+    // group C: {x, NULL} div 2 (NULL counts)
+    val df = Seq(("A", Some("x")), ("A", Some("x")), ("A", Some("y")),
+      ("B", Some("z")), ("B", Some("z")), ("C", Some("x")), ("C", None))
+      .toDF("q", "sens")
+    val r = Checks.lDiversity(df, Seq("q"), "sens", l = 2).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 3L, 1L, 2L, 1L)))
+  }
+
   test("functionalDependency: violation groups and one-row summary") {
     val s = spark; import s.implicits._
     // a→x consistent; b maps to two values; c consistent

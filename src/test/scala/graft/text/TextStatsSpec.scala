@@ -446,6 +446,19 @@ class TextStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("oovRate: occurrence-grain coverage against a top-k vocab") {
+    val s = spark; import s.implicits._
+    // vocab of size 2 = {a, b} (a:4, b:3); c and d are OOV
+    val docs = Seq(("s1", "a a b c"), ("s2", "a b d d"), ("s1", "a b"))
+      .toDF("source", "text")
+    val got = TextStats.oovRate(docs, "source", "text", vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("s1") == ((6L, 1L, 166666L))) // c of 6 tokens
+    assert(got("s2") == ((4L, 2L, 500000L))) // d d of 4
+    spark.catalog.clearCache()
+  }
+
   test("skipgramPairs: windowed pairs with exact 1/d weights") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
