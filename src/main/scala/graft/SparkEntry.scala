@@ -2070,6 +2070,28 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // Co-located bucketed join: both sides written bucketed+sorted on
+    // the join key, then joined with ZERO exchanges (BucketingSpec pins
+    // the plan) — this query gates that the layout changed the plan and
+    // nothing else.
+    "q241_bucketed_join" -> ((s, d) => {
+      val root = freshScratch("q241")
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      graft.lake.Bucketing.writeBucketed(orders, "q241_orders",
+        s"$root/o", "o_orderkey", 8, Seq("o_orderkey"))
+      graft.lake.Bucketing.writeBucketed(li, "q241_lineitem",
+        s"$root/l", "o_orderkey", 8, Seq("o_orderkey"))
+      graft.lake.Bucketing.bucketedJoin(s, "q241_orders", "q241_lineitem",
+          "o_orderkey")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("cents"))
+          .as("revenue_cents"))
+    }),
     // Tokenizer coverage: OOV occurrence share per source against the
     // top-20 word vocabulary.
     "q238_oov_rate" -> ((s, d) =>
@@ -3044,6 +3066,13 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q241: the plain join+rollup the bucketed layout must reproduce.
+    "q241_bucketed_join" ->
+      """SELECT o_custkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1""",
     // q238: top-20 vocab by (freq desc, token), anti-membership rollup.
     "q238_oov_rate" ->
       """WITH t AS (SELECT source, u.w AS w
