@@ -2070,6 +2070,19 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // CUSUM change-point monitor on day-over-day revenue deltas per
+    // event type: the max(0, S+y) recursion computed exactly as prefix
+    // sums minus running extrema — two stacked windows, no driver loop.
+    "q242_cusum_changepoints" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("series")).orderBy(col("day").asc)
+      val flows = dailyCents(s, d).withColumn("delta_fp",
+        col("y_fp") - coalesce(lag(col("y_fp"), 1).over(w), col("y_fp")))
+      Temporal.cusumChangePoints(
+        flows.select(col("series"), col("day"), col("delta_fp")),
+        Seq("series"), "day", "delta_fp",
+        targetFp = 0L, slackFp = 50000L, thresholdFp = 1000000L)
+    }),
     // Co-located bucketed join: both sides written bucketed+sorted on
     // the join key, then joined with ZERO exchanges (BucketingSpec pins
     // the plan) — this query gates that the layout changed the plan and
@@ -3066,6 +3079,34 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q242: q160's dly CTE, lag deltas, then the prefix-sum/extrema
+    // closed form of the CUSUM recursion.
+    "q242_cusum_changepoints" ->
+      """WITH dly AS (SELECT event_type AS series,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y_fp
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         fl AS (SELECT series, day,
+             y_fp - COALESCE(lag(y_fp) OVER (PARTITION BY series
+               ORDER BY day), y_fp) AS delta_fp
+           FROM dly),
+         c AS (SELECT series, day, delta_fp,
+             SUM(delta_fp - 0 - 50000) OVER w AS cu,
+             SUM(delta_fp - 0 + 50000) OVER w AS cd
+           FROM fl WINDOW w AS (PARTITION BY series ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         m AS (SELECT series, day, delta_fp, cu, cd,
+             least(CAST(0 AS BIGINT), MIN(cu) OVER w) AS mu,
+             greatest(CAST(0 AS BIGINT), MAX(cd) OVER w) AS md
+           FROM c WINDOW w AS (PARTITION BY series ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT series, day, delta_fp AS y_fp,
+           CAST(cu - mu AS BIGINT) AS cusum_up_fp,
+           CAST(md - cd AS BIGINT) AS cusum_down_fp,
+           (cu - mu) > 1000000 AS alarm_up,
+           (md - cd) > 1000000 AS alarm_down
+         FROM m""",
     // q241: the plain join+rollup the bucketed layout must reproduce.
     "q241_bucketed_join" ->
       """SELECT o_custkey, COUNT(*) AS n_items,

@@ -331,6 +331,45 @@ object Temporal {
         :+ coalesce(col("__s"), lit(0L)).as("ewma_fp"): _*)
   }
 
+  /** CUSUM change-point detection (Page 1954) — the SPC monitor that
+    * catches small persistent shifts a [[rollingZOutliers]] spike test
+    * misses: the one-sided statistic S_t = max(0, S_{t−1} + (x_t − μ₀ −
+    * slack)) alarms when it exceeds the threshold. The recursion LOOKS
+    * sequential but has the classic closed form S_t = C_t − min_{j≤t}
+    * C_j over prefix sums C of (x − μ₀ − slack), so it computes as TWO
+    * stacked windows (cumsum + running min) — exact integer arithmetic
+    * on fixed-point values, no driver loop, both directions mirrored.
+    *
+    * Output per point: (keys…, idx, y_fp, cusum_up_fp, cusum_down_fp,
+    * alarm_up, alarm_down). `idxCol` unique per series (the standing
+    * tiebreaker contract).
+    */
+  def cusumChangePoints(df: DataFrame, keys: Seq[String], idxCol: String,
+                        yFpCol: String, targetFp: Long, slackFp: Long,
+                        thresholdFp: Long): DataFrame = {
+    require(keys.nonEmpty, "cusumChangePoints needs series keys")
+    require(slackFp >= 0 && thresholdFp > 0,
+      s"cusumChangePoints: slack >= 0 and threshold > 0, got " +
+        s"$slackFp/$thresholdFp")
+    val kc = keys.map(col)
+    val wCum = Window.partitionBy(kc: _*).orderBy(col("__i").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(kc :+ col(idxCol).cast("long").as("__i")
+        :+ col(yFpCol).cast("long").as("__y"): _*)
+      .withColumn("__cu", sum(col("__y") - lit(targetFp) - lit(slackFp))
+        .over(wCum))
+      .withColumn("__cd", sum(col("__y") - lit(targetFp) + lit(slackFp))
+        .over(wCum))
+      // min/max over [start, t] INCLUDING the virtual C_0 = 0 prefix
+      .withColumn("__mu", least(lit(0L), min(col("__cu")).over(wCum)))
+      .withColumn("__md", greatest(lit(0L), max(col("__cd")).over(wCum)))
+      .select(kc :+ col("__i").as(idxCol) :+ col("__y").as("y_fp")
+        :+ (col("__cu") - col("__mu")).as("cusum_up_fp")
+        :+ (col("__md") - col("__cd")).as("cusum_down_fp"): _*)
+      .withColumn("alarm_up", col("cusum_up_fp") > thresholdFp)
+      .withColumn("alarm_down", col("cusum_down_fp") > thresholdFp)
+  }
+
   /** Kaplan–Meier survival curve (1958) — retention/churn analysis with
     * CENSORING done right: users still active at the observation cutoff
     * are censored (they leave the risk set without counting as churn),

@@ -372,6 +372,31 @@ class TemporalSpec extends SparkSpec {
     assert(got("b") == ((1L, 0L, 0L, 0L)))
   }
 
+  test("cusumChangePoints: closed form equals the max(0, S+y) recursion") {
+    val s = spark; import s.implicits._
+    // values around target 10 with a persistent +5 shift from idx 5
+    val vals = Seq(11L, 9L, 10L, 8L, 12L, 15L, 16L, 15L, 14L, 16L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("s", i.toLong, v) }
+      .toDF("series", "idx", "y")
+    val got = Temporal.cusumChangePoints(df, Seq("series"), "idx", "y",
+        targetFp = 10L, slackFp = 1L, thresholdFp = 8L)
+      .collect().sortBy(_.getLong(1))
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5), r.getBoolean(6)))
+    // reference recursion
+    var su = 0L; var sd = 0L
+    vals.zip(got).foreach { case (v, (y, cu, cd, au, ad)) =>
+      su = math.max(0L, su + (v - 10 - 1))
+      sd = math.max(0L, sd - (v - 10 + 1))
+      assert(y == v)
+      assert(cu == su, s"up: got $cu want $su at v=$v")
+      assert(cd == sd, s"down: got $cd want $sd at v=$v")
+      assert(au == (su > 8) && ad == (sd > 8))
+    }
+    // the shift alarms the up side and never the down side
+    assert(got.exists(_._4) && !got.exists(_._5))
+  }
+
   test("latenessSweep: per-threshold drop rates from one lateness pass") {
     val s = spark; import s.implicits._
     // arrival order 1..4 with event times 10, 30, 20, 5 (us):
