@@ -2070,6 +2070,12 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // Weekly seasonal-naive error (MASE) per event type over daily
+    // revenue — "does last week predict this week better than
+    // yesterday does", exact cross-multiplied ppm.
+    "q243_seasonal_naive_mase" -> ((s, d) =>
+      Temporal.seasonalNaiveError(dailyCents(s, d), Seq("series"), "day",
+        "y_fp", season = 7)),
     // CUSUM change-point monitor on day-over-day revenue deltas per
     // event type: the max(0, S+y) recursion computed exactly as prefix
     // sums minus running extrema — two stacked windows, no driver loop.
@@ -3079,6 +3085,34 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q243: the same two lag windows and the cross-multiplied ratio in
+    // HUGEINT.
+    "q243_seasonal_naive_mase" ->
+      """WITH dly AS (SELECT event_type AS series,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y_fp
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         l AS (SELECT series, y_fp,
+             lag(y_fp, 7) OVER w AS ls, lag(y_fp, 1) OVER w AS l1
+           FROM dly WINDOW w AS (PARTITION BY series ORDER BY day)),
+         a AS (SELECT series, COUNT(*) AS n_points,
+             CAST(SUM(CASE WHEN ls IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seasonal_errors,
+             CAST(SUM(CASE WHEN ls IS NOT NULL THEN abs(y_fp - ls)
+               ELSE 0 END) AS BIGINT) AS sum_abs_seasonal_fp,
+             CAST(SUM(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN l1 IS NOT NULL THEN abs(y_fp - l1)
+               ELSE 0 END) AS BIGINT) AS sum_abs_naive_fp
+           FROM l GROUP BY 1)
+         SELECT series, n_points, n_seasonal_errors, sum_abs_seasonal_fp,
+           sum_abs_naive_fp,
+           CAST(CASE WHEN n_seasonal_errors > 0 AND sum_abs_naive_fp > 0
+             THEN (CAST(sum_abs_seasonal_fp AS HUGEINT) * n1 * 1000000) //
+               (CAST(sum_abs_naive_fp AS HUGEINT) * n_seasonal_errors)
+             END AS BIGINT) AS mase_ppm
+         FROM a""",
     // q242: q160's dly CTE, lag deltas, then the prefix-sum/extrema
     // closed form of the CUSUM recursion.
     "q242_cusum_changepoints" ->

@@ -331,6 +331,55 @@ object Temporal {
         :+ coalesce(col("__s"), lit(0L)).as("ewma_fp"): _*)
   }
 
+  /** Seasonal-naive forecast error (MASE, Hyndman & Koehler 2006) — the
+    * scale-free answer to "is my forecast better than just repeating
+    * last week": per series, the mean absolute error of the
+    * season-lagged naive forecast (ŷ_t = y_{t−season}) scaled by the
+    * one-step naive MAE. MASE < 1e6 ppm means the seasonal pattern
+    * beats a random walk; any real model must beat BOTH. Exact
+    * integers: absolute errors are longs, the ratio one cross-multiplied
+    * div:
+    *   mase_ppm = (Σ|e_seasonal|·n_naive·10⁶) div (Σ|e_naive|·n_seasonal)
+    *
+    * One exchange per series for the two lag windows, one combinable
+    * rollup. Series shorter than season+1 points, or with a constant
+    * tail (zero naive denominator), report NULL mase_ppm. CONTRACT:
+    * `idxCol` must be DENSE per series (row lag = calendar lag) —
+    * resample gaps first ([[resampleFfill]] / [[interpolateLinear]]).
+    *
+    * Output per series: (keys…, n_points, n_seasonal_errors,
+    * sum_abs_seasonal_fp, sum_abs_naive_fp, mase_ppm).
+    */
+  def seasonalNaiveError(df: DataFrame, keys: Seq[String], idxCol: String,
+                         yFpCol: String, season: Int): DataFrame = {
+    require(keys.nonEmpty, "seasonalNaiveError needs series keys")
+    require(season >= 1 && season <= 10000,
+      s"seasonalNaiveError: season in [1, 10000], got $season")
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("__i").asc)
+    df.select(kc :+ col(idxCol).cast("long").as("__i")
+        :+ col(yFpCol).cast("long").as("__y"): _*)
+      .withColumn("__ls", lag(col("__y"), season).over(w))
+      .withColumn("__l1", lag(col("__y"), 1).over(w))
+      .groupBy(kc: _*)
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("__ls").isNotNull, 1L).otherwise(0L))
+          .as("n_seasonal_errors"),
+        sum(when(col("__ls").isNotNull, abs(col("__y") - col("__ls")))
+          .otherwise(0L)).as("sum_abs_seasonal_fp"),
+        sum(when(col("__l1").isNotNull, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__l1").isNotNull, abs(col("__y") - col("__l1")))
+          .otherwise(0L)).as("sum_abs_naive_fp"))
+      .select(kc :+ col("n_points") :+ col("n_seasonal_errors")
+        :+ col("sum_abs_seasonal_fp") :+ col("sum_abs_naive_fp")
+        :+ when(col("n_seasonal_errors") > 0 && col("sum_abs_naive_fp") > 0,
+          expr("""CAST((CAST(sum_abs_seasonal_fp AS DECIMAL(38,0)) * __n1 *
+              1000000) div
+            (CAST(sum_abs_naive_fp AS DECIMAL(38,0)) * n_seasonal_errors)
+            AS BIGINT)"""))
+          .as("mase_ppm"): _*)
+  }
+
   /** CUSUM change-point detection (Page 1954) — the SPC monitor that
     * catches small persistent shifts a [[rollingZOutliers]] spike test
     * misses: the one-sided statistic S_t = max(0, S_{t−1} + (x_t − μ₀ −

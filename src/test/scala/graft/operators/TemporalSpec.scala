@@ -372,6 +372,25 @@ class TemporalSpec extends SparkSpec {
     assert(got("b") == ((1L, 0L, 0L, 0L)))
   }
 
+  test("seasonalNaiveError: hand-computed MASE, degenerate series NULL") {
+    val s = spark; import s.implicits._
+    // season 2 over values 10, 20, 12, 24, 14: seasonal errors |12-10|,
+    // |24-20|, |14-12| = 8 over 3; naive errors 10, 8, 12, 10 = 40 over 4
+    val df = Seq(10L, 20L, 12L, 24L, 14L).zipWithIndex
+      .map { case (y, i) => ("s", i.toLong, y) }.toDF("series", "idx", "y")
+    val r = Temporal.seasonalNaiveError(df, Seq("series"), "idx", "y",
+      season = 2).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 3L, 8L, 40L)))
+    // mase = (8/3)/(40/4) = 0.2667 → (8*4*1e6) div (40*3)
+    assert(r.getLong(5) == 8L * 4 * 1000000 / (40 * 3))
+    // constant series: naive denominator 0 → NULL
+    val const = Seq.fill(5)(7L).zipWithIndex
+      .map { case (y, i) => ("c", i.toLong, y) }.toDF("series", "idx", "y")
+    assert(Temporal.seasonalNaiveError(const, Seq("series"), "idx", "y", 2)
+      .head().isNullAt(5))
+  }
+
   test("cusumChangePoints: closed form equals the max(0, S+y) recursion") {
     val s = spark; import s.implicits._
     // values around target 10 with a persistent +5 shift from idx 5
