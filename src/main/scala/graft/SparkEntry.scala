@@ -2070,6 +2070,12 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // Ingestion gap audit: per event type, every hole in the observed
+    // event-id sequence as a (start, end, missing) backfill work list.
+    "q244_sequence_gaps" -> ((s, d) =>
+      Analytics.sequenceGaps(
+        Tables.events(s, d).select(col("event_type"), col("event_id")),
+        Seq("event_type"), "event_id")),
     // Weekly seasonal-naive error (MASE) per event type over daily
     // revenue — "does last week predict this week better than
     // yesterday does", exact cross-multiplied ppm.
@@ -3085,6 +3091,16 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q244: the same lag-window gap scan.
+    "q244_sequence_gaps" ->
+      """WITH d AS (SELECT DISTINCT event_type, event_id FROM events),
+         l AS (SELECT event_type, event_id,
+             lag(event_id) OVER (PARTITION BY event_type
+               ORDER BY event_id) AS prev
+           FROM d)
+         SELECT event_type, prev + 1 AS gap_start, event_id - 1 AS gap_end,
+           CAST(event_id - prev - 1 AS BIGINT) AS n_missing
+         FROM l WHERE prev IS NOT NULL AND event_id - prev > 1""",
     // q243: the same two lag windows and the cross-multiplied ratio in
     // HUGEINT.
     "q243_seasonal_naive_mase" ->

@@ -1055,6 +1055,27 @@ object Analytics {
       .withColumnRenamed("n", "n_days")
   }
 
+  /** Sequence-gap report — where [[graft.quality.Checks.sequentialValues]]
+    * says "broken", this says WHERE and HOW BADLY: per series, every gap
+    * in an expected-dense integer sequence as (gap_start, gap_end,
+    * n_missing). The ingestion audit that turns "ids are not contiguous"
+    * into a backfill work list. One exchange per series for the lag
+    * window; output is gap-sized, never data-sized.
+    */
+  def sequenceGaps(df: DataFrame, keys: Seq[String], idCol: String,
+                   step: Long = 1L): DataFrame = {
+    require(step >= 1, s"sequenceGaps: step >= 1, got $step")
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("__v").asc)
+    df.select(kc :+ col(idCol).cast("long").as("__v"): _*)
+      .distinct()
+      .withColumn("__prev", lag(col("__v"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__v") - col("__prev") > step)
+      .select(kc :+ (col("__prev") + step).as("gap_start")
+        :+ (col("__v") - step).as("gap_end")
+        :+ expr(s"(__v - __prev) div $step - 1").as("n_missing"): _*)
+  }
+
   /** Frequent 3-itemsets — the A-Priori level-3 step (Agrawal & Srikant,
     * VLDB '94; public literature) on top of the pair support the basket
     * operators already compute: a triple can only be frequent if all

@@ -749,6 +749,21 @@ class AnalyticsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("sequenceGaps: hole boundaries and sizes, step-aware, dups ignored") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 5L), ("a", 5L), ("a", 9L),
+      ("b", 10L), ("b", 11L)).toDF("k", "id")
+    val got = Analytics.sequenceGaps(df, Seq("k"), "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(("a", 3L, 4L, 2L), ("a", 6L, 8L, 3L)))
+    // step 2 over evens: 2, 4, 8 → one gap {6}
+    val ev = Seq(("c", 2L), ("c", 4L), ("c", 8L)).toDF("k", "id")
+    val g2 = Analytics.sequenceGaps(ev, Seq("k"), "id", step = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(g2 == Set((6L, 6L, 1L)))
+  }
+
   test("frequentTriples: closure-pruned counts equal brute force") {
     val s = spark; import s.implicits._
     // baskets: {1,2,3} x2, {1,2,4}, {2,3,4}, {1,2,3,4}
