@@ -2070,6 +2070,18 @@ object SparkEntry {
           .select(expr("event_ts_us div 86400000000").as("day"),
             col("user_id")),
         "day", "user_id")),
+    // Two-sample KS drift test on purchase-vs-view value distributions
+    // — the shape complement of q230's mean test, exact cross-multiplied
+    // integers.
+    "q245_ks_test" -> ((s, d) =>
+      graft.ml.Eval.ksTest(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "view") &&
+            col("value").isNotNull)
+          .select(col("event_type"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents")),
+        col("event_type"), col("cents"))),
     // Ingestion gap audit: per event type, every hole in the observed
     // event-id sequence as a (start, end, missing) backfill work list.
     "q244_sequence_gaps" -> ((s, d) =>
@@ -3091,6 +3103,33 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q245: value-grain cumulative counts, HUGEINT cross-multiplied
+    // max-diff, (diff desc, value) pick.
+    "q245_ks_test" ->
+      """WITH e AS (SELECT event_type AS g,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM events
+           WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+         byv AS (SELECT v,
+             SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS cb
+           FROM e GROUP BY 1),
+         c AS (SELECT v,
+             SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb,
+             SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+           FROM byv WINDOW w AS (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         d AS (SELECT v, na, nb,
+             abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
+               AS diff
+           FROM c),
+         p AS (SELECT * FROM d ORDER BY diff DESC, v LIMIT 1)
+         SELECT 'purchase' AS group_a, 'view' AS group_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST((diff * 1000000) // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+             AS d_ppm,
+           v AS at_value
+         FROM p""",
     // q244: the same lag-window gap scan.
     "q244_sequence_gaps" ->
       """WITH d AS (SELECT DISTINCT event_type, event_id FROM events),

@@ -374,6 +374,48 @@ object Eval {
         "t_stat", "df_welch")
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic — the distribution-SHAPE
+    * drift test ([[welchTTest]] sees means; KS sees everything): D =
+    * max over values of |F_a(v) − F_b(v)|. Exact integers by
+    * cross-multiplication: at each observed value,
+    * |cum_a·n_b − cum_b·n_a| is an exact DECIMAL(38,0), and
+    * d_ppm = max·10⁶ div (n_a·n_b). One map-side-combinable agg to
+    * value grain, one value-grain running window, one scalar rollup.
+    *
+    * Output is ONE row: (n_a, n_b, d_ppm, at_value — the first value
+    * attaining the max, value-ascending tiebreak).
+    */
+  def ksTest(df: DataFrame, groupCol: Column, valueFpCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(groupCol.cast("string").as("__g"),
+        valueFpCol.cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val groups = base.select(col("__g")).distinct()
+      .orderBy(col("__g").asc).limit(3).collect().map(_.getString(0))
+    require(groups.length == 2,
+      s"ksTest needs exactly two groups, got ${groups.length}")
+    val (ga, gb) = (groups(0), groups(1))
+    val w = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    base.groupBy(col("__v")).agg(
+        sum(when(col("__g") === ga, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === gb, 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__diff",
+        abs(col("__cuma").cast(dec) * col("__nb") -
+          col("__cumb").cast(dec) * col("__na")))
+      .orderBy(col("__diff").desc, col("__v").asc).limit(1)
+      .select(lit(ga).as("group_a"), lit(gb).as("group_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        expr(s"CAST((__diff * 1000000) div " +
+          s"(CAST(__na AS $dec) * __nb) AS BIGINT)").as("d_ppm"),
+        col("__v").as("at_value"))
+  }
+
   /** Exact AUC (area under the ROC curve) from the Mann–Whitney
     * rank-sum — the headline ranking metric [[thresholdSweep]]'s pointwise
     * curve summarizes: the probability a random positive outscores a

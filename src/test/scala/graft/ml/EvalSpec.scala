@@ -153,6 +153,25 @@ class EvalSpec extends SparkSpec {
     assert(b.isNullAt(6) && b.isNullAt(7)) // ndcg, recall are 0/0
   }
 
+  test("ksTest: hand-computed D with ties; identical samples give 0") {
+    val s = spark; import s.implicits._
+    // a = {1, 2, 3}, b = {2, 3, 4}: cum diffs |cA*3-cB*3| / 9 peak at
+    // v=1: |1*3-0| = 3 → D = 3/9 = 1/3
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(2L, 3L, 4L).map(("b", _)))
+      .toDF("g", "v")
+    val r = Eval.ksTest(df, col("g"), col("v")).head()
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)) ==
+      (("a", "b", 3L, 3L)))
+    assert(r.getLong(4) == 333333L && r.getLong(5) == 1L)
+    // identical distributions → D = 0
+    val same = (Seq(5L, 6L).map(("a", _)) ++ Seq(5L, 6L).map(("b", _)))
+      .toDF("g", "v")
+    assert(Eval.ksTest(same, col("g"), col("v")).head().getLong(4) == 0L)
+    intercept[IllegalArgumentException] {
+      Eval.ksTest(Seq(("a", 1L)).toDF("g", "v"), col("g"), col("v"))
+    }
+  }
+
   test("mutualInformation: zero under independence, ln2-ish under identity") {
     val s = spark; import s.implicits._
     // perfectly independent 2x2: every cell n=5 → each log ratio = ln(1)=0
