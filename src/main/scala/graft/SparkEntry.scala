@@ -2180,7 +2180,12 @@ object SparkEntry {
       val ev = Tables.events(s, d)
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("event_id"), col("value"))
-      def batch(i: Int) = ev.filter(col("event_id") % 3 === i)
+      // pmod+coalesce makes the three slices a TOTAL partition of ev —
+      // bare `% 3 === i` drops NULL ids (NULL comparison) and NEGATIVE
+      // ids (negative Spark % remainder matches no i in 0..2), which
+      // the one-shot oracle rollup keeps: same groups, different sums.
+      def batch(i: Int) =
+        ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === i)
       val s0 = Medallion.mergeAggState(None, batch(0),
         Seq("event_type"), "value")
       val s1 = Medallion.mergeAggState(Some(s0), batch(1),
@@ -3297,10 +3302,14 @@ object SparkEntry {
          dots AS (SELECT hash_row, SUM(CAST(cnt AS HUGEINT) * cnt) AS dot
                   FROM cells GROUP BY 1)
          SELECT CAST(MIN(dot) AS BIGINT) AS est_join_rows FROM dots""",
-    // q235: the one-shot rollup the fold must equal.
+    // q235: the one-shot rollup the fold must equal. Mirror of
+    // mergeAggState's quantize-once discipline: floor(value*100) cents
+    // summed as BIGINT (exact, order-free), presented as the exact
+    // decimal product cents * 0.01.
     "q235_incremental_agg" ->
       """SELECT event_type, COUNT(*) AS n_rows,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           CAST(CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                     AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))
              AS sum_val
          FROM events WHERE value IS NOT NULL GROUP BY 1""",
     // q232: the same regex + list-HOF canonicalization in DuckDB

@@ -154,6 +154,13 @@ object Medallion {
     *
     * Output/state schema: (groupCols…, n_rows, sum_val DECIMAL(18,2)).
     * Pass `state = None` for the first batch.
+    *
+    * Per-row quantization is floor(value·100) → long (tie-free; a
+    * HALF_UP decimal cast of a dyadic double is not), longs sum
+    * exactly in any order, and cents present as an exact decimal
+    * product cents × 0.01 — so fold ≡ one-shot holds bit-for-bit on
+    * ANY double input, not just exactly-2dp data. State merges stay
+    * pure DECIMAL(18,2) addition, which never rounds.
     */
   def mergeAggState(state: Option[DataFrame], batch: DataFrame,
                     groupCols: Seq[String], valueCol: String): DataFrame = {
@@ -161,8 +168,11 @@ object Medallion {
     val part = batch
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(18,2)")
-          .as("sum_val"))
+        sum(floor(col(valueCol) * lit(100)).cast("long")).as("__cents"))
+      .withColumn("sum_val",
+        (col("__cents").cast("decimal(18,0)") *
+          lit(new java.math.BigDecimal("0.01"))).cast("decimal(18,2)"))
+      .drop("__cents")
     state match {
       case None => part
       case Some(st) => st.unionByName(part)

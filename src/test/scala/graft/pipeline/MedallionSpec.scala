@@ -69,12 +69,19 @@ class MedallionSpec extends SparkSpec {
     val gmvs = top.map(_.getAs[Double]("gmv"))
     assert(gmvs.zip(gmvs.tail).forall { case (a, b) => a >= b })
   }
-  test("mergeAggState: batch folds equal the one-shot rollup exactly") {
+  test("mergeAggState: batch folds equal the one-shot rollup exactly, " +
+    "including NULL/negative ids and 3-decimal values") {
     val s2 = spark; import s2.implicits._
-    val rows = Seq(("x", 1L, "1.10"), ("x", 2L, "2.20"), ("y", 3L, "3.00"),
-      ("x", 4L, "4.40"), ("y", 5L, "0.30"), ("z", 6L, "9.99"))
+    // Hostile rows for the q235 gate shape: a NULL id and a negative id
+    // (both lost by a bare `id % 2 === i` slice), and 3-decimal doubles
+    // (a HALF_UP decimal(18,2) cast would round each row, so fold vs
+    // one-shot would drift; floor-cents quantization cannot).
+    val rows = Seq(("x", Some(1L), 1.10), ("x", Some(2L), 2.205),
+      ("y", Some(3L), 3.00), ("x", Some(-4L), 4.40),
+      ("y", None, 0.305), ("z", Some(6L), 9.999))
       .toDF("g", "id", "v")
-    def batch(i: Int) = rows.filter(col("id") % 2 === i)
+    def batch(i: Int) =
+      rows.filter(pmod(coalesce(col("id"), lit(0L)), lit(2)) === i)
     val folded = Medallion.mergeAggState(
       Some(Medallion.mergeAggState(None, batch(0), Seq("g"), "v")),
       batch(1), Seq("g"), "v")
@@ -84,7 +91,11 @@ class MedallionSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getDecimal(2).toPlainString))).toMap
     assert(folded == oneShot)
+    // floor-cents: 1.10 → 110, 2.205 → 220 (floor, not HALF_UP 221 —
+    // 2.205 as a double is just below 2.205), 4.40 → 440 ⇒ x = 7.70.
     assert(folded("x") == ((3L, "7.70")) && folded("z") == ((1L, "9.99")))
+    // The slices really are a total partition of rows.
+    assert(batch(0).count() + batch(1).count() == rows.count())
   }
 
 }
