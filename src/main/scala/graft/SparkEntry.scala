@@ -3079,7 +3079,8 @@ object SparkEntry {
     "q219_top_paths" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
              event_type
-           FROM events WHERE user_id IS NOT NULL),
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
          p AS (SELECT event_type AS s0,
              lead(event_type, 1) OVER w AS s1,
              lead(event_type, 2) OVER w AS s2
@@ -3300,8 +3301,10 @@ object SparkEntry {
              COUNT(*) AS cnt
            FROM t, UNNEST(range(0, 4)) i(i) GROUP BY 1, 2),
          dots AS (SELECT hash_row, SUM(CAST(cnt AS HUGEINT) * cnt) AS dot
-                  FROM cells GROUP BY 1)
-         SELECT CAST(MIN(dot) AS BIGINT) AS est_join_rows FROM dots""",
+                  FROM cells GROUP BY 1),
+         spine AS (SELECT i.i AS hash_row FROM UNNEST(range(0, 4)) i(i))
+         SELECT CAST(MIN(COALESCE(dot, 0)) AS BIGINT) AS est_join_rows
+         FROM spine LEFT JOIN dots USING (hash_row)""",
     // q235: the one-shot rollup the fold must equal. Mirror of
     // mergeAggState's quantize-once discipline: floor(value*100) cents
     // summed as BIGINT (exact, order-free), presented as the exact

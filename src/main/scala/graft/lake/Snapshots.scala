@@ -135,21 +135,42 @@ object Snapshots {
     import spark.implicits._
     val dirs = manifestFiles(root, currentVersion(root))
       .map(f => Paths.get(root, f).toString)
+    // Ship the SESSION'S hadoopConfiguration to the tasks (resolved
+    // key/value pairs, rebuilt into a Configuration per task) — a bare
+    // `new Configuration()` inside the task loses S3 credentials / FS
+    // settings, so "the same code walks HDFS/S3" would only have been
+    // true for local paths. Listing is recursive (fs.listFiles(_, true))
+    // so partitioned/nested data dirs are counted, not silently missed.
+    val hadoopProps: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    val confBc = spark.sparkContext.broadcast(hadoopProps)
+    def taskConf(): org.apache.hadoop.conf.Configuration = {
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      confBc.value.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
     spark.createDataset(dirs)
       .repartition(math.max(1, math.min(dirs.size,
         spark.sparkContext.defaultParallelism)))
       .flatMap { dir =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val path = new org.apache.hadoop.fs.Path(dir)
-        val fs = path.getFileSystem(conf)
-        fs.listStatus(path).iterator
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString).toSeq
+        val fs = path.getFileSystem(taskConf())
+        val it = fs.listFiles(path, true)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            out += st.getPath.toString
+        }
+        out.toSeq
       }
       .map { f =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          .fromPath(new org.apache.hadoop.fs.Path(f), taskConf())
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
         finally r.close()

@@ -337,10 +337,21 @@ object Sketches {
       d, w, salt)
     val sb = cmsSketch(b.select(col(bKey).cast("string").as("__t")), "__t",
       d, w, salt)
-    sa.join(sb.withColumnRenamed("cnt", "cnt_b"), Seq("hash_row", "bucket"))
+    // Left-join the dots onto a d-row spine: a hash row whose cell sets
+    // are fully disjoint has NO inner-join rows, and dropping it from
+    // the min turns "estimate 0" into an overestimate (or a NULL min
+    // when every row is disjoint). With the spine each of the d rows
+    // contributes a dot of 0 when nothing overlaps, so disjoint key
+    // sets estimate 0 exactly.
+    val spine = a.sparkSession.range(d)
+      .select(col("id").cast("int").as("hash_row"))
+    val dots = sa
+      .join(sb.withColumnRenamed("cnt", "cnt_b"), Seq("hash_row", "bucket"))
       .groupBy(col("hash_row"))
       .agg(sum(col("cnt").cast("decimal(38,0)") * col("cnt_b")).as("__dot"))
-      .agg(min(col("__dot")).as("__est"))
+    spine.join(dots, Seq("hash_row"), "left")
+      .agg(min(coalesce(col("__dot"), lit(0).cast("decimal(38,0)")))
+        .as("__est"))
       .select(expr("CAST(__est AS BIGINT)").as("est_join_rows"))
   }
 

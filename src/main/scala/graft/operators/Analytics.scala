@@ -663,7 +663,12 @@ object Analytics {
       .orderBy(col(tsCol).asc, col(tieCol).asc)
     val steps = col(stateCol) +:
       (1 until len).map(i => lead(col(stateCol), i).over(w))
-    val withSteps = events.filter(col(keyCol).isNotNull)
+    // stateCol must be null-filtered BEFORE the window: a NULL s0 row
+    // passes the lead-steps guard below and concat_ws silently skips
+    // the NULL, aliasing the row into a shorter-looking path while a
+    // `s0 || ' > ' || s1` oracle yields NULL — cross-engine divergence.
+    val withSteps = events
+      .filter(col(keyCol).isNotNull && col(stateCol).isNotNull)
       .select(col(keyCol), col(tsCol), col(tieCol), col(stateCol))
       .select(steps.zipWithIndex.map { case (c, i) => c.as(s"__s$i") }: _*)
       .filter((1 until len).map(i => col(s"__s$i").isNotNull).reduce(_ && _))

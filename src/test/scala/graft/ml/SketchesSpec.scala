@@ -337,6 +337,14 @@ class SketchesSpec extends SparkSpec {
     val self = Sketches.cmsJoinSize(a, "k", a, "k", d = 4, w = 256)
       .head().getLong(0)
     assert(self >= 126L && self <= 150L, s"self $self vs exact 126")
+    // Fully DISJOINT key sets: every hash row with zero shared cells
+    // must contribute a dot of 0 via the spine left-join — estimate is
+    // exactly 0, not NULL (min over empty) or a collision overestimate.
+    val disjoint = Sketches.cmsJoinSize(a, "k",
+      side(Seq("x" -> 4, "y" -> 9)), "k", d = 4, w = 256)
+      .head()
+    assert(!disjoint.isNullAt(0) && disjoint.getLong(0) == 0L,
+      s"disjoint est ${disjoint}")
   }
 
 }
