@@ -2312,12 +2312,15 @@ object SparkEntry {
     // count — gated against the real COUNT(*) over the same rows.
     "q225_metadata_count" -> ((s, d) => {
       val root = freshScratch("q225")
+      // pmod+coalesce: the two commits must be a TOTAL partition of
+      // events, because the oracle is COUNT(*) over the WHOLE table —
+      // bare `% 2 === i` loses NULL and negative-odd ids (q235's hole).
+      def half(i: Int) = Tables.events(s, d)
+        .filter(pmod(coalesce(col("event_id"), lit(0L)), lit(2)) === i)
       graft.lake.Snapshots.commitAppend(root)(tmp =>
-        Tables.events(s, d).filter(col("event_id") % 2 === 0)
-          .write.mode("overwrite").parquet(tmp))
+        half(0).write.mode("overwrite").parquet(tmp))
       graft.lake.Snapshots.commitAppend(root)(tmp =>
-        Tables.events(s, d).filter(col("event_id") % 2 === 1)
-          .write.mode("overwrite").parquet(tmp))
+        half(1).write.mode("overwrite").parquet(tmp))
       graft.lake.Snapshots.countFast(s, root).select(col("n_rows"))
     }),
     // Wald SPRT over the event stream (H0: purchase rate 0.18 vs H1:
