@@ -2073,6 +2073,40 @@ object SparkEntry {
     // Two-sample KS drift test on purchase-vs-view value distributions
     // — the shape complement of q230's mean test, exact cross-multiplied
     // integers.
+    // Delta CHECKPOINT read: five commits, a parquet checkpoint every
+    // two (Spark's own 10-commit cadence, shortened), then the JSON
+    // commits below the newest checkpoint are DELETED — the compacted
+    // mature-table shape. The read must reconstruct state from the
+    // checkpoint + JSON tail; the oracle is the whole table (the five
+    // pmod slices are a total partition of events).
+    "q246_delta_checkpoint_read" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"))
+      val root = freshScratch("q246")
+      (0 until 5).foreach { i =>
+        graft.lake.Snapshots.commitAppend(root)(tmp =>
+          ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(5)) === i)
+            .write.mode("overwrite").parquet(tmp))
+      }
+      graft.lake.DeltaLog.sync(s, root, checkpointInterval = 2)
+      (0L to 3L).foreach(v => java.nio.file.Files.delete(
+        java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json")))
+      graft.lake.DeltaLog.read(s, root)
+    }),
+    // PARTITIONED Delta table: events committed hive-partitioned by
+    // event_type (partitionValues in every add, partitionColumns in
+    // metaData), read back via the log with the partition column
+    // reattached as typed literals, filtered to two partitions — the
+    // filter prunes the other partitions' scans at plan time
+    // (DeltaLogSpec pins the pruning via inputFiles).
+    "q247_delta_partitioned_read" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("value"), col("event_type"))
+      val root = freshScratch("q247")
+      graft.lake.DeltaLog.commitPartitioned(s, root, ev, Seq("event_type"))
+      graft.lake.DeltaLog.read(s, root)
+        .filter(col("event_type").isin("purchase", "view"))
+    }),
     "q245_ks_test" -> ((s, d) =>
       graft.ml.Eval.ksTest(
         Tables.events(s, d)
@@ -3112,6 +3146,15 @@ object SparkEntry {
              ORDER BY sp.day ROWS BETWEEN UNBOUNDED PRECEDING AND
                CURRENT ROW) AS BIGINT) AS n_cum
          FROM sp LEFT JOIN nn ON sp.day = nn.day""",
+    // q246: the checkpoint+tail replay must reconstruct the WHOLE
+    // table (the five slices are a total partition of events).
+    "q246_delta_checkpoint_read" ->
+      """SELECT event_id, epoch_us(ts) AS event_ts_us, value
+         FROM events""",
+    // q247: the partitioned round-trip, two partitions' worth.
+    "q247_delta_partitioned_read" ->
+      """SELECT event_id, value, event_type
+         FROM events WHERE event_type IN ('purchase', 'view')""",
     // q245: value-grain cumulative counts, HUGEINT cross-multiplied
     // max-diff, (diff desc, value) pick.
     "q245_ks_test" ->

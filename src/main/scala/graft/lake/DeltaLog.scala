@@ -1,10 +1,10 @@
 package graft.lake
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import com.fasterxml.jackson.databind.node.ObjectNode
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
@@ -13,8 +13,7 @@ import scala.jdk.CollectionConverters._
   * format bridge to the reference's storage layer (its tables are Delta:
   * analytics/spark/jobs/silver_orders.py:72-84,
   * analytics/spark/conf/spark-defaults.conf:5-10). Two halves, both
-  * speaking the PUBLIC Delta protocol (delta.io PROTOCOL.md, JSON commit
-  * files only — no checkpoint required for correctness):
+  * speaking the PUBLIC Delta protocol (delta.io PROTOCOL.md):
   *
   *  - '''Writer''' ([[sync]]): materializes `_delta_log/%020d.json`
   *    commits alongside the graft manifest log, one per committed
@@ -23,30 +22,50 @@ import scala.jdk.CollectionConverters._
   *    version v maps to Delta commit v−1 (Delta logs are 0-based).
   *    Commit 0 carries `protocol` (reader 1 / writer 2 — no table
   *    features used) and `metaData` (id, parquet format, Spark-JSON
-  *    `schemaString`, no partition columns); later commits re-emit
-  *    `metaData` only when the snapshot schema actually changed (the
-  *    Delta schema-evolution idiom). File deltas come from manifest
-  *    set-difference: a rewrite commit emits `remove` for every parent
-  *    file plus `add` for its own; an append emits only `add`s — so the
-  *    Delta view of history is file-for-file the manifest view.
+  *    `schemaString`); later commits re-emit `metaData` only when the
+  *    snapshot schema actually changed (the Delta schema-evolution
+  *    idiom). File deltas come from manifest set-difference: a rewrite
+  *    commit emits `remove` for every parent file plus `add` for its
+  *    own; an append emits only `add`s — so the Delta view of history
+  *    is file-for-file the manifest view. Every `checkpointInterval`
+  *    commits sync also writes a classic parquet CHECKPOINT
+  *    (`%020d.checkpoint.parquet`, one row per action) plus the
+  *    `_last_checkpoint` pointer, so external readers of a long log
+  *    replay one parquet file + a JSON tail instead of every commit —
+  *    exactly what Spark's own Delta writer does every 10 commits.
   *
   *  - '''Reader''' ([[read]]/[[readAt]]): replays an externally-written
-  *    checkpointless Delta log — line-delimited JSON actions, `add`
-  *    activating a file, `remove` retiring it (last action per path
-  *    wins), `metaData` carrying the schema, unknown actions
-  *    (`commitInfo`, `txn`, …) skipped — and reads the active file set
-  *    with the declared schema pinned. Scope is the straightforward
-  *    log an unpartitioned single-writer table produces: reader
-  *    protocol ≤ 1, no partition columns, relative paths (the table
-  *    layouts this library writes and the common external case);
-  *    anything else fails loudly rather than returning wrong rows.
+  *    Delta log. Version resolution starts from the NEWEST complete
+  *    checkpoint at or below the requested version (single-part
+  *    `%020d.checkpoint.parquet` or multi-part
+  *    `%020d.checkpoint.%010d.%010d.parquet`; discovery is by listing,
+  *    so a stale or missing `_last_checkpoint` hint never breaks
+  *    reads), then applies the JSON commits after it — line-delimited
+  *    actions, `add` activating a file, `remove` retiring it (last
+  *    action per path wins), `metaData` carrying the schema, unknown
+  *    actions (`commitInfo`, `txn`, …) skipped. PARTITIONED tables are
+  *    honored: `metaData.partitionColumns` names columns whose values
+  *    live in each add's `partitionValues` (not in the data files); the
+  *    reader scans each partition's files with the data schema and
+  *    attaches the partition columns as typed literals, so a filter on
+  *    a partition column constant-folds per partition and PRUNES whole
+  *    scans at plan time. Scope: reader protocol ≤ 1, parquet format,
+  *    relative paths; anything else fails loudly rather than returning
+  *    wrong rows.
+  *
+  *  - '''Partitioned writer''' ([[commitPartitioned]]): commits a
+  *    DataFrame as a hive-laid-out partitioned Delta table (the common
+  *    shape of any real lake) — `col=value` data paths, partition
+  *    values recorded in each `add`'s `partitionValues`,
+  *    `partitionColumns` declared in `metaData`.
   *
   * Scale posture: everything here is file-granularity metadata — one
-  * JSON line per file per commit, schema reads touch parquet FOOTERS
-  * only — bounded by layout, never data size. Sync is idempotent
-  * (commits already on disk are never rewritten; the JSON rename is the
-  * same atomic-move commit point the manifest uses), so it can run
-  * after every [[Snapshots]] commit or once at publish time.
+  * JSON line (or checkpoint row) per file per commit, schema reads
+  * touch parquet FOOTERS only — bounded by layout, never data size.
+  * Sync is idempotent (commits and checkpoints already on disk are
+  * never rewritten; the rename is the same atomic-move commit point the
+  * manifest uses), so it can run after every [[Snapshots]] commit or
+  * once at publish time.
   */
 object DeltaLog {
 
@@ -54,22 +73,48 @@ object DeltaLog {
 
   private def logDir(root: String): Path = Paths.get(root, "_delta_log")
   private def commitName(v: Long): String = f"$v%020d.json"
+  private def checkpointName(v: Long): String = f"$v%020d.checkpoint.parquet"
   private def versionOf(name: String): Long =
     name.stripSuffix(".json").toLong
 
-  /** Delta commit versions present in `_delta_log`, ascending. */
-  def versions(root: String): Seq[Long] = {
+  private def listLog(root: String): Seq[String] = {
     val log = logDir(root)
     if (!Files.isDirectory(log)) Seq.empty
     else {
       val s = Files.list(log)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.length == 25 && n.endsWith(".json")
-          && n.dropRight(5).forall(_.isDigit))
-        .map(versionOf).toSeq.sorted
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
       finally s.close()
     }
+  }
+
+  /** Delta commit versions present in `_delta_log`, ascending. */
+  def versions(root: String): Seq[Long] =
+    listLog(root)
+      .filter(n => n.length == 25 && n.endsWith(".json")
+        && n.dropRight(5).forall(_.isDigit))
+      .map(versionOf).sorted
+
+  /** Versions with a COMPLETE checkpoint present (single-part, or every
+    * part of a multi-part set), ascending, with their parquet files.
+    */
+  def checkpointVersions(root: String): Seq[(Long, Seq[Path])] = {
+    val names = listLog(root)
+    val SingleRe = """(\d{20})\.checkpoint\.parquet""".r
+    val single = names.collect { case n @ SingleRe(v) =>
+      v.toLong -> Seq(logDir(root).resolve(n))
+    }
+    // multi-part: <v:20>.checkpoint.<k:10>.<n:10>.parquet
+    val MultiRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    val multi = names.collect { case n @ MultiRe(v, k, t) =>
+      (v.toLong, k.toInt, t.toInt, logDir(root).resolve(n))
+    }.groupBy(_._1).collect {
+      case (v, parts) if {
+        val total = parts.head._3
+        parts.map(_._2).toSet == (1 to total).toSet &&
+          parts.forall(_._3 == total)
+      } => v -> parts.sortBy(_._2).map(_._4)
+    }
+    (single ++ multi).sortBy(_._1)
   }
 
   /** Highest Delta commit version; −1 if no log exists. */
@@ -81,11 +126,17 @@ object DeltaLog {
   // ------------------------------------------------------------------
 
   /** Write every missing `_delta_log` commit for `root`'s committed
-    * snapshot versions. Returns the highest Delta version present
-    * afterwards. Idempotent: existing commit files are left untouched
-    * (they are immutable once renamed in, like the manifests).
+    * snapshot versions, then any due checkpoints (one per
+    * `checkpointInterval` commits, i.e. at Delta versions v where
+    * `v % interval == 0`, v > 0 — Spark's own cadence is interval 10).
+    * Returns the highest Delta version present afterwards. Idempotent:
+    * existing commit and checkpoint files are left untouched (they are
+    * immutable once renamed in, like the manifests).
     */
-  def sync(spark: SparkSession, root: String): Long = {
+  def sync(spark: SparkSession, root: String,
+           checkpointInterval: Int = 10): Long = {
+    require(checkpointInterval >= 1,
+      s"DeltaLog.sync: checkpointInterval >= 1, got $checkpointInterval")
     val gvs = Snapshots.versions(root)
     require(gvs.nonEmpty, s"DeltaLog.sync: no committed snapshots at $root")
     Files.createDirectories(logDir(root))
@@ -111,13 +162,13 @@ object DeltaLog {
           actions += protocol
         }
         if (dv == 0L || schemaJson != prevSchema)
-          actions += metaDataAction(tableId, schemaJson)
+          actions += metaDataAction(tableId, schemaJson, Seq.empty)
         val removed = prevFiles.filterNot(files.contains)
         val added = files.filterNot(prevFiles.contains)
         removed.foreach { f =>
           val n = mapper.createObjectNode()
           val r = n.putObject("remove")
-          r.put("path", f)
+          r.put("path", encodePath(f))
           r.put("deletionTimestamp", Snapshots.commitTimeMillis(root, gv))
           r.put("dataChange", true)
           actions += n
@@ -126,26 +177,37 @@ object DeltaLog {
           val fp = Paths.get(root, f)
           val n = mapper.createObjectNode()
           val a = n.putObject("add")
-          a.put("path", f)
+          a.put("path", encodePath(f))
           a.putObject("partitionValues")
           a.put("size", Files.size(fp))
           a.put("modificationTime", Files.getLastModifiedTime(fp).toMillis)
           a.put("dataChange", true)
           actions += n
         }
-        val body = actions.result()
-          .map(mapper.writeValueAsString).mkString("", "\n", "\n")
-        val tmp = logDir(root).resolve(commitName(dv) + ".__tmp")
-        Files.write(tmp, body.getBytes("UTF-8"))
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        writeCommitFile(root, dv, actions.result())
       }
       prevFiles = files
       prevSchema = schemaJson
     }
-    currentVersion(root)
+    val cur = currentVersion(root)
+    val have = checkpointVersions(root).map(_._1).toSet
+    (checkpointInterval.toLong to cur by checkpointInterval.toLong)
+      .filterNot(have)
+      .foreach(v => checkpoint(spark, root, v))
+    cur
   }
 
-  private def metaDataAction(tableId: String, schemaJson: String): JsonNode = {
+  private def writeCommitFile(root: String, dv: Long,
+                              actions: Seq[JsonNode]): Unit = {
+    val body = actions.map(mapper.writeValueAsString).mkString("", "\n", "\n")
+    val tmp = logDir(root).resolve(commitName(dv) + ".__tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, logDir(root).resolve(commitName(dv)),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def metaDataAction(tableId: String, schemaJson: String,
+                             partitionCols: Seq[String]): JsonNode = {
     val n = mapper.createObjectNode()
     val m = n.putObject("metaData")
     m.put("id", tableId)
@@ -153,62 +215,243 @@ object DeltaLog {
     fmt.put("provider", "parquet")
     fmt.putObject("options")
     m.put("schemaString", schemaJson)
-    m.putArray("partitionColumns")
+    val pcs = m.putArray("partitionColumns")
+    partitionCols.foreach(pcs.add)
     m.putObject("configuration")
     n
+  }
+
+  // ------------------------------------------------------------------
+  // Checkpoints
+  // ------------------------------------------------------------------
+
+  /** Classic single-file checkpoint parquet columns (PROTOCOL.md:
+    * Checkpoints) — one row per action, the action in its column, nulls
+    * elsewhere. `remove` and `txn` are emitted as all-null columns so
+    * the file carries the canonical five-column shape external readers
+    * expect; state reconstruction needs no tombstones.
+    */
+  private val checkpointSchema = StructType(Seq(
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType, true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
+      StructField("tags", MapType(StringType, StringType, true))))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType, true))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType, true)),
+      StructField("createdTime", LongType)))),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType))))))
+
+  /** Write the parquet checkpoint for `version` (replayed state: one
+    * protocol row, one metaData row, one row per active file with
+    * `dataChange=false` — the checkpoint convention) plus the
+    * `_last_checkpoint` pointer `{"version":v,"size":n}`. Idempotent:
+    * an existing checkpoint for `version` is left untouched (the
+    * pointer still refreshes to the newest checkpoint present).
+    */
+  def checkpoint(spark: SparkSession, root: String, version: Long): Unit = {
+    val target = logDir(root).resolve(checkpointName(version))
+    if (!Files.exists(target)) {
+      val st = replay(spark, root, version)
+      val schemaJson = st.schema.map(_.json).getOrElse(
+        throw new IllegalStateException(
+          s"DeltaLog.checkpoint: no metaData in $root log at $version"))
+      val protoRow = Row(null, null, null, null,
+        Row(st.minReaderVersion, st.minWriterVersion))
+      val metaRow = Row(null, null, null,
+        Row(st.tableId, null, null, Row("parquet", Map.empty[String, String]),
+          schemaJson, st.partitionColumns, Map.empty[String, String], null),
+        null)
+      val addRows = st.files.map { case (path, pv) =>
+        Row(null,
+          Row(encodePath(path), pv, st.fileSizes.getOrElse(path, 0L),
+            st.fileModTimes.getOrElse(path, 0L), false, null, null),
+          null, null, null)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(protoRow, metaRow) ++ addRows, 1),
+        checkpointSchema)
+      val staging = Files.createTempDirectory("graft-delta-ckpt").toString
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = {
+        val s = Files.list(Paths.get(staging))
+        try s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"DeltaLog.checkpoint: no parquet produced in $staging"))
+        finally s.close()
+      }
+      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+    }
+    // _last_checkpoint is a HINT (readers discover by listing); keep it
+    // pointing at the newest checkpoint present.
+    val newest = checkpointVersions(root).map(_._1).max
+    val n = mapper.createObjectNode()
+    n.put("version", newest)
+    n.put("size", countCheckpointRows(spark, root, newest))
+    val tmp = logDir(root).resolve("_last_checkpoint.__tmp")
+    Files.write(tmp, mapper.writeValueAsString(n).getBytes("UTF-8"))
+    Files.move(tmp, logDir(root).resolve("_last_checkpoint"),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def countCheckpointRows(spark: SparkSession, root: String,
+                                  v: Long): Long = {
+    val files = checkpointVersions(root).find(_._1 == v).get._2
+    spark.read.parquet(files.map(_.toString): _*).count()
   }
 
   // ------------------------------------------------------------------
   // Reader: _delta_log → DataFrame
   // ------------------------------------------------------------------
 
-  /** Replayed log state at a version: declared schema (if any metaData
-    * was seen) and the active table-relative file paths in first-add
-    * order.
+  /** Replayed log state at a version: declared schema + partition
+    * columns (from `metaData`), protocol floor, table id, and the
+    * active table-relative file paths in activation order with their
+    * partition values (null map values = null partition value).
     */
-  private case class LogState(schema: Option[StructType], files: Seq[String])
+  private case class LogState(
+    schema: Option[StructType],
+    partitionColumns: Seq[String],
+    minReaderVersion: Int,
+    minWriterVersion: Int,
+    tableId: String,
+    files: Seq[(String, Map[String, String])],
+    fileSizes: Map[String, Long],
+    fileModTimes: Map[String, Long])
 
-  private def replay(root: String, upTo: Long): LogState = {
+  private def replay(spark: SparkSession, root: String,
+                     upTo: Long): LogState = {
     val present = versions(root)
-    require(present.nonEmpty, s"DeltaLog: no _delta_log at $root")
-    require(present.contains(upTo),
-      s"DeltaLog: version $upTo of $root does not exist (have ${present.mkString(",")})")
-    // A checkpointless log must be contiguous from 0 — a gap means a
-    // checkpoint-compacted prefix this reader doesn't consume.
-    val needed = 0L.to(upTo)
-    needed.foreach(v => require(present.contains(v),
-      s"DeltaLog: commit $v missing from $root — checkpointed logs unsupported"))
+    val cps = checkpointVersions(root)
+    val fromCp = cps.filter(_._1 <= upTo).lastOption
+    require(present.contains(upTo) || fromCp.exists(_._1 == upTo),
+      s"DeltaLog: version $upTo of $root does not exist " +
+        s"(have ${present.mkString(",")})")
     var schema: Option[StructType] = None
-    val active = new java.util.LinkedHashSet[String]()
-    needed.foreach { v =>
+    var partitionCols: Seq[String] = Seq.empty
+    var minReader = 1
+    var minWriter = 2
+    var tableId: String = null
+    val active = new java.util.LinkedHashMap[String, Map[String, String]]()
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
+    val mods = scala.collection.mutable.Map.empty[String, Long]
+
+    def applyMeta(id: String, ss: String, pcs: Seq[String]): Unit = {
+      if (id != null) tableId = id
+      partitionCols = pcs
+      if (ss != null)
+        schema = Some(DataType.fromJson(ss).asInstanceOf[StructType])
+    }
+
+    val replayFrom: Long = fromCp match {
+      case Some((cpv, cpFiles)) =>
+        // Checkpoint = full state at cpv: protocol + metaData + active
+        // adds (tombstone removes, if present, are irrelevant to reads).
+        val rows = spark.read.schema(checkpointSchema)
+          .parquet(cpFiles.map(_.toString): _*)
+          .collect()
+        rows.foreach { r =>
+          if (!r.isNullAt(4)) {
+            val p = r.getStruct(4)
+            minReader = p.getInt(0); minWriter = p.getInt(1)
+            require(minReader <= 1,
+              s"DeltaLog: minReaderVersion $minReader needs table features " +
+                "this reader lacks")
+          } else if (!r.isNullAt(3)) {
+            val m = r.getStruct(3)
+            val provider = m.getStruct(3).getString(0)
+            require(provider == "parquet",
+              s"DeltaLog: format provider '$provider' unsupported")
+            applyMeta(m.getString(0), m.getString(4),
+              Option(m.getSeq[String](5)).map(_.toSeq).getOrElse(Seq.empty))
+          } else if (!r.isNullAt(1)) {
+            val a = r.getStruct(1)
+            val path = decodePath(a.getString(0))
+            val pv = Option(a.getMap[String, String](1))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            active.put(path, pv)
+            if (!a.isNullAt(2)) sizes(path) = a.getLong(2)
+            if (!a.isNullAt(3)) mods(path) = a.getLong(3)
+          }
+          // txn / remove tombstones: not state for reads
+        }
+        cpv + 1
+      case None => 0L
+    }
+    // The JSON tail must be contiguous from the replay start — a gap
+    // below the newest checkpoint is fine (that's what the checkpoint
+    // is FOR); a gap above it means missing history.
+    (replayFrom to upTo).foreach(v => require(present.contains(v),
+      s"DeltaLog: commit $v missing from $root (newest usable checkpoint: " +
+        s"${fromCp.map(_._1).getOrElse(-1L)})"))
+    (replayFrom to upTo).foreach { v =>
       val lines = Files.readAllLines(logDir(root).resolve(commitName(v)))
         .asScala.filter(_.trim.nonEmpty)
       lines.foreach { line =>
         val node = mapper.readTree(line)
         if (node.has("protocol")) {
-          val mrv = node.get("protocol").path("minReaderVersion").asInt(1)
-          require(mrv <= 1,
-            s"DeltaLog: minReaderVersion $mrv needs table features this reader lacks")
+          minReader = node.get("protocol").path("minReaderVersion").asInt(1)
+          minWriter = node.get("protocol").path("minWriterVersion").asInt(2)
+          require(minReader <= 1,
+            s"DeltaLog: minReaderVersion $minReader needs table features " +
+              "this reader lacks")
         } else if (node.has("metaData")) {
           val md = node.get("metaData")
-          val pc = md.path("partitionColumns")
-          require(!pc.isArray || pc.size() == 0,
-            "DeltaLog: partitioned Delta tables unsupported")
           val provider = md.path("format").path("provider").asText("parquet")
           require(provider == "parquet",
             s"DeltaLog: format provider '$provider' unsupported")
-          val ss = md.path("schemaString").asText(null)
-          if (ss != null)
-            schema = Some(DataType.fromJson(ss).asInstanceOf[StructType])
+          val pc = md.path("partitionColumns")
+          val pcs =
+            if (pc.isArray) pc.elements().asScala.map(_.asText()).toSeq
+            else Seq.empty
+          applyMeta(md.path("id").asText(null),
+            md.path("schemaString").asText(null), pcs)
         } else if (node.has("add")) {
-          active.add(decodePath(node.get("add").path("path").asText()))
+          val a = node.get("add")
+          val path = decodePath(a.path("path").asText())
+          val pvNode = a.path("partitionValues")
+          val pv =
+            if (pvNode.isObject)
+              pvNode.properties().asScala
+                .map(e => e.getKey ->
+                  (if (e.getValue.isNull) null else e.getValue.asText()))
+                .toMap
+            else Map.empty[String, String]
+          active.put(path, pv)
+          if (a.path("size").isNumber) sizes(path) = a.path("size").asLong()
+          if (a.path("modificationTime").isNumber)
+            mods(path) = a.path("modificationTime").asLong()
         } else if (node.has("remove")) {
           active.remove(decodePath(node.get("remove").path("path").asText()))
         }
         // commitInfo / txn / cdc / domainMetadata: ignored by design
       }
     }
-    LogState(schema, active.iterator().asScala.toSeq)
+    LogState(schema, partitionCols, minReader, minWriter, tableId,
+      active.entrySet().iterator().asScala
+        .map(e => e.getKey -> e.getValue).toSeq,
+      sizes.toMap, mods.toMap)
   }
 
   /** Delta `path` fields are URL-encoded relative paths (PROTOCOL.md);
@@ -227,23 +470,58 @@ object DeltaLog {
     decoded
   }
 
+  /** Inverse of [[decodePath]]: percent-encode a table-relative path the
+    * way the protocol expects (spaces, '%', … escaped; '/', '=' kept).
+    */
+  private def encodePath(rel: String): String =
+    new java.net.URI(null, null, rel, null).getRawPath
+
   /** Read the table AT Delta commit `version`, via the Delta log alone
     * (the graft manifest is never consulted) — both the external-table
     * ingest path and the round-trip check that [[sync]]'s log means
     * what the manifest meant. The schema is pinned from the log's
     * `metaData`, so an empty active set still returns the declared
     * shape (and mixed-footer unions resolve the Delta way: declared
-    * schema wins).
+    * schema wins). For a PARTITIONED table, partition-column values
+    * come from each add's `partitionValues` and are attached as typed
+    * literals per partition — a filter on a partition column
+    * constant-folds to false on non-matching partitions and the
+    * optimizer drops their scans entirely (partition pruning; pinned
+    * by DeltaLogSpec via `inputFiles`).
     */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val st = replay(root, version)
+    val st = replay(spark, root, version)
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     if (st.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
+    else if (st.partitionColumns.isEmpty)
       spark.read.schema(schema)
-        .parquet(st.files.map(f => Paths.get(root, f).toString): _*)
+        .parquet(st.files.map(f => Paths.get(root, f._1).toString): _*)
+    else {
+      val pcSet = st.partitionColumns.toSet
+      val missing = pcSet.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"DeltaLog: partitionColumns $missing not in declared schema")
+      val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
+      val byPartition = st.files
+        .groupBy(f => st.partitionColumns.map(c => f._2.get(c).flatMap(Option(_))))
+      val parts = byPartition.toSeq.sortBy(_._1.mkString(" "))
+        .map { case (pvals, files) =>
+          val pvByCol = st.partitionColumns.zip(pvals).toMap
+          val withPv = spark.read.schema(dataSchema)
+            .parquet(files.map(f => Paths.get(root, f._1).toString): _*)
+          schema.fields.foldLeft(withPv) { (df, f) =>
+            if (!pcSet(f.name)) df
+            else df.withColumn(f.name,
+              pvByCol(f.name) match {
+                case Some(s) => lit(s).cast(f.dataType)
+                case None => lit(null).cast(f.dataType)
+              })
+          }.select(schema.fieldNames.map(col).toSeq: _*)
+        }
+      parts.reduce(_ unionByName _)
+    }
   }
 
   /** Read the current snapshot (highest Delta commit). */
@@ -253,6 +531,143 @@ object DeltaLog {
   /** Active table-relative files at `version` — the planning surface an
     * external integration scans (exposed for specs and manifests).
     */
-  def filesAt(root: String, version: Long): Seq[String] =
-    replay(root, version).files
+  def filesAt(spark: SparkSession, root: String, version: Long): Seq[String] =
+    replay(spark, root, version).files.map(_._1)
+
+  // ------------------------------------------------------------------
+  // Partitioned writer
+  // ------------------------------------------------------------------
+
+  /** Commit `df` to a PARTITIONED Delta table at `root` — hive-style
+    * `col=value` data paths (Spark's `partitionBy` writes them, special
+    * characters percent-escaped, nulls as `__HIVE_DEFAULT_PARTITION__`),
+    * one `add` per file with its partition values in `partitionValues`,
+    * `partitionColumns` declared in commit 0's `metaData`. `rewrite =
+    * true` emits `remove` for every currently-active file first (the
+    * INSERT OVERWRITE shape); `false` appends. Subsequent commits must
+    * keep the same schema and partitioning (schema evolution on a
+    * partitioned table is out of scope — fails loudly, never silently
+    * diverges). Returns the committed Delta version.
+    *
+    * Scale posture: the data write is an ordinary distributed
+    * `partitionBy` parquet write; everything else is one JSON line per
+    * file. The file move into the table root is a same-filesystem
+    * rename per file, and the commit point is the log file's atomic
+    * rename — a crash beforehand leaves unreferenced files invisible
+    * to readers.
+    */
+  def commitPartitioned(spark: SparkSession, root: String, df: DataFrame,
+                        partitionCols: Seq[String],
+                        rewrite: Boolean = false): Long = {
+    require(partitionCols.nonEmpty,
+      "DeltaLog.commitPartitioned: partitionCols must be non-empty " +
+        "(use Snapshots + sync for unpartitioned tables)")
+    require(partitionCols.forall(df.columns.contains),
+      s"DeltaLog.commitPartitioned: $partitionCols not all in ${df.columns.toSeq}")
+    val v = currentVersion(root) + 1
+    val prior =
+      if (v == 0L) None
+      else Some(replay(spark, root, v - 1))
+    prior.foreach { st =>
+      require(st.partitionColumns == partitionCols,
+        s"DeltaLog.commitPartitioned: table is partitioned by " +
+          s"${st.partitionColumns}, got $partitionCols")
+      require(st.schema.forall(_.json == df.schema.json),
+        "DeltaLog.commitPartitioned: schema change on a partitioned " +
+          "table is unsupported — rewrite to a new root")
+    }
+    val staging = Files.createTempDirectory("graft-delta-part").toString
+    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(staging)
+    // Move each data file into the table root under its partition path.
+    val moved = Seq.newBuilder[(String, Map[String, String])]
+    val stagingPath = Paths.get(staging)
+    val walk = Files.walk(stagingPath)
+    val dataFiles =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p)
+          && p.getFileName.toString.endsWith(".parquet"))
+        .toSeq
+      finally walk.close()
+    dataFiles.foreach { p =>
+      val rel = stagingPath.relativize(p).toString
+        .replace(java.io.File.separatorChar, '/')
+      val target = Paths.get(root, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      moved += rel -> partitionValuesOf(rel, partitionCols)
+    }
+    val added = moved.result()
+    require(added.nonEmpty,
+      s"DeltaLog.commitPartitioned: write produced no parquet files")
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      ("graft-delta:" + root).getBytes("UTF-8")).toString
+    Files.createDirectories(logDir(root))
+    val actions = Seq.newBuilder[JsonNode]
+    if (v == 0L) {
+      val protocol = mapper.createObjectNode()
+      val p = protocol.putObject("protocol")
+      p.put("minReaderVersion", 1)
+      p.put("minWriterVersion", 2)
+      actions += protocol
+      actions += metaDataAction(tableId, df.schema.json, partitionCols)
+    }
+    if (rewrite) prior.foreach(_.files.foreach { case (path, _) =>
+      val n = mapper.createObjectNode()
+      val r = n.putObject("remove")
+      r.put("path", encodePath(path))
+      r.put("deletionTimestamp", System.currentTimeMillis())
+      r.put("dataChange", true)
+      actions += n
+    })
+    added.foreach { case (rel, pv) =>
+      val fp = Paths.get(root, rel)
+      val n = mapper.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", encodePath(rel))
+      val pvo = a.putObject("partitionValues")
+      pv.foreach { case (k, sv) =>
+        if (sv == null) pvo.putNull(k) else pvo.put(k, sv)
+      }
+      a.put("size", Files.size(fp))
+      a.put("modificationTime", Files.getLastModifiedTime(fp).toMillis)
+      a.put("dataChange", true)
+      actions += n
+    }
+    writeCommitFile(root, v, actions.result())
+    v
+  }
+
+  /** Parse `col=value` segments of a hive-laid-out relative path into
+    * the add's `partitionValues`: hive percent-escapes decode,
+    * `__HIVE_DEFAULT_PARTITION__` means null.
+    */
+  private def partitionValuesOf(rel: String,
+                                partitionCols: Seq[String]): Map[String, String] = {
+    val segs = rel.split('/').dropRight(1)
+    require(segs.length == partitionCols.length
+      && segs.zip(partitionCols).forall { case (s, c) =>
+        s.startsWith(c + "=") },
+      s"DeltaLog: path '$rel' does not match partitioning $partitionCols")
+    segs.zip(partitionCols).map { case (s, c) =>
+      val raw = s.drop(c.length + 1)
+      val dec = unescapeHive(raw)
+      c -> (if (dec == "__HIVE_DEFAULT_PARTITION__") null else dec)
+    }.toMap
+  }
+
+  /** Hive path unescape: ONLY %XX sequences (hive's escapePathName never
+    * writes '+'; URLDecoder would corrupt a literal '+' to a space).
+    */
+  private def unescapeHive(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }

@@ -105,7 +105,7 @@ class DeltaLogSpec extends SparkSpec {
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = Files.list(Paths.get(tmp)).iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet")).get
-    Files.createDirectories(Paths.get(root))
+    Files.createDirectories(Paths.get(root, name).getParent)
     Files.move(part, Paths.get(root, name), StandardCopyOption.REPLACE_EXISTING)
   }
 
@@ -141,7 +141,8 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.currentVersion(root) == 1L)
     assert(rows(DeltaLog.readAt(spark, root, 0L)) == Set((1L, "a"), (2L, "b")))
     assert(rows(DeltaLog.read(spark, root)) == Set((2L, "b"), (3L, "c")))
-    assert(DeltaLog.filesAt(root, 1L) == Seq("part b.parquet", "part-c.parquet"))
+    assert(DeltaLog.filesAt(spark, root, 1L) ==
+      Seq("part b.parquet", "part-c.parquet"))
   }
 
   test("empty active set returns the declared schema with zero rows") {
@@ -158,18 +159,12 @@ class DeltaLogSpec extends SparkSpec {
     assert(df.count() == 0L)
   }
 
-  test("refuses what it cannot honor: features, partitions, gaps, absolutes") {
+  test("refuses what it cannot honor: features, gaps, absolutes") {
     val root = freshRoot()
     writeCommit(root, 0L, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""))
     val e1 = intercept[IllegalArgumentException](DeltaLog.read(spark, root))
     assert(e1.getMessage.contains("minReaderVersion"))
-
-    val root2 = freshRoot()
-    writeCommit(root2, 0L, Seq(
-      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"${extSchema.replace("\"", "\\\"")}","partitionColumns":["k"],"configuration":{}}}"""))
-    val e2 = intercept[IllegalArgumentException](DeltaLog.read(spark, root2))
-    assert(e2.getMessage.contains("partitioned"))
 
     val root3 = freshRoot()
     writeCommit(root3, 0L, Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""))
@@ -182,5 +177,175 @@ class DeltaLogSpec extends SparkSpec {
       """{"add":{"path":"/abs/p.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val e4 = intercept[IllegalArgumentException](DeltaLog.read(spark, root4))
     assert(e4.getMessage.contains("unsupported"))
+  }
+
+  // ----- checkpoints -----
+
+  test("sync writes a checkpoint every interval commits + _last_checkpoint; " +
+    "reader survives a compacted JSON prefix") {
+    val root = freshRoot()
+    (1 to 5).foreach { i =>
+      Snapshots.commitAppend(root)(tmp =>
+        Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    }
+    DeltaLog.sync(spark, root, checkpointInterval = 2)
+    // Delta versions 0..4; checkpoints due at 2 and 4.
+    assert(DeltaLog.checkpointVersions(root).map(_._1) == Seq(2L, 4L))
+    val lc = Files.readAllLines(
+      Paths.get(root, "_delta_log", "_last_checkpoint")).asScala.mkString
+    assert(lc.contains("\"version\":4"), lc)
+    val full = rows(DeltaLog.read(spark, root))
+    assert(full == (1 to 5).map(i => (i.toLong, s"v$i")).toSet)
+    // Simulate a checkpoint-compacted log: delete JSON commits 0..3.
+    (0L to 3L).foreach(v => Files.delete(
+      Paths.get(root, "_delta_log", f"$v%020d.json")))
+    assert(rows(DeltaLog.read(spark, root)) == full,
+      "replay must start from the newest checkpoint, not refuse")
+    // Time travel to the checkpointed version itself also works...
+    assert(rows(DeltaLog.readAt(spark, root, 4L)) ==
+      (1 to 5).map(i => (i.toLong, s"v$i")).toSet)
+    // ...but a version BELOW every usable start is a loud refusal.
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.readAt(spark, root, 1L))
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    // Idempotent re-sync after compaction must not rewrite history.
+    DeltaLog.sync(spark, root, checkpointInterval = 2)
+    assert(rows(DeltaLog.read(spark, root)) == full)
+  }
+
+  test("reads an externally-authored checkpoint (hand-written parquet + tail commit)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
+    writeFlat(root, "part-b.parquet", Seq((2L, "b")).toDF("k", "v"))
+    writeFlat(root, "part-c.parquet", Seq((3L, "c")).toDF("k", "v"))
+    // Checkpoint at version 1 (covering adds a+b), authored directly with
+    // an EXTRA struct field (stats) and a remove tombstone — both must be
+    // tolerated. No JSON commits 0/1 exist: compacted away.
+    val cpSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType))))))
+    val ext = extSchema
+    val cpRows = Seq(
+      Row(null, null, null, Row(1, 2)),
+      Row(null, null,
+        Row("ext-9", Row("parquet", Map.empty[String, String]), ext,
+          Seq.empty[String], Map.empty[String, String]), null),
+      Row(Row("part-a.parquet", Map.empty[String, String], 1L, 1L, false,
+        """{"numRecords":1}"""), null, null, null),
+      Row(Row("part-b.parquet", Map.empty[String, String], 1L, 1L, false,
+        null), null, null, null),
+      Row(null, Row("gone.parquet", 1L, false), null, null))
+    val tmp = Files.createTempDirectory("cp-ext").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(cpRows, 1), cpSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    Files.move(part,
+      Paths.get(root, "_delta_log", f"${1L}%020d.checkpoint.parquet"))
+    // JSON tail: commit 2 retires a, adds c.
+    writeCommit(root, 2L, Seq(
+      """{"remove":{"path":"part-a.parquet","deletionTimestamp":2,"dataChange":true}}""",
+      """{"add":{"path":"part-c.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    assert(rows(DeltaLog.readAt(spark, root, 1L)) ==
+      Set((1L, "a"), (2L, "b")))
+    assert(rows(DeltaLog.read(spark, root)) == Set((2L, "b"), (3L, "c")))
+  }
+
+  // ----- partitioned tables -----
+
+  private def partRows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String)] =
+    df.select(col("k"), col("v"), col("p")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+
+  test("partitioned writer/reader round-trip: hive paths, partitionValues, " +
+    "null + escaped values, append and rewrite") {
+    val root = freshRoot()
+    val d1 = Seq((1L, "a", "x"), (2L, "b", "y y"), (3L, "c", null))
+      .toDF("k", "v", "p")
+    val v0 = DeltaLog.commitPartitioned(spark, root, d1, Seq("p"))
+    assert(v0 == 0L)
+    assert(partRows(DeltaLog.read(spark, root)) ==
+      Set((1L, "a", "x"), (2L, "b", "y y"), (3L, "c", null)))
+    // add paths are hive-style col=value
+    assert(DeltaLog.filesAt(spark, root, 0L).forall(_.startsWith("p=")),
+      DeltaLog.filesAt(spark, root, 0L).mkString("|"))
+    // append keeps prior files active
+    DeltaLog.commitPartitioned(spark, root, Seq((4L, "d", "x"))
+      .toDF("k", "v", "p"), Seq("p"))
+    assert(partRows(DeltaLog.read(spark, root)) ==
+      Set((1L, "a", "x"), (2L, "b", "y y"), (3L, "c", null), (4L, "d", "x")))
+    // rewrite retires everything first
+    DeltaLog.commitPartitioned(spark, root, Seq((9L, "z", "w"))
+      .toDF("k", "v", "p"), Seq("p"), rewrite = true)
+    assert(partRows(DeltaLog.read(spark, root)) == Set((9L, "z", "w")))
+    // time travel still sees the pre-rewrite state
+    assert(partRows(DeltaLog.readAt(spark, root, 1L)).size == 4)
+    // partitioning is pinned: wrong partition cols refuse
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.commitPartitioned(spark, root, d1, Seq("v")))
+    assert(e.getMessage.contains("partitioned by"))
+  }
+
+  test("partition pruning: a filter on the partition column drops other " +
+    "partitions' scans from the plan") {
+    val root = freshRoot()
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+        .toDF("k", "v", "p"), Seq("p"))
+    val pruned = DeltaLog.read(spark, root).filter(col("p") === "y")
+    // The non-matching partitions' literal p constant-folds the filter
+    // to false and the optimizer drops those scans entirely.
+    val files = pruned.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("p=y")),
+      files.mkString("|"))
+    assert(partRows(pruned) == Set((2L, "b", "y")))
+  }
+
+  test("reads an externally-written partitioned log with typed partition values") {
+    val root = freshRoot()
+    // data files carry ONLY the data column; the partition column d
+    // (a DATE) lives in partitionValues, per the protocol.
+    writeFlat(root, "d=2024-01-01/f1.parquet", Seq(Tuple1(1L)).toDF("k"))
+    writeFlat(root, "d=2024-01-02/f2.parquet", Seq(Tuple1(2L)).toDF("k"))
+    val pSchema =
+      """{"type":"struct","fields":[
+        {"name":"k","type":"long","nullable":true,"metadata":{}},
+        {"name":"d","type":"date","nullable":true,"metadata":{}}]}"""
+        .replaceAll("\n\\s*", "")
+    writeCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"${pSchema.replace("\"", "\\\"")}","partitionColumns":["d"],"configuration":{}}}""",
+      """{"add":{"path":"d=2024-01-01/f1.parquet","partitionValues":{"d":"2024-01-01"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"d=2024-01-02/f2.parquet","partitionValues":{"d":"2024-01-02"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val df = DeltaLog.read(spark, root)
+    assert(df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq(("k", "bigint"), ("d", "date")))
+    val got = df.collect().map(r => (r.getLong(0), r.getDate(1).toString)).toSet
+    assert(got == Set((1L, "2024-01-01"), (2L, "2024-01-02")))
   }
 }
