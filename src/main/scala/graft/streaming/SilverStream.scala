@@ -69,15 +69,32 @@ object SilverStream {
     * incremental's 2 h lookback contract (fct_sales_minute.sql:35-40).
     * Append mode: a bucket emits once its window is older than the
     * watermark, i.e. results are final.
+    *
+    * `dedupCols` (e.g. the event id) turns on
+    * `dropDuplicatesWithinWatermark` BEFORE the aggregation: an
+    * at-least-once source redelivering an event inside the lateness
+    * horizon no longer double-counts its bucket, so the emitted buckets
+    * equal the batch gold over the DELIVERED RECORD SET — not the
+    * delivery attempts (SilverStreamSpec pins stream ≡ batch
+    * bucket-for-bucket under shuffled + duplicated + late delivery).
+    * Dedup state expires with the watermark: bounded by the horizon's
+    * arrival rate, never by history.
     */
   def goldSalesMinuteStream(events: DataFrame,
-                            lateness: String = "2 hours"): DataFrame =
-    events
+                            lateness: String = "2 hours",
+                            dedupCols: Seq[String] = Nil): DataFrame = {
+    val admitted = events
       .filter(col("event_type") === "purchase" && col("event_ts").isNotNull)
       .withWatermark("event_ts", lateness)
+    val deduped =
+      if (dedupCols.isEmpty) admitted
+      else admitted.dropDuplicatesWithinWatermark(dedupCols.head,
+        dedupCols.tail: _*)
+    deduped
       .groupBy(window(col("event_ts"), "1 minute").as("w"))
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("gmv"),
            count(lit(1)).as("paid_orders"))
       .select(unix_micros(col("w.start")).as("minute_bucket_us"),
         col("gmv"), col("paid_orders"))
+  }
 }

@@ -166,4 +166,44 @@ class SilverStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     assert(stream == batch, s"stream $stream vs batch $batch")
   }
+
+  test("watermarked gold ≡ batch gold bucket-for-bucket under shuffled, " +
+    "DUPLICATED and late delivery (dedup within watermark)") {
+    import spark.implicits._
+    // The delivered record SET (what the batch gold sees, one row per
+    // event id); minutes spread over an hour so late arrivals stay
+    // inside the 2 h horizon.
+    val records = (0 until 40).map { i =>
+      ev(i.toLong, if (i % 5 == 0) "view" else "purchase",
+        (i % 7) + 0.25, f"2024-01-01 01:${i % 60}%02d:${(i * 13) % 60}%02d")
+    }
+    val batch = Medallion.salesMinute(records.toDF()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    // Delivery ATTEMPTS: every record delivered once in a shuffled
+    // order, a third of them redelivered later (at-least-once), some
+    // out of minute order — the kafka reality the reference ingests.
+    val rnd = new scala.util.Random(42)
+    val firstPass = rnd.shuffle(records)
+    val redelivered = records.filter(_.event_id % 3 == 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = SilverStream.goldSalesMinuteStream(input.toDF(),
+        lateness = "2 hours", dedupCols = Seq("event_id"))
+      .writeStream.format("memory").queryName("gold_dup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    firstPass.grouped(15).foreach { c =>
+      input.addData(c.toSeq); q.processAllAvailable()
+    }
+    input.addData(redelivered); q.processAllAvailable()
+    // advance event time beyond every bucket + horizon to close windows
+    input.addData(Seq(ev(999, "purchase", 1.0, "2024-01-02 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("gold_dup")
+      .filter(col("minute_bucket_us") <
+        Timestamp.valueOf("2024-01-02 00:00:00").getTime * 1000L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(stream == batch,
+      s"duplicated delivery diverged: stream $stream vs batch $batch")
+  }
 }
