@@ -104,6 +104,24 @@ object ScaleProbe {
       "weighted_jaccard" -> { k =>
         TextDedup.weightedJaccardPairs(docs(k), "doc_id", "text",
           shingleN = 3, threshold = 0.3)
+      },
+      // r15 newcomers: hyperball shuffles edges·2^p per round (never
+      // quadratic — expect the bfs/pagerank exponent class); the
+      // bucketed-join point times the WHOLE write-then-join pipeline
+      // (two clustering writes + exchange-free join), both ~linear.
+      "hyperball" -> { k =>
+        graft.graphs.HyperBall.neighborhoodSizes(edges(k), rounds = 2)
+      },
+      "bucketed_join" -> { k =>
+        import org.apache.spark.sql.functions.{count, lit}
+        val deg = edges(k).groupBy("src")
+          .agg(count(lit(1)).as("deg"))
+        graft.lake.Bucketing.writeBucketed(edges(k), s"probe_bkt_e$k",
+          s"$tmp/bktA$k", "src", 16)
+        graft.lake.Bucketing.writeBucketed(deg, s"probe_bkt_d$k",
+          s"$tmp/bktB$k", "src", 16)
+        graft.lake.Bucketing.bucketedJoin(spark,
+          s"probe_bkt_e$k", s"probe_bkt_d$k", "src")
       })
 
     val results = ops.map { case (name, build) =>

@@ -198,6 +198,73 @@ class ScaleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("hyperball growth law: node rows scale exactly xk, sketch mass within " +
+    "HLL tolerance of xk") {
+    val k = 3
+    val e1 = ScaledFixtures.scaledEdges(spark, sfDir, 1, s"$tmpBase/hb-edges1")
+    val ek = ScaledFixtures.scaledEdges(spark, sfDir, k, s"$tmpBase/hb-edges$k")
+    val b = graft.graphs.HyperBall.neighborhoodSizes(e1, rounds = 2)
+      .agg(count(lit(1)), sum(col("est_reachable"))).head()
+    val g = graft.graphs.HyperBall.neighborhoodSizes(ek, rounds = 2)
+      .agg(count(lit(1)), sum(col("est_reachable"))).head()
+    // components are disjoint, so the node universe scales exactly xk
+    assert(g.getLong(0) == k * b.getLong(0), s"hyperball nodes: $b vs $g")
+    // estimates are NOT offset-replicated (registers hash node IDS, and
+    // each copy's ids differ). Per-copy errors are also strongly
+    // CORRELATED across nodes (balls overlap, all nodes share the hash
+    // functions), so the summed mass carries the per-copy HLL sigma
+    // (~26% at p=4) damped only by sqrt(k) — the observed fixture ratio
+    // is 1.18, deterministic. The law worth pinning: ratio stays in the
+    // estimator-noise band, nowhere near the ratio≈k (=3) a
+    // balls-crossing-copies bug would produce.
+    val ratio = g.getLong(1).toDouble / (k.toDouble * b.getLong(1))
+    assert(ratio > 0.6 && ratio < 1.5, s"hyperball mass ratio $ratio")
+    spark.catalog.clearCache()
+  }
+
+  test("bucketed join growth law: join rows scale exactly xk and the plan " +
+    "stays exchange-free at every k") {
+    val e1 = ScaledFixtures.scaledEdges(spark, sfDir, 1, s"$tmpBase/bkt-edges1")
+    val e3 = ScaledFixtures.scaledEdges(spark, sfDir, 3, s"$tmpBase/bkt-edges3")
+    def joined(k: Int, e: org.apache.spark.sql.DataFrame) = {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      graft.lake.Bucketing.writeBucketed(e, s"scale_bkt_e$k",
+        s"$tmpBase/bktA$k", "src", 8)
+      graft.lake.Bucketing.writeBucketed(deg, s"scale_bkt_d$k",
+        s"$tmpBase/bktB$k", "src", 8)
+      graft.lake.Bucketing.bucketedJoin(spark,
+        s"scale_bkt_e$k", s"scale_bkt_d$k", "src")
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast off: the contract is shuffle-freedom from LAYOUT, not
+      // from the tiny fixture fitting in a broadcast (BucketingSpec's
+      // posture)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j1 = joined(1, e1); val j3 = joined(3, e3)
+      // each edge row matches exactly its src's one degree row, and
+      // copies are disjoint: join cardinality scales exactly xk
+      val n1 = j1.count(); val n3 = j3.count()
+      assert(n1 == e1.count() && n3 == 3L * n1,
+        s"bucketed join rows: $n1 -> $n3")
+      // co-location is a LAYOUT property, so the exchange-free plan must
+      // be scale-independent — the one-time clustering write, amortized
+      // over every later join, is the whole point at 100 TB
+      Seq(1 -> j1, 3 -> j3).foreach { case (k, j) =>
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed join at x$k plans an exchange:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq(1, 3).foreach { k =>
+        spark.sql(s"DROP TABLE IF EXISTS scale_bkt_e$k")
+        spark.sql(s"DROP TABLE IF EXISTS scale_bkt_d$k")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("no plan degradation at 20x: no cartesian product, no global sort") {
     val d20 = docsAt(20)
     val e20 = ScaledFixtures.scaledEmbeddings(spark, sfDir, 20, s"$tmpBase/emb20")
