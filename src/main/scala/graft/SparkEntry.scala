@@ -2107,6 +2107,31 @@ object SparkEntry {
       graft.lake.DeltaLog.read(s, root)
         .filter(col("event_type").isin("purchase", "view"))
     }),
+    // Strongly connected components (FW-BW coloring fixpoint) over the
+    // directed part-succession graph: within each order, the part on
+    // line i points at the part on line i+1; restricted to partkeys
+    // <= 500 so the gate graph is a fixed 500-node universe at every
+    // SF. The oracle is the brute-force recursive-CTE closure with
+    // mutual-reachability grouping — cycle structure CC cannot see.
+    "q248_scc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // l_linenumber is NOT unique per order in this testdata — the
+      // (linenumber, partkey, suppkey) triple is the unique tiebreaker
+      // (the standing window rule; without it the edge SET itself is
+      // nondeterministic and no oracle can match).
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber").asc, col("l_partkey").asc,
+          col("l_suppkey").asc)
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+        .withColumn("__next", lead(col("l_partkey"), 1).over(w))
+        .filter(col("__next").isNotNull &&
+          col("l_partkey") <= 500 && col("__next") <= 500 &&
+          col("l_partkey") =!= col("__next"))
+        .select(col("l_partkey").as("src"), col("__next").as("dst"))
+      graft.graphs.Scc.run(edges)
+    }),
     "q245_ks_test" -> ((s, d) =>
       graft.ml.Eval.ksTest(
         Tables.events(s, d)
@@ -3155,6 +3180,34 @@ object SparkEntry {
     "q247_delta_partitioned_read" ->
       """SELECT event_id, value, event_type
          FROM events WHERE event_type IN ('purchase', 'view')""",
+    // q248: brute-force SCC — transitive closure by recursive CTE,
+    // mutual-reachability pairs, scc_id = min mutually-reachable id
+    // (self included).
+    "q248_scc" ->
+      """WITH RECURSIVE e AS (
+           SELECT src, dst FROM (
+             SELECT l_partkey AS src,
+               lead(l_partkey, 1) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+             FROM lineitem)
+           WHERE dst IS NOT NULL AND src <= 500 AND dst <= 500
+             AND src <> dst
+           GROUP BY 1, 2),
+         reach AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         reach_m AS MATERIALIZED (SELECT src, dst FROM reach),
+         nodes AS (SELECT src AS node FROM e
+                   UNION SELECT dst AS node FROM e),
+         mutual AS (
+           SELECT a.src AS u, a.dst AS v
+           FROM reach_m a JOIN reach_m b
+             ON a.src = b.dst AND a.dst = b.src)
+         SELECT n.node,
+           LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
+         FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+         GROUP BY n.node""",
     // q245: value-grain cumulative counts, HUGEINT cross-multiplied
     // max-diff, (diff desc, value) pick.
     "q245_ks_test" ->
