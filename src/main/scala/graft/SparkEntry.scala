@@ -2113,6 +2113,41 @@ object SparkEntry {
     // <= 500 so the gate graph is a fixed 500-node universe at every
     // SF. The oracle is the brute-force recursive-CTE closure with
     // mutual-reachability grouping — cycle structure CC cannot see.
+    // Incremental JOIN-view maintenance (the delta rule): three
+    // MISALIGNED batch pairs of orders/lineitem folded through
+    // JoinView.advance must equal the one-shot join — every cross term
+    // (dA x B_old, A_old x dB, dA x dB) fires in some fold step.
+    "q249_incremental_join_view" -> ((s, d) => {
+      val a = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"),
+          col("l_quantity"))
+      def aB(i: Int) =
+        a.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) === i)
+      def bB(i: Int) =
+        b.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) === i)
+      val ks = Seq("o_orderkey")
+      val st0 = graft.pipeline.JoinView.init(aB(0), bB(1), ks)
+      val st1 = graft.pipeline.JoinView.advance(st0, aB(1), bB(2), ks)
+      graft.pipeline.JoinView.advance(st1, aB(2), bB(0), ks).view
+    }),
+    // Partitioned-Delta OPTIMIZE: three partitioned appends (multiple
+    // files per event_type), one compaction commit (dataChange=false),
+    // then the log read — the oracle is the whole table, so compaction
+    // changing ANY row would fail the gate.
+    "q250_delta_compacted_read" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("value"), col("event_type"))
+      val root = freshScratch("q250")
+      (0 until 3).foreach { i =>
+        graft.lake.DeltaLog.commitPartitioned(s, root,
+          ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === i),
+          Seq("event_type"))
+      }
+      graft.lake.DeltaLog.compactPartitioned(s, root)
+      graft.lake.DeltaLog.read(s, root)
+    }),
     "q248_scc" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       // l_linenumber is NOT unique per order in this testdata — the
@@ -3180,6 +3215,13 @@ object SparkEntry {
     "q247_delta_partitioned_read" ->
       """SELECT event_id, value, event_type
          FROM events WHERE event_type IN ('purchase', 'view')""",
+    // q249: the one-shot join the delta-rule fold must equal.
+    "q249_incremental_join_view" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, l_partkey, l_quantity
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+    // q250: compaction must preserve the whole table.
+    "q250_delta_compacted_read" ->
+      """SELECT event_id, value, event_type FROM events""",
     // q248: brute-force SCC — transitive closure by recursive CTE,
     // mutual-reachability pairs, scc_id = min mutually-reachable id
     // (self included).

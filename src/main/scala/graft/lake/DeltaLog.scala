@@ -637,6 +637,99 @@ object DeltaLog {
     v
   }
 
+  /** OPTIMIZE for a partitioned Delta table: every partition holding
+    * more than one active file is rewritten as ONE file, committed as
+    * `remove` + `add` actions with `dataChange = false` — the
+    * protocol's compaction idiom (readers know no rows changed, so
+    * streaming consumers skip the commit). Partitions already at one
+    * file are untouched; if nothing needs compacting no commit is
+    * written. Returns the table's version afterwards.
+    *
+    * Scale posture: one partition-local read+rewrite per fat
+    * partition — file-count work, no shuffle, no cross-partition data
+    * movement; the commit is one JSON line per touched file.
+    * (Unpartitioned [[Snapshots]] tables compact through their own
+    * OPTIMIZE; this is the partitioned-layout sibling.)
+    */
+  def compactPartitioned(spark: SparkSession, root: String): Long = {
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    require(st.partitionColumns.nonEmpty,
+      "DeltaLog.compactPartitioned: table is not partitioned " +
+        "(use Snapshots OPTIMIZE for flat tables)")
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog.compactPartitioned: no metaData in $root log"))
+    val pcSet = st.partitionColumns.toSet
+    val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
+    val fat = st.files.groupBy(_._2).filter(_._2.size > 1)
+    if (fat.isEmpty) return v
+    val actions = Seq.newBuilder[JsonNode]
+    fat.toSeq.sortBy(_._2.head._1).foreach { case (pv, files) =>
+      val rels = files.map(_._1)
+      val merged = spark.read.schema(dataSchema)
+        .parquet(rels.map(f => Paths.get(root, f).toString): _*)
+      val staging = Files.createTempDirectory("graft-delta-compact").toString
+      merged.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = {
+        val s = Files.list(Paths.get(staging))
+        try s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"DeltaLog.compactPartitioned: no parquet in $staging"))
+        finally s.close()
+      }
+      // land the compacted file beside the ones it replaces
+      val dir = Paths.get(root, rels.head).getParent
+      val target = dir.resolve(part.getFileName)
+      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+      val newRel = Paths.get(root).relativize(target).toString
+        .replace(java.io.File.separatorChar, '/')
+      rels.foreach { f =>
+        val n = mapper.createObjectNode()
+        val r = n.putObject("remove")
+        r.put("path", encodePath(f))
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", false)
+        actions += n
+      }
+      val n = mapper.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", encodePath(newRel))
+      val pvo = a.putObject("partitionValues")
+      pv.foreach { case (k, sv) =>
+        if (sv == null) pvo.putNull(k) else pvo.put(k, sv)
+      }
+      a.put("size", Files.size(target))
+      a.put("modificationTime", Files.getLastModifiedTime(target).toMillis)
+      a.put("dataChange", false)
+      actions += n
+    }
+    writeCommitFile(root, v + 1, actions.result())
+    v + 1
+  }
+
+  /** Delta-style timestamp time travel: the version whose commit file
+    * is the newest one modified at or before `tsMillis` (Delta resolves
+    * timestamps from commit-file modification times). JSON commits
+    * only — a checkpoint-compacted prefix has no commit files left to
+    * date, matching Delta's own behavior of refusing timestamps older
+    * than the retained history.
+    */
+  def versionAsOf(root: String, tsMillis: Long): Long = {
+    val vs = versions(root).filter { v =>
+      Files.getLastModifiedTime(logDir(root).resolve(commitName(v)))
+        .toMillis <= tsMillis
+    }
+    require(vs.nonEmpty,
+      s"DeltaLog: no commit at or before $tsMillis in $root " +
+        "(older than retained history, or table is newer)")
+    vs.max
+  }
+
+  /** Read the table as of a wall-clock timestamp (millis). */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    readAt(spark, root, versionAsOf(root, tsMillis))
+
   /** Parse `col=value` segments of a hive-laid-out relative path into
     * the add's `partitionValues`: hive percent-escapes decode,
     * `__HIVE_DEFAULT_PARTITION__` means null.

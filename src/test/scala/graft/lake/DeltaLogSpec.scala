@@ -326,6 +326,78 @@ class DeltaLogSpec extends SparkSpec {
     assert(partRows(pruned) == Set((2L, "b", "y")))
   }
 
+  test("compactPartitioned: fat partitions collapse to one file with " +
+    "dataChange=false; rows and time travel intact") {
+    val root = freshRoot()
+    // three appends land multiple files in partitions x and y
+    (1 to 3).foreach { i =>
+      DeltaLog.commitPartitioned(spark, root,
+        Seq((i.toLong, s"a$i", "x"), (i.toLong + 10, s"b$i", "y"))
+          .toDF("k", "v", "p"), Seq("p"))
+    }
+    val before = partRows(DeltaLog.read(spark, root))
+    val preVersion = DeltaLog.currentVersion(root)
+    val filesBefore = DeltaLog.filesAt(spark, root, preVersion)
+    assert(filesBefore.count(_.startsWith("p=x/")) == 3, filesBefore)
+    val v = DeltaLog.compactPartitioned(spark, root)
+    assert(v == preVersion + 1)
+    val filesAfter = DeltaLog.filesAt(spark, root, v)
+    assert(filesAfter.count(_.startsWith("p=x/")) == 1, filesAfter)
+    assert(filesAfter.count(_.startsWith("p=y/")) == 1, filesAfter)
+    assert(partRows(DeltaLog.read(spark, root)) == before,
+      "compaction must not change rows")
+    // protocol idiom: the compaction commit carries dataChange=false
+    val lines = commitLines(root, v)
+    assert(lines.forall(_.contains("\"dataChange\":false")), lines.mkString("|"))
+    // pre-compaction version still time travels
+    assert(partRows(DeltaLog.readAt(spark, root, preVersion)) == before)
+    // idempotent: nothing fat left, no new commit
+    assert(DeltaLog.compactPartitioned(spark, root) == v)
+  }
+
+  test("versionAsOf resolves by commit mtime; refuses pre-history timestamps") {
+    import java.nio.file.attribute.FileTime
+    val root = freshRoot()
+    (1 to 3).foreach { i =>
+      Snapshots.commitAppend(root)(tmp =>
+        Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    }
+    DeltaLog.sync(spark, root)
+    // pin commit mtimes to known instants
+    Seq(0L -> 1000000L, 1L -> 2000000L, 2L -> 3000000L).foreach { case (v, t) =>
+      Files.setLastModifiedTime(
+        Paths.get(root, "_delta_log", f"$v%020d.json"), FileTime.fromMillis(t))
+    }
+    assert(DeltaLog.versionAsOf(root, 1000000L) == 0L)
+    assert(DeltaLog.versionAsOf(root, 2500000L) == 1L)
+    assert(DeltaLog.versionAsOf(root, 9999999L) == 2L)
+    assert(rows(DeltaLog.readAsOf(spark, root, 2500000L)) ==
+      Set((1L, "v1"), (2L, "v2")))
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.versionAsOf(root, 999999L))
+    assert(e.getMessage.contains("older than retained history"), e.getMessage)
+  }
+
+  test("checkpoint of a PARTITIONED table round-trips partitionValues " +
+    "and keeps pruning after JSON compaction") {
+    val root = freshRoot()
+    (1 to 3).foreach { i =>
+      DeltaLog.commitPartitioned(spark, root,
+        Seq((i.toLong, s"a$i", "x"), (i.toLong + 10, s"b$i", "y"))
+          .toDF("k", "v", "p"), Seq("p"))
+    }
+    DeltaLog.checkpoint(spark, root, 2L)
+    val full = partRows(DeltaLog.read(spark, root))
+    (0L to 1L).foreach(v => Files.delete(
+      Paths.get(root, "_delta_log", f"$v%020d.json")))
+    assert(partRows(DeltaLog.read(spark, root)) == full,
+      "partitioned replay from checkpoint diverged")
+    val pruned = DeltaLog.read(spark, root).filter(col("p") === "x")
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("p=x")),
+      pruned.inputFiles.mkString("|"))
+  }
+
   test("reads an externally-written partitioned log with typed partition values") {
     val root = freshRoot()
     // data files carry ONLY the data column; the partition column d
