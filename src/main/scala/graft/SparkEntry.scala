@@ -2113,6 +2113,38 @@ object SparkEntry {
     // <= 500 so the gate graph is a fixed 500-node universe at every
     // SF. The oracle is the brute-force recursive-CTE closure with
     // mutual-reachability grouping — cycle structure CC cannot see.
+    // Metadata-only COUNT(*) from the Delta LOG alone: adds carry
+    // footer-derived stats (numRecords/min/max), so the count reads
+    // zero footers and zero data pages — q225's metadata count taken
+    // one level further up the stack.
+    "q251_delta_stats_count" -> ((s, d) => {
+      val root = freshScratch("q251")
+      def half(i: Int) = Tables.events(s, d)
+        .filter(pmod(coalesce(col("event_id"), lit(0L)), lit(2)) === i)
+      graft.lake.Snapshots.commitAppend(root)(tmp =>
+        half(0).write.mode("overwrite").parquet(tmp))
+      graft.lake.Snapshots.commitAppend(root)(tmp =>
+        half(1).write.mode("overwrite").parquet(tmp))
+      graft.lake.DeltaLog.sync(s, root)
+      graft.lake.DeltaLog.statsCount(s, root).select(col("n_rows"))
+    }),
+    // Delta data skipping: four appends with DISJOINT event_id ranges,
+    // then a range read that prunes non-overlapping FILES from the scan
+    // via the adds' min/max stats before any IO (DeltaLogSpec pins the
+    // pruned inputFiles; this gates the surviving rows).
+    "q252_delta_skipping_read" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"))
+      val root = freshScratch("q252")
+      Seq((0L, 2500L), (2500L, 5000L), (5000L, 7500L), (7500L, Long.MaxValue))
+        .foreach { case (lo, hi) =>
+          graft.lake.Snapshots.commitAppend(root)(tmp =>
+            ev.filter(col("event_id") >= lo && col("event_id") < hi)
+              .write.mode("overwrite").parquet(tmp))
+        }
+      graft.lake.DeltaLog.sync(s, root)
+      graft.lake.DeltaLog.readWhereLong(s, root, "event_id", 3000L, 6000L)
+    }),
     // Incremental JOIN-view maintenance (the delta rule): three
     // MISALIGNED batch pairs of orders/lineitem folded through
     // JoinView.advance must equal the one-shot join — every cross term
@@ -3215,6 +3247,13 @@ object SparkEntry {
     "q247_delta_partitioned_read" ->
       """SELECT event_id, value, event_type
          FROM events WHERE event_type IN ('purchase', 'view')""",
+    // q251: the true count the stats-only sum must equal.
+    "q251_delta_stats_count" ->
+      "SELECT COUNT(*) AS n_rows FROM events",
+    // q252: the range read the file-skipping scan must equal.
+    "q252_delta_skipping_read" ->
+      """SELECT event_id, epoch_us(ts) AS event_ts_us, value
+         FROM events WHERE event_id BETWEEN 3000 AND 6000""",
     // q249: the one-shot join the delta-rule fold must equal.
     "q249_incremental_join_view" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, l_partkey, l_quantity

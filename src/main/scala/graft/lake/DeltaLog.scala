@@ -182,6 +182,7 @@ object DeltaLog {
           a.put("size", Files.size(fp))
           a.put("modificationTime", Files.getLastModifiedTime(fp).toMillis)
           a.put("dataChange", true)
+          a.put("stats", footerStatsJson(fp, spark.sparkContext.hadoopConfiguration))
           actions += n
         }
         writeCommitFile(root, dv, actions.result())
@@ -285,7 +286,8 @@ object DeltaLog {
       val addRows = st.files.map { case (path, pv) =>
         Row(null,
           Row(encodePath(path), pv, st.fileSizes.getOrElse(path, 0L),
-            st.fileModTimes.getOrElse(path, 0L), false, null, null),
+            st.fileModTimes.getOrElse(path, 0L), false,
+            st.fileStats.getOrElse(path, null), null),
           null, null, null)
       }
       val df = spark.createDataFrame(
@@ -338,7 +340,8 @@ object DeltaLog {
     tableId: String,
     files: Seq[(String, Map[String, String])],
     fileSizes: Map[String, Long],
-    fileModTimes: Map[String, Long])
+    fileModTimes: Map[String, Long],
+    fileStats: Map[String, String])
 
   private def replay(spark: SparkSession, root: String,
                      upTo: Long): LogState = {
@@ -356,6 +359,7 @@ object DeltaLog {
     val active = new java.util.LinkedHashMap[String, Map[String, String]]()
     val sizes = scala.collection.mutable.Map.empty[String, Long]
     val mods = scala.collection.mutable.Map.empty[String, Long]
+    val statsOf = scala.collection.mutable.Map.empty[String, String]
 
     def applyMeta(id: String, ss: String, pcs: Seq[String]): Unit = {
       if (id != null) tableId = id
@@ -393,6 +397,7 @@ object DeltaLog {
             active.put(path, pv)
             if (!a.isNullAt(2)) sizes(path) = a.getLong(2)
             if (!a.isNullAt(3)) mods(path) = a.getLong(3)
+            if (!a.isNullAt(5)) statsOf(path) = a.getString(5)
           }
           // txn / remove tombstones: not state for reads
         }
@@ -442,6 +447,7 @@ object DeltaLog {
           if (a.path("size").isNumber) sizes(path) = a.path("size").asLong()
           if (a.path("modificationTime").isNumber)
             mods(path) = a.path("modificationTime").asLong()
+          if (a.path("stats").isTextual) statsOf(path) = a.path("stats").asText()
         } else if (node.has("remove")) {
           active.remove(decodePath(node.get("remove").path("path").asText()))
         }
@@ -451,7 +457,7 @@ object DeltaLog {
     LogState(schema, partitionCols, minReader, minWriter, tableId,
       active.entrySet().iterator().asScala
         .map(e => e.getKey -> e.getValue).toSeq,
-      sizes.toMap, mods.toMap)
+      sizes.toMap, mods.toMap, statsOf.toMap)
   }
 
   /** Delta `path` fields are URL-encoded relative paths (PROTOCOL.md);
@@ -491,26 +497,35 @@ object DeltaLog {
     */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
     val st = replay(spark, root, version)
+    assembleFiles(spark, root, st, st.files)
+  }
+
+  /** Build the DataFrame for a (possibly pruned) subset of a state's
+    * active files — the shared assembly for [[readAt]] and the
+    * stats-skipping read.
+    */
+  private def assembleFiles(spark: SparkSession, root: String, st: LogState,
+                            files: Seq[(String, Map[String, String])]): DataFrame = {
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
-    if (st.files.isEmpty)
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else if (st.partitionColumns.isEmpty)
       spark.read.schema(schema)
-        .parquet(st.files.map(f => Paths.get(root, f._1).toString): _*)
+        .parquet(files.map(f => Paths.get(root, f._1).toString): _*)
     else {
       val pcSet = st.partitionColumns.toSet
       val missing = pcSet.filterNot(schema.fieldNames.contains)
       require(missing.isEmpty,
         s"DeltaLog: partitionColumns $missing not in declared schema")
       val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
-      val byPartition = st.files
+      val byPartition = files
         .groupBy(f => st.partitionColumns.map(c => f._2.get(c).flatMap(Option(_))))
-      val parts = byPartition.toSeq.sortBy(_._1.mkString(" "))
-        .map { case (pvals, files) =>
+      val parts = byPartition.toSeq.sortBy(_._1.mkString(" "))
+        .map { case (pvals, group) =>
           val pvByCol = st.partitionColumns.zip(pvals).toMap
           val withPv = spark.read.schema(dataSchema)
-            .parquet(files.map(f => Paths.get(root, f._1).toString): _*)
+            .parquet(group.map(f => Paths.get(root, f._1).toString): _*)
           schema.fields.foldLeft(withPv) { (df, f) =>
             if (!pcSet(f.name)) df
             else df.withColumn(f.name,
@@ -523,6 +538,142 @@ object DeltaLog {
       parts.reduce(_ unionByName _)
     }
   }
+
+  /** Metadata-only COUNT(*) over the CURRENT snapshot from the log
+    * alone — no footer or data IO: sums `numRecords` from every active
+    * add's `stats`. Requires stats on every active file (graft-written
+    * logs carry them; an external log without stats fails loudly
+    * rather than undercounting). Output is ONE row: (n_rows, n_files).
+    */
+  def statsCount(spark: SparkSession, root: String): DataFrame = {
+    val st = replay(spark, root, currentVersion(root))
+    val counts = st.files.map { case (p, _) =>
+      val s = st.fileStats.getOrElse(p, throw new IllegalStateException(
+        s"DeltaLog.statsCount: active file $p has no stats — cannot " +
+          "count from metadata"))
+      val n = mapper.readTree(s).path("numRecords")
+      require(n.isNumber, s"DeltaLog.statsCount: stats of $p lack numRecords")
+      n.asLong()
+    }
+    spark.createDataFrame(Seq((counts.sum, counts.size.toLong)))
+      .toDF("n_rows", "n_files")
+  }
+
+  /** Data-skipping read: rows of the current snapshot with `column` in
+    * [lo, hi], where files whose stats range cannot intersect the
+    * interval are pruned BEFORE any IO — the Delta data-skipping path
+    * (files without stats, or without min/max for the column, are
+    * conservatively kept; NULL rows never match the filter, so nullCount
+    * plays no part). The spec pins that non-matching files vanish from
+    * `inputFiles`.
+    */
+  def readWhereLong(spark: SparkSession, root: String, column: String,
+                    lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"DeltaLog.readWhereLong: empty interval [$lo, $hi]")
+    val st = replay(spark, root, currentVersion(root))
+    val kept = st.files.filter { case (p, _) =>
+      st.fileStats.get(p) match {
+        case None => true
+        case Some(s) =>
+          val n = mapper.readTree(s)
+          val mn = n.path("minValues").path(column)
+          val mx = n.path("maxValues").path(column)
+          !(mn.isNumber && mx.isNumber) ||
+            (mn.asLong() <= hi && mx.asLong() >= lo)
+      }
+    }
+    assembleFiles(spark, root, st, kept)
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Delta `stats` JSON for a data file from its parquet FOOTER alone
+    * (numRecords from row-group counts; minValues/maxValues/nullCount
+    * per top-level primitive column from column-chunk statistics —
+    * bytes read ∝ footer size, never data size). Columns whose chunks
+    * lack usable statistics are omitted from min/max but still
+    * null-counted when known.
+    */
+  private def footerStatsJson(file: Path,
+                              conf: org.apache.hadoop.conf.Configuration): String = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file.toString), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      val mins = scala.collection.mutable.Map.empty[String, Any]
+      val maxs = scala.collection.mutable.Map.empty[String, Any]
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
+      var statless = Set.empty[String]
+      blocks.foreach(_.getColumns.asScala.foreach { c =>
+        val path = c.getPath.toArray
+        if (path.length == 1) {
+          val name = path(0)
+          val s = c.getStatistics
+          if (s == null) statless += name
+          else {
+            if (s.isNumNullsSet)
+              nulls(name) = nulls.getOrElse(name, 0L) + s.getNumNulls
+            if (s.hasNonNullValue) {
+              val (mn, mx) = (
+                statValue(s.genericGetMin.asInstanceOf[AnyRef]),
+                statValue(s.genericGetMax.asInstanceOf[AnyRef]))
+              (mn, mx) match {
+                case (Some(a), Some(b)) =>
+                  mins(name) = mins.get(name) match {
+                    case Some(prev) => minOf(prev, a)
+                    case None => a
+                  }
+                  maxs(name) = maxs.get(name) match {
+                    case Some(prev) => maxOf(prev, b)
+                    case None => b
+                  }
+                case _ => statless += name
+              }
+            }
+          }
+        }
+      })
+      val root = mapper.createObjectNode()
+      root.put("numRecords", numRecords)
+      val mnO = root.putObject("minValues")
+      val mxO = root.putObject("maxValues")
+      val nlO = root.putObject("nullCount")
+      def putVal(o: com.fasterxml.jackson.databind.node.ObjectNode,
+                 k: String, v: Any): Unit = v match {
+        case l: java.lang.Long => o.put(k, l.longValue())
+        case i: java.lang.Integer => o.put(k, i.intValue())
+        case d: java.lang.Double => o.put(k, d.doubleValue())
+        case f: java.lang.Float => o.put(k, f.floatValue())
+        case b: java.lang.Boolean => o.put(k, b.booleanValue())
+        case s: String => o.put(k, s)
+        case other => o.put(k, other.toString)
+      }
+      mins.keySet.filterNot(statless).toSeq.sorted.foreach { k =>
+        putVal(mnO, k, mins(k)); putVal(mxO, k, maxs(k))
+      }
+      nulls.keySet.toSeq.sorted.foreach(k => nlO.put(k, nulls(k)))
+      mapper.writeValueAsString(root)
+    } finally r.close()
+  }
+
+  private def statValue(v: AnyRef): Option[Any] = v match {
+    case null => None
+    case b: org.apache.parquet.io.api.Binary =>
+      try Some(b.toStringUsingUTF8) catch { case _: Throwable => None }
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i)
+    case d: java.lang.Double => Some(d)
+    case f: java.lang.Float => Some(f)
+    case bl: java.lang.Boolean => Some(bl)
+    case _ => None
+  }
+
+  @SuppressWarnings(Array("unchecked"))
+  private def minOf(a: Any, b: Any): Any =
+    if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b
+  private def maxOf(a: Any, b: Any): Any =
+    if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b
 
   /** Read the current snapshot (highest Delta commit). */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -631,6 +782,7 @@ object DeltaLog {
       a.put("size", Files.size(fp))
       a.put("modificationTime", Files.getLastModifiedTime(fp).toMillis)
       a.put("dataChange", true)
+      a.put("stats", footerStatsJson(fp, spark.sparkContext.hadoopConfiguration))
       actions += n
     }
     writeCommitFile(root, v, actions.result())
@@ -702,6 +854,7 @@ object DeltaLog {
       a.put("size", Files.size(target))
       a.put("modificationTime", Files.getLastModifiedTime(target).toMillis)
       a.put("dataChange", false)
+      a.put("stats", footerStatsJson(target, spark.sparkContext.hadoopConfiguration))
       actions += n
     }
     writeCommitFile(root, v + 1, actions.result())

@@ -398,6 +398,42 @@ class DeltaLogSpec extends SparkSpec {
       pruned.inputFiles.mkString("|"))
   }
 
+  test("adds carry footer stats; statsCount answers from the log alone; " +
+    "readWhereLong skips non-overlapping files (and survives checkpointing)") {
+    val root = freshRoot()
+    // three appends with DISJOINT k ranges -> three files with disjoint
+    // min/max stats
+    Seq(1L to 10L, 11L to 20L, 21L to 30L).foreach { r =>
+      Snapshots.commitAppend(root)(tmp =>
+        r.map(i => (i, s"v$i")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    }
+    DeltaLog.sync(spark, root, checkpointInterval = 2)
+    // stats JSON shape on the adds
+    val c0 = commitLines(root, 0L)
+    assert(c0.exists(l => l.contains("\"stats\"") &&
+      l.contains("numRecords") && l.contains("minValues")), c0.mkString("|"))
+    // metadata-only count: no footer/data IO, log adds only
+    val sc = DeltaLog.statsCount(spark, root).head()
+    assert(sc.getLong(0) == 30L && sc.getLong(1) == 3L, sc.toString)
+    // skipping: [12, 18] overlaps ONLY the middle file
+    val skipped = DeltaLog.readWhereLong(spark, root, "k", 12L, 18L)
+    assert(skipped.inputFiles.length == 1, skipped.inputFiles.mkString("|"))
+    assert(rows(skipped) == (12L to 18L).map(i => (i, s"v$i")).toSet)
+    // a column with no stats entry is conservatively kept: bounds on v
+    // (a string column) must not skip anything for a long query on k
+    // spanning everything
+    assert(DeltaLog.readWhereLong(spark, root, "k", 1L, 30L)
+      .inputFiles.length == 3)
+    // stats flow THROUGH the checkpoint: compact the JSON prefix away,
+    // metadata count and skipping still work
+    (0L to 1L).foreach(v => Files.delete(
+      Paths.get(root, "_delta_log", f"$v%020d.json")))
+    val sc2 = DeltaLog.statsCount(spark, root).head()
+    assert(sc2.getLong(0) == 30L, sc2.toString)
+    assert(DeltaLog.readWhereLong(spark, root, "k", 12L, 18L)
+      .inputFiles.length == 1)
+  }
+
   test("reads an externally-written partitioned log with typed partition values") {
     val root = freshRoot()
     // data files carry ONLY the data column; the partition column d
