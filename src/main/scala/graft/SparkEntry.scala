@@ -2145,6 +2145,42 @@ object SparkEntry {
       graft.lake.DeltaLog.sync(s, root)
       graft.lake.DeltaLog.readWhereLong(s, root, "event_id", 3000L, 6000L)
     }),
+    // Copy-on-write DELETE with file skipping: whole events committed
+    // as pmod slices (total partition), then DELETE event_id in
+    // [3000, 6000] — only stat-overlapping files rewrite (NULL ids
+    // survive, mirrored in the oracle); the read-back must equal the
+    // complement.
+    "q253_delta_delete_where" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"))
+      val root = freshScratch("q253")
+      (0 until 3).foreach { i =>
+        graft.lake.Snapshots.commitAppend(root)(tmp =>
+          ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === i)
+            .write.mode("overwrite").parquet(tmp))
+      }
+      graft.lake.DeltaLog.sync(s, root)
+      graft.lake.DeltaLog.deleteWhereLong(s, root, "event_id", 3000L, 6000L)
+      graft.lake.DeltaLog.read(s, root)
+    }),
+    // Condensation DAG over the q248 SCC graph: one edge per pair of
+    // distinct components with an original edge between them — always
+    // acyclic, the dependency readout SCC exists to produce.
+    "q254_scc_condensation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber").asc, col("l_partkey").asc,
+          col("l_suppkey").asc)
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+        .withColumn("__next", lead(col("l_partkey"), 1).over(w))
+        .filter(col("__next").isNotNull &&
+          col("l_partkey") <= 500 && col("__next") <= 500 &&
+          col("l_partkey") =!= col("__next"))
+        .select(col("l_partkey").as("src"), col("__next").as("dst"))
+      graft.graphs.Scc.condensation(edges)
+    }),
     // Incremental JOIN-view maintenance (the delta rule): three
     // MISALIGNED batch pairs of orders/lineitem folded through
     // JoinView.advance must equal the one-shot join — every cross term
@@ -3247,6 +3283,44 @@ object SparkEntry {
     "q247_delta_partitioned_read" ->
       """SELECT event_id, value, event_type
          FROM events WHERE event_type IN ('purchase', 'view')""",
+    // q253: the complement the copy-on-write delete must leave behind
+    // (NULL ids never match BETWEEN, so they survive on both sides).
+    "q253_delta_delete_where" ->
+      """SELECT event_id, epoch_us(ts) AS event_ts_us, value
+         FROM events
+         WHERE event_id IS NULL OR event_id NOT BETWEEN 3000 AND 6000""",
+    // q254: condensation edges from the q248 closure — distinct
+    // (scc_a, scc_b) pairs with an original edge between components.
+    "q254_scc_condensation" ->
+      """WITH RECURSIVE e AS (
+           SELECT src, dst FROM (
+             SELECT l_partkey AS src,
+               lead(l_partkey, 1) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+             FROM lineitem)
+           WHERE dst IS NOT NULL AND src <= 500 AND dst <= 500
+             AND src <> dst
+           GROUP BY 1, 2),
+         reach AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         reach_m AS MATERIALIZED (SELECT src, dst FROM reach),
+         nodes AS (SELECT src AS node FROM e
+                   UNION SELECT dst AS node FROM e),
+         mutual AS (
+           SELECT a.src AS u, a.dst AS v
+           FROM reach_m a JOIN reach_m b
+             ON a.src = b.dst AND a.dst = b.src),
+         scc AS (
+           SELECT n.node,
+             LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
+           FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+           GROUP BY n.node)
+         SELECT DISTINCT sa.scc_id AS scc_a, sb.scc_id AS scc_b
+         FROM e JOIN scc sa ON e.src = sa.node
+                JOIN scc sb ON e.dst = sb.node
+         WHERE sa.scc_id <> sb.scc_id""",
     // q251: the true count the stats-only sum must equal.
     "q251_delta_stats_count" ->
       "SELECT COUNT(*) AS n_rows FROM events",

@@ -177,6 +177,25 @@ object Scc {
     df
   }
 
+  /** Condensation DAG — the graph OVER the SCCs: one edge (scc_a,
+    * scc_b) per pair of distinct components with at least one original
+    * edge between them. Always acyclic (contracting the cycles is the
+    * point); this is the readout dependency analysis actually consumes
+    * (what can run in parallel, what orders what). Two broadcast-sized
+    * label joins on top of [[run]].
+    */
+  def condensation(edges: DataFrame, maxPhases: Int = 20,
+                   maxRounds: Int = 100): DataFrame = {
+    val labels = run(edges, maxPhases, maxRounds)
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .join(labels.withColumnRenamed("node", "src")
+        .withColumnRenamed("scc_id", "scc_a"), Seq("src"))
+      .join(labels.withColumnRenamed("node", "dst")
+        .withColumnRenamed("scc_id", "scc_b"), Seq("dst"))
+      .filter(col("scc_a") =!= col("scc_b"))
+      .select(col("scc_a"), col("scc_b")).distinct()
+  }
+
   /** SCC-size histogram — (size, n_sccs); the cycle-structure readout
     * (how much of the graph sits in nontrivial cycles vs singletons).
     */

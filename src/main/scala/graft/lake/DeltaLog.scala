@@ -290,8 +290,13 @@ object DeltaLog {
             st.fileStats.getOrElse(path, null), null),
           null, null, null)
       }
+      // txn watermarks survive compaction (Delta checkpoints carry them)
+      val txnRows = st.txnVersions.toSeq.sortBy(_._1).map { case (app, ver) =>
+        Row(Row(app, ver), null, null, null, null)
+      }
       val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(Seq(protoRow, metaRow) ++ addRows, 1),
+        spark.sparkContext.parallelize(
+          Seq(protoRow, metaRow) ++ txnRows ++ addRows, 1),
         checkpointSchema)
       val staging = Files.createTempDirectory("graft-delta-ckpt").toString
       df.coalesce(1).write.mode("overwrite").parquet(staging)
@@ -341,7 +346,8 @@ object DeltaLog {
     files: Seq[(String, Map[String, String])],
     fileSizes: Map[String, Long],
     fileModTimes: Map[String, Long],
-    fileStats: Map[String, String])
+    fileStats: Map[String, String],
+    txnVersions: Map[String, Long])
 
   private def replay(spark: SparkSession, root: String,
                      upTo: Long): LogState = {
@@ -360,6 +366,7 @@ object DeltaLog {
     val sizes = scala.collection.mutable.Map.empty[String, Long]
     val mods = scala.collection.mutable.Map.empty[String, Long]
     val statsOf = scala.collection.mutable.Map.empty[String, String]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
 
     def applyMeta(id: String, ss: String, pcs: Seq[String]): Unit = {
       if (id != null) tableId = id
@@ -398,8 +405,14 @@ object DeltaLog {
             if (!a.isNullAt(2)) sizes(path) = a.getLong(2)
             if (!a.isNullAt(3)) mods(path) = a.getLong(3)
             if (!a.isNullAt(5)) statsOf(path) = a.getString(5)
+          } else if (!r.isNullAt(0)) {
+            val t = r.getStruct(0)
+            if (!t.isNullAt(0) && !t.isNullAt(1))
+              txns(t.getString(0)) =
+                math.max(txns.getOrElse(t.getString(0), Long.MinValue),
+                  t.getLong(1))
           }
-          // txn / remove tombstones: not state for reads
+          // remove tombstones: not state for reads
         }
         cpv + 1
       case None => 0L
@@ -450,14 +463,20 @@ object DeltaLog {
           if (a.path("stats").isTextual) statsOf(path) = a.path("stats").asText()
         } else if (node.has("remove")) {
           active.remove(decodePath(node.get("remove").path("path").asText()))
+        } else if (node.has("txn")) {
+          val t = node.get("txn")
+          val app = t.path("appId").asText(null)
+          if (app != null && t.path("version").isNumber)
+            txns(app) = math.max(txns.getOrElse(app, Long.MinValue),
+              t.path("version").asLong())
         }
-        // commitInfo / txn / cdc / domainMetadata: ignored by design
+        // commitInfo / cdc / domainMetadata: ignored by design
       }
     }
     LogState(schema, partitionCols, minReader, minWriter, tableId,
       active.entrySet().iterator().asScala
         .map(e => e.getKey -> e.getValue).toSeq,
-      sizes.toMap, mods.toMap, statsOf.toMap)
+      sizes.toMap, mods.toMap, statsOf.toMap, txns.toMap)
   }
 
   /** Delta `path` fields are URL-encoded relative paths (PROTOCOL.md);
@@ -586,6 +605,132 @@ object DeltaLog {
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Copy-on-write DELETE of rows with `column` in [lo, hi] over the
+    * current snapshot, committed as `remove`+`add` with
+    * `dataChange=true`. File-skipping applies BEFORE any IO: only files
+    * whose stats range intersects the interval are touched; a touched
+    * file that loses every row becomes a pure `remove`. When `column`
+    * IS a partition column the delete is pure metadata — whole
+    * partitions drop with zero data IO (partition values must then be
+    * numeric). No-op (no commit) when nothing matches. Returns the
+    * table version afterwards.
+    */
+  def deleteWhereLong(spark: SparkSession, root: String, column: String,
+                      lo: Long, hi: Long): Long = {
+    require(lo <= hi, s"DeltaLog.deleteWhereLong: empty interval [$lo, $hi]")
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $root log — schema unknown"))
+    val pcSet = st.partitionColumns.toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val actions = Seq.newBuilder[JsonNode]
+    def removeAction(rel: String): Unit = {
+      val n = mapper.createObjectNode()
+      val r = n.putObject("remove")
+      r.put("path", encodePath(rel))
+      r.put("deletionTimestamp", System.currentTimeMillis())
+      r.put("dataChange", true)
+      actions += n
+    }
+    var touched = 0
+    if (pcSet(column)) {
+      st.files.foreach { case (rel, pv) =>
+        val inRange = pv.get(column).flatMap(Option(_)).exists { s =>
+          try { val x = s.toLong; x >= lo && x <= hi }
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"DeltaLog.deleteWhereLong: partition value '$s' of " +
+                s"$column is not numeric") }
+        }
+        if (inRange) { removeAction(rel); touched += 1 }
+      }
+    } else {
+      val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
+      val overlapping = st.files.filter { case (p, _) =>
+        st.fileStats.get(p) match {
+          case None => true
+          case Some(s) =>
+            val n = mapper.readTree(s)
+            val mn = n.path("minValues").path(column)
+            val mx = n.path("maxValues").path(column)
+            !(mn.isNumber && mx.isNumber) ||
+              (mn.asLong() <= hi && mx.asLong() >= lo)
+        }
+      }
+      overlapping.foreach { case (rel, pv) =>
+        val full = Paths.get(root, rel)
+        val remaining = spark.read.schema(dataSchema)
+          .parquet(full.toString)
+          .filter(!(col(column) >= lo && col(column) <= hi) ||
+            col(column).isNull)
+        val staging = Files.createTempDirectory("graft-delta-del").toString
+        remaining.coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = {
+          val s = Files.list(Paths.get(staging))
+          try s.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"DeltaLog.deleteWhereLong: no parquet in $staging"))
+          finally s.close()
+        }
+        val kept = spark.read.schema(dataSchema).parquet(part.toString).count()
+        removeAction(rel); touched += 1
+        if (kept > 0L) {
+          val target = full.getParent.resolve(part.getFileName)
+          Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+          val newRel = Paths.get(root).relativize(target).toString
+            .replace(java.io.File.separatorChar, '/')
+          val n = mapper.createObjectNode()
+          val a = n.putObject("add")
+          a.put("path", encodePath(newRel))
+          val pvo = a.putObject("partitionValues")
+          pv.foreach { case (k, sv) =>
+            if (sv == null) pvo.putNull(k) else pvo.put(k, sv)
+          }
+          a.put("size", Files.size(target))
+          a.put("modificationTime", Files.getLastModifiedTime(target).toMillis)
+          a.put("dataChange", true)
+          a.put("stats", footerStatsJson(target, conf))
+          actions += n
+        }
+      }
+    }
+    if (touched == 0) return v
+    writeCommitFile(root, v + 1, actions.result())
+    v + 1
+  }
+
+  /** Physically delete data files the CURRENT version no longer
+    * references (VACUUM with zero retention): older versions stop being
+    * time-travelable, the current snapshot is untouched — Delta's own
+    * vacuum contract. Refuses tables that also carry a graft
+    * [[Snapshots]] `_log` (their manifests reference history files this
+    * walk cannot see; vacuum those through [[Snapshots.vacuum]]).
+    * Returns the deleted table-relative paths.
+    */
+  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    require(!Files.isDirectory(Paths.get(root, "_log")),
+      s"DeltaLog.vacuum: $root is a graft Snapshots table — vacuum " +
+        "through Snapshots.vacuum so manifests stay readable")
+    val st = replay(spark, root, currentVersion(root))
+    val active = st.files.map(_._1).toSet
+    val rootPath = Paths.get(root)
+    val walk = Files.walk(rootPath)
+    val onDisk =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p)
+          && p.getFileName.toString.endsWith(".parquet")
+          && !rootPath.relativize(p).startsWith("_delta_log"))
+        .map(p => rootPath.relativize(p).toString
+          .replace(java.io.File.separatorChar, '/'))
+        .toSeq
+      finally walk.close()
+    val orphans = onDisk.filterNot(active)
+    orphans.foreach(rel => Files.delete(Paths.get(root, rel)))
+    orphans.sorted
+  }
+
   /** Delta `stats` JSON for a data file from its parquet FOOTER alone
     * (numRecords from row-group counts; minValues/maxValues/nullCount
     * per top-level primitive column from column-chunk statistics —
@@ -709,7 +854,8 @@ object DeltaLog {
     */
   def commitPartitioned(spark: SparkSession, root: String, df: DataFrame,
                         partitionCols: Seq[String],
-                        rewrite: Boolean = false): Long = {
+                        rewrite: Boolean = false,
+                        txn: Option[(String, Long)] = None): Long = {
     require(partitionCols.nonEmpty,
       "DeltaLog.commitPartitioned: partitionCols must be non-empty " +
         "(use Snapshots + sync for unpartitioned tables)")
@@ -726,6 +872,16 @@ object DeltaLog {
       require(st.schema.forall(_.json == df.schema.json),
         "DeltaLog.commitPartitioned: schema change on a partitioned " +
           "table is unsupported — rewrite to a new root")
+    }
+    // Exactly-once via txn watermarks (the protocol's mechanism): if
+    // this (appId, version) is at or below the log's recorded watermark
+    // the batch already landed — a replay is a NO-OP, not a double
+    // append. This is what makes a foreachBatch streaming sink on this
+    // writer idempotent across micro-batch replays.
+    txn.foreach { case (app, ver) =>
+      val applied = prior.exists(
+        _.txnVersions.get(app).exists(_ >= ver))
+      if (applied) return v - 1
     }
     val staging = Files.createTempDirectory("graft-delta-part").toString
     df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(staging)
@@ -761,6 +917,13 @@ object DeltaLog {
       p.put("minWriterVersion", 2)
       actions += protocol
       actions += metaDataAction(tableId, df.schema.json, partitionCols)
+    }
+    txn.foreach { case (app, ver) =>
+      val n = mapper.createObjectNode()
+      val t = n.putObject("txn")
+      t.put("appId", app)
+      t.put("version", ver)
+      actions += n
     }
     if (rewrite) prior.foreach(_.files.foreach { case (path, _) =>
       val n = mapper.createObjectNode()

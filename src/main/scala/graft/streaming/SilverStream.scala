@@ -63,6 +63,32 @@ object SilverStream {
       }
       .start()
 
+  /** Streaming sink into a PARTITIONED Delta table — foreachBatch over
+    * [[graft.lake.DeltaLog.commitPartitioned]], with the Delta
+    * protocol's `txn` watermark as the exactly-once mechanism: every
+    * micro-batch commits with `(appId, batchId)`; a REPLAYED batch
+    * (failure/restart re-delivery) finds its watermark already at or
+    * past its version and no-ops instead of double-appending. This is
+    * the same idempotence contract Spark's own Delta streaming sink
+    * rides; [[mergeStream]] gets it from merge semantics, this sink
+    * from the log. Empty micro-batches commit nothing.
+    */
+  def partitionedDeltaStream(events: DataFrame, root: String,
+                             checkpoint: String, partitionCols: Seq[String],
+                             appId: String,
+                             trigger: Trigger = BronzeIngest.DefaultTrigger): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.lake.DeltaLog.commitPartitioned(batch.sparkSession, root,
+            batch, partitionCols, txn = Some((appId, batchId)))
+        ()
+      }
+      .start()
+
   /** Watermarked streaming gold: per-minute GMV over paid events with a
     * 2-hour late-data horizon — events later than the watermark are
     * dropped, within it they update their bucket, mirroring the batch

@@ -48,6 +48,17 @@ class SccSpec extends SparkSpec {
     assert(scc == cc, s"scc $scc vs cc $cc")
   }
 
+  test("condensation contracts cycles into a DAG over scc ids") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), // SCC 1
+      (3L, 4L),
+      (4L, 5L), (5L, 4L), // SCC 4
+      (5L, 6L)) // singleton 6
+    val dag = Scc.condensation(edges.toDF("src", "dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dag == Set((1L, 4L), (4L, 6L)), dag)
+  }
+
   test("seeded random graph agrees with an in-spec Tarjan reference") {
     val rnd = new scala.util.Random(7)
     val n = 60

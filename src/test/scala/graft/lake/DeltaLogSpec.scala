@@ -434,6 +434,99 @@ class DeltaLogSpec extends SparkSpec {
       .inputFiles.length == 1)
   }
 
+  test("deleteWhereLong: copy-on-write on overlapping files only; " +
+    "emptied files become pure removes; NULLs survive") {
+    val root = freshRoot()
+    // three files with disjoint k ranges + one NULL-k row in the middle
+    Seq(Seq(1L, 2L, 3L), Seq(10L, 11L, 12L), Seq(20L, 21L, 22L)).foreach { ks =>
+      Snapshots.commitAppend(root)(tmp =>
+        (ks.map(k => (Option(k), s"v$k")) ++
+          (if (ks.head == 10L) Seq((None: Option[Long], "vnull")) else Nil))
+          .toDF("k", "v").coalesce(1).write.parquet(tmp))
+    }
+    DeltaLog.sync(spark, root)
+    val filesBefore = DeltaLog.filesAt(spark, root, DeltaLog.currentVersion(root))
+    // [10, 11] overlaps only the middle file; first/last untouched
+    val v = DeltaLog.deleteWhereLong(spark, root, "k", 10L, 11L)
+    val filesAfter = DeltaLog.filesAt(spark, root, v)
+    assert(filesAfter.count(filesBefore.contains) == 2,
+      s"non-overlapping files must be untouched: $filesBefore -> $filesAfter")
+    val got = DeltaLog.read(spark, root).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "v1"), (2L, "v2"), (3L, "v3"), (12L, "v12"),
+      (20L, "v20"), (21L, "v21"), (22L, "v22"), (-1L, "vnull")), got)
+    // delete the whole last range: its file becomes a pure remove
+    val v2 = DeltaLog.deleteWhereLong(spark, root, "k", 20L, 22L)
+    assert(DeltaLog.filesAt(spark, root, v2).size == filesAfter.size - 1)
+    // no-op interval commits nothing
+    assert(DeltaLog.deleteWhereLong(spark, root, "k", 500L, 600L) == v2)
+  }
+
+  test("deleteWhereLong on a partition column is metadata-only partition drop") {
+    val root = freshRoot()
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((1L, "a", "1"), (2L, "b", "2"), (3L, "c", "3"))
+        .toDF("k", "v", "p"), Seq("p"))
+    val v = DeltaLog.deleteWhereLong(spark, root, "p", 2L, 3L)
+    assert(v == 1L)
+    assert(partRows(DeltaLog.read(spark, root)) == Set((1L, "a", "1")))
+    // pure metadata: the commit has removes only, no adds
+    val lines = commitLines(root, v)
+    assert(lines.forall(_.contains("\"remove\"")), lines.mkString("|"))
+  }
+
+  test("vacuum deletes files the current version no longer references; " +
+    "current snapshot intact; Snapshots-backed tables refused") {
+    val root = freshRoot()
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "v", "p"), Seq("p"))
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((9L, "z", "x")).toDF("k", "v", "p"), Seq("p"), rewrite = true)
+    val before = partRows(DeltaLog.read(spark, root))
+    val deleted = DeltaLog.vacuum(spark, root)
+    assert(deleted.nonEmpty, "the rewritten-away files must be vacuumed")
+    assert(partRows(DeltaLog.read(spark, root)) == before)
+    // older version is gone for good (Delta's vacuum contract)
+    intercept[Exception] {
+      DeltaLog.readAt(spark, root, 0L).collect()
+    }
+    // a second vacuum finds nothing
+    assert(DeltaLog.vacuum(spark, root).isEmpty)
+    // graft Snapshots tables are refused
+    val root2 = freshRoot()
+    Snapshots.commitAppend(root2)(tmp =>
+      Seq((1L, "a")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    DeltaLog.sync(spark, root2)
+    val e = intercept[IllegalArgumentException](DeltaLog.vacuum(spark, root2))
+    assert(e.getMessage.contains("Snapshots"), e.getMessage)
+  }
+
+  test("txn watermarks make commitPartitioned exactly-once, surviving " +
+    "checkpoint compaction") {
+    val root = freshRoot()
+    val d1 = Seq((1L, "a", "x")).toDF("k", "v", "p")
+    val d2 = Seq((2L, "b", "y")).toDF("k", "v", "p")
+    assert(DeltaLog.commitPartitioned(spark, root, d1, Seq("p"),
+      txn = Some(("app", 0L))) == 0L)
+    assert(DeltaLog.commitPartitioned(spark, root, d2, Seq("p"),
+      txn = Some(("app", 1L))) == 1L)
+    // replayed batch 0: watermark already at 1 -> NO-OP, no new version
+    assert(DeltaLog.commitPartitioned(spark, root, d1, Seq("p"),
+      txn = Some(("app", 0L))) == 1L)
+    assert(partRows(DeltaLog.read(spark, root)) ==
+      Set((1L, "a", "x"), (2L, "b", "y")))
+    // another app's watermark is independent
+    assert(DeltaLog.commitPartitioned(spark, root, d1, Seq("p"),
+      txn = Some(("other", 0L))) == 2L)
+    // watermarks flow through the checkpoint: compact the prefix away,
+    // replay of (app, 1) is still a no-op
+    DeltaLog.checkpoint(spark, root, 2L)
+    (0L to 1L).foreach(v => Files.delete(
+      Paths.get(root, "_delta_log", f"$v%020d.json")))
+    assert(DeltaLog.commitPartitioned(spark, root, d2, Seq("p"),
+      txn = Some(("app", 1L))) == 2L, "replay after compaction must no-op")
+  }
+
   test("reads an externally-written partitioned log with typed partition values") {
     val root = freshRoot()
     // data files carry ONLY the data column; the partition column d

@@ -167,6 +167,39 @@ class SilverStreamSpec extends SparkSpec {
     assert(stream == batch, s"stream $stream vs batch $batch")
   }
 
+  test("partitionedDeltaStream: micro-batches land as partitioned Delta " +
+    "commits; a replayed batch no-ops via the txn watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-pds").toString
+    val root = s"$dir/tbl"
+    val input = MemoryStream[Ev]
+    val q = SilverStream.partitionedDeltaStream(input.toDF(), root,
+      s"$dir/ckpt", Seq("event_type"), appId = "pds-spec",
+      trigger = Trigger.ProcessingTime(0))
+    val evs = (1 to 12).map(i =>
+      ev(i.toLong, if (i % 2 == 0) "purchase" else "view",
+        i.toDouble, f"2024-01-01 01:${i}%02d:00"))
+    evs.grouped(4).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    q.stop()
+    val table = graft.lake.DeltaLog.read(spark, root)
+    assert(table.count() == 12L)
+    // hive partition layout by event_type
+    assert(graft.lake.DeltaLog
+      .filesAt(spark, root, graft.lake.DeltaLog.currentVersion(root))
+      .forall(_.startsWith("event_type=")))
+    // simulate the engine replaying batch 0 after a crash: the txn
+    // watermark is already past 0, so the commit must NO-OP
+    val vBefore = graft.lake.DeltaLog.currentVersion(root)
+    graft.lake.DeltaLog.commitPartitioned(spark, root,
+      evs.take(4).toDF().select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), col("event_ts"), col("event_ts_us")),
+      Seq("event_type"), txn = Some(("pds-spec", 0L)))
+    assert(graft.lake.DeltaLog.currentVersion(root) == vBefore,
+      "replayed micro-batch must not commit")
+    assert(graft.lake.DeltaLog.read(spark, root).count() == 12L)
+  }
+
   test("watermarked gold ≡ batch gold bucket-for-bucket under shuffled, " +
     "DUPLICATED and late delivery (dedup within watermark)") {
     import spark.implicits._
