@@ -2145,6 +2145,38 @@ object SparkEntry {
       graft.lake.DeltaLog.sync(s, root)
       graft.lake.DeltaLog.readWhereLong(s, root, "event_id", 3000L, 6000L)
     }),
+    // Copy-on-write UPDATE with file skipping: zero out value for an
+    // event_id range, pass everything else through bit-identical; the
+    // oracle is the CASE expression over the whole table.
+    "q255_delta_update_where" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"))
+      val root = freshScratch("q255")
+      (0 until 3).foreach { i =>
+        graft.lake.Snapshots.commitAppend(root)(tmp =>
+          ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === i)
+            .write.mode("overwrite").parquet(tmp))
+      }
+      graft.lake.DeltaLog.sync(s, root)
+      graft.lake.DeltaLog.updateWhereLong(s, root, "event_id", 2000L, 4000L,
+        Map("value" -> lit(0.0)))
+      graft.lake.DeltaLog.read(s, root)
+    }),
+    // Incremental append tail: three appends, read only what landed
+    // after delta version 0 — the between-runs consumption surface an
+    // incremental downstream job uses instead of a full rescan.
+    "q256_delta_appends_since" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"))
+      val root = freshScratch("q256")
+      (0 until 3).foreach { i =>
+        graft.lake.Snapshots.commitAppend(root)(tmp =>
+          ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === i)
+            .write.mode("overwrite").parquet(tmp))
+      }
+      graft.lake.DeltaLog.sync(s, root)
+      graft.lake.DeltaLog.readAppendsSince(s, root, 0L)
+    }),
     // Copy-on-write DELETE with file skipping: whole events committed
     // as pmod slices (total partition), then DELETE event_id in
     // [3000, 6000] — only stat-overlapping files rewrite (NULL ids
@@ -3283,6 +3315,20 @@ object SparkEntry {
     "q247_delta_partitioned_read" ->
       """SELECT event_id, value, event_type
          FROM events WHERE event_type IN ('purchase', 'view')""",
+    // q255: the CASE the copy-on-write update must realize (NULL ids
+    // never match BETWEEN, so their value passes through).
+    "q255_delta_update_where" ->
+      """SELECT event_id, epoch_us(ts) AS event_ts_us,
+           CASE WHEN event_id BETWEEN 2000 AND 4000 THEN 0.0
+                ELSE value END AS value
+         FROM events""",
+    // q256: the two later pmod slices (appends after delta version 0);
+    // NULL ids coalesce into slice 0 on the Spark side and fail the
+    // predicate here — excluded on both sides.
+    "q256_delta_appends_since" ->
+      """SELECT event_id, epoch_us(ts) AS event_ts_us, value
+         FROM events
+         WHERE ((COALESCE(event_id, 0) % 3) + 3) % 3 IN (1, 2)""",
     // q253: the complement the copy-on-write delete must leave behind
     // (NULL ids never match BETWEEN, so they survive on both sides).
     "q253_delta_delete_where" ->

@@ -701,6 +701,105 @@ object DeltaLog {
     v + 1
   }
 
+  /** Copy-on-write UPDATE: rows with `column` in [lo, hi] get the `set`
+    * expressions applied (other rows pass through bit-identical);
+    * committed as `remove`+`add` with `dataChange=true`. File skipping
+    * as in [[deleteWhereLong]]: only stat-overlapping files rewrite.
+    * `set` columns must be data columns (partition values are identity
+    * — an UPDATE that moves rows across partitions is a delete+insert,
+    * out of scope here); each expression is cast back to the declared
+    * type so the schema cannot drift. No-op when nothing overlaps.
+    */
+  def updateWhereLong(spark: SparkSession, root: String, column: String,
+                      lo: Long, hi: Long,
+                      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(lo <= hi, s"DeltaLog.updateWhereLong: empty interval [$lo, $hi]")
+    require(set.nonEmpty, "DeltaLog.updateWhereLong: empty SET")
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $root log — schema unknown"))
+    val pcSet = st.partitionColumns.toSet
+    require(!pcSet(column) && set.keySet.forall(!pcSet(_)),
+      "DeltaLog.updateWhereLong: partition columns cannot be predicated " +
+        "or SET (cross-partition moves are delete+insert)")
+    val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
+    set.keySet.foreach(k => require(dataSchema.fieldNames.contains(k),
+      s"DeltaLog.updateWhereLong: SET column $k not in data schema"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val overlapping = st.files.filter { case (p, _) =>
+      st.fileStats.get(p) match {
+        case None => true
+        case Some(s) =>
+          val n = mapper.readTree(s)
+          val mn = n.path("minValues").path(column)
+          val mx = n.path("maxValues").path(column)
+          !(mn.isNumber && mx.isNumber) ||
+            (mn.asLong() <= hi && mx.asLong() >= lo)
+      }
+    }
+    if (overlapping.isEmpty) return v
+    val actions = Seq.newBuilder[JsonNode]
+    overlapping.foreach { case (rel, pv) =>
+      val full = Paths.get(root, rel)
+      val matches = col(column) >= lo && col(column) <= hi
+      val updated = set.foldLeft(
+        spark.read.schema(dataSchema).parquet(full.toString)) {
+        case (df, (c, e)) =>
+          df.withColumn(c,
+            org.apache.spark.sql.functions.when(matches, e)
+              .otherwise(col(c)).cast(dataSchema(c).dataType))
+      }.select(dataSchema.fieldNames.map(col).toSeq: _*)
+      val staging = Files.createTempDirectory("graft-delta-upd").toString
+      updated.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = {
+        val s = Files.list(Paths.get(staging))
+        try s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"DeltaLog.updateWhereLong: no parquet in $staging"))
+        finally s.close()
+      }
+      val target = full.getParent.resolve(part.getFileName)
+      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+      val newRel = Paths.get(root).relativize(target).toString
+        .replace(java.io.File.separatorChar, '/')
+      val rn = mapper.createObjectNode()
+      val r = rn.putObject("remove")
+      r.put("path", encodePath(rel))
+      r.put("deletionTimestamp", System.currentTimeMillis())
+      r.put("dataChange", true)
+      actions += rn
+      val an = mapper.createObjectNode()
+      val a = an.putObject("add")
+      a.put("path", encodePath(newRel))
+      val pvo = a.putObject("partitionValues")
+      pv.foreach { case (k, sv) =>
+        if (sv == null) pvo.putNull(k) else pvo.put(k, sv)
+      }
+      a.put("size", Files.size(target))
+      a.put("modificationTime", Files.getLastModifiedTime(target).toMillis)
+      a.put("dataChange", true)
+      a.put("stats", footerStatsJson(target, conf))
+      actions += an
+    }
+    writeCommitFile(root, v + 1, actions.result())
+    v + 1
+  }
+
+  /** Rows APPENDED after `sinceVersion` — the incremental-ETL tail
+    * read: files active now that were not active then, scanned with
+    * the current schema. Removed/rewritten history is not replayed
+    * (deletes flow through CDC/CDF surfaces; this is the append-stream
+    * view a downstream incremental job consumes between runs).
+    */
+  def readAppendsSince(spark: SparkSession, root: String,
+                       sinceVersion: Long): DataFrame = {
+    val cur = replay(spark, root, currentVersion(root))
+    val old = replay(spark, root, sinceVersion).files.map(_._1).toSet
+    assembleFiles(spark, root, cur, cur.files.filterNot(f => old(f._1)))
+  }
+
   /** Physically delete data files the CURRENT version no longer
     * references (VACUUM with zero retention): older versions stop being
     * time-travelable, the current snapshot is untouched — Delta's own

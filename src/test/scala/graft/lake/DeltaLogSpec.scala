@@ -462,6 +462,49 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.deleteWhereLong(spark, root, "k", 500L, 600L) == v2)
   }
 
+  test("updateWhereLong: only stat-overlapping files rewrite; non-matching " +
+    "rows pass through; schema pinned; partition SET refused") {
+    val root = freshRoot()
+    Seq(Seq(1L, 2L, 3L), Seq(10L, 11L, 12L)).foreach { ks =>
+      Snapshots.commitAppend(root)(tmp =>
+        ks.map(k => (k, s"v$k")).toDF("k", "v")
+          .coalesce(1).write.parquet(tmp))
+    }
+    DeltaLog.sync(spark, root)
+    val filesBefore = DeltaLog.filesAt(spark, root, DeltaLog.currentVersion(root))
+    val v = DeltaLog.updateWhereLong(spark, root, "k", 10L, 11L,
+      Map("v" -> lit("UPDATED")))
+    val filesAfter = DeltaLog.filesAt(spark, root, v)
+    assert(filesAfter.count(filesBefore.contains) == 1,
+      s"the non-overlapping file must be untouched: $filesBefore -> $filesAfter")
+    assert(rows(DeltaLog.read(spark, root)) == Set(
+      (1L, "v1"), (2L, "v2"), (3L, "v3"),
+      (10L, "UPDATED"), (11L, "UPDATED"), (12L, "v12")))
+    // no-op interval: no commit
+    assert(DeltaLog.updateWhereLong(spark, root, "k", 500L, 600L,
+      Map("v" -> lit("X"))) == v)
+    // partitioned table: SET on a partition column refused
+    val root2 = freshRoot()
+    DeltaLog.commitPartitioned(spark, root2,
+      Seq((1L, "a", "x")).toDF("k", "v", "p"), Seq("p"))
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.updateWhereLong(spark, root2, "k", 1L, 1L,
+        Map("p" -> lit("y"))))
+    assert(e.getMessage.contains("partition"), e.getMessage)
+  }
+
+  test("readAppendsSince returns only files activated after the version") {
+    val root = freshRoot()
+    (1 to 3).foreach { i =>
+      Snapshots.commitAppend(root)(tmp =>
+        Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    }
+    DeltaLog.sync(spark, root)
+    assert(rows(DeltaLog.readAppendsSince(spark, root, 0L)) ==
+      Set((2L, "v2"), (3L, "v3")))
+    assert(rows(DeltaLog.readAppendsSince(spark, root, 2L)) == Set.empty)
+  }
+
   test("deleteWhereLong on a partition column is metadata-only partition drop") {
     val root = freshRoot()
     DeltaLog.commitPartitioned(spark, root,
