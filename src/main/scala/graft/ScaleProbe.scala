@@ -112,6 +112,9 @@ object ScaleProbe {
       "hyperball" -> { k =>
         graft.graphs.HyperBall.neighborhoodSizes(edges(k), rounds = 2)
       },
+      "scc" -> { k =>
+        graft.graphs.Scc.run(edges(k))
+      },
       "bucketed_join" -> { k =>
         import org.apache.spark.sql.functions.{count, lit}
         val deg = edges(k).groupBy("src")

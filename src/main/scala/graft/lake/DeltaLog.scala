@@ -1061,7 +1061,12 @@ object DeltaLog {
     *
     * Scale posture: one partition-local read+rewrite per fat
     * partition — file-count work, no shuffle, no cross-partition data
-    * movement; the commit is one JSON line per touched file.
+    * movement; the commit is one JSON line per touched file. The
+    * rewrites are independent (embarrassingly parallel across driver
+    * threads at cluster scale; sequential here), and one-file-per-
+    * partition is the local-scale simplification of OPTIMIZE's
+    * bin-to-target-size — a partition bigger than a sane file would
+    * bin into ceil(bytes/target) files instead.
     * (Unpartitioned [[Snapshots]] tables compact through their own
     * OPTIMIZE; this is the partitioned-layout sibling.)
     */

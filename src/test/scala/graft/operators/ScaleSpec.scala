@@ -265,6 +265,25 @@ class ScaleSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("SCC growth law: copies resolve to offset-replicated components") {
+    val k = 3
+    val e1 = ScaledFixtures.scaledEdges(spark, sfDir, 1, s"$tmpBase/scc-edges1")
+    val ek = ScaledFixtures.scaledEdges(spark, sfDir, k, s"$tmpBase/scc-edges$k")
+    // SCC labels are STRUCTURAL (min member id), so unlike the
+    // hash-dependent HyperBall estimates they are exactly
+    // offset-equivariant on disjoint copies.
+    val base = graft.graphs.Scc.run(e1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val grown = graft.graphs.Scc.run(ek).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(grown.length == k * base.size)
+    grown.foreach { case (node, scc) =>
+      val off = (node / 10000000L) * 10000000L
+      assert(scc == base(node - off) + off, s"node $node scc $scc off $off")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("no plan degradation at 20x: no cartesian product, no global sort") {
     val d20 = docsAt(20)
     val e20 = ScaledFixtures.scaledEmbeddings(spark, sfDir, 20, s"$tmpBase/emb20")
