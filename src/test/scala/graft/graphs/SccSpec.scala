@@ -59,12 +59,19 @@ class SccSpec extends SparkSpec {
     assert(dag == Set((1L, 4L), (4L, 6L)), dag)
   }
 
-  test("seeded random graph agrees with an in-spec Tarjan reference") {
-    val rnd = new scala.util.Random(7)
-    val n = 60
-    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-      .filter { case (a, b) => a != b }.distinct
-    assert(sccOf(edges) == tarjan(edges), "FW-BW disagreed with Tarjan")
+  test("seeded random graphs agree with an in-spec Tarjan reference " +
+    "(sparse, dense, and skewed densities)") {
+    // density sweep: m≈n (mostly small SCCs + singletons), m≈2.5n (one
+    // giant SCC emerging), m≈6n (giant SCC + satellites) — each regime
+    // exercises different phase/containment behavior
+    for ((seed, n, m) <- Seq((7, 60, 150), (11, 80, 80), (13, 50, 300),
+      (17, 40, 60), (23, 120, 200))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      assert(sccOf(edges) == tarjan(edges),
+        s"FW-BW disagreed with Tarjan on seed=$seed n=$n m=$m")
+    }
   }
 
   /** Iterative Tarjan (explicit stack), scc id = min member. */
