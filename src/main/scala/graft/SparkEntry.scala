@@ -3606,12 +3606,13 @@ object SparkEntry {
          SELECT CAST(MIN(COALESCE(dot, 0)) AS BIGINT) AS est_join_rows
          FROM spine LEFT JOIN dots USING (hash_row)""",
     // q235: the one-shot rollup the fold must equal. Mirror of
-    // mergeAggState's quantize-once discipline: floor(value*100) cents
-    // summed as BIGINT (exact, order-free), presented as the exact
-    // decimal product cents * 0.01.
+    // mergeAggState's quantize-once discipline: floor(value*100 + 0.5)
+    // cents (the +0.5 recovers exact-2dp money whose double product
+    // lands below the integer) summed as BIGINT (exact, order-free),
+    // presented as the exact decimal product cents * 0.01.
     "q235_incremental_agg" ->
       """SELECT event_type, COUNT(*) AS n_rows,
-           CAST(CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+           CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                      AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))
              AS sum_val
          FROM events WHERE value IS NOT NULL GROUP BY 1""",

@@ -54,10 +54,14 @@ object Scc {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val ePairs = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .filter(col("src") =!= col("dst"))
+    // Node universe BEFORE the self-loop filter: a node whose only edge
+    // is a self-loop is a singleton SCC, not absent from the output.
+    val rawPairs = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
       .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val ePairs = rawPairs.filter { case (s, d) => s != d }
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = ePairs.count()
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
@@ -71,7 +75,7 @@ object Scc {
       .groupByKey(part).mapValues(_.toArray)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var remaining: RDD[(Long, Unit)] = ePairs
+    var remaining: RDD[(Long, Unit)] = rawPairs
       .flatMap { case (s, d) => Iterator(s, d) }
       .map(n => (n, ())).reduceByKey(part, (a, _) => a)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -169,8 +173,18 @@ object Scc {
     }
     require(nRemaining == 0,
       s"Scc: $nRemaining nodes unassigned after $maxPhases phases")
-    val all = done.reduce(_ union _)
-    val df = all.toDF("node", "scc_id")
+    val df =
+      if (done.isEmpty)
+        // empty node universe: empty result with the declared shape
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("scc_id",
+              org.apache.spark.sql.types.LongType))))
+      else done.reduce(_ union _).toDF("node", "scc_id")
+    rawPairs.unpersist(blocking = false)
     ePairs.unpersist(blocking = false)
     eBySrc.unpersist(blocking = false)
     adjOut.unpersist(blocking = false)

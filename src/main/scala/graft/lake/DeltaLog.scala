@@ -117,9 +117,14 @@ object DeltaLog {
     (single ++ multi).sortBy(_._1)
   }
 
-  /** Highest Delta commit version; −1 if no log exists. */
+  /** Highest Delta version present — JSON commits OR complete
+    * checkpoints (a fully compacted log whose retention cleanup deleted
+    * every JSON commit is still readable from its newest checkpoint);
+    * −1 if no log exists.
+    */
   def currentVersion(root: String): Long =
-    versions(root).lastOption.getOrElse(-1L)
+    (versions(root) ++ checkpointVersions(root).map(_._1))
+      .maxOption.getOrElse(-1L)
 
   // ------------------------------------------------------------------
   // Writer: graft manifest log → _delta_log
@@ -139,6 +144,29 @@ object DeltaLog {
       s"DeltaLog.sync: checkpointInterval >= 1, got $checkpointInterval")
     val gvs = Snapshots.versions(root)
     require(gvs.nonEmpty, s"DeltaLog.sync: no committed snapshots at $root")
+    // Delta commits beyond the manifest mapping (graft v ↔ Delta v−1)
+    // mean DML/compaction landed directly on the Delta log — it is now
+    // the source of truth and re-syncing would resurrect removed files
+    // and skip new appends. Fail loudly instead of silently diverging.
+    // Detection is by MARKER, not by number: a DML commit can occupy
+    // exactly the version the next sync would write, so every existing
+    // commit in the mapped range must carry sync's own commitInfo.
+    require(currentVersion(root) <= gvs.max - 1,
+      s"DeltaLog.sync: the Delta log at $root has commits beyond the " +
+        "manifest mapping (direct DML/OPTIMIZE?) — the table is " +
+        "Delta-owned now; write through DeltaLog, not Snapshots+sync")
+    versions(root).foreach { dv =>
+      val lines = Files.readAllLines(logDir(root).resolve(commitName(dv)))
+        .asScala.filter(_.trim.nonEmpty)
+      val synced = lines.exists { l =>
+        val n = mapper.readTree(l)
+        n.path("commitInfo").path("operation").asText("") == "graft-sync"
+      }
+      require(synced,
+        s"DeltaLog.sync: Delta commit $dv of $root was not written by " +
+          "sync (direct DML/OPTIMIZE?) — the table is Delta-owned now; " +
+          "write through DeltaLog, not Snapshots+sync")
+    }
     Files.createDirectories(logDir(root))
     // Deterministic table id: stable across re-syncs of the same root.
     val tableId = java.util.UUID.nameUUIDFromBytes(
@@ -154,6 +182,13 @@ object DeltaLog {
       val target = logDir(root).resolve(commitName(dv))
       if (!Files.exists(target)) {
         val actions = Seq.newBuilder[JsonNode]
+        locally {
+          val ci = mapper.createObjectNode()
+          val c = ci.putObject("commitInfo")
+          c.put("operation", "graft-sync")
+          c.put("graftVersion", gv)
+          actions += ci
+        }
         if (dv == 0L) {
           val protocol = mapper.createObjectNode()
           val p = protocol.putObject("protocol")
@@ -174,16 +209,8 @@ object DeltaLog {
           actions += n
         }
         added.foreach { f =>
-          val fp = Paths.get(root, f)
-          val n = mapper.createObjectNode()
-          val a = n.putObject("add")
-          a.put("path", encodePath(f))
-          a.putObject("partitionValues")
-          a.put("size", Files.size(fp))
-          a.put("modificationTime", Files.getLastModifiedTime(fp).toMillis)
-          a.put("dataChange", true)
-          a.put("stats", footerStatsJson(fp, spark.sparkContext.hadoopConfiguration))
-          actions += n
+          actions += addActionNode(root, f, Map.empty, dataChange = true,
+            spark.sparkContext.hadoopConfiguration)
         }
         writeCommitFile(root, dv, actions.result())
       }
@@ -272,6 +299,7 @@ object DeltaLog {
     */
   def checkpoint(spark: SparkSession, root: String, version: Long): Unit = {
     val target = logDir(root).resolve(checkpointName(version))
+    var writtenRows = -1L
     if (!Files.exists(target)) {
       val st = replay(spark, root, version)
       val schemaJson = st.schema.map(_.json).getOrElse(
@@ -294,28 +322,23 @@ object DeltaLog {
       val txnRows = st.txnVersions.toSeq.sortBy(_._1).map { case (app, ver) =>
         Row(Row(app, ver), null, null, null, null)
       }
+      val rows = Seq(protoRow, metaRow) ++ txnRows ++ addRows
       val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          Seq(protoRow, metaRow) ++ txnRows ++ addRows, 1),
-        checkpointSchema)
-      val staging = Files.createTempDirectory("graft-delta-ckpt").toString
-      df.coalesce(1).write.mode("overwrite").parquet(staging)
-      val part = {
-        val s = Files.list(Paths.get(staging))
-        try s.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"DeltaLog.checkpoint: no parquet produced in $staging"))
-        finally s.close()
-      }
+        spark.sparkContext.parallelize(rows, 1), checkpointSchema)
+      val part = writeSingleParquet(df, "graft-delta-ckpt")
       Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+      writtenRows = rows.size.toLong
     }
     // _last_checkpoint is a HINT (readers discover by listing); keep it
     // pointing at the newest checkpoint present.
     val newest = checkpointVersions(root).map(_._1).max
     val n = mapper.createObjectNode()
     n.put("version", newest)
-    n.put("size", countCheckpointRows(spark, root, newest))
+    // row count is known when this call wrote the newest checkpoint;
+    // otherwise one parquet read (footer-sized file) recovers it
+    n.put("size",
+      if (newest == version && writtenRows >= 0L) writtenRows
+      else countCheckpointRows(spark, root, newest))
     val tmp = logDir(root).resolve("_last_checkpoint.__tmp")
     Files.write(tmp, mapper.writeValueAsString(n).getBytes("UTF-8"))
     Files.move(tmp, logDir(root).resolve("_last_checkpoint"),
@@ -498,6 +521,65 @@ object DeltaLog {
   /** Inverse of [[decodePath]]: percent-encode a table-relative path the
     * way the protocol expects (spaces, '%', … escaped; '/', '=' kept).
     */
+  /** Write `df` as ONE parquet file into a fresh temp dir; returns the
+    * part-file path (still in the temp dir — callers move it).
+    */
+  private def writeSingleParquet(df: DataFrame, prefix: String): Path = {
+    val staging = Files.createTempDirectory(prefix).toString
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val s = Files.list(Paths.get(staging))
+    try s.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"DeltaLog: no parquet produced in $staging"))
+    finally s.close()
+  }
+
+  /** Canonical `add` action for an on-disk table file: size/mtime from
+    * the filesystem, `stats` from the footer.
+    */
+  private def addActionNode(root: String, rel: String,
+                            pv: Map[String, String], dataChange: Boolean,
+                            conf: org.apache.hadoop.conf.Configuration): JsonNode = {
+    val fp = Paths.get(root, rel)
+    val n = mapper.createObjectNode()
+    val a = n.putObject("add")
+    a.put("path", encodePath(rel))
+    val pvo = a.putObject("partitionValues")
+    pv.foreach { case (k, sv) =>
+      if (sv == null) pvo.putNull(k) else pvo.put(k, sv)
+    }
+    a.put("size", Files.size(fp))
+    a.put("modificationTime", Files.getLastModifiedTime(fp).toMillis)
+    a.put("dataChange", dataChange)
+    a.put("stats", footerStatsJson(fp, conf))
+    n
+  }
+
+  private def removeActionNode(rel: String, dataChange: Boolean): JsonNode = {
+    val n = mapper.createObjectNode()
+    val r = n.putObject("remove")
+    r.put("path", encodePath(rel))
+    r.put("deletionTimestamp", System.currentTimeMillis())
+    r.put("dataChange", dataChange)
+    n
+  }
+
+  /** Can `path`'s stats range intersect [lo, hi] on `column`? Missing
+    * stats, or no numeric min/max for the column → conservatively true.
+    */
+  private def statsOverlap(st: LogState, path: String, column: String,
+                           lo: Long, hi: Long): Boolean =
+    st.fileStats.get(path) match {
+      case None => true
+      case Some(s) =>
+        val n = mapper.readTree(s)
+        val mn = n.path("minValues").path(column)
+        val mx = n.path("maxValues").path(column)
+        !(mn.isNumber && mx.isNumber) ||
+          (mn.asLong() <= hi && mx.asLong() >= lo)
+    }
+
   private def encodePath(rel: String): String =
     new java.net.URI(null, null, rel, null).getRawPath
 
@@ -538,8 +620,16 @@ object DeltaLog {
       require(missing.isEmpty,
         s"DeltaLog: partitionColumns $missing not in declared schema")
       val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
+      // an add whose partitionValues OMITS a declared partition column
+      // is malformed (column-mapping tables, broken writers): treating
+      // absent as null would surface wrong rows — fail loudly instead
       val byPartition = files
-        .groupBy(f => st.partitionColumns.map(c => f._2.get(c).flatMap(Option(_))))
+        .groupBy(f => st.partitionColumns.map { c =>
+          require(f._2.contains(c),
+            s"DeltaLog: add ${f._1} lacks partitionValues for declared " +
+              s"partition column $c")
+          Option(f._2(c))
+        })
       val parts = byPartition.toSeq.sortBy(_._1.mkString(" "))
         .map { case (pvals, group) =>
           val pvByCol = st.partitionColumns.zip(pvals).toMap
@@ -590,17 +680,8 @@ object DeltaLog {
                     lo: Long, hi: Long): DataFrame = {
     require(lo <= hi, s"DeltaLog.readWhereLong: empty interval [$lo, $hi]")
     val st = replay(spark, root, currentVersion(root))
-    val kept = st.files.filter { case (p, _) =>
-      st.fileStats.get(p) match {
-        case None => true
-        case Some(s) =>
-          val n = mapper.readTree(s)
-          val mn = n.path("minValues").path(column)
-          val mx = n.path("maxValues").path(column)
-          !(mn.isNumber && mx.isNumber) ||
-            (mn.asLong() <= hi && mx.asLong() >= lo)
-      }
-    }
+    val kept = st.files
+      .filter { case (p, _) => statsOverlap(st, p, column, lo, hi) }
     assembleFiles(spark, root, st, kept)
       .filter(col(column) >= lo && col(column) <= hi)
   }
@@ -614,6 +695,11 @@ object DeltaLog {
     * partitions drop with zero data IO (partition values must then be
     * numeric). No-op (no commit) when nothing matches. Returns the
     * table version afterwards.
+    *
+    * Ownership: direct DML makes the Delta log the table's source of
+    * truth — on a [[Snapshots]]-synced root, [[sync]] refuses to run
+    * afterwards (by design) and `Snapshots.vacuum` must not run (its
+    * manifests no longer cover the live file set).
     */
   def deleteWhereLong(spark: SparkSession, root: String, column: String,
                       lo: Long, hi: Long): Long = {
@@ -625,74 +711,42 @@ object DeltaLog {
     val pcSet = st.partitionColumns.toSet
     val conf = spark.sparkContext.hadoopConfiguration
     val actions = Seq.newBuilder[JsonNode]
-    def removeAction(rel: String): Unit = {
-      val n = mapper.createObjectNode()
-      val r = n.putObject("remove")
-      r.put("path", encodePath(rel))
-      r.put("deletionTimestamp", System.currentTimeMillis())
-      r.put("dataChange", true)
-      actions += n
-    }
     var touched = 0
     if (pcSet(column)) {
       st.files.foreach { case (rel, pv) =>
-        val inRange = pv.get(column).flatMap(Option(_)).exists { s =>
+        require(pv.contains(column),
+          s"DeltaLog.deleteWhereLong: add $rel lacks partitionValues " +
+            s"for declared partition column $column")
+        val inRange = Option(pv(column)).exists { s =>
           try { val x = s.toLong; x >= lo && x <= hi }
           catch { case _: NumberFormatException =>
             throw new IllegalArgumentException(
               s"DeltaLog.deleteWhereLong: partition value '$s' of " +
                 s"$column is not numeric") }
         }
-        if (inRange) { removeAction(rel); touched += 1 }
+        if (inRange) { actions += removeActionNode(rel, true); touched += 1 }
       }
     } else {
       val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
-      val overlapping = st.files.filter { case (p, _) =>
-        st.fileStats.get(p) match {
-          case None => true
-          case Some(s) =>
-            val n = mapper.readTree(s)
-            val mn = n.path("minValues").path(column)
-            val mx = n.path("maxValues").path(column)
-            !(mn.isNumber && mx.isNumber) ||
-              (mn.asLong() <= hi && mx.asLong() >= lo)
-        }
-      }
+      val overlapping = st.files
+        .filter { case (p, _) => statsOverlap(st, p, column, lo, hi) }
       overlapping.foreach { case (rel, pv) =>
         val full = Paths.get(root, rel)
         val remaining = spark.read.schema(dataSchema)
           .parquet(full.toString)
           .filter(!(col(column) >= lo && col(column) <= hi) ||
             col(column).isNull)
-        val staging = Files.createTempDirectory("graft-delta-del").toString
-        remaining.coalesce(1).write.mode("overwrite").parquet(staging)
-        val part = {
-          val s = Files.list(Paths.get(staging))
-          try s.iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException(
-              s"DeltaLog.deleteWhereLong: no parquet in $staging"))
-          finally s.close()
-        }
-        val kept = spark.read.schema(dataSchema).parquet(part.toString).count()
-        removeAction(rel); touched += 1
+        val part = writeSingleParquet(remaining, "graft-delta-del")
+        // kept-row count from the staged file's FOOTER — no extra job
+        val kept = mapper.readTree(footerStatsJson(part, conf))
+          .path("numRecords").asLong(0L)
+        actions += removeActionNode(rel, true); touched += 1
         if (kept > 0L) {
           val target = full.getParent.resolve(part.getFileName)
           Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
           val newRel = Paths.get(root).relativize(target).toString
             .replace(java.io.File.separatorChar, '/')
-          val n = mapper.createObjectNode()
-          val a = n.putObject("add")
-          a.put("path", encodePath(newRel))
-          val pvo = a.putObject("partitionValues")
-          pv.foreach { case (k, sv) =>
-            if (sv == null) pvo.putNull(k) else pvo.put(k, sv)
-          }
-          a.put("size", Files.size(target))
-          a.put("modificationTime", Files.getLastModifiedTime(target).toMillis)
-          a.put("dataChange", true)
-          a.put("stats", footerStatsJson(target, conf))
-          actions += n
+          actions += addActionNode(root, newRel, pv, dataChange = true, conf)
         }
       }
     }
@@ -727,17 +781,8 @@ object DeltaLog {
     set.keySet.foreach(k => require(dataSchema.fieldNames.contains(k),
       s"DeltaLog.updateWhereLong: SET column $k not in data schema"))
     val conf = spark.sparkContext.hadoopConfiguration
-    val overlapping = st.files.filter { case (p, _) =>
-      st.fileStats.get(p) match {
-        case None => true
-        case Some(s) =>
-          val n = mapper.readTree(s)
-          val mn = n.path("minValues").path(column)
-          val mx = n.path("maxValues").path(column)
-          !(mn.isNumber && mx.isNumber) ||
-            (mn.asLong() <= hi && mx.asLong() >= lo)
-      }
-    }
+    val overlapping = st.files
+      .filter { case (p, _) => statsOverlap(st, p, column, lo, hi) }
     if (overlapping.isEmpty) return v
     val actions = Seq.newBuilder[JsonNode]
     overlapping.foreach { case (rel, pv) =>
@@ -750,54 +795,67 @@ object DeltaLog {
             org.apache.spark.sql.functions.when(matches, e)
               .otherwise(col(c)).cast(dataSchema(c).dataType))
       }.select(dataSchema.fieldNames.map(col).toSeq: _*)
-      val staging = Files.createTempDirectory("graft-delta-upd").toString
-      updated.coalesce(1).write.mode("overwrite").parquet(staging)
-      val part = {
-        val s = Files.list(Paths.get(staging))
-        try s.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"DeltaLog.updateWhereLong: no parquet in $staging"))
-        finally s.close()
-      }
+      val part = writeSingleParquet(updated, "graft-delta-upd")
       val target = full.getParent.resolve(part.getFileName)
       Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
       val newRel = Paths.get(root).relativize(target).toString
         .replace(java.io.File.separatorChar, '/')
-      val rn = mapper.createObjectNode()
-      val r = rn.putObject("remove")
-      r.put("path", encodePath(rel))
-      r.put("deletionTimestamp", System.currentTimeMillis())
-      r.put("dataChange", true)
-      actions += rn
-      val an = mapper.createObjectNode()
-      val a = an.putObject("add")
-      a.put("path", encodePath(newRel))
-      val pvo = a.putObject("partitionValues")
-      pv.foreach { case (k, sv) =>
-        if (sv == null) pvo.putNull(k) else pvo.put(k, sv)
-      }
-      a.put("size", Files.size(target))
-      a.put("modificationTime", Files.getLastModifiedTime(target).toMillis)
-      a.put("dataChange", true)
-      a.put("stats", footerStatsJson(target, conf))
-      actions += an
+      actions += removeActionNode(rel, true)
+      actions += addActionNode(root, newRel, pv, dataChange = true, conf)
     }
     writeCommitFile(root, v + 1, actions.result())
     v + 1
   }
 
   /** Rows APPENDED after `sinceVersion` — the incremental-ETL tail
-    * read: files active now that were not active then, scanned with
-    * the current schema. Removed/rewritten history is not replayed
-    * (deletes flow through CDC/CDF surfaces; this is the append-stream
-    * view a downstream incremental job consumes between runs).
+    * read a downstream job consumes between runs. Semantics mirror the
+    * Delta streaming source: the JSON commits of the tail are walked
+    * directly; `add`s with `dataChange=true` contribute their rows,
+    * whole `dataChange=false` commits (OPTIMIZE compaction) are
+    * SKIPPED — the rewritten rows were already consumed from their
+    * original files, which remain readable until vacuum — and a
+    * `remove` with `dataChange=true` in the tail (DML/rewrite) FAILS
+    * LOUDLY: changed history must flow through a CDC surface, an
+    * append tail cannot represent it. The tail's JSON commits must be
+    * present (a checkpoint compacts STATE, not the append history).
     */
   def readAppendsSince(spark: SparkSession, root: String,
                        sinceVersion: Long): DataFrame = {
-    val cur = replay(spark, root, currentVersion(root))
-    val old = replay(spark, root, sinceVersion).files.map(_._1).toSet
-    assembleFiles(spark, root, cur, cur.files.filterNot(f => old(f._1)))
+    val cur = currentVersion(root)
+    val st = replay(spark, root, cur)
+    val present = versions(root).toSet
+    ((sinceVersion + 1) to cur).foreach(v => require(present.contains(v),
+      s"DeltaLog.readAppendsSince: commit $v missing from $root — the " +
+        "append tail needs its JSON commits (checkpoints compact state, " +
+        "not history)"))
+    val adds = Seq.newBuilder[(String, Map[String, String])]
+    ((sinceVersion + 1) to cur).foreach { v =>
+      val lines = Files.readAllLines(logDir(root).resolve(commitName(v)))
+        .asScala.filter(_.trim.nonEmpty)
+      lines.foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("add")) {
+          val a = node.get("add")
+          if (a.path("dataChange").asBoolean(true)) {
+            val pvNode = a.path("partitionValues")
+            val pv =
+              if (pvNode.isObject)
+                pvNode.properties().asScala
+                  .map(e => e.getKey ->
+                    (if (e.getValue.isNull) null else e.getValue.asText()))
+                  .toMap
+              else Map.empty[String, String]
+            adds += decodePath(a.path("path").asText()) -> pv
+          }
+        } else if (node.has("remove")) {
+          require(!node.get("remove").path("dataChange").asBoolean(true),
+            s"DeltaLog.readAppendsSince: commit $v of $root removes data " +
+              "with dataChange=true (DELETE/UPDATE/rewrite) — an append " +
+              "tail cannot represent changed history; consume CDC instead")
+        }
+      }
+    }
+    assembleFiles(spark, root, st, adds.result())
   }
 
   /** Physically delete data files the CURRENT version no longer
@@ -1025,27 +1083,11 @@ object DeltaLog {
       actions += n
     }
     if (rewrite) prior.foreach(_.files.foreach { case (path, _) =>
-      val n = mapper.createObjectNode()
-      val r = n.putObject("remove")
-      r.put("path", encodePath(path))
-      r.put("deletionTimestamp", System.currentTimeMillis())
-      r.put("dataChange", true)
-      actions += n
+      actions += removeActionNode(path, dataChange = true)
     })
+    val conf = spark.sparkContext.hadoopConfiguration
     added.foreach { case (rel, pv) =>
-      val fp = Paths.get(root, rel)
-      val n = mapper.createObjectNode()
-      val a = n.putObject("add")
-      a.put("path", encodePath(rel))
-      val pvo = a.putObject("partitionValues")
-      pv.foreach { case (k, sv) =>
-        if (sv == null) pvo.putNull(k) else pvo.put(k, sv)
-      }
-      a.put("size", Files.size(fp))
-      a.put("modificationTime", Files.getLastModifiedTime(fp).toMillis)
-      a.put("dataChange", true)
-      a.put("stats", footerStatsJson(fp, spark.sparkContext.hadoopConfiguration))
-      actions += n
+      actions += addActionNode(root, rel, pv, dataChange = true, conf)
     }
     writeCommitFile(root, v, actions.result())
     v
@@ -1083,46 +1125,20 @@ object DeltaLog {
     val fat = st.files.groupBy(_._2).filter(_._2.size > 1)
     if (fat.isEmpty) return v
     val actions = Seq.newBuilder[JsonNode]
+    val conf = spark.sparkContext.hadoopConfiguration
     fat.toSeq.sortBy(_._2.head._1).foreach { case (pv, files) =>
       val rels = files.map(_._1)
       val merged = spark.read.schema(dataSchema)
         .parquet(rels.map(f => Paths.get(root, f).toString): _*)
-      val staging = Files.createTempDirectory("graft-delta-compact").toString
-      merged.coalesce(1).write.mode("overwrite").parquet(staging)
-      val part = {
-        val s = Files.list(Paths.get(staging))
-        try s.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"DeltaLog.compactPartitioned: no parquet in $staging"))
-        finally s.close()
-      }
+      val part = writeSingleParquet(merged, "graft-delta-compact")
       // land the compacted file beside the ones it replaces
       val dir = Paths.get(root, rels.head).getParent
       val target = dir.resolve(part.getFileName)
       Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
       val newRel = Paths.get(root).relativize(target).toString
         .replace(java.io.File.separatorChar, '/')
-      rels.foreach { f =>
-        val n = mapper.createObjectNode()
-        val r = n.putObject("remove")
-        r.put("path", encodePath(f))
-        r.put("deletionTimestamp", System.currentTimeMillis())
-        r.put("dataChange", false)
-        actions += n
-      }
-      val n = mapper.createObjectNode()
-      val a = n.putObject("add")
-      a.put("path", encodePath(newRel))
-      val pvo = a.putObject("partitionValues")
-      pv.foreach { case (k, sv) =>
-        if (sv == null) pvo.putNull(k) else pvo.put(k, sv)
-      }
-      a.put("size", Files.size(target))
-      a.put("modificationTime", Files.getLastModifiedTime(target).toMillis)
-      a.put("dataChange", false)
-      a.put("stats", footerStatsJson(target, spark.sparkContext.hadoopConfiguration))
-      actions += n
+      rels.foreach(f => actions += removeActionNode(f, dataChange = false))
+      actions += addActionNode(root, newRel, pv, dataChange = false, conf)
     }
     writeCommitFile(root, v + 1, actions.result())
     v + 1

@@ -155,12 +155,16 @@ object Medallion {
     * Output/state schema: (groupCols…, n_rows, sum_val DECIMAL(18,2)).
     * Pass `state = None` for the first batch.
     *
-    * Per-row quantization is floor(value·100) → long (tie-free; a
-    * HALF_UP decimal cast of a dyadic double is not), longs sum
-    * exactly in any order, and cents present as an exact decimal
+    * Per-row quantization is floor(value·100 + 0.5) → long: the +0.5
+    * recovers the intended cent for exact-2dp money whose double
+    * product lands a hair BELOW the integer (0.29·100 =
+    * 28.999999999999996 — bare floor undercounts it a cent), while
+    * staying a pure IEEE computation both engines reproduce
+    * bit-identically (determinism, not a rounding-mode claim). Longs
+    * sum exactly in any order, and cents present as an exact decimal
     * product cents × 0.01 — so fold ≡ one-shot holds bit-for-bit on
-    * ANY double input, not just exactly-2dp data. State merges stay
-    * pure DECIMAL(18,2) addition, which never rounds.
+    * ANY double input. State merges stay pure DECIMAL(18,2) addition,
+    * which never rounds.
     */
   def mergeAggState(state: Option[DataFrame], batch: DataFrame,
                     groupCols: Seq[String], valueCol: String): DataFrame = {
@@ -168,7 +172,8 @@ object Medallion {
     val part = batch
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        sum(floor(col(valueCol) * lit(100)).cast("long")).as("__cents"))
+        sum(floor(col(valueCol) * lit(100) + lit(0.5)).cast("long"))
+          .as("__cents"))
       .withColumn("sum_val",
         (col("__cents").cast("decimal(18,0)") *
           lit(new java.math.BigDecimal("0.01"))).cast("decimal(18,2)"))

@@ -48,6 +48,19 @@ class SccSpec extends SparkSpec {
     assert(scc == cc, s"scc $scc vs cc $cc")
   }
 
+  test("empty edge set returns an empty result, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Scc.run(empty)
+    assert(out.columns.toSeq == Seq("node", "scc_id"))
+    assert(out.count() == 0L)
+    assert(Scc.condensation(empty).count() == 0L)
+  }
+
+  test("self-loop-only nodes are singleton SCCs, not dropped") {
+    val got = sccOf(Seq((5L, 5L), (1L, 2L), (2L, 1L)))
+    assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L), got)
+  }
+
   test("condensation contracts cycles into a DAG over scc ids") {
     val edges = Seq(
       (1L, 2L), (2L, 3L), (3L, 1L), // SCC 1

@@ -505,6 +505,59 @@ class DeltaLogSpec extends SparkSpec {
     assert(rows(DeltaLog.readAppendsSince(spark, root, 2L)) == Set.empty)
   }
 
+  test("readAppendsSince skips compaction commits (no re-emitted rows) " +
+    "and refuses DML in the tail") {
+    val root = freshRoot()
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((1L, "a", "x"), (2L, "b", "x")).toDF("k", "v", "p"), Seq("p"))
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((3L, "c", "x")).toDF("k", "v", "p"), Seq("p"))
+    DeltaLog.compactPartitioned(spark, root) // v2: dataChange=false
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((4L, "d", "x")).toDF("k", "v", "p"), Seq("p")) // v3
+    // tail from the start: each appended row EXACTLY once — the
+    // compaction rewrite (which contains rows 1..3 again) is skipped
+    val tail = DeltaLog.readAppendsSince(spark, root, -1L)
+    assert(tail.count() == 4L, s"compaction re-emitted rows: ${tail.count()}")
+    assert(rows(tail) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // appends strictly after compaction: just the v3 row
+    assert(rows(DeltaLog.readAppendsSince(spark, root, 2L)) == Set((4L, "d")))
+    // a DELETE in the tail is changed history -> loud refusal
+    DeltaLog.deleteWhereLong(spark, root, "k", 1L, 1L)
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.readAppendsSince(spark, root, 2L).collect())
+    assert(e.getMessage.contains("CDC"), e.getMessage)
+  }
+
+  test("a fully checkpoint-compacted log (zero JSON commits) still reads") {
+    val root = freshRoot()
+    (1 to 3).foreach { i =>
+      Snapshots.commitAppend(root)(tmp =>
+        Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    }
+    DeltaLog.sync(spark, root, checkpointInterval = 2)
+    val full = rows(DeltaLog.read(spark, root))
+    // retention cleanup deletes EVERY JSON commit; checkpoint at 2 is
+    // the whole log now
+    (0L to 2L).foreach(v => Files.delete(
+      Paths.get(root, "_delta_log", f"$v%020d.json")))
+    assert(DeltaLog.currentVersion(root) == 2L,
+      "currentVersion must see the checkpoint")
+    assert(rows(DeltaLog.read(spark, root)) == full)
+  }
+
+  test("sync refuses a table whose Delta log gained direct DML commits") {
+    val root = freshRoot()
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    DeltaLog.sync(spark, root)
+    DeltaLog.deleteWhereLong(spark, root, "k", 1L, 1L) // Delta-owned now
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((3L, "c")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    val e = intercept[IllegalArgumentException](DeltaLog.sync(spark, root))
+    assert(e.getMessage.contains("Delta-owned"), e.getMessage)
+  }
+
   test("deleteWhereLong on a partition column is metadata-only partition drop") {
     val root = freshRoot()
     DeltaLog.commitPartitioned(spark, root,

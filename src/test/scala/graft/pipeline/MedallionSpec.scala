@@ -73,12 +73,12 @@ class MedallionSpec extends SparkSpec {
     "including NULL/negative ids and 3-decimal values") {
     val s2 = spark; import s2.implicits._
     // Hostile rows for the q235 gate shape: a NULL id and a negative id
-    // (both lost by a bare `id % 2 === i` slice), and 3-decimal doubles
-    // (a HALF_UP decimal(18,2) cast would round each row, so fold vs
-    // one-shot would drift; floor-cents quantization cannot).
+    // (both lost by a bare `id % 2 === i` slice), 3-decimal doubles,
+    // and 0.29 — the exact-2dp value whose double*100 lands BELOW the
+    // integer (28.9999..), which bare floor undercounts a cent.
     val rows = Seq(("x", Some(1L), 1.10), ("x", Some(2L), 2.205),
       ("y", Some(3L), 3.00), ("x", Some(-4L), 4.40),
-      ("y", None, 0.305), ("z", Some(6L), 9.999))
+      ("y", None, 0.305), ("z", Some(6L), 9.999), ("w", Some(7L), 0.29))
       .toDF("g", "id", "v")
     def batch(i: Int) =
       rows.filter(pmod(coalesce(col("id"), lit(0L)), lit(2)) === i)
@@ -91,9 +91,11 @@ class MedallionSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getDecimal(2).toPlainString))).toMap
     assert(folded == oneShot)
-    // floor-cents: 1.10 → 110, 2.205 → 220 (floor, not HALF_UP 221 —
-    // 2.205 as a double is just below 2.205), 4.40 → 440 ⇒ x = 7.70.
-    assert(folded("x") == ((3L, "7.70")) && folded("z") == ((1L, "9.99")))
+    // floor(x·100 + 0.5) cents: 1.10 → 110, 2.205 → 221, 4.40 → 440
+    // ⇒ x = 7.71; 9.999 → 1000 ⇒ z = 10.00; 0.29 → 29 exactly (bare
+    // floor would say 28).
+    assert(folded("x") == ((3L, "7.71")) && folded("z") == ((1L, "10.00")))
+    assert(folded("w") == ((1L, "0.29")))
     // The slices really are a total partition of rows.
     assert(batch(0).count() + batch(1).count() == rows.count())
   }
