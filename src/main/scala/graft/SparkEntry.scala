@@ -2145,6 +2145,24 @@ object SparkEntry {
       graft.lake.DeltaLog.sync(s, root)
       graft.lake.DeltaLog.readWhereLong(s, root, "event_id", 3000L, 6000L)
     }),
+    // SCC size histogram over the q248 graph: (size, n_sccs) — the
+    // cycle-structure readout (how much of the graph sits in
+    // nontrivial cycles vs singletons).
+    "q257_scc_sizes" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber").asc, col("l_partkey").asc,
+          col("l_suppkey").asc)
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+        .withColumn("__next", lead(col("l_partkey"), 1).over(w))
+        .filter(col("__next").isNotNull &&
+          col("l_partkey") <= 500 && col("__next") <= 500 &&
+          col("l_partkey") =!= col("__next"))
+        .select(col("l_partkey").as("src"), col("__next").as("dst"))
+      graft.graphs.Scc.sizeHistogram(edges)
+    }),
     // Copy-on-write UPDATE with file skipping: zero out value for an
     // event_id range, pass everything else through bit-identical; the
     // oracle is the CASE expression over the whole table.
@@ -3315,6 +3333,35 @@ object SparkEntry {
     "q247_delta_partitioned_read" ->
       """SELECT event_id, value, event_type
          FROM events WHERE event_type IN ('purchase', 'view')""",
+    // q257: the q248 closure rolled up to (size, n_sccs).
+    "q257_scc_sizes" ->
+      """WITH RECURSIVE e AS (
+           SELECT src, dst FROM (
+             SELECT l_partkey AS src,
+               lead(l_partkey, 1) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+             FROM lineitem)
+           WHERE dst IS NOT NULL AND src <= 500 AND dst <= 500
+             AND src <> dst
+           GROUP BY 1, 2),
+         reach AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         reach_m AS MATERIALIZED (SELECT src, dst FROM reach),
+         nodes AS (SELECT src AS node FROM e
+                   UNION SELECT dst AS node FROM e),
+         mutual AS (
+           SELECT a.src AS u, a.dst AS v
+           FROM reach_m a JOIN reach_m b
+             ON a.src = b.dst AND a.dst = b.src),
+         scc AS (
+           SELECT n.node,
+             LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
+           FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+           GROUP BY n.node),
+         sizes AS (SELECT scc_id, COUNT(*) AS size FROM scc GROUP BY 1)
+         SELECT size, COUNT(*) AS n_sccs FROM sizes GROUP BY 1""",
     // q255: the CASE the copy-on-write update must realize (NULL ids
     // never match BETWEEN, so their value passes through).
     "q255_delta_update_where" ->
