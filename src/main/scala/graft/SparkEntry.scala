@@ -89,6 +89,42 @@ object SparkEntry {
         "doc_id", "text")
     }
 
+  /** The q248/q254/q257 directed part-succession graph — next-line
+    * part transitions within an order, capped to parts ≤ 500.
+    * l_linenumber is NOT unique per order in this testdata; the
+    * (linenumber, partkey, suppkey) triple is the unique tiebreaker
+    * (the standing window rule — without it the edge SET itself is
+    * nondeterministic and no oracle can match).
+    */
+  private def sccLineitemEdges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber").asc, col("l_partkey").asc,
+        col("l_suppkey").asc)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
+      .withColumn("__next", lead(col("l_partkey"), 1).over(w))
+      .filter(col("__next").isNotNull &&
+        col("l_partkey") <= 500 && col("__next") <= 500 &&
+        col("l_partkey") =!= col("__next"))
+      .select(col("l_partkey").as("src"), col("__next").as("dst"))
+  }
+
+  /** One SCC label table per (session, sf-dir), shared by q248 (the
+    * labels), q254 (condensation), q257 (size histogram) — the real
+    * pipeline materializes the fixpoint once and every readout consumes
+    * it; without the memo each readout re-runs the full multi-phase
+    * FW-BW fixpoint. Same eviction-proof persist discipline as
+    * [[jaccardShingles]] (Scc.run's output additionally rides its own
+    * RDD-level persists, which clearCache does not evict).
+    */
+  private val sccLabelsCache = new PlanCache
+  private def sccLabels(s: SparkSession, d: String): DataFrame =
+    cachedPlan(sccLabelsCache, s, d) {
+      graft.graphs.Scc.run(sccLineitemEdges(s, d))
+    }
+
   /** q43/q44 each build the parsed silver orders table directly — NOT
     * through the memo above. Unlike jaccardShingles (referenced 3× in
     * one plan), each of these plans consumes the parse exactly once, and
@@ -2148,21 +2184,8 @@ object SparkEntry {
     // SCC size histogram over the q248 graph: (size, n_sccs) — the
     // cycle-structure readout (how much of the graph sits in
     // nontrivial cycles vs singletons).
-    "q257_scc_sizes" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_linenumber").asc, col("l_partkey").asc,
-          col("l_suppkey").asc)
-      val edges = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"))
-        .withColumn("__next", lead(col("l_partkey"), 1).over(w))
-        .filter(col("__next").isNotNull &&
-          col("l_partkey") <= 500 && col("__next") <= 500 &&
-          col("l_partkey") =!= col("__next"))
-        .select(col("l_partkey").as("src"), col("__next").as("dst"))
-      graft.graphs.Scc.sizeHistogram(edges)
-    }),
+    "q257_scc_sizes" -> ((s, d) =>
+      graft.graphs.Scc.sizeHistogramFromLabels(sccLabels(s, d))),
     // Copy-on-write UPDATE with file skipping: zero out value for an
     // event_id range, pass everything else through bit-identical; the
     // oracle is the CASE expression over the whole table.
@@ -2216,21 +2239,9 @@ object SparkEntry {
     // Condensation DAG over the q248 SCC graph: one edge per pair of
     // distinct components with an original edge between them — always
     // acyclic, the dependency readout SCC exists to produce.
-    "q254_scc_condensation" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_linenumber").asc, col("l_partkey").asc,
-          col("l_suppkey").asc)
-      val edges = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"))
-        .withColumn("__next", lead(col("l_partkey"), 1).over(w))
-        .filter(col("__next").isNotNull &&
-          col("l_partkey") <= 500 && col("__next") <= 500 &&
-          col("l_partkey") =!= col("__next"))
-        .select(col("l_partkey").as("src"), col("__next").as("dst"))
-      graft.graphs.Scc.condensation(edges)
-    }),
+    "q254_scc_condensation" -> ((s, d) =>
+      graft.graphs.Scc.condensationFromLabels(
+        sccLineitemEdges(s, d), sccLabels(s, d))),
     // Incremental JOIN-view maintenance (the delta rule): three
     // MISALIGNED batch pairs of orders/lineitem folded through
     // JoinView.advance must equal the one-shot join — every cross term
@@ -2266,25 +2277,7 @@ object SparkEntry {
       graft.lake.DeltaLog.compactPartitioned(s, root)
       graft.lake.DeltaLog.read(s, root)
     }),
-    "q248_scc" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      // l_linenumber is NOT unique per order in this testdata — the
-      // (linenumber, partkey, suppkey) triple is the unique tiebreaker
-      // (the standing window rule; without it the edge SET itself is
-      // nondeterministic and no oracle can match).
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_linenumber").asc, col("l_partkey").asc,
-          col("l_suppkey").asc)
-      val edges = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"))
-        .withColumn("__next", lead(col("l_partkey"), 1).over(w))
-        .filter(col("__next").isNotNull &&
-          col("l_partkey") <= 500 && col("__next") <= 500 &&
-          col("l_partkey") =!= col("__next"))
-        .select(col("l_partkey").as("src"), col("__next").as("dst"))
-      graft.graphs.Scc.run(edges)
-    }),
+    "q248_scc" -> ((s, d) => sccLabels(s, d)),
     "q245_ks_test" -> ((s, d) =>
       graft.ml.Eval.ksTest(
         Tables.events(s, d)
@@ -2403,6 +2396,25 @@ object SparkEntry {
       val s1 = Medallion.mergeAggState(Some(s0), batch(1),
         Seq("event_type"), "value")
       Medallion.mergeAggState(Some(s1), batch(2), Seq("event_type"), "value")
+    }),
+    // q235's decisive control: the SAME three-batch fold over the SAME
+    // total partition, but through mergeAggStateCents — raw long cents,
+    // no decimal presentation, zero engine-sensitive surface. Every
+    // output column is an integer, so the cross-engine hash can only
+    // diverge if the FOLD itself diverges (it provably cannot: longs sum
+    // exactly in any order).
+    "q258_agg_state_fold" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"))
+      def batch(i: Int) =
+        ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === i)
+      val s0 = Medallion.mergeAggStateCents(None, batch(0),
+        Seq("event_type"), "value")
+      val s1 = Medallion.mergeAggStateCents(Some(s0), batch(1),
+        Seq("event_type"), "value")
+      Medallion.mergeAggStateCents(Some(s1), batch(2),
+        Seq("event_type"), "value")
     }),
     // URL canonicalization dedup: three deterministic raw variants per
     // doc (case-shifted host, utm noise, reordered params, trailing
@@ -3662,6 +3674,15 @@ object SparkEntry {
            CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                      AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))
              AS sum_val
+         FROM events WHERE value IS NOT NULL GROUP BY 1""",
+    // q258: integer-cents control for q235 — same one-shot rollup, raw
+    // BIGINT cents, no decimal anywhere. The outer BIGINT cast matters:
+    // DuckDB's SUM(BIGINT) widens to HUGEINT, which pandas renders as
+    // float64 — hash-diverging from Spark's int64 on IDENTICAL values.
+    "q258_agg_state_fold" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
          FROM events WHERE value IS NOT NULL GROUP BY 1""",
     // q232: the same regex + list-HOF canonicalization in DuckDB
     // (list_filter/list_sort/array_to_string).

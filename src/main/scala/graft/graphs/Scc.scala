@@ -96,11 +96,22 @@ object Scc {
           .reduceByKey(part, math.max(_: Long, _: Long))
         // cogroup keeps only nodes that still exist (own nonEmpty):
         // messages into retired nodes vanish, retired nodes never send.
+        // Change detection rides the materializing count() through a
+        // per-round accumulator instead of a second colors⋈next job —
+        // sound for the zero/nonzero decision: a task increments only on
+        // a GENUINE m > o, so retries/speculation can inflate a nonzero
+        // count but can never turn a converged round into a changed one
+        // (or vice versa).
+        val acc = spark.sparkContext.longAccumulator(s"sccColorChanged$phase-$round")
         val next = colors.cogroup(msgs).flatMapValues { case (own, in) =>
-          own.headOption.map(o => (in ++ Iterator(o)).max)
+          own.headOption.map { o =>
+            val m = (in ++ Iterator(o)).max
+            if (m > o) acc.add(1L)
+            m
+          }
         }.persist(StorageLevel.MEMORY_AND_DISK)
-        changed = colors.join(next)
-          .filter { case (_, (a, b)) => b > a }.count()
+        next.count()
+        changed = acc.value
         colors.unpersist(blocking = false)
         colors = next
         round += 1
@@ -199,8 +210,16 @@ object Scc {
     * label joins on top of [[run]].
     */
   def condensation(edges: DataFrame, maxPhases: Int = 20,
-                   maxRounds: Int = 100): DataFrame = {
-    val labels = run(edges, maxPhases, maxRounds)
+                   maxRounds: Int = 100): DataFrame =
+    condensationFromLabels(edges, run(edges, maxPhases, maxRounds))
+
+  /** [[condensation]] over a PRECOMPUTED (`node`, `scc_id`) label table
+    * (the [[run]] output shape): in a real pipeline the SCC fixpoint is
+    * materialized once and every readout consumes it — passing labels in
+    * keeps one fixpoint serving the label, condensation, and histogram
+    * surfaces instead of three.
+    */
+  def condensationFromLabels(edges: DataFrame, labels: DataFrame): DataFrame =
     edges.select(col("src").cast("long"), col("dst").cast("long"))
       .join(labels.withColumnRenamed("node", "src")
         .withColumnRenamed("scc_id", "scc_a"), Seq("src"))
@@ -208,14 +227,20 @@ object Scc {
         .withColumnRenamed("scc_id", "scc_b"), Seq("dst"))
       .filter(col("scc_a") =!= col("scc_b"))
       .select(col("scc_a"), col("scc_b")).distinct()
-  }
 
   /** SCC-size histogram — (size, n_sccs); the cycle-structure readout
     * (how much of the graph sits in nontrivial cycles vs singletons).
     */
   def sizeHistogram(edges: DataFrame, maxPhases: Int = 20,
                     maxRounds: Int = 100): DataFrame =
-    run(edges, maxPhases, maxRounds)
+    sizeHistogramFromLabels(run(edges, maxPhases, maxRounds))
+
+  /** [[sizeHistogram]] over a precomputed label table (see
+    * [[condensationFromLabels]] for the one-fixpoint-many-readouts
+    * rationale).
+    */
+  def sizeHistogramFromLabels(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("scc_id")).agg(count(lit(1)).as("size"))
       .groupBy(col("size")).agg(count(lit(1)).as("n_sccs"))
 }

@@ -49,9 +49,12 @@ import scala.jdk.CollectionConverters._
   *    reader scans each partition's files with the data schema and
   *    attaches the partition columns as typed literals, so a filter on
   *    a partition column constant-folds per partition and PRUNES whole
-  *    scans at plan time. Scope: reader protocol ≤ 1, parquet format,
-  *    relative paths; anything else fails loudly rather than returning
-  *    wrong rows.
+  *    scans at plan time. Scope: parquet format, relative paths,
+  *    reader protocol 1; protocol 2 while column-mapping mode is
+  *    none; protocol 3 when every named readerFeature is supported
+  *    (timestampNtz, vacuumProtocolCheck, unactivated columnMapping).
+  *    Anything else fails loudly NAMING the missing feature rather
+  *    than returning wrong rows.
   *
   *  - '''Partitioned writer''' ([[commitPartitioned]]): commits a
   *    DataFrame as a hive-laid-out partitioned Delta table (the common
@@ -171,6 +174,12 @@ object DeltaLog {
     // Deterministic table id: stable across re-syncs of the same root.
     val tableId = java.util.UUID.nameUUIDFromBytes(
       ("graft-delta:" + root).getBytes("UTF-8")).toString
+    // Commits at or below the newest complete checkpoint are NOT
+    // re-materialized: their absence means retention cleanup deleted
+    // them on purpose, and rewriting them would (a) resurrect history
+    // the table owner retired and (b) stamp it with sync-time mtimes,
+    // collapsing timestamp time travel onto the sync moment.
+    val newestCp = checkpointVersions(root).map(_._1).maxOption.getOrElse(-1L)
     var prevFiles: Seq[String] = Seq.empty
     var prevSchema: String = null
     gvs.foreach { gv =>
@@ -180,7 +189,7 @@ object DeltaLog {
         .parquet(files.map(f => Paths.get(root, f).toString): _*)
         .schema.json
       val target = logDir(root).resolve(commitName(dv))
-      if (!Files.exists(target)) {
+      if (!Files.exists(target) && dv > newestCp) {
         val actions = Seq.newBuilder[JsonNode]
         locally {
           val ci = mapper.createObjectNode()
@@ -213,6 +222,13 @@ object DeltaLog {
             spark.sparkContext.hadoopConfiguration)
         }
         writeCommitFile(root, dv, actions.result())
+        // Timestamp time travel resolves from commit-file mtimes (Delta's
+        // own mechanism): stamp the commit with the MANIFEST commit time,
+        // not sync wall-clock — otherwise one late sync collapses every
+        // version onto the sync moment and versionAsOf mis-resolves.
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(
+            Snapshots.commitTimeMillis(root, gv)))
       }
       prevFiles = files
       prevSchema = schemaJson
@@ -225,13 +241,32 @@ object DeltaLog {
     cur
   }
 
+  /** Commit-file write with put-if-absent semantics: the fully-written
+    * temp file is renamed WITHOUT `REPLACE_EXISTING`/`ATOMIC_MOVE`, so a
+    * concurrent or stale writer racing for the same version fails with
+    * `FileAlreadyExistsException` instead of silently clobbering
+    * committed history (the Delta commit protocol's requirement). The
+    * same-filesystem rename underneath is still atomic; what NIO cannot
+    * give is a fully race-free compare-and-rename (no renameat2
+    * NOREPLACE), so multi-process writers to one table additionally
+    * need external coordination — single-writer-per-table is the
+    * documented deployment here.
+    */
   private def writeCommitFile(root: String, dv: Long,
                               actions: Seq[JsonNode]): Unit = {
     val body = actions.map(mapper.writeValueAsString).mkString("", "\n", "\n")
     val tmp = logDir(root).resolve(commitName(dv) + ".__tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, logDir(root).resolve(commitName(dv)),
-      StandardCopyOption.ATOMIC_MOVE)
+    val target = logDir(root).resolve(commitName(dv))
+    try Files.move(tmp, target)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"DeltaLog: commit version $dv of $root already exists — " +
+            "concurrent writer conflict; the committed file was NOT " +
+            "overwritten", e)
+    }
   }
 
   private def metaDataAction(tableId: String, schemaJson: String,
@@ -288,7 +323,9 @@ object DeltaLog {
       StructField("createdTime", LongType)))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType))))))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType)))))))
 
   /** Write the parquet checkpoint for `version` (replayed state: one
     * protocol row, one metaData row, one row per active file with
@@ -306,7 +343,9 @@ object DeltaLog {
         throw new IllegalStateException(
           s"DeltaLog.checkpoint: no metaData in $root log at $version"))
       val protoRow = Row(null, null, null, null,
-        Row(st.minReaderVersion, st.minWriterVersion))
+        Row(st.minReaderVersion, st.minWriterVersion,
+          if (st.readerFeatures.isEmpty) null else st.readerFeatures,
+          null))
       val metaRow = Row(null, null, null,
         Row(st.tableId, null, null, Row("parquet", Map.empty[String, String]),
           schemaJson, st.partitionColumns, Map.empty[String, String], null),
@@ -325,7 +364,7 @@ object DeltaLog {
       val rows = Seq(protoRow, metaRow) ++ txnRows ++ addRows
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), checkpointSchema)
-      val part = writeSingleParquet(df, "graft-delta-ckpt")
+      val part = writeSingleParquet(df, root, "graft-delta-ckpt")
       Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
       writtenRows = rows.size.toLong
     }
@@ -365,12 +404,55 @@ object DeltaLog {
     partitionColumns: Seq[String],
     minReaderVersion: Int,
     minWriterVersion: Int,
+    readerFeatures: Seq[String],
+    configuration: Map[String, String],
     tableId: String,
     files: Seq[(String, Map[String, String])],
     fileSizes: Map[String, Long],
     fileModTimes: Map[String, Long],
     fileStats: Map[String, String],
     txnVersions: Map[String, Long])
+
+  /** Reader features this implementation genuinely honors when named by
+    * a protocol-3 table: `timestampNtz` (plain type support — the
+    * declared-schema read handles TIMESTAMP_NTZ like any other type)
+    * and `vacuumProtocolCheck` (constrains vacuum, not reads).
+    * `columnMapping` is honored ONLY while the table's mapping mode is
+    * none/absent (physical names == logical names); everything else —
+    * `deletionVectors`, `v2Checkpoint`, … — would make a plain replay
+    * return WRONG ROWS, so the refusal names the specific feature.
+    */
+  private val supportedReaderFeatures: Set[String] =
+    Set("timestampNtz", "vacuumProtocolCheck")
+
+  /** Loud, SPECIFIC refusal for protocol surfaces this reader lacks —
+    * `minReaderVersion > 1` alone is not a reason to refuse: a
+    * protocol-3 table whose feature set is fully supported opens.
+    */
+  private def validateReaderSupport(root: String, st: LogState): Unit = {
+    val mappingMode = st.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
+    st.minReaderVersion match {
+      case v if v <= 1 => ()
+      case 2 =>
+        // reader version 2 == column-mapping capable; readable while the
+        // mode is still none (physical names match logical names)
+        require(mappingMode == "none",
+          s"DeltaLog: table $root requires reader feature columnMapping " +
+            s"(mode '$mappingMode') which this reader lacks")
+      case 3 =>
+        val unsupported = st.readerFeatures.filterNot { f =>
+          supportedReaderFeatures(f) || (f == "columnMapping" && mappingMode == "none")
+        }
+        require(unsupported.isEmpty,
+          s"DeltaLog: table $root requires reader feature(s) " +
+            s"${unsupported.sorted.mkString(", ")} which this reader lacks")
+      case v =>
+        require(false,
+          s"DeltaLog: table $root requires minReaderVersion $v, beyond " +
+            "this reader's protocol support (max 3)")
+    }
+  }
 
   private def replay(spark: SparkSession, root: String,
                      upTo: Long): LogState = {
@@ -384,6 +466,8 @@ object DeltaLog {
     var partitionCols: Seq[String] = Seq.empty
     var minReader = 1
     var minWriter = 2
+    var readerFeats: Seq[String] = Seq.empty
+    var config: Map[String, String] = Map.empty
     var tableId: String = null
     val active = new java.util.LinkedHashMap[String, Map[String, String]]()
     val sizes = scala.collection.mutable.Map.empty[String, Long]
@@ -391,9 +475,11 @@ object DeltaLog {
     val statsOf = scala.collection.mutable.Map.empty[String, String]
     val txns = scala.collection.mutable.Map.empty[String, Long]
 
-    def applyMeta(id: String, ss: String, pcs: Seq[String]): Unit = {
+    def applyMeta(id: String, ss: String, pcs: Seq[String],
+                  cfg: Map[String, String]): Unit = {
       if (id != null) tableId = id
       partitionCols = pcs
+      config = cfg
       if (ss != null)
         schema = Some(DataType.fromJson(ss).asInstanceOf[StructType])
     }
@@ -409,16 +495,18 @@ object DeltaLog {
           if (!r.isNullAt(4)) {
             val p = r.getStruct(4)
             minReader = p.getInt(0); minWriter = p.getInt(1)
-            require(minReader <= 1,
-              s"DeltaLog: minReaderVersion $minReader needs table features " +
-                "this reader lacks")
+            readerFeats =
+              if (p.length > 2 && !p.isNullAt(2)) p.getSeq[String](2).toSeq
+              else Seq.empty
           } else if (!r.isNullAt(3)) {
             val m = r.getStruct(3)
             val provider = m.getStruct(3).getString(0)
             require(provider == "parquet",
               s"DeltaLog: format provider '$provider' unsupported")
             applyMeta(m.getString(0), m.getString(4),
-              Option(m.getSeq[String](5)).map(_.toSeq).getOrElse(Seq.empty))
+              Option(m.getSeq[String](5)).map(_.toSeq).getOrElse(Seq.empty),
+              Option(m.getMap[String, String](6)).map(_.toMap)
+                .getOrElse(Map.empty))
           } else if (!r.isNullAt(1)) {
             val a = r.getStruct(1)
             val path = decodePath(a.getString(0))
@@ -452,11 +540,13 @@ object DeltaLog {
       lines.foreach { line =>
         val node = mapper.readTree(line)
         if (node.has("protocol")) {
-          minReader = node.get("protocol").path("minReaderVersion").asInt(1)
-          minWriter = node.get("protocol").path("minWriterVersion").asInt(2)
-          require(minReader <= 1,
-            s"DeltaLog: minReaderVersion $minReader needs table features " +
-              "this reader lacks")
+          val p = node.get("protocol")
+          minReader = p.path("minReaderVersion").asInt(1)
+          minWriter = p.path("minWriterVersion").asInt(2)
+          val rf = p.path("readerFeatures")
+          readerFeats =
+            if (rf.isArray) rf.elements().asScala.map(_.asText()).toSeq
+            else Seq.empty
         } else if (node.has("metaData")) {
           val md = node.get("metaData")
           val provider = md.path("format").path("provider").asText("parquet")
@@ -466,8 +556,14 @@ object DeltaLog {
           val pcs =
             if (pc.isArray) pc.elements().asScala.map(_.asText()).toSeq
             else Seq.empty
+          val cfgNode = md.path("configuration")
+          val cfg =
+            if (cfgNode.isObject)
+              cfgNode.properties().asScala
+                .map(e => e.getKey -> e.getValue.asText(null)).toMap
+            else Map.empty[String, String]
           applyMeta(md.path("id").asText(null),
-            md.path("schemaString").asText(null), pcs)
+            md.path("schemaString").asText(null), pcs, cfg)
         } else if (node.has("add")) {
           val a = node.get("add")
           val path = decodePath(a.path("path").asText())
@@ -496,10 +592,13 @@ object DeltaLog {
         // commitInfo / cdc / domainMetadata: ignored by design
       }
     }
-    LogState(schema, partitionCols, minReader, minWriter, tableId,
+    val st = LogState(schema, partitionCols, minReader, minWriter,
+      readerFeats, config, tableId,
       active.entrySet().iterator().asScala
         .map(e => e.getKey -> e.getValue).toSeq,
       sizes.toMap, mods.toMap, statsOf.toMap, txns.toMap)
+    validateReaderSupport(root, st)
+    st
   }
 
   /** Delta `path` fields are URL-encoded relative paths (PROTOCOL.md);
@@ -518,21 +617,45 @@ object DeltaLog {
     decoded
   }
 
-  /** Inverse of [[decodePath]]: percent-encode a table-relative path the
-    * way the protocol expects (spaces, '%', … escaped; '/', '=' kept).
+  /** Staging directory UNDER the table root (created on demand): the
+    * final rename of a staged file into the table or its `_delta_log` is
+    * then guaranteed same-filesystem — staging in `java.io.tmpdir`
+    * (commonly tmpfs) made every `ATOMIC_MOVE` throw
+    * `AtomicMoveNotSupportedException` whenever /tmp and the table lived
+    * on different filesystems. The dot-prefixed name keeps Spark's file
+    * listing (and therefore every reader) blind to it.
     */
-  /** Write `df` as ONE parquet file into a fresh temp dir; returns the
-    * part-file path (still in the temp dir — callers move it).
+  private def stagingBase(root: String): Path =
+    Files.createDirectories(Paths.get(root, ".graft_staging"))
+
+  private def deleteRecursively(dir: Path): Unit = {
+    val walk = Files.walk(dir)
+    val all = try walk.iterator().asScala.toSeq finally walk.close()
+    all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists)
+  }
+
+  /** Write `df` as ONE parquet file staged UNDER `root` (see
+    * [[stagingBase]]); returns the part-file path, hoisted out of the
+    * Spark output dir (whose `_SUCCESS`/checksum noise is deleted) —
+    * callers rename it to its final home, same-filesystem by
+    * construction. Callers that decide NOT to keep the file must
+    * `Files.delete` it.
     */
-  private def writeSingleParquet(df: DataFrame, prefix: String): Path = {
-    val staging = Files.createTempDirectory(prefix).toString
-    df.coalesce(1).write.mode("overwrite").parquet(staging)
-    val s = Files.list(Paths.get(staging))
-    try s.iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        s"DeltaLog: no parquet produced in $staging"))
-    finally s.close()
+  private def writeSingleParquet(df: DataFrame, root: String,
+                                 prefix: String): Path = {
+    val staging = Files.createTempDirectory(stagingBase(root), prefix)
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val s = Files.list(staging)
+    val part =
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"DeltaLog: no parquet produced in $staging"))
+      finally s.close()
+    val hoisted = stagingBase(root).resolve(part.getFileName)
+    Files.move(part, hoisted, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(staging)
+    hoisted
   }
 
   /** Canonical `add` action for an on-disk table file: size/mtime from
@@ -580,6 +703,9 @@ object DeltaLog {
           (mn.asLong() <= hi && mx.asLong() >= lo)
     }
 
+  /** Inverse of [[decodePath]]: percent-encode a table-relative path the
+    * way the protocol expects (spaces, '%', … escaped; '/', '=' kept).
+    */
   private def encodePath(rel: String): String =
     new java.net.URI(null, null, rel, null).getRawPath
 
@@ -736,17 +862,28 @@ object DeltaLog {
           .parquet(full.toString)
           .filter(!(col(column) >= lo && col(column) <= hi) ||
             col(column).isNull)
-        val part = writeSingleParquet(remaining, "graft-delta-del")
+        val part = writeSingleParquet(remaining, root, "graft-delta-del")
         // kept-row count from the staged file's FOOTER — no extra job
         val kept = mapper.readTree(footerStatsJson(part, conf))
           .path("numRecords").asLong(0L)
-        actions += removeActionNode(rel, true); touched += 1
-        if (kept > 0L) {
-          val target = full.getParent.resolve(part.getFileName)
-          Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
-          val newRel = Paths.get(root).relativize(target).toString
-            .replace(java.io.File.separatorChar, '/')
-          actions += addActionNode(root, newRel, pv, dataChange = true, conf)
+        // stats say overlap, but overlap ≠ match: when every source row
+        // survives, nothing was deleted from THIS file — committing a
+        // remove+add(dataChange=true) anyway would poison any later
+        // readAppendsSince over the tail for a rewrite that changed
+        // nothing. Source row count from the footer too.
+        val sourceRows = mapper.readTree(
+          st.fileStats.getOrElse(rel, footerStatsJson(full, conf)))
+          .path("numRecords").asLong(-1L)
+        if (kept == sourceRows) Files.delete(part)
+        else {
+          actions += removeActionNode(rel, true); touched += 1
+          if (kept > 0L) {
+            val target = full.getParent.resolve(part.getFileName)
+            Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+            val newRel = Paths.get(root).relativize(target).toString
+              .replace(java.io.File.separatorChar, '/')
+            actions += addActionNode(root, newRel, pv, dataChange = true, conf)
+          } else Files.delete(part)
         }
       }
     }
@@ -785,24 +922,33 @@ object DeltaLog {
       .filter { case (p, _) => statsOverlap(st, p, column, lo, hi) }
     if (overlapping.isEmpty) return v
     val actions = Seq.newBuilder[JsonNode]
+    var touched = 0
     overlapping.foreach { case (rel, pv) =>
       val full = Paths.get(root, rel)
       val matches = col(column) >= lo && col(column) <= hi
-      val updated = set.foldLeft(
-        spark.read.schema(dataSchema).parquet(full.toString)) {
-        case (df, (c, e)) =>
-          df.withColumn(c,
-            org.apache.spark.sql.functions.when(matches, e)
-              .otherwise(col(c)).cast(dataSchema(c).dataType))
-      }.select(dataSchema.fieldNames.map(col).toSeq: _*)
-      val part = writeSingleParquet(updated, "graft-delta-upd")
-      val target = full.getParent.resolve(part.getFileName)
-      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
-      val newRel = Paths.get(root).relativize(target).toString
-        .replace(java.io.File.separatorChar, '/')
-      actions += removeActionNode(rel, true)
-      actions += addActionNode(root, newRel, pv, dataChange = true, conf)
+      val source = spark.read.schema(dataSchema).parquet(full.toString)
+      // stats overlap ≠ rows match: skip the rewrite entirely when no
+      // row falls in the interval (same contract as deleteWhereLong —
+      // a bit-identical remove+add(dataChange=true) would poison later
+      // readAppendsSince tails). One limit-1 probe per candidate file.
+      if (!source.filter(matches).isEmpty) {
+        val updated = set.foldLeft(source) {
+          case (df, (c, e)) =>
+            df.withColumn(c,
+              org.apache.spark.sql.functions.when(matches, e)
+                .otherwise(col(c)).cast(dataSchema(c).dataType))
+        }.select(dataSchema.fieldNames.map(col).toSeq: _*)
+        val part = writeSingleParquet(updated, root, "graft-delta-upd")
+        val target = full.getParent.resolve(part.getFileName)
+        Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+        val newRel = Paths.get(root).relativize(target).toString
+          .replace(java.io.File.separatorChar, '/')
+        actions += removeActionNode(rel, true)
+        actions += addActionNode(root, newRel, pv, dataChange = true, conf)
+        touched += 1
+      }
     }
+    if (touched == 0) return v
     writeCommitFile(root, v + 1, actions.result())
     v + 1
   }
@@ -903,8 +1049,15 @@ object DeltaLog {
     try {
       val blocks = r.getFooter.getBlocks.asScala.toSeq
       val numRecords = blocks.map(_.getRowCount).sum
-      val mins = scala.collection.mutable.Map.empty[String, Any]
-      val maxs = scala.collection.mutable.Map.empty[String, Any]
+      // Raw per-column extrema folded across row groups with the
+      // column's own parquet PrimitiveComparator — NOT Java
+      // Comparable: binary stats order by UNSIGNED bytes, and
+      // String.compareTo disagrees with that above 0x7f, which would
+      // emit invalid bounds an external reader then data-skips on.
+      final class ColAcc(var mn: AnyRef, var mx: AnyRef,
+                         val cmp: java.util.Comparator[AnyRef],
+                         val ptype: org.apache.parquet.schema.PrimitiveType)
+      val accs = scala.collection.mutable.Map.empty[String, ColAcc]
       val nulls = scala.collection.mutable.Map.empty[String, Long]
       var statless = Set.empty[String]
       blocks.foreach(_.getColumns.asScala.foreach { c =>
@@ -917,25 +1070,48 @@ object DeltaLog {
             if (s.isNumNullsSet)
               nulls(name) = nulls.getOrElse(name, 0L) + s.getNumNulls
             if (s.hasNonNullValue) {
-              val (mn, mx) = (
-                statValue(s.genericGetMin.asInstanceOf[AnyRef]),
-                statValue(s.genericGetMax.asInstanceOf[AnyRef]))
-              (mn, mx) match {
-                case (Some(a), Some(b)) =>
-                  mins(name) = mins.get(name) match {
-                    case Some(prev) => minOf(prev, a)
-                    case None => a
-                  }
-                  maxs(name) = maxs.get(name) match {
-                    case Some(prev) => maxOf(prev, b)
-                    case None => b
-                  }
-                case _ => statless += name
+              val mn = s.genericGetMin.asInstanceOf[AnyRef]
+              val mx = s.genericGetMax.asInstanceOf[AnyRef]
+              if (mn == null || mx == null) statless += name
+              else accs.get(name) match {
+                case Some(a) =>
+                  if (a.cmp.compare(mn, a.mn) < 0) a.mn = mn
+                  if (a.cmp.compare(mx, a.mx) > 0) a.mx = mx
+                case None =>
+                  accs(name) = new ColAcc(mn, mx,
+                    s.comparator().asInstanceOf[java.util.Comparator[AnyRef]],
+                    c.getPrimitiveType)
               }
             }
           }
         }
       })
+      // Emit min/max ONLY for values whose JSON rendering preserves the
+      // comparator's ordering: plain numerics/booleans, int-annotated
+      // ints, and pure-ASCII utf8 strings (ASCII ⇒ unsigned-byte order
+      // == code-point order == JSON string order). Binary-backed types
+      // (DECIMAL), timestamps/dates (whose Delta stats rendering is not
+      // the raw integer), and non-ASCII strings are omitted — the way
+      // Delta itself truncates or skips what it cannot render faithfully.
+      def renderable(pt: org.apache.parquet.schema.PrimitiveType,
+                     v: AnyRef): Option[Any] = {
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val ann = pt.getLogicalTypeAnnotation
+        val plainOrInt = ann == null ||
+          ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+        v match {
+          case b: java.lang.Boolean => Some(b)
+          case l: java.lang.Long if plainOrInt => Some(l)
+          case i: java.lang.Integer if plainOrInt => Some(i)
+          case d: java.lang.Double if ann == null => Some(d)
+          case f: java.lang.Float if ann == null => Some(f)
+          case bin: org.apache.parquet.io.api.Binary
+            if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+            (try Some(bin.toStringUsingUTF8) catch { case _: Throwable => None })
+              .filter(_.forall(_ < 0x80))
+          case _ => None
+        }
+      }
       val root = mapper.createObjectNode()
       root.put("numRecords", numRecords)
       val mnO = root.putObject("minValues")
@@ -951,31 +1127,17 @@ object DeltaLog {
         case s: String => o.put(k, s)
         case other => o.put(k, other.toString)
       }
-      mins.keySet.filterNot(statless).toSeq.sorted.foreach { k =>
-        putVal(mnO, k, mins(k)); putVal(mxO, k, maxs(k))
+      accs.keySet.filterNot(statless).toSeq.sorted.foreach { k =>
+        val a = accs(k)
+        (renderable(a.ptype, a.mn), renderable(a.ptype, a.mx)) match {
+          case (Some(lo), Some(hi)) => putVal(mnO, k, lo); putVal(mxO, k, hi)
+          case _ => () // unrenderable bounds: omitted, readers keep the file
+        }
       }
       nulls.keySet.toSeq.sorted.foreach(k => nlO.put(k, nulls(k)))
       mapper.writeValueAsString(root)
     } finally r.close()
   }
-
-  private def statValue(v: AnyRef): Option[Any] = v match {
-    case null => None
-    case b: org.apache.parquet.io.api.Binary =>
-      try Some(b.toStringUsingUTF8) catch { case _: Throwable => None }
-    case l: java.lang.Long => Some(l)
-    case i: java.lang.Integer => Some(i)
-    case d: java.lang.Double => Some(d)
-    case f: java.lang.Float => Some(f)
-    case bl: java.lang.Boolean => Some(bl)
-    case _ => None
-  }
-
-  @SuppressWarnings(Array("unchecked"))
-  private def minOf(a: Any, b: Any): Any =
-    if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b
-  private def maxOf(a: Any, b: Any): Any =
-    if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b
 
   /** Read the current snapshot (highest Delta commit). */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -1040,11 +1202,14 @@ object DeltaLog {
         _.txnVersions.get(app).exists(_ >= ver))
       if (applied) return v - 1
     }
-    val staging = Files.createTempDirectory("graft-delta-part").toString
-    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(staging)
-    // Move each data file into the table root under its partition path.
+    Files.createDirectories(Paths.get(root))
+    val stagingPath = Files.createTempDirectory(stagingBase(root),
+      "graft-delta-part")
+    df.write.partitionBy(partitionCols: _*).mode("overwrite")
+      .parquet(stagingPath.toString)
+    // Move each data file into the table root under its partition path
+    // (same-filesystem by construction — see stagingBase).
     val moved = Seq.newBuilder[(String, Map[String, String])]
-    val stagingPath = Paths.get(staging)
     val walk = Files.walk(stagingPath)
     val dataFiles =
       try walk.iterator().asScala
@@ -1060,6 +1225,7 @@ object DeltaLog {
       Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
       moved += rel -> partitionValuesOf(rel, partitionCols)
     }
+    deleteRecursively(stagingPath)
     val added = moved.result()
     require(added.nonEmpty,
       s"DeltaLog.commitPartitioned: write produced no parquet files")
@@ -1130,7 +1296,7 @@ object DeltaLog {
       val rels = files.map(_._1)
       val merged = spark.read.schema(dataSchema)
         .parquet(rels.map(f => Paths.get(root, f).toString): _*)
-      val part = writeSingleParquet(merged, "graft-delta-compact")
+      val part = writeSingleParquet(merged, root, "graft-delta-compact")
       // land the compacted file beside the ones it replaces
       val dir = Paths.get(root, rels.head).getParent
       val target = dir.resolve(part.getFileName)

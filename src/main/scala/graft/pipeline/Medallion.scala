@@ -186,4 +186,29 @@ object Medallion {
           sum(col("sum_val")).cast("decimal(18,2)").as("sum_val"))
     }
   }
+
+  /** Integer-only flavor of [[mergeAggState]]: identical fold semantics
+    * (quantize each row ONCE to long cents, floor(value·100 + 0.5), sum
+    * longs exactly in any order) but the state/output carries the raw
+    * `cents BIGINT` with no decimal presentation step. Zero
+    * engine-sensitive surface: every column is an integer, so any
+    * cross-engine comparison of this output is exact by construction.
+    * Output/state schema: (groupCols…, n_rows BIGINT, cents BIGINT).
+    */
+  def mergeAggStateCents(state: Option[DataFrame], batch: DataFrame,
+                         groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "mergeAggStateCents needs group columns")
+    val part = batch
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col(valueCol) * lit(100) + lit(0.5)).cast("long"))
+          .as("cents"))
+    state match {
+      case None => part
+      case Some(st) => st.unionByName(part)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("cents")).as("cents"))
+    }
+  }
 }

@@ -159,12 +159,41 @@ class DeltaLogSpec extends SparkSpec {
     assert(df.count() == 0L)
   }
 
-  test("refuses what it cannot honor: features, gaps, absolutes") {
-    val root = freshRoot()
-    writeCommit(root, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""))
-    val e1 = intercept[IllegalArgumentException](DeltaLog.read(spark, root))
-    assert(e1.getMessage.contains("minReaderVersion"))
+  test("refuses what it cannot honor NAMING the missing feature; opens " +
+    "higher protocols whose feature set is fully supported") {
+    def protoTable(proto: String, config: String = "{}"): String = {
+      val root = freshRoot()
+      writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
+      writeCommit(root, 0L, Seq(
+        s"""{"protocol":$proto}""",
+        s"""{"metaData":{"id":"ext-1","format":{"provider":"parquet","options":{}},"schemaString":"${extSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":$config}}""",
+        """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+      root
+    }
+    // protocol 3 with a DV feature: refusal NAMES deletionVectors
+    val e1 = intercept[IllegalArgumentException](DeltaLog.read(spark,
+      protoTable("""{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}""")))
+    assert(e1.getMessage.contains("deletionVectors"), e1.getMessage)
+    // protocol 3 with only supported features: OPENS
+    assert(rows(DeltaLog.read(spark, protoTable(
+      """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","vacuumProtocolCheck"]}"""))) ==
+      Set((1L, "a")))
+    // protocol 3, columnMapping named but mode none: OPENS
+    assert(rows(DeltaLog.read(spark, protoTable(
+      """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}""",
+      """{"delta.columnMapping.mode":"none"}"""))) == Set((1L, "a")))
+    // protocol 2, mapping mode unset (= none): OPENS
+    assert(rows(DeltaLog.read(spark, protoTable(
+      """{"minReaderVersion":2,"minWriterVersion":5}"""))) == Set((1L, "a")))
+    // protocol 2 with ACTIVE column mapping: refusal names columnMapping
+    val e2 = intercept[IllegalArgumentException](DeltaLog.read(spark,
+      protoTable("""{"minReaderVersion":2,"minWriterVersion":5}""",
+        """{"delta.columnMapping.mode":"name"}""")))
+    assert(e2.getMessage.contains("columnMapping"), e2.getMessage)
+    // protocol beyond 3: refused outright
+    val e5 = intercept[IllegalArgumentException](DeltaLog.read(spark,
+      protoTable("""{"minReaderVersion":4,"minWriterVersion":7}""")))
+    assert(e5.getMessage.contains("minReaderVersion 4"), e5.getMessage)
 
     val root3 = freshRoot()
     writeCommit(root3, 0L, Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""))

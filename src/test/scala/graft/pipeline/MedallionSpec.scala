@@ -100,4 +100,31 @@ class MedallionSpec extends SparkSpec {
     assert(batch(0).count() + batch(1).count() == rows.count())
   }
 
+  test("mergeAggStateCents: integer-only fold equals the one-shot rollup " +
+    "and the decimal flavor's cents exactly") {
+    val s2 = spark; import s2.implicits._
+    val rows = Seq(("x", Some(1L), 1.10), ("x", Some(2L), 2.205),
+      ("y", Some(3L), 3.00), ("x", Some(-4L), 4.40),
+      ("y", None, 0.305), ("z", Some(6L), 9.999), ("w", Some(7L), 0.29))
+      .toDF("g", "id", "v")
+    def batch(i: Int) =
+      rows.filter(pmod(coalesce(col("id"), lit(0L)), lit(2)) === i)
+    val folded = Medallion.mergeAggStateCents(
+      Some(Medallion.mergeAggStateCents(None, batch(0), Seq("g"), "v")),
+      batch(1), Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val oneShot = Medallion.mergeAggStateCents(None, rows, Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(folded == oneShot)
+    assert(folded("x") == ((3L, 771L)) && folded("z") == ((1L, 1000L)))
+    assert(folded("w") == ((1L, 29L)))
+    // cents agree with the decimal flavor's presentation × 100.
+    val dec = Medallion.mergeAggState(None, rows, Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        r.getDecimal(2).movePointRight(2).longValueExact()).toMap
+    assert(folded.map { case (g, (_, c)) => g -> c } == dec)
+  }
+
 }
