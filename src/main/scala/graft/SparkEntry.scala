@@ -2246,6 +2246,31 @@ object SparkEntry {
     // MISALIGNED batch pairs of orders/lineitem folded through
     // JoinView.advance must equal the one-shot join — every cross term
     // (dA x B_old, A_old x dB, dA x dB) fires in some fold step.
+    // q249's DURABLE production shape: the same misaligned three-batch
+    // fold, but state lives as three Delta tables with txn watermarks
+    // (restart-safe, exactly-once across foreachBatch replays — batch 1
+    // is deliberately applied TWICE below); must still equal the
+    // one-shot join.
+    "q259_durable_join_view" -> ((s, d) => {
+      val a = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"),
+          col("l_quantity"))
+      def aB(i: Int) =
+        a.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) === i)
+      def bB(i: Int) =
+        b.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) === i)
+      val ks = Seq("o_orderkey")
+      val dir = freshScratch("q259")
+      graft.pipeline.JoinView.refreshDurable(s, dir, aB(0), bB(1), ks, 0L)
+      graft.pipeline.JoinView.refreshDurable(s, dir, aB(1), bB(2), ks, 1L)
+      // watermark replay: must be a no-op, not a double apply
+      graft.pipeline.JoinView.refreshDurable(s, dir, aB(1), bB(2), ks, 1L)
+      graft.pipeline.JoinView.refreshDurable(s, dir, aB(2), bB(0), ks, 2L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("l_partkey"), col("l_quantity"))
+    }),
     "q249_incremental_join_view" -> ((s, d) => {
       val a = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -3435,6 +3460,10 @@ object SparkEntry {
          FROM events WHERE event_id BETWEEN 3000 AND 6000""",
     // q249: the one-shot join the delta-rule fold must equal.
     "q249_incremental_join_view" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, l_partkey, l_quantity
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+    // q259: the durable runner must land on the same one-shot join.
+    "q259_durable_join_view" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, l_partkey, l_quantity
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
     // q250: compaction must preserve the whole table.

@@ -3,7 +3,8 @@ package graft.lake
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, input_file_name, lit,
+  regexp_extract, row_number}
 import org.apache.spark.sql.types._
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
@@ -252,8 +253,8 @@ object DeltaLog {
     * need external coordination — single-writer-per-table is the
     * documented deployment here.
     */
-  private def writeCommitFile(root: String, dv: Long,
-                              actions: Seq[JsonNode]): Unit = {
+  private[lake] def writeCommitFile(root: String, dv: Long,
+                                    actions: Seq[JsonNode]): Unit = {
     val body = actions.map(mapper.writeValueAsString).mkString("", "\n", "\n")
     val tmp = logDir(root).resolve(commitName(dv) + ".__tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -454,6 +455,111 @@ object DeltaLog {
     }
   }
 
+  /** One replayed log action in the distributed reconstruction's common
+    * shape (checkpoint adds and JSON-tail adds/removes both map here).
+    */
+  private case class ActRow(version: Long, isAdd: Boolean, path: String,
+                            pv: Map[String, String], size: Option[Long],
+                            mod: Option[Long], stats: Option[String])
+
+  /** Checkpoint byte size beyond which [[replay]] reconstructs FILE
+    * state distributed instead of folding every action through
+    * driver-side maps (~16 MiB ≈ low hundreds of thousands of files).
+    * The non-file actions (protocol, metaData, txn) are a handful of
+    * rows and always replay driver-side. Tunable for specs.
+    */
+  private[lake] var distributedReplayCheckpointBytes: Long = 16L << 20
+
+  /** Distributed last-action-wins reconstruction of the ACTIVE add set
+    * at `version` — the 100 TB-posture replacement for driver-side
+    * HashMap replay: at millions of files the checkpoint is itself big
+    * data, so the checkpoint parquet and the JSON tail are unioned as
+    * DataFrames, the newest action per path wins via one window, and
+    * only rows whose final action is `add` survive. Output columns:
+    * (version, path, pv, size, mod, stats) — `path` DECODED, one row
+    * per active file. The driver then holds active-file-count rows (the
+    * planning surface it needs anyway), never action-count rows.
+    * Equality with the driver-side fold is spec-pinned.
+    */
+  def activeAddsDF(spark: SparkSession, root: String,
+                   version: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val fromCp = checkpointVersions(root).filter(_._1 <= version).lastOption
+    val replayFrom = fromCp.map(_._1 + 1).getOrElse(0L)
+    val present = versions(root).toSet
+    (replayFrom to version).foreach(v => require(present.contains(v),
+      s"DeltaLog: commit $v missing from $root (newest usable checkpoint: " +
+        s"${fromCp.map(_._1).getOrElse(-1L)})"))
+    val cpAdds: org.apache.spark.sql.Dataset[ActRow] = fromCp match {
+      case Some((cpv, files)) =>
+        spark.read.schema(checkpointSchema)
+          .parquet(files.map(_.toString): _*)
+          .where(col("add.path").isNotNull)
+          .select(col("add.path"), col("add.partitionValues"),
+            col("add.size"), col("add.modificationTime"), col("add.stats"))
+          .as[(String, Map[String, String], Option[Long], Option[Long],
+            Option[String])]
+          .map { case (p, pv, sz, md, st) =>
+            ActRow(cpv, isAdd = true, decodePath(p),
+              Option(pv).getOrElse(Map.empty), sz, md, st)
+          }
+      case None => spark.emptyDataset[ActRow]
+    }
+    val tailVersions = (replayFrom to version)
+    val tailActs: org.apache.spark.sql.Dataset[ActRow] =
+      if (tailVersions.isEmpty) spark.emptyDataset[ActRow]
+      else spark.read
+        .textFile(tailVersions.map(v =>
+          logDir(root).resolve(commitName(v)).toString): _*)
+        .select(regexp_extract(input_file_name(),
+          "(\\d{20})\\.json", 1).cast("long").as("v"), col("value"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val m = new ObjectMapper()
+          it.flatMap { case (v, line) =>
+            if (line.trim.isEmpty) Iterator.empty
+            else {
+              val node = m.readTree(line)
+              if (node.has("add")) {
+                val a = node.get("add")
+                val pvNode = a.path("partitionValues")
+                val pv =
+                  if (pvNode.isObject)
+                    pvNode.properties().asScala
+                      .map(e => e.getKey ->
+                        (if (e.getValue.isNull) null else e.getValue.asText()))
+                      .toMap
+                  else Map.empty[String, String]
+                Iterator.single(ActRow(v, isAdd = true,
+                  decodePath(a.path("path").asText()), pv,
+                  if (a.path("size").isNumber) Some(a.path("size").asLong())
+                  else None,
+                  if (a.path("modificationTime").isNumber)
+                    Some(a.path("modificationTime").asLong())
+                  else None,
+                  if (a.path("stats").isTextual)
+                    Some(a.path("stats").asText())
+                  else None))
+              } else if (node.has("remove")) {
+                Iterator.single(ActRow(v, isAdd = false,
+                  decodePath(node.get("remove").path("path").asText()),
+                  Map.empty, None, None, None))
+              } else Iterator.empty
+            }
+          }
+        }
+    // newest action per path wins; a same-version remove (malformed but
+    // conceivable) beats the add — conservative for reads
+    val w = Window.partitionBy(col("path"))
+      .orderBy(col("version").desc, col("isAdd").asc)
+    cpAdds.union(tailActs).toDF()
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("isAdd"))
+      .select(col("version"), col("path"), col("pv"), col("size"),
+        col("mod"), col("stats"))
+  }
+
   private def replay(spark: SparkSession, root: String,
                      upTo: Long): LogState = {
     val present = versions(root)
@@ -484,13 +590,20 @@ object DeltaLog {
         schema = Some(DataType.fromJson(ss).asInstanceOf[StructType])
     }
 
+    // Big checkpoint ⇒ file state is reconstructed DISTRIBUTED (one
+    // window job, driver holds only the active set); the handful of
+    // protocol/metaData/txn actions always replay driver-side.
+    val distributed = fromCp.exists { case (_, files) =>
+      files.map(Files.size(_)).sum > distributedReplayCheckpointBytes }
+
     val replayFrom: Long = fromCp match {
       case Some((cpv, cpFiles)) =>
         // Checkpoint = full state at cpv: protocol + metaData + active
         // adds (tombstone removes, if present, are irrelevant to reads).
-        val rows = spark.read.schema(checkpointSchema)
+        val reader = spark.read.schema(checkpointSchema)
           .parquet(cpFiles.map(_.toString): _*)
-          .collect()
+        val rows = (if (distributed) reader.where(col("add").isNull)
+                    else reader).collect()
         rows.foreach { r =>
           if (!r.isNullAt(4)) {
             val p = r.getStruct(4)
@@ -565,23 +678,26 @@ object DeltaLog {
           applyMeta(md.path("id").asText(null),
             md.path("schemaString").asText(null), pcs, cfg)
         } else if (node.has("add")) {
-          val a = node.get("add")
-          val path = decodePath(a.path("path").asText())
-          val pvNode = a.path("partitionValues")
-          val pv =
-            if (pvNode.isObject)
-              pvNode.properties().asScala
-                .map(e => e.getKey ->
-                  (if (e.getValue.isNull) null else e.getValue.asText()))
-                .toMap
-            else Map.empty[String, String]
-          active.put(path, pv)
-          if (a.path("size").isNumber) sizes(path) = a.path("size").asLong()
-          if (a.path("modificationTime").isNumber)
-            mods(path) = a.path("modificationTime").asLong()
-          if (a.path("stats").isTextual) statsOf(path) = a.path("stats").asText()
+          if (!distributed) {
+            val a = node.get("add")
+            val path = decodePath(a.path("path").asText())
+            val pvNode = a.path("partitionValues")
+            val pv =
+              if (pvNode.isObject)
+                pvNode.properties().asScala
+                  .map(e => e.getKey ->
+                    (if (e.getValue.isNull) null else e.getValue.asText()))
+                  .toMap
+              else Map.empty[String, String]
+            active.put(path, pv)
+            if (a.path("size").isNumber) sizes(path) = a.path("size").asLong()
+            if (a.path("modificationTime").isNumber)
+              mods(path) = a.path("modificationTime").asLong()
+            if (a.path("stats").isTextual) statsOf(path) = a.path("stats").asText()
+          }
         } else if (node.has("remove")) {
-          active.remove(decodePath(node.get("remove").path("path").asText()))
+          if (!distributed)
+            active.remove(decodePath(node.get("remove").path("path").asText()))
         } else if (node.has("txn")) {
           val t = node.get("txn")
           val app = t.path("appId").asText(null)
@@ -591,6 +707,21 @@ object DeltaLog {
         }
         // commitInfo / cdc / domainMetadata: ignored by design
       }
+    }
+    if (distributed) {
+      // file state wholesale from the distributed reconstruction —
+      // ordered (version, path) for deterministic assembly
+      activeAddsDF(spark, root, upTo)
+        .orderBy(col("version"), col("path"))
+        .collect().foreach { r =>
+          val path = r.getString(1)
+          active.put(path,
+            Option(r.getMap[String, String](2)).map(_.toMap)
+              .getOrElse(Map.empty))
+          if (!r.isNullAt(3)) sizes(path) = r.getLong(3)
+          if (!r.isNullAt(4)) mods(path) = r.getLong(4)
+          if (!r.isNullAt(5)) statsOf(path) = r.getString(5)
+        }
     }
     val st = LogState(schema, partitionCols, minReader, minWriter,
       readerFeats, config, tableId,
@@ -1177,19 +1308,49 @@ object DeltaLog {
                         txn: Option[(String, Long)] = None): Long = {
     require(partitionCols.nonEmpty,
       "DeltaLog.commitPartitioned: partitionCols must be non-empty " +
-        "(use Snapshots + sync for unpartitioned tables)")
+        "(use commitFlat for unpartitioned tables)")
     require(partitionCols.forall(df.columns.contains),
       s"DeltaLog.commitPartitioned: $partitionCols not all in ${df.columns.toSeq}")
+    commitData(spark, root, df, partitionCols, rewrite, txn)
+  }
+
+  /** Commit `df` to an UNPARTITIONED Delta table at `root` — the flat
+    * sibling of [[commitPartitioned]] with the same txn-watermark
+    * exactly-once semantics (a replayed (appId, version) at or below
+    * the recorded watermark is a no-op). An EMPTY `df` still commits
+    * (protocol/metaData/txn actions, zero adds) so a watermark advances
+    * even when a batch contributes no rows — the foreachBatch shape.
+    */
+  def commitFlat(spark: SparkSession, root: String, df: DataFrame,
+                 rewrite: Boolean = false,
+                 txn: Option[(String, Long)] = None): Long =
+    commitData(spark, root, df, Seq.empty, rewrite, txn)
+
+  private def commitData(spark: SparkSession, root: String, df: DataFrame,
+                         partitionCols: Seq[String], rewrite: Boolean,
+                         txn: Option[(String, Long)]): Long = {
     val v = currentVersion(root) + 1
     val prior =
       if (v == 0L) None
       else Some(replay(spark, root, v - 1))
     prior.foreach { st =>
       require(st.partitionColumns == partitionCols,
-        s"DeltaLog.commitPartitioned: table is partitioned by " +
+        s"DeltaLog.commitData: table is partitioned by " +
           s"${st.partitionColumns}, got $partitionCols")
-      require(st.schema.forall(_.json == df.schema.json),
-        "DeltaLog.commitPartitioned: schema change on a partitioned " +
+      // nullability is write-path metadata, not a schema change: a
+      // stricter (non-null) batch may land in a nullable table and vice
+      // versa — Delta's own writer behaves the same way
+      def norm(dt: DataType): DataType = dt match {
+        case s: StructType => StructType(s.fields.map(f =>
+          f.copy(dataType = norm(f.dataType), nullable = true)))
+        case a: ArrayType => a.copy(elementType = norm(a.elementType),
+          containsNull = true)
+        case m: MapType => m.copy(valueType = norm(m.valueType),
+          valueContainsNull = true)
+        case other => other
+      }
+      require(st.schema.forall(sch => norm(sch) == norm(df.schema)),
+        "DeltaLog.commitData: schema change on a committed " +
           "table is unsupported — rewrite to a new root")
     }
     // Exactly-once via txn watermarks (the protocol's mechanism): if
@@ -1205,8 +1366,9 @@ object DeltaLog {
     Files.createDirectories(Paths.get(root))
     val stagingPath = Files.createTempDirectory(stagingBase(root),
       "graft-delta-part")
-    df.write.partitionBy(partitionCols: _*).mode("overwrite")
-      .parquet(stagingPath.toString)
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(stagingPath.toString)
     // Move each data file into the table root under its partition path
     // (same-filesystem by construction — see stagingBase).
     val moved = Seq.newBuilder[(String, Map[String, String])]
@@ -1227,8 +1389,10 @@ object DeltaLog {
     }
     deleteRecursively(stagingPath)
     val added = moved.result()
-    require(added.nonEmpty,
-      s"DeltaLog.commitPartitioned: write produced no parquet files")
+    // a partitioned write always yields files; a flat EMPTY batch may
+    // legitimately yield none (the commit still advances the watermark)
+    require(added.nonEmpty || partitionCols.isEmpty,
+      s"DeltaLog.commitData: write produced no parquet files")
     val tableId = java.util.UUID.nameUUIDFromBytes(
       ("graft-delta:" + root).getBytes("UTF-8")).toString
     Files.createDirectories(logDir(root))
@@ -1258,6 +1422,25 @@ object DeltaLog {
     writeCommitFile(root, v, actions.result())
     v
   }
+
+  /** The commit version that carries `txn` action (appId, txnVersion) —
+    * the anchor a restart-safe consumer uses to time-travel to the
+    * state just BEFORE a given batch landed. Scans the retained JSON
+    * commits newest-first (checkpoints compact txn actions to their
+    * latest watermark, so only the retained tail is addressable — in
+    * the replay-recent-batch use this is always the live window).
+    */
+  def txnCommitVersion(root: String, appId: String,
+                       txnVersion: Long): Option[Long] =
+    versions(root).sorted.reverse.find { v =>
+      Files.readAllLines(logDir(root).resolve(commitName(v))).asScala
+        .filter(_.trim.nonEmpty).exists { line =>
+          val n = mapper.readTree(line)
+          n.has("txn") &&
+            n.get("txn").path("appId").asText("") == appId &&
+            n.get("txn").path("version").asLong(Long.MinValue) == txnVersion
+        }
+    }
 
   /** OPTIMIZE for a partitioned Delta table: every partition holding
     * more than one active file is rewritten as ONE file, committed as

@@ -46,4 +46,52 @@ object JoinView {
       .unionByName(st.a.join(dB, keys))
     State(st.a.unionByName(dA), bNew, view)
   }
+
+  /** DURABLE, exactly-once refresh — the production shape of
+    * [[advance]]: state lives as three flat Delta tables under `dir`
+    * (`a`, `b`, `view`), each append guarded by the Delta protocol's
+    * txn watermark keyed on `batchId` (the
+    * [[graft.streaming.SilverStream]] sink mechanism), so a crash at
+    * ANY point and a replay of the same (dA, dB, batchId) — the
+    * foreachBatch redelivery contract — converges to the same view a
+    * single clean run produces:
+    *
+    *  1. dA appends to `a` (skipped if this batchId already landed);
+    *  2. dB appends to `b` (ditto);
+    *  3. the delta-rule view increment ΔA ⋈ (B∪ΔB) ∪ A_before ⋈ ΔB
+    *     appends to `view` (ditto) — A_before is time-traveled to just
+    *     below the `a`-commit CARRYING this batchId, so step 3 replayed
+    *     after a crash between 1 and 3 still joins against the
+    *     pre-batch A even though `a` has already advanced.
+    *
+    * Returns the refreshed view (reading the `view` table). `batchId`s
+    * must be strictly increasing across refreshes (watermark
+    * semantics). Each refresh runs delta-sized joins only; no history
+    * rescan, ever.
+    */
+  def refreshDurable(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     dA: DataFrame, dB: DataFrame, keys: Seq[String],
+                     batchId: Long): DataFrame = {
+    require(keys.nonEmpty, "JoinView needs join keys")
+    import graft.lake.DeltaLog
+    val (aRoot, bRoot, vRoot) = (s"$dir/a", s"$dir/b", s"$dir/view")
+    DeltaLog.commitFlat(spark, aRoot, dA, txn = Some((AppA, batchId)))
+    DeltaLog.commitFlat(spark, bRoot, dB, txn = Some((AppB, batchId)))
+    val aCommit = DeltaLog.txnCommitVersion(aRoot, AppA, batchId)
+      .getOrElse(throw new IllegalStateException(
+        s"JoinView: no $aRoot commit carries batch $batchId"))
+    val aBefore =
+      if (aCommit == 0L) dA.limit(0)
+      else DeltaLog.readAt(spark, aRoot, aCommit - 1)
+    val bAfter = DeltaLog.read(spark, bRoot)
+    val increment = dA.join(bAfter, keys)
+      .unionByName(aBefore.join(dB, keys))
+    DeltaLog.commitFlat(spark, vRoot, increment,
+      txn = Some((AppView, batchId)))
+    DeltaLog.read(spark, vRoot)
+  }
+
+  private val AppA = "graft-joinview-a"
+  private val AppB = "graft-joinview-b"
+  private val AppView = "graft-joinview-view"
 }

@@ -237,9 +237,148 @@ class DeltaLogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       DeltaLog.readAt(spark, root, 1L))
     assert(e.getMessage.contains("does not exist"), e.getMessage)
-    // Idempotent re-sync after compaction must not rewrite history.
+    // Idempotent re-sync after compaction must not rewrite history:
+    // retention deleted commits 0..3 ON PURPOSE (the checkpoint covers
+    // them) — re-materializing them would stamp fresh mtimes and
+    // collapse timestamp time travel onto the sync moment.
     DeltaLog.sync(spark, root, checkpointInterval = 2)
     assert(rows(DeltaLog.read(spark, root)) == full)
+    (0L to 3L).foreach(v => assert(
+      !Files.exists(Paths.get(root, "_delta_log", f"$v%020d.json")),
+      s"re-sync must not re-materialize retention-deleted commit $v"))
+  }
+
+  test("sync stamps commit mtimes from manifest commit times, so " +
+    "versionAsOf on a late-synced table resolves real history") {
+    val root = freshRoot()
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((1L, "a")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    Thread.sleep(30)
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((2L, "b")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    Thread.sleep(30)
+    // sync happens long after both commits — wall-clock NOW must not
+    // leak into the commit files' mtimes
+    val syncStart = System.currentTimeMillis()
+    DeltaLog.sync(spark, root)
+    (0L to 1L).foreach { dv =>
+      val mt = Files.getLastModifiedTime(
+        Paths.get(root, "_delta_log", f"$dv%020d.json")).toMillis
+      val manifest = Snapshots.versions(root)
+      assert(mt < syncStart,
+        s"commit $dv mtime $mt reads as sync wall-clock (>= $syncStart)")
+    }
+    val t0 = Files.getLastModifiedTime(
+      Paths.get(root, "_delta_log", f"${0L}%020d.json")).toMillis
+    val t1 = Files.getLastModifiedTime(
+      Paths.get(root, "_delta_log", f"${1L}%020d.json")).toMillis
+    assert(t0 < t1, s"commit mtimes must preserve history order ($t0 vs $t1)")
+    assert(DeltaLog.versionAsOf(root, t0) == 0L)
+    assert(DeltaLog.versionAsOf(root, t1) == 1L)
+  }
+
+  test("DML that matches no rows commits nothing, even when stats " +
+    "overlap; commit-version conflicts are loud") {
+    val root = freshRoot()
+    // one file with k in {1, 10}: stats overlap [4,6] but no row matches
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((1L, "a"), (10L, "j")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    DeltaLog.sync(spark, root)
+    val v0 = DeltaLog.currentVersion(root)
+    assert(DeltaLog.deleteWhereLong(spark, root, "k", 4L, 6L) == v0,
+      "no-match DELETE must not commit")
+    assert(DeltaLog.currentVersion(root) == v0)
+    assert(DeltaLog.updateWhereLong(spark, root, "k", 4L, 6L,
+      Map("v" -> lit("x"))) == v0, "no-match UPDATE must not commit")
+    assert(DeltaLog.currentVersion(root) == v0)
+    assert(rows(DeltaLog.read(spark, root)) == Set((1L, "a"), (10L, "j")))
+    // no staged leftovers accumulate under the table root
+    val stagingDir = Paths.get(root, ".graft_staging")
+    if (Files.isDirectory(stagingDir)) {
+      val leftovers = Files.walk(stagingDir).iterator().asScala
+        .count(p => Files.isRegularFile(p))
+      assert(leftovers == 0, s"$leftovers staged files leaked")
+    }
+    // a commit landed by "someone else" at v0+1 between a stale writer's
+    // version read and its rename: the rename must fail loudly and must
+    // NOT clobber the committed file (put-if-absent, not REPLACE)
+    writeCommit(root, v0 + 1,
+      Seq("""{"commitInfo":{"operation":"SOMEONE-ELSE"}}"""))
+    val before = commitLines(root, v0 + 1)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stale = mapper.createObjectNode()
+    stale.putObject("commitInfo").put("operation", "STALE-WRITER")
+    val e = intercept[IllegalStateException](
+      DeltaLog.writeCommitFile(root, v0 + 1, Seq(stale)))
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    assert(commitLines(root, v0 + 1) == before,
+      "the existing commit must survive the conflict untouched")
+  }
+
+  test("distributed replay equals the driver-side fold on a many-file " +
+    "log: same active set, same rows, same skipping inputs") {
+    val root = freshRoot()
+    // 3 commits x 4 files, then a rewrite that retires them all and a
+    // final append — adds, removes, and checkpoint state all in play
+    (1 to 3).foreach { i =>
+      Snapshots.commitAppend(root)(tmp =>
+        (1 to 8).map(j => (i * 100L + j, s"v$i-$j")).toDF("k", "v")
+          .repartition(4).write.mode("overwrite").parquet(tmp))
+    }
+    Snapshots.commitRewrite(root)(tmp =>
+      (1 to 6).map(j => (900L + j, s"w$j")).toDF("k", "v")
+        .repartition(3).write.mode("overwrite").parquet(tmp))
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((999L, "tail")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    DeltaLog.sync(spark, root, checkpointInterval = 3)
+    val driverFiles = DeltaLog.filesAt(spark, root, 4L).toSet
+    val driverRows = rows(DeltaLog.read(spark, root))
+    val driverCount = DeltaLog.statsCount(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head
+    // the distributed reconstruction directly
+    val dist = DeltaLog.activeAddsDF(spark, root, 4L).collect()
+    assert(dist.map(_.getString(1)).toSet == driverFiles,
+      s"active sets differ: ${dist.map(_.getString(1)).toSet} vs $driverFiles")
+    assert(dist.forall(r => !r.isNullAt(5)), "stats must ride along")
+    // now force the WIRED-IN distributed path and replay everything
+    val saved = DeltaLog.distributedReplayCheckpointBytes
+    try {
+      DeltaLog.distributedReplayCheckpointBytes = 1L
+      assert(DeltaLog.filesAt(spark, root, 4L).toSet == driverFiles)
+      assert(rows(DeltaLog.read(spark, root)) == driverRows)
+      assert(DeltaLog.statsCount(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).head == driverCount)
+      assert(rows(DeltaLog.readWhereLong(spark, root, "k", 905L, 999L))
+        == driverRows.filter(t => t._1 >= 905L))
+    } finally DeltaLog.distributedReplayCheckpointBytes = saved
+  }
+
+  test("footer stats emit only order-preserving min/max: ASCII strings " +
+    "yes, non-ASCII strings and annotated types no") {
+    val root = freshRoot()
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((1L, "apple", "café", BigDecimal("1.50")),
+        (2L, "zebra", "über", BigDecimal("2.75")))
+        .toDF("k", "ascii_s", "uni_s", "dec")
+        .coalesce(1).write.parquet(tmp))
+    DeltaLog.sync(spark, root)
+    val statsLine = commitLines(root, 0L).find(_.contains("\"stats\"")).get
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val add = mapper.readTree(statsLine).path("add")
+    val stats = mapper.readTree(add.path("stats").asText())
+    assert(stats.path("numRecords").asLong() == 2L)
+    val mins = stats.path("minValues")
+    val maxs = stats.path("maxValues")
+    assert(mins.path("k").asLong() == 1L && maxs.path("k").asLong() == 2L)
+    assert(mins.path("ascii_s").asText() == "apple"
+      && maxs.path("ascii_s").asText() == "zebra")
+    assert(!mins.has("uni_s") && !maxs.has("uni_s"),
+      "non-ASCII string bounds must be omitted (unsigned-byte order " +
+        "disagrees with Java string order)")
+    assert(!mins.has("dec") && !maxs.has("dec"),
+      "binary/decimal-backed bounds must be omitted")
+    // null counts still carried for every column
+    assert(stats.path("nullCount").path("uni_s").asLong() == 0L)
   }
 
   test("reads an externally-authored checkpoint (hand-written parquet + tail commit)") {
