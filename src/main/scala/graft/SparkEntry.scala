@@ -2236,6 +2236,25 @@ object SparkEntry {
       graft.lake.DeltaLog.deleteWhereLong(s, root, "event_id", 3000L, 6000L)
       graft.lake.DeltaLog.read(s, root)
     }),
+    // DELETE via DELETION VECTORS (the modern Delta DML path, table
+    // feature deletionVectors): same slices and predicate as q253, but
+    // deleted positions land in roaring-bitmap sidecars and the data
+    // files stay byte-identical — two stacked deletes exercise the DV
+    // merge; the read back must equal the complement.
+    "q260_delta_dv_delete" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"))
+      val root = freshScratch("q260")
+      (0 until 3).foreach { i =>
+        graft.lake.Snapshots.commitAppend(root)(tmp =>
+          ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === i)
+            .write.mode("overwrite").parquet(tmp))
+      }
+      graft.lake.DeltaLog.sync(s, root)
+      graft.lake.DeltaLog.deleteWhereLongDV(s, root, "event_id", 3000L, 6000L)
+      graft.lake.DeltaLog.deleteWhereLongDV(s, root, "event_id", 8000L, 8500L)
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // Condensation DAG over the q248 SCC graph: one edge per pair of
     // distinct components with an original edge between them — always
     // acyclic, the dependency readout SCC exists to produce.
@@ -3419,6 +3438,12 @@ object SparkEntry {
       """SELECT event_id, epoch_us(ts) AS event_ts_us, value
          FROM events
          WHERE event_id IS NULL OR event_id NOT BETWEEN 3000 AND 6000""",
+    // q260: DV deletes must equal the same two-range complement.
+    "q260_delta_dv_delete" ->
+      """SELECT event_id, epoch_us(ts) AS event_ts_us, value
+         FROM events
+         WHERE event_id IS NULL OR (event_id NOT BETWEEN 3000 AND 6000
+           AND event_id NOT BETWEEN 8000 AND 8500)""",
     // q254: condensation edges from the q248 closure — distinct
     // (scc_a, scc_b) pairs with an original edge between components.
     "q254_scc_condensation" ->

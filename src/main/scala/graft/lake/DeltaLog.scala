@@ -306,7 +306,14 @@ object DeltaLog {
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("stats", StringType),
-      StructField("tags", MapType(StringType, StringType, true))))),
+      StructField("tags", MapType(StringType, StringType, true)),
+      // appended LAST so existing ordinal reads stay valid
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", LongType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -352,10 +359,13 @@ object DeltaLog {
           schemaJson, st.partitionColumns, Map.empty[String, String], null),
         null)
       val addRows = st.files.map { case (path, pv) =>
+        val dvRow = st.fileDvs.get(path).map(d =>
+          Row(d.storageType, d.pathOrInlineDv, d.offset.orNull,
+            d.sizeInBytes, d.cardinality)).orNull
         Row(null,
           Row(encodePath(path), pv, st.fileSizes.getOrElse(path, 0L),
             st.fileModTimes.getOrElse(path, 0L), false,
-            st.fileStats.getOrElse(path, null), null),
+            st.fileStats.getOrElse(path, null), null, dvRow),
           null, null, null)
       }
       // txn watermarks survive compaction (Delta checkpoints carry them)
@@ -400,6 +410,51 @@ object DeltaLog {
     * active table-relative file paths in activation order with their
     * partition values (null map values = null partition value).
     */
+  /** `add.deletionVector` descriptor (PROTOCOL.md: Deletion Vector
+    * Descriptor Schema): `storageType` `u` (UUID-named file beside the
+    * table, path suffix = optional prefix + 20-char Z85 UUID), `i`
+    * (whole blob Z85-inlined in `pathOrInlineDv`), or `p` (absolute
+    * path — out of scope here, like absolute data paths).
+    */
+  private[lake] case class DvDescriptor(storageType: String,
+                                        pathOrInlineDv: String,
+                                        offset: Option[Long],
+                                        sizeInBytes: Int,
+                                        cardinality: Long) {
+    /** The serialized RoaringBitmapArray bytes, resolving `u` storage
+      * under `root` (CRC-verified).
+      */
+    def readBytes(root: String): Array[Byte] = storageType match {
+      case "i" => Dv.z85Decode(pathOrInlineDv)
+      case "u" =>
+        val suffix = pathOrInlineDv.takeRight(20)
+        val prefix = pathOrInlineDv.dropRight(20)
+        val uuid = Dv.uuidFromBytes(Dv.z85Decode(suffix))
+        val dir =
+          if (prefix.isEmpty) Paths.get(root)
+          else Paths.get(root, prefix)
+        Dv.readBlob(dir.resolve(Dv.dvFileName(uuid)),
+          offset.getOrElse(1L), sizeInBytes)
+      case other => throw new IllegalArgumentException(
+        s"DeltaLog: deletion vector storageType '$other' unsupported " +
+          "(u and i only; p is absolute-path storage)")
+    }
+
+    /** Decode the position set, resolving `u` storage under `root`. */
+    def read(root: String): Dv.PositionSet =
+      Dv.deserialize(readBytes(root))
+  }
+
+  private def dvFromNode(n: JsonNode): Option[DvDescriptor] =
+    if (n == null || !n.isObject) None
+    else Some(DvDescriptor(
+      n.path("storageType").asText(),
+      n.path("pathOrInlineDv").asText(),
+      if (n.path("offset").isNumber) Some(n.path("offset").asLong())
+      else None,
+      n.path("sizeInBytes").asInt(),
+      n.path("cardinality").asLong()))
+
   private case class LogState(
     schema: Option[StructType],
     partitionColumns: Seq[String],
@@ -412,19 +467,23 @@ object DeltaLog {
     fileSizes: Map[String, Long],
     fileModTimes: Map[String, Long],
     fileStats: Map[String, String],
+    fileDvs: Map[String, DvDescriptor],
     txnVersions: Map[String, Long])
 
   /** Reader features this implementation genuinely honors when named by
-    * a protocol-3 table: `timestampNtz` (plain type support — the
-    * declared-schema read handles TIMESTAMP_NTZ like any other type)
-    * and `vacuumProtocolCheck` (constrains vacuum, not reads).
+    * a protocol-3 table: `deletionVectors` (full read support — add
+    * actions carrying DV descriptors have the deleted positions
+    * filtered by `_metadata.row_index`, see [[assembleFiles]]),
+    * `timestampNtz` (plain type support — the declared-schema read
+    * handles TIMESTAMP_NTZ like any other type) and
+    * `vacuumProtocolCheck` (constrains vacuum, not reads).
     * `columnMapping` is honored ONLY while the table's mapping mode is
     * none/absent (physical names == logical names); everything else —
-    * `deletionVectors`, `v2Checkpoint`, … — would make a plain replay
-    * return WRONG ROWS, so the refusal names the specific feature.
+    * `v2Checkpoint`, … — would make a plain replay return WRONG ROWS,
+    * so the refusal names the specific feature.
     */
   private val supportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "vacuumProtocolCheck")
+    Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck")
 
   /** Loud, SPECIFIC refusal for protocol surfaces this reader lacks —
     * `minReaderVersion > 1` alone is not a reason to refuse: a
@@ -460,7 +519,8 @@ object DeltaLog {
     */
   private case class ActRow(version: Long, isAdd: Boolean, path: String,
                             pv: Map[String, String], size: Option[Long],
-                            mod: Option[Long], stats: Option[String])
+                            mod: Option[Long], stats: Option[String],
+                            dv: Option[String])
 
   /** Checkpoint byte size beyond which [[replay]] reconstructs FILE
     * state distributed instead of folding every action through
@@ -497,12 +557,14 @@ object DeltaLog {
           .parquet(files.map(_.toString): _*)
           .where(col("add.path").isNotNull)
           .select(col("add.path"), col("add.partitionValues"),
-            col("add.size"), col("add.modificationTime"), col("add.stats"))
+            col("add.size"), col("add.modificationTime"), col("add.stats"),
+            org.apache.spark.sql.functions.to_json(col("add.deletionVector"))
+              .as("dv"))
           .as[(String, Map[String, String], Option[Long], Option[Long],
-            Option[String])]
-          .map { case (p, pv, sz, md, st) =>
+            Option[String], Option[String])]
+          .map { case (p, pv, sz, md, st, dv) =>
             ActRow(cpv, isAdd = true, decodePath(p),
-              Option(pv).getOrElse(Map.empty), sz, md, st)
+              Option(pv).getOrElse(Map.empty), sz, md, st, dv)
           }
       case None => spark.emptyDataset[ActRow]
     }
@@ -540,11 +602,14 @@ object DeltaLog {
                   else None,
                   if (a.path("stats").isTextual)
                     Some(a.path("stats").asText())
+                  else None,
+                  if (a.path("deletionVector").isObject)
+                    Some(m.writeValueAsString(a.path("deletionVector")))
                   else None))
               } else if (node.has("remove")) {
                 Iterator.single(ActRow(v, isAdd = false,
                   decodePath(node.get("remove").path("path").asText()),
-                  Map.empty, None, None, None))
+                  Map.empty, None, None, None, None))
               } else Iterator.empty
             }
           }
@@ -557,7 +622,7 @@ object DeltaLog {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1 && col("isAdd"))
       .select(col("version"), col("path"), col("pv"), col("size"),
-        col("mod"), col("stats"))
+        col("mod"), col("stats"), col("dv"))
   }
 
   private def replay(spark: SparkSession, root: String,
@@ -579,6 +644,7 @@ object DeltaLog {
     val sizes = scala.collection.mutable.Map.empty[String, Long]
     val mods = scala.collection.mutable.Map.empty[String, Long]
     val statsOf = scala.collection.mutable.Map.empty[String, String]
+    val dvs = scala.collection.mutable.Map.empty[String, DvDescriptor]
     val txns = scala.collection.mutable.Map.empty[String, Long]
 
     def applyMeta(id: String, ss: String, pcs: Seq[String],
@@ -629,6 +695,12 @@ object DeltaLog {
             if (!a.isNullAt(2)) sizes(path) = a.getLong(2)
             if (!a.isNullAt(3)) mods(path) = a.getLong(3)
             if (!a.isNullAt(5)) statsOf(path) = a.getString(5)
+            if (a.length > 7 && !a.isNullAt(7)) {
+              val d = a.getStruct(7)
+              dvs(path) = DvDescriptor(d.getString(0), d.getString(1),
+                if (d.isNullAt(2)) None else Some(d.getLong(2)),
+                d.getInt(3), d.getLong(4))
+            } else dvs.remove(path)
           } else if (!r.isNullAt(0)) {
             val t = r.getStruct(0)
             if (!t.isNullAt(0) && !t.isNullAt(1))
@@ -694,10 +766,17 @@ object DeltaLog {
             if (a.path("modificationTime").isNumber)
               mods(path) = a.path("modificationTime").asLong()
             if (a.path("stats").isTextual) statsOf(path) = a.path("stats").asText()
+            dvFromNode(a.path("deletionVector")) match {
+              case Some(d) => dvs(path) = d
+              case None => dvs.remove(path) // re-add without DV clears it
+            }
           }
         } else if (node.has("remove")) {
-          if (!distributed)
-            active.remove(decodePath(node.get("remove").path("path").asText()))
+          if (!distributed) {
+            val p = decodePath(node.get("remove").path("path").asText())
+            active.remove(p)
+            dvs.remove(p)
+          }
         } else if (node.has("txn")) {
           val t = node.get("txn")
           val app = t.path("appId").asText(null)
@@ -721,13 +800,16 @@ object DeltaLog {
           if (!r.isNullAt(3)) sizes(path) = r.getLong(3)
           if (!r.isNullAt(4)) mods(path) = r.getLong(4)
           if (!r.isNullAt(5)) statsOf(path) = r.getString(5)
+          if (!r.isNullAt(6))
+            dvFromNode(mapper.readTree(r.getString(6)))
+              .foreach(dvs(path) = _)
         }
     }
     val st = LogState(schema, partitionCols, minReader, minWriter,
       readerFeats, config, tableId,
       active.entrySet().iterator().asScala
         .map(e => e.getKey -> e.getValue).toSeq,
-      sizes.toMap, mods.toMap, statsOf.toMap, txns.toMap)
+      sizes.toMap, mods.toMap, statsOf.toMap, dvs.toMap, txns.toMap)
     validateReaderSupport(root, st)
     st
   }
@@ -794,7 +876,8 @@ object DeltaLog {
     */
   private def addActionNode(root: String, rel: String,
                             pv: Map[String, String], dataChange: Boolean,
-                            conf: org.apache.hadoop.conf.Configuration): JsonNode = {
+                            conf: org.apache.hadoop.conf.Configuration,
+                            dv: Option[DvDescriptor] = None): JsonNode = {
     val fp = Paths.get(root, rel)
     val n = mapper.createObjectNode()
     val a = n.putObject("add")
@@ -807,6 +890,14 @@ object DeltaLog {
     a.put("modificationTime", Files.getLastModifiedTime(fp).toMillis)
     a.put("dataChange", dataChange)
     a.put("stats", footerStatsJson(fp, conf))
+    dv.foreach { d =>
+      val o = a.putObject("deletionVector")
+      o.put("storageType", d.storageType)
+      o.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(o.put("offset", _))
+      o.put("sizeInBytes", d.sizeInBytes)
+      o.put("cardinality", d.cardinality)
+    }
     n
   }
 
@@ -866,9 +957,66 @@ object DeltaLog {
                             files: Seq[(String, Map[String, String])]): DataFrame = {
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else if (st.partitionColumns.isEmpty)
+    val (dvFiles, plainFiles) = files.partition(f => st.fileDvs.contains(f._1))
+    val dvParts = dvFiles.map { case (path, pv) =>
+      dvFilteredFile(spark, root, st, schema, path, pv)
+    }
+    val plainPart =
+      if (plainFiles.isEmpty) Seq.empty
+      else Seq(assemblePlainFiles(spark, root, st, schema, plainFiles))
+    (plainPart ++ dvParts) match {
+      case Seq() =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case parts => parts.reduce(_ unionByName _)
+    }
+  }
+
+  /** One DV'd file: scan with `_metadata.row_index`, anti-join the
+    * deleted positions (decoded from the compact bitmap ON an executor
+    * — the driver ships only the serialized bytes), then attach
+    * partition literals like any other file. The deleted-positions side
+    * broadcasts below a cardinality bound; a pathological
+    * most-of-the-file DV falls back to a shuffle join.
+    */
+  private def dvFilteredFile(spark: SparkSession, root: String, st: LogState,
+                             schema: StructType, path: String,
+                             pv: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val pcSet = st.partitionColumns.toSet
+    val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
+    val desc = st.fileDvs(path)
+    val bytes = desc.readBytes(root)
+    val positions = spark.createDataset(Seq(bytes))
+      .flatMap(b => Dv.deserialize(b).positions)
+      .toDF("__graft_pos")
+    val posSide =
+      if (desc.cardinality <= 4000000L)
+        org.apache.spark.sql.functions.broadcast(positions)
+      else positions
+    val base = spark.read.schema(dataSchema)
+      .parquet(Paths.get(root, path).toString)
+      .select(col("*"), col("_metadata.row_index").as("__graft_pos"))
+      .join(posSide, Seq("__graft_pos"), "left_anti")
+      .drop("__graft_pos")
+    schema.fields.foldLeft(base) { (df, f) =>
+      if (!pcSet(f.name)) df
+      else {
+        require(pv.contains(f.name),
+          s"DeltaLog: add $path lacks partitionValues for declared " +
+            s"partition column ${f.name}")
+        df.withColumn(f.name,
+          Option(pv(f.name)) match {
+            case Some(s) => lit(s).cast(f.dataType)
+            case None => lit(null).cast(f.dataType)
+          })
+      }
+    }.select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  private def assemblePlainFiles(spark: SparkSession, root: String,
+                                 st: LogState, schema: StructType,
+                                 files: Seq[(String, Map[String, String])]): DataFrame = {
+    if (st.partitionColumns.isEmpty)
       spark.read.schema(schema)
         .parquet(files.map(f => Paths.get(root, f._1).toString): _*)
     else {
@@ -919,7 +1067,9 @@ object DeltaLog {
           "count from metadata"))
       val n = mapper.readTree(s).path("numRecords")
       require(n.isNumber, s"DeltaLog.statsCount: stats of $p lack numRecords")
-      n.asLong()
+      // physical rows minus the file's deleted positions (descriptor
+      // cardinality) — still zero data IO
+      n.asLong() - st.fileDvs.get(p).map(_.cardinality).getOrElse(0L)
     }
     spark.createDataFrame(Seq((counts.sum, counts.size.toLong)))
       .toDF("n_rows", "n_files")
@@ -988,6 +1138,10 @@ object DeltaLog {
       val overlapping = st.files
         .filter { case (p, _) => statsOverlap(st, p, column, lo, hi) }
       overlapping.foreach { case (rel, pv) =>
+        require(!st.fileDvs.contains(rel),
+          s"DeltaLog.deleteWhereLong: $rel carries a deletion vector — " +
+            "copy-on-write rewrite of DV'd files is unimplemented; use " +
+            "deleteWhereLongDV (merges into the DV) instead")
         val full = Paths.get(root, rel)
         val remaining = spark.read.schema(dataSchema)
           .parquet(full.toString)
@@ -1023,6 +1177,86 @@ object DeltaLog {
     v + 1
   }
 
+  /** DELETE via DELETION VECTORS — the modern Delta write path
+    * (PROTOCOL.md table feature `deletionVectors`; what Delta 3.x DML
+    * does by default): instead of rewriting every touched file, the
+    * matching ROW POSITIONS are recorded in a roaring bitmap stored in
+    * a `deletion_vector_<uuid>.bin` sidecar, and each touched file is
+    * re-added with the DV descriptor attached. IO is matching-rows
+    * metadata, never a data rewrite — on a 100 TB table a small DELETE
+    * touches kilobytes where copy-on-write rewrites gigabytes. Files
+    * that already carry a DV get the new positions MERGED in (one
+    * descriptor per file, always the union). The commit upgrades the
+    * table protocol to 3/7 + `deletionVectors` the first time a DV
+    * lands, exactly as Delta's own writer does. File skipping applies
+    * as in [[deleteWhereLong]]; no-op (no commit) when nothing new
+    * matches. Returns the table version afterwards.
+    *
+    * Positions per file are collected to the driver bitmap-sized (the
+    * same shape Delta's writer materializes); the scan that finds them
+    * is predicate-pushed and reads only stat-overlapping files.
+    */
+  def deleteWhereLongDV(spark: SparkSession, root: String, column: String,
+                        lo: Long, hi: Long): Long = {
+    import spark.implicits._
+    require(lo <= hi, s"DeltaLog.deleteWhereLongDV: empty interval [$lo, $hi]")
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $root log — schema unknown"))
+    val pcSet = st.partitionColumns.toSet
+    require(!pcSet(column),
+      "DeltaLog.deleteWhereLongDV: partition-column deletes are pure " +
+        "metadata — use deleteWhereLong")
+    val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val overlapping = st.files
+      .filter { case (p, _) => statsOverlap(st, p, column, lo, hi) }
+    val actions = Seq.newBuilder[JsonNode]
+    var touched = 0
+    val dvUuid = java.util.UUID.randomUUID()
+    val dvFile = Paths.get(root, Dv.dvFileName(dvUuid))
+    val pathOrInline = Dv.z85Encode(Dv.uuidBytes(dvUuid))
+    overlapping.foreach { case (rel, pv) =>
+      val existing: Set[Long] = st.fileDvs.get(rel)
+        .map(_.read(root).positions.toSet).getOrElse(Set.empty)
+      val matches = spark.read.schema(dataSchema)
+        .parquet(Paths.get(root, rel).toString)
+        .filter(col(column) >= lo && col(column) <= hi)
+        .select(col("_metadata.row_index"))
+        .as[Long].collect().toSet
+      val fresh = matches -- existing
+      if (fresh.nonEmpty) {
+        val union = existing ++ matches
+        val data = Dv.serialize(Dv.positionSet(union))
+        val (offset, size) = Dv.appendBlob(dvFile, data)
+        val desc = DvDescriptor("u", pathOrInline, Some(offset), size,
+          union.size.toLong)
+        actions += removeActionNode(rel, dataChange = true)
+        actions += addActionNode(root, rel, pv, dataChange = true, conf,
+          dv = Some(desc))
+        touched += 1
+      }
+    }
+    if (touched == 0) return v
+    // first DV on this table: upgrade the protocol the way Delta does
+    val hasDvFeature = st.minReaderVersion >= 3 &&
+      st.readerFeatures.contains("deletionVectors")
+    val protocolUpgrade =
+      if (hasDvFeature) Seq.empty[JsonNode]
+      else {
+        val n = mapper.createObjectNode()
+        val p = n.putObject("protocol")
+        p.put("minReaderVersion", 3)
+        p.put("minWriterVersion", 7)
+        p.putArray("readerFeatures").add("deletionVectors")
+        p.putArray("writerFeatures").add("deletionVectors")
+        Seq[JsonNode](n)
+      }
+    writeCommitFile(root, v + 1, protocolUpgrade ++ actions.result())
+    v + 1
+  }
+
   /** Copy-on-write UPDATE: rows with `column` in [lo, hi] get the `set`
     * expressions applied (other rows pass through bit-identical);
     * committed as `remove`+`add` with `dataChange=true`. File skipping
@@ -1055,6 +1289,9 @@ object DeltaLog {
     val actions = Seq.newBuilder[JsonNode]
     var touched = 0
     overlapping.foreach { case (rel, pv) =>
+      require(!st.fileDvs.contains(rel),
+        s"DeltaLog.updateWhereLong: $rel carries a deletion vector — " +
+          "copy-on-write rewrite of DV'd files is unimplemented")
       val full = Paths.get(root, rel)
       val matches = col(column) >= lo && col(column) <= hi
       val source = spark.read.schema(dataSchema).parquet(full.toString)
@@ -1113,6 +1350,10 @@ object DeltaLog {
         val node = mapper.readTree(line)
         if (node.has("add")) {
           val a = node.get("add")
+          require(!a.path("deletionVector").isObject,
+            s"DeltaLog.readAppendsSince: commit $v of $root attaches a " +
+              "deletion vector (DELETE via DV) — an append tail cannot " +
+              "represent changed history; consume CDC instead")
           if (a.path("dataChange").asBoolean(true)) {
             val pvNode = a.path("partitionValues")
             val pv =
@@ -1477,6 +1718,9 @@ object DeltaLog {
     val conf = spark.sparkContext.hadoopConfiguration
     fat.toSeq.sortBy(_._2.head._1).foreach { case (pv, files) =>
       val rels = files.map(_._1)
+      rels.foreach(rel => require(!st.fileDvs.contains(rel),
+        s"DeltaLog.compactPartitioned: $rel carries a deletion vector — " +
+          "compaction of DV'd files is unimplemented"))
       val merged = spark.read.schema(dataSchema)
         .parquet(rels.map(f => Paths.get(root, f).toString): _*)
       val part = writeSingleParquet(merged, root, "graft-delta-compact")

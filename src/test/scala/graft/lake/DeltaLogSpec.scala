@@ -170,13 +170,14 @@ class DeltaLogSpec extends SparkSpec {
         """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
       root
     }
-    // protocol 3 with a DV feature: refusal NAMES deletionVectors
+    // protocol 3 with an unsupported feature: refusal NAMES it
     val e1 = intercept[IllegalArgumentException](DeltaLog.read(spark,
-      protoTable("""{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}""")))
-    assert(e1.getMessage.contains("deletionVectors"), e1.getMessage)
-    // protocol 3 with only supported features: OPENS
+      protoTable("""{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}""")))
+    assert(e1.getMessage.contains("v2Checkpoint"), e1.getMessage)
+    // protocol 3 with only supported features (incl. deletionVectors,
+    // which this reader implements): OPENS
     assert(rows(DeltaLog.read(spark, protoTable(
-      """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","vacuumProtocolCheck"]}"""))) ==
+      """{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","vacuumProtocolCheck","deletionVectors"]}"""))) ==
       Set((1L, "a")))
     // protocol 3, columnMapping named but mode none: OPENS
     assert(rows(DeltaLog.read(spark, protoTable(
@@ -351,6 +352,86 @@ class DeltaLogSpec extends SparkSpec {
       assert(rows(DeltaLog.readWhereLong(spark, root, "k", 905L, 999L))
         == driverRows.filter(t => t._1 >= 905L))
     } finally DeltaLog.distributedReplayCheckpointBytes = saved
+  }
+
+  test("deleteWhereLongDV: soft-delete via deletion vectors — no data " +
+    "rewrite, merged on repeat, protocol upgraded, time travel intact") {
+    val root = freshRoot()
+    Snapshots.commitAppend(root)(tmp =>
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.parquet(tmp))
+    DeltaLog.sync(spark, root)
+    val dataFilesBefore = DeltaLog.filesAt(spark, root, 0L)
+    val bytesBefore = dataFilesBefore
+      .map(f => Files.size(Paths.get(root, f))).sum
+    // DELETE k in [5, 8] — via DV, no rewrite
+    val v1 = DeltaLog.deleteWhereLongDV(spark, root, "k", 5L, 8L)
+    assert(v1 == 1L)
+    assert(rows(DeltaLog.read(spark, root)) ==
+      (1L to 20L).filterNot(k => k >= 5 && k <= 8)
+        .map(k => (k, s"v$k")).toSet)
+    // the data file is UNTOUCHED (same path, same bytes)
+    assert(DeltaLog.filesAt(spark, root, v1) == dataFilesBefore)
+    assert(dataFilesBefore.map(f => Files.size(Paths.get(root, f))).sum
+      == bytesBefore, "DV delete must not rewrite data")
+    // protocol upgraded to 3/7 + deletionVectors in the DV commit
+    val c1 = commitLines(root, 1L)
+    assert(c1.exists(l => l.contains("\"minReaderVersion\":3")
+      && l.contains("deletionVectors")), c1.mkString("|"))
+    // time travel BEFORE the delete still sees every row
+    assert(rows(DeltaLog.readAt(spark, root, 0L)) ==
+      (1L to 20L).map(k => (k, s"v$k")).toSet)
+    // metadata-only count reflects the DV cardinality
+    assert(DeltaLog.statsCount(spark, root).collect().head.getLong(0)
+      == 16L)
+    // second DV delete MERGES (k=1 plus already-deleted 5..8)
+    val v2 = DeltaLog.deleteWhereLongDV(spark, root, "k", 1L, 1L)
+    assert(rows(DeltaLog.read(spark, root)) ==
+      (2L to 20L).filterNot(k => k >= 5 && k <= 8)
+        .map(k => (k, s"v$k")).toSet)
+    assert(DeltaLog.statsCount(spark, root).collect().head.getLong(0)
+      == 15L)
+    // deleting already-deleted rows is a no-op commit-wise
+    assert(DeltaLog.deleteWhereLongDV(spark, root, "k", 5L, 8L) == v2)
+    // checkpoint survival: DV descriptors ride the checkpoint
+    DeltaLog.checkpoint(spark, root, v2)
+    (0L to v2).foreach(v => Files.delete(
+      Paths.get(root, "_delta_log", f"$v%020d.json")))
+    assert(rows(DeltaLog.read(spark, root)) ==
+      (2L to 20L).filterNot(k => k >= 5 && k <= 8)
+        .map(k => (k, s"v$k")).toSet,
+      "DV must survive checkpoint compaction")
+    // copy-on-write DML on a DV'd file refuses loudly
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.deleteWhereLong(spark, root, "k", 2L, 2L))
+    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLog.updateWhereLong(spark, root, "k", 2L, 2L,
+        Map("v" -> lit("x"))))
+    assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
+  }
+
+  test("reads an externally-written add with an INLINE deletion vector " +
+    "and refuses DV adds in an append tail") {
+    val root = freshRoot()
+    writeFlat(root, "part-a.parquet",
+      (0L to 9L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    // inline DV deleting row positions 0, 3, 9 (z85 of the portable bitmap)
+    val data = Dv.serialize(Dv.positionSet(Seq(0L, 3L, 9L)))
+    val padded = java.util.Arrays.copyOf(data,
+      (data.length + 3) / 4 * 4) // z85 needs 4-byte alignment
+    val inline = Dv.z85Encode(padded)
+    writeCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"ext-dv","format":{"provider":"parquet","options":{}},"schemaString":"${extSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${padded.length},"cardinality":3}}}"""))
+    // rows at parquet positions 0,3,9 of the single sorted-written file
+    // are (0,v0),(3,v3),(9,v9)
+    assert(rows(DeltaLog.read(spark, root)) ==
+      (0L to 9L).filterNot(Set(0L, 3L, 9L)).map(k => (k, s"v$k")).toSet)
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.readAppendsSince(spark, root, -1L))
+    assert(e.getMessage.contains("deletion vector"), e.getMessage)
   }
 
   test("footer stats emit only order-preserving min/max: ASCII strings " +
