@@ -66,6 +66,20 @@ object CandidatePairs {
   def inBucketPairs(bucketed: DataFrame, cap: Int = 2048): DataFrame =
     rawPairs(bucketed.select(col("id"), col("bk")), cap).distinct()
 
+  /** Payload-carrying in-bucket MEETINGS: one row per (unordered pair,
+    * shared bucket), with every non-(`id`, `bk`) input column passed
+    * through twice — `p` from one member, `__pb` (prefix-stripped,
+    * b-suffixed) from the other. The id canonicalization (least/greatest)
+    * does NOT swap payload sides, so callers must use the payload
+    * SYMMETRICALLY (commutative products, min/max bounds — the
+    * [[inBucketPairDots]] contract). This is the hook for per-meeting
+    * candidate filters (PPJoin positional bounds and kin): filter the
+    * meetings, then `.distinct()` the surviving (id_a, id_b). Shares the
+    * hot-bucket salting of every other flavor.
+    */
+  def inBucketPairMeetings(bucketed: DataFrame, cap: Int = 2048): DataFrame =
+    rawPairs(bucketed, cap)
+
   /** In-bucket pairs WITH bucket multiplicity: (id_a, id_b, n_shared)
     * where n_shared = number of buckets both members share. Because an
     * unordered pair meets exactly once per bucket (see the cell-coverage
