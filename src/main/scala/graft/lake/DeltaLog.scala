@@ -51,9 +51,11 @@ import scala.jdk.CollectionConverters._
   *    attaches the partition columns as typed literals, so a filter on
   *    a partition column constant-folds per partition and PRUNES whole
   *    scans at plan time. Scope: parquet format, relative paths,
-  *    reader protocol 1; protocol 2 while column-mapping mode is
-  *    none; protocol 3 when every named readerFeature is supported
-  *    (timestampNtz, vacuumProtocolCheck, unactivated columnMapping).
+  *    reader protocol 1; protocol 2 with column-mapping mode none or
+  *    name (physical parquet names resolved from schema metadata);
+  *    protocol 3 when every named readerFeature is supported
+  *    (deletionVectors, timestampNtz, vacuumProtocolCheck,
+  *    columnMapping in modes none/name).
   *    Anything else fails loudly NAMING the missing feature rather
   *    than returning wrong rows.
   *
@@ -477,40 +479,95 @@ object DeltaLog {
     * `timestampNtz` (plain type support — the declared-schema read
     * handles TIMESTAMP_NTZ like any other type) and
     * `vacuumProtocolCheck` (constrains vacuum, not reads).
-    * `columnMapping` is honored ONLY while the table's mapping mode is
-    * none/absent (physical names == logical names); everything else —
-    * `v2Checkpoint`, … — would make a plain replay return WRONG ROWS,
-    * so the refusal names the specific feature.
+    * `columnMapping` is honored in modes none/absent (identity) and
+    * `name` (reads resolve `delta.columnMapping.physicalName` from the
+    * schema metadata; mapped tables are read-only here); mode `id` and
+    * everything else — `v2Checkpoint`, … — would make a plain replay
+    * return WRONG ROWS, so the refusal names the specific feature.
     */
   private val supportedReaderFeatures: Set[String] =
     Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck")
 
+  private def mappingMode(st: LogState): String =
+    st.configuration.getOrElse("delta.columnMapping.mode", "none")
+
   /** Loud, SPECIFIC refusal for protocol surfaces this reader lacks —
     * `minReaderVersion > 1` alone is not a reason to refuse: a
     * protocol-3 table whose feature set is fully supported opens.
+    * Column mapping: `none` trivially readable, `name` readable (reads
+    * resolve physical column names from the schema metadata — see
+    * [[physicalTopLevel]]), `id` refused (resolution by parquet field
+    * id is a different read path).
     */
   private def validateReaderSupport(root: String, st: LogState): Unit = {
-    val mappingMode = st.configuration
-      .getOrElse("delta.columnMapping.mode", "none")
+    val mode = mappingMode(st)
+    val mappingOk = mode == "none" || mode == "name"
     st.minReaderVersion match {
       case v if v <= 1 => ()
       case 2 =>
-        // reader version 2 == column-mapping capable; readable while the
-        // mode is still none (physical names match logical names)
-        require(mappingMode == "none",
-          s"DeltaLog: table $root requires reader feature columnMapping " +
-            s"(mode '$mappingMode') which this reader lacks")
+        require(mappingOk,
+          s"DeltaLog: table $root requires columnMapping mode '$mode' " +
+            "which this reader lacks (none and name supported)")
       case 3 =>
         val unsupported = st.readerFeatures.filterNot { f =>
-          supportedReaderFeatures(f) || (f == "columnMapping" && mappingMode == "none")
+          supportedReaderFeatures(f) || (f == "columnMapping" && mappingOk)
         }
         require(unsupported.isEmpty,
           s"DeltaLog: table $root requires reader feature(s) " +
-            s"${unsupported.sorted.mkString(", ")} which this reader lacks")
+            s"${unsupported.sorted.mkString(", ")} which this reader lacks" +
+            (if (st.readerFeatures.contains("columnMapping") && !mappingOk)
+               s" (columnMapping mode '$mode'; none and name supported)"
+             else ""))
       case v =>
         require(false,
           s"DeltaLog: table $root requires minReaderVersion $v, beyond " +
             "this reader's protocol support (max 3)")
+    }
+  }
+
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  /** Top-level logical → physical field mapping under column-mapping
+    * mode `name` (PROTOCOL.md: data files store columns under
+    * `delta.columnMapping.physicalName`; the declared schema carries the
+    * mapping in field metadata). Fields without a physicalName keep
+    * their logical name. NESTED mappings are refused loudly — renaming
+    * inside struct/array/map types is a different rebuild and silently
+    * ignoring it would surface wrong (null) columns.
+    */
+  private def physicalTopLevel(schema: StructType): Map[String, String] = {
+    def nestedHasMapping(dt: DataType): Boolean = dt match {
+      case s: StructType => s.fields.exists(f =>
+        f.metadata.contains(PhysicalNameKey) || nestedHasMapping(f.dataType))
+      case a: ArrayType => nestedHasMapping(a.elementType)
+      case m: MapType => nestedHasMapping(m.keyType) || nestedHasMapping(m.valueType)
+      case _ => false
+    }
+    schema.fields.map { f =>
+      require(!nestedHasMapping(f.dataType),
+        s"DeltaLog: nested column-mapping metadata under field " +
+          s"'${f.name}' is unsupported (top-level name mapping only)")
+      f.name -> (if (f.metadata.contains(PhysicalNameKey))
+                   f.metadata.getString(PhysicalNameKey)
+                 else f.name)
+    }.toMap
+  }
+
+  /** Read `paths` with `dataSchema`, honoring name-mode column mapping:
+    * the parquet scan uses PHYSICAL field names, the returned DataFrame
+    * carries the LOGICAL ones (same order).
+    */
+  private def readDataFiles(spark: SparkSession, st: LogState,
+                            dataSchema: StructType,
+                            paths: Seq[String]): DataFrame = {
+    if (mappingMode(st) != "name")
+      spark.read.schema(dataSchema).parquet(paths: _*)
+    else {
+      val phys = physicalTopLevel(dataSchema)
+      val physSchema = StructType(dataSchema.fields.map(f =>
+        f.copy(name = phys(f.name))))
+      spark.read.schema(physSchema).parquet(paths: _*)
+        .toDF(dataSchema.fieldNames.toSeq: _*)
     }
   }
 
@@ -993,19 +1050,29 @@ object DeltaLog {
       if (desc.cardinality <= 4000000L)
         org.apache.spark.sql.functions.broadcast(positions)
       else positions
-    val base = spark.read.schema(dataSchema)
+    // physical names resolved inline (not via readDataFiles): the
+    // _metadata column is only reachable on the scan output itself --
+    // a rename projection in between would hide it
+    val physMap =
+      if (mappingMode(st) == "name") physicalTopLevel(dataSchema)
+      else dataSchema.fieldNames.map(n => n -> n).toMap
+    val physSchema = StructType(dataSchema.fields.map(f =>
+      f.copy(name = physMap(f.name))))
+    val base = spark.read.schema(physSchema)
       .parquet(Paths.get(root, path).toString)
-      .select(col("*"), col("_metadata.row_index").as("__graft_pos"))
+      .select(Seq(col("_metadata.row_index").as("__graft_pos")) ++
+        dataSchema.fields.map(f => col(physMap(f.name)).as(f.name)): _*)
       .join(posSide, Seq("__graft_pos"), "left_anti")
       .drop("__graft_pos")
     schema.fields.foldLeft(base) { (df, f) =>
       if (!pcSet(f.name)) df
       else {
-        require(pv.contains(f.name),
-          s"DeltaLog: add $path lacks partitionValues for declared " +
-            s"partition column ${f.name}")
+        val key = pvKeyOf(st, schema, f.name, pv).getOrElse(
+          throw new IllegalArgumentException(
+            s"DeltaLog: add $path lacks partitionValues for declared " +
+              s"partition column ${f.name}"))
         df.withColumn(f.name,
-          Option(pv(f.name)) match {
+          Option(pv(key)) match {
             case Some(s) => lit(s).cast(f.dataType)
             case None => lit(null).cast(f.dataType)
           })
@@ -1013,12 +1080,26 @@ object DeltaLog {
     }.select(schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** partitionValues key for logical partition column `c` — PHYSICAL
+    * under name-mode column mapping (that is what mapped writers record;
+    * logical accepted as a fallback for writers that kept it).
+    */
+  private def pvKeyOf(st: LogState, schema: StructType, c: String,
+                      pv: Map[String, String]): Option[String] = {
+    val candidates =
+      if (mappingMode(st) == "name")
+        Seq(physicalTopLevel(StructType(schema.filter(_.name == c)))
+          .getOrElse(c, c), c)
+      else Seq(c)
+    candidates.find(pv.contains)
+  }
+
   private def assemblePlainFiles(spark: SparkSession, root: String,
                                  st: LogState, schema: StructType,
                                  files: Seq[(String, Map[String, String])]): DataFrame = {
     if (st.partitionColumns.isEmpty)
-      spark.read.schema(schema)
-        .parquet(files.map(f => Paths.get(root, f._1).toString): _*)
+      readDataFiles(spark, st, schema,
+        files.map(f => Paths.get(root, f._1).toString))
     else {
       val pcSet = st.partitionColumns.toSet
       val missing = pcSet.filterNot(schema.fieldNames.contains)
@@ -1026,20 +1107,21 @@ object DeltaLog {
         s"DeltaLog: partitionColumns $missing not in declared schema")
       val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
       // an add whose partitionValues OMITS a declared partition column
-      // is malformed (column-mapping tables, broken writers): treating
-      // absent as null would surface wrong rows — fail loudly instead
+      // is malformed (unknown mapping, broken writers): treating absent
+      // as null would surface wrong rows — fail loudly instead
       val byPartition = files
         .groupBy(f => st.partitionColumns.map { c =>
-          require(f._2.contains(c),
-            s"DeltaLog: add ${f._1} lacks partitionValues for declared " +
-              s"partition column $c")
-          Option(f._2(c))
+          val key = pvKeyOf(st, schema, c, f._2).getOrElse(
+            throw new IllegalArgumentException(
+              s"DeltaLog: add ${f._1} lacks partitionValues for declared " +
+                s"partition column $c"))
+          Option(f._2(key))
         })
       val parts = byPartition.toSeq.sortBy(_._1.mkString(" "))
         .map { case (pvals, group) =>
           val pvByCol = st.partitionColumns.zip(pvals).toMap
-          val withPv = spark.read.schema(dataSchema)
-            .parquet(group.map(f => Paths.get(root, f._1).toString): _*)
+          val withPv = readDataFiles(spark, st, dataSchema,
+            group.map(f => Paths.get(root, f._1).toString))
           schema.fields.foldLeft(withPv) { (df, f) =>
             if (!pcSet(f.name)) df
             else df.withColumn(f.name,
@@ -1113,6 +1195,8 @@ object DeltaLog {
     require(lo <= hi, s"DeltaLog.deleteWhereLong: empty interval [$lo, $hi]")
     val v = currentVersion(root)
     val st = replay(spark, root, v)
+    require(mappingMode(st) == "none",
+      s"DeltaLog.deleteWhereLong: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     val pcSet = st.partitionColumns.toSet
@@ -1202,6 +1286,8 @@ object DeltaLog {
     require(lo <= hi, s"DeltaLog.deleteWhereLongDV: empty interval [$lo, $hi]")
     val v = currentVersion(root)
     val st = replay(spark, root, v)
+    require(mappingMode(st) == "none",
+      s"DeltaLog.deleteWhereLongDV: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     val pcSet = st.partitionColumns.toSet
@@ -1273,6 +1359,8 @@ object DeltaLog {
     require(set.nonEmpty, "DeltaLog.updateWhereLong: empty SET")
     val v = currentVersion(root)
     val st = replay(spark, root, v)
+    require(mappingMode(st) == "none",
+      s"DeltaLog.updateWhereLong: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     val pcSet = st.partitionColumns.toSet
@@ -1575,6 +1663,9 @@ object DeltaLog {
       if (v == 0L) None
       else Some(replay(spark, root, v - 1))
     prior.foreach { st =>
+      require(mappingMode(st) == "none",
+        s"DeltaLog.commitData: column-mapped tables are read-only " +
+          s"through this bridge (mode ${mappingMode(st)})")
       require(st.partitionColumns == partitionCols,
         s"DeltaLog.commitData: table is partitioned by " +
           s"${st.partitionColumns}, got $partitionCols")
@@ -1705,6 +1796,8 @@ object DeltaLog {
   def compactPartitioned(spark: SparkSession, root: String): Long = {
     val v = currentVersion(root)
     val st = replay(spark, root, v)
+    require(mappingMode(st) == "none",
+      s"DeltaLog.compactPartitioned: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
     require(st.partitionColumns.nonEmpty,
       "DeltaLog.compactPartitioned: table is not partitioned " +
         "(use Snapshots OPTIMIZE for flat tables)")

@@ -186,10 +186,15 @@ class DeltaLogSpec extends SparkSpec {
     // protocol 2, mapping mode unset (= none): OPENS
     assert(rows(DeltaLog.read(spark, protoTable(
       """{"minReaderVersion":2,"minWriterVersion":5}"""))) == Set((1L, "a")))
-    // protocol 2 with ACTIVE column mapping: refusal names columnMapping
+    // protocol 2 with name-mode mapping: OPENS (identity mapping when no
+    // physicalName metadata is present)
+    assert(rows(DeltaLog.read(spark,
+      protoTable("""{"minReaderVersion":2,"minWriterVersion":5}""",
+        """{"delta.columnMapping.mode":"name"}"""))) == Set((1L, "a")))
+    // protocol 2 with ID-mode mapping: refusal names the mode
     val e2 = intercept[IllegalArgumentException](DeltaLog.read(spark,
       protoTable("""{"minReaderVersion":2,"minWriterVersion":5}""",
-        """{"delta.columnMapping.mode":"name"}""")))
+        """{"delta.columnMapping.mode":"id"}""")))
     assert(e2.getMessage.contains("columnMapping"), e2.getMessage)
     // protocol beyond 3: refused outright
     val e5 = intercept[IllegalArgumentException](DeltaLog.read(spark,
@@ -432,6 +437,58 @@ class DeltaLogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       DeltaLog.readAppendsSince(spark, root, -1L))
     assert(e.getMessage.contains("deletion vector"), e.getMessage)
+  }
+
+  test("name-mode column mapping: physical parquet names resolve to " +
+    "logical columns, partitioned and flat; id mode refuses naming it") {
+    // data file stores PHYSICAL names col-aaa / col-bbb
+    val mappedSchema =
+      """{"type":"struct","fields":[
+        {"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aaa"}},
+        {"name":"v","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-bbb"}}]}"""
+        .replaceAll("\n\\s*", "")
+    val root = freshRoot()
+    writeFlat(root, "part-a.parquet",
+      Seq((1L, "a"), (2L, "b")).toDF("col-aaa", "col-bbb"))
+    writeCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"ext-cm","format":{"provider":"parquet","options":{}},"schemaString":"${mappedSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"}}}""",
+      """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val df = DeltaLog.read(spark, root)
+    assert(df.columns.toSeq == Seq("k", "v"), df.columns.toSeq)
+    assert(rows(df) == Set((1L, "a"), (2L, "b")))
+    // writes to a mapped table refuse
+    val eW = intercept[IllegalArgumentException](
+      DeltaLog.deleteWhereLong(spark, root, "k", 1L, 1L))
+    assert(eW.getMessage.contains("column-mapped"), eW.getMessage)
+
+    // partitioned: partitionValues keyed by the PHYSICAL name
+    val mappedPart =
+      """{"type":"struct","fields":[
+        {"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aaa"}},
+        {"name":"p","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-ppp"}}]}"""
+        .replaceAll("\n\\s*", "")
+    val root2 = freshRoot()
+    writeFlat(root2, "col-ppp=x/f1.parquet", Seq(Tuple1(5L)).toDF("col-aaa"))
+    writeCommit(root2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"ext-cm2","format":{"provider":"parquet","options":{}},"schemaString":"${mappedPart.replace("\"", "\\\"")}","partitionColumns":["p"],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"col-ppp%3Dx/f1.parquet","partitionValues":{"col-ppp":"x"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val df2 = DeltaLog.read(spark, root2)
+    assert(df2.columns.toSeq == Seq("k", "p"))
+    assert(df2.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((5L, "x")))
+
+    // id mode: refusal names the mode
+    val root3 = freshRoot()
+    writeFlat(root3, "part-a.parquet",
+      Seq((1L, "a")).toDF("col-aaa", "col-bbb"))
+    writeCommit(root3, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"ext-cm3","format":{"provider":"parquet","options":{}},"schemaString":"${mappedSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e3 = intercept[IllegalArgumentException](DeltaLog.read(spark, root3))
+    assert(e3.getMessage.contains("id"), e3.getMessage)
   }
 
   test("footer stats emit only order-preserving min/max: ASCII strings " +
