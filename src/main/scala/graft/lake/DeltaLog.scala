@@ -55,7 +55,7 @@ import scala.jdk.CollectionConverters._
   *    name (physical parquet names resolved from schema metadata);
   *    protocol 3 when every named readerFeature is supported
   *    (deletionVectors, timestampNtz, vacuumProtocolCheck,
-  *    columnMapping in modes none/name).
+  *    v2Checkpoint, columnMapping in modes none/name).
   *    Anything else fails loudly NAMING the missing feature rather
   *    than returning wrong rows.
   *
@@ -123,13 +123,35 @@ object DeltaLog {
     (single ++ multi).sortBy(_._1)
   }
 
+  /** One discovered checkpoint: classic parquet parts, or a V2 top file
+    * (`<v>.checkpoint.<uuid>.{json|parquet}`, PROTOCOL.md "V2
+    * Checkpoints") whose `sidecar` actions reference add/remove files
+    * under `_delta_log/_sidecars/`.
+    */
+  private sealed trait CpRef { def version: Long }
+  private case class ClassicCp(version: Long, parts: Seq[Path]) extends CpRef
+  private case class V2Cp(version: Long, top: Path) extends CpRef
+
+  private def checkpointRefs(root: String): Seq[CpRef] = {
+    val classic = checkpointVersions(root)
+      .map { case (v, ps) => ClassicCp(v, ps) }
+    val V2Re = """(\d{20})\.checkpoint\.([0-9a-zA-Z-]{36})\.(json|parquet)""".r
+    val v2 = listLog(root).collect { case n @ V2Re(v, _, _) =>
+      V2Cp(v.toLong, logDir(root).resolve(n))
+    }
+    // same-version tie: classic sorts LAST (preferred — fewer moving
+    // parts); both reconstruct the same state
+    (classic ++ v2).sortBy(r =>
+      (r.version, r match { case _: V2Cp => 0; case _ => 1 }))
+  }
+
   /** Highest Delta version present — JSON commits OR complete
     * checkpoints (a fully compacted log whose retention cleanup deleted
     * every JSON commit is still readable from its newest checkpoint);
     * −1 if no log exists.
     */
   def currentVersion(root: String): Long =
-    (versions(root) ++ checkpointVersions(root).map(_._1))
+    (versions(root) ++ checkpointRefs(root).map(_.version))
       .maxOption.getOrElse(-1L)
 
   // ------------------------------------------------------------------
@@ -337,6 +359,132 @@ object DeltaLog {
       StructField("readerFeatures", ArrayType(StringType)),
       StructField("writerFeatures", ArrayType(StringType)))))))
 
+  /** [[checkpointSchema]] plus the V2-checkpoint actions (appended LAST
+    * so classic ordinal reads stay valid): `checkpointMetadata` and
+    * `sidecar` (PROTOCOL.md "V2 Checkpoints"). Classic files read with
+    * this schema simply carry the two as null columns.
+    */
+  private val checkpointSchemaV2 = StructType(checkpointSchema.fields ++ Seq(
+    StructField("checkpointMetadata", StructType(Seq(
+      StructField("version", LongType)))),
+    StructField("sidecar", StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType))))))
+
+  /** Every action row of a checkpoint in [[checkpointSchemaV2]] shape:
+    * classic parts read directly; a V2 top file (parquet or JSON
+    * line-actions) contributes its own rows PLUS those of every sidecar
+    * parquet it references under `_delta_log/_sidecars/`.
+    */
+  private def checkpointActionsDF(spark: SparkSession, root: String,
+                                  ref: CpRef): DataFrame = ref match {
+    case ClassicCp(_, parts) =>
+      spark.read.schema(checkpointSchemaV2)
+        .parquet(parts.map(_.toString): _*)
+    case V2Cp(_, top) =>
+      val topDF =
+        if (top.toString.endsWith(".parquet"))
+          spark.read.schema(checkpointSchemaV2).parquet(top.toString)
+        else
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(jsonCheckpointRows(top), 1),
+            checkpointSchemaV2)
+      val sidecars = topDF.where(col("sidecar").isNotNull)
+        .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq
+      val sideDFs = sidecars.map(p =>
+        spark.read.schema(checkpointSchemaV2)
+          .parquet(logDir(root).resolve("_sidecars").resolve(p).toString))
+      (Seq(topDF) ++ sideDFs).reduce(_ unionByName _)
+  }
+
+  /** JSON-variant V2 top file → [[checkpointSchemaV2]] rows (driver-side
+    * — a V2 JSON top holds non-file actions and sidecar references, or
+    * the inline file actions of a SMALL table).
+    */
+  private def jsonCheckpointRows(top: Path): Seq[Row] = {
+    def nullRow = Array.fill[Any](7)(null)
+    Files.readAllLines(top).asScala.filter(_.trim.nonEmpty).map { line =>
+      val n = mapper.readTree(line)
+      val cells = nullRow
+      if (n.has("txn")) {
+        val t = n.get("txn")
+        cells(0) = Row(t.path("appId").asText(null),
+          if (t.path("version").isNumber) t.path("version").asLong()
+          else null)
+      } else if (n.has("add")) {
+        val a = n.get("add")
+        val pvNode = a.path("partitionValues")
+        val pv =
+          if (pvNode.isObject)
+            pvNode.properties().asScala.map(e => e.getKey ->
+              (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+          else Map.empty[String, String]
+        val dvRow = dvFromNode(a.path("deletionVector")).map(d =>
+          Row(d.storageType, d.pathOrInlineDv, d.offset.orNull,
+            d.sizeInBytes, d.cardinality)).orNull
+        cells(1) = Row(a.path("path").asText(), pv,
+          if (a.path("size").isNumber) a.path("size").asLong() else null,
+          if (a.path("modificationTime").isNumber)
+            a.path("modificationTime").asLong()
+          else null,
+          if (a.path("dataChange").isBoolean)
+            a.path("dataChange").asBoolean()
+          else null,
+          if (a.path("stats").isTextual) a.path("stats").asText() else null,
+          null, dvRow)
+      } else if (n.has("remove")) {
+        val r = n.get("remove")
+        cells(2) = Row(r.path("path").asText(),
+          if (r.path("deletionTimestamp").isNumber)
+            r.path("deletionTimestamp").asLong()
+          else null,
+          if (r.path("dataChange").isBoolean)
+            r.path("dataChange").asBoolean()
+          else null)
+      } else if (n.has("metaData")) {
+        val m = n.get("metaData")
+        val pc = m.path("partitionColumns")
+        val pcs =
+          if (pc.isArray) pc.elements().asScala.map(_.asText()).toSeq
+          else Seq.empty[String]
+        val cfgNode = m.path("configuration")
+        val cfg =
+          if (cfgNode.isObject)
+            cfgNode.properties().asScala
+              .map(e => e.getKey -> e.getValue.asText(null)).toMap
+          else Map.empty[String, String]
+        cells(3) = Row(m.path("id").asText(null),
+          m.path("name").asText(null), m.path("description").asText(null),
+          Row(m.path("format").path("provider").asText("parquet"),
+            Map.empty[String, String]),
+          m.path("schemaString").asText(null), pcs, cfg, null)
+      } else if (n.has("protocol")) {
+        val p = n.get("protocol")
+        def feats(key: String): Seq[String] = {
+          val f = p.path(key)
+          if (f.isArray) f.elements().asScala.map(_.asText()).toSeq else null
+        }
+        cells(4) = Row(p.path("minReaderVersion").asInt(1),
+          p.path("minWriterVersion").asInt(2),
+          feats("readerFeatures"), feats("writerFeatures"))
+      } else if (n.has("checkpointMetadata")) {
+        cells(5) = Row(
+          n.get("checkpointMetadata").path("version").asLong(-1L))
+      } else if (n.has("sidecar")) {
+        val s = n.get("sidecar")
+        cells(6) = Row(s.path("path").asText(),
+          if (s.path("sizeInBytes").isNumber)
+            s.path("sizeInBytes").asLong()
+          else null,
+          if (s.path("modificationTime").isNumber)
+            s.path("modificationTime").asLong()
+          else null)
+      }
+      Row.fromSeq(cells.toIndexedSeq)
+    }.toSeq
+  }
+
   /** Write the parquet checkpoint for `version` (replayed state: one
     * protocol row, one metaData row, one row per active file with
     * `dataChange=false` — the checkpoint convention) plus the
@@ -481,12 +629,15 @@ object DeltaLog {
     * `vacuumProtocolCheck` (constrains vacuum, not reads).
     * `columnMapping` is honored in modes none/absent (identity) and
     * `name` (reads resolve `delta.columnMapping.physicalName` from the
-    * schema metadata; mapped tables are read-only here); mode `id` and
-    * everything else — `v2Checkpoint`, … — would make a plain replay
-    * return WRONG ROWS, so the refusal names the specific feature.
+    * schema metadata; mapped tables are read-only here); `v2Checkpoint`
+    * tables replay from the V2 top file + its sidecars (see
+    * [[checkpointActionsDF]]). Mode `id` and anything else would make a
+    * plain replay return WRONG ROWS, so the refusal names the specific
+    * feature.
     */
   private val supportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck")
+    Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck",
+      "v2Checkpoint")
 
   private def mappingMode(st: LogState): String =
     st.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -602,16 +753,16 @@ object DeltaLog {
                    version: Long): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val fromCp = checkpointVersions(root).filter(_._1 <= version).lastOption
-    val replayFrom = fromCp.map(_._1 + 1).getOrElse(0L)
+    val fromCp = checkpointRefs(root).filter(_.version <= version).lastOption
+    val replayFrom = fromCp.map(_.version + 1).getOrElse(0L)
     val present = versions(root).toSet
     (replayFrom to version).foreach(v => require(present.contains(v),
       s"DeltaLog: commit $v missing from $root (newest usable checkpoint: " +
-        s"${fromCp.map(_._1).getOrElse(-1L)})"))
+        s"${fromCp.map(_.version).getOrElse(-1L)})"))
     val cpAdds: org.apache.spark.sql.Dataset[ActRow] = fromCp match {
-      case Some((cpv, files)) =>
-        spark.read.schema(checkpointSchema)
-          .parquet(files.map(_.toString): _*)
+      case Some(ref) =>
+        val cpv = ref.version
+        checkpointActionsDF(spark, root, ref)
           .where(col("add.path").isNotNull)
           .select(col("add.path"), col("add.partitionValues"),
             col("add.size"), col("add.modificationTime"), col("add.stats"),
@@ -685,9 +836,8 @@ object DeltaLog {
   private def replay(spark: SparkSession, root: String,
                      upTo: Long): LogState = {
     val present = versions(root)
-    val cps = checkpointVersions(root)
-    val fromCp = cps.filter(_._1 <= upTo).lastOption
-    require(present.contains(upTo) || fromCp.exists(_._1 == upTo),
+    val fromCp = checkpointRefs(root).filter(_.version <= upTo).lastOption
+    require(present.contains(upTo) || fromCp.exists(_.version == upTo),
       s"DeltaLog: version $upTo of $root does not exist " +
         s"(have ${present.mkString(",")})")
     var schema: Option[StructType] = None
@@ -715,16 +865,32 @@ object DeltaLog {
 
     // Big checkpoint ⇒ file state is reconstructed DISTRIBUTED (one
     // window job, driver holds only the active set); the handful of
-    // protocol/metaData/txn actions always replay driver-side.
-    val distributed = fromCp.exists { case (_, files) =>
-      files.map(Files.size(_)).sum > distributedReplayCheckpointBytes }
+    // protocol/metaData/txn actions always replay driver-side. V2
+    // checkpoints count the top file plus the whole sidecar dir (an
+    // over-count across checkpoints only flips INTO the distributed
+    // mode, which is always correct).
+    val distributed = fromCp.exists {
+      case ClassicCp(_, files) =>
+        files.map(Files.size(_)).sum > distributedReplayCheckpointBytes
+      case V2Cp(_, top) =>
+        val sideDir = logDir(root).resolve("_sidecars")
+        val sideBytes =
+          if (!Files.isDirectory(sideDir)) 0L
+          else {
+            val s = Files.list(sideDir)
+            try s.iterator().asScala
+              .filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+            finally s.close()
+          }
+        Files.size(top) + sideBytes > distributedReplayCheckpointBytes
+    }
 
     val replayFrom: Long = fromCp match {
-      case Some((cpv, cpFiles)) =>
+      case Some(ref) =>
+        val cpv = ref.version
         // Checkpoint = full state at cpv: protocol + metaData + active
         // adds (tombstone removes, if present, are irrelevant to reads).
-        val reader = spark.read.schema(checkpointSchema)
-          .parquet(cpFiles.map(_.toString): _*)
+        val reader = checkpointActionsDF(spark, root, ref)
         val rows = (if (distributed) reader.where(col("add").isNull)
                     else reader).collect()
         rows.foreach { r =>
@@ -775,7 +941,7 @@ object DeltaLog {
     // is FOR); a gap above it means missing history.
     (replayFrom to upTo).foreach(v => require(present.contains(v),
       s"DeltaLog: commit $v missing from $root (newest usable checkpoint: " +
-        s"${fromCp.map(_._1).getOrElse(-1L)})"))
+        s"${fromCp.map(_.version).getOrElse(-1L)})"))
     (replayFrom to upTo).foreach { v =>
       val lines = Files.readAllLines(logDir(root).resolve(commitName(v)))
         .asScala.filter(_.trim.nonEmpty)

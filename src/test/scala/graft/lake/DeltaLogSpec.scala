@@ -172,8 +172,8 @@ class DeltaLogSpec extends SparkSpec {
     }
     // protocol 3 with an unsupported feature: refusal NAMES it
     val e1 = intercept[IllegalArgumentException](DeltaLog.read(spark,
-      protoTable("""{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}""")))
-    assert(e1.getMessage.contains("v2Checkpoint"), e1.getMessage)
+      protoTable("""{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}""")))
+    assert(e1.getMessage.contains("typeWidening"), e1.getMessage)
     // protocol 3 with only supported features (incl. deletionVectors,
     // which this reader implements): OPENS
     assert(rows(DeltaLog.read(spark, protoTable(
@@ -437,6 +437,100 @@ class DeltaLogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       DeltaLog.readAppendsSince(spark, root, -1L))
     assert(e.getMessage.contains("deletion vector"), e.getMessage)
+  }
+
+  test("reads V2 checkpoints: parquet top + sidecars, and a JSON top " +
+    "with inline adds; v2Checkpoint feature tables open") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // ---- variant 1: parquet top + two sidecar files ----
+    val root = freshRoot()
+    writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
+    writeFlat(root, "part-b.parquet", Seq((2L, "b")).toDF("k", "v"))
+    writeFlat(root, "part-c.parquet", Seq((3L, "c")).toDF("k", "v"))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType))))
+    val cpmType = StructType(Seq(StructField("version", LongType)))
+    val sidecarType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType)))
+    val topSchema = StructType(Seq(
+      StructField("add", addType), StructField("metaData", metaType),
+      StructField("protocol", protoType),
+      StructField("checkpointMetadata", cpmType),
+      StructField("sidecar", sidecarType)))
+    val sideSchema = StructType(Seq(StructField("add", addType)))
+    def onePartParquet(target: java.nio.file.Path, schema: StructType,
+                       rowsIn: Seq[Row]): Unit = {
+      val tmp = Files.createTempDirectory("graft-v2cp").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rowsIn, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.createDirectories(target.getParent)
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+    val logDir = Paths.get(root, "_delta_log")
+    val sideDir = logDir.resolve("_sidecars")
+    // sidecars carry adds a and b (one each)
+    onePartParquet(sideDir.resolve("s1.parquet"), sideSchema, Seq(
+      Row(Row("part-a.parquet", Map.empty[String, String], 1L, 1L, true))))
+    onePartParquet(sideDir.resolve("s2.parquet"), sideSchema, Seq(
+      Row(Row("part-b.parquet", Map.empty[String, String], 1L, 1L, true))))
+    // top: protocol(3, v2Checkpoint) + metaData + checkpointMetadata +
+    // two sidecar refs, NO adds of its own
+    val uuid = "0a1b2c3d-1111-2222-3333-444455556666"
+    onePartParquet(logDir.resolve(f"${1L}%020d.checkpoint.$uuid.parquet"),
+      topSchema, Seq(
+        Row(null, null, Row(3, 7, Seq("v2Checkpoint")), null, null),
+        Row(null, Row("ext-v2", Row("parquet"), extSchema, Seq.empty[String],
+          Map.empty[String, String]), null, null, null),
+        Row(null, null, null, Row(1L), null),
+        Row(null, null, null, null, Row("s1.parquet", 1L)),
+        Row(null, null, null, null, Row("s2.parquet", 1L))))
+    // JSON commits 0..1 compacted away; tail commit 2 adds c
+    writeCommit(root, 2L, Seq(
+      """{"add":{"path":"part-c.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    assert(DeltaLog.currentVersion(root) == 2L)
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows(DeltaLog.readAt(spark, root, 1L)) ==
+      Set((1L, "a"), (2L, "b")))
+    // the distributed reconstruction walks the same V2 shape
+    val dist = DeltaLog.activeAddsDF(spark, root, 2L).collect()
+      .map(_.getString(1)).toSet
+    assert(dist == Set("part-a.parquet", "part-b.parquet", "part-c.parquet"))
+
+    // ---- variant 2: JSON top with INLINE adds, no sidecars ----
+    val root2 = freshRoot()
+    writeFlat(root2, "part-a.parquet", Seq((7L, "x")).toDF("k", "v"))
+    val uuid2 = "0a1b2c3d-9999-8888-7777-666655554444"
+    Files.createDirectories(Paths.get(root2, "_delta_log"))
+    Files.write(Paths.get(root2, "_delta_log",
+      f"${0L}%020d.checkpoint.$uuid2.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
+        s"""{"metaData":{"id":"ext-v2b","format":{"provider":"parquet","options":{}},"schemaString":"${extSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{}}}""",
+        """{"checkpointMetadata":{"version":0}}""",
+        """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(rows(DeltaLog.read(spark, root2)) == Set((7L, "x")))
   }
 
   test("name-mode column mapping: physical parquet names resolve to " +
