@@ -503,7 +503,7 @@ object DeltaLog {
       val protoRow = Row(null, null, null, null,
         Row(st.minReaderVersion, st.minWriterVersion,
           if (st.readerFeatures.isEmpty) null else st.readerFeatures,
-          null))
+          if (st.writerFeatures.isEmpty) null else st.writerFeatures))
       val metaRow = Row(null, null, null,
         Row(st.tableId, null, null, Row("parquet", Map.empty[String, String]),
           schemaJson, st.partitionColumns, Map.empty[String, String], null),
@@ -611,6 +611,7 @@ object DeltaLog {
     minReaderVersion: Int,
     minWriterVersion: Int,
     readerFeatures: Seq[String],
+    writerFeatures: Seq[String],
     configuration: Map[String, String],
     tableId: String,
     files: Seq[(String, Map[String, String])],
@@ -845,6 +846,7 @@ object DeltaLog {
     var minReader = 1
     var minWriter = 2
     var readerFeats: Seq[String] = Seq.empty
+    var writerFeats: Seq[String] = Seq.empty
     var config: Map[String, String] = Map.empty
     var tableId: String = null
     val active = new java.util.LinkedHashMap[String, Map[String, String]]()
@@ -900,6 +902,9 @@ object DeltaLog {
             readerFeats =
               if (p.length > 2 && !p.isNullAt(2)) p.getSeq[String](2).toSeq
               else Seq.empty
+            writerFeats =
+              if (p.length > 3 && !p.isNullAt(3)) p.getSeq[String](3).toSeq
+              else Seq.empty
           } else if (!r.isNullAt(3)) {
             val m = r.getStruct(3)
             val provider = m.getStruct(3).getString(0)
@@ -954,6 +959,10 @@ object DeltaLog {
           val rf = p.path("readerFeatures")
           readerFeats =
             if (rf.isArray) rf.elements().asScala.map(_.asText()).toSeq
+            else Seq.empty
+          val wf = p.path("writerFeatures")
+          writerFeats =
+            if (wf.isArray) wf.elements().asScala.map(_.asText()).toSeq
             else Seq.empty
         } else if (node.has("metaData")) {
           val md = node.get("metaData")
@@ -1029,7 +1038,7 @@ object DeltaLog {
         }
     }
     val st = LogState(schema, partitionCols, minReader, minWriter,
-      readerFeats, config, tableId,
+      readerFeats, writerFeats, config, tableId,
       active.entrySet().iterator().asScala
         .map(e => e.getKey -> e.getValue).toSeq,
       sizes.toMap, mods.toMap, statsOf.toMap, dvs.toMap, txns.toMap)
@@ -1644,18 +1653,31 @@ object DeltaLog {
         "through Snapshots.vacuum so manifests stay readable")
     val st = replay(spark, root, currentVersion(root))
     val active = st.files.map(_._1).toSet
+    // DV sidecars referenced by an ACTIVE descriptor stay; the rest are
+    // history (an old DV superseded by a merge, or of a removed file)
+    val activeDvFiles: Set[String] = st.fileDvs.values.collect {
+      case d if d.storageType == "u" =>
+        val prefix = d.pathOrInlineDv.dropRight(20)
+        val uuid = Dv.uuidFromBytes(Dv.z85Decode(d.pathOrInlineDv.takeRight(20)))
+        (if (prefix.isEmpty) "" else prefix + "/") + Dv.dvFileName(uuid)
+    }.toSet
     val rootPath = Paths.get(root)
     val walk = Files.walk(rootPath)
     val onDisk =
       try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p)
-          && p.getFileName.toString.endsWith(".parquet")
-          && !rootPath.relativize(p).startsWith("_delta_log"))
+        .filter { p =>
+          val name = p.getFileName.toString
+          Files.isRegularFile(p) &&
+            (name.endsWith(".parquet") ||
+              (name.startsWith("deletion_vector_") && name.endsWith(".bin"))) &&
+            !rootPath.relativize(p).startsWith("_delta_log")
+        }
         .map(p => rootPath.relativize(p).toString
           .replace(java.io.File.separatorChar, '/'))
         .toSeq
       finally walk.close()
-    val orphans = onDisk.filterNot(active)
+    val orphans = onDisk.filterNot(rel =>
+      active(rel) || activeDvFiles(rel))
     orphans.foreach(rel => Files.delete(Paths.get(root, rel)))
     orphans.sorted
   }

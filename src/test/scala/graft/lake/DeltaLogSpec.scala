@@ -416,6 +416,40 @@ class DeltaLogSpec extends SparkSpec {
     assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
   }
 
+  test("DV vacuum + protocol round-trip: superseded DV sidecars are " +
+    "orphans, the active one survives, writerFeatures ride checkpoints") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark,  root,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    DeltaLog.deleteWhereLongDV(spark, root, "k", 2L, 2L)
+    DeltaLog.deleteWhereLongDV(spark, root, "k", 5L, 5L) // merges: new DV file
+    val binsBefore = Files.list(Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("deletion_vector_")).toSeq
+    assert(binsBefore.size == 2, binsBefore)
+    val expect = (1L to 10L).filterNot(Set(2L, 5L)).map(k => (k, s"v$k")).toSet
+    // vacuum drops the superseded sidecar, keeps the active one
+    val orphans = DeltaLog.vacuum(spark, root)
+    assert(orphans.count(_.startsWith("deletion_vector_")) == 1, orphans)
+    assert(rows(DeltaLog.read(spark, root)) == expect,
+      "active DV must survive vacuum")
+    // checkpoint: protocol row carries reader AND writer features
+    val cur = DeltaLog.currentVersion(root)
+    DeltaLog.checkpoint(spark, root, cur)
+    val cpFile = Paths.get(root, "_delta_log",
+      f"$cur%020d.checkpoint.parquet")
+    val proto = spark.read.parquet(cpFile.toString)
+      .where(col("protocol").isNotNull)
+      .select(col("protocol.readerFeatures"), col("protocol.writerFeatures"))
+      .collect().head
+    assert(proto.getSeq[String](0) == Seq("deletionVectors"), proto)
+    assert(proto.getSeq[String](1) == Seq("deletionVectors"), proto)
+    // replay from the checkpoint alone still applies the DV
+    DeltaLog.versions(root).foreach(v => Files.delete(
+      Paths.get(root, "_delta_log", f"$v%020d.json")))
+    assert(rows(DeltaLog.read(spark, root)) == expect)
+  }
+
   test("reads an externally-written add with an INLINE deletion vector " +
     "and refuses DV adds in an append tail") {
     val root = freshRoot()
