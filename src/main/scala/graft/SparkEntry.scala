@@ -2236,6 +2236,90 @@ object SparkEntry {
       graft.lake.DeltaLog.deleteWhereLong(s, root, "event_id", 3000L, 6000L)
       graft.lake.DeltaLog.read(s, root)
     }),
+    // Column-mapped Delta READ (mode=name): the data file stores
+    // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
+    // schemaString carries the delta.columnMapping metadata, and the
+    // bridge must surface LOGICAL names with the right rows — the
+    // external-table ingest shape for any mapped lakehouse table.
+    "q261_delta_mapped_read" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      val ev = Tables.events(s, d)
+        .filter(col("event_id").isNotNull && col("event_id") <= 3000)
+        .select(col("event_id").as("col-k17"), col("value").as("col-v42"))
+      val root = freshScratch("q261")
+      val rootP = java.nio.file.Paths.get(root)
+      java.nio.file.Files.createDirectories(rootP)
+      val tmp = java.nio.file.Files.createTempDirectory(rootP, "stage")
+      ev.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val l = java.nio.file.Files.list(tmp)
+        try l.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      java.nio.file.Files.move(part, rootP.resolve("part-a.parquet"))
+      val schemaJson =
+        """{"type":"struct","fields":[
+          {"name":"event_id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-k17"}},
+          {"name":"value","type":"double","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-v42"}}]}"""
+          .replaceAll("\n\\s*", "")
+      java.nio.file.Files.createDirectories(rootP.resolve("_delta_log"))
+      java.nio.file.Files.write(
+        rootP.resolve("_delta_log").resolve(f"${0L}%020d.json"),
+        (Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"graft-q261","format":{"provider":"parquet","options":{}},"schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"}}}""",
+          """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+          .mkString("", "\n", "\n")).getBytes("UTF-8"))
+      graft.lake.DeltaLog.read(s, root)
+    }),
+    // V2-checkpoint Delta READ: the log is ONLY a
+    // <v>.checkpoint.<uuid>.json top file (protocol 3/7 + v2Checkpoint
+    // feature, metaData, checkpointMetadata, inline adds) plus a JSON
+    // tail commit — the modern compacted-log shape; the bridge must
+    // reconstruct the whole table from it.
+    "q262_delta_v2cp_read" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      val ev = Tables.events(s, d)
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id"), col("value"))
+      val root = freshScratch("q262")
+      val rootP = java.nio.file.Paths.get(root)
+      java.nio.file.Files.createDirectories(rootP)
+      def stageOne(df: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(rootP, "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val l = java.nio.file.Files.list(tmp)
+        val part =
+          try l.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally l.close()
+        java.nio.file.Files.move(part, rootP.resolve(name))
+      }
+      stageOne(ev.filter(col("event_id") <= 5000), "part-a.parquet")
+      stageOne(ev.filter(col("event_id") > 5000), "part-b.parquet")
+      val schemaJson =
+        """{"type":"struct","fields":[
+          {"name":"event_id","type":"long","nullable":true,"metadata":{}},
+          {"name":"value","type":"double","nullable":true,"metadata":{}}]}"""
+          .replaceAll("\n\\s*", "")
+      val log = rootP.resolve("_delta_log")
+      java.nio.file.Files.createDirectories(log)
+      // version 0 state lives ONLY in the v2 checkpoint (no commit 0)
+      java.nio.file.Files.write(
+        log.resolve(f"${0L}%020d.checkpoint.3f2a1b00-1234-5678-9abc-def012345678.json"),
+        (Seq(
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+          s"""{"metaData":{"id":"graft-q262","format":{"provider":"parquet","options":{}},"schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{}}}""",
+          """{"checkpointMetadata":{"version":0}}""",
+          """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+          .mkString("", "\n", "\n")).getBytes("UTF-8"))
+      // tail commit 1 adds part-b
+      java.nio.file.Files.write(log.resolve(f"${1L}%020d.json"),
+        ("""{"add":{"path":"part-b.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""" + "\n")
+          .getBytes("UTF-8"))
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // DELETE via DELETION VECTORS (the modern Delta DML path, table
     // feature deletionVectors): same slices and predicate as q253, but
     // deleted positions land in roaring-bitmap sidecars and the data
@@ -3438,6 +3522,13 @@ object SparkEntry {
       """SELECT event_id, epoch_us(ts) AS event_ts_us, value
          FROM events
          WHERE event_id IS NULL OR event_id NOT BETWEEN 3000 AND 6000""",
+    // q261: the mapped read must surface logical names + the slice.
+    "q261_delta_mapped_read" ->
+      """SELECT event_id, value FROM events
+         WHERE event_id IS NOT NULL AND event_id <= 3000""",
+    // q262: the v2-checkpoint reconstruction must equal the whole slice.
+    "q262_delta_v2cp_read" ->
+      """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
     // q260: DV deletes must equal the same two-range complement.
     "q260_delta_dv_delete" ->
       """SELECT event_id, epoch_us(ts) AS event_ts_us, value
