@@ -2026,14 +2026,26 @@ object DeltaLog {
     * than the retained history.
     */
   def versionAsOf(root: String, tsMillis: Long): Long = {
-    val vs = versions(root).filter { v =>
-      Files.getLastModifiedTime(logDir(root).resolve(commitName(v)))
-        .toMillis <= tsMillis
-    }
+    val vs = versions(root).filter(v => commitTimestamp(root, v) <= tsMillis)
     require(vs.nonEmpty,
       s"DeltaLog: no commit at or before $tsMillis in $root " +
         "(older than retained history, or table is newer)")
     vs.max
+  }
+
+  /** A commit's effective timestamp: `commitInfo.inCommitTimestamp`
+    * when the writer recorded one (the `inCommitTimestamps` table
+    * feature — filesystem-clock-independent, PROTOCOL.md), else the
+    * commit file's modification time (classic Delta resolution).
+    */
+  private def commitTimestamp(root: String, v: Long): Long = {
+    val f = logDir(root).resolve(commitName(v))
+    Files.readAllLines(f).asScala.iterator
+      .filter(_.trim.nonEmpty).map(mapper.readTree)
+      .find(_.has("commitInfo"))
+      .map(_.get("commitInfo").path("inCommitTimestamp"))
+      .filter(_.isNumber).map(_.asLong())
+      .getOrElse(Files.getLastModifiedTime(f).toMillis)
   }
 
   /** Read the table as of a wall-clock timestamp (millis). */

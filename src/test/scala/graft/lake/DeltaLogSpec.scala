@@ -416,6 +416,27 @@ class DeltaLogSpec extends SparkSpec {
     assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
   }
 
+  test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
+    val root = freshRoot()
+    writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
+    writeFlat(root, "part-b.parquet", Seq((2L, "b")).toDF("k", "v"))
+    // both commit FILES written "now", but the writer recorded in-commit
+    // timestamps far in the past — those must win
+    writeCommit(root, 0L, Seq(
+      """{"commitInfo":{"operation":"WRITE","inCommitTimestamp":1000000}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"ext-ict","format":{"provider":"parquet","options":{}},"schemaString":"${extSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    writeCommit(root, 1L, Seq(
+      """{"commitInfo":{"operation":"WRITE","inCommitTimestamp":2000000}}""",
+      """{"add":{"path":"part-b.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    assert(DeltaLog.versionAsOf(root, 1500000L) == 0L)
+    assert(DeltaLog.versionAsOf(root, 2000000L) == 1L)
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.versionAsOf(root, 999999L))
+    assert(e.getMessage.contains("no commit"), e.getMessage)
+  }
+
   test("DV vacuum + protocol round-trip: superseded DV sidecars are " +
     "orphans, the active one survives, writerFeatures ride checkpoints") {
     val root = freshRoot()
