@@ -2236,6 +2236,37 @@ object SparkEntry {
       graft.lake.DeltaLog.deleteWhereLong(s, root, "event_id", 3000L, 6000L)
       graft.lake.DeltaLog.read(s, root)
     }),
+    // CHANGE DATA FEED round-trip: a CDF-enabled table built from
+    // lineitem slices takes an UPDATE (prices doubled in one key range)
+    // and a DELETE (a disjoint range), then a blind append; the feed
+    // must replay every row-level change — inserts synthesized from
+    // adds, update pre/postimages and deletes from the CDC files the
+    // DML wrote. Fingerprinted per (change_type, commit_version) with
+    // DECIMAL(18,2) money sums; ranges are disjoint so the oracle can
+    // reconstruct each image from the base table alone.
+    "q263_delta_cdf" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          col("l_extendedprice").cast("decimal(18,2)").as("l_extendedprice"))
+      def slice(i: Int) =
+        li.filter(pmod(coalesce(col("l_orderkey"), lit(0L)), lit(3)) === i)
+      val root = freshScratch("q263")
+      // range-partitioned base write → disjoint l_orderkey stats, so
+      // the DML below rewrites only genuinely overlapping files
+      graft.lake.DeltaLog.commitFlat(s, root,
+        slice(0).unionByName(slice(1))
+          .repartitionByRange(4, col("l_orderkey")),
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      graft.lake.DeltaLog.updateWhereLong(s, root, "l_orderkey", 100L, 2000L,
+        Map("l_extendedprice" -> (col("l_extendedprice") * 2)))
+      graft.lake.DeltaLog.deleteWhereLong(s, root, "l_orderkey", 3000L, 6000L)
+      graft.lake.DeltaLog.commitFlat(s, root, slice(2))
+      graft.lake.DeltaLog.readChangeFeed(s, root, -1L)
+        .groupBy(col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice")).cast("decimal(18,2)").as("sum_price"))
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3522,6 +3553,35 @@ object SparkEntry {
       """SELECT event_id, epoch_us(ts) AS event_ts_us, value
          FROM events
          WHERE event_id IS NULL OR event_id NOT BETWEEN 3000 AND 6000""",
+    // q263: the change feed reconstructed from the base table — the
+    // update and delete ranges are disjoint, so every image (insert,
+    // pre, post, delete, appended insert) is a pure slice of lineitem.
+    "q263_delta_cdf" ->
+      """WITH li AS (
+           SELECT l_orderkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             ((COALESCE(l_orderkey, 0) % 3) + 3) % 3 AS s
+           FROM lineitem)
+         SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+           count(*) AS n_rows,
+           CAST(sum(price) AS DECIMAL(18,2)) AS sum_price
+         FROM li WHERE s IN (0, 1)
+         UNION ALL
+         SELECT 'update_preimage', CAST(1 AS BIGINT), count(*),
+           CAST(sum(price) AS DECIMAL(18,2))
+         FROM li WHERE s IN (0, 1) AND l_orderkey BETWEEN 100 AND 2000
+         UNION ALL
+         SELECT 'update_postimage', CAST(1 AS BIGINT), count(*),
+           CAST(sum(CAST(price * 2 AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         FROM li WHERE s IN (0, 1) AND l_orderkey BETWEEN 100 AND 2000
+         UNION ALL
+         SELECT 'delete', CAST(2 AS BIGINT), count(*),
+           CAST(sum(price) AS DECIMAL(18,2))
+         FROM li WHERE s IN (0, 1) AND l_orderkey BETWEEN 3000 AND 6000
+         UNION ALL
+         SELECT 'insert', CAST(3 AS BIGINT), count(*),
+           CAST(sum(price) AS DECIMAL(18,2))
+         FROM li WHERE s = 2""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

@@ -295,7 +295,9 @@ object DeltaLog {
   }
 
   private def metaDataAction(tableId: String, schemaJson: String,
-                             partitionCols: Seq[String]): JsonNode = {
+                             partitionCols: Seq[String],
+                             configuration: Map[String, String] =
+                               Map.empty): JsonNode = {
     val n = mapper.createObjectNode()
     val m = n.putObject("metaData")
     m.put("id", tableId)
@@ -305,7 +307,8 @@ object DeltaLog {
     m.put("schemaString", schemaJson)
     val pcs = m.putArray("partitionColumns")
     partitionCols.foreach(pcs.add)
-    m.putObject("configuration")
+    val cfg = m.putObject("configuration")
+    configuration.foreach { case (k, v) => cfg.put(k, v) }
     n
   }
 
@@ -1142,6 +1145,63 @@ object DeltaLog {
     n
   }
 
+  // ------------------------------------------------------------------
+  // Change data feed (PROTOCOL.md: Add CDC File; the `cdc` action)
+  // ------------------------------------------------------------------
+
+  /** The CDF row-kind column CDC files carry and [[readChangeFeed]]
+    * returns: `insert`, `delete`, `update_preimage`, `update_postimage`.
+    */
+  val ChangeTypeCol = "_change_type"
+
+  private def cdfEnabled(st: LogState): Boolean =
+    st.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** `cdc` action for an on-disk `_change_data/` file — same shape as
+    * `add` minus stats; `dataChange` is ALWAYS false (PROTOCOL.md: CDC
+    * files never affect snapshot state, only the change feed).
+    */
+  private def cdcActionNode(root: String, rel: String,
+                            pv: Map[String, String]): JsonNode = {
+    val n = mapper.createObjectNode()
+    val c = n.putObject("cdc")
+    c.put("path", encodePath(rel))
+    val pvo = c.putObject("partitionValues")
+    pv.foreach { case (k, sv) =>
+      if (sv == null) pvo.putNull(k) else pvo.put(k, sv)
+    }
+    c.put("size", Files.size(Paths.get(root, rel)))
+    c.put("dataChange", false)
+    n
+  }
+
+  /** Stage `df` (data columns + [[ChangeTypeCol]]) as one CDC parquet
+    * under `_change_data/` and return its `cdc` action carrying `pv`.
+    */
+  private def writeCdcFile(df: DataFrame, root: String,
+                           pv: Map[String, String]): JsonNode = {
+    val part = writeSingleParquet(df, root, "graft-delta-cdc")
+    val dir = Files.createDirectories(Paths.get(root, "_change_data"))
+    val target = dir.resolve(
+      "cdc-" + java.util.UUID.randomUUID() + ".parquet")
+    Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+    val rel = Paths.get(root).relativize(target).toString
+      .replace(java.io.File.separatorChar, '/')
+    cdcActionNode(root, rel, pv)
+  }
+
+  /** Writer features a LEGACY `minWriterVersion` implies — what a
+    * protocol upgrade to version 7 must enumerate explicitly so
+    * external feature-gated writers keep honoring them (PROTOCOL.md:
+    * Writer Version Requirements).
+    */
+  private def legacyWriterFeatures(v: Int): Seq[String] =
+    Seq(2 -> "appendOnly", 2 -> "invariants", 3 -> "checkConstraints",
+      4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
+      6 -> "identityColumns")
+      .collect { case (floor, f) if floor <= v => f }
+
   /** Can `path`'s stats range intersect [lo, hi] on `column`? Missing
     * stats, or no numeric min/max for the column → conservatively true.
     */
@@ -1396,6 +1456,7 @@ object DeltaLog {
       val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
       val overlapping = st.files
         .filter { case (p, _) => statsOverlap(st, p, column, lo, hi) }
+      val cdcTouched = Seq.newBuilder[(String, Map[String, String])]
       overlapping.foreach { case (rel, pv) =>
         require(!st.fileDvs.contains(rel),
           s"DeltaLog.deleteWhereLong: $rel carries a deletion vector — " +
@@ -1421,6 +1482,7 @@ object DeltaLog {
         if (kept == sourceRows) Files.delete(part)
         else {
           actions += removeActionNode(rel, true); touched += 1
+          cdcTouched += rel -> pv
           if (kept > 0L) {
             val target = full.getParent.resolve(part.getFileName)
             Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
@@ -1429,6 +1491,21 @@ object DeltaLog {
             actions += addActionNode(root, newRel, pv, dataChange = true, conf)
           } else Files.delete(part)
         }
+      }
+      // Change data feed: a partial-file DELETE cannot be synthesized
+      // from its remove+add pair (survivor rows would read as
+      // delete+reinsert), so when CDF is on the matched rows land in a
+      // CDC file — one per touched partition, predicate-pushed re-read
+      // of only the touched source files (still on disk until vacuum).
+      if (cdfEnabled(st)) {
+        cdcTouched.result().groupBy(_._2).toSeq.sortBy(_._1.mkString(" "))
+          .foreach { case (pv, group) =>
+            val deleted = spark.read.schema(dataSchema)
+              .parquet(group.map(f => Paths.get(root, f._1).toString): _*)
+              .filter(col(column) >= lo && col(column) <= hi)
+              .withColumn(ChangeTypeCol, lit("delete"))
+            actions += writeCdcFile(deleted, root, pv)
+          }
       }
     }
     if (touched == 0) return v
@@ -1478,6 +1555,7 @@ object DeltaLog {
     val dvUuid = java.util.UUID.randomUUID()
     val dvFile = Paths.get(root, Dv.dvFileName(dvUuid))
     val pathOrInline = Dv.z85Encode(Dv.uuidBytes(dvUuid))
+    val cdcDel = Seq.newBuilder[(Map[String, String], String, Set[Long])]
     overlapping.foreach { case (rel, pv) =>
       val existing: Set[Long] = st.fileDvs.get(rel)
         .map(_.read(root).positions.toSet).getOrElse(Set.empty)
@@ -1488,6 +1566,7 @@ object DeltaLog {
         .as[Long].collect().toSet
       val fresh = matches -- existing
       if (fresh.nonEmpty) {
+        cdcDel += ((pv, rel, fresh))
         val union = existing ++ matches
         val data = Dv.serialize(Dv.positionSet(union))
         val (offset, size) = Dv.appendBlob(dvFile, data)
@@ -1500,6 +1579,27 @@ object DeltaLog {
       }
     }
     if (touched == 0) return v
+    // CDF: a DV delete is invisible to add/remove synthesis (the data
+    // file is re-added byte-identical), so the freshly deleted rows
+    // MUST land in a CDC file — read back by their row positions, the
+    // same driver-held sets the bitmap was built from.
+    if (cdfEnabled(st)) {
+      cdcDel.result().groupBy(_._1).toSeq.sortBy(_._1.mkString(" "))
+        .foreach { case (pv, group) =>
+          val deleted = group.map { case (_, rel, fresh) =>
+            val posDf = org.apache.spark.sql.functions.broadcast(
+              fresh.toSeq.sorted.toDF("__graft_pos"))
+            spark.read.schema(dataSchema)
+              .parquet(Paths.get(root, rel).toString)
+              .select(Seq(col("_metadata.row_index").as("__graft_pos")) ++
+                dataSchema.fieldNames.map(col): _*)
+              .join(posDf, Seq("__graft_pos"), "left_semi")
+              .drop("__graft_pos")
+          }.reduce(_ unionByName _)
+            .withColumn(ChangeTypeCol, lit("delete"))
+          actions += writeCdcFile(deleted, root, pv)
+        }
+    }
     // first DV on this table: upgrade the protocol the way Delta does
     val hasDvFeature = st.minReaderVersion >= 3 &&
       st.readerFeatures.contains("deletionVectors")
@@ -1510,8 +1610,14 @@ object DeltaLog {
         val p = n.putObject("protocol")
         p.put("minReaderVersion", 3)
         p.put("minWriterVersion", 7)
-        p.putArray("readerFeatures").add("deletionVectors")
-        p.putArray("writerFeatures").add("deletionVectors")
+        val rf = p.putArray("readerFeatures")
+        (st.readerFeatures :+ "deletionVectors").distinct.foreach(rf.add)
+        // a legacy minWriterVersion implies features version 7 must
+        // ENUMERATE — dropping them here would let a feature-gated
+        // external writer stop honoring e.g. changeDataFeed
+        val wf = p.putArray("writerFeatures")
+        (legacyWriterFeatures(st.minWriterVersion) ++ st.writerFeatures :+
+          "deletionVectors").distinct.foreach(wf.add)
         Seq[JsonNode](n)
       }
     writeCommitFile(root, v + 1, protocolUpgrade ++ actions.result())
@@ -1551,6 +1657,8 @@ object DeltaLog {
     if (overlapping.isEmpty) return v
     val actions = Seq.newBuilder[JsonNode]
     var touched = 0
+    val cdcParts =
+      Seq.newBuilder[(Map[String, String], DataFrame)]
     overlapping.foreach { case (rel, pv) =>
       require(!st.fileDvs.contains(rel),
         s"DeltaLog.updateWhereLong: $rel carries a deletion vector — " +
@@ -1577,9 +1685,31 @@ object DeltaLog {
         actions += removeActionNode(rel, true)
         actions += addActionNode(root, newRel, pv, dataChange = true, conf)
         touched += 1
+        // CDF: matched rows before and after the SET — the only record
+        // of WHICH rows changed (the remove+add pair is file-grain)
+        if (cdfEnabled(st)) {
+          val pre = source.filter(matches)
+            .withColumn(ChangeTypeCol, lit("update_preimage"))
+          // postimage from the MATCHED source rows, not the rewritten
+          // file: a SET that rewrites the predicate column itself would
+          // make the new file unfilterable by `matches`
+          val post = set.foldLeft(source.filter(matches)) {
+            case (df, (c, e)) =>
+              df.withColumn(c, e.cast(dataSchema(c).dataType))
+          }.select(dataSchema.fieldNames.map(col).toSeq: _*)
+            .withColumn(ChangeTypeCol, lit("update_postimage"))
+          cdcParts += pv -> pre.unionByName(post)
+        }
       }
     }
     if (touched == 0) return v
+    if (cdfEnabled(st)) {
+      cdcParts.result().groupBy(_._1).toSeq.sortBy(_._1.mkString(" "))
+        .foreach { case (pv, group) =>
+          actions += writeCdcFile(group.map(_._2).reduce(_ unionByName _),
+            root, pv)
+        }
+    }
     writeCommitFile(root, v + 1, actions.result())
     v + 1
   }
@@ -1639,6 +1769,170 @@ object DeltaLog {
     assembleFiles(spark, root, st, adds.result())
   }
 
+  /** The CHANGE DATA FEED of versions `(sinceVersion, toVersion]` —
+    * every row-level change with `_change_type` (`insert` / `delete` /
+    * `update_preimage` / `update_postimage`), `_commit_version` and
+    * `_commit_timestamp` appended to the data columns; Delta's own CDF
+    * read surface (PROTOCOL.md: Add CDC File). Per commit: when `cdc`
+    * actions are present they ARE the feed for that version
+    * (add/remove ignored, the protocol's rule); otherwise changes are
+    * SYNTHESIZED — `add dataChange=true` rows as inserts, each
+    * `remove dataChange=true` file's rows as deletes (whole-file
+    * deletes and blind appends, the cases Delta itself derives).
+    * Refused loudly: tables without `delta.enableChangeDataFeed`, DV
+    * commits lacking CDC files (the byte-identical re-add makes
+    * synthesis blind to them), removed files that carried a DV (their
+    * dead rows would resurrect), and vacuumed-away removed files.
+    *
+    * Scale posture: driver work is one JSON parse per tail commit
+    * (tails are incremental-ETL-sized); row IO is distributed scans of
+    * exactly the CDC/changed files. `toVersion < 0` means the current
+    * version.
+    */
+  def readChangeFeed(spark: SparkSession, root: String,
+                     sinceVersion: Long, toVersion: Long = -1L): DataFrame = {
+    val cur = currentVersion(root)
+    val to = if (toVersion < 0L) cur else toVersion
+    require(sinceVersion <= to && to <= cur,
+      s"DeltaLog.readChangeFeed: bad version range ($sinceVersion, $to] " +
+        s"on a table at version $cur")
+    val st = replay(spark, root, cur)
+    require(cdfEnabled(st),
+      s"DeltaLog.readChangeFeed: $root does not set " +
+        "delta.enableChangeDataFeed=true — no change feed was recorded")
+    require(mappingMode(st) == "none",
+      s"DeltaLog.readChangeFeed: column-mapped tables are read-only " +
+        s"through this bridge (mode ${mappingMode(st)})")
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $root log — schema unknown"))
+    val pcSet = st.partitionColumns.toSet
+    val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
+    val present = versions(root).toSet
+    ((sinceVersion + 1) to to).foreach(v => require(present.contains(v),
+      s"DeltaLog.readChangeFeed: commit $v missing from $root — the " +
+        "change feed needs its JSON commits (checkpoints compact state, " +
+        "not history)"))
+    def pvOf(n: JsonNode): Map[String, String] = {
+      val pvNode = n.path("partitionValues")
+      if (!pvNode.isObject) Map.empty
+      else pvNode.properties().asScala
+        .map(e => e.getKey ->
+          (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+    }
+    def attachPv(df: DataFrame, pv: Map[String, String],
+                 rel: String): DataFrame =
+      schema.fields.foldLeft(df) { (d, f) =>
+        if (!pcSet(f.name)) d
+        else {
+          val key = pvKeyOf(st, schema, f.name, pv).getOrElse(
+            throw new IllegalArgumentException(
+              s"DeltaLog.readChangeFeed: $rel lacks partitionValues " +
+                s"for declared partition column ${f.name}"))
+          d.withColumn(f.name, Option(pv(key)) match {
+            case Some(s) => lit(s).cast(f.dataType)
+            case None => lit(null).cast(f.dataType)
+          })
+        }
+      }
+    val outCols = schema.fieldNames.toSeq :+ ChangeTypeCol
+    val perVersion = ((sinceVersion + 1) to to).flatMap { v =>
+      val lines = Files.readAllLines(logDir(root).resolve(commitName(v)))
+        .asScala.filter(_.trim.nonEmpty)
+      val cdcs = Seq.newBuilder[(String, Map[String, String])]
+      val adds = Seq.newBuilder[(String, Map[String, String])]
+      val removes = Seq.newBuilder[String]
+      var dvAdds = 0
+      lines.foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("cdc")) {
+          val c = node.get("cdc")
+          cdcs += decodePath(c.path("path").asText()) -> pvOf(c)
+        } else if (node.has("add")) {
+          val a = node.get("add")
+          if (a.path("dataChange").asBoolean(true)) {
+            if (a.path("deletionVector").isObject) dvAdds += 1
+            adds += decodePath(a.path("path").asText()) -> pvOf(a)
+          }
+        } else if (node.has("remove")) {
+          val r = node.get("remove")
+          if (r.path("dataChange").asBoolean(true))
+            removes += decodePath(r.path("path").asText())
+        }
+      }
+      val (cdcList, addList, removeList) =
+        (cdcs.result(), adds.result(), removes.result())
+      val changes: Option[DataFrame] =
+        if (cdcList.nonEmpty) {
+          val cdcSchema = StructType(dataSchema.fields :+
+            StructField(ChangeTypeCol, StringType, nullable = true))
+          Some(cdcList.map { case (rel, pv) =>
+            attachPv(spark.read.schema(cdcSchema)
+              .parquet(Paths.get(root, rel).toString), pv, rel)
+              .select(outCols.map(col): _*)
+          }.reduce(_ unionByName _))
+        } else if (addList.isEmpty && removeList.isEmpty) None
+        else {
+          require(dvAdds == 0,
+            s"DeltaLog.readChangeFeed: commit $v of $root attaches a " +
+              "deletion vector without CDC files — row-level changes " +
+              "were not recorded and cannot be synthesized")
+          val inserted =
+            if (addList.isEmpty) None
+            else {
+              addList.foreach { case (rel, _) =>
+                require(Files.exists(Paths.get(root, rel)),
+                  s"DeltaLog.readChangeFeed: added file $rel of commit " +
+                    s"$v was vacuumed away — this change-feed range is " +
+                    "no longer readable")
+              }
+              // the files carried no DV AT v (checked above); strip any
+              // DV a LATER version attached so the insert reads the full
+              // file as committed
+              Some(assembleFiles(spark, root,
+                st.copy(fileDvs = st.fileDvs -- addList.map(_._1)), addList)
+                .withColumn(ChangeTypeCol, lit("insert")))
+            }
+          val deleted =
+            if (removeList.isEmpty) None
+            else {
+              val prev = replay(spark, root, v - 1)
+              val prevFiles = prev.files.toMap
+              val rfiles = removeList.map { rel =>
+                require(prevFiles.contains(rel),
+                  s"DeltaLog.readChangeFeed: remove $rel at commit $v " +
+                    s"was not active at ${v - 1}")
+                require(!prev.fileDvs.contains(rel),
+                  s"DeltaLog.readChangeFeed: removed file $rel carried " +
+                    "a deletion vector — whole-file synthesis would " +
+                    "resurrect its dead rows; the writer should have " +
+                    "recorded CDC files")
+                require(Files.exists(Paths.get(root, rel)),
+                  s"DeltaLog.readChangeFeed: removed file $rel was " +
+                    "vacuumed away — this change-feed range is no " +
+                    "longer readable")
+                rel -> prevFiles(rel)
+              }
+              Some(assembleFiles(spark, root, prev, rfiles)
+                .withColumn(ChangeTypeCol, lit("delete")))
+            }
+          Some((inserted.toSeq ++ deleted.toSeq).reduce(_ unionByName _))
+        }
+      changes.map(_
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(commitTimestamp(root, v))))
+        .select((outCols ++ Seq("_commit_version", "_commit_timestamp"))
+          .map(col): _*))
+    }
+    if (perVersion.isEmpty) {
+      val outSchema = StructType(schema.fields ++ Seq(
+        StructField(ChangeTypeCol, StringType, nullable = true),
+        StructField("_commit_version", LongType, nullable = false),
+        StructField("_commit_timestamp", TimestampType, nullable = false)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    } else perVersion.reduce(_ unionByName _)
+  }
+
   /** Physically delete data files the CURRENT version no longer
     * references (VACUUM with zero retention): older versions stop being
     * time-travelable, the current snapshot is untouched — Delta's own
@@ -1670,7 +1964,11 @@ object DeltaLog {
           Files.isRegularFile(p) &&
             (name.endsWith(".parquet") ||
               (name.startsWith("deletion_vector_") && name.endsWith(".bin"))) &&
-            !rootPath.relativize(p).startsWith("_delta_log")
+            !rootPath.relativize(p).startsWith("_delta_log") &&
+            // CDC files are never snapshot-active; deleting them here
+            // would silently destroy the change feed (CDF retention is
+            // its own policy, not vacuum's)
+            !rootPath.relativize(p).startsWith("_change_data")
         }
         .map(p => rootPath.relativize(p).toString
           .replace(java.io.File.separatorChar, '/'))
@@ -1822,13 +2120,14 @@ object DeltaLog {
   def commitPartitioned(spark: SparkSession, root: String, df: DataFrame,
                         partitionCols: Seq[String],
                         rewrite: Boolean = false,
-                        txn: Option[(String, Long)] = None): Long = {
+                        txn: Option[(String, Long)] = None,
+                        configuration: Map[String, String] = Map.empty): Long = {
     require(partitionCols.nonEmpty,
       "DeltaLog.commitPartitioned: partitionCols must be non-empty " +
         "(use commitFlat for unpartitioned tables)")
     require(partitionCols.forall(df.columns.contains),
       s"DeltaLog.commitPartitioned: $partitionCols not all in ${df.columns.toSeq}")
-    commitData(spark, root, df, partitionCols, rewrite, txn)
+    commitData(spark, root, df, partitionCols, rewrite, txn, configuration)
   }
 
   /** Commit `df` to an UNPARTITIONED Delta table at `root` — the flat
@@ -1840,12 +2139,14 @@ object DeltaLog {
     */
   def commitFlat(spark: SparkSession, root: String, df: DataFrame,
                  rewrite: Boolean = false,
-                 txn: Option[(String, Long)] = None): Long =
-    commitData(spark, root, df, Seq.empty, rewrite, txn)
+                 txn: Option[(String, Long)] = None,
+                 configuration: Map[String, String] = Map.empty): Long =
+    commitData(spark, root, df, Seq.empty, rewrite, txn, configuration)
 
   private def commitData(spark: SparkSession, root: String, df: DataFrame,
                          partitionCols: Seq[String], rewrite: Boolean,
-                         txn: Option[(String, Long)]): Long = {
+                         txn: Option[(String, Long)],
+                         configuration: Map[String, String] = Map.empty): Long = {
     val v = currentVersion(root) + 1
     val prior =
       if (v == 0L) None
@@ -1916,14 +2217,23 @@ object DeltaLog {
     val tableId = java.util.UUID.nameUUIDFromBytes(
       ("graft-delta:" + root).getBytes("UTF-8")).toString
     Files.createDirectories(logDir(root))
+    require(configuration.isEmpty || v == 0L,
+      "DeltaLog.commitData: table configuration is set at CREATION " +
+        "(version 0) only — later commits inherit it")
     val actions = Seq.newBuilder[JsonNode]
     if (v == 0L) {
       val protocol = mapper.createObjectNode()
       val p = protocol.putObject("protocol")
       p.put("minReaderVersion", 1)
-      p.put("minWriterVersion", 2)
+      // change data feed is a legacy writer-version-4 feature
+      // (PROTOCOL.md: Writer Version Requirements) — a table created
+      // with it enabled must declare the writer floor that implies it
+      p.put("minWriterVersion",
+        if (configuration.get("delta.enableChangeDataFeed")
+          .exists(_.trim.equalsIgnoreCase("true"))) 4 else 2)
       actions += protocol
-      actions += metaDataAction(tableId, df.schema.json, partitionCols)
+      actions += metaDataAction(tableId, df.schema.json, partitionCols,
+        configuration)
     }
     txn.foreach { case (app, ver) =>
       val n = mapper.createObjectNode()
