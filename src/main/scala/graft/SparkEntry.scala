@@ -2267,6 +2267,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_extendedprice")).cast("decimal(18,2)").as("sum_price"))
     }),
+    // RESTORE: the same slices take a copy-on-write DELETE, a DV
+    // DELETE and an UPDATE, then roll back to version 0 in ONE
+    // metadata-only commit — the read-back must be the untouched base
+    // (both DML flavors and the descriptor swap undone), proving the
+    // restore re-adds exactly the original active set.
+    "q264_delta_restore" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"))
+      val root = freshScratch("q264")
+      (0 until 3).foreach { i =>
+        graft.lake.Snapshots.commitAppend(root)(tmp =>
+          ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === i)
+            .write.mode("overwrite").parquet(tmp))
+      }
+      graft.lake.DeltaLog.sync(s, root)
+      graft.lake.DeltaLog.deleteWhereLong(s, root, "event_id", 3000L, 6000L)
+      graft.lake.DeltaLog.updateWhereLong(s, root, "event_id", 100L, 200L,
+        Map("value" -> lit(0.0)))
+      // DV delete LAST: copy-on-write DML refuses DV'd files by design
+      graft.lake.DeltaLog.deleteWhereLongDV(s, root, "event_id", 7000L, 7500L)
+      graft.lake.DeltaLog.restore(s, root, 2L)
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3582,6 +3605,11 @@ object SparkEntry {
          SELECT 'insert', CAST(3 AS BIGINT), count(*),
            CAST(sum(price) AS DECIMAL(18,2))
          FROM li WHERE s = 2""",
+    // q264: after restore to version 2 (the fully-synced base) every
+    // DML is rolled back — the feed is simply the whole table.
+    "q264_delta_restore" ->
+      """SELECT event_id, epoch_us(ts) AS event_ts_us, value
+         FROM events""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

@@ -1933,6 +1933,88 @@ object DeltaLog {
     } else perVersion.reduce(_ unionByName _)
   }
 
+  /** RESTORE the table to the snapshot of an earlier `version` (Delta's
+    * `RESTORE TABLE … TO VERSION AS OF`): ONE new commit whose actions
+    * make the current active set equal the target's — files active then
+    * but not now are re-added (with their recorded partition values,
+    * stats and DV descriptor), files active now but not then are
+    * removed, and a file whose DV CHANGED in between is re-added with
+    * the target descriptor. History is never rewritten — the restore is
+    * itself a commit, so the pre-restore state stays time-travelable.
+    * Refuses loudly when a file (or DV sidecar) the target needs was
+    * vacuumed away. Metadata-only: no data IO at any scale. Returns the
+    * new version (or the current one when already identical).
+    */
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    val cur = currentVersion(root)
+    require(version >= 0L && version <= cur,
+      s"DeltaLog.restore: version $version outside [0, $cur] of $root")
+    val target = replay(spark, root, version)
+    val current = replay(spark, root, cur)
+    require(mappingMode(current) == "none",
+      s"DeltaLog.restore: column-mapped tables are read-only through " +
+        s"this bridge (mode ${mappingMode(current)})")
+    require(target.schema == current.schema,
+      s"DeltaLog.restore: schema changed since version $version — " +
+        "restoring across a schema change is unsupported")
+    val curFiles = current.files.toMap
+    val tgtFiles = target.files.toMap
+    def dvOf(st: LogState, rel: String): Option[DvDescriptor] =
+      st.fileDvs.get(rel)
+    val toAdd = target.files.filter { case (rel, _) =>
+      !curFiles.contains(rel) || dvOf(current, rel) != dvOf(target, rel)
+    }
+    val toRemove = current.files.collect {
+      case (rel, _) if !tgtFiles.contains(rel) => rel
+    } ++ toAdd.collect {
+      case (rel, _) if curFiles.contains(rel) => rel
+    }
+    if (toAdd.isEmpty && toRemove.isEmpty) return cur
+    toAdd.foreach { case (rel, _) =>
+      require(Files.exists(Paths.get(root, rel)),
+        s"DeltaLog.restore: $rel of version $version was vacuumed " +
+          "away — that snapshot is no longer restorable")
+      dvOf(target, rel).filter(_.storageType == "u").foreach { d =>
+        val prefix = d.pathOrInlineDv.dropRight(20)
+        val uuid = Dv.uuidFromBytes(Dv.z85Decode(d.pathOrInlineDv.takeRight(20)))
+        val sidecar = (if (prefix.isEmpty) "" else prefix + "/") +
+          Dv.dvFileName(uuid)
+        require(Files.exists(Paths.get(root, sidecar)),
+          s"DeltaLog.restore: DV sidecar $sidecar of version $version " +
+            "was vacuumed away — that snapshot is no longer restorable")
+      }
+    }
+    val actions = Seq.newBuilder[JsonNode]
+    toRemove.distinct.foreach(rel =>
+      actions += removeActionNode(rel, dataChange = true))
+    toAdd.foreach { case (rel, pv) =>
+      val n = mapper.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", encodePath(rel))
+      val pvo = a.putObject("partitionValues")
+      pv.foreach { case (k, sv) =>
+        if (sv == null) pvo.putNull(k) else pvo.put(k, sv)
+      }
+      a.put("size", target.fileSizes.getOrElse(rel,
+        Files.size(Paths.get(root, rel))))
+      a.put("modificationTime", target.fileModTimes.getOrElse(rel,
+        Files.getLastModifiedTime(Paths.get(root, rel)).toMillis))
+      a.put("dataChange", true)
+      target.fileStats.get(rel).foreach(a.put("stats", _))
+      dvOf(target, rel).foreach { d =>
+        val o = a.putObject("deletionVector")
+        o.put("storageType", d.storageType)
+        o.put("pathOrInlineDv", d.pathOrInlineDv)
+        d.offset.foreach(o.put("offset", _))
+        o.put("sizeInBytes", d.sizeInBytes)
+        o.put("cardinality", d.cardinality)
+      }
+      actions += n
+    }
+    writeCommitFile(root, cur + 1, actions.result())
+    cur + 1
+  }
+
   /** Physically delete data files the CURRENT version no longer
     * references (VACUUM with zero retention): older versions stop being
     * time-travelable, the current snapshot is untouched — Delta's own

@@ -416,6 +416,50 @@ class DeltaLogSpec extends SparkSpec {
     assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
   }
 
+  test("restore rolls back DML in one commit; history stays travelable") {
+    val root = freshRoot()
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((3L, "c")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    DeltaLog.sync(spark, root)
+    assert(DeltaLog.deleteWhereLong(spark, root, "k", 2L, 3L) == 2L)
+    assert(rows(DeltaLog.read(spark, root)) == Set((1L, "a")))
+    assert(DeltaLog.restore(spark, root, 1L) == 3L)
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the pre-restore state is history, not rewritten
+    assert(rows(DeltaLog.readAt(spark, root, 2L)) == Set((1L, "a")))
+    // restoring to the current snapshot's own content is a no-op
+    assert(DeltaLog.restore(spark, root, 3L) == 3L)
+  }
+
+  test("restore across a DV delete swaps the descriptor both ways") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    DeltaLog.deleteWhereLongDV(spark, root, "k", 2L, 2L)
+    assert(rows(DeltaLog.read(spark, root)) == Set((1L, "a"), (3L, "c")))
+    // back to 0: same data file, descriptor dropped
+    assert(DeltaLog.restore(spark, root, 0L) == 2L)
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // forward again to the DV'd snapshot: descriptor re-attached
+    assert(DeltaLog.restore(spark, root, 1L) == 3L)
+    assert(rows(DeltaLog.read(spark, root)) == Set((1L, "a"), (3L, "c")))
+  }
+
+  test("restore refuses a vacuumed-away snapshot loudly") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    DeltaLog.deleteWhereLong(spark, root, "k", 2L, 2L)
+    DeltaLog.vacuum(spark, root)
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.restore(spark, root, 0L))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
   test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
     val root = freshRoot()
     writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
@@ -464,7 +508,9 @@ class DeltaLogSpec extends SparkSpec {
       .select(col("protocol.readerFeatures"), col("protocol.writerFeatures"))
       .collect().head
     assert(proto.getSeq[String](0) == Seq("deletionVectors"), proto)
-    assert(proto.getSeq[String](1) == Seq("deletionVectors"), proto)
+    // the 2→7 upgrade enumerates what legacy writer version 2 implied
+    assert(proto.getSeq[String](1) ==
+      Seq("appendOnly", "invariants", "deletionVectors"), proto)
     // replay from the checkpoint alone still applies the DV
     DeltaLog.versions(root).foreach(v => Files.delete(
       Paths.get(root, "_delta_log", f"$v%020d.json")))
