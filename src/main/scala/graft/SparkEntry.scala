@@ -2290,6 +2290,33 @@ object SparkEntry {
       graft.lake.DeltaLog.restore(s, root, 2L)
       graft.lake.DeltaLog.read(s, root)
     }),
+    // DESCRIBE HISTORY × CHANGE FEED: three CDF-enabled appends, a
+    // DELETE and an UPDATE; the history's (version, operation)
+    // provenance joined with per-commit change counts from the feed —
+    // every number reconstructable from events alone (appends insert
+    // their slice, the delete its range, the update 2× its range for
+    // pre+postimages).
+    "q265_delta_history" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      def slice(i: Int) =
+        ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === i)
+      val root = freshScratch("q265")
+      graft.lake.DeltaLog.commitFlat(s, root, slice(0),
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      graft.lake.DeltaLog.commitFlat(s, root, slice(1))
+      graft.lake.DeltaLog.commitFlat(s, root, slice(2))
+      graft.lake.DeltaLog.deleteWhereLong(s, root, "event_id", 3000L, 6000L)
+      graft.lake.DeltaLog.updateWhereLong(s, root, "event_id", 100L, 200L,
+        Map("value" -> lit(0.0)))
+      val h = graft.lake.DeltaLog.history(s, root)
+        .select(col("version"), col("operation"))
+      val changes = graft.lake.DeltaLog.readChangeFeed(s, root, -1L)
+        .groupBy(col("_commit_version").as("version"))
+        .agg(count(lit(1)).as("n_changes"))
+      h.join(changes, Seq("version"), "left")
+        .select(col("version"), col("operation"),
+          coalesce(col("n_changes"), lit(0L)).as("n_changes"))
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3610,6 +3637,23 @@ object SparkEntry {
     "q264_delta_restore" ->
       """SELECT event_id, epoch_us(ts) AS event_ts_us, value
          FROM events""",
+    // q265: the provenance + change counts rebuilt from events alone.
+    "q265_delta_history" ->
+      """WITH ev AS (
+           SELECT event_id,
+             ((COALESCE(event_id, 0) % 3) + 3) % 3 AS s
+           FROM events)
+         SELECT CAST(0 AS BIGINT) AS version, 'WRITE' AS operation,
+           (SELECT count(*) FROM ev WHERE s = 0) AS n_changes
+         UNION ALL SELECT CAST(1 AS BIGINT), 'WRITE',
+           (SELECT count(*) FROM ev WHERE s = 1)
+         UNION ALL SELECT CAST(2 AS BIGINT), 'WRITE',
+           (SELECT count(*) FROM ev WHERE s = 2)
+         UNION ALL SELECT CAST(3 AS BIGINT), 'DELETE',
+           (SELECT count(*) FROM ev WHERE event_id BETWEEN 3000 AND 6000)
+         UNION ALL SELECT CAST(4 AS BIGINT), 'UPDATE',
+           (SELECT 2 * count(*) FROM ev
+            WHERE event_id BETWEEN 100 AND 200)""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

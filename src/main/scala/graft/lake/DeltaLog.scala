@@ -246,7 +246,8 @@ object DeltaLog {
           actions += addActionNode(root, f, Map.empty, dataChange = true,
             spark.sparkContext.hadoopConfiguration)
         }
-        writeCommitFile(root, dv, actions.result())
+        writeCommitFile(root, dv, actions.result(), operation = "WRITE",
+          opTimestamp = Snapshots.commitTimeMillis(root, gv))
         // Timestamp time travel resolves from commit-file mtimes (Delta's
         // own mechanism): stamp the commit with the MANIFEST commit time,
         // not sync wall-clock — otherwise one late sync collapses every
@@ -278,8 +279,24 @@ object DeltaLog {
     * documented deployment here.
     */
   private[lake] def writeCommitFile(root: String, dv: Long,
-                                    actions: Seq[JsonNode]): Unit = {
-    val body = actions.map(mapper.writeValueAsString).mkString("", "\n", "\n")
+                                    actions: Seq[JsonNode],
+                                    operation: String = null,
+                                    opTimestamp: Long = -1L): Unit = {
+    // commitInfo FIRST, the way Delta's writer lays commits out — pure
+    // provenance (operation name + wall-clock), never state: replay
+    // ignores it, DESCRIBE-HISTORY-style surfaces read it
+    val all =
+      if (operation == null) actions
+      else {
+        val n = mapper.createObjectNode()
+        val ci = n.putObject("commitInfo")
+        ci.put("timestamp",
+          if (opTimestamp >= 0L) opTimestamp else System.currentTimeMillis())
+        ci.put("operation", operation)
+        ci.put("engineInfo", "graft-deltalog")
+        n +: actions
+      }
+    val body = all.map(mapper.writeValueAsString).mkString("", "\n", "\n")
     val tmp = logDir(root).resolve(commitName(dv) + ".__tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
     val target = logDir(root).resolve(commitName(dv))
@@ -1509,7 +1526,7 @@ object DeltaLog {
       }
     }
     if (touched == 0) return v
-    writeCommitFile(root, v + 1, actions.result())
+    writeCommitFile(root, v + 1, actions.result(), operation = "DELETE")
     v + 1
   }
 
@@ -1620,7 +1637,8 @@ object DeltaLog {
           "deletionVectors").distinct.foreach(wf.add)
         Seq[JsonNode](n)
       }
-    writeCommitFile(root, v + 1, protocolUpgrade ++ actions.result())
+    writeCommitFile(root, v + 1, protocolUpgrade ++ actions.result(),
+      operation = "DELETE")
     v + 1
   }
 
@@ -1710,7 +1728,7 @@ object DeltaLog {
             root, pv)
         }
     }
-    writeCommitFile(root, v + 1, actions.result())
+    writeCommitFile(root, v + 1, actions.result(), operation = "UPDATE")
     v + 1
   }
 
@@ -2011,7 +2029,8 @@ object DeltaLog {
       }
       actions += n
     }
-    writeCommitFile(root, cur + 1, actions.result())
+    writeCommitFile(root, cur + 1, actions.result(),
+      operation = "RESTORE")
     cur + 1
   }
 
@@ -2331,7 +2350,7 @@ object DeltaLog {
     added.foreach { case (rel, pv) =>
       actions += addActionNode(root, rel, pv, dataChange = true, conf)
     }
-    writeCommitFile(root, v, actions.result())
+    writeCommitFile(root, v, actions.result(), operation = "WRITE")
     v
   }
 
@@ -2406,7 +2425,7 @@ object DeltaLog {
       rels.foreach(f => actions += removeActionNode(f, dataChange = false))
       actions += addActionNode(root, newRel, pv, dataChange = false, conf)
     }
-    writeCommitFile(root, v + 1, actions.result())
+    writeCommitFile(root, v + 1, actions.result(), operation = "OPTIMIZE")
     v + 1
   }
 
@@ -2443,6 +2462,30 @@ object DeltaLog {
   /** Read the table as of a wall-clock timestamp (millis). */
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
     readAt(spark, root, versionAsOf(root, tsMillis))
+
+  /** DESCRIBE-HISTORY surface: one row per RETAINED JSON commit with
+    * the `commitInfo` provenance Delta writers (and this one) record —
+    * (version, operation, timestamp). The timestamp prefers
+    * `commitInfo.timestamp` / `inCommitTimestamp`, falling back to the
+    * commit file's mtime; commits an external writer laid down without
+    * commitInfo surface a null operation rather than being hidden.
+    * Driver work is one JSON scan per retained commit — checkpointed
+    * history beyond the retained tail is summarized state and has no
+    * per-commit provenance to report.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(root).sorted.map { v =>
+      val ci = Files.readAllLines(logDir(root).resolve(commitName(v)))
+        .asScala.iterator.filter(_.trim.nonEmpty).map(mapper.readTree)
+        .find(_.has("commitInfo")).map(_.get("commitInfo"))
+      (v,
+        ci.map(_.path("operation")).filter(_.isTextual)
+          .map(_.asText()).orNull,
+        ci.map(_.path("timestamp")).filter(_.isNumber).map(_.asLong())
+          .getOrElse(commitTimestamp(root, v)))
+    }.toDF("version", "operation", "timestamp")
+  }
 
   /** Parse `col=value` segments of a hive-laid-out relative path into
     * the add's `partitionValues`: hive percent-escapes decode,

@@ -848,8 +848,12 @@ class DeltaLogSpec extends SparkSpec {
     assert(partRows(DeltaLog.read(spark, root)) == before,
       "compaction must not change rows")
     // protocol idiom: the compaction commit carries dataChange=false
+    // (commitInfo is provenance, not a file action)
     val lines = commitLines(root, v)
+      .filterNot(_.contains("\"commitInfo\""))
     assert(lines.forall(_.contains("\"dataChange\":false")), lines.mkString("|"))
+    assert(commitLines(root, v)
+      .exists(_.contains("\"operation\":\"OPTIMIZE\"")))
     // pre-compaction version still time travels
     assert(partRows(DeltaLog.readAt(spark, root, preVersion)) == before)
     // idempotent: nothing fat left, no new commit
@@ -1069,7 +1073,10 @@ class DeltaLogSpec extends SparkSpec {
     assert(partRows(DeltaLog.read(spark, root)) == Set((1L, "a", "1")))
     // pure metadata: the commit has removes only, no adds
     val lines = commitLines(root, v)
+      .filterNot(_.contains("\"commitInfo\""))
     assert(lines.forall(_.contains("\"remove\"")), lines.mkString("|"))
+    assert(commitLines(root, v)
+      .exists(_.contains("\"operation\":\"DELETE\"")))
   }
 
   test("vacuum deletes files the current version no longer references; " +
