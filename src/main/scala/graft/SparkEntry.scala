@@ -2317,6 +2317,32 @@ object SparkEntry {
         .select(col("version"), col("operation"),
           coalesce(col("n_changes"), lit(0L)).as("n_changes"))
     }),
+    // CDF-DRIVEN INCREMENTAL AGGREGATE: the gold-view production
+    // pattern — a per-customer COUNT/SUM view maintained purely from
+    // the change feed (delta rule: inserts/postimages add, deletes/
+    // preimages subtract, signed long cents exact and commutative),
+    // folded in two feed batches split mid-history; must equal a
+    // recompute over the table's final state (the oracle).
+    "q266_cdf_incremental_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(i: Int) =
+        o.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) === i)
+      val root = freshScratch("q266")
+      graft.lake.DeltaLog.commitFlat(s, root, slice(0),
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      graft.lake.DeltaLog.commitFlat(s, root, slice(1))
+      graft.lake.DeltaLog.commitFlat(s, root, slice(2))
+      graft.lake.DeltaLog.deleteWhereLong(s, root, "o_orderkey", 3000L, 6000L)
+      graft.lake.DeltaLog.updateWhereLong(s, root, "o_orderkey", 100L, 2000L,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      val batchA = graft.lake.DeltaLog.readChangeFeed(s, root, -1L, 2L)
+      val batchB = graft.lake.DeltaLog.readChangeFeed(s, root, 2L)
+      val st1 = graft.pipeline.Medallion.applyChangesCents(
+        None, batchA, Seq("o_custkey"), "o_totalprice")
+      graft.pipeline.Medallion.applyChangesCents(
+        Some(st1), batchB, Seq("o_custkey"), "o_totalprice")
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3654,6 +3680,20 @@ object SparkEntry {
          UNION ALL SELECT CAST(4 AS BIGINT), 'UPDATE',
            (SELECT 2 * count(*) FROM ev
             WHERE event_id BETWEEN 100 AND 200)""",
+    // q266: a recompute over the table's FINAL state — NULL orderkeys
+    // never match a range, the update doubles its range, the delete
+    // drops its own; exact long-cents terms mirror the fold.
+    "q266_cdf_incremental_agg" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             CASE WHEN o_orderkey BETWEEN 100 AND 2000
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+           FROM orders
+           WHERE NOT COALESCE(o_orderkey BETWEEN 3000 AND 6000, FALSE))
+         SELECT o_custkey, count(*) AS n_rows,
+           CAST(sum(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM o GROUP BY o_custkey""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

@@ -195,6 +195,44 @@ object Medallion {
     * cross-engine comparison of this output is exact by construction.
     * Output/state schema: (groupCols…, n_rows BIGINT, cents BIGINT).
     */
+  /** Fold a CHANGE-FEED batch (rows carrying `_change_type`) into the
+    * `(groupCols → n_rows, cents)` aggregate state — the delta rule
+    * for COUNT/SUM over a CDC stream (Gupta–Mumick incremental view
+    * maintenance): `insert`/`update_postimage` add, `delete`/
+    * `update_preimage` subtract; an unknown change type fails the job
+    * loudly rather than skewing the view. Values quantize ONCE to
+    * signed long cents, so the fold is exact, commutative and
+    * order-independent — any batch split of the same feed converges to
+    * the same state — and groups folded back to zero rows are dropped
+    * (the view of an empty group is absence, matching a recompute).
+    * One shuffle per batch (the group-by); state merge reuses the same
+    * key partitioning.
+    */
+  def applyChangesCents(state: Option[DataFrame], changes: DataFrame,
+                        groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "applyChangesCents needs group columns")
+    val sign = when(col("_change_type").isin("insert", "update_postimage"),
+      lit(1L))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+      .otherwise(raise_error(concat(lit("applyChangesCents: unknown " +
+        "_change_type "), col("_change_type"))))
+    val part = changes
+      .withColumn("__sign", sign)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__sign")).as("n_rows"),
+        sum(col("__sign") *
+          floor(col(valueCol) * lit(100) + lit(0.5)).cast("long"))
+          .as("cents"))
+    val merged = state match {
+      case None => part
+      case Some(st) => st.unionByName(part)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("cents")).as("cents"))
+    }
+    merged.filter(col("n_rows") =!= 0L)
+  }
+
   def mergeAggStateCents(state: Option[DataFrame], batch: DataFrame,
                          groupCols: Seq[String], valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "mergeAggStateCents needs group columns")

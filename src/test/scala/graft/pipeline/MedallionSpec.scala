@@ -127,4 +127,34 @@ class MedallionSpec extends SparkSpec {
     assert(folded.map { case (g, (_, c)) => g -> c } == dec)
   }
 
+  test("applyChangesCents: CDC fold equals recompute; deletes cancel to " +
+    "absence; any batch split converges; unknown type fails loudly") {
+    val s2 = spark; import s2.implicits._
+    def ch(rows: Seq[(String, Double, String)]) =
+      rows.toDF("g", "v", "_change_type")
+    val feed = Seq(
+      ("x", 1.10, "insert"), ("x", 2.20, "insert"), ("y", 3.00, "insert"),
+      ("x", 1.10, "delete"),                       // x loses a row
+      ("y", 3.00, "update_preimage"), ("y", 6.00, "update_postimage"),
+      ("z", 5.00, "insert"), ("z", 5.00, "delete")) // z folds to absence
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val oneShot = state(Medallion.applyChangesCents(
+      None, ch(feed), Seq("g"), "v"))
+    assert(oneShot == Map("x" -> ((1L, 220L)), "y" -> ((1L, 600L))),
+      oneShot.toString)
+    // every split point of the same feed converges to the same state
+    (1 until feed.size).foreach { cut =>
+      val st1 = Medallion.applyChangesCents(
+        None, ch(feed.take(cut)), Seq("g"), "v")
+      val folded = state(Medallion.applyChangesCents(
+        Some(st1), ch(feed.drop(cut)), Seq("g"), "v"))
+      assert(folded == oneShot, s"split at $cut: $folded")
+    }
+    val e = intercept[Exception](Medallion.applyChangesCents(
+      None, ch(Seq(("x", 1.0, "upsert"))), Seq("g"), "v").collect())
+    assert(e.getMessage.contains("unknown"), e.getMessage)
+  }
+
 }
