@@ -2343,6 +2343,35 @@ object SparkEntry {
       graft.pipeline.Medallion.applyChangesCents(
         Some(st1), batchB, Seq("o_custkey"), "o_totalprice")
     }),
+    // DURABLE CDF CONSUMER: q266's fold as the production runner —
+    // state is a Delta table whose txn watermark records the last
+    // source version consumed; refreshes interleave with the source's
+    // appends/DML and the final refresh is REPLAYED (must be a no-op).
+    // Same oracle as a recompute over the final source state.
+    "q267_durable_cdf_view" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(i: Int) =
+        o.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) === i)
+      val root = freshScratch("q267")
+      val (src, dir) = (s"$root/src", s"$root/view")
+      graft.lake.DeltaLog.commitFlat(s, src, slice(0),
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      graft.pipeline.CdfView.refreshDurable(s, dir, src,
+        Seq("o_custkey"), "o_totalprice")
+      graft.lake.DeltaLog.commitFlat(s, src, slice(1))
+      graft.lake.DeltaLog.commitFlat(s, src, slice(2))
+      graft.lake.DeltaLog.deleteWhereLong(s, src, "o_orderkey", 3000L, 6000L)
+      graft.pipeline.CdfView.refreshDurable(s, dir, src,
+        Seq("o_custkey"), "o_totalprice")
+      graft.lake.DeltaLog.updateWhereLong(s, src, "o_orderkey", 100L, 2000L,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      graft.pipeline.CdfView.refreshDurable(s, dir, src,
+        Seq("o_custkey"), "o_totalprice")
+      // foreachBatch redelivery: the replay must not double-apply
+      graft.pipeline.CdfView.refreshDurable(s, dir, src,
+        Seq("o_custkey"), "o_totalprice")
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3684,6 +3713,19 @@ object SparkEntry {
     // never match a range, the update doubles its range, the delete
     // drops its own; exact long-cents terms mirror the fold.
     "q266_cdf_incremental_agg" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             CASE WHEN o_orderkey BETWEEN 100 AND 2000
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+           FROM orders
+           WHERE NOT COALESCE(o_orderkey BETWEEN 3000 AND 6000, FALSE))
+         SELECT o_custkey, count(*) AS n_rows,
+           CAST(sum(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM o GROUP BY o_custkey""",
+    // q267: identical truth to q266 — the durable runner changes the
+    // plumbing, never the view.
+    "q267_durable_cdf_view" ->
       """WITH o AS (
            SELECT o_custkey,
              CASE WHEN o_orderkey BETWEEN 100 AND 2000

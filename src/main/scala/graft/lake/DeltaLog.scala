@@ -2361,6 +2361,17 @@ object DeltaLog {
     * latest watermark, so only the retained tail is addressable — in
     * the replay-recent-batch use this is always the live window).
     */
+  /** The recorded txn watermark for `appId` on this table (highest
+    * `txn.version` replayed into the current state), or None for a
+    * fresh consumer / nonexistent table — the restart anchor an
+    * exactly-once incremental consumer reads before deciding what
+    * still needs applying.
+    */
+  def txnWatermark(spark: SparkSession, root: String,
+                   appId: String): Option[Long] =
+    if (!Files.isDirectory(logDir(root))) None
+    else replay(spark, root, currentVersion(root)).txnVersions.get(appId)
+
   def txnCommitVersion(root: String, appId: String,
                        txnVersion: Long): Option[Long] =
     versions(root).sorted.reverse.find { v =>
