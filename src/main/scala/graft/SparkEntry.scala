@@ -2372,6 +2372,30 @@ object SparkEntry {
       graft.pipeline.CdfView.refreshDurable(s, dir, src,
         Seq("o_custkey"), "o_totalprice")
     }),
+    // SHALLOW CLONE: commit 0 of the clone re-declares the source's
+    // schema and re-adds its active files by ABSOLUTE path — zero data
+    // copied at any scale. The clone then diverges independently via
+    // copy-on-write DML (rewrites land under the clone's root, reading
+    // the source's files in place); the source must read back
+    // untouched. Output = source ∪ post-DML clone, side-tagged.
+    "q268_delta_shallow_clone" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      def slice(i: Int) =
+        li.filter(pmod(coalesce(col("l_orderkey"), lit(0L)), lit(3)) === i)
+      val root = freshScratch("q268")
+      val (src, cln) = (s"$root/src", s"$root/clone")
+      (0 until 3).foreach(i => graft.lake.DeltaLog.commitFlat(s, src, slice(i)))
+      graft.lake.DeltaLog.shallowClone(s, src, cln)
+      graft.lake.DeltaLog.deleteWhereLong(s, cln, "l_orderkey", 3000L, 6000L)
+      graft.lake.DeltaLog.updateWhereLong(s, cln, "l_orderkey", 100L, 2000L,
+        Map("l_extendedprice" -> (col("l_extendedprice") * 2)))
+      graft.lake.DeltaLog.read(s, src).withColumn("side", lit("source"))
+        .unionByName(
+          graft.lake.DeltaLog.read(s, cln).withColumn("side", lit("clone")))
+        .select(col("side"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3736,6 +3760,19 @@ object SparkEntry {
            CAST(sum(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS cents
          FROM o GROUP BY o_custkey""",
+    // q268: the source side is the untouched table; the clone side is
+    // lineitem minus the deleted range with the updated range doubled
+    // (doubling a double is exponent arithmetic — exact both engines).
+    "q268_delta_shallow_clone" ->
+      """SELECT 'source' AS side, l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice
+         FROM lineitem
+         UNION ALL
+         SELECT 'clone', l_orderkey, l_linenumber, l_quantity,
+           CASE WHEN l_orderkey BETWEEN 100 AND 2000
+                THEN l_extendedprice * 2 ELSE l_extendedprice END
+         FROM lineitem
+         WHERE NOT COALESCE(l_orderkey BETWEEN 3000 AND 6000, FALSE)""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

@@ -605,9 +605,17 @@ object DeltaLog {
           else Paths.get(root, prefix)
         Dv.readBlob(dir.resolve(Dv.dvFileName(uuid)),
           offset.getOrElse(1L), sizeInBytes)
+      case "p" =>
+        // absolute-path storage (what shallow clones record so the
+        // clone's DVs keep resolving to the SOURCE's sidecars)
+        val path = decodePath(pathOrInlineDv)
+        require(path.startsWith("/"),
+          s"DeltaLog: storageType 'p' requires an absolute path, got " +
+            s"'$pathOrInlineDv'")
+        Dv.readBlob(Paths.get(path), offset.getOrElse(1L), sizeInBytes)
       case other => throw new IllegalArgumentException(
         s"DeltaLog: deletion vector storageType '$other' unsupported " +
-          "(u and i only; p is absolute-path storage)")
+          "(u, i and p only)")
     }
 
     /** Decode the position set, resolving `u` storage under `root`. */
@@ -1066,21 +1074,29 @@ object DeltaLog {
     st
   }
 
-  /** Delta `path` fields are URL-encoded relative paths (PROTOCOL.md);
-    * percent-escapes decode, absolute URIs are out of scope.
+  /** Delta `path` fields are URL-encoded (PROTOCOL.md) and either
+    * RELATIVE to the table root or ABSOLUTE (shallow clones reference
+    * their source's files absolutely); `file:` URIs decode to local
+    * absolute paths, any other scheme refuses loudly (local
+    * filesystems only here).
     */
-  private def decodePath(raw: String): String = {
-    val decoded =
-      try {
-        val u = new java.net.URI(raw)
-        require(u.getScheme == null,
-          s"DeltaLog: absolute file URI '$raw' unsupported (relative paths only)")
-        u.getPath
-      } catch { case _: java.net.URISyntaxException => raw }
-    require(!decoded.startsWith("/"),
-      s"DeltaLog: absolute path '$raw' unsupported (relative paths only)")
-    decoded
-  }
+  private def decodePath(raw: String): String =
+    try {
+      val u = new java.net.URI(raw)
+      u.getScheme match {
+        case null => u.getPath
+        case "file" => u.getPath
+        case other => throw new IllegalArgumentException(
+          s"DeltaLog: path scheme '$other' unsupported ('$raw' — " +
+            "local files only)")
+      }
+    } catch { case _: java.net.URISyntaxException => raw }
+
+  /** Resolve an action path against the table root — identity for the
+    * absolute paths shallow-cloned logs carry.
+    */
+  private def resolvePath(root: String, rel: String): Path =
+    if (rel.startsWith("/")) Paths.get(rel) else Paths.get(root, rel)
 
   /** Staging directory UNDER the table root (created on demand): the
     * final rename of a staged file into the table or its `_delta_log` is
@@ -1130,7 +1146,7 @@ object DeltaLog {
                             pv: Map[String, String], dataChange: Boolean,
                             conf: org.apache.hadoop.conf.Configuration,
                             dv: Option[DvDescriptor] = None): JsonNode = {
-    val fp = Paths.get(root, rel)
+    val fp = resolvePath(root, rel)
     val n = mapper.createObjectNode()
     val a = n.putObject("add")
     a.put("path", encodePath(rel))
@@ -1311,7 +1327,7 @@ object DeltaLog {
     val physSchema = StructType(dataSchema.fields.map(f =>
       f.copy(name = physMap(f.name))))
     val base = spark.read.schema(physSchema)
-      .parquet(Paths.get(root, path).toString)
+      .parquet(resolvePath(root, path).toString)
       .select(Seq(col("_metadata.row_index").as("__graft_pos")) ++
         dataSchema.fields.map(f => col(physMap(f.name)).as(f.name)): _*)
       .join(posSide, Seq("__graft_pos"), "left_anti")
@@ -1351,7 +1367,7 @@ object DeltaLog {
                                  files: Seq[(String, Map[String, String])]): DataFrame = {
     if (st.partitionColumns.isEmpty)
       readDataFiles(spark, st, schema,
-        files.map(f => Paths.get(root, f._1).toString))
+        files.map(f => resolvePath(root, f._1).toString))
     else {
       val pcSet = st.partitionColumns.toSet
       val missing = pcSet.filterNot(schema.fieldNames.contains)
@@ -1373,7 +1389,7 @@ object DeltaLog {
         .map { case (pvals, group) =>
           val pvByCol = st.partitionColumns.zip(pvals).toMap
           val withPv = readDataFiles(spark, st, dataSchema,
-            group.map(f => Paths.get(root, f._1).toString))
+            group.map(f => resolvePath(root, f._1).toString))
           schema.fields.foldLeft(withPv) { (df, f) =>
             if (!pcSet(f.name)) df
             else df.withColumn(f.name,
@@ -1479,7 +1495,7 @@ object DeltaLog {
           s"DeltaLog.deleteWhereLong: $rel carries a deletion vector — " +
             "copy-on-write rewrite of DV'd files is unimplemented; use " +
             "deleteWhereLongDV (merges into the DV) instead")
-        val full = Paths.get(root, rel)
+        val full = resolvePath(root, rel)
         val remaining = spark.read.schema(dataSchema)
           .parquet(full.toString)
           .filter(!(col(column) >= lo && col(column) <= hi) ||
@@ -1501,7 +1517,11 @@ object DeltaLog {
           actions += removeActionNode(rel, true); touched += 1
           cdcTouched += rel -> pv
           if (kept > 0L) {
-            val target = full.getParent.resolve(part.getFileName)
+            // a shallow-cloned (absolute) source file rewrites into
+            // THIS table's root — never beside the source
+            val targetDir =
+              if (rel.startsWith("/")) Paths.get(root) else full.getParent
+            val target = targetDir.resolve(part.getFileName)
             Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
             val newRel = Paths.get(root).relativize(target).toString
               .replace(java.io.File.separatorChar, '/')
@@ -1518,7 +1538,7 @@ object DeltaLog {
         cdcTouched.result().groupBy(_._2).toSeq.sortBy(_._1.mkString(" "))
           .foreach { case (pv, group) =>
             val deleted = spark.read.schema(dataSchema)
-              .parquet(group.map(f => Paths.get(root, f._1).toString): _*)
+              .parquet(group.map(f => resolvePath(root, f._1).toString): _*)
               .filter(col(column) >= lo && col(column) <= hi)
               .withColumn(ChangeTypeCol, lit("delete"))
             actions += writeCdcFile(deleted, root, pv)
@@ -1577,7 +1597,7 @@ object DeltaLog {
       val existing: Set[Long] = st.fileDvs.get(rel)
         .map(_.read(root).positions.toSet).getOrElse(Set.empty)
       val matches = spark.read.schema(dataSchema)
-        .parquet(Paths.get(root, rel).toString)
+        .parquet(resolvePath(root, rel).toString)
         .filter(col(column) >= lo && col(column) <= hi)
         .select(col("_metadata.row_index"))
         .as[Long].collect().toSet
@@ -1607,7 +1627,7 @@ object DeltaLog {
             val posDf = org.apache.spark.sql.functions.broadcast(
               fresh.toSeq.sorted.toDF("__graft_pos"))
             spark.read.schema(dataSchema)
-              .parquet(Paths.get(root, rel).toString)
+              .parquet(resolvePath(root, rel).toString)
               .select(Seq(col("_metadata.row_index").as("__graft_pos")) ++
                 dataSchema.fieldNames.map(col): _*)
               .join(posDf, Seq("__graft_pos"), "left_semi")
@@ -1681,7 +1701,7 @@ object DeltaLog {
       require(!st.fileDvs.contains(rel),
         s"DeltaLog.updateWhereLong: $rel carries a deletion vector — " +
           "copy-on-write rewrite of DV'd files is unimplemented")
-      val full = Paths.get(root, rel)
+      val full = resolvePath(root, rel)
       val matches = col(column) >= lo && col(column) <= hi
       val source = spark.read.schema(dataSchema).parquet(full.toString)
       // stats overlap ≠ rows match: skip the rewrite entirely when no
@@ -1696,7 +1716,9 @@ object DeltaLog {
                 .otherwise(col(c)).cast(dataSchema(c).dataType))
         }.select(dataSchema.fieldNames.map(col).toSeq: _*)
         val part = writeSingleParquet(updated, root, "graft-delta-upd")
-        val target = full.getParent.resolve(part.getFileName)
+        val targetDir =
+          if (rel.startsWith("/")) Paths.get(root) else full.getParent
+        val target = targetDir.resolve(part.getFileName)
         Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
         val newRel = Paths.get(root).relativize(target).toString
           .replace(java.io.File.separatorChar, '/')
@@ -1885,7 +1907,7 @@ object DeltaLog {
             StructField(ChangeTypeCol, StringType, nullable = true))
           Some(cdcList.map { case (rel, pv) =>
             attachPv(spark.read.schema(cdcSchema)
-              .parquet(Paths.get(root, rel).toString), pv, rel)
+              .parquet(resolvePath(root, rel).toString), pv, rel)
               .select(outCols.map(col): _*)
           }.reduce(_ unionByName _))
         } else if (addList.isEmpty && removeList.isEmpty) None
@@ -1898,7 +1920,7 @@ object DeltaLog {
             if (addList.isEmpty) None
             else {
               addList.foreach { case (rel, _) =>
-                require(Files.exists(Paths.get(root, rel)),
+                require(Files.exists(resolvePath(root, rel)),
                   s"DeltaLog.readChangeFeed: added file $rel of commit " +
                     s"$v was vacuumed away — this change-feed range is " +
                     "no longer readable")
@@ -1924,7 +1946,7 @@ object DeltaLog {
                     "a deletion vector — whole-file synthesis would " +
                     "resurrect its dead rows; the writer should have " +
                     "recorded CDC files")
-                require(Files.exists(Paths.get(root, rel)),
+                require(Files.exists(resolvePath(root, rel)),
                   s"DeltaLog.readChangeFeed: removed file $rel was " +
                     "vacuumed away — this change-feed range is no " +
                     "longer readable")
@@ -1989,7 +2011,7 @@ object DeltaLog {
     }
     if (toAdd.isEmpty && toRemove.isEmpty) return cur
     toAdd.foreach { case (rel, _) =>
-      require(Files.exists(Paths.get(root, rel)),
+      require(Files.exists(resolvePath(root, rel)),
         s"DeltaLog.restore: $rel of version $version was vacuumed " +
           "away — that snapshot is no longer restorable")
       dvOf(target, rel).filter(_.storageType == "u").foreach { d =>
@@ -2014,9 +2036,9 @@ object DeltaLog {
         if (sv == null) pvo.putNull(k) else pvo.put(k, sv)
       }
       a.put("size", target.fileSizes.getOrElse(rel,
-        Files.size(Paths.get(root, rel))))
+        Files.size(resolvePath(root, rel))))
       a.put("modificationTime", target.fileModTimes.getOrElse(rel,
-        Files.getLastModifiedTime(Paths.get(root, rel)).toMillis))
+        Files.getLastModifiedTime(resolvePath(root, rel)).toMillis))
       a.put("dataChange", true)
       target.fileStats.get(rel).foreach(a.put("stats", _))
       dvOf(target, rel).foreach { d =>
@@ -2032,6 +2054,86 @@ object DeltaLog {
     writeCommitFile(root, cur + 1, actions.result(),
       operation = "RESTORE")
     cur + 1
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`): a new
+    * table whose commit 0 re-declares the source's protocol, schema,
+    * partitioning and configuration, and whose adds reference the
+    * source's CURRENT active files by ABSOLUTE path (PROTOCOL.md
+    * allows absolute `path` fields — this is what they exist for).
+    * Zero data copied at any scale; recorded stats/partition values/DV
+    * descriptors carry over (DV sidecars re-addressed as absolute
+    * `p`-storage so they keep resolving to the source's blobs).
+    * The clone then evolves INDEPENDENTLY: copy-on-write DML rewrites
+    * land under the clone's root, the source never mutates; the
+    * clone's vacuum walks only its own root, so source files are never
+    * collected. Returns the clone's version 0.
+    */
+  def shallowClone(spark: SparkSession, sourceRoot: String,
+                   targetRoot: String): Long = {
+    require(!Files.isDirectory(logDir(targetRoot)),
+      s"DeltaLog.shallowClone: $targetRoot already has a _delta_log")
+    val st = replay(spark, sourceRoot, currentVersion(sourceRoot))
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $sourceRoot log — schema unknown"))
+    val srcAbs = Paths.get(sourceRoot).toAbsolutePath.normalize()
+    val actions = Seq.newBuilder[JsonNode]
+    val protocol = mapper.createObjectNode()
+    val p = protocol.putObject("protocol")
+    p.put("minReaderVersion", st.minReaderVersion)
+    p.put("minWriterVersion", st.minWriterVersion)
+    if (st.readerFeatures.nonEmpty) {
+      val rf = p.putArray("readerFeatures"); st.readerFeatures.foreach(rf.add)
+    }
+    if (st.writerFeatures.nonEmpty) {
+      val wf = p.putArray("writerFeatures"); st.writerFeatures.foreach(wf.add)
+    }
+    actions += protocol
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      ("graft-delta:" + targetRoot).getBytes("UTF-8")).toString
+    actions += metaDataAction(tableId, schema.json, st.partitionColumns,
+      st.configuration)
+    st.files.foreach { case (rel, pv) =>
+      val abs =
+        if (rel.startsWith("/")) rel // cloning a clone: already absolute
+        else srcAbs.resolve(rel).toString
+      val n = mapper.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", encodePath(abs))
+      val pvo = a.putObject("partitionValues")
+      pv.foreach { case (k, sv) =>
+        if (sv == null) pvo.putNull(k) else pvo.put(k, sv)
+      }
+      a.put("size", st.fileSizes.getOrElse(rel, Files.size(Paths.get(abs))))
+      a.put("modificationTime", st.fileModTimes.getOrElse(rel, 0L))
+      a.put("dataChange", true)
+      st.fileStats.get(rel).foreach(a.put("stats", _))
+      st.fileDvs.get(rel).foreach { d =>
+        val o = a.putObject("deletionVector")
+        d.storageType match {
+          case "u" =>
+            // re-address the source-relative sidecar absolutely
+            val prefix = d.pathOrInlineDv.dropRight(20)
+            val uuid = Dv.uuidFromBytes(
+              Dv.z85Decode(d.pathOrInlineDv.takeRight(20)))
+            val sidecar = (if (prefix.isEmpty) srcAbs
+                           else srcAbs.resolve(prefix))
+              .resolve(Dv.dvFileName(uuid)).toString
+            o.put("storageType", "p")
+            o.put("pathOrInlineDv", sidecar)
+          case _ =>
+            o.put("storageType", d.storageType)
+            o.put("pathOrInlineDv", d.pathOrInlineDv)
+        }
+        d.offset.foreach(o.put("offset", _))
+        o.put("sizeInBytes", d.sizeInBytes)
+        o.put("cardinality", d.cardinality)
+      }
+      actions += n
+    }
+    Files.createDirectories(logDir(targetRoot))
+    writeCommitFile(targetRoot, 0L, actions.result(), operation = "CLONE")
+    0L
   }
 
   /** Physically delete data files the CURRENT version no longer
@@ -2424,6 +2526,9 @@ object DeltaLog {
       rels.foreach(rel => require(!st.fileDvs.contains(rel),
         s"DeltaLog.compactPartitioned: $rel carries a deletion vector — " +
           "compaction of DV'd files is unimplemented"))
+      rels.foreach(rel => require(!rel.startsWith("/"),
+        s"DeltaLog.compactPartitioned: $rel is a shallow-cloned " +
+          "(absolute) reference — materialize via a rewrite first"))
       val merged = spark.read.schema(dataSchema)
         .parquet(rels.map(f => Paths.get(root, f).toString): _*)
       val part = writeSingleParquet(merged, root, "graft-delta-compact")

@@ -207,11 +207,15 @@ class DeltaLogSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](DeltaLog.readAt(spark, root3, 2L))
     assert(e3.getMessage.contains("missing"))
 
+    // absolute paths are legal (shallow clones record them); a non-file
+    // scheme is the remaining loud refusal
     val root4 = freshRoot()
     writeCommit(root4, 0L, Seq(
-      """{"add":{"path":"/abs/p.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"ext-4","format":{"provider":"parquet","options":{}},"schemaString":"${extSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"s3://bucket/p.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val e4 = intercept[IllegalArgumentException](DeltaLog.read(spark, root4))
-    assert(e4.getMessage.contains("unsupported"))
+    assert(e4.getMessage.contains("scheme 's3'"), e4.getMessage)
   }
 
   // ----- checkpoints -----
@@ -458,6 +462,58 @@ class DeltaLogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       DeltaLog.restore(spark, root, 0L))
     assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
+  test("shallow clone: zero-copy read equals source; DML diverges the " +
+    "clone only; clone vacuum never touches source files") {
+    val root = freshRoot()
+    // ONE source file so the k=2 delete is a genuine partial rewrite
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1))
+    val clone = freshRoot()
+    DeltaLog.shallowClone(spark, root, clone)
+    assert(rows(DeltaLog.read(spark, clone)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // zero data copied: no parquet outside the clone's _delta_log
+    def cloneParquets() = {
+      val w = Files.walk(Paths.get(clone))
+      try w.iterator().asScala.count(p =>
+        p.toString.endsWith(".parquet") &&
+          !p.toString.contains("_delta_log") &&
+          !p.toString.contains(".graft_staging"))
+      finally w.close()
+    }
+    assert(cloneParquets() == 0)
+    // copy-on-write DELETE on the clone: clone diverges, source doesn't
+    DeltaLog.deleteWhereLong(spark, clone, "k", 2L, 2L)
+    assert(rows(DeltaLog.read(spark, clone)) == Set((1L, "a"), (3L, "c")))
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(cloneParquets() == 1, "the rewrite must land under the clone")
+    // clone vacuum walks its own root only — source files survive
+    DeltaLog.vacuum(spark, clone)
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows(DeltaLog.read(spark, clone)) == Set((1L, "a"), (3L, "c")))
+  }
+
+  test("shallow clone re-addresses DV sidecars as absolute p-storage; " +
+    "a DV delete on the clone merges into a clone-local sidecar") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      (1L to 5L).map(k => (k, s"v$k")).toDF("k", "v"))
+    DeltaLog.deleteWhereLongDV(spark, root, "k", 2L, 3L)
+    val clone = freshRoot()
+    DeltaLog.shallowClone(spark, root, clone)
+    assert(rows(DeltaLog.read(spark, clone)) ==
+      Set((1L, "v1"), (4L, "v4"), (5L, "v5")))
+    assert(commitLines(clone, 0L)
+      .exists(_.contains("\"storageType\":\"p\"")))
+    DeltaLog.deleteWhereLongDV(spark, clone, "k", 4L, 4L)
+    assert(rows(DeltaLog.read(spark, clone)) ==
+      Set((1L, "v1"), (5L, "v5")))
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set((1L, "v1"), (4L, "v4"), (5L, "v5")))
   }
 
   test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
