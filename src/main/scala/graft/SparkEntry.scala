@@ -2396,6 +2396,50 @@ object SparkEntry {
         .select(col("side"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"))
     }),
+    // MERGE INTO (whole-row upsert on o_orderkey): base = slices 0+1;
+    // source = the [100,2000] slice-0/1 keys with doubled price
+    // (updates) ∪ slice 2 (inserts). Final state must equal all of
+    // orders with the doubled range — matched rows replaced whole,
+    // unmatched inserted, stats-pruned files untouched.
+    "q269_delta_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(i: Int) =
+        o.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) === i)
+      val root = freshScratch("q269")
+      graft.lake.DeltaLog.commitFlat(s, root, slice(0))
+      graft.lake.DeltaLog.commitFlat(s, root, slice(1))
+      val updates = o.filter(col("o_orderkey").between(100L, 2000L) &&
+          pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) =!= 2)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.lake.DeltaLog.mergeLongKey(s, root, "o_orderkey",
+        updates.unionByName(slice(2)))
+      graft.lake.DeltaLog.read(s, root)
+    }),
+    // MERGE × CHANGE FEED: the same merge on a CDF-enabled table; the
+    // merge commit's feed must carry the matched rows as update
+    // pre/postimages and the slice-2 rows as inserts — counted and
+    // cents-summed per change type (exact long cents, q266 discipline).
+    "q270_delta_merge_cdf" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(i: Int) =
+        o.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) === i)
+      val root = freshScratch("q270")
+      graft.lake.DeltaLog.commitFlat(s, root, slice(0),
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      graft.lake.DeltaLog.commitFlat(s, root, slice(1))
+      val updates = o.filter(col("o_orderkey").between(100L, 2000L) &&
+          pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) =!= 2)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.lake.DeltaLog.mergeLongKey(s, root, "o_orderkey",
+        updates.unionByName(slice(2)))
+      graft.lake.DeltaLog.readChangeFeed(s, root, 1L)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents"))
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3773,6 +3817,37 @@ object SparkEntry {
                 THEN l_extendedprice * 2 ELSE l_extendedprice END
          FROM lineitem
          WHERE NOT COALESCE(l_orderkey BETWEEN 3000 AND 6000, FALSE)""",
+    // q269: the merged table = orders with the update range doubled
+    // (doubling a double is exponent arithmetic — exact both engines).
+    "q269_delta_merge" ->
+      """SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey BETWEEN 100 AND 2000
+                 AND ((COALESCE(o_orderkey, 0) % 3) + 3) % 3 <> 2
+                THEN o_totalprice * 2 ELSE o_totalprice END
+             AS o_totalprice
+         FROM orders""",
+    // q270: the merge commit's feed per change type — preimages at the
+    // original price, postimages doubled, inserts the slice-2 rows;
+    // DuckDB's HUGEINT sum cast back to BIGINT (q258 discipline).
+    "q270_delta_merge_cdf" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_totalprice,
+             ((COALESCE(o_orderkey, 0) % 3) + 3) % 3 AS s
+           FROM orders)
+         SELECT 'update_preimage' AS change_type, count(*) AS n_rows,
+           CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM o WHERE o_orderkey BETWEEN 100 AND 2000 AND s <> 2
+         UNION ALL
+         SELECT 'update_postimage', count(*),
+           CAST(sum(CAST(FLOOR(o_totalprice * 2 * 100 + 0.5) AS BIGINT))
+             AS BIGINT)
+         FROM o WHERE o_orderkey BETWEEN 100 AND 2000 AND s <> 2
+         UNION ALL
+         SELECT 'insert', count(*),
+           CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT)
+         FROM o WHERE s = 2""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

@@ -1754,6 +1754,145 @@ object DeltaLog {
     v + 1
   }
 
+  /** Copy-on-write MERGE — Delta's `MERGE INTO` in its most common
+    * shape (the reference's upsert: match on a key, update every
+    * column, insert the rest; analytics/spark/jobs/silver_orders.py's
+    * MERGE semantics): every source row whose LONG `key` matches a
+    * target row REPLACES that row whole, source rows with no match
+    * INSERT. One commit: each touched target file rewrites WITHOUT its
+    * matched rows (`remove`+`add`), the full source lands as one new
+    * file — so target = (target ∖ matched) ∪ source, and untouched
+    * files are never rewritten (file-skipping by source key range
+    * BEFORE the exact one-job matched-file probe, so a point-key merge
+    * into a sorted 100 TB table touches one file).
+    *
+    * Contracts, all loud: source must cover the full data schema
+    * (extra columns refused — silent drops hide writer bugs); non-null
+    * source keys must be UNIQUE (Delta's multiple-source-rows-match
+    * error); NULL source keys never match and always insert; touched
+    * files must not carry deletion vectors; partitioned targets are
+    * out of scope (a whole-row merge can move rows across partitions —
+    * delete+insert territory); column-mapped tables are read-only.
+    * When CDF is on, matched rows land in a `cdc` file as
+    * `update_preimage`/`update_postimage` and unmatched source rows as
+    * `insert`; a pure-insert merge (nothing matched) commits adds only
+    * and the feed synthesizes its inserts like any append. No-op (no
+    * commit) on an empty source. Returns the table version afterwards.
+    */
+  def mergeLongKey(spark: SparkSession, root: String, key: String,
+                   source: DataFrame): Long = {
+    import spark.implicits._
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    require(mappingMode(st) == "none",
+      s"DeltaLog.mergeLongKey: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
+    require(st.partitionColumns.isEmpty,
+      "DeltaLog.mergeLongKey: partitioned targets unsupported — a " +
+        "whole-row merge can move rows across partitions")
+    val dataSchema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $root log — schema unknown"))
+    require(dataSchema.fieldNames.contains(key),
+      s"DeltaLog.mergeLongKey: key $key not in schema")
+    require(dataSchema(key).dataType == LongType,
+      s"DeltaLog.mergeLongKey: key $key is ${dataSchema(key).dataType}, " +
+        "expected LongType")
+    val missing = dataSchema.fieldNames.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"DeltaLog.mergeLongKey: source lacks columns ${missing.mkString(", ")}")
+    val extra = source.columns.filterNot(dataSchema.fieldNames.contains)
+    require(extra.isEmpty,
+      s"DeltaLog.mergeLongKey: source carries extra columns " +
+        s"${extra.mkString(", ")} the target schema cannot hold")
+    val src = source.select(dataSchema.fields
+      .map(f => col(f.name).cast(f.dataType)).toSeq: _*).persist()
+    try {
+      if (src.isEmpty) return v
+      require(src.filter(col(key).isNotNull).groupBy(col(key))
+        .count().filter(col("count") > 1).isEmpty,
+        "DeltaLog.mergeLongKey: multiple source rows share a key — " +
+          "which one updates the matched target row is undefined")
+      val srcKeys = src.filter(col(key).isNotNull).select(col(key))
+      val conf = spark.sparkContext.hadoopConfiguration
+      // candidate files by footer-stats range, exact touched set by ONE
+      // semi-join job over the candidates' key columns only
+      val keyRange = srcKeys.agg(
+        org.apache.spark.sql.functions.min(col(key)),
+        org.apache.spark.sql.functions.max(col(key))).head()
+      val touched: Seq[String] =
+        if (keyRange.isNullAt(0)) Nil // all-NULL keys: pure insert
+        else {
+          val (lo, hi) = (keyRange.getLong(0), keyRange.getLong(1))
+          val candidates = st.files
+            .filter { case (rel, _) => statsOverlap(st, rel, key, lo, hi) }
+          if (candidates.isEmpty) Nil
+          else candidates.map { case (rel, _) =>
+            spark.read.schema(StructType(Seq(dataSchema(key))))
+              .parquet(resolvePath(root, rel).toString)
+              .select(col(key)).withColumn("__rel", lit(rel))
+          }.reduce(_ unionByName _)
+            .join(srcKeys, Seq(key), "left_semi")
+            .select(col("__rel")).distinct().as[String].collect().toSeq
+        }
+      val actions = Seq.newBuilder[JsonNode]
+      touched.sorted.foreach { rel =>
+        require(!st.fileDvs.contains(rel),
+          s"DeltaLog.mergeLongKey: $rel carries a deletion vector — " +
+            "copy-on-write rewrite of DV'd files is unimplemented")
+        val full = resolvePath(root, rel)
+        // the using-join hoists `key` to column 0 — restore the
+        // declared physical order before writing
+        val remaining = spark.read.schema(dataSchema)
+          .parquet(full.toString)
+          .join(srcKeys, Seq(key), "left_anti")
+          .select(dataSchema.fieldNames.map(col).toSeq: _*)
+        val part = writeSingleParquet(remaining, root, "graft-delta-merge")
+        val kept = mapper.readTree(footerStatsJson(part, conf))
+          .path("numRecords").asLong(0L)
+        actions += removeActionNode(rel, dataChange = true)
+        if (kept > 0L) {
+          // a shallow-cloned (absolute) source file rewrites into THIS
+          // table's root — never beside the source
+          val targetDir =
+            if (rel.startsWith("/")) Paths.get(root) else full.getParent
+          val target = targetDir.resolve(part.getFileName)
+          Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+          val newRel = Paths.get(root).relativize(target).toString
+            .replace(java.io.File.separatorChar, '/')
+          actions += addActionNode(root, newRel, Map.empty, dataChange = true,
+            conf)
+        } else Files.delete(part)
+      }
+      // the whole source — updated versions of matched rows plus the
+      // genuinely new ones — lands as one new file
+      val insPart = writeSingleParquet(src, root, "graft-delta-merge")
+      val insTarget = Paths.get(root).resolve(insPart.getFileName)
+      Files.move(insPart, insTarget, StandardCopyOption.ATOMIC_MOVE)
+      actions += addActionNode(root,
+        insTarget.getFileName.toString, Map.empty, dataChange = true, conf)
+      // CDF: the remove+add pairs are file-grain — only a cdc file
+      // records WHICH rows updated vs inserted. Matched keys are read
+      // back from the touched source files (on disk until vacuum).
+      if (cdfEnabled(st) && touched.nonEmpty) {
+        val touchedRows = touched.map(rel => spark.read.schema(dataSchema)
+          .parquet(resolvePath(root, rel).toString)).reduce(_ unionByName _)
+        val matchedKeys = touchedRows.select(col(key))
+          .join(srcKeys, Seq(key), "left_semi").distinct()
+        def inOrder(df: DataFrame) =
+          df.select(dataSchema.fieldNames.map(col).toSeq: _*)
+        val pre = inOrder(touchedRows.join(srcKeys, Seq(key), "left_semi"))
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val post = inOrder(src.join(matchedKeys, Seq(key), "left_semi"))
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        val ins = inOrder(src.join(matchedKeys, Seq(key), "left_anti"))
+          .withColumn(ChangeTypeCol, lit("insert"))
+        actions += writeCdcFile(
+          pre.unionByName(post).unionByName(ins), root, Map.empty)
+      }
+      writeCommitFile(root, v + 1, actions.result(), operation = "MERGE")
+      v + 1
+    } finally src.unpersist()
+  }
+
   /** Rows APPENDED after `sinceVersion` — the incremental-ETL tail
     * read a downstream job consumes between runs. Semantics mirror the
     * Delta streaming source: the JSON commits of the tail are walked

@@ -516,6 +516,89 @@ class DeltaLogSpec extends SparkSpec {
       Set((1L, "v1"), (4L, "v4"), (5L, "v5")))
   }
 
+  test("mergeLongKey: whole-row upsert — matched rows replaced, new rows " +
+    "inserted, stats-pruned files never rewritten") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    DeltaLog.commitFlat(spark, root,
+      Seq((10L, "x"), (11L, "y")).toDF("k", "v").coalesce(1))
+    val before = DeltaLog.filesAt(spark, root, 1L)
+    val mv = DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"))
+    assert(mv == 2L)
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set((1L, "a"), (2L, "B"), (3L, "c"), (10L, "x"), (11L, "y")))
+    // source keys span [2,3]: the (10,11) file is outside the range and
+    // must survive BY IDENTITY (never rewritten)
+    val after = DeltaLog.filesAt(spark, root, 2L)
+    assert(after.intersect(before).size == 1, s"$before -> $after")
+    assert(after.size == 3, s"rewrite + untouched + insert file: $after")
+    // time travel below the merge still sees the old rows
+    assert(rows(DeltaLog.readAt(spark, root, 1L)) ==
+      Set((1L, "a"), (2L, "b"), (10L, "x"), (11L, "y")))
+  }
+
+  test("mergeLongKey: CDF records update pre/postimages and inserts; " +
+    "a no-match merge is a pure append the feed synthesizes") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"))
+    val feed = DeltaLog.readChangeFeed(spark, root, 0L)
+      .select("k", "v", DeltaLog.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set((2L, "b", "update_preimage"),
+      (2L, "B", "update_postimage"), (3L, "c", "insert")))
+    // no-match merge: adds only — the append tail stays readable
+    DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((90L, "z")).toDF("k", "v"))
+    assert(rows(DeltaLog.readAppendsSince(spark, root, 1L)) ==
+      Set((90L, "z")))
+    val feed2 = DeltaLog.readChangeFeed(spark, root, 1L)
+      .select("k", "v", DeltaLog.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed2 == Set((90L, "z", "insert")))
+  }
+
+  test("mergeLongKey: NULL source keys always insert; duplicate keys, " +
+    "extra columns, partitioned targets and DV'd files refuse loudly") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((Some(2L), "B"), (None, "n")).toDF("k", "v"))
+    val df = DeltaLog.read(spark, root)
+    assert(df.filter(col("k").isNull).count() == 1L)
+    assert(rows(df.filter(col("k").isNotNull)) ==
+      Set((1L, "a"), (2L, "B")))
+    val eDup = intercept[IllegalArgumentException](
+      DeltaLog.mergeLongKey(spark, root, "k",
+        Seq((5L, "x"), (5L, "y")).toDF("k", "v")))
+    assert(eDup.getMessage.contains("multiple source rows"), eDup.getMessage)
+    val eExtra = intercept[IllegalArgumentException](
+      DeltaLog.mergeLongKey(spark, root, "k",
+        Seq((5L, "x", 1)).toDF("k", "v", "w")))
+    assert(eExtra.getMessage.contains("extra columns"), eExtra.getMessage)
+    val part = freshRoot()
+    DeltaLog.commitPartitioned(spark, part,
+      Seq((1L, "a", "p1")).toDF("k", "v", "pt"), Seq("pt"))
+    val ePart = intercept[IllegalArgumentException](
+      DeltaLog.mergeLongKey(spark, part, "k",
+        Seq((1L, "x", "p1")).toDF("k", "v", "pt")))
+    assert(ePart.getMessage.contains("partitioned"), ePart.getMessage)
+    val dvRoot = freshRoot()
+    DeltaLog.commitFlat(spark, dvRoot,
+      (1L to 5L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    DeltaLog.deleteWhereLongDV(spark, dvRoot, "k", 2L, 2L)
+    val eDv = intercept[IllegalArgumentException](
+      DeltaLog.mergeLongKey(spark, dvRoot, "k",
+        Seq((3L, "X")).toDF("k", "v")))
+    assert(eDv.getMessage.contains("deletion vector"), eDv.getMessage)
+  }
+
   test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
     val root = freshRoot()
     writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
