@@ -2440,6 +2440,22 @@ object SparkEntry {
           sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
             .as("cents"))
     }),
+    // SCHEMA EVOLUTION: slice 0 commits two columns; slice 1 arrives
+    // with o_totalprice and mergeSchema=true — the commit re-emits
+    // metaData with the appended nullable column, and the read returns
+    // the evolved shape with NULL price for the pre-evolution files.
+    "q271_delta_schema_evolution" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def half(i: Int) =
+        o.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(2)) === i)
+      val root = freshScratch("q271")
+      graft.lake.DeltaLog.commitFlat(s, root,
+        half(0).select(col("o_orderkey"), col("o_custkey")))
+      graft.lake.DeltaLog.commitFlat(s, root,
+        half(1).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")), mergeSchema = true)
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3848,6 +3864,12 @@ object SparkEntry {
            CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
              AS BIGINT)
          FROM o WHERE s = 2""",
+    // q271: pre-evolution rows read NULL for the appended column.
+    "q271_delta_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+           CASE WHEN ((COALESCE(o_orderkey, 0) % 2) + 2) % 2 = 1
+                THEN o_totalprice END AS o_totalprice
+         FROM orders""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

@@ -2482,17 +2482,21 @@ object DeltaLog {
   def commitFlat(spark: SparkSession, root: String, df: DataFrame,
                  rewrite: Boolean = false,
                  txn: Option[(String, Long)] = None,
-                 configuration: Map[String, String] = Map.empty): Long =
-    commitData(spark, root, df, Seq.empty, rewrite, txn, configuration)
+                 configuration: Map[String, String] = Map.empty,
+                 mergeSchema: Boolean = false): Long =
+    commitData(spark, root, df, Seq.empty, rewrite, txn, configuration,
+      mergeSchema)
 
   private def commitData(spark: SparkSession, root: String, df: DataFrame,
                          partitionCols: Seq[String], rewrite: Boolean,
                          txn: Option[(String, Long)],
-                         configuration: Map[String, String] = Map.empty): Long = {
+                         configuration: Map[String, String] = Map.empty,
+                         mergeSchema: Boolean = false): Long = {
     val v = currentVersion(root) + 1
     val prior =
       if (v == 0L) None
       else Some(replay(spark, root, v - 1))
+    var evolvedSchema: Option[StructType] = None
     prior.foreach { st =>
       require(mappingMode(st) == "none",
         s"DeltaLog.commitData: column-mapped tables are read-only " +
@@ -2512,9 +2516,33 @@ object DeltaLog {
           valueContainsNull = true)
         case other => other
       }
-      require(st.schema.forall(sch => norm(sch) == norm(df.schema)),
-        "DeltaLog.commitData: schema change on a committed " +
-          "table is unsupported — rewrite to a new root")
+      st.schema.foreach { sch =>
+        if (norm(sch) != norm(df.schema)) {
+          require(mergeSchema,
+            "DeltaLog.commitData: schema change on a committed table — " +
+              "pass mergeSchema=true for additive evolution, or rewrite " +
+              "to a new root")
+          // Delta's mergeSchema: shared columns keep their declared
+          // type (no silent casts/widening), columns absent from the
+          // batch stay (their files simply lack them — the declared-
+          // schema read returns null), genuinely NEW top-level columns
+          // append as nullable and the commit re-emits metaData with
+          // the evolved schema (the Delta schema-evolution idiom).
+          val byName = sch.fields.map(f => f.name -> f).toMap
+          df.schema.fields.filter(f => byName.contains(f.name))
+            .foreach(f => require(
+              norm(byName(f.name).dataType) == norm(f.dataType),
+              s"DeltaLog.commitData: column ${f.name} is " +
+                s"${byName(f.name).dataType} in the table but " +
+                s"${f.dataType} in the batch — type changes are not " +
+                "schema evolution"))
+          val newFields = df.schema.fields
+            .filterNot(f => byName.contains(f.name))
+            .map(_.copy(nullable = true))
+          if (newFields.nonEmpty)
+            evolvedSchema = Some(StructType(sch.fields ++ newFields))
+        }
+      }
     }
     // Exactly-once via txn watermarks (the protocol's mechanism): if
     // this (appId, version) is at or below the log's recorded watermark
@@ -2576,6 +2604,13 @@ object DeltaLog {
       actions += protocol
       actions += metaDataAction(tableId, df.schema.json, partitionCols,
         configuration)
+    }
+    // additive evolution: re-emit metaData with the widened schema,
+    // preserving the table's ORIGINAL id and configuration
+    evolvedSchema.foreach { es =>
+      val st = prior.get
+      actions += metaDataAction(st.tableId, es.json, partitionCols,
+        st.configuration)
     }
     txn.foreach { case (app, ver) =>
       val n = mapper.createObjectNode()

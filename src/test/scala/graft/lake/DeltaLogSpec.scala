@@ -599,6 +599,38 @@ class DeltaLogSpec extends SparkSpec {
     assert(eDv.getMessage.contains("deletion vector"), eDv.getMessage)
   }
 
+  test("mergeSchema append: new columns append nullable and survive a " +
+    "checkpoint; missing columns read null; type changes and unflagged " +
+    "evolution refuse") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    val eNoFlag = intercept[IllegalArgumentException](
+      DeltaLog.commitFlat(spark, root,
+        Seq((2L, "b", 0.5)).toDF("k", "v", "w")))
+    assert(eNoFlag.getMessage.contains("mergeSchema"), eNoFlag.getMessage)
+    DeltaLog.commitFlat(spark, root,
+      Seq((2L, "b", 0.5)).toDF("k", "v", "w"), mergeSchema = true)
+    // a batch MISSING the evolved column: its files simply lack it
+    DeltaLog.commitFlat(spark, root, Seq((3L, "c")).toDF("k", "v"),
+      mergeSchema = true)
+    val df = DeltaLog.read(spark, root)
+    assert(df.columns.toSeq == Seq("k", "v", "w"))
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set((1L, "a", None), (2L, "b", Some(0.5)),
+      (3L, "c", None)))
+    val eType = intercept[IllegalArgumentException](
+      DeltaLog.commitFlat(spark, root,
+        Seq((4L, "d", "oops")).toDF("k", "v", "w"), mergeSchema = true))
+    assert(eType.getMessage.contains("type changes"), eType.getMessage)
+    // the evolved metaData must survive checkpoint compaction
+    DeltaLog.checkpoint(spark, root, 2L)
+    (0L to 1L).foreach(v => Files.delete(
+      Paths.get(root, "_delta_log", f"$v%020d.json")))
+    assert(DeltaLog.read(spark, root).columns.toSeq == Seq("k", "v", "w"))
+    assert(DeltaLog.read(spark, root).count() == 3L)
+  }
+
   test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
     val root = freshRoot()
     writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
