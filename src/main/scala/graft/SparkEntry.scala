@@ -2456,6 +2456,22 @@ object SparkEntry {
           col("o_totalprice")), mergeSchema = true)
       graft.lake.DeltaLog.read(s, root)
     }),
+    // CHECK CONSTRAINT lifecycle: half the events commit free-form,
+    // ADD CONSTRAINT validates them (one scan), the second half
+    // commits THROUGH the inline enforcement — the final read is the
+    // whole non-null-id slice, proving validation + enforced writes
+    // corrupt nothing.
+    "q272_delta_constraints" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def half(i: Int) = ev.filter(pmod(col("event_id"), lit(2)) === i)
+      val root = freshScratch("q272")
+      graft.lake.DeltaLog.commitFlat(s, root, half(0))
+      graft.lake.DeltaLog.addCheckConstraint(s, root, "id_present",
+        "event_id IS NOT NULL")
+      graft.lake.DeltaLog.commitFlat(s, root, half(1))
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3870,6 +3886,9 @@ object SparkEntry {
            CASE WHEN ((COALESCE(o_orderkey, 0) % 2) + 2) % 2 = 1
                 THEN o_totalprice END AS o_totalprice
          FROM orders""",
+    // q272: the two halves are a total partition of the slice.
+    "q272_delta_constraints" ->
+      """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

@@ -3,8 +3,8 @@ package graft.lake
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, lit,
-  regexp_extract, row_number}
+import org.apache.spark.sql.functions.{assert_true, col, expr,
+  input_file_name, lit, regexp_extract, row_number}
 import org.apache.spark.sql.types._
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
@@ -1238,6 +1238,119 @@ object DeltaLog {
   /** Can `path`'s stats range intersect [lo, hi] on `column`? Missing
     * stats, or no numeric min/max for the column → conservatively true.
     */
+  /** CHECK constraints recorded in the table configuration
+    * (PROTOCOL.md / Delta's `ALTER TABLE ADD CONSTRAINT`:
+    * `delta.constraints.<name> = <sql>`), name-sorted.
+    */
+  private def constraintsOf(cfg: Map[String, String]): Seq[(String, String)] =
+    cfg.collect { case (k, v) if k.startsWith("delta.constraints.") =>
+      k.stripPrefix("delta.constraints.") -> v }.toSeq.sortBy(_._1)
+
+  /** Wrap a batch with INLINE writer invariants — NOT NULL for every
+    * non-nullable declared column and every `delta.constraints.*`
+    * CHECK expression. Enforcement rides the write itself (an
+    * `assert_true` inside a filter — no second pass over the data, the
+    * shape of Delta's own CheckDeltaInvariant node): the first
+    * violating row fails the write loudly before any commit lands.
+    * A CHECK must evaluate to TRUE — NULL counts as a violation
+    * (write `… OR x IS NULL` when nulls are legal). Declared columns
+    * the batch lacks are evaluated as typed NULLs, so a NOT NULL
+    * column missing from a mergeSchema batch still refuses.
+    */
+  private def enforceInvariants(df: DataFrame, schema: StructType,
+                                cfg: Map[String, String]): DataFrame = {
+    val notNull = schema.fields.filter(!_.nullable)
+      .map(f => (s"NOT NULL constraint violated: column ${f.name}",
+        col(f.name).isNotNull))
+    val checks = constraintsOf(cfg).map { case (n, sql) =>
+      (s"CHECK constraint $n ($sql) violated",
+        expr(sql).cast("boolean") <=> lit(true))
+    }
+    if (notNull.isEmpty && checks.isEmpty) return df
+    val missing = schema.fields.filterNot(f => df.columns.contains(f.name))
+    val widened = missing.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val checked = (notNull ++ checks).foldLeft(widened) {
+      case (d, (msg, cond)) =>
+        d.filter(assert_true(cond, lit(msg)).isNull)
+    }
+    checked.select(df.columns.map(col).toSeq: _*)
+  }
+
+  /** `ALTER TABLE ADD CONSTRAINT name CHECK (sql)`: validates every
+    * EXISTING row first (one scan — Delta's own semantics: adding a
+    * constraint a current row violates fails), then commits a
+    * metaData re-emit carrying `delta.constraints.name` plus the
+    * protocol floor CHECK enforcement requires (legacy writer
+    * version 3, or the `checkConstraints` writer feature on a
+    * features table). Every later write through this bridge enforces
+    * it inline. Returns the new version.
+    */
+  def addCheckConstraint(spark: SparkSession, root: String, name: String,
+                         sql: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"DeltaLog.addCheckConstraint: constraint name '$name' must be " +
+        "alphanumeric/_")
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    require(mappingMode(st) == "none",
+      "DeltaLog.addCheckConstraint: column-mapped tables are read-only " +
+        "through this bridge")
+    require(!st.configuration.contains(s"delta.constraints.$name"),
+      s"DeltaLog.addCheckConstraint: constraint $name already exists")
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $root log — schema unknown"))
+    val violating = readAt(spark, root, v)
+      .filter(!(expr(sql).cast("boolean") <=> lit(true)))
+    require(violating.isEmpty,
+      s"DeltaLog.addCheckConstraint: existing rows violate $name ($sql)")
+    val cfg = st.configuration + (s"delta.constraints.$name" -> sql)
+    val actions = Seq.newBuilder[JsonNode]
+    if (st.minWriterVersion < 3) {
+      val n = mapper.createObjectNode()
+      val p = n.putObject("protocol")
+      p.put("minReaderVersion", st.minReaderVersion)
+      p.put("minWriterVersion", 3)
+      actions += n
+    } else if (st.minWriterVersion >= 7 &&
+      !st.writerFeatures.contains("checkConstraints")) {
+      val n = mapper.createObjectNode()
+      val p = n.putObject("protocol")
+      p.put("minReaderVersion", st.minReaderVersion)
+      p.put("minWriterVersion", st.minWriterVersion)
+      if (st.readerFeatures.nonEmpty) {
+        val rf = p.putArray("readerFeatures")
+        st.readerFeatures.foreach(rf.add)
+      }
+      val wf = p.putArray("writerFeatures")
+      (st.writerFeatures :+ "checkConstraints").distinct.foreach(wf.add)
+      actions += n
+    }
+    actions += metaDataAction(st.tableId, schema.json, st.partitionColumns,
+      cfg)
+    writeCommitFile(root, v + 1, actions.result(),
+      operation = "ADD CONSTRAINT")
+    v + 1
+  }
+
+  /** `ALTER TABLE DROP CONSTRAINT name` — metaData re-emit without it.
+    * Unknown names refuse (typos must not silently "succeed").
+    */
+  def dropCheckConstraint(spark: SparkSession, root: String,
+                          name: String): Long = {
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    val key = s"delta.constraints.$name"
+    require(st.configuration.contains(key),
+      s"DeltaLog.dropCheckConstraint: no constraint named $name")
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $root log — schema unknown"))
+    writeCommitFile(root, v + 1, Seq(metaDataAction(st.tableId,
+      schema.json, st.partitionColumns, st.configuration - key)),
+      operation = "DROP CONSTRAINT")
+    v + 1
+  }
+
   private def statsOverlap(st: LogState, path: String, column: String,
                            lo: Long, hi: Long): Boolean =
     st.fileStats.get(path) match {
@@ -1715,7 +1828,9 @@ object DeltaLog {
               org.apache.spark.sql.functions.when(matches, e)
                 .otherwise(col(c)).cast(dataSchema(c).dataType))
         }.select(dataSchema.fieldNames.map(col).toSeq: _*)
-        val part = writeSingleParquet(updated, root, "graft-delta-upd")
+        val part = writeSingleParquet(
+          enforceInvariants(updated, dataSchema, st.configuration),
+          root, "graft-delta-upd")
         val targetDir =
           if (rel.startsWith("/")) Paths.get(root) else full.getParent
         val target = targetDir.resolve(part.getFileName)
@@ -1864,7 +1979,9 @@ object DeltaLog {
       }
       // the whole source — updated versions of matched rows plus the
       // genuinely new ones — lands as one new file
-      val insPart = writeSingleParquet(src, root, "graft-delta-merge")
+      val insPart = writeSingleParquet(
+        enforceInvariants(src, dataSchema, st.configuration),
+        root, "graft-delta-merge")
       val insTarget = Paths.get(root).resolve(insPart.getFileName)
       Files.move(insPart, insTarget, StandardCopyOption.ATOMIC_MOVE)
       actions += addActionNode(root,
@@ -2557,7 +2674,12 @@ object DeltaLog {
     Files.createDirectories(Paths.get(root))
     val stagingPath = Files.createTempDirectory(stagingBase(root),
       "graft-delta-part")
-    val writer = df.write.mode("overwrite")
+    // writer invariants ride the write itself — NOT NULL columns and
+    // delta.constraints.* CHECKs fail the batch before a commit lands
+    val enforced = enforceInvariants(df,
+      evolvedSchema.orElse(prior.flatMap(_.schema)).getOrElse(df.schema),
+      prior.map(_.configuration).getOrElse(configuration))
+    val writer = enforced.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(stagingPath.toString)
     // Move each data file into the table root under its partition path

@@ -566,8 +566,10 @@ class DeltaLogSpec extends SparkSpec {
   test("mergeLongKey: NULL source keys always insert; duplicate keys, " +
     "extra columns, partitioned targets and DV'd files refuse loudly") {
     val root = freshRoot()
+    // the key must be DECLARED nullable or the NULL insert trips the
+    // NOT NULL writer invariant (tuple-encoded Long => non-nullable)
     DeltaLog.commitFlat(spark, root,
-      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+      Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "v").coalesce(1))
     DeltaLog.mergeLongKey(spark, root, "k",
       Seq((Some(2L), "B"), (None, "n")).toDF("k", "v"))
     val df = DeltaLog.read(spark, root)
@@ -629,6 +631,53 @@ class DeltaLogSpec extends SparkSpec {
       Paths.get(root, "_delta_log", f"$v%020d.json")))
     assert(DeltaLog.read(spark, root).columns.toSeq == Seq("k", "v", "w"))
     assert(DeltaLog.read(spark, root).count() == 3L)
+  }
+
+  test("CHECK constraints: add validates existing rows and bumps the " +
+    "writer floor; every write path enforces inline; drop lifts") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    val eBad = intercept[IllegalArgumentException](
+      DeltaLog.addCheckConstraint(spark, root, "k_big", "k > 1"))
+    assert(eBad.getMessage.contains("existing rows violate"), eBad.getMessage)
+    DeltaLog.addCheckConstraint(spark, root, "k_pos", "k > 0")
+    assert(commitLines(root, 1L)
+      .exists(_.contains("\"minWriterVersion\":3")))
+    DeltaLog.commitFlat(spark, root, Seq((3L, "c")).toDF("k", "v"))
+    val before = DeltaLog.currentVersion(root)
+    intercept[Exception](DeltaLog.commitFlat(spark, root,
+      Seq((-1L, "x")).toDF("k", "v")))
+    intercept[Exception](DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((-5L, "y")).toDF("k", "v")))
+    intercept[Exception](DeltaLog.updateWhereLong(spark, root, "k",
+      1L, 1L, Map("k" -> lit(-9L))))
+    assert(DeltaLog.currentVersion(root) == before,
+      "a violating write must not commit")
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    DeltaLog.dropCheckConstraint(spark, root, "k_pos")
+    DeltaLog.commitFlat(spark, root, Seq((-1L, "x")).toDF("k", "v"))
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (-1L, "x")))
+    intercept[IllegalArgumentException](
+      DeltaLog.dropCheckConstraint(spark, root, "nope"))
+  }
+
+  test("NOT NULL invariant: a declared non-nullable column refuses a " +
+    "batch carrying NULLs, including via mergeSchema-missing columns") {
+    val root = freshRoot()
+    // tuple-encoded Long => nullable=false in the declared schema
+    DeltaLog.commitFlat(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    val before = DeltaLog.currentVersion(root)
+    intercept[Exception](DeltaLog.commitFlat(spark, root,
+      Seq((Some(2L), "b"), (None, "n")).toDF("k", "v")))
+    assert(DeltaLog.currentVersion(root) == before)
+    // a mergeSchema batch missing the non-null column is all-NULL there
+    intercept[Exception](DeltaLog.commitFlat(spark, root,
+      Seq(("only-v", 1.0)).toDF("v", "w"), mergeSchema = true))
+    assert(DeltaLog.currentVersion(root) == before)
+    assert(rows(DeltaLog.read(spark, root)) == Set((1L, "a")))
   }
 
   test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
