@@ -2472,6 +2472,25 @@ object SparkEntry {
       graft.lake.DeltaLog.commitFlat(s, root, half(1))
       graft.lake.DeltaLog.read(s, root)
     }),
+    // OPTIMIZE ZORDER: four full-range slices (worst-case skipping), a
+    // DV delete inside the read window, then the Z-clustered rewrite —
+    // the selective read must return the filtered slice through the
+    // post-optimize layout (DVs applied+cleared, dataChange=false),
+    // with the pruning itself pinned by DeltaLogSpec.
+    "q273_delta_zorder" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(4)) === i)
+      val root = freshScratch("q273")
+      (0 until 4).foreach(i =>
+        graft.lake.DeltaLog.commitFlat(s, root, slice(i)))
+      graft.lake.DeltaLog.deleteWhereLongDV(s, root, "event_id",
+        1000L, 1500L)
+      graft.lake.DeltaLog.optimizeZOrder(s, root, "event_id",
+        "event_ts_us", 20, 8)
+      graft.lake.DeltaLog.readWhereLong(s, root, "event_id", 0L, 2000L)
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3889,6 +3908,11 @@ object SparkEntry {
     // q272: the two halves are a total partition of the slice.
     "q272_delta_constraints" ->
       """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
+    // q273: the window minus the DV-deleted range.
+    "q273_delta_zorder" ->
+      """SELECT event_id, epoch_us(ts) AS event_ts_us, value FROM events
+         WHERE event_id IS NOT NULL AND event_id BETWEEN 0 AND 2000
+           AND event_id NOT BETWEEN 1000 AND 1500""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

@@ -2801,6 +2801,70 @@ object DeltaLog {
     * (Unpartitioned [[Snapshots]] tables compact through their own
     * OPTIMIZE; this is the partitioned-layout sibling.)
     */
+  /** `OPTIMIZE … ZORDER BY (x, y)` through the Delta log: the current
+    * active set rewrites Z-clustered ([[Layout.zorderWrite]] —
+    * Morton-keyed range partitioning + in-partition sort, one shuffle)
+    * as `remove`+`add` with `dataChange=false`: identical logical rows,
+    * so append tails skip the commit and every earlier version stays
+    * time-travelable until vacuum. Each new file covers a contiguous
+    * Morton run = a small (x, y) rectangle, so its footer min/max are
+    * NARROW on both dimensions and [[readWhereLong]]/external
+    * data-skipping readers prune selective reads on EITHER column —
+    * the reason to Z-order at all. Deletion vectors are APPLIED and
+    * cleared (Delta's own OPTIMIZE does the same), and shallow-cloned
+    * absolute references are MATERIALIZED under this table's root —
+    * this is the clone-localization pass [[compactPartitioned]]'s
+    * refusal points at. Both columns must be LONG (the Morton fold's
+    * contract); flat tables only. No-op on an empty table.
+    */
+  def optimizeZOrder(spark: SparkSession, root: String, xCol: String,
+                     yCol: String, bits: Int, numFiles: Int): Long = {
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    require(mappingMode(st) == "none",
+      s"DeltaLog.optimizeZOrder: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
+    require(st.partitionColumns.isEmpty,
+      "DeltaLog.optimizeZOrder: partitioned tables unsupported — " +
+        "Z-order clusters the whole table; drop to per-partition " +
+        "compaction via compactPartitioned")
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog.optimizeZOrder: no metaData in $root log"))
+    Seq(xCol, yCol).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"DeltaLog.optimizeZOrder: column $c not in schema")
+      require(schema(c).dataType == LongType,
+        s"DeltaLog.optimizeZOrder: $c is ${schema(c).dataType}, the " +
+          "Morton fold needs LongType")
+    }
+    if (st.files.isEmpty) return v
+    // DV-aware, clone-aware current read — deleted rows drop out here
+    val df = readAt(spark, root, v)
+    val staging = Files.createTempDirectory(stagingBase(root),
+      "graft-delta-zorder")
+    Layout.zorderWrite(df, staging.toString, xCol, yCol, bits, numFiles)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val actions = Seq.newBuilder[JsonNode]
+    st.files.foreach { case (rel, _) =>
+      actions += removeActionNode(rel, dataChange = false)
+    }
+    val listed = Files.list(staging)
+    val parts =
+      try listed.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally listed.close()
+    require(parts.nonEmpty,
+      s"DeltaLog.optimizeZOrder: rewrite produced no parquet files")
+    parts.sortBy(_.getFileName.toString).foreach { p =>
+      val target = Paths.get(root).resolve(p.getFileName)
+      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      actions += addActionNode(root, target.getFileName.toString,
+        Map.empty, dataChange = false, conf)
+    }
+    deleteRecursively(staging)
+    writeCommitFile(root, v + 1, actions.result(), operation = "OPTIMIZE")
+    v + 1
+  }
+
   def compactPartitioned(spark: SparkSession, root: String): Long = {
     val v = currentVersion(root)
     val st = replay(spark, root, v)

@@ -680,6 +680,42 @@ class DeltaLogSpec extends SparkSpec {
     assert(rows(DeltaLog.read(spark, root)) == Set((1L, "a")))
   }
 
+  test("optimizeZOrder: identical rows as dataChange=false, DVs applied " +
+    "and cleared, history time-travelable, selective reads prune files") {
+    val root = freshRoot()
+    // four files EACH spanning the full x range — worst-case skipping
+    (0 until 4).foreach { i =>
+      DeltaLog.commitFlat(spark, root,
+        (0L until 64L).map(j => (j, j % 4, s"r$i-$j"))
+          .toDF("x", "y", "s").coalesce(1))
+    }
+    DeltaLog.deleteWhereLongDV(spark, root, "x", 10L, 10L)
+    val vPre = DeltaLog.currentVersion(root)
+    def all(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val pre = all(DeltaLog.read(spark, root))
+    assert(pre.size == 4 * 64 - 4)
+    val filesBefore = DeltaLog.readWhereLong(spark, root, "x", 0L, 7L)
+      .inputFiles.length
+    assert(filesBefore == 4, "every pre-optimize file overlaps [0,7]")
+    val vOpt = DeltaLog.optimizeZOrder(spark, root, "x", "y", 6, 4)
+    assert(vOpt == vPre + 1)
+    assert(all(DeltaLog.read(spark, root)) == pre)
+    // the commit is pure layout: dataChange=false everywhere, DVs gone
+    val lines = commitLines(root, vOpt)
+    assert(lines.forall(l => !l.contains("\"dataChange\":true")), lines)
+    assert(lines.filter(_.contains("\"add\""))
+      .forall(!_.contains("deletionVector")), "OPTIMIZE must clear DVs")
+    // narrow per-file x ranges now prune the selective read
+    val filesAfter = DeltaLog.readWhereLong(spark, root, "x", 0L, 7L)
+      .inputFiles.length
+    assert(filesAfter < filesBefore && filesAfter <= 2,
+      s"$filesBefore -> $filesAfter")
+    // pre-optimize versions stay travelable; the append tail skips it
+    assert(all(DeltaLog.readAt(spark, root, vPre)) == pre)
+    assert(DeltaLog.readAppendsSince(spark, root, vPre).count() == 0L)
+  }
+
   test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
     val root = freshRoot()
     writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
