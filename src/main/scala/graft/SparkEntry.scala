@@ -2491,6 +2491,26 @@ object SparkEntry {
         "event_ts_us", 20, 8)
       graft.lake.DeltaLog.readWhereLong(s, root, "event_id", 0L, 2000L)
     }),
+    // GENERATED COLUMNS: day GENERATED ALWAYS AS (event_ts_us div
+    // 86400000000). Batch 0 provides it (verified inline), batch 1
+    // lacks it (computed at write), an UPDATE recomputes it through
+    // the post-SET timestamp — the read-back must equal the
+    // recomputed truth everywhere.
+    "q274_delta_generated" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"))
+        .filter(col("event_id").isNotNull)
+      def half(i: Int) = ev.filter(pmod(col("event_id"), lit(2)) === i)
+      val root = freshScratch("q274")
+      val genSql = "event_ts_us div 86400000000"
+      graft.lake.DeltaLog.commitFlat(s, root,
+        graft.lake.DeltaLog.withGenerationExpression(
+          half(0).withColumn("day", expr(genSql)), "day", genSql))
+      graft.lake.DeltaLog.commitFlat(s, root, half(1))
+      graft.lake.DeltaLog.updateWhereLong(s, root, "event_id", 0L, 2000L,
+        Map("event_ts_us" -> (col("event_ts_us") + lit(86400000000L))))
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3913,6 +3933,17 @@ object SparkEntry {
       """SELECT event_id, epoch_us(ts) AS event_ts_us, value FROM events
          WHERE event_id IS NOT NULL AND event_id BETWEEN 0 AND 2000
            AND event_id NOT BETWEEN 1000 AND 1500""",
+    // q274: day recomputes from the post-UPDATE timestamp; epoch-µs is
+    // positive so Spark div and DuckDB // agree (truncation-safe).
+    "q274_delta_generated" ->
+      """WITH ev AS (
+           SELECT event_id,
+             epoch_us(ts) + CASE WHEN event_id BETWEEN 0 AND 2000
+               THEN 86400000000 ELSE 0 END AS event_ts_us
+           FROM events WHERE event_id IS NOT NULL)
+         SELECT event_id, event_ts_us,
+           event_ts_us // 86400000000 AS day
+         FROM ev""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

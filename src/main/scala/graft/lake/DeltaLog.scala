@@ -1238,6 +1238,55 @@ object DeltaLog {
   /** Can `path`'s stats range intersect [lo, hi] on `column`? Missing
     * stats, or no numeric min/max for the column → conservatively true.
     */
+  /** Mark `column` GENERATED ALWAYS AS (`genSql`) — Delta's generated
+    * columns (PROTOCOL.md / delta.io: the `delta.generationExpression`
+    * key in the StructField metadata of `schemaString`). Returns a
+    * DataFrame whose schema carries the marker; committing it CREATES
+    * the generated-column table (the declared schema is the contract
+    * every later writer is held to, including external logs whose
+    * schemaString carries the same key).
+    */
+  def withGenerationExpression(df: DataFrame, column: String,
+                               genSql: String): DataFrame = {
+    require(df.columns.contains(column),
+      s"DeltaLog.withGenerationExpression: $column not in the DataFrame")
+    val old = df.schema(column).metadata
+    val meta = new MetadataBuilder().withMetadata(old)
+      .putString("delta.generationExpression", genSql).build()
+    df.withColumn(column, col(column).as(column, meta))
+  }
+
+  /** (column, generation sql) pairs declared in a schema. */
+  private def generationExprs(schema: StructType): Seq[(String, String)] =
+    schema.fields
+      .filter(_.metadata.contains("delta.generationExpression"))
+      .map(f => f.name ->
+        f.metadata.getString("delta.generationExpression")).toSeq
+
+  /** Delta's generated-column write semantics: a batch LACKING the
+    * column gets it COMPUTED from its expression; a batch PROVIDING it
+    * is verified inline (`assert_true` riding the write — the same
+    * zero-extra-pass shape as [[enforceInvariants]]): a provided value
+    * that disagrees with GENERATED ALWAYS AS fails the write loudly.
+    * Restores the declared column order when the computed columns
+    * complete the schema.
+    */
+  private def applyGeneratedColumns(df: DataFrame,
+                                    schema: StructType): DataFrame = {
+    val gens = generationExprs(schema)
+    if (gens.isEmpty) return df
+    val applied = gens.foldLeft(df) { case (d, (c, g)) =>
+      val e = expr(g).cast(schema(c).dataType)
+      if (!d.columns.contains(c)) d.withColumn(c, e)
+      else d.filter(assert_true(col(c) <=> e,
+        lit(s"generated column $c does not match GENERATED ALWAYS AS " +
+          s"($g)")).isNull)
+    }
+    if (schema.fieldNames.toSet == applied.columns.toSet)
+      applied.select(schema.fieldNames.map(col).toSeq: _*)
+    else applied
+  }
+
   /** CHECK constraints recorded in the table configuration
     * (PROTOCOL.md / Delta's `ALTER TABLE ADD CONSTRAINT`:
     * `delta.constraints.<name> = <sql>`), name-sorted.
@@ -1802,6 +1851,15 @@ object DeltaLog {
     val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
     set.keySet.foreach(k => require(dataSchema.fieldNames.contains(k),
       s"DeltaLog.updateWhereLong: SET column $k not in data schema"))
+    // generated columns cannot be SET; they RECOMPUTE after the SET
+    // expressions (Delta's UPDATE semantics), appended to the ordered
+    // assignment list so they see post-SET values
+    val gens = generationExprs(dataSchema)
+    gens.foreach { case (c, _) => require(!set.contains(c),
+      s"DeltaLog.updateWhereLong: $c is GENERATED ALWAYS — it " +
+        "recomputes from its expression, it cannot be SET") }
+    val assignments = set.toSeq.sortBy(_._1) ++
+      gens.map { case (c, g) => c -> expr(g) }
     val conf = spark.sparkContext.hadoopConfiguration
     val overlapping = st.files
       .filter { case (p, _) => statsOverlap(st, p, column, lo, hi) }
@@ -1822,7 +1880,7 @@ object DeltaLog {
       // a bit-identical remove+add(dataChange=true) would poison later
       // readAppendsSince tails). One limit-1 probe per candidate file.
       if (!source.filter(matches).isEmpty) {
-        val updated = set.foldLeft(source) {
+        val updated = assignments.foldLeft(source) {
           case (df, (c, e)) =>
             df.withColumn(c,
               org.apache.spark.sql.functions.when(matches, e)
@@ -1848,7 +1906,7 @@ object DeltaLog {
           // postimage from the MATCHED source rows, not the rewritten
           // file: a SET that rewrites the predicate column itself would
           // make the new file unfilterable by `matches`
-          val post = set.foldLeft(source.filter(matches)) {
+          val post = assignments.foldLeft(source.filter(matches)) {
             case (df, (c, e)) =>
               df.withColumn(c, e.cast(dataSchema(c).dataType))
           }.select(dataSchema.fieldNames.map(col).toSeq: _*)
@@ -1911,14 +1969,17 @@ object DeltaLog {
     require(dataSchema(key).dataType == LongType,
       s"DeltaLog.mergeLongKey: key $key is ${dataSchema(key).dataType}, " +
         "expected LongType")
-    val missing = dataSchema.fieldNames.filterNot(source.columns.contains)
+    // generated columns: computed when the source lacks them,
+    // verified inline when it provides them
+    val sourceG = applyGeneratedColumns(source, dataSchema)
+    val missing = dataSchema.fieldNames.filterNot(sourceG.columns.contains)
     require(missing.isEmpty,
       s"DeltaLog.mergeLongKey: source lacks columns ${missing.mkString(", ")}")
-    val extra = source.columns.filterNot(dataSchema.fieldNames.contains)
+    val extra = sourceG.columns.filterNot(dataSchema.fieldNames.contains)
     require(extra.isEmpty,
       s"DeltaLog.mergeLongKey: source carries extra columns " +
         s"${extra.mkString(", ")} the target schema cannot hold")
-    val src = source.select(dataSchema.fields
+    val src = sourceG.select(dataSchema.fields
       .map(f => col(f.name).cast(f.dataType)).toSeq: _*).persist()
     try {
       if (src.isEmpty) return v
@@ -2400,7 +2461,19 @@ object DeltaLog {
     * walk cannot see; vacuum those through [[Snapshots.vacuum]]).
     * Returns the deleted table-relative paths.
     */
-  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+  def vacuum(spark: SparkSession, root: String): Seq[String] =
+    vacuum(spark, root, 0L)
+
+  /** [[vacuum]] honoring a RETENTION window (Delta's
+    * `deletedFileRetentionDuration`): an orphan whose modification time
+    * is within the last `retentionMs` milliseconds survives this pass —
+    * the grace period that keeps concurrent readers of recent versions
+    * (and the time-travel window) alive on a table vacuumed on a
+    * schedule. Zero retention is the full collect.
+    */
+  def vacuum(spark: SparkSession, root: String,
+             retentionMs: Long): Seq[String] = {
+    require(retentionMs >= 0L, s"DeltaLog.vacuum: retentionMs >= 0")
     require(!Files.isDirectory(Paths.get(root, "_log")),
       s"DeltaLog.vacuum: $root is a graft Snapshots table — vacuum " +
         "through Snapshots.vacuum so manifests stay readable")
@@ -2433,8 +2506,11 @@ object DeltaLog {
           .replace(java.io.File.separatorChar, '/'))
         .toSeq
       finally walk.close()
+    val cutoff = System.currentTimeMillis() - retentionMs
     val orphans = onDisk.filterNot(rel =>
       active(rel) || activeDvFiles(rel))
+      .filter(rel => retentionMs == 0L ||
+        Files.getLastModifiedTime(Paths.get(root, rel)).toMillis <= cutoff)
     orphans.foreach(rel => Files.delete(Paths.get(root, rel)))
     orphans.sorted
   }
@@ -2613,6 +2689,12 @@ object DeltaLog {
     val prior =
       if (v == 0L) None
       else Some(replay(spark, root, v - 1))
+    // generated columns: compute what the batch lacks / verify what it
+    // provides, BEFORE the schema-shape check sees the batch
+    val dfG = prior.flatMap(_.schema) match {
+      case Some(ds) => applyGeneratedColumns(df, ds)
+      case None => df
+    }
     var evolvedSchema: Option[StructType] = None
     prior.foreach { st =>
       require(mappingMode(st) == "none",
@@ -2621,12 +2703,14 @@ object DeltaLog {
       require(st.partitionColumns == partitionCols,
         s"DeltaLog.commitData: table is partitioned by " +
           s"${st.partitionColumns}, got $partitionCols")
-      // nullability is write-path metadata, not a schema change: a
-      // stricter (non-null) batch may land in a nullable table and vice
-      // versa — Delta's own writer behaves the same way
+      // nullability and field metadata (generation markers, comments)
+      // are write-path metadata, not a schema change: a stricter
+      // (non-null) batch may land in a nullable table and vice versa —
+      // Delta's own writer behaves the same way
       def norm(dt: DataType): DataType = dt match {
         case s: StructType => StructType(s.fields.map(f =>
-          f.copy(dataType = norm(f.dataType), nullable = true)))
+          f.copy(dataType = norm(f.dataType), nullable = true,
+            metadata = Metadata.empty)))
         case a: ArrayType => a.copy(elementType = norm(a.elementType),
           containsNull = true)
         case m: MapType => m.copy(valueType = norm(m.valueType),
@@ -2634,7 +2718,7 @@ object DeltaLog {
         case other => other
       }
       st.schema.foreach { sch =>
-        if (norm(sch) != norm(df.schema)) {
+        if (norm(sch) != norm(dfG.schema)) {
           require(mergeSchema,
             "DeltaLog.commitData: schema change on a committed table — " +
               "pass mergeSchema=true for additive evolution, or rewrite " +
@@ -2646,14 +2730,14 @@ object DeltaLog {
           // append as nullable and the commit re-emits metaData with
           // the evolved schema (the Delta schema-evolution idiom).
           val byName = sch.fields.map(f => f.name -> f).toMap
-          df.schema.fields.filter(f => byName.contains(f.name))
+          dfG.schema.fields.filter(f => byName.contains(f.name))
             .foreach(f => require(
               norm(byName(f.name).dataType) == norm(f.dataType),
               s"DeltaLog.commitData: column ${f.name} is " +
                 s"${byName(f.name).dataType} in the table but " +
                 s"${f.dataType} in the batch — type changes are not " +
                 "schema evolution"))
-          val newFields = df.schema.fields
+          val newFields = dfG.schema.fields
             .filterNot(f => byName.contains(f.name))
             .map(_.copy(nullable = true))
           if (newFields.nonEmpty)
@@ -2676,8 +2760,8 @@ object DeltaLog {
       "graft-delta-part")
     // writer invariants ride the write itself — NOT NULL columns and
     // delta.constraints.* CHECKs fail the batch before a commit lands
-    val enforced = enforceInvariants(df,
-      evolvedSchema.orElse(prior.flatMap(_.schema)).getOrElse(df.schema),
+    val enforced = enforceInvariants(dfG,
+      evolvedSchema.orElse(prior.flatMap(_.schema)).getOrElse(dfG.schema),
       prior.map(_.configuration).getOrElse(configuration))
     val writer = enforced.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
@@ -2717,14 +2801,16 @@ object DeltaLog {
       val protocol = mapper.createObjectNode()
       val p = protocol.putObject("protocol")
       p.put("minReaderVersion", 1)
-      // change data feed is a legacy writer-version-4 feature
-      // (PROTOCOL.md: Writer Version Requirements) — a table created
-      // with it enabled must declare the writer floor that implies it
+      // change data feed AND generated columns are legacy
+      // writer-version-4 features (PROTOCOL.md: Writer Version
+      // Requirements) — a table created with either must declare the
+      // writer floor that implies them
       p.put("minWriterVersion",
         if (configuration.get("delta.enableChangeDataFeed")
-          .exists(_.trim.equalsIgnoreCase("true"))) 4 else 2)
+          .exists(_.trim.equalsIgnoreCase("true")) ||
+          generationExprs(dfG.schema).nonEmpty) 4 else 2)
       actions += protocol
-      actions += metaDataAction(tableId, df.schema.json, partitionCols,
+      actions += metaDataAction(tableId, dfG.schema.json, partitionCols,
         configuration)
     }
     // additive evolution: re-emit metaData with the widened schema,

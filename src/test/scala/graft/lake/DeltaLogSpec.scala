@@ -716,6 +716,59 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.readAppendsSince(spark, root, vPre).count() == 0L)
   }
 
+  test("generated columns: computed when the batch lacks them, verified " +
+    "when provided, recomputed on UPDATE, SET of one refuses") {
+    val root = freshRoot()
+    val base = DeltaLog.withGenerationExpression(
+      Seq((1L, 10L, 20L)).toDF("k", "x", "dbl"), "dbl", "x * 2")
+    DeltaLog.commitFlat(spark, root, base)
+    assert(commitLines(root, 0L)
+      .exists(_.contains("\"minWriterVersion\":4")))
+    // batch WITHOUT the generated column: computed
+    DeltaLog.commitFlat(spark, root, Seq((2L, 7L)).toDF("k", "x"))
+    // batch WITH a consistent value: verified, passes
+    DeltaLog.commitFlat(spark, root, Seq((3L, 5L, 10L)).toDF("k", "x", "dbl"))
+    def all() = DeltaLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all() == Set((1L, 10L, 20L), (2L, 7L, 14L), (3L, 5L, 10L)))
+    // batch with a LYING value: fails loudly, nothing commits
+    val before = DeltaLog.currentVersion(root)
+    intercept[Exception](DeltaLog.commitFlat(spark, root,
+      Seq((4L, 6L, 999L)).toDF("k", "x", "dbl")))
+    assert(DeltaLog.currentVersion(root) == before)
+    // UPDATE recomputes the generated column from the post-SET value
+    DeltaLog.updateWhereLong(spark, root, "k", 2L, 2L,
+      Map("x" -> lit(100L)))
+    assert(all() == Set((1L, 10L, 20L), (2L, 100L, 200L), (3L, 5L, 10L)))
+    val eSet = intercept[IllegalArgumentException](
+      DeltaLog.updateWhereLong(spark, root, "k", 1L, 1L,
+        Map("dbl" -> lit(0L))))
+    assert(eSet.getMessage.contains("GENERATED ALWAYS"), eSet.getMessage)
+    // MERGE computes missing generated columns on the source
+    DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((3L, 8L), (9L, 1L)).toDF("k", "x"))
+    assert(all() == Set((1L, 10L, 20L), (2L, 100L, 200L),
+      (3L, 8L, 16L), (9L, 1L, 2L)))
+  }
+
+  test("vacuum retention: recent orphans survive the grace window, " +
+    "aged ones collect") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    DeltaLog.commitFlat(spark, root, Seq((2L, "b")).toDF("k", "v"),
+      rewrite = true)
+    val orphanRel = DeltaLog.filesAt(spark, root, 0L).head
+    // freshly orphaned: survives a 1 h retention pass, v0 still travels
+    assert(DeltaLog.vacuum(spark, root, 3600000L).isEmpty)
+    assert(rows(DeltaLog.readAt(spark, root, 0L)) == Set((1L, "a")))
+    // age it past the window: collected, current snapshot untouched
+    Files.setLastModifiedTime(Paths.get(root, orphanRel),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    assert(DeltaLog.vacuum(spark, root, 3600000L) == Seq(orphanRel))
+    assert(rows(DeltaLog.read(spark, root)) == Set((2L, "b")))
+  }
+
   test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
     val root = freshRoot()
     writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
