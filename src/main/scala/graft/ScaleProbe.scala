@@ -53,6 +53,28 @@ object ScaleProbe {
     val edges = ks.map(k => k ->
       ScaledFixtures.scaledEdges(spark, sfDir, k, s"$tmp/edges$k")).toMap
 
+    // Delta-merge fixtures: a node-grain table per k plus a 20% source
+    // (half updates, half inserts at a disjoint key offset), both
+    // materialized BEFORE any clock starts. Each timed run merges into
+    // a FRESH shallow clone — identical work every run (min-of-2
+    // stays honest), zero data copied per clone, and the probe
+    // exercises clone + copy-on-write merge together.
+    val mergeTables = ks.map { k =>
+      import org.apache.spark.sql.functions.{count, lit}
+      val nodes = edges(k).groupBy("src")
+        .agg(count(lit(1)).as("deg")).withColumnRenamed("src", "node")
+      val root = s"$tmp/dmerge$k"
+      graft.lake.DeltaLog.commitFlat(spark, root, nodes)
+      val srcPath = s"$tmp/dmsrc$k"
+      nodes.where("node % 10 = 0")
+        .selectExpr("node", "deg + 1000 AS deg")
+        .unionByName(nodes.where("node % 10 = 1")
+          .selectExpr("node + 1000000000 AS node", "deg"))
+        .write.mode("overwrite").parquet(srcPath)
+      k -> (root, srcPath)
+    }.toMap
+    var mergeRun = 0
+
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "neardup_lsh" -> { k =>
         TextDedup.nearDupPairs(docs(k), "doc_id", "text")
@@ -114,6 +136,19 @@ object ScaleProbe {
       },
       "scc" -> { k =>
         graft.graphs.Scc.run(edges(k))
+      },
+      // copy-on-write MERGE through the Delta log: 20% source into a
+      // fresh zero-copy clone each run; work = one key-probe semi-join
+      // + rewrites of the touched files + one insert file (~linear in
+      // table size when sources touch all files, as here).
+      "delta_merge" -> { k =>
+        val (root, srcPath) = mergeTables(k)
+        mergeRun += 1
+        val clone = s"$tmp/dclone-$k-$mergeRun"
+        graft.lake.DeltaLog.shallowClone(spark, root, clone)
+        graft.lake.DeltaLog.mergeLongKey(spark, clone, "node",
+          spark.read.parquet(srcPath))
+        graft.lake.DeltaLog.read(spark, clone)
       },
       "bucketed_join" -> { k =>
         import org.apache.spark.sql.functions.{count, lit}

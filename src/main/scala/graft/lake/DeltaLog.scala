@@ -281,18 +281,43 @@ object DeltaLog {
   private[lake] def writeCommitFile(root: String, dv: Long,
                                     actions: Seq[JsonNode],
                                     operation: String = null,
-                                    opTimestamp: Long = -1L): Unit = {
+                                    opTimestamp: Long = -1L,
+                                    ictStart: Boolean = false): Unit = {
+    // In-commit timestamps (the `inCommitTimestamp` writer feature):
+    // once a table carries one, every successor commit continues the
+    // MONOTONIC chain — max(wall clock, predecessor + 1) — so
+    // timestamp time travel survives file-mtime churn (copies, syncs,
+    // retention rewrites). The chain is self-perpetuating: presence on
+    // the predecessor commit is the signal, so no caller but the
+    // creating one (`ictStart`) needs to know. If the predecessor JSON
+    // was compacted away the chain restarts from wall clock —
+    // monotonic unless the clock itself regressed.
+    val prevIct: Option[Long] =
+      if (dv <= 0L) None
+      else {
+        val prev = logDir(root).resolve(commitName(dv - 1))
+        if (!Files.exists(prev)) None
+        else Files.readAllLines(prev).asScala.headOption
+          .map(mapper.readTree)
+          .filter(_.has("commitInfo"))
+          .map(_.get("commitInfo").path("inCommitTimestamp"))
+          .filter(_.isNumber).map(_.asLong())
+      }
+    val ict: Option[Long] = prevIct
+      .map(p => math.max(System.currentTimeMillis(), p + 1))
+      .orElse(if (ictStart) Some(System.currentTimeMillis()) else None)
     // commitInfo FIRST, the way Delta's writer lays commits out — pure
     // provenance (operation name + wall-clock), never state: replay
     // ignores it, DESCRIBE-HISTORY-style surfaces read it
     val all =
-      if (operation == null) actions
+      if (operation == null && ict.isEmpty) actions
       else {
         val n = mapper.createObjectNode()
         val ci = n.putObject("commitInfo")
         ci.put("timestamp",
           if (opTimestamp >= 0L) opTimestamp else System.currentTimeMillis())
-        ci.put("operation", operation)
+        if (operation != null) ci.put("operation", operation)
+        ict.foreach(ci.put("inCommitTimestamp", _))
         ci.put("engineInfo", "graft-deltalog")
         n +: actions
       }
@@ -2797,6 +2822,8 @@ object DeltaLog {
       "DeltaLog.commitData: table configuration is set at CREATION " +
         "(version 0) only — later commits inherit it")
     val actions = Seq.newBuilder[JsonNode]
+    val ictEnabled = configuration.get("delta.enableInCommitTimestamps")
+      .exists(_.trim.equalsIgnoreCase("true"))
     if (v == 0L) {
       val protocol = mapper.createObjectNode()
       val p = protocol.putObject("protocol")
@@ -2804,11 +2831,19 @@ object DeltaLog {
       // change data feed AND generated columns are legacy
       // writer-version-4 features (PROTOCOL.md: Writer Version
       // Requirements) — a table created with either must declare the
-      // writer floor that implies them
-      p.put("minWriterVersion",
+      // writer floor that implies them. In-commit timestamps have no
+      // legacy floor: they force the features form (writer 7) with the
+      // implied legacy features enumerated.
+      val legacyFloor =
         if (configuration.get("delta.enableChangeDataFeed")
           .exists(_.trim.equalsIgnoreCase("true")) ||
-          generationExprs(dfG.schema).nonEmpty) 4 else 2)
+          generationExprs(dfG.schema).nonEmpty) 4 else 2
+      if (ictEnabled) {
+        p.put("minWriterVersion", 7)
+        val wf = p.putArray("writerFeatures")
+        (legacyWriterFeatures(legacyFloor) :+ "inCommitTimestamp")
+          .distinct.foreach(wf.add)
+      } else p.put("minWriterVersion", legacyFloor)
       actions += protocol
       actions += metaDataAction(tableId, dfG.schema.json, partitionCols,
         configuration)
@@ -2834,7 +2869,8 @@ object DeltaLog {
     added.foreach { case (rel, pv) =>
       actions += addActionNode(root, rel, pv, dataChange = true, conf)
     }
-    writeCommitFile(root, v, actions.result(), operation = "WRITE")
+    writeCommitFile(root, v, actions.result(), operation = "WRITE",
+      ictStart = v == 0L && ictEnabled)
     v
   }
 

@@ -769,6 +769,35 @@ class DeltaLogSpec extends SparkSpec {
     assert(rows(DeltaLog.read(spark, root)) == Set((2L, "b")))
   }
 
+  test("in-commit timestamps: the creation flag starts a monotonic " +
+    "chain every successor continues; versionAsOf resolves by ICT even " +
+    "when every file mtime lies") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root, Seq((1L, "a")).toDF("k", "v"),
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaLog.commitFlat(spark, root, Seq((2L, "b")).toDF("k", "v"))
+    DeltaLog.deleteWhereLong(spark, root, "k", 1L, 1L)
+    val ictRe = """"inCommitTimestamp":(\d+)""".r
+    val icts = (0L to 2L).map { v =>
+      val hit = commitLines(root, v).flatMap(l =>
+        ictRe.findFirstMatchIn(l).map(_.group(1).toLong))
+      assert(hit.nonEmpty, s"commit $v lacks inCommitTimestamp")
+      hit.head
+    }
+    assert(icts(0) < icts(1) && icts(1) < icts(2), icts.toString)
+    // the features-form protocol names the feature
+    assert(commitLines(root, 0L).exists(l =>
+      l.contains("\"minWriterVersion\":7") &&
+        l.contains("inCommitTimestamp")), commitLines(root, 0L).toString)
+    // mtimes all lie (equal, in the past): ICT still resolves versions
+    val past = java.nio.file.attribute.FileTime.fromMillis(1000000L)
+    (0L to 2L).foreach(v => Files.setLastModifiedTime(
+      Paths.get(root, "_delta_log", f"$v%020d.json"), past))
+    assert(DeltaLog.versionAsOf(root, icts(1)) == 1L)
+    assert(DeltaLog.versionAsOf(root, icts(2) - 1) == 1L)
+    assert(DeltaLog.versionAsOf(root, icts(2)) == 2L)
+  }
+
   test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
     val root = freshRoot()
     writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
