@@ -2511,6 +2511,28 @@ object SparkEntry {
         Map("event_ts_us" -> (col("event_ts_us") + lit(86400000000L))))
       graft.lake.DeltaLog.read(s, root)
     }),
+    // IDENTITY COLUMN: the table is created with GENERATED ALWAYS AS
+    // IDENTITY (START 1 STEP 2) over half the events, the second half
+    // continues above the recorded high-water mark. Ids themselves are
+    // engine-local (distributed block assignment, gaps legal — Delta's
+    // documented semantics), so the gate checks the INVARIANTS: row
+    // count, uniqueness, step alignment, floor — all reconstructable
+    // as literal truths by the oracle.
+    "q275_delta_identity" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def half(i: Int) = ev.filter(pmod(col("event_id"), lit(2)) === i)
+        .select(col("value"))
+      val root = freshScratch("q275")
+      graft.lake.DeltaLog.createIdentityTable(s, root, half(0), "row_id",
+        start = 1L, step = 2L)
+      graft.lake.DeltaLog.commitFlat(s, root, half(1))
+      graft.lake.DeltaLog.read(s, root).agg(
+        count(lit(1)).as("n_rows"),
+        (countDistinct(col("row_id")) === count(lit(1))).as("ids_unique"),
+        (sum(pmod(col("row_id") - 1, lit(2))) === 0).as("aligned"),
+        (min(col("row_id")) >= 1).as("above_start"))
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3944,6 +3966,11 @@ object SparkEntry {
          SELECT event_id, event_ts_us,
            event_ts_us // 86400000000 AS day
          FROM ev""",
+    // q275: the invariants as literal truths over the same slice.
+    "q275_delta_identity" ->
+      """SELECT count(*) AS n_rows, TRUE AS ids_unique,
+           TRUE AS aligned, TRUE AS above_start
+         FROM events WHERE event_id IS NOT NULL""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

@@ -1216,6 +1216,19 @@ object DeltaLog {
     st.configuration.get("delta.enableChangeDataFeed")
       .exists(_.trim.equalsIgnoreCase("true"))
 
+  /** `delta.appendOnly=true` (PROTOCOL.md writer-version-2 feature):
+    * an append-only table refuses every operation that DELETES or
+    * CHANGES existing rows — any `remove` with `dataChange=true`.
+    * Layout-only rewrites (OPTIMIZE / ZORDER: `dataChange=false`) and
+    * pure appends stay legal. Called by every mutating entry point.
+    */
+  private def requireNotAppendOnly(st: LogState, op: String): Unit =
+    require(!st.configuration.get("delta.appendOnly")
+      .exists(_.trim.equalsIgnoreCase("true")),
+      s"DeltaLog.$op: table is delta.appendOnly=true — it refuses " +
+        "deletes and updates; only appends and layout-only OPTIMIZE " +
+        "are legal")
+
   /** `cdc` action for an on-disk `_change_data/` file — same shape as
     * `add` minus stats; `dataChange` is ALWAYS false (PROTOCOL.md: CDC
     * files never affect snapshot state, only the change feed).
@@ -1279,6 +1292,70 @@ object DeltaLog {
     val meta = new MetadataBuilder().withMetadata(old)
       .putString("delta.generationExpression", genSql).build()
     df.withColumn(column, col(column).as(column, meta))
+  }
+
+  /** Identity columns declared in a schema (Delta's GENERATED … AS
+    * IDENTITY: `delta.identity.start/step/allowExplicitInsert` plus the
+    * writer-maintained `delta.identity.highWaterMark` in the field
+    * metadata of `schemaString`).
+    */
+  private case class IdentityCol(name: String, start: Long, step: Long,
+                                 allowExplicit: Boolean, hwm: Option[Long])
+
+  private def identityInfo(schema: StructType): Seq[IdentityCol] =
+    schema.fields.filter(_.metadata.contains("delta.identity.start"))
+      .map { f =>
+        val m = f.metadata
+        IdentityCol(f.name, m.getLong("delta.identity.start"),
+          m.getLong("delta.identity.step"),
+          m.contains("delta.identity.allowExplicitInsert") &&
+            m.getBoolean("delta.identity.allowExplicitInsert"),
+          if (m.contains("delta.identity.highWaterMark"))
+            Some(m.getLong("delta.identity.highWaterMark")) else None)
+      }.toSeq
+
+  /** `schema` with `col`'s `delta.identity.highWaterMark` set. */
+  private def withHwm(schema: StructType, col: String,
+                      hwm: Long): StructType =
+    StructType(schema.fields.map { f =>
+      if (f.name != col) f
+      else f.copy(metadata = new MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong("delta.identity.highWaterMark", hwm).build())
+    })
+
+  /** CREATE a table whose `idCol` is GENERATED ALWAYS AS IDENTITY
+    * (START WITH `start` STEP `step`, PROTOCOL.md legacy writer
+    * version 6): the creation batch gets ids assigned distributed —
+    * `start + step·(partition-block offset)` via
+    * monotonically_increasing_id, so assignment is one pass with NO
+    * global sort or driver round-trip; ids are unique and
+    * step-aligned but may have GAPS, exactly Delta's documented
+    * identity semantics. The committed metaData records the
+    * high-water mark (read back from the written files' FOOTER stats —
+    * zero extra pass), and every later [[commitFlat]] batch that lacks
+    * the column continues above it; batches providing explicit values
+    * refuse unless `allowExplicitInsert`.
+    */
+  def createIdentityTable(spark: SparkSession, root: String,
+                          df: DataFrame, idCol: String,
+                          start: Long = 1L, step: Long = 1L,
+                          allowExplicitInsert: Boolean = false,
+                          configuration: Map[String, String] = Map.empty): Long = {
+    require(step > 0, s"DeltaLog.createIdentityTable: step > 0 (got " +
+      s"$step — descending identities are out of scope, documented)")
+    require(!df.columns.contains(idCol),
+      s"DeltaLog.createIdentityTable: $idCol already exists in the batch")
+    val meta = new MetadataBuilder()
+      .putLong("delta.identity.start", start)
+      .putLong("delta.identity.step", step)
+      .putBoolean("delta.identity.allowExplicitInsert", allowExplicitInsert)
+      .build()
+    val seeded = df.select(df.columns.map(col).toSeq :+
+      (lit(start) + lit(step) *
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+        .cast(LongType).as(idCol, meta): _*)
+    commitFlat(spark, root, seeded, configuration = configuration)
   }
 
   /** (column, generation sql) pairs declared in a schema. */
@@ -1652,6 +1729,7 @@ object DeltaLog {
     val st = replay(spark, root, v)
     require(mappingMode(st) == "none",
       s"DeltaLog.deleteWhereLong: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
+    requireNotAppendOnly(st, "deleteWhereLong")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     val pcSet = st.partitionColumns.toSet
@@ -1764,6 +1842,7 @@ object DeltaLog {
     val st = replay(spark, root, v)
     require(mappingMode(st) == "none",
       s"DeltaLog.deleteWhereLongDV: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
+    requireNotAppendOnly(st, "deleteWhereLongDV")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     val pcSet = st.partitionColumns.toSet
@@ -1867,6 +1946,7 @@ object DeltaLog {
     val st = replay(spark, root, v)
     require(mappingMode(st) == "none",
       s"DeltaLog.updateWhereLong: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
+    requireNotAppendOnly(st, "updateWhereLong")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     val pcSet = st.partitionColumns.toSet
@@ -2035,6 +2115,9 @@ object DeltaLog {
             .select(col("__rel")).distinct().as[String].collect().toSeq
         }
       val actions = Seq.newBuilder[JsonNode]
+      // an append-only table allows the pure-insert merge (nothing
+      // matched); any matched row would rewrite history
+      if (touched.nonEmpty) requireNotAppendOnly(st, "mergeLongKey")
       touched.sorted.foreach { rel =>
         require(!st.fileDvs.contains(rel),
           s"DeltaLog.mergeLongKey: $rel carries a deletion vector — " +
@@ -2336,6 +2419,7 @@ object DeltaLog {
     require(mappingMode(current) == "none",
       s"DeltaLog.restore: column-mapped tables are read-only through " +
         s"this bridge (mode ${mappingMode(current)})")
+    requireNotAppendOnly(current, "restore")
     require(target.schema == current.schema,
       s"DeltaLog.restore: schema changed since version $version — " +
         "restoring across a schema change is unsupported")
@@ -2716,9 +2800,31 @@ object DeltaLog {
       else Some(replay(spark, root, v - 1))
     // generated columns: compute what the batch lacks / verify what it
     // provides, BEFORE the schema-shape check sees the batch
-    val dfG = prior.flatMap(_.schema) match {
+    val dfG0 = prior.flatMap(_.schema) match {
       case Some(ds) => applyGeneratedColumns(df, ds)
       case None => df
+    }
+    // identity columns: a batch lacking one continues ABOVE the
+    // recorded high-water mark — distributed block assignment
+    // (monotonically_increasing_id: unique, step-aligned, gaps legal —
+    // Delta's documented identity semantics), one pass, no global sort
+    val dfG = prior.flatMap(_.schema) match {
+      case Some(ds) =>
+        identityInfo(ds).foldLeft(dfG0) { case (d, ic) =>
+          if (!d.columns.contains(ic.name)) {
+            val base = ic.hwm.getOrElse(ic.start - ic.step)
+            d.withColumn(ic.name, (lit(base + ic.step) + lit(ic.step) *
+              org.apache.spark.sql.functions.monotonically_increasing_id())
+              .cast(LongType))
+          } else {
+            require(ic.allowExplicit,
+              s"DeltaLog.commitData: ${ic.name} is GENERATED ALWAYS AS " +
+                "IDENTITY — explicit values refuse " +
+                "(allowExplicitInsert=false)")
+            d
+          }
+        }
+      case None => dfG0
     }
     var evolvedSchema: Option[StructType] = None
     prior.foreach { st =>
@@ -2835,7 +2941,8 @@ object DeltaLog {
       // legacy floor: they force the features form (writer 7) with the
       // implied legacy features enumerated.
       val legacyFloor =
-        if (configuration.get("delta.enableChangeDataFeed")
+        if (identityInfo(dfG.schema).nonEmpty) 6
+        else if (configuration.get("delta.enableChangeDataFeed")
           .exists(_.trim.equalsIgnoreCase("true")) ||
           generationExprs(dfG.schema).nonEmpty) 4 else 2
       if (ictEnabled) {
@@ -2862,12 +2969,46 @@ object DeltaLog {
       t.put("version", ver)
       actions += n
     }
-    if (rewrite) prior.foreach(_.files.foreach { case (path, _) =>
-      actions += removeActionNode(path, dataChange = true)
-    })
+    if (rewrite) prior.foreach { st =>
+      requireNotAppendOnly(st, "commitData(rewrite)")
+      st.files.foreach { case (path, _) =>
+        actions += removeActionNode(path, dataChange = true)
+      }
+    }
     val conf = spark.sparkContext.hadoopConfiguration
-    added.foreach { case (rel, pv) =>
-      actions += addActionNode(root, rel, pv, dataChange = true, conf)
+    val addNodes = added.map { case (rel, pv) =>
+      addActionNode(root, rel, pv, dataChange = true, conf)
+    }
+    addNodes.foreach(actions += _)
+    // identity high-water marks: fold each identity column's max over
+    // the written files' EMBEDDED footer stats (zero extra IO) and
+    // re-emit metaData whenever the mark advanced — the contract the
+    // next batch's assignment continues from
+    val hwmSchema = evolvedSchema
+      .orElse(prior.flatMap(_.schema)).getOrElse(dfG.schema)
+    val idents = identityInfo(hwmSchema)
+    if (idents.nonEmpty && addNodes.nonEmpty) {
+      var sch = hwmSchema
+      var changed = false
+      idents.foreach { ic =>
+        val maxes = addNodes.flatMap { n =>
+          val stats = n.path("add").path("stats")
+          if (!stats.isTextual) None
+          else {
+            val mx = mapper.readTree(stats.asText())
+              .path("maxValues").path(ic.name)
+            if (mx.isNumber) Some(mx.asLong()) else None
+          }
+        }
+        if (maxes.nonEmpty && ic.hwm.forall(_ < maxes.max)) {
+          sch = withHwm(sch, ic.name, maxes.max); changed = true
+        }
+      }
+      if (changed)
+        actions += metaDataAction(
+          prior.map(_.tableId).getOrElse(tableId), sch.json,
+          partitionCols,
+          prior.map(_.configuration).getOrElse(configuration))
     }
     writeCommitFile(root, v, actions.result(), operation = "WRITE",
       ictStart = v == 0L && ictEnabled)
@@ -3071,6 +3212,29 @@ object DeltaLog {
     * history beyond the retained tail is summarized state and has no
     * per-commit provenance to report.
     */
+  /** `DESCRIBE DETAIL` — the one-row table summary Delta surfaces:
+    * format/id/location, partitioning, active file count and total
+    * bytes (recorded `add.size`, falling back to the filesystem),
+    * deletion-vector count, current version, protocol floors and the
+    * table properties. Metadata-only: reads the log, never data.
+    */
+  def detail(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    val bytes = st.files.map { case (rel, _) =>
+      st.fileSizes.getOrElse(rel, Files.size(resolvePath(root, rel)))
+    }.sum
+    Seq(("parquet", st.tableId,
+      Paths.get(root).toAbsolutePath.normalize().toString,
+      st.partitionColumns, st.files.size.toLong, bytes,
+      st.fileDvs.size.toLong, v, st.minReaderVersion,
+      st.minWriterVersion, st.configuration))
+      .toDF("format", "id", "location", "partitionColumns", "numFiles",
+        "sizeInBytes", "numDeletionVectors", "version",
+        "minReaderVersion", "minWriterVersion", "properties")
+  }
+
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     versions(root).sorted.map { v =>

@@ -798,6 +798,73 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.versionAsOf(root, icts(2)) == 2L)
   }
 
+  test("identity columns: creation seeds the high-water mark, later " +
+    "batches continue above it unique and step-aligned; explicit " +
+    "values refuse") {
+    val root = freshRoot()
+    DeltaLog.createIdentityTable(spark, root,
+      Seq("a", "b", "c").toDF("v"), "id", start = 10L, step = 3L)
+    assert(commitLines(root, 0L)
+      .exists(_.contains("\"minWriterVersion\":6")))
+    DeltaLog.commitFlat(spark, root, Seq("d", "e").toDF("v"))
+    val ids = DeltaLog.read(spark, root).select("id")
+      .collect().map(_.getLong(0))
+    assert(ids.length == 5 && ids.distinct.length == 5, ids.toSeq)
+    assert(ids.forall(i => i >= 10 && (i - 10) % 3 == 0), ids.toSeq)
+    // the second batch's every id is above the first batch's max
+    val b0 = DeltaLog.readAt(spark, root, 0L).select("id")
+      .collect().map(_.getLong(0))
+    val b1 = DeltaLog.readAppendsSince(spark, root, 0L).select("id")
+      .collect().map(_.getLong(0))
+    assert(b0.max < b1.min, s"${b0.toSeq} vs ${b1.toSeq}")
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.commitFlat(spark, root, Seq(("x", 999L)).toDF("v", "id")))
+    assert(e.getMessage.contains("IDENTITY"), e.getMessage)
+  }
+
+  test("appendOnly: every delete/update/merge-with-match/restore/" +
+    "rewrite refuses; appends, pure-insert merge and OPTIMIZE stay legal") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      (1L to 8L).map(k => (k, s"v$k")).toDF("k", "v"),
+      configuration = Map("delta.appendOnly" -> "true"))
+    DeltaLog.commitFlat(spark, root, Seq((9L, "v9")).toDF("k", "v"))
+    DeltaLog.mergeLongKey(spark, root, "k", Seq((90L, "x")).toDF("k", "v"))
+    def refused(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    assert(refused(DeltaLog.deleteWhereLong(spark, root, "k", 1L, 2L))
+      .contains("appendOnly"))
+    assert(refused(DeltaLog.deleteWhereLongDV(spark, root, "k", 1L, 2L))
+      .contains("appendOnly"))
+    assert(refused(DeltaLog.updateWhereLong(spark, root, "k", 1L, 2L,
+      Map("v" -> lit("z")))).contains("appendOnly"))
+    assert(refused(DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((1L, "z")).toDF("k", "v"))).contains("appendOnly"))
+    assert(refused(DeltaLog.restore(spark, root, 0L))
+      .contains("appendOnly"))
+    assert(refused(DeltaLog.commitFlat(spark, root,
+      Seq((1L, "z")).toDF("k", "v"), rewrite = true))
+      .contains("appendOnly"))
+    DeltaLog.optimizeZOrder(spark, root, "k", "k", 4, 2)
+    assert(DeltaLog.read(spark, root).count() == 10L)
+  }
+
+  test("detail: the one-row DESCRIBE DETAIL summary") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1),
+      configuration = Map("delta.appendOnly" -> "true"))
+    DeltaLog.commitFlat(spark, root, Seq((3L, "c")).toDF("k", "v")
+      .coalesce(1))
+    val d = DeltaLog.detail(spark, root).collect().head
+    assert(d.getAs[String]("format") == "parquet")
+    assert(d.getAs[Long]("numFiles") == 2L)
+    assert(d.getAs[Long]("version") == 1L)
+    assert(d.getAs[Long]("sizeInBytes") > 0L)
+    assert(d.getAs[Map[String, String]]("properties")
+      .get("delta.appendOnly").contains("true"))
+  }
+
   test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
     val root = freshRoot()
     writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
