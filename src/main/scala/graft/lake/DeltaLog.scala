@@ -1216,6 +1216,32 @@ object DeltaLog {
     st.configuration.get("delta.enableChangeDataFeed")
       .exists(_.trim.equalsIgnoreCase("true"))
 
+  /** Writer features this implementation genuinely HONORS when
+    * mutating a features-form (writer 7) table: the legacy set it
+    * implements (appendOnly/invariants/checkConstraints/changeDataFeed/
+    * generatedColumns/identityColumns), columnMapping (every write on a
+    * mapped table refuses downstream anyway), deletionVectors,
+    * v2Checkpoint, inCommitTimestamp, vacuumProtocolCheck and
+    * timestampNtz. A table naming anything else (rowTracking,
+    * domainMetadata, icebergCompat*, …) would be CORRUPTED by a writer
+    * that ignores the feature's write obligations — so every mutating
+    * entry point refuses, NAMING the feature, while reads stay open
+    * (reader features are vetted separately).
+    */
+  private val honoredWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "generatedColumns", "columnMapping", "identityColumns",
+    "deletionVectors", "v2Checkpoint", "inCommitTimestamp",
+    "vacuumProtocolCheck", "timestampNtz")
+
+  private def requireWritable(st: LogState, op: String): Unit = {
+    val unknown = st.writerFeatures.filterNot(honoredWriterFeatures)
+    require(unknown.isEmpty,
+      s"DeltaLog.$op: table declares writer feature(s) " +
+        s"${unknown.mkString(", ")} this writer does not implement — " +
+        "writing would violate their obligations; table stays readable")
+  }
+
   /** `delta.appendOnly=true` (PROTOCOL.md writer-version-2 feature):
     * an append-only table refuses every operation that DELETES or
     * CHANGES existing rows — any `remove` with `dataChange=true`.
@@ -1730,6 +1756,7 @@ object DeltaLog {
     require(mappingMode(st) == "none",
       s"DeltaLog.deleteWhereLong: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
     requireNotAppendOnly(st, "deleteWhereLong")
+    requireWritable(st, "deleteWhereLong")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     val pcSet = st.partitionColumns.toSet
@@ -1843,6 +1870,7 @@ object DeltaLog {
     require(mappingMode(st) == "none",
       s"DeltaLog.deleteWhereLongDV: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
     requireNotAppendOnly(st, "deleteWhereLongDV")
+    requireWritable(st, "deleteWhereLongDV")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     val pcSet = st.partitionColumns.toSet
@@ -1947,6 +1975,7 @@ object DeltaLog {
     require(mappingMode(st) == "none",
       s"DeltaLog.updateWhereLong: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
     requireNotAppendOnly(st, "updateWhereLong")
+    requireWritable(st, "updateWhereLong")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     val pcSet = st.partitionColumns.toSet
@@ -2067,6 +2096,7 @@ object DeltaLog {
     require(st.partitionColumns.isEmpty,
       "DeltaLog.mergeLongKey: partitioned targets unsupported — a " +
         "whole-row merge can move rows across partitions")
+    requireWritable(st, "mergeLongKey")
     val dataSchema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     require(dataSchema.fieldNames.contains(key),
@@ -2420,6 +2450,7 @@ object DeltaLog {
       s"DeltaLog.restore: column-mapped tables are read-only through " +
         s"this bridge (mode ${mappingMode(current)})")
     requireNotAppendOnly(current, "restore")
+    requireWritable(current, "restore")
     require(target.schema == current.schema,
       s"DeltaLog.restore: schema changed since version $version — " +
         "restoring across a schema change is unsupported")
@@ -2831,6 +2862,7 @@ object DeltaLog {
       require(mappingMode(st) == "none",
         s"DeltaLog.commitData: column-mapped tables are read-only " +
           s"through this bridge (mode ${mappingMode(st)})")
+      requireWritable(st, "commitData")
       require(st.partitionColumns == partitionCols,
         s"DeltaLog.commitData: table is partitioned by " +
           s"${st.partitionColumns}, got $partitionCols")
@@ -3090,6 +3122,7 @@ object DeltaLog {
       "DeltaLog.optimizeZOrder: partitioned tables unsupported — " +
         "Z-order clusters the whole table; drop to per-partition " +
         "compaction via compactPartitioned")
+    requireWritable(st, "optimizeZOrder")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog.optimizeZOrder: no metaData in $root log"))
     Seq(xCol, yCol).foreach { c =>
@@ -3136,6 +3169,7 @@ object DeltaLog {
     require(st.partitionColumns.nonEmpty,
       "DeltaLog.compactPartitioned: table is not partitioned " +
         "(use Snapshots OPTIMIZE for flat tables)")
+    requireWritable(st, "compactPartitioned")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog.compactPartitioned: no metaData in $root log"))
     val pcSet = st.partitionColumns.toSet

@@ -865,6 +865,27 @@ class DeltaLogSpec extends SparkSpec {
       .get("delta.appendOnly").contains("true"))
   }
 
+  test("unknown writer features refuse every mutation NAMING the " +
+    "feature while reads stay open") {
+    val root = freshRoot()
+    writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
+    writeCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","rowTracking"]}}""",
+      s"""{"metaData":{"id":"ext-w","format":{"provider":"parquet","options":{}},"schemaString":"${extSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    assert(rows(DeltaLog.read(spark, root)) == Set((1L, "a")))
+    def refused(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    assert(refused(DeltaLog.commitFlat(spark, root,
+      Seq((2L, "b")).toDF("k", "v"))).contains("rowTracking"))
+    assert(refused(DeltaLog.deleteWhereLong(spark, root, "k", 1L, 1L))
+      .contains("rowTracking"))
+    assert(refused(DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((3L, "c")).toDF("k", "v"))).contains("rowTracking"))
+    assert(refused(DeltaLog.optimizeZOrder(spark, root, "k", "k", 4, 1))
+      .contains("rowTracking"))
+  }
+
   test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
     val root = freshRoot()
     writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
