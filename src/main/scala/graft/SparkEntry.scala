@@ -2533,6 +2533,30 @@ object SparkEntry {
         (sum(pmod(col("row_id") - 1, lit(2))) === 0).as("aligned"),
         (min(col("row_id")) >= 1).as("above_start"))
     }),
+    // STREAMING SOURCE over the Delta log (DataSource V2 micro-batch,
+    // version-granular offsets): two commits pre-exist, a third lands
+    // MID-STREAM — the memory sink must accumulate exactly the three
+    // slices, proving batch planning follows the log incrementally.
+    "q276_delta_stream_read" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def third(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      val root = freshScratch("q276")
+      graft.lake.DeltaLog.commitFlat(s, root, third(0))
+      graft.lake.DeltaLog.commitFlat(s, root, third(1))
+      val name = s"q276_sink_${System.nanoTime()}"
+      val q = s.readStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", root).load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        graft.lake.DeltaLog.commitFlat(s, root, third(2))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3971,6 +3995,9 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, TRUE AS ids_unique,
            TRUE AS aligned, TRUE AS above_start
          FROM events WHERE event_id IS NOT NULL""",
+    // q276: the three streamed slices are the whole non-null set.
+    "q276_delta_stream_read" ->
+      """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

@@ -2225,13 +2225,27 @@ object DeltaLog {
                        sinceVersion: Long): DataFrame = {
     val cur = currentVersion(root)
     val st = replay(spark, root, cur)
+    assembleFiles(spark, root, st,
+      appendedFilesIn(root, sinceVersion, cur).map(a => (a._2, a._3)))
+  }
+
+  /** The (version, relPath, partitionValues) of every data file
+    * APPENDED in `(sinceVersion, toVersion]` — the file-grain tail walk
+    * [[readAppendsSince]] and the streaming source share. Same loud
+    * contracts: tail commits must be present, `dataChange=false`
+    * commits (OPTIMIZE) skip, DV attachments and `dataChange=true`
+    * removes refuse (changed history needs the CDC surface).
+    */
+  private[graft] def appendedFilesIn(root: String, sinceVersion: Long,
+      toVersion: Long): Seq[(Long, String, Map[String, String])] = {
     val present = versions(root).toSet
-    ((sinceVersion + 1) to cur).foreach(v => require(present.contains(v),
-      s"DeltaLog.readAppendsSince: commit $v missing from $root — the " +
-        "append tail needs its JSON commits (checkpoints compact state, " +
-        "not history)"))
-    val adds = Seq.newBuilder[(String, Map[String, String])]
-    ((sinceVersion + 1) to cur).foreach { v =>
+    ((sinceVersion + 1) to toVersion).foreach(v =>
+      require(present.contains(v),
+        s"DeltaLog.appendedFilesIn: commit $v missing from $root — the " +
+          "append tail needs its JSON commits (checkpoints compact " +
+          "state, not history)"))
+    val adds = Seq.newBuilder[(Long, String, Map[String, String])]
+    ((sinceVersion + 1) to toVersion).foreach { v =>
       val lines = Files.readAllLines(logDir(root).resolve(commitName(v)))
         .asScala.filter(_.trim.nonEmpty)
       lines.foreach { line =>
@@ -2239,7 +2253,7 @@ object DeltaLog {
         if (node.has("add")) {
           val a = node.get("add")
           require(!a.path("deletionVector").isObject,
-            s"DeltaLog.readAppendsSince: commit $v of $root attaches a " +
+            s"DeltaLog.appendedFilesIn: commit $v of $root attaches a " +
               "deletion vector (DELETE via DV) — an append tail cannot " +
               "represent changed history; consume CDC instead")
           if (a.path("dataChange").asBoolean(true)) {
@@ -2251,17 +2265,28 @@ object DeltaLog {
                     (if (e.getValue.isNull) null else e.getValue.asText()))
                   .toMap
               else Map.empty[String, String]
-            adds += decodePath(a.path("path").asText()) -> pv
+            adds += ((v, decodePath(a.path("path").asText()), pv))
           }
         } else if (node.has("remove")) {
           require(!node.get("remove").path("dataChange").asBoolean(true),
-            s"DeltaLog.readAppendsSince: commit $v of $root removes data " +
+            s"DeltaLog.appendedFilesIn: commit $v of $root removes data " +
               "with dataChange=true (DELETE/UPDATE/rewrite) — an append " +
               "tail cannot represent changed history; consume CDC instead")
         }
       }
     }
-    assembleFiles(spark, root, st, adds.result())
+    adds.result()
+  }
+
+  /** The declared schema and partition columns of the CURRENT version —
+    * the metadata surface external integrations (the streaming source)
+    * open a table with.
+    */
+  def tableMeta(spark: SparkSession, root: String): (StructType, Seq[String]) = {
+    val st = replay(spark, root, currentVersion(root))
+    (st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $root log — schema unknown")),
+      st.partitionColumns)
   }
 
   /** The CHANGE DATA FEED of versions `(sinceVersion, toVersion]` —

@@ -1,0 +1,253 @@
+package graft.streaming
+
+import graft.lake.DeltaLog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structured-Streaming SOURCE over the graft Delta log — the
+  * `spark.readStream.format("graft.streaming.DeltaStreamProvider")
+  * .option("path", root)` surface (Delta's own streaming-source shape;
+  * the reference consumes its tables the same way:
+  * analytics/spark/jobs/silver_orders.py reads a Delta source stream).
+  *
+  * DataSource V2, micro-batch only. OFFSETS ARE LOG VERSIONS: a batch
+  * is the half-open commit range `(start, end]`, so offsets are
+  * deterministic, replayable and exactly-once under checkpoint
+  * recovery — the engine persists them in the offset log and re-plans
+  * the identical file set on restart ([[DeltaLog.appendedFilesIn]],
+  * the same loud append-tail contract as `readAppendsSince`:
+  * OPTIMIZE's dataChange=false commits skip; DML in the tail refuses).
+  *
+  * Scale: one InputPartition per appended file — reading parallelizes
+  * across executors up to the append width; no driver row handling.
+  * Each reader walks its parquet file's row groups directly
+  * (parquet-hadoop Group API — no egress, no extra deps) and converts
+  * to InternalRow by the DECLARED schema: file-missing columns read
+  * null (schema evolution), atomic types only (the bronze-envelope
+  * shape; nested/decimal refuse loudly at scan build).
+  *
+  * `option("startingVersion", v)` starts the FIRST run after commit v
+  * (default −1 = from table creation). Flat tables only in v1:
+  * partitioned tables refuse at open.
+  */
+class DeltaStreamProvider extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (schema, _) = DeltaLog.tableMeta(SparkSession.active,
+      DeltaStreamProvider.rootOf(options))
+    schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val root = properties.get("path")
+    require(root != null,
+      "DeltaStreamProvider: option(\"path\", <table root>) is required")
+    val startingVersion =
+      Option(properties.get("startingversion"))
+        .orElse(Option(properties.get("startingVersion")))
+        .map(_.toLong).getOrElse(-1L)
+    new DeltaStreamTable(root, schema, startingVersion)
+  }
+}
+
+object DeltaStreamProvider {
+  private[streaming] def rootOf(options: CaseInsensitiveStringMap): String = {
+    val root = options.get("path")
+    require(root != null,
+      "DeltaStreamProvider: option(\"path\", <table root>) is required")
+    root
+  }
+}
+
+private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
+                                          startingVersion: Long)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft-delta `$root`"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Collections.singleton(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def description(): String = name()
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          val (_, pcs) = DeltaLog.tableMeta(SparkSession.active, root)
+          require(pcs.isEmpty,
+            s"DeltaStreamProvider: $root is partitioned by $pcs — " +
+              "partitioned streaming reads are out of scope (v1)")
+          schema0.fields.foreach(f => require(
+            DeltaStreamReaderFactory.supported(f.dataType),
+            s"DeltaStreamProvider: column ${f.name} has type " +
+              s"${f.dataType} — streaming reads support atomic types " +
+              "only (long/int/double/float/boolean/string/binary/" +
+              "timestamp/date)"))
+          new DeltaMicroBatchStream(root, schema0, startingVersion)
+        }
+      }
+    }
+}
+
+/** A log version as a streaming offset (json = the number). */
+private[streaming] case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[streaming] class DeltaMicroBatchStream(root: String,
+                                               schema: StructType,
+                                               startingVersion: Long)
+  extends MicroBatchStream {
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion)
+
+  override def latestOffset(): Offset =
+    VersionOffset(DeltaLog.currentVersion(root))
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val to = end.asInstanceOf[VersionOffset].version
+    DeltaLog.appendedFilesIn(root, from, to).map { case (_, rel, _) =>
+      DeltaFilePartition(
+        java.nio.file.Paths.get(root, rel).toString): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the session's resolved hadoop conf (the countFast pattern:
+    // a bare `new Configuration()` in the task would lose FS settings)
+    val it = SparkSession.active.sparkContext.hadoopConfiguration.iterator()
+    val props = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); props += ((e.getKey, e.getValue)) }
+    DeltaStreamReaderFactory(schema.json, props.toArray)
+  }
+}
+
+private[streaming] case class DeltaFilePartition(path: String)
+  extends InputPartition
+
+private[streaming] case class DeltaStreamReaderFactory(
+    schemaJson: String, hadoopProps: Array[(String, String)])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    hadoopProps.foreach { case (k, v) => conf.set(k, v) }
+    new GroupParquetReader(
+      partition.asInstanceOf[DeltaFilePartition].path,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], conf)
+  }
+}
+
+private[streaming] object DeltaStreamReaderFactory {
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType | BinaryType | TimestampType | DateType => true
+    case _ => false
+  }
+}
+
+/** Row-group walk of ONE parquet file via the parquet-hadoop Group API,
+  * converting to InternalRow by the declared schema: file-missing
+  * columns → null (post-evolution reads), value extraction by declared
+  * Spark type (timestamps must be INT64 µs — the only physical form
+  * this bridge writes; INT96 refuses loudly).
+  */
+private[streaming] class GroupParquetReader(
+    path: String, declared: StructType,
+    conf: org.apache.hadoop.conf.Configuration)
+  extends PartitionReader[InternalRow] {
+
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.io.ColumnIOFactory
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+  private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+    new org.apache.hadoop.fs.Path(path), conf))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  private val io = new ColumnIOFactory().getColumnIO(fileSchema)
+  private val fieldIdx: Array[Int] = declared.fields.map { f =>
+    if (fileSchema.containsField(f.name)) {
+      val i = fileSchema.getFieldIndex(f.name)
+      if (f.dataType == TimestampType) {
+        val pt = fileSchema.getType(i).asPrimitiveType()
+        require(pt.getPrimitiveTypeName == PrimitiveTypeName.INT64,
+          s"GroupParquetReader: $path stores ${f.name} as " +
+            s"${pt.getPrimitiveTypeName}, expected INT64 µs timestamps")
+      }
+      i
+    } else -1
+  }
+
+  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var remaining = 0L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (remaining == 0L) {
+      val store = reader.readNextRowGroup()
+      if (store == null) return false
+      remaining = store.getRowCount
+      recordReader = io.getRecordReader(store,
+        new GroupRecordConverter(fileSchema))
+    }
+    val g = recordReader.read()
+    remaining -= 1
+    current = toRow(g)
+    true
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = reader.close()
+
+  private def toRow(g: Group): InternalRow = {
+    val values = new Array[Any](declared.length)
+    var i = 0
+    while (i < declared.length) {
+      val idx = fieldIdx(i)
+      values(i) =
+        if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
+        else declared.fields(i).dataType match {
+          case LongType | TimestampType => g.getLong(idx, 0)
+          case IntegerType | DateType => g.getInteger(idx, 0)
+          case DoubleType => g.getDouble(idx, 0)
+          case FloatType => g.getFloat(idx, 0)
+          case BooleanType => g.getBoolean(idx, 0)
+          case StringType =>
+            UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+          case BinaryType => g.getBinary(idx, 0).getBytes
+          case other => throw new IllegalStateException(
+            s"GroupParquetReader: unsupported type $other (vetted at " +
+              "scan build — unreachable)")
+        }
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+}

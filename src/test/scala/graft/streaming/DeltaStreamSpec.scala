@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.lake.DeltaLog
+
+import java.nio.file.Files
+
+/** The graft-delta streaming SOURCE: version-granular micro-batches,
+  * exactly-once offsets under checkpoint restart, schema-evolution
+  * null-fill in flight, and the loud append-tail contracts.
+  */
+class DeltaStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def readStream(root: String) =
+    spark.readStream.format("graft.streaming.DeltaStreamProvider")
+      .option("path", root).load()
+
+  test("micro-batches follow commits; new commits arrive incrementally; " +
+    "OPTIMIZE's dataChange=false commit adds nothing") {
+    val root = freshDir("graft-dstream")
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    DeltaLog.commitFlat(spark, root, Seq((3L, "c")).toDF("k", "v"))
+    val name = s"ds_${System.nanoTime()}"
+    val q = readStream(root).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got() == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      DeltaLog.commitFlat(spark, root, Seq((4L, "d")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(got() == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+      // layout-only commit: nothing new flows
+      DeltaLog.optimizeZOrder(spark, root, "k", "k", 4, 2)
+      q.processAllAvailable()
+      assert(got() == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes exactly-once: only post-checkpoint " +
+    "commits replay into a fresh sink") {
+    val root = freshDir("graft-dstream-ckpt")
+    val ckpt = Files.createTempDirectory("graft-dstream-ck").toString
+    val out = Files.createTempDirectory("graft-dstream-out")
+      .resolve("o").toString
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // memory sink refuses recovery — the parquet FILE sink is the
+    // restart-capable one, and its own manifest makes output
+    // exactly-once end to end
+    def sink() = readStream(root).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def got() = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val q1 = sink()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(got() == Seq((1L, "a"), (2L, "b")))
+    // append while the stream is DOWN, then restart from the checkpoint
+    DeltaLog.commitFlat(spark, root, Seq((3L, "c")).toDF("k", "v"))
+    val q2 = sink()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(got() == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "restart must replay ONLY the missed commit, exactly once")
+  }
+
+  test("startingVersion skips history; schema evolution null-fills " +
+    "pre-evolution files in flight; DML in the tail fails the stream " +
+    "loudly") {
+    val root = freshDir("graft-dstream-sv")
+    DeltaLog.commitFlat(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    DeltaLog.commitFlat(spark, root, Seq((2L, "b")).toDF("k", "v"))
+    DeltaLog.commitFlat(spark, root,
+      Seq((3L, "c", 0.5)).toDF("k", "v", "w"), mergeSchema = true)
+    val name = s"dsv_${System.nanoTime()}"
+    val q = spark.readStream
+      .format("graft.streaming.DeltaStreamProvider")
+      .option("path", root).option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(r => (r.getLong(0),
+        r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toSet
+      assert(got == Set((2L, "b", None), (3L, "c", Some(0.5))))
+      // DML lands in the tail: the next pull must fail, not mis-read
+      DeltaLog.deleteWhereLong(spark, root, "k", 2L, 2L)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage != null)
+      // the underlying contract is named in the cause chain
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert((chain(e) ++ chain(q.exception.orNull))
+        .exists(m => m.contains("append tail") || m.contains("CDC")),
+        chain(e).mkString(" | "))
+    } finally q.stop()
+  }
+}
