@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
-  Offset}
+  Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,7 +59,14 @@ class DeltaStreamProvider extends TableProvider {
       Option(properties.get("startingversion"))
         .orElse(Option(properties.get("startingVersion")))
         .map(_.toLong).getOrElse(-1L)
-    new DeltaStreamTable(root, schema, startingVersion)
+    val maxVersionsPerTrigger =
+      Option(properties.get("maxversionspertrigger"))
+        .orElse(Option(properties.get("maxVersionsPerTrigger")))
+        .map(_.toLong)
+    maxVersionsPerTrigger.foreach(n => require(n >= 1,
+      s"DeltaStreamProvider: maxVersionsPerTrigger >= 1, got $n"))
+    new DeltaStreamTable(root, schema, startingVersion,
+      maxVersionsPerTrigger)
   }
 }
 
@@ -73,7 +80,8 @@ object DeltaStreamProvider {
 }
 
 private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
-                                          startingVersion: Long)
+                                          startingVersion: Long,
+                                          maxVersionsPerTrigger: Option[Long])
   extends Table with SupportsRead {
 
   override def name(): String = s"graft-delta `$root`"
@@ -97,7 +105,8 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
               s"${f.dataType} — streaming reads support atomic types " +
               "only (long/int/double/float/boolean/string/binary/" +
               "timestamp/date)"))
-          new DeltaMicroBatchStream(root, schema0, startingVersion)
+          new DeltaMicroBatchStream(root, schema0, startingVersion,
+            maxVersionsPerTrigger)
         }
       }
     }
@@ -108,15 +117,38 @@ private[streaming] case class VersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
+/** Version-capped admission: `maxVersionsPerTrigger` bounds how many
+  * commits one micro-batch may drain — the first start against a long
+  * backlog proceeds in bounded batches instead of planning one giant
+  * one, and every intermediate batch is a replayable (start, end]
+  * range like any other.
+  */
+private[streaming] case class ReadMaxVersions(n: Long) extends ReadLimit
+
 private[streaming] class DeltaMicroBatchStream(root: String,
                                                schema: StructType,
-                                               startingVersion: Long)
-  extends MicroBatchStream {
+                                               startingVersion: Long,
+                                               maxVersionsPerTrigger: Option[Long])
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
 
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadMaxVersions(_): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = DeltaLog.currentVersion(root)
+    val from = start.asInstanceOf[VersionOffset].version
+    limit match {
+      case ReadMaxVersions(n) => VersionOffset(math.min(cur, from + n))
+      case _ => VersionOffset(cur)
+    }
+  }
+
   override def latestOffset(): Offset =
-    VersionOffset(DeltaLog.currentVersion(root))
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this admission-aware source")
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toLong)

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.lake.DeltaLog
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** The graft-delta streaming SOURCE: version-granular micro-batches,
   * exactly-once offsets under checkpoint restart, schema-evolution
@@ -69,6 +70,29 @@ class DeltaStreamSpec extends SparkSpec {
     try { q2.processAllAvailable() } finally q2.stop()
     assert(got() == Seq((1L, "a"), (2L, "b"), (3L, "c")),
       "restart must replay ONLY the missed commit, exactly once")
+  }
+
+  test("maxVersionsPerTrigger drains a backlog in bounded batches, " +
+    "losing nothing") {
+    val root = freshDir("graft-dstream-adm")
+    (1 to 5).foreach(i =>
+      DeltaLog.commitFlat(spark, root, Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    val ckpt = Files.createTempDirectory("graft-dstream-admck").toString
+    val out = Files.createTempDirectory("graft-dstream-admout")
+      .resolve("o").toString
+    val q = spark.readStream.format("graft.streaming.DeltaStreamProvider")
+      .option("path", root).option("maxVersionsPerTrigger", "2").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (1 to 5).map(i => (i.toLong, s"v$i")).toSet)
+    // 5 commits at <=2 versions per batch = at least 3 offset entries
+    val offsets = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
+    val n = try offsets.iterator().asScala
+      .count(!_.getFileName.toString.startsWith(".")) finally offsets.close()
+    assert(n >= 3, s"expected >=3 bounded batches, saw $n offset files")
   }
 
   test("startingVersion skips history; schema evolution null-fills " +
