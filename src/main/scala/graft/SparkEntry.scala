@@ -2557,6 +2557,24 @@ object SparkEntry {
       } finally q.stop()
       s.table(name)
     }),
+    // PARTITIONED STREAMING READ: events hive-partitioned by
+    // event_type, streamed whole — partition values reattach as typed
+    // per-file constants (nulls included), so the streamed table must
+    // equal the batch truth column-for-column.
+    "q277_delta_stream_partitioned" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("value"), col("event_type"))
+      val root = freshScratch("q277")
+      graft.lake.DeltaLog.commitPartitioned(s, root, ev, Seq("event_type"))
+      val name = s"q277_sink_${System.nanoTime()}"
+      val q = s.readStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", root).load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -3998,6 +4016,9 @@ object SparkEntry {
     // q276: the three streamed slices are the whole non-null set.
     "q276_delta_stream_read" ->
       """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
+    // q277: the streamed partitioned table is just events.
+    "q277_delta_stream_partitioned" ->
+      """SELECT event_id, value, event_type FROM events""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

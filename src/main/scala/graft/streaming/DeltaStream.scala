@@ -96,17 +96,24 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
         override def description(): String = name()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
           val (_, pcs) = DeltaLog.tableMeta(SparkSession.active, root)
-          require(pcs.isEmpty,
-            s"DeltaStreamProvider: $root is partitioned by $pcs — " +
-              "partitioned streaming reads are out of scope (v1)")
           schema0.fields.foreach(f => require(
             DeltaStreamReaderFactory.supported(f.dataType),
             s"DeltaStreamProvider: column ${f.name} has type " +
               s"${f.dataType} — streaming reads support atomic types " +
               "only (long/int/double/float/boolean/string/binary/" +
               "timestamp/date)"))
+          pcs.foreach { c =>
+            require(schema0.fieldNames.contains(c),
+              s"DeltaStreamProvider: partition column $c missing from " +
+                "the declared schema")
+            require(DeltaStreamReaderFactory.pvSupported(
+              schema0(c).dataType),
+              s"DeltaStreamProvider: partition column $c has type " +
+                s"${schema0(c).dataType} — supported partition types " +
+                "are long/int/string/boolean/double/date")
+          }
           new DeltaMicroBatchStream(root, schema0, startingVersion,
-            maxVersionsPerTrigger)
+            maxVersionsPerTrigger, pcs)
         }
       }
     }
@@ -128,7 +135,8 @@ private[streaming] case class ReadMaxVersions(n: Long) extends ReadLimit
 private[streaming] class DeltaMicroBatchStream(root: String,
                                                schema: StructType,
                                                startingVersion: Long,
-                                               maxVersionsPerTrigger: Option[Long])
+                                               maxVersionsPerTrigger: Option[Long],
+                                               partitionCols: Seq[String])
   extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
@@ -161,9 +169,9 @@ private[streaming] class DeltaMicroBatchStream(root: String,
                                    end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[VersionOffset].version
     val to = end.asInstanceOf[VersionOffset].version
-    DeltaLog.appendedFilesIn(root, from, to).map { case (_, rel, _) =>
+    DeltaLog.appendedFilesIn(root, from, to).map { case (_, rel, pv) =>
       DeltaFilePartition(
-        java.nio.file.Paths.get(root, rel).toString): InputPartition
+        java.nio.file.Paths.get(root, rel).toString, pv): InputPartition
     }.toArray
   }
 
@@ -173,23 +181,34 @@ private[streaming] class DeltaMicroBatchStream(root: String,
     val it = SparkSession.active.sparkContext.hadoopConfiguration.iterator()
     val props = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     while (it.hasNext) { val e = it.next(); props += ((e.getKey, e.getValue)) }
-    DeltaStreamReaderFactory(schema.json, props.toArray)
+    DeltaStreamReaderFactory(schema.json, props.toArray,
+      partitionCols.toArray)
   }
 }
 
-private[streaming] case class DeltaFilePartition(path: String)
+private[streaming] case class DeltaFilePartition(
+    path: String, partitionValues: Map[String, String])
   extends InputPartition
 
 private[streaming] case class DeltaStreamReaderFactory(
-    schemaJson: String, hadoopProps: Array[(String, String)])
+    schemaJson: String, hadoopProps: Array[(String, String)],
+    partitionCols: Array[String])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val conf = new org.apache.hadoop.conf.Configuration(false)
     hadoopProps.foreach { case (k, v) => conf.set(k, v) }
-    new GroupParquetReader(
-      partition.asInstanceOf[DeltaFilePartition].path,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType], conf)
+    val p = partition.asInstanceOf[DeltaFilePartition]
+    val declared = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    // partition columns read as per-file CONSTANTS from the add's
+    // partitionValues, parsed once per reader by declared type
+    val pcSet = partitionCols.toSet
+    val constants: Array[Option[Any]] = declared.fields.map { f =>
+      if (!pcSet(f.name)) None
+      else Some(DeltaStreamReaderFactory.parsePv(
+        p.partitionValues.getOrElse(f.name, null), f.dataType))
+    }
+    new GroupParquetReader(p.path, declared, constants, conf)
   }
 }
 
@@ -199,6 +218,26 @@ private[streaming] object DeltaStreamReaderFactory {
          StringType | BinaryType | TimestampType | DateType => true
     case _ => false
   }
+
+  def pvSupported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType | BooleanType | DoubleType |
+         DateType => true
+    case _ => false
+  }
+
+  /** Delta partition-value string → Spark internal representation. */
+  def parsePv(raw: String, dt: DataType): Any =
+    if (raw == null) null
+    else dt match {
+      case LongType => raw.toLong
+      case IntegerType => raw.toInt
+      case DoubleType => raw.toDouble
+      case BooleanType => raw.toBoolean
+      case StringType => UTF8String.fromString(raw)
+      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case other => throw new IllegalArgumentException(
+        s"DeltaStreamReaderFactory: partition type $other unsupported")
+    }
 }
 
 /** Row-group walk of ONE parquet file via the parquet-hadoop Group API,
@@ -208,7 +247,7 @@ private[streaming] object DeltaStreamReaderFactory {
   * this bridge writes; INT96 refuses loudly).
   */
 private[streaming] class GroupParquetReader(
-    path: String, declared: StructType,
+    path: String, declared: StructType, constants: Array[Option[Any]],
     conf: org.apache.hadoop.conf.Configuration)
   extends PartitionReader[InternalRow] {
 
@@ -223,8 +262,10 @@ private[streaming] class GroupParquetReader(
     new org.apache.hadoop.fs.Path(path), conf))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val io = new ColumnIOFactory().getColumnIO(fileSchema)
-  private val fieldIdx: Array[Int] = declared.fields.map { f =>
-    if (fileSchema.containsField(f.name)) {
+  private val fieldIdx: Array[Int] = declared.fields.zipWithIndex.map {
+    case (f, di) =>
+    if (constants(di).isDefined) -1
+    else if (fileSchema.containsField(f.name)) {
       val i = fileSchema.getFieldIndex(f.name)
       if (f.dataType == TimestampType) {
         val pt = fileSchema.getType(i).asPrimitiveType()
@@ -264,7 +305,8 @@ private[streaming] class GroupParquetReader(
     while (i < declared.length) {
       val idx = fieldIdx(i)
       values(i) =
-        if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
+        if (constants(i).isDefined) constants(i).get
+        else if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
         else declared.fields(i).dataType match {
           case LongType | TimestampType => g.getLong(idx, 0)
           case IntegerType | DateType => g.getInteger(idx, 0)

@@ -95,6 +95,26 @@ class DeltaStreamSpec extends SparkSpec {
     assert(n >= 3, s"expected >=3 bounded batches, saw $n offset files")
   }
 
+  test("partitioned tables stream with typed partition-value constants, " +
+    "null partitions included") {
+    val root = freshDir("graft-dstream-part")
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((1L, "a", Some("x")), (2L, "b", Some("y")), (3L, "c", None))
+        .map { case (k, v, p) => (k, v, p.orNull) }.toDF("k", "v", "pt"),
+      Seq("pt"))
+    val name = s"dsp_${System.nanoTime()}"
+    val q = readStream(root).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(r =>
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getString(2)))).toSet
+      assert(got == Set((1L, "a", Some("x")), (2L, "b", Some("y")),
+        (3L, "c", None)))
+    } finally q.stop()
+  }
+
   test("startingVersion skips history; schema evolution null-fills " +
     "pre-evolution files in flight; DML in the tail fails the stream " +
     "loudly") {
