@@ -2575,6 +2575,22 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table(name)
     }),
+    // BLOOM POINT LOOKUP: orders committed in four slices with a
+    // parquet bloom on o_custkey (UNSORTED — every file spans the
+    // custkey range, stats prune nothing); the point read must return
+    // that customer's orders through the bloom layer. Pruning itself
+    // is pinned by DeltaLogSpec (owner-file-only inputFiles).
+    "q278_delta_bloom_lookup" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(i: Int) =
+        o.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(4)) === i)
+      val root = freshScratch("q278")
+      (0 until 4).foreach(i => graft.lake.DeltaLog.commitFlat(s, root,
+        slice(i), writeOptions =
+          graft.lake.DeltaLog.bloomOptions(Seq("o_custkey"))))
+      graft.lake.DeltaLog.readWhereLongPoint(s, root, "o_custkey", 371L)
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -4019,6 +4035,10 @@ object SparkEntry {
     // q277: the streamed partitioned table is just events.
     "q277_delta_stream_partitioned" ->
       """SELECT event_id, value, event_type FROM events""",
+    // q278: the point lookup is a plain equality filter.
+    "q278_delta_bloom_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_custkey = 371""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

@@ -1733,6 +1733,50 @@ object DeltaLog {
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Point lookup `column = value` with TWO file-skipping layers: the
+    * footer-stats range check first (free — stats ride the log), then
+    * each surviving file's parquet BLOOM FILTER (footer-bytes IO only,
+    * never data pages): a bloom that answers "definitely absent" drops
+    * the file. On an UNSORTED column every file spans the value range
+    * and stats alone prune NOTHING — blooms are what make a point
+    * lookup on a 100 TB unsorted fact open only the files that can
+    * match. Files without a bloom (not written with [[bloomOptions]])
+    * conservatively stay. Deterministic: parquet blooms are xxhash —
+    * the same data always prunes the same way.
+    */
+  def readWhereLongPoint(spark: SparkSession, root: String,
+                         column: String, value: Long): DataFrame = {
+    val st = replay(spark, root, currentVersion(root))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val kept = st.files
+      .filter { case (p, _) => statsOverlap(st, p, column, value, value) }
+      .filter { case (rel, _) =>
+        bloomMightContain(resolvePath(root, rel), column, value, conf) }
+    assembleFiles(spark, root, st, kept).filter(col(column) === value)
+  }
+
+  /** Footer-only bloom probe: true when the file might contain
+    * `value` in `column` (no bloom written → conservatively true).
+    */
+  private def bloomMightContain(file: Path, column: String, value: Long,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file.toString), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      r.getFooter.getBlocks.asScala.exists { block =>
+        block.getColumns.asScala
+          .find(_.getPath.toDotString == column) match {
+          case None => true
+          case Some(cm) =>
+            val bf = r.getBloomFilterDataReader(block).readBloomFilter(cm)
+            if (bf == null) true
+            else bf.findHash(bf.hash(value))
+        }
+      }
+    } finally r.close()
+  }
+
   /** Copy-on-write DELETE of rows with `column` in [lo, hi] over the
     * current snapshot, committed as `remove`+`add` with
     * `dataChange=true`. File-skipping applies BEFORE any IO: only files
@@ -2841,15 +2885,32 @@ object DeltaLog {
                  rewrite: Boolean = false,
                  txn: Option[(String, Long)] = None,
                  configuration: Map[String, String] = Map.empty,
-                 mergeSchema: Boolean = false): Long =
+                 mergeSchema: Boolean = false,
+                 writeOptions: Map[String, String] = Map.empty): Long =
     commitData(spark, root, df, Seq.empty, rewrite, txn, configuration,
-      mergeSchema)
+      mergeSchema, writeOptions)
+
+  /** Parquet writer options enabling a BLOOM FILTER on each column —
+    * the per-file point-lookup index [[readWhereLongPoint]] consults:
+    * on an UNSORTED column min/max stats cannot prune (every file
+    * spans the range), but the bloom answers "definitely absent" from
+    * footer bytes alone. Pass to `commitFlat(writeOptions = …)`;
+    * `ndv` sizes the filter (expected distinct values per file).
+    */
+  def bloomOptions(cols: Seq[String], ndv: Long = 0L): Map[String, String] =
+    cols.flatMap { c =>
+      Seq(s"parquet.bloom.filter.enabled#$c" -> "true") ++
+        (if (ndv > 0L)
+          Seq(s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
+        else Nil)
+    }.toMap
 
   private def commitData(spark: SparkSession, root: String, df: DataFrame,
                          partitionCols: Seq[String], rewrite: Boolean,
                          txn: Option[(String, Long)],
                          configuration: Map[String, String] = Map.empty,
-                         mergeSchema: Boolean = false): Long = {
+                         mergeSchema: Boolean = false,
+                         writeOptions: Map[String, String] = Map.empty): Long = {
     val v = currentVersion(root) + 1
     val prior =
       if (v == 0L) None
@@ -2951,7 +3012,7 @@ object DeltaLog {
     val enforced = enforceInvariants(dfG,
       evolvedSchema.orElse(prior.flatMap(_.schema)).getOrElse(dfG.schema),
       prior.map(_.configuration).getOrElse(configuration))
-    val writer = enforced.write.mode("overwrite")
+    val writer = enforced.write.mode("overwrite").options(writeOptions)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(stagingPath.toString)
     // Move each data file into the table root under its partition path

@@ -886,6 +886,36 @@ class DeltaLogSpec extends SparkSpec {
       .contains("rowTracking"))
   }
 
+  test("bloom point lookup: stats can't prune an unsorted column, the " +
+    "bloom layer can; bloom-less files conservatively stay") {
+    val root = freshRoot()
+    // four files with fully-OVERLAPPING ranges but DISJOINT values:
+    // file i holds {8j + i} — a range check keeps all four for any
+    // in-range probe, the bloom keeps exactly the owner; residues
+    // 4..7 (mod 8) are in range but absent everywhere
+    (0 until 4).foreach { i =>
+      DeltaLog.commitFlat(spark, root,
+        (0L until 64L).map(j => (8 * j + i, s"f$i-$j")).toDF("k", "v")
+          .coalesce(1),
+        writeOptions = DeltaLog.bloomOptions(Seq("k"), ndv = 64))
+    }
+    val hit = DeltaLog.readWhereLongPoint(spark, root, "k", 128L)
+    assert(hit.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((128L, "f0-16")))
+    assert(hit.inputFiles.length == 1,
+      s"bloom must keep only the owner file: ${hit.inputFiles.toSeq}")
+    // absent value (within range, wrong residue never written): 0 files
+    val miss = DeltaLog.readWhereLongPoint(spark, root, "k", 6L)
+    assert(miss.count() == 0L)
+    assert(miss.inputFiles.isEmpty, miss.inputFiles.toSeq)
+    // a bloom-less commit stays conservatively readable
+    DeltaLog.commitFlat(spark, root,
+      Seq((6L, "late")).toDF("k", "v").coalesce(1))
+    val late = DeltaLog.readWhereLongPoint(spark, root, "k", 6L)
+    assert(late.collect().map(_.getString(1)).toSeq == Seq("late"))
+    assert(late.inputFiles.length == 1)
+  }
+
   test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
     val root = freshRoot()
     writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
