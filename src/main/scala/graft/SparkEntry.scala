@@ -2591,6 +2591,29 @@ object SparkEntry {
           graft.lake.DeltaLog.bloomOptions(Seq("o_custkey"))))
       graft.lake.DeltaLog.readWhereLongPoint(s, root, "o_custkey", 371L)
     }),
+    // STREAMING SINK (exactly-once DSv2 write): a delta-to-delta
+    // pipeline — the source table streams through a checkpointed query
+    // into a SECOND Delta table whose epochs commit with txn
+    // watermarks; the destination read-back must equal the source
+    // slices exactly (no loss, no duplication).
+    "q279_delta_stream_sink" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def half(i: Int) = ev.filter(pmod(col("event_id"), lit(2)) === i)
+      val base = freshScratch("q279")
+      val (src, dst) = (s"$base/src", s"$base/dst")
+      graft.lake.DeltaLog.commitFlat(s, src, half(0))
+      graft.lake.DeltaLog.commitFlat(s, src, half(1))
+      val q = s.readStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", src).load()
+        .writeStream.format("graft.streaming.DeltaStreamProvider")
+        .option("path", dst)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.lake.DeltaLog.read(s, dst)
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -4039,6 +4062,9 @@ object SparkEntry {
     "q278_delta_bloom_lookup" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_custkey = 371""",
+    // q279: the piped table is the whole non-null slice, exactly once.
+    "q279_delta_stream_sink" ->
+      """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

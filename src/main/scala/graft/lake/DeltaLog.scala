@@ -1733,6 +1733,81 @@ object DeltaLog {
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Nullability and field metadata are write-path metadata, not
+    * physical schema — the shared normalization for schema-shape
+    * checks ([[commitData]] and the streaming sink).
+    */
+  private def normSchema(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = normSchema(f.dataType), nullable = true,
+        metadata = Metadata.empty)))
+    case a: ArrayType => a.copy(elementType = normSchema(a.elementType),
+      containsNull = true)
+    case m: MapType => m.copy(valueType = normSchema(m.valueType),
+      valueContainsNull = true)
+    case other => other
+  }
+
+  /** Commit ALREADY-STAGED parquet files (written by the streaming
+    * sink's executors under `.graft_staging`) as one append, guarded
+    * by a txn watermark: a replayed epoch — Spark re-running a commit
+    * after driver recovery — is a NO-OP that just discards its staged
+    * files, which is what makes the DSv2 sink exactly-once. Creates
+    * the table (protocol + metaData from `schemaJson`) at version 0;
+    * later epochs must match the declared schema shape. Flat tables
+    * only; operation `STREAMING UPDATE` (Delta's name for it).
+    */
+  private[graft] def commitStreamFiles(spark: SparkSession, root: String,
+      schemaJson: String, staged: Seq[Path], txn: (String, Long)): Unit = {
+    val v = currentVersion(root) + 1
+    val prior = if (v == 0L) None else Some(replay(spark, root, v - 1))
+    prior.foreach { st =>
+      requireWritable(st, "commitStreamFiles")
+      require(st.partitionColumns.isEmpty,
+        "DeltaLog.commitStreamFiles: partitioned sink tables unsupported")
+      val incoming = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      st.schema.foreach(sch => require(
+        normSchema(sch) == normSchema(incoming),
+        s"DeltaLog.commitStreamFiles: epoch schema $incoming does not " +
+          s"match the table's $sch"))
+      val applied = st.txnVersions.get(txn._1).exists(_ >= txn._2)
+      if (applied) { staged.foreach(Files.deleteIfExists(_)); return }
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val actions = Seq.newBuilder[JsonNode]
+    if (v == 0L) {
+      val protocol = mapper.createObjectNode()
+      val p = protocol.putObject("protocol")
+      p.put("minReaderVersion", 1)
+      p.put("minWriterVersion", 2)
+      actions += protocol
+      val tableId = java.util.UUID.nameUUIDFromBytes(
+        ("graft-delta:" + root).getBytes("UTF-8")).toString
+      actions += metaDataAction(tableId, schemaJson, Seq.empty, Map.empty)
+    }
+    val n = mapper.createObjectNode()
+    val t = n.putObject("txn")
+    t.put("appId", txn._1)
+    t.put("version", txn._2)
+    actions += n
+    staged.foreach { p =>
+      val target = Paths.get(root).resolve(p.getFileName)
+      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      actions += addActionNode(root, target.getFileName.toString,
+        Map.empty, dataChange = true, conf)
+    }
+    Files.createDirectories(logDir(root))
+    writeCommitFile(root, v, actions.result(),
+      operation = "STREAMING UPDATE")
+  }
+
+  /** Executor-side staging dir for the streaming sink (same filesystem
+    * as the table by construction, so the commit-time rename is
+    * atomic).
+    */
+  private[graft] def streamStagingDir(root: String): Path =
+    stagingBase(root)
+
   /** Point lookup `column = value` with TWO file-skipping layers: the
     * footer-stats range check first (free — stats ride the log), then
     * each surviving file's parquet BLOOM FILTER (footer-bytes IO only,
@@ -2956,16 +3031,7 @@ object DeltaLog {
       // are write-path metadata, not a schema change: a stricter
       // (non-null) batch may land in a nullable table and vice versa —
       // Delta's own writer behaves the same way
-      def norm(dt: DataType): DataType = dt match {
-        case s: StructType => StructType(s.fields.map(f =>
-          f.copy(dataType = norm(f.dataType), nullable = true,
-            metadata = Metadata.empty)))
-        case a: ArrayType => a.copy(elementType = norm(a.elementType),
-          containsNull = true)
-        case m: MapType => m.copy(valueType = norm(m.valueType),
-          valueContainsNull = true)
-        case other => other
-      }
+      def norm(dt: DataType): DataType = normSchema(dt)
       st.schema.foreach { sch =>
         if (norm(sch) != norm(dfG.schema)) {
           require(mergeSchema,

@@ -5,13 +5,17 @@ import graft.lake.DeltaLog
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead,
+  SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo,
+  PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -43,6 +47,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * partitioned tables refuse at open.
   */
 class DeltaStreamProvider extends TableProvider {
+
+  // the WRITE path hands us the query's schema directly (the sink may
+  // CREATE the table); reads without a user schema still infer
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (schema, _) = DeltaLog.tableMeta(SparkSession.active,
@@ -82,12 +90,29 @@ object DeltaStreamProvider {
 private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
                                           startingVersion: Long,
                                           maxVersionsPerTrigger: Option[Long])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-delta `$root`"
   override def schema(): StructType = schema0
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.Collections.singleton(TableCapability.MICRO_BATCH_READ)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val set = new java.util.HashSet[TableCapability]()
+    set.add(TableCapability.MICRO_BATCH_READ)
+    set.add(TableCapability.STREAMING_WRITE)
+    set
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite = {
+          info.schema().fields.foreach(f => require(
+            DeltaStreamReaderFactory.supported(f.dataType),
+            s"DeltaStreamProvider sink: column ${f.name} has type " +
+              s"${f.dataType} — the sink writes atomic types only"))
+          new DeltaStreamingWrite(root, info.schema(), info.queryId())
+        }
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -324,4 +349,159 @@ private[streaming] class GroupParquetReader(
     }
     new GenericInternalRow(values)
   }
+}
+
+/** Exactly-once DSv2 streaming SINK into the Delta log: executors
+  * write each partition's rows to a staged parquet part under the
+  * table's same-filesystem staging dir; the DRIVER's epoch commit
+  * moves the staged files in and writes ONE log commit carrying a
+  * `txn` watermark (appId = the query id) — a replayed epoch after
+  * recovery is a no-op, the Delta idempotent-writer pattern. Appends
+  * only (the streaming-sink shape); `abort` discards the epoch's
+  * staged files.
+  */
+private[streaming] class DeltaStreamingWrite(root: String,
+                                             schema: StructType,
+                                             queryId: String)
+  extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val it = SparkSession.active.sparkContext.hadoopConfiguration.iterator()
+    val props = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); props += ((e.getKey, e.getValue)) }
+    // materialize the staging dir BEFORE executors need it
+    val staging = DeltaLog.streamStagingDir(root)
+    DeltaStreamWriterFactory(staging.toString, schema.json, props.toArray)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect {
+      case DeltaWriteMessage(path) if path.nonEmpty =>
+        java.nio.file.Paths.get(path)
+    }.toSeq
+    DeltaLog.commitStreamFiles(SparkSession.active, root, schema.json,
+      staged, (s"graft-stream-sink-$queryId", epochId))
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case DeltaWriteMessage(path) if path.nonEmpty =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+      case _ => ()
+    }
+}
+
+private[streaming] case class DeltaWriteMessage(path: String)
+  extends WriterCommitMessage
+
+private[streaming] case class DeltaStreamWriterFactory(
+    stagingDir: String, schemaJson: String,
+    hadoopProps: Array[(String, String)])
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    hadoopProps.foreach { case (k, v) => conf.set(k, v) }
+    new GroupParquetWriter(stagingDir,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], conf)
+  }
+}
+
+/** One staged parquet part via the parquet-hadoop example writer
+  * (lazy-opened: an empty partition stages nothing), declared-schema
+  * atomic types; `commit` hands the path to the driver, `abort`
+  * deletes it.
+  */
+private[streaming] class GroupParquetWriter(
+    stagingDir: String, schema: StructType,
+    conf: org.apache.hadoop.conf.Configuration)
+  extends DataWriter[InternalRow] {
+
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.io.api.Binary
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType,
+    Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  private val messageType: MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.addField(Types.optional(INT64).named(f.name))
+        case TimestampType => b.addField(Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
+        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
+        case DateType => b.addField(Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name))
+        case DoubleType => b.addField(Types.optional(DOUBLE).named(f.name))
+        case FloatType => b.addField(Types.optional(FLOAT).named(f.name))
+        case BooleanType =>
+          b.addField(Types.optional(BOOLEAN).named(f.name))
+        case StringType => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case BinaryType => b.addField(Types.optional(BINARY).named(f.name))
+        case other => throw new IllegalArgumentException(
+          s"GroupParquetWriter: unsupported type $other (vetted at " +
+            "write build — unreachable)")
+      }
+    }
+    b.named("spark_schema")
+  }
+
+  private val factory = new SimpleGroupFactory(messageType)
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[
+    org.apache.parquet.example.data.Group] = _
+  private var path: java.nio.file.Path = _
+
+  private def open(): Unit = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stagingDir))
+    path = java.nio.file.Paths.get(stagingDir,
+      s"stream-${java.util.UUID.randomUUID()}.parquet")
+    writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(path.toString))
+      .withType(messageType).withConf(conf).build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) open()
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType | TimestampType => g.add(i, row.getLong(i))
+        case IntegerType | DateType => g.add(i, row.getInt(i))
+        case DoubleType => g.add(i, row.getDouble(i))
+        case FloatType => g.add(i, row.getFloat(i))
+        case BooleanType => g.add(i, row.getBoolean(i))
+        case StringType => g.add(i,
+          Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case BinaryType => g.add(i,
+          Binary.fromConstantByteArray(row.getBinary(i)))
+        case other => throw new IllegalStateException(
+          s"GroupParquetWriter: unsupported type $other — unreachable")
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer == null) DeltaWriteMessage("")
+    else { writer.close(); DeltaWriteMessage(path.toString) }
+  }
+
+  override def abort(): Unit =
+    if (writer != null) {
+      writer.close()
+      java.nio.file.Files.deleteIfExists(path)
+    }
+
+  override def close(): Unit = ()
 }

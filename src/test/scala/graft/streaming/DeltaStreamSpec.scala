@@ -115,6 +115,57 @@ class DeltaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SINK: epochs commit with txn watermarks; a replayed " +
+    "epoch is a no-op; delta-to-delta pipeline round-trips") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sinkRoot = freshDir("graft-dsink")
+    val ckpt = Files.createTempDirectory("graft-dsink-ck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .format("graft.streaming.DeltaStreamProvider")
+      .option("path", sinkRoot).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((1L, "a"), (2L, "b")))
+      q.processAllAvailable()
+      in.addData(Seq((3L, "c")))
+      q.processAllAvailable()
+    } finally q.stop()
+    def rowsOf(root: String) = DeltaLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rowsOf(sinkRoot) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the commits carry STREAMING UPDATE provenance + txn watermarks
+    val lines0 = Files.readAllLines(java.nio.file.Paths.get(sinkRoot,
+      "_delta_log", f"${0L}%020d.json")).asScala.mkString
+    assert(lines0.contains("STREAMING UPDATE") && lines0.contains("txn"),
+      lines0)
+    // a replayed epoch (same appId+version) must be a no-op
+    val appId = {
+      val re = """"appId":"([^"]+)"""".r
+      re.findFirstMatchIn(lines0).get.group(1)
+    }
+    val staged = DeltaLog.streamStagingDir(sinkRoot)
+      .resolve("replay.parquet")
+    Seq((9L, "dup")).toDF("k", "v").coalesce(1).write.mode("overwrite")
+      .parquet(staged.getParent.resolve("replay-stage").toString)
+    val part = Files.list(staged.getParent.resolve("replay-stage"))
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    DeltaLog.commitStreamFiles(spark, sinkRoot,
+      DeltaLog.read(spark, sinkRoot).schema.json, Seq(part), (appId, 0L))
+    assert(rowsOf(sinkRoot) == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "replayed epoch 0 must not re-append")
+    // delta-to-delta: stream the sink table into ANOTHER delta table
+    val dstRoot = freshDir("graft-dsink2")
+    val ckpt2 = Files.createTempDirectory("graft-dsink-ck2").toString
+    val q2 = readStream(sinkRoot)
+      .writeStream.format("graft.streaming.DeltaStreamProvider")
+      .option("path", dstRoot).option("checkpointLocation", ckpt2)
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(rowsOf(dstRoot) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("startingVersion skips history; schema evolution null-fills " +
     "pre-evolution files in flight; DML in the tail fails the stream " +
     "loudly") {
