@@ -2614,6 +2614,37 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       graft.lake.DeltaLog.read(s, dst)
     }),
+    // STREAMING CHANGE FEED: the q266 history (3 CDF appends + DELETE
+    // + UPDATE) consumed as a STREAM (readChangeFeed=true) — cdc files
+    // carry their own _change_type, appends synthesize insert; rolled
+    // up per change type with exact long cents.
+    "q280_delta_stream_cdf" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(i: Int) =
+        o.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) === i)
+      val root = freshScratch("q280")
+      graft.lake.DeltaLog.commitFlat(s, root, slice(0),
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      graft.lake.DeltaLog.commitFlat(s, root, slice(1))
+      graft.lake.DeltaLog.commitFlat(s, root, slice(2))
+      graft.lake.DeltaLog.deleteWhereLong(s, root, "o_orderkey",
+        3000L, 6000L)
+      graft.lake.DeltaLog.updateWhereLong(s, root, "o_orderkey",
+        100L, 2000L, Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      val name = s"q280_sink_${System.nanoTime()}"
+      val q = s.readStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", root).option("readChangeFeed", "true").load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents"))
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -4065,6 +4096,29 @@ object SparkEntry {
     // q279: the piped table is the whole non-null slice, exactly once.
     "q279_delta_stream_sink" ->
       """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
+    // q280: per change type — inserts at original prices (the update
+    // lands after the appends), delete its range, pre/post the update
+    // range at original/doubled prices; HUGEINT cast per q258.
+    "q280_delta_stream_cdf" ->
+      """SELECT 'insert' AS change_type, count(*) AS n_rows,
+           CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM orders
+         UNION ALL
+         SELECT 'delete', count(*),
+           CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT)
+         FROM orders WHERE o_orderkey BETWEEN 3000 AND 6000
+         UNION ALL
+         SELECT 'update_preimage', count(*),
+           CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT)
+         FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
+         UNION ALL
+         SELECT 'update_postimage', count(*),
+           CAST(sum(CAST(FLOOR(o_totalprice * 2 * 100 + 0.5) AS BIGINT))
+             AS BIGINT)
+         FROM orders WHERE o_orderkey BETWEEN 100 AND 2000""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

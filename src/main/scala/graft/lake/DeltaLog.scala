@@ -297,11 +297,16 @@ object DeltaLog {
       else {
         val prev = logDir(root).resolve(commitName(dv - 1))
         if (!Files.exists(prev)) None
-        else Files.readAllLines(prev).asScala.headOption
-          .map(mapper.readTree)
-          .filter(_.has("commitInfo"))
-          .map(_.get("commitInfo").path("inCommitTimestamp"))
-          .filter(_.isNumber).map(_.asLong())
+        else {
+          // first line only — commitInfo leads; reading the whole file
+          // would scale with the predecessor's action count
+          val br = Files.newBufferedReader(prev)
+          val first = try Option(br.readLine()) finally br.close()
+          first.filter(_.trim.nonEmpty).map(mapper.readTree)
+            .filter(_.has("commitInfo"))
+            .map(_.get("commitInfo").path("inCommitTimestamp"))
+            .filter(_.isNumber).map(_.asLong())
+        }
       }
     val ict: Option[Long] = prevIct
       .map(p => math.max(System.currentTimeMillis(), p + 1))
@@ -2395,6 +2400,70 @@ object DeltaLog {
       }
     }
     adds.result()
+  }
+
+  /** Whether the table currently declares change-data-feed capture. */
+  def changeFeedEnabled(spark: SparkSession, root: String): Boolean =
+    cdfEnabled(replay(spark, root, currentVersion(root)))
+
+  /** File-grain CHANGE FEED walk of `(sinceVersion, toVersion]` for the
+    * streaming source: per file `(version, rel, partitionValues,
+    * changeTypeConstant)` — `None` when the file is a `cdc` file that
+    * CARRIES its own `_change_type` column, `Some("insert")` for a
+    * synthesized pure-append commit. A commit that removes data with
+    * `dataChange=true` and no cdc files refuses loudly (this writer
+    * always records cdc for DML on CDF tables; external whole-file
+    * deletes belong to the batch [[readChangeFeed]], which can
+    * synthesize them).
+    */
+  private[graft] def changeFilesIn(root: String, sinceVersion: Long,
+      toVersion: Long): Seq[(Long, String, Map[String, String], Option[String])] = {
+    val present = versions(root).toSet
+    ((sinceVersion + 1) to toVersion).foreach(v =>
+      require(present.contains(v),
+        s"DeltaLog.changeFilesIn: commit $v missing from $root — the " +
+          "feed tail needs its JSON commits"))
+    val out = Seq.newBuilder[(Long, String, Map[String, String], Option[String])]
+    ((sinceVersion + 1) to toVersion).foreach { v =>
+      val cdcs = Seq.newBuilder[(String, Map[String, String])]
+      val adds = Seq.newBuilder[(String, Map[String, String])]
+      var removesData = false
+      Files.readAllLines(logDir(root).resolve(commitName(v))).asScala
+        .filter(_.trim.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          def pvOf(n: JsonNode): Map[String, String] = {
+            val pvNode = n.path("partitionValues")
+            if (pvNode.isObject)
+              pvNode.properties().asScala.map(e => e.getKey ->
+                (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+            else Map.empty[String, String]
+          }
+          if (node.has("cdc")) {
+            val c = node.get("cdc")
+            cdcs += decodePath(c.path("path").asText()) -> pvOf(c)
+          } else if (node.has("add")) {
+            val a = node.get("add")
+            if (a.path("dataChange").asBoolean(true))
+              adds += decodePath(a.path("path").asText()) -> pvOf(a)
+          } else if (node.has("remove")) {
+            if (node.get("remove").path("dataChange").asBoolean(true))
+              removesData = true
+          }
+        }
+      val cdcFiles = cdcs.result()
+      if (cdcFiles.nonEmpty)
+        cdcFiles.foreach { case (rel, pv) => out += ((v, rel, pv, None)) }
+      else {
+        require(!removesData,
+          s"DeltaLog.changeFilesIn: commit $v of $root removes data " +
+            "without cdc files — the stream cannot represent it; use " +
+            "the batch readChangeFeed")
+        adds.result().foreach { case (rel, pv) =>
+          out += ((v, rel, pv, Some("insert")))
+        }
+      }
+    }
+    out.result()
   }
 
   /** The declared schema and partition columns of the CURRENT version —

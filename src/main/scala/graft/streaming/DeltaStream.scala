@@ -55,7 +55,10 @@ class DeltaStreamProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (schema, _) = DeltaLog.tableMeta(SparkSession.active,
       DeltaStreamProvider.rootOf(options))
-    schema
+    if (options.getBoolean("readChangeFeed", false))
+      schema.add("_change_type", StringType)
+        .add("_commit_version", LongType)
+    else schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -73,8 +76,11 @@ class DeltaStreamProvider extends TableProvider {
         .map(_.toLong)
     maxVersionsPerTrigger.foreach(n => require(n >= 1,
       s"DeltaStreamProvider: maxVersionsPerTrigger >= 1, got $n"))
+    val cdf = Option(properties.get("readchangefeed"))
+      .orElse(Option(properties.get("readChangeFeed")))
+      .exists(_.trim.equalsIgnoreCase("true"))
     new DeltaStreamTable(root, schema, startingVersion,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, cdf)
   }
 }
 
@@ -89,7 +95,8 @@ object DeltaStreamProvider {
 
 private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
                                           startingVersion: Long,
-                                          maxVersionsPerTrigger: Option[Long])
+                                          maxVersionsPerTrigger: Option[Long],
+                                          cdf: Boolean = false)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-delta `$root`"
@@ -121,6 +128,10 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
         override def description(): String = name()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
           val (_, pcs) = DeltaLog.tableMeta(SparkSession.active, root)
+          if (cdf) require(
+            DeltaLog.changeFeedEnabled(SparkSession.active, root),
+            s"DeltaStreamProvider: $root does not declare " +
+              "delta.enableChangeDataFeed — no change feed to stream")
           schema0.fields.foreach(f => require(
             DeltaStreamReaderFactory.supported(f.dataType),
             s"DeltaStreamProvider: column ${f.name} has type " +
@@ -138,7 +149,7 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
                 "are long/int/string/boolean/double/date")
           }
           new DeltaMicroBatchStream(root, schema0, startingVersion,
-            maxVersionsPerTrigger, pcs)
+            maxVersionsPerTrigger, pcs, cdf)
         }
       }
     }
@@ -161,7 +172,8 @@ private[streaming] class DeltaMicroBatchStream(root: String,
                                                schema: StructType,
                                                startingVersion: Long,
                                                maxVersionsPerTrigger: Option[Long],
-                                               partitionCols: Seq[String])
+                                               partitionCols: Seq[String],
+                                               cdf: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
@@ -194,10 +206,18 @@ private[streaming] class DeltaMicroBatchStream(root: String,
                                    end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[VersionOffset].version
     val to = end.asInstanceOf[VersionOffset].version
-    DeltaLog.appendedFilesIn(root, from, to).map { case (_, rel, pv) =>
-      DeltaFilePartition(
-        java.nio.file.Paths.get(root, rel).toString, pv): InputPartition
-    }.toArray
+    if (cdf)
+      DeltaLog.changeFilesIn(root, from, to).map { case (v, rel, pv, ct) =>
+        DeltaFilePartition(
+          java.nio.file.Paths.get(root, rel).toString, pv,
+          Map("_commit_version" -> v.toString) ++
+            ct.map("_change_type" -> _)): InputPartition
+      }.toArray
+    else
+      DeltaLog.appendedFilesIn(root, from, to).map { case (_, rel, pv) =>
+        DeltaFilePartition(
+          java.nio.file.Paths.get(root, rel).toString, pv): InputPartition
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -212,7 +232,8 @@ private[streaming] class DeltaMicroBatchStream(root: String,
 }
 
 private[streaming] case class DeltaFilePartition(
-    path: String, partitionValues: Map[String, String])
+    path: String, partitionValues: Map[String, String],
+    extras: Map[String, String] = Map.empty)
   extends InputPartition
 
 private[streaming] case class DeltaStreamReaderFactory(
@@ -229,9 +250,13 @@ private[streaming] case class DeltaStreamReaderFactory(
     // partitionValues, parsed once per reader by declared type
     val pcSet = partitionCols.toSet
     val constants: Array[Option[Any]] = declared.fields.map { f =>
-      if (!pcSet(f.name)) None
-      else Some(DeltaStreamReaderFactory.parsePv(
-        p.partitionValues.getOrElse(f.name, null), f.dataType))
+      if (pcSet(f.name))
+        Some(DeltaStreamReaderFactory.parsePv(
+          p.partitionValues.getOrElse(f.name, null), f.dataType))
+      else if (p.extras.contains(f.name))
+        Some(DeltaStreamReaderFactory.parsePv(
+          p.extras(f.name), f.dataType))
+      else None
     }
     new GroupParquetReader(p.path, declared, constants, conf)
   }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import graft.lake.DeltaLog
+import org.apache.spark.sql.functions.lit
 
 import java.nio.file.Files
 import scala.jdk.CollectionConverters._
@@ -164,6 +165,51 @@ class DeltaStreamSpec extends SparkSpec {
       .outputMode("append").start()
     try q2.processAllAvailable() finally q2.stop()
     assert(rowsOf(dstRoot) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("streaming CHANGE FEED: cdc files stream with their own " +
+    "_change_type, appends synthesize insert; stream ≡ batch feed; " +
+    "CDF-less tables refuse") {
+    val root = freshDir("graft-dstream-cdf")
+    DeltaLog.commitFlat(spark, root,
+      (1L to 6L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.commitFlat(spark, root, Seq((7L, "v7")).toDF("k", "v"))
+    DeltaLog.deleteWhereLong(spark, root, "k", 2L, 3L)
+    DeltaLog.updateWhereLong(spark, root, "k", 5L, 5L,
+      Map("v" -> lit("V5")))
+    val name = s"dcdf_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.streaming.DeltaStreamProvider")
+      .option("path", root).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val streamed =
+      try {
+        q.processAllAvailable()
+        spark.table(name).collect().map(r => (r.getLong(0),
+          r.getString(1), r.getString(2), r.getLong(3))).toSet
+      } finally q.stop()
+    val batch = DeltaLog.readChangeFeed(spark, root, -1L)
+      .select("k", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch, s"stream $streamed\nbatch  $batch")
+    assert(streamed.exists(_._3 == "update_preimage") &&
+      streamed.exists(_._3 == "delete") &&
+      streamed.count(_._3 == "insert") == 7)
+    // CDF-less table refuses the option loudly
+    val plain = freshDir("graft-dstream-nocdf")
+    DeltaLog.commitFlat(spark, plain, Seq((1L, "a")).toDF("k", "v"))
+    val q2 = spark.readStream.format("graft.streaming.DeltaStreamProvider")
+      .option("path", plain).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName(s"x$name")
+      .outputMode("append").start()
+    val e = intercept[Exception](try q2.processAllAvailable()
+      finally q2.stop())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("enableChangeDataFeed")),
+      chain(e).mkString(" | "))
   }
 
   test("startingVersion skips history; schema evolution null-fills " +
