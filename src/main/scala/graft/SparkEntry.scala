@@ -2645,6 +2645,21 @@ object SparkEntry {
           sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
             .as("cents"))
     }),
+    // CONVERT TO DELTA: a plain hive-partitioned Spark parquet write
+    // (no log) is adopted IN PLACE — commit 0 from footers, typed
+    // partitionValues from the key=value paths, zero data moved — then
+    // read back through the log with a partition filter.
+    "q281_delta_convert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("value"), col("event_type"))
+      val root = freshScratch("q281")
+      ev.write.partitionBy("event_type").parquet(root)
+      graft.lake.DeltaLog.convertToDelta(s, root,
+        new org.apache.spark.sql.types.StructType()
+          .add("event_type", org.apache.spark.sql.types.StringType))
+      graft.lake.DeltaLog.read(s, root)
+        .filter(col("event_type").isin("purchase", "view", "click"))
+    }),
     // Column-mapped Delta READ (mode=name): the data file stores
     // PHYSICAL column names (col-k17/col-v42), the hand-authored log's
     // schemaString carries the delta.columnMapping metadata, and the
@@ -4119,6 +4134,10 @@ object SparkEntry {
            CAST(sum(CAST(FLOOR(o_totalprice * 2 * 100 + 0.5) AS BIGINT))
              AS BIGINT)
          FROM orders WHERE o_orderkey BETWEEN 100 AND 2000""",
+    // q281: the adopted table filtered to three partitions.
+    "q281_delta_convert" ->
+      """SELECT event_id, value, event_type FROM events
+         WHERE event_type IN ('purchase', 'view', 'click')""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events

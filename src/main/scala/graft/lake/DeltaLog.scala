@@ -1813,6 +1813,68 @@ object DeltaLog {
   private[graft] def streamStagingDir(root: String): Path =
     stagingBase(root)
 
+  /** `CONVERT TO DELTA` — adopt an EXISTING parquet directory in place:
+    * commit 0 declares protocol + metaData (schema from the parquet
+    * footers via Spark's own merged read schema; partition columns
+    * from the caller, typed from the hive paths' `key=value` segments
+    * the way Spark infers them — caller passes their declared types
+    * via `partitionSchema`) and one `add` per data file with footer
+    * stats, so file skipping works from the first read. ZERO data
+    * rewritten or moved — the defining property of CONVERT. Refuses a
+    * directory that already has a `_delta_log`. Returns version 0.
+    *
+    * Scale: one footer read per file for stats (the same IO Delta's
+    * own CONVERT pays); file listing is a local walk here — on object
+    * stores the manifest-building step would be the distributed
+    * countFast-style list.
+    */
+  def convertToDelta(spark: SparkSession, root: String,
+                     partitionSchema: StructType = new StructType()): Long = {
+    require(!Files.isDirectory(logDir(root)),
+      s"DeltaLog.convertToDelta: $root already has a _delta_log")
+    require(Files.isDirectory(Paths.get(root)),
+      s"DeltaLog.convertToDelta: $root is not a directory")
+    val pcs = partitionSchema.fieldNames.toSeq
+    val rootPath = Paths.get(root)
+    val walk = Files.walk(rootPath)
+    val rels =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => rootPath.relativize(p).toString
+          .replace(java.io.File.separatorChar, '/'))
+        .toSeq.sorted
+      finally walk.close()
+    require(rels.nonEmpty,
+      s"DeltaLog.convertToDelta: no parquet files under $root")
+    // data schema from Spark's parquet reader (footer-merged), the
+    // partition columns appended with their declared types
+    val dataSchema = spark.read.parquet(
+      rels.map(r => Paths.get(root, r).toString): _*).schema
+    pcs.foreach(c => require(!dataSchema.fieldNames.contains(c),
+      s"DeltaLog.convertToDelta: partition column $c also exists in " +
+        "the data files"))
+    val schema = StructType(dataSchema.fields ++ partitionSchema.fields)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val actions = Seq.newBuilder[JsonNode]
+    val protocol = mapper.createObjectNode()
+    val p = protocol.putObject("protocol")
+    p.put("minReaderVersion", 1)
+    p.put("minWriterVersion", 2)
+    actions += protocol
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      ("graft-delta:" + root).getBytes("UTF-8")).toString
+    actions += metaDataAction(tableId, schema.json, pcs, Map.empty)
+    rels.foreach { rel =>
+      val pv = if (pcs.isEmpty) Map.empty[String, String]
+               else partitionValuesOf(rel, pcs)
+      actions += addActionNode(root, rel, pv, dataChange = true, conf)
+    }
+    Files.createDirectories(logDir(root))
+    writeCommitFile(root, 0L, actions.result(), operation = "CONVERT")
+    0L
+  }
+
   /** Point lookup `column = value` with TWO file-skipping layers: the
     * footer-stats range check first (free — stats ride the log), then
     * each surviving file's parquet BLOOM FILTER (footer-bytes IO only,

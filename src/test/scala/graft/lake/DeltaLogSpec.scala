@@ -916,6 +916,40 @@ class DeltaLogSpec extends SparkSpec {
     assert(late.inputFiles.length == 1)
   }
 
+  test("convertToDelta adopts a parquet directory in place — flat and " +
+    "hive-partitioned — with stats from the first commit; DML works " +
+    "on the adopted table; double-convert refuses") {
+    // flat: a plain Spark parquet write, multiple part files
+    val flat = freshRoot()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(2).write.parquet(flat)
+    DeltaLog.convertToDelta(spark, flat)
+    assert(rows(DeltaLog.read(spark, flat)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // footer stats landed: metadata-only count works
+    assert(DeltaLog.statsCount(spark, flat).collect().head.getLong(0) == 3L)
+    // the adopted table takes DML like any native one
+    DeltaLog.deleteWhereLong(spark, flat, "k", 2L, 2L)
+    assert(rows(DeltaLog.read(spark, flat)) == Set((1L, "a"), (3L, "c")))
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.convertToDelta(spark, flat))
+    assert(e.getMessage.contains("_delta_log"), e.getMessage)
+    // hive-partitioned: key=value paths become typed partitionValues
+    val part = freshRoot()
+    Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x"))
+      .toDF("k", "v", "pt").write.partitionBy("pt").parquet(part)
+    DeltaLog.convertToDelta(spark, part,
+      new org.apache.spark.sql.types.StructType()
+        .add("pt", org.apache.spark.sql.types.StringType))
+    val got = DeltaLog.read(spark, part).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")))
+    // partition pruning works from the adopted log
+    val pruned = DeltaLog.read(spark, part).filter(col("pt") === "y")
+    assert(pruned.count() == 1L)
+    assert(pruned.inputFiles.length == 1, pruned.inputFiles.toSeq)
+  }
+
   test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
     val root = freshRoot()
     writeFlat(root, "part-a.parquet", Seq((1L, "a")).toDF("k", "v"))
