@@ -1767,16 +1767,36 @@ object DeltaLog {
     val v = currentVersion(root) + 1
     val prior = if (v == 0L) None else Some(replay(spark, root, v - 1))
     prior.foreach { st =>
+      // replay no-op FIRST: the original epoch already passed every
+      // check below — a redelivery must discard quietly no matter what
+      val applied = st.txnVersions.get(txn._1).exists(_ >= txn._2)
+      if (applied) { staged.foreach(Files.deleteIfExists(_)); return }
       requireWritable(st, "commitStreamFiles")
       require(st.partitionColumns.isEmpty,
         "DeltaLog.commitStreamFiles: partitioned sink tables unsupported")
       val incoming = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-      st.schema.foreach(sch => require(
-        normSchema(sch) == normSchema(incoming),
-        s"DeltaLog.commitStreamFiles: epoch schema $incoming does not " +
-          s"match the table's $sch"))
-      val applied = st.txnVersions.get(txn._1).exists(_ >= txn._2)
-      if (applied) { staged.foreach(Files.deleteIfExists(_)); return }
+      st.schema.foreach { sch =>
+        require(normSchema(sch) == normSchema(incoming),
+          s"DeltaLog.commitStreamFiles: epoch schema $incoming does not " +
+            s"match the table's $sch")
+        // the sink stages raw executor-written rows — it does not run
+        // the batch writer's invariant machinery, so tables carrying
+        // write OBLIGATIONS refuse rather than silently skip them
+        require(generationExprs(sch).isEmpty && identityInfo(sch).isEmpty,
+          "DeltaLog.commitStreamFiles: the table declares generated/" +
+            "identity columns — the streaming sink does not compute " +
+            "them; write through commitFlat")
+        sch.fields.filter(!_.nullable).foreach(f => require(
+          incoming.fieldNames.contains(f.name) &&
+            !incoming(f.name).nullable,
+          s"DeltaLog.commitStreamFiles: ${f.name} is declared NOT NULL " +
+            "but the stream's schema is nullable — the sink cannot " +
+            "prove the invariant"))
+      }
+      require(constraintsOf(st.configuration).isEmpty,
+        "DeltaLog.commitStreamFiles: the table declares CHECK " +
+          "constraints the streaming sink does not enforce; write " +
+          "through commitFlat")
     }
     val conf = spark.sparkContext.hadoopConfiguration
     val actions = Seq.newBuilder[JsonNode]
