@@ -1772,6 +1772,9 @@ object DeltaLog {
       val applied = st.txnVersions.get(txn._1).exists(_ >= txn._2)
       if (applied) { staged.foreach(Files.deleteIfExists(_)); return }
       requireWritable(st, "commitStreamFiles")
+      require(mappingMode(st) == "none",
+        s"DeltaLog.commitStreamFiles: column-mapped tables are " +
+          s"read-only through this bridge (mode ${mappingMode(st)})")
       require(st.partitionColumns.isEmpty,
         "DeltaLog.commitStreamFiles: partitioned sink tables unsupported")
       val incoming = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -1863,6 +1866,11 @@ object DeltaLog {
           p.getFileName.toString.endsWith(".parquet"))
         .map(p => rootPath.relativize(p).toString
           .replace(java.io.File.separatorChar, '/'))
+        // hive/Spark listing semantics: underscore- and dot-prefixed
+        // segments (_change_data, _SUCCESS dirs, hidden staging) are
+        // metadata, never table data
+        .filterNot(_.split('/').exists(seg =>
+          seg.startsWith("_") || seg.startsWith(".")))
         .toSeq.sorted
       finally walk.close()
     require(rels.nonEmpty,
@@ -2342,13 +2350,31 @@ object DeltaLog {
           val candidates = st.files
             .filter { case (rel, _) => statsOverlap(st, rel, key, lo, hi) }
           if (candidates.isEmpty) Nil
-          else candidates.map { case (rel, _) =>
-            spark.read.schema(StructType(Seq(dataSchema(key))))
-              .parquet(resolvePath(root, rel).toString)
-              .select(col(key)).withColumn("__rel", lit(rel))
-          }.reduce(_ unionByName _)
-            .join(srcKeys, Seq(key), "left_semi")
-            .select(col("__rel")).distinct().as[String].collect().toSeq
+          else {
+            // ONE multi-file scan tagged by basename (Spark part names
+            // are UUID-unique) — a union-per-file probe would build a
+            // plan ∝ candidate count; fall back to it only on the
+            // ~impossible basename collision
+            val byName = candidates.map { case (rel, _) =>
+              resolvePath(root, rel).getFileName.toString -> rel }
+            if (byName.map(_._1).distinct.size == byName.size) {
+              val nameToRel = byName.toMap
+              spark.read.schema(StructType(Seq(dataSchema(key))))
+                .parquet(candidates.map(c =>
+                  resolvePath(root, c._1).toString): _*)
+                .select(col(key), regexp_extract(input_file_name(),
+                  "([^/]+)$", 1).as("__name"))
+                .join(srcKeys, Seq(key), "left_semi")
+                .select(col("__name")).distinct()
+                .as[String].collect().toSeq.map(nameToRel)
+            } else candidates.map { case (rel, _) =>
+              spark.read.schema(StructType(Seq(dataSchema(key))))
+                .parquet(resolvePath(root, rel).toString)
+                .select(col(key)).withColumn("__rel", lit(rel))
+            }.reduce(_ unionByName _)
+              .join(srcKeys, Seq(key), "left_semi")
+              .select(col("__rel")).distinct().as[String].collect().toSeq
+          }
         }
       val actions = Seq.newBuilder[JsonNode]
       // an append-only table allows the pure-insert merge (nothing
@@ -2483,6 +2509,14 @@ object DeltaLog {
     }
     adds.result()
   }
+
+  /** The table's column-mapping mode ("none" when unset) — external
+    * integrations that read data files DIRECTLY (the streaming source)
+    * must refuse mapped tables or they would read physical-named files
+    * through logical names as all-NULL columns.
+    */
+  def columnMappingMode(spark: SparkSession, root: String): String =
+    mappingMode(replay(spark, root, currentVersion(root)))
 
   /** Whether the table currently declares change-data-feed capture. */
   def changeFeedEnabled(spark: SparkSession, root: String): Boolean =

@@ -128,6 +128,13 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
         override def description(): String = name()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
           val (_, pcs) = DeltaLog.tableMeta(SparkSession.active, root)
+          // the reader opens data files DIRECTLY by logical name — a
+          // mapped table would silently read every column as NULL
+          val mode = DeltaLog.columnMappingMode(SparkSession.active, root)
+          require(mode == "none",
+            s"DeltaStreamProvider: $root uses column mapping (mode " +
+              s"$mode) — streaming reads are unsupported; use " +
+              "DeltaLog.read")
           if (cdf) require(
             DeltaLog.changeFeedEnabled(SparkSession.active, root),
             s"DeltaStreamProvider: $root does not declare " +
