@@ -2918,7 +2918,12 @@ object DeltaLog {
       actions += n
     }
     Files.createDirectories(logDir(targetRoot))
-    writeCommitFile(targetRoot, 0L, actions.result(), operation = "CLONE")
+    // a clone of an ICT table starts its own monotonic chain — the
+    // carried configuration says timestamps are in-commit, so its
+    // commits must actually have them
+    writeCommitFile(targetRoot, 0L, actions.result(), operation = "CLONE",
+      ictStart = st.configuration.get("delta.enableInCommitTimestamps")
+        .exists(_.trim.equalsIgnoreCase("true")))
     0L
   }
 

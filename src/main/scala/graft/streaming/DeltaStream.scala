@@ -43,8 +43,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * shape; nested/decimal refuse loudly at scan build).
   *
   * `option("startingVersion", v)` starts the FIRST run after commit v
-  * (default −1 = from table creation). Flat tables only in v1:
-  * partitioned tables refuse at open.
+  * (default −1 = from table creation); `maxVersionsPerTrigger` bounds
+  * each batch's commit range (admission control);
+  * `readChangeFeed=true` streams the CHANGE FEED instead (cdc files
+  * with their own `_change_type`, synthesized inserts,
+  * `_commit_version` constants). Partitioned tables stream with typed
+  * partition-value constants; column-mapped tables refuse (direct
+  * file reads would surface NULLs through logical names).
   */
 class DeltaStreamProvider extends TableProvider {
 
