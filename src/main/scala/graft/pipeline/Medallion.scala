@@ -146,7 +146,7 @@ object Medallion {
     * state (count + DECIMAL(18,2) sum per group), each append-only batch
     * contributes its own map-side partials, and refresh = union + re-agg
     * of STATE-sized rows. Folding batches through this is provably equal
-    * to the full recompute (count/sum are commutative monoids — q235
+    * to the full recompute (count/sum are commutative monoids — q282
     * gates the equality), while the full recompute re-reads every byte
     * ever ingested. [[salesMinuteIncremental]] is the row-grain lookback
     * flavor; this is the aggregate-state flavor a daily-revenue rollup

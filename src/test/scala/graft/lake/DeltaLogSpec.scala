@@ -363,6 +363,35 @@ class DeltaLogSpec extends SparkSpec {
     } finally DeltaLog.distributedReplayCheckpointBytes = saved
   }
 
+  test("distributed replay keeps same-version remove+add files active: " +
+    "a DV-delete + RESTORE tail matches the driver fold") {
+    val root = freshRoot()
+    Snapshots.commitAppend(root)(tmp =>
+      (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartition(4).write.mode("overwrite").parquet(tmp))
+    val dv0 = DeltaLog.sync(spark, root)
+    DeltaLog.checkpoint(spark, root, dv0)
+    // tail beyond the checkpoint: a DV delete commits remove+add of the
+    // SAME path in one version (retire the bare entry, re-add with the
+    // DV), and the RESTORE past it commits another same-version pair
+    // re-attaching the pre-delete state — the fold must let the add win
+    // within a commit or these files vanish from the distributed active
+    // set while the driver fold keeps them
+    DeltaLog.deleteWhereLongDV(spark, root, "k", 5L, 12L)
+    val afterDelete = rows(DeltaLog.read(spark, root))
+    DeltaLog.restore(spark, root, dv0)
+    val driverRows = rows(DeltaLog.read(spark, root))
+    assert(driverRows == (1L to 40L).map(k => (k, s"v$k")).toSet)
+    assert(afterDelete ==
+      driverRows.filterNot(t => t._1 >= 5L && t._1 <= 12L))
+    val saved = DeltaLog.distributedReplayCheckpointBytes
+    try {
+      DeltaLog.distributedReplayCheckpointBytes = 1L
+      assert(rows(DeltaLog.read(spark, root)) == driverRows,
+        "distributed replay dropped same-version remove+add files")
+    } finally DeltaLog.distributedReplayCheckpointBytes = saved
+  }
+
   test("deleteWhereLongDV: soft-delete via deletion vectors — no data " +
     "rewrite, merged on repeat, protocol upgraded, time travel intact") {
     val root = freshRoot()
@@ -769,6 +798,20 @@ class DeltaLogSpec extends SparkSpec {
     assert(rows(DeltaLog.read(spark, root)) == Set((2L, "b")))
   }
 
+  test("vacuum never collects dot-prefixed writer scratch: in-flight " +
+    ".graft_staging parquet survives a zero-retention pass") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    // a file staged between an executor write and the driver's
+    // commit-time move — active in spirit, orphan to the snapshot
+    val staged = Paths.get(root, ".graft_staging", "inflight.parquet")
+    Files.createDirectories(staged.getParent)
+    Files.write(staged, Array[Byte](1, 2, 3))
+    assert(DeltaLog.vacuum(spark, root).isEmpty)
+    assert(Files.exists(staged),
+      "zero-retention vacuum collected an in-flight staged file")
+  }
+
   test("in-commit timestamps: the creation flag starts a monotonic " +
     "chain every successor continues; versionAsOf resolves by ICT even " +
     "when every file mtime lies") {
@@ -796,6 +839,26 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.versionAsOf(root, icts(1)) == 1L)
     assert(DeltaLog.versionAsOf(root, icts(2) - 1) == 1L)
     assert(DeltaLog.versionAsOf(root, icts(2)) == 2L)
+  }
+
+  test("ICT chain continues from a predecessor whose commitInfo is not " +
+    "the first action (protocol does not mandate ordering)") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root, Seq((1L, "a")).toDF("k", "v"),
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    // an external writer's commit: commitInfo LAST, with an ICT far in
+    // the future — a first-line-only reader restarts the chain from
+    // wall clock and emits a NON-monotonic successor timestamp
+    val future = System.currentTimeMillis() + 9000000000L
+    writeCommit(root, 1L, Seq(
+      """{"txn":{"appId":"external-writer","version":7}}""",
+      s"""{"commitInfo":{"operation":"WRITE","inCommitTimestamp":$future}}"""))
+    DeltaLog.commitFlat(spark, root, Seq((2L, "b")).toDF("k", "v"))
+    val ictRe = """"inCommitTimestamp":(\d+)""".r
+    val ict2 = commitLines(root, 2L).flatMap(l =>
+      ictRe.findFirstMatchIn(l).map(_.group(1).toLong))
+    assert(ict2.headOption.contains(future + 1),
+      s"chain restarted from wall clock: $ict2 vs predecessor $future")
   }
 
   test("identity columns: creation seeds the high-water mark, later " +
@@ -1522,6 +1585,27 @@ class DeltaLogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       DeltaLog.readAppendsSince(spark, root, 2L).collect())
     assert(e.getMessage.contains("CDC"), e.getMessage)
+  }
+
+  test("readAppendsSince skips an external OPTIMIZE that retains DV " +
+    "descriptors on its dataChange=false adds") {
+    val root = freshRoot()
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    Snapshots.commitAppend(root)(tmp =>
+      Seq((3L, "c")).toDF("k", "v").coalesce(1).write.parquet(tmp))
+    DeltaLog.sync(spark, root)
+    // layout-only rewrite by an external engine: the compacted file
+    // keeps its deletion vector, dataChange=false on both actions — a
+    // logical no-op an append tail must SKIP (refusing DVs applies only
+    // to dataChange adds, which change visible history)
+    val existing = DeltaLog.filesAt(spark, root, 1L).head
+    writeCommit(root, 2L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"remove":{"path":"$existing","dataChange":false}}""",
+      """{"add":{"path":"compacted-ext.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":false,"deletionVector":{"storageType":"u","pathOrInlineDv":"0123456789abcdefghij","offset":1,"sizeInBytes":40,"cardinality":1}}}"""))
+    assert(rows(DeltaLog.readAppendsSince(spark, root, 0L)) ==
+      Set((3L, "c")))
   }
 
   test("a fully checkpoint-compacted log (zero JSON commits) still reads") {
