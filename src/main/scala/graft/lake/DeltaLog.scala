@@ -802,6 +802,14 @@ object DeltaLog {
     */
   private[lake] var distributedReplayCheckpointBytes: Long = 16L << 20
 
+  /** Rows per file a MERGE's insert set lands as: a bulk upsert writes
+    * ceil(sourceRows / this) target-sized files in ONE job instead of
+    * serializing 10⁹ rows through a single task; a point merge
+    * (source ≤ one file) keeps the shuffle-free single-file path.
+    * Test seam, like [[distributedReplayCheckpointBytes]].
+    */
+  private[lake] var mergeInsertRowsPerFile: Long = 4L << 20
+
   /** Distributed last-action-wins reconstruction of the ACTIVE add set
     * at `version` — the 100 TB-posture replacement for driver-side
     * HashMap replay: at millions of files the checkpoint is itself big
@@ -1176,6 +1184,166 @@ object DeltaLog {
     Files.move(part, hoisted, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(staging)
     hoisted
+  }
+
+  /** Write `df` as `numFiles` parquet files staged UNDER `root` in ONE
+    * Spark job (round-robin repartition — the [[Layout.compact]]
+    * rows-per-file discipline); returns the hoisted part files. The
+    * multi-file sibling of [[writeSingleParquet]] for bulk writes that
+    * must not serialize through one task.
+    */
+  private def writeParquetFiles(df: DataFrame, root: String,
+                                prefix: String, numFiles: Int): Seq[Path] = {
+    require(numFiles >= 1, s"DeltaLog.writeParquetFiles: numFiles >= 1")
+    val staging = Files.createTempDirectory(stagingBase(root), prefix)
+    df.repartition(numFiles).write.mode("overwrite").parquet(staging.toString)
+    val s = Files.list(staging)
+    val parts =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    require(parts.nonEmpty, s"DeltaLog: no parquet produced in $staging")
+    val hoisted = parts.map { part =>
+      val h = stagingBase(root).resolve(part.getFileName)
+      Files.move(part, h, StandardCopyOption.ATOMIC_MOVE)
+      h
+    }
+    deleteRecursively(staging)
+    hoisted
+  }
+
+  /** Typed aggregator building the serialized PORTABLE roaring bitmap
+    * from row positions — executor-side DV construction: partial
+    * bitmaps merge map-side, the driver receives bitmap BYTES per
+    * file, never row positions (driver memory ∝ bitmap size, not
+    * deleted-row count). Java serialization for the buffer: bitmaps
+    * are Externalizable and the shuffled state is bitmap-sized.
+    */
+  private[lake] object BitmapAgg
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Long, Dv.PositionSetBuilder, Array[Byte]] {
+    def zero: Dv.PositionSetBuilder = new Dv.PositionSetBuilder
+    def reduce(b: Dv.PositionSetBuilder, pos: Long): Dv.PositionSetBuilder =
+      b.add(pos)
+    def merge(a: Dv.PositionSetBuilder,
+              b: Dv.PositionSetBuilder): Dv.PositionSetBuilder = a.merge(b)
+    def finish(b: Dv.PositionSetBuilder): Array[Byte] =
+      Dv.serialize(b.result())
+    def bufferEncoder: org.apache.spark.sql.Encoder[Dv.PositionSetBuilder] =
+      org.apache.spark.sql.Encoders.javaSerialization[Dv.PositionSetBuilder]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Tag column the batched rewrite/probe machinery keys on: the source
+    * file's basename (Spark part names embed a task UUID, so collisions
+    * within one table are ~impossible; both helpers below keep a
+    * sequential per-file fallback for imported layouts that alias).
+    */
+  private val SrcTagCol = "__graft_src"
+
+  /** Exact TOUCHED subset of `candidates`: ONE column-pruned,
+    * predicate-pushable scan over all candidate files at once, tagged
+    * by basename via `_metadata.file_name`. `matcher` narrows the
+    * scanned rows to the matched ones (a filter, or a semi-join against
+    * source keys) and must preserve the [[SrcTagCol]] column. Candidate
+    * order is preserved in the result. This replaces per-file limit-1
+    * probe jobs: at 10 k candidate files the probe is one job, not 10 k.
+    */
+  private def probeTouched(spark: SparkSession, root: String,
+      candidates: Seq[(String, Map[String, String])],
+      probeSchema: StructType, matcher: DataFrame => DataFrame)
+    : Seq[(String, Map[String, String])] = {
+    import spark.implicits._
+    if (candidates.isEmpty) return Nil
+    val byName = candidates.map { case (rel, _) =>
+      resolvePath(root, rel).getFileName.toString -> rel }
+    val hit: Set[String] =
+      if (byName.map(_._1).distinct.size == byName.size) {
+        val nameToRel = byName.toMap
+        matcher(spark.read.schema(probeSchema)
+          .parquet(candidates.map(c => resolvePath(root, c._1).toString): _*)
+          .select(probeSchema.fieldNames.map(col) :+
+            col("_metadata.file_name").as(SrcTagCol): _*))
+          .select(col(SrcTagCol)).distinct()
+          .as[String].collect().toSet.map(nameToRel)
+      } else candidates.map { case (rel, _) =>
+        matcher(spark.read.schema(probeSchema)
+          .parquet(resolvePath(root, rel).toString)
+          .withColumn(SrcTagCol, lit(rel)))
+          .select(col(SrcTagCol)).limit(1)
+      }.reduce(_ unionByName _).as[String].collect().toSet
+    candidates.filter { case (rel, _) => hit(rel) }
+  }
+
+  /** Rewrite `rels` in ONE Spark job: a single multi-file scan tagged
+    * by source basename, `transform` applied (it sees the data columns
+    * plus [[SrcTagCol]] and must carry the tag through — filters,
+    * withColumn folds and join-based row drops all do), then ONE
+    * dynamic-partitioned write producing exactly one staged file per
+    * touched input (hash repartition on the tag lands every source
+    * file's rows in one task). Returns rel → staged part file; a rel
+    * whose rewrite kept ZERO rows is absent (its partition directory is
+    * never created). This is the scale posture for wide DML: a DELETE
+    * touching 10 k files runs one probe job and one rewrite job, never
+    * 10 k sequential single-task jobs.
+    */
+  private def rewriteFilesBatched(spark: SparkSession, root: String,
+      rels: Seq[String], dataSchema: StructType,
+      transform: DataFrame => DataFrame,
+      prefix: String): Map[String, Path] = {
+    if (rels.isEmpty) return Map.empty
+    val byName = rels.map(rel =>
+      resolvePath(root, rel).getFileName.toString -> rel)
+    if (byName.map(_._1).distinct.size != byName.size)
+      // basename collision (imported/converted layouts): sequential
+      // per-file fallback — correct, just not the batched fast path
+      return rels.flatMap { rel =>
+        val out = transform(
+          spark.read.schema(dataSchema)
+            .parquet(resolvePath(root, rel).toString)
+            .withColumn(SrcTagCol, lit(rel)))
+          .select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+        val part = writeSingleParquet(out, root, prefix)
+        val kept = mapper.readTree(footerStatsJson(part,
+          spark.sparkContext.hadoopConfiguration))
+          .path("numRecords").asLong(0L)
+        if (kept == 0L) { Files.delete(part); None } else Some(rel -> part)
+      }.toMap
+    val nameToRel = byName.toMap
+    val staging = Files.createTempDirectory(stagingBase(root), prefix)
+    val scanned = spark.read.schema(dataSchema)
+      .parquet(rels.map(r => resolvePath(root, r).toString): _*)
+      .select(dataSchema.fieldNames.map(col) :+
+        col("_metadata.file_name").as(SrcTagCol): _*)
+    transform(scanned)
+      .select(dataSchema.fieldNames.map(col) :+ col(SrcTagCol): _*)
+      .repartition(rels.size, col(SrcTagCol))
+      .write.partitionBy(SrcTagCol).mode("overwrite")
+      .parquet(staging.toString)
+    val out = Map.newBuilder[String, Path]
+    val dirs = Files.list(staging)
+    try dirs.iterator().asScala.filter(Files.isDirectory(_)).foreach { d =>
+      val dn = d.getFileName.toString
+      if (dn.startsWith(SrcTagCol + "=")) {
+        val name = unescapeHive(dn.drop(SrcTagCol.length + 1))
+        val s = Files.list(d)
+        val part =
+          try s.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"DeltaLog: no parquet produced for $name in $staging"))
+          finally s.close()
+        // one task writes several partition dirs under ONE part name —
+        // hoist under a fresh UUID so sibling moves cannot collide
+        val hoisted = stagingBase(root).resolve(
+          s"part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
+        Files.move(part, hoisted, StandardCopyOption.ATOMIC_MOVE)
+        out += nameToRel(name) -> hoisted
+      }
+    } finally dirs.close()
+    deleteRecursively(staging)
+    out.result()
   }
 
   /** Canonical `add` action for an on-disk table file: size/mtime from
@@ -2004,44 +2172,38 @@ object DeltaLog {
       val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
       val overlapping = st.files
         .filter { case (p, _) => statsOverlap(st, p, column, lo, hi) }
-      val cdcTouched = Seq.newBuilder[(String, Map[String, String])]
-      overlapping.foreach { case (rel, pv) =>
+      val matches = col(column) >= lo && col(column) <= hi
+      // stats say overlap, but overlap ≠ match: rewriting a file no row
+      // of which matches would poison any later readAppendsSince over
+      // the tail for a change that changed nothing. ONE probe job over
+      // the predicate column finds the exact touched set.
+      val exactTouched = probeTouched(spark, root, overlapping,
+        StructType(Seq(dataSchema(column))), _.filter(matches))
+      exactTouched.foreach { case (rel, _) =>
         require(!st.fileDvs.contains(rel),
           s"DeltaLog.deleteWhereLong: $rel carries a deletion vector — " +
             "copy-on-write rewrite of DV'd files is unimplemented; use " +
-            "deleteWhereLongDV (merges into the DV) instead")
-        val full = resolvePath(root, rel)
-        val remaining = spark.read.schema(dataSchema)
-          .parquet(full.toString)
-          .filter(!(col(column) >= lo && col(column) <= hi) ||
-            col(column).isNull)
-        val part = writeSingleParquet(remaining, root, "graft-delta-del")
-        // kept-row count from the staged file's FOOTER — no extra job
-        val kept = mapper.readTree(footerStatsJson(part, conf))
-          .path("numRecords").asLong(0L)
-        // stats say overlap, but overlap ≠ match: when every source row
-        // survives, nothing was deleted from THIS file — committing a
-        // remove+add(dataChange=true) anyway would poison any later
-        // readAppendsSince over the tail for a rewrite that changed
-        // nothing. Source row count from the footer too.
-        val sourceRows = mapper.readTree(
-          st.fileStats.getOrElse(rel, footerStatsJson(full, conf)))
-          .path("numRecords").asLong(-1L)
-        if (kept == sourceRows) Files.delete(part)
-        else {
-          actions += removeActionNode(rel, true); touched += 1
-          cdcTouched += rel -> pv
-          if (kept > 0L) {
-            // a shallow-cloned (absolute) source file rewrites into
-            // THIS table's root — never beside the source
-            val targetDir =
-              if (rel.startsWith("/")) Paths.get(root) else full.getParent
-            val target = targetDir.resolve(part.getFileName)
-            Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
-            val newRel = Paths.get(root).relativize(target).toString
-              .replace(java.io.File.separatorChar, '/')
-            actions += addActionNode(root, newRel, pv, dataChange = true, conf)
-          } else Files.delete(part)
+            "deleteWhereLongDV (merges into the DV) instead") }
+      // ONE rewrite job over every touched file (a file that keeps zero
+      // rows simply never appears — pure remove)
+      val rewritten = rewriteFilesBatched(spark, root, exactTouched.map(_._1),
+        dataSchema, _.filter(!matches || col(column).isNull),
+        "graft-delta-del")
+      val cdcTouched = Seq.newBuilder[(String, Map[String, String])]
+      exactTouched.foreach { case (rel, pv) =>
+        actions += removeActionNode(rel, true); touched += 1
+        cdcTouched += rel -> pv
+        rewritten.get(rel).foreach { part =>
+          // a shallow-cloned (absolute) source file rewrites into
+          // THIS table's root — never beside the source
+          val full = resolvePath(root, rel)
+          val targetDir =
+            if (rel.startsWith("/")) Paths.get(root) else full.getParent
+          val target = targetDir.resolve(part.getFileName)
+          Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+          val newRel = Paths.get(root).relativize(target).toString
+            .replace(java.io.File.separatorChar, '/')
+          actions += addActionNode(root, newRel, pv, dataChange = true, conf)
         }
       }
       // Change data feed: a partial-file DELETE cannot be synthesized
@@ -2109,46 +2271,88 @@ object DeltaLog {
     val dvUuid = java.util.UUID.randomUUID()
     val dvFile = Paths.get(root, Dv.dvFileName(dvUuid))
     val pathOrInline = Dv.z85Encode(Dv.uuidBytes(dvUuid))
-    val cdcDel = Seq.newBuilder[(Map[String, String], String, Set[Long])]
+    val matches = col(column) >= lo && col(column) <= hi
+    // Matched positions per file are built EXECUTOR-side into the
+    // serialized portable bitmap by ONE aggregation job: the driver
+    // receives bitmap BYTES per file, never row positions — driver
+    // memory ∝ bitmap size, not deleted-row count. Basename tagging as
+    // in the batched rewrites, with a per-file fallback on collision.
+    val matchedBytes: Map[String, Array[Byte]] = {
+      if (overlapping.isEmpty) Map.empty
+      else {
+        val byName = overlapping.map { case (rel, _) =>
+          resolvePath(root, rel).getFileName.toString -> rel }
+        val bitmapAgg = org.apache.spark.sql.functions.udaf(
+          BitmapAgg, org.apache.spark.sql.Encoders.scalaLong)
+        if (byName.map(_._1).distinct.size == byName.size) {
+          val nameToRel = byName.toMap
+          spark.read.schema(dataSchema)
+            .parquet(overlapping.map(c =>
+              resolvePath(root, c._1).toString): _*)
+            .filter(matches)
+            .select(col("_metadata.file_name").as("__name"),
+              col("_metadata.row_index").as("__pos"))
+            .groupBy(col("__name")).agg(bitmapAgg(col("__pos")).as("__dv"))
+            .collect()
+            .map(r => nameToRel(r.getString(0)) -> r.getAs[Array[Byte]](1))
+            .toMap
+        } else overlapping.flatMap { case (rel, _) =>
+          spark.read.schema(dataSchema)
+            .parquet(resolvePath(root, rel).toString)
+            .filter(matches)
+            .select(col("_metadata.row_index").as("__pos"))
+            .agg(bitmapAgg(col("__pos")).as("__dv"))
+            .collect().headOption.filterNot(_.isNullAt(0))
+            .map(r => rel -> r.getAs[Array[Byte]](0))
+        }.toMap
+      }
+    }
+    val cdcDel =
+      Seq.newBuilder[(Map[String, String], String, Option[Dv.PositionSet])]
     overlapping.foreach { case (rel, pv) =>
-      val existing: Set[Long] = st.fileDvs.get(rel)
-        .map(_.read(root).positions.toSet).getOrElse(Set.empty)
-      val matches = spark.read.schema(dataSchema)
-        .parquet(resolvePath(root, rel).toString)
-        .filter(col(column) >= lo && col(column) <= hi)
-        .select(col("_metadata.row_index"))
-        .as[Long].collect().toSet
-      val fresh = matches -- existing
-      if (fresh.nonEmpty) {
-        cdcDel += ((pv, rel, fresh))
-        val union = existing ++ matches
-        val data = Dv.serialize(Dv.positionSet(union))
-        val (offset, size) = Dv.appendBlob(dvFile, data)
-        val desc = DvDescriptor("u", pathOrInline, Some(offset), size,
-          union.size.toLong)
-        actions += removeActionNode(rel, dataChange = true)
-        actions += addActionNode(root, rel, pv, dataChange = true, conf,
-          dv = Some(desc))
-        touched += 1
+      matchedBytes.get(rel).foreach { bytes =>
+        val matchedPs = Dv.deserialize(bytes)
+        val existing = st.fileDvs.get(rel).map(_.read(root))
+        val union = existing
+          .map(e => Dv.union(e, matchedPs)).getOrElse(matchedPs)
+        // fresh rows exist iff the union grew past the existing DV
+        if (union.cardinality >
+            existing.map(_.cardinality).getOrElse(0L)) {
+          cdcDel += ((pv, rel, existing))
+          val (offset, size) = Dv.appendBlob(dvFile, Dv.serialize(union))
+          val desc = DvDescriptor("u", pathOrInline, Some(offset), size,
+            union.cardinality)
+          actions += removeActionNode(rel, dataChange = true)
+          actions += addActionNode(root, rel, pv, dataChange = true, conf,
+            dv = Some(desc))
+          touched += 1
+        }
       }
     }
     if (touched == 0) return v
     // CDF: a DV delete is invisible to add/remove synthesis (the data
     // file is re-added byte-identical), so the freshly deleted rows
-    // MUST land in a CDC file — read back by their row positions, the
-    // same driver-held sets the bitmap was built from.
+    // MUST land in a CDC file — the predicate re-finds them; rows the
+    // file's PRIOR DV had already deleted are excluded by position
+    // (broadcast bounded by the prior DV's cardinality, usually zero).
     if (cdfEnabled(st)) {
       cdcDel.result().groupBy(_._1).toSeq.sortBy(_._1.mkString(" "))
         .foreach { case (pv, group) =>
-          val deleted = group.map { case (_, rel, fresh) =>
-            val posDf = org.apache.spark.sql.functions.broadcast(
-              fresh.toSeq.sorted.toDF("__graft_pos"))
-            spark.read.schema(dataSchema)
+          val deleted = group.map { case (_, rel, existing) =>
+            val base = spark.read.schema(dataSchema)
               .parquet(resolvePath(root, rel).toString)
-              .select(Seq(col("_metadata.row_index").as("__graft_pos")) ++
-                dataSchema.fieldNames.map(col): _*)
-              .join(posDf, Seq("__graft_pos"), "left_semi")
-              .drop("__graft_pos")
+              .filter(matches)
+            existing match {
+              case None => base
+              case Some(e) =>
+                val posDf = org.apache.spark.sql.functions.broadcast(
+                  e.positions.toSeq.toDF("__graft_pos"))
+                base
+                  .select(Seq(col("_metadata.row_index").as("__graft_pos")) ++
+                    dataSchema.fieldNames.map(col): _*)
+                  .join(posDf, Seq("__graft_pos"), "left_anti")
+                  .drop("__graft_pos")
+            }
           }.reduce(_ unionByName _)
             .withColumn(ChangeTypeCol, lit("delete"))
           actions += writeCdcFile(deleted, root, pv)
@@ -2221,63 +2425,62 @@ object DeltaLog {
     val overlapping = st.files
       .filter { case (p, _) => statsOverlap(st, p, column, lo, hi) }
     if (overlapping.isEmpty) return v
-    val actions = Seq.newBuilder[JsonNode]
-    var touched = 0
-    val cdcParts =
-      Seq.newBuilder[(Map[String, String], DataFrame)]
-    overlapping.foreach { case (rel, pv) =>
+    val matches = col(column) >= lo && col(column) <= hi
+    // stats overlap ≠ rows match: rewriting an unmatched file would
+    // poison later readAppendsSince tails for a change that changed
+    // nothing. ONE probe job over the predicate column, not a limit-1
+    // probe per candidate file.
+    val exactTouched = probeTouched(spark, root, overlapping,
+      StructType(Seq(dataSchema(column))), _.filter(matches))
+    if (exactTouched.isEmpty) return v
+    exactTouched.foreach { case (rel, _) =>
       require(!st.fileDvs.contains(rel),
         s"DeltaLog.updateWhereLong: $rel carries a deletion vector — " +
-          "copy-on-write rewrite of DV'd files is unimplemented")
+          "copy-on-write rewrite of DV'd files is unimplemented") }
+    val actions = Seq.newBuilder[JsonNode]
+    // ONE rewrite job over every touched file; an UPDATE keeps every
+    // row, so each touched rel must come back
+    val rewritten = rewriteFilesBatched(spark, root, exactTouched.map(_._1),
+      dataSchema,
+      source => enforceInvariants(
+        assignments.foldLeft(source) { case (df, (c, e)) =>
+          df.withColumn(c,
+            org.apache.spark.sql.functions.when(matches, e)
+              .otherwise(col(c)).cast(dataSchema(c).dataType))
+        }, dataSchema, st.configuration),
+      "graft-delta-upd")
+    exactTouched.foreach { case (rel, pv) =>
+      val part = rewritten.getOrElse(rel, throw new IllegalStateException(
+        s"DeltaLog.updateWhereLong: rewrite of $rel produced no rows — " +
+          "an UPDATE must keep every row"))
       val full = resolvePath(root, rel)
-      val matches = col(column) >= lo && col(column) <= hi
-      val source = spark.read.schema(dataSchema).parquet(full.toString)
-      // stats overlap ≠ rows match: skip the rewrite entirely when no
-      // row falls in the interval (same contract as deleteWhereLong —
-      // a bit-identical remove+add(dataChange=true) would poison later
-      // readAppendsSince tails). One limit-1 probe per candidate file.
-      if (!source.filter(matches).isEmpty) {
-        val updated = assignments.foldLeft(source) {
-          case (df, (c, e)) =>
-            df.withColumn(c,
-              org.apache.spark.sql.functions.when(matches, e)
-                .otherwise(col(c)).cast(dataSchema(c).dataType))
-        }.select(dataSchema.fieldNames.map(col).toSeq: _*)
-        val part = writeSingleParquet(
-          enforceInvariants(updated, dataSchema, st.configuration),
-          root, "graft-delta-upd")
-        val targetDir =
-          if (rel.startsWith("/")) Paths.get(root) else full.getParent
-        val target = targetDir.resolve(part.getFileName)
-        Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
-        val newRel = Paths.get(root).relativize(target).toString
-          .replace(java.io.File.separatorChar, '/')
-        actions += removeActionNode(rel, true)
-        actions += addActionNode(root, newRel, pv, dataChange = true, conf)
-        touched += 1
-        // CDF: matched rows before and after the SET — the only record
-        // of WHICH rows changed (the remove+add pair is file-grain)
-        if (cdfEnabled(st)) {
+      val targetDir =
+        if (rel.startsWith("/")) Paths.get(root) else full.getParent
+      val target = targetDir.resolve(part.getFileName)
+      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+      val newRel = Paths.get(root).relativize(target).toString
+        .replace(java.io.File.separatorChar, '/')
+      actions += removeActionNode(rel, true)
+      actions += addActionNode(root, newRel, pv, dataChange = true, conf)
+    }
+    // CDF: matched rows before and after the SET — the only record of
+    // WHICH rows changed (the remove+add pair is file-grain); one
+    // multi-file scan per touched partition. Postimage from the MATCHED
+    // source rows, not the rewritten file: a SET that rewrites the
+    // predicate column itself would make the new file unfilterable.
+    if (cdfEnabled(st)) {
+      exactTouched.groupBy(_._2).toSeq.sortBy(_._1.mkString(" "))
+        .foreach { case (pv, group) =>
+          val source = spark.read.schema(dataSchema)
+            .parquet(group.map(f => resolvePath(root, f._1).toString): _*)
           val pre = source.filter(matches)
             .withColumn(ChangeTypeCol, lit("update_preimage"))
-          // postimage from the MATCHED source rows, not the rewritten
-          // file: a SET that rewrites the predicate column itself would
-          // make the new file unfilterable by `matches`
           val post = assignments.foldLeft(source.filter(matches)) {
             case (df, (c, e)) =>
               df.withColumn(c, e.cast(dataSchema(c).dataType))
           }.select(dataSchema.fieldNames.map(col).toSeq: _*)
             .withColumn(ChangeTypeCol, lit("update_postimage"))
-          cdcParts += pv -> pre.unionByName(post)
-        }
-      }
-    }
-    if (touched == 0) return v
-    if (cdfEnabled(st)) {
-      cdcParts.result().groupBy(_._1).toSeq.sortBy(_._1.mkString(" "))
-        .foreach { case (pv, group) =>
-          actions += writeCdcFile(group.map(_._2).reduce(_ unionByName _),
-            root, pv)
+          actions += writeCdcFile(pre.unionByName(post), root, pv)
         }
     }
     writeCommitFile(root, v + 1, actions.result(), operation = "UPDATE")
@@ -2348,7 +2551,7 @@ object DeltaLog {
       val srcKeys = src.filter(col(key).isNotNull).select(col(key))
       val conf = spark.sparkContext.hadoopConfiguration
       // candidate files by footer-stats range, exact touched set by ONE
-      // semi-join job over the candidates' key columns only
+      // semi-join probe job over the candidates' key columns only
       val keyRange = srcKeys.agg(
         org.apache.spark.sql.functions.min(col(key)),
         org.apache.spark.sql.functions.max(col(key))).head()
@@ -2358,55 +2561,29 @@ object DeltaLog {
           val (lo, hi) = (keyRange.getLong(0), keyRange.getLong(1))
           val candidates = st.files
             .filter { case (rel, _) => statsOverlap(st, rel, key, lo, hi) }
-          if (candidates.isEmpty) Nil
-          else {
-            // ONE multi-file scan tagged by basename (Spark part names
-            // are UUID-unique) — a union-per-file probe would build a
-            // plan ∝ candidate count; fall back to it only on the
-            // ~impossible basename collision
-            val byName = candidates.map { case (rel, _) =>
-              resolvePath(root, rel).getFileName.toString -> rel }
-            if (byName.map(_._1).distinct.size == byName.size) {
-              val nameToRel = byName.toMap
-              spark.read.schema(StructType(Seq(dataSchema(key))))
-                .parquet(candidates.map(c =>
-                  resolvePath(root, c._1).toString): _*)
-                .select(col(key), regexp_extract(input_file_name(),
-                  "([^/]+)$", 1).as("__name"))
-                .join(srcKeys, Seq(key), "left_semi")
-                .select(col("__name")).distinct()
-                .as[String].collect().toSeq.map(nameToRel)
-            } else candidates.map { case (rel, _) =>
-              spark.read.schema(StructType(Seq(dataSchema(key))))
-                .parquet(resolvePath(root, rel).toString)
-                .select(col(key)).withColumn("__rel", lit(rel))
-            }.reduce(_ unionByName _)
-              .join(srcKeys, Seq(key), "left_semi")
-              .select(col("__rel")).distinct().as[String].collect().toSeq
-          }
+          probeTouched(spark, root, candidates,
+            StructType(Seq(dataSchema(key))),
+            _.join(srcKeys, Seq(key), "left_semi")).map(_._1)
         }
       val actions = Seq.newBuilder[JsonNode]
       // an append-only table allows the pure-insert merge (nothing
       // matched); any matched row would rewrite history
       if (touched.nonEmpty) requireNotAppendOnly(st, "mergeLongKey")
-      touched.sorted.foreach { rel =>
+      touched.foreach { rel =>
         require(!st.fileDvs.contains(rel),
           s"DeltaLog.mergeLongKey: $rel carries a deletion vector — " +
-            "copy-on-write rewrite of DV'd files is unimplemented")
-        val full = resolvePath(root, rel)
-        // the using-join hoists `key` to column 0 — restore the
-        // declared physical order before writing
-        val remaining = spark.read.schema(dataSchema)
-          .parquet(full.toString)
-          .join(srcKeys, Seq(key), "left_anti")
-          .select(dataSchema.fieldNames.map(col).toSeq: _*)
-        val part = writeSingleParquet(remaining, root, "graft-delta-merge")
-        val kept = mapper.readTree(footerStatsJson(part, conf))
-          .path("numRecords").asLong(0L)
+            "copy-on-write rewrite of DV'd files is unimplemented") }
+      // ONE rewrite job drops the matched rows from every touched file
+      // (a file that loses all its rows becomes a pure remove)
+      val rewritten = rewriteFilesBatched(spark, root, touched.sorted,
+        dataSchema, _.join(srcKeys, Seq(key), "left_anti"),
+        "graft-delta-merge")
+      touched.sorted.foreach { rel =>
         actions += removeActionNode(rel, dataChange = true)
-        if (kept > 0L) {
+        rewritten.get(rel).foreach { part =>
           // a shallow-cloned (absolute) source file rewrites into THIS
           // table's root — never beside the source
+          val full = resolvePath(root, rel)
           val targetDir =
             if (rel.startsWith("/")) Paths.get(root) else full.getParent
           val target = targetDir.resolve(part.getFileName)
@@ -2415,17 +2592,25 @@ object DeltaLog {
             .replace(java.io.File.separatorChar, '/')
           actions += addActionNode(root, newRel, Map.empty, dataChange = true,
             conf)
-        } else Files.delete(part)
+        }
       }
       // the whole source — updated versions of matched rows plus the
-      // genuinely new ones — lands as one new file
-      val insPart = writeSingleParquet(
-        enforceInvariants(src, dataSchema, st.configuration),
-        root, "graft-delta-merge")
-      val insTarget = Paths.get(root).resolve(insPart.getFileName)
-      Files.move(insPart, insTarget, StandardCopyOption.ATOMIC_MOVE)
-      actions += addActionNode(root,
-        insTarget.getFileName.toString, Map.empty, dataChange = true, conf)
+      // genuinely new ones — lands as target-sized files in ONE job
+      // (a bulk upsert batch must not serialize through one task)
+      val srcRows = src.count()
+      val insFiles = math.max(1L, (srcRows + mergeInsertRowsPerFile - 1) /
+        mergeInsertRowsPerFile).toInt
+      val insDf = enforceInvariants(src, dataSchema, st.configuration)
+      val insParts =
+        if (insFiles == 1) // point merge: coalesce, no shuffle
+          Seq(writeSingleParquet(insDf, root, "graft-delta-merge"))
+        else writeParquetFiles(insDf, root, "graft-delta-merge", insFiles)
+      insParts.foreach { insPart =>
+        val insTarget = Paths.get(root).resolve(insPart.getFileName)
+        Files.move(insPart, insTarget, StandardCopyOption.ATOMIC_MOVE)
+        actions += addActionNode(root,
+          insTarget.getFileName.toString, Map.empty, dataChange = true, conf)
+      }
       // CDF: the remove+add pairs are file-grain — only a cdc file
       // records WHICH rows updated vs inserted. Matched keys are read
       // back from the touched source files (on disk until vacuum).

@@ -57,6 +57,45 @@ object Dv {
       }
   }
 
+  /** Mutable position accumulator for EXECUTOR-side DV builds — the
+    * typed-Aggregator buffer behind [[DeltaLog]]'s DV delete. State is
+    * bitmap-sized and java-serializable for the partial-agg shuffle
+    * (RoaringBitmap is Externalizable), so the driver receives bitmap
+    * BYTES per file, never row positions.
+    */
+  final class PositionSetBuilder extends Serializable {
+    private val bitmaps =
+      scala.collection.mutable.ArrayBuffer.empty[RoaringBitmap]
+    private def at(hi: Int): RoaringBitmap = {
+      while (bitmaps.length <= hi) bitmaps += new RoaringBitmap()
+      bitmaps(hi)
+    }
+    def add(pos: Long): this.type = {
+      require(pos >= 0, s"negative row position $pos")
+      at((pos >>> 32).toInt).add(pos.toInt)
+      this
+    }
+    def merge(o: PositionSetBuilder): this.type = {
+      o.bitmaps.zipWithIndex.foreach { case (b, hi) => at(hi).or(b) }
+      this
+    }
+    def result(): PositionSet = new PositionSet(bitmaps.toArray)
+  }
+
+  /** Bitmap OR of two position sets — merging a fresh DV into a file's
+    * existing one without materializing positions.
+    */
+  def union(a: PositionSet, b: PositionSet): PositionSet = {
+    val n = math.max(a.bitmaps.length, b.bitmaps.length)
+    val out = Array.tabulate(n) { i =>
+      val r = new RoaringBitmap()
+      if (i < a.bitmaps.length) r.or(a.bitmaps(i))
+      if (i < b.bitmaps.length) r.or(b.bitmaps(i))
+      r
+    }
+    new PositionSet(out)
+  }
+
   /** Build a position set from sorted-or-not row positions. */
   def positionSet(positions: Iterable[Long]): PositionSet = {
     require(positions.forall(_ >= 0), "row positions must be >= 0")
