@@ -2440,6 +2440,65 @@ object SparkEntry {
           sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
             .as("cents"))
     }),
+    // STRING-KEY MERGE: the reference's real S4 shape (silver_orders
+    // merges on STRING order_id) — same fold as q269 but the key is
+    // 'O-<orderkey>'; candidate pruning degrades to the exact
+    // semi-join probe (string stats can be truncated by external
+    // writers, so range pruning is off by design for strings).
+    "q283_delta_merge_string" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(i: Int) =
+        base.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) === i)
+      def toStr(df: org.apache.spark.sql.DataFrame) =
+        df.select(concat(lit("O-"), col("o_orderkey").cast("string"))
+          .as("oid"), col("o_custkey"), col("o_totalprice"))
+      val root = freshScratch("q283")
+      graft.lake.DeltaLog.commitFlat(s, root, toStr(slice(0)))
+      graft.lake.DeltaLog.commitFlat(s, root, toStr(slice(1)))
+      val updates = base.filter(col("o_orderkey").between(100L, 2000L) &&
+          pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) =!= 2)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.lake.DeltaLog.mergeKey(s, root, "oid",
+        toStr(updates).unionByName(toStr(slice(2))))
+      graft.lake.DeltaLog.read(s, root)
+    }),
+    // PARTITIONED MERGE × CDF: the reference's README recommends
+    // event_date-partitioned silver — merge into a bucket-partitioned
+    // CDF table where every matched row also MOVES partition (bucket
+    // recomputed from custkey+1). The feed per (change_type, bucket)
+    // proves pre-images land in the OLD partition, post-images and
+    // inserts in the row's NEW one; exact long cents per q266.
+    "q284_delta_merge_partitioned" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("bucket",
+          pmod(coalesce(col("o_custkey"), lit(0L)), lit(4)).cast("string"))
+      def slice(i: Int) =
+        base.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) === i)
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("o_orderkey"), col("o_totalprice"), col("bucket"))
+      val root = freshScratch("q284")
+      graft.lake.DeltaLog.commitPartitioned(s, root, shaped(slice(0)),
+        Seq("bucket"),
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      graft.lake.DeltaLog.commitPartitioned(s, root, shaped(slice(1)),
+        Seq("bucket"))
+      val updates = base
+        .filter(col("o_orderkey").between(100L, 2000L) &&
+          pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) =!= 2)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("bucket",
+          pmod(coalesce(col("o_custkey"), lit(0L)) + 1, lit(4))
+            .cast("string"))
+      graft.lake.DeltaLog.mergeKey(s, root, "o_orderkey",
+        shaped(updates).unionByName(shaped(slice(2))))
+      graft.lake.DeltaLog.readChangeFeed(s, root, 1L)
+        .groupBy(col("_change_type").as("change_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents"))
+    }),
     // SCHEMA EVOLUTION: slice 0 commits two columns; slice 1 arrives
     // with o_totalprice and mergeSchema=true — the commit re-emits
     // metaData with the appended nullable column, and the read returns
@@ -4076,6 +4135,44 @@ object SparkEntry {
            CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
              AS BIGINT)
          FROM o WHERE s = 2""",
+    // q283: the string-key merge is the q269 fold with oid presented;
+    // the merged table equals the one-shot CASE over all orders.
+    "q283_delta_merge_string" ->
+      """SELECT 'O-' || CAST(o_orderkey AS VARCHAR) AS oid, o_custkey,
+           CASE WHEN o_orderkey BETWEEN 100 AND 2000
+                 AND ((COALESCE(o_orderkey, 0) % 3) + 3) % 3 <> 2
+                THEN o_totalprice * 2 ELSE o_totalprice END
+             AS o_totalprice
+         FROM orders""",
+    // q284: feed per (change_type, bucket) — preimages in the ORIGINAL
+    // bucket at the original price, postimages in the custkey+1 bucket
+    // doubled, inserts (slice 2) in their original bucket.
+    "q284_delta_merge_partitioned" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_totalprice,
+             ((COALESCE(o_orderkey, 0) % 3) + 3) % 3 AS s,
+             CAST(((COALESCE(o_custkey, 0) % 4) + 4) % 4 AS VARCHAR) AS b0,
+             CAST((((COALESCE(o_custkey, 0) + 1) % 4) + 4) % 4 AS VARCHAR)
+               AS b1
+           FROM orders)
+         SELECT 'update_preimage' AS change_type, b0 AS bucket,
+           count(*) AS n_rows,
+           CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM o WHERE o_orderkey BETWEEN 100 AND 2000 AND s <> 2
+         GROUP BY 2
+         UNION ALL
+         SELECT 'update_postimage', b1, count(*),
+           CAST(sum(CAST(FLOOR(o_totalprice * 2 * 100 + 0.5) AS BIGINT))
+             AS BIGINT)
+         FROM o WHERE o_orderkey BETWEEN 100 AND 2000 AND s <> 2
+         GROUP BY 2
+         UNION ALL
+         SELECT 'insert', b0, count(*),
+           CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT)
+         FROM o WHERE s = 2
+         GROUP BY 2""",
     // q271: pre-evolution rows read NULL for the appended column.
     "q271_delta_schema_evolution" ->
       """SELECT o_orderkey, o_custkey,

@@ -3,8 +3,8 @@ package graft.lake
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{assert_true, col, expr,
-  input_file_name, lit, regexp_extract, row_number}
+import org.apache.spark.sql.functions.{assert_true, col, expr, hash,
+  input_file_name, lit, pmod, regexp_extract, row_number}
 import org.apache.spark.sql.types._
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
@@ -2489,96 +2489,113 @@ object DeltaLog {
 
   /** Copy-on-write MERGE — Delta's `MERGE INTO` in its most common
     * shape (the reference's upsert: match on a key, update every
-    * column, insert the rest; analytics/spark/jobs/silver_orders.py's
-    * MERGE semantics): every source row whose LONG `key` matches a
-    * target row REPLACES that row whole, source rows with no match
-    * INSERT. One commit: each touched target file rewrites WITHOUT its
-    * matched rows (`remove`+`add`), the full source lands as one new
-    * file — so target = (target ∖ matched) ∪ source, and untouched
-    * files are never rewritten (file-skipping by source key range
-    * BEFORE the exact one-job matched-file probe, so a point-key merge
-    * into a sorted 100 TB table touches one file).
+    * column, insert the rest; analytics/spark/jobs/silver_orders.py
+    * merges on STRING `order_id` into an `event_date`-partitioned
+    * silver table — exactly this): every source row whose `key`
+    * matches a target row REPLACES that row whole, source rows with no
+    * match INSERT. One commit: each touched target file rewrites
+    * WITHOUT its matched rows (`remove`+`add`, staying in its
+    * partition directory), the full source lands as target-sized new
+    * files routed by partition value — so target = (target ∖ matched)
+    * ∪ source, cross-partition moves fall out naturally (the old row
+    * leaves its file, the new row lands where its own partition values
+    * say), and untouched files are never rewritten.
     *
-    * Contracts, all loud: source must cover the full data schema
-    * (extra columns refused — silent drops hide writer bugs); non-null
-    * source keys must be UNIQUE (Delta's multiple-source-rows-match
-    * error); NULL source keys never match and always insert; touched
-    * files must not carry deletion vectors; partitioned targets are
-    * out of scope (a whole-row merge can move rows across partitions —
-    * delete+insert territory); column-mapped tables are read-only.
-    * When CDF is on, matched rows land in a `cdc` file as
-    * `update_preimage`/`update_postimage` and unmatched source rows as
-    * `insert`; a pure-insert merge (nothing matched) commits adds only
-    * and the feed synthesizes its inserts like any append. No-op (no
-    * commit) on an empty source. Returns the table version afterwards.
+    * File-skipping BEFORE the exact one-job semi-join probe: a LONG
+    * key prunes candidates by footer-stats range (a point-key merge
+    * into a sorted 100 TB table touches one file); other key types
+    * degrade gracefully to probing every active file — the probe scan
+    * reads the key column only and still narrows the rewrite to the
+    * exactly-touched set.
+    *
+    * Contracts, all loud: source must cover the full table schema
+    * including partition columns (extra columns refused — silent drops
+    * hide writer bugs); non-null source keys must be UNIQUE (Delta's
+    * multiple-source-rows-match error); NULL source keys never match
+    * and always insert; the key must be a data column (partition-key
+    * merges are metadata games this writer doesn't play); touched
+    * files must not carry deletion vectors; column-mapped tables are
+    * read-only. When CDF is on, matched rows land in per-partition
+    * `cdc` files as `update_preimage` (in the OLD row's partition) /
+    * `update_postimage` and `insert` (in the SOURCE row's partition);
+    * a pure-insert merge commits adds only and the feed synthesizes
+    * its inserts like any append. No-op (no commit) on an empty
+    * source. Returns the table version afterwards.
     */
-  def mergeLongKey(spark: SparkSession, root: String, key: String,
-                   source: DataFrame): Long = {
-    import spark.implicits._
+  def mergeKey(spark: SparkSession, root: String, key: String,
+               source: DataFrame): Long = {
     val v = currentVersion(root)
     val st = replay(spark, root, v)
     require(mappingMode(st) == "none",
-      s"DeltaLog.mergeLongKey: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
-    require(st.partitionColumns.isEmpty,
-      "DeltaLog.mergeLongKey: partitioned targets unsupported — a " +
-        "whole-row merge can move rows across partitions")
-    requireWritable(st, "mergeLongKey")
-    val dataSchema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog.mergeKey: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
+    requireWritable(st, "mergeKey")
+    val fullSchema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
-    require(dataSchema.fieldNames.contains(key),
-      s"DeltaLog.mergeLongKey: key $key not in schema")
-    require(dataSchema(key).dataType == LongType,
-      s"DeltaLog.mergeLongKey: key $key is ${dataSchema(key).dataType}, " +
-        "expected LongType")
+    val pcs = st.partitionColumns
+    val pcSet = pcs.toSet
+    require(fullSchema.fieldNames.contains(key),
+      s"DeltaLog.mergeKey: key $key not in schema")
+    require(!pcSet(key),
+      s"DeltaLog.mergeKey: key $key is a partition column — match on a " +
+        "data column (partition-grain replacement is overwrite territory)")
+    val dataSchema = StructType(fullSchema.filterNot(f => pcSet(f.name)))
     // generated columns: computed when the source lacks them,
     // verified inline when it provides them
-    val sourceG = applyGeneratedColumns(source, dataSchema)
-    val missing = dataSchema.fieldNames.filterNot(sourceG.columns.contains)
+    val sourceG = applyGeneratedColumns(source, fullSchema)
+    val missing = fullSchema.fieldNames.filterNot(sourceG.columns.contains)
     require(missing.isEmpty,
-      s"DeltaLog.mergeLongKey: source lacks columns ${missing.mkString(", ")}")
-    val extra = sourceG.columns.filterNot(dataSchema.fieldNames.contains)
+      s"DeltaLog.mergeKey: source lacks columns ${missing.mkString(", ")}")
+    val extra = sourceG.columns.filterNot(fullSchema.fieldNames.contains)
     require(extra.isEmpty,
-      s"DeltaLog.mergeLongKey: source carries extra columns " +
+      s"DeltaLog.mergeKey: source carries extra columns " +
         s"${extra.mkString(", ")} the target schema cannot hold")
-    val src = sourceG.select(dataSchema.fields
+    val src = sourceG.select(fullSchema.fields
       .map(f => col(f.name).cast(f.dataType)).toSeq: _*).persist()
     try {
       if (src.isEmpty) return v
       require(src.filter(col(key).isNotNull).groupBy(col(key))
         .count().filter(col("count") > 1).isEmpty,
-        "DeltaLog.mergeLongKey: multiple source rows share a key — " +
+        "DeltaLog.mergeKey: multiple source rows share a key — " +
           "which one updates the matched target row is undefined")
       val srcKeys = src.filter(col(key).isNotNull).select(col(key))
       val conf = spark.sparkContext.hadoopConfiguration
-      // candidate files by footer-stats range, exact touched set by ONE
-      // semi-join probe job over the candidates' key columns only
-      val keyRange = srcKeys.agg(
-        org.apache.spark.sql.functions.min(col(key)),
-        org.apache.spark.sql.functions.max(col(key))).head()
-      val touched: Seq[String] =
-        if (keyRange.isNullAt(0)) Nil // all-NULL keys: pure insert
-        else {
-          val (lo, hi) = (keyRange.getLong(0), keyRange.getLong(1))
-          val candidates = st.files
-            .filter { case (rel, _) => statsOverlap(st, rel, key, lo, hi) }
-          probeTouched(spark, root, candidates,
-            StructType(Seq(dataSchema(key))),
-            _.join(srcKeys, Seq(key), "left_semi")).map(_._1)
-        }
+      // candidate files: footer-stats range prune for LONG keys; every
+      // active file otherwise (external writers truncate string
+      // min/max, so lexicographic pruning could silently miss matches
+      // — the probe stays exact either way)
+      val candidates: Seq[(String, Map[String, String])] =
+        if (fullSchema(key).dataType == LongType) {
+          val keyRange = srcKeys.agg(
+            org.apache.spark.sql.functions.min(col(key)),
+            org.apache.spark.sql.functions.max(col(key))).head()
+          if (keyRange.isNullAt(0)) Nil // all-NULL keys: pure insert
+          else {
+            val (lo, hi) = (keyRange.getLong(0), keyRange.getLong(1))
+            st.files.filter { case (rel, _) =>
+              statsOverlap(st, rel, key, lo, hi) }
+          }
+        } else if (srcKeys.isEmpty) Nil
+        else st.files
+      // exact touched set by ONE semi-join probe job over the
+      // candidates' key columns only
+      val touched = probeTouched(spark, root, candidates,
+        StructType(Seq(dataSchema(key))),
+        _.join(srcKeys, Seq(key), "left_semi")).sortBy(_._1)
       val actions = Seq.newBuilder[JsonNode]
       // an append-only table allows the pure-insert merge (nothing
       // matched); any matched row would rewrite history
-      if (touched.nonEmpty) requireNotAppendOnly(st, "mergeLongKey")
-      touched.foreach { rel =>
+      if (touched.nonEmpty) requireNotAppendOnly(st, "mergeKey")
+      touched.foreach { case (rel, _) =>
         require(!st.fileDvs.contains(rel),
-          s"DeltaLog.mergeLongKey: $rel carries a deletion vector — " +
+          s"DeltaLog.mergeKey: $rel carries a deletion vector — " +
             "copy-on-write rewrite of DV'd files is unimplemented") }
       // ONE rewrite job drops the matched rows from every touched file
-      // (a file that loses all its rows becomes a pure remove)
-      val rewritten = rewriteFilesBatched(spark, root, touched.sorted,
+      // (a file that loses all its rows becomes a pure remove); each
+      // rewrite stays in its source file's partition directory
+      val rewritten = rewriteFilesBatched(spark, root, touched.map(_._1),
         dataSchema, _.join(srcKeys, Seq(key), "left_anti"),
         "graft-delta-merge")
-      touched.sorted.foreach { rel =>
+      touched.foreach { case (rel, pv) =>
         actions += removeActionNode(rel, dataChange = true)
         rewritten.get(rel).foreach { part =>
           // a shallow-cloned (absolute) source file rewrites into THIS
@@ -2590,7 +2607,7 @@ object DeltaLog {
           Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
           val newRel = Paths.get(root).relativize(target).toString
             .replace(java.io.File.separatorChar, '/')
-          actions += addActionNode(root, newRel, Map.empty, dataChange = true,
+          actions += addActionNode(root, newRel, pv, dataChange = true,
             conf)
         }
       }
@@ -2600,40 +2617,111 @@ object DeltaLog {
       val srcRows = src.count()
       val insFiles = math.max(1L, (srcRows + mergeInsertRowsPerFile - 1) /
         mergeInsertRowsPerFile).toInt
-      val insDf = enforceInvariants(src, dataSchema, st.configuration)
-      val insParts =
-        if (insFiles == 1) // point merge: coalesce, no shuffle
-          Seq(writeSingleParquet(insDf, root, "graft-delta-merge"))
-        else writeParquetFiles(insDf, root, "graft-delta-merge", insFiles)
-      insParts.foreach { insPart =>
-        val insTarget = Paths.get(root).resolve(insPart.getFileName)
-        Files.move(insPart, insTarget, StandardCopyOption.ATOMIC_MOVE)
-        actions += addActionNode(root,
-          insTarget.getFileName.toString, Map.empty, dataChange = true, conf)
+      val insDf = enforceInvariants(src, fullSchema, st.configuration)
+      if (pcs.isEmpty) {
+        val insParts =
+          if (insFiles == 1) // point merge: coalesce, no shuffle
+            Seq(writeSingleParquet(insDf, root, "graft-delta-merge"))
+          else writeParquetFiles(insDf, root, "graft-delta-merge", insFiles)
+        insParts.foreach { insPart =>
+          val insTarget = Paths.get(root).resolve(insPart.getFileName)
+          Files.move(insPart, insTarget, StandardCopyOption.ATOMIC_MOVE)
+          actions += addActionNode(root,
+            insTarget.getFileName.toString, Map.empty, dataChange = true,
+            conf)
+        }
+      } else {
+        // dynamic-partitioned insert, ONE job: partition cols + a
+        // key-hash salt spread a bulk batch across tasks without
+        // serializing a hot partition through one of them
+        val staging = Files.createTempDirectory(stagingBase(root),
+          "graft-delta-merge")
+        insDf
+          .repartition(insFiles, pcs.map(col) :+
+            pmod(hash(col(key)), lit(insFiles)): _*)
+          .write.mode("overwrite").partitionBy(pcs: _*)
+          .parquet(staging.toString)
+        val walk = Files.walk(staging)
+        val dataFiles =
+          try walk.iterator().asScala
+            .filter(p => Files.isRegularFile(p)
+              && p.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.toString)
+          finally walk.close()
+        dataFiles.foreach { p =>
+          val rel = staging.relativize(p).toString
+            .replace(java.io.File.separatorChar, '/')
+          val target = Paths.get(root, rel)
+          Files.createDirectories(target.getParent)
+          Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+          actions += addActionNode(root, rel,
+            partitionValuesOf(rel, pcs), dataChange = true, conf)
+        }
+        deleteRecursively(staging)
       }
-      // CDF: the remove+add pairs are file-grain — only a cdc file
-      // records WHICH rows updated vs inserted. Matched keys are read
+      // CDF: the remove+add pairs are file-grain — only cdc files
+      // record WHICH rows updated vs inserted. Matched keys are read
       // back from the touched source files (on disk until vacuum).
+      // Pre-images live in the OLD row's partition; postimages and
+      // inserts in the SOURCE row's own partition.
       if (cdfEnabled(st) && touched.nonEmpty) {
-        val touchedRows = touched.map(rel => spark.read.schema(dataSchema)
-          .parquet(resolvePath(root, rel).toString)).reduce(_ unionByName _)
+        val touchedRows = spark.read.schema(dataSchema)
+          .parquet(touched.map(t => resolvePath(root, t._1).toString): _*)
         val matchedKeys = touchedRows.select(col(key))
-          .join(srcKeys, Seq(key), "left_semi").distinct()
+          .join(srcKeys, Seq(key), "left_semi").distinct().persist()
         def inOrder(df: DataFrame) =
           df.select(dataSchema.fieldNames.map(col).toSeq: _*)
-        val pre = inOrder(touchedRows.join(srcKeys, Seq(key), "left_semi"))
-          .withColumn(ChangeTypeCol, lit("update_preimage"))
-        val post = inOrder(src.join(matchedKeys, Seq(key), "left_semi"))
-          .withColumn(ChangeTypeCol, lit("update_postimage"))
-        val ins = inOrder(src.join(matchedKeys, Seq(key), "left_anti"))
-          .withColumn(ChangeTypeCol, lit("insert"))
-        actions += writeCdcFile(
-          pre.unionByName(post).unionByName(ins), root, Map.empty)
+        try {
+          touched.groupBy(_._2).toSeq.sortBy(_._1.mkString(" "))
+            .foreach { case (pv, group) =>
+              val pre = inOrder(spark.read.schema(dataSchema)
+                .parquet(group.map(g =>
+                  resolvePath(root, g._1).toString): _*)
+                .join(srcKeys, Seq(key), "left_semi"))
+                .withColumn(ChangeTypeCol, lit("update_preimage"))
+              actions += writeCdcFile(pre, root, pv)
+            }
+          // source partition slices (bounded by the batch's partition
+          // count — the same bound any dynamic-partition commit has)
+          val srcPvs: Seq[org.apache.spark.sql.Row] =
+            if (pcs.isEmpty) Seq(org.apache.spark.sql.Row.empty)
+            else src.select(pcs.map(col): _*).distinct()
+              .collect().toSeq.sortBy(_.toString)
+          srcPvs.foreach { r =>
+            val slice =
+              if (pcs.isEmpty) src
+              else src.filter(pcs.zipWithIndex.map { case (pc, i) =>
+                if (r.isNullAt(i)) col(pc).isNull
+                else col(pc) <=> lit(r.get(i))
+              }.reduce(_ && _))
+            val pvMap =
+              if (pcs.isEmpty) Map.empty[String, String]
+              else pcs.zipWithIndex.map { case (pc, i) =>
+                pc -> (if (r.isNullAt(i)) null else r.get(i).toString)
+              }.toMap
+            val post = inOrder(slice.join(matchedKeys, Seq(key),
+              "left_semi"))
+              .withColumn(ChangeTypeCol, lit("update_postimage"))
+            val ins = inOrder(slice.join(matchedKeys, Seq(key),
+              "left_anti"))
+              .withColumn(ChangeTypeCol, lit("insert"))
+            actions += writeCdcFile(post.unionByName(ins), root, pvMap)
+          }
+        } finally matchedKeys.unpersist()
       }
       writeCommitFile(root, v + 1, actions.result(), operation = "MERGE")
       v + 1
     } finally src.unpersist()
   }
+
+  /** Backwards-compatible name for [[mergeKey]] from when the merge
+    * was limited to flat tables with a LONG key; the generalized
+    * implementation accepts any data-column key type and partitioned
+    * targets, so this simply delegates.
+    */
+  def mergeLongKey(spark: SparkSession, root: String, key: String,
+                   source: DataFrame): Long =
+    mergeKey(spark, root, key, source)
 
   /** Rows APPENDED after `sinceVersion` — the incremental-ETL tail
     * read a downstream job consumes between runs. Semantics mirror the

@@ -592,8 +592,9 @@ class DeltaLogSpec extends SparkSpec {
     assert(feed2 == Set((90L, "z", "insert")))
   }
 
-  test("mergeLongKey: NULL source keys always insert; duplicate keys, " +
-    "extra columns, partitioned targets and DV'd files refuse loudly") {
+  test("mergeKey: NULL source keys always insert; duplicate keys, " +
+    "extra columns and DV'd files refuse loudly; partitioned targets " +
+    "merge partition-locally") {
     val root = freshRoot()
     // the key must be DECLARED nullable or the NULL insert trips the
     // NOT NULL writer invariant (tuple-encoded Long => non-nullable)
@@ -613,13 +614,22 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.mergeLongKey(spark, root, "k",
         Seq((5L, "x", 1)).toDF("k", "v", "w")))
     assert(eExtra.getMessage.contains("extra columns"), eExtra.getMessage)
+    // partitioned targets merge partition-locally: the matched row's
+    // rewrite stays in its partition, inserts route by their OWN
+    // partition value (including brand-new partitions)
     val part = freshRoot()
     DeltaLog.commitPartitioned(spark, part,
-      Seq((1L, "a", "p1")).toDF("k", "v", "pt"), Seq("pt"))
-    val ePart = intercept[IllegalArgumentException](
-      DeltaLog.mergeLongKey(spark, part, "k",
-        Seq((1L, "x", "p1")).toDF("k", "v", "pt")))
-    assert(ePart.getMessage.contains("partitioned"), ePart.getMessage)
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "pt"), Seq("pt"))
+    DeltaLog.mergeKey(spark, part, "k",
+      Seq((2L, "B", "p2"), (3L, "c", "p3")).toDF("k", "v", "pt"))
+    assert(DeltaLog.read(spark, part).select("k", "v", "pt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((1L, "a", "p1"), (2L, "B", "p2"), (3L, "c", "p3")))
+    // a merge key that IS a partition column refuses
+    val ePk = intercept[IllegalArgumentException](
+      DeltaLog.mergeKey(spark, part, "pt",
+        Seq((9L, "z", "p1")).toDF("k", "v", "pt")))
+    assert(ePk.getMessage.contains("partition column"), ePk.getMessage)
     val dvRoot = freshRoot()
     DeltaLog.commitFlat(spark, dvRoot,
       (1L to 5L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
@@ -628,6 +638,58 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.mergeLongKey(spark, dvRoot, "k",
         Seq((3L, "X")).toDF("k", "v")))
     assert(eDv.getMessage.contains("deletion vector"), eDv.getMessage)
+  }
+
+  test("mergeKey: STRING keys — the reference's order_id merge shape; " +
+    "exact probe leaves untouched files un-rewritten") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq(("o-1", 10L), ("o-2", 20L), ("o-3", 30L)).toDF("oid", "amt")
+        .coalesce(1))
+    DeltaLog.commitFlat(spark, root,
+      Seq(("o-4", 40L)).toDF("oid", "amt").coalesce(1))
+    DeltaLog.mergeKey(spark, root, "oid",
+      Seq(("o-2", 21L), ("o-5", 50L)).toDF("oid", "amt"))
+    val got = DeltaLog.read(spark, root).select("oid", "amt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("o-1" -> 10L, "o-2" -> 21L, "o-3" -> 30L,
+      "o-4" -> 40L, "o-5" -> 50L))
+    // the o-4 file had no matched key: the semi-join probe must leave
+    // it active and un-rewritten even without stats pruning
+    val v1files = DeltaLog.filesAt(spark, root, 1L).toSet
+    val v2files = DeltaLog.filesAt(spark, root, 2L).toSet
+    assert(v1files.intersect(v2files).nonEmpty,
+      "untouched file must survive the merge un-rewritten")
+  }
+
+  test("mergeKey: cross-partition move — the matched row leaves its " +
+    "old partition, lands by its NEW partition value; per-partition " +
+    "CDF records pre in the old and post in the new partition") {
+    val root = freshRoot()
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+        .toDF("k", "v", "pt"), Seq("pt"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    // k=2 moves p1 → p2 with a new payload; k=9 inserts into p3
+    DeltaLog.mergeKey(spark, root, "k",
+      Seq((2L, "B", "p2"), (9L, "z", "p3")).toDF("k", "v", "pt"))
+    val got = DeltaLog.read(spark, root).select("k", "v", "pt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "a", "p1"), (2L, "B", "p2"), (3L, "c", "p2"),
+      (9L, "z", "p3")))
+    // survivor k=1 stayed in its rewritten p1 file; partition dirs hold
+    // what the partitionValues say
+    val active = DeltaLog.filesAt(spark, root, 1L)
+    assert(active.exists(_.startsWith("pt=p1/")), active.toString)
+    assert(active.exists(_.startsWith("pt=p3/")), active.toString)
+    val feed = DeltaLog.readChangeFeed(spark, root, 0L)
+      .select("k", "v", "pt", DeltaLog.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(feed == Set(
+      (2L, "b", "p1", "update_preimage"),
+      (2L, "B", "p2", "update_postimage"),
+      (9L, "z", "p3", "insert")))
   }
 
   test("mergeSchema append: new columns append nullable and survive a " +
