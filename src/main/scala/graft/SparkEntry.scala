@@ -66,15 +66,18 @@ object SparkEntry {
         "doc_id", "text", n = 2)
     }
 
-  /** The posting-list co-occurrence pair counts over [[jaccardShingles]]
-    * — q70 scores it as Jaccard, q110 as containment. Materialized once
-    * (same eviction-proof persist discipline); the expensive posting
-    * self-join never runs twice.
+  /** The posting-list co-occurrence table over [[jaccardShingles]],
+    * carrying BOTH the shared-shingle count and the idf²-weighted dot
+    * from ONE pair pass — q70 scores it as Jaccard, q110 as
+    * containment (n_shared), q198 as idf-weighted Jaccard (dot).
+    * Materialized once (same eviction-proof persist discipline); the
+    * expensive posting self-join never runs twice, let alone three
+    * times.
     */
   private val jaccardPairCountsCache = new PlanCache
   private def jaccardPairCounts(s: SparkSession, d: String): DataFrame =
     cachedPlan(jaccardPairCountsCache, s, d) {
-      TextDedup.shinglePairCounts(jaccardShingles(s, d))
+      TextDedup.shinglePairDots(jaccardShingles(s, d))
     }
 
   /** Same sharing shape for the simhash near-dup pair graph: q50 reports
@@ -1777,10 +1780,14 @@ object SparkEntry {
     }),
     // idf²-weighted Jaccard pairs — boilerplate shingles stop drowning
     // the similarity signal on this templated corpus. Shares the q70/q77
-    // shingle cache (one corpus tokenize across the whole family).
+    // shingle cache (one corpus tokenize across the whole family) AND
+    // the q70/q110 pair materialization (the Σdf² co-occurrence join
+    // runs once for the family; this plan adds only posting-sized
+    // idf/norm aggregations).
     "q198_weighted_jaccard" -> ((s, d) =>
       TextDedup.weightedJaccardPairs(Tables.documentsSpread(s, d),
-        "doc_id", "text", shingles = Some(jaccardShingles(s, d)))),
+        "doc_id", "text", shingles = Some(jaccardShingles(s, d)),
+        pairDots = Some(jaccardPairCounts(s, d)))),
     // Per-state next-event entropy (behavior predictability) — the q172
     // fixed-point entropy over the q112 transition stream.
     "q199_transition_entropy" -> ((s, d) => {

@@ -317,17 +317,46 @@ object TextDedup {
     */
   def shinglePairCounts(sh: DataFrame, maxDf: Option[Int] = None,
                         cap: Int = 2048): DataFrame = {
-    val posting = {
-      val p = sh.select(col("id"), explode(col("sh")).as("bk"))
-      maxDf.fold(p) { d =>
-        require(d >= 1, s"maxDf must be >= 1, got $d")
-        // DF filter = one map-side-combinable count on the posting key +
-        // a semi join that is co-partitioned with the pair join's key.
-        p.join(p.groupBy(col("bk")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= d).select("bk"), Seq("bk"), "left_semi")
-      }
-    }
+    val posting = dfFiltered(sh, maxDf)
     graft.operators.CandidatePairs.inBucketPairCounts(posting, cap)
+  }
+
+  /** The posting table of a shingle set table, optionally DF-filtered. */
+  private def dfFiltered(sh: DataFrame, maxDf: Option[Int]): DataFrame = {
+    val p = sh.select(col("id"), explode(col("sh")).as("bk"))
+    maxDf.fold(p) { d =>
+      require(d >= 1, s"maxDf must be >= 1, got $d")
+      // DF filter = one map-side-combinable count on the posting key +
+      // a semi join that is co-partitioned with the pair join's key.
+      p.join(p.groupBy(col("bk")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= d).select("bk"), Seq("bk"), "left_semi")
+    }
+  }
+
+  /** [[shinglePairCounts]] widened with the idf²-weighted DOT in the
+    * SAME pair pass: (id_a, id_b, n_shared, dot), dot = Σ idf_fp² over
+    * shared shingles with idf_fp = floor(ln(N/df)·10⁶) quantized once
+    * per shingle. One co-occurrence join serves every
+    * intersection-based score — unweighted (Jaccard q70, containment
+    * q110) reads n_shared, idf-weighted (q198) reads dot — so the
+    * expensive pair stage materializes once, not per score. Runs one
+    * count job at build time (corpus size for the idf table).
+    */
+  def shinglePairDots(sh: DataFrame, maxDf: Option[Int] = None,
+                      cap: Int = 2048): DataFrame = {
+    val posting = dfFiltered(sh, maxDf)
+    // corpus size from the doc-grain table (one row per doc — every doc
+    // has ≥1 shingle by the shingleHashedDocs contract); only a DF
+    // filter can drop docs wholesale and force the posting-side count
+    val n = maxDf.fold(sh.count())(_ =>
+      posting.select(col("id")).distinct().count())
+    require(n > 0, "shinglePairDots over an empty corpus")
+    val idf = posting.groupBy(col("bk")).agg(count(lit(1)).as("__df"))
+      .select(col("bk"),
+        floor(log(lit(n.toDouble) / col("__df").cast("double"))
+          * lit(1000000.0)).cast("long").as("__w"))
+    graft.operators.CandidatePairs.inBucketPairDots(
+      posting.join(idf, Seq("bk")), cap)
   }
 
   /** Exact n-gram CONTAINMENT pairs — the asymmetric near-dup signal
@@ -610,12 +639,22 @@ object TextDedup {
   def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                            shingleN: Int = 2, threshold: Double = 0.3,
                            cap: Int = 2048,
-                           shingles: Option[DataFrame] = None): DataFrame = {
+                           shingles: Option[DataFrame] = None,
+                           pairDots: Option[DataFrame] = None): DataFrame = {
+    // Same knob-ownership contract as [[jaccardNearDupPairs]]: a
+    // supplied pairDots already baked in its cap.
+    require(pairDots.isEmpty || cap == 2048,
+      "weightedJaccardPairs: cap only applies when the pair table is " +
+        "built internally - it was fixed when the supplied pairDots was " +
+        "created (build it via shinglePairDots(sh, maxDf, cap))")
     // The posting table feeds the df counts, the weighted join, and the
     // corpus size — persisted for the call (the jaccardShingles shared-
     // intermediate discipline; session clearCache() releases it). A
     // caller-supplied `shingles` table (the q70/q77/q110 shared cache)
-    // saves the tokenize+shingle corpus pass entirely.
+    // saves the tokenize+shingle corpus pass entirely, and a supplied
+    // `pairDots` (the [[shinglePairDots]] shared materialization) saves
+    // the pair join — this call then only adds the posting-sized idf
+    // and per-doc norm aggregations.
     val posting = shingles.getOrElse(shingleHashedDocs(
         docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol,
         shingleN))
@@ -630,7 +669,8 @@ object TextDedup {
     val weighted = posting.join(idf, Seq("bk"))
     val docw = weighted.groupBy(col("id"))
       .agg(sum(col("__w") * col("__w")).as("__w2"))
-    graft.operators.CandidatePairs.inBucketPairDots(weighted, cap)
+    pairDots.getOrElse(
+      graft.operators.CandidatePairs.inBucketPairDots(weighted, cap))
       .join(docw.select(col("id").as("id_a"), col("__w2").as("__wa")), Seq("id_a"))
       .join(docw.select(col("id").as("id_b"), col("__w2").as("__wb2")), Seq("id_b"))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),

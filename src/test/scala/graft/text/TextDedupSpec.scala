@@ -534,4 +534,40 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("shinglePairDots: one pair pass serves every score — n_shared " +
+    "equals shinglePairCounts, and weightedJaccardPairs through the " +
+    "shared table equals the self-built path row-for-row") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the same header alpha beta"),
+      (2L, "the same header gamma delta"),
+      (3L, "the same header rare tail"),
+      (4L, "the same header rare tail"),
+      (5L, "completely different words here")).toDF("doc_id", "text")
+    val sh = TextDedup.shingleHashedDocs(docs, "doc_id", "text", n = 2)
+      .persist()
+    val dots = TextDedup.shinglePairDots(sh).persist()
+    val counts = TextDedup.shinglePairCounts(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fromDots = dots.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fromDots == counts,
+      "n_shared must be identical across the widened pair table")
+    def key(r: org.apache.spark.sql.Row) =
+      ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val direct = TextDedup.weightedJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.0).collect().map(key).toMap
+    val shared = TextDedup.weightedJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.0, shingles = Some(sh), pairDots = Some(dots))
+      .collect().map(key).toMap
+    assert(shared == direct)
+    // a supplied pairDots owns the cap knob
+    val e = intercept[IllegalArgumentException](
+      TextDedup.weightedJaccardPairs(docs, "doc_id", "text", cap = 7,
+        pairDots = Some(dots)))
+    assert(e.getMessage.contains("cap"), e.getMessage)
+    spark.catalog.clearCache()
+  }
+
 }
