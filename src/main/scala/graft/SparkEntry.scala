@@ -2763,6 +2763,57 @@ object SparkEntry {
           .mkString("", "\n", "\n")).getBytes("UTF-8"))
       graft.lake.DeltaLog.read(s, root)
     }),
+    // Name-mapped WRITE round-trip: a hand-authored name-mode table
+    // (physical names col-k17/col-v42, the q261 shape) takes the full
+    // DML suite through LOGICAL names — append, copy-on-write DELETE,
+    // UPDATE, MERGE — and reads back; every new parquet stores physical
+    // names (spec-pinned), the gate checks the resulting rows.
+    "q285_delta_mapped_write" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      val base = Tables.events(s, d)
+        .filter(col("event_id").isNotNull && col("event_id") <= 3000)
+        .groupBy(col("event_id")).agg(max(col("value")).as("value"))
+      val root = freshScratch("q285")
+      val rootP = java.nio.file.Paths.get(root)
+      java.nio.file.Files.createDirectories(rootP)
+      val tmp = java.nio.file.Files.createTempDirectory(rootP, "stage")
+      base.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id").as("col-k17"), col("value").as("col-v42"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val l = java.nio.file.Files.list(tmp)
+        try l.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      java.nio.file.Files.move(part, rootP.resolve("part-a.parquet"))
+      val schemaJson =
+        """{"type":"struct","fields":[
+          {"name":"event_id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-k17"}},
+          {"name":"value","type":"double","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-v42"}}]}"""
+          .replaceAll("\n\\s*", "")
+      java.nio.file.Files.createDirectories(rootP.resolve("_delta_log"))
+      java.nio.file.Files.write(
+        rootP.resolve("_delta_log").resolve(f"${0L}%020d.json"),
+        (Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"graft-q285","format":{"provider":"parquet","options":{}},"schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"}}}""",
+          """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+          .mkString("", "\n", "\n")).getBytes("UTF-8"))
+      // append the odd half through LOGICAL names
+      graft.lake.DeltaLog.commitFlat(s, root,
+        base.filter(pmod(col("event_id"), lit(2)) === 1)
+          .select(col("event_id"), col("value")))
+      graft.lake.DeltaLog.deleteWhereLong(s, root, "event_id", 1L, 500L)
+      graft.lake.DeltaLog.updateWhereLong(s, root, "event_id",
+        1000L, 1500L, Map("value" -> (col("value") * 2)))
+      val src = base.filter(col("event_id").between(2000L, 2500L))
+        .select(col("event_id"), (col("value") * 0.5).as("value"))
+        .unionByName(base.filter(col("event_id").between(600L, 700L))
+          .select((col("event_id") + 100000L).as("event_id"), col("value")))
+      graft.lake.DeltaLog.mergeKey(s, root, "event_id", src)
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // V2-checkpoint Delta READ: the log is ONLY a
     // <v>.checkpoint.<uuid>.json top file (protocol 3/7 + v2Checkpoint
     // feature, metaData, checkpointMetadata, inline adds) plus a JSON
@@ -4254,6 +4305,31 @@ object SparkEntry {
     "q261_delta_mapped_read" ->
       """SELECT event_id, value FROM events
          WHERE event_id IS NOT NULL AND event_id <= 3000""",
+    // q285: one-shot reconstruction of the DML suite over the mapped
+    // table — delete 1..500, double value in 1000..1500, then the merge
+    // replaces 2000..2500 (half the value) and inserts shifted copies
+    // of 600..700. *2 and *0.5 are exact double scalings.
+    "q285_delta_mapped_write" ->
+      """WITH base AS (
+           SELECT event_id, MAX(value) AS value FROM events
+           WHERE event_id IS NOT NULL AND event_id <= 3000 GROUP BY 1),
+         after_del AS (
+           SELECT * FROM base WHERE event_id NOT BETWEEN 1 AND 500),
+         after_upd AS (
+           SELECT event_id,
+             CASE WHEN event_id BETWEEN 1000 AND 1500
+                  THEN value * 2 ELSE value END AS value
+           FROM after_del),
+         src AS (
+           SELECT event_id, value * 0.5 AS value FROM base
+           WHERE event_id BETWEEN 2000 AND 2500
+           UNION ALL
+           SELECT event_id + 100000, value FROM base
+           WHERE event_id BETWEEN 600 AND 700)
+         SELECT a.event_id, a.value FROM after_upd a
+         WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = a.event_id)
+         UNION ALL
+         SELECT event_id, value FROM src""",
     // q262: the v2-checkpoint reconstruction must equal the whole slice.
     "q262_delta_v2cp_read" ->
       """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",

@@ -786,6 +786,37 @@ object DeltaLog {
     }
   }
 
+  /** WRITE-path mapping gate: modes none and name are writable (name
+    * writes resolve logical→physical at the IO boundary); id — and any
+    * future mode — refuses loudly naming itself.
+    */
+  private def requireWritableMapping(st: LogState, op: String): Unit = {
+    val mode = mappingMode(st)
+    require(mode == "none" || mode == "name",
+      s"DeltaLog.$op: columnMapping mode '$mode' tables are read-only " +
+        "through this bridge (modes none and name are writable)")
+  }
+
+  /** Logical → physical rename map for the WRITE paths: empty (identity)
+    * when unmapped, the [[physicalTopLevel]] table under name mode.
+    */
+  private def physicalWriteMap(st: LogState,
+                               schema: StructType): Map[String, String] =
+    if (mappingMode(st) != "name") Map.empty
+    else physicalTopLevel(schema)
+
+  /** Rename a batch about to be WRITTEN into a name-mapped table to its
+    * PHYSICAL field names (identity when unmapped) — new parquet must
+    * store the same physical names the table's existing files do or
+    * every mapped reader sees the new rows as all-NULL.
+    */
+  private def toPhysicalDf(st: LogState, schema: StructType,
+                           df: DataFrame): DataFrame = {
+    val phys = physicalWriteMap(st, schema)
+    if (phys.isEmpty) df
+    else df.toDF(df.columns.map(c => phys.getOrElse(c, c)): _*)
+  }
+
   /** One replayed log action in the distributed reconstruction's common
     * shape (checkpoint adds and JSON-tail adds/removes both map here).
     */
@@ -1252,25 +1283,32 @@ object DeltaLog {
     */
   private def probeTouched(spark: SparkSession, root: String,
       candidates: Seq[(String, Map[String, String])],
-      probeSchema: StructType, matcher: DataFrame => DataFrame)
+      probeSchema: StructType, matcher: DataFrame => DataFrame,
+      physMap: Map[String, String] = Map.empty)
     : Seq[(String, Map[String, String])] = {
     import spark.implicits._
     if (candidates.isEmpty) return Nil
+    // name-mode mapping: scan PHYSICAL field names, hand the matcher
+    // LOGICAL ones (identity when physMap is empty)
+    val physSchema = StructType(probeSchema.fields.map(f =>
+      f.copy(name = physMap.getOrElse(f.name, f.name))))
+    def logicalCols = probeSchema.fieldNames.map(n =>
+      col(physMap.getOrElse(n, n)).as(n))
     val byName = candidates.map { case (rel, _) =>
       resolvePath(root, rel).getFileName.toString -> rel }
     val hit: Set[String] =
       if (byName.map(_._1).distinct.size == byName.size) {
         val nameToRel = byName.toMap
-        matcher(spark.read.schema(probeSchema)
+        matcher(spark.read.schema(physSchema)
           .parquet(candidates.map(c => resolvePath(root, c._1).toString): _*)
-          .select(probeSchema.fieldNames.map(col) :+
+          .select(logicalCols :+
             col("_metadata.file_name").as(SrcTagCol): _*))
           .select(col(SrcTagCol)).distinct()
           .as[String].collect().toSet.map(nameToRel)
       } else candidates.map { case (rel, _) =>
-        matcher(spark.read.schema(probeSchema)
+        matcher(spark.read.schema(physSchema)
           .parquet(resolvePath(root, rel).toString)
-          .withColumn(SrcTagCol, lit(rel)))
+          .select(logicalCols :+ lit(rel).as(SrcTagCol): _*))
           .select(col(SrcTagCol)).limit(1)
       }.reduce(_ unionByName _).as[String].collect().toSet
     candidates.filter { case (rel, _) => hit(rel) }
@@ -1291,8 +1329,17 @@ object DeltaLog {
   private def rewriteFilesBatched(spark: SparkSession, root: String,
       rels: Seq[String], dataSchema: StructType,
       transform: DataFrame => DataFrame,
-      prefix: String): Map[String, Path] = {
+      prefix: String,
+      physMap: Map[String, String] = Map.empty): Map[String, Path] = {
     if (rels.isEmpty) return Map.empty
+    // name-mode mapping: files are scanned AND rewritten under PHYSICAL
+    // names; the transform runs between two renames in LOGICAL space
+    val physSchema = StructType(dataSchema.fields.map(f =>
+      f.copy(name = physMap.getOrElse(f.name, f.name))))
+    def toLogical = dataSchema.fieldNames.map(n =>
+      col(physMap.getOrElse(n, n)).as(n))
+    def toPhysical = dataSchema.fieldNames.map(n =>
+      col(n).as(physMap.getOrElse(n, n)))
     val byName = rels.map(rel =>
       resolvePath(root, rel).getFileName.toString -> rel)
     if (byName.map(_._1).distinct.size != byName.size)
@@ -1300,10 +1347,10 @@ object DeltaLog {
       // per-file fallback — correct, just not the batched fast path
       return rels.flatMap { rel =>
         val out = transform(
-          spark.read.schema(dataSchema)
+          spark.read.schema(physSchema)
             .parquet(resolvePath(root, rel).toString)
-            .withColumn(SrcTagCol, lit(rel)))
-          .select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+            .select(toLogical :+ lit(rel).as(SrcTagCol): _*))
+          .select(toPhysical.toIndexedSeq: _*)
         val part = writeSingleParquet(out, root, prefix)
         val kept = mapper.readTree(footerStatsJson(part,
           spark.sparkContext.hadoopConfiguration))
@@ -1312,12 +1359,11 @@ object DeltaLog {
       }.toMap
     val nameToRel = byName.toMap
     val staging = Files.createTempDirectory(stagingBase(root), prefix)
-    val scanned = spark.read.schema(dataSchema)
+    val scanned = spark.read.schema(physSchema)
       .parquet(rels.map(r => resolvePath(root, r).toString): _*)
-      .select(dataSchema.fieldNames.map(col) :+
-        col("_metadata.file_name").as(SrcTagCol): _*)
+      .select(toLogical :+ col("_metadata.file_name").as(SrcTagCol): _*)
     transform(scanned)
-      .select(dataSchema.fieldNames.map(col) :+ col(SrcTagCol): _*)
+      .select(toPhysical :+ col(SrcTagCol): _*)
       .repartition(rels.size, col(SrcTagCol))
       .write.partitionBy(SrcTagCol).mode("overwrite")
       .parquet(staging.toString)
@@ -1715,9 +1761,18 @@ object DeltaLog {
     st.fileStats.get(path) match {
       case None => true
       case Some(s) =>
+        // under name-mode mapping, stats are keyed by PHYSICAL name
+        // (both external writers and this one derive them from the
+        // parquet footer, which stores physical fields)
+        val key =
+          if (mappingMode(st) == "name")
+            st.schema.map(sch => physicalTopLevel(
+              StructType(sch.filter(_.name == column)))
+              .getOrElse(column, column)).getOrElse(column)
+          else column
         val n = mapper.readTree(s)
-        val mn = n.path("minValues").path(column)
-        val mx = n.path("maxValues").path(column)
+        val mn = n.path("minValues").path(key)
+        val mx = n.path("maxValues").path(key)
         !(mn.isNumber && mx.isNumber) ||
           (mn.asLong() <= hi && mx.asLong() >= lo)
     }
@@ -2144,8 +2199,11 @@ object DeltaLog {
     require(lo <= hi, s"DeltaLog.deleteWhereLong: empty interval [$lo, $hi]")
     val v = currentVersion(root)
     val st = replay(spark, root, v)
-    require(mappingMode(st) == "none",
-      s"DeltaLog.deleteWhereLong: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
+    requireWritableMapping(st, "deleteWhereLong")
+    require(mappingMode(st) == "none" || !cdfEnabled(st),
+      "DeltaLog.deleteWhereLong: CDF capture on a column-mapped table " +
+        "is unimplemented (cdc files would need physical-name writes " +
+        "plus a mapped feed reader)")
     requireNotAppendOnly(st, "deleteWhereLong")
     requireWritable(st, "deleteWhereLong")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
@@ -2156,10 +2214,11 @@ object DeltaLog {
     var touched = 0
     if (pcSet(column)) {
       st.files.foreach { case (rel, pv) =>
-        require(pv.contains(column),
-          s"DeltaLog.deleteWhereLong: add $rel lacks partitionValues " +
-            s"for declared partition column $column")
-        val inRange = Option(pv(column)).exists { s =>
+        val key = pvKeyOf(st, schema, column, pv).getOrElse(
+          throw new IllegalArgumentException(
+            s"DeltaLog.deleteWhereLong: add $rel lacks partitionValues " +
+              s"for declared partition column $column"))
+        val inRange = Option(pv(key)).exists { s =>
           try { val x = s.toLong; x >= lo && x <= hi }
           catch { case _: NumberFormatException =>
             throw new IllegalArgumentException(
@@ -2170,6 +2229,7 @@ object DeltaLog {
       }
     } else {
       val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
+      val physMap = physicalWriteMap(st, dataSchema)
       val overlapping = st.files
         .filter { case (p, _) => statsOverlap(st, p, column, lo, hi) }
       val matches = col(column) >= lo && col(column) <= hi
@@ -2178,7 +2238,7 @@ object DeltaLog {
       // the tail for a change that changed nothing. ONE probe job over
       // the predicate column finds the exact touched set.
       val exactTouched = probeTouched(spark, root, overlapping,
-        StructType(Seq(dataSchema(column))), _.filter(matches))
+        StructType(Seq(dataSchema(column))), _.filter(matches), physMap)
       exactTouched.foreach { case (rel, _) =>
         require(!st.fileDvs.contains(rel),
           s"DeltaLog.deleteWhereLong: $rel carries a deletion vector — " +
@@ -2188,7 +2248,7 @@ object DeltaLog {
       // rows simply never appears — pure remove)
       val rewritten = rewriteFilesBatched(spark, root, exactTouched.map(_._1),
         dataSchema, _.filter(!matches || col(column).isNull),
-        "graft-delta-del")
+        "graft-delta-del", physMap)
       val cdcTouched = Seq.newBuilder[(String, Map[String, String])]
       exactTouched.foreach { case (rel, pv) =>
         actions += removeActionNode(rel, true); touched += 1
@@ -2252,8 +2312,10 @@ object DeltaLog {
     require(lo <= hi, s"DeltaLog.deleteWhereLongDV: empty interval [$lo, $hi]")
     val v = currentVersion(root)
     val st = replay(spark, root, v)
-    require(mappingMode(st) == "none",
-      s"DeltaLog.deleteWhereLongDV: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
+    requireWritableMapping(st, "deleteWhereLongDV")
+    require(mappingMode(st) == "none" || !cdfEnabled(st),
+      "DeltaLog.deleteWhereLongDV: CDF capture on a column-mapped " +
+        "table is unimplemented")
     requireNotAppendOnly(st, "deleteWhereLongDV")
     requireWritable(st, "deleteWhereLongDV")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
@@ -2272,6 +2334,13 @@ object DeltaLog {
     val dvFile = Paths.get(root, Dv.dvFileName(dvUuid))
     val pathOrInline = Dv.z85Encode(Dv.uuidBytes(dvUuid))
     val matches = col(column) >= lo && col(column) <= hi
+    // name-mode mapping: the scan reads PHYSICAL fields and the
+    // predicate rebinds to the physical column name
+    val physMap = physicalWriteMap(st, dataSchema)
+    val physSchema = StructType(dataSchema.fields.map(f =>
+      f.copy(name = physMap.getOrElse(f.name, f.name))))
+    val physCol = physMap.getOrElse(column, column)
+    val matchesPhys = col(physCol) >= lo && col(physCol) <= hi
     // Matched positions per file are built EXECUTOR-side into the
     // serialized portable bitmap by ONE aggregation job: the driver
     // receives bitmap BYTES per file, never row positions — driver
@@ -2286,10 +2355,10 @@ object DeltaLog {
           BitmapAgg, org.apache.spark.sql.Encoders.scalaLong)
         if (byName.map(_._1).distinct.size == byName.size) {
           val nameToRel = byName.toMap
-          spark.read.schema(dataSchema)
+          spark.read.schema(physSchema)
             .parquet(overlapping.map(c =>
               resolvePath(root, c._1).toString): _*)
-            .filter(matches)
+            .filter(matchesPhys)
             .select(col("_metadata.file_name").as("__name"),
               col("_metadata.row_index").as("__pos"))
             .groupBy(col("__name")).agg(bitmapAgg(col("__pos")).as("__dv"))
@@ -2297,9 +2366,9 @@ object DeltaLog {
             .map(r => nameToRel(r.getString(0)) -> r.getAs[Array[Byte]](1))
             .toMap
         } else overlapping.flatMap { case (rel, _) =>
-          spark.read.schema(dataSchema)
+          spark.read.schema(physSchema)
             .parquet(resolvePath(root, rel).toString)
-            .filter(matches)
+            .filter(matchesPhys)
             .select(col("_metadata.row_index").as("__pos"))
             .agg(bitmapAgg(col("__pos")).as("__dv"))
             .collect().headOption.filterNot(_.isNullAt(0))
@@ -2399,8 +2468,10 @@ object DeltaLog {
     require(set.nonEmpty, "DeltaLog.updateWhereLong: empty SET")
     val v = currentVersion(root)
     val st = replay(spark, root, v)
-    require(mappingMode(st) == "none",
-      s"DeltaLog.updateWhereLong: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
+    requireWritableMapping(st, "updateWhereLong")
+    require(mappingMode(st) == "none" || !cdfEnabled(st),
+      "DeltaLog.updateWhereLong: CDF capture on a column-mapped table " +
+        "is unimplemented")
     requireNotAppendOnly(st, "updateWhereLong")
     requireWritable(st, "updateWhereLong")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
@@ -2430,8 +2501,9 @@ object DeltaLog {
     // poison later readAppendsSince tails for a change that changed
     // nothing. ONE probe job over the predicate column, not a limit-1
     // probe per candidate file.
+    val physMap = physicalWriteMap(st, dataSchema)
     val exactTouched = probeTouched(spark, root, overlapping,
-      StructType(Seq(dataSchema(column))), _.filter(matches))
+      StructType(Seq(dataSchema(column))), _.filter(matches), physMap)
     if (exactTouched.isEmpty) return v
     exactTouched.foreach { case (rel, _) =>
       require(!st.fileDvs.contains(rel),
@@ -2448,7 +2520,7 @@ object DeltaLog {
             org.apache.spark.sql.functions.when(matches, e)
               .otherwise(col(c)).cast(dataSchema(c).dataType))
         }, dataSchema, st.configuration),
-      "graft-delta-upd")
+      "graft-delta-upd", physMap)
     exactTouched.foreach { case (rel, pv) =>
       val part = rewritten.getOrElse(rel, throw new IllegalStateException(
         s"DeltaLog.updateWhereLong: rewrite of $rel produced no rows — " +
@@ -2526,8 +2598,10 @@ object DeltaLog {
                source: DataFrame): Long = {
     val v = currentVersion(root)
     val st = replay(spark, root, v)
-    require(mappingMode(st) == "none",
-      s"DeltaLog.mergeKey: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
+    requireWritableMapping(st, "mergeKey")
+    require(mappingMode(st) == "none" || !cdfEnabled(st),
+      "DeltaLog.mergeKey: CDF capture on a column-mapped table is " +
+        "unimplemented")
     requireWritable(st, "mergeKey")
     val fullSchema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
@@ -2576,11 +2650,12 @@ object DeltaLog {
           }
         } else if (srcKeys.isEmpty) Nil
         else st.files
+      val physMap = physicalWriteMap(st, fullSchema)
       // exact touched set by ONE semi-join probe job over the
       // candidates' key columns only
       val touched = probeTouched(spark, root, candidates,
         StructType(Seq(dataSchema(key))),
-        _.join(srcKeys, Seq(key), "left_semi")).sortBy(_._1)
+        _.join(srcKeys, Seq(key), "left_semi"), physMap).sortBy(_._1)
       val actions = Seq.newBuilder[JsonNode]
       // an append-only table allows the pure-insert merge (nothing
       // matched); any matched row would rewrite history
@@ -2594,7 +2669,7 @@ object DeltaLog {
       // rewrite stays in its source file's partition directory
       val rewritten = rewriteFilesBatched(spark, root, touched.map(_._1),
         dataSchema, _.join(srcKeys, Seq(key), "left_anti"),
-        "graft-delta-merge")
+        "graft-delta-merge", physMap)
       touched.foreach { case (rel, pv) =>
         actions += removeActionNode(rel, dataChange = true)
         rewritten.get(rel).foreach { part =>
@@ -2617,7 +2692,12 @@ object DeltaLog {
       val srcRows = src.count()
       val insFiles = math.max(1L, (srcRows + mergeInsertRowsPerFile - 1) /
         mergeInsertRowsPerFile).toInt
-      val insDf = enforceInvariants(src, fullSchema, st.configuration)
+      // insert files store PHYSICAL names on a mapped table (identity
+      // rename otherwise); partition directories and partitionValues
+      // key by the physical partition-column name
+      val insDf = toPhysicalDf(st, fullSchema,
+        enforceInvariants(src, fullSchema, st.configuration))
+      val physPcs = pcs.map(c => physMap.getOrElse(c, c))
       if (pcs.isEmpty) {
         val insParts =
           if (insFiles == 1) // point merge: coalesce, no shuffle
@@ -2637,9 +2717,9 @@ object DeltaLog {
         val staging = Files.createTempDirectory(stagingBase(root),
           "graft-delta-merge")
         insDf
-          .repartition(insFiles, pcs.map(col) :+
-            pmod(hash(col(key)), lit(insFiles)): _*)
-          .write.mode("overwrite").partitionBy(pcs: _*)
+          .repartition(insFiles, physPcs.map(col) :+
+            pmod(hash(col(physMap.getOrElse(key, key))), lit(insFiles)): _*)
+          .write.mode("overwrite").partitionBy(physPcs: _*)
           .parquet(staging.toString)
         val walk = Files.walk(staging)
         val dataFiles =
@@ -2655,7 +2735,7 @@ object DeltaLog {
           Files.createDirectories(target.getParent)
           Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
           actions += addActionNode(root, rel,
-            partitionValuesOf(rel, pcs), dataChange = true, conf)
+            partitionValuesOf(rel, physPcs), dataChange = true, conf)
         }
         deleteRecursively(staging)
       }
@@ -3061,9 +3141,9 @@ object DeltaLog {
       s"DeltaLog.restore: version $version outside [0, $cur] of $root")
     val target = replay(spark, root, version)
     val current = replay(spark, root, cur)
-    require(mappingMode(current) == "none",
-      s"DeltaLog.restore: column-mapped tables are read-only through " +
-        s"this bridge (mode ${mappingMode(current)})")
+    // restore moves LOG entries only (no column IO), so name-mode
+    // mapped tables restore fine; id mode stays refused
+    requireWritableMapping(current, "restore")
     requireNotAppendOnly(current, "restore")
     requireWritable(current, "restore")
     require(target.schema == current.schema,
@@ -3503,9 +3583,16 @@ object DeltaLog {
     }
     var evolvedSchema: Option[StructType] = None
     prior.foreach { st =>
-      require(mappingMode(st) == "none",
-        s"DeltaLog.commitData: column-mapped tables are read-only " +
-          s"through this bridge (mode ${mappingMode(st)})")
+      requireWritableMapping(st, "commitData")
+      require(mappingMode(st) == "none" || !mergeSchema,
+        "DeltaLog.commitData: schema evolution on a column-mapped " +
+          "table is unimplemented (new columns need physicalName " +
+          "assignment and a maxColumnId bump)")
+      require(mappingMode(st) == "none" ||
+          identityInfo(st.schema.getOrElse(dfG.schema)).isEmpty,
+        "DeltaLog.commitData: identity columns on a column-mapped " +
+          "table are unimplemented (the high-water-mark fold reads " +
+          "footer stats by logical name)")
       requireWritable(st, "commitData")
       require(st.partitionColumns == partitionCols,
         s"DeltaLog.commitData: table is partitioned by " +
@@ -3558,11 +3645,21 @@ object DeltaLog {
       "graft-delta-part")
     // writer invariants ride the write itself — NOT NULL columns and
     // delta.constraints.* CHECKs fail the batch before a commit lands
-    val enforced = enforceInvariants(dfG,
-      evolvedSchema.orElse(prior.flatMap(_.schema)).getOrElse(dfG.schema),
+    val declared =
+      evolvedSchema.orElse(prior.flatMap(_.schema)).getOrElse(dfG.schema)
+    val enforced = enforceInvariants(dfG, declared,
       prior.map(_.configuration).getOrElse(configuration))
-    val writer = enforced.write.mode("overwrite").options(writeOptions)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+    // name-mode mapped target: the batch lands under PHYSICAL field
+    // names, partition directories and partitionValues keyed physical
+    val physMap = prior.map(physicalWriteMap(_, declared))
+      .getOrElse(Map.empty)
+    val physOut =
+      if (physMap.isEmpty) enforced
+      else enforced.toDF(enforced.columns.map(c =>
+        physMap.getOrElse(c, c)): _*)
+    val physPcs = partitionCols.map(c => physMap.getOrElse(c, c))
+    val writer = physOut.write.mode("overwrite").options(writeOptions)
+    (if (physPcs.nonEmpty) writer.partitionBy(physPcs: _*)
      else writer).parquet(stagingPath.toString)
     // Move each data file into the table root under its partition path
     // (same-filesystem by construction — see stagingBase).
@@ -3580,7 +3677,7 @@ object DeltaLog {
       val target = Paths.get(root, rel)
       Files.createDirectories(target.getParent)
       Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-      moved += rel -> partitionValuesOf(rel, partitionCols)
+      moved += rel -> partitionValuesOf(rel, physPcs)
     }
     deleteRecursively(stagingPath)
     val added = moved.result()
@@ -3594,6 +3691,11 @@ object DeltaLog {
     require(configuration.isEmpty || v == 0L,
       "DeltaLog.commitData: table configuration is set at CREATION " +
         "(version 0) only — later commits inherit it")
+    require(!configuration.get("delta.columnMapping.mode")
+        .exists(_ != "none"),
+      "DeltaLog.commitData: creating a column-mapped table through " +
+        "this bridge is unsupported (physicalName/columnId assignment) " +
+        "— author the mapped table externally, then write through it")
     val actions = Seq.newBuilder[JsonNode]
     val ictEnabled = configuration.get("delta.enableInCommitTimestamps")
       .exists(_.trim.equalsIgnoreCase("true"))

@@ -1267,10 +1267,6 @@ class DeltaLogSpec extends SparkSpec {
     val df = DeltaLog.read(spark, root)
     assert(df.columns.toSeq == Seq("k", "v"), df.columns.toSeq)
     assert(rows(df) == Set((1L, "a"), (2L, "b")))
-    // writes to a mapped table refuse
-    val eW = intercept[IllegalArgumentException](
-      DeltaLog.deleteWhereLong(spark, root, "k", 1L, 1L))
-    assert(eW.getMessage.contains("column-mapped"), eW.getMessage)
 
     // partitioned: partitionValues keyed by the PHYSICAL name
     val mappedPart =
@@ -1299,6 +1295,107 @@ class DeltaLogSpec extends SparkSpec {
       """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val e3 = intercept[IllegalArgumentException](DeltaLog.read(spark, root3))
     assert(e3.getMessage.contains("id"), e3.getMessage)
+  }
+
+  test("name-mode column mapping WRITES: append/delete/update/merge/DV " +
+    "delete/restore run through logical names, new parquet stores " +
+    "PHYSICAL names; creation and CDF-mapped DML refuse") {
+    val mappedSchema =
+      """{"type":"struct","fields":[
+        {"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aaa"}},
+        {"name":"v","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-bbb"}}]}"""
+        .replaceAll("\n\\s*", "")
+    val root = freshRoot()
+    writeFlat(root, "part-a.parquet",
+      (1L to 10L).map(k => (k, s"v$k")).toDF("col-aaa", "col-bbb")
+        .coalesce(1))
+    writeCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"ext-cmw","format":{"provider":"parquet","options":{}},"schemaString":"${mappedSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"}}}""",
+      """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    // append through LOGICAL names — the new file must store PHYSICAL
+    DeltaLog.commitFlat(spark, root,
+      (11L to 14L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    val newFile = DeltaLog.filesAt(spark, root, 1L)
+      .filterNot(_ == "part-a.parquet").head
+    assert(spark.read.parquet(Paths.get(root, newFile).toString)
+      .columns.toSeq == Seq("col-aaa", "col-bbb"),
+      "appended parquet must store physical field names")
+    assert(rows(DeltaLog.read(spark, root)) ==
+      (1L to 14L).map(k => (k, s"v$k")).toSet)
+    // copy-on-write DELETE (footer stats of the new file are keyed
+    // physical — skipping must still work)
+    DeltaLog.deleteWhereLong(spark, root, "k", 3L, 4L)
+    assert(rows(DeltaLog.read(spark, root)) ==
+      (1L to 14L).filterNot(k => k == 3L || k == 4L)
+        .map(k => (k, s"v$k")).toSet)
+    // UPDATE through a logical SET expression
+    DeltaLog.updateWhereLong(spark, root, "k", 5L, 5L,
+      Map("v" -> lit("FIVE")))
+    assert(rows(DeltaLog.read(spark, root)).contains((5L, "FIVE")))
+    // MERGE: replace k=6, insert k=100
+    DeltaLog.mergeKey(spark, root, "k",
+      Seq((6L, "SIX"), (100L, "hundred")).toDF("k", "v"))
+    val afterMerge = rows(DeltaLog.read(spark, root))
+    assert(afterMerge.contains((6L, "SIX")) &&
+      afterMerge.contains((100L, "hundred")), afterMerge.toString)
+    val vPreDv = DeltaLog.currentVersion(root)
+    // DV delete: physical-named scan, byte-identical re-add
+    DeltaLog.deleteWhereLongDV(spark, root, "k", 7L, 8L)
+    assert(rows(DeltaLog.read(spark, root)) ==
+      afterMerge.filterNot(t => t._1 == 7L || t._1 == 8L))
+    // RESTORE across the DV delete
+    DeltaLog.restore(spark, root, vPreDv)
+    assert(rows(DeltaLog.read(spark, root)) == afterMerge)
+    // creating a mapped table refuses loudly
+    val eCreate = intercept[IllegalArgumentException](
+      DeltaLog.commitFlat(spark, freshRoot(),
+        Seq((1L, "a")).toDF("k", "v"),
+        configuration = Map("delta.columnMapping.mode" -> "name")))
+    assert(eCreate.getMessage.contains("author"), eCreate.getMessage)
+    // DML on a CDF-enabled mapped table refuses naming CDF
+    val rootCdf = freshRoot()
+    writeFlat(rootCdf, "part-a.parquet",
+      Seq((1L, "a")).toDF("col-aaa", "col-bbb"))
+    writeCommit(rootCdf, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"ext-cmc","format":{"provider":"parquet","options":{}},"schemaString":"${mappedSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.enableChangeDataFeed":"true"}}}""",
+      """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val eCdf = intercept[IllegalArgumentException](
+      DeltaLog.deleteWhereLong(spark, rootCdf, "k", 1L, 1L))
+    assert(eCdf.getMessage.contains("CDF"), eCdf.getMessage)
+  }
+
+  test("name-mode column mapping WRITES, partitioned: appends route to " +
+    "physical partition directories with physical-keyed partitionValues") {
+    val mappedPart =
+      """{"type":"struct","fields":[
+        {"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aaa"}},
+        {"name":"p","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-ppp"}}]}"""
+        .replaceAll("\n\\s*", "")
+    val root = freshRoot()
+    writeFlat(root, "col-ppp=x/f1.parquet", Seq(Tuple1(5L)).toDF("col-aaa"))
+    writeCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"ext-cmp","format":{"provider":"parquet","options":{}},"schemaString":"${mappedPart.replace("\"", "\\\"")}","partitionColumns":["p"],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"col-ppp%3Dx/f1.parquet","partitionValues":{"col-ppp":"x"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((6L, "x"), (7L, "y")).toDF("k", "p"), Seq("p"))
+    val c1 = commitLines(root, 1L).mkString("|")
+    assert(c1.contains("col-ppp%3D") || c1.contains("col-ppp="),
+      s"new files must land under the PHYSICAL partition dir: $c1")
+    assert(c1.contains("\"col-ppp\":"),
+      s"partitionValues must key by the PHYSICAL name: $c1")
+    val got = DeltaLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((5L, "x"), (6L, "x"), (7L, "y")))
+    // partition-column metadata DELETE needs numeric partition values —
+    // merge into the mapped partitioned table instead
+    DeltaLog.mergeKey(spark, root, "k",
+      Seq((6L, "z"), (9L, "y")).toDF("k", "p"))
+    assert(DeltaLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((5L, "x"), (6L, "z"), (7L, "y"), (9L, "y")))
   }
 
   test("footer stats emit only order-preserving min/max: ASCII strings " +
