@@ -75,6 +75,23 @@ object ScaleProbe {
     }.toMap
     var mergeRun = 0
 
+    // Wide-delete fixtures: a node-grain table in 8·k files per k, so
+    // the touched-file count scales with k. Each timed run deletes a
+    // range touching EVERY file on a fresh shallow clone — the batched
+    // copy-on-write path must hold one probe job + one rewrite job
+    // regardless of file count (job count is spec-pinned in
+    // DeltaDmlScaleSpec; this point records the wall-clock exponent).
+    val deleteTables = ks.map { k =>
+      import org.apache.spark.sql.functions.{count, lit}
+      val nodes = edges(k).groupBy("src")
+        .agg(count(lit(1)).as("deg")).withColumnRenamed("src", "node")
+      val root = s"$tmp/dwdel$k"
+      graft.lake.DeltaLog.commitFlat(spark, root,
+        nodes.repartition(8 * k))
+      k -> root
+    }.toMap
+    var delRun = 0
+
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "neardup_lsh" -> { k =>
         TextDedup.nearDupPairs(docs(k), "doc_id", "text")
@@ -148,6 +165,18 @@ object ScaleProbe {
         graft.lake.DeltaLog.shallowClone(spark, root, clone)
         graft.lake.DeltaLog.mergeLongKey(spark, clone, "node",
           spark.read.parquet(srcPath))
+        graft.lake.DeltaLog.read(spark, clone)
+      },
+      // wide DELETE across ALL 8·k files of a cloned table: O(1) Spark
+      // jobs by construction (one probe + one rewrite), wall-clock
+      // ~linear in table bytes.
+      "delta_wide_delete" -> { k =>
+        val root = deleteTables(k)
+        delRun += 1
+        val clone = s"$tmp/dwclone-$k-$delRun"
+        graft.lake.DeltaLog.shallowClone(spark, root, clone)
+        graft.lake.DeltaLog.deleteWhereLong(spark, clone, "node",
+          0L, Long.MaxValue / 2)
         graft.lake.DeltaLog.read(spark, clone)
       },
       "bucketed_join" -> { k =>

@@ -1273,6 +1273,65 @@ object DeltaLog {
     */
   private val SrcTagCol = "__graft_src"
 
+  /** (basename, position) rows of the given files' deletion vectors —
+    * positions exploded EXECUTOR-side from the shipped bitmap bytes
+    * (the [[dvFilteredFile]] idiom), broadcast when the total
+    * cardinality is join-build sized. The anti-join key for every
+    * "live rows only" multi-file scan below.
+    */
+  private def dvPositionsByName(spark: SparkSession, root: String,
+      dvs: Map[String, DvDescriptor]): DataFrame = {
+    import spark.implicits._
+    val rows: Seq[(String, Array[Byte])] = dvs.toSeq.map { case (rel, d) =>
+      resolvePath(root, rel).getFileName.toString -> d.readBytes(root) }
+    val df = spark.createDataset(rows)
+      .flatMap { case (n, b) => Dv.deserialize(b).positions.map(p => (n, p)) }
+      .toDF(SrcTagCol, "__graft_pos")
+    if (dvs.values.map(_.cardinality).sum <= 4000000L)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
+
+  /** Read `files` in LOGICAL space EXCLUDING each file's DV-deleted
+    * positions — the live-row multi-file scan the CDC builders use
+    * (unmapped tables only; mapped DML refuses CDF upstream). Falls
+    * back to per-file scans on a basename collision.
+    */
+  private def readFilesMinusDv(spark: SparkSession, root: String,
+      st: LogState, dataSchema: StructType,
+      files: Seq[String]): DataFrame = {
+    val dvs = files.flatMap(rel => st.fileDvs.get(rel).map(rel -> _)).toMap
+    val paths = files.map(f => resolvePath(root, f).toString)
+    if (dvs.isEmpty) spark.read.schema(dataSchema).parquet(paths: _*)
+    else {
+      val names = files.map(f => resolvePath(root, f).getFileName.toString)
+      if (names.distinct.size == names.size)
+        spark.read.schema(dataSchema).parquet(paths: _*)
+          .select(dataSchema.fieldNames.map(col) :+
+            col("_metadata.file_name").as(SrcTagCol) :+
+            col("_metadata.row_index").as("__graft_pos"): _*)
+          .join(dvPositionsByName(spark, root, dvs),
+            Seq(SrcTagCol, "__graft_pos"), "left_anti")
+          .drop(SrcTagCol, "__graft_pos")
+      else files.map { rel =>
+        val one = spark.read.schema(dataSchema)
+          .parquet(resolvePath(root, rel).toString)
+        st.fileDvs.get(rel) match {
+          case None => one
+          case Some(_) =>
+            one.select(dataSchema.fieldNames.map(col) :+
+              lit(resolvePath(root, rel).getFileName.toString)
+                .as(SrcTagCol) :+
+              col("_metadata.row_index").as("__graft_pos"): _*)
+              .join(dvPositionsByName(spark, root,
+                Map(rel -> st.fileDvs(rel))),
+                Seq(SrcTagCol, "__graft_pos"), "left_anti")
+              .drop(SrcTagCol, "__graft_pos")
+        }
+      }.reduce(_ unionByName _)
+    }
+  }
+
   /** Exact TOUCHED subset of `candidates`: ONE column-pruned,
     * predicate-pushable scan over all candidate files at once, tagged
     * by basename via `_metadata.file_name`. `matcher` narrows the
@@ -1284,7 +1343,8 @@ object DeltaLog {
   private def probeTouched(spark: SparkSession, root: String,
       candidates: Seq[(String, Map[String, String])],
       probeSchema: StructType, matcher: DataFrame => DataFrame,
-      physMap: Map[String, String] = Map.empty)
+      physMap: Map[String, String] = Map.empty,
+      dvs: Map[String, DvDescriptor] = Map.empty)
     : Seq[(String, Map[String, String])] = {
     import spark.implicits._
     if (candidates.isEmpty) return Nil
@@ -1299,17 +1359,41 @@ object DeltaLog {
     val hit: Set[String] =
       if (byName.map(_._1).distinct.size == byName.size) {
         val nameToRel = byName.toMap
-        matcher(spark.read.schema(physSchema)
+        // DV-carrying candidates probe over their LIVE rows only — a
+        // file whose matching rows are all already DV-deleted is NOT
+        // touched (rewriting it would commit a dataChange no-op).
+        // row_index must ride the SCAN's own select (_metadata is
+        // unreachable after any projection).
+        val scan0 = spark.read.schema(physSchema)
           .parquet(candidates.map(c => resolvePath(root, c._1).toString): _*)
-          .select(logicalCols :+
-            col("_metadata.file_name").as(SrcTagCol): _*))
+        val live =
+          if (dvs.isEmpty)
+            scan0.select(logicalCols :+
+              col("_metadata.file_name").as(SrcTagCol): _*)
+          else
+            scan0.select(logicalCols :+
+              col("_metadata.file_name").as(SrcTagCol) :+
+              col("_metadata.row_index").as("__graft_pos"): _*)
+              .join(dvPositionsByName(spark, root, dvs),
+                Seq(SrcTagCol, "__graft_pos"), "left_anti")
+              .drop("__graft_pos")
+        matcher(live)
           .select(col(SrcTagCol)).distinct()
           .as[String].collect().toSet.map(nameToRel)
       } else candidates.map { case (rel, _) =>
-        matcher(spark.read.schema(physSchema)
+        val one = spark.read.schema(physSchema)
           .parquet(resolvePath(root, rel).toString)
-          .select(logicalCols :+ lit(rel).as(SrcTagCol): _*))
-          .select(col(SrcTagCol)).limit(1)
+        val live = dvs.get(rel) match {
+          case None => one.select(logicalCols :+ lit(rel).as(SrcTagCol): _*)
+          case Some(d) =>
+            one.select(logicalCols :+ lit(rel).as(SrcTagCol) :+
+              col("_metadata.row_index").as("__graft_pos"): _*)
+              .join(dvPositionsByName(spark, root, Map(rel -> d))
+                .withColumn(SrcTagCol, lit(rel)),
+                Seq(SrcTagCol, "__graft_pos"), "left_anti")
+              .drop("__graft_pos")
+        }
+        matcher(live).select(col(SrcTagCol)).limit(1)
       }.reduce(_ unionByName _).as[String].collect().toSet
     candidates.filter { case (rel, _) => hit(rel) }
   }
@@ -1330,10 +1414,13 @@ object DeltaLog {
       rels: Seq[String], dataSchema: StructType,
       transform: DataFrame => DataFrame,
       prefix: String,
-      physMap: Map[String, String] = Map.empty): Map[String, Path] = {
+      physMap: Map[String, String] = Map.empty,
+      dvs: Map[String, DvDescriptor] = Map.empty): Map[String, Path] = {
     if (rels.isEmpty) return Map.empty
     // name-mode mapping: files are scanned AND rewritten under PHYSICAL
-    // names; the transform runs between two renames in LOGICAL space
+    // names; the transform runs between two renames in LOGICAL space.
+    // DV-carrying inputs rewrite their LIVE rows only (positions
+    // anti-joined executor-side) — the rewrite CLEARS the DV.
     val physSchema = StructType(dataSchema.fields.map(f =>
       f.copy(name = physMap.getOrElse(f.name, f.name))))
     def toLogical = dataSchema.fieldNames.map(n =>
@@ -1346,11 +1433,19 @@ object DeltaLog {
       // basename collision (imported/converted layouts): sequential
       // per-file fallback — correct, just not the batched fast path
       return rels.flatMap { rel =>
-        val out = transform(
-          spark.read.schema(physSchema)
-            .parquet(resolvePath(root, rel).toString)
-            .select(toLogical :+ lit(rel).as(SrcTagCol): _*))
-          .select(toPhysical.toIndexedSeq: _*)
+        val one = spark.read.schema(physSchema)
+          .parquet(resolvePath(root, rel).toString)
+        val live = dvs.get(rel) match {
+          case None => one.select(toLogical :+ lit(rel).as(SrcTagCol): _*)
+          case Some(d) =>
+            one.select(toLogical :+ lit(rel).as(SrcTagCol) :+
+              col("_metadata.row_index").as("__graft_pos"): _*)
+              .join(dvPositionsByName(spark, root, Map(rel -> d))
+                .withColumn(SrcTagCol, lit(rel)),
+                Seq(SrcTagCol, "__graft_pos"), "left_anti")
+              .drop("__graft_pos")
+        }
+        val out = transform(live).select(toPhysical.toIndexedSeq: _*)
         val part = writeSingleParquet(out, root, prefix)
         val kept = mapper.readTree(footerStatsJson(part,
           spark.sparkContext.hadoopConfiguration))
@@ -1359,9 +1454,19 @@ object DeltaLog {
       }.toMap
     val nameToRel = byName.toMap
     val staging = Files.createTempDirectory(stagingBase(root), prefix)
-    val scanned = spark.read.schema(physSchema)
+    val scan0 = spark.read.schema(physSchema)
       .parquet(rels.map(r => resolvePath(root, r).toString): _*)
-      .select(toLogical :+ col("_metadata.file_name").as(SrcTagCol): _*)
+    val scanned =
+      if (dvs.isEmpty)
+        scan0.select(toLogical :+
+          col("_metadata.file_name").as(SrcTagCol): _*)
+      else
+        scan0.select(toLogical :+
+          col("_metadata.file_name").as(SrcTagCol) :+
+          col("_metadata.row_index").as("__graft_pos"): _*)
+          .join(dvPositionsByName(spark, root, dvs),
+            Seq(SrcTagCol, "__graft_pos"), "left_anti")
+          .drop("__graft_pos")
     transform(scanned)
       .select(toPhysical :+ col(SrcTagCol): _*)
       .repartition(rels.size, col(SrcTagCol))
@@ -1698,9 +1803,10 @@ object DeltaLog {
         "alphanumeric/_")
     val v = currentVersion(root)
     val st = replay(spark, root, v)
-    require(mappingMode(st) == "none",
-      "DeltaLog.addCheckConstraint: column-mapped tables are read-only " +
-        "through this bridge")
+    // constraint SQL references LOGICAL names; validation reads via
+    // readAt (mapped-aware) and enforcement runs in logical space —
+    // name-mode tables work, id mode refuses
+    requireWritableMapping(st, "addCheckConstraint")
     require(!st.configuration.contains(s"delta.constraints.$name"),
       s"DeltaLog.addCheckConstraint: constraint $name already exists")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
@@ -2237,18 +2343,19 @@ object DeltaLog {
       // of which matches would poison any later readAppendsSince over
       // the tail for a change that changed nothing. ONE probe job over
       // the predicate column finds the exact touched set.
+      val candDvs = overlapping
+        .flatMap(f => st.fileDvs.get(f._1).map(f._1 -> _)).toMap
       val exactTouched = probeTouched(spark, root, overlapping,
-        StructType(Seq(dataSchema(column))), _.filter(matches), physMap)
-      exactTouched.foreach { case (rel, _) =>
-        require(!st.fileDvs.contains(rel),
-          s"DeltaLog.deleteWhereLong: $rel carries a deletion vector — " +
-            "copy-on-write rewrite of DV'd files is unimplemented; use " +
-            "deleteWhereLongDV (merges into the DV) instead") }
+        StructType(Seq(dataSchema(column))), _.filter(matches), physMap,
+        candDvs)
+      val touchedDvs = candDvs.filter(d =>
+        exactTouched.exists(_._1 == d._1))
       // ONE rewrite job over every touched file (a file that keeps zero
-      // rows simply never appears — pure remove)
+      // rows simply never appears — pure remove). A DV-carrying file
+      // rewrites its LIVE survivors and the new add drops the DV.
       val rewritten = rewriteFilesBatched(spark, root, exactTouched.map(_._1),
         dataSchema, _.filter(!matches || col(column).isNull),
-        "graft-delta-del", physMap)
+        "graft-delta-del", physMap, touchedDvs)
       val cdcTouched = Seq.newBuilder[(String, Map[String, String])]
       exactTouched.foreach { case (rel, pv) =>
         actions += removeActionNode(rel, true); touched += 1
@@ -2274,8 +2381,10 @@ object DeltaLog {
       if (cdfEnabled(st)) {
         cdcTouched.result().groupBy(_._2).toSeq.sortBy(_._1.mkString(" "))
           .foreach { case (pv, group) =>
-            val deleted = spark.read.schema(dataSchema)
-              .parquet(group.map(f => resolvePath(root, f._1).toString): _*)
+            // live rows only: a row the file's prior DV already deleted
+            // must not re-emit as a delete
+            val deleted = readFilesMinusDv(spark, root, st, dataSchema,
+              group.map(_._1))
               .filter(col(column) >= lo && col(column) <= hi)
               .withColumn(ChangeTypeCol, lit("delete"))
             actions += writeCdcFile(deleted, root, pv)
@@ -2502,16 +2611,17 @@ object DeltaLog {
     // nothing. ONE probe job over the predicate column, not a limit-1
     // probe per candidate file.
     val physMap = physicalWriteMap(st, dataSchema)
+    val candDvs = overlapping
+      .flatMap(f => st.fileDvs.get(f._1).map(f._1 -> _)).toMap
     val exactTouched = probeTouched(spark, root, overlapping,
-      StructType(Seq(dataSchema(column))), _.filter(matches), physMap)
+      StructType(Seq(dataSchema(column))), _.filter(matches), physMap,
+      candDvs)
     if (exactTouched.isEmpty) return v
-    exactTouched.foreach { case (rel, _) =>
-      require(!st.fileDvs.contains(rel),
-        s"DeltaLog.updateWhereLong: $rel carries a deletion vector — " +
-          "copy-on-write rewrite of DV'd files is unimplemented") }
+    val touchedDvs = candDvs.filter(d => exactTouched.exists(_._1 == d._1))
     val actions = Seq.newBuilder[JsonNode]
     // ONE rewrite job over every touched file; an UPDATE keeps every
-    // row, so each touched rel must come back
+    // LIVE row, so each touched rel must come back. A DV-carrying file
+    // rewrites its live rows and the new add drops the DV.
     val rewritten = rewriteFilesBatched(spark, root, exactTouched.map(_._1),
       dataSchema,
       source => enforceInvariants(
@@ -2520,7 +2630,7 @@ object DeltaLog {
             org.apache.spark.sql.functions.when(matches, e)
               .otherwise(col(c)).cast(dataSchema(c).dataType))
         }, dataSchema, st.configuration),
-      "graft-delta-upd", physMap)
+      "graft-delta-upd", physMap, touchedDvs)
     exactTouched.foreach { case (rel, pv) =>
       val part = rewritten.getOrElse(rel, throw new IllegalStateException(
         s"DeltaLog.updateWhereLong: rewrite of $rel produced no rows — " +
@@ -2543,8 +2653,9 @@ object DeltaLog {
     if (cdfEnabled(st)) {
       exactTouched.groupBy(_._2).toSeq.sortBy(_._1.mkString(" "))
         .foreach { case (pv, group) =>
-          val source = spark.read.schema(dataSchema)
-            .parquet(group.map(f => resolvePath(root, f._1).toString): _*)
+          // live rows only: prior-DV-deleted rows are not updated
+          val source = readFilesMinusDv(spark, root, st, dataSchema,
+            group.map(_._1))
           val pre = source.filter(matches)
             .withColumn(ChangeTypeCol, lit("update_preimage"))
           val post = assignments.foldLeft(source.filter(matches)) {
@@ -2651,25 +2762,26 @@ object DeltaLog {
         } else if (srcKeys.isEmpty) Nil
         else st.files
       val physMap = physicalWriteMap(st, fullSchema)
+      val candDvs = candidates
+        .flatMap(f => st.fileDvs.get(f._1).map(f._1 -> _)).toMap
       // exact touched set by ONE semi-join probe job over the
       // candidates' key columns only
       val touched = probeTouched(spark, root, candidates,
         StructType(Seq(dataSchema(key))),
-        _.join(srcKeys, Seq(key), "left_semi"), physMap).sortBy(_._1)
+        _.join(srcKeys, Seq(key), "left_semi"), physMap, candDvs)
+        .sortBy(_._1)
+      val touchedDvs = candDvs.filter(d => touched.exists(_._1 == d._1))
       val actions = Seq.newBuilder[JsonNode]
       // an append-only table allows the pure-insert merge (nothing
       // matched); any matched row would rewrite history
       if (touched.nonEmpty) requireNotAppendOnly(st, "mergeKey")
-      touched.foreach { case (rel, _) =>
-        require(!st.fileDvs.contains(rel),
-          s"DeltaLog.mergeKey: $rel carries a deletion vector — " +
-            "copy-on-write rewrite of DV'd files is unimplemented") }
       // ONE rewrite job drops the matched rows from every touched file
       // (a file that loses all its rows becomes a pure remove); each
-      // rewrite stays in its source file's partition directory
+      // rewrite stays in its source file's partition directory. A
+      // DV-carrying file rewrites its LIVE rows and the add drops the DV.
       val rewritten = rewriteFilesBatched(spark, root, touched.map(_._1),
         dataSchema, _.join(srcKeys, Seq(key), "left_anti"),
-        "graft-delta-merge", physMap)
+        "graft-delta-merge", physMap, touchedDvs)
       touched.foreach { case (rel, pv) =>
         actions += removeActionNode(rel, dataChange = true)
         rewritten.get(rel).foreach { part =>
@@ -2745,8 +2857,10 @@ object DeltaLog {
       // Pre-images live in the OLD row's partition; postimages and
       // inserts in the SOURCE row's own partition.
       if (cdfEnabled(st) && touched.nonEmpty) {
-        val touchedRows = spark.read.schema(dataSchema)
-          .parquet(touched.map(t => resolvePath(root, t._1).toString): _*)
+        // live rows only: keys whose target rows were all DV-deleted
+        // are inserts, not updates
+        val touchedRows = readFilesMinusDv(spark, root, st, dataSchema,
+          touched.map(_._1))
         val matchedKeys = touchedRows.select(col(key))
           .join(srcKeys, Seq(key), "left_semi").distinct().persist()
         def inOrder(df: DataFrame) =
@@ -2754,9 +2868,8 @@ object DeltaLog {
         try {
           touched.groupBy(_._2).toSeq.sortBy(_._1.mkString(" "))
             .foreach { case (pv, group) =>
-              val pre = inOrder(spark.read.schema(dataSchema)
-                .parquet(group.map(g =>
-                  resolvePath(root, g._1).toString): _*)
+              val pre = inOrder(readFilesMinusDv(spark, root, st,
+                dataSchema, group.map(_._1))
                 .join(srcKeys, Seq(key), "left_semi"))
                 .withColumn(ChangeTypeCol, lit("update_preimage"))
               actions += writeCdcFile(pre, root, pv)

@@ -439,14 +439,23 @@ class DeltaLogSpec extends SparkSpec {
       (2L to 20L).filterNot(k => k >= 5 && k <= 8)
         .map(k => (k, s"v$k")).toSet,
       "DV must survive checkpoint compaction")
-    // copy-on-write DML on a DV'd file refuses loudly
-    val e = intercept[IllegalArgumentException](
-      DeltaLog.deleteWhereLong(spark, root, "k", 2L, 2L))
-    assert(e.getMessage.contains("deletion vector"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException](
-      DeltaLog.updateWhereLong(spark, root, "k", 2L, 2L,
-        Map("v" -> lit("x"))))
-    assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
+    // copy-on-write DML on a DV'd file rewrites the LIVE rows and
+    // CLEARS the DV: the delete drops k=2 on top of the DV'd 5..8,
+    // already-DV'd rows never resurrect, and the new add carries no
+    // descriptor
+    DeltaLog.deleteWhereLong(spark, root, "k", 2L, 2L)
+    assert(rows(DeltaLog.read(spark, root)) ==
+      (2L to 20L).filterNot(k => (k >= 5 && k <= 8) || k == 2L)
+        .map(k => (k, s"v$k")).toSet)
+    val postDelete = DeltaLog.currentVersion(root)
+    assert(!commitLines(root, postDelete).exists(l =>
+      l.contains("\"add\"") && l.contains("deletionVector")),
+      "the rewrite must clear the DV from its add")
+    DeltaLog.updateWhereLong(spark, root, "k", 3L, 3L,
+      Map("v" -> lit("THREE")))
+    assert(rows(DeltaLog.read(spark, root)).contains((3L, "THREE")))
+    assert(!rows(DeltaLog.read(spark, root)).exists(_._1 == 5L),
+      "the update rewrite must not resurrect DV-deleted rows")
   }
 
   test("restore rolls back DML in one commit; history stays travelable") {
@@ -630,14 +639,55 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.mergeKey(spark, part, "pt",
         Seq((9L, "z", "p1")).toDF("k", "v", "pt")))
     assert(ePk.getMessage.contains("partition column"), ePk.getMessage)
+    // MERGE into a table with a DV'd file: the rewrite drops the
+    // matched LIVE rows, never resurrects the DV-deleted k=2, and the
+    // new add carries no descriptor
     val dvRoot = freshRoot()
     DeltaLog.commitFlat(spark, dvRoot,
       (1L to 5L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
     DeltaLog.deleteWhereLongDV(spark, dvRoot, "k", 2L, 2L)
-    val eDv = intercept[IllegalArgumentException](
-      DeltaLog.mergeLongKey(spark, dvRoot, "k",
-        Seq((3L, "X")).toDF("k", "v")))
-    assert(eDv.getMessage.contains("deletion vector"), eDv.getMessage)
+    DeltaLog.mergeKey(spark, dvRoot, "k", Seq((3L, "X")).toDF("k", "v"))
+    assert(rows(DeltaLog.read(spark, dvRoot)) ==
+      Set((1L, "v1"), (3L, "X"), (4L, "v4"), (5L, "v5")))
+    assert(!commitLines(dvRoot, DeltaLog.currentVersion(dvRoot))
+      .exists(l => l.contains("\"add\"") && l.contains("deletionVector")),
+      "the merge rewrite must clear the DV from its add")
+  }
+
+  test("CDF over DML on DV'd files: already-DV-deleted rows never " +
+    "re-emit as deletes, and a merge classes them as INSERTS") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.deleteWhereLongDV(spark, root, "k", 3L, 4L) // v1
+    // copy-on-write delete over the DV'd file: only LIVE rows 2 and 5
+    // may appear in the feed — 3 and 4 were deleted in v1
+    DeltaLog.deleteWhereLong(spark, root, "k", 2L, 5L) // v2
+    val feed = DeltaLog.readChangeFeed(spark, root, 1L)
+      .select("k", DeltaLog.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((2L, "delete"), (5L, "delete")), feed.toString)
+
+    // merge against a still-DV'd file: the DV-deleted key must class
+    // as an INSERT (its target row is logically gone), the live key as
+    // an update pair
+    val root2 = freshRoot()
+    DeltaLog.commitFlat(spark, root2,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.deleteWhereLongDV(spark, root2, "k", 3L, 4L) // v1
+    DeltaLog.mergeKey(spark, root2, "k",
+      Seq((3L, "back"), (6L, "SIX")).toDF("k", "v")) // v2
+    val feed2 = DeltaLog.readChangeFeed(spark, root2, 1L)
+      .select("k", "v", DeltaLog.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed2 == Set((3L, "back", "insert"),
+      (6L, "v6", "update_preimage"), (6L, "SIX", "update_postimage")),
+      feed2.toString)
+    assert(rows(DeltaLog.read(spark, root2)) ==
+      ((1L to 10L).filterNot(Set(3L, 4L, 6L)).map(k => (k, s"v$k")) ++
+        Seq((3L, "back"), (6L, "SIX"))).toSet)
   }
 
   test("mergeKey: STRING keys — the reference's order_id merge shape; " +
