@@ -2680,6 +2680,44 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       graft.lake.DeltaLog.read(s, dst)
     }),
+    // PARTITIONED streaming sink: the same delta-to-delta pipeline but
+    // the destination pre-exists partitioned by a value bucket — the
+    // sink adopts the partitioning, routes rows to hive partition
+    // directories executor-side, and the partitioned read returns the
+    // identical slice (the reference's event_date-partitioned silver
+    // written by a stream).
+    "q286_delta_stream_sink_part" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          pmod(coalesce(floor(col("value")).cast("long"), lit(0L)),
+            lit(4)).cast("string").as("bucket"))
+        .filter(col("event_id").isNotNull)
+      def half(i: Int) = ev.filter(pmod(col("event_id"), lit(2)) === i)
+      val base = freshScratch("q286")
+      val (src, dst) = (s"$base/src", s"$base/dst")
+      graft.lake.DeltaLog.commitFlat(s, src, half(0))
+      graft.lake.DeltaLog.commitFlat(s, src, half(1))
+      // the destination pre-exists partitioned by bucket: a one-row
+      // seed OUTSIDE the streamed id range declares the table (fully
+      // nullable — the stream cannot prove NOT NULL), filtered back
+      // out of the gate's result below
+      val seedSchema = org.apache.spark.sql.types.StructType(
+        ev.schema.fields.map(_.copy(nullable = true)))
+      val seed = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-7L, 0.0, "0")), seedSchema)
+      graft.lake.DeltaLog.commitPartitioned(s, dst, seed, Seq("bucket"))
+      val q = s.readStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", src).load()
+        .writeStream.format("graft.streaming.DeltaStreamProvider")
+        .option("path", dst)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.lake.DeltaLog.read(s, dst)
+        .filter(col("event_id") =!= -7L)
+    }),
     // STREAMING CHANGE FEED: the q266 history (3 CDF appends + DELETE
     // + UPDATE) consumed as a STREAM (readChangeFeed=true) — cdc files
     // carry their own _change_type, appends synthesize insert; rolled
@@ -4297,6 +4335,13 @@ object SparkEntry {
            CAST(sum(CAST(FLOOR(o_totalprice * 2 * 100 + 0.5) AS BIGINT))
              AS BIGINT)
          FROM orders WHERE o_orderkey BETWEEN 100 AND 2000""",
+    // q286: the partitioned sink round-trip must return the same full
+    // slice with the derived bucket (seed row filtered out).
+    "q286_delta_stream_sink_part" ->
+      """SELECT event_id, value,
+           CAST(((COALESCE(CAST(FLOOR(value) AS BIGINT), 0) % 4) + 4) % 4
+             AS VARCHAR) AS bucket
+         FROM events WHERE event_id IS NOT NULL""",
     // q281: the adopted table filtered to three partitions.
     "q281_delta_convert" ->
       """SELECT event_id, value, event_type FROM events

@@ -2101,20 +2101,23 @@ object DeltaLog {
     * only; operation `STREAMING UPDATE` (Delta's name for it).
     */
   private[graft] def commitStreamFiles(spark: SparkSession, root: String,
-      schemaJson: String, staged: Seq[Path], txn: (String, Long)): Unit = {
+      schemaJson: String, staged: Seq[(Path, Map[String, String])],
+      txn: (String, Long),
+      partitionCols: Seq[String] = Seq.empty): Unit = {
     val v = currentVersion(root) + 1
     val prior = if (v == 0L) None else Some(replay(spark, root, v - 1))
     prior.foreach { st =>
       // replay no-op FIRST: the original epoch already passed every
       // check below — a redelivery must discard quietly no matter what
       val applied = st.txnVersions.get(txn._1).exists(_ >= txn._2)
-      if (applied) { staged.foreach(Files.deleteIfExists(_)); return }
+      if (applied) { staged.foreach(s => Files.deleteIfExists(s._1)); return }
       requireWritable(st, "commitStreamFiles")
       require(mappingMode(st) == "none",
         s"DeltaLog.commitStreamFiles: column-mapped tables are " +
           s"read-only through this bridge (mode ${mappingMode(st)})")
-      require(st.partitionColumns.isEmpty,
-        "DeltaLog.commitStreamFiles: partitioned sink tables unsupported")
+      require(st.partitionColumns == partitionCols,
+        s"DeltaLog.commitStreamFiles: table is partitioned by " +
+          s"${st.partitionColumns}, the sink resolved $partitionCols")
       val incoming = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       st.schema.foreach { sch =>
         require(normSchema(sch) == normSchema(incoming),
@@ -2149,18 +2152,29 @@ object DeltaLog {
       actions += protocol
       val tableId = java.util.UUID.nameUUIDFromBytes(
         ("graft-delta:" + root).getBytes("UTF-8")).toString
-      actions += metaDataAction(tableId, schemaJson, Seq.empty, Map.empty)
+      actions += metaDataAction(tableId, schemaJson, partitionCols,
+        Map.empty)
     }
     val n = mapper.createObjectNode()
     val t = n.putObject("txn")
     t.put("appId", txn._1)
     t.put("version", txn._2)
     actions += n
-    staged.foreach { p =>
-      val target = Paths.get(root).resolve(p.getFileName)
+    staged.foreach { case (p, pv) =>
+      // partitioned tables: the staged file moves into its hive-style
+      // partition directory, partitionValues ride the add
+      val segs = partitionCols.map { c =>
+        val value = pv.getOrElse(c, throw new IllegalArgumentException(
+          s"DeltaLog.commitStreamFiles: staged file $p lacks a value " +
+            s"for partition column $c"))
+        c + "=" + (if (value == null) "__HIVE_DEFAULT_PARTITION__"
+                   else escapeHive(value))
+      }
+      val rel = (segs :+ p.getFileName.toString).mkString("/")
+      val target = Paths.get(root, rel)
+      Files.createDirectories(target.getParent)
       Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-      actions += addActionNode(root, target.getFileName.toString,
-        Map.empty, dataChange = true, conf)
+      actions += addActionNode(root, rel, pv, dataChange = true, conf)
     }
     Files.createDirectories(logDir(root))
     writeCommitFile(root, v, actions.result(),
@@ -4163,6 +4177,24 @@ object DeltaLog {
         sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
         i += 3
       } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[unescapeHive]] — hive's escapePathName character set
+    * (control chars, DEL, double-quote, hash, percent, quote, star,
+    * slash, colon, equals, question mark, backslash, braces, brackets,
+    * caret) percent-encodes; everything else passes through (hive does
+    * NOT escape spaces or '+', which is why [[unescapeHive]] must not
+    * URL-decode).
+    */
+  private def escapeHive(s: String): String = {
+    val special = "\"#%'*/:=?\\{[]^"
+    val sb = new java.lang.StringBuilder(s.length)
+    s.foreach { c =>
+      if (c < ' ' || c == '\u007f' || special.indexOf(c.toInt) >= 0)
+        sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
     }
     sb.toString
   }

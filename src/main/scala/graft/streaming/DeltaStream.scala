@@ -121,7 +121,24 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
             DeltaStreamReaderFactory.supported(f.dataType),
             s"DeltaStreamProvider sink: column ${f.name} has type " +
               s"${f.dataType} — the sink writes atomic types only"))
-          new DeltaStreamingWrite(root, info.schema(), info.queryId())
+          // an EXISTING table dictates the partitioning (rows route to
+          // partition directories executor-side); a table the sink
+          // CREATES is flat
+          val pcs: Seq[String] =
+            if (DeltaLog.versions(root).nonEmpty)
+              DeltaLog.tableMeta(SparkSession.active, root)._2
+            else Seq.empty
+          pcs.foreach { c =>
+            require(info.schema().fieldNames.contains(c),
+              s"DeltaStreamProvider sink: partition column $c missing " +
+                "from the stream's schema")
+            require(DeltaStreamReaderFactory.pvSupported(
+              info.schema()(c).dataType),
+              s"DeltaStreamProvider sink: partition column $c has type " +
+                s"${info.schema()(c).dataType} — supported partition " +
+                "types are long/int/string/boolean/double/date")
+          }
+          new DeltaStreamingWrite(root, info.schema(), info.queryId(), pcs)
         }
       }
     }
@@ -389,17 +406,20 @@ private[streaming] class GroupParquetReader(
 }
 
 /** Exactly-once DSv2 streaming SINK into the Delta log: executors
-  * write each partition's rows to a staged parquet part under the
-  * table's same-filesystem staging dir; the DRIVER's epoch commit
-  * moves the staged files in and writes ONE log commit carrying a
-  * `txn` watermark (appId = the query id) — a replayed epoch after
-  * recovery is a no-op, the Delta idempotent-writer pattern. Appends
-  * only (the streaming-sink shape); `abort` discards the epoch's
-  * staged files.
+  * write each task's rows to staged parquet parts under the table's
+  * same-filesystem staging dir — one part per TABLE PARTITION VALUE
+  * the task holds (rows route executor-side; partition columns are
+  * carried as directory metadata, never stored in the file) — and the
+  * DRIVER's epoch commit moves the staged files into their partition
+  * directories and writes ONE log commit carrying a `txn` watermark
+  * (appId = the query id) — a replayed epoch after recovery is a
+  * no-op, the Delta idempotent-writer pattern. Appends only (the
+  * streaming-sink shape); `abort` discards the epoch's staged files.
   */
 private[streaming] class DeltaStreamingWrite(root: String,
                                              schema: StructType,
-                                             queryId: String)
+                                             queryId: String,
+                                             partitionCols: Seq[String])
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -409,33 +429,36 @@ private[streaming] class DeltaStreamingWrite(root: String,
     while (it.hasNext) { val e = it.next(); props += ((e.getKey, e.getValue)) }
     // materialize the staging dir BEFORE executors need it
     val staging = DeltaLog.streamStagingDir(root)
-    DeltaStreamWriterFactory(staging.toString, schema.json, props.toArray)
+    DeltaStreamWriterFactory(staging.toString, schema.json,
+      partitionCols, props.toArray)
   }
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect {
-      case DeltaWriteMessage(path) if path.nonEmpty =>
-        java.nio.file.Paths.get(path)
-    }.toSeq
+      case DeltaWriteMessage(files) => files.map { case (p, pv) =>
+        java.nio.file.Paths.get(p) -> pv }
+    }.toSeq.flatten
     DeltaLog.commitStreamFiles(SparkSession.active, root, schema.json,
-      staged, (s"graft-stream-sink-$queryId", epochId))
+      staged, (s"graft-stream-sink-$queryId", epochId), partitionCols)
   }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case DeltaWriteMessage(path) if path.nonEmpty =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+      case DeltaWriteMessage(files) => files.foreach { case (p, _) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)) }
       case _ => ()
     }
 }
 
-private[streaming] case class DeltaWriteMessage(path: String)
+/** Staged files of one task: (path, partitionValues) pairs. */
+private[streaming] case class DeltaWriteMessage(
+    files: Seq[(String, Map[String, String])])
   extends WriterCommitMessage
 
 private[streaming] case class DeltaStreamWriterFactory(
-    stagingDir: String, schemaJson: String,
+    stagingDir: String, schemaJson: String, partitionCols: Seq[String],
     hadoopProps: Array[(String, String)])
   extends StreamingDataWriterFactory {
 
@@ -444,17 +467,23 @@ private[streaming] case class DeltaStreamWriterFactory(
     val conf = new org.apache.hadoop.conf.Configuration(false)
     hadoopProps.foreach { case (k, v) => conf.set(k, v) }
     new GroupParquetWriter(stagingDir,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType], conf)
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      partitionCols, conf)
   }
 }
 
-/** One staged parquet part via the parquet-hadoop example writer
-  * (lazy-opened: an empty partition stages nothing), declared-schema
-  * atomic types; `commit` hands the path to the driver, `abort`
-  * deletes it.
+/** Staged parquet parts via the parquet-hadoop example writer
+  * (lazy-opened: an empty Spark partition stages nothing),
+  * declared-schema atomic types. On a PARTITIONED table rows route
+  * executor-side: one staged part per distinct table-partition value
+  * this task holds, partition columns extracted per row (Delta string
+  * representation) and EXCLUDED from the file — they live in the
+  * directory path and the add's partitionValues, like every Delta
+  * writer. `commit` hands (path, partitionValues) pairs to the
+  * driver; `abort` deletes them all.
   */
 private[streaming] class GroupParquetWriter(
-    stagingDir: String, schema: StructType,
+    stagingDir: String, schema: StructType, partitionCols: Seq[String],
     conf: org.apache.hadoop.conf.Configuration)
   extends DataWriter[InternalRow] {
 
@@ -465,9 +494,18 @@ private[streaming] class GroupParquetWriter(
     Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
+  private val pcSet = partitionCols.toSet
+  /** data fields with their index into the FULL row. */
+  private val dataFields: Array[(org.apache.spark.sql.types.StructField, Int)] =
+    schema.fields.zipWithIndex.filterNot { case (f, _) => pcSet(f.name) }
+  private val pcFields: Array[(Int, DataType)] =
+    partitionCols.map(c => (schema.fieldIndex(c), schema(c).dataType))
+      .toArray
+  private val dataSchema = StructType(dataFields.map(_._1))
+
   private val messageType: MessageType = {
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
+    dataSchema.fields.foreach { f =>
       f.dataType match {
         case LongType => b.addField(Types.optional(INT64).named(f.name))
         case TimestampType => b.addField(Types.optional(INT64)
@@ -492,51 +530,75 @@ private[streaming] class GroupParquetWriter(
   }
 
   private val factory = new SimpleGroupFactory(messageType)
-  private var writer: org.apache.parquet.hadoop.ParquetWriter[
-    org.apache.parquet.example.data.Group] = _
-  private var path: java.nio.file.Path = _
+  private val writers = scala.collection.mutable.LinkedHashMap.empty[
+    Seq[Option[String]],
+    (org.apache.parquet.hadoop.ParquetWriter[
+      org.apache.parquet.example.data.Group], java.nio.file.Path)]
 
-  private def open(): Unit = {
+  private def open(): (org.apache.parquet.hadoop.ParquetWriter[
+      org.apache.parquet.example.data.Group], java.nio.file.Path) = {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(stagingDir))
-    path = java.nio.file.Paths.get(stagingDir,
+    val path = java.nio.file.Paths.get(stagingDir,
       s"stream-${java.util.UUID.randomUUID()}.parquet")
-    writer = ExampleParquetWriter
+    val w = ExampleParquetWriter
       .builder(new org.apache.hadoop.fs.Path(path.toString))
       .withType(messageType).withConf(conf).build()
+    (w, path)
   }
 
+  /** Delta partition-value strings of one row (None = null value). */
+  private def pvOf(row: InternalRow): Seq[Option[String]] =
+    pcFields.toSeq.map { case (i, dt) =>
+      if (row.isNullAt(i)) None
+      else Some(dt match {
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case StringType => row.getUTF8String(i).toString
+        case BooleanType => row.getBoolean(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case DateType =>
+          java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+        case other => throw new IllegalStateException(
+          s"GroupParquetWriter: partition type $other — vetted at " +
+            "write build, unreachable")
+      })
+    }
+
   override def write(row: InternalRow): Unit = {
-    if (writer == null) open()
+    val w = writers.getOrElseUpdate(pvOf(row), open())._1
     val g = factory.newGroup()
-    var i = 0
-    while (i < schema.length) {
-      if (!row.isNullAt(i)) schema.fields(i).dataType match {
-        case LongType | TimestampType => g.add(i, row.getLong(i))
-        case IntegerType | DateType => g.add(i, row.getInt(i))
-        case DoubleType => g.add(i, row.getDouble(i))
-        case FloatType => g.add(i, row.getFloat(i))
-        case BooleanType => g.add(i, row.getBoolean(i))
-        case StringType => g.add(i,
+    var j = 0
+    while (j < dataFields.length) {
+      val (f, i) = dataFields(j)
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType | TimestampType => g.add(j, row.getLong(i))
+        case IntegerType | DateType => g.add(j, row.getInt(i))
+        case DoubleType => g.add(j, row.getDouble(i))
+        case FloatType => g.add(j, row.getFloat(i))
+        case BooleanType => g.add(j, row.getBoolean(i))
+        case StringType => g.add(j,
           Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-        case BinaryType => g.add(i,
+        case BinaryType => g.add(j,
           Binary.fromConstantByteArray(row.getBinary(i)))
         case other => throw new IllegalStateException(
           s"GroupParquetWriter: unsupported type $other — unreachable")
       }
-      i += 1
+      j += 1
     }
-    writer.write(g)
+    w.write(g)
   }
 
-  override def commit(): WriterCommitMessage = {
-    if (writer == null) DeltaWriteMessage("")
-    else { writer.close(); DeltaWriteMessage(path.toString) }
-  }
+  override def commit(): WriterCommitMessage =
+    DeltaWriteMessage(writers.toSeq.map { case (pvKey, (w, path)) =>
+      w.close()
+      path.toString ->
+        partitionCols.zip(pvKey).map { case (c, v) => c -> v.orNull }.toMap
+    })
 
   override def abort(): Unit =
-    if (writer != null) {
-      writer.close()
+    writers.values.foreach { case (w, path) =>
+      w.close()
       java.nio.file.Files.deleteIfExists(path)
     }
 

@@ -153,7 +153,8 @@ class DeltaStreamSpec extends SparkSpec {
     val part = Files.list(staged.getParent.resolve("replay-stage"))
       .iterator().asScala.find(_.toString.endsWith(".parquet")).get
     DeltaLog.commitStreamFiles(spark, sinkRoot,
-      DeltaLog.read(spark, sinkRoot).schema.json, Seq(part), (appId, 0L))
+      DeltaLog.read(spark, sinkRoot).schema.json,
+      Seq(part -> Map.empty[String, String]), (appId, 0L))
     assert(rowsOf(sinkRoot) == Set((1L, "a"), (2L, "b"), (3L, "c")),
       "replayed epoch 0 must not re-append")
     // delta-to-delta: stream the sink table into ANOTHER delta table
@@ -165,6 +166,47 @@ class DeltaStreamSpec extends SparkSpec {
       .outputMode("append").start()
     try q2.processAllAvailable() finally q2.stop()
     assert(rowsOf(dstRoot) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("streaming SINK into a PARTITIONED table: rows route to hive " +
+    "partition directories executor-side, adds carry partitionValues, " +
+    "partition columns never land in the data files") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshDir("graft-dsink-part")
+    // the table pre-exists partitioned by pt — the sink adopts its
+    // partitioning (the reference's event_date-partitioned silver)
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((1L, "a", "p1")).toDF("k", "v", "pt"), Seq("pt"))
+    val ckpt = Files.createTempDirectory("graft-dsink-part-ck").toString
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF().toDF("k", "v", "pt").writeStream
+      .format("graft.streaming.DeltaStreamProvider")
+      .option("path", root).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", null)))
+      q.processAllAvailable()
+      in.addData(Seq((5L, "e", "p2")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = DeltaLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"),
+      (4L, "d", null), (5L, "e", "p2")), got.toString)
+    // streamed adds live under hive partition dirs with pv-keyed adds
+    val c1 = Files.readAllLines(java.nio.file.Paths.get(root,
+      "_delta_log", f"${1L}%020d.json")).asScala.mkString("|")
+    assert(c1.contains("pt=p1/") && c1.contains("pt=p2/") &&
+      c1.contains("pt=__HIVE_DEFAULT_PARTITION__/"), c1)
+    assert(c1.contains("\"pt\":\"p2\"") && c1.contains("\"pt\":null"), c1)
+    // partition column excluded from the staged parquet itself
+    val p2file = java.nio.file.Paths.get(root).resolve("pt=p2")
+    val parts = Files.list(p2file)
+    val one = try parts.iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get finally parts.close()
+    assert(spark.read.parquet(one.toString).columns.toSeq == Seq("k", "v"),
+      "partition column must not be stored in the data file")
   }
 
   test("streaming CHANGE FEED: cdc files stream with their own " +
