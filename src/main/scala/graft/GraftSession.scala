@@ -67,6 +67,13 @@ object GraftSession {
     // only ever costs us; drop it.
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // Parquet field-id resolution: id-mode column-mapped Delta tables
+    // match columns by the footer's field ids, not names — the read
+    // side needs the flag on (inert for schemas without
+    // `parquet.field.id` metadata), and the write side stamps ids so
+    // external id-mode readers can open what we write.
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.sparkContext.setLogLevel("WARN")
     spark

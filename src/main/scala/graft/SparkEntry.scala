@@ -2801,6 +2801,52 @@ object SparkEntry {
           .mkString("", "\n", "\n")).getBytes("UTF-8"))
       graft.lake.DeltaLog.read(s, root)
     }),
+    // ID-mode column mapping READ: the parquet file stores arbitrary
+    // column names but carries FIELD IDS in its footer; the log
+    // declares mode id — resolution must go through the ids (the
+    // declared physicalNames deliberately differ from the file's
+    // names), surfacing logical event_id/value.
+    "q287_delta_mapped_id_read" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types.{LongType, DoubleType,
+        StructField, StructType, MetadataBuilder}
+      val ev = Tables.events(s, d)
+        .filter(col("event_id").isNotNull && col("event_id") <= 3000)
+        .select(col("event_id"), col("value"))
+      val mb1 = new MetadataBuilder()
+        .putLong("parquet.field.id", 1L).build()
+      val mb2 = new MetadataBuilder()
+        .putLong("parquet.field.id", 2L).build()
+      val withIds = s.createDataFrame(ev.rdd,
+        StructType(Seq(StructField("file-col-a", LongType, true, mb1),
+          StructField("file-col-b", DoubleType, true, mb2))))
+      val root = freshScratch("q287")
+      val rootP = java.nio.file.Paths.get(root)
+      java.nio.file.Files.createDirectories(rootP)
+      val tmp = java.nio.file.Files.createTempDirectory(rootP, "stage")
+      withIds.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val l = java.nio.file.Files.list(tmp)
+        try l.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      java.nio.file.Files.move(part, rootP.resolve("part-a.parquet"))
+      val schemaJson =
+        """{"type":"struct","fields":[
+          {"name":"event_id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-k17"}},
+          {"name":"value","type":"double","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-v42"}}]}"""
+          .replaceAll("\n\\s*", "")
+      java.nio.file.Files.createDirectories(rootP.resolve("_delta_log"))
+      java.nio.file.Files.write(
+        rootP.resolve("_delta_log").resolve(f"${0L}%020d.json"),
+        (Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"graft-q287","format":{"provider":"parquet","options":{}},"schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}}}""",
+          """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+          .mkString("", "\n", "\n")).getBytes("UTF-8"))
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // Name-mapped WRITE round-trip: a hand-authored name-mode table
     // (physical names col-k17/col-v42, the q261 shape) takes the full
     // DML suite through LOGICAL names — append, copy-on-write DELETE,
@@ -4348,6 +4394,10 @@ object SparkEntry {
          WHERE event_type IN ('purchase', 'view', 'click')""",
     // q261: the mapped read must surface logical names + the slice.
     "q261_delta_mapped_read" ->
+      """SELECT event_id, value FROM events
+         WHERE event_id IS NOT NULL AND event_id <= 3000""",
+    // q287: id-mode resolution must surface the same slice as q261.
+    "q287_delta_mapped_id_read" ->
       """SELECT event_id, value FROM events
          WHERE event_id IS NOT NULL AND event_id <= 3000""",
     // q285: one-shot reconstruction of the DML suite over the mapped

@@ -711,18 +711,20 @@ object DeltaLog {
     * protocol-3 table whose feature set is fully supported opens.
     * Column mapping: `none` trivially readable, `name` readable (reads
     * resolve physical column names from the schema metadata — see
-    * [[physicalTopLevel]]), `id` refused (resolution by parquet field
-    * id is a different read path).
+    * [[physicalTopLevel]]), `id` readable (reads match by the parquet
+    * footer's field ids via `parquet.field.id` requested-schema
+    * metadata — see [[fieldIdSchema]]); any future mode refuses
+    * naming itself.
     */
   private def validateReaderSupport(root: String, st: LogState): Unit = {
     val mode = mappingMode(st)
-    val mappingOk = mode == "none" || mode == "name"
+    val mappingOk = mode == "none" || mode == "name" || mode == "id"
     st.minReaderVersion match {
       case v if v <= 1 => ()
       case 2 =>
         require(mappingOk,
           s"DeltaLog: table $root requires columnMapping mode '$mode' " +
-            "which this reader lacks (none and name supported)")
+            "which this reader lacks (none, name and id supported)")
       case 3 =>
         val unsupported = st.readerFeatures.filterNot { f =>
           supportedReaderFeatures(f) || (f == "columnMapping" && mappingOk)
@@ -731,7 +733,7 @@ object DeltaLog {
           s"DeltaLog: table $root requires reader feature(s) " +
             s"${unsupported.sorted.mkString(", ")} which this reader lacks" +
             (if (st.readerFeatures.contains("columnMapping") && !mappingOk)
-               s" (columnMapping mode '$mode'; none and name supported)"
+               s" (columnMapping mode '$mode'; none, name and id supported)"
              else ""))
       case v =>
         require(false,
@@ -768,20 +770,57 @@ object DeltaLog {
     }.toMap
   }
 
-  /** Read `paths` with `dataSchema`, honoring name-mode column mapping:
-    * the parquet scan uses PHYSICAL field names, the returned DataFrame
-    * carries the LOGICAL ones (same order).
+  private val ColumnIdKey = "delta.columnMapping.id"
+
+  /** Requested-schema for an ID-mode read: physical field names plus
+    * `parquet.field.id` metadata — Spark's parquet reader (with
+    * `spark.sql.parquet.fieldId.read.enabled`, set by GraftSession)
+    * then matches columns by the footer's FIELD IDS, names irrelevant
+    * (PROTOCOL.md id-mode semantics). Nested mappings refuse via
+    * [[physicalTopLevel]]'s check.
+    */
+  private def fieldIdSchema(schema: StructType): StructType = {
+    val phys = physicalTopLevel(schema)
+    StructType(schema.fields.map { f =>
+      require(f.metadata.contains(ColumnIdKey),
+        s"DeltaLog: id-mode field '${f.name}' lacks $ColumnIdKey " +
+          "schema metadata — the mapping is unresolvable")
+      val mb = new MetadataBuilder()
+        .putLong("parquet.field.id", f.metadata.getLong(ColumnIdKey))
+        .build()
+      StructField(phys(f.name), f.dataType, f.nullable, mb)
+    })
+  }
+
+  /** The read-side (scanSchema, logical→physical name map) pair for a
+    * table's mapping mode: identity for `none`, renamed fields for
+    * `name`, field-id-stamped fields for `id`.
+    */
+  private def readSchemaFor(st: LogState,
+      dataSchema: StructType): (StructType, Map[String, String]) =
+    mappingMode(st) match {
+      case "name" =>
+        val phys = physicalTopLevel(dataSchema)
+        (StructType(dataSchema.fields.map(f =>
+          f.copy(name = phys(f.name)))), phys)
+      case "id" => (fieldIdSchema(dataSchema), physicalTopLevel(dataSchema))
+      case _ =>
+        (dataSchema, dataSchema.fieldNames.map(n => n -> n).toMap)
+    }
+
+  /** Read `paths` with `dataSchema`, honoring column mapping: the
+    * parquet scan uses PHYSICAL field names (name mode) or field-id
+    * matching (id mode); the returned DataFrame carries the LOGICAL
+    * names (same order).
     */
   private def readDataFiles(spark: SparkSession, st: LogState,
                             dataSchema: StructType,
                             paths: Seq[String]): DataFrame = {
-    if (mappingMode(st) != "name")
+    if (mappingMode(st) == "none")
       spark.read.schema(dataSchema).parquet(paths: _*)
     else {
-      val phys = physicalTopLevel(dataSchema)
-      val physSchema = StructType(dataSchema.fields.map(f =>
-        f.copy(name = phys(f.name))))
-      spark.read.schema(physSchema).parquet(paths: _*)
+      val (scanSchema, _) = readSchemaFor(st, dataSchema)
+      spark.read.schema(scanSchema).parquet(paths: _*)
         .toDF(dataSchema.fieldNames.toSeq: _*)
     }
   }
@@ -1954,11 +1993,7 @@ object DeltaLog {
     // physical names resolved inline (not via readDataFiles): the
     // _metadata column is only reachable on the scan output itself --
     // a rename projection in between would hide it
-    val physMap =
-      if (mappingMode(st) == "name") physicalTopLevel(dataSchema)
-      else dataSchema.fieldNames.map(n => n -> n).toMap
-    val physSchema = StructType(dataSchema.fields.map(f =>
-      f.copy(name = physMap(f.name))))
+    val (physSchema, physMap) = readSchemaFor(st, dataSchema)
     val base = spark.read.schema(physSchema)
       .parquet(resolvePath(root, path).toString)
       .select(Seq(col("_metadata.row_index").as("__graft_pos")) ++

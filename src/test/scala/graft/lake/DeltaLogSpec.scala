@@ -1299,8 +1299,9 @@ class DeltaLogSpec extends SparkSpec {
     assert(rows(DeltaLog.read(spark, root2)) == Set((7L, "x")))
   }
 
-  test("name-mode column mapping: physical parquet names resolve to " +
-    "logical columns, partitioned and flat; id mode refuses naming it") {
+  test("column mapping reads: name mode resolves physical parquet " +
+    "names, partitioned and flat; id mode resolves by parquet FIELD " +
+    "IDS with names irrelevant; id-mode writes refuse") {
     // data file stores PHYSICAL names col-aaa / col-bbb
     val mappedSchema =
       """{"type":"struct","fields":[
@@ -1335,16 +1336,31 @@ class DeltaLogSpec extends SparkSpec {
     assert(df2.collect().map(r => (r.getLong(0), r.getString(1))).toSet
       == Set((5L, "x")))
 
-    // id mode: refusal names the mode
+    // id mode: columns resolve by the parquet footer's FIELD IDS — the
+    // file's own column names are deliberately DIFFERENT from both the
+    // logical names and the declared physicalName, so only id matching
+    // can produce the right values
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType, MetadataBuilder}
     val root3 = freshRoot()
-    writeFlat(root3, "part-a.parquet",
-      Seq((1L, "a")).toDF("col-aaa", "col-bbb"))
+    val mb1 = new MetadataBuilder().putLong("parquet.field.id", 1L).build()
+    val mb2 = new MetadataBuilder().putLong("parquet.field.id", 2L).build()
+    val withIds = spark.createDataFrame(
+      Seq((1L, "a"), (2L, "b")).toDF("x", "y").rdd,
+      StructType(Seq(StructField("file-k", LongType, true, mb1),
+        StructField("file-v", StringType, true, mb2))))
+    writeFlat(root3, "part-a.parquet", withIds)
     writeCommit(root3, 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       s"""{"metaData":{"id":"ext-cm3","format":{"provider":"parquet","options":{}},"schemaString":"${mappedSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
       """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
-    val e3 = intercept[IllegalArgumentException](DeltaLog.read(spark, root3))
-    assert(e3.getMessage.contains("id"), e3.getMessage)
+    val df3 = DeltaLog.read(spark, root3)
+    assert(df3.columns.toSeq == Seq("k", "v"), df3.columns.toSeq)
+    assert(rows(df3) == Set((1L, "a"), (2L, "b")))
+    // id-mode WRITES stay refused, naming the mode
+    val e3 = intercept[IllegalArgumentException](
+      DeltaLog.deleteWhereLong(spark, root3, "k", 1L, 1L))
+    assert(e3.getMessage.contains("'id'"), e3.getMessage)
   }
 
   test("name-mode column mapping WRITES: append/delete/update/merge/DV " +
