@@ -1333,32 +1333,38 @@ object DeltaLog {
 
   /** Read `files` in LOGICAL space EXCLUDING each file's DV-deleted
     * positions — the live-row multi-file scan the CDC builders use
-    * (unmapped tables only; mapped DML refuses CDF upstream). Falls
-    * back to per-file scans on a basename collision.
+    * (mapping-aware: scans resolve physical names / field ids and hand
+    * back logical columns). Falls back to per-file scans on a basename
+    * collision.
     */
   private def readFilesMinusDv(spark: SparkSession, root: String,
       st: LogState, dataSchema: StructType,
       files: Seq[String]): DataFrame = {
+    val (scanSchema, physMap) = readSchemaFor(st, dataSchema)
+    def toLogical = dataSchema.fieldNames.map(n =>
+      col(physMap.getOrElse(n, n)).as(n))
     val dvs = files.flatMap(rel => st.fileDvs.get(rel).map(rel -> _)).toMap
     val paths = files.map(f => resolvePath(root, f).toString)
-    if (dvs.isEmpty) spark.read.schema(dataSchema).parquet(paths: _*)
+    if (dvs.isEmpty)
+      spark.read.schema(scanSchema).parquet(paths: _*)
+        .select(toLogical.toIndexedSeq: _*)
     else {
       val names = files.map(f => resolvePath(root, f).getFileName.toString)
       if (names.distinct.size == names.size)
-        spark.read.schema(dataSchema).parquet(paths: _*)
-          .select(dataSchema.fieldNames.map(col) :+
+        spark.read.schema(scanSchema).parquet(paths: _*)
+          .select(toLogical :+
             col("_metadata.file_name").as(SrcTagCol) :+
             col("_metadata.row_index").as("__graft_pos"): _*)
           .join(dvPositionsByName(spark, root, dvs),
             Seq(SrcTagCol, "__graft_pos"), "left_anti")
           .drop(SrcTagCol, "__graft_pos")
       else files.map { rel =>
-        val one = spark.read.schema(dataSchema)
+        val one = spark.read.schema(scanSchema)
           .parquet(resolvePath(root, rel).toString)
         st.fileDvs.get(rel) match {
-          case None => one
+          case None => one.select(toLogical.toIndexedSeq: _*)
           case Some(_) =>
-            one.select(dataSchema.fieldNames.map(col) :+
+            one.select(toLogical :+
               lit(resolvePath(root, rel).getFileName.toString)
                 .as(SrcTagCol) :+
               col("_metadata.row_index").as("__graft_pos"): _*)
@@ -1649,8 +1655,17 @@ object DeltaLog {
     * under `_change_data/` and return its `cdc` action carrying `pv`.
     */
   private def writeCdcFile(df: DataFrame, root: String,
-                           pv: Map[String, String]): JsonNode = {
-    val part = writeSingleParquet(df, root, "graft-delta-cdc")
+                           pv: Map[String, String],
+                           st: LogState): JsonNode = {
+    // name-mapped tables: cdc files store PHYSICAL data-column names,
+    // like every other data file (the `_change_type` column is a feed
+    // artifact, never mapped)
+    val physMap = st.schema.map(physicalWriteMap(st, _))
+      .getOrElse(Map.empty[String, String])
+    val out =
+      if (physMap.isEmpty) df
+      else df.toDF(df.columns.map(c => physMap.getOrElse(c, c)): _*)
+    val part = writeSingleParquet(out, root, "graft-delta-cdc")
     val dir = Files.createDirectories(Paths.get(root, "_change_data"))
     val target = dir.resolve(
       "cdc-" + java.util.UUID.randomUUID() + ".parquet")
@@ -2355,10 +2370,6 @@ object DeltaLog {
     val v = currentVersion(root)
     val st = replay(spark, root, v)
     requireWritableMapping(st, "deleteWhereLong")
-    require(mappingMode(st) == "none" || !cdfEnabled(st),
-      "DeltaLog.deleteWhereLong: CDF capture on a column-mapped table " +
-        "is unimplemented (cdc files would need physical-name writes " +
-        "plus a mapped feed reader)")
     requireNotAppendOnly(st, "deleteWhereLong")
     requireWritable(st, "deleteWhereLong")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
@@ -2436,7 +2447,7 @@ object DeltaLog {
               group.map(_._1))
               .filter(col(column) >= lo && col(column) <= hi)
               .withColumn(ChangeTypeCol, lit("delete"))
-            actions += writeCdcFile(deleted, root, pv)
+            actions += writeCdcFile(deleted, root, pv, st)
           }
       }
     }
@@ -2471,9 +2482,6 @@ object DeltaLog {
     val v = currentVersion(root)
     val st = replay(spark, root, v)
     requireWritableMapping(st, "deleteWhereLongDV")
-    require(mappingMode(st) == "none" || !cdfEnabled(st),
-      "DeltaLog.deleteWhereLongDV: CDF capture on a column-mapped " +
-        "table is unimplemented")
     requireNotAppendOnly(st, "deleteWhereLongDV")
     requireWritable(st, "deleteWhereLongDV")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
@@ -2566,23 +2574,27 @@ object DeltaLog {
       cdcDel.result().groupBy(_._1).toSeq.sortBy(_._1.mkString(" "))
         .foreach { case (pv, group) =>
           val deleted = group.map { case (_, rel, existing) =>
-            val base = spark.read.schema(dataSchema)
+            // mapped-aware scan: physical names in, logical out
+            val base = spark.read.schema(physSchema)
               .parquet(resolvePath(root, rel).toString)
-              .filter(matches)
             existing match {
-              case None => base
+              case None =>
+                base.filter(matchesPhys)
+                  .select(dataSchema.fieldNames.map(n =>
+                    col(physMap.getOrElse(n, n)).as(n)).toIndexedSeq: _*)
               case Some(e) =>
                 val posDf = org.apache.spark.sql.functions.broadcast(
                   e.positions.toSeq.toDF("__graft_pos"))
-                base
+                base.filter(matchesPhys)
                   .select(Seq(col("_metadata.row_index").as("__graft_pos")) ++
-                    dataSchema.fieldNames.map(col): _*)
+                    dataSchema.fieldNames.map(n =>
+                      col(physMap.getOrElse(n, n)).as(n)): _*)
                   .join(posDf, Seq("__graft_pos"), "left_anti")
                   .drop("__graft_pos")
             }
           }.reduce(_ unionByName _)
             .withColumn(ChangeTypeCol, lit("delete"))
-          actions += writeCdcFile(deleted, root, pv)
+          actions += writeCdcFile(deleted, root, pv, st)
         }
     }
     // first DV on this table: upgrade the protocol the way Delta does
@@ -2627,9 +2639,6 @@ object DeltaLog {
     val v = currentVersion(root)
     val st = replay(spark, root, v)
     requireWritableMapping(st, "updateWhereLong")
-    require(mappingMode(st) == "none" || !cdfEnabled(st),
-      "DeltaLog.updateWhereLong: CDF capture on a column-mapped table " +
-        "is unimplemented")
     requireNotAppendOnly(st, "updateWhereLong")
     requireWritable(st, "updateWhereLong")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
@@ -2712,7 +2721,7 @@ object DeltaLog {
               df.withColumn(c, e.cast(dataSchema(c).dataType))
           }.select(dataSchema.fieldNames.map(col).toSeq: _*)
             .withColumn(ChangeTypeCol, lit("update_postimage"))
-          actions += writeCdcFile(pre.unionByName(post), root, pv)
+          actions += writeCdcFile(pre.unionByName(post), root, pv, st)
         }
     }
     writeCommitFile(root, v + 1, actions.result(), operation = "UPDATE")
@@ -2759,9 +2768,6 @@ object DeltaLog {
     val v = currentVersion(root)
     val st = replay(spark, root, v)
     requireWritableMapping(st, "mergeKey")
-    require(mappingMode(st) == "none" || !cdfEnabled(st),
-      "DeltaLog.mergeKey: CDF capture on a column-mapped table is " +
-        "unimplemented")
     requireWritable(st, "mergeKey")
     val fullSchema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
@@ -2921,7 +2927,7 @@ object DeltaLog {
                 dataSchema, group.map(_._1))
                 .join(srcKeys, Seq(key), "left_semi"))
                 .withColumn(ChangeTypeCol, lit("update_preimage"))
-              actions += writeCdcFile(pre, root, pv)
+              actions += writeCdcFile(pre, root, pv, st)
             }
           // source partition slices (bounded by the batch's partition
           // count — the same bound any dynamic-partition commit has)
@@ -2936,10 +2942,11 @@ object DeltaLog {
                 if (r.isNullAt(i)) col(pc).isNull
                 else col(pc) <=> lit(r.get(i))
               }.reduce(_ && _))
-            val pvMap =
+            val pvMap = // keyed PHYSICAL on mapped tables
               if (pcs.isEmpty) Map.empty[String, String]
               else pcs.zipWithIndex.map { case (pc, i) =>
-                pc -> (if (r.isNullAt(i)) null else r.get(i).toString)
+                physMap.getOrElse(pc, pc) ->
+                  (if (r.isNullAt(i)) null else r.get(i).toString)
               }.toMap
             val post = inOrder(slice.join(matchedKeys, Seq(key),
               "left_semi"))
@@ -2947,7 +2954,7 @@ object DeltaLog {
             val ins = inOrder(slice.join(matchedKeys, Seq(key),
               "left_anti"))
               .withColumn(ChangeTypeCol, lit("insert"))
-            actions += writeCdcFile(post.unionByName(ins), root, pvMap)
+            actions += writeCdcFile(post.unionByName(ins), root, pvMap, st)
           }
         } finally matchedKeys.unpersist()
       }
@@ -3152,9 +3159,6 @@ object DeltaLog {
     require(cdfEnabled(st),
       s"DeltaLog.readChangeFeed: $root does not set " +
         "delta.enableChangeDataFeed=true — no change feed was recorded")
-    require(mappingMode(st) == "none",
-      s"DeltaLog.readChangeFeed: column-mapped tables are read-only " +
-        s"through this bridge (mode ${mappingMode(st)})")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     val pcSet = st.partitionColumns.toSet
@@ -3215,11 +3219,16 @@ object DeltaLog {
         (cdcs.result(), adds.result(), removes.result())
       val changes: Option[DataFrame] =
         if (cdcList.nonEmpty) {
-          val cdcSchema = StructType(dataSchema.fields :+
+          // mapped tables: cdc data columns store physical names /
+          // field ids; `_change_type` is a feed artifact, never mapped
+          val (scanData, _) = readSchemaFor(st, dataSchema)
+          val cdcSchema = StructType(scanData.fields :+
             StructField(ChangeTypeCol, StringType, nullable = true))
           Some(cdcList.map { case (rel, pv) =>
             attachPv(spark.read.schema(cdcSchema)
-              .parquet(resolvePath(root, rel).toString), pv, rel)
+              .parquet(resolvePath(root, rel).toString)
+              .toDF((dataSchema.fieldNames :+ ChangeTypeCol).toSeq: _*),
+              pv, rel)
               .select(outCols.map(col): _*)
           }.reduce(_ unionByName _))
         } else if (addList.isEmpty && removeList.isEmpty) None

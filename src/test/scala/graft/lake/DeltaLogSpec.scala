@@ -1419,17 +1419,33 @@ class DeltaLogSpec extends SparkSpec {
         Seq((1L, "a")).toDF("k", "v"),
         configuration = Map("delta.columnMapping.mode" -> "name")))
     assert(eCreate.getMessage.contains("author"), eCreate.getMessage)
-    // DML on a CDF-enabled mapped table refuses naming CDF
+    // DML on a CDF-enabled MAPPED table: cdc files store PHYSICAL
+    // names, the feed reads back logical
     val rootCdf = freshRoot()
     writeFlat(rootCdf, "part-a.parquet",
-      Seq((1L, "a")).toDF("col-aaa", "col-bbb"))
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("col-aaa", "col-bbb")
+        .coalesce(1))
     writeCommit(rootCdf, 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       s"""{"metaData":{"id":"ext-cmc","format":{"provider":"parquet","options":{}},"schemaString":"${mappedSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.enableChangeDataFeed":"true"}}}""",
       """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
-    val eCdf = intercept[IllegalArgumentException](
-      DeltaLog.deleteWhereLong(spark, rootCdf, "k", 1L, 1L))
-    assert(eCdf.getMessage.contains("CDF"), eCdf.getMessage)
+    DeltaLog.deleteWhereLong(spark, rootCdf, "k", 2L, 2L)
+    DeltaLog.mergeKey(spark, rootCdf, "k",
+      Seq((3L, "C"), (9L, "i")).toDF("k", "v"))
+    val feed = DeltaLog.readChangeFeed(spark, rootCdf, 0L)
+      .select("k", "v", DeltaLog.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set((2L, "b", "delete"),
+      (3L, "c", "update_preimage"), (3L, "C", "update_postimage"),
+      (9L, "i", "insert")), feed.toString)
+    // the cdc parquet itself stores physical names
+    val cdcDir = Paths.get(rootCdf, "_change_data")
+    val cdcFiles = Files.list(cdcDir)
+    val one = try cdcFiles.iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get finally cdcFiles.close()
+    assert(spark.read.parquet(one.toString).columns.sorted.toSeq ==
+      Seq("_change_type", "col-aaa", "col-bbb"),
+      spark.read.parquet(one.toString).columns.toSeq.toString)
   }
 
   test("name-mode column mapping WRITES, partitioned: appends route to " +
