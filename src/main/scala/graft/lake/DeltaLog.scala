@@ -3047,11 +3047,36 @@ object DeltaLog {
 
   /** The table's column-mapping mode ("none" when unset) — external
     * integrations that read data files DIRECTLY (the streaming source)
-    * must refuse mapped tables or they would read physical-named files
-    * through logical names as all-NULL columns.
+    * must resolve the mapping themselves (see [[columnResolution]]) or
+    * they would read physical-named files through logical names as
+    * all-NULL columns.
     */
   def columnMappingMode(spark: SparkSession, root: String): String =
     mappingMode(replay(spark, root, currentVersion(root)))
+
+  /** Direct-file-reader column resolution: (logical → physical name,
+    * logical → parquet field id) per the table's mapping mode — both
+    * empty when unmapped. Name mode resolves by physical name; id mode
+    * resolves by the footer's field ids with the physical name as the
+    * fallback lookup.
+    */
+  def columnResolution(spark: SparkSession,
+      root: String): (Map[String, String], Map[String, Long]) = {
+    val st = replay(spark, root, currentVersion(root))
+    st.schema match {
+      case None => (Map.empty, Map.empty)
+      case Some(schema) => mappingMode(st) match {
+        case "name" => (physicalTopLevel(schema), Map.empty)
+        case "id" =>
+          (physicalTopLevel(schema),
+            schema.fields.collect {
+              case f if f.metadata.contains(ColumnIdKey) =>
+                f.name -> f.metadata.getLong(ColumnIdKey)
+            }.toMap)
+        case _ => (Map.empty, Map.empty)
+      }
+    }
+  }
 
   /** Whether the table currently declares change-data-feed capture. */
   def changeFeedEnabled(spark: SparkSession, root: String): Boolean =

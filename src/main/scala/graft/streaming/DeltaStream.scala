@@ -150,13 +150,11 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
         override def description(): String = name()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
           val (_, pcs) = DeltaLog.tableMeta(SparkSession.active, root)
-          // the reader opens data files DIRECTLY by logical name — a
-          // mapped table would silently read every column as NULL
-          val mode = DeltaLog.columnMappingMode(SparkSession.active, root)
-          require(mode == "none",
-            s"DeltaStreamProvider: $root uses column mapping (mode " +
-              s"$mode) — streaming reads are unsupported; use " +
-              "DeltaLog.read")
+          // the reader opens data files DIRECTLY — on a mapped table it
+          // resolves columns by physical name (name mode) or by the
+          // footer's field ids (id mode) via this resolution pair
+          val (lookupNames, fieldIds) =
+            DeltaLog.columnResolution(SparkSession.active, root)
           if (cdf) require(
             DeltaLog.changeFeedEnabled(SparkSession.active, root),
             s"DeltaStreamProvider: $root does not declare " +
@@ -178,7 +176,7 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
                 "are long/int/string/boolean/double/date")
           }
           new DeltaMicroBatchStream(root, schema0, startingVersion,
-            maxVersionsPerTrigger, pcs, cdf)
+            maxVersionsPerTrigger, pcs, cdf, lookupNames, fieldIds)
         }
       }
     }
@@ -202,7 +200,9 @@ private[streaming] class DeltaMicroBatchStream(root: String,
                                                startingVersion: Long,
                                                maxVersionsPerTrigger: Option[Long],
                                                partitionCols: Seq[String],
-                                               cdf: Boolean = false)
+                                               cdf: Boolean = false,
+                                               lookupNames: Map[String, String] = Map.empty,
+                                               fieldIds: Map[String, Long] = Map.empty)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
@@ -256,7 +256,7 @@ private[streaming] class DeltaMicroBatchStream(root: String,
     val props = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     while (it.hasNext) { val e = it.next(); props += ((e.getKey, e.getValue)) }
     DeltaStreamReaderFactory(schema.json, props.toArray,
-      partitionCols.toArray)
+      partitionCols.toArray, lookupNames, fieldIds)
   }
 }
 
@@ -267,7 +267,9 @@ private[streaming] case class DeltaFilePartition(
 
 private[streaming] case class DeltaStreamReaderFactory(
     schemaJson: String, hadoopProps: Array[(String, String)],
-    partitionCols: Array[String])
+    partitionCols: Array[String],
+    lookupNames: Map[String, String] = Map.empty,
+    fieldIds: Map[String, Long] = Map.empty)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -276,18 +278,25 @@ private[streaming] case class DeltaStreamReaderFactory(
     val p = partition.asInstanceOf[DeltaFilePartition]
     val declared = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     // partition columns read as per-file CONSTANTS from the add's
-    // partitionValues, parsed once per reader by declared type
+    // partitionValues (keyed PHYSICAL on mapped tables, logical
+    // accepted as a fallback), parsed once per reader by declared type
     val pcSet = partitionCols.toSet
     val constants: Array[Option[Any]] = declared.fields.map { f =>
-      if (pcSet(f.name))
+      if (pcSet(f.name)) {
+        val key = lookupNames.getOrElse(f.name, f.name)
         Some(DeltaStreamReaderFactory.parsePv(
-          p.partitionValues.getOrElse(f.name, null), f.dataType))
-      else if (p.extras.contains(f.name))
+          p.partitionValues.get(key)
+            .orElse(p.partitionValues.get(f.name)).orNull, f.dataType))
+      } else if (p.extras.contains(f.name))
         Some(DeltaStreamReaderFactory.parsePv(
           p.extras(f.name), f.dataType))
       else None
     }
-    new GroupParquetReader(p.path, declared, constants, conf)
+    val lookups = declared.fields.map(f =>
+      lookupNames.getOrElse(f.name, f.name))
+    val ids = declared.fields.map(f => fieldIds.get(f.name))
+    new GroupParquetReader(p.path, declared, constants, conf,
+      lookups, ids)
   }
 }
 
@@ -323,11 +332,16 @@ private[streaming] object DeltaStreamReaderFactory {
   * converting to InternalRow by the declared schema: file-missing
   * columns → null (post-evolution reads), value extraction by declared
   * Spark type (timestamps must be INT64 µs — the only physical form
-  * this bridge writes; INT96 refuses loudly).
+  * this bridge writes; INT96 refuses loudly). Column-mapped tables
+  * resolve each field by its parquet FIELD ID when one is declared
+  * (id mode), else by `lookupNames` (the physical name under name
+  * mode, the logical name otherwise).
   */
 private[streaming] class GroupParquetReader(
     path: String, declared: StructType, constants: Array[Option[Any]],
-    conf: org.apache.hadoop.conf.Configuration)
+    conf: org.apache.hadoop.conf.Configuration,
+    lookupNames: Array[String] = Array.empty,
+    fieldIds: Array[Option[Long]] = Array.empty)
   extends PartitionReader[InternalRow] {
 
   import org.apache.parquet.example.data.Group
@@ -344,16 +358,26 @@ private[streaming] class GroupParquetReader(
   private val fieldIdx: Array[Int] = declared.fields.zipWithIndex.map {
     case (f, di) =>
     if (constants(di).isDefined) -1
-    else if (fileSchema.containsField(f.name)) {
-      val i = fileSchema.getFieldIndex(f.name)
-      if (f.dataType == TimestampType) {
-        val pt = fileSchema.getType(i).asPrimitiveType()
+    else {
+      val byId: Option[Int] =
+        if (di < fieldIds.length) fieldIds(di).flatMap { id =>
+          (0 until fileSchema.getFieldCount).find { i =>
+            val t = fileSchema.getType(i)
+            t.getId != null && t.getId.intValue().toLong == id
+          }
+        } else None
+      val name = if (di < lookupNames.length) lookupNames(di) else f.name
+      val idx = byId.getOrElse(
+        if (fileSchema.containsField(name)) fileSchema.getFieldIndex(name)
+        else -1)
+      if (idx >= 0 && f.dataType == TimestampType) {
+        val pt = fileSchema.getType(idx).asPrimitiveType()
         require(pt.getPrimitiveTypeName == PrimitiveTypeName.INT64,
           s"GroupParquetReader: $path stores ${f.name} as " +
             s"${pt.getPrimitiveTypeName}, expected INT64 µs timestamps")
       }
-      i
-    } else -1
+      idx
+    }
   }
 
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _

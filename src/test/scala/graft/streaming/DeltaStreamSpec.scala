@@ -168,6 +168,60 @@ class DeltaStreamSpec extends SparkSpec {
     assert(rowsOf(dstRoot) == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("streaming a COLUMN-MAPPED table: name mode resolves physical " +
+    "file names, id mode resolves by parquet field ids — logical " +
+    "columns stream out") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType, MetadataBuilder}
+    def author(mode: String, fileCols: (String, String)): String = {
+      val root = freshDir(s"graft-dstream-cm-$mode")
+      val rootP = java.nio.file.Paths.get(root)
+      Files.createDirectories(rootP)
+      val mb1 = new MetadataBuilder().putLong("parquet.field.id", 1L).build()
+      val mb2 = new MetadataBuilder().putLong("parquet.field.id", 2L).build()
+      val df = spark.createDataFrame(
+        Seq((1L, "a"), (2L, "b")).toDF("x", "y").rdd,
+        StructType(Seq(StructField(fileCols._1, LongType, true, mb1),
+          StructField(fileCols._2, StringType, true, mb2))))
+      val tmp = Files.createTempDirectory("graft-cm-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(java.nio.file.Paths.get(tmp))
+        .iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, rootP.resolve("part-a.parquet"))
+      val mapped =
+        """{"type":"struct","fields":[
+          {"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aaa"}},
+          {"name":"v","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-bbb"}}]}"""
+          .replaceAll("\n\\s*", "")
+      Files.createDirectories(rootP.resolve("_delta_log"))
+      Files.write(rootP.resolve("_delta_log").resolve(f"${0L}%020d.json"),
+        (Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"ext-cm-$mode","format":{"provider":"parquet","options":{}},"schemaString":"${mapped.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode"}}}""",
+          """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+          .mkString("", "\n", "\n")).getBytes("UTF-8"))
+      root
+    }
+    // name mode: the file stores the declared PHYSICAL names
+    val nameRoot = author("name", ("col-aaa", "col-bbb"))
+    // id mode: file names match NEITHER logical nor physical — only
+    // the field ids can resolve
+    val idRoot = author("id", ("file-k", "file-v"))
+    Seq(nameRoot, idRoot).foreach { root =>
+      val name = s"cmstream_${System.nanoTime()}"
+      val q = readStream(root).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(got == Set((1L, "a"), (2L, "b")), s"$root: $got")
+        assert(spark.table(name).columns.toSeq == Seq("k", "v"))
+      } finally q.stop()
+    }
+  }
+
   test("streaming SINK into a PARTITIONED table: rows route to hive " +
     "partition directories executor-side, adds carry partitionValues, " +
     "partition columns never land in the data files") {
