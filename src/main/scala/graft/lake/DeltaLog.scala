@@ -1312,6 +1312,45 @@ object DeltaLog {
     */
   private val SrcTagCol = "__graft_src"
 
+  /** File-tagging strategy for the batched multi-file machinery: how
+    * the executor labels each row's source file (`tagExpr` over the
+    * scan's `_metadata`) and how the driver predicts that label for a
+    * known rel (`tagOf`).
+    */
+  private case class FileTagging(
+      tagExpr: org.apache.spark.sql.Column,
+      tagOf: String => String)
+
+  /** Choose a COLLISION-FREE tagging for `rels`: the table-relative
+    * path (last depth+1 segments of `_metadata.file_path`) when depths
+    * are uniform and characters URI-round-trip-safe — partitioned
+    * layouts REPEAT part basenames across partition directories (one
+    * write, one part numbering), so basenames alone cannot tag them —
+    * else the basename when unique, else None (callers fall back to
+    * per-file plans).
+    */
+  private def chooseTagging(root: String,
+      rels: Seq[String]): Option[FileTagging] = {
+    import org.apache.spark.sql.functions.{array_join, slice, split}
+    val safe = rels.forall(r => !r.startsWith("/") &&
+      r.forall(c => c.isLetterOrDigit || "._-=/".indexOf(c.toInt) >= 0))
+    val depths = rels.map(_.count(_ == '/')).distinct
+    if (safe && depths.size == 1) {
+      val n = depths.head + 1
+      Some(FileTagging(
+        array_join(slice(split(col("_metadata.file_path"), "/"),
+          -n, n), "/"),
+        identity))
+    } else {
+      val byName = rels.map(rel =>
+        resolvePath(root, rel).getFileName.toString)
+      if (byName.distinct.size == byName.size)
+        Some(FileTagging(col("_metadata.file_name"),
+          rel => resolvePath(root, rel).getFileName.toString))
+      else None
+    }
+  }
+
   /** (basename, position) rows of the given files' deletion vectors —
     * positions exploded EXECUTOR-side from the shipped bitmap bytes
     * (the [[dvFilteredFile]] idiom), broadcast when the total
@@ -1319,10 +1358,14 @@ object DeltaLog {
     * "live rows only" multi-file scan below.
     */
   private def dvPositionsByName(spark: SparkSession, root: String,
-      dvs: Map[String, DvDescriptor]): DataFrame = {
+      dvs: Map[String, DvDescriptor],
+      tagOf: String => String = null): DataFrame = {
     import spark.implicits._
+    val tag: String => String =
+      if (tagOf != null) tagOf
+      else rel => resolvePath(root, rel).getFileName.toString
     val rows: Seq[(String, Array[Byte])] = dvs.toSeq.map { case (rel, d) =>
-      resolvePath(root, rel).getFileName.toString -> d.readBytes(root) }
+      tag(rel) -> d.readBytes(root) }
     val df = spark.createDataset(rows)
       .flatMap { case (n, b) => Dv.deserialize(b).positions.map(p => (n, p)) }
       .toDF(SrcTagCol, "__graft_pos")
@@ -1334,8 +1377,8 @@ object DeltaLog {
   /** Read `files` in LOGICAL space EXCLUDING each file's DV-deleted
     * positions — the live-row multi-file scan the CDC builders use
     * (mapping-aware: scans resolve physical names / field ids and hand
-    * back logical columns). Falls back to per-file scans on a basename
-    * collision.
+    * back logical columns). Falls back to per-file scans when no
+    * collision-free tagging exists.
     */
   private def readFilesMinusDv(spark: SparkSession, root: String,
       st: LogState, dataSchema: StructType,
@@ -1348,28 +1391,26 @@ object DeltaLog {
     if (dvs.isEmpty)
       spark.read.schema(scanSchema).parquet(paths: _*)
         .select(toLogical.toIndexedSeq: _*)
-    else {
-      val names = files.map(f => resolvePath(root, f).getFileName.toString)
-      if (names.distinct.size == names.size)
+    else chooseTagging(root, files) match {
+      case Some(tagging) =>
         spark.read.schema(scanSchema).parquet(paths: _*)
           .select(toLogical :+
-            col("_metadata.file_name").as(SrcTagCol) :+
+            tagging.tagExpr.as(SrcTagCol) :+
             col("_metadata.row_index").as("__graft_pos"): _*)
-          .join(dvPositionsByName(spark, root, dvs),
+          .join(dvPositionsByName(spark, root, dvs, tagging.tagOf),
             Seq(SrcTagCol, "__graft_pos"), "left_anti")
           .drop(SrcTagCol, "__graft_pos")
-      else files.map { rel =>
+      case None => files.map { rel =>
         val one = spark.read.schema(scanSchema)
           .parquet(resolvePath(root, rel).toString)
         st.fileDvs.get(rel) match {
           case None => one.select(toLogical.toIndexedSeq: _*)
           case Some(_) =>
             one.select(toLogical :+
-              lit(resolvePath(root, rel).getFileName.toString)
-                .as(SrcTagCol) :+
+              lit(rel).as(SrcTagCol) :+
               col("_metadata.row_index").as("__graft_pos"): _*)
               .join(dvPositionsByName(spark, root,
-                Map(rel -> st.fileDvs(rel))),
+                Map(rel -> st.fileDvs(rel)), identity),
                 Seq(SrcTagCol, "__graft_pos"), "left_anti")
               .drop(SrcTagCol, "__graft_pos")
         }
@@ -1399,11 +1440,9 @@ object DeltaLog {
       f.copy(name = physMap.getOrElse(f.name, f.name))))
     def logicalCols = probeSchema.fieldNames.map(n =>
       col(physMap.getOrElse(n, n)).as(n))
-    val byName = candidates.map { case (rel, _) =>
-      resolvePath(root, rel).getFileName.toString -> rel }
-    val hit: Set[String] =
-      if (byName.map(_._1).distinct.size == byName.size) {
-        val nameToRel = byName.toMap
+    val hit: Set[String] = chooseTagging(root, candidates.map(_._1)) match {
+      case Some(tagging) =>
+        val tagToRel = candidates.map(c => tagging.tagOf(c._1) -> c._1).toMap
         // DV-carrying candidates probe over their LIVE rows only — a
         // file whose matching rows are all already DV-deleted is NOT
         // touched (rewriting it would commit a dataChange no-op).
@@ -1413,19 +1452,17 @@ object DeltaLog {
           .parquet(candidates.map(c => resolvePath(root, c._1).toString): _*)
         val live =
           if (dvs.isEmpty)
-            scan0.select(logicalCols :+
-              col("_metadata.file_name").as(SrcTagCol): _*)
+            scan0.select(logicalCols :+ tagging.tagExpr.as(SrcTagCol): _*)
           else
-            scan0.select(logicalCols :+
-              col("_metadata.file_name").as(SrcTagCol) :+
+            scan0.select(logicalCols :+ tagging.tagExpr.as(SrcTagCol) :+
               col("_metadata.row_index").as("__graft_pos"): _*)
-              .join(dvPositionsByName(spark, root, dvs),
+              .join(dvPositionsByName(spark, root, dvs, tagging.tagOf),
                 Seq(SrcTagCol, "__graft_pos"), "left_anti")
               .drop("__graft_pos")
         matcher(live)
           .select(col(SrcTagCol)).distinct()
-          .as[String].collect().toSet.map(nameToRel)
-      } else candidates.map { case (rel, _) =>
+          .as[String].collect().toSet.map(tagToRel)
+      case None => candidates.map { case (rel, _) =>
         val one = spark.read.schema(physSchema)
           .parquet(resolvePath(root, rel).toString)
         val live = dvs.get(rel) match {
@@ -1433,13 +1470,14 @@ object DeltaLog {
           case Some(d) =>
             one.select(logicalCols :+ lit(rel).as(SrcTagCol) :+
               col("_metadata.row_index").as("__graft_pos"): _*)
-              .join(dvPositionsByName(spark, root, Map(rel -> d))
-                .withColumn(SrcTagCol, lit(rel)),
+              .join(dvPositionsByName(spark, root, Map(rel -> d),
+                identity),
                 Seq(SrcTagCol, "__graft_pos"), "left_anti")
               .drop("__graft_pos")
         }
         matcher(live).select(col(SrcTagCol)).limit(1)
       }.reduce(_ unionByName _).as[String].collect().toSet
+    }
     candidates.filter { case (rel, _) => hit(rel) }
   }
 
@@ -1472,10 +1510,8 @@ object DeltaLog {
       col(physMap.getOrElse(n, n)).as(n))
     def toPhysical = dataSchema.fieldNames.map(n =>
       col(n).as(physMap.getOrElse(n, n)))
-    val byName = rels.map(rel =>
-      resolvePath(root, rel).getFileName.toString -> rel)
-    if (byName.map(_._1).distinct.size != byName.size)
-      // basename collision (imported/converted layouts): sequential
+    val tagging = chooseTagging(root, rels).getOrElse {
+      // no collision-free tagging (imported/clone layouts): sequential
       // per-file fallback — correct, just not the batched fast path
       return rels.flatMap { rel =>
         val one = spark.read.schema(physSchema)
@@ -1485,8 +1521,8 @@ object DeltaLog {
           case Some(d) =>
             one.select(toLogical :+ lit(rel).as(SrcTagCol) :+
               col("_metadata.row_index").as("__graft_pos"): _*)
-              .join(dvPositionsByName(spark, root, Map(rel -> d))
-                .withColumn(SrcTagCol, lit(rel)),
+              .join(dvPositionsByName(spark, root, Map(rel -> d),
+                identity),
                 Seq(SrcTagCol, "__graft_pos"), "left_anti")
               .drop("__graft_pos")
         }
@@ -1497,19 +1533,18 @@ object DeltaLog {
           .path("numRecords").asLong(0L)
         if (kept == 0L) { Files.delete(part); None } else Some(rel -> part)
       }.toMap
-    val nameToRel = byName.toMap
+    }
+    val tagToRel = rels.map(rel => tagging.tagOf(rel) -> rel).toMap
     val staging = Files.createTempDirectory(stagingBase(root), prefix)
     val scan0 = spark.read.schema(physSchema)
       .parquet(rels.map(r => resolvePath(root, r).toString): _*)
     val scanned =
       if (dvs.isEmpty)
-        scan0.select(toLogical :+
-          col("_metadata.file_name").as(SrcTagCol): _*)
+        scan0.select(toLogical :+ tagging.tagExpr.as(SrcTagCol): _*)
       else
-        scan0.select(toLogical :+
-          col("_metadata.file_name").as(SrcTagCol) :+
+        scan0.select(toLogical :+ tagging.tagExpr.as(SrcTagCol) :+
           col("_metadata.row_index").as("__graft_pos"): _*)
-          .join(dvPositionsByName(spark, root, dvs),
+          .join(dvPositionsByName(spark, root, dvs, tagging.tagOf),
             Seq(SrcTagCol, "__graft_pos"), "left_anti")
           .drop("__graft_pos")
     transform(scanned)
@@ -1535,7 +1570,7 @@ object DeltaLog {
         val hoisted = stagingBase(root).resolve(
           s"part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
         Files.move(part, hoisted, StandardCopyOption.ATOMIC_MOVE)
-        out += nameToRel(name) -> hoisted
+        out += tagToRel(name) -> hoisted
       }
     } finally dirs.close()
     deleteRecursively(staging)
@@ -1673,6 +1708,50 @@ object DeltaLog {
     val rel = Paths.get(root).relativize(target).toString
       .replace(java.io.File.separatorChar, '/')
     cdcActionNode(root, rel, pv)
+  }
+
+  /** Partitioned sibling of [[writeCdcFile]] — ONE dynamic-partitioned
+    * job writes EVERY touched partition's cdc rows (`df` carries the
+    * table's partition columns alongside data + `_change_type`), then
+    * each staged part moves under `_change_data` with a pv-keyed cdc
+    * action. The scale posture for partitioned DML change capture: cdc
+    * jobs are O(1), never O(touched partitions).
+    */
+  private def writeCdcFilesPartitioned(df: DataFrame, root: String,
+      pcs: Seq[String], st: LogState): Seq[JsonNode] = {
+    require(pcs.nonEmpty, "writeCdcFilesPartitioned: partitioned only")
+    val physMap = st.schema.map(physicalWriteMap(st, _))
+      .getOrElse(Map.empty[String, String])
+    val out =
+      if (physMap.isEmpty) df
+      else df.toDF(df.columns.map(c => physMap.getOrElse(c, c)): _*)
+    val physPcs = pcs.map(c => physMap.getOrElse(c, c))
+    val staging = Files.createTempDirectory(stagingBase(root),
+      "graft-delta-cdc")
+    out.repartition(physPcs.map(col): _*)
+      .write.mode("overwrite").partitionBy(physPcs: _*)
+      .parquet(staging.toString)
+    val walk = Files.walk(staging)
+    val parts =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p)
+          && p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+      finally walk.close()
+    val dir = Files.createDirectories(Paths.get(root, "_change_data"))
+    val nodes = parts.map { p =>
+      val relStaged = staging.relativize(p).toString
+        .replace(java.io.File.separatorChar, '/')
+      val pv = partitionValuesOf(relStaged, physPcs)
+      val target = dir.resolve(
+        "cdc-" + java.util.UUID.randomUUID() + ".parquet")
+      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      val rel = Paths.get(root).relativize(target).toString
+        .replace(java.io.File.separatorChar, '/')
+      cdcActionNode(root, rel, pv)
+    }
+    deleteRecursively(staging)
+    nodes
   }
 
   /** Writer features a LEGACY `minWriterVersion` implies — what a
@@ -2515,31 +2594,32 @@ object DeltaLog {
     val matchedBytes: Map[String, Array[Byte]] = {
       if (overlapping.isEmpty) Map.empty
       else {
-        val byName = overlapping.map { case (rel, _) =>
-          resolvePath(root, rel).getFileName.toString -> rel }
         val bitmapAgg = org.apache.spark.sql.functions.udaf(
           BitmapAgg, org.apache.spark.sql.Encoders.scalaLong)
-        if (byName.map(_._1).distinct.size == byName.size) {
-          val nameToRel = byName.toMap
-          spark.read.schema(physSchema)
-            .parquet(overlapping.map(c =>
-              resolvePath(root, c._1).toString): _*)
-            .filter(matchesPhys)
-            .select(col("_metadata.file_name").as("__name"),
-              col("_metadata.row_index").as("__pos"))
-            .groupBy(col("__name")).agg(bitmapAgg(col("__pos")).as("__dv"))
-            .collect()
-            .map(r => nameToRel(r.getString(0)) -> r.getAs[Array[Byte]](1))
-            .toMap
-        } else overlapping.flatMap { case (rel, _) =>
-          spark.read.schema(physSchema)
-            .parquet(resolvePath(root, rel).toString)
-            .filter(matchesPhys)
-            .select(col("_metadata.row_index").as("__pos"))
-            .agg(bitmapAgg(col("__pos")).as("__dv"))
-            .collect().headOption.filterNot(_.isNullAt(0))
-            .map(r => rel -> r.getAs[Array[Byte]](0))
-        }.toMap
+        chooseTagging(root, overlapping.map(_._1)) match {
+          case Some(tagging) =>
+            val tagToRel = overlapping.map(c =>
+              tagging.tagOf(c._1) -> c._1).toMap
+            spark.read.schema(physSchema)
+              .parquet(overlapping.map(c =>
+                resolvePath(root, c._1).toString): _*)
+              .filter(matchesPhys)
+              .select(tagging.tagExpr.as("__name"),
+                col("_metadata.row_index").as("__pos"))
+              .groupBy(col("__name")).agg(bitmapAgg(col("__pos")).as("__dv"))
+              .collect()
+              .map(r => tagToRel(r.getString(0)) -> r.getAs[Array[Byte]](1))
+              .toMap
+          case None => overlapping.flatMap { case (rel, _) =>
+            spark.read.schema(physSchema)
+              .parquet(resolvePath(root, rel).toString)
+              .filter(matchesPhys)
+              .select(col("_metadata.row_index").as("__pos"))
+              .agg(bitmapAgg(col("__pos")).as("__dv"))
+              .collect().headOption.filterNot(_.isNullAt(0))
+              .map(r => rel -> r.getAs[Array[Byte]](0))
+          }.toMap
+        }
       }
     }
     val cdcDel =
@@ -2921,40 +3001,70 @@ object DeltaLog {
         def inOrder(df: DataFrame) =
           df.select(dataSchema.fieldNames.map(col).toSeq: _*)
         try {
-          touched.groupBy(_._2).toSeq.sortBy(_._1.mkString(" "))
-            .foreach { case (pv, group) =>
-              val pre = inOrder(readFilesMinusDv(spark, root, st,
-                dataSchema, group.map(_._1))
-                .join(srcKeys, Seq(key), "left_semi"))
-                .withColumn(ChangeTypeCol, lit("update_preimage"))
-              actions += writeCdcFile(pre, root, pv, st)
-            }
-          // source partition slices (bounded by the batch's partition
-          // count — the same bound any dynamic-partition commit has)
-          val srcPvs: Seq[org.apache.spark.sql.Row] =
-            if (pcs.isEmpty) Seq(org.apache.spark.sql.Row.empty)
-            else src.select(pcs.map(col): _*).distinct()
-              .collect().toSeq.sortBy(_.toString)
-          srcPvs.foreach { r =>
-            val slice =
-              if (pcs.isEmpty) src
-              else src.filter(pcs.zipWithIndex.map { case (pc, i) =>
-                if (r.isNullAt(i)) col(pc).isNull
-                else col(pc) <=> lit(r.get(i))
-              }.reduce(_ && _))
-            val pvMap = // keyed PHYSICAL on mapped tables
-              if (pcs.isEmpty) Map.empty[String, String]
-              else pcs.zipWithIndex.map { case (pc, i) =>
-                physMap.getOrElse(pc, pc) ->
-                  (if (r.isNullAt(i)) null else r.get(i).toString)
-              }.toMap
-            val post = inOrder(slice.join(matchedKeys, Seq(key),
+          if (pcs.isEmpty) {
+            val pre = inOrder(touchedRows
+              .join(srcKeys, Seq(key), "left_semi"))
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+            val post = inOrder(src.join(matchedKeys, Seq(key),
               "left_semi"))
               .withColumn(ChangeTypeCol, lit("update_postimage"))
-            val ins = inOrder(slice.join(matchedKeys, Seq(key),
+            val ins = inOrder(src.join(matchedKeys, Seq(key),
               "left_anti"))
               .withColumn(ChangeTypeCol, lit("insert"))
-            actions += writeCdcFile(post.unionByName(ins), root, pvMap, st)
+            actions += writeCdcFile(
+              pre.unionByName(post).unionByName(ins), root, Map.empty, st)
+          } else {
+            // PARTITIONED change capture in ONE dynamic-partitioned
+            // write: pre-images get their FILE's partition values from
+            // Spark's own basePath partition discovery (data files
+            // don't store partition columns; basename tags can COLLIDE
+            // across partition dirs of one write, so no tag joins);
+            // DV'd or clone-absolute files take a per-file branch with
+            // pv literals. Post-images and inserts carry the source
+            // row's own values. Jobs stay O(1), never O(partitions).
+            val (special, plain) = touched.partition { case (rel, _) =>
+              rel.startsWith("/") || st.fileDvs.contains(rel) }
+            val physFull = StructType(fullSchema.fields.map(f =>
+              f.copy(name = physMap.getOrElse(f.name, f.name))))
+            def logicalAll = fullSchema.fieldNames.map(n =>
+              col(physMap.getOrElse(n, n)).as(n))
+            val preParts = Seq.newBuilder[DataFrame]
+            if (plain.nonEmpty)
+              preParts += spark.read.option("basePath", root)
+                .schema(physFull)
+                .parquet(plain.map(p =>
+                  resolvePath(root, p._1).toString): _*)
+                .select(logicalAll.toIndexedSeq: _*)
+            special.foreach { case (rel, pv) =>
+              val base = readFilesMinusDv(spark, root, st, dataSchema,
+                Seq(rel))
+              preParts += fullSchema.fields.filter(f => pcSet(f.name))
+                .foldLeft(base) { (d, f) =>
+                  val k2 = pvKeyOf(st, fullSchema, f.name, pv).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"DeltaLog.mergeKey: $rel lacks partitionValues " +
+                        s"for declared partition column ${f.name}"))
+                  d.withColumn(f.name, Option(pv(k2)) match {
+                    case Some(s) => lit(s).cast(f.dataType)
+                    case None => lit(null).cast(f.dataType)
+                  })
+                }
+                .select(fullSchema.fieldNames.map(col).toSeq: _*)
+            }
+            def inOrderFull(df: DataFrame) =
+              df.select(fullSchema.fieldNames.map(col).toSeq: _*)
+            val pre = inOrderFull(preParts.result()
+              .reduce(_ unionByName _)
+              .join(srcKeys, Seq(key), "left_semi"))
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+            val post = inOrderFull(src.join(matchedKeys, Seq(key),
+              "left_semi"))
+              .withColumn(ChangeTypeCol, lit("update_postimage"))
+            val ins = inOrderFull(src.join(matchedKeys, Seq(key),
+              "left_anti"))
+              .withColumn(ChangeTypeCol, lit("insert"))
+            actions ++= writeCdcFilesPartitioned(
+              pre.unionByName(post).unionByName(ins), root, pcs, st)
           }
         } finally matchedKeys.unpersist()
       }

@@ -690,6 +690,34 @@ class DeltaLogSpec extends SparkSpec {
         Seq((3L, "back"), (6L, "SIX"))).toSet)
   }
 
+  test("partitioned merge CDF under COLLIDING basenames: one write's " +
+    "part files repeat names across partition dirs — pre-images must " +
+    "keep their own file's bucket (r17 regression: a basename tag join " +
+    "multiplied every pre-image into every bucket)") {
+    val root = freshRoot()
+    // ONE partitioned commit: part-00000-<uuid> repeats in every pt dir
+    DeltaLog.commitPartitioned(spark, root,
+      (1L to 40L).map(k => (k, k * 10L, (k % 4).toString))
+        .toDF("k", "x", "pt"), Seq("pt"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.mergeKey(spark, root, "k",
+      (1L to 20L).map(k => (k, -k, ((k + 1) % 4).toString))
+        .toDF("k", "x", "pt")
+        .unionByName((100L to 110L).map(k => (k, k, (k % 4).toString))
+          .toDF("k", "x", "pt")))
+    val feed = DeltaLog.readChangeFeed(spark, root, 0L)
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+    assert(pre.count() == 20L, s"pre rows: ${pre.count()}")
+    assert(pre.filter(col("pt") =!= pmod(col("k"), lit(4)).cast("string"))
+      .count() == 0L, "pre-images must carry their ORIGINAL bucket")
+    val post = feed.filter(col("_change_type") === "update_postimage")
+    assert(post.count() == 20L)
+    assert(post.filter(col("pt") =!=
+      pmod(col("k") + 1, lit(4)).cast("string")).count() == 0L,
+      "post-images must carry the source row's NEW bucket")
+    assert(feed.filter(col("_change_type") === "insert").count() == 11L)
+  }
+
   test("mergeKey: STRING keys — the reference's order_id merge shape; " +
     "exact probe leaves untouched files un-rewritten") {
     val root = freshRoot()
