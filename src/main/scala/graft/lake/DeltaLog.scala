@@ -825,23 +825,55 @@ object DeltaLog {
     }
   }
 
-  /** WRITE-path mapping gate: modes none and name are writable (name
-    * writes resolve logical→physical at the IO boundary); id — and any
-    * future mode — refuses loudly naming itself.
+  /** WRITE-path mapping gate: modes none, name and id are writable
+    * (name/id writes resolve logical→physical at the IO boundary, id
+    * writes additionally stamp `parquet.field.id` on new files); any
+    * future mode refuses loudly naming itself.
     */
   private def requireWritableMapping(st: LogState, op: String): Unit = {
     val mode = mappingMode(st)
-    require(mode == "none" || mode == "name",
+    require(mode == "none" || mode == "name" || mode == "id",
       s"DeltaLog.$op: columnMapping mode '$mode' tables are read-only " +
-        "through this bridge (modes none and name are writable)")
+        "through this bridge (modes none, name and id are writable)")
   }
+
+  /** PHYSICAL-name-keyed parquet field ids for id-mode writes (empty
+    * otherwise): new files must carry the ids the table's readers
+    * match by, or they read as all-NULL.
+    */
+  private def physFieldIds(st: LogState,
+      schema: StructType): Map[String, Long] =
+    if (mappingMode(st) != "id") Map.empty
+    else {
+      val phys = physicalTopLevel(schema)
+      schema.fields.collect { case f if f.metadata.contains(ColumnIdKey) =>
+        phys(f.name) -> f.metadata.getLong(ColumnIdKey)
+      }.toMap
+    }
+
+  /** Stamp `parquet.field.id` metadata onto a PHYSICAL-named batch
+    * about to be written (identity when `fieldIds` is empty — i.e.,
+    * everything but id-mode tables). Spark's parquet writer
+    * (fieldId.write.enabled, set by GraftSession) then records the ids
+    * in the footer.
+    */
+  private def stampFieldIds(df: DataFrame,
+      fieldIds: Map[String, Long]): DataFrame =
+    if (fieldIds.isEmpty) df
+    else df.select(df.columns.map { c =>
+      fieldIds.get(c) match {
+        case Some(id) => col(c).as(c, new MetadataBuilder()
+          .putLong("parquet.field.id", id).build())
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
 
   /** Logical → physical rename map for the WRITE paths: empty (identity)
     * when unmapped, the [[physicalTopLevel]] table under name mode.
     */
   private def physicalWriteMap(st: LogState,
                                schema: StructType): Map[String, String] =
-    if (mappingMode(st) != "name") Map.empty
+    if (mappingMode(st) == "none") Map.empty
     else physicalTopLevel(schema)
 
   /** Rename a batch about to be WRITTEN into a name-mapped table to its
@@ -853,7 +885,9 @@ object DeltaLog {
                            df: DataFrame): DataFrame = {
     val phys = physicalWriteMap(st, schema)
     if (phys.isEmpty) df
-    else df.toDF(df.columns.map(c => phys.getOrElse(c, c)): _*)
+    else stampFieldIds(
+      df.toDF(df.columns.map(c => phys.getOrElse(c, c)): _*),
+      physFieldIds(st, schema))
   }
 
   /** One replayed log action in the distributed reconstruction's common
@@ -1429,15 +1463,14 @@ object DeltaLog {
   private def probeTouched(spark: SparkSession, root: String,
       candidates: Seq[(String, Map[String, String])],
       probeSchema: StructType, matcher: DataFrame => DataFrame,
-      physMap: Map[String, String] = Map.empty,
+      st: LogState,
       dvs: Map[String, DvDescriptor] = Map.empty)
     : Seq[(String, Map[String, String])] = {
     import spark.implicits._
     if (candidates.isEmpty) return Nil
-    // name-mode mapping: scan PHYSICAL field names, hand the matcher
-    // LOGICAL ones (identity when physMap is empty)
-    val physSchema = StructType(probeSchema.fields.map(f =>
-      f.copy(name = physMap.getOrElse(f.name, f.name))))
+    // column mapping: scan PHYSICAL field names / field ids, hand the
+    // matcher LOGICAL ones (identity when unmapped)
+    val (physSchema, physMap) = readSchemaFor(st, probeSchema)
     def logicalCols = probeSchema.fieldNames.map(n =>
       col(physMap.getOrElse(n, n)).as(n))
     val hit: Set[String] = chooseTagging(root, candidates.map(_._1)) match {
@@ -1497,15 +1530,15 @@ object DeltaLog {
       rels: Seq[String], dataSchema: StructType,
       transform: DataFrame => DataFrame,
       prefix: String,
-      physMap: Map[String, String] = Map.empty,
+      st: LogState,
       dvs: Map[String, DvDescriptor] = Map.empty): Map[String, Path] = {
     if (rels.isEmpty) return Map.empty
-    // name-mode mapping: files are scanned AND rewritten under PHYSICAL
-    // names; the transform runs between two renames in LOGICAL space.
-    // DV-carrying inputs rewrite their LIVE rows only (positions
-    // anti-joined executor-side) — the rewrite CLEARS the DV.
-    val physSchema = StructType(dataSchema.fields.map(f =>
-      f.copy(name = physMap.getOrElse(f.name, f.name))))
+    // column mapping: files are scanned AND rewritten under PHYSICAL
+    // names / field ids; the transform runs between two renames in
+    // LOGICAL space. DV-carrying inputs rewrite their LIVE rows only
+    // (positions anti-joined executor-side) — the rewrite CLEARS the DV.
+    val (physSchema, physMap) = readSchemaFor(st, dataSchema)
+    val fieldIds = physFieldIds(st, dataSchema)
     def toLogical = dataSchema.fieldNames.map(n =>
       col(physMap.getOrElse(n, n)).as(n))
     def toPhysical = dataSchema.fieldNames.map(n =>
@@ -1526,7 +1559,8 @@ object DeltaLog {
                 Seq(SrcTagCol, "__graft_pos"), "left_anti")
               .drop("__graft_pos")
         }
-        val out = transform(live).select(toPhysical.toIndexedSeq: _*)
+        val out = stampFieldIds(
+          transform(live).select(toPhysical.toIndexedSeq: _*), fieldIds)
         val part = writeSingleParquet(out, root, prefix)
         val kept = mapper.readTree(footerStatsJson(part,
           spark.sparkContext.hadoopConfiguration))
@@ -1547,8 +1581,8 @@ object DeltaLog {
           .join(dvPositionsByName(spark, root, dvs, tagging.tagOf),
             Seq(SrcTagCol, "__graft_pos"), "left_anti")
           .drop("__graft_pos")
-    transform(scanned)
-      .select(toPhysical :+ col(SrcTagCol): _*)
+    stampFieldIds(transform(scanned)
+      .select(toPhysical :+ col(SrcTagCol): _*), fieldIds)
       .repartition(rels.size, col(SrcTagCol))
       .write.partitionBy(SrcTagCol).mode("overwrite")
       .parquet(staging.toString)
@@ -1699,7 +1733,9 @@ object DeltaLog {
       .getOrElse(Map.empty[String, String])
     val out =
       if (physMap.isEmpty) df
-      else df.toDF(df.columns.map(c => physMap.getOrElse(c, c)): _*)
+      else stampFieldIds(
+        df.toDF(df.columns.map(c => physMap.getOrElse(c, c)): _*),
+        st.schema.map(physFieldIds(st, _)).getOrElse(Map.empty))
     val part = writeSingleParquet(out, root, "graft-delta-cdc")
     val dir = Files.createDirectories(Paths.get(root, "_change_data"))
     val target = dir.resolve(
@@ -1724,7 +1760,9 @@ object DeltaLog {
       .getOrElse(Map.empty[String, String])
     val out =
       if (physMap.isEmpty) df
-      else df.toDF(df.columns.map(c => physMap.getOrElse(c, c)): _*)
+      else stampFieldIds(
+        df.toDF(df.columns.map(c => physMap.getOrElse(c, c)): _*),
+        st.schema.map(physFieldIds(st, _)).getOrElse(Map.empty))
     val physPcs = pcs.map(c => physMap.getOrElse(c, c))
     val staging = Files.createTempDirectory(stagingBase(root),
       "graft-delta-cdc")
@@ -2000,11 +2038,11 @@ object DeltaLog {
     st.fileStats.get(path) match {
       case None => true
       case Some(s) =>
-        // under name-mode mapping, stats are keyed by PHYSICAL name
+        // under column mapping, stats are keyed by PHYSICAL name
         // (both external writers and this one derive them from the
         // parquet footer, which stores physical fields)
         val key =
-          if (mappingMode(st) == "name")
+          if (mappingMode(st) != "none")
             st.schema.map(sch => physicalTopLevel(
               StructType(sch.filter(_.name == column)))
               .getOrElse(column, column)).getOrElse(column)
@@ -2117,7 +2155,7 @@ object DeltaLog {
   private def pvKeyOf(st: LogState, schema: StructType, c: String,
                       pv: Map[String, String]): Option[String] = {
     val candidates =
-      if (mappingMode(st) == "name")
+      if (mappingMode(st) != "none")
         Seq(physicalTopLevel(StructType(schema.filter(_.name == c)))
           .getOrElse(c, c), c)
       else Seq(c)
@@ -2474,7 +2512,6 @@ object DeltaLog {
       }
     } else {
       val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
-      val physMap = physicalWriteMap(st, dataSchema)
       val overlapping = st.files
         .filter { case (p, _) => statsOverlap(st, p, column, lo, hi) }
       val matches = col(column) >= lo && col(column) <= hi
@@ -2485,7 +2522,7 @@ object DeltaLog {
       val candDvs = overlapping
         .flatMap(f => st.fileDvs.get(f._1).map(f._1 -> _)).toMap
       val exactTouched = probeTouched(spark, root, overlapping,
-        StructType(Seq(dataSchema(column))), _.filter(matches), physMap,
+        StructType(Seq(dataSchema(column))), _.filter(matches), st,
         candDvs)
       val touchedDvs = candDvs.filter(d =>
         exactTouched.exists(_._1 == d._1))
@@ -2494,7 +2531,7 @@ object DeltaLog {
       // rewrites its LIVE survivors and the new add drops the DV.
       val rewritten = rewriteFilesBatched(spark, root, exactTouched.map(_._1),
         dataSchema, _.filter(!matches || col(column).isNull),
-        "graft-delta-del", physMap, touchedDvs)
+        "graft-delta-del", st, touchedDvs)
       val cdcTouched = Seq.newBuilder[(String, Map[String, String])]
       exactTouched.foreach { case (rel, pv) =>
         actions += removeActionNode(rel, true); touched += 1
@@ -2581,9 +2618,7 @@ object DeltaLog {
     val matches = col(column) >= lo && col(column) <= hi
     // name-mode mapping: the scan reads PHYSICAL fields and the
     // predicate rebinds to the physical column name
-    val physMap = physicalWriteMap(st, dataSchema)
-    val physSchema = StructType(dataSchema.fields.map(f =>
-      f.copy(name = physMap.getOrElse(f.name, f.name))))
+    val (physSchema, physMap) = readSchemaFor(st, dataSchema)
     val physCol = physMap.getOrElse(column, column)
     val matchesPhys = col(physCol) >= lo && col(physCol) <= hi
     // Matched positions per file are built EXECUTOR-side into the
@@ -2748,11 +2783,10 @@ object DeltaLog {
     // poison later readAppendsSince tails for a change that changed
     // nothing. ONE probe job over the predicate column, not a limit-1
     // probe per candidate file.
-    val physMap = physicalWriteMap(st, dataSchema)
     val candDvs = overlapping
       .flatMap(f => st.fileDvs.get(f._1).map(f._1 -> _)).toMap
     val exactTouched = probeTouched(spark, root, overlapping,
-      StructType(Seq(dataSchema(column))), _.filter(matches), physMap,
+      StructType(Seq(dataSchema(column))), _.filter(matches), st,
       candDvs)
     if (exactTouched.isEmpty) return v
     val touchedDvs = candDvs.filter(d => exactTouched.exists(_._1 == d._1))
@@ -2768,7 +2802,7 @@ object DeltaLog {
             org.apache.spark.sql.functions.when(matches, e)
               .otherwise(col(c)).cast(dataSchema(c).dataType))
         }, dataSchema, st.configuration),
-      "graft-delta-upd", physMap, touchedDvs)
+      "graft-delta-upd", st, touchedDvs)
     exactTouched.foreach { case (rel, pv) =>
       val part = rewritten.getOrElse(rel, throw new IllegalStateException(
         s"DeltaLog.updateWhereLong: rewrite of $rel produced no rows — " +
@@ -2903,7 +2937,7 @@ object DeltaLog {
       // candidates' key columns only
       val touched = probeTouched(spark, root, candidates,
         StructType(Seq(dataSchema(key))),
-        _.join(srcKeys, Seq(key), "left_semi"), physMap, candDvs)
+        _.join(srcKeys, Seq(key), "left_semi"), st, candDvs)
         .sortBy(_._1)
       val touchedDvs = candDvs.filter(d => touched.exists(_._1 == d._1))
       val actions = Seq.newBuilder[JsonNode]
@@ -2916,7 +2950,7 @@ object DeltaLog {
       // DV-carrying file rewrites its LIVE rows and the add drops the DV.
       val rewritten = rewriteFilesBatched(spark, root, touched.map(_._1),
         dataSchema, _.join(srcKeys, Seq(key), "left_anti"),
-        "graft-delta-merge", physMap, touchedDvs)
+        "graft-delta-merge", st, touchedDvs)
       touched.foreach { case (rel, pv) =>
         actions += removeActionNode(rel, dataChange = true)
         rewritten.get(rel).foreach { part =>
@@ -3961,8 +3995,10 @@ object DeltaLog {
       .getOrElse(Map.empty)
     val physOut =
       if (physMap.isEmpty) enforced
-      else enforced.toDF(enforced.columns.map(c =>
-        physMap.getOrElse(c, c)): _*)
+      else stampFieldIds(
+        enforced.toDF(enforced.columns.map(c =>
+          physMap.getOrElse(c, c)): _*),
+        prior.map(physFieldIds(_, declared)).getOrElse(Map.empty))
     val physPcs = partitionCols.map(c => physMap.getOrElse(c, c))
     val writer = physOut.write.mode("overwrite").options(writeOptions)
     (if (physPcs.nonEmpty) writer.partitionBy(physPcs: _*)

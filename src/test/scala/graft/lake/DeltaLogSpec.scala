@@ -1327,9 +1327,9 @@ class DeltaLogSpec extends SparkSpec {
     assert(rows(DeltaLog.read(spark, root2)) == Set((7L, "x")))
   }
 
-  test("column mapping reads: name mode resolves physical parquet " +
-    "names, partitioned and flat; id mode resolves by parquet FIELD " +
-    "IDS with names irrelevant; id-mode writes refuse") {
+  test("column mapping: name mode resolves physical parquet names, " +
+    "partitioned and flat; id mode resolves by parquet FIELD IDS with " +
+    "names irrelevant, and id-mode writes stamp field ids") {
     // data file stores PHYSICAL names col-aaa / col-bbb
     val mappedSchema =
       """{"type":"struct","fields":[
@@ -1385,10 +1385,28 @@ class DeltaLogSpec extends SparkSpec {
     val df3 = DeltaLog.read(spark, root3)
     assert(df3.columns.toSeq == Seq("k", "v"), df3.columns.toSeq)
     assert(rows(df3) == Set((1L, "a"), (2L, "b")))
-    // id-mode WRITES stay refused, naming the mode
-    val e3 = intercept[IllegalArgumentException](
-      DeltaLog.deleteWhereLong(spark, root3, "k", 1L, 1L))
-    assert(e3.getMessage.contains("'id'"), e3.getMessage)
+    // id-mode WRITES: appends and DML stamp parquet.field.id on new
+    // files (physical names too), so both this reader and external
+    // id-mode readers resolve them
+    DeltaLog.commitFlat(spark, root3,
+      Seq((3L, "c"), (4L, "d")).toDF("k", "v").coalesce(1))
+    DeltaLog.deleteWhereLong(spark, root3, "k", 2L, 2L)
+    DeltaLog.mergeKey(spark, root3, "k",
+      Seq((4L, "D"), (9L, "i")).toDF("k", "v"))
+    assert(rows(DeltaLog.read(spark, root3)) ==
+      Set((1L, "a"), (3L, "c"), (4L, "D"), (9L, "i")))
+    // footer proof: the newest add carries field ids 1/2
+    val newest = DeltaLog.filesAt(spark, root3,
+      DeltaLog.currentVersion(root3)).filterNot(_ == "part-a.parquet").head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(Paths.get(root3, newest).toString),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val ids = try r.getFooter.getFileMetaData.getSchema.getFields
+      .asScala.map(f => Option(f.getId).map(_.intValue())).toSeq
+      finally r.close()
+    assert(ids == Seq(Some(1), Some(2)),
+      s"new id-mode file must carry field ids: $ids")
   }
 
   test("name-mode column mapping WRITES: append/delete/update/merge/DV " +
