@@ -2279,9 +2279,7 @@ object DeltaLog {
       val applied = st.txnVersions.get(txn._1).exists(_ >= txn._2)
       if (applied) { staged.foreach(s => Files.deleteIfExists(s._1)); return }
       requireWritable(st, "commitStreamFiles")
-      require(mappingMode(st) == "none",
-        s"DeltaLog.commitStreamFiles: column-mapped tables are " +
-          s"read-only through this bridge (mode ${mappingMode(st)})")
+      requireWritableMapping(st, "commitStreamFiles")
       require(st.partitionColumns == partitionCols,
         s"DeltaLog.commitStreamFiles: table is partitioned by " +
           s"${st.partitionColumns}, the sink resolved $partitionCols")
@@ -2327,6 +2325,15 @@ object DeltaLog {
     t.put("appId", txn._1)
     t.put("version", txn._2)
     actions += n
+    // mapped tables: partition DIRECTORIES and action partitionValues
+    // key by the PHYSICAL partition-column name (the writer's staged
+    // pv maps are logical-keyed)
+    val pcPhys = prior.flatMap(_.schema) match {
+      case Some(sch) if prior.exists(mappingMode(_) != "none") =>
+        val phys = physicalTopLevel(sch)
+        partitionCols.map(c => c -> phys.getOrElse(c, c)).toMap
+      case _ => partitionCols.map(c => c -> c).toMap
+    }
     staged.foreach { case (p, pv) =>
       // partitioned tables: the staged file moves into its hive-style
       // partition directory, partitionValues ride the add
@@ -2334,14 +2341,15 @@ object DeltaLog {
         val value = pv.getOrElse(c, throw new IllegalArgumentException(
           s"DeltaLog.commitStreamFiles: staged file $p lacks a value " +
             s"for partition column $c"))
-        c + "=" + (if (value == null) "__HIVE_DEFAULT_PARTITION__"
-                   else escapeHive(value))
+        pcPhys(c) + "=" + (if (value == null) "__HIVE_DEFAULT_PARTITION__"
+                           else escapeHive(value))
       }
       val rel = (segs :+ p.getFileName.toString).mkString("/")
       val target = Paths.get(root, rel)
       Files.createDirectories(target.getParent)
       Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-      actions += addActionNode(root, rel, pv, dataChange = true, conf)
+      val physPv = pv.map { case (c, v2) => pcPhys.getOrElse(c, c) -> v2 }
+      actions += addActionNode(root, rel, physPv, dataChange = true, conf)
     }
     Files.createDirectories(logDir(root))
     writeCommitFile(root, v, actions.result(),
@@ -4195,8 +4203,7 @@ object DeltaLog {
                      yCol: String, bits: Int, numFiles: Int): Long = {
     val v = currentVersion(root)
     val st = replay(spark, root, v)
-    require(mappingMode(st) == "none",
-      s"DeltaLog.optimizeZOrder: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
+    requireWritableMapping(st, "optimizeZOrder")
     require(st.partitionColumns.isEmpty,
       "DeltaLog.optimizeZOrder: partitioned tables unsupported — " +
         "Z-order clusters the whole table; drop to per-partition " +
@@ -4212,11 +4219,16 @@ object DeltaLog {
           "Morton fold needs LongType")
     }
     if (st.files.isEmpty) return v
-    // DV-aware, clone-aware current read — deleted rows drop out here
+    // DV-aware, clone-aware current read — deleted rows drop out here;
+    // mapped tables rewrite under PHYSICAL names (+field ids), with the
+    // Morton fold running on the renamed columns
+    val physMap = physicalWriteMap(st, schema)
     val df = readAt(spark, root, v)
     val staging = Files.createTempDirectory(stagingBase(root),
       "graft-delta-zorder")
-    Layout.zorderWrite(df, staging.toString, xCol, yCol, bits, numFiles)
+    Layout.zorderWrite(toPhysicalDf(st, schema, df), staging.toString,
+      physMap.getOrElse(xCol, xCol), physMap.getOrElse(yCol, yCol),
+      bits, numFiles)
     val conf = spark.sparkContext.hadoopConfiguration
     val actions = Seq.newBuilder[JsonNode]
     st.files.foreach { case (rel, _) =>
@@ -4243,8 +4255,7 @@ object DeltaLog {
   def compactPartitioned(spark: SparkSession, root: String): Long = {
     val v = currentVersion(root)
     val st = replay(spark, root, v)
-    require(mappingMode(st) == "none",
-      s"DeltaLog.compactPartitioned: column-mapped tables are read-only through this bridge (mode ${mappingMode(st)})")
+    requireWritableMapping(st, "compactPartitioned")
     require(st.partitionColumns.nonEmpty,
       "DeltaLog.compactPartitioned: table is not partitioned " +
         "(use Snapshots OPTIMIZE for flat tables)")
@@ -4265,8 +4276,14 @@ object DeltaLog {
       rels.foreach(rel => require(!rel.startsWith("/"),
         s"DeltaLog.compactPartitioned: $rel is a shallow-cloned " +
           "(absolute) reference — materialize via a rewrite first"))
-      val merged = spark.read.schema(dataSchema)
-        .parquet(rels.map(f => Paths.get(root, f).toString): _*)
+      // mapped tables: scan physical/field-id, write back physical
+      // (+field ids) — a compaction must not change resolution
+      val (scanSchema, _) = readSchemaFor(st, dataSchema)
+      val merged = stampFieldIds(
+        spark.read.schema(scanSchema)
+          .parquet(rels.map(f => Paths.get(root, f).toString): _*)
+          .toDF(scanSchema.fieldNames.toSeq: _*),
+        physFieldIds(st, dataSchema))
       val part = writeSingleParquet(merged, root, "graft-delta-compact")
       // land the compacted file beside the ones it replaces
       val dir = Paths.get(root, rels.head).getParent

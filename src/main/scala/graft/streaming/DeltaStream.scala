@@ -124,10 +124,14 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
           // an EXISTING table dictates the partitioning (rows route to
           // partition directories executor-side); a table the sink
           // CREATES is flat
+          val exists = DeltaLog.versions(root).nonEmpty
           val pcs: Seq[String] =
-            if (DeltaLog.versions(root).nonEmpty)
-              DeltaLog.tableMeta(SparkSession.active, root)._2
+            if (exists) DeltaLog.tableMeta(SparkSession.active, root)._2
             else Seq.empty
+          // mapped sinks stage files under PHYSICAL names (+field ids)
+          val (physNames, fieldIds) =
+            if (exists) DeltaLog.columnResolution(SparkSession.active, root)
+            else (Map.empty[String, String], Map.empty[String, Long])
           pcs.foreach { c =>
             require(info.schema().fieldNames.contains(c),
               s"DeltaStreamProvider sink: partition column $c missing " +
@@ -138,7 +142,8 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
                 s"${info.schema()(c).dataType} — supported partition " +
                 "types are long/int/string/boolean/double/date")
           }
-          new DeltaStreamingWrite(root, info.schema(), info.queryId(), pcs)
+          new DeltaStreamingWrite(root, info.schema(), info.queryId(),
+            pcs, physNames, fieldIds)
         }
       }
     }
@@ -443,7 +448,9 @@ private[streaming] class GroupParquetReader(
 private[streaming] class DeltaStreamingWrite(root: String,
                                              schema: StructType,
                                              queryId: String,
-                                             partitionCols: Seq[String])
+                                             partitionCols: Seq[String],
+                                             physNames: Map[String, String] = Map.empty,
+                                             fieldIds: Map[String, Long] = Map.empty)
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -454,7 +461,7 @@ private[streaming] class DeltaStreamingWrite(root: String,
     // materialize the staging dir BEFORE executors need it
     val staging = DeltaLog.streamStagingDir(root)
     DeltaStreamWriterFactory(staging.toString, schema.json,
-      partitionCols, props.toArray)
+      partitionCols, props.toArray, physNames, fieldIds)
   }
 
   override def commit(epochId: Long,
@@ -483,7 +490,9 @@ private[streaming] case class DeltaWriteMessage(
 
 private[streaming] case class DeltaStreamWriterFactory(
     stagingDir: String, schemaJson: String, partitionCols: Seq[String],
-    hadoopProps: Array[(String, String)])
+    hadoopProps: Array[(String, String)],
+    physNames: Map[String, String] = Map.empty,
+    fieldIds: Map[String, Long] = Map.empty)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -492,7 +501,7 @@ private[streaming] case class DeltaStreamWriterFactory(
     hadoopProps.foreach { case (k, v) => conf.set(k, v) }
     new GroupParquetWriter(stagingDir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partitionCols, conf)
+      partitionCols, conf, physNames, fieldIds)
   }
 }
 
@@ -508,7 +517,9 @@ private[streaming] case class DeltaStreamWriterFactory(
   */
 private[streaming] class GroupParquetWriter(
     stagingDir: String, schema: StructType, partitionCols: Seq[String],
-    conf: org.apache.hadoop.conf.Configuration)
+    conf: org.apache.hadoop.conf.Configuration,
+    physNames: Map[String, String] = Map.empty,
+    fieldIds: Map[String, Long] = Map.empty)
   extends DataWriter[InternalRow] {
 
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
@@ -530,21 +541,27 @@ private[streaming] class GroupParquetWriter(
   private val messageType: MessageType = {
     val b = Types.buildMessage()
     dataSchema.fields.foreach { f =>
+      // mapped sinks: fields store PHYSICAL names and (id mode) carry
+      // parquet field ids — the table's readers resolve by them
+      def add(ptn: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+              ann: LogicalTypeAnnotation = null): Unit = {
+        var pb = Types.optional(ptn)
+        if (ann != null) pb = pb.as(ann)
+        fieldIds.get(f.name).foreach(id => pb = pb.id(id.toInt))
+        b.addField(pb.named(physNames.getOrElse(f.name, f.name)))
+      }
       f.dataType match {
-        case LongType => b.addField(Types.optional(INT64).named(f.name))
-        case TimestampType => b.addField(Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
-        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
-        case DateType => b.addField(Types.optional(INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name))
-        case DoubleType => b.addField(Types.optional(DOUBLE).named(f.name))
-        case FloatType => b.addField(Types.optional(FLOAT).named(f.name))
-        case BooleanType =>
-          b.addField(Types.optional(BOOLEAN).named(f.name))
-        case StringType => b.addField(Types.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name))
-        case BinaryType => b.addField(Types.optional(BINARY).named(f.name))
+        case LongType => add(INT64)
+        case TimestampType => add(INT64,
+          LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case IntegerType => add(INT32)
+        case DateType => add(INT32, LogicalTypeAnnotation.dateType())
+        case DoubleType => add(DOUBLE)
+        case FloatType => add(FLOAT)
+        case BooleanType => add(BOOLEAN)
+        case StringType => add(BINARY, LogicalTypeAnnotation.stringType())
+        case BinaryType => add(BINARY)
         case other => throw new IllegalArgumentException(
           s"GroupParquetWriter: unsupported type $other (vetted at " +
             "write build — unreachable)")

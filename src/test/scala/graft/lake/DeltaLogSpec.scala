@@ -690,6 +690,60 @@ class DeltaLogSpec extends SparkSpec {
         Seq((3L, "back"), (6L, "SIX"))).toSet)
   }
 
+  test("maintenance on mapped tables: OPTIMIZE ZORDER and partitioned " +
+    "compaction rewrite physical-named files; resolution unchanged") {
+    // name-mode flat table, two LONG columns for the Morton fold
+    val zSchema =
+      """{"type":"struct","fields":[
+        {"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aaa"}},
+        {"name":"w","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-www"}}]}"""
+        .replaceAll("\n\\s*", "")
+    val root = freshRoot()
+    writeFlat(root, "part-a.parquet",
+      (1L to 50L).map(k => (k, k * 3L)).toDF("col-aaa", "col-www")
+        .coalesce(1))
+    writeCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"ext-cmz","format":{"provider":"parquet","options":{}},"schemaString":"${zSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"}}}""",
+      """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    DeltaLog.commitFlat(spark, root,
+      (51L to 100L).map(k => (k, k * 3L)).toDF("k", "w").coalesce(1))
+    DeltaLog.optimizeZOrder(spark, root, "k", "w", bits = 8, numFiles = 2)
+    val got = DeltaLog.read(spark, root).select("k", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1L to 100L).map(k => (k, k * 3L)).toSet)
+    val zFile = DeltaLog.filesAt(spark, root,
+      DeltaLog.currentVersion(root)).head
+    assert(spark.read.parquet(Paths.get(root, zFile).toString)
+      .columns.toSeq == Seq("col-aaa", "col-www"),
+      "z-ordered rewrite must store physical names")
+
+    // partitioned mapped table: two small files in one partition compact
+    val pSchema =
+      """{"type":"struct","fields":[
+        {"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aaa"}},
+        {"name":"p","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-ppp"}}]}"""
+        .replaceAll("\n\\s*", "")
+    val root2 = freshRoot()
+    writeFlat(root2, "col-ppp=x/f1.parquet", Seq(Tuple1(1L)).toDF("col-aaa"))
+    writeCommit(root2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"ext-cmpc","format":{"provider":"parquet","options":{}},"schemaString":"${pSchema.replace("\"", "\\\"")}","partitionColumns":["p"],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"col-ppp%3Dx/f1.parquet","partitionValues":{"col-ppp":"x"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    DeltaLog.commitPartitioned(spark, root2,
+      Seq((2L, "x")).toDF("k", "p"), Seq("p"))
+    DeltaLog.compactPartitioned(spark, root2)
+    assert(DeltaLog.read(spark, root2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "x"), (2L, "x")))
+    val active = DeltaLog.filesAt(spark, root2,
+      DeltaLog.currentVersion(root2))
+    assert(active.size == 1, active.toString)
+    assert(spark.read.parquet(Paths.get(root2, active.head).toString)
+      .columns.toSeq == Seq("col-aaa"),
+      "compacted file must store the physical data-column name")
+  }
+
   test("partitioned merge CDF under COLLIDING basenames: one write's " +
     "part files repeat names across partition dirs — pre-images must " +
     "keep their own file's bucket (r17 regression: a basename tag join " +

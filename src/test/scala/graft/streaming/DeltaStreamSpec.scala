@@ -220,6 +220,43 @@ class DeltaStreamSpec extends SparkSpec {
         assert(spark.table(name).columns.toSeq == Seq("k", "v"))
       } finally q.stop()
     }
+    // SINK into the mapped tables: staged parquet stores PHYSICAL
+    // names (id mode also stamps field ids); read-back logical
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Seq(nameRoot, idRoot).foreach { root =>
+      val ckpt = Files.createTempDirectory("graft-cm-sink-ck").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("k", "v").writeStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", root).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        in.addData(Seq((3L, "c")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = DeltaLog.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")), s"$root: $got")
+      val newest = DeltaLog.filesAt(spark, root,
+        DeltaLog.currentVersion(root)).filterNot(_ == "part-a.parquet").head
+      val cols = spark.read.parquet(
+        java.nio.file.Paths.get(root, newest).toString).columns.toSeq
+      assert(cols == Seq("col-aaa", "col-bbb"),
+        s"$root sink file stores $cols — expected physical names")
+      if (root == idRoot) {
+        val in2 = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(
+            java.nio.file.Paths.get(root, newest).toString),
+          spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in2)
+        val ids = try r.getFooter.getFileMetaData.getSchema.getFields
+          .asScala.map(f => Option(f.getId).map(_.intValue())).toSeq
+          finally r.close()
+        assert(ids == Seq(Some(1), Some(2)),
+          s"id-mode sink file must stamp field ids: $ids")
+      }
+    }
   }
 
   test("streaming SINK into a PARTITIONED table: rows route to hive " +
