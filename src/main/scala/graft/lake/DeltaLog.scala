@@ -837,6 +837,14 @@ object DeltaLog {
         "through this bridge (modes none, name and id are writable)")
   }
 
+  /** PHYSICAL-name-keyed parquet field ids of a mapped schema. */
+  private def fieldIdsOf(schema: StructType): Map[String, Long] = {
+    val phys = physicalTopLevel(schema)
+    schema.fields.collect { case f if f.metadata.contains(ColumnIdKey) =>
+      phys(f.name) -> f.metadata.getLong(ColumnIdKey)
+    }.toMap
+  }
+
   /** PHYSICAL-name-keyed parquet field ids for id-mode writes (empty
     * otherwise): new files must carry the ids the table's readers
     * match by, or they read as all-NULL.
@@ -844,12 +852,29 @@ object DeltaLog {
   private def physFieldIds(st: LogState,
       schema: StructType): Map[String, Long] =
     if (mappingMode(st) != "id") Map.empty
-    else {
-      val phys = physicalTopLevel(schema)
-      schema.fields.collect { case f if f.metadata.contains(ColumnIdKey) =>
-        phys(f.name) -> f.metadata.getLong(ColumnIdKey)
-      }.toMap
+    else fieldIdsOf(schema)
+
+  /** Assign column-mapping metadata — `delta.columnMapping.id` above
+    * `startId` plus a fresh `col-<uuid>` physicalName — to every field
+    * lacking it (table creation with mapping on, and the new columns
+    * of a mapped schema evolution). Returns the schema and the new
+    * maxColumnId.
+    */
+  private def assignMapping(schema: StructType,
+      startId: Long): (StructType, Long) = {
+    var next = startId
+    val fields = schema.fields.map { f =>
+      if (f.metadata.contains(ColumnIdKey)) f
+      else {
+        next += 1
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(ColumnIdKey, next)
+          .putString(PhysicalNameKey, s"col-${java.util.UUID.randomUUID()}")
+          .build())
+      }
     }
+    (StructType(fields), next)
+  }
 
   /** Stamp `parquet.field.id` metadata onto a PHYSICAL-named batch
     * about to be written (identity when `fieldIds` is empty — i.e.,
@@ -2876,9 +2901,11 @@ object DeltaLog {
     * hide writer bugs); non-null source keys must be UNIQUE (Delta's
     * multiple-source-rows-match error); NULL source keys never match
     * and always insert; the key must be a data column (partition-key
-    * merges are metadata games this writer doesn't play); touched
-    * files must not carry deletion vectors; column-mapped tables are
-    * read-only. When CDF is on, matched rows land in per-partition
+    * merges are metadata games this writer doesn't play). Touched
+    * files carrying deletion vectors rewrite their LIVE rows and the
+    * new add CLEARS the DV; column-mapped tables (name and id modes)
+    * resolve at the IO boundary. When CDF is on, matched rows land in
+    * per-partition
     * `cdc` files as `update_preimage` (in the OLD row's partition) /
     * `update_postimage` and `insert` (in the SOURCE row's partition);
     * a pure-insert merge commits adds only and the feed synthesizes
@@ -3929,13 +3956,28 @@ object DeltaLog {
         }
       case None => dfG0
     }
+    // CREATION with column mapping: assign every field its columnId +
+    // a fresh physicalName (the ALTER TABLE SET columnMapping upgrade
+    // shape) so the very first files land under physical names/ids
+    val createMode =
+      if (prior.isEmpty)
+        configuration.getOrElse("delta.columnMapping.mode", "none")
+      else "none"
+    require(createMode == "none" || createMode == "name"
+        || createMode == "id",
+      s"DeltaLog.commitData: columnMapping mode '$createMode' is " +
+        "unsupported (none, name, id)")
+    val (createdSchema, createdConfig) =
+      if (createMode == "none") (None, configuration)
+      else {
+        val (ms, maxId) = assignMapping(dfG.schema, 0L)
+        (Some(ms), configuration +
+          ("delta.columnMapping.maxColumnId" -> maxId.toString))
+      }
     var evolvedSchema: Option[StructType] = None
+    var evolvedConfig: Option[Map[String, String]] = None
     prior.foreach { st =>
       requireWritableMapping(st, "commitData")
-      require(mappingMode(st) == "none" || !mergeSchema,
-        "DeltaLog.commitData: schema evolution on a column-mapped " +
-          "table is unimplemented (new columns need physicalName " +
-          "assignment and a maxColumnId bump)")
       require(mappingMode(st) == "none" ||
           identityInfo(st.schema.getOrElse(dfG.schema)).isEmpty,
         "DeltaLog.commitData: identity columns on a column-mapped " +
@@ -3973,8 +4015,26 @@ object DeltaLog {
           val newFields = dfG.schema.fields
             .filterNot(f => byName.contains(f.name))
             .map(_.copy(nullable = true))
-          if (newFields.nonEmpty)
-            evolvedSchema = Some(StructType(sch.fields ++ newFields))
+          if (newFields.nonEmpty) {
+            if (mappingMode(st) == "none")
+              evolvedSchema = Some(StructType(sch.fields ++ newFields))
+            else {
+              // mapped evolution: new columns get fresh ids/physical
+              // names above the recorded maxColumnId, which bumps
+              val startId = st.configuration
+                .get("delta.columnMapping.maxColumnId")
+                .flatMap(_.toLongOption)
+                .getOrElse(sch.fields.collect {
+                  case f if f.metadata.contains(ColumnIdKey) =>
+                    f.metadata.getLong(ColumnIdKey)
+                }.foldLeft(0L)(math.max))
+              val (assigned, maxId) =
+                assignMapping(StructType(newFields), startId)
+              evolvedSchema = Some(StructType(sch.fields ++ assigned.fields))
+              evolvedConfig = Some(st.configuration +
+                ("delta.columnMapping.maxColumnId" -> maxId.toString))
+            }
+          }
         }
       }
     }
@@ -3993,20 +4053,24 @@ object DeltaLog {
       "graft-delta-part")
     // writer invariants ride the write itself — NOT NULL columns and
     // delta.constraints.* CHECKs fail the batch before a commit lands
-    val declared =
-      evolvedSchema.orElse(prior.flatMap(_.schema)).getOrElse(dfG.schema)
+    val declared = evolvedSchema.orElse(prior.flatMap(_.schema))
+      .orElse(createdSchema).getOrElse(dfG.schema)
     val enforced = enforceInvariants(dfG, declared,
       prior.map(_.configuration).getOrElse(configuration))
-    // name-mode mapped target: the batch lands under PHYSICAL field
-    // names, partition directories and partitionValues keyed physical
+    // mapped target (pre-existing OR being created): the batch lands
+    // under PHYSICAL field names (+field ids in id mode), partition
+    // directories and partitionValues keyed physical
     val physMap = prior.map(physicalWriteMap(_, declared))
-      .getOrElse(Map.empty)
+      .getOrElse(createdSchema.map(physicalTopLevel).getOrElse(Map.empty))
+    val outFieldIds = prior.map(physFieldIds(_, declared)).getOrElse(
+      if (createMode == "id") fieldIdsOf(declared)
+      else Map.empty[String, Long])
     val physOut =
       if (physMap.isEmpty) enforced
       else stampFieldIds(
         enforced.toDF(enforced.columns.map(c =>
           physMap.getOrElse(c, c)): _*),
-        prior.map(physFieldIds(_, declared)).getOrElse(Map.empty))
+        outFieldIds)
     val physPcs = partitionCols.map(c => physMap.getOrElse(c, c))
     val writer = physOut.write.mode("overwrite").options(writeOptions)
     (if (physPcs.nonEmpty) writer.partitionBy(physPcs: _*)
@@ -4041,29 +4105,29 @@ object DeltaLog {
     require(configuration.isEmpty || v == 0L,
       "DeltaLog.commitData: table configuration is set at CREATION " +
         "(version 0) only — later commits inherit it")
-    require(!configuration.get("delta.columnMapping.mode")
-        .exists(_ != "none"),
-      "DeltaLog.commitData: creating a column-mapped table through " +
-        "this bridge is unsupported (physicalName/columnId assignment) " +
-        "— author the mapped table externally, then write through it")
     val actions = Seq.newBuilder[JsonNode]
     val ictEnabled = configuration.get("delta.enableInCommitTimestamps")
       .exists(_.trim.equalsIgnoreCase("true"))
     if (v == 0L) {
       val protocol = mapper.createObjectNode()
       val p = protocol.putObject("protocol")
-      p.put("minReaderVersion", 1)
+      // column mapping requires reader 2 (legacy form)
+      p.put("minReaderVersion", if (createMode != "none") 2 else 1)
       // change data feed AND generated columns are legacy
       // writer-version-4 features (PROTOCOL.md: Writer Version
       // Requirements) — a table created with either must declare the
       // writer floor that implies them. In-commit timestamps have no
       // legacy floor: they force the features form (writer 7) with the
       // implied legacy features enumerated.
-      val legacyFloor =
+      val legacyFloor0 =
         if (identityInfo(dfG.schema).nonEmpty) 6
         else if (configuration.get("delta.enableChangeDataFeed")
           .exists(_.trim.equalsIgnoreCase("true")) ||
           generationExprs(dfG.schema).nonEmpty) 4 else 2
+      // columnMapping's legacy writer floor is 5
+      val legacyFloor =
+        if (createMode != "none") math.max(legacyFloor0, 5)
+        else legacyFloor0
       if (ictEnabled) {
         p.put("minWriterVersion", 7)
         val wf = p.putArray("writerFeatures")
@@ -4071,15 +4135,16 @@ object DeltaLog {
           .distinct.foreach(wf.add)
       } else p.put("minWriterVersion", legacyFloor)
       actions += protocol
-      actions += metaDataAction(tableId, dfG.schema.json, partitionCols,
-        configuration)
+      actions += metaDataAction(tableId,
+        createdSchema.getOrElse(dfG.schema).json, partitionCols,
+        createdConfig)
     }
     // additive evolution: re-emit metaData with the widened schema,
     // preserving the table's ORIGINAL id and configuration
     evolvedSchema.foreach { es =>
       val st = prior.get
       actions += metaDataAction(st.tableId, es.json, partitionCols,
-        st.configuration)
+        evolvedConfig.getOrElse(st.configuration))
     }
     txn.foreach { case (app, ver) =>
       val n = mapper.createObjectNode()

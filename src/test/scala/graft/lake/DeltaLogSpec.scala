@@ -1513,12 +1513,53 @@ class DeltaLogSpec extends SparkSpec {
     // RESTORE across the DV delete
     DeltaLog.restore(spark, root, vPreDv)
     assert(rows(DeltaLog.read(spark, root)) == afterMerge)
-    // creating a mapped table refuses loudly
-    val eCreate = intercept[IllegalArgumentException](
-      DeltaLog.commitFlat(spark, freshRoot(),
-        Seq((1L, "a")).toDF("k", "v"),
-        configuration = Map("delta.columnMapping.mode" -> "name")))
-    assert(eCreate.getMessage.contains("author"), eCreate.getMessage)
+    // CREATING a mapped table assigns fresh col-<uuid> physical names
+    // and column ids; the very first file already stores them, reads
+    // stay logical, and later appends + mergeSchema EVOLUTION continue
+    // the id sequence (maxColumnId bumps)
+    val createRoot = freshRoot()
+    DeltaLog.commitFlat(spark, createRoot,
+      Seq((1L, "a")).toDF("k", "v").coalesce(1),
+      configuration = Map("delta.columnMapping.mode" -> "name"))
+    val c0 = commitLines(createRoot, 0L).mkString("|")
+    assert(c0.contains("\"delta.columnMapping.maxColumnId\":\"2\""), c0)
+    assert(c0.contains("col-"), c0)
+    assert(c0.contains("\"minReaderVersion\":2"), c0)
+    val f0 = DeltaLog.filesAt(spark, createRoot, 0L).head
+    assert(spark.read.parquet(Paths.get(createRoot, f0).toString)
+      .columns.forall(_.startsWith("col-")),
+      "created mapped table's first file must store physical names")
+    assert(rows(DeltaLog.read(spark, createRoot)) == Set((1L, "a")))
+    DeltaLog.commitFlat(spark, createRoot,
+      Seq((2L, "b")).toDF("k", "v").coalesce(1))
+    // additive evolution assigns the NEW column id 3
+    DeltaLog.commitFlat(spark, createRoot,
+      Seq((3L, "c", 7L)).toDF("k", "v", "w").coalesce(1),
+      mergeSchema = true)
+    val evolved = DeltaLog.read(spark, createRoot)
+    assert(evolved.columns.toSeq == Seq("k", "v", "w"))
+    assert(evolved.collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet ==
+      Set((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 7L)))
+    val cEvo = commitLines(createRoot, 2L).mkString("|")
+    assert(cEvo.contains("\"delta.columnMapping.maxColumnId\":\"3\""), cEvo)
+    // id-mode creation stamps parquet field ids from the first file
+    val idCreate = freshRoot()
+    DeltaLog.commitFlat(spark, idCreate,
+      Seq((1L, "a")).toDF("k", "v").coalesce(1),
+      configuration = Map("delta.columnMapping.mode" -> "id"))
+    val fi = DeltaLog.filesAt(spark, idCreate, 0L).head
+    val inF = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(Paths.get(idCreate, fi).toString),
+      spark.sparkContext.hadoopConfiguration)
+    val rF = org.apache.parquet.hadoop.ParquetFileReader.open(inF)
+    val idsF = try rF.getFooter.getFileMetaData.getSchema.getFields
+      .asScala.map(f => Option(f.getId).map(_.intValue())).toSeq
+      finally rF.close()
+    assert(idsF == Seq(Some(1), Some(2)),
+      s"id-mode creation must stamp field ids: $idsF")
+    assert(rows(DeltaLog.read(spark, idCreate)) == Set((1L, "a")))
     // DML on a CDF-enabled MAPPED table: cdc files store PHYSICAL
     // names, the feed reads back logical
     val rootCdf = freshRoot()
