@@ -3978,11 +3978,6 @@ object DeltaLog {
     var evolvedConfig: Option[Map[String, String]] = None
     prior.foreach { st =>
       requireWritableMapping(st, "commitData")
-      require(mappingMode(st) == "none" ||
-          identityInfo(st.schema.getOrElse(dfG.schema)).isEmpty,
-        "DeltaLog.commitData: identity columns on a column-mapped " +
-          "table are unimplemented (the high-water-mark fold reads " +
-          "footer stats by logical name)")
       requireWritable(st, "commitData")
       require(st.partitionColumns == partitionCols,
         s"DeltaLog.commitData: table is partitioned by " +
@@ -4168,19 +4163,24 @@ object DeltaLog {
     // the written files' EMBEDDED footer stats (zero extra IO) and
     // re-emit metaData whenever the mark advanced — the contract the
     // next batch's assignment continues from
-    val hwmSchema = evolvedSchema
-      .orElse(prior.flatMap(_.schema)).getOrElse(dfG.schema)
+    // `declared` (not the bare batch schema): a mapped CREATION records
+    // its assigned physicalNames here, and the stats fold must key them
+    val hwmSchema = declared
     val idents = identityInfo(hwmSchema)
     if (idents.nonEmpty && addNodes.nonEmpty) {
       var sch = hwmSchema
       var changed = false
       idents.foreach { ic =>
+        // footer-derived stats key by PHYSICAL name on mapped tables
+        val statsKey = physicalTopLevel(
+          StructType(hwmSchema.filter(_.name == ic.name)))
+          .getOrElse(ic.name, ic.name)
         val maxes = addNodes.flatMap { n =>
           val stats = n.path("add").path("stats")
           if (!stats.isTextual) None
           else {
             val mx = mapper.readTree(stats.asText())
-              .path("maxValues").path(ic.name)
+              .path("maxValues").path(statsKey)
             if (mx.isNumber) Some(mx.asLong()) else None
           }
         }
@@ -4192,7 +4192,8 @@ object DeltaLog {
         actions += metaDataAction(
           prior.map(_.tableId).getOrElse(tableId), sch.json,
           partitionCols,
-          prior.map(_.configuration).getOrElse(configuration))
+          evolvedConfig.getOrElse(
+            prior.map(_.configuration).getOrElse(createdConfig)))
     }
     writeCommitFile(root, v, actions.result(), operation = "WRITE",
       ictStart = v == 0L && ictEnabled)

@@ -690,6 +690,33 @@ class DeltaLogSpec extends SparkSpec {
         Seq((3L, "back"), (6L, "SIX"))).toSet)
   }
 
+  test("identity columns on a MAPPED table: the high-water mark folds " +
+    "from physical-keyed footer stats, batches continue above it") {
+    // create a name-mapped table WITH an identity column in one shot
+    val root = freshRoot()
+    DeltaLog.createIdentityTable(spark, root,
+      Seq("a", "b", "c").toDF("v"), "id", start = 10L, step = 3L,
+      configuration = Map("delta.columnMapping.mode" -> "name"))
+    val ids0 = DeltaLog.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids0.toSeq == Seq(10L, 13L, 16L), ids0.toSeq.toString)
+    // the next batch must continue ABOVE the recorded mark — under
+    // physical-keyed stats a logical-keyed fold would silently restart
+    DeltaLog.commitFlat(spark, root, Seq("d", "e").toDF("v"))
+    val ids1 = DeltaLog.read(spark, root).select("id")
+      .collect().map(_.getLong(0))
+    assert(ids1.length == 5 && ids1.distinct.length == 5,
+      s"identity ids must stay unique: ${ids1.toSeq}")
+    assert(ids1.forall(i => (i - 10L) % 3L == 0L), ids1.toSeq.toString)
+    assert(ids1.sorted.drop(3).forall(_ > 16L),
+      s"later batch must continue above the mark: ${ids1.toSeq}")
+    // files store physical names
+    val f = DeltaLog.filesAt(spark, root, 1L).head
+    assert(spark.read.parquet(Paths.get(root, f).toString)
+      .columns.forall(_.startsWith("col-")),
+      "mapped identity table files must store physical names")
+  }
+
   test("maintenance on mapped tables: OPTIMIZE ZORDER and partitioned " +
     "compaction rewrite physical-named files; resolution unchanged") {
     // name-mode flat table, two LONG columns for the Morton fold
