@@ -1428,7 +1428,13 @@ object DeltaLog {
     val df = spark.createDataset(rows)
       .flatMap { case (n, b) => Dv.deserialize(b).positions.map(p => (n, p)) }
       .toDF(SrcTagCol, "__graft_pos")
-    if (dvs.values.map(_.cardinality).sum <= 4000000L)
+    // broadcast bound is on BUILD BYTES, not row count: relative-path
+    // tags run tens of bytes each, so 4M rows could be a several-hundred
+    // -MB hash build — estimate per-row cost (tag chars + boxed long +
+    // map-entry overhead) and stay under a safe build size
+    val estBytes = dvs.toSeq.map { case (rel, d) =>
+      d.cardinality * (tag(rel).length + 64L) }.sum
+    if (estBytes <= (64L << 20))
       org.apache.spark.sql.functions.broadcast(df)
     else df
   }
@@ -2001,7 +2007,7 @@ object DeltaLog {
     val st = replay(spark, root, v)
     // constraint SQL references LOGICAL names; validation reads via
     // readAt (mapped-aware) and enforcement runs in logical space —
-    // name-mode tables work, id mode refuses
+    // all three mapping modes (none, name, id) work
     requireWritableMapping(st, "addCheckConstraint")
     require(!st.configuration.contains(s"delta.constraints.$name"),
       s"DeltaLog.addCheckConstraint: constraint $name already exists")
@@ -3093,8 +3099,15 @@ object DeltaLog {
             // row's own values. Jobs stay O(1), never O(partitions).
             val (special, plain) = touched.partition { case (rel, _) =>
               rel.startsWith("/") || st.fileDvs.contains(rel) }
-            val physFull = StructType(fullSchema.fields.map(f =>
-              f.copy(name = physMap.getOrElse(f.name, f.name))))
+            // data fields resolve like every other mapped read —
+            // readSchemaFor stamps parquet.field.id in id mode, where a
+            // file's stored names may legally differ from the declared
+            // physicalName (a hand-renamed physFull would read such
+            // files as all-NULL pre-images); partition fields append
+            // PHYSICAL-named for basePath directory discovery
+            val physFull = StructType(readSchemaFor(st, dataSchema)._1.fields
+              ++ fullSchema.fields.filter(f => pcSet(f.name)).map(f =>
+                f.copy(name = physMap.getOrElse(f.name, f.name))))
             def logicalAll = fullSchema.fieldNames.map(n =>
               col(physMap.getOrElse(n, n)).as(n))
             val preParts = Seq.newBuilder[DataFrame]
@@ -3516,8 +3529,8 @@ object DeltaLog {
       s"DeltaLog.restore: version $version outside [0, $cur] of $root")
     val target = replay(spark, root, version)
     val current = replay(spark, root, cur)
-    // restore moves LOG entries only (no column IO), so name-mode
-    // mapped tables restore fine; id mode stays refused
+    // restore moves LOG entries only (no column IO), so mapped tables
+    // (name AND id mode) restore fine
     requireWritableMapping(current, "restore")
     requireNotAppendOnly(current, "restore")
     requireWritable(current, "restore")

@@ -640,13 +640,19 @@ object TextDedup {
                            shingleN: Int = 2, threshold: Double = 0.3,
                            cap: Int = 2048,
                            shingles: Option[DataFrame] = None,
-                           pairDots: Option[DataFrame] = None): DataFrame = {
+                           pairDots: Option[DataFrame] = None,
+                           maxDf: Option[Int] = None): DataFrame = {
     // Same knob-ownership contract as [[jaccardNearDupPairs]]: a
     // supplied pairDots already baked in its cap.
     require(pairDots.isEmpty || cap == 2048,
       "weightedJaccardPairs: cap only applies when the pair table is " +
         "built internally - it was fixed when the supplied pairDots was " +
         "created (build it via shinglePairDots(sh, maxDf, cap))")
+    // A DF filter changes the idf table AND the corpus size: the per-doc
+    // norms recomputed here must weight by the SAME filtered posting the
+    // pair dots were built from, or dot and norms silently disagree —
+    // callers supplying a shinglePairDots(sh, maxDf = Some(d)) table
+    // MUST pass the same maxDf here (and None for a maxDf = None table).
     // The posting table feeds the df counts, the weighted join, and the
     // corpus size — persisted for the call (the jaccardShingles shared-
     // intermediate discipline; session clearCache() releases it). A
@@ -655,10 +661,9 @@ object TextDedup {
     // `pairDots` (the [[shinglePairDots]] shared materialization) saves
     // the pair join — this call then only adds the posting-sized idf
     // and per-doc norm aggregations.
-    val posting = shingles.getOrElse(shingleHashedDocs(
+    val posting = dfFiltered(shingles.getOrElse(shingleHashedDocs(
         docs.filter(size(tokens(col(textCol))) >= shingleN), idCol, textCol,
-        shingleN))
-      .select(col("id"), explode(col("sh")).as("bk"))
+        shingleN)), maxDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = posting.select(col("id")).distinct().count()
     require(n > 0, "weightedJaccardPairs over an empty corpus")

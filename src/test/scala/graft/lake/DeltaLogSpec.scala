@@ -2136,4 +2136,43 @@ class DeltaLogSpec extends SparkSpec {
     val got = df.collect().map(r => (r.getLong(0), r.getDate(1).toString)).toSet
     assert(got == Set((1L, "2024-01-01"), (2L, "2024-01-02")))
   }
+
+  test("partitioned MERGE CDF pre-images on an id-mode table resolve by " +
+    "FIELD ID even when the data file's stored names differ from the " +
+    "declared physicalName") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType, MetadataBuilder}
+    // data file stores names junk-1/junk-2 with field ids 1/2 — legal
+    // per the protocol (id mode: names irrelevant); a name-matched
+    // basePath scan reads it as all-NULL
+    val mb1 = new MetadataBuilder().putLong("parquet.field.id", 1L).build()
+    val mb2 = new MetadataBuilder().putLong("parquet.field.id", 2L).build()
+    val junkNamed = spark.createDataFrame(
+      Seq((1L, "a"), (2L, "b")).toDF("x", "y").rdd,
+      StructType(Seq(StructField("junk-1", LongType, true, mb1),
+        StructField("junk-2", StringType, true, mb2))))
+    val root = freshRoot()
+    writeFlat(root, "col-ppp=x/f1.parquet", junkNamed)
+    val schemaJson =
+      """{"type":"struct","fields":[
+        {"name":"k","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aaa"}},
+        {"name":"v","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-bbb"}},
+        {"name":"p","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"col-ppp"}}]}"""
+        .replaceAll("\n\\s*", "")
+    writeCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"ext-cmid-cdf","format":{"provider":"parquet","options":{}},"schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":["p"],"configuration":{"delta.columnMapping.mode":"id","delta.enableChangeDataFeed":"true"}}}""",
+      """{"add":{"path":"col-ppp%3Dx/f1.parquet","partitionValues":{"col-ppp":"x"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    DeltaLog.mergeKey(spark, root, "k",
+      Seq((1L, "A", "x"), (9L, "i", "y")).toDF("k", "v", "p"))
+    val feed = DeltaLog.readChangeFeed(spark, root, 0L)
+      .select("k", "v", "p", DeltaLog.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(feed == Set((1L, "a", "x", "update_preimage"),
+      (1L, "A", "x", "update_postimage"), (9L, "i", "y", "insert")),
+      feed.toString)
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set((1L, "A"), (2L, "b"), (9L, "i")))
+  }
 }
