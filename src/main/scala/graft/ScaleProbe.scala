@@ -92,6 +92,30 @@ object ScaleProbe {
     }.toMap
     var delRun = 0
 
+    // String-point-merge fixtures: a STRING-keyed table in 8·k files
+    // with footer key blooms (hash layout — stats ranges all span the
+    // key space, the bloom is what prunes) and a five-key point
+    // source. The candidate set stays O(matching files) as k grows
+    // (stats+bloom intersect; DeltaDmlScaleSpec pins the count), so
+    // the wall-clock exponent should sit near ZERO — the 100 TB
+    // point-upsert posture in one number.
+    val strMergeTables = ks.map { k =>
+      import org.apache.spark.sql.functions.{col, concat, count, lit}
+      val nodes = edges(k).groupBy("src")
+        .agg(count(lit(1)).as("deg")).withColumnRenamed("src", "node")
+        .select(concat(lit("n-"), col("node").cast("string")).as("nid"),
+          col("deg"))
+      val root = s"$tmp/dsmerge$k"
+      graft.lake.DeltaLog.commitFlat(spark, root, nodes.repartition(8 * k),
+        writeOptions = graft.lake.DeltaLog.bloomOptions(Seq("nid")))
+      val srcPath = s"$tmp/dssrc$k"
+      nodes.orderBy(col("nid")).limit(5)
+        .selectExpr("nid", "deg + 5000 AS deg")
+        .write.mode("overwrite").parquet(srcPath)
+      k -> (root, srcPath)
+    }.toMap
+    var strRun = 0
+
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "neardup_lsh" -> { k =>
         TextDedup.nearDupPairs(docs(k), "doc_id", "text")
@@ -177,6 +201,19 @@ object ScaleProbe {
         graft.lake.DeltaLog.shallowClone(spark, root, clone)
         graft.lake.DeltaLog.deleteWhereLong(spark, clone, "node",
           0L, Long.MaxValue / 2)
+        graft.lake.DeltaLog.read(spark, clone)
+      },
+      // STRING-key POINT merge: 5 keys into 8·k bloom-indexed files on
+      // a fresh shallow clone each run — candidates prune to
+      // O(matching) files before any data IO, so this point should be
+      // ~flat in k.
+      "delta_string_point_merge" -> { k =>
+        val (root, srcPath) = strMergeTables(k)
+        strRun += 1
+        val clone = s"$tmp/dsclone-$k-$strRun"
+        graft.lake.DeltaLog.shallowClone(spark, root, clone)
+        graft.lake.DeltaLog.mergeKey(spark, clone, "nid",
+          spark.read.parquet(srcPath))
         graft.lake.DeltaLog.read(spark, clone)
       },
       "bucketed_join" -> { k =>

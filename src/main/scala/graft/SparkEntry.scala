@@ -2449,9 +2449,9 @@ object SparkEntry {
     }),
     // STRING-KEY MERGE: the reference's real S4 shape (silver_orders
     // merges on STRING order_id) — same fold as q269 but the key is
-    // 'O-<orderkey>'; candidate pruning degrades to the exact
-    // semi-join probe (string stats can be truncated by external
-    // writers, so range pruning is off by design for strings).
+    // 'O-<orderkey>'; candidates prune via truncation-enclosing string
+    // stats ranges + footer key blooms before the exact semi-join
+    // probe (DeltaDmlScaleSpec pins the O(matching) candidate count).
     "q283_delta_merge_string" -> ((s, d) => {
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -2469,6 +2469,28 @@ object SparkEntry {
       graft.lake.DeltaLog.mergeKey(s, root, "oid",
         toStr(updates).unionByName(toStr(slice(2))))
       graft.lake.DeltaLog.read(s, root)
+    }),
+    // STRING point lookup × merge-written BLOOMS: hash-interleaved
+    // slices make every file's string stats range span the key space,
+    // so the footer bloom is the only thing that prunes; the string
+    // merge doubles 100..200, writing key blooms on its own output,
+    // then readWhereStringPoint serves 'ord-150' from the merged
+    // state. Result = full table UNION ALL the point row.
+    "q288_delta_bloom_string" -> ((s, d) => {
+      val base = Tables.orders(s, d).filter(col("o_orderkey").isNotNull)
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select(concat(lit("ord-"), col("o_orderkey").cast("string"))
+          .as("okey"), col("o_custkey"), col("o_totalprice"))
+      val root = freshScratch("q288")
+      (0 until 4).foreach(i => graft.lake.DeltaLog.commitFlat(s, root,
+        shaped(base.filter(pmod(col("o_orderkey"), lit(4)) === i)),
+        writeOptions = graft.lake.DeltaLog.bloomOptions(Seq("okey"))))
+      graft.lake.DeltaLog.mergeKey(s, root, "okey",
+        shaped(base.filter(col("o_orderkey").between(100L, 200L))
+          .withColumn("o_totalprice", col("o_totalprice") * 2)))
+      graft.lake.DeltaLog.read(s, root).unionByName(
+        graft.lake.DeltaLog.readWhereStringPoint(s, root, "okey",
+          "ord-150"))
     }),
     // PARTITIONED MERGE × CDF: the reference's README recommends
     // event_date-partitioned silver — merge into a bucket-partitioned
@@ -4351,6 +4373,19 @@ object SparkEntry {
     // q277: the streamed partitioned table is just events.
     "q277_delta_stream_partitioned" ->
       """SELECT event_id, value, event_type FROM events""",
+    // q288: the merged table (prices doubled in 100..200) plus the
+    // point-lookup row again; *2 is an exact double scaling.
+    "q288_delta_bloom_string" ->
+      """WITH t AS (
+           SELECT 'ord-' || CAST(o_orderkey AS VARCHAR) AS okey,
+             o_custkey,
+             CASE WHEN o_orderkey BETWEEN 100 AND 200
+                  THEN o_totalprice * 2 ELSE o_totalprice END
+               AS o_totalprice
+           FROM orders WHERE o_orderkey IS NOT NULL)
+         SELECT * FROM t
+         UNION ALL
+         SELECT * FROM t WHERE okey = 'ord-150'""",
     // q278: the point lookup is a plain equality filter.
     "q278_delta_bloom_lookup" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -939,6 +939,13 @@ object DeltaLog {
     */
   private[lake] var mergeInsertRowsPerFile: Long = 4L << 20
 
+  /** Largest source-key set a MERGE enumerates driver-side for the
+    * footer-bloom point prune ([[mergeCandidates]] layer 2) — above
+    * it, bulk merges rely on range pruning + the semi-join probe
+    * (where most files genuinely hold matches anyway). Test seam.
+    */
+  private[lake] var mergeBloomMaxKeys: Long = 1024L
+
   /** Distributed last-action-wins reconstruction of the ACTIVE add set
     * at `version` — the 100 TB-posture replacement for driver-side
     * HashMap replay: at millions of files the checkpoint is itself big
@@ -1299,9 +1306,12 @@ object DeltaLog {
     * `Files.delete` it.
     */
   private def writeSingleParquet(df: DataFrame, root: String,
-                                 prefix: String): Path = {
+                                 prefix: String,
+                                 writeOptions: Map[String, String] =
+                                   Map.empty): Path = {
     val staging = Files.createTempDirectory(stagingBase(root), prefix)
-    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    df.coalesce(1).write.options(writeOptions).mode("overwrite")
+      .parquet(staging.toString)
     val s = Files.list(staging)
     val part =
       try s.iterator().asScala
@@ -1322,10 +1332,13 @@ object DeltaLog {
     * must not serialize through one task.
     */
   private def writeParquetFiles(df: DataFrame, root: String,
-                                prefix: String, numFiles: Int): Seq[Path] = {
+                                prefix: String, numFiles: Int,
+                                writeOptions: Map[String, String] =
+                                  Map.empty): Seq[Path] = {
     require(numFiles >= 1, s"DeltaLog.writeParquetFiles: numFiles >= 1")
     val staging = Files.createTempDirectory(stagingBase(root), prefix)
-    df.repartition(numFiles).write.mode("overwrite").parquet(staging.toString)
+    df.repartition(numFiles).write.options(writeOptions).mode("overwrite")
+      .parquet(staging.toString)
     val s = Files.list(staging)
     val parts =
       try s.iterator().asScala
@@ -1562,7 +1575,8 @@ object DeltaLog {
       transform: DataFrame => DataFrame,
       prefix: String,
       st: LogState,
-      dvs: Map[String, DvDescriptor] = Map.empty): Map[String, Path] = {
+      dvs: Map[String, DvDescriptor] = Map.empty,
+      writeOptions: Map[String, String] = Map.empty): Map[String, Path] = {
     if (rels.isEmpty) return Map.empty
     // column mapping: files are scanned AND rewritten under PHYSICAL
     // names / field ids; the transform runs between two renames in
@@ -1592,7 +1606,7 @@ object DeltaLog {
         }
         val out = stampFieldIds(
           transform(live).select(toPhysical.toIndexedSeq: _*), fieldIds)
-        val part = writeSingleParquet(out, root, prefix)
+        val part = writeSingleParquet(out, root, prefix, writeOptions)
         val kept = mapper.readTree(footerStatsJson(part,
           spark.sparkContext.hadoopConfiguration))
           .path("numRecords").asLong(0L)
@@ -1615,7 +1629,7 @@ object DeltaLog {
     stampFieldIds(transform(scanned)
       .select(toPhysical :+ col(SrcTagCol): _*), fieldIds)
       .repartition(rels.size, col(SrcTagCol))
-      .write.partitionBy(SrcTagCol).mode("overwrite")
+      .write.options(writeOptions).partitionBy(SrcTagCol).mode("overwrite")
       .parquet(staging.toString)
     val out = Map.newBuilder[String, Path]
     val dirs = Files.list(staging)
@@ -2064,25 +2078,55 @@ object DeltaLog {
     v + 1
   }
 
+  /** Stats key for `column`: under column mapping, recorded stats are
+    * keyed by PHYSICAL name (both external writers and this one derive
+    * them from the parquet footer, which stores physical fields).
+    */
+  private def statsKeyOf(st: LogState, column: String): String =
+    if (mappingMode(st) != "none")
+      st.schema.map(sch => physicalTopLevel(
+        StructType(sch.filter(_.name == column)))
+        .getOrElse(column, column)).getOrElse(column)
+    else column
+
   private def statsOverlap(st: LogState, path: String, column: String,
                            lo: Long, hi: Long): Boolean =
     st.fileStats.get(path) match {
       case None => true
       case Some(s) =>
-        // under column mapping, stats are keyed by PHYSICAL name
-        // (both external writers and this one derive them from the
-        // parquet footer, which stores physical fields)
-        val key =
-          if (mappingMode(st) != "none")
-            st.schema.map(sch => physicalTopLevel(
-              StructType(sch.filter(_.name == column)))
-              .getOrElse(column, column)).getOrElse(column)
-          else column
+        val key = statsKeyOf(st, column)
         val n = mapper.readTree(s)
         val mn = n.path("minValues").path(key)
         val mx = n.path("maxValues").path(key)
         !(mn.isNumber && mx.isNumber) ||
           (mn.asLong() <= hi && mx.asLong() >= lo)
+    }
+
+  /** STRING-range file skipping over recorded footer min/max. External
+    * writers TRUNCATE long string stats, but truncation keeps the
+    * bounds ENCLOSING (a truncated min is a prefix ≤ the true min; a
+    * truncated max must be rounded UP by the writer to stay ≥ the true
+    * max — Delta's own rule), so range pruning on truncated bounds is
+    * still exact. Comparisons run only when all four bounds are pure
+    * ASCII — there Java string order equals parquet's unsigned-byte
+    * stats order equals the JSON rendering order; a non-ASCII recorded
+    * bound keeps the file (callers skip pruning entirely on a
+    * non-ASCII probe range), so order divergence above 0x7f can never
+    * drop a matching file.
+    */
+  private def statsOverlapStr(st: LogState, path: String, column: String,
+                              lo: String, hi: String): Boolean =
+    st.fileStats.get(path) match {
+      case None => true
+      case Some(s) =>
+        val key = statsKeyOf(st, column)
+        val n = mapper.readTree(s)
+        val mn = n.path("minValues").path(key)
+        val mx = n.path("maxValues").path(key)
+        def ascii(x: String) = x.forall(_ < 0x80)
+        !(mn.isTextual && mx.isTextual) ||
+          !(ascii(mn.asText()) && ascii(mx.asText())) ||
+          (mn.asText() <= hi && mx.asText() >= lo)
     }
 
   /** Inverse of [[decodePath]]: percent-encode a table-relative path the
@@ -2479,31 +2523,82 @@ object DeltaLog {
     val kept = st.files
       .filter { case (p, _) => statsOverlap(st, p, column, value, value) }
       .filter { case (rel, _) =>
-        bloomMightContain(resolvePath(root, rel), column, value, conf) }
+        bloomKeepsFile(resolvePath(root, rel), statsKeyOf(st, column),
+          fieldIdOf(st, column), Seq(java.lang.Long.valueOf(value)), conf) }
     assembleFiles(spark, root, st, kept).filter(col(column) === value)
   }
 
-  /** Footer-only bloom probe: true when the file might contain
-    * `value` in `column` (no bloom written → conservatively true).
+  /** [[readWhereLongPoint]]'s STRING sibling — the reference's
+    * production point-lookup shape (string `order_id`): truncated-stats
+    * range check (truncation keeps bounds enclosing, see
+    * [[statsOverlapStr]]) then the footer bloom's exact-negative
+    * answer. Files written by [[mergeKey]] carry a bloom on the merge
+    * key automatically, so the table's own upsert traffic stays
+    * point-prunable.
     */
-  private def bloomMightContain(file: Path, column: String, value: Long,
+  def readWhereStringPoint(spark: SparkSession, root: String,
+                           column: String, value: String): DataFrame = {
+    val st = replay(spark, root, currentVersion(root))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ascii = value.forall(_ < 0x80)
+    val kept = st.files
+      .filter { case (p, _) =>
+        !ascii || statsOverlapStr(st, p, column, value, value) }
+      .filter { case (rel, _) =>
+        bloomKeepsFile(resolvePath(root, rel), statsKeyOf(st, column),
+          fieldIdOf(st, column), Seq(value), conf) }
+    assembleFiles(spark, root, st, kept).filter(col(column) === value)
+  }
+
+  /** Footer-only bloom probe: true when the file might contain ANY of
+    * `keys` (LONG or STRING) in the column named `physName` — or when
+    * no bloom was written (conservatively kept). On an id-mode table
+    * the file's stored column name may legally differ from the
+    * declared physicalName, so when `fieldId` is given the footer
+    * SCHEMA resolves the actual stored name by field id first (the
+    * q287 resolution rule — a name match there could silently probe a
+    * different column). One footer open per file regardless of key
+    * count; data pages are never read.
+    */
+  private def bloomKeepsFile(file: Path, physName: String,
+      fieldId: Option[Long], keys: Seq[Any],
       conf: org.apache.hadoop.conf.Configuration): Boolean = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(file.toString), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
+      val colName = fieldId.flatMap { id =>
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .find(f => Option(f.getId).exists(_.intValue().toLong == id))
+          .map(_.getName)
+      }.getOrElse(physName)
       r.getFooter.getBlocks.asScala.exists { block =>
         block.getColumns.asScala
-          .find(_.getPath.toDotString == column) match {
+          .find(_.getPath.toDotString == colName) match {
           case None => true
           case Some(cm) =>
             val bf = r.getBloomFilterDataReader(block).readBloomFilter(cm)
             if (bf == null) true
-            else bf.findHash(bf.hash(value))
+            else keys.exists {
+              case l: java.lang.Long => bf.findHash(bf.hash(l.longValue()))
+              case s: String => bf.findHash(bf.hash(
+                org.apache.parquet.io.api.Binary.fromString(s)))
+              case _ => true // unprobeable key type: keep the file
+            }
         }
       }
     } finally r.close()
   }
+
+  /** Declared column-mapping field id of `column` on an id-mode table
+    * (None otherwise) — the footer-resolution key [[bloomKeepsFile]]
+    * needs where stored names are not authoritative.
+    */
+  private def fieldIdOf(st: LogState, column: String): Option[Long] =
+    if (mappingMode(st) != "id") None
+    else st.schema.flatMap(_.fields.find(_.name == column))
+      .filter(_.metadata.contains(ColumnIdKey))
+      .map(_.metadata.getLong(ColumnIdKey))
 
   /** Copy-on-write DELETE of rows with `column` in [lo, hi] over the
     * current snapshot, committed as `remove`+`add` with
@@ -2918,6 +3013,74 @@ object DeltaLog {
     * its inserts like any append. No-op (no commit) on an empty
     * source. Returns the table version afterwards.
     */
+  /** Candidate file set of a [[mergeKey]] probe — stacked METADATA-ONLY
+    * pruning so a point upsert into a 100 TB table opens only files
+    * that can hold a matching key:
+    * (1) footer-stats RANGE prune: numeric min/max for LONG keys;
+    *     lexicographic min/max for STRING keys (external writers
+    *     truncate string stats, but truncated bounds stay ENCLOSING —
+    *     [[statsOverlapStr]] — so pruning is exact; guarded to ASCII
+    *     bounds where every ordering in play agrees);
+    * (2) footer BLOOM exact-negative point prune when the source key
+    *     set is enumerable ([[mergeBloomMaxKeys]]): on an UNSORTED key
+    *     stats prune nothing — the bloom is what keeps a point merge
+    *     from scanning the whole table. Files [[mergeKey]] itself
+    *     wrote carry a key bloom by construction; files without one
+    *     are conservatively kept.
+    * Other key types skip both layers (the exact semi-join probe then
+    * reads the key column of every active file). IO here is footer
+    * bytes ∝ candidate count, never data pages.
+    */
+  private[lake] def mergeCandidates(spark: SparkSession, root: String,
+      st: LogState, key: String, srcKeys: DataFrame,
+      srcRows: Long): Seq[(String, Map[String, String])] = {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val keyType = st.schema.map(_.apply(key).dataType).getOrElse(NullType)
+    val ranged: Seq[(String, Map[String, String])] = keyType match {
+      case LongType =>
+        val kr = srcKeys.agg(fmin(col(key)), fmax(col(key))).head()
+        if (kr.isNullAt(0)) Nil // all-NULL keys: pure insert
+        else st.files.filter { case (rel, _) =>
+          statsOverlap(st, rel, key, kr.getLong(0), kr.getLong(1)) }
+      case StringType =>
+        val kr = srcKeys.agg(fmin(col(key)), fmax(col(key))).head()
+        if (kr.isNullAt(0)) Nil
+        else {
+          val (lo, hi) = (kr.getString(0), kr.getString(1))
+          // Spark's min/max order strings by UTF-8 bytes; for ASCII
+          // bounds that coincides with the stats comparison's order
+          if (lo.forall(_ < 0x80) && hi.forall(_ < 0x80))
+            st.files.filter { case (rel, _) =>
+              statsOverlapStr(st, rel, key, lo, hi) }
+          else st.files
+        }
+      case _ => if (srcKeys.isEmpty) Nil else st.files
+    }
+    val pointable = keyType == LongType || keyType == StringType
+    if (!pointable || ranged.isEmpty || srcRows > mergeBloomMaxKeys) ranged
+    else {
+      // srcRows bounds the key count, so this collect is point/batch
+      // sized by the gate above — never a bulk upsert's key set
+      val keys = srcKeys.collect().map(_.get(0)).toSeq
+      val physKey = statsKeyOf(st, key)
+      val fid = fieldIdOf(st, key)
+      ranged.filter { case (rel, _) =>
+        bloomKeepsFile(resolvePath(root, rel), physKey, fid, keys, conf) }
+    }
+  }
+
+  /** Test seam: the pruned candidate rel set a [[mergeKey]] of `source`
+    * on `key` would probe — metadata-only, no DML performed.
+    */
+  private[lake] def mergeCandidateRels(spark: SparkSession, root: String,
+      key: String, source: DataFrame): Seq[String] = {
+    val st = replay(spark, root, currentVersion(root))
+    val srcKeys = source.filter(col(key).isNotNull).select(col(key))
+    mergeCandidates(spark, root, st, key, srcKeys, source.count())
+      .map(_._1)
+  }
+
   def mergeKey(spark: SparkSession, root: String, key: String,
                source: DataFrame): Long = {
     val v = currentVersion(root)
@@ -2954,24 +3117,19 @@ object DeltaLog {
           "which one updates the matched target row is undefined")
       val srcKeys = src.filter(col(key).isNotNull).select(col(key))
       val conf = spark.sparkContext.hadoopConfiguration
-      // candidate files: footer-stats range prune for LONG keys; every
-      // active file otherwise (external writers truncate string
-      // min/max, so lexicographic pruning could silently miss matches
-      // — the probe stays exact either way)
-      val candidates: Seq[(String, Map[String, String])] =
-        if (fullSchema(key).dataType == LongType) {
-          val keyRange = srcKeys.agg(
-            org.apache.spark.sql.functions.min(col(key)),
-            org.apache.spark.sql.functions.max(col(key))).head()
-          if (keyRange.isNullAt(0)) Nil // all-NULL keys: pure insert
-          else {
-            val (lo, hi) = (keyRange.getLong(0), keyRange.getLong(1))
-            st.files.filter { case (rel, _) =>
-              statsOverlap(st, rel, key, lo, hi) }
-          }
-        } else if (srcKeys.isEmpty) Nil
-        else st.files
+      // source row count feeds BOTH the insert-file binning below and
+      // the bloom-prune enumerability gate — one job, counted up front
+      val srcRows = src.count()
+      val candidates = mergeCandidates(spark, root, st, key, srcKeys,
+        srcRows)
       val physMap = physicalWriteMap(st, fullSchema)
+      // every file a merge writes carries a BLOOM on the merge key
+      // (adaptive sizing: parquet picks the smallest candidate filter
+      // covering the file's actual NDV), so the NEXT point merge or
+      // readWhere*Point prunes this table's own upsert traffic without
+      // relying on external writers to have indexed the key
+      val keyBloomOpts = bloomOptions(Seq(physMap.getOrElse(key, key))) +
+        ("parquet.bloom.filter.adaptive.enabled" -> "true")
       val candDvs = candidates
         .flatMap(f => st.fileDvs.get(f._1).map(f._1 -> _)).toMap
       // exact touched set by ONE semi-join probe job over the
@@ -2991,7 +3149,7 @@ object DeltaLog {
       // DV-carrying file rewrites its LIVE rows and the add drops the DV.
       val rewritten = rewriteFilesBatched(spark, root, touched.map(_._1),
         dataSchema, _.join(srcKeys, Seq(key), "left_anti"),
-        "graft-delta-merge", st, touchedDvs)
+        "graft-delta-merge", st, touchedDvs, keyBloomOpts)
       touched.foreach { case (rel, pv) =>
         actions += removeActionNode(rel, dataChange = true)
         rewritten.get(rel).foreach { part =>
@@ -3011,7 +3169,6 @@ object DeltaLog {
       // the whole source — updated versions of matched rows plus the
       // genuinely new ones — lands as target-sized files in ONE job
       // (a bulk upsert batch must not serialize through one task)
-      val srcRows = src.count()
       val insFiles = math.max(1L, (srcRows + mergeInsertRowsPerFile - 1) /
         mergeInsertRowsPerFile).toInt
       // insert files store PHYSICAL names on a mapped table (identity
@@ -3023,8 +3180,10 @@ object DeltaLog {
       if (pcs.isEmpty) {
         val insParts =
           if (insFiles == 1) // point merge: coalesce, no shuffle
-            Seq(writeSingleParquet(insDf, root, "graft-delta-merge"))
-          else writeParquetFiles(insDf, root, "graft-delta-merge", insFiles)
+            Seq(writeSingleParquet(insDf, root, "graft-delta-merge",
+              keyBloomOpts))
+          else writeParquetFiles(insDf, root, "graft-delta-merge", insFiles,
+            keyBloomOpts)
         insParts.foreach { insPart =>
           val insTarget = Paths.get(root).resolve(insPart.getFileName)
           Files.move(insPart, insTarget, StandardCopyOption.ATOMIC_MOVE)
@@ -3041,7 +3200,8 @@ object DeltaLog {
         insDf
           .repartition(insFiles, physPcs.map(col) :+
             pmod(hash(col(physMap.getOrElse(key, key))), lit(insFiles)): _*)
-          .write.mode("overwrite").partitionBy(physPcs: _*)
+          .write.options(keyBloomOpts).mode("overwrite")
+          .partitionBy(physPcs: _*)
           .parquet(staging.toString)
         val walk = Files.walk(staging)
         val dataFiles =

@@ -101,6 +101,70 @@ class DeltaDmlScaleSpec extends SparkSpec {
     assert((50L to 4049L).forall(k => got(k) == -k), "merged rows wrong")
   }
 
+  test("STRING-key point merge prunes candidates to O(matching) files: " +
+    "truncation-enclosing stats ranges on a sorted layout, footer " +
+    "blooms on an unsorted one, and merge-written files re-prune") {
+    // layout A: each file covers a DISJOINT sorted key range — stats
+    // alone must prune a point merge to one candidate (no blooms)
+    val sortedRoot = freshRoot() + "-sorted"
+    (0 until 16).foreach { i =>
+      DeltaLog.commitFlat(spark, sortedRoot,
+        (0 until 100).map(j => (f"id-$i%02d-$j%03d", j.toLong))
+          .toDF("k", "x").coalesce(1))
+    }
+    assert(DeltaLog.filesAt(spark, sortedRoot, 15L).size == 16)
+    val candSorted = DeltaLog.mergeCandidateRels(spark, sortedRoot, "k",
+      Seq(("id-07-050", -1L)).toDF("k", "x"))
+    assert(candSorted.size == 1,
+      s"sorted string layout must stats-prune to 1 file, got " +
+        s"${candSorted.size}")
+    // layout B: keys HASH-spread across 16 files so every stats range
+    // spans the whole key space — the per-file BLOOM is what prunes
+    val hashedRoot = freshRoot() + "-hashed"
+    val all = (0 until 1600).map(j => (f"ord-$j%04d", j.toLong))
+    DeltaLog.commitFlat(spark, hashedRoot, all.toDF("k", "x")
+      .repartition(16), writeOptions = DeltaLog.bloomOptions(Seq("k")))
+    assert(DeltaLog.filesAt(spark, hashedRoot, 0L).size == 16)
+    val candHashed = DeltaLog.mergeCandidateRels(spark, hashedRoot, "k",
+      Seq(("ord-0042", -1L)).toDF("k", "x"))
+    assert(candHashed.size <= 3,
+      s"bloom point prune must keep O(matching) files of 16, got " +
+        s"${candHashed.size}")
+    // the merge itself: correct, and its own OUTPUT files carry a key
+    // bloom (adaptive-sized), so the NEXT point merge still prunes
+    DeltaLog.mergeKey(spark, hashedRoot, "k",
+      Seq(("ord-0042", -42L), ("zzz-9999", 9999L)).toDF("k", "x"))
+    val got = DeltaLog.read(spark, hashedRoot).as[(String, Long)]
+      .collect().toMap
+    assert(got.size == 1601 && got("ord-0042") == -42L &&
+      got("zzz-9999") == 9999L)
+    val cand2 = DeltaLog.mergeCandidateRels(spark, hashedRoot, "k",
+      Seq(("ord-0042", 0L)).toDF("k", "x"))
+    assert(cand2.size <= 3,
+      s"merge-written files must stay bloom-prunable, got ${cand2.size}")
+    // bloom present on a merge-written file, readable by the parquet
+    // BloomFilterReader surface (not just our prune path)
+    val newFiles = DeltaLog.filesAt(spark, hashedRoot, 1L)
+      .filterNot(DeltaLog.filesAt(spark, hashedRoot, 0L).toSet)
+    assert(newFiles.nonEmpty)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(hashedRoot, newFiles.head).toString),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val hasBloom = try {
+      val block = r.getFooter.getBlocks.get(0)
+      import scala.jdk.CollectionConverters._
+      val cm = block.getColumns.asScala
+        .find(_.getPath.toDotString == "k").get
+      r.getBloomFilterDataReader(block).readBloomFilter(cm) != null
+    } finally r.close()
+    assert(hasBloom, "merge output must carry a bloom on the merge key")
+    // point lookup through the public surface agrees
+    assert(DeltaLog.readWhereStringPoint(spark, hashedRoot, "k", "ord-0042")
+      .as[(String, Long)].collect().toSeq == Seq(("ord-0042", -42L)))
+  }
+
   test("BitmapAgg: DV bitmaps build executor-side — the driver row is " +
     "BINARY bitmap bytes that deserialize to the full position set") {
     val agg = udaf(DeltaLog.BitmapAgg,
