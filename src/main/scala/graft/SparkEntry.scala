@@ -2920,6 +2920,133 @@ object SparkEntry {
       graft.lake.DeltaLog.mergeKey(s, root, "event_id", src)
       graft.lake.DeltaLog.read(s, root)
     }),
+    // NESTED column mapping, NAME mode: the reference's silver shape —
+    // items array<struct<product_id, qty>> — with physicalName
+    // metadata at EVERY level. The even half pre-exists under physical
+    // nested names; the odd half appends through LOGICAL names; a
+    // string-key MERGE replaces 100..200's items. The gate explodes
+    // items back to scalar rows (array compare stays cross-engine-safe).
+    "q289_delta_mapped_nested" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      val base = Tables.orders(s, d).filter(col("o_orderkey").isNotNull)
+        .select(col("o_orderkey"),
+          coalesce(col("o_custkey"), lit(0L)).as("ck"))
+      def shaped(df: org.apache.spark.sql.DataFrame, merged: Boolean) =
+        if (!merged)
+          df.select(concat(lit("O-"), col("o_orderkey").cast("string"))
+            .as("order_id"),
+            array(
+              struct(col("ck").as("product_id"), lit(1L).as("qty")),
+              struct((col("ck") + 1000000L).as("product_id"),
+                lit(2L).as("qty"))).as("items"))
+        else
+          df.select(concat(lit("O-"), col("o_orderkey").cast("string"))
+            .as("order_id"),
+            array(struct((col("ck") + 7L).as("product_id"),
+              lit(9L).as("qty"))).as("items"))
+      val root = freshScratch("q289")
+      val rootP = java.nio.file.Paths.get(root)
+      java.nio.file.Files.createDirectories(rootP)
+      val tmp = java.nio.file.Files.createTempDirectory(rootP, "stage")
+      shaped(base.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        merged = false)
+        .select(col("order_id").as("col-oid"),
+          expr("transform(items, x -> named_struct('col-pid', " +
+            "x.product_id, 'col-qty', x.qty))").as("col-items"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val l = java.nio.file.Files.list(tmp)
+        try l.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      java.nio.file.Files.move(part, rootP.resolve("part-a.parquet"))
+      java.nio.file.Files.createDirectories(rootP.resolve("_delta_log"))
+      java.nio.file.Files.write(
+        rootP.resolve("_delta_log").resolve(f"${0L}%020d.json"),
+        (Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"graft-q289","format":{"provider":"parquet","options":{}},"schemaString":"${nestedMappedSchemaJson.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"}}}""",
+          """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+          .mkString("", "\n", "\n")).getBytes("UTF-8"))
+      graft.lake.DeltaLog.commitFlat(s, root,
+        shaped(base.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+          merged = false))
+      graft.lake.DeltaLog.mergeKey(s, root, "order_id",
+        shaped(base.filter(col("o_orderkey").between(100L, 200L)),
+          merged = true))
+      graft.lake.DeltaLog.read(s, root)
+        .select(col("order_id"), explode(col("items")).as("item"))
+        .select(col("order_id"), col("item.product_id").as("product_id"),
+          col("item.qty").as("qty"))
+    }),
+    // NESTED column mapping, ID mode: same silver shape, but the
+    // pre-existing file stores JUNK names with parquet FIELD IDS at
+    // every level (names not authoritative) — resolution must go
+    // through ids nested-deep; appends stamp nested ids; the string-key
+    // merge round-trips the array column through the batched rewrite.
+    "q290_delta_mapped_nested_id" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types.{ArrayType, LongType, StringType,
+        StructField, StructType, MetadataBuilder}
+      val base = Tables.orders(s, d).filter(col("o_orderkey").isNotNull)
+        .select(col("o_orderkey"),
+          coalesce(col("o_custkey"), lit(0L)).as("ck"))
+      def shaped(df: org.apache.spark.sql.DataFrame, merged: Boolean) =
+        if (!merged)
+          df.select(concat(lit("O-"), col("o_orderkey").cast("string"))
+            .as("order_id"),
+            array(
+              struct(col("ck").as("product_id"), lit(1L).as("qty")),
+              struct((col("ck") + 1000000L).as("product_id"),
+                lit(2L).as("qty"))).as("items"))
+        else
+          df.select(concat(lit("O-"), col("o_orderkey").cast("string"))
+            .as("order_id"),
+            array(struct((col("ck") + 7L).as("product_id"),
+              lit(9L).as("qty"))).as("items"))
+      def meta(id: Long) = new MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+      val junkSchema = StructType(Seq(
+        StructField("file-a", StringType, true, meta(1)),
+        StructField("file-b", ArrayType(StructType(Seq(
+          StructField("file-c", LongType, true, meta(3)),
+          StructField("file-d", LongType, true, meta(4)))), true), true,
+          meta(2))))
+      val root = freshScratch("q290")
+      val rootP = java.nio.file.Paths.get(root)
+      java.nio.file.Files.createDirectories(rootP)
+      val tmp = java.nio.file.Files.createTempDirectory(rootP, "stage")
+      s.createDataFrame(
+        shaped(base.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+          merged = false).rdd, junkSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val l = java.nio.file.Files.list(tmp)
+        try l.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      java.nio.file.Files.move(part, rootP.resolve("part-a.parquet"))
+      java.nio.file.Files.createDirectories(rootP.resolve("_delta_log"))
+      java.nio.file.Files.write(
+        rootP.resolve("_delta_log").resolve(f"${0L}%020d.json"),
+        (Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"graft-q290","format":{"provider":"parquet","options":{}},"schemaString":"${nestedMappedSchemaJson.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"4"}}}""",
+          """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+          .mkString("", "\n", "\n")).getBytes("UTF-8"))
+      graft.lake.DeltaLog.commitFlat(s, root,
+        shaped(base.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+          merged = false))
+      graft.lake.DeltaLog.mergeKey(s, root, "order_id",
+        shaped(base.filter(col("o_orderkey").between(100L, 200L)),
+          merged = true))
+      graft.lake.DeltaLog.read(s, root)
+        .select(col("order_id"), explode(col("items")).as("item"))
+        .select(col("order_id"), col("item.product_id").as("product_id"),
+          col("item.qty").as("qty"))
+    }),
     // V2-checkpoint Delta READ: the log is ONLY a
     // <v>.checkpoint.<uuid>.json top file (protocol 3/7 + v2Checkpoint
     // feature, metaData, checkpointMetadata, inline adds) plus a JSON
@@ -3410,6 +3537,19 @@ object SparkEntry {
     * would accumulate unbounded /tmp disk across runs — one bounded
     * tree per query instead.
     */
+  /** Delta schemaString of the q289/q290 nested-mapped fixture: the
+    * reference's silver items shape with columnMapping metadata
+    * (physicalName + id) at EVERY level — logical order_id/items over
+    * physical col-oid / col-items array<struct<col-pid, col-qty>>.
+    */
+  private val nestedMappedSchemaJson: String =
+    """{"type":"struct","fields":[
+      {"name":"order_id","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-oid"}},
+      {"name":"items","type":{"type":"array","elementType":{"type":"struct","fields":[
+        {"name":"product_id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"col-pid"}},
+        {"name":"qty","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":4,"delta.columnMapping.physicalName":"col-qty"}}]},"containsNull":true},"nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-items"}}]}"""
+      .replaceAll("\n\\s*", "")
+
   private def freshScratch(name: String): String = {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_scratch_$name")
@@ -4373,6 +4513,42 @@ object SparkEntry {
     // q277: the streamed partitioned table is just events.
     "q277_delta_stream_partitioned" ->
       """SELECT event_id, value, event_type FROM events""",
+    // q289/q290: two synthetic items per unmerged order, one (ck+7, 9)
+    // item for the merged 100..200 slice — exploded back to scalar rows.
+    "q289_delta_mapped_nested" ->
+      """WITH b AS (
+           SELECT o_orderkey, COALESCE(o_custkey, 0) AS ck,
+             CASE WHEN o_orderkey BETWEEN 100 AND 200 THEN 1 ELSE 0 END
+               AS m
+           FROM orders WHERE o_orderkey IS NOT NULL)
+         SELECT 'O-' || CAST(o_orderkey AS VARCHAR) AS order_id,
+           product_id, qty
+         FROM (
+           SELECT o_orderkey, ck AS product_id,
+             CAST(1 AS BIGINT) AS qty FROM b WHERE m = 0
+           UNION ALL
+           SELECT o_orderkey, ck + 1000000, CAST(2 AS BIGINT)
+           FROM b WHERE m = 0
+           UNION ALL
+           SELECT o_orderkey, ck + 7, CAST(9 AS BIGINT)
+           FROM b WHERE m = 1) t""",
+    "q290_delta_mapped_nested_id" ->
+      """WITH b AS (
+           SELECT o_orderkey, COALESCE(o_custkey, 0) AS ck,
+             CASE WHEN o_orderkey BETWEEN 100 AND 200 THEN 1 ELSE 0 END
+               AS m
+           FROM orders WHERE o_orderkey IS NOT NULL)
+         SELECT 'O-' || CAST(o_orderkey AS VARCHAR) AS order_id,
+           product_id, qty
+         FROM (
+           SELECT o_orderkey, ck AS product_id,
+             CAST(1 AS BIGINT) AS qty FROM b WHERE m = 0
+           UNION ALL
+           SELECT o_orderkey, ck + 1000000, CAST(2 AS BIGINT)
+           FROM b WHERE m = 0
+           UNION ALL
+           SELECT o_orderkey, ck + 7, CAST(9 AS BIGINT)
+           FROM b WHERE m = 1) t""",
     // q288: the merged table (prices doubled in 100..200) plus the
     // point-lookup row again; *2 is an exact double scaling.
     "q288_delta_bloom_string" ->

@@ -713,7 +713,7 @@ object DeltaLog {
     * resolve physical column names from the schema metadata — see
     * [[physicalTopLevel]]), `id` readable (reads match by the parquet
     * footer's field ids via `parquet.field.id` requested-schema
-    * metadata — see [[fieldIdSchema]]); any future mode refuses
+    * metadata — see [[physDataType]]); any future mode refuses
     * naming itself.
     */
   private def validateReaderSupport(root: String, st: LogState): Unit = {
@@ -744,66 +744,137 @@ object DeltaLog {
 
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
 
-  /** Top-level logical → physical field mapping under column-mapping
-    * mode `name` (PROTOCOL.md: data files store columns under
+  /** Top-level logical → physical field mapping under column mapping
+    * (PROTOCOL.md: data files store columns under
     * `delta.columnMapping.physicalName`; the declared schema carries the
     * mapping in field metadata). Fields without a physicalName keep
-    * their logical name. NESTED mappings are refused loudly — renaming
-    * inside struct/array/map types is a different rebuild and silently
-    * ignoring it would surface wrong (null) columns.
+    * their logical name. NESTED mappings resolve through
+    * [[physDataType]]/[[toLogicalField]] — this map is only the
+    * top-level column-reference layer (selects, stats keys, partition
+    * values).
     */
-  private def physicalTopLevel(schema: StructType): Map[String, String] = {
-    def nestedHasMapping(dt: DataType): Boolean = dt match {
-      case s: StructType => s.fields.exists(f =>
-        f.metadata.contains(PhysicalNameKey) || nestedHasMapping(f.dataType))
-      case a: ArrayType => nestedHasMapping(a.elementType)
-      case m: MapType => nestedHasMapping(m.keyType) || nestedHasMapping(m.valueType)
-      case _ => false
-    }
+  private def physicalTopLevel(schema: StructType): Map[String, String] =
     schema.fields.map { f =>
-      require(!nestedHasMapping(f.dataType),
-        s"DeltaLog: nested column-mapping metadata under field " +
-          s"'${f.name}' is unsupported (top-level name mapping only)")
       f.name -> (if (f.metadata.contains(PhysicalNameKey))
                    f.metadata.getString(PhysicalNameKey)
                  else f.name)
     }.toMap
-  }
 
   private val ColumnIdKey = "delta.columnMapping.id"
 
-  /** Requested-schema for an ID-mode read: physical field names plus
-    * `parquet.field.id` metadata — Spark's parquet reader (with
-    * `spark.sql.parquet.fieldId.read.enabled`, set by GraftSession)
-    * then matches columns by the footer's FIELD IDS, names irrelevant
-    * (PROTOCOL.md id-mode semantics). Nested mappings refuse via
-    * [[physicalTopLevel]]'s check.
+  /** Whether `dt` (or anything nested inside it) carries a
+    * physicalName mapping — i.e. a physical-named scan changes NESTED
+    * field names too, and the logical projection must CAST-rename
+    * (struct casts are positional) instead of a plain alias.
     */
-  private def fieldIdSchema(schema: StructType): StructType = {
-    val phys = physicalTopLevel(schema)
-    StructType(schema.fields.map { f =>
-      require(f.metadata.contains(ColumnIdKey),
-        s"DeltaLog: id-mode field '${f.name}' lacks $ColumnIdKey " +
-          "schema metadata — the mapping is unresolvable")
-      val mb = new MetadataBuilder()
-        .putLong("parquet.field.id", f.metadata.getLong(ColumnIdKey))
-        .build()
-      StructField(phys(f.name), f.dataType, f.nullable, mb)
-    })
+  private def nestedMapped(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.exists(f =>
+      f.metadata.contains(PhysicalNameKey) || nestedMapped(f.dataType))
+    case a: ArrayType => nestedMapped(a.elementType)
+    case m: MapType => nestedMapped(m.keyType) || nestedMapped(m.valueType)
+    case _ => false
   }
 
+  /** Rename struct fields at EVERY level to their physicalName
+    * (identity where unmapped); `withIds` additionally stamps
+    * `parquet.field.id` from `delta.columnMapping.id` at every level —
+    * the id-mode scan/write shape, where Spark's parquet reader
+    * (fieldId.read.enabled, set by GraftSession) matches columns by
+    * the footer's FIELD IDS recursively and the writer records them.
+    * Nested fields missing an id under id mode refuse loudly — the
+    * mapping is unresolvable.
+    */
+  private def physDataType(dt: DataType, withIds: Boolean): DataType =
+    dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val phys = if (f.metadata.contains(PhysicalNameKey))
+          f.metadata.getString(PhysicalNameKey) else f.name
+        val mb = new MetadataBuilder()
+        if (withIds) {
+          require(f.metadata.contains(ColumnIdKey),
+            s"DeltaLog: id-mode field '${f.name}' lacks $ColumnIdKey " +
+              "schema metadata — the mapping is unresolvable")
+          mb.putLong("parquet.field.id", f.metadata.getLong(ColumnIdKey))
+        }
+        StructField(phys, physDataType(f.dataType, withIds), f.nullable,
+          mb.build())
+      })
+      case a: ArrayType =>
+        a.copy(elementType = physDataType(a.elementType, withIds))
+      case m: MapType => m.copy(keyType = physDataType(m.keyType, withIds),
+        valueType = physDataType(m.valueType, withIds))
+      case other => other
+    }
+
+  /** The logical shape with mapping metadata stripped at every level —
+    * the cast target that renames a scanned physical-named nested
+    * column back to its logical field names. Fully NULLABLE: a cast to
+    * a non-nullable nested field fails resolution when the scan
+    * relaxed nullability, and nullability enforcement is the
+    * invariants layer's job, not the rename's.
+    */
+  private def cleanDataType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, cleanDataType(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(cleanDataType(a.elementType),
+      containsNull = true)
+    case m: MapType => MapType(cleanDataType(m.keyType),
+      cleanDataType(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Nullable-lenient copy of a (physical) type, metadata preserved —
+    * the WRITE-side cast target ([[toPhysicalField]]); same rationale
+    * as [[cleanDataType]]'s nullability note.
+    */
+  private def nullableDataType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = nullableDataType(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(nullableDataType(a.elementType),
+      containsNull = true)
+    case m: MapType => MapType(nullableDataType(m.keyType),
+      nullableDataType(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Logical projection of one scanned PHYSICAL-named column: a plain
+    * alias when the type nests no mapping, a cast-rename (positional
+    * over struct fields, element-wise through arrays/maps) when it
+    * does.
+    */
+  private def toLogicalField(f: StructField,
+      physName: String): org.apache.spark.sql.Column =
+    if (nestedMapped(f.dataType))
+      col(physName).cast(cleanDataType(f.dataType)).as(f.name)
+    else col(physName).as(f.name)
+
+  /** Physical projection of one LOGICAL column about to be written:
+    * alias when flat; cast to the physical-named nested type when
+    * mapped. Id mode's NESTED `parquet.field.id` stamps ride the cast
+    * target's field metadata (the parquet writer reads them per
+    * nested StructField); the TOP-level id is stamped separately by
+    * [[stampFieldIds]].
+    */
+  private def toPhysicalField(withIds: Boolean, f: StructField,
+      physName: String): org.apache.spark.sql.Column =
+    if (nestedMapped(f.dataType))
+      col(f.name).cast(nullableDataType(physDataType(f.dataType, withIds)))
+        .as(physName)
+    else col(f.name).as(physName)
+
   /** The read-side (scanSchema, logical→physical name map) pair for a
-    * table's mapping mode: identity for `none`, renamed fields for
-    * `name`, field-id-stamped fields for `id`.
+    * table's mapping mode: identity for `none`, recursively renamed
+    * fields for `name`, renamed + field-id-stamped fields for `id`.
     */
   private def readSchemaFor(st: LogState,
       dataSchema: StructType): (StructType, Map[String, String]) =
     mappingMode(st) match {
       case "name" =>
-        val phys = physicalTopLevel(dataSchema)
-        (StructType(dataSchema.fields.map(f =>
-          f.copy(name = phys(f.name)))), phys)
-      case "id" => (fieldIdSchema(dataSchema), physicalTopLevel(dataSchema))
+        (physDataType(dataSchema, withIds = false).asInstanceOf[StructType],
+          physicalTopLevel(dataSchema))
+      case "id" =>
+        (physDataType(dataSchema, withIds = true).asInstanceOf[StructType],
+          physicalTopLevel(dataSchema))
       case _ =>
         (dataSchema, dataSchema.fieldNames.map(n => n -> n).toMap)
     }
@@ -819,9 +890,11 @@ object DeltaLog {
     if (mappingMode(st) == "none")
       spark.read.schema(dataSchema).parquet(paths: _*)
     else {
-      val (scanSchema, _) = readSchemaFor(st, dataSchema)
+      val (scanSchema, physMap) = readSchemaFor(st, dataSchema)
       spark.read.schema(scanSchema).parquet(paths: _*)
-        .toDF(dataSchema.fieldNames.toSeq: _*)
+        .select(dataSchema.fields.map(f =>
+          toLogicalField(f, physMap.getOrElse(f.name, f.name)))
+          .toIndexedSeq: _*)
     }
   }
 
@@ -856,24 +929,35 @@ object DeltaLog {
 
   /** Assign column-mapping metadata — `delta.columnMapping.id` above
     * `startId` plus a fresh `col-<uuid>` physicalName — to every field
-    * lacking it (table creation with mapping on, and the new columns
-    * of a mapped schema evolution). Returns the schema and the new
-    * maxColumnId.
+    * lacking it at EVERY nesting level (table creation with mapping
+    * on, and the new columns of a mapped schema evolution; the
+    * protocol maps nested struct fields individually). Returns the
+    * schema and the new maxColumnId.
     */
   private def assignMapping(schema: StructType,
       startId: Long): (StructType, Long) = {
     var next = startId
-    val fields = schema.fields.map { f =>
-      if (f.metadata.contains(ColumnIdKey)) f
-      else {
-        next += 1
-        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-          .putLong(ColumnIdKey, next)
-          .putString(PhysicalNameKey, s"col-${java.util.UUID.randomUUID()}")
-          .build())
-      }
+    def assignDt(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(assignField))
+      case a: ArrayType => a.copy(elementType = assignDt(a.elementType))
+      case m: MapType => m.copy(keyType = assignDt(m.keyType),
+        valueType = assignDt(m.valueType))
+      case other => other
     }
-    (StructType(fields), next)
+    def assignField(f: StructField): StructField = {
+      val withMeta =
+        if (f.metadata.contains(ColumnIdKey)) f
+        else {
+          next += 1
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong(ColumnIdKey, next)
+            .putString(PhysicalNameKey,
+              s"col-${java.util.UUID.randomUUID()}")
+            .build())
+        }
+      withMeta.copy(dataType = assignDt(withMeta.dataType))
+    }
+    (StructType(schema.fields.map(assignField)), next)
   }
 
   /** Stamp `parquet.field.id` metadata onto a PHYSICAL-named batch
@@ -901,17 +985,26 @@ object DeltaLog {
     if (mappingMode(st) == "none") Map.empty
     else physicalTopLevel(schema)
 
-  /** Rename a batch about to be WRITTEN into a name-mapped table to its
-    * PHYSICAL field names (identity when unmapped) — new parquet must
-    * store the same physical names the table's existing files do or
-    * every mapped reader sees the new rows as all-NULL.
+  /** Rename a batch about to be WRITTEN into a mapped table to its
+    * PHYSICAL field names at every nesting level (identity when
+    * unmapped) — new parquet must store the same physical names/ids
+    * the table's existing files do or every mapped reader sees the new
+    * rows as all-NULL. Columns NOT in `schema` (e.g. `_change_type` on
+    * a CDC batch) pass through untouched.
     */
   private def toPhysicalDf(st: LogState, schema: StructType,
                            df: DataFrame): DataFrame = {
     val phys = physicalWriteMap(st, schema)
     if (phys.isEmpty) df
     else stampFieldIds(
-      df.toDF(df.columns.map(c => phys.getOrElse(c, c)): _*),
+      df.select(df.columns.toIndexedSeq.map { c =>
+        schema.fields.find(_.name == c) match {
+          case Some(f) =>
+            toPhysicalField(mappingMode(st) == "id", f,
+              phys.getOrElse(c, c))
+          case None => col(c)
+        }
+      }: _*),
       physFieldIds(st, schema))
   }
 
@@ -1462,8 +1555,8 @@ object DeltaLog {
       st: LogState, dataSchema: StructType,
       files: Seq[String]): DataFrame = {
     val (scanSchema, physMap) = readSchemaFor(st, dataSchema)
-    def toLogical = dataSchema.fieldNames.map(n =>
-      col(physMap.getOrElse(n, n)).as(n))
+    def toLogical = dataSchema.fields.map(f =>
+      toLogicalField(f, physMap.getOrElse(f.name, f.name)))
     val dvs = files.flatMap(rel => st.fileDvs.get(rel).map(rel -> _)).toMap
     val paths = files.map(f => resolvePath(root, f).toString)
     if (dvs.isEmpty)
@@ -1515,8 +1608,8 @@ object DeltaLog {
     // column mapping: scan PHYSICAL field names / field ids, hand the
     // matcher LOGICAL ones (identity when unmapped)
     val (physSchema, physMap) = readSchemaFor(st, probeSchema)
-    def logicalCols = probeSchema.fieldNames.map(n =>
-      col(physMap.getOrElse(n, n)).as(n))
+    def logicalCols = probeSchema.fields.map(f =>
+      toLogicalField(f, physMap.getOrElse(f.name, f.name)))
     val hit: Set[String] = chooseTagging(root, candidates.map(_._1)) match {
       case Some(tagging) =>
         val tagToRel = candidates.map(c => tagging.tagOf(c._1) -> c._1).toMap
@@ -1584,10 +1677,11 @@ object DeltaLog {
     // (positions anti-joined executor-side) — the rewrite CLEARS the DV.
     val (physSchema, physMap) = readSchemaFor(st, dataSchema)
     val fieldIds = physFieldIds(st, dataSchema)
-    def toLogical = dataSchema.fieldNames.map(n =>
-      col(physMap.getOrElse(n, n)).as(n))
-    def toPhysical = dataSchema.fieldNames.map(n =>
-      col(n).as(physMap.getOrElse(n, n)))
+    def toLogical = dataSchema.fields.map(f =>
+      toLogicalField(f, physMap.getOrElse(f.name, f.name)))
+    def toPhysical = dataSchema.fields.map(f =>
+      toPhysicalField(mappingMode(st) == "id", f,
+        physMap.getOrElse(f.name, f.name)))
     val tagging = chooseTagging(root, rels).getOrElse {
       // no collision-free tagging (imported/clone layouts): sequential
       // per-file fallback — correct, just not the batched fast path
@@ -1771,16 +1865,11 @@ object DeltaLog {
   private def writeCdcFile(df: DataFrame, root: String,
                            pv: Map[String, String],
                            st: LogState): JsonNode = {
-    // name-mapped tables: cdc files store PHYSICAL data-column names,
-    // like every other data file (the `_change_type` column is a feed
-    // artifact, never mapped)
-    val physMap = st.schema.map(physicalWriteMap(st, _))
-      .getOrElse(Map.empty[String, String])
-    val out =
-      if (physMap.isEmpty) df
-      else stampFieldIds(
-        df.toDF(df.columns.map(c => physMap.getOrElse(c, c)): _*),
-        st.schema.map(physFieldIds(st, _)).getOrElse(Map.empty))
+    // mapped tables: cdc files store PHYSICAL data-column names/ids at
+    // every nesting level, like every other data file (the
+    // `_change_type` column is a feed artifact, never mapped —
+    // toPhysicalDf passes non-schema columns through)
+    val out = st.schema.map(toPhysicalDf(st, _, df)).getOrElse(df)
     val part = writeSingleParquet(out, root, "graft-delta-cdc")
     val dir = Files.createDirectories(Paths.get(root, "_change_data"))
     val target = dir.resolve(
@@ -1803,11 +1892,7 @@ object DeltaLog {
     require(pcs.nonEmpty, "writeCdcFilesPartitioned: partitioned only")
     val physMap = st.schema.map(physicalWriteMap(st, _))
       .getOrElse(Map.empty[String, String])
-    val out =
-      if (physMap.isEmpty) df
-      else stampFieldIds(
-        df.toDF(df.columns.map(c => physMap.getOrElse(c, c)): _*),
-        st.schema.map(physFieldIds(st, _)).getOrElse(Map.empty))
+    val out = st.schema.map(toPhysicalDf(st, _, df)).getOrElse(df)
     val physPcs = pcs.map(c => physMap.getOrElse(c, c))
     val staging = Files.createTempDirectory(stagingBase(root),
       "graft-delta-cdc")
@@ -2204,7 +2289,8 @@ object DeltaLog {
     val base = spark.read.schema(physSchema)
       .parquet(resolvePath(root, path).toString)
       .select(Seq(col("_metadata.row_index").as("__graft_pos")) ++
-        dataSchema.fields.map(f => col(physMap(f.name)).as(f.name)): _*)
+        dataSchema.fields.map(f =>
+          toLogicalField(f, physMap(f.name))): _*)
       .join(posSide, Seq("__graft_pos"), "left_anti")
       .drop("__graft_pos")
     schema.fields.foldLeft(base) { (df, f) =>
@@ -2829,15 +2915,16 @@ object DeltaLog {
             existing match {
               case None =>
                 base.filter(matchesPhys)
-                  .select(dataSchema.fieldNames.map(n =>
-                    col(physMap.getOrElse(n, n)).as(n)).toIndexedSeq: _*)
+                  .select(dataSchema.fields.map(f =>
+                    toLogicalField(f, physMap.getOrElse(f.name, f.name)))
+                    .toIndexedSeq: _*)
               case Some(e) =>
                 val posDf = org.apache.spark.sql.functions.broadcast(
                   e.positions.toSeq.toDF("__graft_pos"))
                 base.filter(matchesPhys)
                   .select(Seq(col("_metadata.row_index").as("__graft_pos")) ++
-                    dataSchema.fieldNames.map(n =>
-                      col(physMap.getOrElse(n, n)).as(n)): _*)
+                    dataSchema.fields.map(f =>
+                      toLogicalField(f, physMap.getOrElse(f.name, f.name))): _*)
                   .join(posDf, Seq("__graft_pos"), "left_anti")
                   .drop("__graft_pos")
             }
@@ -3268,8 +3355,8 @@ object DeltaLog {
             val physFull = StructType(readSchemaFor(st, dataSchema)._1.fields
               ++ fullSchema.fields.filter(f => pcSet(f.name)).map(f =>
                 f.copy(name = physMap.getOrElse(f.name, f.name))))
-            def logicalAll = fullSchema.fieldNames.map(n =>
-              col(physMap.getOrElse(n, n)).as(n))
+            def logicalAll = fullSchema.fields.map(f =>
+              toLogicalField(f, physMap.getOrElse(f.name, f.name)))
             val preParts = Seq.newBuilder[DataFrame]
             if (plain.nonEmpty)
               preParts += spark.read.option("basePath", root)
@@ -4233,11 +4320,18 @@ object DeltaLog {
     val outFieldIds = prior.map(physFieldIds(_, declared)).getOrElse(
       if (createMode == "id") fieldIdsOf(declared)
       else Map.empty[String, Long])
+    val wantIds = prior.map(mappingMode(_) == "id")
+      .getOrElse(createMode == "id")
     val physOut =
       if (physMap.isEmpty) enforced
       else stampFieldIds(
-        enforced.toDF(enforced.columns.map(c =>
-          physMap.getOrElse(c, c)): _*),
+        enforced.select(enforced.columns.toIndexedSeq.map { c =>
+          declared.fields.find(_.name == c) match {
+            case Some(f) =>
+              toPhysicalField(wantIds, f, physMap.getOrElse(c, c))
+            case None => col(c)
+          }
+        }: _*),
         outFieldIds)
     val physPcs = partitionCols.map(c => physMap.getOrElse(c, c))
     val writer = physOut.write.mode("overwrite").options(writeOptions)

@@ -2137,6 +2137,136 @@ class DeltaLogSpec extends SparkSpec {
     assert(got == Set((1L, "2024-01-01"), (2L, "2024-01-02")))
   }
 
+  test("NESTED column mapping: items array<struct<...>> (the reference's " +
+    "silver shape) reads, appends, merges and evolves through logical " +
+    "names in name mode; id mode resolves nested fields by FIELD ID") {
+    import org.apache.spark.sql.types._
+    // ---- name mode ----
+    // data file stores PHYSICAL names at every level:
+    //   col-oid, col-items: array<struct<col-pid, col-qty>>
+    val fileDf = Seq(
+      ("o1", Seq((101L, 2L), (102L, 1L))),
+      ("o2", Seq((103L, 5L))))
+      .toDF("oid", "items")
+      .select(col("oid").as("col-oid"),
+        expr("transform(items, x -> named_struct('col-pid', x._1, " +
+          "'col-qty', x._2))").as("col-items"))
+    val root = freshRoot()
+    writeFlat(root, "part-a.parquet", fileDf)
+    val nestedSchema =
+      """{"type":"struct","fields":[
+        {"name":"order_id","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-oid"}},
+        {"name":"items","type":{"type":"array","elementType":{"type":"struct","fields":[
+          {"name":"product_id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"col-pid"}},
+          {"name":"qty","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":4,"delta.columnMapping.physicalName":"col-qty"}}]},"containsNull":true},"nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-items"}}]}"""
+        .replaceAll("\n\\s*", "")
+    writeCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"ext-nested","format":{"provider":"parquet","options":{}},"schemaString":"${nestedSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"}}}""",
+      """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    def itemsOf(df: org.apache.spark.sql.DataFrame): Map[String, Seq[(Long, Long)]] =
+      df.selectExpr("order_id",
+        "transform(items, x -> struct(x.product_id, x.qty)) AS t")
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getLong(0), x.getLong(1))).toSeq).toMap
+    val df = DeltaLog.read(spark, root)
+    assert(df.schema.fieldNames.toSeq == Seq("order_id", "items"))
+    assert(df.schema("items").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("product_id", "qty"), df.schema.treeString)
+    assert(itemsOf(df) == Map(
+      "o1" -> Seq((101L, 2L), (102L, 1L)), "o2" -> Seq((103L, 5L))))
+    // append through LOGICAL nested names — the new file must store
+    // PHYSICAL names at every level
+    val logicalBatch = Seq(("o3", Seq((104L, 7L))))
+      .toDF("order_id", "items0")
+      .select(col("order_id"),
+        expr("transform(items0, x -> named_struct('product_id', x._1, " +
+          "'qty', x._2))").as("items"))
+    DeltaLog.commitFlat(spark, root, logicalBatch)
+    val newFile = DeltaLog.filesAt(spark, root, 1L)
+      .filterNot(_ == "part-a.parquet").head
+    val newSchema = spark.read
+      .parquet(Paths.get(root, newFile).toString).schema
+    assert(newSchema.fieldNames.toSeq == Seq("col-oid", "col-items"))
+    assert(newSchema("col-items").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("col-pid", "col-qty"), newSchema.treeString)
+    // string-key MERGE round-trips the nested column through the
+    // batched rewrite (o2 replaced, o9 inserted)
+    val src = Seq(("o2", Seq((103L, 9L))), ("o9", Seq((105L, 1L))))
+      .toDF("order_id", "items0")
+      .select(col("order_id"),
+        expr("transform(items0, x -> named_struct('product_id', x._1, " +
+          "'qty', x._2))").as("items"))
+    DeltaLog.mergeKey(spark, root, "order_id", src)
+    assert(itemsOf(DeltaLog.read(spark, root)) == Map(
+      "o1" -> Seq((101L, 2L), (102L, 1L)), "o2" -> Seq((103L, 9L)),
+      "o3" -> Seq((104L, 7L)), "o9" -> Seq((105L, 1L))))
+
+    // ---- id mode: nested resolution by FIELD ID, junk names ----
+    val idRoot = freshRoot()
+    def meta(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val junkSchema = StructType(Seq(
+      StructField("j1", StringType, true, meta(1)),
+      StructField("j2", ArrayType(StructType(Seq(
+        StructField("j3", LongType, true, meta(3)),
+        StructField("j4", LongType, true, meta(4)))), true), true,
+        meta(2))))
+    val junkDf = spark.createDataFrame(fileDf.rdd, junkSchema)
+    writeFlat(idRoot, "part-a.parquet", junkDf)
+    writeCommit(idRoot, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"ext-nested-id","format":{"provider":"parquet","options":{}},"schemaString":"${nestedSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"4"}}}""",
+      """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val idDf = DeltaLog.read(spark, idRoot)
+    assert(idDf.schema.fieldNames.toSeq == Seq("order_id", "items"))
+    assert(itemsOf(idDf) == Map(
+      "o1" -> Seq((101L, 2L), (102L, 1L)), "o2" -> Seq((103L, 5L))))
+    // id-mode append stamps NESTED parquet.field.id on the new file
+    DeltaLog.commitFlat(spark, idRoot, logicalBatch)
+    val idNew = DeltaLog.filesAt(spark, idRoot, 1L)
+      .filterNot(_ == "part-a.parquet").head
+    val inF = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(Paths.get(idRoot, idNew).toString),
+      spark.sparkContext.hadoopConfiguration)
+    val rF = org.apache.parquet.hadoop.ParquetFileReader.open(inF)
+    val footerIds = try {
+      val s = rF.getFooter.getFileMetaData.getSchema
+      val items = s.getType(1).asGroupType() // col-items (LIST)
+        .getType(0).asGroupType() // list
+        .getType(0).asGroupType() // element struct
+      (Option(s.getFields.get(0).getId).map(_.intValue()),
+        Option(s.getFields.get(1).getId).map(_.intValue()),
+        items.getFields.asScala.map(f =>
+          Option(f.getId).map(_.intValue())).toSeq)
+    } finally rF.close()
+    assert(footerIds._1 == Some(1) && footerIds._2 == Some(2),
+      footerIds.toString)
+    assert(footerIds._3 == Seq(Some(3), Some(4)), footerIds.toString)
+    assert(itemsOf(DeltaLog.read(spark, idRoot)) == Map(
+      "o1" -> Seq((101L, 2L), (102L, 1L)), "o2" -> Seq((103L, 5L)),
+      "o3" -> Seq((104L, 7L))))
+
+    // ---- creation with mapping on assigns NESTED ids/physicalNames ----
+    val createRoot = freshRoot()
+    DeltaLog.commitFlat(spark, createRoot, logicalBatch,
+      configuration = Map("delta.columnMapping.mode" -> "name"))
+    val c0 = commitLines(createRoot, 0L).mkString("|")
+    assert(c0.contains("\"delta.columnMapping.maxColumnId\":\"4\""), c0)
+    val created = DeltaLog.read(spark, createRoot)
+    assert(itemsOf(created) == Map("o3" -> Seq((104L, 7L))))
+    val cf = DeltaLog.filesAt(spark, createRoot, 0L).head
+    val cs = spark.read.parquet(Paths.get(createRoot, cf).toString).schema
+    assert(cs.fieldNames.forall(_.startsWith("col-")), cs.treeString)
+    assert(cs.fields.collectFirst { case f if f.dataType.isInstanceOf[ArrayType] =>
+      f.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+        .fieldNames.forall(_.startsWith("col-")) }.getOrElse(false),
+      cs.treeString)
+  }
+
   test("partitioned MERGE CDF pre-images on an id-mode table resolve by " +
     "FIELD ID even when the data file's stored names differ from the " +
     "declared physicalName") {
