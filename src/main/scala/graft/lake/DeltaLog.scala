@@ -1470,10 +1470,11 @@ object DeltaLog {
       org.apache.spark.sql.Encoders.BINARY
   }
 
-  /** Tag column the batched rewrite/probe machinery keys on: the source
-    * file's basename (Spark part names embed a task UUID, so collisions
-    * within one table are ~impossible; both helpers below keep a
-    * sequential per-file fallback for imported layouts that alias).
+  /** Tag column the batched rewrite/probe machinery keys on — the
+    * table-relative path or basename when collision-free
+    * ([[chooseTagging]]), else a synthesized md5(file_path)
+    * ([[synthesizedTagging]]): every layout runs the batched one-job
+    * plans.
     */
   private val SrcTagCol = "__graft_src"
 
@@ -1491,9 +1492,52 @@ object DeltaLog {
     * are uniform and characters URI-round-trip-safe — partitioned
     * layouts REPEAT part basenames across partition directories (one
     * write, one part numbering), so basenames alone cannot tag them —
-    * else the basename when unique, else None (callers fall back to
-    * per-file plans).
+    * else the basename when unique, else None (callers synthesize a
+    * tag via [[synthesizedTagging]]).
     */
+  /** GUARANTEED-unique tagging for layouts where no structural
+    * collision-free tag exists (imported/CONVERTed tables with
+    * duplicate basenames across MIXED depths, URI-unsafe characters,
+    * clone-absolute refs): ONE metadata-only probe job enumerates each
+    * file's actual `_metadata.file_path` rendering, and the tag is
+    * md5(file_path) — computed executor-side by the codegen'd `md5`
+    * expression and driver-side from the collected rendering per rel.
+    * Hex tags are partition-directory-safe by construction, so hostile
+    * layouts STAY on the one-probe + one-rewrite batched path instead
+    * of degrading to per-file jobs. Driver state is one string per
+    * candidate file — the manifests' class.
+    */
+  private def synthesizedTagging(spark: SparkSession, root: String,
+      rels: Seq[String]): FileTagging = {
+    import org.apache.spark.sql.functions.md5
+    val paths = rels.map(r => resolvePath(root, r).toString)
+    val rendered = spark.read.schema(StructType(Nil))
+      .parquet(paths: _*)
+      .select(col("_metadata.file_path"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    // map each rendering back to its rel through the SAME class that
+    // produced it (Hadoop Path round-trips its own toString; a raw
+    // java.net.URI parse would choke on spaces)
+    val byAbs: Map[String, String] = rels.map { r =>
+      resolvePath(root, r).toAbsolutePath.normalize().toString -> r
+    }.toMap
+    val relToRendered: Map[String, String] = rendered.map { s =>
+      val abs = Paths.get(new org.apache.hadoop.fs.Path(s).toUri.getPath)
+        .toAbsolutePath.normalize().toString
+      byAbs.getOrElse(abs, throw new IllegalStateException(
+        s"DeltaLog: file_path rendering $s matches no candidate file")) -> s
+    }.toMap
+    require(relToRendered.size == rels.distinct.size,
+      s"DeltaLog: metadata probe rendered ${relToRendered.size} paths " +
+        s"for ${rels.distinct.size} candidate files")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    FileTagging(md5(col("_metadata.file_path")),
+      rel => md5hex(relToRendered(rel)))
+  }
+
   private def chooseTagging(root: String,
       rels: Seq[String]): Option[FileTagging] = {
     import org.apache.spark.sql.functions.{array_join, slice, split}
@@ -1548,8 +1592,8 @@ object DeltaLog {
   /** Read `files` in LOGICAL space EXCLUDING each file's DV-deleted
     * positions — the live-row multi-file scan the CDC builders use
     * (mapping-aware: scans resolve physical names / field ids and hand
-    * back logical columns). Falls back to per-file scans when no
-    * collision-free tagging exists.
+    * back logical columns). Always ONE scan: hostile layouts tag via
+    * [[synthesizedTagging]].
     */
   private def readFilesMinusDv(spark: SparkSession, root: String,
       st: LogState, dataSchema: StructType,
@@ -1562,30 +1606,16 @@ object DeltaLog {
     if (dvs.isEmpty)
       spark.read.schema(scanSchema).parquet(paths: _*)
         .select(toLogical.toIndexedSeq: _*)
-    else chooseTagging(root, files) match {
-      case Some(tagging) =>
-        spark.read.schema(scanSchema).parquet(paths: _*)
-          .select(toLogical :+
-            tagging.tagExpr.as(SrcTagCol) :+
-            col("_metadata.row_index").as("__graft_pos"): _*)
-          .join(dvPositionsByName(spark, root, dvs, tagging.tagOf),
-            Seq(SrcTagCol, "__graft_pos"), "left_anti")
-          .drop(SrcTagCol, "__graft_pos")
-      case None => files.map { rel =>
-        val one = spark.read.schema(scanSchema)
-          .parquet(resolvePath(root, rel).toString)
-        st.fileDvs.get(rel) match {
-          case None => one.select(toLogical.toIndexedSeq: _*)
-          case Some(_) =>
-            one.select(toLogical :+
-              lit(rel).as(SrcTagCol) :+
-              col("_metadata.row_index").as("__graft_pos"): _*)
-              .join(dvPositionsByName(spark, root,
-                Map(rel -> st.fileDvs(rel)), identity),
-                Seq(SrcTagCol, "__graft_pos"), "left_anti")
-              .drop(SrcTagCol, "__graft_pos")
-        }
-      }.reduce(_ unionByName _)
+    else {
+      val tagging = chooseTagging(root, files)
+        .getOrElse(synthesizedTagging(spark, root, files))
+      spark.read.schema(scanSchema).parquet(paths: _*)
+        .select(toLogical :+
+          tagging.tagExpr.as(SrcTagCol) :+
+          col("_metadata.row_index").as("__graft_pos"): _*)
+        .join(dvPositionsByName(spark, root, dvs, tagging.tagOf),
+          Seq(SrcTagCol, "__graft_pos"), "left_anti")
+        .drop(SrcTagCol, "__graft_pos")
     }
   }
 
@@ -1610,44 +1640,31 @@ object DeltaLog {
     val (physSchema, physMap) = readSchemaFor(st, probeSchema)
     def logicalCols = probeSchema.fields.map(f =>
       toLogicalField(f, physMap.getOrElse(f.name, f.name)))
-    val hit: Set[String] = chooseTagging(root, candidates.map(_._1)) match {
-      case Some(tagging) =>
-        val tagToRel = candidates.map(c => tagging.tagOf(c._1) -> c._1).toMap
-        // DV-carrying candidates probe over their LIVE rows only — a
-        // file whose matching rows are all already DV-deleted is NOT
-        // touched (rewriting it would commit a dataChange no-op).
-        // row_index must ride the SCAN's own select (_metadata is
-        // unreachable after any projection).
-        val scan0 = spark.read.schema(physSchema)
-          .parquet(candidates.map(c => resolvePath(root, c._1).toString): _*)
-        val live =
-          if (dvs.isEmpty)
-            scan0.select(logicalCols :+ tagging.tagExpr.as(SrcTagCol): _*)
-          else
-            scan0.select(logicalCols :+ tagging.tagExpr.as(SrcTagCol) :+
-              col("_metadata.row_index").as("__graft_pos"): _*)
-              .join(dvPositionsByName(spark, root, dvs, tagging.tagOf),
-                Seq(SrcTagCol, "__graft_pos"), "left_anti")
-              .drop("__graft_pos")
-        matcher(live)
-          .select(col(SrcTagCol)).distinct()
-          .as[String].collect().toSet.map(tagToRel)
-      case None => candidates.map { case (rel, _) =>
-        val one = spark.read.schema(physSchema)
-          .parquet(resolvePath(root, rel).toString)
-        val live = dvs.get(rel) match {
-          case None => one.select(logicalCols :+ lit(rel).as(SrcTagCol): _*)
-          case Some(d) =>
-            one.select(logicalCols :+ lit(rel).as(SrcTagCol) :+
-              col("_metadata.row_index").as("__graft_pos"): _*)
-              .join(dvPositionsByName(spark, root, Map(rel -> d),
-                identity),
-                Seq(SrcTagCol, "__graft_pos"), "left_anti")
-              .drop("__graft_pos")
-        }
-        matcher(live).select(col(SrcTagCol)).limit(1)
-      }.reduce(_ unionByName _).as[String].collect().toSet
-    }
+    // hostile layouts (duplicate basenames at mixed depths, unsafe
+    // chars) get a synthesized md5(file_path) tag from one metadata
+    // probe job — the fast path never degrades to per-file plans
+    val tagging = chooseTagging(root, candidates.map(_._1))
+      .getOrElse(synthesizedTagging(spark, root, candidates.map(_._1)))
+    val tagToRel = candidates.map(c => tagging.tagOf(c._1) -> c._1).toMap
+    // DV-carrying candidates probe over their LIVE rows only — a
+    // file whose matching rows are all already DV-deleted is NOT
+    // touched (rewriting it would commit a dataChange no-op).
+    // row_index must ride the SCAN's own select (_metadata is
+    // unreachable after any projection).
+    val scan0 = spark.read.schema(physSchema)
+      .parquet(candidates.map(c => resolvePath(root, c._1).toString): _*)
+    val live =
+      if (dvs.isEmpty)
+        scan0.select(logicalCols :+ tagging.tagExpr.as(SrcTagCol): _*)
+      else
+        scan0.select(logicalCols :+ tagging.tagExpr.as(SrcTagCol) :+
+          col("_metadata.row_index").as("__graft_pos"): _*)
+          .join(dvPositionsByName(spark, root, dvs, tagging.tagOf),
+            Seq(SrcTagCol, "__graft_pos"), "left_anti")
+          .drop("__graft_pos")
+    val hit: Set[String] = matcher(live)
+      .select(col(SrcTagCol)).distinct()
+      .as[String].collect().toSet.map(tagToRel)
     candidates.filter { case (rel, _) => hit(rel) }
   }
 
@@ -1682,31 +1699,10 @@ object DeltaLog {
     def toPhysical = dataSchema.fields.map(f =>
       toPhysicalField(mappingMode(st) == "id", f,
         physMap.getOrElse(f.name, f.name)))
-    val tagging = chooseTagging(root, rels).getOrElse {
-      // no collision-free tagging (imported/clone layouts): sequential
-      // per-file fallback — correct, just not the batched fast path
-      return rels.flatMap { rel =>
-        val one = spark.read.schema(physSchema)
-          .parquet(resolvePath(root, rel).toString)
-        val live = dvs.get(rel) match {
-          case None => one.select(toLogical :+ lit(rel).as(SrcTagCol): _*)
-          case Some(d) =>
-            one.select(toLogical :+ lit(rel).as(SrcTagCol) :+
-              col("_metadata.row_index").as("__graft_pos"): _*)
-              .join(dvPositionsByName(spark, root, Map(rel -> d),
-                identity),
-                Seq(SrcTagCol, "__graft_pos"), "left_anti")
-              .drop("__graft_pos")
-        }
-        val out = stampFieldIds(
-          transform(live).select(toPhysical.toIndexedSeq: _*), fieldIds)
-        val part = writeSingleParquet(out, root, prefix, writeOptions)
-        val kept = mapper.readTree(footerStatsJson(part,
-          spark.sparkContext.hadoopConfiguration))
-          .path("numRecords").asLong(0L)
-        if (kept == 0L) { Files.delete(part); None } else Some(rel -> part)
-      }.toMap
-    }
+    // hostile layouts stay on the ONE-job batched path via the
+    // synthesized md5(file_path) tag (hex — partition-dir-safe)
+    val tagging = chooseTagging(root, rels)
+      .getOrElse(synthesizedTagging(spark, root, rels))
     val tagToRel = rels.map(rel => tagging.tagOf(rel) -> rel).toMap
     val staging = Files.createTempDirectory(stagingBase(root), prefix)
     val scan0 = spark.read.schema(physSchema)

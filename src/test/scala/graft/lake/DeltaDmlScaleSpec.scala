@@ -165,6 +165,47 @@ class DeltaDmlScaleSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq == Seq(("ord-0042", -42L)))
   }
 
+  test("HOSTILE layout (duplicate basenames at MIXED depths, converted " +
+    "table) stays on the batched one-job DML path via the synthesized " +
+    "md5(file_path) tag") {
+    // a CONVERTed layout no structural tag covers: same basename
+    // part-0.parquet at depth 0, 1 and 2
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "a", "b"))
+    def writeOne(rel: String, lo: Long, hi: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hostile")
+      (lo to hi).map(k => (k, k % 7)).toDF("k", "x")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val l = java.nio.file.Files.list(tmp)
+        try l.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(root, rel))
+    }
+    writeOne("part-0.parquet", 1L, 100L)
+    writeOne("a/part-0.parquet", 101L, 200L)
+    writeOne("a/b/part-0.parquet", 201L, 300L)
+    DeltaLog.convertToDelta(spark, root)
+    assert(DeltaLog.filesAt(spark, root, 0L).size == 3)
+    // wide DELETE touching all three files: bounded jobs (probe +
+    // rewrite + the one-time metadata tag probe), never per-file
+    val jobs = countJobs {
+      DeltaLog.deleteWhereLong(spark, root, "k", 1L, 299L)
+    }
+    assert(jobs <= 10, s"hostile-layout delete ran $jobs jobs")
+    assert(DeltaLog.read(spark, root).select("k").as[Long].collect()
+      .toSeq == Seq(300L))
+    // UPDATE keeps working over the rewritten mixed-depth survivors
+    DeltaLog.updateWhereLong(spark, root, "k", 300L, 300L,
+      Map("x" -> lit(-1L)))
+    assert(DeltaLog.read(spark, root).as[(Long, Long)].collect()
+      .toSeq == Seq((300L, -1L)))
+  }
+
   test("BitmapAgg: DV bitmaps build executor-side — the driver row is " +
     "BINARY bitmap bytes that deserialize to the full position set") {
     val agg = udaf(DeltaLog.BitmapAgg,
