@@ -2544,6 +2544,27 @@ object SparkEntry {
           col("o_totalprice")), mergeSchema = true)
       graft.lake.DeltaLog.read(s, root)
     }),
+    // RESTORE across schema evolution: slice 0 commits two columns,
+    // slice 1 evolves with o_totalprice (mergeSchema), a delete
+    // mutates, then RESTORE TO VERSION 0 re-emits the ORIGINAL
+    // metaData in the restore commit — the read returns the
+    // pre-evolution two-column snapshot exactly (history of the
+    // evolution stays addressable; spec-pinned).
+    "q292_delta_restore_schema" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def half(i: Int) =
+        o.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(2)) === i)
+      val root = freshScratch("q292")
+      graft.lake.DeltaLog.commitFlat(s, root,
+        half(0).select(col("o_orderkey"), col("o_custkey")))
+      graft.lake.DeltaLog.commitFlat(s, root,
+        half(1).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")), mergeSchema = true)
+      graft.lake.DeltaLog.deleteWhereLong(s, root, "o_orderkey",
+        1L, 1000L)
+      graft.lake.DeltaLog.restore(s, root, 0L)
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // CHECK CONSTRAINT lifecycle: half the events commit free-form,
     // ADD CONSTRAINT validates them (one scan), the second half
     // commits THROUGH the inline enforcement — the final read is the
@@ -2577,6 +2598,29 @@ object SparkEntry {
         1000L, 1500L)
       graft.lake.DeltaLog.optimizeZOrder(s, root, "event_id",
         "event_ts_us", 20, 8)
+      graft.lake.DeltaLog.readWhereLong(s, root, "event_id", 0L, 2000L)
+    }),
+    // Per-partition OPTIMIZE ZORDER: q273's fold on an event_type-
+    // PARTITIONED table (the README's recommended maintenance for
+    // partitioned silver) — four full-range slices per partition, a DV
+    // delete inside the window, the within-partition Z-rewrite
+    // (dataChange=false, one dynamic-partitioned job), then the
+    // selective window read through the post-optimize layout. The
+    // in-partition skipping improvement is pinned by DeltaLogSpec.
+    "q291_delta_zorder_part" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_ts_us"), col("value"),
+          col("event_type"))
+        .filter(col("event_id").isNotNull)
+      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(4)) === i)
+      val root = freshScratch("q291")
+      (0 until 4).foreach(i =>
+        graft.lake.DeltaLog.commitPartitioned(s, root, slice(i),
+          Seq("event_type")))
+      graft.lake.DeltaLog.deleteWhereLongDV(s, root, "event_id",
+        1000L, 1500L)
+      graft.lake.DeltaLog.optimizeZOrder(s, root, "event_id",
+        "event_ts_us", 20, 16)
       graft.lake.DeltaLog.readWhereLong(s, root, "event_id", 0L, 2000L)
     }),
     // GENERATED COLUMNS: day GENERATED ALWAYS AS (event_ts_us div
@@ -4483,12 +4527,23 @@ object SparkEntry {
            CASE WHEN ((COALESCE(o_orderkey, 0) % 2) + 2) % 2 = 1
                 THEN o_totalprice END AS o_totalprice
          FROM orders""",
+    // q292: the restored snapshot is exactly the even half's two
+    // columns — the evolution and delete after version 0 are undone.
+    "q292_delta_restore_schema" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE ((COALESCE(o_orderkey, 0) % 2) + 2) % 2 = 0""",
     // q272: the two halves are a total partition of the slice.
     "q272_delta_constraints" ->
       """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
     // q273: the window minus the DV-deleted range.
     "q273_delta_zorder" ->
       """SELECT event_id, epoch_us(ts) AS event_ts_us, value FROM events
+         WHERE event_id IS NOT NULL AND event_id BETWEEN 0 AND 2000
+           AND event_id NOT BETWEEN 1000 AND 1500""",
+    // q291: q273's window over the partitioned layout, event_type kept.
+    "q291_delta_zorder_part" ->
+      """SELECT event_id, epoch_us(ts) AS event_ts_us, value, event_type
+         FROM events
          WHERE event_id IS NOT NULL AND event_id BETWEEN 0 AND 2000
            AND event_id NOT BETWEEN 1000 AND 1500""",
     // q274: day recomputes from the post-UPDATE timestamp; epoch-µs is

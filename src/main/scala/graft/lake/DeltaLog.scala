@@ -3763,8 +3763,10 @@ object DeltaLog {
     * the target descriptor. History is never rewritten — the restore is
     * itself a commit, so the pre-restore state stays time-travelable.
     * Refuses loudly when a file (or DV sidecar) the target needs was
-    * vacuumed away. Metadata-only: no data IO at any scale. Returns the
-    * new version (or the current one when already identical).
+    * vacuumed away. Restoring PAST a schema/partitioning/property
+    * change re-emits the target version's metaData in the restore
+    * commit. Metadata-only: no data IO at any scale. Returns the new
+    * version (or the current one when already identical).
     */
   def restore(spark: SparkSession, root: String, version: Long): Long = {
     val cur = currentVersion(root)
@@ -3777,9 +3779,15 @@ object DeltaLog {
     requireWritableMapping(current, "restore")
     requireNotAppendOnly(current, "restore")
     requireWritable(current, "restore")
-    require(target.schema == current.schema,
-      s"DeltaLog.restore: schema changed since version $version — " +
-        "restoring across a schema change is unsupported")
+    // restoring PAST a schema change (mergeSchema evolution, ALTER,
+    // property change) reinstates the target version's metaData in the
+    // restore commit — the protocol permits re-emitting metaData at
+    // any commit, and readers at cur+1 then see exactly the restored
+    // snapshot's schema/partitioning/configuration. History replays:
+    // the evolution commits stay addressable below cur+1.
+    val needMeta = target.schema != current.schema ||
+      target.partitionColumns != current.partitionColumns ||
+      target.configuration != current.configuration
     val curFiles = current.files.toMap
     val tgtFiles = target.files.toMap
     def dvOf(st: LogState, rel: String): Option[DvDescriptor] =
@@ -3792,7 +3800,7 @@ object DeltaLog {
     } ++ toAdd.collect {
       case (rel, _) if curFiles.contains(rel) => rel
     }
-    if (toAdd.isEmpty && toRemove.isEmpty) return cur
+    if (toAdd.isEmpty && toRemove.isEmpty && !needMeta) return cur
     toAdd.foreach { case (rel, _) =>
       require(Files.exists(resolvePath(root, rel)),
         s"DeltaLog.restore: $rel of version $version was vacuumed " +
@@ -3808,6 +3816,11 @@ object DeltaLog {
       }
     }
     val actions = Seq.newBuilder[JsonNode]
+    if (needMeta)
+      actions += metaDataAction(current.tableId,
+        target.schema.getOrElse(throw new IllegalStateException(
+          s"DeltaLog.restore: version $version has no metaData")).json,
+        target.partitionColumns, target.configuration)
     toRemove.distinct.foreach(rel =>
       actions += removeActionNode(rel, dataChange = true))
     toAdd.foreach { case (rel, pv) =>
@@ -4526,23 +4539,33 @@ object DeltaLog {
     * absolute references are MATERIALIZED under this table's root —
     * this is the clone-localization pass [[compactPartitioned]]'s
     * refusal points at. Both columns must be LONG (the Morton fold's
-    * contract); flat tables only. No-op on an empty table.
+    * contract). No-op on an empty table.
+    *
+    * PARTITIONED tables cluster WITHIN each partition (Delta's own
+    * `OPTIMIZE … ZORDER BY` semantics — the README's recommended
+    * maintenance for date-partitioned silver): one range exchange on
+    * (partition cols, morton) + one dynamic-partitioned write, so
+    * every output file stays inside its hive directory and covers a
+    * contiguous Morton run there. `numFiles` is the TABLE-wide target;
+    * range partitioning apportions files to partitions by sampled row
+    * share. Still one shuffle + one job at any partition count.
     */
   def optimizeZOrder(spark: SparkSession, root: String, xCol: String,
                      yCol: String, bits: Int, numFiles: Int): Long = {
     val v = currentVersion(root)
     val st = replay(spark, root, v)
     requireWritableMapping(st, "optimizeZOrder")
-    require(st.partitionColumns.isEmpty,
-      "DeltaLog.optimizeZOrder: partitioned tables unsupported — " +
-        "Z-order clusters the whole table; drop to per-partition " +
-        "compaction via compactPartitioned")
     requireWritable(st, "optimizeZOrder")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog.optimizeZOrder: no metaData in $root log"))
+    val pcs = st.partitionColumns
+    val pcSet = pcs.toSet
     Seq(xCol, yCol).foreach { c =>
       require(schema.fieldNames.contains(c),
         s"DeltaLog.optimizeZOrder: column $c not in schema")
+      require(!pcSet(c),
+        s"DeltaLog.optimizeZOrder: $c is a partition column — Z-order " +
+          "clusters data columns within partitions")
       require(schema(c).dataType == LongType,
         s"DeltaLog.optimizeZOrder: $c is ${schema(c).dataType}, the " +
           "Morton fold needs LongType")
@@ -4555,26 +4578,64 @@ object DeltaLog {
     val df = readAt(spark, root, v)
     val staging = Files.createTempDirectory(stagingBase(root),
       "graft-delta-zorder")
-    Layout.zorderWrite(toPhysicalDf(st, schema, df), staging.toString,
-      physMap.getOrElse(xCol, xCol), physMap.getOrElse(yCol, yCol),
-      bits, numFiles)
     val conf = spark.sparkContext.hadoopConfiguration
     val actions = Seq.newBuilder[JsonNode]
     st.files.foreach { case (rel, _) =>
       actions += removeActionNode(rel, dataChange = false)
     }
-    val listed = Files.list(staging)
-    val parts =
-      try listed.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      finally listed.close()
-    require(parts.nonEmpty,
-      s"DeltaLog.optimizeZOrder: rewrite produced no parquet files")
-    parts.sortBy(_.getFileName.toString).foreach { p =>
-      val target = Paths.get(root).resolve(p.getFileName)
-      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-      actions += addActionNode(root, target.getFileName.toString,
-        Map.empty, dataChange = false, conf)
+    if (pcs.isEmpty) {
+      Layout.zorderWrite(toPhysicalDf(st, schema, df), staging.toString,
+        physMap.getOrElse(xCol, xCol), physMap.getOrElse(yCol, yCol),
+        bits, numFiles)
+      val listed = Files.list(staging)
+      val parts =
+        try listed.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        finally listed.close()
+      require(parts.nonEmpty,
+        s"DeltaLog.optimizeZOrder: rewrite produced no parquet files")
+      parts.sortBy(_.getFileName.toString).foreach { p =>
+        val target = Paths.get(root).resolve(p.getFileName)
+        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        actions += addActionNode(root, target.getFileName.toString,
+          Map.empty, dataChange = false, conf)
+      }
+    } else {
+      // per-partition clustering in ONE job: range-partition on
+      // (partition cols, morton key) so contiguous Morton runs stay
+      // inside each partition value, then one dynamic-partitioned
+      // write routes every file into its hive directory
+      val physPcs = pcs.map(c => physMap.getOrElse(c, c))
+      val m = lit(1L << bits)
+      val physX = physMap.getOrElse(xCol, xCol)
+      val physY = physMap.getOrElse(yCol, yCol)
+      toPhysicalDf(st, schema, df)
+        .withColumn("__zkey", Layout.mortonKey(
+          pmod(col(physX), m), pmod(col(physY), m), bits))
+        .repartitionByRange(numFiles,
+          physPcs.map(col) :+ col("__zkey"): _*)
+        .sortWithinPartitions(physPcs.map(col) :+ col("__zkey"): _*)
+        .drop("__zkey")
+        .write.mode("overwrite").partitionBy(physPcs: _*)
+        .parquet(staging.toString)
+      val walk = Files.walk(staging)
+      val parts =
+        try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p)
+            && p.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.toString)
+        finally walk.close()
+      require(parts.nonEmpty,
+        s"DeltaLog.optimizeZOrder: rewrite produced no parquet files")
+      parts.foreach { p =>
+        val rel = staging.relativize(p).toString
+          .replace(java.io.File.separatorChar, '/')
+        val target = Paths.get(root, rel)
+        Files.createDirectories(target.getParent)
+        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        actions += addActionNode(root, rel,
+          partitionValuesOf(rel, physPcs), dataChange = false, conf)
+      }
     }
     deleteRecursively(staging)
     writeCommitFile(root, v + 1, actions.result(), operation = "OPTIMIZE")

@@ -2137,6 +2137,90 @@ class DeltaLogSpec extends SparkSpec {
     assert(got == Set((1L, "2024-01-01"), (2L, "2024-01-02")))
   }
 
+  test("RESTORE across a mergeSchema evolution re-emits the target " +
+    "metaData: the restored read has the ORIGINAL shape, history still " +
+    "replays the evolution, and restore FORWARD works") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    DeltaLog.commitFlat(spark, root,
+      Seq((3L, "c", 7L)).toDF("k", "v", "w").coalesce(1),
+      mergeSchema = true)
+    DeltaLog.deleteWhereLong(spark, root, "k", 2L, 2L)
+    DeltaLog.restore(spark, root, 0L)
+    val got = DeltaLog.read(spark, root)
+    assert(got.columns.toSeq == Seq("k", "v"), got.columns.toSeq)
+    assert(rows(got) == Set((1L, "a"), (2L, "b")))
+    // the evolution history stays addressable below the restore commit
+    assert(DeltaLog.readAt(spark, root, 1L).columns.toSeq ==
+      Seq("k", "v", "w"))
+    // restore FORWARD to the evolved snapshot
+    DeltaLog.restore(spark, root, 1L)
+    val fwd = DeltaLog.read(spark, root)
+    assert(fwd.columns.toSeq == Seq("k", "v", "w"))
+    assert(fwd.count() == 3L)
+    // a pure PROPERTY change (no files) restores too: the commit is
+    // metaData-only
+    val root2 = freshRoot()
+    DeltaLog.commitFlat(spark, root2,
+      Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    DeltaLog.addCheckConstraint(spark, root2, "k_pos", "k > 0")
+    DeltaLog.restore(spark, root2, 0L)
+    // the constraint is gone: a violating append now lands
+    DeltaLog.commitFlat(spark, root2,
+      Seq((-5L, "neg")).toDF("k", "v").coalesce(1))
+    assert(rows(DeltaLog.read(spark, root2)) ==
+      Set((1L, "a"), (-5L, "neg")))
+  }
+
+  test("per-partition Z-ORDER: clustering stays inside each hive " +
+    "directory, DVs apply+clear, dataChange=false, and selective reads " +
+    "prune files they could not prune before") {
+    val root = freshRoot()
+    // two partitions ('a'/'b'), four FULL-RANGE interleaved files each:
+    // worst-case skipping (every file spans x ∈ [0, 1024))
+    val rows = (0L until 1024L).flatMap(x =>
+      Seq(("a", x, x * 2 % 1024L), ("b", x, x * 3 % 1024L)))
+    val df = rows.toDF("p", "x", "y")
+    (0 until 4).foreach { i =>
+      DeltaLog.commitPartitioned(spark, root,
+        df.filter(pmod(col("x"), lit(4)) === i).coalesce(1), Seq("p"))
+    }
+    assert(DeltaLog.filesAt(spark, root, 3L).size == 8)
+    // a narrow x-window before Z-order: stats prune NOTHING
+    val before = DeltaLog.readWhereLong(spark, root, "x", 10L, 20L)
+      .inputFiles.length
+    assert(before == 8, s"pre-zorder narrow read must scan all 8, got " +
+      s"$before")
+    // DV-delete a slice inside the window, then Z-order
+    DeltaLog.deleteWhereLongDV(spark, root, "x", 100L, 199L)
+    val v = DeltaLog.optimizeZOrder(spark, root, "x", "y", 10, 8)
+    // dataChange=false on every action of the OPTIMIZE commit
+    val lines = commitLines(root, v).filter(l =>
+      l.contains("\"add\"") || l.contains("\"remove\""))
+    assert(lines.nonEmpty &&
+      lines.forall(_.contains("\"dataChange\":false")), lines.head)
+    // every new file lives INSIDE its partition directory
+    val active = DeltaLog.filesAt(spark, root, v)
+    assert(active.forall(r => r.startsWith("p=a/") || r.startsWith("p=b/")),
+      active.mkString(", "))
+    assert(!lines.filter(_.contains("\"add\""))
+      .exists(_.contains("deletionVector")),
+      "OPTIMIZE must apply+clear deletion vectors")
+    // read-back equality: the full set minus the DV'd slice
+    val got = DeltaLog.read(spark, root)
+      .select("p", "x", "y").as[(String, Long, Long)].collect().toSet
+    val want = rows.filterNot(r => r._2 >= 100L && r._2 <= 199L).toSet
+    assert(got == want)
+    // the same narrow window now PRUNES: contiguous Morton runs give
+    // each file a narrow x-range inside its partition
+    val after = DeltaLog.readWhereLong(spark, root, "x", 10L, 20L)
+    assert(after.inputFiles.length < 8,
+      s"post-zorder narrow read still scans ${after.inputFiles.length}")
+    assert(after.select("p", "x", "y").as[(String, Long, Long)]
+      .collect().toSet == want.filter(r => r._2 >= 10L && r._2 <= 20L))
+  }
+
   test("NESTED column mapping: items array<struct<...>> (the reference's " +
     "silver shape) reads, appends, merges and evolves through logical " +
     "names in name mode; id mode resolves nested fields by FIELD ID") {
