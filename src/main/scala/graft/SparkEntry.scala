@@ -2612,15 +2612,15 @@ object SparkEntry {
         .select(col("event_id"), col("event_ts_us"), col("value"),
           col("event_type"))
         .filter(col("event_id").isNotNull)
-      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(4)) === i)
+      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(2)) === i)
       val root = freshScratch("q291")
-      (0 until 4).foreach(i =>
+      (0 until 2).foreach(i =>
         graft.lake.DeltaLog.commitPartitioned(s, root, slice(i),
           Seq("event_type")))
       graft.lake.DeltaLog.deleteWhereLongDV(s, root, "event_id",
         1000L, 1500L)
       graft.lake.DeltaLog.optimizeZOrder(s, root, "event_id",
-        "event_ts_us", 20, 16)
+        "event_ts_us", 20, 10)
       graft.lake.DeltaLog.readWhereLong(s, root, "event_id", 0L, 2000L)
     }),
     // GENERATED COLUMNS: day GENERATED ALWAYS AS (event_ts_us div

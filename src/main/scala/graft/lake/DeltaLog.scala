@@ -3210,9 +3210,16 @@ object DeltaLog {
       // (adaptive sizing: parquet picks the smallest candidate filter
       // covering the file's actual NDV), so the NEXT point merge or
       // readWhere*Point prunes this table's own upsert traffic without
-      // relying on external writers to have indexed the key
-      val keyBloomOpts = bloomOptions(Seq(physMap.getOrElse(key, key))) +
-        ("parquet.bloom.filter.adaptive.enabled" -> "true")
+      // relying on external writers to have indexed the key. Only for
+      // key types the prune layers can actually probe (~0.2-0.4 s
+      // local fixed cost per merge, bought back at the first point
+      // upsert into the written files).
+      val keyBloomOpts =
+        if (fullSchema(key).dataType == LongType ||
+            fullSchema(key).dataType == StringType)
+          bloomOptions(Seq(physMap.getOrElse(key, key))) +
+            ("parquet.bloom.filter.adaptive.enabled" -> "true")
+        else Map.empty[String, String]
       val candDvs = candidates
         .flatMap(f => st.fileDvs.get(f._1).map(f._1 -> _)).toMap
       // exact touched set by ONE semi-join probe job over the
