@@ -2492,6 +2492,40 @@ object SparkEntry {
         graft.lake.DeltaLog.readWhereStringPoint(s, root, "okey",
           "ord-150"))
     }),
+    // NESTED STREAMING READ: the silver items shape streams through
+    // the DSv2 source — the Group walk converts array<struct> (and
+    // map) recursively, a mid-stream second commit arrives
+    // incrementally, and the gate explodes items to scalar rows.
+    "q293_delta_stream_nested" -> ((s, d) => {
+      val base = Tables.orders(s, d).filter(col("o_orderkey").isNotNull)
+        .select(col("o_orderkey"),
+          coalesce(col("o_custkey"), lit(0L)).as("ck"))
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select(concat(lit("O-"), col("o_orderkey").cast("string"))
+          .as("order_id"),
+          array(
+            struct(col("ck").as("product_id"), lit(1L).as("qty")),
+            struct((col("ck") + 1000000L).as("product_id"),
+              lit(2L).as("qty"))).as("items"))
+      val root = freshScratch("q293")
+      graft.lake.DeltaLog.commitFlat(s, root,
+        shaped(base.filter(pmod(col("o_orderkey"), lit(2)) === 0)))
+      val name = s"q293_sink_${System.nanoTime()}"
+      val q = s.readStream.format("graft.streaming.DeltaStreamProvider")
+        .option("path", root).load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        graft.lake.DeltaLog.commitFlat(s, root,
+          shaped(base.filter(pmod(col("o_orderkey"), lit(2)) === 1)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .select(col("order_id"), explode(col("items")).as("item"))
+        .select(col("order_id"), col("item.product_id").as("product_id"),
+          col("item.qty").as("qty"))
+    }),
     // PARTITIONED MERGE × CDF: the reference's README recommends
     // event_date-partitioned silver — merge into a bucket-partitioned
     // CDF table where every matched row also MOVES partition (bucket
@@ -4587,6 +4621,19 @@ object SparkEntry {
            UNION ALL
            SELECT o_orderkey, ck + 7, CAST(9 AS BIGINT)
            FROM b WHERE m = 1) t""",
+    // q293: the streamed nested table is the q289 unmerged item fold
+    // over the WHOLE base.
+    "q293_delta_stream_nested" ->
+      """WITH b AS (
+           SELECT o_orderkey, COALESCE(o_custkey, 0) AS ck
+           FROM orders WHERE o_orderkey IS NOT NULL)
+         SELECT 'O-' || CAST(o_orderkey AS VARCHAR) AS order_id,
+           product_id, qty
+         FROM (
+           SELECT o_orderkey, ck AS product_id,
+             CAST(1 AS BIGINT) AS qty FROM b
+           UNION ALL
+           SELECT o_orderkey, ck + 1000000, CAST(2 AS BIGINT) FROM b) t""",
     "q290_delta_mapped_nested_id" ->
       """WITH b AS (
            SELECT o_orderkey, COALESCE(o_custkey, 0) AS ck,

@@ -39,8 +39,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Each reader walks its parquet file's row groups directly
   * (parquet-hadoop Group API — no egress, no extra deps) and converts
   * to InternalRow by the DECLARED schema: file-missing columns read
-  * null (schema evolution), atomic types only (the bronze-envelope
-  * shape; nested/decimal refuse loudly at scan build).
+  * null (schema evolution); atomic types plus struct/array/map
+  * nestings of them (the silver `items array<struct>` shape) —
+  * decimal refuses loudly at scan build.
   *
   * `option("startingVersion", v)` starts the FIRST run after commit v
   * (default −1 = from table creation); `maxVersionsPerTrigger` bounds
@@ -48,8 +49,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `readChangeFeed=true` streams the CHANGE FEED instead (cdc files
   * with their own `_change_type`, synthesized inserts,
   * `_commit_version` constants). Partitioned tables stream with typed
-  * partition-value constants; column-mapped tables refuse (direct
-  * file reads would surface NULLs through logical names).
+  * partition-value constants; column-mapped tables resolve by
+  * physical name (name mode) or footer field ids (id mode) at every
+  * nesting level.
   */
 class DeltaStreamProvider extends TableProvider {
 
@@ -165,11 +167,10 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
             s"DeltaStreamProvider: $root does not declare " +
               "delta.enableChangeDataFeed — no change feed to stream")
           schema0.fields.foreach(f => require(
-            DeltaStreamReaderFactory.supported(f.dataType),
+            DeltaStreamReaderFactory.readSupported(f.dataType),
             s"DeltaStreamProvider: column ${f.name} has type " +
               s"${f.dataType} — streaming reads support atomic types " +
-              "only (long/int/double/float/boolean/string/binary/" +
-              "timestamp/date)"))
+              "and struct/array/map nestings of them"))
           pcs.foreach { c =>
             require(schema0.fieldNames.contains(c),
               s"DeltaStreamProvider: partition column $c missing from " +
@@ -312,6 +313,20 @@ private[streaming] object DeltaStreamReaderFactory {
     case _ => false
   }
 
+  /** READ-side type support: nested struct/array/map over supported
+    * atoms stream too (the reference's silver nests
+    * `items array<struct<...>>`); the SINK keeps the atomic-only
+    * contract ([[supported]] — the Group writer stages atoms).
+    */
+  def readSupported(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.forall(f => readSupported(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      readSupported(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      readSupported(m.keyType) && readSupported(m.valueType)
+    case other => supported(other)
+  }
+
   def pvSupported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | StringType | BooleanType | DoubleType |
          DateType => true
@@ -415,22 +430,112 @@ private[streaming] class GroupParquetReader(
       values(i) =
         if (constants(i).isDefined) constants(i).get
         else if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
-        else declared.fields(i).dataType match {
-          case LongType | TimestampType => g.getLong(idx, 0)
-          case IntegerType | DateType => g.getInteger(idx, 0)
-          case DoubleType => g.getDouble(idx, 0)
-          case FloatType => g.getFloat(idx, 0)
-          case BooleanType => g.getBoolean(idx, 0)
-          case StringType =>
-            UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-          case BinaryType => g.getBinary(idx, 0).getBytes
-          case other => throw new IllegalStateException(
-            s"GroupParquetReader: unsupported type $other (vetted at " +
-              "scan build — unreachable)")
-        }
+        else convertValue(g, idx, 0, declared.fields(i).dataType)
       i += 1
     }
     new GenericInternalRow(values)
+  }
+
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+  private val ColIdKey = "delta.columnMapping.id"
+
+  /** Resolve a declared NESTED field inside a file group type: by the
+    * declared column-mapping FIELD ID when both sides carry one (id
+    * mode — stored names are not authoritative), else by physicalName
+    * (name mode), else by the logical name. −1 = absent (reads null,
+    * the evolution rule, same as top level).
+    */
+  private def resolveIn(gt: org.apache.parquet.schema.GroupType,
+                        f: org.apache.spark.sql.types.StructField): Int = {
+    val byId: Option[Int] =
+      if (f.metadata.contains(ColIdKey)) {
+        val id = f.metadata.getLong(ColIdKey)
+        (0 until gt.getFieldCount).find { i =>
+          val t = gt.getType(i)
+          t.getId != null && t.getId.intValue().toLong == id
+        }
+      } else None
+    val name = if (f.metadata.contains(PhysNameKey))
+      f.metadata.getString(PhysNameKey) else f.name
+    byId.getOrElse(
+      if (gt.containsField(name)) gt.getFieldIndex(name) else -1)
+  }
+
+  private def structRow(g: Group,
+      st: StructType): InternalRow = {
+    val gt = g.getType
+    val vals = new Array[Any](st.length)
+    var i = 0
+    while (i < st.length) {
+      val idx = resolveIn(gt, st.fields(i))
+      vals(i) =
+        if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
+        else convertValue(g, idx, 0, st.fields(i).dataType)
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  /** Field `idx`, repetition `rep` of `g` as the Spark-internal value
+    * of `dt` — recursive over struct/array/map (parquet LIST in both
+    * the standard 3-level and the legacy element-direct shapes,
+    * disambiguated by the format's backward-compat rule; MAP as the
+    * standard repeated key_value).
+    */
+  private def convertValue(g: Group, idx: Int, rep: Int,
+                           dt: DataType): Any = dt match {
+    case st: StructType => structRow(g.getGroup(idx, rep), st)
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      val lg = g.getGroup(idx, rep)
+      val repeated = lg.getType.getType(0)
+      val n = lg.getFieldRepetitionCount(0)
+      val out = new Array[Any](n)
+      // LogicalTypes.md backward-compat rule: a repeated PRIMITIVE, a
+      // repeated group with >1 fields, or one named array/..._tuple IS
+      // the element; otherwise it is the 3-level "list" wrapper
+      val elementDirect = repeated.isPrimitive ||
+        repeated.asGroupType().getFieldCount > 1 ||
+        repeated.getName == "array" || repeated.getName.endsWith("_tuple")
+      var i = 0
+      while (i < n) {
+        out(i) =
+          if (elementDirect) convertValue(lg, 0, i, et)
+          else {
+            val w = lg.getGroup(0, i)
+            if (w.getFieldRepetitionCount(0) == 0) null
+            else convertValue(w, 0, 0, et)
+          }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+      val mg = g.getGroup(idx, rep)
+      val n = mg.getFieldRepetitionCount(0)
+      val ks = new Array[Any](n)
+      val vs = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val kv = mg.getGroup(0, i)
+        ks(i) = convertValue(kv, 0, 0, kt)
+        vs(i) =
+          if (kv.getFieldRepetitionCount(1) == 0) null
+          else convertValue(kv, 1, 0, vt)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
+    case LongType | TimestampType => g.getLong(idx, rep)
+    case IntegerType | DateType => g.getInteger(idx, rep)
+    case DoubleType => g.getDouble(idx, rep)
+    case FloatType => g.getFloat(idx, rep)
+    case BooleanType => g.getBoolean(idx, rep)
+    case StringType =>
+      UTF8String.fromBytes(g.getBinary(idx, rep).getBytes)
+    case BinaryType => g.getBinary(idx, rep).getBytes
+    case other => throw new IllegalStateException(
+      s"GroupParquetReader: unsupported type $other (vetted at " +
+        "scan build — unreachable)")
   }
 }
 

@@ -116,6 +116,81 @@ class DeltaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("NESTED types stream: items array<struct> and a map column read " +
+    "through the Group walk ≡ batch; nested NAME-mapped and junk-named " +
+    "ID-mapped tables resolve at every level") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // plain nested: array<struct<pid,qty>> + map<string,long>
+    val root = freshDir("graft-dstream-nested")
+    val base = Seq(
+      ("o1", Seq((101L, 2L), (102L, 1L)), Map("a" -> 1L)),
+      ("o2", Seq((103L, 5L)), Map("b" -> 2L, "c" -> 3L)),
+      ("o3", Seq.empty[(Long, Long)], Map.empty[String, Long]))
+      .toDF("oid", "items0", "m")
+      .select(col("oid"),
+        expr("transform(items0, x -> named_struct('pid', x._1, " +
+          "'qty', x._2))").as("items"), col("m"))
+    DeltaLog.commitFlat(spark, root, base.coalesce(1))
+    val name = s"dsn_${System.nanoTime()}"
+    val q = readStream(root).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("oid",
+        "transform(items, x -> struct(x.pid, x.qty)) AS t",
+        "map_entries(m) AS me")
+        .collect().map(r => (r.getString(0),
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getLong(0), x.getLong(1))).toSeq,
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(x => (x.getString(0), x.getLong(1))).toSet)).toSet
+    assert(flat(spark.table(name)) == flat(DeltaLog.read(spark, root)))
+
+    // nested NAME-mapped: file stores physical names at every level
+    val root2 = freshDir("graft-dstream-nested-map")
+    Files.createDirectories(java.nio.file.Paths.get(root2))
+    val tmp = Files.createTempDirectory("stage")
+    base.select(col("oid").as("col-oid"),
+      expr("transform(items, x -> named_struct('col-pid', x.pid, " +
+        "'col-qty', x.qty))").as("col-items"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val l = Files.list(tmp)
+      try l.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally l.close()
+    }
+    Files.move(part, java.nio.file.Paths.get(root2, "part-a.parquet"))
+    val nestedSchema =
+      """{"type":"struct","fields":[
+        {"name":"oid","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-oid"}},
+        {"name":"items","type":{"type":"array","elementType":{"type":"struct","fields":[
+          {"name":"pid","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"col-pid"}},
+          {"name":"qty","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":4,"delta.columnMapping.physicalName":"col-qty"}}]},"containsNull":true},"nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-items"}}]}"""
+        .replaceAll("\n\\s*", "")
+    Files.createDirectories(java.nio.file.Paths.get(root2, "_delta_log"))
+    Files.write(java.nio.file.Paths.get(root2, "_delta_log",
+      f"${0L}%020d.json"),
+      (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"dsn-map","format":{"provider":"parquet","options":{}},"schemaString":"${nestedSchema.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"}}}""",
+        """{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
+    val name2 = s"dsnm_${System.nanoTime()}"
+    val q2 = readStream(root2).writeStream.format("memory")
+      .queryName(name2).outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got2 = spark.table(name2)
+      .selectExpr("oid", "transform(items, x -> struct(x.pid, x.qty)) AS t")
+      .collect().map(r => (r.getString(0),
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getLong(1))).toSeq)).toSet
+    assert(got2 == Set(
+      ("o1", Seq((101L, 2L), (102L, 1L))),
+      ("o2", Seq((103L, 5L))),
+      ("o3", Seq.empty)), got2.toString)
+  }
+
   test("streaming SINK: epochs commit with txn watermarks; a replayed " +
     "epoch is a no-op; delta-to-delta pipeline round-trips") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
