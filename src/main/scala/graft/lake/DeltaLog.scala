@@ -1562,7 +1562,7 @@ object DeltaLog {
 
   /** (basename, position) rows of the given files' deletion vectors —
     * positions exploded EXECUTOR-side from the shipped bitmap bytes
-    * (the [[dvFilteredFile]] idiom), broadcast when the total
+    * (the [[dvFilteredFiles]] idiom), broadcast when the total
     * cardinality is join-build sized. The anti-join key for every
     * "live rows only" multi-file scan below.
     */
@@ -2243,66 +2243,71 @@ object DeltaLog {
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     val (dvFiles, plainFiles) = files.partition(f => st.fileDvs.contains(f._1))
-    val dvParts = dvFiles.map { case (path, pv) =>
-      dvFilteredFile(spark, root, st, schema, path, pv)
-    }
+    val dvPart =
+      if (dvFiles.isEmpty) Seq.empty
+      else Seq(dvFilteredFiles(spark, root, st, schema, dvFiles))
     val plainPart =
       if (plainFiles.isEmpty) Seq.empty
       else Seq(assemblePlainFiles(spark, root, st, schema, plainFiles))
-    (plainPart ++ dvParts) match {
+    (plainPart ++ dvPart) match {
       case Seq() =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case parts => parts.reduce(_ unionByName _)
     }
   }
 
-  /** One DV'd file: scan with `_metadata.row_index`, anti-join the
-    * deleted positions (decoded from the compact bitmap ON an executor
-    * — the driver ships only the serialized bytes), then attach
-    * partition literals like any other file. The deleted-positions side
-    * broadcasts below a cardinality bound; a pathological
-    * most-of-the-file DV falls back to a shuffle join.
+  /** ALL DV-carrying files of an assembly in ONE tagged scan: deleted
+    * positions anti-joined on (file tag, row_index) against one shared
+    * executor-decoded position table (ONE broadcast build, not one per
+    * file — reading a snapshot with 10 k DV'd files used to
+    * materialize 10 k broadcasts), partition values re-attached
+    * through a broadcast (tag → pv) dim of file-count rows. The
+    * `_metadata` columns ride the scan's own select (unreachable after
+    * any projection).
     */
-  private def dvFilteredFile(spark: SparkSession, root: String, st: LogState,
-                             schema: StructType, path: String,
-                             pv: Map[String, String]): DataFrame = {
-    import spark.implicits._
+  private def dvFilteredFiles(spark: SparkSession, root: String,
+      st: LogState, schema: StructType,
+      files: Seq[(String, Map[String, String])]): DataFrame = {
     val pcSet = st.partitionColumns.toSet
     val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
-    val desc = st.fileDvs(path)
-    val bytes = desc.readBytes(root)
-    val positions = spark.createDataset(Seq(bytes))
-      .flatMap(b => Dv.deserialize(b).positions)
-      .toDF("__graft_pos")
-    val posSide =
-      if (desc.cardinality <= 4000000L)
-        org.apache.spark.sql.functions.broadcast(positions)
-      else positions
-    // physical names resolved inline (not via readDataFiles): the
-    // _metadata column is only reachable on the scan output itself --
-    // a rename projection in between would hide it
     val (physSchema, physMap) = readSchemaFor(st, dataSchema)
-    val base = spark.read.schema(physSchema)
-      .parquet(resolvePath(root, path).toString)
-      .select(Seq(col("_metadata.row_index").as("__graft_pos")) ++
-        dataSchema.fields.map(f =>
-          toLogicalField(f, physMap(f.name))): _*)
-      .join(posSide, Seq("__graft_pos"), "left_anti")
+    val rels = files.map(_._1)
+    val tagging = chooseTagging(root, rels)
+      .getOrElse(synthesizedTagging(spark, root, rels))
+    val dvs = rels.flatMap(rel => st.fileDvs.get(rel).map(rel -> _)).toMap
+    def toLogical = dataSchema.fields.map(f =>
+      toLogicalField(f, physMap(f.name)))
+    val live = spark.read.schema(physSchema)
+      .parquet(rels.map(r => resolvePath(root, r).toString): _*)
+      .select(toLogical :+ tagging.tagExpr.as(SrcTagCol) :+
+        col("_metadata.row_index").as("__graft_pos"): _*)
+      .join(dvPositionsByName(spark, root, dvs, tagging.tagOf),
+        Seq(SrcTagCol, "__graft_pos"), "left_anti")
       .drop("__graft_pos")
-    schema.fields.foldLeft(base) { (df, f) =>
-      if (!pcSet(f.name)) df
-      else {
-        val key = pvKeyOf(st, schema, f.name, pv).getOrElse(
-          throw new IllegalArgumentException(
-            s"DeltaLog: add $path lacks partitionValues for declared " +
-              s"partition column ${f.name}"))
-        df.withColumn(f.name,
-          Option(pv(key)) match {
-            case Some(s) => lit(s).cast(f.dataType)
-            case None => lit(null).cast(f.dataType)
-          })
+    if (pcSet.isEmpty) live.drop(SrcTagCol)
+    else {
+      val pvSchema = StructType(
+        StructField(SrcTagCol, StringType, nullable = false) +:
+          st.partitionColumns.map(c =>
+            StructField(s"__graft_pv_$c", StringType, nullable = true)))
+      val pvRows: Seq[Row] = files.map { case (rel, pv) =>
+        Row.fromSeq(tagging.tagOf(rel) +: st.partitionColumns.map { c =>
+          val key = pvKeyOf(st, schema, c, pv).getOrElse(
+            throw new IllegalArgumentException(
+              s"DeltaLog: add $rel lacks partitionValues for declared " +
+                s"partition column $c"))
+          pv(key)
+        })
       }
-    }.select(schema.fieldNames.map(col).toSeq: _*)
+      val pvDf = org.apache.spark.sql.functions.broadcast(
+        spark.createDataFrame(pvRows.asJava, pvSchema))
+      live.join(pvDf, Seq(SrcTagCol))
+        .select(schema.fields.map { f =>
+          if (pcSet(f.name))
+            col(s"__graft_pv_${f.name}").cast(f.dataType).as(f.name)
+          else col(f.name)
+        }.toIndexedSeq: _*)
+    }
   }
 
   /** partitionValues key for logical partition column `c` — PHYSICAL
@@ -4521,14 +4526,18 @@ object DeltaLog {
     * file are untouched; if nothing needs compacting no commit is
     * written. Returns the table's version afterwards.
     *
-    * Scale posture: one partition-local read+rewrite per fat
-    * partition — file-count work, no shuffle, no cross-partition data
-    * movement; the commit is one JSON line per touched file. The
-    * rewrites are independent (embarrassingly parallel across driver
-    * threads at cluster scale; sequential here), and one-file-per-
-    * partition is the local-scale simplification of OPTIMIZE's
-    * bin-to-target-size — a partition bigger than a sane file would
-    * bin into ceil(bytes/target) files instead.
+    * Scale posture: ONE job for every fat partition — the DV/clone/
+    * mapping-aware assembly reads live rows and a dynamic-partitioned
+    * write lands one file per partition directory (hash repartition on
+    * the partition columns), so compacting 10 k fat partitions is one
+    * scan + one write, never 10 k sequential jobs; the commit is one
+    * JSON line per touched file. DV-carrying files compact to their
+    * LIVE rows with the DV cleared (Delta's OPTIMIZE semantics) and
+    * shallow-cloned absolute references MATERIALIZE under this table's
+    * root — the clone-localization pass. One-file-per-partition is the
+    * local-scale simplification of OPTIMIZE's bin-to-target-size — a
+    * partition bigger than a sane file would bin into
+    * ceil(bytes/target) files instead.
     * (Unpartitioned [[Snapshots]] tables compact through their own
     * OPTIMIZE; this is the partitioned-layout sibling.)
     */
@@ -4660,37 +4669,50 @@ object DeltaLog {
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog.compactPartitioned: no metaData in $root log"))
     val pcSet = st.partitionColumns.toSet
-    val dataSchema = StructType(schema.filterNot(f => pcSet(f.name)))
-    val fat = st.files.groupBy(_._2).filter(_._2.size > 1)
+    val pcs = st.partitionColumns
+    // a partition needs compacting when it holds more than one file,
+    // any DV'd file (compaction APPLIES and clears the DV — Delta's
+    // OPTIMIZE semantics) or a shallow-cloned absolute reference (the
+    // clone-localization pass)
+    val fat = st.files.groupBy(_._2).filter { case (_, files) =>
+      files.size > 1 || files.exists { case (rel, _) =>
+        st.fileDvs.contains(rel) || rel.startsWith("/") }
+    }
     if (fat.isEmpty) return v
+    val fatFiles = fat.values.flatten.toSeq.sortBy(_._1)
     val actions = Seq.newBuilder[JsonNode]
     val conf = spark.sparkContext.hadoopConfiguration
-    fat.toSeq.sortBy(_._2.head._1).foreach { case (pv, files) =>
-      val rels = files.map(_._1)
-      rels.foreach(rel => require(!st.fileDvs.contains(rel),
-        s"DeltaLog.compactPartitioned: $rel carries a deletion vector — " +
-          "compaction of DV'd files is unimplemented"))
-      rels.foreach(rel => require(!rel.startsWith("/"),
-        s"DeltaLog.compactPartitioned: $rel is a shallow-cloned " +
-          "(absolute) reference — materialize via a rewrite first"))
-      // mapped tables: scan physical/field-id, write back physical
-      // (+field ids) — a compaction must not change resolution
-      val (scanSchema, _) = readSchemaFor(st, dataSchema)
-      val merged = stampFieldIds(
-        spark.read.schema(scanSchema)
-          .parquet(rels.map(f => Paths.get(root, f).toString): _*)
-          .toDF(scanSchema.fieldNames.toSeq: _*),
-        physFieldIds(st, dataSchema))
-      val part = writeSingleParquet(merged, root, "graft-delta-compact")
-      // land the compacted file beside the ones it replaces
-      val dir = Paths.get(root, rels.head).getParent
-      val target = dir.resolve(part.getFileName)
-      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
-      val newRel = Paths.get(root).relativize(target).toString
+    // ONE job for every fat partition (was: one sequential job per
+    // partition): the DV/clone/mapping-aware assembly reads live rows
+    // with partition literals attached, and a dynamic-partitioned
+    // write lands exactly one file per partition directory
+    val physMap = physicalWriteMap(st, schema)
+    val physPcs = pcs.map(c => physMap.getOrElse(c, c))
+    val staging = Files.createTempDirectory(stagingBase(root),
+      "graft-delta-compact")
+    toPhysicalDf(st, schema, assembleFiles(spark, root, st, fatFiles))
+      .repartition(fat.size, physPcs.map(col): _*)
+      .write.mode("overwrite").partitionBy(physPcs: _*)
+      .parquet(staging.toString)
+    val walk = Files.walk(staging)
+    val parts =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p)
+          && p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+      finally walk.close()
+    fatFiles.foreach { case (rel, _) =>
+      actions += removeActionNode(rel, dataChange = false) }
+    parts.foreach { p =>
+      val rel = staging.relativize(p).toString
         .replace(java.io.File.separatorChar, '/')
-      rels.foreach(f => actions += removeActionNode(f, dataChange = false))
-      actions += addActionNode(root, newRel, pv, dataChange = false, conf)
+      val target = Paths.get(root, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      actions += addActionNode(root, rel,
+        partitionValuesOf(rel, physPcs), dataChange = false, conf)
     }
+    deleteRecursively(staging)
     writeCommitFile(root, v + 1, actions.result(), operation = "OPTIMIZE")
     v + 1
   }

@@ -206,6 +206,39 @@ class DeltaDmlScaleSpec extends SparkSpec {
       .toSeq == Seq((300L, -1L)))
   }
 
+  test("compactPartitioned runs ONE job for many fat partitions, " +
+    "applies+clears DVs and materializes clone-absolute references") {
+    val root = freshRoot()
+    // 16 partitions × 4 files each
+    (0 until 4).foreach { i =>
+      DeltaLog.commitPartitioned(spark, root,
+        (0L until 160L).map(k => (k, (k % 16).toString))
+          .toDF("k", "p").repartition(1), Seq("p"))
+    }
+    assert(DeltaLog.filesAt(spark, root, 3L).size == 64)
+    // DV-delete a slice so some files carry deletion vectors
+    DeltaLog.deleteWhereLongDV(spark, root, "k", 10L, 20L)
+    val jobs = countJobs { DeltaLog.compactPartitioned(spark, root) }
+    assert(jobs <= 8, s"compaction of 16 fat partitions ran $jobs jobs")
+    val v = DeltaLog.currentVersion(root)
+    val active = DeltaLog.filesAt(spark, root, v)
+    assert(active.size == 16, s"${active.size} files after compaction")
+    // DVs cleared, live rows preserved (each k appears 4x, minus the
+    // DV'd range)
+    val got = DeltaLog.read(spark, root).select("k").as[Long].collect()
+    assert(got.length == 4 * (160 - 11))
+    assert(!got.exists(k => k >= 10L && k <= 20L))
+    // clone: absolute references materialize under the CLONE's root
+    val clone = freshRoot() + "-clone"
+    DeltaLog.shallowClone(spark, root, clone)
+    DeltaLog.compactPartitioned(spark, clone)
+    val cloneActive = DeltaLog.filesAt(spark, clone,
+      DeltaLog.currentVersion(clone))
+    assert(cloneActive.forall(!_.startsWith("/")),
+      s"clone compaction left absolute refs: $cloneActive")
+    assert(DeltaLog.read(spark, clone).count() == got.length)
+  }
+
   test("BitmapAgg: DV bitmaps build executor-side — the driver row is " +
     "BINARY bitmap bytes that deserialize to the full position set") {
     val agg = udaf(DeltaLog.BitmapAgg,
