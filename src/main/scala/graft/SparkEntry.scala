@@ -2492,10 +2492,12 @@ object SparkEntry {
         graft.lake.DeltaLog.readWhereStringPoint(s, root, "okey",
           "ord-150"))
     }),
-    // NESTED STREAMING READ: the silver items shape streams through
-    // the DSv2 source — the Group walk converts array<struct> (and
-    // map) recursively, a mid-stream second commit arrives
-    // incrementally, and the gate explodes items to scalar rows.
+    // NESTED STREAMING delta-to-delta: the silver items shape streams
+    // through the DSv2 source (recursive Group-walk array<struct>
+    // conversion) INTO a second Delta table (the sink stages the same
+    // 3-level LIST shapes, exactly-once epochs); a mid-stream second
+    // commit arrives incrementally; the gate reads the DESTINATION
+    // back and explodes items to scalar rows.
     "q293_delta_stream_nested" -> ((s, d) => {
       val base = Tables.orders(s, d).filter(col("o_orderkey").isNotNull)
         .select(col("o_orderkey"),
@@ -2507,13 +2509,15 @@ object SparkEntry {
             struct(col("ck").as("product_id"), lit(1L).as("qty")),
             struct((col("ck") + 1000000L).as("product_id"),
               lit(2L).as("qty"))).as("items"))
-      val root = freshScratch("q293")
+      val bse = freshScratch("q293")
+      val (root, dst) = (s"$bse/src", s"$bse/dst")
       graft.lake.DeltaLog.commitFlat(s, root,
         shaped(base.filter(pmod(col("o_orderkey"), lit(2)) === 0)))
-      val name = s"q293_sink_${System.nanoTime()}"
       val q = s.readStream.format("graft.streaming.DeltaStreamProvider")
         .option("path", root).load()
-        .writeStream.format("memory").queryName(name)
+        .writeStream.format("graft.streaming.DeltaStreamProvider")
+        .option("path", dst)
+        .option("checkpointLocation", s"$bse/ckpt")
         .outputMode("append").start()
       try {
         q.processAllAvailable()
@@ -2521,7 +2525,7 @@ object SparkEntry {
           shaped(base.filter(pmod(col("o_orderkey"), lit(2)) === 1)))
         q.processAllAvailable()
       } finally q.stop()
-      s.table(name)
+      graft.lake.DeltaLog.read(s, dst)
         .select(col("order_id"), explode(col("items")).as("item"))
         .select(col("order_id"), col("item.product_id").as("product_id"),
           col("item.qty").as("qty"))

@@ -120,9 +120,10 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite = {
           info.schema().fields.foreach(f => require(
-            DeltaStreamReaderFactory.supported(f.dataType),
+            DeltaStreamReaderFactory.readSupported(f.dataType),
             s"DeltaStreamProvider sink: column ${f.name} has type " +
-              s"${f.dataType} — the sink writes atomic types only"))
+              s"${f.dataType} — the sink writes atomic types and " +
+              "struct/array/map nestings of them"))
           // an EXISTING table dictates the partitioning (rows route to
           // partition directories executor-side); a table the sink
           // CREATES is flat
@@ -134,6 +135,15 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
           val (physNames, fieldIds) =
             if (exists) DeltaLog.columnResolution(SparkSession.active, root)
             else (Map.empty[String, String], Map.empty[String, Long])
+          // nested into a MAPPED table refuses: the sink's resolution
+          // pair is top-level — silently writing logical nested names
+          // would read back NULL through mapped readers
+          if (physNames.nonEmpty || fieldIds.nonEmpty)
+            info.schema().fields.foreach(f => require(
+              DeltaStreamReaderFactory.supported(f.dataType),
+              s"DeltaStreamProvider sink: column ${f.name} of a " +
+                "column-mapped table nests types — mapped sinks write " +
+                "atomic columns only"))
           pcs.foreach { c =>
             require(info.schema().fieldNames.contains(c),
               s"DeltaStreamProvider sink: partition column $c missing " +
@@ -611,8 +621,10 @@ private[streaming] case class DeltaStreamWriterFactory(
 }
 
 /** Staged parquet parts via the parquet-hadoop example writer
-  * (lazy-opened: an empty Spark partition stages nothing),
-  * declared-schema atomic types. On a PARTITIONED table rows route
+  * (lazy-opened: an empty Spark partition stages nothing);
+  * declared-schema atomic types plus struct/array/map nestings of
+  * them (standard 3-level LIST / key_value MAP shapes, mirrored by
+  * [[GroupParquetReader]]'s walk). On a PARTITIONED table rows route
   * executor-side: one staged part per distinct table-partition value
   * this task holds, partition columns extracted per row (Delta string
   * representation) and EXCLUDED from the file — they live in the
@@ -643,34 +655,69 @@ private[streaming] class GroupParquetWriter(
       .toArray
   private val dataSchema = StructType(dataFields.map(_._1))
 
+  /** Parquet type of one field — recursive: structs as optional
+    * groups, arrays as the STANDARD 3-level LIST (matching the
+    * reader's walk), maps as repeated key_value.
+    */
+  private def parquetTypeOf(name: String,
+      dt: DataType): org.apache.parquet.schema.Type = {
+    import org.apache.parquet.schema.{GroupType, Type}
+    def prim(ptn: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+             ann: LogicalTypeAnnotation = null): Type = {
+      var pb = Types.optional(ptn)
+      if (ann != null) pb = pb.as(ann)
+      pb.named(name)
+    }
+    dt match {
+      case st: StructType =>
+        val gb = Types.optionalGroup()
+        st.fields.foreach(f2 =>
+          gb.addField(parquetTypeOf(f2.name, f2.dataType)))
+        gb.named(name)
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        Types.optionalGroup().as(LogicalTypeAnnotation.listType())
+          .addField(new GroupType(Type.Repetition.REPEATED, "list",
+            parquetTypeOf("element", et)))
+          .named(name)
+      case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+        Types.optionalGroup().as(LogicalTypeAnnotation.mapType())
+          .addField(new GroupType(Type.Repetition.REPEATED, "key_value",
+            parquetTypeOf("key", kt), parquetTypeOf("value", vt)))
+          .named(name)
+      case LongType => prim(INT64)
+      case TimestampType => prim(INT64,
+        LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS))
+      case IntegerType => prim(INT32)
+      case DateType => prim(INT32, LogicalTypeAnnotation.dateType())
+      case DoubleType => prim(DOUBLE)
+      case FloatType => prim(FLOAT)
+      case BooleanType => prim(BOOLEAN)
+      case StringType => prim(BINARY, LogicalTypeAnnotation.stringType())
+      case BinaryType => prim(BINARY)
+      case other => throw new IllegalArgumentException(
+        s"GroupParquetWriter: unsupported type $other (vetted at " +
+          "write build — unreachable)")
+    }
+  }
+
   private val messageType: MessageType = {
     val b = Types.buildMessage()
     dataSchema.fields.foreach { f =>
-      // mapped sinks: fields store PHYSICAL names and (id mode) carry
-      // parquet field ids — the table's readers resolve by them
-      def add(ptn: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
-              ann: LogicalTypeAnnotation = null): Unit = {
-        var pb = Types.optional(ptn)
-        if (ann != null) pb = pb.as(ann)
-        fieldIds.get(f.name).foreach(id => pb = pb.id(id.toInt))
-        b.addField(pb.named(physNames.getOrElse(f.name, f.name)))
-      }
-      f.dataType match {
-        case LongType => add(INT64)
-        case TimestampType => add(INT64,
-          LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        case IntegerType => add(INT32)
-        case DateType => add(INT32, LogicalTypeAnnotation.dateType())
-        case DoubleType => add(DOUBLE)
-        case FloatType => add(FLOAT)
-        case BooleanType => add(BOOLEAN)
-        case StringType => add(BINARY, LogicalTypeAnnotation.stringType())
-        case BinaryType => add(BINARY)
-        case other => throw new IllegalArgumentException(
-          s"GroupParquetWriter: unsupported type $other (vetted at " +
-            "write build — unreachable)")
-      }
+      // mapped sinks: top-level fields store PHYSICAL names and (id
+      // mode) carry parquet field ids — the table's readers resolve by
+      // them (mapped sinks are vetted atomic-only at write build)
+      val t0 = parquetTypeOf(physNames.getOrElse(f.name, f.name),
+        f.dataType)
+      b.addField(fieldIds.get(f.name) match {
+        case Some(id) if t0.isPrimitive =>
+          org.apache.parquet.schema.Types
+            .primitive(t0.asPrimitiveType().getPrimitiveTypeName,
+              t0.getRepetition)
+            .as(t0.getLogicalTypeAnnotation).id(id.toInt)
+            .named(t0.getName)
+        case _ => t0
+      })
     }
     b.named("spark_schema")
   }
@@ -711,25 +758,65 @@ private[streaming] class GroupParquetWriter(
       })
     }
 
+  /** Append field `idx` of `g` from position `i` of `src` (InternalRow
+    * and ArrayData share the SpecializedGetters surface, so one
+    * recursion covers rows, array elements and map entries). Nested
+    * group structure mirrors [[parquetTypeOf]] exactly.
+    */
+  private def appendField(g: org.apache.parquet.example.data.Group,
+      idx: Int, dt: DataType,
+      src: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): Unit = dt match {
+    case st: StructType =>
+      val child = g.addGroup(idx)
+      val row = src.getStruct(i, st.length)
+      var j = 0
+      while (j < st.length) {
+        if (!row.isNullAt(j))
+          appendField(child, j, st.fields(j).dataType, row, j)
+        j += 1
+      }
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      val lg = g.addGroup(idx)
+      val arr = src.getArray(i)
+      var j = 0
+      while (j < arr.numElements()) {
+        val w = lg.addGroup(0)
+        if (!arr.isNullAt(j)) appendField(w, 0, et, arr, j)
+        j += 1
+      }
+    case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+      val mg = g.addGroup(idx)
+      val m = src.getMap(i)
+      val ks = m.keyArray()
+      val vs = m.valueArray()
+      var j = 0
+      while (j < m.numElements()) {
+        val kv = mg.addGroup(0)
+        appendField(kv, 0, kt, ks, j)
+        if (!vs.isNullAt(j)) appendField(kv, 1, vt, vs, j)
+        j += 1
+      }
+    case LongType | TimestampType => g.add(idx, src.getLong(i))
+    case IntegerType | DateType => g.add(idx, src.getInt(i))
+    case DoubleType => g.add(idx, src.getDouble(i))
+    case FloatType => g.add(idx, src.getFloat(i))
+    case BooleanType => g.add(idx, src.getBoolean(i))
+    case StringType => g.add(idx,
+      Binary.fromConstantByteArray(src.getUTF8String(i).getBytes))
+    case BinaryType => g.add(idx,
+      Binary.fromConstantByteArray(src.getBinary(i)))
+    case other => throw new IllegalStateException(
+      s"GroupParquetWriter: unsupported type $other — unreachable")
+  }
+
   override def write(row: InternalRow): Unit = {
     val w = writers.getOrElseUpdate(pvOf(row), open())._1
     val g = factory.newGroup()
     var j = 0
     while (j < dataFields.length) {
       val (f, i) = dataFields(j)
-      if (!row.isNullAt(i)) f.dataType match {
-        case LongType | TimestampType => g.add(j, row.getLong(i))
-        case IntegerType | DateType => g.add(j, row.getInt(i))
-        case DoubleType => g.add(j, row.getDouble(i))
-        case FloatType => g.add(j, row.getFloat(i))
-        case BooleanType => g.add(j, row.getBoolean(i))
-        case StringType => g.add(j,
-          Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-        case BinaryType => g.add(j,
-          Binary.fromConstantByteArray(row.getBinary(i)))
-        case other => throw new IllegalStateException(
-          s"GroupParquetWriter: unsupported type $other — unreachable")
-      }
+      if (!row.isNullAt(i)) appendField(g, j, f.dataType, row, i)
       j += 1
     }
     w.write(g)

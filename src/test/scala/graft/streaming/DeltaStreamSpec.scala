@@ -189,6 +189,17 @@ class DeltaStreamSpec extends SparkSpec {
       ("o1", Seq((101L, 2L), (102L, 1L))),
       ("o2", Seq((103L, 5L))),
       ("o3", Seq.empty)), got2.toString)
+
+    // delta-to-delta ROUND TRIP of the nested table: the SINK stages
+    // the same 3-level LIST / key_value MAP shapes the reader walks
+    val dst = freshDir("graft-dstream-nested-dst")
+    val ckpt = Files.createTempDirectory("graft-dsn-ck").toString
+    val q3 = readStream(root).writeStream
+      .format("graft.streaming.DeltaStreamProvider")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(flat(DeltaLog.read(spark, dst)) == flat(DeltaLog.read(spark, root)))
   }
 
   test("streaming SINK: epochs commit with txn watermarks; a replayed " +
