@@ -2339,29 +2339,62 @@ object DeltaLog {
       // an add whose partitionValues OMITS a declared partition column
       // is malformed (unknown mapping, broken writers): treating absent
       // as null would surface wrong rows — fail loudly instead
-      val byPartition = files
-        .groupBy(f => st.partitionColumns.map { c =>
+      def recordedPv(f: (String, Map[String, String])): Seq[Option[String]] =
+        st.partitionColumns.map { c =>
           val key = pvKeyOf(st, schema, c, f._2).getOrElse(
             throw new IllegalArgumentException(
               s"DeltaLog: add ${f._1} lacks partitionValues for declared " +
                 s"partition column $c"))
           Option(f._2(key))
-        })
-      val parts = byPartition.toSeq.sortBy(_._1.mkString(" "))
-        .map { case (pvals, group) =>
-          val pvByCol = st.partitionColumns.zip(pvals).toMap
-          val withPv = readDataFiles(spark, st, dataSchema,
-            group.map(f => resolvePath(root, f._1).toString))
-          schema.fields.foldLeft(withPv) { (df, f) =>
-            if (!pcSet(f.name)) df
-            else df.withColumn(f.name,
-              pvByCol(f.name) match {
-                case Some(s) => lit(s).cast(f.dataType)
-                case None => lit(null).cast(f.dataType)
-              })
-          }.select(schema.fieldNames.map(col).toSeq: _*)
         }
-      parts.reduce(_ unionByName _)
+      val physMap = physicalWriteMap(st, schema)
+      val physPcs = st.partitionColumns.map(c => physMap.getOrElse(c, c))
+      // FAST PATH — hive-consistent layout (every rel sits under
+      // root-relative `pc=value/...` dirs whose parsed values EQUAL the
+      // recorded partitionValues, the shape this writer and Spark
+      // produce): ONE basePath-discovery relation attaches partition
+      // columns natively. The per-partition plan union below is kept
+      // only for external adds whose paths don't encode their values —
+      // at 10 k partitions a 10 k-branch union is itself a driver
+      // scale problem.
+      val hiveConsistent = files.forall { f =>
+        !f._1.startsWith("/") &&
+          (try {
+            partitionValuesOf(f._1, physPcs).toSeq.sortBy(_._1) ==
+              physPcs.zip(recordedPv(f)).map { case (c, v) =>
+                c -> v.orNull }.sortBy(_._1)
+          } catch { case _: IllegalArgumentException => false })
+      }
+      if (hiveConsistent) {
+        val (dataScan, dataPhysMap) = readSchemaFor(st, dataSchema)
+        val physFull = StructType(dataScan.fields ++
+          schema.fields.filter(f => pcSet(f.name)).map(f =>
+            f.copy(name = physMap.getOrElse(f.name, f.name))))
+        spark.read.option("basePath", root).schema(physFull)
+          .parquet(files.map(f => resolvePath(root, f._1).toString): _*)
+          .select(schema.fields.map { f =>
+            if (pcSet(f.name))
+              col(physMap.getOrElse(f.name, f.name)).as(f.name)
+            else toLogicalField(f, dataPhysMap.getOrElse(f.name, f.name))
+          }.toIndexedSeq: _*)
+      } else {
+        val byPartition = files.groupBy(recordedPv)
+        val parts = byPartition.toSeq.sortBy(_._1.mkString(" "))
+          .map { case (pvals, group) =>
+            val pvByCol = st.partitionColumns.zip(pvals).toMap
+            val withPv = readDataFiles(spark, st, dataSchema,
+              group.map(f => resolvePath(root, f._1).toString))
+            schema.fields.foldLeft(withPv) { (df, f) =>
+              if (!pcSet(f.name)) df
+              else df.withColumn(f.name,
+                pvByCol(f.name) match {
+                  case Some(s) => lit(s).cast(f.dataType)
+                  case None => lit(null).cast(f.dataType)
+                })
+            }.select(schema.fieldNames.map(col).toSeq: _*)
+          }
+        parts.reduce(_ unionByName _)
+      }
     }
   }
 

@@ -109,6 +109,19 @@ class DeltaLogSpec extends SparkSpec {
     Files.move(part, Paths.get(root, name), StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Files actually SCANNED by the executed plan (sum of file-scan
+    * numFiles metrics) — the partitioned read is ONE basePath-discovery
+    * relation whose partition pruning happens at planning, invisible to
+    * `DataFrame.inputFiles`.
+    */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics.get("numFiles").map(_.value).getOrElse(0L)
+    }.sum
+  }
+
   private def writeCommit(root: String, v: Long, lines: Seq[String]): Unit = {
     Files.createDirectories(Paths.get(root, "_delta_log"))
     Files.write(Paths.get(root, "_delta_log", f"$v%020d.json"),
@@ -1231,7 +1244,7 @@ class DeltaLogSpec extends SparkSpec {
     // partition pruning works from the adopted log
     val pruned = DeltaLog.read(spark, part).filter(col("pt") === "y")
     assert(pruned.count() == 1L)
-    assert(pruned.inputFiles.length == 1, pruned.inputFiles.toSeq)
+    assert(scannedFiles(pruned) == 1L)
   }
 
   test("versionAsOf honors commitInfo.inCommitTimestamp over file mtime") {
@@ -1781,11 +1794,9 @@ class DeltaLogSpec extends SparkSpec {
       Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
         .toDF("k", "v", "p"), Seq("p"))
     val pruned = DeltaLog.read(spark, root).filter(col("p") === "y")
-    // The non-matching partitions' literal p constant-folds the filter
-    // to false and the optimizer drops those scans entirely.
-    val files = pruned.inputFiles
-    assert(files.nonEmpty && files.forall(_.contains("p=y")),
-      files.mkString("|"))
+    // ONE basePath-discovery relation: the partition filter prunes at
+    // planning — the executed scan opens only the matching partition
+    assert(scannedFiles(pruned) == 1L)
     assert(partRows(pruned) == Set((2L, "b", "y")))
   }
 
@@ -1860,9 +1871,9 @@ class DeltaLogSpec extends SparkSpec {
     assert(partRows(DeltaLog.read(spark, root)) == full,
       "partitioned replay from checkpoint diverged")
     val pruned = DeltaLog.read(spark, root).filter(col("p") === "x")
-    assert(pruned.inputFiles.nonEmpty &&
-      pruned.inputFiles.forall(_.contains("p=x")),
-      pruned.inputFiles.mkString("|"))
+    assert(scannedFiles(pruned) == 3L,
+      "post-checkpoint partitioned read must still prune to p=x's files")
+    assert(partRows(pruned) == full.filter(_._3 == "x"))
   }
 
   test("adds carry footer stats; statsCount answers from the log alone; " +
