@@ -2530,6 +2530,25 @@ object SparkEntry {
         .select(col("order_id"), col("item.product_id").as("product_id"),
           col("item.qty").as("qty"))
     }),
+    // STRING-RANGE data-skipping read: zero-padded order keys in four
+    // SORTED slices (disjoint lexicographic ranges per file — the
+    // recorded string min/max prune the range read; spec pins the
+    // file count), then the inclusive range through readWhereString.
+    "q294_delta_string_range" -> ((s, d) => {
+      val base = Tables.orders(s, d).filter(col("o_orderkey").isNotNull)
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select(concat(lit("ord-"),
+          lpad(col("o_orderkey").cast("string"), 8, "0")).as("okey"),
+          col("o_custkey"), col("o_totalprice"))
+      val root = freshScratch("q294")
+      val cuts = Seq(0L, 4000L, 8000L, 12000L, Long.MaxValue)
+      (0 until 4).foreach(i =>
+        graft.lake.DeltaLog.commitFlat(s, root,
+          shaped(base.filter(col("o_orderkey") >= cuts(i) &&
+            col("o_orderkey") < cuts(i + 1)))))
+      graft.lake.DeltaLog.readWhereString(s, root, "okey",
+        "ord-00000100", "ord-00000200")
+    }),
     // PARTITIONED MERGE × CDF: the reference's README recommends
     // event_date-partitioned silver — merge into a bucket-partitioned
     // CDF table where every matched row also MOVES partition (bucket
@@ -4655,6 +4674,11 @@ object SparkEntry {
            UNION ALL
            SELECT o_orderkey, ck + 7, CAST(9 AS BIGINT)
            FROM b WHERE m = 1) t""",
+    // q294: zero-padded lexicographic range == the numeric range.
+    "q294_delta_string_range" ->
+      """SELECT 'ord-' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0')
+           AS okey, o_custkey, o_totalprice
+         FROM orders WHERE o_orderkey BETWEEN 100 AND 200""",
     // q288: the merged table (prices doubled in 100..200) plus the
     // point-lookup row again; *2 is an exact double scaling.
     "q288_delta_bloom_string" ->

@@ -2648,6 +2648,25 @@ object DeltaLog {
     assembleFiles(spark, root, st, kept).filter(col(column) === value)
   }
 
+  /** STRING-range data-skipping read — [[readWhereLong]]'s sibling for
+    * lexicographic key ranges (order-id prefixes, ULID/KSUID time
+    * windows): files whose recorded string min/max cannot intersect
+    * [lo, hi] are pruned before any IO. Truncated external stats stay
+    * enclosing ([[statsOverlapStr]]); a non-ASCII bound on either side
+    * keeps the file (pruning is best-effort, the residual filter is
+    * exact).
+    */
+  def readWhereString(spark: SparkSession, root: String, column: String,
+                      lo: String, hi: String): DataFrame = {
+    require(lo <= hi, s"DeltaLog.readWhereString: empty range [$lo, $hi]")
+    val st = replay(spark, root, currentVersion(root))
+    val ascii = (lo + hi).forall(_ < 0x80)
+    val kept = st.files.filter { case (p, _) =>
+      !ascii || statsOverlapStr(st, p, column, lo, hi) }
+    assembleFiles(spark, root, st, kept)
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
   /** [[readWhereLongPoint]]'s STRING sibling — the reference's
     * production point-lookup shape (string `order_id`): truncated-stats
     * range check (truncation keeps bounds enclosing, see
@@ -4573,6 +4592,11 @@ object DeltaLog {
     * ceil(bytes/target) files instead.
     * (Unpartitioned [[Snapshots]] tables compact through their own
     * OPTIMIZE; this is the partitioned-layout sibling.)
+    *
+    * `targetRowsPerFile` bins each partition's output at the target
+    * inside the same job (a 100 TB partition must not serialize into
+    * one file); binned runs are maintenance passes, not no-op
+    * idempotent like the default one-file shape.
     */
   /** `OPTIMIZE … ZORDER BY (x, y)` through the Delta log: the current
     * active set rewrites Z-clustered ([[Layout.zorderWrite]] —
@@ -4691,7 +4715,8 @@ object DeltaLog {
     v + 1
   }
 
-  def compactPartitioned(spark: SparkSession, root: String): Long = {
+  def compactPartitioned(spark: SparkSession, root: String,
+                         targetRowsPerFile: Option[Long] = None): Long = {
     val v = currentVersion(root)
     val st = replay(spark, root, v)
     requireWritableMapping(st, "compactPartitioned")
@@ -4723,9 +4748,17 @@ object DeltaLog {
     val physPcs = pcs.map(c => physMap.getOrElse(c, c))
     val staging = Files.createTempDirectory(stagingBase(root),
       "graft-delta-compact")
+    // bin-to-target-size: a 100 TB-scale partition must not serialize
+    // into one giant file — maxRecordsPerFile splits each partition's
+    // output at the target inside the same single job (None keeps the
+    // one-file-per-partition local-scale shape)
+    val binned = targetRowsPerFile.map { n =>
+      require(n >= 1, s"compactPartitioned: targetRowsPerFile >= 1, got $n")
+      Map("maxRecordsPerFile" -> n.toString)
+    }.getOrElse(Map.empty[String, String])
     toPhysicalDf(st, schema, assembleFiles(spark, root, st, fatFiles))
       .repartition(fat.size, physPcs.map(col): _*)
-      .write.mode("overwrite").partitionBy(physPcs: _*)
+      .write.options(binned).mode("overwrite").partitionBy(physPcs: _*)
       .parquet(staging.toString)
     val walk = Files.walk(staging)
     val parts =

@@ -118,6 +118,13 @@ class DeltaDmlScaleSpec extends SparkSpec {
     assert(candSorted.size == 1,
       s"sorted string layout must stats-prune to 1 file, got " +
         s"${candSorted.size}")
+    // the public string-RANGE read prunes on the same stats
+    val ranged = DeltaLog.readWhereString(spark, sortedRoot, "k",
+      "id-07-000", "id-07-999")
+    assert(ranged.inputFiles.length == 1,
+      s"string range read must open 1 of 16 files, got " +
+        s"${ranged.inputFiles.length}")
+    assert(ranged.count() == 100L)
     // layout B: keys HASH-spread across 16 files so every stats range
     // spans the whole key space — the per-file BLOOM is what prunes
     val hashedRoot = freshRoot() + "-hashed"
@@ -228,6 +235,22 @@ class DeltaDmlScaleSpec extends SparkSpec {
     val got = DeltaLog.read(spark, root).select("k").as[Long].collect()
     assert(got.length == 4 * (160 - 11))
     assert(!got.exists(k => k >= 10L && k <= 20L))
+    // bin-to-target-size: a big partition splits at the row target
+    // inside the same one-job pass, rows intact
+    val binRoot = freshRoot() + "-bin"
+    (0 until 2).foreach { _ =>
+      DeltaLog.commitPartitioned(spark, binRoot,
+        (0L until 1000L).map(k => (k, (k % 2).toString))
+          .toDF("k", "p").repartition(1), Seq("p"))
+    }
+    DeltaLog.compactPartitioned(spark, binRoot,
+      targetRowsPerFile = Some(300L))
+    val binned = DeltaLog.filesAt(spark, binRoot,
+      DeltaLog.currentVersion(binRoot))
+    assert(binned.size == 8,
+      s"1000 rows/partition at 300/file must bin to 4 files each: $binned")
+    assert(DeltaLog.read(spark, binRoot).count() == 2000L)
+
     // clone: absolute references materialize under the CLONE's root
     val clone = freshRoot() + "-clone"
     DeltaLog.shallowClone(spark, root, clone)
