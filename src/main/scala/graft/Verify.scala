@@ -32,6 +32,32 @@ object Verify {
     if (unmatched.nonEmpty)
       System.err.println(
         s"[verify] WARNING: selectors match no query: ${unmatched.mkString(",")}")
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // oracle_sql.json and the manifest are written UP FRONT, before the
+    // long query loop: a run killed mid-way (driver timeout, OOM) then
+    // still leaves the full oracle SQL plus the attempted-query manifest
+    // on disk, so the correctness gate reports loud per-query ERRORs for
+    // the missing dirs instead of silently producing an empty artifact
+    // (the round-18 `{}` failure mode).
+    locally {
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+      val ran = SparkEntry.queries.keys.filter(selected).toSeq.sorted
+      Files.writeString(Paths.get(s"$outDir/verify_manifest.json"),
+        ran.map(q).mkString("[", ",", "]"))
+    }
     SparkEntry.queries
       .filter { case (name, _) => selected(name) }
       .foreach { case (name, fn) =>
@@ -53,26 +79,6 @@ object Verify {
       // otherwise holds every operator's cached plan for the whole run.
       spark.catalog.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Manifest of the queries THIS run attempted — lets oracle_check skip
-    // stale sibling dirs from earlier selective runs automatically.
-    val ran = SparkEntry.queries.keys.filter(selected).toSeq.sorted
-    Files.writeString(Paths.get(s"$outDir/verify_manifest.json"),
-      ran.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -1527,15 +1527,21 @@ object DeltaLog {
       byAbs.getOrElse(abs, throw new IllegalStateException(
         s"DeltaLog: file_path rendering $s matches no candidate file")) -> s
     }.toMap
-    require(relToRendered.size == rels.distinct.size,
-      s"DeltaLog: metadata probe rendered ${relToRendered.size} paths " +
-        s"for ${rels.distinct.size} candidate files")
+    // a ZERO-ROW parquet file yields no probe row: no scanned row will
+    // ever carry its tag (it holds no matching rows by construction), so
+    // any deterministic rendering works — use the same Hadoop Path class
+    // the probe renders through, instead of aborting the whole DML
+    val full: Map[String, String] = rels.distinct.map { r =>
+      r -> relToRendered.getOrElse(r,
+        new org.apache.hadoop.fs.Path(
+          resolvePath(root, r).toString).toString)
+    }.toMap
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString
     FileTagging(md5(col("_metadata.file_path")),
-      rel => md5hex(relToRendered(rel)))
+      rel => md5hex(full(rel)))
   }
 
   private def chooseTagging(root: String,
@@ -4700,6 +4706,11 @@ object DeltaLog {
         finally walk.close()
       require(parts.nonEmpty,
         s"DeltaLog.optimizeZOrder: rewrite produced no parquet files")
+      // prefer the RECORDED pv rendering over the re-parsed directory
+      // string (same rationale as compactPartitioned)
+      val pcTypes = pcs.map(c =>
+        physMap.getOrElse(c, c) -> schema(c).dataType).toMap
+      val recordedPvs = st.files.map(_._2).distinct
       parts.foreach { p =>
         val rel = staging.relativize(p).toString
           .replace(java.io.File.separatorChar, '/')
@@ -4707,7 +4718,9 @@ object DeltaLog {
         Files.createDirectories(target.getParent)
         Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
         actions += addActionNode(root, rel,
-          partitionValuesOf(rel, physPcs), dataChange = false, conf)
+          preferRecordedPv(partitionValuesOf(rel, physPcs), recordedPvs,
+            physPcs, pcTypes),
+          dataChange = false, conf)
       }
     }
     deleteRecursively(staging)
@@ -4769,14 +4782,23 @@ object DeltaLog {
       finally walk.close()
     fatFiles.foreach { case (rel, _) =>
       actions += removeActionNode(rel, dataChange = false) }
+    // re-emit the RECORDED pv strings where they denote the same typed
+    // partition — the dynamic write's directory rendering can normalize
+    // them (int '01' → '1'), and pv-string drift splits the partition
+    // for string-grouping log consumers
+    val pcTypes = pcs.map(c =>
+      physMap.getOrElse(c, c) -> schema(c).dataType).toMap
     parts.foreach { p =>
       val rel = staging.relativize(p).toString
         .replace(java.io.File.separatorChar, '/')
       val target = Paths.get(root, rel)
       Files.createDirectories(target.getParent)
       Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-      actions += addActionNode(root, rel,
-        partitionValuesOf(rel, physPcs), dataChange = false, conf)
+      actions += addActionNode(root,
+        rel,
+        preferRecordedPv(partitionValuesOf(rel, physPcs), fat.keys,
+          physPcs, pcTypes),
+        dataChange = false, conf)
     }
     deleteRecursively(staging)
     writeCommitFile(root, v + 1, actions.result(), operation = "OPTIMIZE")
@@ -4862,6 +4884,42 @@ object DeltaLog {
         ci.map(_.path("timestamp")).filter(_.isNumber).map(_.asLong())
           .getOrElse(commitTimestamp(root, v)))
     }.toDF("version", "operation", "timestamp")
+  }
+
+  /** Prefer a RECORDED partitionValues map over the `parsed` rendering
+    * of a dynamically-written directory when exactly one recorded map
+    * denotes the same TYPED partition: the cast-and-render round trip
+    * normalizes value strings (an int partition recorded '01' re-parses
+    * as '1'), and re-emitting the drifted rendering makes
+    * string-grouping consumers treat one partition as two until the
+    * next full compaction. String compare first (the common, exact
+    * case); numeric columns fall back to a BigDecimal compare.
+    * Ambiguity or no match keeps `parsed` — correctness never depends
+    * on this, it is a log-stability nicety.
+    */
+  private def preferRecordedPv(parsed: Map[String, String],
+      recorded: Iterable[Map[String, String]],
+      physPcs: Seq[String],
+      pcTypes: Map[String, DataType]): Map[String, String] = {
+    def sameTyped(a: String, b: String, dt: DataType): Boolean =
+      (a == null && b == null) || (a != null && b != null && (a == b || {
+        dt match {
+          case LongType | IntegerType | ShortType | ByteType | DoubleType |
+               FloatType | _: DecimalType =>
+            try new java.math.BigDecimal(a)
+              .compareTo(new java.math.BigDecimal(b)) == 0
+            catch { case _: NumberFormatException => false }
+          case _ => false
+        }
+      }))
+    val matches = recorded.filter(r =>
+      physPcs.forall(c => r.contains(c) &&
+        sameTyped(r(c), parsed.getOrElse(c, null),
+          pcTypes.getOrElse(c, StringType)))).toSeq.distinct
+    matches match {
+      case Seq(one) => one
+      case _ => parsed
+    }
   }
 
   /** Parse `col=value` segments of a hive-laid-out relative path into

@@ -680,9 +680,14 @@ private[streaming] class GroupParquetWriter(
             parquetTypeOf("element", et)))
           .named(name)
       case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+        // the format spec REQUIRES the map key field's repetition to be
+        // `required` (Spark map keys are non-null and [[appendField]]
+        // always writes them); an optional key reads fine here and in
+        // Spark, but strict external readers may reject the file
         Types.optionalGroup().as(LogicalTypeAnnotation.mapType())
           .addField(new GroupType(Type.Repetition.REPEATED, "key_value",
-            parquetTypeOf("key", kt), parquetTypeOf("value", vt)))
+            requiredCopy(parquetTypeOf("key", kt)),
+            parquetTypeOf("value", vt)))
           .named(name)
       case LongType => prim(INT64)
       case TimestampType => prim(INT64,
@@ -698,6 +703,27 @@ private[streaming] class GroupParquetWriter(
       case other => throw new IllegalArgumentException(
         s"GroupParquetWriter: unsupported type $other (vetted at " +
           "write build — unreachable)")
+    }
+  }
+
+  /** Same type with `required` repetition (map keys). */
+  private def requiredCopy(
+      t: org.apache.parquet.schema.Type): org.apache.parquet.schema.Type = {
+    import org.apache.parquet.schema.Type
+    if (t.isPrimitive) {
+      val p = t.asPrimitiveType()
+      var b = Types.primitive(p.getPrimitiveTypeName,
+        Type.Repetition.REQUIRED)
+      if (p.getLogicalTypeAnnotation != null)
+        b = b.as(p.getLogicalTypeAnnotation)
+      b.named(t.getName)
+    } else {
+      val g = t.asGroupType()
+      var b = Types.buildGroup(Type.Repetition.REQUIRED)
+      if (g.getLogicalTypeAnnotation != null)
+        b = b.as(g.getLogicalTypeAnnotation)
+      g.getFields.forEach(f => b.addField(f))
+      b.named(g.getName)
     }
   }
 
