@@ -2492,6 +2492,26 @@ object SparkEntry {
         graft.lake.DeltaLog.readWhereStringPoint(s, root, "okey",
           "ord-150"))
     }),
+    // INT-key MERGE + point read: the reference's dimension surrogate
+    // keys are ints (services/catalog/app/api/products.py id lookups) —
+    // the same two skipping layers as q288 (numeric stats range +
+    // footer bloom, hashed by the file's INT32 physical form) prune an
+    // int-key upsert; DeltaDmlScaleSpec pins candidates O(matching).
+    "q295_delta_merge_int" -> ((s, d) => {
+      val base = Tables.orders(s, d).filter(col("o_orderkey").isNotNull)
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("o_orderkey").cast("int").as("okey"),
+          col("o_custkey"), col("o_totalprice"))
+      val root = freshScratch("q295")
+      (0 until 4).foreach(i => graft.lake.DeltaLog.commitFlat(s, root,
+        shaped(base.filter(pmod(col("o_orderkey"), lit(4)) === i)),
+        writeOptions = graft.lake.DeltaLog.bloomOptions(Seq("okey"))))
+      graft.lake.DeltaLog.mergeKey(s, root, "okey",
+        shaped(base.filter(col("o_orderkey").between(100L, 200L))
+          .withColumn("o_totalprice", col("o_totalprice") * 2)))
+      graft.lake.DeltaLog.read(s, root).unionByName(
+        graft.lake.DeltaLog.readWhereLongPoint(s, root, "okey", 150L))
+    }),
     // NESTED STREAMING delta-to-delta: the silver items shape streams
     // through the DSv2 source (recursive Group-walk array<struct>
     // conversion) INTO a second Delta table (the sink stages the same
@@ -4692,6 +4712,19 @@ object SparkEntry {
          SELECT * FROM t
          UNION ALL
          SELECT * FROM t WHERE okey = 'ord-150'""",
+    // q295: q288's merged-table shape with an INT key; CAST matches
+    // the Spark side's int column exactly.
+    "q295_delta_merge_int" ->
+      """WITH t AS (
+           SELECT CAST(o_orderkey AS INTEGER) AS okey,
+             o_custkey,
+             CASE WHEN o_orderkey BETWEEN 100 AND 200
+                  THEN o_totalprice * 2 ELSE o_totalprice END
+               AS o_totalprice
+           FROM orders WHERE o_orderkey IS NOT NULL)
+         SELECT * FROM t
+         UNION ALL
+         SELECT * FROM t WHERE okey = 150""",
     // q278: the point lookup is a plain equality filter.
     "q278_delta_bloom_lookup" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -2216,6 +2216,47 @@ object DeltaLog {
           (mn.asText() <= hi && mx.asText() >= lo)
     }
 
+  /** DECIMAL-range file skipping: Delta stats render decimal bounds as
+    * JSON numbers — compare them exactly as BigDecimal (no double
+    * round-trip: a 38-digit decimal loses precision through asDouble).
+    * Non-numeric or absent bounds keep the file.
+    */
+  private def statsOverlapDec(st: LogState, path: String, column: String,
+                              lo: java.math.BigDecimal,
+                              hi: java.math.BigDecimal): Boolean =
+    st.fileStats.get(path) match {
+      case None => true
+      case Some(s) =>
+        val key = statsKeyOf(st, column)
+        val n = mapper.readTree(s)
+        val mn = n.path("minValues").path(key)
+        val mx = n.path("maxValues").path(key)
+        !(mn.isNumber && mx.isNumber) ||
+          (mn.decimalValue().compareTo(hi) <= 0 &&
+            mx.decimalValue().compareTo(lo) >= 0)
+    }
+
+  /** DATE-range file skipping: Delta stats render dates as ISO
+    * `YYYY-MM-DD` strings, whose lexicographic order equals date order
+    * for four-digit years — bounds not matching that shape keep the
+    * file (a five-digit or negative year would break the equivalence).
+    */
+  private val IsoDateRe = """\d{4}-\d{2}-\d{2}""".r
+  private def statsOverlapDate(st: LogState, path: String, column: String,
+                               lo: String, hi: String): Boolean =
+    st.fileStats.get(path) match {
+      case None => true
+      case Some(s) =>
+        val key = statsKeyOf(st, column)
+        val n = mapper.readTree(s)
+        val mn = n.path("minValues").path(key)
+        val mx = n.path("maxValues").path(key)
+        def iso(x: JsonNode) =
+          x.isTextual && IsoDateRe.matches(x.asText())
+        !(iso(mn) && iso(mx)) ||
+          (mn.asText() <= hi && mx.asText() >= lo)
+    }
+
   /** Inverse of [[decodePath]]: percent-encode a table-relative path the
     * way the protocol expects (spaces, '%', … escaped; '/', '=' kept).
     */
@@ -2724,11 +2765,29 @@ object DeltaLog {
           case Some(cm) =>
             val bf = r.getBloomFilterDataReader(block).readBloomFilter(cm)
             if (bf == null) true
-            else keys.exists {
-              case l: java.lang.Long => bf.findHash(bf.hash(l.longValue()))
-              case s: String => bf.findHash(bf.hash(
-                org.apache.parquet.io.api.Binary.fromString(s)))
-              case _ => true // unprobeable key type: keep the file
+            else {
+              // hash by the FILE's physical form: an int32 column's
+              // bloom hashed 4-byte ints at write time — probing it
+              // with hash(long) would answer garbage (silently keeping
+              // OR dropping the wrong files); a long key that cannot
+              // narrow to the stored int32 cannot be in the file
+              import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+              val ptn = cm.getPrimitiveType.getPrimitiveTypeName
+              keys.exists {
+                case l: java.lang.Long => ptn match {
+                  case PrimitiveTypeName.INT64 =>
+                    bf.findHash(bf.hash(l.longValue()))
+                  case PrimitiveTypeName.INT32 =>
+                    val v = l.longValue()
+                    v >= Int.MinValue && v <= Int.MaxValue &&
+                      bf.findHash(bf.hash(v.toInt))
+                  case _ => true // unexpected physical form: keep
+                }
+                case s: String if ptn == PrimitiveTypeName.BINARY =>
+                  bf.findHash(bf.hash(
+                    org.apache.parquet.io.api.Binary.fromString(s)))
+                case _ => true // unprobeable key/physical pair: keep
+              }
             }
         }
       }
@@ -3136,12 +3195,13 @@ object DeltaLog {
     * leaves its file, the new row lands where its own partition values
     * say), and untouched files are never rewritten.
     *
-    * File-skipping BEFORE the exact one-job semi-join probe: a LONG
-    * key prunes candidates by footer-stats range (a point-key merge
-    * into a sorted 100 TB table touches one file); other key types
-    * degrade gracefully to probing every active file — the probe scan
-    * reads the key column only and still narrows the rewrite to the
-    * exactly-touched set.
+    * File-skipping BEFORE the exact one-job semi-join probe: integral,
+    * date, decimal and string keys all prune candidates by footer-stats
+    * range (a point-key merge into a sorted 100 TB table touches one
+    * file), integral/date/string additionally by footer blooms; other
+    * key types degrade gracefully to probing every active file — the
+    * probe scan reads the key column only and still narrows the rewrite
+    * to the exactly-touched set.
     *
     * Contracts, all loud: source must cover the full table schema
     * including partition columns (extra columns refused — silent drops
@@ -3162,17 +3222,23 @@ object DeltaLog {
   /** Candidate file set of a [[mergeKey]] probe — stacked METADATA-ONLY
     * pruning so a point upsert into a 100 TB table opens only files
     * that can hold a matching key:
-    * (1) footer-stats RANGE prune: numeric min/max for LONG keys;
-    *     lexicographic min/max for STRING keys (external writers
-    *     truncate string stats, but truncated bounds stay ENCLOSING —
-    *     [[statsOverlapStr]] — so pruning is exact; guarded to ASCII
-    *     bounds where every ordering in play agrees);
+    * (1) footer-stats RANGE prune: numeric min/max for INTEGRAL keys
+    *     (long/int/short/byte — int stats are JSON numbers like long
+    *     stats), ISO-string min/max for DATE keys
+    *     ([[statsOverlapDate]]), exact BigDecimal min/max for DECIMAL
+    *     keys ([[statsOverlapDec]]), lexicographic min/max for STRING
+    *     keys (external writers truncate string stats, but truncated
+    *     bounds stay ENCLOSING — [[statsOverlapStr]] — so pruning is
+    *     exact; guarded to ASCII bounds where every ordering in play
+    *     agrees);
     * (2) footer BLOOM exact-negative point prune when the source key
-    *     set is enumerable ([[mergeBloomMaxKeys]]): on an UNSORTED key
-    *     stats prune nothing — the bloom is what keeps a point merge
-    *     from scanning the whole table. Files [[mergeKey]] itself
-    *     wrote carry a key bloom by construction; files without one
-    *     are conservatively kept.
+    *     set is enumerable ([[mergeBloomMaxKeys]]) and the key type is
+    *     [[bloomProbeable]] (integral/date keys hash by the file's OWN
+    *     physical INT32/INT64 form, strings as UTF-8 binary): on an
+    *     UNSORTED key stats prune nothing — the bloom is what keeps a
+    *     point merge from scanning the whole table. Files [[mergeKey]]
+    *     itself wrote carry a key bloom by construction; files without
+    *     one are conservatively kept.
     * Other key types skip both layers (the exact semi-join probe then
     * reads the key column of every active file). IO here is footer
     * bytes ∝ candidate count, never data pages.
@@ -3184,11 +3250,32 @@ object DeltaLog {
     val conf = spark.sparkContext.hadoopConfiguration
     val keyType = st.schema.map(_.apply(key).dataType).getOrElse(NullType)
     val ranged: Seq[(String, Map[String, String])] = keyType match {
-      case LongType =>
-        val kr = srcKeys.agg(fmin(col(key)), fmax(col(key))).head()
+      case LongType | IntegerType | ShortType | ByteType =>
+        // ALL integral keys prune through the numeric stats range —
+        // int/short/byte stats are JSON numbers like long stats, and
+        // the reference's own dimension keys are ints (an int surrogate
+        // key must not degrade to a full-table probe)
+        val kr = srcKeys
+          .agg(fmin(col(key).cast(LongType)), fmax(col(key).cast(LongType)))
+          .head()
         if (kr.isNullAt(0)) Nil // all-NULL keys: pure insert
         else st.files.filter { case (rel, _) =>
           statsOverlap(st, rel, key, kr.getLong(0), kr.getLong(1)) }
+      case DateType =>
+        // date stats render as ISO strings in Delta stats JSON;
+        // ISO order == date order (see [[statsOverlapDate]])
+        val kr = srcKeys.agg(fmin(col(key)), fmax(col(key))).head()
+        if (kr.isNullAt(0)) Nil
+        else st.files.filter { case (rel, _) =>
+          statsOverlapDate(st, rel, key,
+            kr.getDate(0).toLocalDate.toString,
+            kr.getDate(1).toLocalDate.toString) }
+      case _: DecimalType =>
+        // decimal stats are JSON numbers — exact BigDecimal compare
+        val kr = srcKeys.agg(fmin(col(key)), fmax(col(key))).head()
+        if (kr.isNullAt(0)) Nil
+        else st.files.filter { case (rel, _) =>
+          statsOverlapDec(st, rel, key, kr.getDecimal(0), kr.getDecimal(1)) }
       case StringType =>
         val kr = srcKeys.agg(fmin(col(key)), fmax(col(key))).head()
         if (kr.isNullAt(0)) Nil
@@ -3203,17 +3290,44 @@ object DeltaLog {
         }
       case _ => if (srcKeys.isEmpty) Nil else st.files
     }
-    val pointable = keyType == LongType || keyType == StringType
-    if (!pointable || ranged.isEmpty || srcRows > mergeBloomMaxKeys) ranged
+    if (!bloomProbeable(keyType) || ranged.isEmpty ||
+        srcRows > mergeBloomMaxKeys) ranged
     else {
       // srcRows bounds the key count, so this collect is point/batch
       // sized by the gate above — never a bulk upsert's key set
-      val keys = srcKeys.collect().map(_.get(0)).toSeq
+      val keys = srcKeys.collect().map(r => normalizeBloomKey(r.get(0)))
       val physKey = statsKeyOf(st, key)
       val fid = fieldIdOf(st, key)
       ranged.filter { case (rel, _) =>
         bloomKeepsFile(resolvePath(root, rel), physKey, fid, keys, conf) }
     }
+  }
+
+  /** Key types the footer-bloom point layer can probe (and the
+    * merge-written key bloom is worth recording for): integral and
+    * date keys hash through the file's own INT32/INT64 physical form,
+    * strings as UTF-8 binary. Decimals are excluded — their physical
+    * encoding varies by precision (INT32/INT64/FIXED_LEN_BYTE_ARRAY)
+    * across writers, so a probe hash is not reliably comparable.
+    */
+  private def bloomProbeable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DateType |
+         StringType => true
+    case _ => false
+  }
+
+  /** Collected driver value of a probeable key → the [[bloomKeepsFile]]
+    * probe form: every integral (and date, as epoch days — parquet's
+    * own DATE representation) normalizes to java.lang.Long; the probe
+    * re-narrows by the FILE's physical type.
+    */
+  private def normalizeBloomKey(v: Any): Any = v match {
+    case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
+    case s: java.lang.Short => java.lang.Long.valueOf(s.longValue())
+    case b: java.lang.Byte => java.lang.Long.valueOf(b.longValue())
+    case d: java.sql.Date => java.lang.Long.valueOf(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => java.lang.Long.valueOf(d.toEpochDay)
+    case other => other
   }
 
   /** Test seam: the pruned candidate rel set a [[mergeKey]] of `source`
@@ -3278,8 +3392,7 @@ object DeltaLog {
       // local fixed cost per merge, bought back at the first point
       // upsert into the written files).
       val keyBloomOpts =
-        if (fullSchema(key).dataType == LongType ||
-            fullSchema(key).dataType == StringType)
+        if (bloomProbeable(fullSchema(key).dataType))
           bloomOptions(Seq(physMap.getOrElse(key, key))) +
             ("parquet.bloom.filter.adaptive.enabled" -> "true")
         else Map.empty[String, String]
@@ -4130,21 +4243,39 @@ object DeltaLog {
       })
       // Emit min/max ONLY for values whose JSON rendering preserves the
       // comparator's ordering: plain numerics/booleans, int-annotated
-      // ints, and pure-ASCII utf8 strings (ASCII ⇒ unsigned-byte order
-      // == code-point order == JSON string order). Binary-backed types
-      // (DECIMAL), timestamps/dates (whose Delta stats rendering is not
-      // the raw integer), and non-ASCII strings are omitted — the way
-      // Delta itself truncates or skips what it cannot render faithfully.
+      // ints, DATE ints (rendered ISO, Delta's own form — lexicographic
+      // order == date order for 4-digit years), int-backed DECIMALs
+      // (rendered as scaled JSON numbers, Delta's own form), and
+      // pure-ASCII utf8 strings (ASCII ⇒ unsigned-byte order ==
+      // code-point order == JSON string order). FLBA-backed decimals,
+      // timestamps and non-ASCII strings are omitted — the way Delta
+      // itself truncates or skips what it cannot render faithfully.
       def renderable(pt: org.apache.parquet.schema.PrimitiveType,
                      v: AnyRef): Option[Any] = {
         import org.apache.parquet.schema.LogicalTypeAnnotation
         val ann = pt.getLogicalTypeAnnotation
         val plainOrInt = ann == null ||
           ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+        def dec(unscaled: Long): Option[Any] = {
+          val scale = ann
+            .asInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+            .getScale
+          Some(java.math.BigDecimal.valueOf(unscaled, scale))
+        }
         v match {
           case b: java.lang.Boolean => Some(b)
           case l: java.lang.Long if plainOrInt => Some(l)
           case i: java.lang.Integer if plainOrInt => Some(i)
+          case i: java.lang.Integer
+            if ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+            val d = java.time.LocalDate.ofEpochDay(i.longValue()).toString
+            if (IsoDateRe.matches(d)) Some(d) else None
+          case l: java.lang.Long
+            if ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+            dec(l.longValue())
+          case i: java.lang.Integer
+            if ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+            dec(i.longValue())
           case d: java.lang.Double if ann == null => Some(d)
           case f: java.lang.Float if ann == null => Some(f)
           case bin: org.apache.parquet.io.api.Binary
@@ -4166,6 +4297,7 @@ object DeltaLog {
         case d: java.lang.Double => o.put(k, d.doubleValue())
         case f: java.lang.Float => o.put(k, f.floatValue())
         case b: java.lang.Boolean => o.put(k, b.booleanValue())
+        case bd: java.math.BigDecimal => o.put(k, bd)
         case s: String => o.put(k, s)
         case other => o.put(k, other.toString)
       }

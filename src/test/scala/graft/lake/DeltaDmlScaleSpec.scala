@@ -172,6 +172,74 @@ class DeltaDmlScaleSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq == Seq(("ord-0042", -42L)))
   }
 
+  test("INT-key point merge prunes candidates to O(matching) files: " +
+    "numeric stats ranges on a sorted layout, footer blooms (hashed by " +
+    "the file's INT32 physical form) on an unsorted one") {
+    // layout A: disjoint sorted int ranges — stats alone prune to 1
+    val sortedRoot = freshRoot() + "-sorted"
+    (0 until 16).foreach { i =>
+      DeltaLog.commitFlat(spark, sortedRoot,
+        (0 until 100).map(j => (i * 100 + j, j.toLong))
+          .toDF("k", "x").coalesce(1))
+    }
+    assert(DeltaLog.filesAt(spark, sortedRoot, 15L).size == 16)
+    val candSorted = DeltaLog.mergeCandidateRels(spark, sortedRoot, "k",
+      Seq((750, -1L)).toDF("k", "x"))
+    assert(candSorted.size == 1,
+      s"sorted int layout must stats-prune to 1 file, got " +
+        s"${candSorted.size}")
+    // layout B: hash-spread keys, every stats range spans the space —
+    // the footer bloom prunes, probed through the INT32 hash form
+    val hashedRoot = freshRoot() + "-hashed"
+    DeltaLog.commitFlat(spark, hashedRoot,
+      (0 until 1600).map(j => (j, j.toLong)).toDF("k", "x")
+        .repartition(16), writeOptions = DeltaLog.bloomOptions(Seq("k")))
+    assert(DeltaLog.filesAt(spark, hashedRoot, 0L).size == 16)
+    val candHashed = DeltaLog.mergeCandidateRels(spark, hashedRoot, "k",
+      Seq((42, -1L)).toDF("k", "x"))
+    assert(candHashed.size <= 3,
+      s"int bloom point prune must keep O(matching) files of 16, got " +
+        s"${candHashed.size}")
+    // the merge is correct and its output re-prunes (bloom-on-write
+    // now covers int keys)
+    DeltaLog.mergeKey(spark, hashedRoot, "k",
+      Seq((42, -42L), (99999, 9L)).toDF("k", "x"))
+    val got = DeltaLog.read(spark, hashedRoot)
+      .as[(Int, Long)].collect().toMap
+    assert(got.size == 1601 && got(42) == -42L && got(99999) == 9L)
+    val cand2 = DeltaLog.mergeCandidateRels(spark, hashedRoot, "k",
+      Seq((42, 0L)).toDF("k", "x"))
+    assert(cand2.size <= 3,
+      s"merge-written int files must stay bloom-prunable, got ${cand2.size}")
+    // the long-point public read probes the INT32 bloom correctly
+    assert(DeltaLog.readWhereLongPoint(spark, hashedRoot, "k", 42L)
+      .as[(Int, Long)].collect().toSeq == Seq((42, -42L)))
+  }
+
+  test("DATE-key point merge prunes candidates through ISO-rendered " +
+    "date stats; merged values round-trip") {
+    val root = freshRoot()
+    // 16 files, each one month of 2021 onward — disjoint date ranges
+    (0 until 16).foreach { i =>
+      val base = java.time.LocalDate.of(2021, 1, 1).plusMonths(i.toLong)
+      DeltaLog.commitFlat(spark, root,
+        (0 until 25).map(j =>
+          (java.sql.Date.valueOf(base.plusDays(j.toLong)), j.toLong))
+          .toDF("d", "x").coalesce(1))
+    }
+    assert(DeltaLog.filesAt(spark, root, 15L).size == 16)
+    val cand = DeltaLog.mergeCandidateRels(spark, root, "d",
+      Seq((java.sql.Date.valueOf("2021-08-10"), -1L)).toDF("d", "x"))
+    assert(cand.size == 1,
+      s"sorted date layout must stats-prune to 1 file, got ${cand.size}")
+    DeltaLog.mergeKey(spark, root, "d",
+      Seq((java.sql.Date.valueOf("2021-08-10"), -10L)).toDF("d", "x"))
+    val got = DeltaLog.read(spark, root)
+      .filter(col("d") === java.sql.Date.valueOf("2021-08-10"))
+      .select("x").as[Long].collect().toSeq
+    assert(got == Seq(-10L))
+  }
+
   test("HOSTILE layout (duplicate basenames at MIXED depths, converted " +
     "table) stays on the batched one-job DML path via the synthesized " +
     "md5(file_path) tag") {
