@@ -2512,6 +2512,21 @@ object SparkEntry {
       graft.lake.DeltaLog.read(s, root).unionByName(
         graft.lake.DeltaLog.readWhereLongPoint(s, root, "okey", 150L))
     }),
+    // NESTED STREAMING into a NAME-MAPPED sink — the last cell of the
+    // nested × mapped × streaming matrix (q289 batch nested-mapped DML
+    // × q293 nested streaming): the silver items shape streams into a
+    // PRE-CREATED column-mapped table; the sink stages files under the
+    // declared physical names at every nesting level (col-oid /
+    // col-items<col-pid, col-qty>), and the gate reads the destination
+    // back LOGICALLY through the mapping.
+    "q296_delta_stream_nested_mapped" -> ((s, d) =>
+      streamNestedIntoMapped(s, d, "q296", "name")),
+    // The ID-MODE sibling: staged files additionally record parquet
+    // FIELD IDS at every nesting level — the table's readers resolve
+    // by id, names are not authoritative (DeltaStreamSpec pins the
+    // junk-named variant).
+    "q297_delta_stream_nested_mapped_id" -> ((s, d) =>
+      streamNestedIntoMapped(s, d, "q297", "id")),
     // NESTED STREAMING delta-to-delta: the silver items shape streams
     // through the DSv2 source (recursive Group-walk array<struct>
     // conversion) INTO a second Delta table (the sink stages the same
@@ -3671,6 +3686,57 @@ object SparkEntry {
         {"name":"qty","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":4,"delta.columnMapping.physicalName":"col-qty"}}]},"containsNull":true},"nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-items"}}]}"""
       .replaceAll("\n\\s*", "")
 
+  /** q296/q297 shared body: stream the silver `items array<struct>`
+    * shape from an unmapped source table into a PRE-CREATED
+    * column-mapped destination (`mode` = name | id; the q289/q290
+    * schemaString — physicalName + id metadata at every level), with a
+    * mid-stream second source commit arriving incrementally, then read
+    * the destination back logically and explode to scalar rows.
+    */
+  private def streamNestedIntoMapped(s: SparkSession, d: String,
+      tag: String, mode: String): DataFrame = {
+    val base = Tables.orders(s, d).filter(col("o_orderkey").isNotNull)
+      .select(col("o_orderkey"),
+        coalesce(col("o_custkey"), lit(0L)).as("ck"))
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      df.select(concat(lit("O-"), col("o_orderkey").cast("string"))
+        .as("order_id"),
+        array(
+          struct(col("ck").as("product_id"), lit(1L).as("qty")),
+          struct((col("ck") + 1000000L).as("product_id"),
+            lit(2L).as("qty"))).as("items"))
+    val bse = freshScratch(tag)
+    val (src, dst) = (s"$bse/src", s"$bse/dst")
+    graft.lake.DeltaLog.commitFlat(s, src,
+      shaped(base.filter(pmod(col("o_orderkey"), lit(2)) === 0)))
+    // pre-create the EMPTY mapped destination: protocol 2/5 + metaData
+    // only — the streaming epochs are its first data commits
+    val dstP = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.createDirectories(dstP.resolve("_delta_log"))
+    java.nio.file.Files.write(
+      dstP.resolve("_delta_log").resolve(f"${0L}%020d.json"),
+      (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"graft-$tag","format":{"provider":"parquet","options":{}},"schemaString":"${nestedMappedSchemaJson.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode","delta.columnMapping.maxColumnId":"4"}}}""")
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
+    val q = s.readStream.format("graft.streaming.DeltaStreamProvider")
+      .option("path", src).load()
+      .writeStream.format("graft.streaming.DeltaStreamProvider")
+      .option("path", dst)
+      .option("checkpointLocation", s"$bse/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      graft.lake.DeltaLog.commitFlat(s, src,
+        shaped(base.filter(pmod(col("o_orderkey"), lit(2)) === 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.lake.DeltaLog.read(s, dst)
+      .select(col("order_id"), explode(col("items")).as("item"))
+      .select(col("order_id"), col("item.product_id").as("product_id"),
+        col("item.qty").as("qty"))
+  }
+
   private def freshScratch(name: String): String = {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_scratch_$name")
@@ -4667,6 +4733,30 @@ object SparkEntry {
     // q293: the streamed nested table is the q289 unmerged item fold
     // over the WHOLE base.
     "q293_delta_stream_nested" ->
+      """WITH b AS (
+           SELECT o_orderkey, COALESCE(o_custkey, 0) AS ck
+           FROM orders WHERE o_orderkey IS NOT NULL)
+         SELECT 'O-' || CAST(o_orderkey AS VARCHAR) AS order_id,
+           product_id, qty
+         FROM (
+           SELECT o_orderkey, ck AS product_id,
+             CAST(1 AS BIGINT) AS qty FROM b
+           UNION ALL
+           SELECT o_orderkey, ck + 1000000, CAST(2 AS BIGINT) FROM b) t""",
+    // q296/q297: identical truth to q293 — the mapping layers must be
+    // invisible to the logical read.
+    "q296_delta_stream_nested_mapped" ->
+      """WITH b AS (
+           SELECT o_orderkey, COALESCE(o_custkey, 0) AS ck
+           FROM orders WHERE o_orderkey IS NOT NULL)
+         SELECT 'O-' || CAST(o_orderkey AS VARCHAR) AS order_id,
+           product_id, qty
+         FROM (
+           SELECT o_orderkey, ck AS product_id,
+             CAST(1 AS BIGINT) AS qty FROM b
+           UNION ALL
+           SELECT o_orderkey, ck + 1000000, CAST(2 AS BIGINT) FROM b) t""",
+    "q297_delta_stream_nested_mapped_id" ->
       """WITH b AS (
            SELECT o_orderkey, COALESCE(o_custkey, 0) AS ck
            FROM orders WHERE o_orderkey IS NOT NULL)

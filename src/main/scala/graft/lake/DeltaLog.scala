@@ -2489,7 +2489,7 @@ object DeltaLog {
     * physical schema — the shared normalization for schema-shape
     * checks ([[commitData]] and the streaming sink).
     */
-  private def normSchema(dt: DataType): DataType = dt match {
+  private[graft] def normSchema(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       f.copy(dataType = normSchema(f.dataType), nullable = true,
         metadata = Metadata.empty)))

@@ -128,22 +128,37 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
           // partition directories executor-side); a table the sink
           // CREATES is flat
           val exists = DeltaLog.versions(root).nonEmpty
-          val pcs: Seq[String] =
-            if (exists) DeltaLog.tableMeta(SparkSession.active, root)._2
-            else Seq.empty
-          // mapped sinks stage files under PHYSICAL names (+field ids)
+          val (declared, pcs): (Option[StructType], Seq[String]) =
+            if (exists) {
+              val (sch, p) = DeltaLog.tableMeta(SparkSession.active, root)
+              (Some(sch), p)
+            } else (None, Seq.empty)
+          // mapped sinks stage files under the table's DECLARED
+          // physical names (+field ids in id mode) AT EVERY NESTING
+          // LEVEL: the declared schema carries the mapping in field
+          // metadata, so it becomes the writer's naming source —
+          // nested struct/array/map columns stream into mapped tables
+          // the same way they do into unmapped ones (q293 × q289/q290)
           val (physNames, fieldIds) =
             if (exists) DeltaLog.columnResolution(SparkSession.active, root)
             else (Map.empty[String, String], Map.empty[String, Long])
-          // nested into a MAPPED table refuses: the sink's resolution
-          // pair is top-level — silently writing logical nested names
-          // would read back NULL through mapped readers
-          if (physNames.nonEmpty || fieldIds.nonEmpty)
-            info.schema().fields.foreach(f => require(
-              DeltaStreamReaderFactory.supported(f.dataType),
-              s"DeltaStreamProvider sink: column ${f.name} of a " +
-                "column-mapped table nests types — mapped sinks write " +
-                "atomic columns only"))
+          val mapped = physNames.nonEmpty || fieldIds.nonEmpty
+          val writeSchema: StructType =
+            if (!mapped) info.schema()
+            else {
+              val d = declared.get
+              // shape must match EXACTLY (names, order, types modulo
+              // nullability/metadata): the writer stages rows by the
+              // declared schema's positions, and a mismatch would
+              // otherwise surface as an executor ClassCastException
+              // instead of this message
+              require(DeltaLog.normSchema(d) ==
+                  DeltaLog.normSchema(info.schema()),
+                s"DeltaStreamProvider sink: the stream's schema " +
+                  s"${info.schema()} does not match the mapped table's " +
+                  s"declared shape $d")
+              d
+            }
           pcs.foreach { c =>
             require(info.schema().fieldNames.contains(c),
               s"DeltaStreamProvider sink: partition column $c missing " +
@@ -155,7 +170,7 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
                 "types are long/int/string/boolean/double/date")
           }
           new DeltaStreamingWrite(root, info.schema(), info.queryId(),
-            pcs, physNames, fieldIds)
+            pcs, writeSchema, stampIds = fieldIds.nonEmpty)
         }
       }
     }
@@ -323,10 +338,12 @@ private[streaming] object DeltaStreamReaderFactory {
     case _ => false
   }
 
-  /** READ-side type support: nested struct/array/map over supported
-    * atoms stream too (the reference's silver nests
-    * `items array<struct<...>>`); the SINK keeps the atomic-only
-    * contract ([[supported]] — the Group writer stages atoms).
+  /** Nested type support, BOTH directions: struct/array/map over
+    * supported atoms stream through the source's Group walk AND the
+    * sink's Group staging (the reference's silver nests
+    * `items array<struct<...>>`) — including column-mapped sinks,
+    * which stage under declared physical names/field ids at every
+    * level. [[supported]] is the atomic subset.
     */
   def readSupported(dt: DataType): Boolean = dt match {
     case s: StructType => s.fields.forall(f => readSupported(f.dataType))
@@ -564,8 +581,8 @@ private[streaming] class DeltaStreamingWrite(root: String,
                                              schema: StructType,
                                              queryId: String,
                                              partitionCols: Seq[String],
-                                             physNames: Map[String, String] = Map.empty,
-                                             fieldIds: Map[String, Long] = Map.empty)
+                                             writeSchema: StructType,
+                                             stampIds: Boolean = false)
   extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -575,8 +592,11 @@ private[streaming] class DeltaStreamingWrite(root: String,
     while (it.hasNext) { val e = it.next(); props += ((e.getKey, e.getValue)) }
     // materialize the staging dir BEFORE executors need it
     val staging = DeltaLog.streamStagingDir(root)
-    DeltaStreamWriterFactory(staging.toString, schema.json,
-      partitionCols, props.toArray, physNames, fieldIds)
+    // the WRITE schema (the table's declared schema on a mapped
+    // table — its field metadata names the staged parquet columns at
+    // every level) ships as JSON; StructType.json round-trips metadata
+    DeltaStreamWriterFactory(staging.toString, writeSchema.json,
+      partitionCols, props.toArray, stampIds)
   }
 
   override def commit(epochId: Long,
@@ -606,8 +626,7 @@ private[streaming] case class DeltaWriteMessage(
 private[streaming] case class DeltaStreamWriterFactory(
     stagingDir: String, schemaJson: String, partitionCols: Seq[String],
     hadoopProps: Array[(String, String)],
-    physNames: Map[String, String] = Map.empty,
-    fieldIds: Map[String, Long] = Map.empty)
+    stampIds: Boolean = false)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -616,7 +635,7 @@ private[streaming] case class DeltaStreamWriterFactory(
     hadoopProps.foreach { case (k, v) => conf.set(k, v) }
     new GroupParquetWriter(stagingDir,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partitionCols, conf, physNames, fieldIds)
+      partitionCols, conf, stampIds)
   }
 }
 
@@ -631,12 +650,19 @@ private[streaming] case class DeltaStreamWriterFactory(
   * directory path and the add's partitionValues, like every Delta
   * writer. `commit` hands (path, partitionValues) pairs to the
   * driver; `abort` deletes them all.
+  *
+  * Column mapping: `schema` is the table's DECLARED schema on a
+  * mapped table — each field's `delta.columnMapping.physicalName`
+  * names the staged parquet column (identity when absent), and with
+  * `stampIds` (id mode) its `delta.columnMapping.id` is recorded as
+  * the parquet field id, BOTH recursively at every nesting level
+  * (mirroring [[GroupParquetReader.resolveIn]] and the batch write's
+  * toPhysicalField).
   */
 private[streaming] class GroupParquetWriter(
     stagingDir: String, schema: StructType, partitionCols: Seq[String],
     conf: org.apache.hadoop.conf.Configuration,
-    physNames: Map[String, String] = Map.empty,
-    fieldIds: Map[String, Long] = Map.empty)
+    stampIds: Boolean = false)
   extends DataWriter[InternalRow] {
 
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
@@ -671,8 +697,7 @@ private[streaming] class GroupParquetWriter(
     dt match {
       case st: StructType =>
         val gb = Types.optionalGroup()
-        st.fields.foreach(f2 =>
-          gb.addField(parquetTypeOf(f2.name, f2.dataType)))
+        st.fields.foreach(f2 => gb.addField(fieldTypeOf(f2)))
         gb.named(name)
       case org.apache.spark.sql.types.ArrayType(et, _) =>
         Types.optionalGroup().as(LogicalTypeAnnotation.listType())
@@ -727,24 +752,29 @@ private[streaming] class GroupParquetWriter(
     }
   }
 
+  private val WriterPhysNameKey = "delta.columnMapping.physicalName"
+  private val WriterColIdKey = "delta.columnMapping.id"
+
+  /** Parquet type of one STRUCT FIELD (any nesting level): named by its
+    * column-mapping physicalName when declared, stamped with its field
+    * id under id mode — the write-side mirror of the reader's
+    * [[GroupParquetReader.resolveIn]].
+    */
+  private def fieldTypeOf(
+      f: org.apache.spark.sql.types.StructField): org.apache.parquet.schema.Type = {
+    val name =
+      if (f.metadata.contains(WriterPhysNameKey))
+        f.metadata.getString(WriterPhysNameKey)
+      else f.name
+    val t = parquetTypeOf(name, f.dataType)
+    if (stampIds && f.metadata.contains(WriterColIdKey))
+      t.withId(f.metadata.getLong(WriterColIdKey).toInt)
+    else t
+  }
+
   private val messageType: MessageType = {
     val b = Types.buildMessage()
-    dataSchema.fields.foreach { f =>
-      // mapped sinks: top-level fields store PHYSICAL names and (id
-      // mode) carry parquet field ids — the table's readers resolve by
-      // them (mapped sinks are vetted atomic-only at write build)
-      val t0 = parquetTypeOf(physNames.getOrElse(f.name, f.name),
-        f.dataType)
-      b.addField(fieldIds.get(f.name) match {
-        case Some(id) if t0.isPrimitive =>
-          org.apache.parquet.schema.Types
-            .primitive(t0.asPrimitiveType().getPrimitiveTypeName,
-              t0.getRepetition)
-            .as(t0.getLogicalTypeAnnotation).id(id.toInt)
-            .named(t0.getName)
-        case _ => t0
-      })
-    }
+    dataSchema.fields.foreach(f => b.addField(fieldTypeOf(f)))
     b.named("spark_schema")
   }
 

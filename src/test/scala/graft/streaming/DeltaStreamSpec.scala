@@ -345,6 +345,90 @@ class DeltaStreamSpec extends SparkSpec {
     }
   }
 
+  test("NESTED sink into an ID-mapped table: staged files stamp field " +
+    "ids at EVERY level; stored names are not authoritative (a junk " +
+    "physicalName rename after the write still reads by id)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{array, col, struct}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshDir("graft-dstream-nested-id")
+    val rootP = java.nio.file.Paths.get(root)
+    Files.createDirectories(rootP.resolve("_delta_log"))
+    def schemaStr(oid: String, items: String, pid: String,
+        qty: String): String =
+      s"""{"type":"struct","fields":[
+        {"name":"order_id","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"$oid"}},
+        {"name":"items","type":{"type":"array","elementType":{"type":"struct","fields":[
+          {"name":"product_id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"$pid"}},
+          {"name":"qty","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":4,"delta.columnMapping.physicalName":"$qty"}}]},"containsNull":true},"nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"$items"}}]}"""
+        .replaceAll("\n\\s*", "")
+    def metaLine(id: String, sch: String): String =
+      s"""{"metaData":{"id":"$id","format":{"provider":"parquet","options":{}},"schemaString":"${sch.replace("\"", "\\\"")}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"4"}}}"""
+    Files.write(rootP.resolve("_delta_log").resolve(f"${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        metaLine("nested-id", schemaStr("col-oid", "col-items", "col-pid",
+          "col-qty")))
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
+    val in = MemoryStream[(String, Long)]
+    val shaped = in.toDF().toDF("order_id", "ck")
+      .select(col("order_id"),
+        array(struct(col("ck").as("product_id"),
+          (col("ck") * 2).as("qty"))).as("items"))
+    val ckpt = Files.createTempDirectory("graft-nested-id-ck").toString
+    val q = shaped.writeStream
+      .format("graft.streaming.DeltaStreamProvider")
+      .option("path", root).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      in.addData(Seq(("O-1", 10L), ("O-2", 20L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the staged file records ids at EVERY level: top fields 1/2, the
+    // list-element struct's fields 3/4 — and stores physical names
+    val staged = DeltaLog.filesAt(spark, root,
+      DeltaLog.currentVersion(root)).head
+    val in2 = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(root, staged).toString),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in2)
+    try {
+      val sch = r.getFooter.getFileMetaData.getSchema
+      assert(sch.getFields.asScala.map(_.getName).toSeq ==
+        Seq("col-oid", "col-items"))
+      assert(sch.getFields.asScala
+        .map(f => Option(f.getId).map(_.intValue())).toSeq ==
+        Seq(Some(1), Some(2)))
+      val element = sch.getType(1).asGroupType() // col-items LIST
+        .getType(0).asGroupType()                // repeated list
+        .getType(0).asGroupType()                // element struct
+      assert(element.getFields.asScala.map(_.getName).toSeq ==
+        Seq("col-pid", "col-qty"))
+      assert(element.getFields.asScala
+        .map(f => Option(f.getId).map(_.intValue())).toSeq ==
+        Seq(Some(3), Some(4)),
+        "inner struct fields must carry their column-mapping ids")
+    } finally r.close()
+    def readBack(): Set[(String, Long, Long)] =
+      DeltaLog.read(spark, root)
+        .select(col("order_id"),
+          org.apache.spark.sql.functions.explode(col("items")).as("i"))
+        .select(col("order_id"), col("i.product_id"), col("i.qty"))
+        .collect().map(r2 => (r2.getString(0), r2.getLong(1),
+          r2.getLong(2))).toSet
+    val expected = Set(("O-1", 10L, 20L), ("O-2", 20L, 40L))
+    assert(readBack() == expected)
+    // junk-rename every physicalName (ids unchanged): id mode treats
+    // stored names as non-authoritative, so the staged file must still
+    // resolve by its field ids
+    val v = DeltaLog.currentVersion(root)
+    Files.write(rootP.resolve("_delta_log").resolve(f"${v + 1}%020d.json"),
+      (metaLine("nested-id", schemaStr("zz-a", "zz-b", "zz-c", "zz-d")) +
+        "\n").getBytes("UTF-8"))
+    assert(readBack() == expected,
+      "id-mode read must survive a physicalName rename over staged files")
+  }
+
   test("streaming SINK into a PARTITIONED table: rows route to hive " +
     "partition directories executor-side, adds carry partitionValues, " +
     "partition columns never land in the data files") {
