@@ -2527,6 +2527,25 @@ object SparkEntry {
     // junk-named variant).
     "q297_delta_stream_nested_mapped_id" -> ((s, d) =>
       streamNestedIntoMapped(s, d, "q297", "id")),
+    // VACUUM: two appends, a range DELETE (rewrites its touched
+    // files), then a zero-retention vacuum physically reclaims the
+    // tombstoned sources — and the post-vacuum read must be byte-true
+    // (README.md:295 recommends OPTIMIZE/VACUUM maintenance; retention
+    // semantics are DeltaLogSpec's matrix).
+    "q298_delta_vacuum" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def half(i: Int) = ev.filter(pmod(col("event_id"), lit(2)) === i)
+      val root = freshScratch("q298")
+      graft.lake.DeltaLog.commitFlat(s, root, half(0))
+      graft.lake.DeltaLog.commitFlat(s, root, half(1))
+      graft.lake.DeltaLog.deleteWhereLong(s, root, "event_id",
+        1000L, 2000L)
+      val gone = graft.lake.DeltaLog.vacuum(s, root)
+      require(gone.nonEmpty,
+        "q298: the delete-rewritten sources must physically reclaim")
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // NESTED STREAMING delta-to-delta: the silver items shape streams
     // through the DSv2 source (recursive Group-walk array<struct>
     // conversion) INTO a second Delta table (the sink stages the same
@@ -4815,6 +4834,12 @@ object SparkEntry {
          SELECT * FROM t
          UNION ALL
          SELECT * FROM t WHERE okey = 150""",
+    // q298: the current snapshot after the range delete — vacuum must
+    // not change what readers see.
+    "q298_delta_vacuum" ->
+      """SELECT event_id, value FROM events
+         WHERE event_id IS NOT NULL
+           AND event_id NOT BETWEEN 1000 AND 2000""",
     // q278: the point lookup is a plain equality filter.
     "q278_delta_bloom_lookup" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

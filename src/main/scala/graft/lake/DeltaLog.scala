@@ -4121,22 +4121,59 @@ object DeltaLog {
   }
 
   /** Physically delete data files the CURRENT version no longer
-    * references (VACUUM with zero retention): older versions stop being
-    * time-travelable, the current snapshot is untouched — Delta's own
-    * vacuum contract. Refuses tables that also carry a graft
-    * [[Snapshots]] `_log` (their manifests reference history files this
-    * walk cannot see; vacuum those through [[Snapshots.vacuum]]).
-    * Returns the deleted table-relative paths.
+    * references — Delta's VACUUM. The retention window comes from the
+    * table's declared `delta.deletedFileRetentionDuration` (an
+    * `interval N <unit>` string, Delta's own property); a table that
+    * declares none collects with ZERO retention here (the dev-friendly
+    * local form — Delta's managed default is `interval 1 week`, which
+    * deployments that want the grace period should declare on the
+    * table). Refuses tables that also carry a graft [[Snapshots]]
+    * `_log` (their manifests reference history files this walk cannot
+    * see; vacuum those through [[Snapshots.vacuum]]). Returns the
+    * deleted table-relative paths.
     */
-  def vacuum(spark: SparkSession, root: String): Seq[String] =
-    vacuum(spark, root, 0L)
+  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    val st = replay(spark, root, currentVersion(root))
+    vacuum(spark, root,
+      st.configuration.get("delta.deletedFileRetentionDuration")
+        .map(parseIntervalMs).getOrElse(0L))
+  }
 
-  /** [[vacuum]] honoring a RETENTION window (Delta's
-    * `deletedFileRetentionDuration`): an orphan whose modification time
-    * is within the last `retentionMs` milliseconds survives this pass —
-    * the grace period that keeps concurrent readers of recent versions
-    * (and the time-travel window) alive on a table vacuumed on a
-    * schedule. Zero retention is the full collect.
+  /** Delta duration property (`interval N week|day|hour|minute|second|
+    * millisecond[s]`) → milliseconds; loud on anything else.
+    */
+  private[lake] def parseIntervalMs(s: String): Long = {
+    val Re = """(?i)\s*interval\s+(\d+)\s+(\w+?)s?\s*""".r
+    s match {
+      case Re(n, unit) =>
+        val per = unit.toLowerCase match {
+          case "week" => 7L * 86400000L
+          case "day" => 86400000L
+          case "hour" => 3600000L
+          case "minute" => 60000L
+          case "second" => 1000L
+          case "millisecond" => 1L
+          case other => throw new IllegalArgumentException(
+            s"DeltaLog: unsupported interval unit '$other' in '$s'")
+        }
+        n.toLong * per
+      case _ => throw new IllegalArgumentException(
+        s"DeltaLog: cannot parse duration '$s' (expected " +
+          "'interval N <unit>')")
+    }
+  }
+
+  /** [[vacuum]] with an EXPLICIT retention window: a no-longer-active
+    * file survives this pass while its REMOVAL is newer than
+    * `retentionMs` — eligibility is judged by the newest
+    * `remove.deletionTimestamp` the retained JSON commits record for
+    * it (Delta's own rule: a long-lived file deleted a second ago must
+    * survive, which its write-time mtime cannot express), so
+    * time-travel reads of versions removed INSIDE the window keep
+    * working and concurrent readers of recent versions stay alive.
+    * Files the retained log never mentions (crash leftovers, or
+    * removes compacted away behind a checkpoint) fall back to the
+    * modification-time test. Zero retention is the full collect.
     */
   def vacuum(spark: SparkSession, root: String,
              retentionMs: Long): Seq[String] = {
@@ -4181,10 +4218,34 @@ object DeltaLog {
         .toSeq
       finally walk.close()
     val cutoff = System.currentTimeMillis() - retentionMs
+    // newest recorded removal time per file, from the retained JSON
+    // tail (one driver-side parse per commit — tails are
+    // incremental-ETL-sized; removes compacted behind a checkpoint
+    // fall back to mtime below)
+    lazy val removalTimes: Map[String, Long] =
+      if (retentionMs == 0L) Map.empty
+      else versions(root).flatMap { v =>
+        Files.readAllLines(logDir(root).resolve(commitName(v))).asScala
+          .filter(_.trim.nonEmpty).flatMap { line =>
+            val n = mapper.readTree(line)
+            if (!n.has("remove")) None
+            else {
+              val r = n.get("remove")
+              val ts = r.path("deletionTimestamp")
+              // a remove without a timestamp contributes nothing — the
+              // file then falls back to the mtime test like unknowns
+              if (ts.isNumber)
+                Some(decodePath(r.path("path").asText()) -> ts.asLong())
+              else None
+            }
+          }
+      }.groupMapReduce(_._1)(_._2)(math.max)
     val orphans = onDisk.filterNot(rel =>
       active(rel) || activeDvFiles(rel))
       .filter(rel => retentionMs == 0L ||
-        Files.getLastModifiedTime(Paths.get(root, rel)).toMillis <= cutoff)
+        removalTimes.getOrElse(rel,
+          Files.getLastModifiedTime(Paths.get(root, rel)).toMillis)
+          <= cutoff)
     orphans.foreach(rel => Files.delete(Paths.get(root, rel)))
     orphans.sorted
   }

@@ -1014,22 +1014,60 @@ class DeltaLogSpec extends SparkSpec {
       (3L, 8L, 16L), (9L, 1L, 2L)))
   }
 
-  test("vacuum retention: recent orphans survive the grace window, " +
-    "aged ones collect") {
+  test("vacuum retention judges by the remove's deletionTimestamp: a " +
+    "long-lived file removed just now survives even with an ancient " +
+    "mtime (time travel inside the window keeps reading); aging the " +
+    "RECORDED removal past the horizon collects it") {
     val root = freshRoot()
     DeltaLog.commitFlat(spark, root, Seq((1L, "a")).toDF("k", "v"))
     DeltaLog.commitFlat(spark, root, Seq((2L, "b")).toDF("k", "v"),
       rewrite = true)
     val orphanRel = DeltaLog.filesAt(spark, root, 0L).head
-    // freshly orphaned: survives a 1 h retention pass, v0 still travels
-    assert(DeltaLog.vacuum(spark, root, 3600000L).isEmpty)
-    assert(rows(DeltaLog.readAt(spark, root, 0L)) == Set((1L, "a")))
-    // age it past the window: collected, current snapshot untouched
+    // ancient WRITE time, recent REMOVAL: the mtime test alone would
+    // collect it — the recorded deletionTimestamp must win, or a
+    // long-lived file deleted a second ago dies under its readers
     Files.setLastModifiedTime(Paths.get(root, orphanRel),
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 7200000L))
+    assert(DeltaLog.vacuum(spark, root, 3600000L).isEmpty)
+    assert(rows(DeltaLog.readAt(spark, root, 0L)) == Set((1L, "a")))
+    // age the RECORDED removal past the window (edit the commit's
+    // deletionTimestamp): collected, current snapshot untouched
+    val commit1 = Paths.get(root, "_delta_log",
+      f"${1L}%020d.json")
+    val aged = new String(Files.readAllBytes(commit1), "UTF-8")
+      .replaceAll(""""deletionTimestamp":\d+""",
+        s""""deletionTimestamp":${System.currentTimeMillis() - 7200000L}""")
+    Files.write(commit1, aged.getBytes("UTF-8"))
     assert(DeltaLog.vacuum(spark, root, 3600000L) == Seq(orphanRel))
     assert(rows(DeltaLog.read(spark, root)) == Set((2L, "b")))
+  }
+
+  test("no-arg vacuum honors declared delta.deletedFileRetentionDuration; " +
+    "interval strings parse; undeclared tables collect immediately") {
+    assert(DeltaLog.parseIntervalMs("interval 1 week") == 604800000L)
+    assert(DeltaLog.parseIntervalMs("interval 2 days") == 172800000L)
+    assert(DeltaLog.parseIntervalMs("INTERVAL 36 Hours") == 129600000L)
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.parseIntervalMs("interval 3 fortnights")
+    }.getMessage.contains("fortnight"))
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root, Seq((1L, "a")).toDF("k", "v"),
+      configuration =
+        Map("delta.deletedFileRetentionDuration" -> "interval 1 hour"))
+    DeltaLog.commitFlat(spark, root, Seq((2L, "b")).toDF("k", "v"),
+      rewrite = true)
+    // the fresh tombstone is inside the declared window — no-arg
+    // vacuum must keep it and v0 stays travelable
+    assert(DeltaLog.vacuum(spark, root).isEmpty)
+    assert(rows(DeltaLog.readAt(spark, root, 0L)) == Set((1L, "a")))
+    // an undeclared table's no-arg vacuum stays the zero-retention
+    // collect (documented local default)
+    val root2 = freshRoot()
+    DeltaLog.commitFlat(spark, root2, Seq((1L, "a")).toDF("k", "v"))
+    DeltaLog.commitFlat(spark, root2, Seq((2L, "b")).toDF("k", "v"),
+      rewrite = true)
+    assert(DeltaLog.vacuum(spark, root2).nonEmpty)
   }
 
   test("vacuum never collects dot-prefixed writer scratch: in-flight " +
