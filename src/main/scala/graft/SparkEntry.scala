@@ -2546,6 +2546,25 @@ object SparkEntry {
         "q298: the delete-rewritten sources must physically reclaim")
       graft.lake.DeltaLog.read(s, root)
     }),
+    // TIMESTAMP time travel: three ICT commits (the inCommitTimestamp
+    // chain is STRICTLY monotonic — max(wall clock, pred+1) — so the
+    // mid-history timestamp resolves version 1 deterministically even
+    // when commits land in the same millisecond); the read at v1's own
+    // recorded timestamp is Delta's latest-commit-≤-ts rule.
+    // ICT precedence over lying file mtimes is DeltaLogSpec's matrix.
+    "q299_delta_read_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def third(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      val root = freshScratch("q299")
+      graft.lake.DeltaLog.commitFlat(s, root, third(0),
+        configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+      graft.lake.DeltaLog.commitFlat(s, root, third(1))
+      graft.lake.DeltaLog.commitFlat(s, root, third(2))
+      val ts1 = graft.lake.DeltaLog.history(s, root)
+        .filter(col("version") === 1L).head().getLong(2)
+      graft.lake.DeltaLog.readAsOf(s, root, ts1)
+    }),
     // NESTED STREAMING delta-to-delta: the silver items shape streams
     // through the DSv2 source (recursive Group-walk array<struct>
     // conversion) INTO a second Delta table (the sink stages the same
@@ -4840,6 +4859,11 @@ object SparkEntry {
       """SELECT event_id, value FROM events
          WHERE event_id IS NOT NULL
            AND event_id NOT BETWEEN 1000 AND 2000""",
+    // q299: the as-of read at v1's timestamp is slices 0 and 1.
+    "q299_delta_read_asof" ->
+      """SELECT event_id, value FROM events
+         WHERE event_id IS NOT NULL
+           AND ((event_id % 3) + 3) % 3 IN (0, 1)""",
     // q278: the point lookup is a plain equality filter.
     "q278_delta_bloom_lookup" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
