@@ -559,9 +559,12 @@ object DeltaLog {
         Row(st.minReaderVersion, st.minWriterVersion,
           if (st.readerFeatures.isEmpty) null else st.readerFeatures,
           if (st.writerFeatures.isEmpty) null else st.writerFeatures))
+      // configuration MUST ride the checkpoint: replay takes it from
+      // here once the JSON prefix is trimmed — dropping it silently
+      // un-declares CDF/appendOnly/constraints/mapping mode/ICT
       val metaRow = Row(null, null, null,
         Row(st.tableId, null, null, Row("parquet", Map.empty[String, String]),
-          schemaJson, st.partitionColumns, Map.empty[String, String], null),
+          schemaJson, st.partitionColumns, st.configuration, null),
         null)
       val addRows = st.files.map { case (path, pv) =>
         val dvRow = st.fileDvs.get(path).map(d =>
@@ -604,6 +607,120 @@ object DeltaLog {
                                   v: Long): Long = {
     val files = checkpointVersions(root).find(_._1 == v).get._2
     spark.read.parquet(files.map(_.toString): _*).count()
+  }
+
+  /** Declare the `v2Checkpoint` table feature (one protocol-upgrade
+    * commit, Delta's own shape: version floors 3/7 with every
+    * legacy-implied feature enumerated so external feature-gated
+    * writers keep honoring them). No-op when already declared.
+    * [[checkpointV2]] requires it — writing a V2 checkpoint on a table
+    * whose protocol does not announce the feature would strand readers
+    * that list the log expecting classic checkpoints only.
+    */
+  def enableV2Checkpoints(spark: SparkSession, root: String): Long = {
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    requireWritable(st, "enableV2Checkpoints")
+    if (st.minReaderVersion >= 3 && st.readerFeatures.contains("v2Checkpoint")
+        && st.writerFeatures.contains("v2Checkpoint")) return v
+    val n = mapper.createObjectNode()
+    val p = n.putObject("protocol")
+    p.put("minReaderVersion", 3)
+    p.put("minWriterVersion", 7)
+    val rf = p.putArray("readerFeatures")
+    // legacy minReaderVersion 2 implies columnMapping — enumerate it
+    ((if (st.minReaderVersion == 2) Seq("columnMapping") else Seq.empty) ++
+      st.readerFeatures :+ "v2Checkpoint").distinct.foreach(rf.add)
+    val wf = p.putArray("writerFeatures")
+    (legacyWriterFeatures(st.minWriterVersion) ++ st.writerFeatures :+
+      "v2Checkpoint").distinct.foreach(wf.add)
+    writeCommitFile(root, v + 1, Seq(n), operation = "UPGRADE PROTOCOL")
+    v + 1
+  }
+
+  /** Write a V2 CHECKPOINT for `version` (PROTOCOL.md "V2
+    * Checkpoints") — the form whose FILE ACTIONS live in sidecar
+    * parquet files under `_delta_log/_sidecars/`, split at
+    * `maxAddsPerSidecar` rows: a 100 TB table's hundred-million-action
+    * state neither serializes through one file nor re-writes whole on
+    * every checkpoint cadence. The top
+    * `<v>.checkpoint.<uuid>.parquet` carries the non-file actions —
+    * protocol, metaData, txn watermarks (the r15 lesson: losing them
+    * breaks exactly-once sinks after compaction), `checkpointMetadata`
+    * — plus one `sidecar` action per sidecar file. The reader side
+    * ([[checkpointActionsDF]]) already consumes this shape (q262);
+    * this is its writer. Refreshes `_last_checkpoint`. Idempotent per
+    * version: an existing V2 top for `version` is left untouched.
+    */
+  def checkpointV2(spark: SparkSession, root: String, version: Long,
+                   maxAddsPerSidecar: Long = 1000000L): Unit = {
+    require(maxAddsPerSidecar >= 1L,
+      s"DeltaLog.checkpointV2: maxAddsPerSidecar >= 1")
+    if (checkpointRefs(root).exists {
+      case V2Cp(v, _) => v == version
+      case _ => false
+    }) return
+    val st = replay(spark, root, version)
+    require(st.minReaderVersion >= 3 &&
+      st.readerFeatures.contains("v2Checkpoint"),
+      s"DeltaLog.checkpointV2: $root does not declare the v2Checkpoint " +
+        "reader feature — run enableV2Checkpoints first")
+    val schemaJson = st.schema.map(_.json).getOrElse(
+      throw new IllegalStateException(
+        s"DeltaLog.checkpointV2: no metaData in $root log at $version"))
+    // rows in checkpointSchemaV2 shape:
+    // (txn, add, remove, metaData, protocol, checkpointMetadata, sidecar)
+    def row(txn: Row = null, add: Row = null, meta: Row = null,
+            proto: Row = null, cpMeta: Row = null, side: Row = null) =
+      Row(txn, add, null, meta, proto, cpMeta, side)
+    val addRows = st.files.map { case (path, pv) =>
+      val dvRow = st.fileDvs.get(path).map(d =>
+        Row(d.storageType, d.pathOrInlineDv, d.offset.orNull,
+          d.sizeInBytes, d.cardinality)).orNull
+      row(add = Row(encodePath(path), pv, st.fileSizes.getOrElse(path, 0L),
+        st.fileModTimes.getOrElse(path, 0L), false,
+        st.fileStats.getOrElse(path, null), null, dvRow))
+    }
+    val sidecarDir = logDir(root).resolve("_sidecars")
+    Files.createDirectories(sidecarDir)
+    val sidecarRows = addRows.grouped(
+      math.min(maxAddsPerSidecar, Int.MaxValue.toLong).toInt)
+      .map { batch =>
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(batch, 1), checkpointSchemaV2)
+        val part = writeSingleParquet(df, root, "graft-delta-ckpt-sc")
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        val target = sidecarDir.resolve(name)
+        Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+        row(side = Row(name, Files.size(target),
+          Files.getLastModifiedTime(target).toMillis))
+      }.toSeq
+    val protoRow = row(proto =
+      Row(st.minReaderVersion, st.minWriterVersion,
+        if (st.readerFeatures.isEmpty) null else st.readerFeatures,
+        if (st.writerFeatures.isEmpty) null else st.writerFeatures))
+    val metaRow = row(meta =
+      Row(st.tableId, null, null, Row("parquet", Map.empty[String, String]),
+        schemaJson, st.partitionColumns, st.configuration, null))
+    val txnRows = st.txnVersions.toSeq.sortBy(_._1).map { case (app, ver) =>
+      row(txn = Row(app, ver))
+    }
+    val cpMetaRow = row(cpMeta = Row(version))
+    val topRows = Seq(protoRow, metaRow, cpMetaRow) ++ txnRows ++ sidecarRows
+    val topDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(topRows, 1), checkpointSchemaV2)
+    val topPart = writeSingleParquet(topDf, root, "graft-delta-ckpt-v2")
+    val topName =
+      f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
+    Files.move(topPart, logDir(root).resolve(topName),
+      StandardCopyOption.ATOMIC_MOVE)
+    val n = mapper.createObjectNode()
+    n.put("version", version)
+    n.put("size", (topRows.size + addRows.size).toLong)
+    val tmp = logDir(root).resolve("_last_checkpoint.__tmp")
+    Files.write(tmp, mapper.writeValueAsString(n).getBytes("UTF-8"))
+    Files.move(tmp, logDir(root).resolve("_last_checkpoint"),
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   // ------------------------------------------------------------------

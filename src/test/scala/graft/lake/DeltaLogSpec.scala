@@ -1070,6 +1070,74 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.vacuum(spark, root2).nonEmpty)
   }
 
+  test("own-written V2 checkpoint + sidecars: the FULL state replays " +
+    "after the JSON prefix is trimmed — files, stats skipping, DV " +
+    "state, txn watermarks, configuration") {
+    import spark.implicits._
+    val root = freshRoot()
+    // three disjoint-range slices (stats-prunable), a txn watermark,
+    // a DV delete — every state dimension the checkpoint must carry
+    DeltaLog.commitFlat(spark, root,
+      (1L to 100L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      configuration =
+        Map("delta.deletedFileRetentionDuration" -> "interval 1 hour"))
+    DeltaLog.commitFlat(spark, root,
+      (101L to 200L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      txn = Some(("appA", 7L)))
+    DeltaLog.commitFlat(spark, root,
+      (201L to 300L).map(k => (k, k)).toDF("k", "x").coalesce(1))
+    DeltaLog.deleteWhereLongDV(spark, root, "k", 150L, 160L)
+    DeltaLog.enableV2Checkpoints(spark, root)
+    val v = DeltaLog.currentVersion(root)
+    val before = DeltaLog.read(spark, root).as[(Long, Long)]
+      .collect().toSet
+    // 3 adds at 2 adds/sidecar → MULTIPLE sidecar files exercised
+    DeltaLog.checkpointV2(spark, root, v, maxAddsPerSidecar = 2L)
+    val sidecars = {
+      val s = Files.list(Paths.get(root, "_delta_log", "_sidecars"))
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    assert(sidecars.size >= 2,
+      s"expected multiple sidecars, got ${sidecars.size}")
+    // trim every JSON commit: the V2 checkpoint is now the only state
+    (0L to v).foreach(i => Files.deleteIfExists(
+      Paths.get(root, "_delta_log", f"$i%020d.json")))
+    assert(DeltaLog.read(spark, root).as[(Long, Long)].collect().toSet
+      == before, "post-trim replay must equal the pre-trim snapshot")
+    // stats rode the sidecar adds: the range read still prunes
+    val pruned = DeltaLog.readWhereLong(spark, root, "k", 250L, 260L)
+    assert(pruned.inputFiles.length == 1,
+      s"stats skipping must survive: ${pruned.inputFiles.length} files")
+    // txn watermark survived compaction (the r15 lesson)
+    assert(DeltaLog.txnWatermark(spark, root, "appA") == Some(7L))
+    // configuration survived — the retention property is still declared
+    val props = DeltaLog.detail(spark, root)
+      .select("properties").head().getMap[String, String](0)
+    assert(props.get("delta.deletedFileRetentionDuration")
+      .contains("interval 1 hour"))
+    // and a further commit on top of the v2 checkpoint still works
+    DeltaLog.commitFlat(spark, root,
+      (301L to 310L).map(k => (k, k)).toDF("k", "x").coalesce(1))
+    assert(DeltaLog.read(spark, root).count() == before.size + 10L)
+  }
+
+  test("classic checkpoint carries table configuration: CDF and " +
+    "retention declarations survive a trimmed JSON prefix") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      (1L to 10L).map(k => (k, k)).toDF("k", "x").coalesce(1),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.commitFlat(spark, root,
+      (11L to 20L).map(k => (k, k)).toDF("k", "x").coalesce(1))
+    val v = DeltaLog.currentVersion(root)
+    DeltaLog.checkpoint(spark, root, v)
+    (0L to v).foreach(i => Files.deleteIfExists(
+      Paths.get(root, "_delta_log", f"$i%020d.json")))
+    assert(DeltaLog.changeFeedEnabled(spark, root),
+      "checkpointed configuration lost delta.enableChangeDataFeed")
+  }
+
   test("vacuum never collects dot-prefixed writer scratch: in-flight " +
     ".graft_staging parquet survives a zero-retention pass") {
     val root = freshRoot()
