@@ -2565,6 +2565,26 @@ object SparkEntry {
         .filter(col("version") === 1L).head().getLong(2)
       graft.lake.DeltaLog.readAsOf(s, root, ts1)
     }),
+    // UNIFIED conjunctive skipping read: real predicates are
+    // conjunctions — readWhere intersects the partition-value prune
+    // with the numeric stats range BEFORE assembling the scan, so the
+    // file set is the intersection of what each column prunes alone
+    // (DeltaLogSpec pins the scanned-file count below either
+    // single-column prune).
+    "q300_delta_read_where" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("value"), col("event_type"))
+        .filter(col("event_id").isNotNull)
+      def half(i: Int) = ev.filter(pmod(col("event_id"), lit(2)) === i)
+      val root = freshScratch("q300")
+      (0 until 2).foreach(i => graft.lake.DeltaLog.commitPartitioned(
+        s, root, half(i), Seq("event_type")))
+      graft.lake.DeltaLog.readWhere(s, root, Seq(
+        graft.lake.DeltaLog.ColumnPredicate.LongRange(
+          "event_id", 100L, 5000L),
+        graft.lake.DeltaLog.ColumnPredicate.PartitionEquals(
+          "event_type", Some("purchase"))))
+    }),
     // NESTED STREAMING delta-to-delta: the silver items shape streams
     // through the DSv2 source (recursive Group-walk array<struct>
     // conversion) INTO a second Delta table (the sink stages the same
@@ -4864,6 +4884,12 @@ object SparkEntry {
       """SELECT event_id, value FROM events
          WHERE event_id IS NOT NULL
            AND ((event_id % 3) + 3) % 3 IN (0, 1)""",
+    // q300: the conjunction as a plain WHERE clause.
+    "q300_delta_read_where" ->
+      """SELECT event_id, value, event_type FROM events
+         WHERE event_id IS NOT NULL
+           AND event_id BETWEEN 100 AND 5000
+           AND event_type = 'purchase'""",
     // q278: the point lookup is a plain equality filter.
     "q278_delta_bloom_lookup" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

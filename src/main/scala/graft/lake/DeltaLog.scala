@@ -2592,14 +2592,124 @@ object DeltaLog {
     * plays no part). The spec pins that non-matching files vanish from
     * `inputFiles`.
     */
+  /** One conjunct of a [[readWhere]] filter. Real predicates are
+    * conjunctions — a unified read intersects EVERY predicate's
+    * metadata layers (numeric/string stats ranges, footer-bloom
+    * points, partition values) before any data IO, so the scanned
+    * file set is the intersection of what each column would prune
+    * alone.
+    */
+  sealed trait ColumnPredicate { def column: String }
+  object ColumnPredicate {
+    /** `column BETWEEN lo AND hi` over a numeric (integral) column —
+      * pruned by the recorded stats range.
+      */
+    case class LongRange(column: String, lo: Long, hi: Long)
+      extends ColumnPredicate {
+      require(lo <= hi, s"LongRange($column): empty interval [$lo, $hi]")
+    }
+    /** `column = value` — stats range AND footer-bloom exact-negative
+      * layers (the bloom hashes by each file's own physical form).
+      */
+    case class LongPoint(column: String, value: Long)
+      extends ColumnPredicate
+    /** `column BETWEEN lo AND hi` lexicographically — ASCII-guarded
+      * truncation-enclosing string stats ([[readWhereString]]'s rule).
+      */
+    case class StringRange(column: String, lo: String, hi: String)
+      extends ColumnPredicate {
+      require(lo <= hi, s"StringRange($column): empty range [$lo, $hi]")
+    }
+    /** `column = value` on strings — stats + footer bloom. */
+    case class StringPoint(column: String, value: String)
+      extends ColumnPredicate
+    /** `column = value` on a PARTITION column, in the add's rendered
+      * partition-value form (`None` = the null partition) — planning-
+      * time pruning with zero data IO, exact by construction.
+      */
+    case class PartitionEquals(column: String, value: Option[String])
+      extends ColumnPredicate
+  }
+
+  /** Read the current snapshot under a CONJUNCTION of predicates with
+    * every metadata-skipping layer applied per file BEFORE any data
+    * IO: partition-value equality and stats ranges first (free — they
+    * ride the log), then footer-bloom point probes on the survivors
+    * only (footer bytes ∝ surviving candidates). The returned frame
+    * carries the exact residual filter, so results are correct even
+    * where pruning is best-effort. The single-column
+    * `readWhereLong/Point/String/StringPoint` entry points are
+    * one-predicate forms of this.
+    */
+  def readWhere(spark: SparkSession, root: String,
+                preds: Seq[ColumnPredicate]): DataFrame = {
+    import ColumnPredicate._
+    require(preds.nonEmpty, "DeltaLog.readWhere: at least one predicate")
+    val st = replay(spark, root, currentVersion(root))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pcSet = st.partitionColumns.toSet
+    val physPc: Map[String, String] =
+      st.schema.map(physicalTopLevel).getOrElse(Map.empty)
+    preds.foreach {
+      case PartitionEquals(c, _) =>
+        require(pcSet(c),
+          s"DeltaLog.readWhere: $c is not a partition column — use a " +
+            "data-column predicate")
+      case p =>
+        require(st.schema.exists(_.fieldNames.contains(p.column)),
+          s"DeltaLog.readWhere: ${p.column} not in schema")
+        require(!pcSet(p.column),
+          s"DeltaLog.readWhere: ${p.column} is a partition column — " +
+            "use PartitionEquals")
+    }
+    // log-resident layers first (free), footer-bloom probes last and
+    // only on the files every cheap layer kept
+    def keepCheap(rel: String, pv: Map[String, String],
+                  p: ColumnPredicate): Boolean = p match {
+      case LongRange(c, lo, hi) => statsOverlap(st, rel, c, lo, hi)
+      case LongPoint(c, v) => statsOverlap(st, rel, c, v, v)
+      case StringRange(c, lo, hi) =>
+        !(lo + hi).forall(_ < 0x80) || statsOverlapStr(st, rel, c, lo, hi)
+      case StringPoint(c, v) =>
+        !v.forall(_ < 0x80) || statsOverlapStr(st, rel, c, v, v)
+      case PartitionEquals(c, v) =>
+        pv.get(physPc.getOrElse(c, c)).orElse(pv.get(c)) match {
+          case Some(rec) => Option(rec) == v
+          case None => true // pv not recorded for c: conservative keep
+        }
+    }
+    def keepBloom(rel: String, p: ColumnPredicate): Boolean = p match {
+      case LongPoint(c, v) =>
+        bloomKeepsFile(resolvePath(root, rel), statsKeyOf(st, c),
+          fieldIdOf(st, c), Seq(java.lang.Long.valueOf(v)), conf)
+      case StringPoint(c, v) =>
+        bloomKeepsFile(resolvePath(root, rel), statsKeyOf(st, c),
+          fieldIdOf(st, c), Seq(v), conf)
+      case _ => true
+    }
+    val kept = st.files
+      .filter { case (rel, pv) => preds.forall(keepCheap(rel, pv, _)) }
+      .filter { case (rel, _) => preds.forall(keepBloom(rel, _)) }
+    val residual = preds.map {
+      case LongRange(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case LongPoint(c, v) => col(c) === v
+      case StringRange(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case StringPoint(c, v) => col(c) === v
+      case PartitionEquals(c, v) => v match {
+        // partition columns attach as typed literals per partition, so
+        // this residual constant-folds and the optimizer drops
+        // non-matching scans — belt on exact suspenders
+        case Some(x) => col(c).cast(StringType) === x
+        case None => col(c).isNull
+      }
+    }.reduce(_ && _)
+    assembleFiles(spark, root, st, kept).filter(residual)
+  }
+
   def readWhereLong(spark: SparkSession, root: String, column: String,
                     lo: Long, hi: Long): DataFrame = {
     require(lo <= hi, s"DeltaLog.readWhereLong: empty interval [$lo, $hi]")
-    val st = replay(spark, root, currentVersion(root))
-    val kept = st.files
-      .filter { case (p, _) => statsOverlap(st, p, column, lo, hi) }
-    assembleFiles(spark, root, st, kept)
-      .filter(col(column) >= lo && col(column) <= hi)
+    readWhere(spark, root, Seq(ColumnPredicate.LongRange(column, lo, hi)))
   }
 
   /** Nullability and field metadata are write-path metadata, not
@@ -2801,16 +2911,8 @@ object DeltaLog {
     * the same data always prunes the same way.
     */
   def readWhereLongPoint(spark: SparkSession, root: String,
-                         column: String, value: Long): DataFrame = {
-    val st = replay(spark, root, currentVersion(root))
-    val conf = spark.sparkContext.hadoopConfiguration
-    val kept = st.files
-      .filter { case (p, _) => statsOverlap(st, p, column, value, value) }
-      .filter { case (rel, _) =>
-        bloomKeepsFile(resolvePath(root, rel), statsKeyOf(st, column),
-          fieldIdOf(st, column), Seq(java.lang.Long.valueOf(value)), conf) }
-    assembleFiles(spark, root, st, kept).filter(col(column) === value)
-  }
+                         column: String, value: Long): DataFrame =
+    readWhere(spark, root, Seq(ColumnPredicate.LongPoint(column, value)))
 
   /** STRING-range data-skipping read — [[readWhereLong]]'s sibling for
     * lexicographic key ranges (order-id prefixes, ULID/KSUID time
@@ -2823,12 +2925,7 @@ object DeltaLog {
   def readWhereString(spark: SparkSession, root: String, column: String,
                       lo: String, hi: String): DataFrame = {
     require(lo <= hi, s"DeltaLog.readWhereString: empty range [$lo, $hi]")
-    val st = replay(spark, root, currentVersion(root))
-    val ascii = (lo + hi).forall(_ < 0x80)
-    val kept = st.files.filter { case (p, _) =>
-      !ascii || statsOverlapStr(st, p, column, lo, hi) }
-    assembleFiles(spark, root, st, kept)
-      .filter(col(column) >= lo && col(column) <= hi)
+    readWhere(spark, root, Seq(ColumnPredicate.StringRange(column, lo, hi)))
   }
 
   /** [[readWhereLongPoint]]'s STRING sibling — the reference's
@@ -2840,18 +2937,8 @@ object DeltaLog {
     * point-prunable.
     */
   def readWhereStringPoint(spark: SparkSession, root: String,
-                           column: String, value: String): DataFrame = {
-    val st = replay(spark, root, currentVersion(root))
-    val conf = spark.sparkContext.hadoopConfiguration
-    val ascii = value.forall(_ < 0x80)
-    val kept = st.files
-      .filter { case (p, _) =>
-        !ascii || statsOverlapStr(st, p, column, value, value) }
-      .filter { case (rel, _) =>
-        bloomKeepsFile(resolvePath(root, rel), statsKeyOf(st, column),
-          fieldIdOf(st, column), Seq(value), conf) }
-    assembleFiles(spark, root, st, kept).filter(col(column) === value)
-  }
+                           column: String, value: String): DataFrame =
+    readWhere(spark, root, Seq(ColumnPredicate.StringPoint(column, value)))
 
   /** Footer-only bloom probe: true when the file might contain ANY of
     * `keys` (LONG or STRING) in the column named `physName` — or when

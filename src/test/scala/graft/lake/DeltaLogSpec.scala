@@ -1070,6 +1070,57 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.vacuum(spark, root2).nonEmpty)
   }
 
+  test("readWhere intersects predicate layers: a partition-equality × " +
+    "long-range conjunction scans FEWER files than either predicate " +
+    "alone; rows are the exact conjunction") {
+    import spark.implicits._
+    import DeltaLog.ColumnPredicate._
+    val root = freshRoot()
+    // 4 partitions × 4 disjoint-range files each = 16 files: the range
+    // predicate alone keeps one file PER partition (4), the partition
+    // predicate alone keeps its whole partition (4), the conjunction
+    // keeps exactly 1
+    (0 until 4).foreach { r =>
+      DeltaLog.commitPartitioned(spark, root,
+        (0 until 4).flatMap(b => (r * 100 until r * 100 + 100)
+          .map(k => (k.toLong, s"b$b"))).toDF("k", "bucket")
+          .repartition(4, col("bucket")),
+        Seq("bucket"))
+    }
+    assert(DeltaLog.filesAt(spark, root,
+      DeltaLog.currentVersion(root)).size == 16)
+    val rangeOnly = DeltaLog.readWhere(spark, root,
+      Seq(LongRange("k", 150, 160)))
+    val partOnly = DeltaLog.readWhere(spark, root,
+      Seq(PartitionEquals("bucket", Some("b2"))))
+    val both = DeltaLog.readWhere(spark, root,
+      Seq(LongRange("k", 150, 160), PartitionEquals("bucket", Some("b2"))))
+    val (nRange, nPart, nBoth) =
+      (scannedFiles(rangeOnly), scannedFiles(partOnly), scannedFiles(both))
+    assert(nRange == 4L, s"range-only scanned $nRange files")
+    assert(nPart == 4L, s"partition-only scanned $nPart files")
+    assert(nBoth == 1L,
+      s"the conjunction must scan strictly fewer files ($nBoth) than " +
+        s"either single-column prune ($nRange / $nPart)")
+    assert(both.select("k").as[Long].collect().toSet ==
+      (150L to 160L).toSet)
+    // the bloom point layer composes too: point × partition opens only
+    // bloom-kept files of the one partition
+    val pointBoth = DeltaLog.readWhere(spark, root,
+      Seq(LongPoint("k", 155L), PartitionEquals("bucket", Some("b1"))))
+    assert(scannedFiles(pointBoth) <= 1L)
+    assert(pointBoth.select("k").as[Long].collect().toSeq == Seq(155L))
+    // loud contracts: a data predicate on a partition column, and a
+    // partition predicate on a data column, both refuse
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.readWhere(spark, root, Seq(LongRange("bucket", 0, 1)))
+    }.getMessage.contains("PartitionEquals"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.readWhere(spark, root,
+        Seq(PartitionEquals("k", Some("1"))))
+    }.getMessage.contains("not a partition column"))
+  }
+
   test("own-written V2 checkpoint + sidecars: the FULL state replays " +
     "after the JSON prefix is trimmed — files, stats skipping, DV " +
     "state, txn watermarks, configuration") {
