@@ -2623,6 +2623,13 @@ object DeltaLog {
     /** `column = value` on strings — stats + footer bloom. */
     case class StringPoint(column: String, value: String)
       extends ColumnPredicate
+    /** `column BETWEEN lo AND hi` on a DATE column — pruned through
+      * the ISO-rendered date stats ([[statsOverlapDate]]).
+      */
+    case class DateRange(column: String, lo: java.time.LocalDate,
+                         hi: java.time.LocalDate) extends ColumnPredicate {
+      require(!lo.isAfter(hi), s"DateRange($column): empty range [$lo, $hi]")
+    }
     /** `column = value` on a PARTITION column, in the add's rendered
       * partition-value form (`None` = the null partition) — planning-
       * time pruning with zero data IO, exact by construction.
@@ -2672,6 +2679,12 @@ object DeltaLog {
         !(lo + hi).forall(_ < 0x80) || statsOverlapStr(st, rel, c, lo, hi)
       case StringPoint(c, v) =>
         !v.forall(_ < 0x80) || statsOverlapStr(st, rel, c, v, v)
+      case DateRange(c, lo, hi) =>
+        // a probe bound outside the 4-digit-year ISO shape (year ≤ 0 or
+        // > 9999 renders with a sign/5 digits) breaks the lexicographic
+        // equivalence — keep the file, the residual filter is exact
+        !(IsoDateRe.matches(lo.toString) && IsoDateRe.matches(hi.toString)) ||
+          statsOverlapDate(st, rel, c, lo.toString, hi.toString)
       case PartitionEquals(c, v) =>
         pv.get(physPc.getOrElse(c, c)).orElse(pv.get(c)) match {
           case Some(rec) => Option(rec) == v
@@ -2695,6 +2708,9 @@ object DeltaLog {
       case LongPoint(c, v) => col(c) === v
       case StringRange(c, lo, hi) => col(c) >= lo && col(c) <= hi
       case StringPoint(c, v) => col(c) === v
+      case DateRange(c, lo, hi) =>
+        col(c) >= java.sql.Date.valueOf(lo) &&
+          col(c) <= java.sql.Date.valueOf(hi)
       case PartitionEquals(c, v) => v match {
         // partition columns attach as typed literals per partition, so
         // this residual constant-folds and the optimizer drops
@@ -4379,8 +4395,20 @@ object DeltaLog {
     * removes compacted away behind a checkpoint) fall back to the
     * modification-time test. Zero retention is the full collect.
     */
+  /** `VACUUM ... DRY RUN` — the paths a [[vacuum]] at `retentionMs`
+    * WOULD delete, deleting nothing (what an operator reads before
+    * committing to an irreversible reclaim).
+    */
+  def vacuumDryRun(spark: SparkSession, root: String,
+                   retentionMs: Long = 0L): Seq[String] =
+    vacuumImpl(spark, root, retentionMs, delete = false)
+
   def vacuum(spark: SparkSession, root: String,
-             retentionMs: Long): Seq[String] = {
+             retentionMs: Long): Seq[String] =
+    vacuumImpl(spark, root, retentionMs, delete = true)
+
+  private def vacuumImpl(spark: SparkSession, root: String,
+                         retentionMs: Long, delete: Boolean): Seq[String] = {
     require(retentionMs >= 0L, s"DeltaLog.vacuum: retentionMs >= 0")
     require(!Files.isDirectory(Paths.get(root, "_log")),
       s"DeltaLog.vacuum: $root is a graft Snapshots table — vacuum " +
@@ -4450,7 +4478,7 @@ object DeltaLog {
         removalTimes.getOrElse(rel,
           Files.getLastModifiedTime(Paths.get(root, rel)).toMillis)
           <= cutoff)
-    orphans.foreach(rel => Files.delete(Paths.get(root, rel)))
+    if (delete) orphans.foreach(rel => Files.delete(Paths.get(root, rel)))
     orphans.sorted
   }
 

@@ -1121,6 +1121,35 @@ class DeltaLogSpec extends SparkSpec {
     }.getMessage.contains("not a partition column"))
   }
 
+  test("readWhere DateRange prunes through ISO-rendered date stats; " +
+    "vacuumDryRun reports without deleting") {
+    import spark.implicits._
+    import DeltaLog.ColumnPredicate._
+    val root = freshRoot()
+    (0 until 4).foreach { i =>
+      val base = java.time.LocalDate.of(2022, 1, 1).plusMonths(i * 3L)
+      DeltaLog.commitFlat(spark, root,
+        (0 until 30).map(j =>
+          (java.sql.Date.valueOf(base.plusDays(j.toLong)), j.toLong))
+          .toDF("d", "x").coalesce(1))
+    }
+    val ranged = DeltaLog.readWhere(spark, root, Seq(DateRange("d",
+      java.time.LocalDate.of(2022, 4, 5),
+      java.time.LocalDate.of(2022, 4, 20))))
+    assert(scannedFiles(ranged) == 1L,
+      "date range must stats-prune to the one covering file")
+    assert(ranged.count() == 16L)
+    // dry run after a delete: reports the reclaimable set, deletes
+    // nothing; the real vacuum then removes exactly that set
+    DeltaLog.deleteWhereLong(spark, root, "x", 0L, 5L)
+    val wouldGo = DeltaLog.vacuumDryRun(spark, root)
+    assert(wouldGo.nonEmpty)
+    assert(wouldGo.forall(rel => Files.exists(Paths.get(root, rel))),
+      "dry run must not delete")
+    assert(DeltaLog.vacuum(spark, root) == wouldGo)
+    assert(wouldGo.forall(rel => !Files.exists(Paths.get(root, rel))))
+  }
+
   test("own-written V2 checkpoint + sidecars: the FULL state replays " +
     "after the JSON prefix is trimmed — files, stats skipping, DV " +
     "state, txn watermarks, configuration") {
