@@ -2585,6 +2585,39 @@ object SparkEntry {
         graft.lake.DeltaLog.ColumnPredicate.PartitionEquals(
           "event_type", Some("purchase"))))
     }),
+    // NULL-presence skipping read: the driver testdata's events carry
+    // NULL event_ids — committed as their own file here, so the
+    // IsNotNull predicate's nullCount layer drops that file before
+    // any data IO (DeltaLogSpec pins the scanned-file count); the
+    // residual filter keeps the result exact either way.
+    "q301_delta_read_notnull" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      val root = freshScratch("q301")
+      graft.lake.DeltaLog.commitFlat(s, root,
+        ev.filter(col("event_id").isNull))
+      graft.lake.DeltaLog.commitFlat(s, root,
+        ev.filter(col("event_id").isNotNull))
+      graft.lake.DeltaLog.readWhere(s, root, Seq(
+        graft.lake.DeltaLog.ColumnPredicate.IsNotNull("event_id")))
+    }),
+    // METADATA cleanup (delta.logRetentionDuration): after the
+    // checkpoint-boundary cut reclaims the expired JSON prefix, the
+    // CURRENT snapshot must read identically from the retained
+    // checkpoint + tail alone — zero-retention here makes the whole
+    // prefix expired deterministically (no mtime aging in a gate).
+    "q302_delta_log_cleanup" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def third(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      val root = freshScratch("q302")
+      (0 until 3).foreach(i =>
+        graft.lake.DeltaLog.commitFlat(s, root, third(i)))
+      graft.lake.DeltaLog.checkpoint(s, root, 2L)
+      val gone = graft.lake.DeltaLog.cleanUpExpiredLogs(s, root, 0L)
+      require(gone.nonEmpty,
+        "q302: the expired commit prefix must be reclaimed")
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // NESTED STREAMING delta-to-delta: the silver items shape streams
     // through the DSv2 source (recursive Group-walk array<struct>
     // conversion) INTO a second Delta table (the sink stages the same
@@ -4890,6 +4923,14 @@ object SparkEntry {
          WHERE event_id IS NOT NULL
            AND event_id BETWEEN 100 AND 5000
            AND event_type = 'purchase'""",
+    // q301: IS NOT NULL as a plain filter — the nullCount prune is a
+    // scan optimization, never a semantic change.
+    "q301_delta_read_notnull" ->
+      """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
+    // q302: the current snapshot — metadata cleanup must not change
+    // what readers see.
+    "q302_delta_log_cleanup" ->
+      """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
     // q278: the point lookup is a plain equality filter.
     "q278_delta_bloom_lookup" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

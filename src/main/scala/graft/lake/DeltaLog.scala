@@ -2306,6 +2306,27 @@ object DeltaLog {
           (mn.asLong() <= hi && mx.asLong() >= lo)
     }
 
+  /** NULL-presence file skipping over recorded `nullCount`/
+    * `numRecords`: `wantNull = true` keeps files with at least one
+    * physical null; `wantNull = false` drops files that are ALL null
+    * (nullCount == numRecords). Counts are physical, so both prunes
+    * stay exact under deletion vectors — a DV removes rows, never
+    * adds them. Absent or non-numeric counts keep the file.
+    */
+  private def statsNullKeep(st: LogState, path: String, column: String,
+                            wantNull: Boolean): Boolean =
+    st.fileStats.get(path) match {
+      case None => true
+      case Some(s) =>
+        val key = statsKeyOf(st, column)
+        val n = mapper.readTree(s)
+        val nc = n.path("nullCount").path(key)
+        val nr = n.path("numRecords")
+        if (!nc.isNumber) true
+        else if (wantNull) nc.asLong() > 0L
+        else !nr.isNumber || nc.asLong() < nr.asLong()
+    }
+
   /** STRING-range file skipping over recorded footer min/max. External
     * writers TRUNCATE long string stats, but truncation keeps the
     * bounds ENCLOSING (a truncated min is a prefix ≤ the true min; a
@@ -2636,6 +2657,18 @@ object DeltaLog {
       */
     case class PartitionEquals(column: String, value: Option[String])
       extends ColumnPredicate
+    /** `column IS NULL` — pruned through the recorded per-column
+      * `nullCount`: a file whose nullCount is 0 holds no matching
+      * rows. Stats are PHYSICAL, so the prune stays exact under
+      * deletion vectors (a DV only removes rows — it cannot turn a
+      * zero-null file into one with nulls).
+      */
+    case class IsNull(column: String) extends ColumnPredicate
+    /** `column IS NOT NULL` — a file whose nullCount equals its
+      * numRecords is all-null physically, so no surviving row can
+      * match; everything else is kept and the residual filter decides.
+      */
+    case class IsNotNull(column: String) extends ColumnPredicate
   }
 
   /** Read the current snapshot under a CONJUNCTION of predicates with
@@ -2690,6 +2723,8 @@ object DeltaLog {
           case Some(rec) => Option(rec) == v
           case None => true // pv not recorded for c: conservative keep
         }
+      case IsNull(c) => statsNullKeep(st, rel, c, wantNull = true)
+      case IsNotNull(c) => statsNullKeep(st, rel, c, wantNull = false)
     }
     def keepBloom(rel: String, p: ColumnPredicate): Boolean = p match {
       case LongPoint(c, v) =>
@@ -2718,6 +2753,8 @@ object DeltaLog {
         case Some(x) => col(c).cast(StringType) === x
         case None => col(c).isNull
       }
+      case IsNull(c) => col(c).isNull
+      case IsNotNull(c) => col(c).isNotNull
     }.reduce(_ && _)
     assembleFiles(spark, root, st, kept).filter(residual)
   }
@@ -4480,6 +4517,103 @@ object DeltaLog {
           <= cutoff)
     if (delete) orphans.foreach(rel => Files.delete(Paths.get(root, rel)))
     orphans.sorted
+  }
+
+  /** Sidecar parquet names a V2 checkpoint top references, without
+    * loading the sidecars themselves (the cleanup walk needs names
+    * only — content stays unread).
+    */
+  private def sidecarRefsOf(spark: SparkSession, root: String,
+                            top: Path): Seq[String] =
+    if (top.toString.endsWith(".parquet"))
+      spark.read.schema(checkpointSchemaV2).parquet(top.toString)
+        .where(col("sidecar").isNotNull)
+        .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq
+    else jsonCheckpointRows(top)
+      .flatMap(r => Option(r.getStruct(6)).map(_.getString(0)))
+
+  /** Delta's METADATA cleanup — the `_delta_log` sibling of [[vacuum]]
+    * (`delta.logRetentionDuration`, default `interval 30 days`): drop
+    * commit JSONs and checkpoints a newer checkpoint has made
+    * redundant once the history they serve ages past the retention
+    * window. The cut lands on a CHECKPOINT boundary — the largest
+    * checkpoint version whose every predecessor commit is expired —
+    * so the retained log keeps the replay contract intact: every
+    * version ≥ the cut still reconstructs from a retained checkpoint
+    * plus a contiguous JSON tail, and time travel inside the window
+    * is untouched. Expiry follows each commit's RECORDED timestamp
+    * (`inCommitTimestamp` where the table carries the feature, else
+    * commit-file mtime — the same clock [[versionAsOf]] resolves by),
+    * and stops at the first unexpired commit, so a regressed
+    * filesystem clock can only retain more, never gap the chain.
+    * Unreferenced `_sidecars` parquet older than the window (from
+    * deleted V2 tops, or interrupted checkpoint writes) is swept
+    * last. Returns the deleted log-relative paths.
+    */
+  def cleanUpExpiredLogs(spark: SparkSession, root: String): Seq[String] = {
+    val st = replay(spark, root, currentVersion(root))
+    cleanUpExpiredLogs(spark, root, st.configuration
+      .get("delta.logRetentionDuration").map(parseIntervalMs)
+      .getOrElse(30L * 86400000L)) // Delta's documented default
+  }
+
+  def cleanUpExpiredLogs(spark: SparkSession, root: String,
+                         retentionMs: Long): Seq[String] = {
+    require(retentionMs >= 0L,
+      "DeltaLog.cleanUpExpiredLogs: retentionMs >= 0")
+    val refs = checkpointRefs(root)
+    if (refs.isEmpty) return Seq.empty // the JSON chain IS the state
+    val cutoffMs = System.currentTimeMillis() - retentionMs
+    // expired commits form a PREFIX of the retained versions: stop at
+    // the first unexpired one regardless of what follows
+    val expiredPrefixMax = {
+      var last = -1L
+      val it = versions(root).iterator
+      var go = true
+      while (go && it.hasNext) {
+        val v = it.next()
+        if (commitTimestamp(root, v) <= cutoffMs) last = v else go = false
+      }
+      last
+    }
+    // the cut: largest checkpoint version every version BELOW which is
+    // expired (a checkpoint with no JSON predecessors qualifies too —
+    // versions(root) then starts at or above it)
+    val cutOpt = refs.map(_.version).distinct.sorted.reverse.find(cv =>
+      versions(root).forall(v => v >= cv || v <= expiredPrefixMax))
+    val logd = logDir(root)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    cutOpt.foreach { cut =>
+      versions(root).filter(_ < cut).foreach { v =>
+        Files.delete(logd.resolve(commitName(v)))
+        deleted += commitName(v)
+      }
+      refs.filter(_.version < cut).foreach {
+        case ClassicCp(_, parts) => parts.foreach { p =>
+          Files.delete(p); deleted += p.getFileName.toString
+        }
+        case V2Cp(_, top) =>
+          Files.delete(top); deleted += top.getFileName.toString
+      }
+    }
+    // sweep sidecars no retained V2 top references — age-guarded so an
+    // in-flight checkpointV2 (sidecars land before the top) is safe
+    val sideDir = logd.resolve("_sidecars")
+    if (Files.isDirectory(sideDir)) {
+      val live: Set[String] = checkpointRefs(root).collect {
+        case V2Cp(_, top) => sidecarRefsOf(spark, root, top)
+      }.flatten.toSet
+      val s = Files.list(sideDir)
+      val onDisk =
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+        finally s.close()
+      onDisk.filter(p => !live(p.getFileName.toString) &&
+        Files.getLastModifiedTime(p).toMillis <= cutoffMs).foreach { p =>
+        Files.delete(p)
+        deleted += "_sidecars/" + p.getFileName.toString
+      }
+    }
+    deleted.toSeq.sorted
   }
 
   /** Delta `stats` JSON for a data file from its parquet FOOTER alone

@@ -1150,6 +1150,119 @@ class DeltaLogSpec extends SparkSpec {
     assert(wouldGo.forall(rel => !Files.exists(Paths.get(root, rel))))
   }
 
+  test("readWhere IsNull/IsNotNull prune through recorded nullCount " +
+    "and compose with range conjuncts") {
+    import spark.implicits._
+    import DeltaLog.ColumnPredicate._
+    val root = freshRoot()
+    // three one-file commits: all-present, mixed, all-null
+    DeltaLog.commitFlat(spark, root,
+      Seq((Option(1L), "a"), (Option(2L), "a")).toDF("k", "v").coalesce(1))
+    DeltaLog.commitFlat(spark, root,
+      Seq((Option(3L), "b"), (Option.empty[Long], "b"))
+        .toDF("k", "v").coalesce(1))
+    DeltaLog.commitFlat(spark, root,
+      Seq((Option.empty[Long], "c"), (Option.empty[Long], "c"))
+        .toDF("k", "v").coalesce(1))
+    val nulls = DeltaLog.readWhere(spark, root, Seq(IsNull("k")))
+    assert(scannedFiles(nulls) == 2L,
+      "IS NULL must skip the zero-nullCount file")
+    assert(nulls.select("v").as[String].collect().sorted.toSeq ==
+      Seq("b", "c", "c"))
+    val notNulls = DeltaLog.readWhere(spark, root, Seq(IsNotNull("k")))
+    assert(scannedFiles(notNulls) == 2L,
+      "IS NOT NULL must skip the all-null file")
+    assert(notNulls.select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    // conjunction: IS NOT NULL × range [1,2] — the null layer drops
+    // the all-null file, the range layer drops the mixed file (min 3)
+    val both = DeltaLog.readWhere(spark, root,
+      Seq(IsNotNull("k"), LongRange("k", 1L, 2L)))
+    assert(scannedFiles(both) == 1L)
+    assert(both.select("k").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("cleanUpExpiredLogs cuts at a checkpoint boundary: expired " +
+    "prefix commits and superseded checkpoints go, every retained " +
+    "version still replays; unexpired commits pin older checkpoints") {
+    import spark.implicits._
+    val root = freshRoot()
+    (0 to 5).foreach(i => DeltaLog.commitFlat(spark, root,
+      Seq((Option(i.toLong), s"v$i")).toDF("k", "v").coalesce(1)))
+    DeltaLog.checkpoint(spark, root, 2L)
+    DeltaLog.checkpoint(spark, root, 4L)
+    def age(v: Long): Unit = Files.setLastModifiedTime(
+      Paths.get(root, "_delta_log", f"$v%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    val hour = 3600000L
+    // nothing expired: no-op
+    assert(DeltaLog.cleanUpExpiredLogs(spark, root, hour).isEmpty)
+    // 0..2 expired, 3 fresh: the cut can only land on checkpoint 2 —
+    // commits 0 and 1 go, checkpoint 2 and everything above stay
+    Seq(0L, 1L, 2L).foreach(age)
+    val gone1 = DeltaLog.cleanUpExpiredLogs(spark, root, hour)
+    assert(gone1 == Seq(f"${0L}%020d.json", f"${1L}%020d.json"))
+    assert(rows(DeltaLog.readAt(spark, root, 2L)).size == 3)
+    (3L to 5L).foreach(v =>
+      assert(rows(DeltaLog.readAt(spark, root, v)).size == v.toInt + 1))
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.readAt(spark, root, 1L)
+    }.getMessage.contains("does not exist"))
+    // everything below the newest checkpoint expired: cut at 4 —
+    // commits 2,3 and the superseded classic checkpoint 2 go
+    Seq(3L, 4L, 5L).foreach(age)
+    val gone2 = DeltaLog.cleanUpExpiredLogs(spark, root, hour)
+    assert(gone2.toSet == Set(f"${2L}%020d.json", f"${3L}%020d.json",
+      f"${2L}%020d.checkpoint.parquet"))
+    assert(rows(DeltaLog.readAt(spark, root, 4L)).size == 5)
+    assert(rows(DeltaLog.readAt(spark, root, 5L)).size == 6)
+    assert(DeltaLog.currentVersion(root) == 5L)
+    // further writes continue the chain normally after a cleanup
+    DeltaLog.commitFlat(spark, root,
+      Seq((Option(6L), "v6")).toDF("k", "v").coalesce(1))
+    assert(rows(DeltaLog.readAt(spark, root, 6L)).size == 7)
+  }
+
+  test("cleanUpExpiredLogs sweeps V2 tops and their now-unreferenced " +
+    "sidecars; the retained V2 checkpoint still replays") {
+    import spark.implicits._
+    val root = freshRoot()
+    (0 to 1).foreach(i => DeltaLog.commitFlat(spark, root,
+      (1L to 4L).map(k => (Option(k + i * 10L), s"c$i"))
+        .toDF("k", "v").coalesce(1)))
+    DeltaLog.enableV2Checkpoints(spark, root)
+    DeltaLog.checkpointV2(spark, root, 2L, maxAddsPerSidecar = 1L)
+    DeltaLog.commitFlat(spark, root,
+      Seq((Option(100L), "tail")).toDF("k", "v").coalesce(1))
+    DeltaLog.checkpointV2(spark, root, 3L, maxAddsPerSidecar = 1L)
+    val logd = Paths.get(root, "_delta_log")
+    val sideDir = logd.resolve("_sidecars")
+    def ageAll(dir: java.nio.file.Path): Unit = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach(p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - 7200000L)))
+      finally s.close()
+    }
+    ageAll(logd); ageAll(sideDir)
+    val before = { val s = Files.list(sideDir)
+      try s.iterator().asScala.count(Files.isRegularFile(_))
+      finally s.close() }
+    val gone = DeltaLog.cleanUpExpiredLogs(spark, root, 3600000L)
+    // cut at 3: commits 0..2 and the v2 top at 2 go; the top-2
+    // sidecars are unreferenced now and aged — swept
+    assert(gone.exists(_.endsWith(f"${2L}%020d.json")))
+    assert(gone.exists(n => n.startsWith(f"${2L}%020d.checkpoint.")))
+    assert(gone.exists(_.startsWith("_sidecars/")))
+    val after = { val s = Files.list(sideDir)
+      try s.iterator().asScala.count(Files.isRegularFile(_))
+      finally s.close() }
+    assert(after < before)
+    assert(rows(DeltaLog.readAt(spark, root, 3L)).size == 9)
+    assert(DeltaLog.readAt(spark, root, 3L).count() == 9L)
+  }
+
   test("own-written V2 checkpoint + sidecars: the FULL state replays " +
     "after the JSON prefix is trimmed — files, stats skipping, DV " +
     "state, txn watermarks, configuration") {
