@@ -2618,6 +2618,123 @@ object SparkEntry {
         "q302: the expired commit prefix must be reclaimed")
       graft.lake.DeltaLog.read(s, root)
     }),
+    // IN-LIST skipping read: LongIn keeps a file only when SOME listed
+    // value lands in its stats range AND survives its footer bloom
+    // (exact negatives), StringIn likewise ASCII-guarded — the
+    // pmod-split files here have fully overlapping event_id ranges, so
+    // the blooms do the pruning (DeltaLogSpec pins the scanned-file
+    // counts for both layers); the residual isin filter is exact.
+    "q303_delta_read_in" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("value"), col("event_type"))
+        .filter(col("event_id").isNotNull)
+      def q(i: Int) = ev.filter(pmod(col("event_id"), lit(4)) === i)
+      val root = freshScratch("q303")
+      (0 until 4).foreach(i => graft.lake.DeltaLog.commitFlat(s, root,
+        q(i).coalesce(1),
+        writeOptions = graft.lake.DeltaLog.bloomOptions(
+          Seq("event_id"), ndv = 4096)))
+      graft.lake.DeltaLog.readWhere(s, root, Seq(
+        graft.lake.DeltaLog.ColumnPredicate.LongIn(
+          "event_id", Seq(4L, 8L, 1001L, 2005L)),
+        graft.lake.DeltaLog.ColumnPredicate.StringIn(
+          "event_type", Seq("purchase", "view", "click"))))
+    }),
+    // AUTO-CHECKPOINT (delta.checkpointInterval): with the property
+    // declared, the third commit's lag past the last checkpoint
+    // reaches the interval and the writer compacts the log by itself;
+    // the gate requires the checkpoint materialized, then reads the
+    // snapshot THROUGH it (DeltaLogSpec pins lag semantics, the v2
+    // form and the undeclared-table no-op).
+    "q304_delta_auto_checkpoint" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def third(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      val root = freshScratch("q304")
+      graft.lake.DeltaLog.commitFlat(s, root, third(0),
+        configuration = Map("delta.checkpointInterval" -> "2"))
+      (1 until 3).foreach(i =>
+        graft.lake.DeltaLog.commitFlat(s, root, third(i)))
+      import scala.jdk.CollectionConverters._
+      val logd = java.nio.file.Paths.get(root, "_delta_log")
+      val ls = java.nio.file.Files.list(logd)
+      val hasCp =
+        try ls.iterator().asScala.exists(
+          _.getFileName.toString.contains(".checkpoint."))
+        finally ls.close()
+      require(hasCp, "q304: the declared interval must auto-checkpoint")
+      graft.lake.DeltaLog.read(s, root)
+    }),
+    // CDF by TIMESTAMP window: the feed from the UPDATE commit's
+    // inCommitTimestamp onward (Delta's startingTimestamp rule —
+    // first commit at or after the bound opens the window) carries
+    // the update images and the delete, never the insert history;
+    // ICT makes the resolution deterministic (DeltaLogSpec pins the
+    // window bounds and empty-window refusals).
+    "q305_delta_cdf_asof" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(i: Int) =
+        o.filter(pmod(coalesce(col("o_orderkey"), lit(0L)), lit(3)) === i)
+      val root = freshScratch("q305")
+      graft.lake.DeltaLog.commitFlat(s, root, slice(0),
+        configuration = Map(
+          "delta.enableChangeDataFeed" -> "true",
+          "delta.enableInCommitTimestamps" -> "true"))
+      graft.lake.DeltaLog.commitFlat(s, root, slice(1))
+      graft.lake.DeltaLog.commitFlat(s, root, slice(2))
+      graft.lake.DeltaLog.updateWhereLong(s, root, "o_orderkey",
+        100L, 2000L, Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      graft.lake.DeltaLog.deleteWhereLong(s, root, "o_orderkey",
+        3000L, 6000L)
+      val ictTxt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_delta_log",
+          f"${3L}%020d.json")), "UTF-8")
+      val fromTs = """"inCommitTimestamp":(\d+)""".r
+        .findFirstMatchIn(ictTxt).get.group(1).toLong
+      graft.lake.DeltaLog.readChangeFeedAsOf(s, root, fromTs)
+        .groupBy(col(graft.lake.DeltaLog.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents"))
+    }),
+    // RESTORE by TIMESTAMP: the table rolls back to the snapshot the
+    // mid-history inCommitTimestamp resolves (latest commit at or
+    // before it — the same rule as q299's read), and the post-restore
+    // read IS that snapshot.
+    "q306_delta_restore_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def third(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      val root = freshScratch("q306")
+      graft.lake.DeltaLog.commitFlat(s, root, third(0),
+        configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+      graft.lake.DeltaLog.commitFlat(s, root, third(1))
+      graft.lake.DeltaLog.commitFlat(s, root, third(2))
+      val ictTxt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_delta_log",
+          f"${1L}%020d.json")), "UTF-8")
+      val ts1 = """"inCommitTimestamp":(\d+)""".r
+        .findFirstMatchIn(ictTxt).get.group(1).toLong
+      graft.lake.DeltaLog.restoreAsOf(s, root, ts1)
+      graft.lake.DeltaLog.read(s, root)
+    }),
+    // COLUMN DDL on a mapped table: RENAME and DROP are metaData-only
+    // commits — the physical layout (what the data files store, what
+    // stats and blooms key by) never moves; reads project the new
+    // logical shape over the untouched files (DeltaLogSpec pins
+    // zero-file-movement, fresh-id re-adds and the refusal matrix).
+    "q307_delta_column_ddl" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("value"), col("event_type"))
+        .filter(col("event_id").isNotNull)
+      val root = freshScratch("q307")
+      graft.lake.DeltaLog.commitFlat(s, root, ev,
+        configuration = Map("delta.columnMapping.mode" -> "name"))
+      graft.lake.DeltaLog.renameColumn(s, root, "value", "score")
+      graft.lake.DeltaLog.dropColumn(s, root, "event_type")
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // NESTED STREAMING delta-to-delta: the silver items shape streams
     // through the DSv2 source (recursive Group-walk array<struct>
     // conversion) INTO a second Delta table (the sink stages the same
@@ -4930,6 +5047,44 @@ object SparkEntry {
     // q302: the current snapshot — metadata cleanup must not change
     // what readers see.
     "q302_delta_log_cleanup" ->
+      """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
+    // q303: IN lists as plain filters — the stats+bloom prune is a
+    // scan optimization, never a semantic change.
+    "q303_delta_read_in" ->
+      """SELECT event_id, value, event_type FROM events
+         WHERE event_id IS NOT NULL
+           AND event_id IN (4, 8, 1001, 2005)
+           AND event_type IN ('purchase', 'view', 'click')""",
+    // q305: the timestamp window opens at the UPDATE commit — update
+    // images at original/doubled prices plus the later delete; the
+    // insert history stays outside the window.
+    "q305_delta_cdf_asof" ->
+      """SELECT 'update_preimage' AS change_type, count(*) AS n_rows,
+           CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
+         UNION ALL
+         SELECT 'update_postimage', count(*),
+           CAST(sum(CAST(FLOOR(o_totalprice * 2 * 100 + 0.5) AS BIGINT))
+             AS BIGINT)
+         FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
+         UNION ALL
+         SELECT 'delete', count(*),
+           CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT)
+         FROM orders WHERE o_orderkey BETWEEN 3000 AND 6000""",
+    // q306: the restored snapshot is the first two thirds.
+    "q306_delta_restore_asof" ->
+      """SELECT event_id, value FROM events
+         WHERE event_id IS NOT NULL AND event_id % 3 IN (0, 1)""",
+    // q307: rename is a relabel, drop removes the column — the data
+    // underneath never changes.
+    "q307_delta_column_ddl" ->
+      """SELECT event_id, value AS score FROM events
+         WHERE event_id IS NOT NULL""",
+    // q304: the snapshot replayed through the auto-written checkpoint
+    // — compaction must not change what readers see.
+    "q304_delta_auto_checkpoint" ->
       """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
     // q278: the point lookup is a plain equality filter.
     "q278_delta_bloom_lookup" ->

@@ -723,6 +723,35 @@ object DeltaLog {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Post-commit auto-checkpoint (`delta.checkpointInterval`): once a
+    * table declares the property, every data commit measures how far
+    * the JSON tail has grown past the newest checkpoint and compacts
+    * when the lag reaches the interval. The LAG rule — not Delta's
+    * `version % N` — survives metadata-only commits, external writers
+    * and reclaimed prefixes without ever leaving a long uncompacted
+    * tail. Opt-in by design: a checkpoint costs a replay + a parquet
+    * write, which tables a few commits long never amortize, so
+    * undeclared tables keep the explicit [[checkpoint]] workflow.
+    * Decisions read the PRE-commit state the caller already replayed
+    * (zero added IO); a commit that itself declares the property or
+    * the `v2Checkpoint` feature (which selects the sidecar form here)
+    * takes effect from its successor.
+    */
+  private def maybeAutoCheckpoint(spark: SparkSession, root: String,
+                                  st: LogState): Unit =
+    st.configuration.get("delta.checkpointInterval")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .filter(_ >= 1L).foreach { iv =>
+        val cur = currentVersion(root)
+        val newest =
+          checkpointRefs(root).map(_.version).maxOption.getOrElse(-1L)
+        if (cur > 0L && cur - newest >= iv) {
+          if (st.readerFeatures.contains("v2Checkpoint"))
+            checkpointV2(spark, root, cur)
+          else checkpoint(spark, root, cur)
+        }
+      }
+
   // ------------------------------------------------------------------
   // Reader: _delta_log → DataFrame
   // ------------------------------------------------------------------
@@ -2282,6 +2311,107 @@ object DeltaLog {
     v + 1
   }
 
+  /** Columns a stored SQL expression textually references —
+    * word-boundary identifier match, backquoted or bare. Conservative
+    * by design: column DDL REFUSES when a CHECK constraint or a
+    * generation expression mentions the column (the stored SQL would
+    * silently break), trading false refusals on collision-prone names
+    * for never corrupting a live rule — Delta refuses the same way.
+    */
+  private def exprMentions(sql: String, column: String): Boolean =
+    ("(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(column) +
+      "(?![A-Za-z0-9_])").r.findFirstIn(sql).isDefined
+
+  private def requireNoStoredSqlOn(st: LogState, schema: StructType,
+                                   column: String, op: String): Unit = {
+    constraintsOf(st.configuration).foreach { case (name, sql) =>
+      require(!exprMentions(sql, column),
+        s"DeltaLog.$op: CHECK constraint $name references $column — " +
+          "drop the constraint first")
+    }
+    schema.fields
+      .filter(_.metadata.contains("delta.generationExpression"))
+      .foreach { f =>
+        val sql = f.metadata.getString("delta.generationExpression")
+        require(f.name == column || !exprMentions(sql, column),
+          s"DeltaLog.$op: generated column ${f.name}'s expression " +
+            s"references $column — drop the generated column first")
+      }
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN` — the zero-rewrite rename column
+    * mapping exists for: ONE metaData commit changes the field's
+    * LOGICAL name while its `physicalName`/`id` (what data files
+    * store, and what stats/partitionValues/blooms are keyed by) stay
+    * put, so every existing file keeps reading untouched. Refused on
+    * unmapped tables (their physical layout IS their logical names —
+    * Delta requires mapping the same way), on unknown/taken names,
+    * and when a CHECK constraint or another column's generation
+    * expression references the column. Partition-column renames carry
+    * through `partitionColumns` (logical there; the recorded
+    * physical-keyed partitionValues stay valid).
+    */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String): Long = {
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    requireWritable(st, "renameColumn")
+    require(mappingMode(st) != "none",
+      s"DeltaLog.renameColumn: $root has no column mapping — a rename " +
+        "would orphan every data file's stored column; enable mapping " +
+        "(mode name or id) first")
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $root log — schema unknown"))
+    require(schema.fieldNames.contains(from),
+      s"DeltaLog.renameColumn: no column $from in $root")
+    require(!schema.fieldNames.contains(to),
+      s"DeltaLog.renameColumn: column $to already exists in $root")
+    requireNoStoredSqlOn(st, schema, from, "renameColumn")
+    val renamed = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    writeCommitFile(root, v + 1, Seq(metaDataAction(st.tableId,
+      renamed.json, st.partitionColumns.map(c => if (c == from) to else c),
+      st.configuration)), operation = "RENAME COLUMN")
+    v + 1
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` — a metaData-only commit removes the
+    * field from the declared schema; data files keep their physical
+    * column (readers project by the remaining mapped names, so the
+    * bytes become dead weight reclaimed by the next rewrite), which
+    * is why the protocol gates the operation on column mapping. A
+    * later re-add of the same LOGICAL name gets a FRESH
+    * physicalName/id from [[assignMapping]] and therefore never
+    * resurrects the dropped bytes. Refused: unmapped tables,
+    * partition columns, the last column, and columns a CHECK
+    * constraint or generation expression references.
+    */
+  def dropColumn(spark: SparkSession, root: String,
+                 column: String): Long = {
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    requireWritable(st, "dropColumn")
+    require(mappingMode(st) != "none",
+      s"DeltaLog.dropColumn: $root has no column mapping — dropping " +
+        "would shift what positional readers see; enable mapping " +
+        "(mode name or id) first")
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $root log — schema unknown"))
+    require(schema.fieldNames.contains(column),
+      s"DeltaLog.dropColumn: no column $column in $root")
+    require(!st.partitionColumns.contains(column),
+      s"DeltaLog.dropColumn: $column partitions $root — repartition " +
+        "the table instead")
+    require(schema.fields.length > 1,
+      s"DeltaLog.dropColumn: $column is the last column of $root")
+    requireNoStoredSqlOn(st, schema, column, "dropColumn")
+    val remaining = StructType(schema.fields.filterNot(_.name == column))
+    writeCommitFile(root, v + 1, Seq(metaDataAction(st.tableId,
+      remaining.json, st.partitionColumns, st.configuration)),
+      operation = "DROP COLUMN")
+    v + 1
+  }
+
   /** Stats key for `column`: under column mapping, recorded stats are
     * keyed by PHYSICAL name (both external writers and this one derive
     * them from the parquet footer, which stores physical fields).
@@ -2657,6 +2787,24 @@ object DeltaLog {
       */
     case class PartitionEquals(column: String, value: Option[String])
       extends ColumnPredicate
+    /** `column IN (values)` on an integral column: a file stays when
+      * ANY value lands inside its stats range, then the footer bloom
+      * answers the survivors per value (exact negatives — the same
+      * two layers as [[LongPoint]], unioned over the list). Sized for
+      * human-written IN lists; a MILLION-key probe belongs in a
+      * semi-join (the MERGE candidate path), not a predicate list.
+      */
+    case class LongIn(column: String, values: Seq[Long])
+      extends ColumnPredicate {
+      require(values.nonEmpty, s"LongIn($column): empty value list")
+    }
+    /** `column IN (values)` on strings — stats + footer bloom per
+      * value, ASCII-guarded like [[StringPoint]].
+      */
+    case class StringIn(column: String, values: Seq[String])
+      extends ColumnPredicate {
+      require(values.nonEmpty, s"StringIn($column): empty value list")
+    }
     /** `column IS NULL` — pruned through the recorded per-column
       * `nullCount`: a file whose nullCount is 0 holds no matching
       * rows. Stats are PHYSICAL, so the prune stays exact under
@@ -2725,6 +2873,9 @@ object DeltaLog {
         }
       case IsNull(c) => statsNullKeep(st, rel, c, wantNull = true)
       case IsNotNull(c) => statsNullKeep(st, rel, c, wantNull = false)
+      case LongIn(c, vs) => vs.exists(v => statsOverlap(st, rel, c, v, v))
+      case StringIn(c, vs) => vs.exists(v =>
+        !v.forall(_ < 0x80) || statsOverlapStr(st, rel, c, v, v))
     }
     def keepBloom(rel: String, p: ColumnPredicate): Boolean = p match {
       case LongPoint(c, v) =>
@@ -2733,6 +2884,12 @@ object DeltaLog {
       case StringPoint(c, v) =>
         bloomKeepsFile(resolvePath(root, rel), statsKeyOf(st, c),
           fieldIdOf(st, c), Seq(v), conf)
+      case LongIn(c, vs) =>
+        bloomKeepsFile(resolvePath(root, rel), statsKeyOf(st, c),
+          fieldIdOf(st, c), vs.map(java.lang.Long.valueOf), conf)
+      case StringIn(c, vs) =>
+        bloomKeepsFile(resolvePath(root, rel), statsKeyOf(st, c),
+          fieldIdOf(st, c), vs, conf)
       case _ => true
     }
     val kept = st.files
@@ -2755,6 +2912,8 @@ object DeltaLog {
       }
       case IsNull(c) => col(c).isNull
       case IsNotNull(c) => col(c).isNotNull
+      case LongIn(c, vs) => col(c).isin(vs: _*)
+      case StringIn(c, vs) => col(c).isin(vs: _*)
     }.reduce(_ && _)
     assembleFiles(spark, root, st, kept).filter(residual)
   }
@@ -2876,6 +3035,7 @@ object DeltaLog {
     Files.createDirectories(logDir(root))
     writeCommitFile(root, v, actions.result(),
       operation = "STREAMING UPDATE")
+    prior.foreach(maybeAutoCheckpoint(spark, root, _))
   }
 
   /** Executor-side staging dir for the streaming sink (same filesystem
@@ -3164,6 +3324,7 @@ object DeltaLog {
     }
     if (touched == 0) return v
     writeCommitFile(root, v + 1, actions.result(), operation = "DELETE")
+    maybeAutoCheckpoint(spark, root, st)
     v + 1
   }
 
@@ -3330,6 +3491,7 @@ object DeltaLog {
       }
     writeCommitFile(root, v + 1, protocolUpgrade ++ actions.result(),
       operation = "DELETE")
+    maybeAutoCheckpoint(spark, root, st)
     v + 1
   }
 
@@ -3435,6 +3597,7 @@ object DeltaLog {
         }
     }
     writeCommitFile(root, v + 1, actions.result(), operation = "UPDATE")
+    maybeAutoCheckpoint(spark, root, st)
     v + 1
   }
 
@@ -3834,6 +3997,7 @@ object DeltaLog {
         } finally matchedKeys.unpersist()
       }
       writeCommitFile(root, v + 1, actions.result(), operation = "MERGE")
+      maybeAutoCheckpoint(spark, root, st)
       v + 1
     } finally src.unpersist()
   }
@@ -4289,6 +4453,7 @@ object DeltaLog {
     }
     writeCommitFile(root, cur + 1, actions.result(),
       operation = "RESTORE")
+    maybeAutoCheckpoint(spark, root, current)
     cur + 1
   }
 
@@ -4550,6 +4715,18 @@ object DeltaLog {
     * deleted V2 tops, or interrupted checkpoint writes) is swept
     * last. Returns the deleted log-relative paths.
     */
+  /** Change-data files a commit's `cdc` actions reference, log-relative
+    * (the cleanup walk needs names only — content stays unread).
+    */
+  private def cdcRefsOf(root: String, v: Long): Seq[String] =
+    Files.readAllLines(logDir(root).resolve(commitName(v))).asScala.toSeq
+      .filter(_.trim.nonEmpty).flatMap { line =>
+        val n = mapper.readTree(line)
+        if (n.has("cdc"))
+          Some(decodePath(n.path("cdc").path("path").asText()))
+        else None
+      }
+
   def cleanUpExpiredLogs(spark: SparkSession, root: String): Seq[String] = {
     val st = replay(spark, root, currentVersion(root))
     cleanUpExpiredLogs(spark, root, st.configuration
@@ -4584,10 +4761,27 @@ object DeltaLog {
     val logd = logDir(root)
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     cutOpt.foreach { cut =>
-      versions(root).filter(_ < cut).foreach { v =>
+      // `cdc` actions live ONLY in commit JSONs (checkpoints exclude
+      // them per the protocol), so the change-data files of the
+      // reclaimed prefix become unreadable the moment their commits go
+      // — sweep them with the commits. Vacuum deliberately never
+      // touches `_change_data`; THIS is the one place a CDC file's
+      // lifetime ends, because its sole reference is being deleted.
+      // Retained commits' refs are subtracted defensively (a cdc file
+      // is written by exactly one commit, so the set is empty today).
+      val (expired, retained) = versions(root).partition(_ < cut)
+      val deadCdc = expired.flatMap(cdcRefsOf(root, _)).toSet --
+        retained.flatMap(cdcRefsOf(root, _)).toSet
+      expired.foreach { v =>
         Files.delete(logd.resolve(commitName(v)))
         deleted += commitName(v)
       }
+      deadCdc.toSeq.sorted
+        .filter(r => r.startsWith("_change_data/") && !r.contains(".."))
+        .foreach { rel =>
+          val p = resolvePath(root, rel)
+          if (Files.deleteIfExists(p)) deleted += rel
+        }
       refs.filter(_.version < cut).foreach {
         case ClassicCp(_, parts) => parts.foreach { p =>
           Files.delete(p); deleted += p.getFileName.toString
@@ -5102,6 +5296,7 @@ object DeltaLog {
     }
     writeCommitFile(root, v, actions.result(), operation = "WRITE",
       ictStart = v == 0L && ictEnabled)
+    prior.foreach(maybeAutoCheckpoint(spark, root, _))
     v
   }
 
@@ -5284,6 +5479,7 @@ object DeltaLog {
     }
     deleteRecursively(staging)
     writeCommitFile(root, v + 1, actions.result(), operation = "OPTIMIZE")
+    maybeAutoCheckpoint(spark, root, st)
     v + 1
   }
 
@@ -5361,6 +5557,7 @@ object DeltaLog {
     }
     deleteRecursively(staging)
     writeCommitFile(root, v + 1, actions.result(), operation = "OPTIMIZE")
+    maybeAutoCheckpoint(spark, root, st)
     v + 1
   }
 
@@ -5397,6 +5594,40 @@ object DeltaLog {
   /** Read the table as of a wall-clock timestamp (millis). */
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
     readAt(spark, root, versionAsOf(root, tsMillis))
+
+  /** RESTORE to the snapshot a TIMESTAMP resolves — the
+    * `RESTORE TABLE ... TO TIMESTAMP AS OF` form (latest commit at or
+    * before `tsMillis`, [[versionAsOf]]'s ICT-aware clock) of the
+    * version-exact [[restore]].
+    */
+  def restoreAsOf(spark: SparkSession, root: String, tsMillis: Long): Long =
+    restore(spark, root, versionAsOf(root, tsMillis))
+
+  /** Change feed by TIMESTAMP window — Delta's `startingTimestamp`/
+    * `endingTimestamp` form of [[readChangeFeed]]: the window covers
+    * every commit whose effective timestamp ([[versionAsOf]]'s clock,
+    * `inCommitTimestamp`-aware) lies in `[fromTs, toTs]`. Delta's own
+    * boundary rules: the FIRST commit at or after `fromTs` opens the
+    * window, the last commit at or before `toTs` closes it; a window
+    * no commit lands in refuses loudly (like an out-of-range version
+    * pair) rather than answering an empty feed that silently drops
+    * changes.
+    */
+  def readChangeFeedAsOf(spark: SparkSession, root: String, fromTs: Long,
+                         toTs: Long = Long.MaxValue): DataFrame = {
+    require(fromTs <= toTs,
+      s"DeltaLog.readChangeFeedAsOf: empty window ($fromTs > $toTs)")
+    val vs = versions(root)
+    val from = vs.find(v => commitTimestamp(root, v) >= fromTs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"DeltaLog.readChangeFeedAsOf: no commit at or after $fromTs " +
+          s"in $root"))
+    val to = vs.filter(v => commitTimestamp(root, v) <= toTs)
+    require(to.nonEmpty && to.max >= from,
+      s"DeltaLog.readChangeFeedAsOf: no commit inside [$fromTs, $toTs] " +
+        s"in $root")
+    readChangeFeed(spark, root, from - 1, to.max)
+  }
 
   /** DESCRIBE-HISTORY surface: one row per RETAINED JSON commit with
     * the `commitInfo` provenance Delta writers (and this one) record —

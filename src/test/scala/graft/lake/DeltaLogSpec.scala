@@ -1182,6 +1182,64 @@ class DeltaLogSpec extends SparkSpec {
     assert(both.select("k").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("readWhere LongIn/StringIn prune per listed value: stats drop " +
+    "files no value lands in, footer blooms drop in-range non-owners") {
+    import spark.implicits._
+    import DeltaLog.ColumnPredicate._
+    // stats layer: four files with DISJOINT key ranges — an IN list
+    // touching two of them scans exactly two
+    val ranged = freshRoot()
+    (0 until 4).foreach { i =>
+      DeltaLog.commitFlat(spark, ranged,
+        (i * 100 until i * 100 + 100).map(k => (k.toLong, s"f$i"))
+          .toDF("k", "v").coalesce(1))
+    }
+    val two = DeltaLog.readWhere(spark, ranged,
+      Seq(LongIn("k", Seq(5L, 310L, 315L))))
+    assert(scannedFiles(two) == 2L,
+      "stats must keep only the two files the IN list lands in")
+    assert(two.select("k").as[Long].collect().toSet ==
+      Set(5L, 310L, 315L))
+    // bloom layer: four files with fully-OVERLAPPING ranges but
+    // DISJOINT residues mod 8 — stats keep all four for any in-range
+    // value, the blooms keep only the owners of the listed values
+    val hashed = freshRoot()
+    (0 until 4).foreach { i =>
+      DeltaLog.commitFlat(spark, hashed,
+        (0L until 64L).map(j => (8 * j + i, s"f$i-$j")).toDF("k", "v")
+          .coalesce(1),
+        writeOptions = DeltaLog.bloomOptions(Seq("k"), ndv = 64))
+    }
+    val owners = DeltaLog.readWhere(spark, hashed,
+      Seq(LongIn("k", Seq(128L, 129L, 6L)))) // residues 0, 1, absent
+    assert(scannedFiles(owners) == 2L,
+      "blooms must keep only the owner files of listed values")
+    assert(owners.select("k").as[Long].collect().toSet ==
+      Set(128L, 129L))
+    // StringIn: same layers on a string key; a non-ASCII value keeps
+    // files at the stats layer (truncation guard) but the bloom still
+    // answers exactly, and the residual filter stays correct
+    val named = freshRoot()
+    (0 until 3).foreach { i =>
+      DeltaLog.commitFlat(spark, named,
+        (0 until 20).map(j => (s"u$i-$j", i.toLong)).toDF("name", "x")
+          .coalesce(1),
+        writeOptions = DeltaLog.bloomOptions(Seq("name"), ndv = 32))
+    }
+    val sIn = DeltaLog.readWhere(spark, named,
+      Seq(StringIn("name", Seq("u0-5", "u2-7", "absent-é"))))
+    assert(scannedFiles(sIn) == 2L,
+      "string IN must scan only the owners (bloom is byte-exact even " +
+        "for the non-ASCII miss)")
+    assert(sIn.select("name").as[String].collect().toSet ==
+      Set("u0-5", "u2-7"))
+    // empty value lists refuse loudly
+    assert(intercept[IllegalArgumentException](
+      LongIn("k", Seq.empty)).getMessage.contains("empty"))
+    assert(intercept[IllegalArgumentException](
+      StringIn("name", Seq.empty)).getMessage.contains("empty"))
+  }
+
   test("cleanUpExpiredLogs cuts at a checkpoint boundary: expired " +
     "prefix commits and superseded checkpoints go, every retained " +
     "version still replays; unexpired commits pin older checkpoints") {
@@ -1261,6 +1319,217 @@ class DeltaLogSpec extends SparkSpec {
     assert(after < before)
     assert(rows(DeltaLog.readAt(spark, root, 3L)).size == 9)
     assert(DeltaLog.readAt(spark, root, 3L).count() == 9L)
+  }
+
+  test("renameColumn / dropColumn on mapped tables: metaData-only " +
+    "commits with zero data movement; re-added names get FRESH " +
+    "physical ids (dropped bytes never resurrect); refusals loud") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "w")
+        .coalesce(1),
+      configuration = Map("delta.columnMapping.mode" -> "name"))
+    val filesBefore = DeltaLog.filesAt(spark, root, 0L).toSet
+    DeltaLog.renameColumn(spark, root, "v", "label")
+    assert(DeltaLog.filesAt(spark, root,
+      DeltaLog.currentVersion(root)).toSet == filesBefore,
+      "rename must move zero data")
+    val renamed = DeltaLog.read(spark, root)
+    assert(renamed.columns.toSeq == Seq("k", "label", "w"))
+    assert(renamed.select("k", "label").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // writes after the rename land under the SAME physical column:
+    // old and new files read back as one table
+    DeltaLog.commitFlat(spark, root,
+      Seq((3L, "c", 30L)).toDF("k", "label", "w").coalesce(1))
+    assert(DeltaLog.read(spark, root).select("label")
+      .as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
+    // drop w, then re-add the NAME via evolution: the fresh physical
+    // id reads null from every pre-drop file
+    DeltaLog.dropColumn(spark, root, "w")
+    assert(DeltaLog.read(spark, root).columns.toSeq == Seq("k", "label"))
+    DeltaLog.commitFlat(spark, root,
+      Seq((4L, "d", 99L)).toDF("k", "label", "w").coalesce(1),
+      mergeSchema = true)
+    val readd = DeltaLog.read(spark, root).select("k", "w").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(readd == Set((1L, -1L), (2L, -1L), (3L, -1L), (4L, 99L)),
+      s"dropped bytes must not resurrect: $readd")
+    // refusals: unmapped table, taken target, unknown source,
+    // constraint-referenced column, partition column, last column
+    val plain = freshRoot()
+    DeltaLog.commitFlat(spark, plain,
+      Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.renameColumn(spark, plain, "v", "x"))
+      .getMessage.contains("no column mapping"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.dropColumn(spark, plain, "v"))
+      .getMessage.contains("no column mapping"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.renameColumn(spark, root, "label", "k"))
+      .getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.renameColumn(spark, root, "gone", "x"))
+      .getMessage.contains("no column gone"))
+    DeltaLog.addCheckConstraint(spark, root, "label_nonempty",
+      "length(label) > 0")
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.renameColumn(spark, root, "label", "title"))
+      .getMessage.contains("CHECK constraint"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.dropColumn(spark, root, "label"))
+      .getMessage.contains("CHECK constraint"))
+    val parted = freshRoot()
+    DeltaLog.commitPartitioned(spark, parted,
+      Seq((1L, "p0"), (2L, "p1")).toDF("k", "bucket"),
+      Seq("bucket"),
+      configuration = Map("delta.columnMapping.mode" -> "name"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.dropColumn(spark, parted, "bucket"))
+      .getMessage.contains("partitions"))
+    // a partition-column RENAME carries partitionColumns and pruning
+    DeltaLog.renameColumn(spark, parted, "bucket", "shard")
+    val pruned = DeltaLog.readWhere(spark, parted,
+      Seq(DeltaLog.ColumnPredicate.PartitionEquals("shard", Some("p0"))))
+    assert(pruned.select("k").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("restoreAsOf and readChangeFeedAsOf resolve by commit " +
+    "timestamp: the window's first-at-or-after/last-at-or-before " +
+    "bounds are Delta's, ICT-aware; empty windows refuse") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1),
+      configuration = Map(
+        "delta.enableChangeDataFeed" -> "true",
+        "delta.enableInCommitTimestamps" -> "true"))
+    DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((2L, "B")).toDF("k", "v")) // v1: update
+    DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((3L, "c")).toDF("k", "v")) // v2: insert
+    // resolution runs on the ICT clock, not commitInfo.timestamp —
+    // probe with the exact values the resolver reads
+    def ts(v: Long): Long = {
+      val txt = new String(Files.readAllBytes(
+        Paths.get(root, "_delta_log", f"$v%020d.json")), "UTF-8")
+      """"inCommitTimestamp":(\d+)""".r
+        .findFirstMatchIn(txt).get.group(1).toLong
+    }
+    // feed window [ts(v1), ts(v1)]: exactly v1's changes
+    val w1 = DeltaLog.readChangeFeedAsOf(spark, root, ts(1L), ts(1L))
+      .select("k", "v", DeltaLog.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(w1 == Set((2L, "b", "update_preimage"),
+      (2L, "B", "update_postimage")))
+    // open-ended from v2's timestamp: just the insert
+    val w2 = DeltaLog.readChangeFeedAsOf(spark, root, ts(2L))
+      .select("k", DeltaLog.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(w2 == Set((3L, "insert")))
+    // from BEFORE v0: the creating commit's rows arrive as inserts too
+    val all = DeltaLog.readChangeFeedAsOf(spark, root, ts(0L) - 10L)
+    assert(all.count() == 5L)
+    // a window between two commits' timestamps holds no commit: refuse
+    // (ICT is strictly monotonic, so ts(v1)+… gaps exist iff ts differ)
+    if (ts(2L) - ts(1L) > 1L) {
+      assert(intercept[IllegalArgumentException](
+        DeltaLog.readChangeFeedAsOf(spark, root, ts(1L) + 1L, ts(2L) - 1L))
+        .getMessage.contains("no commit inside"))
+    }
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.readChangeFeedAsOf(spark, root, ts(2L) + 1L))
+      .getMessage.contains("no commit at or after"))
+    // restore by timestamp: back to v1's snapshot
+    val rv = DeltaLog.restoreAsOf(spark, root, ts(1L))
+    assert(rv == 3L)
+    assert(rows(DeltaLog.read(spark, root)) == Set((1L, "a"), (2L, "B")))
+  }
+
+  test("auto-checkpoint: a declared delta.checkpointInterval compacts " +
+    "the log whenever the tail lags the newest checkpoint by the " +
+    "interval — v2 form once the feature is declared; undeclared " +
+    "tables never auto-checkpoint") {
+    import spark.implicits._
+    val root = freshRoot()
+    def cps: Seq[String] = {
+      val s = Files.list(Paths.get(root, "_delta_log"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.contains(".checkpoint.")).toSeq.sorted
+      finally s.close()
+    }
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a")).toDF("k", "v").coalesce(1),
+      configuration = Map("delta.checkpointInterval" -> "2"))
+    assert(cps.isEmpty) // v0: creating commit, nothing to compact yet
+    DeltaLog.commitFlat(spark, root,
+      Seq((2L, "b")).toDF("k", "v").coalesce(1))
+    assert(cps == Seq(f"${1L}%020d.checkpoint.parquet"),
+      "lag 2 past no-checkpoint must compact at v1")
+    DeltaLog.commitFlat(spark, root,
+      Seq((3L, "c")).toDF("k", "v").coalesce(1))
+    assert(cps.size == 1, "lag 1 must not compact")
+    DeltaLog.deleteWhereLong(spark, root, "k", 1L, 1L) // v3: lag 2
+    assert(cps.contains(f"${3L}%020d.checkpoint.parquet"),
+      "DML commits participate in the lag count")
+    // declare v2 checkpoints (protocol-upgrade commit v4, unhooked by
+    // design), then the next data commit compacts in the SIDECAR form
+    DeltaLog.enableV2Checkpoints(spark, root)
+    DeltaLog.commitFlat(spark, root,
+      Seq((4L, "d")).toDF("k", "v").coalesce(1)) // v5: lag 2
+    assert(cps.exists(_.startsWith(f"${5L}%020d.checkpoint.")),
+      s"v2 auto-checkpoint missing: $cps")
+    assert(Files.isDirectory(
+      Paths.get(root, "_delta_log", "_sidecars")))
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set((2L, "b"), (3L, "c"), (4L, "d")))
+    // undeclared table: same traffic, zero checkpoints
+    val plain = freshRoot()
+    (0 until 4).foreach(i => DeltaLog.commitFlat(spark, plain,
+      Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    val s2 = Files.list(Paths.get(plain, "_delta_log"))
+    val names = try s2.iterator().asScala
+      .map(_.getFileName.toString).toSeq finally s2.close()
+    assert(!names.exists(_.contains(".checkpoint.")))
+  }
+
+  test("cleanUpExpiredLogs sweeps the change-data files of reclaimed " +
+    "commits (their only reference is the deleted JSON); the retained " +
+    "range's feed stays readable, the reclaimed range refuses") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((2L, "B")).toDF("k", "v")) // v1: one cdc file
+    DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((3L, "C")).toDF("k", "v")) // v2: one cdc file
+    DeltaLog.checkpoint(spark, root, 2L)
+    def cdcCount: Int = {
+      val s = Files.list(Paths.get(root, "_change_data"))
+      try s.iterator().asScala.count(Files.isRegularFile(_))
+      finally s.close()
+    }
+    assert(cdcCount == 2)
+    val gone = DeltaLog.cleanUpExpiredLogs(spark, root, 0L)
+    // commits 0,1 reclaimed — v1's cdc file goes with them, v2's stays
+    assert(gone.exists(_.endsWith(f"${1L}%020d.json")))
+    assert(gone.count(_.startsWith("_change_data/")) == 1, gone)
+    assert(cdcCount == 1)
+    val feed = DeltaLog.readChangeFeed(spark, root, 1L)
+      .select("k", "v", DeltaLog.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set((3L, "c", "update_preimage"),
+      (3L, "C", "update_postimage")))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.readChangeFeed(spark, root, 0L))
+      .getMessage.contains("needs its JSON commits"))
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set((1L, "a"), (2L, "B"), (3L, "C")))
   }
 
   test("own-written V2 checkpoint + sidecars: the FULL state replays " +
