@@ -2735,6 +2735,35 @@ object SparkEntry {
       graft.lake.DeltaLog.dropColumn(s, root, "event_type")
       graft.lake.DeltaLog.read(s, root)
     }),
+    // STREAMING from a TIMESTAMP: the source opens at the first commit
+    // at or after the middle commit's inCommitTimestamp (Delta's
+    // startingTimestamp option) — the stream carries the last two
+    // thirds, never the creation commit (DeltaStreamSpec pins the
+    // future-bound and mutual-exclusion rules).
+    "q308_delta_stream_since_ts" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def third(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      val root = freshScratch("q308")
+      graft.lake.DeltaLog.commitFlat(s, root, third(0),
+        configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+      graft.lake.DeltaLog.commitFlat(s, root, third(1))
+      graft.lake.DeltaLog.commitFlat(s, root, third(2))
+      val ictTxt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_delta_log",
+          f"${1L}%020d.json")), "UTF-8")
+      val ts1 = """"inCommitTimestamp":(\d+)""".r
+        .findFirstMatchIn(ictTxt).get.group(1).toLong
+      val name = s"q308_sink_${System.nanoTime()}"
+      val q = s.readStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", root)
+        .option("startingTimestamp", ts1.toString).load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+    }),
     // NESTED STREAMING delta-to-delta: the silver items shape streams
     // through the DSv2 source (recursive Group-walk array<struct>
     // conversion) INTO a second Delta table (the sink stages the same
@@ -5082,6 +5111,10 @@ object SparkEntry {
     "q307_delta_column_ddl" ->
       """SELECT event_id, value AS score FROM events
          WHERE event_id IS NOT NULL""",
+    // q308: the streamed window is the last two thirds.
+    "q308_delta_stream_since_ts" ->
+      """SELECT event_id, value FROM events
+         WHERE event_id IS NOT NULL AND event_id % 3 IN (1, 2)""",
     // q304: the snapshot replayed through the auto-written checkpoint
     // — compaction must not change what readers see.
     "q304_delta_auto_checkpoint" ->

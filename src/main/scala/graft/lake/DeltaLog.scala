@@ -5595,6 +5595,14 @@ object DeltaLog {
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
     readAt(spark, root, versionAsOf(root, tsMillis))
 
+  /** First retained version whose effective timestamp ([[versionAsOf]]'s
+    * ICT-aware clock) is at or after `tsMillis` — the streaming
+    * source's `startingTimestamp` rule; None when every retained
+    * commit predates the bound (stream only what arrives next).
+    */
+  def firstVersionAtOrAfter(root: String, tsMillis: Long): Option[Long] =
+    versions(root).find(v => commitTimestamp(root, v) >= tsMillis)
+
   /** RESTORE to the snapshot a TIMESTAMP resolves — the
     * `RESTORE TABLE ... TO TIMESTAMP AS OF` form (latest commit at or
     * before `tsMillis`, [[versionAsOf]]'s ICT-aware clock) of the

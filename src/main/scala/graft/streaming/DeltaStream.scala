@@ -44,7 +44,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * decimal refuses loudly at scan build.
   *
   * `option("startingVersion", v)` starts the FIRST run after commit v
-  * (default −1 = from table creation); `maxVersionsPerTrigger` bounds
+  * (default −1 = from table creation); `option("startingTimestamp",
+  * epochMillis)` instead streams from the first commit AT or AFTER
+  * the bound (ICT-aware, mutually exclusive with startingVersion; a
+  * bound past retained history streams only future commits);
+  * `maxVersionsPerTrigger` bounds
   * each batch's commit range (admission control);
   * `readChangeFeed=true` streams the CHANGE FEED instead (cdc files
   * with their own `_change_type`, synthesized inserts,
@@ -73,10 +77,26 @@ class DeltaStreamProvider extends TableProvider {
     val root = properties.get("path")
     require(root != null,
       "DeltaStreamProvider: option(\"path\", <table root>) is required")
-    val startingVersion =
+    val explicitVersion =
       Option(properties.get("startingversion"))
         .orElse(Option(properties.get("startingVersion")))
-        .map(_.toLong).getOrElse(-1L)
+        .map(_.toLong)
+    val startingTs =
+      Option(properties.get("startingtimestamp"))
+        .orElse(Option(properties.get("startingTimestamp")))
+        .map(_.toLong)
+    require(explicitVersion.isEmpty || startingTs.isEmpty,
+      "DeltaStreamProvider: startingVersion and startingTimestamp are " +
+        "mutually exclusive")
+    val startingVersion = startingTs match {
+      // Delta's startingTimestamp rule: changes stream FROM the first
+      // commit at or after the bound (the offset is exclusive, hence
+      // the -1); a bound past the retained history streams only what
+      // arrives next
+      case Some(ts) => DeltaLog.firstVersionAtOrAfter(root, ts)
+        .map(_ - 1L).getOrElse(DeltaLog.currentVersion(root))
+      case None => explicitVersion.getOrElse(-1L)
+    }
     val maxVersionsPerTrigger =
       Option(properties.get("maxversionspertrigger"))
         .orElse(Option(properties.get("maxVersionsPerTrigger")))

@@ -515,6 +515,69 @@ class DeltaStreamSpec extends SparkSpec {
       chain(e).mkString(" | "))
   }
 
+  test("startingTimestamp streams from the first commit at or after " +
+    "the bound (ICT-aware); a future bound streams only what arrives " +
+    "next; combining with startingVersion refuses") {
+    val root = freshDir("graft-dstream-sts")
+    DeltaLog.commitFlat(spark, root, Seq((1L, "a")).toDF("k", "v"),
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaLog.commitFlat(spark, root, Seq((2L, "b")).toDF("k", "v"))
+    DeltaLog.commitFlat(spark, root, Seq((3L, "c")).toDF("k", "v"))
+    def ict(v: Long): Long = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json")),
+        "UTF-8")
+      """"inCommitTimestamp":(\d+)""".r
+        .findFirstMatchIn(txt).get.group(1).toLong
+    }
+    val name = s"dsts_${System.nanoTime()}"
+    val q = spark.readStream
+      .format("graft.streaming.DeltaStreamProvider")
+      .option("path", root)
+      .option("startingTimestamp", ict(1L).toString).load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((2L, "b"), (3L, "c")))
+    } finally q.stop()
+    // a bound past the retained history: nothing until a new commit
+    val name2 = s"dsts2_${System.nanoTime()}"
+    val q2 = spark.readStream
+      .format("graft.streaming.DeltaStreamProvider")
+      .option("path", root)
+      .option("startingTimestamp", (ict(2L) + 1L).toString).load()
+      .writeStream.format("memory").queryName(name2)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).isEmpty)
+      DeltaLog.commitFlat(spark, root, Seq((4L, "d")).toDF("k", "v"))
+      q2.processAllAvailable()
+      assert(spark.table(name2).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((4L, "d")))
+    } finally q2.stop()
+    // both options at once refuse loudly
+    val e = intercept[Exception] {
+      val qq = spark.readStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", root)
+        .option("startingVersion", "0")
+        .option("startingTimestamp", "0").load()
+        .writeStream.format("memory")
+        .queryName(s"dsts3_${System.nanoTime()}")
+        .outputMode("append").start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("mutually exclusive")),
+      chain(e).mkString(" | "))
+  }
+
   test("startingVersion skips history; schema evolution null-fills " +
     "pre-evolution files in flight; DML in the tail fails the stream " +
     "loudly") {
