@@ -2764,6 +2764,41 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table(name)
     }),
+    // SYMLINK MANIFEST (GENERATE symlink_format_manifest): the
+    // Presto/Athena interop listing — after a CoW delete, reading the
+    // parquet files the manifests enumerate (no _delta_log in the
+    // loop) reproduces the snapshot exactly; DV'd actives refuse
+    // (DeltaLogSpec pins the per-partition layout, stale-manifest
+    // removal and the refusal).
+    "q309_delta_symlink_manifest" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def third(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      val root = freshScratch("q309")
+      (0 until 3).foreach(i =>
+        graft.lake.DeltaLog.commitFlat(s, root, third(i)))
+      graft.lake.DeltaLog.deleteWhereLong(s, root, "event_id",
+        1000L, 2000L)
+      import scala.jdk.CollectionConverters._
+      val manifests = graft.lake.DeltaLog.generateSymlinkManifest(s, root)
+      val paths = manifests.flatMap(r => java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(root, r)).asScala)
+      s.read.parquet(paths: _*)
+    }),
+    // SHALLOW CLONE at VERSION AS OF: the clone's commit 0 pins the
+    // source's MID-HISTORY state (two of three thirds) with zero data
+    // copies; later source commits never leak into it.
+    "q310_delta_clone_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def third(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      val root = freshScratch("q310")
+      (0 until 3).foreach(i =>
+        graft.lake.DeltaLog.commitFlat(s, root, third(i)))
+      val tgt = freshScratch("q310_clone")
+      graft.lake.DeltaLog.shallowClone(s, root, tgt, version = 1L)
+      graft.lake.DeltaLog.read(s, tgt)
+    }),
     // NESTED STREAMING delta-to-delta: the silver items shape streams
     // through the DSv2 source (recursive Group-walk array<struct>
     // conversion) INTO a second Delta table (the sink stages the same
@@ -5115,6 +5150,15 @@ object SparkEntry {
     "q308_delta_stream_since_ts" ->
       """SELECT event_id, value FROM events
          WHERE event_id IS NOT NULL AND event_id % 3 IN (1, 2)""",
+    // q309: the manifest enumerates exactly the post-delete actives.
+    "q309_delta_symlink_manifest" ->
+      """SELECT event_id, value FROM events
+         WHERE event_id IS NOT NULL
+           AND event_id NOT BETWEEN 1000 AND 2000""",
+    // q310: the clone pinned the first two thirds.
+    "q310_delta_clone_asof" ->
+      """SELECT event_id, value FROM events
+         WHERE event_id IS NOT NULL AND event_id % 3 IN (0, 1)""",
     // q304: the snapshot replayed through the auto-written checkpoint
     // — compaction must not change what readers see.
     "q304_delta_auto_checkpoint" ->

@@ -4471,10 +4471,18 @@ object DeltaLog {
     * collected. Returns the clone's version 0.
     */
   def shallowClone(spark: SparkSession, sourceRoot: String,
-                   targetRoot: String): Long = {
+                   targetRoot: String, version: Long = -1L): Long = {
     require(!Files.isDirectory(logDir(targetRoot)),
       s"DeltaLog.shallowClone: $targetRoot already has a _delta_log")
-    val st = replay(spark, sourceRoot, currentVersion(sourceRoot))
+    // `CLONE src VERSION AS OF v`: the clone's commit 0 is the
+    // source's state AT that version (−1 = current) — time travel
+    // materialized as a new table, still zero data copies
+    val srcCur = currentVersion(sourceRoot)
+    require(version <= srcCur,
+      s"DeltaLog.shallowClone: version $version does not exist in " +
+        s"$sourceRoot (current is $srcCur)")
+    val st = replay(spark, sourceRoot,
+      if (version < 0L) srcCur else version)
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $sourceRoot log — schema unknown"))
     val srcAbs = Paths.get(sourceRoot).toAbsolutePath.normalize()
@@ -4540,6 +4548,56 @@ object DeltaLog {
       ictStart = st.configuration.get("delta.enableInCommitTimestamps")
         .exists(_.trim.equalsIgnoreCase("true")))
     0L
+  }
+
+  /** `CLONE src TIMESTAMP AS OF ts` — [[shallowClone]] at the version
+    * [[versionAsOf]] resolves (latest commit at or before `tsMillis`,
+    * ICT-aware).
+    */
+  def shallowCloneAsOf(spark: SparkSession, sourceRoot: String,
+                       targetRoot: String, tsMillis: Long): Long =
+    shallowClone(spark, sourceRoot, targetRoot,
+      versionAsOf(sourceRoot, tsMillis))
+
+  /** `GENERATE symlink_format_manifest` — the Presto / Athena /
+    * legacy-Hive interop surface delta.io documents: one `manifest`
+    * text file per partition directory under
+    * `_symlink_format_manifest/`, each line the ABSOLUTE path of an
+    * active data file of that partition (flat tables write the single
+    * root manifest). The whole tree regenerates per call — manifests
+    * of partitions the current snapshot no longer holds are removed,
+    * so a stale reader never resurrects a dropped partition. Refused
+    * while any active file carries a deletion vector: a symlink
+    * reader sees whole files and would resurrect the deleted rows
+    * (compact the DVs away first). Returns the written manifest paths
+    * relative to the table root.
+    */
+  def generateSymlinkManifest(spark: SparkSession,
+                              root: String): Seq[String] = {
+    val st = replay(spark, root, currentVersion(root))
+    val dvd = st.files.map(_._1).filter(st.fileDvs.contains)
+    require(dvd.isEmpty,
+      s"DeltaLog.generateSymlinkManifest: ${dvd.size} active file(s) " +
+        "carry deletion vectors — a symlink reader would resurrect " +
+        "their deleted rows; rewrite them first (compact/OPTIMIZE)")
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize()
+    val base = rootAbs.resolve("_symlink_format_manifest")
+    if (Files.isDirectory(base)) deleteRecursively(base)
+    // group active files by their partition DIRECTORY (everything
+    // above the file name; flat tables group under "")
+    val byDir = st.files.map { case (rel, _) =>
+      val slash = rel.lastIndexOf('/')
+      val dir = if (slash < 0) "" else rel.substring(0, slash)
+      dir -> resolvePath(root, rel).toAbsolutePath.normalize().toString
+    }.groupBy(_._1)
+    byDir.toSeq.sortBy(_._1).map { case (dir, entries) =>
+      val outDir = if (dir.isEmpty) base else base.resolve(dir)
+      Files.createDirectories(outDir)
+      val body = entries.map(_._2).sorted.mkString("", "\n", "\n")
+      Files.write(outDir.resolve("manifest"), body.getBytes("UTF-8"))
+      (if (dir.isEmpty) "_symlink_format_manifest/manifest"
+       else s"_symlink_format_manifest/$dir/manifest")
+    }
   }
 
   /** Physically delete data files the CURRENT version no longer

@@ -1397,6 +1397,54 @@ class DeltaLogSpec extends SparkSpec {
     assert(pruned.select("k").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("generateSymlinkManifest writes per-partition manifests of " +
+    "absolute active paths; regeneration drops vanished partitions; " +
+    "DV'd snapshots refuse; shallowClone pins a VERSION AS OF") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((1L, "b0"), (2L, "b0"), (10L, "b1")).toDF("k", "bucket")
+        .repartition(2, col("bucket")),
+      Seq("bucket"))
+    val written = DeltaLog.generateSymlinkManifest(spark, root)
+    assert(written.toSet ==
+      Set("_symlink_format_manifest/bucket=b0/manifest",
+        "_symlink_format_manifest/bucket=b1/manifest"), written)
+    val viaManifest = spark.read
+      .option("basePath", root)
+      .parquet(written.flatMap(r =>
+        Files.readAllLines(Paths.get(root, r)).asScala): _*)
+      .select("k", "bucket").as[(Long, String)].collect().toSet
+    assert(viaManifest == Set((1L, "b0"), (2L, "b0"), (10L, "b1")))
+    // partition b1 vanishes: its manifest must vanish with it
+    DeltaLog.deleteWhereLong(spark, root, "k", 10L, 10L)
+    val again = DeltaLog.generateSymlinkManifest(spark, root)
+    assert(again == Seq("_symlink_format_manifest/bucket=b0/manifest"))
+    assert(!Files.exists(
+      Paths.get(root, "_symlink_format_manifest", "bucket=b1")))
+    // DV'd actives refuse — whole-file symlink readers would
+    // resurrect the deleted rows
+    val dvRoot = freshRoot()
+    DeltaLog.commitFlat(spark, dvRoot,
+      (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    DeltaLog.deleteWhereLongDV(spark, dvRoot, "k", 2L, 3L)
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.generateSymlinkManifest(spark, dvRoot))
+      .getMessage.contains("deletion vectors"))
+    // clone VERSION AS OF: the clone's commit 0 is the old snapshot
+    val src = freshRoot()
+    DeltaLog.commitFlat(spark, src,
+      Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    DeltaLog.commitFlat(spark, src,
+      Seq((2L, "b")).toDF("k", "v").coalesce(1))
+    val tgt = freshRoot() + "-clone"
+    DeltaLog.shallowClone(spark, src, tgt, version = 0L)
+    assert(rows(DeltaLog.read(spark, tgt)) == Set((1L, "a")))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.shallowClone(spark, src, freshRoot() + "-x", version = 9L))
+      .getMessage.contains("does not exist"))
+  }
+
   test("restoreAsOf and readChangeFeedAsOf resolve by commit " +
     "timestamp: the window's first-at-or-after/last-at-or-before " +
     "bounds are Delta's, ICT-aware; empty windows refuse") {
