@@ -2799,6 +2799,26 @@ object SparkEntry {
       graft.lake.DeltaLog.shallowClone(s, root, tgt, version = 1L)
       graft.lake.DeltaLog.read(s, tgt)
     }),
+    // SET TBLPROPERTIES mid-life: CDF turns ON at the property commit
+    // (the protocol floor co-bumps to 4 — DeltaLogSpec pins it) and
+    // the feed from that version carries exactly the post-enablement
+    // update images; nothing before it leaks in.
+    "q311_delta_set_properties" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val root = freshScratch("q311")
+      graft.lake.DeltaLog.commitFlat(s, root,
+        o.filter(col("o_orderkey").isNotNull))
+      val vCdf = graft.lake.DeltaLog.setTableProperties(s, root,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      graft.lake.DeltaLog.updateWhereLong(s, root, "o_orderkey",
+        100L, 2000L, Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      graft.lake.DeltaLog.readChangeFeed(s, root, vCdf)
+        .groupBy(col(graft.lake.DeltaLog.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents"))
+    }),
     // NESTED STREAMING delta-to-delta: the silver items shape streams
     // through the DSv2 source (recursive Group-walk array<struct>
     // conversion) INTO a second Delta table (the sink stages the same
@@ -5159,6 +5179,17 @@ object SparkEntry {
     "q310_delta_clone_asof" ->
       """SELECT event_id, value FROM events
          WHERE event_id IS NOT NULL AND event_id % 3 IN (0, 1)""",
+    // q311: only the post-enablement update images.
+    "q311_delta_set_properties" ->
+      """SELECT 'update_preimage' AS change_type, count(*) AS n_rows,
+           CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
+         UNION ALL
+         SELECT 'update_postimage', count(*),
+           CAST(sum(CAST(FLOOR(o_totalprice * 2 * 100 + 0.5) AS BIGINT))
+             AS BIGINT)
+         FROM orders WHERE o_orderkey BETWEEN 100 AND 2000""",
     // q304: the snapshot replayed through the auto-written checkpoint
     // — compaction must not change what readers see.
     "q304_delta_auto_checkpoint" ->

@@ -2311,6 +2311,111 @@ object DeltaLog {
     v + 1
   }
 
+  /** `ALTER TABLE … SET TBLPROPERTIES` — a metaData-only commit
+    * merging `props` into the table configuration, with the PROTOCOL
+    * co-upgraded when a property demands a higher writer floor
+    * (Delta's own behavior: enabling changeDataFeed on a writer-2
+    * table bumps it to 4 — legacy floors imply their feature sets, so
+    * the bump is enumerable; a features-form table appends the named
+    * feature instead). `delta.enableInCommitTimestamps` may be
+    * ENABLED here (the monotonic chain starts at THIS commit, which
+    * carries the first `inCommitTimestamp`) but never disabled or
+    * unset — timestamp resolution over the existing ICT history would
+    * silently break. `delta.columnMapping.*` changes refuse: flipping
+    * the mode is a physical-layout migration (every field needs a
+    * physicalName/id), not a property write.
+    */
+  def setTableProperties(spark: SparkSession, root: String,
+                         props: Map[String, String]): Long = {
+    require(props.nonEmpty, "DeltaLog.setTableProperties: empty props")
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    requireWritable(st, "setTableProperties")
+    props.keys.find(_.startsWith("delta.columnMapping.")).foreach(k =>
+      require(props.get(k) == st.configuration.get(k),
+        s"DeltaLog.setTableProperties: $k is a physical-layout " +
+          "declaration, not a flippable property — create the table " +
+          "with the mapping mode it should keep"))
+    val wasIct = st.configuration.get("delta.enableInCommitTimestamps")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    val wantIct = props.get("delta.enableInCommitTimestamps")
+      .map(_.trim.equalsIgnoreCase("true"))
+    require(!(wasIct && wantIct.contains(false)),
+      "DeltaLog.setTableProperties: inCommitTimestamps cannot be " +
+        "disabled — existing-history timestamp resolution would break")
+    val enablingIct = !wasIct && wantIct.contains(true)
+    val cfg = st.configuration ++ props
+    val needsCdf = cfg.get("delta.enableChangeDataFeed")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $root log — schema unknown"))
+    val actions = Seq.newBuilder[JsonNode]
+    val legacyFloor = math.max(st.minWriterVersion,
+      if (needsCdf) 4 else 2)
+    if (enablingIct || st.minWriterVersion >= 7) {
+      // features form: enumerate what the legacy floor implied plus
+      // what this property set demands
+      val feats = (legacyWriterFeatures(math.min(legacyFloor, 6)) ++
+        st.writerFeatures ++
+        (if (needsCdf) Seq("changeDataFeed") else Nil) ++
+        (if (enablingIct || wasIct) Seq("inCommitTimestamp") else Nil))
+        .distinct
+      if (st.minWriterVersion < 7 ||
+          !feats.forall(st.writerFeatures.contains)) {
+        val n = mapper.createObjectNode()
+        val p = n.putObject("protocol")
+        p.put("minReaderVersion", st.minReaderVersion)
+        p.put("minWriterVersion", 7)
+        if (st.readerFeatures.nonEmpty) {
+          val rf = p.putArray("readerFeatures")
+          st.readerFeatures.foreach(rf.add)
+        }
+        val wf = p.putArray("writerFeatures")
+        feats.foreach(wf.add)
+        actions += n
+      }
+    } else if (legacyFloor > st.minWriterVersion) {
+      val n = mapper.createObjectNode()
+      val p = n.putObject("protocol")
+      p.put("minReaderVersion", st.minReaderVersion)
+      p.put("minWriterVersion", legacyFloor)
+      actions += n
+    }
+    actions += metaDataAction(st.tableId, schema.json,
+      st.partitionColumns, cfg)
+    writeCommitFile(root, v + 1, actions.result(),
+      operation = "SET TBLPROPERTIES", ictStart = enablingIct)
+    v + 1
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` — removes configuration keys
+    * in one metaData commit. The protocol keeps its declared features
+    * (a declaration is a floor, not a usage count). Refused:
+    * `delta.enableInCommitTimestamps` (the chain must stay resolvable)
+    * and `delta.columnMapping.*` (physical layout, not a property).
+    */
+  def unsetTableProperties(spark: SparkSession, root: String,
+                           keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "DeltaLog.unsetTableProperties: empty keys")
+    keys.foreach { k =>
+      require(k != "delta.enableInCommitTimestamps",
+        "DeltaLog.unsetTableProperties: inCommitTimestamps cannot be " +
+          "unset — existing-history timestamp resolution would break")
+      require(!k.startsWith("delta.columnMapping."),
+        s"DeltaLog.unsetTableProperties: $k is physical layout, not a " +
+          "removable property")
+    }
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    requireWritable(st, "unsetTableProperties")
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $root log — schema unknown"))
+    writeCommitFile(root, v + 1, Seq(metaDataAction(st.tableId,
+      schema.json, st.partitionColumns, st.configuration -- keys)),
+      operation = "UNSET TBLPROPERTIES")
+    v + 1
+  }
+
   /** Columns a stored SQL expression textually references —
     * word-boundary identifier match, backquoted or bare. Conservative
     * by design: column DDL REFUSES when a CHECK constraint or a

@@ -1397,6 +1397,61 @@ class DeltaLogSpec extends SparkSpec {
     assert(pruned.select("k").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("setTableProperties co-upgrades the protocol (CDF on a legacy " +
+    "table, ICT starts its chain at the enabling commit); appendOnly " +
+    "enforces immediately; unset removes keys; refusals loud") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1))
+    // enable CDF mid-life: the protocol floor bumps to 4 and the next
+    // DML records a change feed
+    val vCdf = DeltaLog.setTableProperties(spark, root,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val pLine = commitLines(root, vCdf).mkString("|")
+    assert(pLine.contains("\"minWriterVersion\":4"), pLine)
+    DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((2L, "B")).toDF("k", "v"))
+    val feed = DeltaLog.readChangeFeed(spark, root, vCdf)
+      .select("k", "v", DeltaLog.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set((2L, "b", "update_preimage"),
+      (2L, "B", "update_postimage")))
+    // enable ICT: the enabling commit carries the chain's first
+    // inCommitTimestamp and the protocol goes features-form
+    val vIct = DeltaLog.setTableProperties(spark, root,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    val ictLine = commitLines(root, vIct).mkString("|")
+    assert(ictLine.contains("inCommitTimestamp"), ictLine)
+    assert(ictLine.contains("\"minWriterVersion\":7"), ictLine)
+    assert(ictLine.contains("changeDataFeed"), ictLine)
+    // disabling or unsetting ICT refuses
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.setTableProperties(spark, root,
+        Map("delta.enableInCommitTimestamps" -> "false")))
+      .getMessage.contains("cannot be disabled"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.unsetTableProperties(spark, root,
+        Seq("delta.enableInCommitTimestamps")))
+      .getMessage.contains("cannot be unset"))
+    // custom key round-trip; appendOnly enforces on the next delete
+    DeltaLog.setTableProperties(spark, root,
+      Map("team.owner" -> "graft", "delta.appendOnly" -> "true"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.deleteWhereLong(spark, root, "k", 1L, 1L))
+      .getMessage.contains("appendOnly"))
+    DeltaLog.unsetTableProperties(spark, root,
+      Seq("delta.appendOnly", "team.owner"))
+    DeltaLog.deleteWhereLong(spark, root, "k", 1L, 1L)
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set((2L, "B"), (3L, "c")))
+    // mapping-mode flip refuses
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.setTableProperties(spark, root,
+        Map("delta.columnMapping.mode" -> "name")))
+      .getMessage.contains("physical-layout"))
+  }
+
   test("generateSymlinkManifest writes per-partition manifests of " +
     "absolute active paths; regeneration drops vanished partitions; " +
     "DV'd snapshots refuse; shallowClone pins a VERSION AS OF") {
