@@ -2819,6 +2819,32 @@ object SparkEntry {
           sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
             .as("cents"))
     }),
+    // AUTO-MANIFEST (delta.symlinkFormatManifest.enabled): once the
+    // property is set mid-life, every data commit regenerates the
+    // symlink manifests by itself — the gate never calls generate;
+    // after two appends and a CoW delete the manifests alone
+    // reproduce the snapshot (DeltaLogSpec pins the DV refusals both
+    // ways).
+    "q312_delta_auto_manifest" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def third(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      val root = freshScratch("q312")
+      graft.lake.DeltaLog.commitFlat(s, root, third(0))
+      graft.lake.DeltaLog.setTableProperties(s, root,
+        Map("delta.symlinkFormatManifest.enabled" -> "true"))
+      graft.lake.DeltaLog.commitFlat(s, root, third(1))
+      graft.lake.DeltaLog.commitFlat(s, root, third(2))
+      graft.lake.DeltaLog.deleteWhereLong(s, root, "event_id",
+        1000L, 2000L)
+      import scala.jdk.CollectionConverters._
+      val mf = java.nio.file.Paths.get(root,
+        "_symlink_format_manifest", "manifest")
+      require(java.nio.file.Files.exists(mf),
+        "q312: the data commits must have regenerated the manifest")
+      val paths = java.nio.file.Files.readAllLines(mf).asScala.toSeq
+      s.read.parquet(paths: _*)
+    }),
     // NESTED STREAMING delta-to-delta: the silver items shape streams
     // through the DSv2 source (recursive Group-walk array<struct>
     // conversion) INTO a second Delta table (the sink stages the same
@@ -5190,6 +5216,12 @@ object SparkEntry {
            CAST(sum(CAST(FLOOR(o_totalprice * 2 * 100 + 0.5) AS BIGINT))
              AS BIGINT)
          FROM orders WHERE o_orderkey BETWEEN 100 AND 2000""",
+    // q312: the auto-maintained manifest lists exactly the
+    // post-delete actives.
+    "q312_delta_auto_manifest" ->
+      """SELECT event_id, value FROM events
+         WHERE event_id IS NOT NULL
+           AND event_id NOT BETWEEN 1000 AND 2000""",
     // q304: the snapshot replayed through the auto-written checkpoint
     // — compaction must not change what readers see.
     "q304_delta_auto_checkpoint" ->

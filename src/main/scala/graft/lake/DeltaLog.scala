@@ -737,6 +737,25 @@ object DeltaLog {
     * the `v2Checkpoint` feature (which selects the sidecar form here)
     * takes effect from its successor.
     */
+  /** Post-commit maintenance seam, called by every data-mutating entry
+    * point with the PRE-commit state the caller already replayed:
+    * auto-checkpoint ([[maybeAutoCheckpoint]]) and — when the table
+    * declares `delta.symlinkFormatManifest.enabled` (Delta's own
+    * auto-manifest property) — regeneration of the symlink manifests
+    * so external whole-file readers always see the just-committed
+    * snapshot. DV-writing DML refuses UPFRONT on manifest-enabled
+    * tables ([[deleteWhereLongDV]]) and the property cannot be enabled
+    * over live DVs ([[setTableProperties]]), so the regeneration here
+    * never trips the DV refusal after a successful commit.
+    */
+  private def postCommit(spark: SparkSession, root: String,
+                         st: LogState): Unit = {
+    maybeAutoCheckpoint(spark, root, st)
+    if (st.configuration.get("delta.symlinkFormatManifest.enabled")
+        .exists(_.trim.equalsIgnoreCase("true")))
+      generateSymlinkManifest(spark, root)
+  }
+
   private def maybeAutoCheckpoint(spark: SparkSession, root: String,
                                   st: LogState): Unit =
     st.configuration.get("delta.checkpointInterval")
@@ -2336,6 +2355,15 @@ object DeltaLog {
         s"DeltaLog.setTableProperties: $k is a physical-layout " +
           "declaration, not a flippable property — create the table " +
           "with the mapping mode it should keep"))
+    if (props.get("delta.symlinkFormatManifest.enabled")
+        .exists(_.trim.equalsIgnoreCase("true"))) {
+      val dvd = st.files.map(_._1).count(st.fileDvs.contains)
+      require(dvd == 0,
+        s"DeltaLog.setTableProperties: $dvd active file(s) carry " +
+          "deletion vectors — symlink-manifest readers see whole files " +
+          "and would resurrect their deleted rows; compact the DVs " +
+          "away before enabling delta.symlinkFormatManifest.enabled")
+    }
     val wasIct = st.configuration.get("delta.enableInCommitTimestamps")
       .exists(_.trim.equalsIgnoreCase("true"))
     val wantIct = props.get("delta.enableInCommitTimestamps")
@@ -3140,7 +3168,7 @@ object DeltaLog {
     Files.createDirectories(logDir(root))
     writeCommitFile(root, v, actions.result(),
       operation = "STREAMING UPDATE")
-    prior.foreach(maybeAutoCheckpoint(spark, root, _))
+    prior.foreach(postCommit(spark, root, _))
   }
 
   /** Executor-side staging dir for the streaming sink (same filesystem
@@ -3429,7 +3457,7 @@ object DeltaLog {
     }
     if (touched == 0) return v
     writeCommitFile(root, v + 1, actions.result(), operation = "DELETE")
-    maybeAutoCheckpoint(spark, root, st)
+    postCommit(spark, root, st)
     v + 1
   }
 
@@ -3461,6 +3489,12 @@ object DeltaLog {
     requireWritableMapping(st, "deleteWhereLongDV")
     requireNotAppendOnly(st, "deleteWhereLongDV")
     requireWritable(st, "deleteWhereLongDV")
+    require(!st.configuration.get("delta.symlinkFormatManifest.enabled")
+      .exists(_.trim.equalsIgnoreCase("true")),
+      "DeltaLog.deleteWhereLongDV: the table auto-generates symlink " +
+        "manifests, and whole-file manifest readers would resurrect " +
+        "DV-deleted rows — use the copy-on-write deleteWhereLong, or " +
+        "unset delta.symlinkFormatManifest.enabled first")
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $root log — schema unknown"))
     val pcSet = st.partitionColumns.toSet
@@ -3596,7 +3630,7 @@ object DeltaLog {
       }
     writeCommitFile(root, v + 1, protocolUpgrade ++ actions.result(),
       operation = "DELETE")
-    maybeAutoCheckpoint(spark, root, st)
+    postCommit(spark, root, st)
     v + 1
   }
 
@@ -3702,7 +3736,7 @@ object DeltaLog {
         }
     }
     writeCommitFile(root, v + 1, actions.result(), operation = "UPDATE")
-    maybeAutoCheckpoint(spark, root, st)
+    postCommit(spark, root, st)
     v + 1
   }
 
@@ -4102,7 +4136,7 @@ object DeltaLog {
         } finally matchedKeys.unpersist()
       }
       writeCommitFile(root, v + 1, actions.result(), operation = "MERGE")
-      maybeAutoCheckpoint(spark, root, st)
+      postCommit(spark, root, st)
       v + 1
     } finally src.unpersist()
   }
@@ -4558,7 +4592,7 @@ object DeltaLog {
     }
     writeCommitFile(root, cur + 1, actions.result(),
       operation = "RESTORE")
-    maybeAutoCheckpoint(spark, root, current)
+    postCommit(spark, root, current)
     cur + 1
   }
 
@@ -5459,7 +5493,7 @@ object DeltaLog {
     }
     writeCommitFile(root, v, actions.result(), operation = "WRITE",
       ictStart = v == 0L && ictEnabled)
-    prior.foreach(maybeAutoCheckpoint(spark, root, _))
+    prior.foreach(postCommit(spark, root, _))
     v
   }
 
@@ -5642,7 +5676,7 @@ object DeltaLog {
     }
     deleteRecursively(staging)
     writeCommitFile(root, v + 1, actions.result(), operation = "OPTIMIZE")
-    maybeAutoCheckpoint(spark, root, st)
+    postCommit(spark, root, st)
     v + 1
   }
 
@@ -5720,7 +5754,7 @@ object DeltaLog {
     }
     deleteRecursively(staging)
     writeCommitFile(root, v + 1, actions.result(), operation = "OPTIMIZE")
-    maybeAutoCheckpoint(spark, root, st)
+    postCommit(spark, root, st)
     v + 1
   }
 

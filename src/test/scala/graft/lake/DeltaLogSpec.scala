@@ -1397,6 +1397,41 @@ class DeltaLogSpec extends SparkSpec {
     assert(pruned.select("k").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("delta.symlinkFormatManifest.enabled regenerates manifests on " +
+    "every data commit; DV deletes refuse on manifest tables; " +
+    "enabling over live DVs refuses") {
+    import spark.implicits._
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1))
+    DeltaLog.setTableProperties(spark, root,
+      Map("delta.symlinkFormatManifest.enabled" -> "true"))
+    DeltaLog.commitFlat(spark, root,
+      Seq((4L, "d")).toDF("k", "v").coalesce(1))
+    val mf = Paths.get(root, "_symlink_format_manifest", "manifest")
+    assert(Files.exists(mf), "the data commit must regenerate manifests")
+    assert(Files.readAllLines(mf).size == 2)
+    // a CoW delete that drops a whole file shrinks the manifest
+    DeltaLog.deleteWhereLong(spark, root, "k", 1L, 3L)
+    val lines = Files.readAllLines(mf).asScala.toSeq
+    assert(lines.size == 1, lines)
+    assert(spark.read.parquet(lines: _*).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((4L, "d")))
+    // DV deletes refuse while the property is on
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.deleteWhereLongDV(spark, root, "k", 4L, 4L))
+      .getMessage.contains("symlink"))
+    // enabling the property over live DVs refuses
+    val dvr = freshRoot()
+    DeltaLog.commitFlat(spark, dvr,
+      (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    DeltaLog.deleteWhereLongDV(spark, dvr, "k", 2L, 3L)
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.setTableProperties(spark, dvr,
+        Map("delta.symlinkFormatManifest.enabled" -> "true")))
+      .getMessage.contains("deletion vectors"))
+  }
+
   test("setTableProperties co-upgrades the protocol (CDF on a legacy " +
     "table, ICT starts its chain at the enabling commit); appendOnly " +
     "enforces immediately; unset removes keys; refusals loud") {
