@@ -2381,10 +2381,17 @@ object DeltaLog {
     val legacyFloor = math.max(st.minWriterVersion,
       if (needsCdf) 4 else 2)
     if (enablingIct || st.minWriterVersion >= 7) {
-      // features form: enumerate what the legacy floor implied plus
-      // what this property set demands
-      val feats = (legacyWriterFeatures(math.min(legacyFloor, 6)) ++
-        st.writerFeatures ++
+      // features form. The base set differs by where the table starts:
+      // CONVERTING a legacy table enumerates what its legacy floor
+      // implied (those obligations already bind); a table ALREADY on
+      // features keeps exactly its declared set — re-deriving from a
+      // floor would inflate it with features it never declared
+      // (columnMapping on an unmapped table), which external minimal
+      // writers would then refuse to honor.
+      val base =
+        if (st.minWriterVersion >= 7) st.writerFeatures
+        else legacyWriterFeatures(math.min(legacyFloor, 6))
+      val feats = (base ++
         (if (needsCdf) Seq("changeDataFeed") else Nil) ++
         (if (enablingIct || wasIct) Seq("inCommitTimestamp") else Nil))
         .distinct

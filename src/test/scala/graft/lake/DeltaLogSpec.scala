@@ -1469,9 +1469,15 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.unsetTableProperties(spark, root,
         Seq("delta.enableInCommitTimestamps")))
       .getMessage.contains("cannot be unset"))
-    // custom key round-trip; appendOnly enforces on the next delete
-    DeltaLog.setTableProperties(spark, root,
+    // custom key round-trip; appendOnly enforces on the next delete.
+    // The table is features-form now: a further property set must NOT
+    // inflate writerFeatures with undeclared legacy-implied features
+    val vProps = DeltaLog.setTableProperties(spark, root,
       Map("team.owner" -> "graft", "delta.appendOnly" -> "true"))
+    val propLines = commitLines(root, vProps).mkString("|")
+    assert(!propLines.contains("columnMapping"),
+      s"features set must not inflate: $propLines")
+    assert(!propLines.contains("identityColumns"), propLines)
     assert(intercept[IllegalArgumentException](
       DeltaLog.deleteWhereLong(spark, root, "k", 1L, 1L))
       .getMessage.contains("appendOnly"))
