@@ -744,16 +744,39 @@ object DeltaLog {
     * auto-manifest property) — regeneration of the symlink manifests
     * so external whole-file readers always see the just-committed
     * snapshot. DV-writing DML refuses UPFRONT on manifest-enabled
-    * tables ([[deleteWhereLongDV]]) and the property cannot be enabled
-    * over live DVs ([[setTableProperties]]), so the regeneration here
-    * never trips the DV refusal after a successful commit.
+    * tables ([[deleteWhereLongDV]]), the property cannot be enabled
+    * over live DVs or absolute-path adds ([[setTableProperties]]),
+    * [[restore]] refuses before its commit when the restored snapshot
+    * would reinstate DVs under the property, and [[shallowClone]]
+    * refuses to carry the property onto absolute-path adds — so the
+    * regeneration here never throws after a durable commit. Restore
+    * passes the POST-restore configuration (the target's), so a
+    * restore that flips the property on or off is maintained by what
+    * it restored, not by the state it replaced.
     */
+  /** Minimum age an unreferenced checkpoint sidecar must reach before
+    * [[cleanUpExpiredLogs]] may collect it, independent of the
+    * caller's retention — an in-flight [[checkpointV2]] lands its
+    * sidecars BEFORE its top, so a zero-retention sweep racing it
+    * must not see them as orphans.
+    */
+  private[lake] val SidecarSweepGraceMs: Long = 15L * 60L * 1000L
+
+  private def manifestEnabled(cfg: Map[String, String]): Boolean =
+    cfg.get("delta.symlinkFormatManifest.enabled")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
   private def postCommit(spark: SparkSession, root: String,
                          st: LogState): Unit = {
     maybeAutoCheckpoint(spark, root, st)
-    if (st.configuration.get("delta.symlinkFormatManifest.enabled")
-        .exists(_.trim.equalsIgnoreCase("true")))
-      generateSymlinkManifest(spark, root)
+    if (manifestEnabled(st.configuration))
+      // incremental: only the partition directories the JUST-committed
+      // version's add/remove set touched are rewritten (reading the
+      // one commit JSON is O(commit), never O(table)); a full-table
+      // regeneration per commit was O(all partitions) in driver file
+      // writes — the r19-flagged scale killer on many-partition tables
+      regenerateManifests(spark, root,
+        Some(touchedPartitionDirs(root, currentVersion(root))))
   }
 
   private def maybeAutoCheckpoint(spark: SparkSession, root: String,
@@ -821,6 +844,20 @@ object DeltaLog {
     /** Decode the position set, resolving `u` storage under `root`. */
     def read(root: String): Dv.PositionSet =
       Dv.deserialize(readBytes(root))
+
+    /** Table-relative sidecar path of a `u`-storage descriptor (the
+      * optional prefix + the UUID-derived blob name) — the single
+      * rendering restore's existence check, vacuum's active-DV keep
+      * set and shallowClone's re-addressing all share.
+      */
+    def sidecarRel: String = {
+      require(storageType == "u",
+        s"DeltaLog: sidecarRel is defined for 'u' storage, not " +
+          s"'$storageType'")
+      val prefix = pathOrInlineDv.dropRight(20)
+      val uuid = Dv.uuidFromBytes(Dv.z85Decode(pathOrInlineDv.takeRight(20)))
+      (if (prefix.isEmpty) "" else prefix + "/") + Dv.dvFileName(uuid)
+    }
   }
 
   private def dvFromNode(n: JsonNode): Option[DvDescriptor] =
@@ -2363,6 +2400,13 @@ object DeltaLog {
           "deletion vectors — symlink-manifest readers see whole files " +
           "and would resurrect their deleted rows; compact the DVs " +
           "away before enabling delta.symlinkFormatManifest.enabled")
+      val abs = st.files.count(_._1.startsWith("/"))
+      require(abs == 0,
+        s"DeltaLog.setTableProperties: $abs active file(s) are " +
+          "absolute-path references (a shallow clone) — manifests " +
+          "have no partition directory for them; compact the clone " +
+          "into its own files before enabling " +
+          "delta.symlinkFormatManifest.enabled")
     }
     val wasIct = st.configuration.get("delta.enableInCommitTimestamps")
       .exists(_.trim.equalsIgnoreCase("true"))
@@ -2420,6 +2464,12 @@ object DeltaLog {
       st.partitionColumns, cfg)
     writeCommitFile(root, v + 1, actions.result(),
       operation = "SET TBLPROPERTIES", ictStart = enablingIct)
+    // ENABLING auto-manifests generates the full tree right here —
+    // later commits then maintain it incrementally; without this, a
+    // table re-enabling the property after manifest-less commits
+    // would keep stale manifests for partitions those commits touched
+    if (manifestEnabled(cfg) && !manifestEnabled(st.configuration))
+      regenerateManifests(spark, root, None)
     v + 1
   }
 
@@ -4556,10 +4606,7 @@ object DeltaLog {
         s"DeltaLog.restore: $rel of version $version was vacuumed " +
           "away — that snapshot is no longer restorable")
       dvOf(target, rel).filter(_.storageType == "u").foreach { d =>
-        val prefix = d.pathOrInlineDv.dropRight(20)
-        val uuid = Dv.uuidFromBytes(Dv.z85Decode(d.pathOrInlineDv.takeRight(20)))
-        val sidecar = (if (prefix.isEmpty) "" else prefix + "/") +
-          Dv.dvFileName(uuid)
+        val sidecar = d.sidecarRel
         require(Files.exists(Paths.get(root, sidecar)),
           s"DeltaLog.restore: DV sidecar $sidecar of version $version " +
             "was vacuumed away — that snapshot is no longer restorable")
@@ -4597,9 +4644,25 @@ object DeltaLog {
       }
       actions += n
     }
+    // the POST-restore configuration (= the target's: needMeta re-emits
+    // it; !needMeta means it already equals the current one) governs
+    // post-commit maintenance. Refuse BEFORE the commit lands when it
+    // declares auto-manifests but the restored snapshot carries DVs —
+    // otherwise the durable restore would be followed by the manifest
+    // regeneration throwing, leaving on-disk manifests stale at the
+    // pre-restore snapshot (mirrors the deleteWhereLongDV guard).
+    val restoredDvs = target.files.count(f => target.fileDvs.contains(f._1))
+    if (manifestEnabled(target.configuration))
+      require(restoredDvs == 0,
+        s"DeltaLog.restore: $restoredDvs file(s) of version $version " +
+          "carry deletion vectors and the restored configuration " +
+          "declares delta.symlinkFormatManifest.enabled — symlink " +
+          "readers would resurrect their deleted rows; unset the " +
+          "property or restore to a DV-free version")
     writeCommitFile(root, cur + 1, actions.result(),
       operation = "RESTORE")
-    postCommit(spark, root, current)
+    postCommit(spark, root,
+      current.copy(configuration = target.configuration))
     cur + 1
   }
 
@@ -4631,6 +4694,19 @@ object DeltaLog {
       if (version < 0L) srcCur else version)
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"DeltaLog: no metaData action in $sourceRoot log — schema unknown"))
+    // a clone's adds are ABSOLUTE references into the source — the
+    // auto-manifest property it would inherit can never regenerate
+    // under the clone's root (no table-relative partition directory),
+    // so the clone's FIRST data commit would throw AFTER its durable
+    // write. Refuse here, before anything lands (mirrors the restore
+    // guard); clone without the property and re-enable it once the
+    // clone's files are its own (compact).
+    require(!manifestEnabled(st.configuration),
+      s"DeltaLog.shallowClone: $sourceRoot declares " +
+        "delta.symlinkFormatManifest.enabled — a clone's " +
+        "absolute-path adds cannot regenerate manifests; unset the " +
+        "property on the source (or clone a version without it) and " +
+        "re-enable on the clone after compacting")
     val srcAbs = Paths.get(sourceRoot).toAbsolutePath.normalize()
     val actions = Seq.newBuilder[JsonNode]
     val protocol = mapper.createObjectNode()
@@ -4668,14 +4744,8 @@ object DeltaLog {
         d.storageType match {
           case "u" =>
             // re-address the source-relative sidecar absolutely
-            val prefix = d.pathOrInlineDv.dropRight(20)
-            val uuid = Dv.uuidFromBytes(
-              Dv.z85Decode(d.pathOrInlineDv.takeRight(20)))
-            val sidecar = (if (prefix.isEmpty) srcAbs
-                           else srcAbs.resolve(prefix))
-              .resolve(Dv.dvFileName(uuid)).toString
             o.put("storageType", "p")
-            o.put("pathOrInlineDv", sidecar)
+            o.put("pathOrInlineDv", srcAbs.resolve(d.sidecarRel).toString)
           case _ =>
             o.put("storageType", d.storageType)
             o.put("pathOrInlineDv", d.pathOrInlineDv)
@@ -4719,30 +4789,110 @@ object DeltaLog {
     * relative to the table root.
     */
   def generateSymlinkManifest(spark: SparkSession,
-                              root: String): Seq[String] = {
+                              root: String): Seq[String] =
+    regenerateManifests(spark, root, None)
+
+  /** Partition directories (the path above the file name; `""` for a
+    * flat table's root) the add/remove set of commit `v` touches — the
+    * incremental manifest-regeneration unit. Reads ONE commit JSON:
+    * O(commit), never O(table).
+    */
+  private def touchedPartitionDirs(root: String, v: Long): Set[String] =
+    Files.readAllLines(logDir(root).resolve(commitName(v))).asScala
+      .filter(_.trim.nonEmpty).flatMap { line =>
+        val n = mapper.readTree(line)
+        val p =
+          if (n.has("add")) Some(n.get("add").path("path").asText())
+          else if (n.has("remove")) Some(n.get("remove").path("path").asText())
+          else None
+        p.map(decodePath)
+      }.map { rel =>
+        val slash = rel.lastIndexOf('/')
+        if (slash < 0) "" else rel.substring(0, slash)
+      }.toSet
+
+  /** Manifest (re)generation over a bounded set of partition
+    * directories: `touched = Some(dirs)` rewrites exactly those
+    * partitions' manifests (the [[postCommit]] incremental path — a
+    * single-partition append on a 10k-partition table rewrites ONE
+    * manifest, not 10k); `None` is the full sweep ([[generateSymlink
+    * Manifest]]), covering every active partition plus every manifest
+    * already on disk so vanished partitions are cleaned. Each manifest
+    * is replaced IN PLACE via tmp + atomic rename — external readers
+    * never see a missing or torn manifest (the old whole-tree
+    * delete+rewrite exposed a manifest-less window every commit).
+    * Vanished partitions lose their manifest and any now-empty parent
+    * directories. Refuses DV-bearing snapshots (whole-file readers
+    * would resurrect deleted rows) and absolute-path actives (a
+    * shallow clone's borrowed files have no table-relative partition
+    * directory — materialize them first).
+    */
+  private def regenerateManifests(spark: SparkSession, root: String,
+                                  touched: Option[Set[String]]): Seq[String] = {
     val st = replay(spark, root, currentVersion(root))
     val dvd = st.files.map(_._1).filter(st.fileDvs.contains)
     require(dvd.isEmpty,
       s"DeltaLog.generateSymlinkManifest: ${dvd.size} active file(s) " +
         "carry deletion vectors — a symlink reader would resurrect " +
         "their deleted rows; rewrite them first (compact/OPTIMIZE)")
+    val abs = st.files.filter(_._1.startsWith("/"))
+    require(abs.isEmpty,
+      s"DeltaLog.generateSymlinkManifest: ${abs.size} active file(s) " +
+        "are absolute-path references (a shallow clone) — they have " +
+        "no partition directory under this root; compact the clone " +
+        "into its own files first")
     val rootAbs = Paths.get(root).toAbsolutePath.normalize()
     val base = rootAbs.resolve("_symlink_format_manifest")
-    if (Files.isDirectory(base)) deleteRecursively(base)
     // group active files by their partition DIRECTORY (everything
     // above the file name; flat tables group under "")
-    val byDir = st.files.map { case (rel, _) =>
+    val byDir: Map[String, Seq[String]] = st.files.map { case (rel, _) =>
       val slash = rel.lastIndexOf('/')
       val dir = if (slash < 0) "" else rel.substring(0, slash)
       dir -> resolvePath(root, rel).toAbsolutePath.normalize().toString
-    }.groupBy(_._1)
-    byDir.toSeq.sortBy(_._1).map { case (dir, entries) =>
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val consider: Set[String] = touched match {
+      // a touched set against a manifest tree that does not exist yet
+      // (property enabled before any manifests were generated) must
+      // fall back to the full sweep or untouched partitions would
+      // never get manifests
+      case Some(dirs) if Files.isDirectory(base) => dirs
+      case _ =>
+        val onDisk: Set[String] =
+          if (!Files.isDirectory(base)) Set.empty
+          else {
+            val w = Files.walk(base)
+            try w.iterator().asScala
+              .filter(p => Files.isRegularFile(p) &&
+                p.getFileName.toString == "manifest")
+              .map(p => base.relativize(p.getParent).toString
+                .replace(java.io.File.separatorChar, '/'))
+              .toSet
+            finally w.close()
+          }
+        byDir.keySet ++ onDisk
+    }
+    consider.toSeq.sorted.flatMap { dir =>
       val outDir = if (dir.isEmpty) base else base.resolve(dir)
-      Files.createDirectories(outDir)
-      val body = entries.map(_._2).sorted.mkString("", "\n", "\n")
-      Files.write(outDir.resolve("manifest"), body.getBytes("UTF-8"))
-      (if (dir.isEmpty) "_symlink_format_manifest/manifest"
-       else s"_symlink_format_manifest/$dir/manifest")
+      byDir.get(dir) match {
+        case Some(entries) =>
+          Files.createDirectories(outDir)
+          val body = entries.sorted.mkString("", "\n", "\n")
+          val tmp = outDir.resolve("manifest.__tmp")
+          Files.write(tmp, body.getBytes("UTF-8"))
+          Files.move(tmp, outDir.resolve("manifest"),
+            StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+          Some(if (dir.isEmpty) "_symlink_format_manifest/manifest"
+          else s"_symlink_format_manifest/$dir/manifest")
+        case None =>
+          Files.deleteIfExists(outDir.resolve("manifest"))
+          var d = outDir
+          while (d != null && d != base && Files.isDirectory(d) && {
+            val s = Files.list(d)
+            try !s.iterator().hasNext finally s.close()
+          }) { Files.delete(d); d = d.getParent }
+          None
+      }
     }
   }
 
@@ -4824,10 +4974,7 @@ object DeltaLog {
     // DV sidecars referenced by an ACTIVE descriptor stay; the rest are
     // history (an old DV superseded by a merge, or of a removed file)
     val activeDvFiles: Set[String] = st.fileDvs.values.collect {
-      case d if d.storageType == "u" =>
-        val prefix = d.pathOrInlineDv.dropRight(20)
-        val uuid = Dv.uuidFromBytes(Dv.z85Decode(d.pathOrInlineDv.takeRight(20)))
-        (if (prefix.isEmpty) "" else prefix + "/") + Dv.dvFileName(uuid)
+      case d if d.storageType == "u" => d.sidecarRel
     }.toSet
     val rootPath = Paths.get(root)
     val walk = Files.walk(rootPath)
@@ -4995,7 +5142,14 @@ object DeltaLog {
       }
     }
     // sweep sidecars no retained V2 top references — age-guarded so an
-    // in-flight checkpointV2 (sidecars land before the top) is safe
+    // in-flight checkpointV2 (sidecars land before the top) is safe.
+    // The age cutoff is bounded AWAY from 'now' by a fixed grace
+    // window independent of the caller's retention: with retention 0
+    // (the deterministic-gate form) the plain cutoff IS 'now', and
+    // freshly-landed sidecars whose top has not yet been written
+    // would be collected out from under the checkpoint being built.
+    val sideCutoffMs = math.min(cutoffMs,
+      System.currentTimeMillis() - SidecarSweepGraceMs)
     val sideDir = logd.resolve("_sidecars")
     if (Files.isDirectory(sideDir)) {
       val live: Set[String] = checkpointRefs(root).collect {
@@ -5006,7 +5160,7 @@ object DeltaLog {
         try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
         finally s.close()
       onDisk.filter(p => !live(p.getFileName.toString) &&
-        Files.getLastModifiedTime(p).toMillis <= cutoffMs).foreach { p =>
+        Files.getLastModifiedTime(p).toMillis <= sideCutoffMs).foreach { p =>
         Files.delete(p)
         deleted += "_sidecars/" + p.getFileName.toString
       }

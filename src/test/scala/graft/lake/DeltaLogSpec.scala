@@ -3112,4 +3112,133 @@ class DeltaLogSpec extends SparkSpec {
     assert(rows(DeltaLog.read(spark, root)) ==
       Set((1L, "A"), (2L, "b"), (9L, "i")))
   }
+
+  test("auto-manifest maintenance is INCREMENTAL: enabling the " +
+    "property generates the full tree, then a single-partition append " +
+    "rewrites ONLY that partition's manifest and a vanished partition " +
+    "loses its directory — untouched manifests' bytes never move") {
+    val root = freshRoot()
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((1L, "b0"), (2L, "b0"), (10L, "b1"), (20L, "b2"), (30L, "b3"))
+        .toDF("k", "bucket").repartition(4, col("bucket")),
+      Seq("bucket"))
+    // ENABLE generates the whole tree right here (not at next commit)
+    DeltaLog.setTableProperties(spark, root,
+      Map("delta.symlinkFormatManifest.enabled" -> "true"))
+    val base = Paths.get(root, "_symlink_format_manifest")
+    def manifest(b: String) = base.resolve(s"bucket=$b").resolve("manifest")
+    Seq("b0", "b1", "b2", "b3").foreach(b =>
+      assert(Files.isRegularFile(manifest(b)), s"missing manifest $b"))
+    def mtime(b: String): java.nio.file.attribute.FileTime =
+      Files.getLastModifiedTime(manifest(b))
+    val before = Seq("b1", "b2", "b3").map(b => b -> mtime(b)).toMap
+    Thread.sleep(25)
+    // single-partition append: postCommit must rewrite b0's manifest
+    // ONLY — O(touched partitions), the 100 TB contract
+    DeltaLog.commitPartitioned(spark, root,
+      Seq((3L, "b0")).toDF("k", "bucket").coalesce(1), Seq("bucket"))
+    val b0Lines = Files.readAllLines(manifest("b0")).asScala
+    assert(b0Lines.size == 2, s"b0 manifest should list 2 files: $b0Lines")
+    Seq("b1", "b2", "b3").foreach(b => assert(mtime(b) == before(b),
+      s"untouched partition $b's manifest was rewritten"))
+    // vanish b1: its manifest directory goes, b2/b3 still never move
+    Thread.sleep(25)
+    DeltaLog.deleteWhereLong(spark, root, "k", 10L, 10L)
+    assert(!Files.exists(base.resolve("bucket=b1")),
+      "vanished partition kept its manifest dir")
+    Seq("b2", "b3").foreach(b => assert(mtime(b) == before(b),
+      s"untouched partition $b's manifest was rewritten on delete"))
+    // the manifests still reproduce the snapshot exactly
+    val viaManifest = {
+      val w = Files.walk(base)
+      val paths = try w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString == "manifest")
+        .flatMap(p => Files.readAllLines(p).asScala).toSeq
+      finally w.close()
+      spark.read.option("basePath", root).parquet(paths: _*)
+        .select("k", "bucket").as[(Long, String)].collect().toSet
+    }
+    assert(viaManifest ==
+      Set((1L, "b0"), (2L, "b0"), (3L, "b0"), (20L, "b2"), (30L, "b3")))
+  }
+
+  test("restore's post-commit maintenance follows the RESTORED " +
+    "configuration (off → DV version restores fine; back on → " +
+    "manifests regenerate); a property+DV target refuses BEFORE the " +
+    "commit; shallowClone refuses to carry the property") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    DeltaLog.deleteWhereLongDV(spark, root, "k", 2L, 3L) // v1: DVs live
+    DeltaLog.commitFlat(spark, root,
+      DeltaLog.read(spark, root).coalesce(1), rewrite = true) // v2: clean
+    DeltaLog.setTableProperties(spark, root,
+      Map("delta.symlinkFormatManifest.enabled" -> "true")) // v3
+    val rootManifest = Paths.get(root, "_symlink_format_manifest",
+      "manifest")
+    assert(Files.isRegularFile(rootManifest))
+    // restore BACK to the DV version: the restored metaData DROPS the
+    // property, so maintenance follows the TARGET configuration — no
+    // regeneration, no DV refusal, the commit lands (the r19-flagged
+    // post-durable-commit throw)
+    DeltaLog.restore(spark, root, 1L) // v4
+    assert(DeltaLog.read(spark, root).count() == 6L)
+    // restore FORWARD to the manifest-enabled state: the restored
+    // property is back ON, so postCommit regenerates against it
+    DeltaLog.restore(spark, root, 3L) // v5
+    val listed = Files.readAllLines(rootManifest).asScala.toSet
+    val active = DeltaLog.read(spark, root).inputFiles
+      .map(f => Paths.get(new java.net.URI(f)).toString).toSet
+    assert(listed == active, s"$listed vs $active")
+    // an EXTERNALLY-authored version can declare the property WITH
+    // live DVs (this writer refuses to create that shape); restoring
+    // to it must refuse BEFORE anything durable lands
+    val xroot = freshRoot()
+    DeltaLog.commitFlat(spark, xroot,
+      (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    DeltaLog.deleteWhereLongDV(spark, xroot, "k", 2L, 3L) // v1: DVs
+    val schemaJson = DeltaLog.tableMeta(spark, xroot)._1.json
+      .replace("\"", "\\\"")
+    writeCommit(xroot, 2L, Seq(
+      s"""{"metaData":{"id":"ext-manifest-dv","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.symlinkFormatManifest.enabled":"true"}}}"""))
+    DeltaLog.unsetTableProperties(spark, xroot,
+      Seq("delta.symlinkFormatManifest.enabled")) // v3: property off
+    val vBefore = DeltaLog.currentVersion(xroot)
+    val ex = intercept[IllegalArgumentException](
+      DeltaLog.restore(spark, xroot, 2L))
+    assert(ex.getMessage.contains("deletion vectors"), ex.getMessage)
+    assert(DeltaLog.currentVersion(xroot) == vBefore,
+      "the refused restore left a durable commit behind")
+    // clone guard: absolute-path adds can never regenerate manifests
+    val cex = intercept[IllegalArgumentException](
+      DeltaLog.shallowClone(spark, root, freshRoot()))
+    assert(cex.getMessage.contains("symlinkFormatManifest"),
+      cex.getMessage)
+  }
+
+  test("cleanUpExpiredLogs' sidecar sweep keeps a FRESH unreferenced " +
+    "sidecar even at zero retention (in-flight checkpointV2 grace) " +
+    "while collecting an aged one") {
+    val root = freshRoot()
+    (0 to 1).foreach(i => DeltaLog.commitFlat(spark, root,
+      Seq((Option(i.toLong), s"c$i")).toDF("k", "v").coalesce(1)))
+    DeltaLog.enableV2Checkpoints(spark, root)
+    val v = DeltaLog.currentVersion(root)
+    DeltaLog.checkpointV2(spark, root, v)
+    val sideDir = Paths.get(root, "_delta_log", "_sidecars")
+    // two unreferenced strays: one fresh (an in-flight checkpoint's
+    // sidecar whose top has not landed), one aged past the grace
+    val fresh = sideDir.resolve("fresh-stray.parquet")
+    val aged = sideDir.resolve("aged-stray.parquet")
+    Files.write(fresh, Array[Byte](1, 2, 3))
+    Files.write(aged, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(aged, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 2L * 3600000L))
+    val gone = DeltaLog.cleanUpExpiredLogs(spark, root, 0L)
+    assert(gone.contains("_sidecars/aged-stray.parquet"), gone)
+    assert(Files.exists(fresh),
+      "zero-retention sweep collected a freshly-landed sidecar")
+    assert(!Files.exists(aged))
+  }
 }
