@@ -116,7 +116,33 @@ object ScaleProbe {
     }.toMap
     var strRun = 0
 
+    // Vacuum-listing fixtures: 4·k partition directories (one active
+    // file each) + 8 junk orphans strewn per directory — k=1 stays on
+    // the driver-serial listing path, k≥3 crosses the distributed
+    // threshold, so the exponent records how the per-directory
+    // fan-out holds as file count grows. The timed op is the DRY RUN
+    // (identical listing+filter work to a real vacuum, repeatable for
+    // min-of-2; the delete half's semantics are spec-pinned).
+    val vacuumTables = ks.map { k =>
+      import org.apache.spark.sql.functions.{col, count, lit, pmod}
+      val nodes = edges(k).groupBy("src")
+        .agg(count(lit(1)).as("deg")).withColumnRenamed("src", "node")
+        .withColumn("b", pmod(col("node"), lit(4 * k)))
+      val root = s"$tmp/dvac$k"
+      graft.lake.DeltaLog.commitPartitioned(spark, root,
+        nodes.repartition(4 * k, col("b")), Seq("b"))
+      (0 until 4 * k).foreach(i => (0 until 8).foreach(j =>
+        Files.write(java.nio.file.Paths.get(root, s"b=$i",
+          s"orphan-$j.parquet"), Array[Byte](9, 9))))
+      k -> root
+    }.toMap
+
     val ops: Seq[(String, Int => DataFrame)] = Seq(
+      "delta_vacuum_list" -> { k =>
+        val orphans = graft.lake.DeltaLog.vacuumDryRun(
+          spark, vacuumTables(k), 0L)
+        spark.range(orphans.size.toLong).toDF("i")
+      },
       "neardup_lsh" -> { k =>
         TextDedup.nearDupPairs(docs(k), "doc_id", "text")
       },

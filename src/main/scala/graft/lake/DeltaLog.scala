@@ -4963,6 +4963,44 @@ object DeltaLog {
              retentionMs: Long): Seq[String] =
     vacuumImpl(spark, root, retentionMs, delete = true)
 
+  /** Directory counts above which [[vacuumImpl]] ships its listing /
+    * its deletes to executors instead of walking serially on the
+    * driver — at 100×-scale file counts the single-threaded walk and
+    * orphan-by-orphan delete loop ARE the vacuum bottleneck, while a
+    * flat gate fixture (zero subdirectories, a handful of orphans)
+    * never pays a Spark job for what one readdir answers.
+    */
+  private val VacuumDistributeDirs = 8
+  private val VacuumDistributeDeletes = 64
+
+  /** Vacuum candidate: a data/DV file's table-relative path plus the
+    * mtime captured DURING listing (one stat, reused by the retention
+    * fallback instead of a second driver-side stat per file).
+    */
+  private def vacuumListDir(fs: org.apache.hadoop.fs.FileSystem,
+                            rootPrefix: String,
+                            dir: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
+    val out = Seq.newBuilder[(String, Long)]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile) {
+        val name = s.getPath.getName
+        val rel = s.getPath.toUri.getPath.stripPrefix(rootPrefix)
+        if ((name.endsWith(".parquet") ||
+          (name.startsWith("deletion_vector_") && name.endsWith(".bin"))) &&
+          // dot-prefixed segments are writer scratch, never table
+          // data — .graft_staging holds in-flight parquet between an
+          // executor write and the driver's commit-time move; a
+          // concurrent zero-retention vacuum collecting them would
+          // make that move fail (mirrors convertToDelta's listing)
+          !rel.split('/').exists(_.startsWith(".")))
+          out += ((rel, s.getModificationTime))
+      }
+    }
+    out.result()
+  }
+
   private def vacuumImpl(spark: SparkSession, root: String,
                          retentionMs: Long, delete: Boolean): Seq[String] = {
     require(retentionMs >= 0L, s"DeltaLog.vacuum: retentionMs >= 0")
@@ -4976,32 +5014,60 @@ object DeltaLog {
     val activeDvFiles: Set[String] = st.fileDvs.values.collect {
       case d if d.storageType == "u" => d.sidecarRel
     }.toSet
-    val rootPath = Paths.get(root)
-    val walk = Files.walk(rootPath)
-    val onDisk =
-      try walk.iterator().asScala
-        .filter { p =>
-          val name = p.getFileName.toString
-          Files.isRegularFile(p) &&
-            (name.endsWith(".parquet") ||
-              (name.startsWith("deletion_vector_") && name.endsWith(".bin"))) &&
-            !rootPath.relativize(p).startsWith("_delta_log") &&
-            // CDC files are never snapshot-active; deleting them here
-            // would silently destroy the change feed (CDF retention is
-            // its own policy, not vacuum's)
-            !rootPath.relativize(p).startsWith("_change_data") &&
-            // dot-prefixed segments are writer scratch, never table
-            // data — .graft_staging holds in-flight parquet between an
-            // executor write and the driver's commit-time move; a
-            // concurrent zero-retention vacuum collecting them would
-            // make that move fail (mirrors convertToDelta's listing)
-            !(0 until rootPath.relativize(p).getNameCount).exists(i =>
-              rootPath.relativize(p).getName(i).toString.startsWith("."))
-        }
-        .map(p => rootPath.relativize(p).toString
-          .replace(java.io.File.separatorChar, '/'))
-        .toSeq
-      finally walk.close()
+    val rootPath = Paths.get(root).toAbsolutePath.normalize()
+    val rootPrefix = rootPath.toString + "/"
+    val hadoopProps: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    val driverFs = new org.apache.hadoop.fs.Path(rootPath.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // top level on the driver (one readdir): depth-1 files list
+    // directly; each subdirectory is an independent walk unit — the
+    // _delta_log / _change_data / dot-scratch exclusions are whole
+    // top-level trees, so pruning them here skips the walk entirely
+    // (CDC files are never snapshot-active; deleting them would
+    // silently destroy the change feed — CDF retention is its own
+    // policy, not vacuum's)
+    val top = driverFs.listStatus(
+      new org.apache.hadoop.fs.Path(rootPath.toString)).toSeq
+    val excludedTop = Set("_delta_log", "_change_data")
+    val dirUnits = top.filter(s => s.isDirectory &&
+      !excludedTop(s.getPath.getName) && !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    val rootFiles: Seq[(String, Long)] = top.filter { s =>
+      val name = s.getPath.getName
+      s.isFile && !name.startsWith(".") &&
+        (name.endsWith(".parquet") ||
+          (name.startsWith("deletion_vector_") && name.endsWith(".bin")))
+    }.map(s => (s.getPath.getName, s.getModificationTime))
+    val dirFiles: Seq[(String, Long)] =
+      if (dirUnits.size <= VacuumDistributeDirs)
+        dirUnits.flatMap(d => vacuumListDir(driverFs, rootPrefix, d))
+      else {
+        // many partition directories: one walk unit per directory,
+        // shipped to executors with the session's resolved hadoop conf
+        // (the countFast idiom — a bare Configuration in the task
+        // would lose FS settings)
+        val confBc = spark.sparkContext.broadcast(hadoopProps)
+        val prefix = rootPrefix
+        spark.sparkContext
+          .parallelize(dirUnits.map(_.toString),
+            math.min(dirUnits.size, spark.sparkContext.defaultParallelism))
+          .mapPartitions { dirs =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confBc.value.foreach { case (k, v) => conf.set(k, v) }
+            dirs.flatMap { d =>
+              val p = new org.apache.hadoop.fs.Path(d)
+              vacuumListDir(p.getFileSystem(conf), prefix, p).iterator
+            }
+          }.collect().toSeq
+      }
+    val onDiskTimed: Seq[(String, Long)] = rootFiles ++ dirFiles
+    val onDisk = onDiskTimed.map(_._1)
+    val mtimes: Map[String, Long] = onDiskTimed.toMap
     val cutoff = System.currentTimeMillis() - retentionMs
     // newest recorded removal time per file, from the retained JSON
     // tail (one driver-side parse per commit — tails are
@@ -5029,9 +5095,36 @@ object DeltaLog {
       active(rel) || activeDvFiles(rel))
       .filter(rel => retentionMs == 0L ||
         removalTimes.getOrElse(rel,
-          Files.getLastModifiedTime(Paths.get(root, rel)).toMillis)
+          mtimes.getOrElse(rel,
+            Files.getLastModifiedTime(Paths.get(root, rel)).toMillis))
           <= cutoff)
-    if (delete) orphans.foreach(rel => Files.delete(Paths.get(root, rel)))
+    if (delete) {
+      if (orphans.size <= VacuumDistributeDeletes)
+        orphans.foreach(rel => Files.delete(Paths.get(root, rel)))
+      else {
+        // large reclaims ship the deletes to executors too — the
+        // orphan-by-orphan driver loop is the other serial half of
+        // the 100×-scale bottleneck; a false return (vanished /
+        // undeletable file) fails the task loudly like Files.delete
+        val confBc = spark.sparkContext.broadcast(hadoopProps)
+        val prefix = rootPrefix
+        val failed = spark.sparkContext
+          .parallelize(orphans,
+            math.min(math.max(1, orphans.size / 64),
+              spark.sparkContext.defaultParallelism))
+          .mapPartitions { rels =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confBc.value.foreach { case (k, v) => conf.set(k, v) }
+            val fs = new org.apache.hadoop.fs.Path(prefix)
+              .getFileSystem(conf)
+            rels.filterNot(rel => fs.delete(
+              new org.apache.hadoop.fs.Path(prefix + rel), false))
+          }.collect()
+        if (failed.nonEmpty) throw new java.io.IOException(
+          s"DeltaLog.vacuum: ${failed.length} orphan(s) could not be " +
+            s"deleted, first: ${failed.head}")
+      }
+    }
     orphans.sorted
   }
 

@@ -3217,6 +3217,44 @@ class DeltaLogSpec extends SparkSpec {
       cex.getMessage)
   }
 
+  test("vacuum at scale shape: >8 partition directories and >64 " +
+    "orphans take the DISTRIBUTED listing + delete paths with " +
+    "identical semantics — junk collected, actives and scratch kept") {
+    val root = freshRoot()
+    val buckets = (0 until 12).map(i => f"b$i%02d")
+    DeltaLog.commitPartitioned(spark, root,
+      buckets.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("k", "bucket").repartition(12, col("bucket")),
+      Seq("bucket"))
+    // 120 orphan ".parquet" files strewn across the partition dirs
+    // (vacuum never opens candidates, so junk bytes suffice) + writer
+    // scratch and CDC-lookalike trees that must survive
+    buckets.foreach { b =>
+      (0 until 10).foreach(j => Files.write(
+        Paths.get(root, s"bucket=$b", s"orphan-$j.parquet"),
+        Array[Byte](9, 9, 9)))
+    }
+    Files.createDirectories(Paths.get(root, ".graft_staging", "x"))
+    Files.write(Paths.get(root, ".graft_staging", "x", "inflight.parquet"),
+      Array[Byte](1))
+    Files.createDirectories(Paths.get(root, "_change_data"))
+    Files.write(Paths.get(root, "_change_data", "cdc-keep.parquet"),
+      Array[Byte](1))
+    val activeBefore = DeltaLog.read(spark, root).inputFiles.toSet
+    val gone = DeltaLog.vacuum(spark, root)
+    assert(gone.size == 120, s"expected 120 orphans, got ${gone.size}")
+    assert(gone.forall(_.contains("orphan-")), gone.take(3))
+    buckets.foreach(b => assert(!Files.exists(
+      Paths.get(root, s"bucket=$b", "orphan-0.parquet"))))
+    assert(Files.exists(
+      Paths.get(root, ".graft_staging", "x", "inflight.parquet")),
+      "writer scratch collected")
+    assert(Files.exists(Paths.get(root, "_change_data", "cdc-keep.parquet")),
+      "CDC file collected")
+    assert(DeltaLog.read(spark, root).inputFiles.toSet == activeBefore)
+    assert(DeltaLog.read(spark, root).count() == 12L)
+  }
+
   test("cleanUpExpiredLogs' sidecar sweep keeps a FRESH unreferenced " +
     "sidecar even at zero retention (in-flight checkpointV2 grace) " +
     "while collecting an aged one") {
