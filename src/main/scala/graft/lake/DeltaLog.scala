@@ -4235,14 +4235,14 @@ object DeltaLog {
     * removes refuse (changed history needs the CDC surface).
     */
   private[graft] def appendedFilesIn(root: String, sinceVersion: Long,
-      toVersion: Long): Seq[(Long, String, Map[String, String])] = {
+      toVersion: Long): Seq[(Long, String, Map[String, String], Long)] = {
     val present = versions(root).toSet
     ((sinceVersion + 1) to toVersion).foreach(v =>
       require(present.contains(v),
         s"DeltaLog.appendedFilesIn: commit $v missing from $root — the " +
           "append tail needs its JSON commits (checkpoints compact " +
           "state, not history)"))
-    val adds = Seq.newBuilder[(Long, String, Map[String, String])]
+    val adds = Seq.newBuilder[(Long, String, Map[String, String], Long)]
     ((sinceVersion + 1) to toVersion).foreach { v =>
       val lines = Files.readAllLines(logDir(root).resolve(commitName(v)))
         .asScala.filter(_.trim.nonEmpty)
@@ -4267,7 +4267,8 @@ object DeltaLog {
                     (if (e.getValue.isNull) null else e.getValue.asText()))
                   .toMap
               else Map.empty[String, String]
-            adds += ((v, decodePath(a.path("path").asText()), pv))
+            adds += ((v, decodePath(a.path("path").asText()), pv,
+              a.path("size").asLong(0L)))
           }
         } else if (node.has("remove")) {
           require(!node.get("remove").path("dataChange").asBoolean(true),
@@ -4328,16 +4329,16 @@ object DeltaLog {
     * synthesize them).
     */
   private[graft] def changeFilesIn(root: String, sinceVersion: Long,
-      toVersion: Long): Seq[(Long, String, Map[String, String], Option[String])] = {
+      toVersion: Long): Seq[(Long, String, Map[String, String], Option[String], Long)] = {
     val present = versions(root).toSet
     ((sinceVersion + 1) to toVersion).foreach(v =>
       require(present.contains(v),
         s"DeltaLog.changeFilesIn: commit $v missing from $root — the " +
           "feed tail needs its JSON commits"))
-    val out = Seq.newBuilder[(Long, String, Map[String, String], Option[String])]
+    val out = Seq.newBuilder[(Long, String, Map[String, String], Option[String], Long)]
     ((sinceVersion + 1) to toVersion).foreach { v =>
-      val cdcs = Seq.newBuilder[(String, Map[String, String])]
-      val adds = Seq.newBuilder[(String, Map[String, String])]
+      val cdcs = Seq.newBuilder[(String, Map[String, String], Long)]
+      val adds = Seq.newBuilder[(String, Map[String, String], Long)]
       var removesData = false
       Files.readAllLines(logDir(root).resolve(commitName(v))).asScala
         .filter(_.trim.nonEmpty).foreach { line =>
@@ -4351,11 +4352,13 @@ object DeltaLog {
           }
           if (node.has("cdc")) {
             val c = node.get("cdc")
-            cdcs += decodePath(c.path("path").asText()) -> pvOf(c)
+            cdcs += ((decodePath(c.path("path").asText()), pvOf(c),
+              c.path("size").asLong(0L)))
           } else if (node.has("add")) {
             val a = node.get("add")
             if (a.path("dataChange").asBoolean(true))
-              adds += decodePath(a.path("path").asText()) -> pvOf(a)
+              adds += ((decodePath(a.path("path").asText()), pvOf(a),
+                a.path("size").asLong(0L)))
           } else if (node.has("remove")) {
             if (node.get("remove").path("dataChange").asBoolean(true))
               removesData = true
@@ -4363,14 +4366,15 @@ object DeltaLog {
         }
       val cdcFiles = cdcs.result()
       if (cdcFiles.nonEmpty)
-        cdcFiles.foreach { case (rel, pv) => out += ((v, rel, pv, None)) }
+        cdcFiles.foreach { case (rel, pv, sz) =>
+          out += ((v, rel, pv, None, sz)) }
       else {
         require(!removesData,
           s"DeltaLog.changeFilesIn: commit $v of $root removes data " +
             "without cdc files — the stream cannot represent it; use " +
             "the batch readChangeFeed")
-        adds.result().foreach { case (rel, pv) =>
-          out += ((v, rel, pv, Some("insert")))
+        adds.result().foreach { case (rel, pv, sz) =>
+          out += ((v, rel, pv, Some("insert"), sz))
         }
       }
     }

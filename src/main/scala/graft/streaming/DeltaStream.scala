@@ -49,7 +49,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the bound (ICT-aware, mutually exclusive with startingVersion; a
   * bound past retained history streams only future commits);
   * `maxVersionsPerTrigger` bounds
-  * each batch's commit range (admission control);
+  * each batch's commit range; `maxFilesPerTrigger` /
+  * `maxBytesPerTrigger` rate at FILE granularity via a sub-commit
+  * offset, so one fat commit (compaction, backfill) drains across
+  * several micro-batches (at most one of the three);
   * `readChangeFeed=true` streams the CHANGE FEED instead (cdc files
   * with their own `_change_type`, synthesized inserts,
   * `_commit_version` constants). Partitioned tables stream with typed
@@ -97,17 +100,17 @@ class DeltaStreamProvider extends TableProvider {
         .map(_ - 1L).getOrElse(DeltaLog.currentVersion(root))
       case None => explicitVersion.getOrElse(-1L)
     }
-    val maxVersionsPerTrigger =
-      Option(properties.get("maxversionspertrigger"))
-        .orElse(Option(properties.get("maxVersionsPerTrigger")))
-        .map(_.toLong)
-    maxVersionsPerTrigger.foreach(n => require(n >= 1,
-      s"DeltaStreamProvider: maxVersionsPerTrigger >= 1, got $n"))
+    def longOpt(lower: String, camel: String): Option[Long] =
+      Option(properties.get(lower))
+        .orElse(Option(properties.get(camel))).map(_.toLong)
+    val admission = DeltaAdmission(
+      longOpt("maxversionspertrigger", "maxVersionsPerTrigger"),
+      longOpt("maxfilespertrigger", "maxFilesPerTrigger"),
+      longOpt("maxbytespertrigger", "maxBytesPerTrigger"))
     val cdf = Option(properties.get("readchangefeed"))
       .orElse(Option(properties.get("readChangeFeed")))
       .exists(_.trim.equalsIgnoreCase("true"))
-    new DeltaStreamTable(root, schema, startingVersion,
-      maxVersionsPerTrigger, cdf)
+    new DeltaStreamTable(root, schema, startingVersion, admission, cdf)
   }
 }
 
@@ -122,7 +125,7 @@ object DeltaStreamProvider {
 
 private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
                                           startingVersion: Long,
-                                          maxVersionsPerTrigger: Option[Long],
+                                          admission: DeltaAdmission,
                                           cdf: Boolean = false)
   extends Table with SupportsRead with SupportsWrite {
 
@@ -227,15 +230,36 @@ private[streaming] class DeltaStreamTable(root: String, schema0: StructType,
                 "are long/int/string/boolean/double/date")
           }
           new DeltaMicroBatchStream(root, schema0, startingVersion,
-            maxVersionsPerTrigger, pcs, cdf, lookupNames, fieldIds)
+            admission, pcs, cdf, lookupNames, fieldIds)
         }
       }
     }
 }
 
-/** A log version as a streaming offset (json = the number). */
-private[streaming] case class VersionOffset(version: Long) extends Offset {
-  override def json(): String = version.toString
+/** A streaming offset at SUB-COMMIT granularity: commits `<= version`
+  * fully consumed, plus the first `index` files of commit
+  * `version + 1` (per-commit file order is deterministic — commit-JSON
+  * line order — so a restart replays identical slices). `index == 0`
+  * serializes as the bare version number, byte-identical to the
+  * version-granular offsets older checkpoints recorded, so existing
+  * streams resume unchanged; partial offsets serialize as a JSON
+  * object.
+  */
+private[streaming] case class VersionOffset(version: Long,
+                                            index: Long = 0L) extends Offset {
+  override def json(): String =
+    if (index == 0L) version.toString
+    else s"""{"version":$version,"index":$index}"""
+}
+
+private[streaming] object VersionOffset {
+  def parse(json: String): VersionOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+      VersionOffset(n.path("version").asLong(), n.path("index").asLong())
+    } else VersionOffset(t.toLong)
+  }
 }
 
 /** Version-capped admission: `maxVersionsPerTrigger` bounds how many
@@ -246,10 +270,43 @@ private[streaming] case class VersionOffset(version: Long) extends Offset {
   */
 private[streaming] case class ReadMaxVersions(n: Long) extends ReadLimit
 
+/** File/byte-capped admission (`maxFilesPerTrigger` /
+  * `maxBytesPerTrigger`, Delta's own rate-limit options): a single FAT
+  * commit — a compaction, a bulk backfill — splits across micro-batches
+  * at file granularity via the sub-commit offset, instead of landing
+  * in one giant batch no matter the limit. Sizes come from the adds'
+  * recorded `size` field (zero extra IO). A batch always admits at
+  * least one file, so a file larger than the byte budget still drains.
+  */
+private[streaming] case class ReadMaxFilesG(n: Long) extends ReadLimit
+private[streaming] case class ReadMaxBytesG(n: Long) extends ReadLimit
+
+/** The three per-trigger admission options (at most one set). */
+private[streaming] case class DeltaAdmission(maxVersions: Option[Long],
+                                             maxFiles: Option[Long],
+                                             maxBytes: Option[Long]) {
+  require(Seq(maxVersions, maxFiles, maxBytes).count(_.nonEmpty) <= 1,
+    "DeltaStreamProvider: at most one of maxVersionsPerTrigger / " +
+      "maxFilesPerTrigger / maxBytesPerTrigger")
+  Seq("maxVersionsPerTrigger" -> maxVersions, "maxFilesPerTrigger" -> maxFiles,
+    "maxBytesPerTrigger" -> maxBytes).foreach { case (name, v) =>
+    v.foreach(n => require(n >= 1, s"DeltaStreamProvider: $name >= 1, got $n"))
+  }
+  def readLimit: ReadLimit =
+    maxVersions.map(ReadMaxVersions(_): ReadLimit)
+      .orElse(maxFiles.map(ReadMaxFilesG(_): ReadLimit))
+      .orElse(maxBytes.map(ReadMaxBytesG(_): ReadLimit))
+      .getOrElse(ReadLimit.allAvailable())
+}
+
+private[streaming] object DeltaAdmission {
+  val None_ : DeltaAdmission = DeltaAdmission(None, None, None)
+}
+
 private[streaming] class DeltaMicroBatchStream(root: String,
                                                schema: StructType,
                                                startingVersion: Long,
-                                               maxVersionsPerTrigger: Option[Long],
+                                               admission: DeltaAdmission,
                                                partitionCols: Seq[String],
                                                cdf: Boolean = false,
                                                lookupNames: Map[String, String] = Map.empty,
@@ -258,15 +315,63 @@ private[streaming] class DeltaMicroBatchStream(root: String,
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.map(ReadMaxVersions(_): ReadLimit)
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = admission.readLimit
+
+  /** Ordered file list of ONE commit — (relative path, partition
+    * values, reader extras, recorded size). Deterministic across
+    * restarts (commit-JSON line order): both admission control and
+    * planning paginate by position into this list.
+    */
+  private def commitFiles(v: Long): Seq[(String, Map[String, String], Map[String, String], Long)] =
+    if (cdf)
+      DeltaLog.changeFilesIn(root, v - 1, v).map { case (_, rel, pv, ct, sz) =>
+        (rel, pv, Map("_commit_version" -> v.toString) ++
+          ct.map("_change_type" -> _), sz)
+      }
+    else
+      DeltaLog.appendedFilesIn(root, v - 1, v).map { case (_, rel, pv, sz) =>
+        (rel, pv, Map.empty[String, String], sz)
+      }
+
+  /** Walk commits from `so`, admitting whole commits while the
+    * file/byte budget holds and stopping MID-COMMIT (a sub-commit
+    * offset) when it does not. Zero-file commits (metadata-only,
+    * empty appends) pass through freely; the first file of a batch is
+    * always admitted so progress is guaranteed.
+    */
+  private def admitBounded(so: VersionOffset, cur: Long,
+                           maxFiles: Long, maxBytes: Long): VersionOffset = {
+    var v = so.version + 1
+    var idx = so.index.toInt
+    var files = 0L
+    var bytes = 0L
+    var out = so
+    var done = false
+    while (!done && v <= cur) {
+      val fs = commitFiles(v)
+      var i = idx
+      while (!done && i < fs.size) {
+        val sz = fs(i)._4
+        if (files + 1 > maxFiles || (bytes + sz > maxBytes && files > 0))
+          done = true
+        else { files += 1; bytes += sz; i += 1 }
+      }
+      if (i > idx || i >= fs.size)
+        out = if (i >= fs.size) VersionOffset(v, 0L)
+        else VersionOffset(v - 1, i.toLong)
+      if (i >= fs.size) { v += 1; idx = 0 } else done = true
+    }
+    out
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = DeltaLog.currentVersion(root)
-    val from = start.asInstanceOf[VersionOffset].version
+    val so = start.asInstanceOf[VersionOffset]
     limit match {
-      case ReadMaxVersions(n) => VersionOffset(math.min(cur, from + n))
+      case ReadMaxVersions(n) =>
+        VersionOffset(math.min(cur, so.version + n))
+      case ReadMaxFilesG(n) => admitBounded(so, cur, n, Long.MaxValue)
+      case ReadMaxBytesG(n) => admitBounded(so, cur, Long.MaxValue, n)
       case _ => VersionOffset(cur)
     }
   }
@@ -276,7 +381,7 @@ private[streaming] class DeltaMicroBatchStream(root: String,
       "latestOffset(Offset, ReadLimit) drives this admission-aware source")
 
   override def deserializeOffset(json: String): Offset =
-    VersionOffset(json.trim.toLong)
+    VersionOffset.parse(json)
 
   override def commit(end: Offset): Unit = ()
 
@@ -284,20 +389,26 @@ private[streaming] class DeltaMicroBatchStream(root: String,
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[VersionOffset].version
-    val to = end.asInstanceOf[VersionOffset].version
-    if (cdf)
-      DeltaLog.changeFilesIn(root, from, to).map { case (v, rel, pv, ct) =>
-        DeltaFilePartition(
-          java.nio.file.Paths.get(root, rel).toString, pv,
-          Map("_commit_version" -> v.toString) ++
-            ct.map("_change_type" -> _)): InputPartition
-      }.toArray
-    else
-      DeltaLog.appendedFilesIn(root, from, to).map { case (_, rel, pv) =>
-        DeltaFilePartition(
-          java.nio.file.Paths.get(root, rel).toString, pv): InputPartition
-      }.toArray
+    val s = start.asInstanceOf[VersionOffset]
+    val e = end.asInstanceOf[VersionOffset]
+    val lastV = if (e.index > 0L) e.version + 1 else e.version
+    val out = Array.newBuilder[InputPartition]
+    var v = s.version + 1
+    while (v <= lastV) {
+      val fs = commitFiles(v)
+      val from = if (v == s.version + 1) s.index.toInt else 0
+      val until = if (e.index > 0L && v == e.version + 1) e.index.toInt
+      else fs.size
+      var i = from
+      while (i < until) {
+        val (rel, pv, extras, _) = fs(i)
+        out += DeltaFilePartition(
+          java.nio.file.Paths.get(root, rel).toString, pv, extras)
+        i += 1
+      }
+      v += 1
+    }
+    out.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -96,6 +96,87 @@ class DeltaStreamSpec extends SparkSpec {
     assert(n >= 3, s"expected >=3 bounded batches, saw $n offset files")
   }
 
+  test("maxFilesPerTrigger splits ONE fat commit across micro-batches " +
+    "at file granularity (sub-commit offsets), loses nothing, and a " +
+    "checkpoint restart with a fat backlog resumes exactly-once") {
+    val root = freshDir("graft-dstream-mft")
+    // one commit, six files — version-granular admission would land it
+    // in a single batch no matter the limit
+    DeltaLog.commitFlat(spark, root,
+      (1L to 12L).map(i => (i, s"v$i")).toDF("k", "v").repartition(6))
+    val ckpt = Files.createTempDirectory("graft-dstream-mftck").toString
+    val out = Files.createTempDirectory("graft-dstream-mftout")
+      .resolve("o").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.streaming.DeltaStreamProvider")
+        .option("path", root).option("maxFilesPerTrigger", "2").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (1L to 12L).map(i => (i, s"v$i")).toSet)
+    // 6 files at <=2 per batch = at least 3 offset entries, and the
+    // intermediate ones are SUB-COMMIT (serialized with an index)
+    val offDir = java.nio.file.Paths.get(ckpt, "offsets")
+    def offsetBodies: Seq[String] = {
+      val s = Files.list(offDir)
+      try s.iterator().asScala
+        .filter(!_.getFileName.toString.startsWith("."))
+        .map(p => Files.readAllLines(p).asScala.mkString("\n")).toSeq
+      finally s.close()
+    }
+    assert(offsetBodies.size >= 3,
+      s"expected >=3 bounded batches, saw ${offsetBodies.size}")
+    assert(offsetBodies.exists(_.contains("\"index\"")),
+      "no sub-commit offset was recorded for a mid-commit boundary")
+    // restart against a NEW fat backlog commit: only the new rows land
+    DeltaLog.commitFlat(spark, root,
+      (13L to 18L).map(i => (i, s"v$i")).toDF("k", "v").repartition(6))
+    run()
+    val got2 = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got2.size == 18, s"exactly-once violated: ${got2.size} rows")
+    assert(got2.toSet == (1L to 18L).map(i => (i, s"v$i")).toSet)
+  }
+
+  test("maxBytesPerTrigger rates by recorded add sizes and always " +
+    "admits at least one file, so files larger than the budget drain") {
+    val root = freshDir("graft-dstream-mbt")
+    DeltaLog.commitFlat(spark, root,
+      (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v").repartition(4))
+    val ckpt = Files.createTempDirectory("graft-dstream-mbtck").toString
+    val out = Files.createTempDirectory("graft-dstream-mbtout")
+      .resolve("o").toString
+    // 1 byte per trigger < any parquet file: progress guarantee makes
+    // this one-file-per-batch, never a stall
+    val q = spark.readStream.format("graft.streaming.DeltaStreamProvider")
+      .option("path", root).option("maxBytesPerTrigger", "1").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (1L to 8L).map(i => (i, s"v$i")).toSet)
+    val offsets = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
+    val n = try offsets.iterator().asScala
+      .count(!_.getFileName.toString.startsWith(".")) finally offsets.close()
+    assert(n >= 4, s"expected one-file batches (>=4 offsets), saw $n")
+    // the three rate options are mutually exclusive — loud refusal
+    val ex = intercept[Exception] {
+      val bad = spark.readStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", root).option("maxFilesPerTrigger", "2")
+        .option("maxBytesPerTrigger", "10").load()
+        .writeStream.format("memory")
+        .queryName(s"mbt_bad_${System.nanoTime()}").start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("partitioned tables stream with typed partition-value constants, " +
     "null partitions included") {
     val root = freshDir("graft-dstream-part")
