@@ -278,11 +278,73 @@ object DeltaLog {
     * need external coordination — single-writer-per-table is the
     * documented deployment here.
     */
+  /** [[writeCommitFileOnce]] plus bounded optimistic-concurrency
+    * reconciliation (`retryDataConflicts = true`): when the version is
+    * taken by a concurrent writer, a commit that is a BLIND APPEND
+    * (only `add` / `txn` actions — no removes, no metaData/protocol,
+    * no cdc) re-attempts at the next version after checking the
+    * winner's commit is logically disjoint — no metaData/protocol
+    * change (our data was validated against the old schema) and no
+    * txn watermark for any of our appIds (a later lower watermark
+    * would re-open replayed batches). Anything else refuses loudly
+    * with nothing committed, exactly as before: a losing DELETE/MERGE
+    * computed its rewrite from a state the winner may have changed,
+    * and replaying it blindly could resurrect or drop rows. Returns
+    * the version actually committed.
+    */
   private[lake] def writeCommitFile(root: String, dv: Long,
                                     actions: Seq[JsonNode],
                                     operation: String = null,
                                     opTimestamp: Long = -1L,
-                                    ictStart: Boolean = false): Unit = {
+                                    ictStart: Boolean = false,
+                                    retryDataConflicts: Boolean = false,
+                                    maxAttempts: Int = 5): Long = {
+    var v = dv
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        writeCommitFileOnce(root, v, actions, operation, opTimestamp,
+          ictStart)
+        return v
+      } catch {
+        case e: IllegalStateException
+          if retryDataConflicts && attempt < maxAttempts &&
+            e.getCause.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+          val blind = actions.forall(n => n.has("add") || n.has("txn"))
+          if (!blind) throw new IllegalStateException(
+            s"DeltaLog: commit version $v of $root was taken by a " +
+              "concurrent writer and this commit is not a blind " +
+              "append (it removes files or changes metadata) — its " +
+              "state basis may be stale; re-run against the current " +
+              "version. Nothing was committed.", e)
+          val winner = Files.readAllLines(logDir(root).resolve(commitName(v)))
+            .asScala.filter(_.trim.nonEmpty).map(mapper.readTree)
+          val winnerMeta = winner.exists(n =>
+            n.has("metaData") || n.has("protocol"))
+          val ourApps = actions.collect {
+            case n if n.has("txn") => n.get("txn").path("appId").asText()
+          }.toSet
+          val winnerTxnClash = winner.exists(n => n.has("txn") &&
+            ourApps(n.get("txn").path("appId").asText()))
+          if (winnerMeta || winnerTxnClash) throw new IllegalStateException(
+            s"DeltaLog: commit version $v of $root was taken by a " +
+              "concurrent writer whose commit " +
+              (if (winnerMeta) "changes metadata/protocol"
+               else "advances a txn watermark this commit also carries") +
+              " — not logically disjoint; re-run against the current " +
+              "version. Nothing was committed.", e)
+          v += 1
+      }
+    }
+    v // unreachable
+  }
+
+  private def writeCommitFileOnce(root: String, dv: Long,
+                                  actions: Seq[JsonNode],
+                                  operation: String = null,
+                                  opTimestamp: Long = -1L,
+                                  ictStart: Boolean = false): Unit = {
     // In-commit timestamps (the `inCommitTimestamp` writer feature):
     // once a table carries one, every successor commit continues the
     // MONOTONIC chain — max(wall clock, predecessor + 1) — so
@@ -5749,10 +5811,14 @@ object DeltaLog {
           evolvedConfig.getOrElse(
             prior.map(_.configuration).getOrElse(createdConfig)))
     }
-    writeCommitFile(root, v, actions.result(), operation = "WRITE",
-      ictStart = v == 0L && ictEnabled)
+    // blind appends (the common ingest shape) reconcile version
+    // collisions with a concurrent writer — see [[writeCommitFile]];
+    // schema-evolving / creating / rewriting commits refuse as before
+    val committed = writeCommitFile(root, v, actions.result(),
+      operation = "WRITE", ictStart = v == 0L && ictEnabled,
+      retryDataConflicts = true)
     prior.foreach(postCommit(spark, root, _))
-    v
+    committed
   }
 
   /** The commit version that carries `txn` action (appId, txnVersion) —

@@ -3255,6 +3255,77 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, root).count() == 12L)
   }
 
+  test("optimistic concurrency: a losing BLIND APPEND reconciles " +
+    "against a disjoint winner and lands at the next version; " +
+    "metadata-changing winners, competing txn watermarks and " +
+    "non-append losers refuse with nothing committed") {
+    val root = freshRoot()
+    DeltaLog.commitFlat(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)) // v0
+    val srcFile = Paths.get(new java.net.URI(
+      DeltaLog.read(spark, root).inputFiles.head))
+    def alias(name: String): Long = {
+      Files.copy(srcFile, Paths.get(root, name),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.size(Paths.get(root, name))
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def addNode(p: String, sz: Long) = om.readTree(
+      s"""{"add":{"path":"$p","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}""")
+    // winner takes v1 first (an external blind append); the loser's
+    // blind append reconciles and lands at v2
+    val szW = alias("w.parquet")
+    writeCommit(root, 1L, Seq(
+      s"""{"add":{"path":"w.parquet","partitionValues":{},"size":$szW,"modificationTime":1,"dataChange":true}}"""))
+    val szO = alias("o.parquet")
+    val landed = DeltaLog.writeCommitFile(root, 1L,
+      Seq(addNode("o.parquet", szO)), operation = "WRITE",
+      retryDataConflicts = true)
+    assert(landed == 2L)
+    assert(DeltaLog.currentVersion(root) == 2L)
+    assert(DeltaLog.read(spark, root).count() == 6L) // 3 aliases x 2 rows
+    // a winner that CHANGES METADATA is not disjoint — refuse, and
+    // nothing lands at v4
+    val schemaJson = DeltaLog.tableMeta(spark, root)._1.json
+      .replace("\"", "\\\"")
+    writeCommit(root, 3L, Seq(
+      s"""{"metaData":{"id":"ext-conc","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""))
+    val exMeta = intercept[IllegalStateException](
+      DeltaLog.writeCommitFile(root, 3L,
+        Seq(addNode("never.parquet", 1L)), retryDataConflicts = true))
+    assert(exMeta.getMessage.contains("metadata/protocol"),
+      exMeta.getMessage)
+    assert(DeltaLog.currentVersion(root) == 3L)
+    // a winner advancing the SAME appId's txn watermark would be
+    // re-opened by our lower one — refuse; a DIFFERENT appId is
+    // disjoint and reconciles
+    writeCommit(root, 4L, Seq("""{"txn":{"appId":"appX","version":9}}"""))
+    val exTxn = intercept[IllegalStateException](
+      DeltaLog.writeCommitFile(root, 4L,
+        Seq(addNode("never.parquet", 1L),
+          om.readTree("""{"txn":{"appId":"appX","version":3}}""")),
+        retryDataConflicts = true))
+    assert(exTxn.getMessage.contains("txn watermark"), exTxn.getMessage)
+    assert(DeltaLog.currentVersion(root) == 4L)
+    val szO3 = alias("o3.parquet")
+    assert(DeltaLog.writeCommitFile(root, 4L,
+      Seq(addNode("o3.parquet", szO3),
+        om.readTree("""{"txn":{"appId":"appY","version":1}}""")),
+      retryDataConflicts = true) == 5L)
+    assert(DeltaLog.read(spark, root).count() == 8L)
+    // a loser that REMOVES files computed its rewrite from a stale
+    // state — never replay it blindly
+    writeCommit(root, 6L, Seq(
+      s"""{"add":{"path":"o.parquet","partitionValues":{},"size":$szO,"modificationTime":2,"dataChange":true}}"""))
+    val exRm = intercept[IllegalStateException](
+      DeltaLog.writeCommitFile(root, 6L,
+        Seq(om.readTree(
+          """{"remove":{"path":"w.parquet","dataChange":true}}""")),
+        retryDataConflicts = true))
+    assert(exRm.getMessage.contains("not a blind append"), exRm.getMessage)
+    assert(DeltaLog.currentVersion(root) == 6L)
+  }
+
   test("cleanUpExpiredLogs' sidecar sweep keeps a FRESH unreferenced " +
     "sidecar even at zero retention (in-flight checkpointV2 grace) " +
     "while collecting an aged one") {
