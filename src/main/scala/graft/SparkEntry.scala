@@ -2845,6 +2845,48 @@ object SparkEntry {
       val paths = java.nio.file.Files.readAllLines(mf).asScala.toSeq
       s.read.parquet(paths: _*)
     }),
+    // FILE-GRANULAR ADMISSION: one fat commit (8 files) drains through
+    // maxFilesPerTrigger=3 in ceil(8/3)=3 micro-batches via sub-commit
+    // offsets; the unioned stream must equal the batch truth exactly
+    // once — rate limiting moves batch boundaries, never content.
+    "q313_delta_stream_rate" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      val root = freshScratch("q313")
+      graft.lake.DeltaLog.commitFlat(s, root, ev.repartition(8))
+      val name = s"q313_sink_${System.nanoTime()}"
+      val q = s.readStream.format("graft.streaming.DeltaStreamProvider")
+        .option("path", root).option("maxFilesPerTrigger", "3").load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+          "q313: a 8-file commit at maxFilesPerTrigger=3 must drain " +
+            "in at least 3 micro-batches")
+      } finally q.stop()
+      s.table(name)
+    }),
+    // OPTIMISTIC CONCURRENCY: two writers append concurrently to one
+    // table — a version collision reconciles (blind appends are
+    // logically disjoint) instead of failing the loser, so BOTH
+    // slices land and the table is the exact union either way.
+    "q314_delta_concurrent_append" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      def third(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      val root = freshScratch("q314")
+      graft.lake.DeltaLog.commitFlat(s, root, third(0))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val racers = Seq(1, 2).map(i =>
+        Future(graft.lake.DeltaLog.commitFlat(s, root, third(i))))
+      racers.foreach(Await.result(_, 180.seconds))
+      require(graft.lake.DeltaLog.currentVersion(root) == 2L,
+        "q314: both concurrent appends must land")
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // NESTED STREAMING delta-to-delta: the silver items shape streams
     // through the DSv2 source (recursive Group-walk array<struct>
     // conversion) INTO a second Delta table (the sink stages the same
@@ -5222,6 +5264,12 @@ object SparkEntry {
       """SELECT event_id, value FROM events
          WHERE event_id IS NOT NULL
            AND event_id NOT BETWEEN 1000 AND 2000""",
+    // q313: rate limiting moves batch boundaries, never content.
+    "q313_delta_stream_rate" ->
+      """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
+    // q314: both concurrent appends land — the union of all thirds.
+    "q314_delta_concurrent_append" ->
+      """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
     // q304: the snapshot replayed through the auto-written checkpoint
     // — compaction must not change what readers see.
     "q304_delta_auto_checkpoint" ->
