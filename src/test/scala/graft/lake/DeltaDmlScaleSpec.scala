@@ -362,4 +362,26 @@ class DeltaDmlScaleSpec extends SparkSpec {
       .findAllMatchIn(c1).map(_.group(1).toLong).sum
     assert(total == 1000000L, s"DV cardinalities sum to $total: ${c1.take(600)}")
   }
+
+  test("distributed VACUUM (many dirs, many orphans) runs a BOUNDED " +
+    "job count — one listing fan-out + one delete fan-out, never " +
+    "O(directories) or O(orphans)") {
+    val root = freshRoot()
+    val buckets = (0 until 12).map(i => f"b$i%02d")
+    DeltaLog.commitPartitioned(spark, root,
+      buckets.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("k", "bucket").repartition(12, col("bucket")),
+      Seq("bucket"))
+    buckets.foreach { b =>
+      (0 until 10).foreach(j => java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, s"bucket=$b", s"junk-$j.parquet"),
+        Array[Byte](1)))
+    }
+    var gone: Seq[String] = Nil
+    val jobs = countJobs { gone = DeltaLog.vacuum(spark, root) }
+    assert(gone.size == 120)
+    assert(jobs <= 4,
+      s"distributed vacuum ran $jobs jobs — per-dir/per-orphan blowup")
+    assert(DeltaLog.read(spark, root).count() == 12L)
+  }
 }
