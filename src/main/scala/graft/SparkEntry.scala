@@ -2887,6 +2887,26 @@ object SparkEntry {
         "q314: both concurrent appends must land")
       graft.lake.DeltaLog.read(s, root)
     }),
+    // TYPE WIDENING: half the slice lands with an INT32 event_id, the
+    // column widens to long (metaData-only commit, zero data moved),
+    // the other half lands wide — the mixed-physical read returns one
+    // long column equal to the whole slice (Spark's parquet readers
+    // promote int32→int64 natively; the widening is bit-exact so the
+    // cross-engine hash cannot move).
+    "q315_delta_type_widening" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        .filter(col("event_id").isNotNull)
+      val root = freshScratch("q315")
+      graft.lake.DeltaLog.commitFlat(s, root,
+        ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(col("event_id").cast("int").as("event_id"),
+            col("value")))
+      graft.lake.DeltaLog.widenColumnType(s, root, "event_id",
+        org.apache.spark.sql.types.LongType)
+      graft.lake.DeltaLog.commitFlat(s, root,
+        ev.filter(pmod(col("event_id"), lit(2)) === 1))
+      graft.lake.DeltaLog.read(s, root)
+    }),
     // NESTED STREAMING delta-to-delta: the silver items shape streams
     // through the DSv2 source (recursive Group-walk array<struct>
     // conversion) INTO a second Delta table (the sink stages the same
@@ -5269,6 +5289,9 @@ object SparkEntry {
       """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
     // q314: both concurrent appends land — the union of all thirds.
     "q314_delta_concurrent_append" ->
+      """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
+    // q315: widening is lossless — the mixed table IS the whole slice.
+    "q315_delta_type_widening" ->
       """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
     // q304: the snapshot replayed through the auto-written checkpoint
     // — compaction must not change what readers see.

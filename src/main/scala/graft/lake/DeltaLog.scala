@@ -965,7 +965,7 @@ object DeltaLog {
     */
   private val supportedReaderFeatures: Set[String] =
     Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck",
-      "v2Checkpoint")
+      "v2Checkpoint", "typeWidening")
 
   private def mappingMode(st: LogState): String =
     st.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -2084,7 +2084,12 @@ object DeltaLog {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns",
     "deletionVectors", "v2Checkpoint", "inCommitTimestamp",
-    "vacuumProtocolCheck", "timestampNtz")
+    "vacuumProtocolCheck", "timestampNtz",
+    // the feature's write obligation — record each change under
+    // delta.typeChanges when altering a type — is honored by
+    // [[widenColumnType]], the only type-altering entry point here;
+    // ordinary writes land in the DECLARED (widened) type
+    "typeWidening")
 
   private def requireWritable(st: LogState, op: String): Unit = {
     val unknown = st.writerFeatures.filterNot(honoredWriterFeatures)
@@ -2560,6 +2565,108 @@ object DeltaLog {
     writeCommitFile(root, v + 1, Seq(metaDataAction(st.tableId,
       schema.json, st.partitionColumns, st.configuration -- keys)),
       operation = "UNSET TBLPROPERTIES")
+    v + 1
+  }
+
+  /** Delta schema-string primitive name of a widenable type. */
+  private def deltaTypeName(dt: DataType): String = dt match {
+    case ByteType => "byte"
+    case ShortType => "short"
+    case IntegerType => "integer"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case other => throw new IllegalArgumentException(
+      s"DeltaLog: no delta type name for $other")
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE <wider>` — Delta's TYPE
+    * WIDENING (PROTOCOL.md: Type Widening; the `typeWidening`
+    * reader+writer feature). A metaData-only commit: the declared
+    * schema re-emits with the widened type and the change recorded
+    * under the field's `delta.typeChanges` metadata (fromType/toType,
+    * the protocol's audit trail); ZERO data movement — files written
+    * before keep their narrower physical form and every read path
+    * here widens them natively (Spark's parquet readers promote
+    * int32→int64 / float→double in the scan; the streaming source's
+    * Group walk extracts by each file's OWN physical type and
+    * upcasts). Allowed changes are the lossless integral chain
+    * byte→short→int→long plus float→double — the set whose widened
+    * values are bit-exact, so cross-engine hashes never move.
+    * Refused: narrowing or cross-family changes (loud), partition
+    * columns (their values live as directory strings typed by the
+    * declared schema — a flip would silently re-type history), and
+    * columns a CHECK constraint or generation expression mentions
+    * (the stored SQL would re-resolve against a different type).
+    * The protocol co-upgrades to the features form carrying
+    * `typeWidening` in BOTH feature sets (legacy floors enumerate,
+    * declared sets stay exact — the r19 discipline).
+    */
+  def widenColumnType(spark: SparkSession, root: String, column: String,
+                      to: DataType): Long = {
+    val v = currentVersion(root)
+    val st = replay(spark, root, v)
+    requireWritable(st, "widenColumnType")
+    requireWritableMapping(st, "widenColumnType")
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"DeltaLog: no metaData action in $root log — schema unknown"))
+    val f = schema.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(
+        s"DeltaLog.widenColumnType: no column $column in ${schema.fieldNames.toSeq}"))
+    val widens = (f.dataType, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(widens,
+      s"DeltaLog.widenColumnType: ${f.dataType.simpleString} → " +
+        s"${to.simpleString} is not a supported widening (integral " +
+        "chain byte→short→int→long, or float→double)")
+    require(!st.partitionColumns.contains(column),
+      s"DeltaLog.widenColumnType: $column is a partition column — its " +
+        "recorded directory values are typed by the declared schema; " +
+        "widening them would silently re-type history")
+    requireNoStoredSqlOn(st, schema, column, "widenColumnType")
+    val change = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("fromType", deltaTypeName(f.dataType))
+      .putString("toType", deltaTypeName(to)).build()
+    val prior =
+      if (f.metadata.contains("delta.typeChanges"))
+        f.metadata.getMetadataArray("delta.typeChanges")
+      else Array.empty[org.apache.spark.sql.types.Metadata]
+    val newMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putMetadataArray("delta.typeChanges", prior :+ change).build()
+    val widened = StructType(schema.fields.map(x =>
+      if (x.name == column) x.copy(dataType = to, metadata = newMeta)
+      else x))
+    val actions = Seq.newBuilder[JsonNode]
+    val needReader = !(st.minReaderVersion >= 3 &&
+      st.readerFeatures.contains("typeWidening"))
+    val needWriter = !(st.minWriterVersion >= 7 &&
+      st.writerFeatures.contains("typeWidening"))
+    if (needReader || needWriter) {
+      val rf = ((if (st.minReaderVersion >= 3) st.readerFeatures
+      else if (st.minReaderVersion >= 2 || mappingMode(st) != "none")
+        Seq("columnMapping")
+      else Seq.empty) :+ "typeWidening").distinct
+      val wf = ((if (st.minWriterVersion >= 7) st.writerFeatures
+      else legacyWriterFeatures(st.minWriterVersion)) :+ "typeWidening")
+        .distinct
+      val n = mapper.createObjectNode()
+      val p = n.putObject("protocol")
+      p.put("minReaderVersion", 3)
+      p.put("minWriterVersion", 7)
+      val rfa = p.putArray("readerFeatures"); rf.foreach(rfa.add)
+      val wfa = p.putArray("writerFeatures"); wf.foreach(wfa.add)
+      actions += n
+    }
+    actions += metaDataAction(st.tableId, widened.json,
+      st.partitionColumns, st.configuration)
+    writeCommitFile(root, v + 1, actions.result(),
+      operation = "CHANGE COLUMN")
     v + 1
   }
 

@@ -640,6 +640,12 @@ private[streaming] class GroupParquetReader(
     * disambiguated by the format's backward-compat rule; MAP as the
     * standard repeated key_value).
     */
+  /** The file-side primitive type of field `idx` in group `g` (the
+    * widening dispatch needs the PHYSICAL form, not the declared one).
+    */
+  private def primitiveOf(g: Group, idx: Int): PrimitiveTypeName =
+    g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName
+
   private def convertValue(g: Group, idx: Int, rep: Int,
                            dt: DataType): Any = dt match {
     case st: StructType => structRow(g.getGroup(idx, rep), st)
@@ -683,9 +689,20 @@ private[streaming] class GroupParquetReader(
       new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
         new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
-    case LongType | TimestampType => g.getLong(idx, rep)
+    case LongType =>
+      // typeWidening: files written before an int→long widening store
+      // INT32 — extract by the file's OWN physical form and upcast
+      primitiveOf(g, idx) match {
+        case PrimitiveTypeName.INT32 => g.getInteger(idx, rep).toLong
+        case _ => g.getLong(idx, rep)
+      }
+    case TimestampType => g.getLong(idx, rep)
     case IntegerType | DateType => g.getInteger(idx, rep)
-    case DoubleType => g.getDouble(idx, rep)
+    case DoubleType =>
+      primitiveOf(g, idx) match {
+        case PrimitiveTypeName.FLOAT => g.getFloat(idx, rep).toDouble
+        case _ => g.getDouble(idx, rep)
+      }
     case FloatType => g.getFloat(idx, rep)
     case BooleanType => g.getBoolean(idx, rep)
     case StringType =>

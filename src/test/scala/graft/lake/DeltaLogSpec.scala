@@ -3326,6 +3326,77 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.currentVersion(root) == 6L)
   }
 
+  test("TYPE WIDENING: int→long is a metaData-only commit (zero data " +
+    "movement) — old narrow files read widened, DML rewrites and " +
+    "MERGE work across mixed physical forms, the change is recorded " +
+    "under delta.typeChanges, the protocol carries the feature in " +
+    "BOTH sets, and refusals (narrowing, partition columns) are loud") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = freshRoot()
+    spark.createDataFrame(
+      Seq((1, "a"), (2, "b"), (3, "c"))
+        .map(t => org.apache.spark.sql.Row(t._1, t._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+      .coalesce(1).createOrReplaceTempView("tw_src")
+    DeltaLog.commitFlat(spark, root, spark.table("tw_src").coalesce(1))
+    val filesBefore = DeltaLog.read(spark, root).inputFiles.toSet
+    DeltaLog.widenColumnType(spark, root, "k", LongType) // v1: meta-only
+    assert(DeltaLog.read(spark, root).inputFiles.toSet == filesBefore,
+      "widening moved data")
+    val (sch, _) = DeltaLog.tableMeta(spark, root)
+    assert(sch("k").dataType == LongType)
+    assert(sch("k").metadata.contains("delta.typeChanges"))
+    val tc = sch("k").metadata.getMetadataArray("delta.typeChanges")
+    assert(tc.length == 1 && tc(0).getString("fromType") == "integer" &&
+      tc(0).getString("toType") == "long", tc.mkString(","))
+    // protocol: features form with typeWidening in BOTH sets
+    val protoLine = commitLines(root, 1L).find(_.contains("protocol")).get
+    assert(protoLine.contains("typeWidening"), protoLine)
+    assert(protoLine.contains("readerFeatures") &&
+      protoLine.contains("writerFeatures"), protoLine)
+    // a wide batch lands beside the narrow file; the mixed read widens
+    DeltaLog.commitFlat(spark, root,
+      Seq((10L, "x"), (11L, "y")).toDF("k", "v").coalesce(1))
+    assert(rows(DeltaLog.read(spark, root)) == Set((1L, "a"), (2L, "b"),
+      (3L, "c"), (10L, "x"), (11L, "y")))
+    // the DSv2 streaming source widens the STILL-NARROW file too
+    // (before the merge rewrites it wide)
+    val name = s"tw_stream_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.streaming.DeltaStreamProvider")
+      .option("path", root).load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == Set((1L, "a"), (2L, "b"), (3L, "c"),
+      (10L, "x"), (11L, "y")), streamed.toString)
+    // MERGE across mixed physical forms: updates hit the NARROW file
+    DeltaLog.mergeLongKey(spark, root, "k",
+      Seq((2L, "B"), (99L, "new")).toDF("k", "v"))
+    assert(rows(DeltaLog.read(spark, root)) == Set((1L, "a"), (2L, "B"),
+      (3L, "c"), (10L, "x"), (11L, "y"), (99L, "new")))
+    // refusals: narrowing, and widening a PARTITION column
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.widenColumnType(spark, root, "k", IntegerType))
+      .getMessage.contains("not a supported widening"))
+    val proot = freshRoot()
+    spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(1L, 7)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", LongType),
+        org.apache.spark.sql.types.StructField("b", IntegerType))))
+      .coalesce(1).createOrReplaceTempView("tw_psrc")
+    DeltaLog.commitPartitioned(spark, proot,
+      spark.table("tw_psrc").coalesce(1), Seq("b"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.widenColumnType(spark, proot, "b", LongType))
+      .getMessage.contains("partition column"))
+  }
+
   test("cleanUpExpiredLogs' sidecar sweep keeps a FRESH unreferenced " +
     "sidecar even at zero retention (in-flight checkpointV2 grace) " +
     "while collecting an aged one") {
