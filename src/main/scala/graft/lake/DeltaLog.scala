@@ -4834,6 +4834,14 @@ object DeltaLog {
           "property or restore to a DV-free version")
     writeCommitFile(root, cur + 1, actions.result(),
       operation = "RESTORE")
+    // a restore that FLIPS the property on reinstates auto-manifests
+    // over a tree that went stale (or missing) while it was off — the
+    // incremental touched-set below only covers this commit's files,
+    // so regenerate fully first (mirrors the setTableProperties
+    // enable path)
+    if (manifestEnabled(target.configuration) &&
+        !manifestEnabled(current.configuration))
+      regenerateManifests(spark, root, None)
     postCommit(spark, root,
       current.copy(configuration = target.configuration))
     cur + 1
