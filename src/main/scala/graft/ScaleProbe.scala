@@ -131,9 +131,14 @@ object ScaleProbe {
       val root = s"$tmp/dvac$k"
       graft.lake.DeltaLog.commitPartitioned(spark, root,
         nodes.repartition(4 * k, col("b")), Seq("b"))
-      (0 until 4 * k).foreach(i => (0 until 8).foreach(j =>
-        Files.write(java.nio.file.Paths.get(root, s"b=$i",
-          s"orphan-$j.parquet"), Array[Byte](9, 9))))
+      (0 until 4 * k).foreach { i =>
+        // an empty pmod bucket writes no partition directory — create
+        // before strewing orphans or the probe dies on NoSuchFile
+        val dir = java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(root, s"b=$i"))
+        (0 until 8).foreach(j =>
+          Files.write(dir.resolve(s"orphan-$j.parquet"), Array[Byte](9, 9)))
+      }
       k -> root
     }.toMap
 

@@ -397,8 +397,22 @@ object DeltaLog {
     val tmp = logDir(root).resolve(commitName(dv) + ".__tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
     val target = logDir(root).resolve(commitName(dv))
-    try Files.move(tmp, target)
-    catch {
+    // ATOMIC put-if-absent: link(2) fails EEXIST atomically in the
+    // kernel, closing the stat-then-rename window Files.move leaves
+    // (rename(2) silently replaces a target created between NIO's
+    // existence check and the rename — under the concurrent writers
+    // [[writeCommitFile]] now supports, that was a lost-commit race).
+    // Filesystems without hard links fall back to the rename form,
+    // which remains safe for the documented single-writer deployment.
+    try {
+      try Files.createLink(target, tmp)
+      catch {
+        case _: UnsupportedOperationException |
+             _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, target)
+      }
+      Files.deleteIfExists(tmp)
+    } catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
         throw new IllegalStateException(
@@ -829,16 +843,20 @@ object DeltaLog {
       .exists(_.trim.equalsIgnoreCase("true"))
 
   private def postCommit(spark: SparkSession, root: String,
-                         st: LogState): Unit = {
+                         st: LogState, committed: Long): Unit = {
     maybeAutoCheckpoint(spark, root, st)
     if (manifestEnabled(st.configuration))
-      // incremental: only the partition directories the JUST-committed
-      // version's add/remove set touched are rewritten (reading the
-      // one commit JSON is O(commit), never O(table)); a full-table
-      // regeneration per commit was O(all partitions) in driver file
-      // writes — the r19-flagged scale killer on many-partition tables
+      // incremental: only the partition directories THIS WRITER'S
+      // committed version's add/remove set touched are rewritten
+      // (reading the one commit JSON is O(commit), never O(table)); a
+      // full-table regeneration per commit was O(all partitions) in
+      // driver file writes — the r19-flagged scale killer. The
+      // version is the CALLER'S, not currentVersion(root): under the
+      // concurrent appends [[writeCommitFile]] reconciles, reading
+      // the newest version here could regenerate a RACING writer's
+      // partitions and leave this commit's manifest stale.
       regenerateManifests(spark, root,
-        Some(touchedPartitionDirs(root, currentVersion(root))))
+        Some(touchedPartitionDirs(root, committed)))
   }
 
   private def maybeAutoCheckpoint(spark: SparkSession, root: String,
@@ -967,6 +985,47 @@ object DeltaLog {
     Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck",
       "v2Checkpoint", "typeWidening")
 
+  /** The typeWidening changes this reader actually implements — the
+    * bit-exact subset (integral chain, float→double). The FEATURE
+    * admits more (date→timestampNtz, int→double, decimal growth);
+    * [[validateTypeChanges]] refuses those upfront so an external
+    * table never passes the gate and then crashes mid-scan.
+    */
+  private val supportedWidenings: Set[(String, String)] = Set(
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"), ("float", "double"))
+
+  private def validateTypeChanges(root: String,
+                                  schema: StructType): Unit = {
+    def walk(dt: DataType): Unit = dt match {
+      case s: StructType => s.fields.foreach { f =>
+        if (f.metadata.contains("delta.typeChanges")) {
+          val arr =
+            try f.metadata.getMetadataArray("delta.typeChanges")
+            catch { case _: Exception => Array.empty[Metadata] }
+          arr.foreach { m =>
+            val from =
+              if (m.contains("fromType")) m.getString("fromType") else "?"
+            val to =
+              if (m.contains("toType")) m.getString("toType") else "?"
+            require(supportedWidenings((from, to)),
+              s"DeltaLog: table $root records a type change " +
+                s"$from → $to on column ${f.name} — this reader widens " +
+                "only the bit-exact subset (byte/short/int → wider " +
+                "integral, float → double); reading would return " +
+                "wrong rows or crash mid-scan")
+          }
+        }
+        walk(f.dataType)
+      }
+      case a: ArrayType => walk(a.elementType)
+      case m: MapType => walk(m.keyType); walk(m.valueType)
+      case _ => ()
+    }
+    walk(schema)
+  }
+
   private def mappingMode(st: LogState): String =
     st.configuration.getOrElse("delta.columnMapping.mode", "none")
 
@@ -1004,6 +1063,8 @@ object DeltaLog {
           s"DeltaLog: table $root requires minReaderVersion $v, beyond " +
             "this reader's protocol support (max 3)")
     }
+    if (st.readerFeatures.contains("typeWidening"))
+      st.schema.foreach(validateTypeChanges(root, _))
   }
 
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
@@ -3394,7 +3455,7 @@ object DeltaLog {
     Files.createDirectories(logDir(root))
     writeCommitFile(root, v, actions.result(),
       operation = "STREAMING UPDATE")
-    prior.foreach(postCommit(spark, root, _))
+    prior.foreach(postCommit(spark, root, _, v))
   }
 
   /** Executor-side staging dir for the streaming sink (same filesystem
@@ -3683,7 +3744,7 @@ object DeltaLog {
     }
     if (touched == 0) return v
     writeCommitFile(root, v + 1, actions.result(), operation = "DELETE")
-    postCommit(spark, root, st)
+    postCommit(spark, root, st, v + 1)
     v + 1
   }
 
@@ -3856,7 +3917,7 @@ object DeltaLog {
       }
     writeCommitFile(root, v + 1, protocolUpgrade ++ actions.result(),
       operation = "DELETE")
-    postCommit(spark, root, st)
+    postCommit(spark, root, st, v + 1)
     v + 1
   }
 
@@ -3962,7 +4023,7 @@ object DeltaLog {
         }
     }
     writeCommitFile(root, v + 1, actions.result(), operation = "UPDATE")
-    postCommit(spark, root, st)
+    postCommit(spark, root, st, v + 1)
     v + 1
   }
 
@@ -4362,7 +4423,7 @@ object DeltaLog {
         } finally matchedKeys.unpersist()
       }
       writeCommitFile(root, v + 1, actions.result(), operation = "MERGE")
-      postCommit(spark, root, st)
+      postCommit(spark, root, st, v + 1)
       v + 1
     } finally src.unpersist()
   }
@@ -4842,8 +4903,20 @@ object DeltaLog {
     if (manifestEnabled(target.configuration) &&
         !manifestEnabled(current.configuration))
       regenerateManifests(spark, root, None)
+    // …and a restore that flips it OFF must not leave the pre-restore
+    // tree behind: with maintenance now following the restored
+    // configuration, nothing would ever update it again — external
+    // readers would silently keep the pre-restore snapshot and then
+    // dangle once vacuum collects those files. Absence is loud;
+    // staleness is not.
+    if (!manifestEnabled(target.configuration) &&
+        manifestEnabled(current.configuration)) {
+      val tree = Paths.get(root).toAbsolutePath.normalize()
+        .resolve("_symlink_format_manifest")
+      if (Files.isDirectory(tree)) deleteRecursively(tree)
+    }
     postCommit(spark, root,
-      current.copy(configuration = target.configuration))
+      current.copy(configuration = target.configuration), cur + 1)
     cur + 1
   }
 
@@ -5058,7 +5131,11 @@ object DeltaLog {
         case Some(entries) =>
           Files.createDirectories(outDir)
           val body = entries.sorted.mkString("", "\n", "\n")
-          val tmp = outDir.resolve("manifest.__tmp")
+          // UUID-suffixed tmp: two post-commit regenerations of the
+          // same partition (concurrent appends) must not share one
+          // staging name — the loser's delete would strand the winner
+          val tmp = outDir.resolve(
+            s"manifest.__tmp-${java.util.UUID.randomUUID()}")
           Files.write(tmp, body.getBytes("UTF-8"))
           Files.move(tmp, outDir.resolve("manifest"),
             StandardCopyOption.REPLACE_EXISTING,
@@ -5932,7 +6009,7 @@ object DeltaLog {
     val committed = writeCommitFile(root, v, actions.result(),
       operation = "WRITE", ictStart = v == 0L && ictEnabled,
       retryDataConflicts = true)
-    prior.foreach(postCommit(spark, root, _))
+    prior.foreach(postCommit(spark, root, _, committed))
     committed
   }
 
@@ -6115,7 +6192,7 @@ object DeltaLog {
     }
     deleteRecursively(staging)
     writeCommitFile(root, v + 1, actions.result(), operation = "OPTIMIZE")
-    postCommit(spark, root, st)
+    postCommit(spark, root, st, v + 1)
     v + 1
   }
 
@@ -6193,7 +6270,7 @@ object DeltaLog {
     }
     deleteRecursively(staging)
     writeCommitFile(root, v + 1, actions.result(), operation = "OPTIMIZE")
-    postCommit(spark, root, st)
+    postCommit(spark, root, st, v + 1)
     v + 1
   }
 

@@ -299,10 +299,6 @@ private[streaming] case class DeltaAdmission(maxVersions: Option[Long],
       .getOrElse(ReadLimit.allAvailable())
 }
 
-private[streaming] object DeltaAdmission {
-  val None_ : DeltaAdmission = DeltaAdmission(None, None, None)
-}
-
 private[streaming] class DeltaMicroBatchStream(root: String,
                                                schema: StructType,
                                                startingVersion: Long,
@@ -320,9 +316,22 @@ private[streaming] class DeltaMicroBatchStream(root: String,
   /** Ordered file list of ONE commit — (relative path, partition
     * values, reader extras, recorded size). Deterministic across
     * restarts (commit-JSON line order): both admission control and
-    * planning paginate by position into this list.
+    * planning paginate by position into this list. A one-entry memo
+    * (draining is sequential: admission and planning revisit the SAME
+    * fat commit every trigger) keeps file-granular rate limiting
+    * O(commit) instead of O(commit²) in JSON re-parses.
     */
+  private var commitFilesMemo: (Long, Seq[(String, Map[String, String], Map[String, String], Long)]) =
+    (Long.MinValue, Seq.empty)
+
   private def commitFiles(v: Long): Seq[(String, Map[String, String], Map[String, String], Long)] =
+    synchronized {
+      if (commitFilesMemo._1 != v)
+        commitFilesMemo = (v, commitFilesUncached(v))
+      commitFilesMemo._2
+    }
+
+  private def commitFilesUncached(v: Long): Seq[(String, Map[String, String], Map[String, String], Long)] =
     if (cdf)
       DeltaLog.changeFilesIn(root, v - 1, v).map { case (_, rel, pv, ct, sz) =>
         (rel, pv, Map("_commit_version" -> v.toString) ++

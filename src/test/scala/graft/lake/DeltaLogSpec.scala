@@ -184,9 +184,11 @@ class DeltaLogSpec extends SparkSpec {
       root
     }
     // protocol 3 with an unsupported feature: refusal NAMES it
+    // (typeWidening graduated to supported in r20 — variantType is
+    // the current refused example)
     val e1 = intercept[IllegalArgumentException](DeltaLog.read(spark,
-      protoTable("""{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}""")))
-    assert(e1.getMessage.contains("typeWidening"), e1.getMessage)
+      protoTable("""{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"]}""")))
+    assert(e1.getMessage.contains("variantType"), e1.getMessage)
     // protocol 3 with only supported features (incl. deletionVectors,
     // which this reader implements): OPENS
     assert(rows(DeltaLog.read(spark, protoTable(
@@ -3181,9 +3183,13 @@ class DeltaLogSpec extends SparkSpec {
     // restore BACK to the DV version: the restored metaData DROPS the
     // property, so maintenance follows the TARGET configuration — no
     // regeneration, no DV refusal, the commit lands (the r19-flagged
-    // post-durable-commit throw)
+    // post-durable-commit throw) — and the now-unmaintained tree is
+    // REMOVED (absence is loud; a frozen pre-restore tree would keep
+    // external readers on the old snapshot until vacuum dangled them)
     DeltaLog.restore(spark, root, 1L) // v4
     assert(DeltaLog.read(spark, root).count() == 6L)
+    assert(!Files.exists(Paths.get(root, "_symlink_format_manifest")),
+      "property-off restore left the stale manifest tree behind")
     // restore FORWARD to the manifest-enabled state: the restored
     // property is back ON, so postCommit regenerates against it
     DeltaLog.restore(spark, root, 3L) // v5
@@ -3395,6 +3401,21 @@ class DeltaLogSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       DeltaLog.widenColumnType(spark, proot, "b", LongType))
       .getMessage.contains("partition column"))
+    // an EXTERNAL table recording a typeWidening change OUTSIDE the
+    // implemented bit-exact subset must refuse at the gate, not crash
+    // mid-scan (the feature legally admits int→double, date→ts_ntz…)
+    val xroot = freshRoot()
+    val xschema =
+      """{"type":"struct","fields":[
+        {"name":"k","type":"double","nullable":true,"metadata":{"delta.typeChanges":[{"fromType":"integer","toType":"double"}]}},
+        {"name":"v","type":"string","nullable":true,"metadata":{}}]}"""
+        .replaceAll("\n\\s*", "").replace("\"", "\\\"")
+    writeCommit(xroot, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      s"""{"metaData":{"id":"ext-tw","format":{"provider":"parquet","options":{}},"schemaString":"$xschema","partitionColumns":[],"configuration":{}}}"""))
+    val xex = intercept[IllegalArgumentException](
+      DeltaLog.read(spark, xroot).collect())
+    assert(xex.getMessage.contains("integer → double"), xex.getMessage)
   }
 
   test("cleanUpExpiredLogs' sidecar sweep keeps a FRESH unreferenced " +
