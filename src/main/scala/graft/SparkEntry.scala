@@ -2887,6 +2887,23 @@ object SparkEntry {
         "q314: both concurrent appends must land")
       graft.lake.DeltaLog.read(s, root)
     }),
+    // VARIANT storage (the variantType protocol feature): the events
+    // props JSON parses into a VARIANT column committed through the
+    // Delta log (creation declares reader 3 / writer 7 with the
+    // feature in both sets), and the read-back extracts a typed path
+    // — the semi-structured column survives the store round-trip
+    // byte-exactly or the extraction diverges from the oracle's JSON
+    // walk of the same source.
+    "q316_delta_variant" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("props"))
+        .filter(col("event_id").isNotNull && col("props").isNotNull)
+      val root = freshScratch("q316")
+      graft.lake.DeltaLog.commitFlat(s, root,
+        ev.select(col("event_id"), expr("parse_json(props)").as("v")))
+      graft.lake.DeltaLog.read(s, root)
+        .selectExpr("event_id",
+          "variant_get(v, '$.k', 'bigint') AS pk")
+    }),
     // TYPE WIDENING: half the slice lands with an INT32 event_id, the
     // column widens to long (metaData-only commit, zero data moved),
     // the other half lands wide — the mixed-physical read returns one
@@ -5293,6 +5310,12 @@ object SparkEntry {
     // q315: widening is lossless — the mixed table IS the whole slice.
     "q315_delta_type_widening" ->
       """SELECT event_id, value FROM events WHERE event_id IS NOT NULL""",
+    // q316: the variant path extraction equals a JSON walk of props.
+    "q316_delta_variant" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS pk
+         FROM events
+         WHERE event_id IS NOT NULL AND props IS NOT NULL""",
     // q304: the snapshot replayed through the auto-written checkpoint
     // — compaction must not change what readers see.
     "q304_delta_auto_checkpoint" ->

@@ -983,7 +983,19 @@ object DeltaLog {
     */
   private val supportedReaderFeatures: Set[String] =
     Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck",
-      "v2Checkpoint", "typeWidening")
+      "v2Checkpoint", "typeWidening", "variantType")
+
+  /** Does the schema hold a VARIANT anywhere (the `variantType`
+    * feature's trigger)? Matched by typeName so the check survives
+    * VariantType's representation across Spark versions.
+    */
+  private def hasVariantType(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.exists(f => hasVariantType(f.dataType))
+    case a: ArrayType => hasVariantType(a.elementType)
+    case m: MapType =>
+      hasVariantType(m.keyType) || hasVariantType(m.valueType)
+    case other => other.typeName == "variant"
+  }
 
   /** The typeWidening changes this reader actually implements — the
     * bit-exact subset (integral chain, float→double). The FEATURE
@@ -2150,7 +2162,10 @@ object DeltaLog {
     // delta.typeChanges when altering a type — is honored by
     // [[widenColumnType]], the only type-altering entry point here;
     // ordinary writes land in the DECLARED (widened) type
-    "typeWidening")
+    "typeWidening",
+    // variant columns write through Spark's native parquet variant
+    // encoding (metadata/value binary pair); no extra obligation
+    "variantType")
 
   private def requireWritable(st: LogState, op: String): Unit = {
     val unknown = st.writerFeatures.filterNot(honoredWriterFeatures)
@@ -5811,6 +5826,15 @@ object DeltaLog {
           val newFields = dfG.schema.fields
             .filterNot(f => byName.contains(f.name))
             .map(_.copy(nullable = true))
+          // evolution re-emits metaData, never protocol — a variant
+          // column sneaking in through mergeSchema would leave the
+          // table's declared features silent about bytes external
+          // readers cannot interpret
+          newFields.foreach(nf => require(!hasVariantType(nf.dataType),
+            s"DeltaLog.commitData: new column ${nf.name} is VARIANT — " +
+              "variant columns enter at table CREATION (the " +
+              "variantType feature must be declared by the protocol " +
+              "from commit 0), not through mergeSchema evolution"))
           if (newFields.nonEmpty) {
             if (mappingMode(st) == "none")
               evolvedSchema = Some(StructType(sch.fields ++ newFields))
@@ -5911,11 +5935,22 @@ object DeltaLog {
     val actions = Seq.newBuilder[JsonNode]
     val ictEnabled = configuration.get("delta.enableInCommitTimestamps")
       .exists(_.trim.equalsIgnoreCase("true"))
+    // VARIANT columns require the variantType reader+writer feature
+    // from commit 0 — external readers must refuse-or-support by
+    // declaration, never discover variant bytes mid-scan
+    val hasVariant = hasVariantType(createdSchema.getOrElse(dfG.schema))
     if (v == 0L) {
       val protocol = mapper.createObjectNode()
       val p = protocol.putObject("protocol")
-      // column mapping requires reader 2 (legacy form)
-      p.put("minReaderVersion", if (createMode != "none") 2 else 1)
+      // column mapping requires reader 2 (legacy form); variant the
+      // features form (reader 3)
+      p.put("minReaderVersion",
+        if (hasVariant) 3 else if (createMode != "none") 2 else 1)
+      if (hasVariant) {
+        val rf = p.putArray("readerFeatures")
+        ((if (createMode != "none") Seq("columnMapping") else Seq.empty)
+          :+ "variantType").foreach(rf.add)
+      }
       // change data feed AND generated columns are legacy
       // writer-version-4 features (PROTOCOL.md: Writer Version
       // Requirements) — a table created with either must declare the
@@ -5931,10 +5966,12 @@ object DeltaLog {
       val legacyFloor =
         if (createMode != "none") math.max(legacyFloor0, 5)
         else legacyFloor0
-      if (ictEnabled) {
+      if (ictEnabled || hasVariant) {
         p.put("minWriterVersion", 7)
         val wf = p.putArray("writerFeatures")
-        (legacyWriterFeatures(legacyFloor) :+ "inCommitTimestamp")
+        (legacyWriterFeatures(legacyFloor) ++
+          (if (ictEnabled) Seq("inCommitTimestamp") else Nil) ++
+          (if (hasVariant) Seq("variantType") else Nil))
           .distinct.foreach(wf.add)
       } else p.put("minWriterVersion", legacyFloor)
       actions += protocol

@@ -3418,6 +3418,52 @@ class DeltaLogSpec extends SparkSpec {
     assert(xex.getMessage.contains("integer → double"), xex.getMessage)
   }
 
+  test("VARIANT columns: creation declares the variantType feature " +
+    "(reader 3 / writer 7, BOTH sets), data round-trips through " +
+    "commit/read/DML rewrites, streaming refuses loudly, and " +
+    "mergeSchema evolution cannot smuggle variant in") {
+    val root = freshRoot()
+    val df = spark.sql(
+      """SELECT id AS k, parse_json(concat('{"a": ', id, '}')) AS v
+         FROM range(5)""")
+    DeltaLog.commitFlat(spark, root, df.coalesce(1))
+    val proto = commitLines(root, 0L).find(_.contains("protocol")).get
+    assert(proto.contains("\"minReaderVersion\":3") &&
+      proto.contains("\"minWriterVersion\":7"), proto)
+    assert(proto.contains("readerFeatures") &&
+      proto.contains("writerFeatures"), proto)
+    assert("variantType".r.findAllIn(proto).size == 2, proto)
+    val got = DeltaLog.read(spark, root)
+      .selectExpr("k", "variant_get(v, '$.a', 'long') AS a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L to 4L).map(i => (i, i)).toSet, got.toString)
+    // copy-on-write DML rewrites the file carrying variant bytes
+    DeltaLog.deleteWhereLong(spark, root, "k", 0L, 0L)
+    assert(DeltaLog.read(spark, root)
+      .selectExpr("variant_get(v, '$.a', 'long') AS a")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    // the streaming source's atomic-type contract refuses variant
+    val sex = intercept[Exception] {
+      val q = spark.readStream
+        .format("graft.streaming.DeltaStreamProvider")
+        .option("path", root).load()
+        .writeStream.format("memory")
+        .queryName(s"var_bad_${System.nanoTime()}").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(sex.getMessage != null)
+    // evolution cannot add a variant column to a non-variant table
+    val plain = freshRoot()
+    DeltaLog.commitFlat(spark, plain,
+      Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val eex = intercept[IllegalArgumentException](
+      DeltaLog.commitFlat(spark, plain,
+        spark.sql("""SELECT CAST(2 AS BIGINT) AS k, 'b' AS v,
+          parse_json('{"x":1}') AS w""").coalesce(1),
+        mergeSchema = true))
+    assert(eex.getMessage.contains("VARIANT"), eex.getMessage)
+  }
+
   test("cleanUpExpiredLogs' sidecar sweep keeps a FRESH unreferenced " +
     "sidecar even at zero retention (in-flight checkpointV2 grace) " +
     "while collecting an aged one") {
