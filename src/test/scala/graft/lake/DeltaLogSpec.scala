@@ -184,11 +184,11 @@ class DeltaLogSpec extends SparkSpec {
       root
     }
     // protocol 3 with an unsupported feature: refusal NAMES it
-    // (typeWidening graduated to supported in r20 — variantType is
-    // the current refused example)
+    // (typeWidening AND variantType graduated to supported in r20 —
+    // collations is the current refused example)
     val e1 = intercept[IllegalArgumentException](DeltaLog.read(spark,
-      protoTable("""{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"]}""")))
-    assert(e1.getMessage.contains("variantType"), e1.getMessage)
+      protoTable("""{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["collations"]}""")))
+    assert(e1.getMessage.contains("collations"), e1.getMessage)
     // protocol 3 with only supported features (incl. deletionVectors,
     // which this reader implements): OPENS
     assert(rows(DeltaLog.read(spark, protoTable(
