@@ -83,6 +83,30 @@ object Bench {
       .filter(_ > 0).getOrElse(2)
     val explain = sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN").contains("1")
     val spark = GraftSession.local("graft-bench")
+    // Dev aid (driver never sets it): SPARK_GRAFT_BENCH_JOBLOG=1 prints
+    // one stderr line per Spark job (id, wall ms, stage/task counts,
+    // description) — the per-job cost breakdown that locates fixed
+    // per-commit overhead inside multi-job queries (the DML fixture
+    // class), which a plan explain cannot show.
+    if (sys.env.get("SPARK_GRAFT_BENCH_JOBLOG").contains("1")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}
+      spark.sparkContext.addSparkListener(new SparkListener {
+        private val starts =
+          new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          starts.put(js.jobId, (System.nanoTime(), desc, js.stageInfos.size))
+        }
+        override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { case (t0, desc, nStages) =>
+            System.err.println(f"[joblog] job=${je.jobId}%4d " +
+              f"ms=${(System.nanoTime() - t0) / 1e6}%8.1f stages=$nStages%2d $desc")
+          }
+        }
+      })
+    }
     val qs = SparkEntry.queries
     val names = (headline.filter(qs.contains) ++
       qs.keys.filterNot(headline.contains).toSeq.sorted)

@@ -903,8 +903,10 @@ object SparkEntry {
       // scale pinned to the value the oracle CTEs unroll with (the
       // library default is auto-derived from node count and would drift
       // if the item graph ever outgrew the 1e12-safe bound).
+      // item rank table is dimension-sized → broadcast hops (zero
+      // per-hop exchanges against the dst-partitioned adjacency)
       graft.graphs.PageRank.run(edges, iterations = 3,
-        scale = 1000000000000L)
+        scale = 1000000000000L, broadcastRanks = true)
     }),
     // End-to-end near-dup REMOVAL: simhash pairs → connected components →
     // keep the min-id doc per cluster. Oracle composes the q50 pair graph
@@ -3968,7 +3970,10 @@ object SparkEntry {
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      graft.graphs.HyperBall.neighborhoodSizes(edges, rounds = 2)
+      // item register table is dimension-sized → broadcast rounds (zero
+      // per-round exchanges against the src-partitioned adjacency)
+      graft.graphs.HyperBall.neighborhoodSizes(edges, rounds = 2,
+        broadcastRegisters = true)
     }),
     // Functional-dependency audit: does o_custkey determine
     // o_orderstatus? (No — the summary quantifies how badly.)
@@ -5654,7 +5659,7 @@ object SparkEntry {
     // q237: the brute-force triple formulation (closure makes the
     // pruned plan equal).
     "q237_frequent_triples" ->
-      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      """WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
            FROM lineitem
            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
          SELECT x.it AS item_a, y.it AS item_b, z.it AS item_c,

@@ -39,9 +39,17 @@ object KCore {
     require(rounds >= 1 && rounds <= 20,
       s"KCore: rounds in [1, 20], got $rounds")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Partition key: with a broadcast active set both semi-joins stream
+    // the adjacency unmoved, so hash(dst) means every round's
+    // groupBy(dst) degree count ALSO rides the persisted layout — zero
+    // per-round exchanges (hash(dst) clusters (src, dst), so the dedup
+    // still adds no second exchange). On the shuffling path the src
+    // semi-join is the one that can reuse a layout, so keep hash(src)
+    // there.
+    val adjKey = if (broadcastActive) col("dst") else col("src")
     val adj = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("src"))
+      .repartition(adjKey)
       .distinct()
       .persist(lvl)
     adj.count()
@@ -50,7 +58,7 @@ object KCore {
     var active = adj.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= k)
-    for (_ <- 2 to rounds) {
+    for (__it <- 2 to rounds) {
       val nodesOnly = active.select(col("node"))
       val actSide = if (broadcastActive) broadcast(nodesOnly) else nodesOnly
       val next = adj
@@ -59,6 +67,7 @@ object KCore {
         .groupBy(col("dst").as("node"))
         .agg(count(lit(1)).as("core_deg"))
         .filter(col("core_deg") >= k)
+      if (__it == 2) GraphExplain("kcore round", next)
       active = next.localCheckpoint(eager = false)
     }
     val out = active.select(col("node"), col("core_deg"))

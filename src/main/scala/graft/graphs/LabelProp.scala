@@ -51,9 +51,16 @@ object LabelProp {
       edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable=true needs spark.sparkContext.setCheckpointDir(...) first")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Partition key: with broadcast labels the per-round join streams the
+    // adjacency unmoved, so hash(dst) lets BOTH vote aggregations ride
+    // the persisted layout in place (hash(dst) clusters (dst, lab) and
+    // (dst) alike) — zero per-round exchanges instead of two. On the
+    // shuffling path the label join is the reusable exchange, so keep
+    // hash(src) there.
+    val adjKey = if (broadcastLabels) col("dst") else col("src")
     val adj = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("src"))
+      .repartition(adjKey)
       .distinct()
       .persist(lvl)
     adj.count()
@@ -69,7 +76,7 @@ object LabelProp {
       .persist(lvl)
     noIn.count()
     var labels = nodes.select(col("node"), col("node").as("lab"))
-    for (_ <- 1 to rounds) {
+    for (__it <- 1 to rounds) {
       // Plurality vote: count each label among in-neighbors, then argmax
       // with min-label tiebreak — max of (count, -label) structs, the
       // kmeansAssign idiom (struct comparison is lexicographic). The
@@ -82,6 +89,7 @@ object LabelProp {
         .agg(max(struct(col("__c").as("c"), (-col("lab")).as("nl"))).as("__b"))
         .select(col("dst").as("node"), (-col("__b.nl")).as("lab"))
         .unionByName(noIn)
+      if (__it == 1) GraphExplain("label_prop round", next)
       labels = if (reliable) next.checkpoint(eager = false)
                else next.localCheckpoint(eager = false)
     }

@@ -70,7 +70,8 @@ object PageRank {
     * [[ConnectedComponents.run]].
     */
   def run(edges: DataFrame, iterations: Int = 3,
-          scale: Long = 0L, reliable: Boolean = false): DataFrame = {
+          scale: Long = 0L, reliable: Boolean = false,
+          broadcastRanks: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"PageRank: iterations in [1, 20], got $iterations")
     require(scale == 0L || scale >= 1000L,
@@ -85,7 +86,29 @@ object PageRank {
     // same layout instead of a groupBy + self-join. The loop then only
     // ever touches these two cached tables — no per-iteration degree
     // recompute or node-set rebuild.
-    val adj = edges
+    //
+    // `broadcastRanks = true` (the [[LabelProp]] `broadcastLabels`
+    // posture: right whenever the NODE table fits an executor —
+    // checkpointed rounds lose the size stats AQE would need to choose
+    // this itself) instead partitions the adjacency on `dst` and ships
+    // each hop's node-sized rank table as a broadcast: the hop join then
+    // streams the persisted layout unmoved and the groupBy(dst) inflow
+    // sum rides it in place — ZERO per-hop exchanges instead of a rank
+    // exchange plus the contribution shuffle. The out-degree becomes a
+    // broadcast-joined node-sized side table (the window over src would
+    // need the src layout back). Results identical (spec-asserted):
+    // same integer arithmetic over the same groups.
+    val adj = if (broadcastRanks) {
+      val dedup = edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .repartition(col("dst"))
+        .distinct()
+      val degs = dedup.groupBy(col("src").as("__dn"))
+        .agg(count(lit(1)).as("__deg"))
+      dedup.join(broadcast(degs), col("src") === col("__dn"))
+        .select(col("src"), col("dst"), col("__deg"))
+        .persist(lvl)
+    } else edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))
       .distinct()
@@ -111,18 +134,23 @@ object PageRank {
         s"Long.Max/100; pass scale <= $safeCap")
     val base = lit(15L * s / 100L)
     var rank = nodes.select(col("node"), lit(s).as("rank_fp"))
-    for (_ <- 1 to iterations) {
-      val contribs = rank
-        .join(adj, rank("node") === adj("src"))
+    for (__it <- 1 to iterations) {
+      val rankSide = if (broadcastRanks) broadcast(rank) else rank
+      val contribs = rankSide
+        .join(adj, rankSide("node") === adj("src"))
         .select(col("dst").as("node"),
           expr("rank_fp div __deg").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
       // LEFT join keeps sink-only / source-only nodes alive at the base
-      // rank (they receive no mass but stay rankable).
-      val next = nodes.join(contribs, Seq("node"), "left")
+      // rank (they receive no mass but stay rankable). Under
+      // broadcastRanks the contribution table is node-sized too, so the
+      // completion join broadcasts it rather than exchanging both sides.
+      val contribSide = if (broadcastRanks) broadcast(contribs) else contribs
+      val next = nodes.join(contribSide, Seq("node"), "left")
         .select(col("node"),
           (base + expr("(85 * coalesce(__in, CAST(0 AS BIGINT))) div 100"))
             .as("rank_fp"))
+      if (__it == 1) GraphExplain("pagerank round", next)
       // Lazy checkpoints keep the loop at zero jobs; the single action
       // below materializes every round's boundary in one pass.
       rank = if (reliable) next.checkpoint(eager = false)

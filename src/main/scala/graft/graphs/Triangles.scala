@@ -55,6 +55,7 @@ object Triangles {
     // one small row per triangle-bearing node, so materialize it through
     // a lazy localCheckpoint (the [[PageRank]] idiom) and release the
     // caches before returning.
+    GraphExplain("triangles out", out)
     val result = out.localCheckpoint(eager = false)
     result.count()
     adj.unpersist(blocking = false)

@@ -496,12 +496,17 @@ object Similarity {
         pqDist(col(embCol), m, k, sub)): _*)): _*)
     val q = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
       lut.as("__lut")))
+    // Ordered fold expanded STATICALLY over the fixed subspace count —
+    // the same left-to-right `0.0 + lut[1][c1+1] + … + lut[m][cm+1]`
+    // sum, but as plain codegen-friendly expressions instead of an
+    // interpreted aggregate(zip_with(…)) lambda pair (HOFs evaluate
+    // outside whole-stage codegen, per element, per row).
+    val adist = ((lit(0.0): Column) +: (0 until numSubspaces).map(m =>
+        element_at(element_at(col("__lut"), m + 1),
+          element_at(col("__codes"), m + 1) + lit(1))))
+      .reduce(_ + _)
     val scored = codes.join(q)
-      .select(col("query_id"), col("neighbor_id"),
-        aggregate(
-          zip_with(col("__codes"), col("__lut"),
-            (c, l) => element_at(l, c + lit(1))),
-          lit(0.0), (acc, v) => acc + v).as("adist"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
     topKPerKey(scored, col("query_id"),
       Seq(col("adist").asc, col("neighbor_id").asc), topK, col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))

@@ -23,6 +23,18 @@ class HyperBallSpec extends SparkSpec {
     assert(est2(5L) == 1L && est2(11L) == 1L)
   }
 
+  test("broadcast-register rounds are output-identical to shuffle rounds") {
+    val s = spark; import s.implicits._
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L)) ++
+      (11L to 16L).map(v => (10L, v))).toDF("src", "dst")
+    val shuffle = HyperBall.neighborhoodSizes(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bcast = HyperBall.neighborhoodSizes(edges, rounds = 3,
+        broadcastRegisters = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bcast == shuffle)
+  }
+
   test("rounds grow balls monotonically; round count bounds the radius") {
     val s = spark; import s.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")

@@ -49,6 +49,15 @@ class PageRankSpec extends SparkSpec {
       Map(1L -> 1000000000000L, 2L -> 1000000000000L))
   }
 
+  test("broadcast hops are output-identical to shuffle hops") {
+    val s = spark; import s.implicits._
+    val bcast = PageRank.run(fourNode.toDF("src", "dst"), 3,
+        broadcastRanks = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bcast == reference(fourNode.toSet, 3))
+    assert(bcast == run(fourNode, 3))
+  }
+
   test("duplicate edges collapse before degree counting") {
     assert(run(Seq((1L, 2L), (1L, 2L), (2L, 1L)), 3) ==
       Map(1L -> 1000000000000L, 2L -> 1000000000000L))

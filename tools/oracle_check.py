@@ -8,6 +8,12 @@ For each query: loads <outdir>/<name> parquet (Spark result), runs the
 oracle SQL from <outdir>/oracle_sql.json in DuckDB against views named
 after every parquet table in <sfdir>, sorts columns by name, sorts rows,
 and compares row count, schema, and a value hash.
+
+Besides the PASS/FAIL stdout lines, writes a CORRECTNESS-shaped JSON
+artifact (<outdir>/correctness.json): {"qNN": {"rows_match": bool,
+"schema_match": bool, "hash_match": bool, "err": str|None}} — a
+machine-readable record of the gate that survives even when the
+driver's own artifact does not land.
 """
 import sys, json, glob, os
 import duckdb
@@ -60,6 +66,7 @@ def main():
             sys.exit(0)
         only = ran
     failures = 0
+    record = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -72,6 +79,8 @@ def main():
             schema = list(s.columns) == list(o.columns)
             h = value_hash(s) == value_hash(o) if rows and schema else False
             ok = rows and schema and h
+            record[name] = {"rows_match": rows, "schema_match": schema,
+                            "hash_match": h, "err": None}
             if not ok:
                 failures += 1
                 print(f"FAIL {name}: rows {len(s)} vs {len(o)}, "
@@ -86,7 +95,11 @@ def main():
                 print(f"PASS {name} ({len(s)} rows)")
         except Exception as e:
             failures += 1
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": str(e)}
             print(f"ERROR {name}: {e}")
+    with open(f"{outdir}/correctness.json", "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
