@@ -94,8 +94,11 @@ object Bench {
         private val starts =
           new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
         override def onJobStart(js: SparkListenerJobStart): Unit = {
+          // The final stage's name carries the action call site — the
+          // attribution signal for unlabeled library-internal jobs.
           val desc = Option(js.properties)
             .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(js.stageInfos.lastOption.map(_.name))
             .getOrElse("")
           starts.put(js.jobId, (System.nanoTime(), desc, js.stageInfos.size))
         }
