@@ -461,9 +461,17 @@ object Similarity {
       s"pqCodes: dims=$dims must divide into $numSubspaces subspaces")
     requireDims(vectors, embCol, dims, "pqCodes")
     val sub = dims / numSubspaces
+    // The per-subspace argmin tree is m·k·(dims/m) squared-diff terms —
+    // far past the JVM's 64 KB method ceiling when it is embedded in the
+    // Generate's consume path (janino cannot split a generator argument;
+    // measured: whole-stage codegen fell back to interpreted eval for
+    // the entire explode stage). Stage the bests array in a Project —
+    // projection codegen splits oversized expression lists into helper
+    // methods — so the Generate only explodes a column reference.
     vectors.select(col(idCol).cast("long").as("vec_id"),
-        posexplode(array((0 until numSubspaces).map(m =>
-          pqBest(col(embCol), m, numCodes, sub)): _*)).as(Seq("m", "__b")))
+        array((0 until numSubspaces).map(m =>
+          pqBest(col(embCol), m, numCodes, sub)): _*).as("__bests"))
+      .select(col("vec_id"), posexplode(col("__bests")).as(Seq("m", "__b")))
       .select(col("vec_id"), col("m"), col("__b.k").as("code"),
         col("__b.d").as("dist"))
   }
