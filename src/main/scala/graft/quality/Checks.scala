@@ -207,19 +207,27 @@ object Checks {
     }.reduce(_ unionByName _)
   }
 
-  /** Column profile report — the deequ/dbt-docs table summary as ONE
-    * aggregation pass: for each named column, row count, null count, exact
-    * distinct count, and min/max rendered as strings (cast AFTER the typed
-    * min/max, so numerics order numerically, not lexically). The wide
-    * single-row aggregate is then unpivoted with `stack` into one row per
-    * column — profile output is column-count-sized, never data-sized.
+  /** Column profile report — the deequ/dbt-docs table summary: for each
+    * named column, row count, null count, exact distinct count, and
+    * min/max rendered as strings (cast AFTER the typed min/max, so
+    * numerics order numerically, not lexically). The wide single-row
+    * aggregate is then unpivoted with `stack` into one row per column —
+    * profile output is column-count-sized, never data-sized.
     *
-    * Exact multi-column COUNT(DISTINCT) plans as Spark's expand (×|cols|
-    * input duplication before the partial aggs) — the honest price of
-    * exact profiling, paid in one scan; a 100 TB profile would swap in
-    * approx_count_distinct per column, everything else unchanged. Callers
-    * normalize exotic types to long/string/decimal projections first so
-    * the string rendering is engine-portable.
+    * Exact multi-column COUNT(DISTINCT) plans as Spark's expand
+    * (×(|cols|+1) input duplication before the partial aggs) — the honest
+    * price of exact profiling; a 100 TB profile would swap in
+    * approx_count_distinct per column, everything else unchanged. The
+    * distinct/count pass and the min/max pass are two SEPARATE single-row
+    * aggregates cross-joined (1×1): a string column's min/max has an
+    * immutable aggregation buffer, which would force the expanded keyed
+    * partial agg to SORTAGGREGATE — every task sorting ×(|cols|+1) rows
+    * on the wide group key (measured 2.2–3 s of q161's 3.0 s at sf0.1).
+    * Split, the expand branch keeps all-long buffers (HashAggregate) and
+    * the keyless min/max pass inserts no sort; the second scan re-reads
+    * only the same pruned columns. Callers normalize exotic types to
+    * long/string/decimal projections first so the string rendering is
+    * engine-portable.
     *
     * Output: (column_name, n_rows, n_nulls, n_distinct, min_value,
     * max_value), one row per requested column.
@@ -230,15 +238,18 @@ object Checks {
     // come from explode over Column-built structs — no column name is ever
     // interpolated into generated SQL, so names with quotes/backticks or
     // other SQL-significant characters profile fine.
-    val aggs: Seq[Column] = count(lit(1)).as("__n") +:
+    val countAggs: Seq[Column] = count(lit(1)).as("__n") +:
       cols.zipWithIndex.flatMap { case (c, i) =>
         Seq(
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
-          countDistinct(col(c)).as(s"__dist_$i"),
-          min(col(c)).cast("string").as(s"__min_$i"),
-          max(col(c)).cast("string").as(s"__max_$i"))
+          countDistinct(col(c)).as(s"__dist_$i"))
       }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rangeAggs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("string").as(s"__min_$i"),
+        max(col(c)).cast("string").as(s"__max_$i"))
+    }
+    val one = df.agg(countAggs.head, countAggs.tail: _*)
+      .crossJoin(df.agg(rangeAggs.head, rangeAggs.tail: _*))
     val entries = cols.zipWithIndex.map { case (c, i) =>
       struct(lit(c).as("column_name"), col(s"__nulls_$i").as("n_nulls"),
         col(s"__dist_$i").as("n_distinct"),
