@@ -435,7 +435,7 @@ object Similarity {
     * train codebooks with k-means — [[kmeansUpdateSums]] is that path;
     * the deterministic codebook keeps the GATE engine-independent.
     */
-  private def pqDist(emb: Column, m: Int, k: Int, sub: Int): Column =
+  private[graft] def pqDist(emb: Column, m: Int, k: Int, sub: Int): Column =
     (0 until sub).map { d =>
       val x = element_at(emb, m * sub + d + 1).cast("double") -
         lit(hashUnit(s"pq-$m-$k-$d"))
@@ -445,14 +445,25 @@ object Similarity {
   /** Per-subspace argmin as a (dist, code) struct — `array_min` over
     * structs is lexicographic, so equal distances fall to the smaller
     * code, mirroring the oracle's `ORDER BY dist, k`.
+    *
+    * This expression-tree form is the readable reference implementation
+    * (PqBestsSpec proves bit-parity); the hot paths use the native
+    * [[graft.functions.PqBests]] / [[graft.functions.PqAdcLut]]
+    * expressions — the tree is m·k·(dims/m) squared-diff terms (~3,800
+    * nodes per join side in q83), and Catalyst's per-transform analysis
+    * plus optimizer walks over it cost more wall time than the query's
+    * own jobs (measured via PhaseProbe: ~850 ms build + ~1 s planning vs
+    * ~1.1 s of jobs at sf0.1).
     */
-  private def pqBest(emb: Column, m: Int, nCodes: Int, sub: Int): Column =
+  private[graft] def pqBest(emb: Column, m: Int, nCodes: Int, sub: Int): Column =
     array_min(array((0 until nCodes).map(k =>
       struct(pqDist(emb, m, k, sub).as("d"), lit(k).as("k"))): _*))
 
   /** Exploded PQ coding: one row per (vec_id, subspace) with the chosen
     * code and its squared-L2 distance. Pure map stage, zero exchanges
-    * (spec-asserted) — the coding pass streams the corpus once.
+    * (spec-asserted) — the coding pass streams the corpus once; the
+    * per-subspace argmin runs in [[graft.functions.PqBests]]'s fused
+    * codegen loop (bit-identical to the tree form, PqBestsSpec).
     */
   def pqCodes(vectors: DataFrame, numSubspaces: Int = 8, numCodes: Int = 8,
               dims: Int = 64, idCol: String = "vec_id",
@@ -460,17 +471,10 @@ object Similarity {
     require(dims % numSubspaces == 0,
       s"pqCodes: dims=$dims must divide into $numSubspaces subspaces")
     requireDims(vectors, embCol, dims, "pqCodes")
-    val sub = dims / numSubspaces
-    // The per-subspace argmin tree is m·k·(dims/m) squared-diff terms —
-    // far past the JVM's 64 KB method ceiling when it is embedded in the
-    // Generate's consume path (janino cannot split a generator argument;
-    // measured: whole-stage codegen fell back to interpreted eval for
-    // the entire explode stage). Stage the bests array in a Project —
-    // projection codegen splits oversized expression lists into helper
-    // methods — so the Generate only explodes a column reference.
+    graft.functions.PqBests.register(vectors.sparkSession)
     vectors.select(col(idCol).cast("long").as("vec_id"),
-        array((0 until numSubspaces).map(m =>
-          pqBest(col(embCol), m, numCodes, sub)): _*).as("__bests"))
+        graft.functions.PqBests.bests(col(embCol), numSubspaces, numCodes,
+          dims).as("__bests"))
       .select(col("vec_id"), posexplode(col("__bests")).as(Seq("m", "__b")))
       .select(col("vec_id"), col("m"), col("__b.k").as("code"),
         col("__b.d").as("dist"))
@@ -492,18 +496,21 @@ object Similarity {
     require(dims % numSubspaces == 0,
       s"pqAdcTopK: dims=$dims must divide into $numSubspaces subspaces")
     requireDims(queries, embCol, dims, "pqAdcTopK queries")
-    val sub = dims / numSubspaces
     requireDims(corpus, embCol, dims, "pqAdcTopK corpus")
+    graft.functions.PqBests.register(corpus.sparkSession)
+    graft.functions.PqAdcLut.register(corpus.sparkSession)
     // codes assembled row-locally in subspace order — no exploded
-    // round-trip, no shuffle; the coding scan IS the corpus scan.
+    // round-trip, no shuffle; the coding scan IS the corpus scan. Both
+    // the coding argmin and the query-side distance tables run in the
+    // native fused-loop expressions (see [[pqBest]]'s scaladoc for why).
     val codes = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      array((0 until numSubspaces).map(m =>
-        pqBest(col(embCol), m, numCodes, sub).getField("k")): _*).as("__codes"))
-    val lut = array((0 until numSubspaces).map(m =>
-      array((0 until numCodes).map(k =>
-        pqDist(col(embCol), m, k, sub)): _*)): _*)
+      graft.functions.PqBests.bests(col(embCol), numSubspaces, numCodes,
+        dims).as("__bests"))
+      .select(col("neighbor_id"), array((0 until numSubspaces).map(m =>
+        element_at(col("__bests"), m + 1).getField("k")): _*).as("__codes"))
     val q = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
-      lut.as("__lut")))
+      graft.functions.PqAdcLut.lut(col(embCol), numSubspaces, numCodes,
+        dims).as("__lut")))
     // Ordered fold expanded STATICALLY over the fixed subspace count —
     // the same left-to-right `0.0 + lut[1][c1+1] + … + lut[m][cm+1]`
     // sum, but as plain codegen-friendly expressions instead of an
