@@ -3,8 +3,8 @@ package graft.lake
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{assert_true, col, expr, hash,
-  input_file_name, lit, pmod, regexp_extract, row_number}
+import org.apache.spark.sql.functions.{assert_true, col, count, expr, hash,
+  input_file_name, lit, max, pmod, regexp_extract, row_number, sum, when}
 import org.apache.spark.sql.types._
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
@@ -4231,16 +4231,23 @@ object DeltaLog {
     val src = sourceG.select(fullSchema.fields
       .map(f => col(f.name).cast(f.dataType)).toSeq: _*).persist()
     try {
-      if (src.isEmpty) return v
-      require(src.filter(col(key).isNotNull).groupBy(col(key))
-        .count().filter(col("count") > 1).isEmpty,
+      // ONE pre-flight job over the persisted source replaces three
+      // materializations (the isEmpty probe, the dup-key guard's
+      // grouped count, and the row count): total rows = Σ of per-key
+      // counts (the NULL-key group included), dup guard = the max
+      // multiplicity among non-null keys. srcRows feeds BOTH the
+      // insert-file binning below and the bloom-prune enumerability
+      // gate.
+      val srcStats = src.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c")).as("__n"),
+          max(when(col(key).isNotNull, col("__c"))).as("__dup")).head()
+      val srcRows = if (srcStats.isNullAt(0)) 0L else srcStats.getLong(0)
+      if (srcRows == 0L) return v
+      require(srcStats.isNullAt(1) || srcStats.getLong(1) <= 1L,
         "DeltaLog.mergeKey: multiple source rows share a key — " +
           "which one updates the matched target row is undefined")
       val srcKeys = src.filter(col(key).isNotNull).select(col(key))
       val conf = spark.sparkContext.hadoopConfiguration
-      // source row count feeds BOTH the insert-file binning below and
-      // the bloom-prune enumerability gate — one job, counted up front
-      val srcRows = src.count()
       val candidates = mergeCandidates(spark, root, st, key, srcKeys,
         srcRows)
       val physMap = physicalWriteMap(st, fullSchema)
