@@ -38,13 +38,21 @@ object TextDedup {
     * set-similarity; frequency operators (count-min sketching, term
     * counting) need the multiset.
     */
-  def shinglesAll(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    val grams = transform(
-      sequence(lit(1), size(w) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
-    when(size(w) >= n, grams).otherwise(array().cast("array<string>"))
-  }
+  def shinglesAll(text: Column, n: Int): Column =
+    // The token array is bound as a LAMBDA VARIABLE (via a one-element
+    // transform) so split() runs once per row: a computed expression
+    // referenced inside an HOF lambda body re-evaluates on EVERY element
+    // access (see shingleHashesFromTokenHashes below), and the direct
+    // form re-ran split() for each of the n element_at reads of every
+    // gram — O(n·grams) full tokenizations per document.
+    element_at(
+      transform(array(tokens(text)), w => {
+        val grams = transform(
+          sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
+        when(size(w) >= n, grams).otherwise(array().cast("array<string>"))
+      }),
+      1)
 
   /** n-gram hashes over an ALREADY-MATERIALIZED token-hash array column.
     *
