@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions.{assert_true, col, count, expr, hash,
 import org.apache.spark.sql.types._
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 import scala.jdk.CollectionConverters._
 
 /** Delta Lake transaction-log interop for [[Snapshots]] tables — the
@@ -76,6 +78,21 @@ import scala.jdk.CollectionConverters._
 object DeltaLog {
 
   private val mapper = new ObjectMapper()
+
+  /** Executor for overlapping INDEPENDENT Spark jobs inside one DML
+    * commit (change-capture writes vs the data rewrite): Spark's
+    * scheduler runs concurrent jobs FIFO, so the side job back-fills
+    * executor slots freed by the main job's tail instead of paying its
+    * whole fixed cost sequentially. Daemon threads; unbounded pool is
+    * safe — at most one side job per in-flight DML call.
+    */
+  private lazy val sideJobEc: ExecutionContext =
+    ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-delta-sidejob")
+        t.setDaemon(true)
+        t
+      }))
 
   private def logDir(root: String): Path = Paths.get(root, "_delta_log")
   private def commitName(v: Long): String = f"$v%020d.json"
@@ -3716,16 +3733,39 @@ object DeltaLog {
         candDvs)
       val touchedDvs = candDvs.filter(d =>
         exactTouched.exists(_._1 == d._1))
+      // Change data feed: a partial-file DELETE cannot be synthesized
+      // from its remove+add pair (survivor rows would read as
+      // delete+reinsert), so when CDF is on the matched rows land in a
+      // CDC file — one per touched partition, predicate-pushed re-read
+      // of only the touched source files (still on disk until vacuum).
+      // The cdc write reads only PRE-rewrite files and writes only under
+      // _change_data, so it is independent of the rewrite job — launched
+      // here so the two jobs OVERLAP (FIFO scheduling back-fills the
+      // rewrite's task tail) instead of paying two sequential fixed
+      // costs; an orphaned cdc file from a failed rewrite is never
+      // referenced by any commit and falls to vacuum.
+      val cdcFut: Option[Future[Seq[JsonNode]]] =
+        if (!cdfEnabled(st)) None
+        else Some(Future {
+          exactTouched.groupBy(_._2).toSeq.sortBy(_._1.mkString(" "))
+            .map { case (pv, group) =>
+              // live rows only: a row the file's prior DV already
+              // deleted must not re-emit as a delete
+              val deleted = readFilesMinusDv(spark, root, st, dataSchema,
+                group.map(_._1))
+                .filter(col(column) >= lo && col(column) <= hi)
+                .withColumn(ChangeTypeCol, lit("delete"))
+              writeCdcFile(deleted, root, pv, st)
+            }
+        }(sideJobEc))
       // ONE rewrite job over every touched file (a file that keeps zero
       // rows simply never appears — pure remove). A DV-carrying file
       // rewrites its LIVE survivors and the new add drops the DV.
       val rewritten = rewriteFilesBatched(spark, root, exactTouched.map(_._1),
         dataSchema, _.filter(!matches || col(column).isNull),
         "graft-delta-del", st, touchedDvs)
-      val cdcTouched = Seq.newBuilder[(String, Map[String, String])]
       exactTouched.foreach { case (rel, pv) =>
         actions += removeActionNode(rel, true); touched += 1
-        cdcTouched += rel -> pv
         rewritten.get(rel).foreach { part =>
           // a shallow-cloned (absolute) source file rewrites into
           // THIS table's root — never beside the source
@@ -3739,23 +3779,7 @@ object DeltaLog {
           actions += addActionNode(root, newRel, pv, dataChange = true, conf)
         }
       }
-      // Change data feed: a partial-file DELETE cannot be synthesized
-      // from its remove+add pair (survivor rows would read as
-      // delete+reinsert), so when CDF is on the matched rows land in a
-      // CDC file — one per touched partition, predicate-pushed re-read
-      // of only the touched source files (still on disk until vacuum).
-      if (cdfEnabled(st)) {
-        cdcTouched.result().groupBy(_._2).toSeq.sortBy(_._1.mkString(" "))
-          .foreach { case (pv, group) =>
-            // live rows only: a row the file's prior DV already deleted
-            // must not re-emit as a delete
-            val deleted = readFilesMinusDv(spark, root, st, dataSchema,
-              group.map(_._1))
-              .filter(col(column) >= lo && col(column) <= hi)
-              .withColumn(ChangeTypeCol, lit("delete"))
-            actions += writeCdcFile(deleted, root, pv, st)
-          }
-      }
+      cdcFut.foreach(f => actions ++= Await.result(f, Duration.Inf))
     }
     if (touched == 0) return v
     writeCommitFile(root, v + 1, actions.result(), operation = "DELETE")
@@ -3990,6 +4014,46 @@ object DeltaLog {
     if (exactTouched.isEmpty) return v
     val touchedDvs = candDvs.filter(d => exactTouched.exists(_._1 == d._1))
     val actions = Seq.newBuilder[JsonNode]
+    // CDF: matched rows before and after the SET — the only record of
+    // WHICH rows changed (the remove+add pair is file-grain); one
+    // multi-file scan per touched partition. Postimage from the MATCHED
+    // source rows, not the rewritten file: a SET that rewrites the
+    // predicate column itself would make the new file unfilterable.
+    // Pre and post images come from ONE scan: originals are staged
+    // under __graft_pre_* aliases, the ordered assignments fold on top
+    // (generated columns must see post-SET values), and a row-doubling
+    // explode emits both images — half the touched-file IO of the
+    // previous pre ∪ post two-leg union. The cdc write reads only
+    // PRE-rewrite files and writes only under _change_data, so it is
+    // independent of the rewrite job and launched to OVERLAP it (FIFO
+    // back-fill); an orphaned cdc file from a failed rewrite is never
+    // referenced by any commit and falls to vacuum.
+    val cdcFut: Option[Future[Seq[JsonNode]]] =
+      if (!cdfEnabled(st)) None
+      else Some(Future {
+        import org.apache.spark.sql.functions.{array, explode, struct}
+        exactTouched.groupBy(_._2).toSeq.sortBy(_._1.mkString(" "))
+          .map { case (pv, group) =>
+            // live rows only: prior-DV-deleted rows are not updated
+            val matched = readFilesMinusDv(spark, root, st, dataSchema,
+              group.map(_._1)).filter(matches)
+            val staged = dataSchema.fieldNames.foldLeft(matched)(
+              (d, c) => d.withColumn(s"__graft_pre_$c", col(c)))
+            val folded = assignments.foldLeft(staged) { case (df, (c, e)) =>
+              df.withColumn(c, e.cast(dataSchema(c).dataType))
+            }
+            val both = folded.select(explode(array(
+                struct(dataSchema.fieldNames.toSeq
+                  .map(c => col(s"__graft_pre_$c").as(c)) :+
+                  lit("update_preimage").as(ChangeTypeCol): _*),
+                struct(dataSchema.fieldNames.toSeq.map(c => col(c)) :+
+                  lit("update_postimage").as(ChangeTypeCol): _*)))
+                .as("__graft_chg"))
+              .select((dataSchema.fieldNames.toSeq :+ ChangeTypeCol)
+                .map(f => col(s"__graft_chg.$f")): _*)
+            writeCdcFile(both, root, pv, st)
+          }
+      }(sideJobEc))
     // ONE rewrite job over every touched file; an UPDATE keeps every
     // LIVE row, so each touched rel must come back. A DV-carrying file
     // rewrites its live rows and the new add drops the DV.
@@ -4016,27 +4080,7 @@ object DeltaLog {
       actions += removeActionNode(rel, true)
       actions += addActionNode(root, newRel, pv, dataChange = true, conf)
     }
-    // CDF: matched rows before and after the SET — the only record of
-    // WHICH rows changed (the remove+add pair is file-grain); one
-    // multi-file scan per touched partition. Postimage from the MATCHED
-    // source rows, not the rewritten file: a SET that rewrites the
-    // predicate column itself would make the new file unfilterable.
-    if (cdfEnabled(st)) {
-      exactTouched.groupBy(_._2).toSeq.sortBy(_._1.mkString(" "))
-        .foreach { case (pv, group) =>
-          // live rows only: prior-DV-deleted rows are not updated
-          val source = readFilesMinusDv(spark, root, st, dataSchema,
-            group.map(_._1))
-          val pre = source.filter(matches)
-            .withColumn(ChangeTypeCol, lit("update_preimage"))
-          val post = assignments.foldLeft(source.filter(matches)) {
-            case (df, (c, e)) =>
-              df.withColumn(c, e.cast(dataSchema(c).dataType))
-          }.select(dataSchema.fieldNames.map(col).toSeq: _*)
-            .withColumn(ChangeTypeCol, lit("update_postimage"))
-          actions += writeCdcFile(pre.unionByName(post), root, pv, st)
-        }
-    }
+    cdcFut.foreach(f => actions ++= Await.result(f, Duration.Inf))
     writeCommitFile(root, v + 1, actions.result(), operation = "UPDATE")
     postCommit(spark, root, st, v + 1)
     v + 1
