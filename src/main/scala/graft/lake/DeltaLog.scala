@@ -4321,6 +4321,103 @@ object DeltaLog {
       // an append-only table allows the pure-insert merge (nothing
       // matched); any matched row would rewrite history
       if (touched.nonEmpty) requireNotAppendOnly(st, "mergeKey")
+      // CDF: the remove+add pairs are file-grain — only cdc files
+      // record WHICH rows updated vs inserted. Matched keys are read
+      // back from the touched source files (on disk until vacuum).
+      // Pre-images live in the OLD row's partition; postimages and
+      // inserts in the SOURCE row's own partition. The cdc write reads
+      // only PRE-rewrite files plus the persisted source and writes
+      // only under _change_data — independent of both the rewrite and
+      // the insert job, so it is launched here to OVERLAP them (FIFO
+      // back-fill); an orphaned cdc file from a failed rewrite is never
+      // referenced by any commit and falls to vacuum.
+      val cdcFut: Option[Future[Seq[JsonNode]]] =
+        if (!(cdfEnabled(st) && touched.nonEmpty)) None
+        else Some(Future {
+          // live rows only: keys whose target rows were all DV-deleted
+          // are inserts, not updates
+          val touchedRows = readFilesMinusDv(spark, root, st, dataSchema,
+            touched.map(_._1))
+          val matchedKeys = touchedRows.select(col(key))
+            .join(srcKeys, Seq(key), "left_semi").distinct().persist()
+          def inOrder(df: DataFrame) =
+            df.select(dataSchema.fieldNames.map(col).toSeq: _*)
+          try {
+            if (pcs.isEmpty) {
+              val pre = inOrder(touchedRows
+                .join(srcKeys, Seq(key), "left_semi"))
+                .withColumn(ChangeTypeCol, lit("update_preimage"))
+              val post = inOrder(src.join(matchedKeys, Seq(key),
+                "left_semi"))
+                .withColumn(ChangeTypeCol, lit("update_postimage"))
+              val ins = inOrder(src.join(matchedKeys, Seq(key),
+                "left_anti"))
+                .withColumn(ChangeTypeCol, lit("insert"))
+              Seq(writeCdcFile(
+                pre.unionByName(post).unionByName(ins), root, Map.empty,
+                st))
+            } else {
+              // PARTITIONED change capture in ONE dynamic-partitioned
+              // write: pre-images get their FILE's partition values from
+              // Spark's own basePath partition discovery (data files
+              // don't store partition columns; basename tags can COLLIDE
+              // across partition dirs of one write, so no tag joins);
+              // DV'd or clone-absolute files take a per-file branch with
+              // pv literals. Post-images and inserts carry the source
+              // row's own values. Jobs stay O(1), never O(partitions).
+              val (special, plain) = touched.partition { case (rel, _) =>
+                rel.startsWith("/") || st.fileDvs.contains(rel) }
+              // data fields resolve like every other mapped read —
+              // readSchemaFor stamps parquet.field.id in id mode, where a
+              // file's stored names may legally differ from the declared
+              // physicalName (a hand-renamed physFull would read such
+              // files as all-NULL pre-images); partition fields append
+              // PHYSICAL-named for basePath directory discovery
+              val physFull = StructType(readSchemaFor(st, dataSchema)._1.fields
+                ++ fullSchema.fields.filter(f => pcSet(f.name)).map(f =>
+                  f.copy(name = physMap.getOrElse(f.name, f.name))))
+              def logicalAll = fullSchema.fields.map(f =>
+                toLogicalField(f, physMap.getOrElse(f.name, f.name)))
+              val preParts = Seq.newBuilder[DataFrame]
+              if (plain.nonEmpty)
+                preParts += spark.read.option("basePath", root)
+                  .schema(physFull)
+                  .parquet(plain.map(p =>
+                    resolvePath(root, p._1).toString): _*)
+                  .select(logicalAll.toIndexedSeq: _*)
+              special.foreach { case (rel, pv) =>
+                val base = readFilesMinusDv(spark, root, st, dataSchema,
+                  Seq(rel))
+                preParts += fullSchema.fields.filter(f => pcSet(f.name))
+                  .foldLeft(base) { (d, f) =>
+                    val k2 = pvKeyOf(st, fullSchema, f.name, pv).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"DeltaLog.mergeKey: $rel lacks partitionValues " +
+                          s"for declared partition column ${f.name}"))
+                    d.withColumn(f.name, Option(pv(k2)) match {
+                      case Some(s) => lit(s).cast(f.dataType)
+                      case None => lit(null).cast(f.dataType)
+                    })
+                  }
+                  .select(fullSchema.fieldNames.map(col).toSeq: _*)
+              }
+              def inOrderFull(df: DataFrame) =
+                df.select(fullSchema.fieldNames.map(col).toSeq: _*)
+              val pre = inOrderFull(preParts.result()
+                .reduce(_ unionByName _)
+                .join(srcKeys, Seq(key), "left_semi"))
+                .withColumn(ChangeTypeCol, lit("update_preimage"))
+              val post = inOrderFull(src.join(matchedKeys, Seq(key),
+                "left_semi"))
+                .withColumn(ChangeTypeCol, lit("update_postimage"))
+              val ins = inOrderFull(src.join(matchedKeys, Seq(key),
+                "left_anti"))
+                .withColumn(ChangeTypeCol, lit("insert"))
+              writeCdcFilesPartitioned(
+                pre.unionByName(post).unionByName(ins), root, pcs, st)
+            }
+          } finally matchedKeys.unpersist()
+        }(sideJobEc))
       // ONE rewrite job drops the matched rows from every touched file
       // (a file that loses all its rows becomes a pure remove); each
       // rewrite stays in its source file's partition directory. A
@@ -4399,95 +4496,7 @@ object DeltaLog {
         }
         deleteRecursively(staging)
       }
-      // CDF: the remove+add pairs are file-grain — only cdc files
-      // record WHICH rows updated vs inserted. Matched keys are read
-      // back from the touched source files (on disk until vacuum).
-      // Pre-images live in the OLD row's partition; postimages and
-      // inserts in the SOURCE row's own partition.
-      if (cdfEnabled(st) && touched.nonEmpty) {
-        // live rows only: keys whose target rows were all DV-deleted
-        // are inserts, not updates
-        val touchedRows = readFilesMinusDv(spark, root, st, dataSchema,
-          touched.map(_._1))
-        val matchedKeys = touchedRows.select(col(key))
-          .join(srcKeys, Seq(key), "left_semi").distinct().persist()
-        def inOrder(df: DataFrame) =
-          df.select(dataSchema.fieldNames.map(col).toSeq: _*)
-        try {
-          if (pcs.isEmpty) {
-            val pre = inOrder(touchedRows
-              .join(srcKeys, Seq(key), "left_semi"))
-              .withColumn(ChangeTypeCol, lit("update_preimage"))
-            val post = inOrder(src.join(matchedKeys, Seq(key),
-              "left_semi"))
-              .withColumn(ChangeTypeCol, lit("update_postimage"))
-            val ins = inOrder(src.join(matchedKeys, Seq(key),
-              "left_anti"))
-              .withColumn(ChangeTypeCol, lit("insert"))
-            actions += writeCdcFile(
-              pre.unionByName(post).unionByName(ins), root, Map.empty, st)
-          } else {
-            // PARTITIONED change capture in ONE dynamic-partitioned
-            // write: pre-images get their FILE's partition values from
-            // Spark's own basePath partition discovery (data files
-            // don't store partition columns; basename tags can COLLIDE
-            // across partition dirs of one write, so no tag joins);
-            // DV'd or clone-absolute files take a per-file branch with
-            // pv literals. Post-images and inserts carry the source
-            // row's own values. Jobs stay O(1), never O(partitions).
-            val (special, plain) = touched.partition { case (rel, _) =>
-              rel.startsWith("/") || st.fileDvs.contains(rel) }
-            // data fields resolve like every other mapped read —
-            // readSchemaFor stamps parquet.field.id in id mode, where a
-            // file's stored names may legally differ from the declared
-            // physicalName (a hand-renamed physFull would read such
-            // files as all-NULL pre-images); partition fields append
-            // PHYSICAL-named for basePath directory discovery
-            val physFull = StructType(readSchemaFor(st, dataSchema)._1.fields
-              ++ fullSchema.fields.filter(f => pcSet(f.name)).map(f =>
-                f.copy(name = physMap.getOrElse(f.name, f.name))))
-            def logicalAll = fullSchema.fields.map(f =>
-              toLogicalField(f, physMap.getOrElse(f.name, f.name)))
-            val preParts = Seq.newBuilder[DataFrame]
-            if (plain.nonEmpty)
-              preParts += spark.read.option("basePath", root)
-                .schema(physFull)
-                .parquet(plain.map(p =>
-                  resolvePath(root, p._1).toString): _*)
-                .select(logicalAll.toIndexedSeq: _*)
-            special.foreach { case (rel, pv) =>
-              val base = readFilesMinusDv(spark, root, st, dataSchema,
-                Seq(rel))
-              preParts += fullSchema.fields.filter(f => pcSet(f.name))
-                .foldLeft(base) { (d, f) =>
-                  val k2 = pvKeyOf(st, fullSchema, f.name, pv).getOrElse(
-                    throw new IllegalArgumentException(
-                      s"DeltaLog.mergeKey: $rel lacks partitionValues " +
-                        s"for declared partition column ${f.name}"))
-                  d.withColumn(f.name, Option(pv(k2)) match {
-                    case Some(s) => lit(s).cast(f.dataType)
-                    case None => lit(null).cast(f.dataType)
-                  })
-                }
-                .select(fullSchema.fieldNames.map(col).toSeq: _*)
-            }
-            def inOrderFull(df: DataFrame) =
-              df.select(fullSchema.fieldNames.map(col).toSeq: _*)
-            val pre = inOrderFull(preParts.result()
-              .reduce(_ unionByName _)
-              .join(srcKeys, Seq(key), "left_semi"))
-              .withColumn(ChangeTypeCol, lit("update_preimage"))
-            val post = inOrderFull(src.join(matchedKeys, Seq(key),
-              "left_semi"))
-              .withColumn(ChangeTypeCol, lit("update_postimage"))
-            val ins = inOrderFull(src.join(matchedKeys, Seq(key),
-              "left_anti"))
-              .withColumn(ChangeTypeCol, lit("insert"))
-            actions ++= writeCdcFilesPartitioned(
-              pre.unionByName(post).unionByName(ins), root, pcs, st)
-          }
-        } finally matchedKeys.unpersist()
-      }
+      cdcFut.foreach(f => actions ++= Await.result(f, Duration.Inf))
       writeCommitFile(root, v + 1, actions.result(), operation = "MERGE")
       postCommit(spark, root, st, v + 1)
       v + 1
