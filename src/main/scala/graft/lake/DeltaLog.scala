@@ -86,7 +86,7 @@ object DeltaLog {
     * whole fixed cost sequentially. Daemon threads; unbounded pool is
     * safe — at most one side job per in-flight DML call.
     */
-  private lazy val sideJobEc: ExecutionContext =
+  private[graft] lazy val sideJobEc: ExecutionContext =
     ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newCachedThreadPool(r => {
         val t = new Thread(r, "graft-delta-sidejob")

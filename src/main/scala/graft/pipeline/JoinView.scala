@@ -75,8 +75,17 @@ object JoinView {
     require(keys.nonEmpty, "JoinView needs join keys")
     import graft.lake.DeltaLog
     val (aRoot, bRoot, vRoot) = (s"$dir/a", s"$dir/b", s"$dir/view")
-    DeltaLog.commitFlat(spark, aRoot, dA, txn = Some((AppA, batchId)))
+    // steps 1 and 2 land on DIFFERENT tables from DIFFERENT inputs —
+    // run them as concurrent commits so their write jobs overlap (the
+    // DML side-job pattern); step 3 needs both, so it joins after.
+    // Replay safety is unchanged: each commit is guarded by its own
+    // table's txn watermark.
+    val aFut = scala.concurrent.Future {
+      DeltaLog.commitFlat(spark, aRoot, dA, txn = Some((AppA, batchId)))
+    }(DeltaLog.sideJobEc)
     DeltaLog.commitFlat(spark, bRoot, dB, txn = Some((AppB, batchId)))
+    scala.concurrent.Await.result(aFut,
+      scala.concurrent.duration.Duration.Inf)
     val aCommit = DeltaLog.txnCommitVersion(aRoot, AppA, batchId)
       .getOrElse(throw new IllegalStateException(
         s"JoinView: no $aRoot commit carries batch $batchId"))
